@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lake-facing I/O: the Spark-native analog of the reference's blob
+  * ingest + object-store surface.
+  *
+  * The reference accepts any byte stream and types it purely by lower-cased
+  * filename extension, `'unknown'` if none
+  * (/root/reference/app/routes.py:115-125); its lake listing returns
+  * `{name, size, last_modified}` triples (/root/reference/app/utils/
+  * minio_client.py:50-62) with the per-tenant prefix filter commented out
+  * (minio_client.py:52) — a bug we fix by actually applying the prefix.
+  */
+object LakeIO {
+
+  /** Lower-cased filename extension, `"unknown"` when absent — the
+    * reference's exact typing rule (/root/reference/app/routes.py:116-117).
+    */
+  def extensionOf(filename: String): String = {
+    val base = filename.substring(filename.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot <= 0 || dot == base.length - 1) "unknown"
+    else base.substring(dot + 1).toLowerCase
+  }
+
+  /** Extension-dispatch reader. Formats Spark reads natively map 1:1;
+    * anything unrecognized falls back to `binaryFile` (opaque blob +
+    * metadata), mirroring the reference's "any file is accepted" contract.
+    */
+  def readAuto(spark: SparkSession, path: String): DataFrame =
+    extensionOf(path) match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv"     => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "json" | "jsonl" | "ndjson" => spark.read.json(path)
+      case "txt" | "text" | "log" => spark.read.text(path)
+      case "orc"     => spark.read.orc(path)
+      case _         => spark.read.format("binaryFile").load(path)
+    }
+
+  /** Sink with the same extension dispatch. */
+  def writeAuto(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    extensionOf(path) match {
+      case "csv"  => df.write.mode(mode).option("header", "true").csv(path)
+      case "json" => df.write.mode(mode).json(path)
+      case "orc"  => df.write.mode(mode).orc(path)
+      case _      => df.write.mode(mode).parquet(path)
+    }
+
+  /** Lake listing → DataFrame[name, size, last_modified], recursive, with
+    * the per-tenant `prefix` filter the reference intended but disabled.
+    * Uses the Hadoop FileSystem client directly (driver-side listing of
+    * object metadata — the listing itself is not a distributed job, matching
+    * object-store list semantics); the result is a DataFrame so it composes
+    * with the rest of the engine.
+    */
+  def listing(spark: SparkSession, dir: String,
+              prefix: String = ""): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .map { st =>
+        val rel = root.toUri.relativize(st.getPath.toUri).getPath
+        (rel, st.getLen, new java.sql.Timestamp(st.getModificationTime))
+      }
+      .filter(_._1.startsWith(prefix))
+      .toSeq
+    rows.toDF("name", "size", "last_modified")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths with the same output shape (query_id, neighbor_id, cosine,
+  * rank):
+  *  - `bruteForceTopK`: exact O(|Q|·|N|) — the correctness baseline. The
+  *    cross join broadcasts the (small) query side; per-pair cosine is a
+  *    codegen'd expression; top-k is a per-query window. Use when |Q| is
+  *    small (ad-hoc search), any |N| (scales out linearly).
+  *  - `lshTopK`: hyperplane-LSH bucketed — candidates only from matching
+  *    signature buckets, so the join is an equi-join on bucket keys and
+  *    cost is |Q|·(bucket size). The 100 TB path. Approximate: recall
+  *    depends on nBits/nTables; verified vs brute force in tests.
+  */
+object Similarity {
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table hyperplane LSH: a candidate is any corpus vector sharing
+    * a full signature with the query in at least one of `nTables` tables
+    * (different seeds). Equi-join on (table, signature).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
+        struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
+          .as("sig")))).as("b"))
+      .select(col("query_id"), col("qv"),
+        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
+        struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
+          .as("sig")))).as("b"))
+      .select(col("neighbor_id"), col("cv"),
+        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hyperplane signature whose seed varies by table id (Column). Inlined
+    * variant of VectorFunctions.hyperplaneSignature with a Column seed.
+    */
+  private def hyperplaneTableSig(vec: org.apache.spark.sql.Column, nBits: Int,
+                                 tbl: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+          when(xxhash64(lit(42), tbl, j, i) % 2 === 0, v.cast("double"))
+            .otherwise(-v.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+}

@@ -34,8 +34,65 @@ object AggQueries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Distinct + plain counts per group (countDistinct exercises the
+    * two-phase distinct-aggregate plan).
+    */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count($"l_orderkey").as("n_rows"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Rollup over two grouping columns: subtotals + grand total.
+    * Null grouping rows ordered explicitly NULLS FIRST in both engines.
+    */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sumFixed($"l_quantity", 2).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Cube over two grouping columns: all grouping-set combinations. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumFixed($"o_totalprice", 2).as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Approximate aggregates (HLL distinct + t-digest quantiles).
+    * Engines' sketches differ → no oracle (rows-only check); exactness is
+    * covered by qAggDistinct, and a ScalaTest pins the rsd bound.
+    */
+  def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+          .as("median_price"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
+          .as("p95_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary(_, _))
+    "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q_agg_distinct" -> (qAggDistinct(_, _)),
+    "q_agg_rollup" -> (qAggRollup(_, _)),
+    "q_agg_cube" -> (qAggCube(_, _)),
+    "q_agg_approx" -> (qAggApprox(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +109,24 @@ object AggQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(l_orderkey) AS n_rows,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  round(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  round(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.AsOf
+import Exact._
+
+/** Join battery (SURVEY.md §2-B "Joins"). Dimension joins broadcast
+  * explicitly — at 100 TB the fact side never shuffles for a dim join;
+  * the only shuffling joins here are fact-to-fact (orders⋈lineitem) and
+  * the as-of timeline union.
+  */
+object JoinQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fact → 3 broadcast dims: revenue per region. */
+  def qJoinRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val su = Tables.supplier(spark, dir)
+    val na = Tables.nation(spark, dir)
+    val re = Tables.region(spark, dir)
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(re("r_name").as("region_name"))
+      .agg(
+        (sum(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount"))))
+          / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("region_name"))
+  }
+
+  /** Left outer: every customer, with order count / spend (null-safe). */
+  def qJoinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey").as("custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        round(sum(o("o_totalprice")), 2).as("sum_spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Full outer over per-side aggregates: nations seen from the customer
+    * vs supplier side.
+    */
+  def qJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.withColumnRenamed("nk", "nk_c")
+      .join(s.withColumnRenamed("nk", "nk_s"),
+        col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left semi: customers having at least one big order (EXISTS). */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left anti: customers with no high-value order (NOT EXISTS). */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Cross join (small × small): region × order status. */
+  def qJoinCross(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(col("r_name"))
+    val s = Tables.orders(spark, dir).select(col("o_orderstatus")).distinct()
+    r.crossJoin(s).orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** Non-equi (range) join against literal price buckets: broadcast
+    * nested loop on a tiny build side — the documented perf cliff; the
+    * scalable alternative for monotone buckets is `width_bucket`-style
+    * arithmetic (see SQL twin comment).
+    */
+  def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = Seq(
+      (0L, 150000L), (150000L, 300000L), (300000L, 450000L),
+      (450000L, 600000L))
+      .toDF("lo", "hi")
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(buckets),
+        o("o_totalprice") >= buckets("lo") && o("o_totalprice") < buckets("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("lo"))
+  }
+
+  /** As-of join: latest order (per user key) at or before each event's
+    * timestamp — union-timeline implementation (graft.ops.AsOf), verified
+    * against DuckDB's native ASOF JOIN.
+    */
+  def qJoinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    AsOf.asOfJoin(ev, right,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("asof_orderkey"))
+      .filter(col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_join_region_revenue" -> (qJoinRegionRevenue(_, _)),
+    "q_join_left_outer" -> (qJoinLeftOuter(_, _)),
+    "q_join_full_outer" -> (qJoinFullOuter(_, _)),
+    "q_join_semi" -> (qJoinSemi(_, _)),
+    "q_join_anti" -> (qJoinAnti(_, _)),
+    "q_join_cross" -> (qJoinCross(_, _)),
+    "q_join_range" -> (qJoinRange(_, _)),
+    "q_join_asof" -> (qJoinAsof(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_region_revenue" ->
+      """SELECT r_name AS region_name,
+        |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region_name""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
+        |  round(SUM(o_totalprice), 2) AS sum_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY custkey""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey nk, COUNT(*) n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey nk, COUNT(*) n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q_join_range" ->
+      """SELECT lo, hi, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |JOIN (VALUES (CAST(0 AS BIGINT), CAST(150000 AS BIGINT)),
+        |             (150000, 300000), (300000, 450000),
+        |             (450000, 600000)) AS b(lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY lo, hi ORDER BY lo""".stripMargin,
+    "q_join_asof" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |             MAX(o_orderkey) AS asof_orderkey
+        |           FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.asof_orderkey
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

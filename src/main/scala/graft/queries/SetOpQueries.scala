@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Set-operation battery (SURVEY.md §2-B "Sort / limit / top-k / set ops").
+  * Sides are the customer- and supplier-nation projections (same schema,
+  * different multiplicities — exercises the ALL variants meaningfully).
+  */
+object SetOpQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def custNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+  private def suppNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+
+  def qSetUnionAll(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).unionAll(suppNations(spark, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  def qSetUnionDistinct(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).union(suppNations(spark, dir)).distinct()
+      .orderBy(col("nationkey"))
+
+  def qSetIntersect(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).intersect(suppNations(spark, dir))
+      .orderBy(col("nationkey"))
+
+  /** EXCEPT with a non-empty result: nations of all customers minus
+    * nations of negative-balance customers.
+    */
+  def qSetExcept(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir)
+      .except(Tables.customer(spark, dir)
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** INTERSECT ALL keeps min(multiplicity) copies — surfaced as a count
+    * per key so the multiset semantics are visible in the output.
+    */
+  def qSetIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).intersectAll(suppNations(spark, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** EXCEPT ALL keeps left-multiplicity − right-multiplicity copies. */
+  def qSetExceptAll(spark: SparkSession, dir: String): DataFrame =
+    custNations(spark, dir).exceptAll(suppNations(spark, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  /** unionByName with missing columns — schema-evolution-tolerant union. */
+  def qSetUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+    val b = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(col("acctbal").isNotNull.as("has_bal"))
+      .agg(count(lit(1)).as("n"), count(col("name")).as("n_with_name"))
+      .orderBy(col("has_bal"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_set_union_all" -> (qSetUnionAll(_, _)),
+    "q_set_union_distinct" -> (qSetUnionDistinct(_, _)),
+    "q_set_intersect" -> (qSetIntersect(_, _)),
+    "q_set_except" -> (qSetExcept(_, _)),
+    "q_set_intersect_all" -> (qSetIntersectAll(_, _)),
+    "q_set_except_all" -> (qSetExceptAll(_, _)),
+    "q_set_union_by_name" -> (qSetUnionByName(_, _))
+  )
+
+  private val cn = "SELECT c_nationkey AS nationkey FROM customer"
+  private val sn = "SELECT s_nationkey AS nationkey FROM supplier"
+
+  val oracles: Map[String, String] = Map(
+    "q_set_union_all" ->
+      s"""SELECT nationkey, COUNT(*) AS n FROM ($cn UNION ALL $sn)
+         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_set_union_distinct" ->
+      s"($cn UNION $sn) ORDER BY nationkey",
+    "q_set_intersect" ->
+      s"($cn INTERSECT $sn) ORDER BY nationkey",
+    "q_set_except" ->
+      s"""($cn EXCEPT SELECT c_nationkey AS nationkey FROM customer
+         | WHERE c_acctbal < 0) ORDER BY nationkey""".stripMargin,
+    "q_set_intersect_all" ->
+      s"""SELECT nationkey, COUNT(*) AS n FROM ($cn INTERSECT ALL $sn)
+         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_set_except_all" ->
+      s"""SELECT nationkey, COUNT(*) AS n FROM ($cn EXCEPT ALL $sn)
+         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_set_union_by_name" ->
+      """SELECT acctbal IS NOT NULL AS has_bal, COUNT(*) AS n,
+        |  COUNT(name) AS n_with_name
+        |FROM (SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        |        FROM customer
+        |      UNION ALL BY NAME
+        |      SELECT s_suppkey AS id, s_name AS name FROM supplier)
+        |GROUP BY has_bal ORDER BY has_bal""".stripMargin
+  )
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured-Streaming operator surface (SURVEY.md §2-B "Streaming").
+  *
+  * Every transform here takes/returns DataFrame and works identically on a
+  * batch frame or a `readStream` frame — the Spark-native way to keep one
+  * operator library for both. Streaming-only pieces (watermark, stateful
+  * dedup, arbitrary state) are thin named wrappers so pipelines declare
+  * intent.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregate: rows per (window, event_type) with count
+    * and exact 2-decimal sum.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String,
+                     width: String): DataFrame =
+    events.groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Sliding-window aggregate. */
+  def slidingCounts(events: DataFrame, tsCol: String,
+                    width: String, slide: String): DataFrame =
+    events.groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per user: gap-based sessionization. */
+  def sessionCounts(events: DataFrame, tsCol: String,
+                    gap: String): DataFrame =
+    events.groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  /** Watermarked variant of any of the above: call before aggregating. */
+  def withLateness(events: DataFrame, tsCol: String,
+                   lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+
+  /** Streaming dedup on event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- arbitrary stateful processing (mapGroupsWithState) ----
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Running per-user totals via mapGroupsWithState — the exemplar for
+    * custom state machines (processing-time timeout keeps state bounded).
+    */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], st: GroupState[UserRunning]) =>
+          val prev = st.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, total) = it.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserRunning(uid, n, total)
+          st.update(next)
+          next
+      }
+  }
+
+  /** Default sink for bounded streaming runs in tests/pipelines:
+    * AvailableNow trigger + append/update mode, checkpointed.
+    */
+  def boundedRun(df: DataFrame, checkpoint: String, queryName: String,
+                 mode: OutputMode = OutputMode.Update()): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
