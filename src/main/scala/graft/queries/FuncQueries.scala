@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Scalar-function batteries (SURVEY.md §2-B "Scalar functions"): string,
+  * date/time, math, conditional, JSON, hash/encode, array. All per-row
+  * codegen'd expressions — map-side only, no shuffle except the final
+  * presentation sort.
+  */
+object FuncQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def qFuncString(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        element_at(split(col("p_type"), " "), 1).as("type_first_word"),
+        regexp_extract(col("p_type"), "(\\S+)$", 1).as("type_last_word"),
+        col("p_name").like("%a%").as("has_a"),
+        col("p_name").startsWith("b").as("starts_b"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def qFuncDate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since_95"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def qFuncMath(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        round(col("l_extendedprice"), -2).as("price_hundreds"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        signum(col("l_quantity") - 25).as("qty_sign"),
+        (col("l_linenumber") % 3).as("ln_mod3"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  def qFuncCase(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "medium")
+          .otherwise("large").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_display"))
+      .groupBy(col("bucket"), col("status_display"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("status_display"))
+  }
+
+  /** JSON extraction over events.props via from_json (schema'd parse). */
+  def qFuncJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k2"))
+      .filter(col("k") === col("k2"))  // both extraction paths agree
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_mod"))
+  }
+
+  def qFuncHash(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        base64(col("c_name").cast("binary")).as("name_b64"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Array ops over the embedding column: size, head, min/max, exact
+    * sequential Σx² (see VectorFunctions numeric discipline).
+    */
+  def qFuncArray(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("head"),
+        array_min(col("embedding")).as("vmin"),
+        array_max(col("embedding")).as("vmax"),
+        graft.functions.VectorFunctions.norm2(col("embedding")).as("norm2"))
+      .orderBy(col("vec_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_func_string" -> (qFuncString(_, _)),
+    "q_func_date" -> (qFuncDate(_, _)),
+    "q_func_math" -> (qFuncMath(_, _)),
+    "q_func_case" -> (qFuncCase(_, _)),
+    "q_func_json" -> (qFuncJson(_, _)),
+    "q_func_hash" -> (qFuncHash(_, _)),
+    "q_func_array" -> (qFuncArray(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_func_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  string_split(p_type, ' ')[1] AS type_first_word,
+        |  regexp_extract(p_type, '(\S+)$', 1) AS type_last_word,
+        |  p_name LIKE '%a%' AS has_a,
+        |  starts_with(p_name, 'b') AS starts_b
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_func_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER)
+        |    AS days_since_95,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_func_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(l_extendedprice, -2) AS price_hundreds,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign,
+        |  l_linenumber % 3 AS ln_mod3,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate,
+        |  round(ln(l_extendedprice), 6) AS price_ln
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_func_case" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+        |  WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_display,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY bucket, status_display
+        |ORDER BY bucket, status_display""".stripMargin,
+    "q_func_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+        |    AS k_mod,
+        |  COUNT(*) AS n,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "q_func_hash" ->
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_md5,
+        |  sha256(c_name) AS name_sha256,
+        |  to_base64(encode(c_name)) AS name_b64
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_func_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS head,
+        |  list_min(embedding) AS vmin,
+        |  list_max(embedding) AS vmax,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

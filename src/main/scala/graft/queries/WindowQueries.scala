@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Window-function battery (SURVEY.md §2-B "Window functions").
+  *
+  * Every window spec carries a full tiebreak (value, key) so ranking is
+  * total — required both for oracle determinism and for sane semantics at
+  * scale. Running/moving sums are rounded at the fixed-point precision of
+  * the inputs: Spark accumulates linearly while DuckDB uses a segment
+  * tree, so raw doubles can differ in the last ulp even on identical rows.
+  */
+object WindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-3 orders per customer (row_number pattern). */
+  def qWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** rank / dense_rank / ntile per brand over part prices. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  /** lag / lead / first / last across each customer's order history. */
+  def qWindowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Running total + 3-row moving average of daily order volume. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_total"),
+        count(lit(1)).as("day_n"))
+    val w = Window.orderBy(col("day"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = w.rowsBetween(-2, Window.currentRow)
+    daily.select(col("day"), col("day_total"),
+        round(sum(col("day_total")).over(running), 2).as("running_total"),
+        (round(sum(col("day_total")).over(moving), 2)
+          / count(lit(1)).over(moving)).as("moving_avg3"))
+      .orderBy(col("day"))
+  }
+
+  /** RANGE frame: per brand, parts within ±10.0 retail price of each row. */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rangeBetween(-10L, 10L)
+    p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        count(lit(1)).over(w).as("n_close"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_window_topk" -> (qWindowTopk(_, _)),
+    "q_window_rank" -> (qWindowRank(_, _)),
+    "q_window_lag_lead" -> (qWindowLagLead(_, _)),
+    "q_window_running" -> (qWindowRunning(_, _)),
+    "q_window_range_frame" -> (qWindowRangeFrame(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey)
+        |ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(SUM(o_totalprice), 2) AS day_total, COUNT(*) AS day_n
+        |  FROM orders GROUP BY 1)
+        |SELECT day, day_total,
+        |  round(SUM(day_total) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total,
+        |  round(SUM(day_total) OVER (ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+        |  / COUNT(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+        |FROM daily ORDER BY day""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |    RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS n_close
+        |FROM part ORDER BY p_brand, p_retailprice, p_partkey""".stripMargin
+  )
+}
