@@ -62,11 +62,12 @@ object LakeIO {
     import spark.implicits._
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPrefix = fs.makeQualified(root).toString + "/"
     val it = fs.listFiles(root, /* recursive = */ true)
     val rows = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .map { st =>
-        val rel = root.toUri.relativize(st.getPath.toUri).getPath
+        val rel = st.getPath.toString.stripPrefix(rootPrefix)
         (rel, st.getLen, new java.sql.Timestamp(st.getModificationTime))
       }
       .filter(_._1.startsWith(prefix))

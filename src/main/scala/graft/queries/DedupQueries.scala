@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Dedup
+
+/** Deduplication battery over `documents` (north-star operators).
+  * The fixture plants near-duplicate pairs at 5-gram Jaccard ≈ 0.99 and no
+  * exact text duplicates — so exact dedup runs on a lower-cardinality key,
+  * and the near-dup paths are expected to surface the planted pairs.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup, canonical-representative form: deterministic min-id per
+    * key (dropDuplicates keeps an arbitrary row — never oracle-safe).
+    */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Content-hash dedup over the normalized-text fingerprint: the 100 TB
+    * pattern (hash once map-side, group on the 32-byte digest, never
+    * shuffle full documents).
+    */
+  def qDedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Exact 5-gram Jaccard near-dup pairs (inverted-index join). */
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", k = 5, minJaccard = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash-LSH candidate pairs (32 hashes, 8 bands × 4). Engine-local
+    * hash family → no SQL oracle; recall vs exact Jaccard is pinned in
+    * DedupSpec.
+    */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash per document (rows-only; Hamming-pair test in DedupSpec). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("id"))
+
+  /** Embedding cosine near-dup pairs, brute force (the exact baseline the
+    * LSH path approximates; fixture max pair-cosine ≈ 0.51 so the
+    * threshold sits below that).
+    */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> (qDedupExact(_, _)),
+    "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
+    "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_simhash" -> (qDedupSimhash(_, _)),
+    "q_dedup_embedding" -> (qDedupEmbedding(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(union_n AS BIGINT) AS union_n,
+        |  inter * 1.0 / union_n AS jaccard
+        |FROM pairs WHERE inter * 1.0 / union_n >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{LakeIO, Tables}
+
+/** Sort/limit and control-plane-analog queries. */
+object MiscQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject — no full sort,
+    * each partition keeps k rows, driver merges. The only sane global-sort
+    * shape at 100 TB.
+    */
+  def qSortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Multi-key sort with explicit null ordering (nulls manufactured via
+    * NULLIF since the fixtures are null-free).
+    */
+  def qSortNulls(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        col("o_orderpriority"))
+      .groupBy(col("status_or_null"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_or_null").desc_nulls_last,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Extension-dispatch ingest (reference semantics: type = lower-cased
+    * filename extension, /root/reference/app/routes.py:116-117) — reads
+    * through LakeIO.readAuto and must agree with the direct table scan.
+    */
+  def qIngestDispatch(spark: SparkSession, dir: String): DataFrame =
+    LakeIO.readAuto(spark, s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Lake listing (name/size over the sf dir) — A13 semantics with the
+    * tenant prefix filter applied. mtimes are generation-dependent →
+    * rows-only check.
+    */
+  def qLakeListing(spark: SparkSession, dir: String): DataFrame =
+    LakeIO.listing(spark, dir)
+      .select(col("name"), col("size"))
+      .orderBy(col("name"))
+
+  val defs: Map[String, Q] = Map(
+    "q_sort_limit" -> (qSortLimit(_, _)),
+    "q_sort_nulls" -> (qSortNulls(_, _)),
+    "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
+    "q_lake_listing" -> (qLakeListing(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sort_nulls" ->
+      """SELECT NULLIF(o_orderstatus, 'O') AS status_or_null,
+        |  o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY status_or_null, o_orderpriority
+        |ORDER BY status_or_null DESC NULLS LAST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_ingest_dispatch" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

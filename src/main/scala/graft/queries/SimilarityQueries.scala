@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Similarity
+
+/** Similarity-search battery over `embeddings` (north-star operators). */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-5 for a 10-query probe set — the exact
+    * baseline. Queries broadcast; corpus never shuffles.
+    */
+  def qSimTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN, same shape (rows-only; recall pinned vs brute
+    * force in SimilaritySpec).
+    */
+  def qSimTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nBits = 8, nTables = 6)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-label centroid similarity: mean vector per label (exact elementwise
+    * mean via posexplode + avg), then each label's centroid norm. Exercises
+    * the vector-aggregation path (elementwise agg over array columns).
+    */
+  def qSimCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(sum(col("x").cast("double")), 6).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("s_e6", round(col("s") * 1e6, 0).cast("long"))
+      .groupBy(col("label"))
+      .agg(sum(col("s_e6") * col("s_e6")).as("centroid_energy_e12"),
+        max(col("n")).as("n_vecs"))
+      .orderBy(col("label"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
+    "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
+    "q_sim_centroids" -> (qSimCentroids(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (q.nrm * c.nrm) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_centroids" ->
+      """WITH per_elem AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |per_dim AS (
+        |  SELECT label, i,
+        |    CAST(round(round(SUM(CAST(x AS DOUBLE)), 6) * 1e6, 0)
+        |      AS BIGINT) AS s_e6,
+        |    COUNT(*) AS n
+        |  FROM per_elem
+        |  GROUP BY label, i)
+        |SELECT label,
+        |  CAST(SUM(s_e6 * s_e6) AS BIGINT) AS centroid_energy_e12,
+        |  MAX(n) AS n_vecs
+        |FROM per_dim GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.TextAnalysis
+
+/** Text-analysis battery over `documents` (north-star operators). */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-document quality features (token stats + ratios). */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("mean_token_len"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic accuracy matrix: labeled lang × guess. */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.langGuess(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+
+  /** Top-20 word bigrams corpus-wide (n-gram generation + count + top-k). */
+  def qTextNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), "\\s+")) >= 2)
+    d.select(explode(TextAnalysis.wordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Content fingerprints: md5 (oracle-checked) per document. */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Token-frequency head: top-30 tokens with doc frequency. */
+  def qTextTokenFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(30)
+
+  val defs: Map[String, Q] = Map(
+    "q_text_stats" -> (qTextStats(_, _)),
+    "q_text_langid" -> (qTextLangid(_, _)),
+    "q_text_ngrams" -> (qTextNgrams(_, _)),
+    "q_text_fingerprint" -> (qTextFingerprint(_, _)),
+    "q_text_token_freq" -> (qTextTokenFreq(_, _))
+  )
+
+  private val stopList =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val markerCases = {
+    val best = TextAnalysis.langMarkers.map(_._1)
+      .map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = TextAnalysis.langMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    (best, whens)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,
+         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / len(regexp_extract_all(text, '\\S+')) AS mean_token_len,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    t -> list_contains($stopList, t))) AS DOUBLE)
+         |    / len(regexp_extract_all(text, '\\S+')) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains($lst, t))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH scored AS (
+         |  SELECT lang, $scores
+         |  FROM documents),
+         |best AS (
+         |  SELECT lang, ${markerCases._1} AS best, * FROM scored)
+         |SELECT lang,
+         |  CASE ${markerCases._2} ELSE 'und' END AS guess,
+         |  COUNT(*) AS n
+         |FROM best GROUP BY lang, guess ORDER BY lang, guess""".stripMargin
+    },
+    "q_text_ngrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |idx AS (
+        |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |bigrams AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram FROM idx)
+        |SELECT bigram, COUNT(*) AS n FROM bigrams
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_token_freq" ->
+      """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin
+  )
+}
