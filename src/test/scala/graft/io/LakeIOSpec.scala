@@ -1,0 +1,58 @@
+package graft.io
+
+import java.nio.file.Files
+import graft.SparkTestBase
+
+class LakeIOSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("extensionOf: reference typing rule incl. 'unknown'") {
+    assert(LakeIO.extensionOf("data.CSV") == "csv")
+    assert(LakeIO.extensionOf("a/b/file.Parquet") == "parquet")
+    assert(LakeIO.extensionOf("noext") == "unknown")
+    assert(LakeIO.extensionOf(".hidden") == "unknown")
+    assert(LakeIO.extensionOf("trailingdot.") == "unknown")
+    assert(LakeIO.extensionOf("x.tar.gz") == "gz")
+  }
+
+  test("readAuto dispatches csv/json/text and binary fallback") {
+    val dir = Files.createTempDirectory("lakeio").toFile
+    val csv = new java.io.File(dir, "t.csv")
+    Files.writeString(csv.toPath, "a,b\n1,x\n2,y\n")
+    val json = new java.io.File(dir, "t.json")
+    Files.writeString(json.toPath, """{"a":1}""" + "\n" + """{"a":2}""")
+    val txt = new java.io.File(dir, "t.txt")
+    Files.writeString(txt.toPath, "hello\nworld\n")
+    val blob = new java.io.File(dir, "t.bin")
+    Files.write(blob.toPath, Array[Byte](1, 2, 3))
+
+    val c = LakeIO.readAuto(spark, csv.getPath)
+    assert(c.columns.toSeq == Seq("a", "b") && c.count() == 2)
+    assert(LakeIO.readAuto(spark, json.getPath).count() == 2)
+    assert(LakeIO.readAuto(spark, txt.getPath).count() == 2)
+    val b = LakeIO.readAuto(spark, blob.getPath)
+    assert(b.columns.contains("content") && b.count() == 1)
+  }
+
+  test("writeAuto roundtrips csv and parquet") {
+    val dir = Files.createTempDirectory("lakeio-w").toFile
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    LakeIO.writeAuto(df, s"$dir/out.csv")
+    LakeIO.writeAuto(df, s"$dir/out.parquet")
+    assert(LakeIO.readAuto(spark, s"$dir/out.csv").count() == 2)
+    assert(LakeIO.readAuto(spark, s"$dir/out.parquet").count() == 2)
+  }
+
+  test("listing applies the tenant prefix filter the reference disabled") {
+    val dir = Files.createTempDirectory("lakeio-l").toFile
+    Files.createDirectories(new java.io.File(dir, "u1").toPath)
+    Files.createDirectories(new java.io.File(dir, "u2").toPath)
+    Files.writeString(new java.io.File(dir, "u1/a.txt").toPath, "aaa")
+    Files.writeString(new java.io.File(dir, "u2/b.txt").toPath, "bb")
+    val all = LakeIO.listing(spark, dir.getPath)
+    assert(all.count() == 2)
+    val u1 = LakeIO.listing(spark, dir.getPath, prefix = "u1/")
+      .select("name", "size").as[(String, Long)].collect()
+    assert(u1.toSeq == Seq(("u1/a.txt", 3L)))
+  }
+}

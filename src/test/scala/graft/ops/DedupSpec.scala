@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private def mutate(s: String, i: Int): String =
+    s.updated(math.min(i, s.length - 1), 'x')
+
+  lazy val docs = Seq(
+    (0L, base),                       // near-dup cluster {0,1,2}
+    (1L, mutate(base, 5)),
+    (2L, mutate(base, 20)),
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "yet another unrelated document mentioning minhash and lsh"),
+    (5L, base)                        // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct character k-grams") {
+    val sh = spark.range(1).select(
+      Dedup.shingles(lit("abcab"), 3).as("s")).head().getSeq[String](0)
+    assert(sh.toSet == Set("abc", "bca", "cab"))
+    assert(sh.length == 3) // 'abc' appears twice, deduped
+  }
+
+  test("shingles: short text yields the whole string") {
+    val sh = spark.range(1).select(
+      Dedup.shingles(lit("ab"), 5).as("s")).head().getSeq[String](0)
+    assert(sh == Seq("ab"))
+  }
+
+  test("exact jaccard finds the planted near-dup cluster and exact dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 5L)))  // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact dup pair has jaccard exactly 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .filter($"id_a" === 0 && $"id_b" === 5)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash-LSH recall: finds every exact-jaccard pair above 0.7") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lsh),
+      s"missed: ${exact.diff(lsh)}") // high-sim pairs must collide
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashPairs(docs, "doc_id", "text")
+      .filter($"id_a" === 0 && $"id_b" === 5)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs hash identically, unrelated docs differ") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(5L))
+    assert(h(0L) != h(3L))
+    // near-dups are close in hamming distance
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L), h(1L)) <= 12,
+      s"hamming=${hamming(h(0L), h(1L))}")
+    assert(hamming(h(0L), h(3L)) > 12)
+  }
+
+  test("exactGroups: canonical min-id representative") {
+    val g = Dedup.exactGroups(docs, $"text", $"doc_id")
+      .filter($"n_copies" > 1)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((0L, 2L)))
+  }
+
+  test("embeddingNearDups finds planted duplicate vectors via LSH buckets") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -0.2f, 0.8f)),
+      (1L, Array(1.0f, 0.5f, -0.2f, 0.8f)),     // exact dup of 0
+      (2L, Array(1.01f, 0.49f, -0.21f, 0.79f)), // near dup of 0
+      (3L, Array(-1.0f, 0.4f, 0.9f, -0.7f))     // unrelated
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      nBits = 8, seed = 7, minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+}

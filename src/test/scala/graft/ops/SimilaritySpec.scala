@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: hand-computed values") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+        (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+        (Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+    val cs = df.as[Double].collect()
+    assert(math.abs(cs(0) - 0.0) < 1e-12)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+    assert(math.abs(cs(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: exact ranking on constructed vectors") {
+    // corpus engineered so neighbor order for query 0 is 3, 2, 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),     // cos 0.0
+      (2L, Array(1.0f, 1.0f)),     // cos ~0.707
+      (3L, Array(2.0f, 0.1f))      // cos ~0.9988
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sorted
+    assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+
+  test("lshTopK recall vs brute force on clustered vectors") {
+    // 3 tight clusters of 20 vectors each in 8-dim space
+    val rnd = new scala.util.Random(42)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 5,
+        nBits = 4, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("hyperplane signature is deterministic and separates clusters") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(-5.0f, 3.0f, -2.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val sigs = vecs.select($"vec_id",
+        VectorFunctions.hyperplaneSignature($"embedding", 16, 42).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))       // identical vectors, identical sig
+    assert(sigs(0L) != sigs(2L))       // distant vectors split
+  }
+}
