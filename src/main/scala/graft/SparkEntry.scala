@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.defs ++ JoinQueries.defs ++ SetOpQueries.defs ++
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracles ++ JoinQueries.oracles ++ SetOpQueries.oracles ++
       WindowQueries.oracles ++ FuncQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++ MiscQueries.oracles
+      SimilarityQueries.oracles ++ TextQueries.oracles ++
+      MiscQueries.oracles ++ StreamQueries.oracles
 }

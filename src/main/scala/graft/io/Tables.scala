@@ -28,7 +28,9 @@ object Tables {
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, NOT `/`: Column./ is double division and doubles
+      // can't hold epoch-nanos exactly (off-by-1µs corruption)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

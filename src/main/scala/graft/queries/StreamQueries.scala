@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.streaming.StreamOps
+
+/** Streaming-operator surface, exercised in batch mode over `events`
+  * (identical plans run under readStream — proven by StreamOpsSpec's
+  * batch/stream parity test). Watermark/stateful paths are
+  * streaming-only → unit tests, no oracle.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows per event type. */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingCounts(Tables.events(spark, dir), "ts", "1 hour")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingCounts(Tables.events(spark, dir), "ts",
+        "1 hour", "30 minutes")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based session windows per user (5-minute gap). */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionCounts(Tables.events(spark, dir), "ts", "5 minutes")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val defs: Map[String, Q] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling(_, _)),
+    "q_stream_sliding" -> (qStreamSliding(_, _)),
+    "q_stream_session" -> (qStreamSession(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    unnest([
+        |      make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000),
+        |      make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000 - 1800000000)
+        |    ]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM e GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH ordered AS (
+        |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) AS prev_t
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, t,
+        |    CASE WHEN prev_t IS NULL
+        |      OR t - prev_t > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT user_id, value, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+        |  round(SUM(value), 2) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
