@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, SimHashAgg, Udfs}
+import graft.io.Tables
+import graft.ops.Multimodal
+
+/** Custom-surface exemplars registered as queries: native Catalyst
+  * expression, typed Aggregator (udaf), scalar UDF, multimodal plumbing.
+  */
+object CustomQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cosine near-dup pairs via the codegen'd native expression — same
+    * semantics as q_dedup_embedding's HOF formulation (same oracle), ~an
+    * order less per-row overhead in the ANN inner loop.
+    */
+  def qCustomCosineExpr(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cosine_sim(va, vb)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash per document via the typed Aggregator (partial-agg form). */
+  def qCustomSimhashAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(SimHashAgg.asUdaf(col("tok")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Character-entropy quality signal via scalar UDF. */
+  def qCustomUdfEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(Udfs.charEntropy(col("text")), 6).as("entropy"),
+        Udfs.fnv1a64(col("text")).as("fnv64"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal: binary ingest of the sf dir's files + stubbed decode.
+    * Plumbing (schema, mapPartitions batching) is real; decode is a
+    * deterministic fake (no codecs in this environment).
+    */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.readBinary(spark, s"$dir/*.parquet")
+    Multimodal.sampleFrames(
+        Multimodal.extractFeatures(media).toDF(), stride = 30)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("length"), col("fingerprint"), col("width"), col("height"),
+        col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+      .orderBy(col("file"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_custom_cosine_expr" -> (qCustomCosineExpr(_, _)),
+    "q_custom_simhash_agg" -> (qCustomSimhashAgg(_, _)),
+    "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
+    "q_multimodal_features" -> (qMultimodalFeatures(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same oracle as q_dedup_embedding: the native expression must be
+    // bit-identical to the HOF formulation (same op order).
+    "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding")
+  )
+}

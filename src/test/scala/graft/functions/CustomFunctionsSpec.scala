@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.ops.Dedup
+
+class CustomFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_sim expression is bit-identical to the HOF formulation") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(1)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = vecs.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = vecs.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val both = a.join(b, $"ia" < $"ib")
+      .select(
+        expr("cosine_sim(va, vb)").as("native"),
+        VectorFunctions.cosine($"va", $"vb").as("hof"))
+    val mismatch = both.filter($"native" =!= $"hof").count()
+    assert(mismatch == 0)
+  }
+
+  test("cosine_sim survives codegen and interpreted paths identically") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").select(expr("cosine_sim(a, b)").as("c"))
+    val v = df.as[Double].head()
+    val expected = (4.0 + 10.0 + 18.0) /
+      (math.sqrt(1 + 4 + 9) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(v - expected) < 1e-15)
+  }
+
+  test("SimHashAgg matches the pure-DataFrame simhash bit-for-bit") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "spark native analytics engine for large scale etl"),
+      (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val viaAgg = docs
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+      .groupBy($"doc_id").agg(SimHashAgg.asUdaf($"tok").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val viaDf = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaAgg == viaDf)
+  }
+
+  test("charEntropy: hand-computed values") {
+    val e = Seq("aaaa", "abab", "abcd").toDF("s")
+      .select(Udfs.charEntropy($"s").as("e")).as[Double].collect()
+    assert(math.abs(e(0) - 0.0) < 1e-12)
+    assert(math.abs(e(1) - 1.0) < 1e-12)
+    assert(math.abs(e(2) - 2.0) < 1e-12)
+  }
+
+  test("multimodal: stubbed decode is deterministic and plumbing is real") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mm").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath,
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(new java.io.File(dir, "b.bin").toPath,
+      Array[Byte](9, 9))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.bin")).toDF()
+    assert(feats.count() == 2)
+    val r = feats.filter($"length" === 4).head()
+    assert(r.getAs[Int]("width") >= 320 && r.getAs[Int]("height") >= 240)
+    // determinism across runs
+    val again = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.bin")).toDF()
+      .select("fingerprint").as[Long].collect().sorted
+    val first = feats.select("fingerprint").as[Long].collect().sorted
+    assert(again.toSeq == first.toSeq)
+    val sampled = Multimodal.sampleFrames(feats, 10)
+      .select(size($"sampled_frames")).as[Int].collect()
+    assert(sampled.forall(_ >= 1))
+  }
+}
