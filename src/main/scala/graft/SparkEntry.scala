@@ -21,7 +21,7 @@ object SparkEntry {
     AggQueries.defs ++ JoinQueries.defs ++ SetOpQueries.defs ++
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
-      StreamQueries.defs ++ CustomQueries.defs
+      StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,6 @@ object SparkEntry {
     AggQueries.oracles ++ JoinQueries.oracles ++ SetOpQueries.oracles ++
       WindowQueries.oracles ++ FuncQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MiscQueries.oracles ++ StreamQueries.oracles ++ CustomQueries.oracles
+      MiscQueries.oracles ++ StreamQueries.oracles ++
+      CustomQueries.oracles ++ SqlQueries.oracles
 }

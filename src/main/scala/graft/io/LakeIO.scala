@@ -50,6 +50,37 @@ object LakeIO {
       case _      => df.write.mode(mode).parquet(path)
     }
 
+  /** Configure a session for an S3-compatible object store (MinIO-style
+    * endpoint, path-style access) — the reference's data plane
+    * (/root/reference/app/utils/minio_client.py:9-15). Credentials come
+    * from the environment/instance profile, never hard-coded (the
+    * reference hard-codes them — app/config.py:19-21 — a bug class we
+    * don't reproduce).
+    */
+  def configureS3a(spark: SparkSession, endpoint: String,
+                   pathStyle: Boolean = true): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.endpoint", endpoint)
+    conf.set("fs.s3a.path.style.access", pathStyle.toString)
+    conf.set("fs.s3a.connection.ssl.enabled",
+      endpoint.startsWith("https").toString)
+  }
+
+  /** JDBC catalog source/sink (the reference's MySQL metadata store,
+    * /root/reference/app/config.py:16). Partitioned reads via
+    * (column, bounds, numPartitions) keep large catalog scans parallel.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties())
+      : DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Append,
+                props: java.util.Properties = new java.util.Properties())
+      : Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** Lake listing → DataFrame[name, size, last_modified], recursive, with
     * the per-tenant `prefix` filter the reference intended but disabled.
     * Uses the Hadoop FileSystem client directly (driver-side listing of

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** SQL-surface + typed-Dataset coverage: GROUPING SETS (SQL-only in
+  * Spark's DataFrame API), pivot, and a typed `Dataset[T]` pipeline —
+  * the three §2-B axes not yet exercised by the other modules.
+  */
+object SqlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** GROUPING SETS via spark.sql over a temp view (registry queries may
+    * use the SQL entry point too — same Catalyst plan).
+    */
+  def qSqlGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  round(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot: order counts by year × status (wide form). */
+  def qSqlPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("yr"))
+
+  case class Line(l_orderkey: Long, l_quantity: Double,
+                  l_extendedprice: Double, l_returnflag: String)
+
+  /** Typed Dataset pipeline: as[T] → typed filter/groupByKey/mapGroups.
+    * Same oracle-able semantics, compile-time row type.
+    */
+  def qTypedDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Line] = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag")).as[Line]
+    ds.filter(_.l_quantity > 25.0)
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, rows) =>
+        var n = 0L; var qty = 0.0
+        rows.foreach { r => n += 1; qty += r.l_quantity }
+        (flag, n, qty)
+      }
+      .toDF("flag", "n", "sum_qty")
+      .withColumn("sum_qty", round(col("sum_qty"), 2))
+      .orderBy(col("flag"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
+    "q_sql_pivot" -> (qSqlPivot(_, _)),
+    "q_typed_dataset" -> (qTypedDataset(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  round(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_sql_pivot" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q_typed_dataset" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |  round(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 25.0
+        |GROUP BY flag ORDER BY flag""".stripMargin
+  )
+}

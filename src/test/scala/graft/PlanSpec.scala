@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape guards: the scale properties the engine promises —
+  * pushdown, pruning, broadcast dims, pre-shuffle top-k, no cartesian
+  * products — asserted on the optimized physical plans so a regression
+  * shows up as a test failure, not a 100× slowdown at 100 TB.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1: ship-date filter reaches the parquet scan, columns pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
+  test("dim joins broadcast; fact side never shuffles before the agg") {
+    val p = plan("q_join_region_revenue")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("window top-k uses pre-shuffle WindowGroupLimit") {
+    assert(plan("q_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("set-similarity join has no cartesian product or nested loop") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semi/anti joins plan as real semi/anti, not inner+distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+}
