@@ -21,7 +21,8 @@ object SparkEntry {
     AggQueries.defs ++ JoinQueries.defs ++ SetOpQueries.defs ++
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
-      StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs
+      StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
+      FilterQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,5 @@ object SparkEntry {
       WindowQueries.oracles ++ FuncQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MiscQueries.oracles ++ StreamQueries.oracles ++
-      CustomQueries.oracles ++ SqlQueries.oracles
+      CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles
 }
