@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic operator invariants under generated inputs (SURVEY.md §5):
+  * properties that must hold for ANY data, not just the fixtures.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic forAll over raw ScalaCheck generators (the
+    * scalatest-scalacheck bridge isn't in the offline dep cache).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    (0 until 5).foreach { i =>
+      body(g1.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        g2.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val rows: Gen[List[(Long, Double, String)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.chooseNum(0L, 9L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+      s <- Gen.oneOf("a", "b", "c", "")
+    } yield (k, v, s))
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "v", "s")
+      val p = col("v") > 0
+      val q = col("k") % 2 === 0
+      val a = df.filter(p).filter(q).collect().toSet
+      val b = df.filter(p && q).collect().toSet
+      assert(a == b)
+    }
+  }
+
+  test("union row-count additivity; except/intersect partition counts") {
+    forAll(rows, rows) { (d1, d2) =>
+      val a = d1.toDF("k", "v", "s").select("k")
+      val b = d2.toDF("k", "v", "s").select("k")
+      assert(a.unionAll(b).count() == a.count() + b.count())
+      // |A| = |A∩B strict| + |A\B strict| under ALL (multiset) semantics
+      assert(a.intersectAll(b).count() + a.exceptAll(b).count()
+        == a.count())
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice == once") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "v", "s")
+      val once = df.dropDuplicates("k").count()
+      val twice = df.dropDuplicates("k").dropDuplicates("k").count()
+      assert(once == twice)
+      assert(once == data.map(_._1).distinct.size)
+    }
+  }
+
+  test("window partition sum totals equal groupBy sums") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "v", "s")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      val viaWindow = df
+        .withColumn("ws", sum(col("v")).over(w))
+        .select("k", "ws").distinct()
+        .as[(Long, Double)].collect().toMap
+      val viaGroup = df.groupBy("k").agg(sum("v").as("gs"))
+        .as[(Long, Double)].collect().toMap
+      assert(viaWindow.keySet == viaGroup.keySet)
+      viaGroup.foreach { case (k, gs) =>
+        assert(math.abs(viaWindow(k) - gs) < 1e-9)
+      }
+    }
+  }
+
+  test("as-of join preserves every left row exactly once") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 3L); dt <- Gen.chooseNum(0L, 100000L)
+    } yield (k, new java.sql.Timestamp(ts0 + dt)))
+    forAll(evGen, evGen) { (lRows, rRows) =>
+      whenever(lRows.nonEmpty) {
+        val l = lRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val r = rRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("rid", "k", "t")
+          .groupBy("k", "t").agg(max("rid").as("rid"))
+        val joined = graft.ops.AsOf.asOfJoin(l, r, "k", "k", "t", "t",
+          Seq("rid"))
+        assert(joined.count() == lRows.size)
+        assert(joined.select("lid").distinct().count() == lRows.size)
+      }
+    }
+  }
+
+  test("minhash est-jaccard of identical sets is 1, disjoint-ish below") {
+    forAll(Gen.alphaStr.suchThat(_.length > 20)) { s =>
+      val docs = Seq((0L, s), (1L, s)).toDF("doc_id", "text")
+      val est = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.0)
+      val v = est.select("est_jaccard").as[Double].collect()
+      assert(v.forall(_ == 1.0))
+    }
+  }
+}
