@@ -40,15 +40,22 @@ object LakeIO {
       case _         => spark.read.format("binaryFile").load(path)
     }
 
-  /** Sink with the same extension dispatch. */
+  /** Sink with the same extension dispatch. `partitionBy` produces
+    * hive-style partition directories — the 100 TB layout: partition
+    * pruning turns a full-lake scan into a directory lookup for any
+    * query filtering on the partition columns.
+    */
   def writeAuto(df: DataFrame, path: String,
-                mode: SaveMode = SaveMode.Overwrite): Unit =
+                mode: SaveMode = SaveMode.Overwrite,
+                partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).partitionBy(partitionBy: _*)
     extensionOf(path) match {
-      case "csv"  => df.write.mode(mode).option("header", "true").csv(path)
-      case "json" => df.write.mode(mode).json(path)
-      case "orc"  => df.write.mode(mode).orc(path)
-      case _      => df.write.mode(mode).parquet(path)
+      case "csv"  => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "orc"  => w.orc(path)
+      case _      => w.parquet(path)
     }
+  }
 
   /** Configure a session for an S3-compatible object store (MinIO-style
     * endpoint, path-style access) — the reference's data plane

@@ -87,8 +87,30 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact sample variance/stddev from integer power sums:
+    * var = (n·Σx² − (Σx)²) / (n(n−1)). Both engines do identical integer
+    * arithmetic, then one identical double division + sqrt — the
+    * Exact.scala discipline applied to second moments. Column choice
+    * (integer-valued l_quantity) keeps n·Σx² far below Int64 overflow at
+    * sf0.1; for money columns this needs DECIMAL power sums instead.
+    */
+  def qAggStddev(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("long")
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"s2" - $"s1" * $"s1") / ($"n" * ($"n" - 1)))
+          .as("var_qty"),
+        sqrt(($"n" * $"s2" - $"s1" * $"s1") / ($"n" * ($"n" - 1)))
+          .as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q_agg_stddev" -> (qAggStddev(_, _)),
     "q_agg_distinct" -> (qAggDistinct(_, _)),
     "q_agg_rollup" -> (qAggRollup(_, _)),
     "q_agg_cube" -> (qAggCube(_, _)),
@@ -110,6 +132,15 @@ object AggQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_stddev" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  (COUNT(*) * SUM(q*q) - SUM(q)*SUM(q))
+        |    / (COUNT(*) * (COUNT(*) - 1)) AS var_qty,
+        |  sqrt((COUNT(*) * SUM(q*q) - SUM(q)*SUM(q))
+        |    / (COUNT(*) * (COUNT(*) - 1))) AS stddev_qty
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

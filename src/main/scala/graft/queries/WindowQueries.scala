@@ -36,7 +36,9 @@ object WindowQueries {
     p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
-        ntile(4).over(w).cast("long").as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
       .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
   }
 
@@ -100,7 +102,9 @@ object WindowQueries {
     "q_window_rank" ->
       """SELECT p_brand, p_partkey, p_retailprice,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER w AS quartile
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
         |FROM part
         |WINDOW w AS (PARTITION BY p_brand
         |  ORDER BY p_retailprice DESC, p_partkey)

@@ -43,6 +43,20 @@ class LakeIOSpec extends SparkTestBase {
     assert(LakeIO.readAuto(spark, s"$dir/out.parquet").count() == 2)
   }
 
+  test("writeAuto partitionBy produces hive-style pruned layout") {
+    val dir = Files.createTempDirectory("lakeio-p").toFile
+    val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))
+      .toDF("id", "lang", "v")
+    LakeIO.writeAuto(df, s"$dir/out.parquet", partitionBy = Seq("lang"))
+    assert(new java.io.File(s"$dir/out.parquet/lang=en").isDirectory)
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.count() == 3)
+    // partition filter prunes to a single directory
+    val plan = back.filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"))
+  }
+
   test("listing applies the tenant prefix filter the reference disabled") {
     val dir = Files.createTempDirectory("lakeio-l").toFile
     Files.createDirectories(new java.io.File(dir, "u1").toPath)
