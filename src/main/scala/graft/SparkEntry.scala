@@ -22,7 +22,7 @@ object SparkEntry {
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
-      FilterQueries.defs
+      FilterQueries.defs ++ TpchQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,6 @@ object SparkEntry {
       WindowQueries.oracles ++ FuncQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MiscQueries.oracles ++ StreamQueries.oracles ++
-      CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles
+      CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
+      TpchQueries.oracles
 }

@@ -88,6 +88,20 @@ object LakeIO {
       : Unit =
     df.write.mode(mode).jdbc(url, table, props)
 
+  /** Small-file compaction: rewrite a dataset directory into
+    * `targetFiles` parquet files. The lake-maintenance op every
+    * streaming/append pipeline needs — thousands of tiny files destroy
+    * scan throughput (footer+task overhead per file) at scale.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + "._compacting"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmp), new Path(path))
+  }
+
   /** Lake listing → DataFrame[name, size, last_modified], recursive, with
     * the per-tenant `prefix` filter the reference intended but disabled.
     * Uses the Hadoop FileSystem client directly (driver-side listing of

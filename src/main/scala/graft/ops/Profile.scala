@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: per-column stats in ONE pass over the data
+  * (single aggregate, no per-column jobs) — the check an ETL service runs
+  * on every ingested file before admitting it to the lake.
+  */
+object Profile {
+
+  /** One row per column: rows, nulls, approx distinct, min/max as
+    * strings (type-erased for a uniform report schema).
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val total = df.count()
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.columns.toSeq.map { c =>
+      (c,
+        total,
+        total - row.getAs[Long](s"${c}__nonnull"),
+        row.getAs[Long](s"${c}__distinct"),
+        row.getAs[String](s"${c}__min"),
+        row.getAs[String](s"${c}__max"))
+    }.toDF("column", "n_rows", "n_nulls", "approx_distinct", "min", "max")
+  }
+
+  /** Exact per-column null/distinct profile as a pure plan (no driver
+    * loop) for oracle-checked use: unpivots the listed columns.
+    */
+  def exactProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val stacked = cols.map { c =>
+      df.select(lit(c).as("column"),
+        col(c).cast("string").as("value"))
+    }.reduce(_ unionAll _)
+    stacked.groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_str"),
+        max(col("value")).as("max_str"))
+      .orderBy(col("column"))
+  }
+}

@@ -48,7 +48,15 @@ object MiscQueries {
       .select(col("name"), col("size"))
       .orderBy(col("name"))
 
+  /** Per-column data-quality profile of an ingested table — the
+    * admission check an ETL service runs on every upload (ops.Profile).
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.exactProfile(Tables.documents(spark, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
   val defs: Map[String, Q] = Map(
+    "q_profile" -> (qProfile(_, _)),
     "q_sort_limit" -> (qSortLimit(_, _)),
     "q_sort_nulls" -> (qSortNulls(_, _)),
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
@@ -56,6 +64,18 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH stacked AS (
+        |  SELECT 'doc_id' AS column, CAST(doc_id AS VARCHAR) AS value FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+        |SELECT "column", COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  COUNT(DISTINCT value) AS n_distinct,
+        |  MIN(value) AS min_str, MAX(value) AS max_str
+        |FROM stacked GROUP BY "column" ORDER BY "column"""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,

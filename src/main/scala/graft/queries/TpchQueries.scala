@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Exact._
+
+/** TPC-H-shaped multi-way join pipelines (flagship scale shapes: the
+  * only shuffling joins are fact-to-fact; every dimension broadcasts;
+  * aggregation is partial+final).
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revenueE4 = // Σ price·(1−disc) in exact 1e-4 units
+    sum(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount"))))
+
+  /** Q3 shape — shipping priority: top-10 open orders by revenue. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey").as("orderkey"),
+        o("o_orderdate").cast("date").as("orderdate"),
+        o("o_orderpriority").as("orderpriority"))
+      .agg((revenueE4 / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(10)
+  }
+
+  /** Q5 shape — local supplier volume: revenue per nation where the
+    * customer and supplier share the nation, one region, one year.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg((revenueE4 / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
+    "q5_local_supplier" -> (q5LocalSupplier(_, _))
+  )
+
+  private val revSql =
+    "CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         |  o_orderpriority AS orderpriority, $revSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY orderkey, orderdate, orderpriority
+         |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name AS nation, $revSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
