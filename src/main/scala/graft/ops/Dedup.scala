@@ -135,6 +135,7 @@ object Dedup {
     // quadratic blowup never happens. df is one cheap global agg.
     val exploded = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), k)).as("s"))
+      .persist() // feeds df-table, sorted sets AND minhash sigs below
     val dfTbl = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
     val sh = exploded.join(dfTbl, "s")
@@ -145,21 +146,35 @@ object Dedup {
       .withColumn("n", size(col("sh")))
       .persist()
     val prefix = sh.select(col("id"), col("n"),
-      explode(slice(col("sh"), lit(1),
-        (col("n") - ceil(col("n") * minJaccard) + 1).cast("int"))).as("s"))
+      posexplode(slice(col("sh"), lit(1),
+        (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")))
+        .as(Seq("p", "s")))
     // candidate pairs: shared prefix shingle + PPJoin length filter
-    // (J(a,b) ≥ t ⇒ t·max(n_a,n_b) ≤ min(n_a,n_b)) — both exact pruning
+    // (J ≥ t ⇒ t·max(n_a,n_b) ≤ min(n_a,n_b)) + positional filter
+    // (overlap still reachable past this match position must be ≥ the
+    // required overlap α = ⌈t/(1+t)·(n_a+n_b)⌉) — all exact pruning
+    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) *
+      (col("x.n") + col("y.n")))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
           col("x.n") >= col("y.n") * minJaccard &&
-          col("y.n") >= col("x.n") * minJaccard)
+          col("y.n") >= col("x.n") * minJaccard &&
+          least(col("x.n") - col("x.p"), col("y.n") - col("y.p")) >= alpha)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // est-Jaccard prefilter on 64-hash minhash sigs: shuffling 64 longs
     // per candidate instead of two full shingle arrays. Margin t−0.25 has
     // false-negative odds ~3e-7 per qualifying pair (Bin(64, t) tail).
-    val sigs = minhashSignatures(docs.select(col(idCol), col(textCol)),
-      idCol, textCol, k, numHashes = 64).persist()
+    // Sigs derive from the SAME persisted exploded table (no re-shingle).
+    val sigs = exploded
+      .select(col("id"), xxhash64(col("s")).as("h0"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("id"), col("j"), xxhash64(col("j"), col("h0")).as("h"))
+      .groupBy(col("id"), col("j")).agg(min(col("h")).as("mh"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+      .persist()
     val margin = math.max(0.0, minJaccard - 0.25)
     val likely = cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
