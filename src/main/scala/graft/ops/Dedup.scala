@@ -10,6 +10,15 @@ import graft.functions.VectorFunctions
   * signature generation is per-row (map-side, codegen'd), and candidate
   * generation is an equi-join on (band, bucket) keys so the shuffle carries
   * signatures, not documents. No driver-side collection anywhere.
+  *
+  * Algorithms (public literature): MinHash resemblance sketches
+  * [Broder, "On the resemblance and containment of documents", 1997];
+  * LSH banding [Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+  * ch.3]; SimHash [Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002; Manku et al., WWW 2007]; prefix /
+  * length / positional filtering for exact set-similarity joins
+  * [Chaudhuri et al., ICDE 2006; Xiao et al., "Efficient similarity
+  * joins for near duplicate detection" (PPJoin), WWW 2008].
   */
 object Dedup {
 
