@@ -71,6 +71,46 @@ object StreamOps {
       }
   }
 
+  /** Streaming upsert into a keyed parquet table via foreachBatch: each
+    * micro-batch is merged with the current table state — new keys
+    * appended, existing keys replaced by the latest row (max ts wins).
+    * The pattern for continuously-deduplicated lake ingest when the sink
+    * format has no native MERGE. Each batch rewrite is atomic-enough via
+    * write-then-swap; a table format with real transactions would replace
+    * the swap.
+    */
+  def upsertSink(df: DataFrame, keyCol: String, tsCol: String,
+                 tablePath: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(tablePath)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (existing.isEmpty) batch
+          else existing.unionByName(batch, allowMissingColumns = true)
+        import org.apache.spark.sql.expressions.Window
+        val latest = merged.withColumn("_rn",
+            row_number().over(Window.partitionBy(col(keyCol))
+              .orderBy(col(tsCol).desc)))
+          .filter(col("_rn") === 1).drop("_rn")
+        val tmp = tablePath.stripSuffix("/") + "._staged"
+        latest.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(tablePath))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Default sink for bounded streaming runs in tests/pipelines:
     * AvailableNow trigger + append/update mode, checkpointed.
     */

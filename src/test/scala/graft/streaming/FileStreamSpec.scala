@@ -55,4 +55,24 @@ class FileStreamSpec extends SparkTestBase {
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == 1)
   }
+
+  test("upsertSink: latest row per key wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val table = Files.createTempDirectory("upsert-t").toString + "/t"
+    val cp = Files.createTempDirectory("upsert-cp").toString
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val df = mem.toDF().toDF("k", "ts", "v")
+    mem.addData((1L, ts("2024-01-01 00:00:00"), "old"),
+      (2L, ts("2024-01-01 00:00:00"), "two"))
+    StreamOps.upsertSink(df, "k", "ts", table, cp)
+    mem.addData((1L, ts("2024-01-01 00:05:00"), "new"),
+      (3L, ts("2024-01-01 00:06:00"), "three"))
+    StreamOps.upsertSink(df, "k", "ts", table, cp)
+
+    val out = spark.read.parquet(table)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "new", 2L -> "two", 3L -> "three"))
+  }
 }
