@@ -28,6 +28,24 @@ class JoinsSpec extends SparkTestBase {
     assert(Joins.colocatedJoin(a, b, "k", 4).count() == 1000)
   }
 
+  test("bucketed tables join with ZERO exchanges (persistent co-location)") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse conf is static and can't change on a live session
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    spark.range(1000).select($"id".as("k"), ($"id" * 2).as("x"))
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_a")
+    spark.range(1000).select($"id".as("k"), ($"id" * 3).as("y"))
+      .write.bucketBy(4, "k").sortBy("k").saveAsTable("bkt_b")
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+    spark.sql("DROP TABLE bkt_a")
+    spark.sql("DROP TABLE bkt_b")
+  }
+
   test("widthBucketJoin buckets match explicit range predicates") {
     val df = Seq(0.0, 10.0, 99.9, 100.0, 250.0, 399.9).toDF("v")
     val out = Joins.widthBucketJoin(df, col("v"), 0.0, 400.0, 4)
