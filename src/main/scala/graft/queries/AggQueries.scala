@@ -108,8 +108,24 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** EXACT percentiles (interpolated, same definition as SQL
+    * quantile_cont) — complements the sketch-based q_agg_approx, which
+    * can't be oracle-compared.
+    */
+  def qAggMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_extendedprice", lit(0.5)).as("median_price"),
+        percentile($"l_extendedprice", lit(0.95)).as("p95_price"),
+        percentile($"l_quantity", lit(0.25)).as("q1_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q_agg_median" -> (qAggMedian(_, _)),
     "q_agg_stddev" -> (qAggStddev(_, _)),
     "q_agg_distinct" -> (qAggDistinct(_, _)),
     "q_agg_rollup" -> (qAggRollup(_, _)),
@@ -132,6 +148,12 @@ object AggQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_stddev" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  (COUNT(*) * SUM(q*q) - SUM(q)*SUM(q))

@@ -56,6 +56,42 @@ class FileStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("sliding and session windows run under readStream (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[graft.streaming.Ev](spark)
+    mem.addData(
+      graft.streaming.Ev(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      graft.streaming.Ev(2, ts("2024-01-01 00:40:00"), 1, "click", 1.0),
+      graft.streaming.Ev(3, ts("2024-01-01 02:00:00"), 1, "click", 1.0))
+
+    val cp1 = Files.createTempDirectory("cp-sl").toString
+    val sliding = StreamOps.slidingCounts(mem.toDF(), "ts", "1 hour",
+      "30 minutes")
+    val q1 = sliding.writeStream.format("memory").queryName("sl")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", cp1)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    // event 1 ∈ windows [23:30,00:30) and [00:00,01:00); event 2 ∈
+    // [00:00,01:00) and [00:30,01:30) → the 00:00 window holds both
+    val sl = spark.sql("SELECT CAST(window.start AS STRING), n FROM sl")
+      .as[(String, Long)].collect().toMap
+    assert(sl("2024-01-01 00:00:00") == 2)
+    assert(sl("2023-12-31 23:30:00") == 1)
+
+    val cp2 = Files.createTempDirectory("cp-se").toString
+    val session = StreamOps.sessionCounts(mem.toDF(), "ts", "45 minutes")
+    val q2 = session.writeStream.format("memory").queryName("se")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", cp2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // events 1+2 merge (gap 30m < 45m); event 3 starts a new session
+    val se = spark.sql("SELECT n_events FROM se").as[Long].collect().sorted
+    assert(se.toSeq == Seq(1L, 2L))
+  }
+
   test("upsertSink: latest row per key wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
