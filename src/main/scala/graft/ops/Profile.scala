@@ -34,6 +34,23 @@ object Profile {
     }.toDF("column", "n_rows", "n_nulls", "approx_distinct", "min", "max")
   }
 
+  /** Inline pipeline metrics via Spark's Observation API: attach
+    * row-count / null-count / sum metrics to ANY DataFrame; they're
+    * collected DURING the action at zero extra passes — the scale-correct
+    * way to monitor a 100 TB pipeline (vs a second profiling scan).
+    * Usage: val (df2, obs) = observed(df, "stage1", keyCol); run an
+    * action on df2; obs.get holds the metrics map.
+    */
+  def observed(df: DataFrame, name: String, keyCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val out = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_keys"),
+      approx_count_distinct(col(keyCol)).as("approx_keys"))
+    (out, obs)
+  }
+
   /** Exact per-column null/distinct profile as a pure plan (no driver
     * loop) for oracle-checked use: unpivots the listed columns.
     */

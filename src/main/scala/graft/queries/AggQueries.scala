@@ -123,8 +123,24 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** DECIMAL money path: exact fixed-point aggregation via DecimalType —
+    * the alternative to Exact.e2 integer math when power sums would
+    * overflow Int64. Decimal sums are order-independent exact in both
+    * engines.
+    */
+  def qAggDecimal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum($"o_totalprice".cast("decimal(18,2)")).as("sum_price_dec"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q_agg_decimal" -> (qAggDecimal(_, _)),
     "q_agg_median" -> (qAggMedian(_, _)),
     "q_agg_stddev" -> (qAggStddev(_, _)),
     "q_agg_distinct" -> (qAggDistinct(_, _)),
@@ -148,6 +164,11 @@ object AggQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_decimal" ->
+      """SELECT o_orderstatus,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,

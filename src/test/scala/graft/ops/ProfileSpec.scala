@@ -30,6 +30,14 @@ class ProfileSpec extends SparkTestBase {
     assert(p("tag")._4 == 1)           // countDistinct skips nulls
   }
 
+  test("observed: metrics collected during the action, no second pass") {
+    val (out, obs) = Profile.observed(df, "t", "tag")
+    out.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("n_null_keys") == 1L)
+  }
+
   test("compact: rewrites to the target file count, preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val path = s"$dir/data.parquet"
