@@ -81,23 +81,81 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Σ popcount(aᵢ & bᵢ) over two array<long> bitsets — the fused inner
+  * loop of bitset-verified set-similarity joins (graft.ops.Dedup). Same
+  * rationale as CosineSimilarityExpr: the HOF formulation
+  * (zip_with + aggregate + bit_count) allocates per pair and measured
+  * ~2× slower end-to-end; this compiles to a branch-free long loop.
+  * popcount(a) itself is `bitmap_and_count(a, a)`.
+  */
+case class BitmapAndCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i)); i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCountExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bitmap_and_count"
+}
+
 /** Registration — the deploy path is `SparkSessionExtensions`
   * (`spark.sql.extensions=graft.functions.GraftExtensions`); `register`
   * is the in-process equivalent for tests and local sessions.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_and_count",
+      exprs => BitmapAndCountExpr(exprs(0), exprs(1)),
+      "built-in")
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarityExpr].getName, "cosine_sim"),
         (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bitmap_and_count"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[BitmapAndCountExpr].getName, "bitmap_and_count"),
+        (exprs: Seq[Expression]) => BitmapAndCountExpr(exprs(0), exprs(1))))
+  }
 }

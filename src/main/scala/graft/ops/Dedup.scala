@@ -171,33 +171,68 @@ object Dedup {
           least(col("x.n") - col("x.p"), col("y.n") - col("y.p")) >= alpha)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // est-Jaccard prefilter on 64-hash minhash sigs: shuffling 64 longs
-    // per candidate instead of two full shingle arrays. Margin t−0.25 has
-    // false-negative odds ~3e-7 per qualifying pair (Bin(64, t) tail).
-    // Sigs derive from the SAME persisted exploded table (no re-shingle).
-    val sigs = exploded
-      .select(col("id"), xxhash64(col("s")).as("h0"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("id"), col("j"), xxhash64(col("j"), col("h0")).as("h"))
-      .groupBy(col("id"), col("j")).agg(min(col("h")).as("mh"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
-      .persist()
-    val margin = math.max(0.0, minJaccard - 0.25)
-    val likely = cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .filter(estJaccard(col("sig_a"), col("sig_b")) >= margin)
-      .select(col("id_a"), col("id_b"))
-    // exact verification only for the (few) surviving pairs
-    likely
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("nn"))
+    val vocab = dfTbl.count()
+    val verified = if (vocab <= (1L << 16)) {
+      // SMALL-VOCABULARY regime (the regime where prefix buckets stay
+      // hot): exact bitset verification. Dictionary-encode shingles to
+      // dense ranks, pack each doc's set into ⌈V/64⌉ longs, and verify
+      // candidates with popcount(AND) — exact, collision-free, and a
+      // fraction of the bytes of shipping shingle arrays or minhash sigs.
+      val w = ((vocab + 63) / 64).toInt
+      val dict = dfTbl.select(col("s"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("s"))) - 1).as("r"))
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+      val bitmaps = exploded.join(dict, "s")
+        .select(col("id"), (col("r") / 64).cast("int").as("wi"),
+          expr("shiftleft(cast(1 as bigint), cast(r % 64 as int))").as("b"))
+        .groupBy(col("id"), col("wi")).agg(expr("bit_or(b)").as("bw"))
+        .groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("wi"), col("bw"))))
+          .as("m"))
+        .select(col("id"), transform(sequence(lit(0), lit(w - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("bm"))
+        // per-doc cardinality precomputed once, not per candidate pair
+        .withColumn("n", expr("bitmap_and_count(bm, bm)"))
+        .persist()
+      cand
+        .join(bitmaps.select(col("id").as("id_a"), col("bm").as("bm_a"),
+          col("n").as("n_a")), "id_a")
+        .join(bitmaps.select(col("id").as("id_b"), col("bm").as("bm_b"),
+          col("n").as("n_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("bitmap_and_count(bm_a, bm_b)").as("inter"),
+          (col("n_a") + col("n_b")).as("nn"))
+    } else {
+      // LARGE-VOCABULARY regime: est-Jaccard prefilter on 64-hash minhash
+      // sigs (64 longs per candidate vs full shingle arrays; margin
+      // t−0.25 has false-negative odds ~3e-7 per qualifying pair), then
+      // exact array_intersect on survivors. Sigs derive from the SAME
+      // persisted exploded table (no re-shingle).
+      val sigs = exploded
+        .select(col("id"), xxhash64(col("s")).as("h0"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+        .select(col("id"), col("j"), xxhash64(col("j"), col("h0")).as("h"))
+        .groupBy(col("id"), col("j")).agg(min(col("h")).as("mh"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          x => x.getField("mh")).as("sig"))
+        .persist()
+      val margin = math.max(0.0, minJaccard - 0.25)
+      val likely = cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .filter(estJaccard(col("sig_a"), col("sig_b")) >= margin)
+        .select(col("id_a"), col("id_b"))
+      likely
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("nn"))
+    }
+    verified
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("nn") - col("inter")).as("union_n"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_n"))
