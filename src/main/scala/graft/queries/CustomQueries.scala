@@ -59,7 +59,22 @@ object CustomQueries {
       .orderBy(col("file"))
   }
 
+  /** Weighted geometric mean of price (weight = quantity) per flag —
+    * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
+    * decimals: ln/exp differ across libms at ulp level (like q_func_math's
+    * price_ln), far below the rounding threshold.
+    */
+  def qCustomGeomean(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(round(
+        graft.functions.WeightedGeoMeanAgg.asUdaf(
+          col("l_extendedprice"), col("l_quantity")), 4).as("geo_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_custom_geomean" -> (qCustomGeomean(_, _)),
     "q_custom_cosine_expr" -> (qCustomCosineExpr(_, _)),
     "q_custom_simhash_agg" -> (qCustomSimhashAgg(_, _)),
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
@@ -69,6 +84,13 @@ object CustomQueries {
   val oracles: Map[String, String] = Map(
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
-    "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding")
+    "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),
+    "q_custom_geomean" ->
+      """SELECT l_returnflag,
+        |  round(exp(SUM(l_quantity * ln(l_extendedprice))
+        |    / SUM(l_quantity)), 4) AS geo_price
+        |FROM lineitem
+        |WHERE l_extendedprice > 0 AND l_quantity > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
