@@ -115,7 +115,26 @@ object FuncQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Array manipulation battery over document tokens: join, slice,
+    * sort, membership, position (null when absent — matching SQL
+    * list_position), flatten.
+    */
+  def qFuncArray2(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(slice(toks, 1, 3), "-").as("first3"),
+        sort_array(slice(toks, 1, 4)).as("sorted4"),
+        array_contains(toks, "spark").as("has_spark"),
+        // both engines return 0 for not-found (Spark array_position,
+        // DuckDB list_position) — same convention, no null mapping
+        array_position(toks, "spark").as("spark_pos"),
+        flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("flat4"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_func_array2" -> (qFuncArray2(_, _)),
     "q_func_string" -> (qFuncString(_, _)),
     "q_func_date" -> (qFuncDate(_, _)),
     "q_func_math" -> (qFuncMath(_, _)),
@@ -126,6 +145,16 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_func_array2" ->
+      """SELECT doc_id,
+        |  array_to_string(toks[1:3], '-') AS first3,
+        |  list_sort(toks[1:4]) AS sorted4,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  CAST(list_position(toks, 'spark') AS BIGINT) AS spark_pos,
+        |  flatten([toks[1:2], toks[3:4]]) AS flat4
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_func_string" ->
       """SELECT p_partkey,
         |  lower(p_name) AS name_lower,
