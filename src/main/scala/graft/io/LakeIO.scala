@@ -92,14 +92,29 @@ object LakeIO {
     * `targetFiles` parquet files. The lake-maintenance op every
     * streaming/append pipeline needs — thousands of tiny files destroy
     * scan throughput (footer+task overhead per file) at scale.
+    *
+    * Swap discipline: the live directory is renamed ASIDE first, the
+    * staged copy renamed into place, and only then is the old copy
+    * deleted — a crash mid-swap leaves either the old or the new complete
+    * table on disk (never neither), and every `rename` return value is
+    * checked (HDFS-style filesystems report failure as `false`, not an
+    * exception).
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
-    val tmp = path.stripSuffix("/") + "._compacting"
+    val dest = new Path(path)
+    val tmp = new Path(path.stripSuffix("/") + "._compacting")
+    val old = new Path(path.stripSuffix("/") + "._pre_compact")
     spark.read.parquet(path).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    if (!fs.rename(dest, old))
+      throw new java.io.IOException(s"compact: rename $dest -> $old failed")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(old, dest) // roll the live table back
+      throw new java.io.IOException(s"compact: rename $tmp -> $dest failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Lake listing → DataFrame[name, size, last_modified], recursive, with

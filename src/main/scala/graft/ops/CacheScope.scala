@@ -1,0 +1,50 @@
+package graft.ops
+
+import scala.collection.mutable
+import scala.util.DynamicVariable
+
+import org.apache.spark.sql.Dataset
+
+/** Lexical persist-lifecycle scope for multi-branch query DAGs.
+  *
+  * Operators whose plans traverse an intermediate table more than once
+  * (Dedup's shingle/signature/bitmap tables) persist it so each branch
+  * doesn't recompute the pipeline. A persist, though, outlives the query:
+  * in a long-lived service the cached blocks accumulate until the session
+  * dies. This scope ties the lifetime to the CONSUMER's action instead:
+  *
+  * {{{
+  * CacheScope.scoped {
+  *   Dedup.ngramJaccardPairs(docs, "id", "text", 5, 0.8)
+  *     .write.parquet(out)            // action runs with caches live
+  * }                                  // ← every tracked persist released
+  * }}}
+  *
+  * Operators call `CacheScope.cached(df)` instead of `df.persist()`: with
+  * an active scope the Dataset is tracked and unpersisted when the scope
+  * exits (even on failure); with no scope it degrades to a plain
+  * session-lifetime persist, so ad-hoc/notebook use is unchanged. Scoping
+  * is thread-local (DynamicVariable), matching Spark's driver-side,
+  * per-thread query submission model.
+  */
+object CacheScope {
+
+  private val active =
+    new DynamicVariable[Option[mutable.Buffer[Dataset[_]]]](None)
+
+  /** Persist `ds`, tracked by the innermost active scope (if any). */
+  def cached[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    active.value.foreach(_ += ds)
+    ds
+  }
+
+  /** Run `body`; on exit unpersist every Dataset `cached` within it. */
+  def scoped[T](body: => T): T = {
+    val tracked = mutable.Buffer.empty[Dataset[_]]
+    active.withValue(Some(tracked)) {
+      try body
+      finally tracked.foreach(_.unpersist(blocking = false))
+    }
+  }
+}

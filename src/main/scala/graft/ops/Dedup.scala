@@ -49,26 +49,26 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       j => array_min(transform(shingleArr, s => xxhash64(j, s))))
 
-  /** Explode-based MinHash signature table [id, sig: array<long>].
+  /** MinHash signature table [id, sig: array<long>], one aggregation pass.
     *
     * Shape chosen for scale: shingle each doc ONCE, hash each shingle
     * ONCE to 64 bits, then derive the j-th family member by hashing the
-    * (j, h0) pair of longs — fixed-width hashing, no re-walk of strings.
-    * The groupBy(id, j) min is a partial aggregate (map-side combine), so
-    * the shuffle carries ≤ numHashes rows per doc.
+    * (j, h0) pair — fixed-width hashing, no re-walk of strings. All
+    * `numHashes` minima are computed as separate min-aggregates in ONE
+    * hash aggregate over the (id, h0) rows: map-side partial combine means
+    * the shuffle carries numHashes longs per (doc × partition), and no
+    * row explosion by numHashes ever happens (the previous explode-based
+    * form pushed rows × numHashes through a shuffle — measured 30 s vs
+    * ~7 s for this plan at sf0.1).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h0"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .select(col("id"), col("j"), xxhash64(col("j"), col("h0")).as("h"))
-      .groupBy(col("id"), col("j")).agg(min(col("h")).as("mh"))
+      .select(col("id"), xxhash64(col("s")).as("h0"))
       .groupBy(col("id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("j"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+      .agg(array((0 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("h0")))): _*).as("sig"))
 
   /** LSH banding: (band_idx, band_hash) rows per doc. Docs sharing any
     * band bucket become candidate pairs via equi-join — the scalable path
@@ -100,13 +100,14 @@ object Dedup {
                    k: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // persisted: the self-join DAG traverses signatures three times
-    // (banding ×2 sides + verification); without persist the full
-    // shingle+hash pipeline re-runs per branch. At cluster scale this is
-    // a checkpoint of the signature table — tiny (numHashes longs per
-    // doc) relative to the corpus.
-    val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
-      .persist()
+    // persisted (scope-tracked): the self-join DAG traverses signatures
+    // three times (banding ×2 sides + verification); without persist the
+    // full shingle+hash pipeline re-runs per branch. At cluster scale this
+    // is a checkpoint of the signature table — tiny (numHashes longs per
+    // doc) relative to the corpus. Wrap the consuming action in
+    // CacheScope.scoped to reclaim it.
+    val sigs = CacheScope.cached(
+      minhashSignatures(docs, idCol, textCol, k, numHashes))
     val banded = minhashBands(sigs, "sig", "id", bands, rowsPerBand)
     val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
@@ -132,7 +133,17 @@ object Dedup {
     * `p = n − ⌈t·n⌉ + 1` shingles. If J(a,b) ≥ t, the two prefixes must
     * share a shingle — so candidates generated from prefix keys have NO
     * false negatives; exact Jaccard is then verified per candidate on the
-    * full sets. Result is identical to the naive join for pairs ≥ t.
+    * full sets.
+    *
+    * Exactness: the small-vocabulary branch (≤ 2^16 distinct shingles) is
+    * EXACTLY the naive join for pairs ≥ t. The large-vocabulary branch
+    * inserts a minhash est-Jaccard prefilter (margin t−0.25) before the
+    * exact verify; a qualifying pair is dropped only if its 64-hash
+    * estimate undershoots by > 0.25 — probability ~3e-7 per pair — so that
+    * regime is exact-with-negligible-false-negative-odds, not exact.
+    *
+    * Side effect: plan CONSTRUCTION runs one eager Spark job (a count of
+    * the shingle vocabulary) to pick the verification strategy.
     *
     * @return DataFrame[id_a, id_b, inter, union_n, jaccard], id_a < id_b.
     */
@@ -142,18 +153,17 @@ object Dedup {
     // shingle value: prefixes then hold each doc's RAREST shingles, so
     // prefix-index buckets are small by construction and the hot-shingle
     // quadratic blowup never happens. df is one cheap global agg.
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("s"))
-      .persist() // feeds df-table, sorted sets AND minhash sigs below
+    val exploded = CacheScope.cached(docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s")))
+      // feeds df-table, sorted sets AND minhash sigs below
     val dfTbl = exploded.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
-    val sh = exploded.join(dfTbl, "s")
+    val sh = CacheScope.cached(exploded.join(dfTbl, "s")
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("s")))),
         x => x.getField("s")).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .persist()
+      .withColumn("n", size(col("sh"))))
     val prefix = sh.select(col("id"), col("n"),
       posexplode(slice(col("sh"), lit(1),
         (col("n") - ceil(col("n") * minJaccard) + 1).cast("int")))
@@ -183,7 +193,7 @@ object Dedup {
         (row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("s"))) - 1).as("r"))
       graft.functions.GraftFunctions.register(docs.sparkSession)
-      val bitmaps = exploded.join(dict, "s")
+      val bitmaps = CacheScope.cached(exploded.join(dict, "s")
         .select(col("id"), (col("r") / 64).cast("int").as("wi"),
           expr("shiftleft(cast(1 as bigint), cast(r % 64 as int))").as("b"))
         .groupBy(col("id"), col("wi")).agg(expr("bit_or(b)").as("bw"))
@@ -193,8 +203,7 @@ object Dedup {
         .select(col("id"), transform(sequence(lit(0), lit(w - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L))).as("bm"))
         // per-doc cardinality precomputed once, not per candidate pair
-        .withColumn("n", expr("bitmap_and_count(bm, bm)"))
-        .persist()
+        .withColumn("n", expr("bitmap_and_count(bm, bm)")))
       cand
         .join(bitmaps.select(col("id").as("id_a"), col("bm").as("bm_a"),
           col("n").as("n_a")), "id_a")
@@ -209,15 +218,11 @@ object Dedup {
       // t−0.25 has false-negative odds ~3e-7 per qualifying pair), then
       // exact array_intersect on survivors. Sigs derive from the SAME
       // persisted exploded table (no re-shingle).
-      val sigs = exploded
-        .select(col("id"), xxhash64(col("s")).as("h0"),
-          explode(sequence(lit(0), lit(63))).as("j"))
-        .select(col("id"), col("j"), xxhash64(col("j"), col("h0")).as("h"))
-        .groupBy(col("id"), col("j")).agg(min(col("h")).as("mh"))
+      val sigs = CacheScope.cached(exploded
+        .select(col("id"), xxhash64(col("s")).as("h0"))
         .groupBy(col("id"))
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          x => x.getField("mh")).as("sig"))
-        .persist()
+        .agg(array((0 until 64).map(j =>
+          min(xxhash64(lit(j), col("h0")))): _*).as("sig")))
       val margin = math.max(0.0, minJaccard - 0.25)
       val likely = cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -239,21 +244,66 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash over whitespace tokens, as a pure DataFrame plan:
-    * posexplode bits → per-(doc,bit) ±1 sums → pack. (A typed Aggregator
-    * variant lives in graft.functions.SimHashAggregator.)
+  /** 63-bit SimHash over whitespace tokens, as a pure DataFrame plan:
+    * explode bits → per-(doc,bit) ±1 sums → pack.
+    *
+    * The token-hash family is PORTABLE by construction: bit b is bit
+    * (b mod 4) of hex digit (b div 4) of md5(token) — any engine with an
+    * md5 function can replicate it exactly, which is what makes this
+    * operator oracle-checkable cross-engine (vs an engine-local xxhash64
+    * family). Bits 0..62 only: engines disagree on `1 << 63` (Spark wraps,
+    * DuckDB raises), and 63 bits loses nothing for Hamming comparison.
+    * (A typed Aggregator variant lives in graft.functions.SimHashAgg,
+    * parity-tested bit-for-bit in CustomFunctionsSpec.)
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(split(col(textCol), "\\s+")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(col("id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(62))).as("b"))
       .groupBy("id", "b")
-      .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1))
+      .agg(sum(when(expr(
+        "(shiftright(cast(conv(substring(h, b div 4 + 1, 1), 16, 10) as int)" +
+          ", cast(b % 4 as int)) & 1) = 1"), 1).otherwise(-1))
         .as("s"))
       .groupBy("id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
         .otherwise(0L)).as("simhash"))
+
+  /** EXACT embedding near-dup pairs above a cosine threshold, as a
+    * blocked all-pairs join — the shuffle-native form of the quadratic
+    * scan, with no BroadcastNestedLoopJoin anywhere in the plan.
+    *
+    * Exact low-threshold cosine join over unstructured vectors is
+    * inherently O(N²) (the fixture's pair-cosine distribution is
+    * continuous through any usable threshold, so no bucketing scheme has
+    * recall 1). What CAN be fixed is the execution shape: a driver
+    * broadcast + nested loop pins the whole corpus in every task. Here
+    * each vector gets a block id (hash mod `blocks`) and each side is
+    * replicated across the block grid, so the join is a plain equi-join on
+    * the (block_a, block_b) cell key: the N² work spreads uniformly over
+    * blocks² cells, per-task memory is one cell (N/blocks vectors per
+    * side), and the shuffle is sized N·blocks — all tunable. Each
+    * unordered pair meets in exactly one orientation per cell pair and
+    * `id_a < id_b` keeps one. For the high-threshold near-dup regime use
+    * `embeddingNearDups` (LSH, linear) instead.
+    */
+  def embeddingExactPairs(embs: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double, blocks: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    val e = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val grid = explode(sequence(lit(0), lit(blocks - 1)))
+    val a = e.select(col("id").as("id_a"), col("v").as("va"),
+      col("blk").as("ba"), grid.as("bb"))
+    val b = e.select(col("id").as("id_b"), col("v").as("vb"),
+      grid.as("ba"), col("blk").as("bb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cosine_sim(va, vb)").as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     * by hyperplane signature prefix so the join is on bucket keys.

@@ -41,25 +41,32 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"),
       explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
           .as("sig")))).as("b"))
-      .select(col("query_id"), col("qv"),
-        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      .select(col("query_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
       explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
           .as("sig")))).as("b"))
-      .select(col("neighbor_id"), col("cv"),
-        col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+      .select(col("neighbor_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    // candidate set carries ONLY the id pair: a vector sharing buckets in
+    // several tables would otherwise push its full embedding through the
+    // dedup shuffle once per collision — distinct on 16 bytes instead,
+    // then re-attach vectors (queries broadcast by contract; corpus by
+    // equi-join on id, one vector per surviving candidate).
     val cand = c.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -126,14 +126,34 @@ object AggQueries {
   /** DECIMAL money path: exact fixed-point aggregation via DecimalType —
     * the alternative to Exact.e2 integer math when power sums would
     * overflow Int64. Decimal sums are order-independent exact in both
-    * engines.
+    * engines; the output is pinned to DECIMAL(38,2)-rendered-as-string on
+    * BOTH sides (Spark's sum yields decimal(28,2), DuckDB's DECIMAL(38,2) —
+    * same value, different physical types, so the raw column hash differs).
     */
   def qAggDecimal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .groupBy($"o_orderstatus")
       .agg(
-        sum($"o_totalprice".cast("decimal(18,2)")).as("sum_price_dec"),
+        sumDecimalStr($"o_totalprice", 2).as("sum_price_dec"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** WIDE-DECIMAL path: power sums of a money column. Σ(cents²) per row is
+    * ~2.5e15 and the group sums reach ~4e19 — PAST Int64.MaxValue — so the
+    * Exact.e2 integer route silently wraps; decimal(18,2)² sums accumulate
+    * in DECIMAL(38,4) exactly in both engines (overflow asserted in
+    * AggDecimalSpec). This is the path money-column variance needs.
+    */
+  def qAggDecimalWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = $"o_totalprice".cast("decimal(18,2)")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum(p * p).cast("decimal(38,4)").cast("string").as("sum_price_sq"),
+        sumDecimalStr($"o_totalprice", 2).as("sum_price"),
         count(lit(1)).as("n"))
       .orderBy($"o_orderstatus")
   }
@@ -141,6 +161,7 @@ object AggQueries {
   val defs: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
     "q_agg_decimal" -> (qAggDecimal(_, _)),
+    "q_agg_decimal_wide" -> (qAggDecimalWide(_, _)),
     "q_agg_median" -> (qAggMedian(_, _)),
     "q_agg_stddev" -> (qAggStddev(_, _)),
     "q_agg_distinct" -> (qAggDistinct(_, _)),
@@ -166,7 +187,17 @@ object AggQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_decimal" ->
       """SELECT o_orderstatus,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_dec,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS VARCHAR) AS sum_price_dec,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_decimal_wide" ->
+      """SELECT o_orderstatus,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4))
+        |    AS VARCHAR) AS sum_price_sq,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS VARCHAR) AS sum_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_median" ->

@@ -12,23 +12,22 @@ import graft.ops.Multimodal
 object CustomQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Cosine near-dup pairs via the codegen'd native expression — same
-    * semantics as q_dedup_embedding's HOF formulation (same oracle), ~an
-    * order less per-row overhead in the ANN inner loop.
+  /** Cosine near-dup pairs via the codegen'd native expression, on the
+    * blocked exact all-pairs join (same oracle as q_dedup_embedding, same
+    * no-BNL plan shape) — the exemplar that a custom Catalyst Expression
+    * composes with any join strategy.
     */
   def qCustomCosineExpr(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("cosine_sim(va, vb)").as("cosine"))
-      .filter(col("cosine") >= 0.45)
+    graft.ops.Dedup.embeddingExactPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", minCosine = 0.45, blocks = 4)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash per document via the typed Aggregator (partial-agg form). */
+  /** SimHash per document via the typed Aggregator (partial-agg form);
+    * same portable md5-derived hash family as Dedup.simhash, so it shares
+    * the same DuckDB oracle (modulo column names).
+    */
   def qCustomSimhashAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
@@ -36,12 +35,17 @@ object CustomQueries {
       .agg(SimHashAgg.asUdaf(col("tok")).as("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Character-entropy quality signal via scalar UDF. */
+  /** Character-entropy quality signal via scalar UDF, oracle-checked
+    * against a pure-SQL entropy (char frequencies → −Σ p·log₂p). Both
+    * engines round to 6 decimals: the sum's accumulation order differs
+    * across engines but the drift is ~1e-13, far below the rounding
+    * threshold. (The fnv1a64 UDF twin is spec-only — FNV needs wrapping
+    * 64-bit multiply, which DuckDB SQL can't express.)
+    */
   def qCustomUdfEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        round(Udfs.charEntropy(col("text")), 6).as("entropy"),
-        Udfs.fnv1a64(col("text")).as("fnv64"))
+        round(Udfs.charEntropy(col("text")), 6).as("entropy"))
       .orderBy(col("doc_id"))
 
   /** Multimodal: binary ingest of the sf dir's files + stubbed decode.
@@ -85,6 +89,22 @@ object CustomQueries {
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),
+    // The Aggregator's hash family is identical to Dedup.simhash's; only
+    // the id column name differs between the two registered queries.
+    "q_custom_simhash_agg" -> DedupQueries.oracles("q_dedup_simhash")
+      .replace("AS id,", "AS doc_id,").replace("ORDER BY id", "ORDER BY doc_id"),
+    "q_custom_udf_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, n, c, COUNT(*) AS cnt
+        |  FROM ch GROUP BY doc_id, n, c)
+        |SELECT doc_id,
+        |  round(-SUM((cnt / CAST(n AS DOUBLE))
+        |    * ln(cnt / CAST(n AS DOUBLE)) / ln(2)), 6) AS entropy
+        |FROM freq GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_custom_geomean" ->
       """SELECT l_returnflag,
         |  round(exp(SUM(l_quantity * ln(l_extendedprice))

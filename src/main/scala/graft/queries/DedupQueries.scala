@@ -47,30 +47,30 @@ object DedupQueries {
         k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash per document (rows-only; Hamming-pair test in DedupSpec). */
+  /** SimHash per document. The md5-derived portable hash family makes
+    * this oracle-checkable: the DuckDB twin reproduces the exact same
+    * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
+    * pinned in DedupSpec).
+    */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("id"))
 
-  /** Embedding cosine near-dup pairs, brute force (the exact baseline the
-    * LSH path approximates; fixture max pair-cosine ≈ 0.51 so the
-    * threshold sits below that).
+  /** Embedding cosine near-dup pairs, EXACT, via the blocked all-pairs
+    * equi-join (Dedup.embeddingExactPairs): no BroadcastNestedLoopJoin —
+    * the quadratic work is spread over a block grid by shuffle, per-pair
+    * scoring uses the native codegen'd cosine expression (measured 147 s
+    * HOF vs 2.4 s native for this plan at sf0.1). The fixture's max
+    * pair-cosine ≈ 0.51, so the 0.45 threshold sits below that; its
+    * cosine distribution is continuous through 0.45, which is exactly why
+    * the exact form (not LSH) is the registered operator — the LSH
+    * variant (Dedup.embeddingNearDups) is the high-threshold scale path,
+    * spec-checked in DedupSpec.
     */
-  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    // all-pairs scoring uses the native codegen'd expression: measured
-    // 147 s (HOF zip_with/aggregate) vs 2.4 s (CosineSimilarityExpr) for
-    // this exact plan at sf0.1 — same bits, no intermediate arrays.
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("cosine_sim(va, vb)").as("cosine"))
-      .filter(col("cosine") >= 0.45)
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingExactPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", minCosine = 0.45)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> (qDedupExact(_, _)),
@@ -105,6 +105,26 @@ object DedupQueries {
         |  inter * 1.0 / union_n AS jaccard
         |FROM pairs WHERE inter * 1.0 / union_n >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // Portable simhash twin: reproduces the engine's md5-derived 63-bit
+    // hash family digit-by-digit (see Dedup.simhash scaladoc).
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, md5(t) AS h
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((((strpos('0123456789abcdef',
+        |          substring(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+        |          >> CAST(b % 4 AS INTEGER)) & 1) = 1)
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM toks, (SELECT unnest(generate_series(0, 62)) AS b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id AS id,
+        |  CAST(SUM(CASE WHEN s > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -27,4 +27,16 @@ object Exact {
 
   /** Exact sum of a d-decimal column, as double (see scaladoc). */
   def sumFixed(c: Column, d: Int): Column = round(sum(c), d)
+
+  /** Exact WIDE sum for fixed-point values whose scaled sums could
+    * overflow Int64 (the `e2` route): aggregate in DecimalType — decimal
+    * sums are exact, order-independent integer arithmetic in both engines —
+    * and pin the output to an explicit DECIMAL(38,s) rendered as a string,
+    * which is bit-identical across engines (a raw decimal column decodes
+    * as decimal.Decimal from Spark parquet but float64 from DuckDB in the
+    * driver's compare, so the value itself must carry the canonical form).
+    */
+  def sumDecimalStr(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)"))
+      .cast(s"decimal(38,$scale)").cast("string")
 }

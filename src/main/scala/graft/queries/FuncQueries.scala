@@ -77,15 +77,18 @@ object FuncQueries {
       .orderBy(col("bucket"), col("status_display"))
   }
 
-  /** JSON extraction over events.props via from_json (schema'd parse). */
+  /** JSON extraction over events.props via from_json (schema'd parse).
+    * Parses each row ONCE (the from_json/get_json_object agreement check
+    * lives in FuncEdgeSpec, not the hot path), and repartitions after the
+    * scan: events.parquet is a single row group, so without the explicit
+    * exchange the whole parse would run in one task regardless of cores.
+    */
   def qFuncJson(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir).repartition(col("event_id"))
     ev.select(
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").as("k"),
-        get_json_object(col("props"), "$.k").cast("int").as("k2"))
-      .filter(col("k") === col("k2"))  // both extraction paths agree
+          .getField("k").as("k"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
@@ -116,20 +119,22 @@ object FuncQueries {
   }
 
   /** Array manipulation battery over document tokens: join, slice,
-    * sort, membership, position (null when absent — matching SQL
-    * list_position), flatten.
+    * sort, membership, position (0 when absent — Spark array_position and
+    * DuckDB list_position share that convention), flatten. Array-typed
+    * outputs are rendered via array_join on BOTH engines: the driver's
+    * pandas-side sort cannot hash list cells, so list columns must leave
+    * the query as strings (same information, hashable).
     */
   def qFuncArray2(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), "\\s+")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_join(slice(toks, 1, 3), "-").as("first3"),
-        sort_array(slice(toks, 1, 4)).as("sorted4"),
+        array_join(sort_array(slice(toks, 1, 4)), " ").as("sorted4"),
         array_contains(toks, "spark").as("has_spark"),
-        // both engines return 0 for not-found (Spark array_position,
-        // DuckDB list_position) — same convention, no null mapping
         array_position(toks, "spark").as("spark_pos"),
-        flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))).as("flat4"))
+        array_join(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))), " ")
+          .as("flat4"))
       .orderBy(col("doc_id"))
   }
 
@@ -148,10 +153,10 @@ object FuncQueries {
     "q_func_array2" ->
       """SELECT doc_id,
         |  array_to_string(toks[1:3], '-') AS first3,
-        |  list_sort(toks[1:4]) AS sorted4,
+        |  array_to_string(list_sort(toks[1:4]), ' ') AS sorted4,
         |  list_contains(toks, 'spark') AS has_spark,
         |  CAST(list_position(toks, 'spark') AS BIGINT) AS spark_pos,
-        |  flatten([toks[1:2], toks[3:4]]) AS flat4
+        |  array_to_string(flatten([toks[1:2], toks[3:4]]), ' ') AS flat4
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,

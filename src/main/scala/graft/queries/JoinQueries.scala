@@ -42,6 +42,20 @@ object JoinQueries {
       .orderBy(col("custkey"))
   }
 
+  /** Right outer: orders → customer with the fact side on the LEFT — every
+    * customer survives even with zero orders (the mirror of qJoinLeftOuter,
+    * exercising Spark's RightOuter join type; same null-safe aggregation).
+    */
+  def qJoinRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .groupBy(c("c_custkey").as("custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        round(max(o("o_totalprice")), 2).as("max_spend"))
+      .orderBy(col("custkey"))
+  }
+
   /** Full outer over per-side aggregates: nations seen from the customer
     * vs supplier side.
     */
@@ -125,6 +139,7 @@ object JoinQueries {
   val defs: Map[String, Q] = Map(
     "q_join_region_revenue" -> (qJoinRegionRevenue(_, _)),
     "q_join_left_outer" -> (qJoinLeftOuter(_, _)),
+    "q_join_right_outer" -> (qJoinRightOuter(_, _)),
     "q_join_full_outer" -> (qJoinFullOuter(_, _)),
     "q_join_semi" -> (qJoinSemi(_, _)),
     "q_join_anti" -> (qJoinAnti(_, _)),
@@ -147,6 +162,11 @@ object JoinQueries {
       """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
         |  round(SUM(o_totalprice), 2) AS sum_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY custkey""".stripMargin,
+    "q_join_right_outer" ->
+      """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
+        |  round(MAX(o_totalprice), 2) AS max_spend
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY custkey""".stripMargin,
     "q_join_full_outer" ->
       """WITH c AS (SELECT c_nationkey nk, COUNT(*) n_cust FROM customer GROUP BY 1),

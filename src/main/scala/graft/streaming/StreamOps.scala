@@ -97,13 +97,28 @@ object StreamOps {
             row_number().over(Window.partitionBy(col(keyCol))
               .orderBy(col(tsCol).desc)))
           .filter(col("_rn") === 1).drop("_rn")
-        val tmp = tablePath.stripSuffix("/") + "._staged"
-        latest.write.mode("overwrite").parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(tablePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(tablePath))
+        // rename-aside swap (same discipline as LakeIO.compact): the live
+        // table is never deleted before its replacement is in place, and
+        // rename() returns are checked — a crash or silent rename failure
+        // leaves a complete table on disk.
+        val dest = new org.apache.hadoop.fs.Path(tablePath)
+        val tmp = new org.apache.hadoop.fs.Path(
+          tablePath.stripSuffix("/") + "._staged")
+        val old = new org.apache.hadoop.fs.Path(
+          tablePath.stripSuffix("/") + "._replaced")
+        latest.write.mode("overwrite").parquet(tmp.toString)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(old)) fs.delete(old, true)
+        val hadOld = fs.exists(dest)
+        if (hadOld && !fs.rename(dest, old))
+          throw new java.io.IOException(
+            s"upsertSink: rename $dest -> $old failed")
+        if (!fs.rename(tmp, dest)) {
+          if (hadOld) fs.rename(old, dest) // roll back
+          throw new java.io.IOException(
+            s"upsertSink: rename $tmp -> $dest failed")
+        }
+        if (hadOld) fs.delete(old, true)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -43,4 +43,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("exact embedding dedup is a blocked equi-join — no nested loop") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lshTopK dedupes candidates on id pairs, not embedding vectors") {
+    // the distinct's exchange must not carry the vector columns
+    val p = plan("q_sim_topk_lsh")
+    val distinctExchanges = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") &&
+        l.contains("query_id") && l.contains("neighbor_id"))
+    assert(distinctExchanges.forall(l => !l.contains("qv") && !l.contains("cv")))
+  }
 }

@@ -47,6 +47,20 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(viaAgg == viaDf)
   }
 
+  test("fnv1a64: reference vectors and null passthrough") {
+    // FNV-1a 64 published test vectors (offset 0xcbf29ce484222325,
+    // prime 0x100000001b3): '' → offset basis, 'a' → 0xaf63dc4c8601ec8c
+    val out = Seq("", "a", "foobar").toDF("s")
+      .select(Udfs.fnv1a64($"s").as("h")).as[Long].collect()
+    assert(out(0) == 0xcbf29ce484222325L)
+    assert(out(1) == 0xaf63dc4c8601ec8cL)
+    assert(out(2) == 0x85944171f73967e8L)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(Udfs.fnv1a64($"s").as("h"))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
   test("charEntropy: hand-computed values") {
     val e = Seq("aaaa", "abab", "abcd").toDF("s")
       .select(Udfs.charEntropy($"s").as("e")).as[Double].collect()

@@ -85,6 +85,37 @@ class DedupSpec extends SparkTestBase {
     assert(g.toSeq == Seq((0L, 2L)))
   }
 
+  test("embeddingExactPairs matches the naive all-pairs join bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // the quadratic BNL form, kept ONLY as this small-scale cross-check
+    val a = vecs.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = vecs.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val naive = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", expr("cosine_sim(va, vb)").as("cosine"))
+      .filter($"cosine" >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Dedup.embeddingExactPairs(vecs, "vec_id", "embedding",
+        minCosine = 0.2, blocks = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(blocked == naive)
+  }
+
+  test("embeddingExactPairs covers every pair exactly once (no block dups)") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    // identical vectors: every unordered pair has cosine 1.0 — count must
+    // be exactly C(30,2), proving no pair is emitted twice or dropped
+    val n = Dedup.embeddingExactPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.99, blocks = 4).count()
+    assert(n == 30L * 29 / 2)
+  }
+
   test("embeddingNearDups finds planted duplicate vectors via LSH buckets") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.5f, -0.2f, 0.8f)),
