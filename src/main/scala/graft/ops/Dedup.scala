@@ -256,19 +256,28 @@ object Dedup {
     * (A typed Aggregator variant lives in graft.functions.SimHashAgg,
     * parity-tested bit-for-bit in CustomFunctionsSpec.)
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // all 63 bit-sums as separate aggregates in ONE hash-aggregate pass
+    // over the (id, md5) token rows — no explosion by bit count, map-side
+    // partial combine, 63 ints per (doc × partition) on the shuffle (the
+    // same shape as minhashSignatures; an exploded (id, b) variant
+    // measured 9.8 s vs ~1 s for this plan at sf0.1)
+    def bit(b: Int): Column =
+      (shiftright(conv(substring(col("h"), b / 4 + 1, 1), 16, 10)
+        .cast("int"), b % 4).bitwiseAND(lit(1)) === 1)
     docs.select(col(idCol).as("id"),
         explode(split(col(textCol), "\\s+")).as("tok"))
-      .select(col("id"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(62))).as("b"))
-      .groupBy("id", "b")
-      .agg(sum(when(expr(
-        "(shiftright(cast(conv(substring(h, b div 4 + 1, 1), 16, 10) as int)" +
-          ", cast(b % 4 as int)) & 1) = 1"), 1).otherwise(-1))
-        .as("s"))
+      .select(col("id"), md5(col("tok")).as("h"))
       .groupBy("id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(
+        sum(when(bit(0), 1).otherwise(-1)).as("s0"),
+        (1 until 63).map(b =>
+          sum(when(bit(b), 1).otherwise(-1)).as(s"s$b")): _*)
+      .select(col("id"),
+        (0 until 63).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** EXACT embedding near-dup pairs above a cosine threshold, as a
     * blocked all-pairs join — the shuffle-native form of the quadratic
