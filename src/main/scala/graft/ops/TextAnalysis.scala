@@ -81,10 +81,22 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-grams per document: array<string> of space-joined n-grams. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
+  /** Word n-grams from an ALREADY-MATERIALIZED token-array column.
+    *
+    * Catalyst does not CSE inside lambda bodies: if the tokens argument is
+    * itself `split(text, ...)`, the split re-runs once per n-gram index —
+    * O(tokens²) work per document (measured 4.3 s vs 0.6 s at sf0.1 for
+    * the bigram query). Project the token array into a column first, then
+    * call this on the attribute.
+    */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
+
+  /** Word n-grams per document: array<string> of space-joined n-grams.
+    * Convenience form; for hot paths prefer projecting `split` once and
+    * using `wordNgramsFromTokens` (see its scaladoc).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(split(text, "\\s+"), n)
 }

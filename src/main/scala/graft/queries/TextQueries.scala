@@ -26,15 +26,19 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("guess"))
 
-  /** Top-20 word bigrams corpus-wide (n-gram generation + count + top-k). */
-  def qTextNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), "\\s+")) >= 2)
-    d.select(explode(TextAnalysis.wordNgrams(col("text"), 2)).as("bigram"))
+  /** Top-20 word bigrams corpus-wide (n-gram generation + count + top-k).
+    * Tokens are projected ONCE, then n-grams derive from the attribute —
+    * see TextAnalysis.wordNgramsFromTokens on why (lambda-CSE).
+    */
+  def qTextNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        TextAnalysis.wordNgramsFromTokens(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
-  }
 
   /** Content fingerprints: md5 (oracle-checked) per document. */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
