@@ -37,15 +37,27 @@ object Similarity {
   /** Multi-table hyperplane LSH: a candidate is any corpus vector sharing
     * a full signature with the query in at least one of `nTables` tables
     * (different seeds). Equi-join on (table, signature).
+    *
+    * `multiprobe = true` additionally probes, per table, every bucket at
+    * Hamming distance 1 from the query's signature — ASYMMETRIC
+    * multiprobe: only the small broadcast query side fans out (×(nBits+1)
+    * rows), the corpus side still emits exactly one row per (vector,
+    * table), so the extra recall costs no corpus-side work or shuffle.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
+              nBits: Int = 12, nTables: Int = 4,
+              multiprobe: Boolean = false): DataFrame = {
+    val qSig = queries.select(col(idCol).as("query_id"),
       explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
           .as("sig")))).as("b"))
       .select(col("query_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val q =
+      if (!multiprobe) qSig
+      else qSig.select(col("query_id"), col("tbl"),
+        explode(array(col("sig") +: (0 until nBits).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)

@@ -22,13 +22,15 @@ object SimilarityQueries {
   }
 
   /** LSH-bucketed ANN, same shape (rows-only; recall pinned vs brute
-    * force in SimilaritySpec).
+    * force in SimilaritySpec). Asymmetric multiprobe: Hamming-1 probes on
+    * the broadcast query side buy back recall for fewer tables — the
+    * corpus side still emits one row per (vector, table).
     */
   def qSimTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nBits = 8, nTables = 6)
+        k = 5, nBits = 8, nTables = 4, multiprobe = true)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))

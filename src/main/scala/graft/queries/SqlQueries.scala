@@ -34,6 +34,23 @@ object SqlQueries {
       .na.fill(0L)
       .orderBy(col("yr"))
 
+  /** Scalar subquery: customers whose spend exceeds the global average
+    * spend-per-customer. The threshold is a division of two already-exact
+    * values (Exact.scala discipline), so the comparison is identical in
+    * both engines — no float boundary flakiness.
+    */
+  def qSqlScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH spend AS (
+        |  SELECT o_custkey, round(SUM(o_totalprice), 2) AS s
+        |  FROM orders_v GROUP BY o_custkey)
+        |SELECT o_custkey AS custkey, s AS spend
+        |FROM spend
+        |WHERE s > (SELECT round(SUM(s), 2) / COUNT(*) FROM spend)
+        |ORDER BY custkey""".stripMargin)
+  }
+
   case class Line(l_orderkey: Long, l_quantity: Double,
                   l_extendedprice: Double, l_returnflag: String)
 
@@ -60,6 +77,7 @@ object SqlQueries {
   val defs: Map[String, Q] = Map(
     "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
     "q_sql_pivot" -> (qSqlPivot(_, _)),
+    "q_sql_scalar_subquery" -> (qSqlScalarSubquery(_, _)),
     "q_typed_dataset" -> (qTypedDataset(_, _))
   )
 
@@ -71,6 +89,14 @@ object SqlQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(SUM(o_totalprice), 2) AS s
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey AS custkey, s AS spend
+        |FROM spend
+        |WHERE s > (SELECT round(SUM(s), 2) / COUNT(*) FROM spend)
+        |ORDER BY custkey""".stripMargin,
     "q_sql_pivot" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
         |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",

@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("multiprobe raises lshTopK recall at no corpus-side fan-out") {
+    val rnd = new scala.util.Random(99)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multiprobe: Boolean): Double = {
+      val got = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 5,
+          nBits = 10, nTables = 2, multiprobe = multiprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val plain = recall(multiprobe = false)
+    val probed = recall(multiprobe = true)
+    assert(probed >= plain, s"probed=$probed plain=$plain")
+    assert(probed >= 0.9, s"probed=$probed")
+  }
+
   test("hyperplane signature is deterministic and separates clusters") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),

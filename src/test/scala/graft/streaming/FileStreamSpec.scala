@@ -92,6 +92,53 @@ class FileStreamSpec extends SparkTestBase {
     assert(se.toSeq == Seq(1L, 2L))
   }
 
+  test("file stream: session windows close at the watermark, survive restart") {
+    val in = Files.createTempDirectory("se-in").toString
+    val out = Files.createTempDirectory("se-out").toString
+    val cp = Files.createTempDirectory("se-cp").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // batch 1: two events 9 min apart (one session, gap 30m) + one event
+    // far enough ahead to push the watermark past that session's close
+    Seq(
+      (1L, ts("2024-01-01 00:01:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 00:10:00"), 7L, 2.0),
+      (3L, ts("2024-01-01 02:00:00"), 7L, 3.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in)
+      val agg = StreamOps.sessionCounts(
+        StreamOps.withLateness(stream, "ts", "1 minute"), "ts", "30 minutes")
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    // watermark 01:59 closes session [00:01, 00:40); [02:00, …) stays open
+    val first = spark.read.parquet(out)
+      .select($"session_window.start".cast("string"), $"n_events")
+      .as[(String, Long)].collect().toSet
+    assert(first == Set(("2024-01-01 00:01:00", 2L)))
+
+    // batch 2 (new file, SAME checkpoint): advances the watermark past the
+    // second session's close → restart emits it exactly once
+    Seq((4L, ts("2024-01-01 03:30:00"), 7L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("append").parquet(in)
+    run()
+    val second = spark.read.parquet(out)
+      .select($"session_window.start".cast("string"), $"n_events")
+      .as[(String, Long)].collect().toSet
+    assert(second == Set(
+      ("2024-01-01 00:01:00", 2L),
+      ("2024-01-01 02:00:00", 1L)))
+  }
+
   test("upsertSink: latest row per key wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
