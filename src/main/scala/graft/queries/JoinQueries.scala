@@ -117,6 +117,45 @@ object JoinQueries {
       .orderBy(col("lo"))
   }
 
+  /** Salted join (skew shape): same results as a plain equi-join — the
+    * oracle IS the plain join — but executed with the left side salted
+    * into 8 sub-keys and the right side replicated per salt, the shape
+    * for pathological hot keys AQE's skew split can't fix. Salt never
+    * escapes the operator, so results are salt- and partitioning-
+    * independent (the determinism sweep covers this query too).
+    */
+  def qJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    graft.ops.Joins.saltedJoin(o, c, "custkey", buckets = 8)
+      .groupBy(col("custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Scalable twin of qJoinRange: assign the price bucket ARITHMETICALLY
+    * (integer cents div width — O(1) per row, exact in both engines),
+    * then aggregate and broadcast-join the bucket dimension for labels.
+    * Same result set as the theta join, no nested loop anywhere.
+    */
+  def qJoinRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = Seq(
+      (0L, 0L, 150000L), (1L, 150000L, 300000L), (2L, 300000L, 450000L),
+      (3L, 450000L, 600000L)).toDF("bucket", "lo", "hi")
+    val o = Tables.orders(spark, dir)
+      .withColumn("bucket",
+        expr("cast(round(o_totalprice * 100, 0) as bigint) div 15000000"))
+    o.join(broadcast(buckets), "bucket")
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("lo"))
+  }
+
   /** As-of join: latest order (per user key) at or before each event's
     * timestamp — union-timeline implementation (graft.ops.AsOf), verified
     * against DuckDB's native ASOF JOIN.
@@ -145,6 +184,8 @@ object JoinQueries {
     "q_join_anti" -> (qJoinAnti(_, _)),
     "q_join_cross" -> (qJoinCross(_, _)),
     "q_join_range" -> (qJoinRange(_, _)),
+    "q_join_range_bucketed" -> (qJoinRangeBucketed(_, _)),
+    "q_join_salted" -> (qJoinSalted(_, _)),
     "q_join_asof" -> (qJoinAsof(_, _))
   )
 
@@ -195,6 +236,22 @@ object JoinQueries {
         |             (150000, 300000), (300000, 450000),
         |             (450000, 600000)) AS b(lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY lo, hi ORDER BY lo""".stripMargin,
+    // oracle = the PLAIN join: salting must be invisible in results
+    "q_join_salted" ->
+      """SELECT o_custkey AS custkey, c_name, COUNT(*) AS n_orders,
+        |  round(SUM(o_totalprice), 2) AS sum_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY custkey, c_name ORDER BY custkey""".stripMargin,
+    "q_join_range_bucketed" ->
+      """SELECT lo, hi, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS sum_price
+        |FROM (SELECT o_totalprice,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) // 15000000
+        |          AS bucket
+        |      FROM orders)
+        |JOIN (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(150000 AS BIGINT)),
+        |             (1, 150000, 300000), (2, 300000, 450000),
+        |             (3, 450000, 600000)) AS b(bucket, lo, hi) USING (bucket)
         |GROUP BY lo, hi ORDER BY lo""".stripMargin,
     "q_join_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,

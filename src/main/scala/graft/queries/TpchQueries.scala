@@ -57,9 +57,32 @@ object TpchQueries {
       .orderBy(col("revenue").desc, col("nation"))
   }
 
+  /** Q10 shape — returned items report: top-20 customers by revenue lost
+    * to returns in a quarter. Fact-fact join (orders⋈lineitem) shuffles;
+    * customer and nation broadcast; top-20 via TakeOrderedAndProject.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey").as("custkey"), c("c_name").as("name"),
+        n("n_name").as("nation"))
+      .agg((revenueE4 / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
-    "q5_local_supplier" -> (q5LocalSupplier(_, _))
+    "q5_local_supplier" -> (q5LocalSupplier(_, _)),
+    "q10_returned_items" -> (q10ReturnedItems(_, _))
   )
 
   private val revSql =
@@ -77,6 +100,18 @@ object TpchQueries {
          |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          |GROUP BY orderkey, orderdate, orderpriority
          |ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+         |  $revSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name AS nation, $revSql AS revenue
          |FROM lineitem
