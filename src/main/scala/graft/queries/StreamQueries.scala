@@ -35,13 +35,42 @@ object StreamQueries {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Stream-stream interval join, batch form: purchases attributed to the
+    * same user's clicks within the preceding 10 minutes. The identical
+    * function runs on two watermarked streams with bounded state
+    * (FileStreamSpec proves streamed == batch on this operator).
+    */
+  def qStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+    StreamOps.intervalJoin(clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower = "0 minutes", upper = "10 minutes")
+      .select(col("l.click_id"), col("r.buy_id"))
+      .orderBy(col("click_id"), col("buy_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_session" -> (qStreamSession(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, b.event_id AS buy_id
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id
+        | AND b.t >= c.t AND b.t <= c.t + INTERVAL 10 MINUTE
+        |ORDER BY click_id, buy_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value

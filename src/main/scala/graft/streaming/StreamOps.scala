@@ -47,6 +47,26 @@ object StreamOps {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join on a key within an event-time interval:
+    * right.ts ∈ [left.ts − lower, left.ts + upper]. Works identically on
+    * batch frames (plain join) and on two `readStream` frames — in the
+    * streaming case BOTH sides must be watermarked (see
+    * `withLateness`), and it is exactly the watermark + interval bound
+    * that lets Spark evict join state: a buffered row can be dropped once
+    * the other side's watermark passes its ts + bound, so state is
+    * O(rate × interval), not unbounded.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, leftTs: String, rightTs: String,
+                   lower: String, upper: String): DataFrame = {
+    val l = col(s"l.$leftTs")
+    val r = col(s"r.$rightTs")
+    left.alias("l").join(right.alias("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        r >= l - expr(s"INTERVAL $lower") &&
+        r <= l + expr(s"INTERVAL $upper"))
+  }
+
   // ---- arbitrary stateful processing (mapGroupsWithState) ----
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

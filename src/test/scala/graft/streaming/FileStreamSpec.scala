@@ -139,6 +139,51 @@ class FileStreamSpec extends SparkTestBase {
       ("2024-01-01 02:00:00", 1L)))
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // impressions and clicks; a click joins an impression of the same
+    // user within [0, 10 minutes] after it
+    val imps = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 100L),
+      (7L, ts("2024-01-01 00:20:00"), 101L),
+      (8L, ts("2024-01-01 00:00:00"), 102L))
+    val clicks = Seq(
+      (7L, ts("2024-01-01 00:05:00"), 900L),  // joins imp 100 only
+      (7L, ts("2024-01-01 00:25:00"), 901L),  // joins imp 101 only
+      (8L, ts("2024-01-01 00:30:00"), 902L))  // too late for imp 102
+
+    val impDf = imps.toDF("user_id", "imp_ts", "imp_id")
+    val clickDf = clicks.toDF("user_id", "click_ts", "click_id")
+    val expected = StreamOps.intervalJoin(
+        impDf, clickDf, "user_id", "imp_ts", "click_ts",
+        lower = "0 minutes", upper = "10 minutes")
+      .select($"l.imp_id", $"r.click_id").as[(Long, Long)].collect().toSet
+    assert(expected == Set((100L, 900L), (101L, 901L)))
+
+    val memI = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val memC = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    memI.addData(imps: _*)
+    memC.addData(clicks: _*)
+    val joined = StreamOps.intervalJoin(
+      StreamOps.withLateness(
+        memI.toDF().toDF("user_id", "imp_ts", "imp_id"), "imp_ts", "1 minute"),
+      StreamOps.withLateness(
+        memC.toDF().toDF("user_id", "click_ts", "click_id"), "click_ts", "1 minute"),
+      "user_id", "imp_ts", "click_ts", "0 minutes", "10 minutes")
+    val cp = Files.createTempDirectory("ssj-cp").toString
+    val q = joined.select($"l.imp_id", $"r.click_id")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT * FROM ssj")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == expected)
+  }
+
   test("upsertSink: latest row per key wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
