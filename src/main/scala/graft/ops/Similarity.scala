@@ -84,6 +84,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: a coarse quantizer with no trained model. Centroids =
+    * the `nLists` corpus vectors sorting first by md5(id) — a
+    * deterministic, engine-portable pseudo-random sample; every corpus
+    * vector joins the inverted list of its highest-cosine centroid; a
+    * query scores only the vectors in its `nProbe` closest lists.
+    *
+    * Unlike most ANN indexes, the whole pipeline is deterministic
+    * arithmetic (sample order, assignment, probing, ranking — all with id
+    * tiebreaks and bit-reproducible cosines), so it is ORACLE-checkable:
+    * the DuckDB twin reproduces the index and the search exactly.
+    *
+    * Scale shape: centroids broadcast (nLists rows); assignment is one
+    * map-side pass over the corpus (nLists cosines per vector); the
+    * search shuffles only the probed lists' candidates — corpus work per
+    * query drops from O(N) to O(N·nProbe/nLists). At 100 TB the
+    * assignment persists as a table bucketed by cent_id and the sample
+    * gives way to trained centroids; the plan shape stays identical.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cents = v.withColumn("_h", md5(col("cid").cast("string")))
+      .orderBy(col("_h"), col("cid")).limit(nLists)
+      .select(col("cv").as("centv"),
+        row_number().over(Window.orderBy(col("_h"), col("cid")))
+          .as("cent_id"))
+    val assign = v.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("cv"), col("centv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("cid").as("neighbor_id"), col("cv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assign, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Hyperplane signature whose seed varies by table id (Column). Inlined
     * variant of VectorFunctions.hyperplaneSignature with a Column seed.
     */

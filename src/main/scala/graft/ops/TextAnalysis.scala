@@ -13,6 +13,18 @@ object TextAnalysis {
   /** Whitespace token count (regexp-based; robust to runs of spaces). */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
+  /** BPE-style pre-tokenizer count: the GPT-2-family segmentation regex
+    * (contractions | space?+letter-run | space?+digit-run |
+    * space?+punct-run), without the trailing-whitespace lookahead variants
+    * (RE2 engines have no lookahead, and whitespace-only segments don't
+    * count as tokens anyway). Approximates LLM token counts far better
+    * than whitespace splitting — "don't!" is 1 whitespace token but 3
+    * BPE-ish segments.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"))
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,;:!?'\"()\\[\\]{}-]"))

@@ -18,6 +18,18 @@ object TextQueries {
         col("mean_token_len"), col("stopword_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Token counting, whitespace vs BPE-style segmentation side by side —
+    * the LLM-pipeline budget signal (BPE-ish segments track model token
+    * counts; whitespace tokens undercount contractions/punctuation).
+    */
+  def qTextTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
   /** Language-ID heuristic accuracy matrix: labeled lang × guess. */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -59,6 +71,7 @@ object TextQueries {
 
   val defs: Map[String, Q] = Map(
     "q_text_stats" -> (qTextStats(_, _)),
+    "q_text_token_count" -> (qTextTokenCount(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
     "q_text_ngrams" -> (qTextNgrams(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
@@ -77,6 +90,13 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |    AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,

@@ -75,6 +75,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(probed >= 0.9, s"probed=$probed")
   }
 
+  test("ivfTopK: high recall on clustered vectors, deterministic output") {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val once = run()
+    val got = once.map { case (q, n, _) => (q, n) }
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // fully deterministic pipeline: identical bits on a second run
+    assert(run() == once)
+  }
+
   test("hyperplane signature is deterministic and separates clusters") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
