@@ -71,4 +71,28 @@ object Multimodal {
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(stride)))
+
+  /** Resize plan: aspect-preserving fit into a `maxDim` bounding box —
+    * the target-geometry computation every image pipeline needs before
+    * the pixel pass. Pure integer column math (scale num/denominator kept
+    * exact; floor semantics match PIL/OpenCV's default): emits
+    * out_width/out_height and the scale as a ratio. The pixel resample
+    * itself belongs in the mapPartitions decode step (same codec-context
+    * reuse as fakeDecode) — geometry is engine-side so the planner can
+    * partition/batch on output size.
+    */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val longSide = greatest(w, h)
+    val needs = longSide > maxDim
+    features
+      .withColumn("out_width",
+        when(needs, (w * maxDim) / longSide).otherwise(w)
+          .cast("int"))
+      .withColumn("out_height",
+        when(needs, (h * maxDim) / longSide).otherwise(h)
+          .cast("int"))
+      .withColumn("resized", needs)
+  }
 }

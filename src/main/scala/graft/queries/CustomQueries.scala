@@ -55,10 +55,13 @@ object CustomQueries {
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Multimodal.readBinary(spark, s"$dir/*.parquet")
-    Multimodal.sampleFrames(
-        Multimodal.extractFeatures(media).toDF(), stride = 30)
+    Multimodal.resizePlan(
+        Multimodal.sampleFrames(
+          Multimodal.extractFeatures(media).toDF(), stride = 30),
+        maxDim = 512)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         col("length"), col("fingerprint"), col("width"), col("height"),
+        col("out_width"), col("out_height"),
         col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
       .orderBy(col("file"))
   }

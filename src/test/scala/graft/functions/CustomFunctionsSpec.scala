@@ -91,4 +91,23 @@ class CustomFunctionsSpec extends SparkTestBase {
       .select(size($"sampled_frames")).as[Int].collect()
     assert(sampled.forall(_ >= 1))
   }
+
+  test("multimodal resize plan: aspect-preserving fit, no-op when small") {
+    import graft.ops.Multimodal
+    val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
+      .toDF("width", "height")
+    val out = Multimodal.resizePlan(feats, maxDim = 512)
+      .select($"width", $"height", $"out_width", $"out_height", $"resized")
+      .as[(Int, Int, Int, Int, Boolean)].collect().toSet
+    assert(out == Set(
+      (1600, 900, 512, 288, true),   // landscape: long side pinned to 512
+      (320, 240, 320, 240, false),   // already fits: untouched
+      (512, 512, 512, 512, false),   // boundary: untouched
+      (100, 2000, 25, 512, true)))   // portrait: aspect preserved
+    // aspect ratio preserved within integer floor on every resized row
+    out.filter(_._5).foreach { case (w, h, ow, oh, _) =>
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) <
+        math.max(1.0 / oh, 1.0 / ow) * 2)
+    }
+  }
 }
