@@ -82,6 +82,19 @@ object LakeIO {
       : DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Partitioned JDBC read: `numPartitions` parallel range queries over
+    * `[lower, upper]` of a numeric `column` — the form that keeps a large
+    * catalog scan parallel instead of single-connection. (Integration-
+    * tested against embedded Derby in JdbcSpec; the same call works for
+    * any JDBC URL.)
+    */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          column: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties =
+                            new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, column, lower, upper, numPartitions, props)
+
   def writeJdbc(df: DataFrame, url: String, table: String,
                 mode: SaveMode = SaveMode.Append,
                 props: java.util.Properties = new java.util.Properties())
