@@ -33,19 +33,84 @@ object Multimodal {
     spark.read.format("binaryFile").load(pathGlob).as[MediaFile]
   }
 
-  /** ======== STUB ========
-    * Deterministic fake decoder: derives "image" properties from a 64-bit
-    * fingerprint of the bytes. A real implementation would decode
-    * `content` with a codec library here (and is exactly why this runs in
-    * mapPartitions: codec contexts are expensive, reuse them per
-    * partition, not per row).
+  /** REAL decoder for binary PPM (P6) and PGM (P5) rasters — the formats
+    * parseable from raw bytes with no codec library, which is exactly the
+    * boundary this environment allows. Returns None for anything else
+    * (JPEG/PNG/audio/video need codecs → `fakeDecode` fallback below).
+    * Parses the header (magic, comments, width, height, maxval), then
+    * computes mean luma over the raster: gray/maxval for P5, Rec.601
+    * (0.299·R + 0.587·G + 0.114·B)/maxval for P6 — a deterministic
+    * sequential fold, so outputs are stable across partitionings.
     */
-  private[ops] def fakeDecode(m: MediaFile): MediaFeatures = {
+  private[ops] def decodePnm(m: MediaFile): Option[MediaFeatures] = {
+    val b = m.content
+    if (b.length < 2 || b(0) != 'P' || (b(1) != '5' && b(1) != '6'))
+      return None
+    val isColor = b(1) == '6'
+    var i = 2
+    // header ints separated by whitespace, '#' comments run to newline
+    def nextInt(): Option[Int] = {
+      while (i < b.length &&
+        (b(i).toChar.isWhitespace || b(i) == '#')) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else i += 1
+      }
+      val start = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i == start) None else Some(new String(b, start, i - start).toInt)
+    }
+    try {
+      for {
+        w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+        if w > 0 && h > 0 && maxval > 0 && maxval < 65536 && i < b.length
+      } yield {
+        i += 1 // single whitespace byte after maxval, then the raster
+        val channels = if (isColor) 3 else 1
+        val bytesPerSample = if (maxval < 256) 1 else 2
+        val need = w.toLong * h * channels * bytesPerSample
+        if (b.length - i < need) return None
+        def sample(off: Long): Int = {
+          val p = (i + off * bytesPerSample).toInt
+          if (bytesPerSample == 1) b(p) & 0xff
+          else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+        }
+        var lumaSum = 0.0
+        var px = 0L
+        val n = w.toLong * h
+        while (px < n) {
+          lumaSum +=
+            (if (isColor)
+              0.299 * sample(px * 3) + 0.587 * sample(px * 3 + 1) +
+                0.114 * sample(px * 3 + 2)
+            else sample(px).toDouble)
+          px += 1
+        }
+        MediaFeatures(path = m.path, length = m.length,
+          fingerprint = fnv(b), width = w, height = h, n_frames = 1,
+          mean_luma = lumaSum / n / maxval)
+      }
+    } catch { case _: NumberFormatException => None }
+  }
+
+  private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < m.content.length) {
-      h ^= (m.content(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
     }
+    h
+  }
+
+  /** ======== STUB (fallback) ========
+    * Deterministic fake decoder for formats that need real codec
+    * libraries (absent in this environment): derives "image" properties
+    * from a 64-bit fingerprint of the bytes. Swapping in a codec changes
+    * only this body (and is exactly why decoding runs in mapPartitions:
+    * codec contexts are expensive, reuse them per partition, not per
+    * row).
+    */
+  private[ops] def fakeDecode(m: MediaFile): MediaFeatures = {
+    val h = fnv(m.content)
     MediaFeatures(
       path = m.path, length = m.length, fingerprint = h,
       width = 320 + (((h % 1600) + 1600) % 1600).toInt,
@@ -54,14 +119,16 @@ object Multimodal {
       mean_luma = ((h >>> 33) % 256).toDouble / 255.0)
   }
 
-  /** Batched decode/feature-extract. One decoder per partition; rows
-    * stream through without materializing the partition.
+  /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
+    * deterministic stub for codec-requiring formats. One decoder context
+    * per partition; rows stream through without materializing the
+    * partition.
     */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs: initialize decoder context here, once per partition
-      it.map(fakeDecode)
+      it.map(m => decodePnm(m).getOrElse(fakeDecode(m)))
     }
   }
 

@@ -92,6 +92,39 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(sampled.forall(_ >= 1))
   }
 
+  test("multimodal: REAL PPM/PGM decode — exact dims and mean luma") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("pnm").toFile
+    // P6 2x2 maxval 255: red, green, blue, white
+    val p6 = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+        0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    java.nio.file.Files.write(new java.io.File(dir, "img.ppm").toPath, p6)
+    // P5 1x2 maxval 255: black, white
+    val p5 = "P5\n1 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 255.toByte)
+    java.nio.file.Files.write(new java.io.File(dir, "img.pgm").toPath, p5)
+    // garbage → stub fallback
+    java.nio.file.Files.write(new java.io.File(dir, "img.jpg").toPath,
+      Array[Byte](1, 2, 3))
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"width", $"height", $"mean_luma")
+      .as[(String, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(feats("img.ppm")._1 == 2 && feats("img.ppm")._2 == 2)
+    // mean luma of {red, green, blue, white} under Rec.601:
+    // (0.299 + 0.587 + 0.114 + 1.0) / 4 = 0.5
+    assert(math.abs(feats("img.ppm")._3 - 0.5) < 1e-12)
+    assert(feats("img.pgm")._1 == 1 && feats("img.pgm")._2 == 2)
+    assert(math.abs(feats("img.pgm")._3 - 0.5) < 1e-12)
+    // the stub's synthesized dims, not a parse of the 3 garbage bytes
+    assert(feats("img.jpg")._1 >= 320)
+  }
+
   test("multimodal resize plan: aspect-preserving fit, no-op when small") {
     import graft.ops.Multimodal
     val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
