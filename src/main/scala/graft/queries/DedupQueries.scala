@@ -72,7 +72,33 @@ object DedupQueries {
         "vec_id", "embedding", minCosine = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end curation pipeline — the composition story: exact
+    * fingerprint dedup (keep the min doc_id per normalized content) →
+    * quality gates (stopword ratio and BPE-ish token budget) → per-lang
+    * accounting. Every stage is one of the registry's own operators;
+    * the whole pipeline stays a single Catalyst plan (dedup is one
+    * shuffle; the gates are map-side expressions on the survivors).
+    */
+  def qPipelineCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keep = docs
+      .groupBy(graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, "doc_id")
+      .withColumn("n_tokens",
+        graft.ops.TextAnalysis.bpeishTokenCount(col("text")).cast("long"))
+      .withColumn("n_stop",
+        graft.ops.TextAnalysis.stopwordCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 5000 &&
+        col("n_stop") * 10 >= col("n_tokens")) // ≥10% stopwords ⇒ prose
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_pipeline_curation" -> (qPipelineCuration(_, _)),
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
@@ -82,6 +108,26 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_curation" ->
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |gated AS (
+        |  SELECT d.lang,
+        |    CAST(len(regexp_extract_all(d.text,
+        |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'),
+        |      t -> list_contains(['the','a','an','of','to','in','and','is',
+        |                          'on','for','with'], t))) AS BIGINT) AS n_stop
+        |  FROM documents d JOIN keep USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM gated
+        |WHERE n_tokens >= 20 AND n_tokens <= 5000
+        |  AND n_stop * 10 >= n_tokens
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
