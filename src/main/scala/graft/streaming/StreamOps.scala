@@ -91,6 +91,63 @@ object StreamOps {
       }
   }
 
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState + EventTimeTimeout —
+    * the arbitrary-state surface `session_window` can't reach (emit
+    * arbitrary rows per group per trigger, timeout-driven finalization).
+    * A session closes either when a later event arrives past the gap
+    * (emitted in that batch) or when the WATERMARK passes its end + gap
+    * (the timeout fires with no new data — the part that needs
+    * flatMapGroupsWithState). Input must be watermarked (`withLateness`)
+    * for EventTimeTimeout to be legal. State per key is one open session:
+    * O(keys), not O(events).
+    */
+  def sessionizeWithState(events: Dataset[UserEvent],
+                          gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], st: GroupState[OpenSession]) =>
+          def finish(s: OpenSession) = UserSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n)
+          if (st.hasTimedOut) {
+            val out = st.getOption.map(finish).iterator
+            st.remove()
+            out
+          } else {
+            // per-batch, per-key buffer: bounded by one key's batch volume
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.Buffer.empty[UserSession]
+            var open = st.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += finish(s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              st.update(s)
+              // timeout once the watermark passes the gap; never set a
+              // timeout at/behind the current watermark (Spark rejects it)
+              st.setTimeoutTimestamp(
+                math.max(s.end + gapMs, st.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming upsert into a keyed parquet table via foreachBatch: each
     * micro-batch is merged with the current table state — new keys
     * appended, existing keys replaced by the latest row (max ts wins).

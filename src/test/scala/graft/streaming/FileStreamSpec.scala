@@ -139,6 +139,55 @@ class FileStreamSpec extends SparkTestBase {
       ("2024-01-01 02:00:00", 1L)))
   }
 
+  test("flatMapGroupsWithState sessionization: gap-close and timeout-close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[graft.streaming.StreamOps.UserEvent](spark)
+    val sessions = StreamOps.sessionizeWithState(
+      StreamOps.withLateness(mem.toDF(), "ts", "1 minute")
+        .as[graft.streaming.StreamOps.UserEvent],
+      gapMs = 30L * 60 * 1000)
+    val cp = Files.createTempDirectory("fmgs-cp").toString
+    val out = Files.createTempDirectory("fmgs-out").toString
+    def drain(): Unit = {
+      // parquet sink: supports checkpoint recovery (memory sink doesn't),
+      // so the second drain resumes the same state store
+      val q = sessions.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted() = spark.read.parquet(out)
+      .select($"user_id", $"session_start".cast("string"), $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+
+    // batch 1: user 1's third event is past the gap → first session
+    // closes IN-BATCH; then AvailableNow's follow-up trigger sees the
+    // watermark at 01:59, past user 2's 00:35 close → user 2's session
+    // closes by TIMEOUT with no new events. User 1's second session
+    // (ends 02:00, gap to 02:30) is still open.
+    mem.addData(
+      StreamOps.UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+      StreamOps.UserEvent(1L, ts("2024-01-01 00:10:00"), 1.0),
+      StreamOps.UserEvent(1L, ts("2024-01-01 02:00:00"), 1.0),
+      StreamOps.UserEvent(2L, ts("2024-01-01 00:05:00"), 1.0))
+    drain()
+    assert(emitted() == Set(
+      (1L, "2024-01-01 00:00:00", 2L),
+      (2L, "2024-01-01 00:05:00", 1L)))
+
+    // batch 2: a far-future event advances the watermark past the last
+    // open session's close → it too emits by timeout
+    mem.addData(StreamOps.UserEvent(9L, ts("2024-01-01 10:00:00"), 1.0))
+    drain()
+    assert(emitted() == Set(
+      (1L, "2024-01-01 00:00:00", 2L),
+      (1L, "2024-01-01 02:00:00", 1L),
+      (2L, "2024-01-01 00:05:00", 1L)))
+  }
+
   test("stream-stream interval join matches its batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
