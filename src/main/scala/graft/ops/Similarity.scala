@@ -110,12 +110,23 @@ object Similarity {
       .select(col("cv").as("centv"),
         row_number().over(Window.orderBy(col("_h"), col("cid")))
           .as("cent_id"))
-    val assign = v.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("cv"), col("centv")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("cid"))
-        .orderBy(col("sim").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), col("cid").as("neighbor_id"), col("cv"))
+    // List assignment is MAP-SIDE: the centroid table collapses to a
+    // single broadcast row carrying a cent_id-sorted array, and each
+    // corpus vector picks its list with an in-row argmax —
+    // array_max over (sim, -cent_id) structs == "highest cosine, ties to
+    // the smallest cent_id", the same ordering the former
+    // row_number(sim desc, cent_id) window used. No Exchange touches the
+    // corpus between scan and assignment (the earlier crossJoin+window
+    // form replicated every vector nLists× through a shuffle just to
+    // argmax — a 16×-corpus exchange at 100 TB).
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    val assign = v.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(cosine(col("cv"), c("centv")).as("sim"),
+          (-c("cent_id")).as("neg_id")))))
+      .select((-col("best.neg_id")).as("cent_id"),
+        col("cid").as("neighbor_id"), col("cv"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
@@ -126,7 +137,11 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cent_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(assign, "cent_id")
+    // probe side is |Q|·nProbe rows — broadcast it so the corpus-sized
+    // assignment never hash-shuffles on cent_id either; the only
+    // exchange in the whole pipeline is the final per-query top-k
+    // window, which carries (query_id, neighbor_id, cosine) only.
+    assign.join(broadcast(probes), "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))

@@ -29,15 +29,16 @@ object SetOpQueries {
     custNations(spark, dir).intersect(suppNations(spark, dir))
       .orderBy(col("nationkey"))
 
-  /** EXCEPT with a non-empty result: nations of all customers minus
-    * nations of negative-balance customers.
+  /** EXCEPT with a provably non-empty result: orders that have no
+    * lineitems (257 keys at sf0.01 — the fixture generates some empty
+    * orders). The previous nation-level difference was empty at every
+    * SF, which made the oracle row vacuous.
     */
   def qSetExcept(spark: SparkSession, dir: String): DataFrame =
-    custNations(spark, dir)
-      .except(Tables.customer(spark, dir)
-        .filter(col("c_acctbal") < 0)
-        .select(col("c_nationkey").as("nationkey")))
-      .orderBy(col("nationkey"))
+    Tables.orders(spark, dir).select(col("o_orderkey").as("orderkey"))
+      .except(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("orderkey")))
+      .orderBy(col("orderkey"))
 
   /** INTERSECT ALL keeps min(multiplicity) copies — surfaced as a count
     * per key so the multiset semantics are visible in the output.
@@ -88,8 +89,9 @@ object SetOpQueries {
     "q_set_intersect" ->
       s"($cn INTERSECT $sn) ORDER BY nationkey",
     "q_set_except" ->
-      s"""($cn EXCEPT SELECT c_nationkey AS nationkey FROM customer
-         | WHERE c_acctbal < 0) ORDER BY nationkey""".stripMargin,
+      """(SELECT o_orderkey AS orderkey FROM orders
+        | EXCEPT SELECT l_orderkey AS orderkey FROM lineitem)
+        |ORDER BY orderkey""".stripMargin,
     "q_set_intersect_all" ->
       s"""SELECT nationkey, COUNT(*) AS n FROM ($cn INTERSECT ALL $sn)
          |GROUP BY nationkey ORDER BY nationkey""".stripMargin,

@@ -35,12 +35,15 @@ object TpchQueries {
 
   /** Q5 shape — local supplier volume: revenue per nation where the
     * customer and supplier share the nation, one region, one year.
+    * Year 1996: inside the fixture's o_orderdate range
+    * (1995-01-01 … 2001-08-01), so the selection is non-empty and the
+    * oracle hash certifies the 6-way join, not an empty set.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val c = Tables.customer(spark, dir)
     val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
@@ -60,12 +63,15 @@ object TpchQueries {
   /** Q10 shape — returned items report: top-20 customers by revenue lost
     * to returns in a quarter. Fact-fact join (orders⋈lineitem) shuffles;
     * customer and nation broadcast; top-20 via TakeOrderedAndProject.
+    * Quarter 1996-10-01 … 1997-01-01 lies inside the fixture's
+    * order-date range so the report is non-trivial (371 customers at
+    * sf0.01 before the limit).
     */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1993-10-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1994-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_returnflag") === "R")
     val n = Tables.nation(spark, dir)
@@ -108,8 +114,8 @@ object TpchQueries {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE l_returnflag = 'R'
-         |  AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
     "q5_local_supplier" ->
@@ -121,8 +127,8 @@ object TpchQueries {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
-         |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-         |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -50,6 +50,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ivfTopK: list assignment is map-side — corpus never hash-shuffles") {
+    val p = plan("q_sim_topk_ivf")
+    // the former crossJoin+window argmax hash-partitioned the corpus on
+    // cid (replicated nLists×); the map-side argmax + broadcast probes
+    // leave no hash exchange touching the corpus id or vector columns
+    val hashExchanges = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .toSeq
+    assert(hashExchanges.forall(l => !l.matches(".*\\bcid#.*")),
+      s"assignment must not shuffle on cid:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.forall(l => !l.contains("cv#")),
+      s"corpus vectors must never hash-shuffle:\n${hashExchanges.mkString("\n")}")
+  }
+
   test("lshTopK dedupes candidates on id pairs, not embedding vectors") {
     // the distinct's exchange must not carry the vector columns
     val p = plan("q_sim_topk_lsh")
