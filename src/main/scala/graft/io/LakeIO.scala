@@ -132,26 +132,31 @@ object LakeIO {
 
   /** Lake listing → DataFrame[name, size, last_modified], recursive, with
     * the per-tenant `prefix` filter the reference intended but disabled.
-    * Uses the Hadoop FileSystem client directly (driver-side listing of
-    * object metadata — the listing itself is not a distributed job, matching
-    * object-store list semantics); the result is a DataFrame so it composes
-    * with the rest of the engine.
+    *
+    * Implemented over the `binaryFile` source selecting METADATA columns
+    * only — `content` is pruned, so no file byte is ever read. This is
+    * the 100 TB shape: Spark's file index parallelizes the directory walk
+    * across the cluster once the leaf count passes
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (a
+    * driver-side `fs.listFiles` loop over millions of objects was the
+    * previous, non-scalable form). Note the data-source convention:
+    * `_`/`.`-prefixed files (e.g. `_SUCCESS`) are treated as hidden and
+    * excluded, which is what a lake catalog wants anyway.
     */
   def listing(spark: SparkSession, dir: String,
               prefix: String = ""): DataFrame = {
-    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPrefix = fs.makeQualified(root).toString + "/"
-    val it = fs.listFiles(root, /* recursive = */ true)
-    val rows = Iterator.continually(it)
-      .takeWhile(_.hasNext).map(_.next())
-      .map { st =>
-        val rel = st.getPath.toString.stripPrefix(rootPrefix)
-        (rel, st.getLen, new java.sql.Timestamp(st.getModificationTime))
-      }
-      .filter(_._1.startsWith(prefix))
-      .toSeq
-    rows.toDF("name", "size", "last_modified")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        substring(col("path"), rootPrefix.length + 1, Int.MaxValue)
+          .as("name"),
+        col("length").as("size"),
+        col("modificationTime").as("last_modified"))
+      .filter(col("name").startsWith(prefix))
   }
 }

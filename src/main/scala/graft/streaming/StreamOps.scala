@@ -104,31 +104,49 @@ object StreamOps {
     * flatMapGroupsWithState). Input must be watermarked (`withLateness`)
     * for EventTimeTimeout to be legal. State per key is one open session:
     * O(keys), not O(events).
+    *
+    * All session arithmetic is in epoch MICROSECONDS (TimestampType's
+    * native precision) — `Timestamp.getTime` is millis and would silently
+    * truncate micro-precision event times, corrupting session bounds.
+    * Only the timeout registration rounds to millis (GroupState's API
+    * unit): it is set to the ms-floor of end + gap, and GroupState
+    * event-time timeouts fire only when timeoutTimestamp < watermark
+    * STRICTLY — so an idle session closes in the first batch whose
+    * watermark ms-floor strictly exceeds end + gap's ms-floor (boundary
+    * pinned by FileStreamSpec "timeout boundary"; that inequality is
+    * what q_stream_session_state's oracle twin encodes).
     */
   def sessionizeWithState(events: Dataset[UserEvent],
                           gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
+    val gapUs = gapMs * 1000L
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[UserEvent], st: GroupState[OpenSession]) =>
           def finish(s: OpenSession) = UserSession(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-            s.n)
+            toTs(s.start), toTs(s.end), s.n)
           if (st.hasTimedOut) {
             val out = st.getOption.map(finish).iterator
             st.remove()
             out
           } else {
             // per-batch, per-key buffer: bounded by one key's batch volume
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toUs(e.ts))
             val closed = scala.collection.mutable.Buffer.empty[UserSession]
             var open = st.getOption
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = toUs(e.ts)
               open = open match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed += finish(s)
@@ -138,10 +156,11 @@ object StreamOps {
             }
             open.foreach { s =>
               st.update(s)
-              // timeout once the watermark passes the gap; never set a
-              // timeout at/behind the current watermark (Spark rejects it)
+              // ms-floor of end+gap (timeouts fire strictly past it);
+              // never at/behind the current watermark (Spark rejects it)
               st.setTimeoutTimestamp(
-                math.max(s.end + gapMs, st.getCurrentWatermarkMs + 1))
+                math.max((s.end + gapUs) / 1000L,
+                  st.getCurrentWatermarkMs + 1L))
             }
             closed.iterator
           }

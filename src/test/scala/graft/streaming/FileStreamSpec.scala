@@ -188,6 +188,43 @@ class FileStreamSpec extends SparkTestBase {
       (2L, "2024-01-01 00:05:00", 1L)))
   }
 
+  test("sessionizeWithState timeout boundary: fires once watermark reaches the ms after end+gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[graft.streaming.StreamOps.UserEvent](spark)
+    val sessions = StreamOps.sessionizeWithState(
+      StreamOps.withLateness(mem.toDF(), "ts", "0 seconds")
+        .as[graft.streaming.StreamOps.UserEvent],
+      gapMs = 60L * 1000)
+    val cp = Files.createTempDirectory("fmgs-b-cp").toString
+    val out = Files.createTempDirectory("fmgs-b-out").toString
+    def drain(): Unit = {
+      val q = sessions.writeStream.format("parquet").option("path", out)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emittedA() = spark.read.parquet(out)
+      .filter($"user_id" === 1L).count()
+
+    // user 1 @ 00:00:00.000, gap 60 s → timeout registered at 60000 ms
+    // (the ms-floor of end+gap). Watermark exactly 60000 (== end+gap)
+    // must NOT close it: GroupState event-time timeouts fire only when
+    // timeoutTimestamp < watermark STRICTLY...
+    mem.addData(
+      StreamOps.UserEvent(1L, ts("2024-01-01 00:00:00"), 1.0),
+      StreamOps.UserEvent(8L, ts("2024-01-01 00:01:00"), 1.0))
+    drain()
+    assert(emittedA() == 0, "watermark == end+gap must not close the session")
+
+    // ...watermark 60001 (one ms past end+gap) MUST close it.
+    val t2 = ts("2024-01-01 00:01:00"); t2.setNanos(1000000) // + 1 ms
+    mem.addData(StreamOps.UserEvent(9L, t2, 1.0))
+    drain()
+    assert(emittedA() == 1, "watermark one ms past end+gap must close the session")
+  }
+
   test("stream-stream interval join matches its batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
