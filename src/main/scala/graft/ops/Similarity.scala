@@ -44,10 +44,20 @@ object Similarity {
     * rows), the corpus side still emits exactly one row per (vector,
     * table), so the extra recall costs no corpus-side work or shuffle.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nBits: Int = 12, nTables: Int = 4,
-              multiprobe: Boolean = false): DataFrame = {
+  /** The candidate (query_id, neighbor_id) pairs lshTopK scores —
+    * exposed so tuning tools (RecallSweep) can measure candidate volume
+    * for a parameter point without duplicating the banding logic.
+    *
+    * Carries ONLY the id pair: a vector sharing buckets in several
+    * tables would otherwise push its full embedding through the dedup
+    * shuffle once per collision — distinct on 16 bytes instead; vectors
+    * re-attach afterwards (queries broadcast by contract; corpus by
+    * equi-join on id, one vector per surviving candidate).
+    */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String,
+                    nBits: Int, nTables: Int,
+                    multiprobe: Boolean): DataFrame = {
     val qSig = queries.select(col(idCol).as("query_id"),
       explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
@@ -63,15 +73,18 @@ object Similarity {
         struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
           .as("sig")))).as("b"))
       .select(col("neighbor_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    // candidate set carries ONLY the id pair: a vector sharing buckets in
-    // several tables would otherwise push its full embedding through the
-    // dedup shuffle once per collision — distinct on 16 bytes instead,
-    // then re-attach vectors (queries broadcast by contract; corpus by
-    // equi-join on id, one vector per surviving candidate).
-    val cand = c.join(broadcast(q), Seq("tbl", "sig"))
+    c.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
+  }
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nBits: Int = 12, nTables: Int = 4,
+              multiprobe: Boolean = false): DataFrame = {
+    val cand = lshCandidates(queries, corpus, idCol, vecCol,
+      nBits, nTables, multiprobe)
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries._
+
+/** Registry-integrity guards (VERDICT r2 item 6): `SparkEntry.queries`
+  * merges 14 per-file maps with `++`, where a duplicated key would
+  * silently shadow an earlier definition — and an oracle key without a
+  * query would silently never be checked. Cheap insurance that fails
+  * loudly instead.
+  */
+class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val parts: Seq[(String, Map[String, _])] = Seq(
+    "AggQueries" -> AggQueries.defs,
+    "JoinQueries" -> JoinQueries.defs,
+    "SetOpQueries" -> SetOpQueries.defs,
+    "WindowQueries" -> WindowQueries.defs,
+    "FuncQueries" -> FuncQueries.defs,
+    "DedupQueries" -> DedupQueries.defs,
+    "SimilarityQueries" -> SimilarityQueries.defs,
+    "TextQueries" -> TextQueries.defs,
+    "MiscQueries" -> MiscQueries.defs,
+    "StreamQueries" -> StreamQueries.defs,
+    "CustomQueries" -> CustomQueries.defs,
+    "SqlQueries" -> SqlQueries.defs,
+    "FilterQueries" -> FilterQueries.defs,
+    "TpchQueries" -> TpchQueries.defs)
+
+  private val oracleParts: Seq[(String, Map[String, String])] = Seq(
+    "AggQueries" -> AggQueries.oracles,
+    "JoinQueries" -> JoinQueries.oracles,
+    "SetOpQueries" -> SetOpQueries.oracles,
+    "WindowQueries" -> WindowQueries.oracles,
+    "FuncQueries" -> FuncQueries.oracles,
+    "DedupQueries" -> DedupQueries.oracles,
+    "SimilarityQueries" -> SimilarityQueries.oracles,
+    "TextQueries" -> TextQueries.oracles,
+    "MiscQueries" -> MiscQueries.oracles,
+    "StreamQueries" -> StreamQueries.oracles,
+    "CustomQueries" -> CustomQueries.oracles,
+    "SqlQueries" -> SqlQueries.oracles,
+    "FilterQueries" -> FilterQueries.oracles,
+    "TpchQueries" -> TpchQueries.oracles)
+
+  test("query keys are disjoint across files — nothing shadows in the ++ merge") {
+    val dupes = parts.flatMap { case (src, m) => m.keys.map(_ -> src) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .map { case (k, srcs) => s"$k in ${srcs.map(_._2).mkString(", ")}" }
+    assert(dupes.isEmpty, s"duplicated query keys: ${dupes.mkString("; ")}")
+    assert(SparkEntry.queries.size == parts.map(_._2.size).sum)
+  }
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+
+  test("oracle keys are disjoint across files") {
+    val dupes = oracleParts.flatMap { case (src, m) => m.keys.map(_ -> src) }
+      .groupBy(_._1).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicated oracle keys: ${dupes.mkString(", ")}")
+  }
+
+  test("oracle SQL strings are nonempty and reference no Spark-only syntax") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k: empty oracle")
+      // cheap sanity: a DuckDB oracle never calls Spark-registered UDFs
+      assert(!sql.contains("cosine_sim("), s"$k: Spark-only function in oracle")
+      assert(!sql.contains("bitmap_and_count("), s"$k: Spark-only function in oracle")
+    }
+  }
+}
