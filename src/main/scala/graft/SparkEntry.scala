@@ -22,7 +22,7 @@ object SparkEntry {
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
-      FilterQueries.defs ++ TpchQueries.defs
+      FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MiscQueries.oracles ++ StreamQueries.oracles ++
       CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
-      TpchQueries.oracles
+      TpchQueries.oracles ++ CurationQueries.oracles
 }

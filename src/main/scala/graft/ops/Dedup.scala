@@ -143,12 +143,25 @@ object Dedup {
     * regime is exact-with-negligible-false-negative-odds, not exact.
     *
     * Side effect: plan CONSTRUCTION runs one eager Spark job (a count of
-    * the shingle vocabulary) to pick the verification strategy.
+    * the shingle vocabulary) to pick the verification strategy — unless
+    * the caller supplies `vocabHint` (e.g. from table stats or a prior
+    * run), which keeps construction fully lazy. The hint MUST be an
+    * upper bound on the true distinct-shingle count: in the
+    * small-vocabulary regime it also sizes the verification bitsets, and
+    * an undersized width would silently drop shingles (an oversized one
+    * just pads zero words).
+    *
+    * `exact = true` forces the exact verifier even in the
+    * large-vocabulary regime (no minhash prefilter, array_intersect on
+    * every candidate): zero false negatives at the cost of verifying the
+    * full candidate stream.
     *
     * @return DataFrame[id_a, id_b, inter, union_n, jaccard], id_a < id_b.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, minJaccard: Double): DataFrame = {
+                        k: Int, minJaccard: Double,
+                        vocabHint: Option[Long] = None,
+                        exact: Boolean = false): DataFrame = {
     // global order = ascending document frequency (rarest first), ties by
     // shingle value: prefixes then hold each doc's RAREST shingles, so
     // prefix-index buckets are small by construction and the hot-shingle
@@ -183,7 +196,7 @@ object Dedup {
           col("y.n") >= col("x.n") * minJaccard &&
           least(col("x.n") - col("x.p"), col("y.n") - col("y.p")) >= alpha)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    val vocab = dfTbl.count()
+    val vocab = vocabHint.getOrElse(dfTbl.count())
     val verified = if (vocab <= (1L << 16)) {
       // SMALL-VOCABULARY regime (the regime where prefix buckets stay
       // hot): exact bitset verification. Dictionary-encode shingles to
@@ -225,20 +238,26 @@ object Dedup {
       // sigs (64 longs per candidate vs full shingle arrays; margin
       // t−0.25 has false-negative odds ~3e-7 per qualifying pair), then
       // exact array_intersect on survivors. Sigs derive from the SAME
-      // persisted exploded table (no re-shingle).
-      val sigs = CacheScope.cached(exploded
-        .select(col("id"), xxhash64(col("s")).as("h0"))
-        .groupBy(col("id"))
-        .agg(array((0 until 64).map(j =>
-          min(xxhash64(lit(j), col("h0")))): _*).as("sig")))
-      val margin = math.max(0.0, minJaccard - 0.25)
+      // persisted exploded table (no re-shingle). `exact` skips the
+      // prefilter: every distinct candidate goes to array_intersect.
       // here verification (array_intersect over full shingle sets) is far
       // more expensive than a shuffle, so dedup the candidate stream FIRST
-      val likely = cand.distinct()
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .filter(estJaccard(col("sig_a"), col("sig_b")) >= margin)
-        .select(col("id_a"), col("id_b"))
+      val distinctCand = cand.distinct()
+      val likely = if (exact) distinctCand else {
+        val sigs = CacheScope.cached(exploded
+          .select(col("id"), xxhash64(col("s")).as("h0"))
+          .groupBy(col("id"))
+          .agg(array((0 until 64).map(j =>
+            min(xxhash64(lit(j), col("h0")))): _*).as("sig")))
+        val margin = math.max(0.0, minJaccard - 0.25)
+        distinctCand
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+            "id_a")
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+            "id_b")
+          .filter(estJaccard(col("sig_a"), col("sig_b")) >= margin)
+          .select(col("id_a"), col("id_b"))
+      }
       likely
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

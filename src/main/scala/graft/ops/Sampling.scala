@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Both samplers key off an md5-derived uniform instead of `rand()`:
+  * the sample is a pure function of the row id, so it is reproducible
+  * across runs, partitionings, engines (the DuckDB oracle recomputes it
+  * exactly), and incremental reruns over grown data — the property a
+  * 100 TB curation pipeline needs for auditability. md5 is a fine
+  * uniform: the first 8 hex digits give 32 i.i.d.-enough bits per id.
+  *
+  * Scale shapes: `stratifiedSample` is a pure map-side filter (no
+  * shuffle, composes with scan pushdown). `quotaSample` needs a per-
+  * stratum top-N — one shuffle on the stratum key with a pre-shuffle
+  * WindowGroupLimit, the same shape as any top-k per group.
+  */
+object Sampling {
+
+  /** Uniform in [0, 1): first 32 bits of md5(id), scaled. */
+  def hashUniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Keep each row with its stratum's probability (`default` for strata
+    * not in the map), deterministically by id hash.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       default: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol)) < frac)
+  }
+
+  /** Exactly min(quota, |stratum|) rows per stratum: the `quota` rows
+    * with the smallest id-hash (ties by id). Deterministic fixed-size
+    * variant of `stratifiedSample` for "N docs per language/source"
+    * mixture specs.
+    */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+                  quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_qrn", row_number().over(w))
+      .filter(col("_qrn") <= quota)
+      .drop("_qrn")
+  }
+
+  /** DuckDB-side twin of `hashUniform` over column expression `e` —
+    * kept next to the Spark form so the two stay in lockstep. (Digit-sum
+    * parse of the first 8 md5 hex digits; DuckDB lacks a hex→int conv.)
+    */
+  def hashUniformSql(e: String): String = {
+    val digits = (1 to 8).map { d =>
+      val pow = math.pow(16, 8 - d).toLong
+      s"(strpos('0123456789abcdef', substring(md5(CAST($e AS VARCHAR)), $d, 1)) - 1) * ${pow}"
+    }
+    s"((${digits.mkString(" + ")}) / 4294967296.0)"
+  }
+}

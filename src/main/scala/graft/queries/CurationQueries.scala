@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.{Decontaminate, Sampling}
+
+/** Training-data curation operators: deterministic sampling and
+  * benchmark decontamination. All oracle-checked — the samplers key off
+  * an md5-derived uniform (reproducible cross-engine), and the
+  * contamination rule is exact n-gram overlap.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hash-deterministic stratified sample of documents by language:
+    * half of en, a quarter of zh, 10% of everything else. Map-side
+    * filter — no shuffle, composes with scan pruning.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir),
+        "doc_id", "lang", Map("en" -> 0.5, "zh" -> 0.25), default = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Exactly 20 docs per language, chosen by smallest id-hash — the
+    * fixed-size mixture-spec sampler (one shuffle on the stratum key,
+    * pre-shuffle WindowGroupLimit).
+    */
+  def qSampleQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaSample(Tables.documents(spark, dir),
+        "doc_id", "lang", quota = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus minus every document sharing a word 8-gram with the
+    * stand-in benchmark set (doc_id % 53 == 0 — which also catches the
+    * fixture's planted near-duplicates of those docs). Benchmark grams
+    * broadcast; the corpus never shuffles.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 53 === 0)
+    Decontaminate.decontaminate(docs, "doc_id", "text", bench, "text", n = 8)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
+    "q_curate_sample_quota" -> (qSampleQuota(_, _)),
+    "q_curate_decontaminate" -> (qDecontaminate(_, _))
+  )
+
+  private val u = Sampling.hashUniformSql("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "q_curate_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+         |  ELSE 0.1 END
+         |ORDER BY doc_id""".stripMargin,
+    "q_curate_sample_quota" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q_curate_decontaminate" ->
+      """WITH bt AS (
+        |  SELECT string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id % 53 = 0
+        |    AND len(string_split_regex(text, '\s+')) >= 8),
+        |bg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM bt)),
+        |dt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 8),
+        |dg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i FROM dt)),
+        |bad AS (SELECT DISTINCT doc_id FROM dg
+        |        WHERE g IN (SELECT g FROM bg))
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

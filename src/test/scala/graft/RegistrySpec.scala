@@ -24,7 +24,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "CustomQueries" -> CustomQueries.defs,
     "SqlQueries" -> SqlQueries.defs,
     "FilterQueries" -> FilterQueries.defs,
-    "TpchQueries" -> TpchQueries.defs)
+    "TpchQueries" -> TpchQueries.defs,
+    "CurationQueries" -> CurationQueries.defs)
 
   private val oracleParts: Seq[(String, Map[String, String])] = Seq(
     "AggQueries" -> AggQueries.oracles,
@@ -40,7 +41,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "CustomQueries" -> CustomQueries.oracles,
     "SqlQueries" -> SqlQueries.oracles,
     "FilterQueries" -> FilterQueries.oracles,
-    "TpchQueries" -> TpchQueries.oracles)
+    "TpchQueries" -> TpchQueries.oracles,
+    "CurationQueries" -> CurationQueries.oracles)
 
   test("query keys are disjoint across files — nothing shadows in the ++ merge") {
     val dupes = parts.flatMap { case (src, m) => m.keys.map(_ -> src) }
