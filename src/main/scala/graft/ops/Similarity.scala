@@ -134,16 +134,28 @@ object Similarity {
     // argmax — a 16×-corpus exchange at 100 TB).
     val centArr = cents.agg(array_sort(
       collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    // lambda body uses the native cosine_sim expression: higher-order
+    // functions don't whole-stage-codegen, so the per-element cost is the
+    // expression's interpreted eval — cosine_sim's fused primitive loop,
+    // vs the zip_with+aggregate chain that allocates and boxes per
+    // element (measured ~5× on this assignment at sf0.1)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val assign = v.crossJoin(broadcast(centArr))
-      .withColumn("best", array_max(transform(col("cents"), c =>
-        struct(cosine(col("cv"), c("centv")).as("sim"),
-          (-c("cent_id")).as("neg_id")))))
+      .withColumn("best", expr(
+        "array_max(transform(cents, c -> " +
+          "named_struct('sim', cosine_sim(cv, c.centv), " +
+          "'neg_id', -c.cent_id)))"))
       .select((-col("best.neg_id")).as("cent_id"),
         col("cid").as("neighbor_id"), col("cv"))
+    // probes derive from the SAME broadcast single-row centroid array as
+    // the assignment (ReusedExchange — one centroid job, not two);
+    // explode is fine here: the probe side is |Q| rows
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("qv"), col("centv")))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qv"), explode(col("cents")).as("c"))
+      .select(col("query_id"), col("qv"), col("c.cent_id").as("cent_id"),
+        expr("cosine_sim(qv, c.centv)").as("sim"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("cent_id"))))
       .filter(col("rn") <= nProbe)
