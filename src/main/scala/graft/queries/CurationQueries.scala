@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Decontaminate, Sampling}
+import graft.ops.{Decontaminate, Packing, Sampling}
 
 /** Training-data curation operators: deterministic sampling and
   * benchmark decontamination. All oracle-checked — the samplers key off
@@ -46,10 +46,20 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Pack documents into 4096-char context-window bins across 8
+    * hash-bucketed parallel streams (n_chars as the length proxy —
+    * swap in a token count column for a tokenizer-accurate layout).
+    */
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(spark, dir),
+        "doc_id", "n_chars", capacity = 4096L, buckets = 8)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
-    "q_curate_decontaminate" -> (qDecontaminate(_, _))
+    "q_curate_decontaminate" -> (qDecontaminate(_, _)),
+    "q_curate_pack" -> (qPack(_, _))
   )
 
   private val u = Sampling.hashUniformSql("doc_id")
@@ -87,6 +97,21 @@ object CurationQueries {
         |        WHERE g IN (SELECT g FROM bg))
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_curate_pack" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(floor($u * 8) AS BIGINT) AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars, bucket,
+         |    SUM(n_chars) OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b)
+         |SELECT doc_id, bucket,
+         |  CAST(CAST(cum - n_chars AS BIGINT) // 4096 AS BIGINT) AS bin,
+         |  n_chars
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -74,7 +74,25 @@ object SqlQueries {
       .orderBy(col("flag"))
   }
 
+  /** Correlated EXISTS + NOT EXISTS — planned as LeftSemi/LeftAnti
+    * joins by Catalyst (no per-row subquery execution).
+    */
+  def qSqlExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_sql_exists" -> (qSqlExists(_, _)),
     "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
     "q_sql_pivot" -> (qSqlPivot(_, _)),
     "q_sql_scalar_subquery" -> (qSqlScalarSubquery(_, _)),
@@ -82,6 +100,15 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin,
     "q_sql_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  round(SUM(o_totalprice), 2) AS sum_price

@@ -83,7 +83,24 @@ object WindowQueries {
       .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
   }
 
+  /** nth_value over a full frame + lag with an explicit default — the
+    * analytic accessors q_window_lag_lead doesn't cover.
+    */
+  def qWindowNth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+        nth_value(col("o_orderkey"), 3).over(wFull).as("third_order"),
+        lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_window_nth" -> (qWindowNth(_, _)),
     "q_window_topk" -> (qWindowTopk(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
     "q_window_lag_lead" -> (qWindowLagLead(_, _)),
@@ -92,6 +109,17 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  nth_value(o_orderkey, 3) OVER wf AS third_order,
+        |  lag(o_totalprice, 2, -1.0) OVER w AS prev2_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

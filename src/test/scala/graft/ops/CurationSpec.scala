@@ -59,6 +59,43 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("packSequences: contiguous bins per bucket, deterministic") {
+    val df = (1L to 300L).map(i => (i, 10L + (i % 7) * 30L))
+      .toDF("id", "toks")
+    val packed = Packing.packSequences(df, "id", "toks",
+      capacity = 200L, buckets = 4)
+    // every doc assigned; bins within a bucket are contiguous from 0
+    assert(packed.count() == 300)
+    val perBucket = packed.groupBy("bucket")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    perBucket.foreach { case (_, lo, hi, n) =>
+      assert(lo == 0L); assert(n == hi + 1, "bins must be contiguous")
+    }
+    // internal columns dropped; bin b of a bucket only starts once at
+    // least b*capacity tokens precede it in that bucket
+    assert(packed.columns.toSeq == Seq("id", "bucket", "bin", "toks"))
+    val under = packed.groupBy("bucket", "bin")
+      .agg(sum("toks").as("s")).as[(Long, Long, Long)].collect()
+      .groupBy(_._1).values
+      .flatMap { bins =>
+        val byBin = bins.map(b => b._2 -> b._3).toMap
+        byBin.keys.map { b =>
+          val before = (0L until b).map(byBin.getOrElse(_, 0L)).sum
+          before >= b * 200L - 200L // start of bin b within its window
+        }
+      }
+    assert(under.forall(identity))
+    // deterministic across partitionings
+    val again = Packing.packSequences(df.repartition(7), "id", "toks",
+      200L, 4).select("id", "bucket", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val first = packed.select("id", "bucket", "bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(first == again)
+  }
+
   test("hashUniformSql stays in lockstep with hashUniform (spot values)") {
     // the Spark side of the pair; the SQL side is exercised by the
     // driver's DuckDB gate on q_curate_sample_stratified — here we pin
