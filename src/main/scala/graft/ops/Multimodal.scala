@@ -92,6 +92,52 @@ object Multimodal {
     } catch { case _: NumberFormatException => None }
   }
 
+  /** REAL decoder for uncompressed BMP (BI_RGB, 24- or 32-bit) — like
+    * PNM, parseable from raw bytes with no codec library. Little-endian
+    * BITMAPFILEHEADER + BITMAPINFOHEADER; rows padded to 4 bytes and
+    * stored bottom-up (top-down when height < 0 — row order doesn't
+    * change the mean, but the parse handles both). Mean luma is Rec.601
+    * over the BGR(X) samples, same fold discipline as decodePnm.
+    */
+  private[ops] def decodeBmp(m: MediaFile): Option[MediaFeatures] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def i32(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+      ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = i32(10)
+    val headerSize = i32(14)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val bits = u16(28)
+    val compression = i32(30)
+    val h = math.abs(hRaw)
+    if (headerSize < 40 || w <= 0 || h == 0 || compression != 0 ||
+        (bits != 24 && bits != 32)) return None
+    val bytesPerPx = bits / 8
+    val rowSize = ((w.toLong * bytesPerPx + 3) / 4) * 4
+    if (dataOffset < 0 || dataOffset.toLong + rowSize * h > b.length)
+      return None
+    var lumaSum = 0.0
+    var row = 0
+    while (row < h) {
+      val base = dataOffset + row * rowSize
+      var x = 0
+      while (x < w) {
+        val p = (base + x.toLong * bytesPerPx).toInt
+        val blue = b(p) & 0xff
+        val green = b(p + 1) & 0xff
+        val red = b(p + 2) & 0xff
+        lumaSum += 0.299 * red + 0.587 * green + 0.114 * blue
+        x += 1
+      }
+      row += 1
+    }
+    Some(MediaFeatures(path = m.path, length = m.length,
+      fingerprint = fnv(b), width = w, height = h, n_frames = 1,
+      mean_luma = lumaSum / (w.toLong * h) / 255.0))
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -119,16 +165,17 @@ object Multimodal {
       mean_luma = ((h >>> 33) % 256).toDouble / 255.0)
   }
 
-  /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
-    * deterministic stub for codec-requiring formats. One decoder context
-    * per partition; rows stream through without materializing the
-    * partition.
+  /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters and
+    * uncompressed BMP, deterministic stub for codec-requiring formats.
+    * One decoder context per partition; rows stream through without
+    * materializing the partition.
     */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs: initialize decoder context here, once per partition
-      it.map(m => decodePnm(m).getOrElse(fakeDecode(m)))
+      it.map(m =>
+        decodePnm(m).orElse(decodeBmp(m)).getOrElse(fakeDecode(m)))
     }
   }
 

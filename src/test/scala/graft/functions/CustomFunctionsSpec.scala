@@ -125,6 +125,40 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(feats("img.jpg")._1 >= 320)
   }
 
+  test("multimodal: REAL BMP decode — 24-bit padded rows, exact mean luma") {
+    import graft.ops.Multimodal
+    // hand-built 2x2 24-bit BI_RGB BMP: rows are 2*3=6 bytes padded to 8;
+    // bottom-up row order. Pixels (BGR): bottom row = blue, white;
+    // top row = red, green.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val raster = Array[Byte](
+      255.toByte, 0, 0,  255.toByte, 255.toByte, 255.toByte, 0, 0, // bottom
+      0, 0, 255.toByte,  0, 255.toByte, 0,                   0, 0) // top
+    val bmp = "BM".getBytes("US-ASCII") ++
+      le32(54 + raster.length) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ raster
+    val dir = java.nio.file.Files.createTempDirectory("bmp").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "img.bmp").toPath, bmp)
+
+    val f = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.bmp")).toDF()
+      .select($"width", $"height", $"mean_luma")
+      .as[(Int, Int, Double)].collect().head
+    assert(f._1 == 2 && f._2 == 2)
+    // {blue, white, red, green} under Rec.601 → (0.114+1+0.299+0.587)/4
+    assert(math.abs(f._3 - 0.5) < 1e-12)
+    // truncated/garbage BMP header → stub, not a crash
+    java.nio.file.Files.write(new java.io.File(dir, "bad.bmp").toPath,
+      "BMxx".getBytes("US-ASCII"))
+    val n = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.bmp")).toDF().count()
+    assert(n == 2)
+  }
+
   test("multimodal resize plan: aspect-preserving fit, no-op when small") {
     import graft.ops.Multimodal
     val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
