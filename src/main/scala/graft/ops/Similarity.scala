@@ -123,30 +123,24 @@ object Similarity {
       .select(col("cv").as("centv"),
         row_number().over(Window.orderBy(col("_h"), col("cid")))
           .as("cent_id"))
-    // List assignment is MAP-SIDE: the centroid table collapses to a
-    // single broadcast row carrying a cent_id-sorted array, and each
-    // corpus vector picks its list with an in-row argmax —
-    // array_max over (sim, -cent_id) structs == "highest cosine, ties to
-    // the smallest cent_id", the same ordering the former
-    // row_number(sim desc, cent_id) window used. No Exchange touches the
-    // corpus between scan and assignment (the earlier crossJoin+window
-    // form replicated every vector nLists× through a shuffle just to
-    // argmax — a 16×-corpus exchange at 100 TB).
+    // List assignment is MAP-SIDE (assignToCentroids): the centroid
+    // table collapses to a single broadcast row carrying a cent_id-sorted
+    // array, and each corpus vector picks its list with an in-row
+    // argmax — array_max over (sim, -cent_id) structs == "highest
+    // cosine, ties to the smallest cent_id", the same ordering the
+    // former row_number(sim desc, cent_id) window used. No Exchange
+    // touches the corpus between scan and assignment (the earlier
+    // crossJoin+window form replicated every vector nLists× through a
+    // shuffle just to argmax — a 16×-corpus exchange at 100 TB). The
+    // lambda body is the native cosine_sim expression: HOFs don't
+    // whole-stage-codegen, so per-element cost is interpreted eval —
+    // cosine_sim's fused primitive loop beats the zip_with+aggregate
+    // chain (which allocates and boxes per element) by ~2×.
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centArr = cents.agg(array_sort(
       collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
-    // lambda body uses the native cosine_sim expression: higher-order
-    // functions don't whole-stage-codegen, so the per-element cost is the
-    // expression's interpreted eval — cosine_sim's fused primitive loop,
-    // vs the zip_with+aggregate chain that allocates and boxes per
-    // element (measured ~5× on this assignment at sf0.1)
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val assign = v.crossJoin(broadcast(centArr))
-      .withColumn("best", expr(
-        "array_max(transform(cents, c -> " +
-          "named_struct('sim', cosine_sim(cv, c.centv), " +
-          "'neg_id', -c.cent_id)))"))
-      .select((-col("best.neg_id")).as("cent_id"),
-        col("cid").as("neighbor_id"), col("cv"))
+    val assign = assignToCentroids(v, cents)
+      .select(col("cent_id"), col("cid").as("neighbor_id"), col("cv"))
     // probes derive from the SAME broadcast single-row centroid array as
     // the assignment (ReusedExchange — one centroid job, not two);
     // explode is fine here: the probe side is |Q| rows
@@ -172,6 +166,69 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic Lloyd's k-means over an embedding column — the
+    * "trained centroids" step that upgrades `ivfTopK`'s md5-sampled
+    * coarse quantizer into a real IVF index, as a pure DataFrame loop:
+    *
+    *  - init: the k corpus vectors sorting first by md5(id) (same
+    *    engine-portable pseudo-random sample as ivfTopK);
+    *  - assignment: map-side argmax over the broadcast centroid array
+    *    (identical plan shape to ivfTopK's assignment — the corpus
+    *    never shuffles for it);
+    *  - update: per-dimension mean via posexplode + avg, ROUNDED to 6
+    *    decimals — the rounding absorbs float-sum-order drift across
+    *    partitionings/engines (~1e-13), which is what makes the whole
+    *    fit bit-reproducible and oracle-checkable;
+    *  - clusters that lose all members drop out (classic Lloyd edge;
+    *    callers needing fixed k re-seed — documented, not hidden).
+    *
+    * Each iteration shuffles only (cent_id, dim, partial-mean) rows —
+    * k·dim per partition after map-side combine — never vectors. The
+    * centroid table is cached per iteration (CacheScope) so the lazy
+    * plan doesn't re-derive iteration i−1 per branch.
+    *
+    * @return DataFrame[cent_id: int, centv: array<float>]
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    var cents = v.withColumn("_h", md5(col("cid").cast("string")))
+      .orderBy(col("_h"), col("cid")).limit(k)
+      .select(col("cv").as("centv"),
+        row_number().over(Window.orderBy(col("_h"), col("cid")))
+          .as("cent_id"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(v, cents)
+      cents = CacheScope.cached(assigned
+        .select(col("cent_id"), posexplode(col("cv")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("xm"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("xm")))),
+          s => s.getField("xm").cast("float")).as("centv"))
+        .select(col("centv"), col("cent_id")))
+    }
+    cents.select(col("cent_id"), col("centv"))
+  }
+
+  /** Map-side nearest-centroid assignment (shared by ivfTopK and
+    * kmeansFit): broadcast the cent_id-sorted centroid array as one row,
+    * argmax in-row — no exchange touches the corpus.
+    *
+    * @return DataFrame[cent_id, cid, cv]
+    */
+  def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    v.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        "array_max(transform(cents, c -> " +
+          "named_struct('sim', cosine_sim(cv, c.centv), " +
+          "'neg_id', -c.cent_id)))"))
+      .select((-col("best.neg_id")).as("cent_id"), col("cid"), col("cv"))
   }
 
   /** Hyperplane signature whose seed varies by table id (Column). Inlined

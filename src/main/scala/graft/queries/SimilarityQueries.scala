@@ -67,14 +67,110 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** Deterministic Lloyd's k-means (k=8, 2 iterations) — the trained-
+    * centroid path for the IVF index. Output per surviving centroid:
+    * member count under the trained centroids + centroid energy at
+    * 1e-6 resolution. Fully oracle-checked: md5-ordered init, map-side
+    * argmax assignment, 6-decimal-rounded mean updates make every
+    * iteration bit-reproducible in DuckDB.
+    */
+  def qSimKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val members = Similarity.assignToCentroids(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        cents)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_members"))
+    val energy = cents
+      .select(col("cent_id"), posexplode(col("centv")).as(Seq("i", "x")))
+      .select(col("cent_id"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("e6"))
+      .groupBy(col("cent_id"))
+      .agg(sum(col("e6") * col("e6")).as("energy_e12"))
+    members.join(energy, "cent_id")
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("n_members"), col("energy_e12"))
+      .orderBy(col("cent_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
-    "q_sim_centroids" -> (qSimCentroids(_, _))
+    "q_sim_centroids" -> (qSimCentroids(_, _)),
+    "q_sim_kmeans" -> (qSimKmeans(_, _))
   )
 
+  /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
+    * sequential fold, bit-identical to `cosine_sim` (same op order).
+    */
+  private def cosSql(av: String, an: String, bv: String, bn: String) =
+    s"list_sum(list_transform(list_zip($av, $bv), " +
+      s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / ($an * $bn)"
+
+  /** One Lloyd assignment CTE body: nearest `cents` centroid per vector
+    * of `v` (argmax cosine, ties to the smallest cent_id).
+    */
+  private def asgnSql(cents: String) =
+    s"""SELECT vec_id, embedding, nrm, cent_id FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")} DESC,
+       |        c.cent_id) AS rn
+       |    FROM v CROSS JOIN $cents c)
+       |  WHERE rn = 1""".stripMargin
+
+  /** One centroid-update pair of CTE bodies from an assignment CTE. */
+  private def updateSql(asgn: String) = (
+    s"""SELECT cent_id, i, round(AVG(CAST(x AS DOUBLE)), 6) AS xm
+       |  FROM (SELECT cent_id, unnest(embedding) AS x,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM $asgn)
+       |  GROUP BY cent_id, i""".stripMargin,
+    (m: String) =>
+      s"""SELECT cent_id, centv,
+         |  sqrt(list_sum(list_transform(centv,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+         |FROM (SELECT cent_id, list(CAST(xm AS FLOAT) ORDER BY i) AS centv
+         |      FROM $m GROUP BY cent_id)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "q_sim_kmeans" -> {
+      val (m1, c1f) = updateSql("a1")
+      val (m2, c2f) = updateSql("a2")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS rk
+         |  FROM v),
+         |c0 AS (SELECT rk AS cent_id, embedding AS centv, nrm AS cnrm
+         |       FROM r WHERE rk <= 8),
+         |a1 AS (${asgnSql("c0")}),
+         |m1 AS ($m1),
+         |c1 AS (${c1f("m1")}),
+         |a2 AS (${asgnSql("c1")}),
+         |m2 AS ($m2),
+         |c2 AS (${c2f("m2")}),
+         |af AS (${asgnSql("c2")}),
+         |members AS (SELECT cent_id, COUNT(*) AS n_members
+         |            FROM af GROUP BY cent_id),
+         |energy AS (
+         |  SELECT cent_id, CAST(SUM(e6 * e6) AS BIGINT) AS energy_e12
+         |  FROM (SELECT cent_id,
+         |          CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)
+         |            AS e6
+         |        FROM (SELECT cent_id, unnest(centv) AS x FROM c2))
+         |  GROUP BY cent_id)
+         |SELECT cent_id, n_members, energy_e12
+         |FROM members JOIN energy USING (cent_id)
+         |ORDER BY cent_id""".stripMargin
+    },
     "q_sim_topk_brute" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

@@ -98,6 +98,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(run() == once)
   }
 
+  test("kmeansFit recovers planted clusters, deterministic across partitioning") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val assigned = Similarity.assignToCentroids(
+        vecs.select($"vec_id".as("cid"), $"embedding".as("cv")), cents)
+      .select($"cid", $"cent_id").as[(Long, Int)].collect()
+    // every planted cluster (i % 3) maps to exactly one learned centroid
+    val byPlanted = assigned.groupBy(_._1 % 3)
+      .map { case (p, xs) => p -> xs.map(_._2).toSet }
+    assert(byPlanted.values.forall(_.size == 1), byPlanted)
+    assert(byPlanted.values.flatten.toSet.size == 3, "centroids distinct")
+    // deterministic across partitioning (the oracle property)
+    val again = Similarity.kmeansFit(vecs.repartition(7), "vec_id",
+        "embedding", k = 3, iters = 3)
+      .select($"cent_id", $"centv").as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map { case (c, v) => (c, v.toSeq) }.toSeq
+    val first = cents.select($"cent_id", $"centv")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toSeq) }.toSeq
+    assert(first == again)
+  }
+
   test("hyperplane signature is deterministic and separates clusters") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
