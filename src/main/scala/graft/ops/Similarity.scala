@@ -116,13 +116,18 @@ object Similarity {
     * gives way to trained centroids; the plan shape stays identical.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+              vecCol: String, k: Int, nLists: Int, nProbe: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val v = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val cents = v.withColumn("_h", md5(col("cid").cast("string")))
-      .orderBy(col("_h"), col("cid")).limit(nLists)
-      .select(col("cv").as("centv"),
-        row_number().over(Window.orderBy(col("_h"), col("cid")))
-          .as("cent_id"))
+    // `centroids` (cent_id, centv — e.g. kmeansFit output) overrides the
+    // md5 pseudo-random sample: the trained-IVF form. nLists is ignored
+    // when centroids are supplied (their count defines the list count).
+    val cents = centroids.map(_.select(col("cent_id"), col("centv")))
+      .getOrElse(v.withColumn("_h", md5(col("cid").cast("string")))
+        .orderBy(col("_h"), col("cid")).limit(nLists)
+        .select(col("cv").as("centv"),
+          row_number().over(Window.orderBy(col("_h"), col("cid")))
+            .as("cent_id")))
     // List assignment is MAP-SIDE (assignToCentroids): the centroid
     // table collapses to a single broadcast row carrying a cent_id-sorted
     // array, and each corpus vector picks its list with an in-row

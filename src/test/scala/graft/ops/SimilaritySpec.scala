@@ -126,6 +126,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(first == again)
   }
 
+  test("ivfTopK with kmeansFit centroids: trained index, perfect recall on clusters") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.kmeansFit(vecs, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val ivf = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, nLists = 3, nProbe = 1, centroids = Some(trained))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // tight planted clusters + trained centroids: probing ONE list per
+    // query already recovers the exact top-5
+    assert(ivf == brute, s"missing: ${brute -- ivf}")
+  }
+
   test("hyperplane signature is deterministic and separates clusters") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
