@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-grid resampling with forward fill — the gap-filling step every
+  * time-series ETL needs: aggregate events onto a fixed step grid, emit
+  * a row for EVERY step in each key's observed span, and carry the last
+  * observed aggregate forward through empty steps.
+  *
+  * Scale shape: per-key spans come from one aggregate; the grid is a
+  * per-key `sequence` explode (rows = span/step per key, generated, not
+  * shuffled); the join back to observed buckets is an equi-join on
+  * (key, bucket); the forward fill is one window per key. Nothing here
+  * is driver-side and the only shuffles are the two keyed aggregates +
+  * the window — all on (key, bucket)-sized rows, never raw events
+  * beyond the first bucketing aggregate.
+  */
+object Resample {
+
+  /** @param step a duration literal both `window()` and `sequence()`
+    *             accept, e.g. "1 hour".
+    * @return DataFrame[key, bucket, n (0 on empty steps),
+    *         sum_ffill (last observed per-bucket sum carried forward)]
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, step: String): DataFrame = {
+    val b = events
+      .groupBy(col(keyCol),
+        window(col(tsCol), step).getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sv"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr(s"INTERVAL $step")))
+          .as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sv"), ignoreNulls = true).over(w).as("sum_ffill"))
+  }
+}

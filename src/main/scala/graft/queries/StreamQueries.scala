@@ -97,7 +97,17 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Hourly resample + forward fill per user over the events table —
+    * every hour in each user's span gets a row; empty hours carry the
+    * last observed hourly sum forward.
+    */
+  def qTimeResample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.resampleFfill(Tables.events(spark, dir),
+        "user_id", "ts", "value", "1 hour")
+      .orderBy(col("user_id"), col("bucket"))
+
   val defs: Map[String, Q] = Map(
+    "q_time_resample" -> (qTimeResample(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
     "q_stream_sliding" -> (qStreamSliding(_, _)),
@@ -106,6 +116,25 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_resample" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    COUNT(*) AS n, round(SUM(value), 2) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |          FROM b GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans)
+        |SELECT g.user_id, g.bucket, COALESCE(b.n, 0) AS n,
+        |  last_value(b.sv IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
+        |FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+        |  AND g.bucket = b.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
     "q_stream_interval_join" ->
       """SELECT c.event_id AS click_id, b.event_id AS buy_id
         |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id

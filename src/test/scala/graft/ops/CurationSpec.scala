@@ -96,6 +96,26 @@ class CurationSpec extends SparkTestBase {
     assert(first == again)
   }
 
+  test("resampleFfill: every step in span emitted, gaps carry last sum") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:10:00"), 1.5),
+      (7L, ts("2024-01-01 00:40:00"), 2.0), // hour 0: n=2, sv=3.5
+      (7L, ts("2024-01-01 03:05:00"), 4.0), // hours 1-2 empty
+      (9L, ts("2024-01-01 05:00:00"), 9.0)  // separate key, 1-hour span
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.Resample
+      .resampleFfill(ev, "user_id", "ts", "value", "1 hour")
+      .select($"user_id", $"bucket".cast("string"), $"n", $"sum_ffill")
+      .as[(Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01 00:00:00", 2L, 3.5),
+      (7L, "2024-01-01 01:00:00", 0L, 3.5), // gap: forward-filled
+      (7L, "2024-01-01 02:00:00", 0L, 3.5),
+      (7L, "2024-01-01 03:00:00", 1L, 4.0),
+      (9L, "2024-01-01 05:00:00", 1L, 9.0)))
+  }
+
   test("hashUniformSql stays in lockstep with hashUniform (spot values)") {
     // the Spark side of the pair; the SQL side is exercised by the
     // driver's DuckDB gate on q_curate_sample_stratified — here we pin
