@@ -122,6 +122,50 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental MinHash-LSH near-dup pairs: candidates are only
+    * (corpus × batch) and (batch × batch) — the corpus is never
+    * self-joined. This is the 100 TB ingest shape: after the initial
+    * corpus-wide dedup, each incoming batch pays
+    * O(|batch| · bucket-occupancy), not another O(|corpus|²) pass, and
+    * at steady state corpus band tables persist as a bucketed table so
+    * only the batch side is (re)hashed. Ids must be distinct across the
+    * two inputs (they identify rows in the output pairs).
+    *
+    * @return DataFrame[id_a, id_b, est_jaccard] where id_b is always a
+    *         batch doc; for batch-batch pairs id_a < id_b.
+    */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 5, bands: Int = 8,
+                              rowsPerBand: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val cSigs = CacheScope.cached(
+      minhashSignatures(corpus, idCol, textCol, k, numHashes))
+    val bSigs = CacheScope.cached(
+      minhashSignatures(batch, idCol, textCol, k, numHashes))
+    val cb = minhashBands(cSigs, "sig", "id", bands, rowsPerBand)
+    val bb = minhashBands(bSigs, "sig", "id", bands, rowsPerBand)
+    val bbA = bb.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val bbB = bb.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+    val corpusBatch = cb
+      .select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+      .join(bbB, Seq("band_idx", "band_hash"))
+      .select("id_a", "id_b")
+    val batchBatch = bbA.join(bbB, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val allSigs = cSigs.unionByName(bSigs)
+    corpusBatch.unionByName(batchBatch).distinct()
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs with **prefix filtering** — the
     * canonical exact set-similarity join.
     *

@@ -47,6 +47,21 @@ object DedupQueries {
         k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental minhash dedup: docs with id ≥ 400 arrive as a "batch"
+    * against the id < 400 corpus — candidates only touch the batch
+    * (the corpus is never re-self-joined). Rows-only like
+    * q_dedup_minhash: est_jaccard comes from the engine-local xxhash64
+    * family; cross-batch recall is pinned in DedupSpec.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.minhashPairsIncremental(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", k = 5, bands = 8, rowsPerBand = 4,
+        threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -103,6 +118,7 @@ object DedupQueries {
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
+    "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )

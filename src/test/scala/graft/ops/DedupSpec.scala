@@ -66,6 +66,30 @@ class DedupSpec extends SparkTestBase {
     assert(est == 1.0)
   }
 
+  test("minhashPairsIncremental: batch vs corpus only — corpus never self-pairs") {
+    // corpus holds a near-dup pair {0,1}; the batch brings 10 (dup of 0)
+    // and 11/12 (dups of each other), 13 (unrelated)
+    val corpus = Seq((0L, base), (1L, mutate(base, 5)),
+      (3L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, mutate(base, 20)),
+      (12L, mutate(base, 20)),
+      (13L, "nothing like anything else in this tiny test fixture at all"))
+      .toDF("doc_id", "text")
+    val pairs = CacheScope.scoped {
+      Dedup.minhashPairsIncremental(corpus, batch, "doc_id", "text",
+          threshold = 0.7)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    }
+    // every pair touches the batch; the corpus-internal near-dup (0,1)
+    // must NOT appear
+    assert(pairs.forall { case (a, b) => b >= 10L })
+    assert(!pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 10L)), pairs)  // corpus × batch
+    assert(pairs.contains((11L, 12L)), pairs) // batch × batch, a < b
+    assert(!pairs.exists { case (a, b) => a == 13L || b == 13L })
+  }
+
   test("simhash: identical docs hash identically, unrelated docs differ") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
