@@ -111,4 +111,18 @@ object TextAnalysis {
     */
   def wordNgrams(text: Column, n: Int): Column =
     wordNgramsFromTokens(split(text, "\\s+"), n)
+
+  /** Duplicate-n-gram ratio from an ALREADY-MATERIALIZED token array
+    * (same lambda-CSE caveat as `wordNgramsFromTokens`): the fraction of
+    * a document's word n-grams that are repeats of an earlier n-gram —
+    * the Gopher/Rae-et-al-style repetition signal used to gate
+    * boilerplate and degenerate text out of LLM training corpora.
+    * 0.0 for documents with fewer than n+1 tokens (no possible repeat...
+    * a single n-gram can't repeat; ratio is 0 by 1 - 1/1).
+    */
+  def duplicateNgramRatio(toks: Column, n: Int): Column = {
+    val grams = wordNgramsFromTokens(toks, n)
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double")
+  }
 }

@@ -69,7 +69,20 @@ object TextQueries {
       .orderBy(col("tf").desc, col("tok"))
       .limit(30)
 
+  /** Duplicate-n-gram repetition ratios (2- and 3-grams) — the Gopher-
+    * style boilerplate/degenerate-text gate. Ratios are divisions of two
+    * exact integers, so no rounding is needed for the oracle.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"),
+        TextAnalysis.duplicateNgramRatio(col("t"), 2).as("dup2"),
+        TextAnalysis.duplicateNgramRatio(col("t"), 3).as("dup3"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
+    "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
     "q_text_langid" -> (qTextLangid(_, _)),
@@ -90,6 +103,28 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+        |        FROM toks)),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        |        FROM toks)),
+        |r2 AS (SELECT doc_id,
+        |         1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup2
+        |       FROM g2 GROUP BY doc_id),
+        |r3 AS (SELECT doc_id,
+        |         1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup3
+        |       FROM g3 GROUP BY doc_id)
+        |SELECT doc_id, dup2, dup3 FROM r2 JOIN r3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,

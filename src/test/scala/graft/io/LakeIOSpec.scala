@@ -57,6 +57,18 @@ class LakeIOSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"))
   }
 
+  test("schema evolution: mergeSchema unions parquet file schemas") {
+    val dir = Files.createTempDirectory("lakeio-evo").toString
+    // generation 1: (id, a); generation 2 adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/g=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "g"))
+    val rows = merged.select("id", "b").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9L)))
+  }
+
   test("listing applies the tenant prefix filter the reference disabled") {
     val dir = Files.createTempDirectory("lakeio-l").toFile
     Files.createDirectories(new java.io.File(dir, "u1").toPath)
