@@ -320,6 +320,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs — the step that turns a
+    * pair list into dedup CLUSTERS (keep min id per component, drop the
+    * rest). Near-dup similarity is not transitive, so clusters are the
+    * transitive closure of the pair graph, not the pairs themselves.
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its own and its
+    * neighbors' labels. After `iters` ≥ graph diameter rounds the label
+    * is the component's min id. Each round is one equi-join on node ids
+    * (labels are 16 bytes/row — documents never enter the graph), so at
+    * 100 TB this is the standard alternating-join CC with per-round
+    * shuffle O(|edges|). `iters` is a fixed bound here (deterministic,
+    * no mid-plan actions); near-dup components are shallow (duplicate
+    * clusters, not social graphs), so a small bound covers real data —
+    * production callers monitoring convergence can compare consecutive
+    * label checksums per round.
+    *
+    * @param pairs DataFrame[id_a, id_b] (+ any extra columns, ignored)
+    * @return DataFrame[doc_id, component] for every id appearing in
+    *         pairs; component = min id of the connected component.
+    */
+  def dedupComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val undirected = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // self-loops fold "keep own label" into the SAME join, so each
+    // round references the previous labels exactly once — a plan that
+    // grows linearly in `iters` (a labels ∪ join(edges, labels) form
+    // references labels twice per round: exponential plan tree, OOM at
+    // analysis time long before any data moves)
+    val edges = CacheScope.cached(undirected.unionByName(
+      undirected.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"))))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      labels = CacheScope.cached(edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("label"))
+        .select(col("a").as("node"), col("label")))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** 63-bit SimHash over whitespace tokens, as a pure DataFrame plan:
     * explode bits → per-(doc,bit) ±1 sums → pack.
     *

@@ -62,6 +62,23 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup clusters: exact-jaccard pairs (≥0.8, docs with id < 250
+    * to bound the pair join's bench cost) fed through min-label
+    * connected components. Oracle = the same pairs in SQL + a recursive
+    * CTE computing the transitive-closure min label.
+    */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    // iters = 4 ≥ the pair graph's diameter (planted near-dup clusters
+    // are pairs/triples; the oracle's recursive CTE computes the full
+    // transitive closure, so an undershoot would fail the hash-compare)
+    Dedup.dedupComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, minJaccard = 0.8).select(col("id_a"), col("id_b")),
+        iters = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -119,6 +136,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
+    "q_dedup_components" -> (qDedupComponents(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
@@ -151,6 +169,25 @@ object DedupQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+        |SELECT node AS doc_id, MIN(lab) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -90,6 +90,22 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 13L || b == 13L })
   }
 
+  test("dedupComponents: chains merge transitively, disjoint stay apart") {
+    // components: {1,2,3,4} via chain 1-2-3-4 (similarity is NOT
+    // transitive — only CC recovers the full cluster), {10,11}, and a
+    // cycle {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val comp = CacheScope.scoped {
+      Dedup.dedupComponents(pairs, iters = 8)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp.size == 9)
+  }
+
   test("simhash: identical docs hash identically, unrelated docs differ") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
