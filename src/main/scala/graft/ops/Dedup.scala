@@ -325,17 +325,22 @@ object Dedup {
     * rest). Near-dup similarity is not transitive, so clusters are the
     * transitive closure of the pair graph, not the pairs themselves.
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round every node takes the min of its own and its
-    * neighbors' labels. After `iters` ≥ graph diameter rounds the label
-    * is the component's min id. Each round is one equi-join on node ids
-    * (labels are 16 bytes/row — documents never enter the graph), so at
-    * 100 TB this is the standard alternating-join CC with per-round
-    * shuffle O(|edges|). `iters` is a fixed bound here (deterministic,
-    * no mid-plan actions); near-dup components are shallow (duplicate
-    * clusters, not social graphs), so a small bound covers real data —
-    * production callers monitoring convergence can compare consecutive
-    * label checksums per round.
+    * Min-label propagation WITH pointer doubling: every node starts
+    * labeled with its own id; each round (1) takes the min of its own
+    * and its neighbors' labels (one equi-join on node ids + partial-agg
+    * min), then (2) shortcuts label ← label(label) (one self-join of
+    * the label table — no aggregate: labels are functional). Labels only
+    * decrease, and a label is always the id of a node in the same
+    * component, so the shortcut is safe; it doubles the propagation
+    * distance already covered, giving convergence in O(log diameter)
+    * rounds instead of O(diameter) — the property that matters at
+    * 100 TB, where each round is a full O(|edges|) shuffle barrier and a
+    * long-chain component would otherwise force a deep sequential plan.
+    * Reach after k rounds ≥ 2^(k+1)-2 hops (d₀=0, dₖ₊₁=2(dₖ+1)).
+    * Shuffles carry 16-byte (id, label) pairs — documents never enter
+    * the graph. `iters` is a fixed bound (deterministic, no mid-plan
+    * actions); production callers monitoring convergence can compare
+    * consecutive label checksums per round.
     *
     * @param pairs DataFrame[id_a, id_b] (+ any extra columns, ignored)
     * @return DataFrame[doc_id, component] for every id appearing in
@@ -356,10 +361,25 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 0 until iters) {
-      labels = CacheScope.cached(edges
+      // lazy localCheckpoint: the jump below references `propagated`
+      // TWICE — without cutting lineage the logical plan would double
+      // every round (exponential tree: analysis-time OOM long before
+      // any data moves). The checkpoint truncates the plan to a leaf
+      // while staying lazy (computed + stored on first action, shared
+      // by both join branches). At cluster scale swap for reliable
+      // `checkpoint()` — local checkpoints don't survive executor loss.
+      val propagated = edges
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a")).agg(min(col("label")).as("label"))
-        .select(col("a").as("node"), col("label")))
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint(false)
+      // pointer jump: label ← label(label). Every label is itself a node
+      // id present in `propagated` (labels are mins over node ids), so
+      // the inner self-join is total.
+      labels = propagated
+        .join(propagated.select(col("label").as("jump_to"),
+          col("node").as("label")), "label")
+        .select(col("node"), col("jump_to").as("label"))
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }

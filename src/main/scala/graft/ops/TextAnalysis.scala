@@ -112,6 +112,102 @@ object TextAnalysis {
   def wordNgrams(text: Column, n: Int): Column =
     wordNgramsFromTokens(split(text, "\\s+"), n)
 
+  /** BM25 relevance scores (Robertson/Sparck-Jones; the classic Okapi
+    * formulation with the +1 idf floor) for a fixed bag-of-words query
+    * against a document corpus.
+    *
+    * Scale plan: ONE hash aggregate computes doc length and all per-term
+    * tfs in a single pass (K-aggregates-in-one-pass — the explode×K
+    * shuffle is the killer, not the K-fold compute); corpus stats (N,
+    * avgdl, per-term df) reduce that table to a single row that is
+    * broadcast back, so the scoring itself is map-side. Total cost at any
+    * scale: one shuffle of (id, dl, tf…) tuples — documents themselves
+    * never shuffle.
+    *
+    * Determinism: k1/b default to binary-exact doubles (1.25, 0.75) so
+    * the only cross-engine drift source is `ln` (last-ulp libm
+    * differences) — absorbed by the caller rounding scores to 6 dp.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.25,
+           b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +: dfCols: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      idf * tf * (lit(k1) + lit(1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+
+  /** Per-document mean token log-probability under the corpus's own
+    * add-one-smoothed unigram model — the cheap perplexity-proxy quality
+    * score (a very low mean log-prob flags gibberish / OCR noise / wrong-
+    * language text against the corpus distribution).
+    *
+    * Scale plan: the vocabulary is built with one hash aggregate; tokens
+    * re-join to it on the token key (AQE broadcasts the post-aggregation
+    * side when it is small; at web-corpus vocabulary sizes this is a
+    * plain shuffled equi-join, which is the correct shape — the join
+    * carries (id, tok) pairs, never documents). Scores are rounded to
+    * 6 dp: the per-doc avg() sums in partition order and `ln` differs in
+    * the last ulp across libms (~1e-13 total drift).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("t_total"),
+      count(lit(1)).as("v_size"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log((col("c") + lit(1L)).cast("double") /
+        (col("t_total") + col("v_size")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lp")), 6).as("mean_lp"))
+  }
+
+  /** PII patterns chosen to behave identically under Java regex and RE2
+    * (no lookahead, no backreferences; leftmost-greedy in both).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9.-]{6,}[0-9]"
+
+  /** Redact email addresses and phone-shaped number runs — the standard
+    * pre-training PII scrub. Pure codegen'd expression; runs map-side at
+    * scan speed. Emails are replaced first so a phone-like local part
+    * cannot be double-redacted.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** Duplicate-n-gram ratio from an ALREADY-MATERIALIZED token array
     * (same lambda-CSE caveat as `wordNgramsFromTokens`): the fraction of
     * a document's word n-grams that are repeats of an earlier n-gram —

@@ -69,13 +69,15 @@ object DedupQueries {
     */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
-    // iters = 4 ≥ the pair graph's diameter (planted near-dup clusters
-    // are pairs/triples; the oracle's recursive CTE computes the full
-    // transitive closure, so an undershoot would fail the hash-compare)
+    // 2 pointer-doubling rounds reach ≥6 hops — comfortably past the
+    // pair graph's diameter (planted near-dup clusters are pairs/
+    // triples, diameter ≤ 2; the oracle's recursive CTE computes the
+    // full transitive closure, so an undershoot would fail the
+    // hash-compare)
     Dedup.dedupComponents(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           k = 5, minJaccard = 0.8).select(col("id_a"), col("id_b")),
-        iters = 4)
+        iters = 2)
       .orderBy(col("doc_id"))
   }
 

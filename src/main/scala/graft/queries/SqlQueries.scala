@@ -91,7 +91,25 @@ object SqlQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Wide→long unpivot (melt) of a per-flag aggregate — the inverse of
+    * qSqlPivot; Spark's `Dataset.unpivot` (Expand under the hood, zero
+    * extra shuffles on top of the aggregate). Values are integral longs
+    * (l_quantity is whole-valued in the fixture) so the oracle compare
+    * is exact.
+    */
+  def qSqlUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_items"), col("n_orders"), col("sum_qty")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   val defs: Map[String, Q] = Map(
+    "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
     "q_sql_exists" -> (qSqlExists(_, _)),
     "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
     "q_sql_pivot" -> (qSqlPivot(_, _)),
@@ -100,6 +118,18 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_items,
+        |    COUNT(DISTINCT l_orderkey) AS n_orders,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'n_orders', n_orders FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty', sum_qty FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q_sql_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

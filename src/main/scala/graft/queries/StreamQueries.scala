@@ -97,6 +97,42 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Stream-static dimension join exercised as a REAL stream: events
+    * arrive through the file-stream source, each micro-batch broadcast-
+    * joins the static customer dimension (stateless — no watermark
+    * needed), and the enriched stream feeds a tumbling-window aggregate
+    * per nation. Complete output mode + memory sink sidesteps append-
+    * mode's watermark emission boundary, so the streamed result is the
+    * full window set and the DuckDB twin is a plain batch aggregate.
+    */
+  def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = StreamOps.staticEnrich(stream, dim,
+      "user_id", "c_custkey")
+    val out = enriched
+      .groupBy(window(col("ts"), "1 hour"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val q = out.writeStream.format("memory")
+      .queryName("q_stream_static_join_mem")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q_stream_static_join_mem")
+      .select(col("window.start").as("window_start"),
+        col("c_nationkey"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("c_nationkey"))
+  }
+
   /** Hourly resample + forward fill per user over the events table —
     * every hour in each user's span gets a row; empty hours carry the
     * last observed hourly sum forward.
@@ -107,6 +143,7 @@ object StreamQueries {
       .orderBy(col("user_id"), col("bucket"))
 
   val defs: Map[String, Q] = Map(
+    "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_time_resample" -> (qTimeResample(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
@@ -116,6 +153,12 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      """SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+        |  c.c_nationkey, COUNT(*) AS n, round(SUM(e.value), 2) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY window_start, c.c_nationkey
+        |ORDER BY window_start, c.c_nationkey""".stripMargin,
     "q_time_resample" ->
       """WITH b AS (
         |  SELECT user_id,

@@ -81,7 +81,51 @@ object TextQueries {
         TextAnalysis.duplicateNgramRatio(col("t"), 3).as("dup3"))
       .orderBy(col("doc_id"))
 
+  /** BM25 retrieval: top-20 documents for a fixed bag-of-words query.
+    * Default k1=1.25 / b=0.75 are binary-exact doubles, so Spark and the
+    * oracle compute bit-identical arithmetic everywhere except `ln`
+    * (absorbed by round-6; see TextAnalysis.bm25). Ordered by the
+    * ROUNDED score so the two engines agree on the top-k boundary.
+    */
+  val bm25Terms = Seq("vector", "hash", "stream")
+  def qTextBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(spark, dir), "doc_id", "text",
+        bm25Terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** Perplexity-proxy quality score: mean token log-prob under the
+    * corpus's own add-one unigram model.
+    */
+  def qTextUnigramLp(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** PII redaction over text with deterministically-injected email +
+    * phone strings (the raw fixture text has neither, which would make
+    * the scrub vacuous — the injection is computed identically by both
+    * engines, so the redaction itself is what the oracle verifies).
+    */
+  def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" Contact user"),
+      col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now."))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(TextAnalysis.emailRe)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("aug"), lit(TextAnalysis.phoneRe)).cast("long")
+          .as("n_phones"),
+        TextAnalysis.redactPii(col("aug")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_bm25" -> (qTextBm25(_, _)),
+    "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
+    "q_text_redact" -> (qTextRedact(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -102,7 +146,77 @@ object TextQueries {
     (best, whens)
   }
 
+  private val bm25OracleSql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfs = bm25Terms.indices.map { i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(",\n    ")
+    val score = bm25Terms.indices.map { i =>
+      s"""ln((CAST(n_docs - df_$i AS DOUBLE) + 0.5)
+         |      / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
+         |    * CAST(tf_$i AS DOUBLE) * 2.25
+         |    / (CAST(tf_$i AS DOUBLE)
+         |       + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    val anyTf = bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tkn AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfs
+       |  FROM tkn GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc)
+       |SELECT doc_id, round(
+       |    $score, 6) AS bm25
+       |FROM perdoc, stats
+       |WHERE $anyTf
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_bm25" -> bm25OracleSql,
+    "q_text_unigram_lp" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tkn AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |vocab AS (SELECT tok, COUNT(*) AS c FROM tkn GROUP BY tok),
+        |totals AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total,
+        |                  COUNT(*) AS v_size FROM vocab)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(AVG(ln(CAST(c + 1 AS DOUBLE)
+        |    / CAST(t_total + v_size AS DOUBLE))), 6) AS mean_lp
+        |FROM tkn JOIN vocab USING (tok), totals
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_redact" -> {
+      // DuckDB's regular string literals pass backslashes through
+      // untouched, so the Java-regex strings embed verbatim
+      val email = TextAnalysis.emailRe
+      val phone = TextAnalysis.phoneRe
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+         |    AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT)
+         |    AS n_phones,
+         |  regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t

@@ -36,6 +36,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Stream-static (dimension) enrichment join — the canonical streaming
+    * star-schema shape: each micro-batch of the stream hash-joins against
+    * a broadcast of the static dimension, so the stream side never
+    * shuffles and no streaming state is kept (stream-static inner joins
+    * are stateless by construction). At cluster scale the dimension
+    * broadcast is re-read per batch only when the underlying files
+    * change.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey))
+
   /** Watermarked variant of any of the above: call before aggregating. */
   def withLateness(events: DataFrame, tsCol: String,
                    lateness: String): DataFrame =

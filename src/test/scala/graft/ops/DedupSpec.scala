@@ -106,6 +106,17 @@ class DedupSpec extends SparkTestBase {
     assert(comp.size == 9)
   }
 
+  test("dedupComponents: pointer doubling covers a 20-node chain in " +
+    "4 rounds (linear propagation would need 19)") {
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = CacheScope.scoped {
+      Dedup.dedupComponents(pairs, iters = 4) // reach 2^5-2 = 30 ≥ 19
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(comp.size == 20)
+    assert(comp.values.forall(_ == 0L))
+  }
+
   test("simhash: identical docs hash identically, unrelated docs differ") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -52,4 +52,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("mean_token_len") - 16.0 / 4) < 1e-12)
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.25) < 1e-12)
   }
+
+  test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog mouse"), (3L, "bird"))
+      .toDF("id", "text")
+    val got = TextAnalysis.bm25(docs, "id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=2.0, df=1, idf=ln((3-1+0.5)/1.5+1); doc1 tf=2 dl=3
+    val idf = math.log((3 - 1 + 0.5) / 1.5 + 1.0)
+    val expect = idf * 2.0 * 2.25 /
+      (2.0 + 1.25 * (0.25 + 0.75 * 3.0 / 2.0))
+    assert(got.keySet == Set(1L))
+    assert(math.abs(got(1L) - expect) < 1e-6)
+  }
+
+  test("bm25 rewards rarer terms at equal tf and dl") {
+    val docs = Seq((1L, "rare x y"), (2L, "common x y"), (3L, "common z w"),
+      (4L, "common u v")).toDF("id", "text")
+    val got = TextAnalysis.bm25(docs, "id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L)) // df(rare)=1 < df(common)=3, same tf/dl
+  }
+
+  test("unigramLogProb: add-one smoothing over the corpus vocabulary") {
+    val docs = Seq((1L, "a a a"), (2L, "a c")).toDF("id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // vocab: a->4, c->1; T=5, V=2; p(a)=5/7, p(c)=2/7
+    assert(got(1L)._1 == 3)
+    assert(math.abs(got(1L)._2 - math.log(5.0 / 7)) < 1e-6)
+    assert(math.abs(got(2L)._2 -
+      (math.log(5.0 / 7) + math.log(2.0 / 7)) / 2) < 1e-6)
+  }
+
+  test("redactPii scrubs emails then phones, leaves clean text alone") {
+    def red(s: String): String =
+      one[String](TextAnalysis.redactPii(lit(s)))
+    assert(red("mail bob.smith+x@corp.io or 555-123-4567 today") ==
+      "mail <EMAIL> or <PHONE> today")
+    assert(red("call +1-800-555-0199.") == "call <PHONE>.")
+    assert(red("no pii here, just words") == "no pii here, just words")
+  }
 }

@@ -108,6 +108,26 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out(2L) == ((1L, 5.0)))
   }
 
+  test("staticEnrich: broadcast dim join, streamed == batch") {
+    val dim = Seq((1L, "AL"), (2L, "BE")).toDF("dk", "region")
+    // batch form: the plan must broadcast the dimension (stream side
+    // never shuffles) and match a plain join
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val enrichedBatch = StreamOps.staticEnrich(batch, dim, "k", "dk")
+    assert(enrichedBatch.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(enrichedBatch.count() == 2) // k=3 has no dim row (inner)
+    // streamed form over the same rows
+    val mem = MemoryStream[(Long, Double)](spark)
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val stream = mem.toDF().toDF("k", "v")
+    runToMemory(StreamOps.staticEnrich(stream, dim, "k", "dk")
+      .select($"k", $"region"), "enriched", OutputMode.Append())
+    val out = spark.sql("SELECT k, region FROM enriched")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "AL", 2L -> "BE"))
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
