@@ -138,6 +138,97 @@ object Multimodal {
       mean_luma = lumaSum / (w.toLong * h) / 255.0))
   }
 
+  case class AudioFeatures(path: String, length: Long, fingerprint: Long,
+                           sample_rate: Int, channels: Int, n_frames: Long,
+                           duration_s: Double, rms: Double, peak: Double)
+
+  /** REAL decoder for PCM WAV (RIFF/WAVE, format 1, 8- or 16-bit) —
+    * like PNM/BMP, fully parseable from raw bytes with no codec library.
+    * Walks the RIFF chunk list (fmt before data; unknown chunks
+    * skipped, word-aligned), then folds the sample stream once:
+    * RMS and peak over samples normalized to [−1, 1] (16-bit signed LE
+    * ÷ 32768; 8-bit unsigned, offset 128, ÷ 128). Sequential fold —
+    * deterministic across partitionings. Returns None for anything
+    * non-PCM (mp3/aac/flac need codecs → `fakeAudioDecode`).
+    */
+  private[ops] def decodeWavPcm(m: MediaFile): Option[AudioFeatures] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (u16(p).toLong) | (u16(p + 2).toLong << 16)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var p = 12
+    var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
+    var data = Option.empty[(Int, Int)]     // (offset, size)
+    while (p + 8 <= b.length && data.isEmpty) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = u32(p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || u16(p + 8) != 1) return None // PCM only
+          fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
+        case "data" => data = Some((p + 8, size.toInt))
+        case _      => ()
+      }
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for {
+      (channels, rate, bits) <- fmt
+      (off, sz) <- data
+      if channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+    } yield {
+      val bytesPerSample = bits / 8
+      val nSamples = sz / bytesPerSample
+      var i = 0
+      var sumSq = 0.0
+      var peak = 0.0
+      while (i < nSamples) {
+        val x =
+          if (bits == 16) {
+            val v = u16(off + i * 2)
+            (if (v >= 0x8000) v - 0x10000 else v).toDouble / 32768.0
+          } else ((b(off + i) & 0xff) - 128).toDouble / 128.0
+        sumSq += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        i += 1
+      }
+      AudioFeatures(path = m.path, length = m.length, fingerprint = fnv(b),
+        sample_rate = rate, channels = channels,
+        n_frames = nSamples.toLong / channels,
+        duration_s = (nSamples.toLong / channels).toDouble / rate,
+        rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0,
+        peak = peak)
+    }
+  }
+
+  /** ======== STUB (fallback) ======== — codec-requiring audio formats
+    * (mp3/aac/flac/ogg): deterministic fingerprint-derived features,
+    * same honesty contract as `fakeDecode`.
+    */
+  private[ops] def fakeAudioDecode(m: MediaFile): AudioFeatures = {
+    val h = fnv(m.content)
+    AudioFeatures(path = m.path, length = m.length, fingerprint = h,
+      sample_rate = 8000 + (((h % 5) + 5) % 5).toInt * 8000,
+      channels = 1 + ((h >>> 7) % 2).toInt,
+      n_frames = 1000 + ((h >>> 13) % 100000),
+      duration_s = ((h >>> 13) % 100000).toDouble / 16000.0,
+      rms = ((h >>> 33) % 1000).toDouble / 2000.0,
+      peak = ((h >>> 43) % 1000).toDouble / 1000.0)
+  }
+
+  /** Batched audio decode: REAL parse for PCM WAV, deterministic stub
+    * otherwise. Same mapPartitions discipline as `extractFeatures`.
+    */
+  def extractAudioFeatures(media: Dataset[MediaFile])
+      : Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(m => decodeWavPcm(m).getOrElse(fakeAudioDecode(m)))
+    }
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

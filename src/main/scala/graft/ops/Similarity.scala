@@ -219,6 +219,44 @@ object Similarity {
     cents.select(col("cent_id"), col("centv"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the 4× embedding-
+    * storage compressor (float32 → int8 + one float scale per vector)
+    * that makes 100 TB vector corpora hold in a fraction of the space
+    * for coarse ANN stages.
+    *
+    * scale = max|v|/127; q[i] = round(v[i]/scale) ∈ [−127, 127]. The
+    * all-zero vector quantizes to zeros (nullif/coalesce — no NaNs).
+    * Entirely map-side: no shuffle, no UDF — runs at scan speed.
+    *
+    * Cross-engine determinism: double division + round-half-away-from-
+    * zero agree between Spark (BigDecimal HALF_UP) and DuckDB for all
+    * non-exact-half inputs (exact binary .5 quotients are measure-zero
+    * for float embeddings); the reconstruction RMSE is a sequential
+    * array fold — bit-identical across engines (see Exact.scala rules).
+    *
+    * @return DataFrame[id, scale, q (array<byte>), rmse]
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) /
+      lit(127.0)
+    // project q + scale FIRST: rmse references q — inlining it would
+    // re-run the whole quantization per element (no CSE inside lambdas)
+    val quantized = emb.select(col(idCol).as("id"), v.as("vec"),
+      scale.as("scale"),
+      transform(v, x => coalesce(
+        round(x.cast("double") / nullif(scale, lit(0.0))),
+        lit(0.0)).cast("byte")).as("q"))
+    quantized.select(col("id"), col("scale"), col("q"),
+      sqrt(aggregate(
+        zip_with(col("vec"), col("q"), (x, qi) =>
+          x.cast("double") - qi.cast("double") *
+            coalesce(nullif(col("scale"), lit(0.0)), lit(1.0))),
+        lit(0.0), (acc, e) => acc + e * e) /
+        size(col("vec")).cast("double")).as("rmse"))
+  }
+
   /** Map-side nearest-centroid assignment (shared by ivfTopK and
     * kmeansFit): broadcast the cent_id-sorted centroid array as one row,
     * argmax in-row — no exchange touches the corpus.

@@ -55,7 +55,24 @@ object MiscQueries {
     graft.ops.Profile.exactProfile(Tables.documents(spark, dir),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** Batch MERGE (SCD-1 upsert): a deterministic changes batch — every
+    * 5th order mutated (status 'U', price bumped by an exact +1.0),
+    * every 97th re-keyed as an insert — applied onto the orders
+    * snapshot via one full-outer join (ops.Merge).
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val mods = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    graft.ops.Merge.upsert(base, mods.unionByName(inserts), "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_merge_upsert" -> (qMergeUpsert(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_sort_limit" -> (qSortLimit(_, _)),
     "q_sort_nulls" -> (qSortNulls(_, _)),
@@ -64,6 +81,27 @@ object MiscQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val picks = cols.map(c =>
+        s"CASE WHEN u.o_orderkey IS NOT NULL THEN u.$c ELSE b.$c END AS $c")
+        .mkString(",\n  ")
+      s"""WITH upd AS (
+         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         |    o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+         |    o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         |    o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 97 = 0)
+         |SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |  $picks
+         |FROM orders b FULL OUTER JOIN upd u
+         |  ON b.o_orderkey = u.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin
+    },
     "q_profile" ->
       """WITH stacked AS (
         |  SELECT 'doc_id' AS column, CAST(doc_id AS VARCHAR) AS value FROM documents

@@ -50,6 +50,20 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 scalar quantization of the embedding corpus + reconstruction
+    * RMSE — map-side, no shuffle (the 4× storage compressor for
+    * vector-heavy lakes). Quantized bytes are emitted as a joined
+    * string (array outputs crash the driver's pandas compare).
+    */
+  def qSimQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir),
+        "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",")
+          .as("q_str"),
+        col("rmse"))
+      .orderBy(col("vec_id"))
+
   /** Per-label centroid similarity: mean vector per label (exact elementwise
     * mean via posexplode + avg), then each label's centroid norm. Exercises
     * the vector-aggregation path (elementwise agg over array columns).
@@ -95,6 +109,7 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_sim_quantize" -> (qSimQuantize(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
@@ -136,6 +151,26 @@ object SimilarityQueries {
          |      FROM $m GROUP BY cent_id)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_sim_quantize" ->
+      """WITH quant AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q2 AS (
+        |  SELECT vec_id, scale, embedding,
+        |    list_transform(embedding, x -> CAST(coalesce(
+        |      round(CAST(x AS DOUBLE) / nullif(scale, 0.0)), 0.0)
+        |      AS TINYINT)) AS qv
+        |  FROM quant)
+        |SELECT vec_id, scale, array_to_string(qv, ',') AS q_str,
+        |  sqrt(list_sum(list_transform(list_zip(embedding, qv),
+        |    s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)
+        |            * coalesce(nullif(scale, 0.0), 1.0))
+        |       * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)
+        |            * coalesce(nullif(scale, 0.0), 1.0))))
+        |    / len(embedding)) AS rmse
+        |FROM q2 ORDER BY vec_id""".stripMargin,
     "q_sim_kmeans" -> {
       val (m1, c1f) = updateSql("a1")
       val (m2, c2f) = updateSql("a2")

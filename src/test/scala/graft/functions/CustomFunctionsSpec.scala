@@ -159,6 +159,80 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(n == 2)
   }
 
+  test("multimodal: REAL PCM WAV decode — header, duration, RMS, peak") {
+    import graft.ops.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 16-bit mono 8 kHz: 2000 frames of a 440 Hz sine at amplitude 0.5,
+    // with a LIST chunk before data (exercises the chunk walk)
+    val nFrames = 2000
+    val samples = Array.tabulate(nFrames) { i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt
+    }
+    val pcm = samples.flatMap(le16)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ le32(4) ++
+      "INFO".getBytes("US-ASCII")
+    val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16)
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val body = "WAVE".getBytes("US-ASCII") ++ fmtChunk ++ listChunk ++
+      dataChunk
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val dir = java.nio.file.Files.createTempDirectory("wav").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "tone.wav").toPath, wav)
+    // mp3-shaped garbage → stub fallback, not a crash
+    java.nio.file.Files.write(new java.io.File(dir, "x.mp3").toPath,
+      Array[Byte](-1, -5, 100, 0, 1, 2))
+
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.readBinary(spark, s"$dir/*")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"sample_rate", $"channels", $"n_frames", $"duration_s",
+        $"rms", $"peak")
+      .as[(String, Int, Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val t = feats("tone.wav")
+    assert(t._2 == 8000 && t._3 == 1 && t._4 == nFrames)
+    assert(math.abs(t._5 - 0.25) < 1e-12)          // 2000/8000 s
+    assert(math.abs(t._6 - 0.5 / math.sqrt(2)) < 0.002) // sine RMS=A/√2
+    assert(t._7 <= 0.5 && t._7 > 0.49)
+    assert(feats.contains("x.mp3")) // stub row present
+    // determinism of the real decode across a second scan
+    val again = Multimodal.extractAudioFeatures(
+      Multimodal.readBinary(spark, s"$dir/*")).toDF()
+      .select($"rms").as[Double].collect().sorted
+    assert(again.toSeq ==
+      feats.values.map(_._6).toSeq.sorted)
+  }
+
+  test("multimodal: 8-bit stereo WAV normalizes around the 128 offset") {
+    import graft.ops.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 2 frames stereo: L/R = (255, 0), (128, 192) → normalized
+    // (127/128, -1, 0, 0.5)
+    val pcm = Array[Byte](255.toByte, 0, 128.toByte, 192.toByte)
+    val wavBody = "WAVE".getBytes("US-ASCII") ++
+      ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+        le32(4000) ++ le32(8000) ++ le16(2) ++ le16(8)) ++
+      ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(wavBody.length) ++ wavBody
+    val dir = java.nio.file.Files.createTempDirectory("wav8").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "s.wav").toPath, wav)
+    val f = Multimodal.extractAudioFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.wav")).toDF()
+      .select($"sample_rate", $"channels", $"n_frames", $"rms", $"peak")
+      .as[(Int, Int, Long, Double, Double)].collect().head
+    assert(f._1 == 4000 && f._2 == 2 && f._3 == 2)
+    val xs = Seq(127.0 / 128, -1.0, 0.0, 0.5)
+    assert(math.abs(f._4 - math.sqrt(xs.map(x => x * x).sum / 4)) < 1e-12)
+    assert(math.abs(f._5 - 1.0) < 1e-12)
+  }
+
   test("multimodal resize plan: aspect-preserving fit, no-op when small") {
     import graft.ops.Multimodal
     val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
