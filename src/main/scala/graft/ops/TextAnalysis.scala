@@ -139,8 +139,11 @@ object TextAnalysis {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$i")
     }
-    val perDoc = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // cached: both the stats reduction and the scoring branch read this
+    // table — without the persist the corpus tokenize+aggregate pass
+    // would run twice (scope-released after the query's action)
+    val perDoc = CacheScope.cached(toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*))
     val dfCols = terms.indices.map { i =>
       sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")
     }

@@ -66,6 +66,23 @@ object CustomQueries {
       .orderBy(col("file"))
   }
 
+  /** Multimodal audio: binary ingest + the audio feature path. The sf
+    * dir's parquet blobs are not WAV, so every row exercises the
+    * documented stub fallback (the REAL PCM path is proven on
+    * constructed WAV bytes in CustomFunctionsSpec); the point here is
+    * the end-to-end plumbing under the driver's harness. Rows-only: FNV
+    * fingerprints aren't DuckDB-expressible.
+    */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.readBinary(spark, s"$dir/*.parquet")
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("length"), col("fingerprint"), col("sample_rate"),
+        col("channels"), col("n_frames"),
+        round(col("duration_s"), 6).as("duration_s"))
+      .orderBy(col("file"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -85,7 +102,8 @@ object CustomQueries {
     "q_custom_cosine_expr" -> (qCustomCosineExpr(_, _)),
     "q_custom_simhash_agg" -> (qCustomSimhashAgg(_, _)),
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
-    "q_multimodal_features" -> (qMultimodalFeatures(_, _))
+    "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
+    "q_multimodal_audio" -> (qMultimodalAudio(_, _))
   )
 
   val oracles: Map[String, String] = Map(

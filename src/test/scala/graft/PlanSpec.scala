@@ -71,4 +71,33 @@ class PlanSpec extends SparkTestBase {
         l.contains("query_id") && l.contains("neighbor_id"))
     assert(distinctExchanges.forall(l => !l.contains("qv") && !l.contains("cv")))
   }
+
+  test("int8 quantization is map-side: no hash exchange at all") {
+    val p = plan("q_sim_quantize")
+    assert(!p.contains("hashpartitioning"),
+      "quantization must not shuffle — it is a per-row projection")
+  }
+
+  test("bm25: documents never shuffle; stats re-attach by broadcast; " +
+    "per-doc table cached for its two consumers") {
+    val p = plan("q_text_bm25")
+    // the only shuffled rows are (doc_id, dl, tf…) tuples — no exchange
+    // may carry the raw text column
+    val hashEx = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.forall(l => !l.contains("text")),
+      s"text must not shuffle:\n${hashEx.mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // stats branch + scoring branch share ONE tokenize/aggregate pass
+    assert(p.contains("InMemoryTableScan"))
+  }
+
+  test("merge upsert is one full-outer join, whole-row replace map-side") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"))
+    // the ONLY join is the full-outer — no second join, no nested loop
+    assert(!p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
