@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 
 /** Lake-facing I/O: the Spark-native analog of the reference's blob
   * ingest + object-store surface.
@@ -39,6 +40,29 @@ object LakeIO {
       case "orc"     => spark.read.orc(path)
       case _         => spark.read.format("binaryFile").load(path)
     }
+
+  /** Row-level quarantine for semi-structured ingest: parse a JSON
+    * string column against a schema and FLAG unparseable rows instead
+    * of dropping or poisoning the batch — the standard bad-records
+    * side-channel every ingest service needs. One pass, pure column
+    * expressions; callers split with `.filter(col("_quarantined"))` /
+    * its negation, or aggregate good/bad in a single shuffle (see
+    * q_ingest_quarantine). A null input is NOT quarantined (absent ≠
+    * malformed).
+    */
+  def parseWithQuarantine(df: DataFrame, jsonCol: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          parsedCol: String = "parsed"): DataFrame = {
+    // PERMISSIVE from_json yields a struct of NULL FIELDS for malformed
+    // input (not a null struct) — the corrupt-record column is the only
+    // reliable malformed signal
+    val withCorrupt = schema.add("_corrupt",
+      org.apache.spark.sql.types.StringType)
+    df.withColumn(parsedCol, from_json(col(jsonCol), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("_quarantined",
+        col(s"$parsedCol._corrupt").isNotNull)
+  }
 
   /** Sink with the same extension dispatch. `partitionBy` produces
     * hive-style partition directories — the 100 TB layout: partition

@@ -51,6 +51,26 @@ object Profile {
     (out, obs)
   }
 
+  /** Join/aggregation-key skew diagnosis: per-key counts reduced to the
+    * top-`k` heaviest keys plus the skew ratio (heaviest key ÷ mean
+    * rows per key) — the number that says whether a shuffle on this key
+    * needs salting (`ops.Joins.saltedJoin`) or AQE skew handling.
+    * Two chained aggregates on already-reduced data: the per-key count
+    * is the only pass over the table; the stats reduce counts, not rows.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = CacheScope.cached(
+      df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n")))
+    val stats = counts.agg(
+      max(col("n")).as("max_n"),
+      (sum(col("n")).cast("double") / count(lit(1))).as("mean_n"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key").cast("string").as("key"), col("n"),
+        (col("n").cast("double") / col("mean_n")).as("skew_ratio"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
+
   /** Exact per-column null/distinct profile as a pure plan (no driver
     * loop) for oracle-checked use: unpivots the listed columns.
     */

@@ -55,6 +55,51 @@ object MiscQueries {
     graft.ops.Profile.exactProfile(Tables.documents(spark, dir),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** Shuffle-key skew diagnosis on the lineitem supplier key: top-10
+    * heaviest keys + skew ratio vs the mean (ops.Profile.keySkew) — the
+    * report that decides between a plain join, AQE skew handling, and
+    * an explicit salted join.
+    */
+  def qProfileSkew(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.keySkew(Tables.lineitem(spark, dir), "l_suppkey",
+      k = 10)
+
+  /** Z-order (Morton) clustering key over (custkey, orderkey) low bits —
+    * verifies the bit-interleave arithmetic the clusterByZ layout pass
+    * sorts by (ops.ZOrder).
+    */
+  def qLakeZorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("x"),
+        (col("o_orderkey") % 256).as("y"))
+      .withColumn("z", graft.ops.ZOrder.morton2(col("x"), col("y"), 8))
+      .orderBy(col("z"), col("o_orderkey"))
+      .limit(100)
+
+  /** Quarantine ingest: every 13th event's JSON props deterministically
+    * corrupted (malformed PREFIX — Spark's Jackson tolerates trailing
+    * garbage after a complete value, DuckDB's json_valid doesn't, so
+    * prefix corruption is the cross-engine-unambiguous form), parsed
+    * against the schema with the bad-records flag, then good/bad
+    * accounting per event type in one shuffle. Repartition after the
+    * scan — events is a single row group, and per-row JSON parsing on
+    * one task serializes the map side (the q_func_json lesson).
+    */
+  def qIngestQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).repartition(col("event_id"))
+      .withColumn("p", when(col("event_id") % 13 === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props")))
+    LakeIO.parseWithQuarantine(ev, "p",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(!col("_quarantined"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_quarantined"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(!col("_quarantined"), col("parsed.k"))).as("k_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Batch MERGE (SCD-1 upsert): a deterministic changes batch — every
     * 5th order mutated (status 'U', price bumped by an exact +1.0),
     * every 97th re-keyed as an insert — applied onto the orders
@@ -72,6 +117,9 @@ object MiscQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_profile_skew" -> (qProfileSkew(_, _)),
+    "q_lake_zorder" -> (qLakeZorder(_, _)),
+    "q_ingest_quarantine" -> (qIngestQuarantine(_, _)),
     "q_merge_upsert" -> (qMergeUpsert(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_sort_limit" -> (qSortLimit(_, _)),
@@ -80,7 +128,39 @@ object MiscQueries {
     "q_lake_listing" -> (qLakeListing(_, _))
   )
 
+  private val zExprSql = (0 until 8).map(b =>
+    s"(((x >> $b) & 1) * ${1L << (2 * b)} + " +
+      s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_profile_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n FROM c)
+        |SELECT key, n, CAST(n AS DOUBLE) / mean_n AS skew_ratio
+        |FROM c, s ORDER BY n DESC, key LIMIT 10""".stripMargin,
+    "q_lake_zorder" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y, ($zExprSql) AS z
+         |FROM t ORDER BY z, o_orderkey LIMIT 100""".stripMargin,
+    "q_ingest_quarantine" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN '{' || props
+        |         ELSE props END AS p
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(SUM(CASE WHEN json_valid(p)
+        |    THEN CAST(json_extract_string(p, '$.k') AS INTEGER) END)
+        |    AS BIGINT) AS k_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_merge_upsert" -> {
       val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

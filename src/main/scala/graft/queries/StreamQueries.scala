@@ -71,8 +71,7 @@ object StreamQueries {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val tmp = java.nio.file.Files
-      .createTempDirectory("q_stream_session_state")
+    val tmp = StreamOps.scratchDir("q_stream_session_state")
     // the fixture's events table is a single FILE; the file-stream
     // source monitors directories, so point it at the sf dir with a
     // glob selecting just that file
@@ -124,6 +123,8 @@ object StreamQueries {
         round(sum(col("value")), 2).as("sum_value"))
     val q = out.writeStream.format("memory")
       .queryName("q_stream_static_join_mem")
+      .option("checkpointLocation",
+        s"${StreamOps.scratchDir("q_stream_static_join")}/cp")
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -36,6 +36,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Scratch dir for ephemeral streaming state/sinks (the registry's
+    * self-contained streamed queries): prefers the tmpfs mount when
+    * present — the state store fsyncs per batch, and on spinning /tmp
+    * that IO dominates small runs. Durable pipelines must point
+    * checkpoints at reliable storage instead; this is for
+    * run-and-discard evaluation only.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** Stream-static (dimension) enrichment join — the canonical streaming
     * star-schema shape: each micro-batch of the stream hash-joins against
     * a broadcast of the static dimension, so the stream side never

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.lit
 
 class ProfileSpec extends SparkTestBase {
   import spark.implicits._
@@ -36,6 +37,47 @@ class ProfileSpec extends SparkTestBase {
     val m = obs.get
     assert(m("n_rows") == 3L)
     assert(m("n_null_keys") == 1L)
+  }
+
+  test("keySkew: heaviest key first, ratio vs mean rows-per-key") {
+    val keys = Seq.fill(4)("a") ++ Seq("b", "c") // mean = 6/3 = 2
+    val out = CacheScope.scoped {
+      Profile.keySkew(keys.toDF("k"), "k", k = 2)
+        .as[(String, Long, Double)].collect().toSeq
+    }
+    assert(out.head == (("a", 4L, 2.0)))
+    assert(out.size == 2)
+  }
+
+  test("quarantine: malformed rows flagged, null input is NOT quarantined") {
+    val df = Seq(
+      (1L, """{"k": 7}"""), (2L, """{oops"""), (3L, null: String))
+      .toDF("id", "js")
+    val out = graft.io.LakeIO.parseWithQuarantine(df, "js",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      .select($"id", $"_quarantined", $"parsed.k")
+      .as[(Long, Boolean, Option[Int])].collect().toMap2
+    assert(out(1L) == ((false, Some(7))))
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((false, None))) // absent ≠ malformed
+  }
+
+  test("morton2 interleaves bits; clusterByZ preserves rows, sorts by _z") {
+    val z = spark.range(1).select(
+      ZOrder.morton2(lit(3L), lit(5L), 8).as("z")).head().getLong(0)
+    // x=3 → bits 0,1 at even slots (1+4); y=5 → bits 0,2 at odd (2+32)
+    assert(z == 39L)
+    val df = Seq((3L, 1L), (0L, 0L), (255L, 255L), (1L, 2L))
+      .toDF("x", "y")
+    val clustered = ZOrder.clusterByZ(df, "x", "y", bits = 8,
+      partitions = 2)
+    assert(clustered.count() == 4)
+    val zs = clustered.select($"_z").as[Long].collect()
+    assert(zs.max == 65535L) // (255, 255) → all 16 interleaved bits set
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
   test("compact: rewrites to the target file count, preserves rows") {
