@@ -55,6 +55,58 @@ object MiscQueries {
     graft.ops.Profile.exactProfile(Tables.documents(spark, dir),
       Seq("doc_id", "lang", "source", "n_chars"))
 
+  /** Per-group z-score outlier detection with EXACT moments: mean and
+    * variance derived from integer-cents sums (s1, s2 — exact in both
+    * engines: Spark sums s2 in decimal(38,0), DuckDB in HUGEINT), so
+    * the z threshold compares bit-identical doubles and the outlier
+    * counts can't flip at the boundary. Two passes over a (flag, cents)
+    * projection; group stats broadcast back.
+    */
+  def qStatZscore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        Exact.e2(col("l_extendedprice")).as("c"))
+    val stats = li.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mean_c", col("s1").cast("double") / col("n"))
+      .withColumn("std_c", sqrt(col("s2").cast("double") / col("n") -
+        col("mean_c") * col("mean_c")))
+      .select(col("flag"), col("mean_c"), col("std_c"))
+    li.join(broadcast(stats), "flag")
+      .withColumn("z",
+        (col("c").cast("double") - col("mean_c")) / col("std_c"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy(col("flag"))
+  }
+
+  /** Funnel conversion over the event stream: users who clicked; users
+    * whose first purchase follows their first click; users with repeat
+    * (≥2) post-click purchases. Three counts from two small aggregates —
+    * the per-user reductions are the only passes over events.
+    */
+  def qFunnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val postClickPurchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(firstClick, "user_id")
+      .filter(col("pts") >= col("first_click"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_p"))
+    firstClick.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_clicked").as("step"), col("n_users"))
+      .unionAll(postClickPurchases.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_purchased_after_click").as("step"), col("n_users")))
+      .unionAll(postClickPurchases.filter(col("n_p") >= 2)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("3_repeat_purchaser").as("step"), col("n_users")))
+      .orderBy(col("step"))
+  }
+
   /** Shuffle-key skew diagnosis on the lineitem supplier key: top-10
     * heaviest keys + skew ratio vs the mean (ops.Profile.keySkew) — the
     * report that decides between a plain join, AQE skew handling, and
@@ -117,6 +169,8 @@ object MiscQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_stat_zscore" -> (qStatZscore(_, _)),
+    "q_funnel_conversion" -> (qFunnelConversion(_, _)),
     "q_profile_skew" -> (qProfileSkew(_, _)),
     "q_lake_zorder" -> (qLakeZorder(_, _)),
     "q_ingest_quarantine" -> (qIngestQuarantine(_, _)),
@@ -133,6 +187,43 @@ object MiscQueries {
       s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_zscore" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT flag, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        |  FROM li GROUP BY flag),
+        |st2 AS (
+        |  SELECT flag, CAST(s1 AS DOUBLE) / n AS mean_c,
+        |    sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |      AS std_c
+        |  FROM st)
+        |SELECT flag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN abs((CAST(c AS DOUBLE) - mean_c) / std_c)
+        |    > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(MAX(abs((CAST(c AS DOUBLE) - mean_c) / std_c)), 6)
+        |    AS max_abs_z
+        |FROM li JOIN st2 USING (flag)
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    "q_funnel_conversion" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |pp AS (
+        |  SELECT e.user_id, COUNT(*) AS n_p
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) >= fc.first_click
+        |  GROUP BY e.user_id)
+        |SELECT '1_clicked' AS step, COUNT(*) AS n_users FROM fc
+        |UNION ALL
+        |SELECT '2_purchased_after_click', COUNT(*) FROM pp
+        |UNION ALL
+        |SELECT '3_repeat_purchaser', COUNT(*) FROM pp WHERE n_p >= 2
+        |ORDER BY step""".stripMargin,
     "q_profile_skew" ->
       """WITH c AS (
         |  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS n
