@@ -43,6 +43,15 @@ class LakeIOSpec extends SparkTestBase {
     assert(LakeIO.readAuto(spark, s"$dir/out.parquet").count() == 2)
   }
 
+  test("writeAuto roundtrips orc with values intact") {
+    val dir = Files.createTempDirectory("lakeio-orc").toFile
+    val df = Seq((1L, "x", 1.5), (2L, "y", -2.25)).toDF("id", "v", "d")
+    LakeIO.writeAuto(df, s"$dir/out.orc")
+    val back = LakeIO.readAuto(spark, s"$dir/out.orc")
+      .orderBy($"id").as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "x", 1.5), (2L, "y", -2.25)))
+  }
+
   test("writeAuto partitionBy produces hive-style pruned layout") {
     val dir = Files.createTempDirectory("lakeio-p").toFile
     val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))
