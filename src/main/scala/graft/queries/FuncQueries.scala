@@ -95,6 +95,20 @@ object FuncQueries {
       .orderBy(col("k_mod"))
   }
 
+  /** JSON serialization + prefix extraction: to_json of a built struct
+    * (both engines emit the identical compact rendering) and
+    * substring_index (DuckDB twin: split_part — equivalent at count 1,
+    * including the no-separator and leading-separator edges).
+    */
+  def qFuncJson2(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).repartition(col("event_id"))
+      .select(col("event_id"),
+        to_json(struct(col("event_type").as("t"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")))
+          .as("j"),
+        substring_index(col("event_type"), "c", 1).as("pfx"))
+      .orderBy(col("event_id")).limit(1000)
+
   def qFuncHash(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     c.select(col("c_custkey"),
@@ -145,6 +159,7 @@ object FuncQueries {
     "q_func_math" -> (qFuncMath(_, _)),
     "q_func_case" -> (qFuncCase(_, _)),
     "q_func_json" -> (qFuncJson(_, _)),
+    "q_func_json2" -> (qFuncJson2(_, _)),
     "q_func_hash" -> (qFuncHash(_, _)),
     "q_func_array" -> (qFuncArray(_, _))
   )
@@ -214,6 +229,13 @@ object FuncQueries {
         |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "q_func_json2" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(t := event_type,
+        |    k := CAST(json_extract_string(props, '$.k') AS INTEGER)))
+        |    AS j,
+        |  split_part(event_type, 'c', 1) AS pfx
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
     "q_func_hash" ->
       """SELECT c_custkey,
         |  md5(c_name) AS name_md5,
