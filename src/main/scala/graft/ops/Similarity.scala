@@ -219,6 +219,42 @@ object Similarity {
     cents.select(col("cent_id"), col("centv"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with deterministic k-means,
+    * then compute EXACT pairwise cosine only WITHIN each cluster and
+    * emit pairs above the threshold.
+    *
+    * The within-cluster restriction is what makes semantic dedup
+    * feasible at 100 TB: quadratic work drops from N² to k·(N/k)², and
+    * the pair join is an equi-join on cent_id (no cartesian product).
+    * Cross-cluster near-dups are missed by construction — that is the
+    * documented SemDeDup approximation; lower k trades cost for recall.
+    *
+    * Fully deterministic (kmeansFit's md5 init + id tiebreaks; native
+    * codegen'd cosine is a sequential fold) → oracle-checkable.
+    *
+    * @return DataFrame[cent_id, id_a, id_b, cos] with id_a < id_b
+    */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int,
+                       threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = kmeansFit(emb, idCol, vecCol, k, iters)
+    // cached: the pair join reads the assignment twice (both sides)
+    val assigned = CacheScope.cached(assignToCentroids(
+      emb.select(col(idCol).as("cid"), col(vecCol).as("cv")), cents))
+    val a = assigned.select(col("cent_id"), col("cid").as("id_a"),
+      col("cv").as("va"))
+    val b = assigned.select(col("cent_id"), col("cid").as("id_b"),
+      col("cv").as("vb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× embedding-
     * storage compressor (float32 → int8 + one float scale per vector)
     * that makes 100 TB vector corpora hold in a fraction of the space

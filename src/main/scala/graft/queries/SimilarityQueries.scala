@@ -50,6 +50,16 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup semantic dedup: k-means clusters (same deterministic
+    * configuration as q_sim_kmeans) + exact within-cluster cosine pairs
+    * above 0.4. The oracle replays the full pipeline — both Lloyd
+    * iterations and the pairwise scoring — in SQL.
+    */
+  def qDedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Int8 scalar quantization of the embedding corpus + reconstruction
     * RMSE — map-side, no shuffle (the 4× storage compressor for
     * vector-heavy lakes). Quantized bytes are emitted as a joined
@@ -109,6 +119,7 @@ object SimilarityQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_sim_quantize" -> (qSimQuantize(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
@@ -151,6 +162,38 @@ object SimilarityQueries {
          |      FROM $m GROUP BY cent_id)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" -> {
+      val (m1, c1f) = updateSql("a1")
+      val (m2, c2f) = updateSql("a2")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS rk
+         |  FROM v),
+         |c0 AS (SELECT rk AS cent_id, embedding AS centv, nrm AS cnrm
+         |       FROM r WHERE rk <= 8),
+         |a1 AS (${asgnSql("c0")}),
+         |m1 AS ($m1),
+         |c1 AS (${c1f("m1")}),
+         |a2 AS (${asgnSql("c1")}),
+         |m2 AS ($m2),
+         |c2 AS (${c2f("m2")}),
+         |af AS (${asgnSql("c2")}),
+         |pairs AS (
+         |  SELECT a.cent_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "a.nrm", "b.embedding", "b.nrm")}
+         |      AS cos
+         |  FROM af a JOIN af b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT CAST(cent_id AS BIGINT) AS cent_id, id_a, id_b, cos
+         |FROM pairs WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q_sim_quantize" ->
       """WITH quant AS (
         |  SELECT vec_id, embedding,

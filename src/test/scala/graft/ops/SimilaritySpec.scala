@@ -147,6 +147,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == brute, s"missing: ${brute -- ivf}")
   }
 
+  test("semanticDupPairs: subset of exact pairs; finds same-cluster dups") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    // 30 vectors in 3 tight planted clusters + 3 exact duplicates
+    val base = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val dups = (0 until 3).map(i => (100L + i, base(i)._2.clone()))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val sem = CacheScope.scoped {
+      Similarity.semanticDupPairs(vecs, "vec_id", "embedding",
+          k = 3, iters = 3, threshold = 0.999)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    }
+    // each exact duplicate pair shares a cluster → must be found
+    (0 until 3).foreach { i =>
+      assert(sem.contains((i.toLong, 100L + i)), s"missing dup $i")
+    }
+    // subset of the brute-force truth at the same threshold
+    val all = vecs.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      .crossJoin(vecs.select($"vec_id".as("id_b"), $"embedding".as("vb")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos", org.apache.spark.sql.functions.expr(
+        "cosine_sim(va, vb)"))
+      .filter($"cos" >= 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(all))
+  }
+
   test("hyperplane signature is deterministic and separates clusters") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
