@@ -122,7 +122,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln(N/df), ties broken by term. Shuffle ledger: one (doc,term)
+    * aggregate over the token stream, a term-level reduction of that
+    * (already-small) table, a broadcast-able re-join on term, and the
+    * per-doc top-k window — documents themselves never shuffle. Scores
+    * rounded to 6 dp (ln drift) and ORDERED BY the rounded score so
+    * both engines agree on the top-3 boundary.
+    */
+  def qTextTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dft, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("n").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)),
@@ -183,6 +214,28 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |tkn AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS n
+        |       FROM tkn GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(CAST(n AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN dft USING (tok), nd),
+        |ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "q_text_bm25" -> bm25OracleSql,
     "q_text_unigram_lp" ->
       """WITH tk AS (
