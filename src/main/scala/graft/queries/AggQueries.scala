@@ -158,7 +158,26 @@ object AggQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** max_by/min_by (argmax/argmin aggregates). Spark's max_by is
+    * nondeterministic under ordering ties, and DuckDB's arg_max takes
+    * no composite key — so the ordering key is made UNIQUE by
+    * construction: exact cents × 10^7 + orderkey (fits a long:
+    * ≤ 5.5e14 + 1.5e7). Deterministic in both engines, no tie left to
+    * break.
+    */
+  def qAggArgmax(spark: SparkSession, dir: String): DataFrame = {
+    val ukey = Exact.e2(col("o_totalprice")) * lit(10000000L) +
+      col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), ukey).as("top_order"),
+        min_by(col("o_orderkey"), ukey).as("bottom_order"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_agg_argmax" -> (qAggArgmax(_, _)),
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
     "q_agg_decimal" -> (qAggDecimal(_, _)),
     "q_agg_decimal_wide" -> (qAggDecimalWide(_, _)),
@@ -171,6 +190,17 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_argmax" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000
+        |      + o_orderkey) AS top_order,
+        |  arg_min(o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000
+        |      + o_orderkey) AS bottom_order,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(SUM(l_quantity), 2) AS sum_qty,

@@ -147,6 +147,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == brute, s"missing: ${brute -- ivf}")
   }
 
+  test("int8-quantized brute-force ANN: recall ≥0.9 vs exact top-5") {
+    // cosine is invariant to the per-vector positive scale, so ANN over
+    // the quantized bytes needs no dequantization — only the rounding
+    // error perturbs rankings
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val qvecs = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select($"id".as("vec_id"),
+        org.apache.spark.sql.functions.transform($"q",
+          _.cast("float")).as("embedding"))
+    def top5(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus.filter($"vec_id" < 8), corpus,
+          "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    val exact = top5(vecs)
+    val quant = top5(qvecs)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("semanticDupPairs: subset of exact pairs; finds same-cluster dups") {
     val rnd = new scala.util.Random(11)
     val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
