@@ -14,15 +14,8 @@ object Bench {
     // optional args: bench only the named queries (dev iteration); the
     // driver passes none and times the full registry
     val only = args.toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Engine.local(cpus, "graft-bench")
     // untimed warmup: JIT the scan/agg/codegen paths once so the first
     // timed query measures the query, not JVM startup
     try graft.queries.AggQueries.q1PricingSummary(spark, sfDir)
