@@ -249,6 +249,53 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming corpus ingestion with cross-batch NEAR-dedup — the
+    * LLM-training-data front door: each micro-batch of documents is
+    * near-deduped (MinHash-LSH) against the already-accepted corpus AND
+    * within itself, and only survivors append.
+    *
+    * Batch-internal policy is greedy by id (the smaller id of a dup
+    * pair survives) — cheap and deterministic; chains collapse to their
+    * min-id representative only when pairs overlap, which is the
+    * standard streaming-ingest trade (full transitive clustering is the
+    * batch `dedupComponents` operator).
+    *
+    * Scale shape: the accepted corpus is re-read per batch here; at
+    * 100 TB the corpus side persists its minhash SIGNATURES (16 ints a
+    * row) keyed by band — `minhashPairsIncremental` already never
+    * shuffles documents, and the signature table is the natural
+    * incremental index to maintain in the sink transaction.
+    */
+  def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
+                  corpusPath: String, checkpoint: String,
+                  threshold: Double = 0.9): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val accepted =
+          try Some(spark.read.parquet(corpusPath))
+          catch { case _: Throwable => None }
+        graft.ops.CacheScope.scoped {
+          val pairs = graft.ops.Dedup.minhashPairsIncremental(
+            accepted.getOrElse(batch.limit(0)), batch, idCol, textCol,
+            threshold = threshold)
+          // id_b is always a batch doc (corpus-batch pairs), and the
+          // larger id of a batch-batch pair — dropping id_b keeps the
+          // accepted/earlier side. Anti-join, never a driver collect.
+          val survivors = batch.join(
+            pairs.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          survivors.write.mode("append").parquet(corpusPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Default sink for bounded streaming runs in tests/pipelines:
     * AvailableNow trigger + append/update mode, checkpointed.
     */

@@ -289,4 +289,37 @@ class FileStreamSpec extends SparkTestBase {
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "new", 2L -> "two", 3L -> "three"))
   }
+
+  test("dedupIngest: streamed batches near-dedup vs corpus and in-batch") {
+    val dir = Files.createTempDirectory("ingest").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    val t3 = "yet another unique document with its own words entirely"
+    // batch file A: 1 (t1), 2 (t2), 3 (exact dup of 1 → in-batch drop)
+    Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    // batch file B: 4 (dup of accepted 2 → corpus drop), 5 (new)
+    Seq((4L, t2), (5L, t3)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    // pin modification times so the file source processes A before B
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$src/b.parquet").setLastModified(now)
+
+    val schema = spark.read.parquet(s"$src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", src)
+      .parquet(s"$src/*")
+    StreamOps.dedupIngest(stream, "doc_id", "text", corpus,
+      s"$dir/cp", threshold = 0.9)
+
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L))
+  }
 }
