@@ -134,6 +134,41 @@ object StreamQueries {
       .orderBy(col("window_start"), col("c_nationkey"))
   }
 
+  /** Streaming dedup-ingest end-to-end under the driver harness: the
+    * documents fixture split into two micro-batch files (ids < 250,
+    * rest), streamed through StreamOps.dedupIngest — each batch
+    * near-dedups against the accepted corpus before appending. Returns
+    * the accepted corpus. Rows-only: the minhash family is engine-local
+    * xxhash64 (same class as q_dedup_minhash); the e2e behavior is
+    * pinned by FileStreamSpec's two-batch test.
+    */
+  def qStreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_dedup_ingest")
+    // capped at 1000 docs: the demo's cost is re-signaturing the
+    // accepted corpus per batch (locally recomputed; at scale the
+    // signature table persists — see dedupIngest scaladoc)
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    StreamOps.dedupIngest(stream, "doc_id", "text",
+      s"$tmp/corpus", s"$tmp/cp", threshold = 0.9)
+    spark.read.parquet(s"$tmp/corpus")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hourly resample + forward fill per user over the events table —
     * every hour in each user's span gets a row; empty hours carry the
     * last observed hourly sum forward.
@@ -145,6 +180,7 @@ object StreamQueries {
 
   val defs: Map[String, Q] = Map(
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
+    "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
     "q_time_resample" -> (qTimeResample(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
