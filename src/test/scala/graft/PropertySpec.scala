@@ -111,4 +111,75 @@ class PropertySpec extends SparkTestBase {
       assert(v.forall(_ == 1.0))
     }
   }
+
+  test("int8 quantization: |q| ≤ 127, rmse ≤ scale/2, zero-vector safe") {
+    val vecGen: Gen[List[Array[Float]]] =
+      Gen.listOfN(8, Gen.listOfN(6,
+        Gen.chooseNum(-50.0, 50.0).map(_.toFloat)).map(_.toArray))
+    forAll(vecGen) { vs =>
+      val withZero = vs :+ Array.fill(6)(0.0f)
+      val df = withZero.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = graft.ops.Similarity
+        .quantizeInt8(df, "vec_id", "embedding")
+        .select($"id", $"scale", $"q", $"rmse")
+        .as[(Long, Double, Seq[Byte], Double)].collect()
+      out.foreach { case (_, scale, q, rmse) =>
+        assert(q.forall(b => b >= -127 && b <= 127))
+        // per-dim rounding error ≤ scale/2 → rmse ≤ scale/2
+        assert(rmse <= scale / 2 + 1e-12, s"rmse=$rmse scale=$scale")
+        assert(!rmse.isNaN && !scale.isNaN)
+      }
+    }
+  }
+
+  test("merge idempotence: upsert(base, base) == base; empty updates no-op") {
+    forAll(rows) { data =>
+      val base = data.zipWithIndex
+        .map { case ((_, v, s), i) => (i.toLong, v, s) }
+        .toDF("k", "v", "s")
+      val self = graft.ops.Merge.upsert(base, base, "k")
+        .collect().toSet
+      assert(self == base.collect().toSet)
+      val noop = graft.ops.Merge.upsert(base, base.limit(0), "k")
+        .collect().toSet
+      assert(noop == base.collect().toSet)
+    }
+  }
+
+  test("redaction idempotence: redact(redact(x)) == redact(x)") {
+    val texts = Gen.oneOf(
+      "mail a.b@c.io and x@y.org now",
+      "call 555-123-4567 or +1-800-555-0199",
+      "clean text with no pii at all",
+      "mixed bob@corp.io 555-123-4567 tail")
+    forAll(texts) { t =>
+      val once = spark.range(1)
+        .select(graft.ops.TextAnalysis.redactPii(lit(t)).as("r"))
+        .as[String].head()
+      val twice = spark.range(1)
+        .select(graft.ops.TextAnalysis.redactPii(lit(once)).as("r"))
+        .as[String].head()
+      assert(once == twice)
+    }
+  }
+
+  test("morton2: bounded by 4^bits, zero iff both zero, distinct on grid") {
+    val xy = for {
+      x <- Gen.chooseNum(0L, 255L); y <- Gen.chooseNum(0L, 255L)
+    } yield (x, y)
+    forAll(Gen.listOfN(20, xy)) { pts =>
+      val df = pts.toDF("x", "y")
+      val zs = df.select($"x", $"y",
+          graft.ops.ZOrder.morton2($"x", $"y", 8).as("z"))
+        .as[(Long, Long, Long)].collect()
+      zs.foreach { case (x, y, z) =>
+        assert(z >= 0 && z < (1L << 16))
+        assert((z == 0) == (x == 0 && y == 0))
+      }
+      // interleave is injective on the 8-bit grid
+      assert(zs.map(_._3).distinct.length ==
+        pts.distinct.length)
+    }
+  }
 }
