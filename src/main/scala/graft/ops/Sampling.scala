@@ -51,6 +51,38 @@ object Sampling {
       .drop("_qrn")
   }
 
+  /** Re-weight a corpus toward target mixture shares (static domain
+    * balancing, the fixed-weight half of DoReMi-style mixture tuning):
+    * for target share w_s of domain s with observed count n_s, the
+    * output totals T = min_s(n_s / w_s) rows — the largest corpus for
+    * which every domain reaches its share WITHOUT upsampling — and each
+    * domain keeps rows at rate w_s·T / n_s (≤ 1 by construction) via
+    * the deterministic id-hash uniform. Domains without a target are
+    * dropped.
+    *
+    * Scale shape: one count aggregate reduced to |domains| rows,
+    * broadcast back; the keep decision is then a map-side filter.
+    * Rates are doubles derived from exact counts and shared literals —
+    * cross-engine deterministic, so the sample is oracle-checkable.
+    */
+  def remixToTarget(df: DataFrame, idCol: String, domainCol: String,
+                    targets: Seq[(String, Double)]): DataFrame = {
+    val weight = targets.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("_dom") === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_w", weight)
+      .filter(col("_w") > 0)
+    val t = counts.agg(
+      min(col("_n").cast("double") / col("_w")).as("_T"))
+    df.join(broadcast(counts), df(domainCol) === col("_dom"))
+      .crossJoin(broadcast(t))
+      .filter(hashUniform(col(idCol)) <
+        col("_w") * col("_T") / col("_n").cast("double"))
+      .drop("_dom", "_n", "_w", "_T")
+  }
+
   /** DuckDB-side twin of `hashUniform` over column expression `e` —
     * kept next to the Spark form so the two stay in lockstep. (Digit-sum
     * parse of the first 8 md5 hex digits; DuckDB lacks a hex→int conv.)

@@ -55,7 +55,20 @@ object CurationQueries {
         "doc_id", "n_chars", capacity = 4096L, buckets = 8)
       .orderBy(col("doc_id"))
 
+  /** Domain re-weighting toward target mixture shares (src0:50%,
+    * src1:30%, src2:20%; every other source dropped) — downsample-only
+    * static mixture balancing. With 25 docs/source, T = min(25/0.5,
+    * 25/0.3, 25/0.2) = 50: src0 keeps everything (rate 1.0), src1/src2
+    * thin to rates 0.6/0.4 via the deterministic id-hash.
+    */
+  def qRemix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.remixToTarget(Tables.documents(spark, dir), "doc_id",
+        "source", Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+
   val defs: Map[String, Q] = Map(
+    "q_curate_remix" -> (qRemix(_, _)),
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
     "q_curate_decontaminate" -> (qDecontaminate(_, _)),
@@ -65,6 +78,18 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_remix" ->
+      s"""WITH w AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |      WHEN 'src2' THEN 0.2 END AS wt
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+         |  GROUP BY source),
+         |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS bigt FROM w)
+         |SELECT d.source, COUNT(*) AS n_kept
+         |FROM documents d JOIN w ON d.source = w.source, t
+         |WHERE $u < w.wt * t.bigt / CAST(w.n AS DOUBLE)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_curate_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $u < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25

@@ -127,4 +127,24 @@ class CurationSpec extends SparkTestBase {
     // md5("1") = c4ca4238a0b923820dcc509a6f75849b → 0xc4ca4238 / 2^32
     assert(math.abs(u(0) - 0xc4ca4238L.toDouble / 4294967296.0) < 1e-12)
   }
+
+  test("remixToTarget: rate-1 domain kept whole, others thinned, rest dropped") {
+    // a:100, b:100, c:50 rows; targets a=0.5, b=0.25 → T=min(100/.5,
+    // 100/.25)=200 → a keeps all (rate 1), b at rate 0.5, c dropped
+    val rows = (0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 200).map(i => (i.toLong, "b")) ++
+      (200 until 250).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "dom")
+    val out = Sampling.remixToTarget(df, "id", "dom",
+        Seq("a" -> 0.5, "b" -> 0.25))
+      .groupBy($"dom").count().as[(String, Long)].collect().toMap
+    assert(out("a") == 100L)               // rate exactly 1.0
+    assert(!out.contains("c"))             // untargeted domain dropped
+    assert(out("b") > 25 && out("b") < 75) // ~50 under the id-hash
+    // deterministic across partitionings
+    val again = Sampling.remixToTarget(df.repartition(7), "id", "dom",
+        Seq("a" -> 0.5, "b" -> 0.25))
+      .groupBy($"dom").count().as[(String, Long)].collect().toMap
+    assert(again == out)
+  }
 }
