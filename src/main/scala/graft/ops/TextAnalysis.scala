@@ -195,6 +195,34 @@ object TextAnalysis {
         round(avg(col("lp")), 6).as("mean_lp"))
   }
 
+  /** Overlapping character chunks for long-document splitting — the
+    * RAG/context-window preprocessing step. Chunk i covers
+    * [i·stride, i·stride + size); stride = size − overlap; the final
+    * chunk may be shorter, and a document shorter than `size` yields
+    * exactly one chunk. Pure expression (sequence + transform +
+    * posexplode at the call site) — no UDF, no shuffle.
+    */
+  def chunkStarts(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    // last start = stride · floor(max(len − overlap − 1, 0) / stride)
+    sequence(lit(0),
+      lit(stride) * floor(greatest(length(text) - overlap - 1, lit(0))
+        .cast("double") / stride).cast("int"),
+      lit(stride))
+  }
+
+  /** Explode a document into (chunk_idx, chunk) rows. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), col("_t"),
+        posexplode(chunkStarts(col("_t"), size, overlap))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_t").substr(col("_start") + 1, lit(size)).as("chunk"))
+
   /** PII patterns chosen to behave identically under Java regex and RE2
     * (no lookahead, no backreferences; leftmost-greedy in both).
     */

@@ -152,7 +152,20 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Overlapping document chunking (size 200, overlap 50) — the RAG/
+    * context-window splitter. Emits length + md5 per chunk (full chunk
+    * text would bloat the compare; the md5 pins content exactly).
+    */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(spark, dir), "doc_id", "text",
+        size = 200, overlap = 50)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val defs: Map[String, Q] = Map(
+    "q_text_chunk" -> (qTextChunk(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
@@ -214,6 +227,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      150 * CAST(floor(greatest(length(text) - 51, 0) / 150.0)
+        |        AS BIGINT), 150)) AS s
+        |  FROM documents)
+        |SELECT doc_id, s // 150 AS chunk_idx,
+        |  CAST(length(substring(text, CAST(s + 1 AS INTEGER), 200))
+        |    AS BIGINT) AS chunk_len,
+        |  md5(substring(text, CAST(s + 1 AS INTEGER), 200)) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok

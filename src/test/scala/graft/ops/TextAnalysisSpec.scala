@@ -86,6 +86,20 @@ class TextAnalysisSpec extends SparkTestBase {
       (math.log(5.0 / 7) + math.log(2.0 / 7)) / 2) < 1e-6)
   }
 
+  test("chunk: full coverage with overlap, short doc → one chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc")).toDF("id", "text")
+    val out = TextAnalysis.chunk(df, "id", "text", size = 5, overlap = 2)
+      .orderBy($"id", $"chunk_idx")
+      .select($"id", $"chunk_idx", $"chunk")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "abcde"), (1L, 1, "defgh"), (1L, 2, "ghij"),
+      (2L, 0, "abc")))
+    // consecutive chunks overlap by exactly `overlap` characters
+    assert(out(0)._3.takeRight(2) == out(1)._3.take(2))
+    assert(out(1)._3.takeRight(2) == out(2)._3.take(2))
+  }
+
   test("redactPii scrubs emails then phones, leaves clean text alone") {
     def red(s: String): String =
       one[String](TextAnalysis.redactPii(lit(s)))
