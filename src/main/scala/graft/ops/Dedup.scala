@@ -144,6 +144,20 @@ object Dedup {
       minhashSignatures(corpus, idCol, textCol, k, numHashes))
     val bSigs = CacheScope.cached(
       minhashSignatures(batch, idCol, textCol, k, numHashes))
+    minhashPairsFromSigs(cSigs, bSigs, bands, rowsPerBand, threshold)
+  }
+
+  /** Signature-level core of the incremental near-dup join: the corpus
+    * side is an ALREADY-COMPUTED signature table [id, sig] — the
+    * persisted incremental index a streaming ingest maintains
+    * (StreamOps.dedupIngest). Only the batch side pays shingling; the
+    * corpus contributes numHashes longs per doc, read straight from
+    * the index. Candidates are (corpus × batch) + (batch × batch);
+    * the corpus is never self-joined.
+    */
+  def minhashPairsFromSigs(cSigs: DataFrame, bSigs: DataFrame,
+                           bands: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
     val cb = minhashBands(cSigs, "sig", "id", bands, rowsPerBand)
     val bb = minhashBands(bSigs, "sig", "id", bands, rowsPerBand)
     val bbA = bb.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))

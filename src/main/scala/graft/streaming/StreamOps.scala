@@ -260,34 +260,43 @@ object StreamOps {
     * standard streaming-ingest trade (full transitive clustering is the
     * batch `dedupComponents` operator).
     *
-    * Scale shape: the accepted corpus is re-read per batch here; at
-    * 100 TB the corpus side persists its minhash SIGNATURES (16 ints a
-    * row) keyed by band — `minhashPairsIncremental` already never
-    * shuffles documents, and the signature table is the natural
-    * incremental index to maintain in the sink transaction.
+    * Scale shape: the accepted corpus's minhash SIGNATURES persist as
+    * an incremental index (`<corpusPath>._sigs`, 32 longs per doc)
+    * maintained in the same per-batch transaction — each batch pays
+    * shingling only for ITSELF; the corpus side is a straight read of
+    * the index, and the candidate join shuffles band keys and id
+    * pairs, never documents.
     */
   def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
                   corpusPath: String, checkpoint: String,
                   threshold: Double = 0.9): Unit = {
+    val sigPath = corpusPath.stripSuffix("/") + "._sigs"
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val accepted =
-          try Some(spark.read.parquet(corpusPath))
-          catch { case _: Throwable => None }
         graft.ops.CacheScope.scoped {
-          val pairs = graft.ops.Dedup.minhashPairsIncremental(
-            accepted.getOrElse(batch.limit(0)), batch, idCol, textCol,
+          val bSigs = graft.ops.CacheScope.cached(
+            graft.ops.Dedup.minhashSignatures(batch, idCol, textCol,
+              k = 5, numHashes = 32))
+          val cSigs =
+            try spark.read.parquet(sigPath)
+            catch { case _: Throwable => bSigs.limit(0) }
+          val pairs = graft.ops.Dedup.minhashPairsFromSigs(
+            cSigs, bSigs, bands = 8, rowsPerBand = 4,
             threshold = threshold)
           // id_b is always a batch doc (corpus-batch pairs), and the
           // larger id of a batch-batch pair — dropping id_b keeps the
-          // accepted/earlier side. Anti-join, never a driver collect.
-          val survivors = batch.join(
-            pairs.select(col("id_b").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
+          // accepted/earlier side. Anti-joins, never a driver collect.
+          val dropIds = graft.ops.CacheScope.cached(
+            pairs.select(col("id_b").as(idCol)).distinct())
+          val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
           survivors.write.mode("append").parquet(corpusPath)
+          // the index update is the same transaction's second write
+          bSigs.join(dropIds.select(col(idCol).as("id")), Seq("id"),
+              "left_anti")
+            .write.mode("append").parquet(sigPath)
         }
         ()
       }
