@@ -81,6 +81,33 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep-best dedup policy: duplicate CLUSTERS (transitive closure of
+    * the near-dup pairs) each keep their highest-quality member — here
+    * the longest document (n_chars), ties to the smallest id — instead
+    * of the naive min-id survivor. The argmax is made deterministic
+    * with a unique ordering key (n_chars·1000 + (250−id); ids < 250).
+    * Singleton docs are their own component. This is the production
+    * curation policy: quality decides who survives, not arrival order.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    val comps = Dedup.dedupComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 5, minJaccard = 0.8).select(col("id_a"), col("id_b")),
+      iters = 2)
+    docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col("doc_id")))
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"),
+          col("n_chars") * lit(1000L) + (lit(250L) - col("doc_id")))
+          .as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("best_len"))
+      .orderBy(col("component"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -139,6 +166,7 @@ object DedupQueries {
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_components" -> (qDedupComponents(_, _)),
+    "q_dedup_keep_best" -> (qDedupKeepBest(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
@@ -190,6 +218,33 @@ object DedupQueries {
         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
         |SELECT node AS doc_id, MIN(lab) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node AS doc_id, MIN(lab) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT coalesce(c.component, d.doc_id) AS component,
+        |  arg_max(d.doc_id,
+        |    d.n_chars * 1000 + (250 - d.doc_id)) AS keep_id,
+        |  COUNT(*) AS n_docs, MAX(d.n_chars) AS best_len
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id < 250
+        |GROUP BY coalesce(c.component, d.doc_id)
+        |ORDER BY component""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
