@@ -54,6 +54,47 @@ class EdgeCaseSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("bm25: absent query term contributes nothing; empty corpus OK") {
+    val docs = Seq((1L, "cat dog"), (2L, "dog mouse")).toDF("id", "text")
+    val withAbsent = ops.TextAnalysis.bm25(docs, "id", "text",
+      Seq("cat", "zzzz")).collect().map(r => r.getLong(0)).toSet
+    assert(withAbsent == Set(1L)) // only the cat doc matches anything
+    val empty = ops.TextAnalysis.bm25(docs.limit(0), "id", "text",
+      Seq("cat"))
+    assert(empty.count() == 0)
+  }
+
+  test("chunk of empty text yields one empty chunk, not zero rows") {
+    val out = ops.TextAnalysis.chunk(
+        Seq((1L, "")).toDF("id", "text"), "id", "text", 10, 2)
+      .collect()
+    assert(out.length == 1 && out.head.getString(2) == "")
+  }
+
+  test("quantizeInt8 and keySkew on empty inputs return empty") {
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(ops.Similarity.quantizeInt8(e, "vec_id", "embedding")
+      .count() == 0)
+    val k = Seq.empty[(Long, String)].toDF("id", "dom")
+    assert(ops.CacheScope.scoped {
+      ops.Profile.keySkew(k, "dom").count()
+    } == 0)
+  }
+
+  test("merge upsert where base is empty: all updates are inserts") {
+    val base = Seq.empty[(Long, String)].toDF("k", "v")
+    val upd = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = ops.Merge.upsert(base, upd, "k")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("remixToTarget with no matching domains returns empty") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "dom")
+    assert(ops.Sampling.remixToTarget(df, "id", "dom",
+      Seq("zz" -> 1.0)).count() == 0)
+  }
+
   test("Graft facade: pipelines listed, plan resolves, unknown rejects") {
     assert(Graft.pipelines.contains("q1_pricing_summary"))
     assert(Graft.plan(spark, "q1_pricing_summary",
