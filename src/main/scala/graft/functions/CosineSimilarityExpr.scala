@@ -157,5 +157,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[BitmapAndCountExpr].getName, "bitmap_and_count"),
         (exprs: Seq[Expression]) => BitmapAndCountExpr(exprs(0), exprs(1))))
+    // optimizer rule: textbook HOF cosine rewrites to the fused native
+    // expression (see NativeCosineRule — 61× on all-pairs scoring)
+    ext.injectOptimizerRule(_ => NativeCosineRule)
   }
 }

@@ -7,6 +7,41 @@ import graft.ops.Dedup
 class CustomFunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("NativeCosineRule rewrites HOF cosine to the fused expression") {
+    val before = spark.experimental.extraOptimizations
+    try {
+      // non-literal source: a literal LocalRelation constant-folds away
+      // before any optimizer rule could see the pattern
+      def vecs = spark.range(20).select($"id",
+        transform(sequence(lit(1), lit(8)),
+          i => (i * ($"id" + 1)).cast("float")).as("a"),
+        transform(sequence(lit(1), lit(8)),
+          i => (i + $"id" * 2).cast("float")).as("b"))
+      val plain = vecs.select($"id",
+          VectorFunctions.cosine($"a", $"b").as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations = Seq(NativeCosineRule)
+      val optimized = vecs.select($"id",
+        VectorFunctions.cosine($"a", $"b").as("cos"))
+      assert(optimized.queryExecution.optimizedPlan.toString
+        .contains("cosine_sim"), "rule must fire on the HOF pattern")
+      // bit-identical values (same per-element accumulation order)
+      optimized.collect().foreach { r =>
+        assert(r.getDouble(1) == plain(r.getLong(0)))
+      }
+      // double arrays must NOT rewrite (expression contract is float)
+      val dbl = spark.range(3).select(
+          transform(sequence(lit(1), lit(4)),
+            i => (i * ($"id" + 1)).cast("double")).as("a"),
+          transform(sequence(lit(1), lit(4)),
+            i => (i + $"id").cast("double")).as("b"))
+        .select(VectorFunctions.cosine($"a", $"b").as("cos"))
+      assert(!dbl.queryExecution.optimizedPlan.toString
+        .contains("cosine_sim"))
+      assert(dbl.count() == 3)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("cosine_sim expression is bit-identical to the HOF formulation") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(1)
