@@ -26,15 +26,8 @@ object Graft {
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
               shufflePartitions: Option[Int] = None): SparkSession = {
     val cores = Runtime.getRuntime.availableProcessors
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cores).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Engine.builder(master, shufflePartitions.getOrElse(cores))
+      .appName("graft").getOrCreate()
     functions.GraftFunctions.register(spark)
     spark
   }
