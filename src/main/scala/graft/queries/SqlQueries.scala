@@ -51,6 +51,30 @@ object SqlQueries {
         |ORDER BY custkey""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING
+    * over an aggregate — Catalyst plans the IN as a left-semi join
+    * against the aggregated subquery, so the big three-way join only
+    * touches qualifying orders. Threshold 260 ≈ the fixture's p99
+    * per-order quantity (non-vacuous at every sf). total_qty is a sum
+    * of whole-valued quantities → exact long.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v18")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v18")
+    spark.sql(
+      """SELECT c_name, o_orderkey, o_totalprice,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer_v18, orders_v18, lineitem_v
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem_v
+        |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 260)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   case class Line(l_orderkey: Long, l_quantity: Double,
                   l_extendedprice: Double, l_returnflag: String)
 
@@ -109,6 +133,7 @@ object SqlQueries {
       .orderBy(col("l_returnflag"), col("metric"))
 
   val defs: Map[String, Q] = Map(
+    "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
     "q_sql_exists" -> (qSqlExists(_, _)),
     "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
@@ -118,6 +143,17 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_totalprice,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING SUM(l_quantity) > 260)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q_sql_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag, COUNT(*) AS n_items,

@@ -72,6 +72,21 @@ class PlanSpec extends SparkTestBase {
     assert(distinctExchanges.forall(l => !l.contains("qv") && !l.contains("cv")))
   }
 
+  test("semantic dedup pair join is equi on cent_id — no nested loop") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    // the ONLY BroadcastNestedLoopJoins allowed are the single-row
+    // centroid-array crossJoins (IVF-style broadcast of one row), never
+    // a vector-vector pair join
+    assert(p.contains("cent_id"), "pair join must key on the cluster id")
+  }
+
+  test("q18: IN subquery plans as a semi join before the big join") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("int8 quantization is map-side: no hash exchange at all") {
     val p = plan("q_sim_quantize")
     assert(!p.contains("hashpartitioning"),
