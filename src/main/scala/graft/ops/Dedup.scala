@@ -22,6 +22,46 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Modulus of the portable universal-hash minhash family: the Mersenne
+    * prime 2^31−1. Family member j is h_j(s) = (a_j·h32(s) + b_j) mod P
+    * [Carter & Wegman 1979 universal hashing — the standard minwise
+    * family construction], where h32(s) is the first 8 hex digits of
+    * md5(s) as an integer. Every term stays under 2^63 (a_j < 2^31,
+    * h32 < 2^32), so the arithmetic is exact, overflow-free BIGINT math
+    * in ANY engine — which is what makes minhash outputs
+    * oracle-checkable cross-engine (DuckDB raises on BIGINT overflow, so
+    * a wrapping xxhash64 family is not portable; see the simhash
+    * portable-family precedent in `simhash` below).
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Driver-side md5 (the same function as SQL `md5`) — used only to
+    * derive the fixed family coefficients, never applied to data.
+    */
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic (a_j, b_j) coefficient pairs for the portable minhash
+    * family — derived from md5 of a fixed label so any engine (or the
+    * oracle-SQL generator) can re-derive the identical family.
+    * a_j ∈ [1, P−1], b_j ∈ [0, P−1].
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { j =>
+      val a = (BigInt(md5Hex(s"graft-minhash-a:$j").take(15), 16) %
+        (MinhashP - 1)).toLong + 1
+      val b = (BigInt(md5Hex(s"graft-minhash-b:$j").take(15), 16) %
+        MinhashP).toLong
+      (a, b)
+    }
+
+  /** Portable 32-bit string hash: first 8 hex digits of md5 as a long —
+    * replicable in any engine with md5 (DuckDB: strpos digit-sum).
+    */
+  def portableHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
   /** Exact dedup: canonical representative (min id) per key column. */
   def exactGroups(df: DataFrame, key: Column, id: Column): DataFrame =
     df.groupBy(key.as("dedup_key"))
@@ -37,38 +77,48 @@ object Dedup {
         i => text.substr(i + 1, lit(k))))
 
   /** MinHash signature: array of `numHashes` Long minima over shingle
-    * hashes. Hash family j is xxhash64 salted with j — deterministic,
-    * stateless, identical on every executor.
+    * hashes, using the portable universal family (see `MinhashP`) —
+    * deterministic, stateless, identical on every executor AND every
+    * engine.
     *
-    * NOTE: nested-lambda form — Catalyst re-evaluates `shingleArr` for
-    * every j (no CSE inside lambdas), so this is O(numHashes · shingling).
-    * Kept for column-level composition on small inputs; the scalable path
-    * is `minhashSignatures` below (explode-based, shingles computed once).
+    * NOTE: column-composition form — Catalyst re-evaluates the lambda
+    * body per (j, shingle) (no CSE inside lambdas), so this is
+    * O(numHashes · |shingles|) md5 calls. Kept for column-level
+    * composition on small inputs; the scalable path is
+    * `minhashSignatures` below (explode-based, one md5 per shingle).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(j, s))))
+    array(minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(shingleArr,
+        s => (lit(a) * portableHash32(s) + lit(b)) % lit(MinhashP)))
+    }: _*)
 
   /** MinHash signature table [id, sig: array<long>], one aggregation pass.
     *
     * Shape chosen for scale: shingle each doc ONCE, hash each shingle
-    * ONCE to 64 bits, then derive the j-th family member by hashing the
-    * (j, h0) pair — fixed-width hashing, no re-walk of strings. All
-    * `numHashes` minima are computed as separate min-aggregates in ONE
-    * hash aggregate over the (id, h0) rows: map-side partial combine means
-    * the shuffle carries numHashes longs per (doc × partition), and no
-    * row explosion by numHashes ever happens (the previous explode-based
-    * form pushed rows × numHashes through a shuffle — measured 30 s vs
-    * ~7 s for this plan at sf0.1).
+    * ONCE to 32 bits (md5 prefix), then derive the j-th family member by
+    * an affine map mod 2^31−1 — fixed-width integer math, no re-walk of
+    * strings. All `numHashes` minima are computed as separate
+    * min-aggregates in ONE hash aggregate over the (id, h0) rows:
+    * map-side partial combine means the shuffle carries numHashes longs
+    * per (doc × partition), and no row explosion by numHashes ever
+    * happens (an explode-by-j form pushed rows × numHashes through a
+    * shuffle — measured 30 s vs ~7 s for this plan at sf0.1).
+    *
+    * The family is the PORTABLE universal family (`MinhashP`): every
+    * operation (md5, hex-digit extraction, affine mod) is exactly
+    * replicable in DuckDB, so minhash-derived queries are
+    * oracle-checkable — the same recipe that made simhash oracle-green.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), k)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h0"))
+      .select(col("id"), portableHash32(col("s")).as("h0"))
       .groupBy(col("id"))
-      .agg(array((0 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("h0")))): _*).as("sig"))
+      .agg(array(minhashCoeffs(numHashes).map { case (a, b) =>
+        min((lit(a) * col("h0") + lit(b)) % lit(MinhashP))
+      }: _*).as("sig"))
 
   /** LSH banding: (band_idx, band_hash) rows per doc. Docs sharing any
     * band bucket become candidate pairs via equi-join — the scalable path

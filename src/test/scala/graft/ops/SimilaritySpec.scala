@@ -65,7 +65,7 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     def recall(multiprobe: Boolean): Double = {
       val got = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 5,
-          nBits = 10, nTables = 2, multiprobe = multiprobe)
+          nBits = 8, nTables = 2, multiprobe = multiprobe)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       brute.intersect(got).size.toDouble / brute.size
     }
