@@ -198,55 +198,94 @@ object StreamOps {
     * micro-batch is merged with the current table state — new keys
     * appended, existing keys replaced by the latest row (max ts wins).
     * The pattern for continuously-deduplicated lake ingest when the sink
-    * format has no native MERGE. Each batch rewrite is atomic-enough via
-    * write-then-swap; a table format with real transactions would replace
-    * the swap.
+    * format has no native MERGE.
+    *
+    * PARTITION-SCOPED at scale: the table is laid out as
+    * `bucket=<hash(key) mod buckets>` partitions, and a batch rewrites
+    * ONLY the partitions containing its keys — untouched buckets are
+    * neither read (partition pruning on the bucket dirs) nor written.
+    * Per-batch cost is O(affected buckets + batch), not O(table): the
+    * property that keeps continuous ingest viable when the table is
+    * 100 TB and a batch touches a sliver of the key space. Size
+    * `buckets` so one bucket ≈ a comfortable rewrite unit (table size /
+    * buckets); a table format with real transactions (row-level MERGE)
+    * would replace the per-partition swap.
     */
   def upsertSink(df: DataFrame, keyCol: String, tsCol: String,
-                 tablePath: String, checkpoint: String): Unit = {
+                 tablePath: String, checkpoint: String,
+                 buckets: Int = 16): Unit = {
     val q = df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(tablePath)
-          catch { case _: Throwable => spark.emptyDataFrame }
-        val merged =
-          if (existing.isEmpty) batch
-          else existing.unionByName(batch, allowMissingColumns = true)
-        import org.apache.spark.sql.expressions.Window
-        val latest = merged.withColumn("_rn",
-            row_number().over(Window.partitionBy(col(keyCol))
-              .orderBy(col(tsCol).desc)))
-          .filter(col("_rn") === 1).drop("_rn")
-        // rename-aside swap (same discipline as LakeIO.compact): the live
-        // table is never deleted before its replacement is in place, and
-        // rename() returns are checked — a crash or silent rename failure
-        // leaves a complete table on disk.
-        val dest = new org.apache.hadoop.fs.Path(tablePath)
-        val tmp = new org.apache.hadoop.fs.Path(
-          tablePath.stripSuffix("/") + "._staged")
-        val old = new org.apache.hadoop.fs.Path(
-          tablePath.stripSuffix("/") + "._replaced")
-        latest.write.mode("overwrite").parquet(tmp.toString)
-        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(old)) fs.delete(old, true)
-        val hadOld = fs.exists(dest)
-        if (hadOld && !fs.rename(dest, old))
-          throw new java.io.IOException(
-            s"upsertSink: rename $dest -> $old failed")
-        if (!fs.rename(tmp, dest)) {
-          if (hadOld) fs.rename(old, dest) // roll back
-          throw new java.io.IOException(
-            s"upsertSink: rename $tmp -> $dest failed")
-        }
-        if (hadOld) fs.delete(old, true)
-        ()
+        upsertBatch(batch, keyCol, tsCol, tablePath, buckets)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One partition-scoped upsert merge (the foreachBatch body of
+    * `upsertSink`, exposed for direct batch use and tests).
+    *
+    * Every affected partition is swapped with the rename-aside
+    * discipline (same as LakeIO.compact): the live partition is never
+    * deleted before its replacement is in place, rename() returns are
+    * checked, and a failed swap rolls the partition back — a crash
+    * leaves every partition complete (old or new, never absent). The
+    * replaced-aside dir is dot-prefixed so readers' partition discovery
+    * never sees it.
+    */
+  def upsertBatch(rawBatch: DataFrame, keyCol: String, tsCol: String,
+                  tablePath: String, buckets: Int): Unit = {
+    val spark = rawBatch.sparkSession
+    val batch = rawBatch.withColumn("bucket",
+      pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
+    // bucket ids present in the batch: ≤ `buckets` ints — a bounded
+    // driver-side action (partition bookkeeping), not a data collect
+    val affected = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read ONLY the affected bucket partitions of the current table
+    val existingDirs = affected
+      .map(b => new org.apache.hadoop.fs.Path(dest, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val merged =
+      if (existingDirs.isEmpty) batch
+      else spark.read.option("basePath", tablePath)
+        .parquet(existingDirs.toIndexedSeq: _*)
+        .unionByName(batch, allowMissingColumns = true)
+    import org.apache.spark.sql.expressions.Window
+    val latest = merged.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val tmp = new org.apache.hadoop.fs.Path(
+      tablePath.stripSuffix("/") + "._staged")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    latest.write.partitionBy("bucket").mode("overwrite")
+      .parquet(tmp.toString)
+    fs.mkdirs(dest)
+    for (b <- affected) {
+      val dPart = new org.apache.hadoop.fs.Path(dest, s"bucket=$b")
+      val tPart = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
+      val oPart = new org.apache.hadoop.fs.Path(dest, s".replaced_bucket=$b")
+      if (fs.exists(oPart)) fs.delete(oPart, true)
+      val hadOld = fs.exists(dPart)
+      if (hadOld && !fs.rename(dPart, oPart))
+        throw new java.io.IOException(
+          s"upsertBatch: rename $dPart -> $oPart failed")
+      if (!fs.rename(tPart, dPart)) {
+        if (hadOld) fs.rename(oPart, dPart) // roll back
+        throw new java.io.IOException(
+          s"upsertBatch: rename $tPart -> $dPart failed")
+      }
+      if (hadOld) fs.delete(oPart, true)
+    }
+    fs.delete(tmp, true)
+    ()
   }
 
   /** Streaming corpus ingestion with cross-batch NEAR-dedup — the

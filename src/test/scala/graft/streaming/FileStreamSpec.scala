@@ -290,6 +290,44 @@ class FileStreamSpec extends SparkTestBase {
     assert(out == Map(1L -> "new", 2L -> "two", 3L -> "three"))
   }
 
+  test("upsertBatch is partition-scoped: a 1-bucket batch rewrites 1 partition") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val table = Files.createTempDirectory("upsert-ps").toString + "/t"
+    // seed keys 1..40 → with 8 buckets every bucket is occupied
+    val seed = (1L to 40L).map(k =>
+      (k, ts("2024-01-01 00:00:00"), s"v$k")).toDF("k", "ts", "v")
+    StreamOps.upsertBatch(seed, "k", "ts", table, buckets = 8)
+    val dirs = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.toPath)
+    assert(dirs.length == 8)
+    def snapshot(): Map[String, Set[(String, Long)]] = dirs.map { d =>
+      d.getFileName.toString -> java.nio.file.Files.list(d)
+        .toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }.toMap
+    val before = snapshot()
+    // one-key batch → exactly one affected bucket partition
+    val oneKey = Seq((1L, ts("2024-01-01 00:05:00"), "updated"))
+      .toDF("k", "ts", "v")
+    val touchedBucket = "bucket=" + oneKey
+      .select(pmod(xxhash64($"k"), lit(8)).cast("int")).as[Int].head()
+    StreamOps.upsertBatch(oneKey, "k", "ts", table, buckets = 8)
+    val after = snapshot()
+    for (d <- before.keys) {
+      if (d == touchedBucket)
+        assert(before(d) != after(d), s"$d should have been rewritten")
+      else
+        assert(before(d) == after(d),
+          s"$d was rewritten by a batch that never touched it")
+    }
+    // correctness unchanged: latest row per key
+    val out = spark.read.parquet(table)
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(out(1L) == "updated" && out.size == 40)
+  }
+
   test("dedupIngest: streamed batches near-dedup vs corpus and in-batch") {
     val dir = Files.createTempDirectory("ingest").toString
     val src = s"$dir/src"
