@@ -87,6 +87,14 @@ object LakeIO {
     * from the environment/instance profile, never hard-coded (the
     * reference hard-codes them — app/config.py:19-21 — a bug class we
     * don't reproduce).
+    *
+    * The full object-store surface (this config + readAuto / writeAuto /
+    * listing / compact over `s3a://` URIs) is integration-tested in
+    * LakeIOSpec against a mock FileSystem registered under the s3a
+    * scheme — the strongest evidence a zero-egress environment admits
+    * (no endpoint, and no hadoop-aws jar on the classpath); S3A wire
+    * behavior itself (multipart, committers, credentials) needs a real
+    * endpoint + the hadoop-aws artifact.
     */
   def configureS3a(spark: SparkSession, endpoint: String,
                    pathStyle: Boolean = true): Unit = {
