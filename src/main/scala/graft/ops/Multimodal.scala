@@ -138,6 +138,129 @@ object Multimodal {
       mean_luma = lumaSum / (w.toLong * h) / 255.0))
   }
 
+  /** REAL decoder for PNG — pure JVM: the zlib stream is
+    * `java.util.zip.Inflater` (in the JDK) and the per-row unfiltering
+    * (the 5 PNG filter types: None/Sub/Up/Average/Paeth) is plain byte
+    * math, so no external codec is needed. Supports the common
+    * non-interlaced 8-bit-depth forms: grayscale (color type 0), RGB
+    * (2), gray+alpha (4), RGBA (6); palette (3), 16-bit and Adam7
+    * interlace return None (→ stub fallback). Mean luma is Rec.601 over
+    * the unfiltered samples (alpha ignored), same sequential-fold
+    * discipline as the other decoders. Format per the PNG spec (RFC
+    * 2083 / W3C PNG): 8-byte signature, length+type+data+CRC chunks,
+    * IHDR first, IDAT chunks concatenate into one zlib stream, each
+    * scanline = 1 filter byte + width·channels samples.
+    */
+  private[ops] def decodePng(m: MediaFile): Option[MediaFeatures] = {
+    val b = m.content
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 + 25 + 12 ||
+        !sig.indices.forall(i => (b(i) & 0xff) == sig(i))) return None
+    def u32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    if (u32(8) != 13L ||
+        new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+    val w = u32(16)
+    val h = u32(20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None // palette needs PLTE handling
+    }
+    // decoded buffer must index with Int: bound samples + filter bytes
+    if ((w * channels + 1) * h > (1L << 30)) return None
+    // concatenate IDAT payloads (chunk CRCs are not re-verified — the
+    // zlib adler32 already covers the pixel stream)
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 8 + 12 + 13
+    var sawEnd = false
+    while (!sawEnd && p + 12 <= b.length) {
+      val len = u32(p)
+      if (len > Int.MaxValue || p + 12L + len > b.length) return None
+      new String(b, p + 4, 4, "US-ASCII") match {
+        case "IDAT" => idat.write(b, p + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _      => ()
+      }
+      p += 12 + len.toInt
+    }
+    if (idat.size() == 0) return None
+    val stride = (w * channels).toInt
+    val raw = new Array[Byte]((stride + 1) * h.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated / preset-dictionary stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter scanlines in place (each filter references the RECON
+    // bytes of the previous pixel/row, so decode order is row-major)
+    val img = new Array[Byte](stride * h.toInt)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val in = y * (stride + 1) + 1
+      val out = y * stride
+      var x = 0
+      while (x < stride) {
+        val rv = raw(in + x) & 0xff
+        val left = if (x >= bpp) img(out + x - bpp) & 0xff else 0
+        val up = if (y > 0) img(out - stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) img(out - stride + x - bpp) & 0xff
+                 else 0
+        val v = f match {
+          case 0 => rv
+          case 1 => rv + left
+          case 2 => rv + up
+          case 3 => rv + (left + up) / 2
+          case 4 => // Paeth predictor
+            val pr = left + up - ul
+            val pa = math.abs(pr - left)
+            val pb = math.abs(pr - up)
+            val pc = math.abs(pr - ul)
+            rv + (if (pa <= pb && pa <= pc) left
+                  else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        img(out + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    var lumaSum = 0.0
+    var px = 0L
+    val n = w * h
+    while (px < n) {
+      val q = (px * channels).toInt
+      lumaSum += (if (colorType == 0 || colorType == 4)
+        (img(q) & 0xff).toDouble
+      else
+        0.299 * (img(q) & 0xff) + 0.587 * (img(q + 1) & 0xff) +
+          0.114 * (img(q + 2) & 0xff))
+      px += 1
+    }
+    Some(MediaFeatures(path = m.path, length = m.length,
+      fingerprint = fnv(b), width = w.toInt, height = h.toInt,
+      n_frames = 1, mean_luma = lumaSum / n / 255.0))
+  }
+
   case class AudioFeatures(path: String, length: Long, fingerprint: Long,
                            sample_rate: Int, channels: Int, n_frames: Long,
                            duration_s: Double, rms: Double, peak: Double)
@@ -256,17 +379,18 @@ object Multimodal {
       mean_luma = ((h >>> 33) % 256).toDouble / 255.0)
   }
 
-  /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters and
-    * uncompressed BMP, deterministic stub for codec-requiring formats.
-    * One decoder context per partition; rows stream through without
-    * materializing the partition.
+  /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
+    * uncompressed BMP and 8-bit PNG, deterministic stub for
+    * codec-requiring formats (JPEG/video). One decoder context per
+    * partition; rows stream through without materializing the partition.
     */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codecs: initialize decoder context here, once per partition
       it.map(m =>
-        decodePnm(m).orElse(decodeBmp(m)).getOrElse(fakeDecode(m)))
+        decodePnm(m).orElse(decodeBmp(m)).orElse(decodePng(m))
+          .getOrElse(fakeDecode(m)))
     }
   }
 

@@ -83,6 +83,74 @@ object CustomQueries {
       .orderBy(col("file"))
   }
 
+  /** Deterministic media fixture bytes for q_multimodal_decode — the
+    * formats the REAL decoders parse (PPM/PGM/BMP/PNG) plus one
+    * codec-format blob that exercises the documented stub fallback.
+    * Byte-identical on every run, so the decoded features are
+    * pinned-expectation oracle-checkable (the expected widths/lumas are
+    * analytic properties of these bytes; the PNG is a 3×5 RGB image
+    * exercising all 5 scanline filter types, generated once from the
+    * same filter arithmetic CustomFunctionsSpec's encoder validates
+    * against the JDK's ImageIO).
+    */
+  private lazy val mediaFixtures: Map[String, Array[Byte]] = {
+    // P6 2x2: red, green, blue, white → Rec.601 mean luma exactly 0.5
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+        0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    // P5 1x2: black, white → mean luma 0.5
+    val pgm = "P5\n1 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 255.toByte)
+    // 24-bit BI_RGB BMP 2x2 (rows padded to 4): blue, white / red, green
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val raster = Array[Byte](
+      255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0,
+      0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0)
+    val bmp = "BM".getBytes("US-ASCII") ++
+      le32(54 + raster.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ raster
+    // 3x5 8-bit RGB PNG, pixel i = (i*37+11) mod 256, one scanline per
+    // filter type 0..4; mean luma 0.48916209... → r6 0.489162
+    val png = ("89504e470d0a1a0a0000000d4948445200000003000000050802000000" +
+      "0f13c1f50000002b49444154789c63e03608ad9a7fe4259f316344eda27c3060" +
+      "f28501e6059b8ede8b030116202f1f24b40700cd171279a72d70e40000000049" +
+      "454e44ae426082").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    // not a parseable format → deterministic stub features from fnv
+    val mp4 = Array[Byte](1, 2, 3)
+    Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
+      "img.png" -> png, "clip.mp4" -> mp4)
+  }
+
+  /** REAL multimodal decode as a driver-checked query: materialize the
+    * deterministic fixture set into a scratch dir, run the actual
+    * binaryFile → mapPartitions decode path, emit per-file geometry +
+    * 6-decimal mean luma. The oracle is a literal VALUES table — every
+    * expected number is an analytic property of the fixture bytes
+    * (dims/luma of known rasters; the stub's fingerprint-derived
+    * features for the codec blob), so this pins the decoders
+    * end-to-end under the driver's hash compare.
+    */
+  def qMultimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("mm-decode")
+    mediaFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    Multimodal.extractFeatures(media).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(col("mean_luma"), 6).as("luma_r6"))
+      .orderBy(col("file"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -103,10 +171,33 @@ object CustomQueries {
     "q_custom_simhash_agg" -> (qCustomSimhashAgg(_, _)),
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
-    "q_multimodal_audio" -> (qMultimodalAudio(_, _))
+    "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
+    "q_multimodal_decode" -> (qMultimodalDecode(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    // Pinned-expectation oracle: every number is an analytic property
+    // of the deterministic fixture bytes (see mediaFixtures scaladoc).
+    // PPM {red,green,blue,white}, PGM {black,white} and BMP
+    // {blue,white,red,green} all have Rec.601 mean luma exactly 0.5;
+    // the PNG's pattern sums to 0.489162 (r6); the mp4 blob's stub
+    // features derive from fnv1a64([1,2,3]) = 0x21d5... (width
+    // 320+(h%1600), height 240+((h>>>11)%900), frames 1+((h>>>23)%240),
+    // luma ((h>>>33)%256)/255 → 0.047059).
+    "q_multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('clip.mp4', CAST(1387 AS BIGINT), CAST(574 AS BIGINT),
+        |   CAST(127 AS BIGINT), CAST(0.047059 AS DOUBLE)),
+        |  ('img.bmp', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
+        |  ('img.pgm', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
+        |  ('img.png', CAST(3 AS BIGINT), CAST(5 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.489162 AS DOUBLE)),
+        |  ('img.ppm', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)))
+        |  AS t(file, width, height, n_frames, luma_r6)
+        |ORDER BY file""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),

@@ -268,6 +268,151 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(f._5 - 1.0) < 1e-12)
   }
 
+  // ---- PNG test-side encoder (independent arithmetic direction: the
+  // tests FILTER known pixels, Multimodal.decodePng must UNfilter them
+  // back; a sign/order bug in either direction breaks the roundtrip) ----
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    be32(data.length.toLong) ++ tb ++ data ++ be32(crc.getValue)
+  }
+
+  /** Minimal PNG encoder: 8-bit depth, chosen filter type per row,
+    * IDAT split into two chunks (decoders must concatenate).
+    */
+  private def encodePng(w: Int, h: Int, colorType: Int,
+                        pixels: Array[Int], filters: Seq[Int]): Array[Byte] = {
+    val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = filters(y % filters.length)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x)
+        val left = if (x >= channels) pixels(y * stride + x - channels) else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) else 0
+        val ul = if (x >= channels && y > 0)
+          pixels((y - 1) * stride + x - channels) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val pr = left + up - ul
+            val pa = (pr - left).abs; val pb = (pr - up).abs
+            val pc = (pr - ul).abs
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (stride + 1) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = out.toByteArray
+    val ihdr = Array[Byte]((w >> 24).toByte, (w >> 16).toByte,
+      (w >> 8).toByte, w.toByte, (h >> 24).toByte, (h >> 16).toByte,
+      (h >> 8).toByte, h.toByte, 8, colorType.toByte, 0, 0, 0)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val (z1, z2) = z.splitAt(math.max(1, z.length / 2))
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", z1) ++
+      pngChunk("IDAT", z2) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  test("multimodal: REAL PNG decode — all 5 filter types, exact mean luma") {
+    import graft.ops.Multimodal
+    // 3x5 RGB, deterministic pixel pattern; rows use filters 0..4
+    val (w, h) = (3, 5)
+    val px = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 256)
+    val png = encodePng(w, h, colorType = 2, px, filters = Seq(0, 1, 2, 3, 4))
+    val dir = java.nio.file.Files.createTempDirectory("png").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "img.png").toPath, png)
+    // gray+alpha (type 4): luma = gray channel, alpha ignored
+    val pxGa = Array.tabulate(2 * 2 * 2)(i => (i * 91 + 5) % 256)
+    java.nio.file.Files.write(new java.io.File(dir, "ga.png").toPath,
+      encodePng(2, 2, colorType = 4, pxGa, filters = Seq(4, 1)))
+    // truncated IDAT → stub fallback, not a crash
+    java.nio.file.Files.write(new java.io.File(dir, "bad.png").toPath,
+      png.take(60))
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.png")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"width", $"height", $"mean_luma")
+      .as[(String, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(feats("img.png")._1 == 3 && feats("img.png")._2 == 5)
+    val want = (0 until w * h).map(p => 0.299 * px(p * 3) +
+      0.587 * px(p * 3 + 1) + 0.114 * px(p * 3 + 2)).sum / (w * h) / 255.0
+    assert(math.abs(feats("img.png")._3 - want) < 1e-12)
+    assert(feats("ga.png")._1 == 2 && feats("ga.png")._2 == 2)
+    val wantGa = (0 until 4).map(p => pxGa(p * 2).toDouble)
+      .sum / 4 / 255.0
+    assert(math.abs(feats("ga.png")._3 - wantGa) < 1e-12)
+    // truncated file hit the stub (synthesized dims), not the parser
+    assert(feats("bad.png")._1 >= 320)
+  }
+
+  test("multimodal: PNG decode agrees with the JDK's independent encoder") {
+    import graft.ops.Multimodal
+    // ImageIO's PNG writer (pure-JDK, present headless) picks its own
+    // filters/compression — if our unfilter logic is wrong anywhere,
+    // the luma of a non-trivial image won't match
+    val (w, h) = (17, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 53 + y * 17) % 256 << 16) |
+        ((x * 29 + y * 97) % 256 << 8) | ((x * 71 + y * 13) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val dir = java.nio.file.Files.createTempDirectory("png-io").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "io.png").toPath,
+      bos.toByteArray)
+    // gray variant (color type 0) — write RASTER samples directly:
+    // setRGB on TYPE_BYTE_GRAY routes through a nonlinear sRGB→gray
+    // colorspace conversion and would not store `g` itself
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 41 + y * 23) % 256)
+    val bg = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", bg))
+    java.nio.file.Files.write(new java.io.File(dir, "gray.png").toPath,
+      bg.toByteArray)
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.png")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"width", $"height", $"mean_luma")
+      .as[(String, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    def lumaOf(b: java.awt.image.BufferedImage): Double =
+      (for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = b.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }).sum / (w * h) / 255.0
+    assert(feats("io.png")._1 == w && feats("io.png")._2 == h)
+    assert(math.abs(feats("io.png")._3 - lumaOf(img)) < 1e-9)
+    assert(feats("gray.png")._1 == w)
+    val grayWant = (for (y <- 0 until h; x <- 0 until w)
+      yield gray.getRaster.getSample(x, y, 0).toDouble)
+      .sum / (w * h) / 255.0
+    assert(math.abs(feats("gray.png")._3 - grayWant) < 1e-9)
+  }
+
   test("multimodal resize plan: aspect-preserving fit, no-op when small") {
     import graft.ops.Multimodal
     val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
