@@ -85,10 +85,49 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Q21 shape — suppliers who kept orders waiting: the hardest public
+    * TPC-H join shape (a fact correlated with TWO more scans of itself:
+    * EXISTS + NOT EXISTS over the same order). The fixture's lineitem
+    * has no receipt/commit dates, so "late" is `l_returnflag = 'R'`:
+    * suppliers SOLELY responsible for returned items on multi-supplier
+    * finalized orders. Shape is Q21's exactly — inner ⋈ orders, a
+    * LEFT SEMI self-join (another supplier exists on the order) and a
+    * LEFT ANTI self-join (no OTHER supplier was late) — both equi on
+    * l_orderkey with the ≠-supplier residual, so the self-correlation
+    * shuffles on the join key and no cartesian/BNL appears (asserted in
+    * PlanSpec); supplier and nation broadcast.
+    */
+  def q21SuppliersWaiting(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l1.join(o, l1("l_orderkey") === o("o_orderkey"))
+      .join(l2, l1("l_orderkey") === l2("l2_orderkey") &&
+        l1("l_suppkey") =!= l2("l2_suppkey"), "left_semi")
+      .join(l3, l1("l_orderkey") === l3("l3_orderkey") &&
+        l1("l_suppkey") =!= l3("l3_suppkey"), "left_anti")
+      .join(broadcast(s), l1("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(s("s_name").as("s_name"), n("n_name").as("nation"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_local_supplier" -> (q5LocalSupplier(_, _)),
-    "q10_returned_items" -> (q10ReturnedItems(_, _))
+    "q10_returned_items" -> (q10ReturnedItems(_, _)),
+    "q21_suppliers_waiting" -> (q21SuppliersWaiting(_, _))
   )
 
   private val revSql =
@@ -118,6 +157,23 @@ object TpchQueries {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+    "q21_suppliers_waiting" ->
+      """SELECT s_name, n_name AS nation, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q5_local_supplier" ->
       s"""SELECT n_name AS nation, $revSql AS revenue
          |FROM lineitem

@@ -87,6 +87,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q21: EXISTS + NOT EXISTS chain plans as semi AND anti self-joins, " +
+    "no cartesian") {
+    val p = plan("q21_suppliers_waiting")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("int8 quantization is map-side: no hash exchange at all") {
     val p = plan("q_sim_quantize")
     assert(!p.contains("hashpartitioning"),
