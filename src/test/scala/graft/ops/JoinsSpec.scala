@@ -17,6 +17,51 @@ class JoinsSpec extends SparkTestBase {
       plain.groupBy("k").count().as[(Long, Long)].collect().toMap)
   }
 
+  test("AQE splits the skewed partition: skew=true in the final plan") {
+    // deliberately skewed fact: one hot key holds ~250k of 300k rows
+    // with an incompressible payload; dim side small but SMJ-forced.
+    // Thresholds are lowered so local fixture sizes cross the same
+    // bars a 100 TB hot key crosses in production (defaults: 256 MB
+    // partition threshold, factor 5) — the point is the MECHANISM:
+    // Spark's OptimizeSkewedJoin splits the oversized partition into
+    // advisory-sized chunks and replicates the matching side, which is
+    // the runtime answer to skew (saltedJoin is the static fallback
+    // when AQE is off or the skew is in an aggregation).
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "65536")
+      val left = spark.range(300000).select(
+        when($"id" < 250000, 0L).otherwise($"id" % 50 + 1).as("k"),
+        concat(lit("payload-"), $"id", lit("-"),
+          md5($"id".cast("string"))).as("p"))
+      val right = spark.range(51).select($"id".as("k"),
+        ($"id" * 7).as("v"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) — count builds a NEW QueryExecution for
+      // the aggregate; only the df's own execution finalizes ITS
+      // adaptive plan so the skew marker is inspectable
+      assert(joined.collect().length == 300000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join marker in:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("colocatedJoin adds no exchange beyond the two repartitions") {
     val a = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("x"))
     val b = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("y"))
