@@ -448,6 +448,64 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** Convergence-detecting variant of `dedupComponents` — the
+    * production driver when the pair graph's diameter is unknown: after
+    * each pointer-doubling round, an 8-byte checksum action
+    * (order-independent sum of xxhash64(node, label)) is compared with
+    * the previous round's; identical checksums ⇒ no label moved ⇒
+    * converged (labels only decrease, so an unchanged checksum is a
+    * fixed point up to a ~2⁻⁶⁴ collision). Stops one round after
+    * convergence instead of running `maxIters` blind.
+    *
+    * Cost model at cluster scale: the checksum is one extra
+    * O(|nodes|) scan + a driver-side Long per round — noise next to
+    * the round's own O(|edges|) shuffle barrier — and because each
+    * round's result is (local)checkpointed, the checksum action does
+    * not recompute prior rounds. Keep `dedupComponents(iters = k)` for
+    * fully-lazy plan construction when the diameter bound is known
+    * (e.g. the oracle queries' planted pair/triple clusters).
+    *
+    * @return (components DataFrame — same contract as dedupComponents,
+    *         rounds actually run including the detection round)
+    */
+  def dedupComponentsConverged(pairs: DataFrame,
+                               maxIters: Int = 16): (DataFrame, Int) = {
+    val undirected = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val edges = CacheScope.cached(undirected.unionByName(
+      undirected.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"))))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prev = Option.empty[String]
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val propagated = edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("label"))
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint(false)
+      labels = propagated
+        .join(propagated.select(col("label").as("jump_to"),
+          col("node").as("label")), "label")
+        .select(col("node"), col("jump_to").as("label"))
+        .localCheckpoint(false)
+      // decimal sum: overflow-free under ANSI mode (a Long sum of 64-bit
+      // hashes throws), order-independent, collision odds ~2^-64
+      val sum = labels
+        .agg(coalesce(org.apache.spark.sql.functions.sum(
+            xxhash64(col("node"), col("label")).cast("decimal(20,0)")),
+          lit(0).cast("decimal(38,0)")).cast("string"))
+        .head().getString(0)
+      rounds += 1
+      if (prev.contains(sum)) converged = true else prev = Some(sum)
+    }
+    (labels.select(col("node").as("doc_id"), col("label").as("component")),
+      rounds)
+  }
+
   /** 63-bit SimHash over whitespace tokens, as a pure DataFrame plan:
     * explode bits → per-(doc,bit) ±1 sums → pack.
     *

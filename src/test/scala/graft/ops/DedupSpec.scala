@@ -134,6 +134,39 @@ class DedupSpec extends SparkTestBase {
     assert(comp.values.forall(_ == 0L))
   }
 
+  test("dedupComponentsConverged stops early: 2 components, not maxIters") {
+    // two shallow components: diameter 2 ⇒ labels settle in round 1
+    // (pointer doubling reaches ≥2 hops); round 2 is the unchanged-
+    // checksum detection round — so 2 rounds total, far below the
+    // 8-round blind bound
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val (df, rounds) = CacheScope.scoped {
+      val (d, r) = Dedup.dedupComponentsConverged(pairs, maxIters = 8)
+      (d.as[(Long, Long)].collect().toMap, r)
+    }
+    assert(rounds == 2, s"expected convergence in 2 rounds, ran $rounds")
+    assert(Seq(1L, 2L, 3L).forall(df(_) == 1L))
+    assert(Seq(10L, 11L).forall(df(_) == 10L))
+    // identical result to the fixed-iteration form
+    val fixed = CacheScope.scoped {
+      Dedup.dedupComponents(pairs, iters = 8)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(df == fixed)
+  }
+
+  test("dedupComponentsConverged: deep chain uses more rounds, same labels") {
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (df, rounds) = CacheScope.scoped {
+      val (d, r) = Dedup.dedupComponentsConverged(pairs, maxIters = 16)
+      (d.as[(Long, Long)].collect().toMap, r)
+    }
+    // 20-node chain: reach after k rounds ≥ 2^(k+1)−2 ⇒ settled by
+    // round 4; +1 detection round, and strictly fewer than maxIters
+    assert(rounds >= 4 && rounds <= 6, s"rounds=$rounds")
+    assert(df.size == 20 && df.values.forall(_ == 0L))
+  }
+
   test("simhash: identical docs hash identically, unrelated docs differ") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
