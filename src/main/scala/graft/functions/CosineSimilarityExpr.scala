@@ -142,6 +142,10 @@ object GraftFunctions {
       "bitmap_and_count",
       exprs => BitmapAndCountExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig",
+      exprs => HyperplaneSigExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
   }
 }
 
@@ -157,6 +161,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[BitmapAndCountExpr].getName, "bitmap_and_count"),
         (exprs: Seq[Expression]) => BitmapAndCountExpr(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HyperplaneSigExpr].getName, "hyperplane_sig"),
+        (exprs: Seq[Expression]) =>
+          HyperplaneSigExpr(exprs(0), exprs(1), exprs(2))))
     // optimizer rule: textbook HOF cosine rewrites to the fused native
     // expression (see NativeCosineRule — 61× on all-pairs scoring)
     ext.injectOptimizerRule(_ => NativeCosineRule)

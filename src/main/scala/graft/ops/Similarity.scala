@@ -58,10 +58,11 @@ object Similarity {
                     idCol: String, vecCol: String,
                     nBits: Int, nTables: Int,
                     multiprobe: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val qSig = queries.select(col(idCol).as("query_id"),
-      explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
-        struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
-          .as("sig")))).as("b"))
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
+          .as("sig"))): _*)).as("b"))
       .select(col("query_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
     val q =
       if (!multiprobe) qSig
@@ -69,9 +70,9 @@ object Similarity {
         explode(array(col("sig") +: (0 until nBits).map(j =>
           col("sig").bitwiseXOR(lit(1L << j))): _*)).as("sig"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      explode(transform(sequence(lit(0), lit(nTables - 1)), t =>
-        struct(t.as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
-          .as("sig")))).as("b"))
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneTableSig(col(vecCol), nBits, t)
+          .as("sig"))): _*)).as("b"))
       .select(col("neighbor_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
     c.join(broadcast(q), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -310,30 +311,35 @@ object Similarity {
       .select((-col("best.neg_id")).as("cent_id"), col("cid"), col("cv"))
   }
 
-  /** Hyperplane signature whose seed varies by table id (Column). Inlined
-    * variant of VectorFunctions.hyperplaneSignature with a Column seed.
-    *
-    * The hyperplane sign for (table, bit, dim) is the PORTABLE md5-parity
-    * family: parity of the first hex digit of md5("graft-hyp:t:j:i") —
-    * replicable in any engine with md5 (the same recipe as the portable
-    * simhash/minhash families), which is what makes lshTopK
-    * oracle-checkable cross-engine. The projection is a sequential
-    * in-row fold (bit-identical to DuckDB list_sum — see the cosine
-    * oracles), so bucket membership can't flip between engines.
+  /** Max embedding dimensionality the precomputed hyperplane sign
+    * tables cover (vectors longer than this would zip against nulls and
+    * silently zero their tail — callers with wider embeddings must
+    * raise it).
+    */
+  val HyperplaneMaxDim: Int = 1024
+
+  /** Driver-derived portable hyperplane sign for (table, bit, dim):
+    * ±1 from the parity of the first hex digit of
+    * md5("graft-hyp:t:j:i") — the same formula the DuckDB oracle twin
+    * re-derives in SQL, so outputs are engine-portable even though the
+    * engine never hashes at eval time (the signs precompute into the
+    * native expression's reference matrix). Public: HyperplaneSigExpr
+    * derives its sign matrix from this.
+    */
+  def hyperplaneSign(t: Int, j: Int, i: Int): Double =
+    if (Integer.parseInt(graft.ops.Dedup
+      .md5Hex(s"graft-hyp:$t:$j:$i").substring(0, 1), 16) % 2 == 0) 1.0
+    else -1.0
+
+  /** Hyperplane signature for table `t` (plan-time Int): bit j is the
+    * sign of Σᵢ sign(t,j,i)·v[i], packed with weight 2^(nBits−1−j) —
+    * the native codegen'd HyperplaneSigExpr (one fused multiply-add
+    * loop per row, signs precomputed per executor; the interpreted HOF
+    * chain measured 5.7 s and the per-element-md5 form 7.9 s vs ~1 s
+    * for q_sim_topk_lsh at sf0.1, parity pinned bit-for-bit in
+    * CustomFunctionsSpec).
     */
   private def hyperplaneTableSig(vec: org.apache.spark.sql.Column, nBits: Int,
-                                 tbl: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), j => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
-          when(conv(substring(md5(concat_ws(":",
-              lit("graft-hyp"), tbl, j, i)), 1, 1), 16, 10)
-              .cast("int") % 2 === 0, v.cast("double"))
-            .otherwise(-v.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+                                 t: Int): org.apache.spark.sql.Column =
+    call_function("hyperplane_sig", vec, lit(t), lit(nBits))
 }

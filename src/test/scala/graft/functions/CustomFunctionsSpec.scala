@@ -68,6 +68,43 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(v - expected) < 1e-15)
   }
 
+  test("hyperplane_sig matches the HOF sign-fold bit-for-bit") {
+    import graft.ops.Similarity
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val (nBits, t) = (8, 2)
+    // reference: the interpreted HOF formulation over the SAME
+    // driver-derived sign family (slice + zip_with + sequential fold)
+    val hof = (0 until nBits).map { j =>
+      val signs = Array.tabulate(Similarity.HyperplaneMaxDim)(
+        Similarity.hyperplaneSign(t, j, _))
+      val proj = aggregate(
+        zip_with($"v", slice(lit(signs), lit(1), size($"v")), (v, s) =>
+          v.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    }.foldLeft(lit(0L))((acc, b) => acc * 2 + b)
+    val rows = vecs.select($"id",
+      expr(s"hyperplane_sig(v, $t, $nBits)").as("native"),
+      hof.as("ref")).collect()
+    assert(rows.length == 200)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    // codegen and interpreted paths agree (fallback safety)
+    val saved = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = vecs.select(expr(s"hyperplane_sig(v, $t, $nBits)"))
+        .as[Long].collect()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val gen = vecs.select(expr(s"hyperplane_sig(v, $t, $nBits)"))
+        .as[Long].collect()
+      assert(interp.toSeq == gen.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", saved)
+  }
+
   test("SimHashAgg matches the pure-DataFrame simhash bit-for-bit") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
