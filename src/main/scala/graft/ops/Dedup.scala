@@ -307,40 +307,14 @@ object Dedup {
     val vocab = vocabHint.getOrElse(dfTbl.count())
     val verified = if (vocab <= (1L << 16)) {
       // SMALL-VOCABULARY regime (the regime where prefix buckets stay
-      // hot): exact bitset verification. Dictionary-encode shingles to
-      // dense ranks, pack each doc's set into ⌈V/64⌉ longs, and verify
-      // candidates with popcount(AND) — exact, collision-free, and a
-      // fraction of the bytes of shipping shingle arrays or minhash sigs.
-      val w = ((vocab + 63) / 64).toInt
-      val dict = dfTbl.select(col("s"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("s"))) - 1).as("r"))
-      graft.functions.GraftFunctions.register(docs.sparkSession)
-      val bitmaps = CacheScope.cached(exploded.join(dict, "s")
-        .select(col("id"), (col("r") / 64).cast("int").as("wi"),
-          expr("shiftleft(cast(1 as bigint), cast(r % 64 as int))").as("b"))
-        .groupBy(col("id"), col("wi")).agg(expr("bit_or(b)").as("bw"))
-        .groupBy(col("id"))
-        .agg(map_from_entries(collect_list(struct(col("wi"), col("bw"))))
-          .as("m"))
-        .select(col("id"), transform(sequence(lit(0), lit(w - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0L))).as("bm"))
-        // per-doc cardinality precomputed once, not per candidate pair
-        .withColumn("n", expr("bitmap_and_count(bm, bm)")))
-      // verify BEFORE dedup: the popcount is map-side (bitmap table joins
-      // broadcast under AQE), so re-verifying a pair once per shared
-      // prefix shingle costs ~ns each, while a distinct over the raw
-      // candidate stream is a full shuffle of it. The post-threshold
-      // survivor set is tiny — dedup happens there (the shared .distinct()
-      // after the jaccard filter below). Measured ~4 s cheaper at sf0.1.
-      cand
-        .join(bitmaps.select(col("id").as("id_a"), col("bm").as("bm_a"),
-          col("n").as("n_a")), "id_a")
-        .join(bitmaps.select(col("id").as("id_b"), col("bm").as("bm_b"),
-          col("n").as("n_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          expr("bitmap_and_count(bm_a, bm_b)").as("inter"),
-          (col("n_a") + col("n_b")).as("nn"))
+      // hot): exact bitset verification, verify BEFORE dedup — the
+      // popcount is map-side (bitmap table joins broadcast under AQE),
+      // so re-verifying a pair once per shared prefix shingle costs
+      // ~ns each, while a distinct over the raw candidate stream is a
+      // full shuffle of it. The post-threshold survivor set is tiny —
+      // dedup happens there (the shared .distinct() after the jaccard
+      // filter below). Measured ~4 s cheaper at sf0.1.
+      bitsetVerify(cand, exploded, dfTbl, vocab)
     } else {
       // LARGE-VOCABULARY regime: est-Jaccard prefilter on 64-hash minhash
       // sigs (64 longs per candidate vs full shingle arrays; margin
@@ -446,6 +420,130 @@ object Dedup {
         .select(col("node"), col("jump_to").as("label"))
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Exact bitset verification of a candidate pair stream (shared by
+    * the prefix-filtered and banded set-similarity joins):
+    * dictionary-encode the (≤ 2¹⁶) distinct shingles to dense ranks,
+    * pack each doc's set into ⌈V/64⌉ longs, and score candidates with
+    * the codegen'd popcount(AND) — exact, collision-free, and a
+    * fraction of the bytes of shipping shingle arrays. One output row
+    * per INPUT candidate row (duplicates pass through: verification is
+    * map-side cheap, dedup belongs after thresholding).
+    *
+    * @param distinctShingles DataFrame with one row per distinct
+    *        shingle in column `s` (document frequencies ignored)
+    * @return DataFrame[id_a, id_b, inter, nn]
+    */
+  private def bitsetVerify(cand: DataFrame, exploded: DataFrame,
+                           distinctShingles: DataFrame,
+                           vocab: Long): DataFrame = {
+    val w = ((vocab + 63) / 64).toInt
+    val dict = distinctShingles.select(col("s"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("s"))) - 1).as("r"))
+    graft.functions.GraftFunctions.register(exploded.sparkSession)
+    val bitmaps = CacheScope.cached(exploded.join(dict, "s")
+      .select(col("id"), (col("r") / 64).cast("int").as("wi"),
+        expr("shiftleft(cast(1 as bigint), cast(r % 64 as int))").as("b"))
+      .groupBy(col("id"), col("wi")).agg(expr("bit_or(b)").as("bw"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("bw"))))
+        .as("m"))
+      .select(col("id"), transform(sequence(lit(0), lit(w - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bm"))
+      // per-doc cardinality precomputed once, not per candidate pair
+      .withColumn("n", expr("bitmap_and_count(bm, bm)")))
+    cand
+      .join(bitmaps.select(col("id").as("id_a"), col("bm").as("bm_a"),
+        col("n").as("n_a")), "id_a")
+      .join(bitmaps.select(col("id").as("id_b"), col("bm").as("bm_b"),
+        col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("bitmap_and_count(bm_a, bm_b)").as("inter"),
+        (col("n_a") + col("n_b")).as("nn"))
+  }
+
+  /** Banded-candidate n-gram Jaccard pairs — the opt-in that trades the
+    * exact PPJoin contract for ~2× at scale: candidates come from
+    * portable-minhash LSH banding (equi-join on (band, hash) keys, the
+    * same index `minhashPairs` uses) instead of the exact prefix
+    * filter, and every candidate is then verified with EXACT
+    * set-intersection Jaccard. Output rows are therefore exactly
+    *   { pairs sharing ≥1 of the `bands` signature bands } ∩
+    *   { exact Jaccard ≥ minJaccard }
+    * — a DETERMINISTIC subset of `ngramJaccardPairs` (the hash family
+    * is fixed), so the operator is still oracle-checkable even though
+    * its recall < 1: the DuckDB twin replays the banding.
+    *
+    * The banding IS the recall/cost contract — per qualifying pair at
+    * Jaccard J, collision odds are 1−(1−J^r)^b, and the same curve
+    * decides how much sub-threshold mass becomes candidates. The 8×4
+    * default targets t ≈ 0.8 (recall 0.997 at J = 0.8; a 0.35
+    * background pair is admitted 11% of the time); 16×2 pushes recall
+    * to ~1 down to J ≈ 0.7 but on a dense corpus floods verification
+    * with background candidates (measured 87% admission at J = 0.35 —
+    * the whole 2× disappears). `ngramJaccardPairs` stays the
+    * zero-false-negative default; this opt-in pays off when the corpus
+    * defeats prefix filtering (hot shingles, very long documents).
+    *
+    * @return DataFrame[id_a, id_b, inter, union_n, jaccard], id_a < id_b
+    */
+  def ngramJaccardPairsBanded(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int, minJaccard: Double,
+                              bands: Int = 8, rowsPerBand: Int = 4,
+                              vocabHint: Option[Long] = None): DataFrame = {
+    val exploded = CacheScope.cached(docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s")))
+    val numHashes = bands * rowsPerBand
+    val sigs = CacheScope.cached(exploded
+      .select(col("id"), portableHash32(col("s")).as("h0"))
+      .groupBy(col("id"))
+      .agg(array(minhashCoeffs(numHashes).map { case (a, b) =>
+        min((lit(a) * col("h0") + lit(b)) % lit(MinhashP))
+      }: _*).as("sig")))
+    val banded = minhashBands(sigs, "sig", "id", bands, rowsPerBand)
+    // NOT deduplicated — a pair colliding in several bands appears once
+    // per collision; each verification regime picks its own dedup point
+    val cand = banded.select(col("id").as("id_a"), col("band_idx"),
+        col("band_hash"))
+      .join(banded.select(col("id").as("id_b"), col("band_idx"),
+        col("band_hash")), Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val dfTbl = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val vocab = vocabHint.getOrElse(dfTbl.count())
+    val verified = if (vocab <= (1L << 16)) {
+      // bitset verify straight on the duplicated candidate stream
+      // (popcount is map-side ~ns; a distinct first would shuffle the
+      // raw stream) — on a dense corpus the banding S-curve admits a
+      // large sub-threshold candidate mass, and array_intersect on it
+      // measured 33.7 s vs 9.5 s for the bitset plan at sf0.1 (16×2;
+      // the 8×4 default lands at ~11 s vs the exact op's ~12.6 s on
+      // the fixture — see NEXT.md for why this corpus is the prefix
+      // filter's best case)
+      bitsetVerify(cand, exploded, dfTbl, vocab)
+    } else {
+      // large vocabulary: dedup first, then exact set intersection
+      // (verification dominates the shuffle in this regime)
+      val sh = CacheScope.cached(exploded.groupBy(col("id"))
+        .agg(collect_set(col("s")).as("sh")))
+      cand.distinct()
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("nn"))
+    }
+    verified
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("nn") - col("inter")).as("union_n"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_n"))
+      .filter(col("jaccard") >= minJaccard)
+      .distinct()
   }
 
   /** Convergence-detecting variant of `dedupComponents` — the

@@ -68,6 +68,18 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Banded n-gram Jaccard near-dup pairs: LSH-banded candidates +
+    * exact verification — the ~2× opt-in over the exact PPJoin
+    * (`q_dedup_ngram_jaccard` stays the zero-false-negative default).
+    * Deterministic (fixed portable hash family) and therefore
+    * oracle-checked even though recall < 1: the DuckDB twin replays
+    * the 8×4 banding and the exact intersection.
+    */
+  def qDedupJaccardBanded(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsBanded(Tables.documents(spark, dir),
+        "doc_id", "text", k = 5, minJaccard = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Near-dup clusters: exact-jaccard pairs (≥0.8, docs with id < 250
     * to bound the pair join's bench cost) fed through min-label
     * connected components. Oracle = the same pairs in SQL + a recursive
@@ -169,6 +181,7 @@ object DedupQueries {
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
+    "q_dedup_jaccard_banded" -> (qDedupJaccardBanded(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_components" -> (qDedupComponents(_, _)),
@@ -242,6 +255,33 @@ object DedupQueries {
     "q_dedup_minhash" -> minhashOracle(8, 4, 0.5, ""),
     "q_dedup_incremental" ->
       minhashOracle(8, 4, 0.5, " AND b.doc_id >= 400"),
+    // Banded candidates (8×4 over the same portable family) + EXACT
+    // list_intersect verification — deterministic subset of the exact
+    // jaccard join, replayed fully.
+    "q_dedup_jaccard_banded" ->
+      s"""WITH ${minhashSigCtes(32)},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 4, 1)),
+         |    i -> substring(text, i, 5))) AS s
+         |  FROM documents),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE ${bandCondSql(8, 4)}),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+         |    CAST(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))
+         |      AS BIGINT) AS union_n
+         |  FROM cand c
+         |  JOIN sets x ON x.doc_id = c.id_a
+         |  JOIN sets y ON y.doc_id = c.id_b)
+         |SELECT id_a, id_b, inter, union_n,
+         |  CAST(inter AS DOUBLE) / union_n AS jaccard
+         |FROM verified
+         |WHERE CAST(inter AS DOUBLE) / union_n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_pipeline_curation" ->
       """WITH keep AS (
         |  SELECT MIN(doc_id) AS doc_id
