@@ -143,8 +143,9 @@ object Multimodal {
     * (the 5 PNG filter types: None/Sub/Up/Average/Paeth) is plain byte
     * math, so no external codec is needed. Supports the common
     * non-interlaced 8-bit-depth forms: grayscale (color type 0), RGB
-    * (2), gray+alpha (4), RGBA (6); palette (3), 16-bit and Adam7
-    * interlace return None (→ stub fallback). Mean luma is Rec.601 over
+    * (2), palette (3, via the PLTE chunk), gray+alpha (4), RGBA (6);
+    * 16-bit, sub-byte palette depths and Adam7 interlace return None
+    * (→ stub fallback). Mean luma is Rec.601 over
     * the unfiltered samples (alpha ignored), same sequential-fold
     * discipline as the other decoders. Format per the PNG spec (RFC
     * 2083 / W3C PNG): 8-byte signature, length+type+data+CRC chunks,
@@ -171,15 +172,18 @@ object Multimodal {
     val channels = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 => 1 // palette: one index byte per pixel + PLTE lookup
       case 4 => 2
       case 6 => 4
-      case _ => return None // palette needs PLTE handling
+      case _ => return None
     }
     // decoded buffer must index with Int: bound samples + filter bytes
     if ((w * channels + 1) * h > (1L << 30)) return None
     // concatenate IDAT payloads (chunk CRCs are not re-verified — the
-    // zlib adler32 already covers the pixel stream)
+    // zlib adler32 already covers the pixel stream); collect PLTE for
+    // palette images
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var p = 8 + 12 + 13
     var sawEnd = false
     while (!sawEnd && p + 12 <= b.length) {
@@ -187,12 +191,16 @@ object Multimodal {
       if (len > Int.MaxValue || p + 12L + len > b.length) return None
       new String(b, p + 4, 4, "US-ASCII") match {
         case "IDAT" => idat.write(b, p + 8, len.toInt)
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(
+          b, p + 8, p + 8 + len.toInt)
         case "IEND" => sawEnd = true
         case _      => ()
       }
       p += 12 + len.toInt
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 &&
+        (palette == null || palette.length % 3 != 0)) return None
     val stride = (w * channels).toInt
     val raw = new Array[Byte]((stride + 1) * h.toInt)
     val inf = new java.util.zip.Inflater()
@@ -249,11 +257,17 @@ object Multimodal {
     val n = w * h
     while (px < n) {
       val q = (px * channels).toInt
-      lumaSum += (if (colorType == 0 || colorType == 4)
-        (img(q) & 0xff).toDouble
-      else
-        0.299 * (img(q) & 0xff) + 0.587 * (img(q + 1) & 0xff) +
-          0.114 * (img(q + 2) & 0xff))
+      lumaSum += (colorType match {
+        case 0 | 4 => (img(q) & 0xff).toDouble
+        case 3 =>
+          val e = (img(q) & 0xff) * 3
+          if (e + 2 >= palette.length) return None // index out of PLTE
+          0.299 * (palette(e) & 0xff) + 0.587 * (palette(e + 1) & 0xff) +
+            0.114 * (palette(e + 2) & 0xff)
+        case _ =>
+          0.299 * (img(q) & 0xff) + 0.587 * (img(q + 1) & 0xff) +
+            0.114 * (img(q + 2) & 0xff)
+      })
       px += 1
     }
     Some(MediaFeatures(path = m.path, length = m.length,

@@ -54,6 +54,25 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TRAINED-IVF ANN: the end-to-end composition the IVF scaladoc
+    * promises — kmeansFit's trained centroids (k=8, 2 deterministic
+    * Lloyd iterations, the q_sim_kmeans configuration) replace the
+    * md5-sampled coarse quantizer, then the same map-side
+    * assignment / broadcast-probe search. Fully oracle-checked: the
+    * DuckDB twin replays both Lloyd iterations AND the probed search.
+    */
+  def qSimTopkIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 2, centroids = Some(cents))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SemDeDup semantic dedup: k-means clusters (same deterministic
     * configuration as q_sim_kmeans) + exact within-cluster cosine pairs
     * above 0.4. The oracle replays the full pipeline — both Lloyd
@@ -128,6 +147,7 @@ object SimilarityQueries {
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
+    "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
     "q_sim_centroids" -> (qSimCentroids(_, _)),
     "q_sim_kmeans" -> (qSimKmeans(_, _))
   )
@@ -299,6 +319,55 @@ object SimilarityQueries {
          |SELECT cent_id, n_members, energy_e12
          |FROM members JOIN energy USING (cent_id)
          |ORDER BY cent_id""".stripMargin
+    },
+    // Trained-IVF twin: replay BOTH Lloyd iterations (identical CTEs to
+    // q_sim_kmeans), then the probed search against the trained
+    // centroids — same argmax/probe/rank tiebreaks as q_sim_topk_ivf.
+    "q_sim_topk_ivf_trained" -> {
+      val (m1, c1f) = updateSql("a1")
+      val (m2, c2f) = updateSql("a2")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS rk
+         |  FROM v),
+         |c0 AS (SELECT rk AS cent_id, embedding AS centv, nrm AS cnrm
+         |       FROM r WHERE rk <= 8),
+         |a1 AS (${asgnSql("c0")}),
+         |m1 AS ($m1),
+         |c1 AS (${c1f("m1")}),
+         |a2 AS (${asgnSql("c1")}),
+         |m2 AS ($m2),
+         |c2 AS (${c2f("m2")}),
+         |asgn AS (${asgnSql("c2")}),
+         |probes AS (
+         |  SELECT query_id, qv, qnrm, cent_id
+         |  FROM (
+         |    SELECT v.vec_id AS query_id, v.embedding AS qv,
+         |      v.nrm AS qnrm, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")}
+         |          DESC, c.cent_id) AS rn
+         |    FROM v CROSS JOIN c2 c
+         |    WHERE v.vec_id < 10)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("p.qv", "p.qnrm", "a.embedding", "a.nrm")} AS cosine
+         |  FROM probes p JOIN asgn a USING (cent_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "q_sim_topk_brute" ->
       """WITH n AS (

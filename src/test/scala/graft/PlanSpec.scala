@@ -44,6 +44,26 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("banded jaccard is equi-join candidates + broadcast-verify — " +
+    "no cartesian/BNL") {
+    val p = plan("q_dedup_jaccard_banded")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("trained IVF search plans without cartesian/BNL; assignment " +
+    "stays map-side") {
+    val p = plan("q_sim_topk_ivf_trained")
+    assert(!p.contains("CartesianProduct"))
+    // the only hash exchanges may carry k-means (cent_id, dim) partial
+    // means or the final top-k window — never corpus vectors keyed by
+    // corpus id
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.forall(l => !l.matches(".*\\bcid#.*")),
+      s"corpus must not shuffle on cid:\n${hashExchanges.mkString("\n")}")
+  }
+
   test("exact embedding dedup is a blocked equi-join — no nested loop") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"))

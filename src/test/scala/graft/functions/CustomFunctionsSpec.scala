@@ -450,6 +450,39 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(feats("gray.png")._3 - grayWant) < 1e-9)
   }
 
+  test("multimodal: palette (PLTE) PNG decode agrees with ImageIO") {
+    import graft.ops.Multimodal
+    // 64-entry palette forces the JDK writer to 8-bit indices (color
+    // type 3, depth 8 — sub-byte palette depths stay stub territory)
+    val pal = Array.tabulate(64)(i =>
+      ((i * 4) << 16) | ((255 - i * 4) << 8) | (i * 2 + 31))
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      pal.map(c => ((c >> 16) & 0xff).toByte),
+      pal.map(c => ((c >> 8) & 0xff).toByte),
+      pal.map(c => (c & 0xff).toByte))
+    val (w, h) = (9, 7)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y * 5) % 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val dir = java.nio.file.Files.createTempDirectory("png-pal").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "pal.png").toPath,
+      bos.toByteArray)
+    val f = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.png")).toDF()
+      .select($"width", $"height", $"mean_luma")
+      .as[(Int, Int, Double)].collect().head
+    assert(f._1 == w && f._2 == h)
+    val want = (for (y <- 0 until h; x <- 0 until w) yield {
+      val c = pal((x * 13 + y * 5) % 64)
+      0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+        0.114 * (c & 0xff)
+    }).sum / (w * h) / 255.0
+    assert(math.abs(f._3 - want) < 1e-9)
+  }
+
   test("multimodal resize plan: aspect-preserving fit, no-op when small") {
     import graft.ops.Multimodal
     val feats = Seq((1600, 900), (320, 240), (512, 512), (100, 2000))
