@@ -55,6 +55,35 @@ object TextAnalysis {
         col("n_stopwords").cast("double") / col("n_tokens"))
   }
 
+  /** Gopher-style composite quality gate (Rae et al. 2021, arXiv:
+    * 2112.11446 §A.1.1, simplified): token-count bounds, mean-token-
+    * length bounds, minimum stopword evidence. All comparisons are
+    * integer cross-multiplications (mean length `lo ≤ nonspace/tokens ≤
+    * hi` becomes `lo·tokens ≤ nonspace ≤ hi·tokens`) so the gate is
+    * bit-deterministic across engines — no float boundary can flip a
+    * document's verdict. Pure map-side expressions: at 100 TB this
+    * filters at scan speed with zero shuffle.
+    */
+  def qualityGate(df: DataFrame, textCol: String,
+                  minTokens: Int = 20, maxTokens: Int = 2000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 5,
+                  minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t).cast("long")
+    val nNonspace = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val nStop = stopwordCount(t).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_nonspace", nNonspace)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("ok_length", nTok.between(minTokens, maxTokens))
+      .withColumn("ok_mean_len",
+        lit(minMeanLen) * nTok <= nNonspace &&
+          nNonspace <= lit(maxMeanLen) * nTok)
+      .withColumn("ok_stopwords", nStop >= minStopwords)
+      .withColumn("pass",
+        col("ok_length") && col("ok_mean_len") && col("ok_stopwords"))
+  }
+
   /** Marker words per language for the n-gram/function-word language-ID
     * heuristic. Deliberately tiny — the point is the scalable shape
     * (pure expression, argmax over a small static table), not NLP quality.

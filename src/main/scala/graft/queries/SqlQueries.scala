@@ -75,6 +75,40 @@ object SqlQueries {
         |LIMIT 20""".stripMargin)
   }
 
+  /** LATERAL VIEW posexplode — the generator (UDTF) surface of SQL:
+    * one row per (position, token) of each document's whitespace split.
+    * Catalyst plans this as a Generate node fused into the scan stage
+    * (no shuffle before the final sort); at 100 TB the explode is
+    * map-side and output size is the only cost.
+    */
+  def qSqlLateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_lv")
+    spark.sql(
+      """SELECT doc_id, pos, tok
+        |FROM documents_lv
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2-per-key
+    * as a lateral, the SQL:2016 form of top-k-per-group). Catalyst
+    * decorrelates this into a ranked window join — no per-row subquery
+    * execution, same shape as q_window_topk but driven from the SQL
+    * surface.
+    */
+  def qSqlLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lat")
+    spark.sql(
+      """SELECT c.custkey, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT DISTINCT o_custkey AS custkey FROM orders_lat
+        |      WHERE o_custkey <= 50) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+        |         WHERE o_custkey = c.custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.custkey, o.o_orderkey""".stripMargin)
+  }
+
   case class Line(l_orderkey: Long, l_quantity: Double,
                   l_extendedprice: Double, l_returnflag: String)
 
@@ -139,6 +173,8 @@ object SqlQueries {
     "q_sql_grouping_sets" -> (qSqlGroupingSets(_, _)),
     "q_sql_pivot" -> (qSqlPivot(_, _)),
     "q_sql_scalar_subquery" -> (qSqlScalarSubquery(_, _)),
+    "q_sql_lateral_explode" -> (qSqlLateralExplode(_, _)),
+    "q_sql_lateral_join" -> (qSqlLateralJoin(_, _)),
     "q_typed_dataset" -> (qTypedDataset(_, _))
   )
 
@@ -182,6 +218,23 @@ object SqlQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // DuckDB has no LATERAL VIEW; the twin zips two unnests (positions
+    // from range(), tokens from the split list) — positional zip is
+    // exactly posexplode's contract.
+    "q_sql_lateral_explode" ->
+      """SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_sql_lateral_join" ->
+      """SELECT c.custkey, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT DISTINCT o_custkey AS custkey FROM orders
+        |      WHERE o_custkey <= 50) c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.custkey, o.o_orderkey""".stripMargin,
     "q_sql_scalar_subquery" ->
       """WITH spend AS (
         |  SELECT o_custkey, round(SUM(o_totalprice), 2) AS s

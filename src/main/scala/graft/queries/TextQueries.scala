@@ -164,7 +164,20 @@ object TextQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Composite Gopher-style quality gate: per-rule verdicts + overall
+    * pass. Thresholds chosen to split the fixture non-vacuously (at
+    * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
+    * stopwords, 379/500 pass all).
+    */
+  def qTextQualityGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityGate(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_nonspace"),
+        col("n_stopwords"), col("ok_length"), col("ok_mean_len"),
+        col("ok_stopwords"), col("pass"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
+    "q_text_quality_gate" -> (qTextQualityGate(_, _)),
     "q_text_chunk" -> (qTextChunk(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
@@ -227,6 +240,25 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_quality_gate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+         |      AS n_nonspace,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_nonspace, n_stopwords,
+         |  n_tokens BETWEEN 20 AND 2000 AS ok_length,
+         |  3 * n_tokens <= n_nonspace AND n_nonspace <= 5 * n_tokens
+         |    AS ok_mean_len,
+         |  n_stopwords >= 2 AS ok_stopwords,
+         |  (n_tokens BETWEEN 20 AND 2000)
+         |    AND 3 * n_tokens <= n_nonspace AND n_nonspace <= 5 * n_tokens
+         |    AND n_stopwords >= 2 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_chunk" ->
       """WITH c AS (
         |  SELECT doc_id, text,

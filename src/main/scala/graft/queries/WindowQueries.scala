@@ -99,7 +99,29 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** IGNORE NULLS analytics — the gap-fill idiom: carry each user's
+    * most recent purchase value forward across non-purchase events
+    * (last_value IGNORE NULLS), plus the first and second purchase seen
+    * so far. Same one-shuffle window shape as the rest of the battery;
+    * the NULL-skipping happens inside the frame evaluator, not as an
+    * extra pass.
+    */
+  def qWindowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchase = when(col("event_type") === "purchase", col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        last(purchase, ignoreNulls = true).over(w).as("last_purchase"),
+        first(purchase, ignoreNulls = true).over(w).as("first_purchase"),
+        nth_value(purchase, 2, ignoreNulls = true).over(w)
+          .as("second_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_window_ignore_nulls" -> (qWindowIgnoreNulls(_, _)),
     "q_window_nth" -> (qWindowNth(_, _)),
     "q_window_topk" -> (qWindowTopk(_, _)),
     "q_window_rank" -> (qWindowRank(_, _)),
@@ -109,6 +131,21 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's nanos to Spark's micros
+    // so the window order matches; (ts, event_id) is a total order.
+    "q_window_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER w AS last_purchase,
+        |  first_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER w AS first_purchase,
+        |  nth_value(CASE WHEN event_type = 'purchase' THEN value END, 2
+        |    IGNORE NULLS) OVER w AS second_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_window_nth" ->
       """SELECT o_custkey, o_orderkey,
         |  nth_value(o_orderkey, 2) OVER wf AS second_order,

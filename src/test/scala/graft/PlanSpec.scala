@@ -44,6 +44,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("correlated LATERAL + LIMIT decorrelates to pre-shuffle " +
+    "WindowGroupLimit, no per-row subquery or cartesian") {
+    val p = plan("q_sql_lateral_join")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("banded jaccard is equi-join candidates + broadcast-verify — " +
     "no cartesian/BNL") {
     val p = plan("q_dedup_jaccard_banded")

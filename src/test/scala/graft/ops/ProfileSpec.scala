@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 class ProfileSpec extends SparkTestBase {
   import spark.implicits._
@@ -74,6 +74,52 @@ class ProfileSpec extends SparkTestBase {
     assert(clustered.count() == 4)
     val zs = clustered.select($"_z").as[Long].collect()
     assert(zs.max == 65535L) // (255, 255) → all 16 interleaved bits set
+  }
+
+  test("z-ordered layout skips row groups under a 2-D box predicate; " +
+    "linear layout reads everything") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    // rows the parquet reader actually emitted (post row-group pruning)
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    // full 256×256 grid: every (x, y) cell exactly once
+    val grid = spark.range(65536).select(
+      (col("id") % 256).cast("int").as("x"),
+      (col("id") / 256).cast("int").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zskip").toString
+
+    // same data, same file count — only the LAYOUT differs
+    grid.repartition(16).write.parquet(s"$dir/linear")
+    ZOrder.clusterByZ(grid, "x", "y", bits = 8, partitions = 16)
+      .drop("_z").write.parquet(s"$dir/zorder")
+
+    def box(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("x") < 32 && col("y") < 32)
+
+    assert(box(s"$dir/linear").count() == 1024L)
+    assert(box(s"$dir/zorder").count() == 1024L)
+
+    val linRows = scanRows(box(s"$dir/linear"))
+    val zRows = scanRows(box(s"$dir/zorder"))
+    // round-robin files all span the full x/y range → min/max stats
+    // prune nothing; morton-banded files are small boxes → the reader
+    // skips all but the band(s) overlapping [0,32)²
+    assert(linRows == 65536L,
+      s"linear layout should read every row group, read $linRows")
+    assert(zRows <= linRows / 4,
+      s"z-order should skip most row groups: read $zRows of $linRows")
   }
 
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
