@@ -176,7 +176,41 @@ object TextQueries {
         col("ok_stopwords"), col("pass"))
       .orderBy(col("doc_id"))
 
+  /** Heavy-hitter character trigrams by the two-pass mergeable-sketch
+    * pattern: (1) one Misra-Gries aggregate finds a ≤ k candidate
+    * superset of every trigram with frequency > n/(k+1) — only k
+    * counters per partition cross the shuffle, never the full gram
+    * space; (2) the candidates (a ≤ k-string literal, broadcast-sized —
+    * the single-row `.head()` here is the same corpus-stats class as
+    * `Profile.profile`) are recounted EXACTLY with a filtered map-side
+    * aggregate. The recount makes the output deterministic — exactly
+    * {gram : freq > n/(k+1)} under any partitioning (spec-pinned) — so
+    * a plain GROUP BY twin can oracle a sketch-based plan. The gram
+    * stream is rescanned rather than persisted: at 100 TB the second
+    * pass is a map-side filtered count, cheaper than materializing a
+    * trillion-row gram table.
+    */
+  def qTextHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    def grams = Tables.documents(spark, dir)
+      .select(lower(col("text")).as("t"))
+      .select(col("t"),
+        explode(when(length(col("t")) >= 3,
+          sequence(lit(1), length(col("t")) - 2))).as("p"))
+      .select(col("t").substr(col("p"), lit(3)).as("gram"))
+    val mg = new graft.functions.MisraGriesAgg(k).asUdaf
+    val row = grams.agg(mg(col("gram")).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    grams.filter(col("gram").isin(cands: _*))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > n)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_heavy_hitters" -> (qTextHeavyHitters(_, _)),
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
     "q_text_chunk" -> (qTextChunk(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
@@ -240,6 +274,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // The sketch pass is invisible to the oracle: the exact recount
+    // makes the output equal a plain frequency filter.
+    "q_text_heavy_hitters" ->
+      """WITH g AS (
+        |  SELECT substring(lower(text),
+        |    CAST(unnest(range(1, length(text) - 1)) AS INTEGER), 3) AS gram
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM g)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY gram
+        |HAVING COUNT(*) * 101 > (SELECT n FROM tot)
+        |ORDER BY cnt DESC, gram""".stripMargin,
     "q_text_quality_gate" ->
       s"""WITH f AS (
          |  SELECT doc_id,
