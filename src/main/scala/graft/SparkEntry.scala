@@ -22,7 +22,8 @@ object SparkEntry {
       WindowQueries.defs ++ FuncQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
-      FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs
+      FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs ++
+      StatsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,5 @@ object SparkEntry {
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MiscQueries.oracles ++ StreamQueries.oracles ++
       CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
-      TpchQueries.oracles ++ CurationQueries.oracles
+      TpchQueries.oracles ++ CurationQueries.oracles ++ StatsQueries.oracles
 }

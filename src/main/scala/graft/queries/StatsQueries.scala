@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import Exact._
+
+/** Statistical-profiling aggregate battery (SURVEY.md §2-B "Aggregations",
+  * extended: the column-statistics surface an ETL service's admission /
+  * profiling step needs — correlation, regression, mode, histograms,
+  * boolean and bitwise reductions, ordered string aggregation).
+  *
+  * Cross-engine exactness doctrine (see [[Exact]]): every moment is
+  * aggregated as an exact BIGINT sum (order-independent integer
+  * arithmetic in both engines), and the floating-point formulas are
+  * applied ONCE, identically, on the already-exact sums — so corr /
+  * slope / covariance are bit-identical across Spark and DuckDB even
+  * though their native `corr()` implementations stream doubles in
+  * different orders.
+  *
+  * Scale shape: every query here is scan → single hash-aggregate →
+  * (tiny) projection. Partial aggregation runs map-side; the shuffle
+  * carries one row per (partition × group). At 100 TB the BIGINT moment
+  * sums are the only thing crossing the wire.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Pearson correlation + sample covariance + OLS slope/intercept of
+    * (x = l_quantity, y = l_discount·100) per return flag, from exact
+    * integer moment sums. Overflow audit: x ≤ 50, y ≤ 10; at SF100
+    * (~600M rows/group) sxy ≤ 3e11, n·sxy ≤ 1.8e20 — beyond Int64, so
+    * the n-scaled products are computed in DOUBLE on the already-exact
+    * sums (identical IEEE ops on identical inputs in both engines).
+    * The denominator product (n·sxx−sx²)·(n·syy−sy²) would overflow
+    * even at sf0.1, so each factor takes sqrt separately.
+    */
+  def qAggCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast("long")
+    val y = e2($"l_discount")
+    val sums = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", x.as("x"), y.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    val n = $"n".cast("double")
+    val num = n * $"sxy" - $"sx".cast("double") * $"sy"
+    sums.select(
+      $"l_returnflag",
+      $"n",
+      (num / (n * (n - 1))).as("covar_samp"),
+      (num / (sqrt(n * $"sxx" - $"sx".cast("double") * $"sx")
+        * sqrt(n * $"syy" - $"sy".cast("double") * $"sy"))).as("corr_qd"),
+      (num / (n * $"sxx" - $"sx".cast("double") * $"sx")).as("regr_slope"),
+      (($"sy".cast("double")
+        - (num / (n * $"sxx" - $"sx".cast("double") * $"sx")) * $"sx") / n)
+        .as("regr_intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Deterministic mode: most frequent l_quantity per return flag,
+    * smallest value wins ties. Engines' native `mode()` breaks ties
+    * arbitrarily, so the tie is removed by construction: arg-max over
+    * the unique key cnt·100 − q (q ≤ 50 < 100). Two hash aggregates,
+    * both map-side partial; the second one's input is one row per
+    * (flag, quantity) — tiny.
+    */
+  def qAggMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+      .groupBy($"l_returnflag", $"q").agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(max_by($"q", $"cnt" * 100 - $"q").as("mode_qty"),
+        max($"cnt").as("mode_count"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ordered string aggregation (LISTAGG / string_agg): the names of a
+    * region's nations as one sorted CSV cell. `collect_list` is
+    * order-nondeterministic under shuffle, so the deterministic form is
+    * collect → `array_sort` → `array_join` — the exact semantics of
+    * `string_agg(x, ',' ORDER BY x)`. Broadcast-joined dims; the
+    * aggregate state (a short array) is the only shuffled payload.
+    */
+  def qAggListagg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"r_regionkey" === $"n_regionkey")
+      .groupBy($"r_name")
+      .agg(array_join(array_sort(collect_list($"n_name")), ",")
+          .as("nations_csv"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  /** Fixed-width histogram of order totals: 12 × $50k buckets (last
+    * bucket open-ended). The bucket id is exact integer arithmetic on
+    * cents — `least(cents div 5_000_000, 11)` — so no float boundary
+    * can land a row in different buckets across engines. One
+    * hash-aggregate; at 100 TB the shuffle carries ≤ 12 rows per map
+    * partition.
+    */
+  def qAggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(least(e2($"o_totalprice").divide(lit(5000000L)).cast("long"),
+        lit(11L)).as("bucket"), $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        sumFixed($"o_totalprice", 2).as("sum_price"))
+      .withColumn("bucket_lo_usd", $"bucket" * 50000L)
+      .select($"bucket", $"bucket_lo_usd", $"n", $"sum_price")
+      .orderBy($"bucket")
+  }
+
+  /** Boolean + bitwise + filtered-count reductions per return flag:
+    * every/any predicates, count_if, and bit_and/or/xor over the
+    * quantity — all single-pass, map-side-partial aggregates.
+    */
+  def qAggBoolBits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long").as("q"),
+        $"l_discount", $"l_tax")
+      .groupBy($"l_returnflag")
+      .agg(
+        every($"l_discount" <= 0.10).as("all_disc_le10"),
+        some($"q" >= 50).as("any_qty_50"),
+        count_if($"l_tax" === 0.0).as("n_tax_free"),
+        bit_and($"q").as("qty_bit_and"),
+        bit_or($"q").as("qty_bit_or"),
+        bit_xor($"q").as("qty_bit_xor"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_agg_corr" -> (qAggCorr(_, _)),
+    "q_agg_mode" -> (qAggMode(_, _)),
+    "q_agg_listagg" -> (qAggListagg(_, _)),
+    "q_agg_histogram" -> (qAggHistogram(_, _)),
+    "q_agg_bool_bits" -> (qAggBoolBits(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |          CAST(round(l_discount*100, 0) AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_samp,
+        |  (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+        |       * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS corr_qd,
+        |  (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |    / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS regr_slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+        |       / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * sx)
+        |    / CAST(n AS DOUBLE) AS regr_intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  arg_max(q, cnt*100 - q) AS mode_qty,
+        |  MAX(cnt) AS mode_count,
+        |  COUNT(*) AS n_distinct
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT r.r_name,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+        |  COUNT(*) AS n_nations
+        |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT bucket, bucket * 50000 AS bucket_lo_usd,
+        |  COUNT(*) AS n, round(SUM(o_totalprice), 2) AS sum_price
+        |FROM (SELECT least(CAST(round(o_totalprice*100, 0) AS BIGINT)
+        |               // 5000000, 11) AS bucket, o_totalprice
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_agg_bool_bits" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_discount <= 0.10) AS all_disc_le10,
+        |  bool_or(q >= 50) AS any_qty_50,
+        |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_tax_free,
+        |  bit_and(q) AS qty_bit_and,
+        |  bit_or(q) AS qty_bit_or,
+        |  bit_xor(q) AS qty_bit_xor
+        |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |        l_discount, l_tax
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import graft.queries._
 
 /** Registry-integrity guards (VERDICT r2 item 6): `SparkEntry.queries`
-  * merges 14 per-file maps with `++`, where a duplicated key would
+  * merges the per-file maps with `++`, where a duplicated key would
   * silently shadow an earlier definition — and an oracle key without a
   * query would silently never be checked. Cheap insurance that fails
   * loudly instead.
@@ -25,7 +25,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "SqlQueries" -> SqlQueries.defs,
     "FilterQueries" -> FilterQueries.defs,
     "TpchQueries" -> TpchQueries.defs,
-    "CurationQueries" -> CurationQueries.defs)
+    "CurationQueries" -> CurationQueries.defs,
+    "StatsQueries" -> StatsQueries.defs)
 
   private val oracleParts: Seq[(String, Map[String, String])] = Seq(
     "AggQueries" -> AggQueries.oracles,
@@ -42,7 +43,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "SqlQueries" -> SqlQueries.oracles,
     "FilterQueries" -> FilterQueries.oracles,
     "TpchQueries" -> TpchQueries.oracles,
-    "CurationQueries" -> CurationQueries.oracles)
+    "CurationQueries" -> CurationQueries.oracles,
+    "StatsQueries" -> StatsQueries.oracles)
 
   test("query keys are disjoint across files — nothing shadows in the ++ merge") {
     val dupes = parts.flatMap { case (src, m) => m.keys.map(_ -> src) }
