@@ -42,4 +42,56 @@ object Resample {
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("sv"), ignoreNulls = true).over(w).as("sum_ffill"))
   }
+
+  /** Linear interpolation through empty grid steps — the other standard
+    * gap-fill policy: a missing bucket gets the straight line between its
+    * nearest observed neighbors (observed buckets keep their value; a
+    * leading/trailing gap falls back to nearest-neighbor fill).
+    *
+    * Cross-engine exactness: the observed per-bucket value `sv` is
+    * already exact (2-dp rounded sum, see [[graft.queries.Exact]]); the
+    * time fraction divides two exact epoch-second BIGINTs; and the
+    * interpolation formula `pv + (nv − pv)·frac` is applied in the same
+    * operation order in the DuckDB twin, so identical IEEE doubles come
+    * out of both engines.
+    *
+    * Scale shape identical to [[resampleFfill]] plus one more window pass
+    * over the same (key, bucket-order) sort — Catalyst computes both
+    * direction windows from a single exchange+sort.
+    */
+  def resampleInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, step: String): DataFrame = {
+    val b = events
+      .groupBy(col(keyCol),
+        window(col(tsCol), step).getField("start").as("bucket"))
+      .agg(round(sum(col(valueCol)), 2).as("sv"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr(s"INTERVAL $step")))
+          .as("bucket"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col("bucket").cast("long")
+    val joined = grid.join(b, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), col("sv"), t.as("t"),
+        when(col("sv").isNotNull, t).as("obs_t"))
+    val pv = last(col("sv"), ignoreNulls = true).over(wPrev)
+    val pt = last(col("obs_t"), ignoreNulls = true).over(wPrev)
+    val nv = first(col("sv"), ignoreNulls = true).over(wNext)
+    val nt = first(col("obs_t"), ignoreNulls = true).over(wNext)
+    joined
+      .select(col(keyCol), col("bucket"), col("sv"), col("t"),
+        pv.as("pv"), pt.as("pt"), nv.as("nv"), nt.as("nt"))
+      .select(col(keyCol), col("bucket"),
+        when(col("sv").isNotNull, col("sv"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("t") - col("pt")).cast("double")
+              / (col("nt") - col("pt")).cast("double")))
+          .as("sv_interp"))
+  }
 }

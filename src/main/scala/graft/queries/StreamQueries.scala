@@ -178,7 +178,16 @@ object StreamQueries {
         "user_id", "ts", "value", "1 hour")
       .orderBy(col("user_id"), col("bucket"))
 
+  /** Linear-interpolation gap fill on the hourly grid (the other
+    * resampling policy next to q_time_resample's forward fill).
+    */
+  def qTimeInterpolate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.resampleInterpolate(Tables.events(spark, dir),
+        "user_id", "ts", "value", "1 hour")
+      .orderBy(col("user_id"), col("bucket"))
+
   val defs: Map[String, Q] = Map(
+    "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
     "q_time_resample" -> (qTimeResample(_, _)),
@@ -190,6 +199,50 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_interpolate" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    round(SUM(value), 2) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        |          FROM b GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM spans),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, b.sv,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |      g.bucket) AS t,
+        |    CASE WHEN b.sv IS NOT NULL THEN
+        |      date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |        g.bucket) END AS obs_t
+        |  FROM grid g LEFT JOIN b
+        |    ON g.user_id = b.user_id AND g.bucket = b.bucket),
+        |w AS (
+        |  SELECT user_id, bucket, sv, t,
+        |    last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(obs_t IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(obs_t IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT user_id, bucket,
+        |  CASE WHEN sv IS NOT NULL THEN sv
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv)
+        |         * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS sv_interp
+        |FROM w ORDER BY user_id, bucket""".stripMargin,
     "q_stream_static_join" ->
       """SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
         |  c.c_nationkey, COUNT(*) AS n, round(SUM(e.value), 2) AS sum_value
