@@ -23,7 +23,7 @@ object SparkEntry {
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
       FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs ++
-      StatsQueries.defs
+      StatsQueries.defs ++ GraphQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MiscQueries.oracles ++ StreamQueries.oracles ++
       CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
-      TpchQueries.oracles ++ CurationQueries.oracles ++ StatsQueries.oracles
+      TpchQueries.oracles ++ CurationQueries.oracles ++ StatsQueries.oracles ++
+      GraphQueries.oracles
 }

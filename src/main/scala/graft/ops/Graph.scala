@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the second graph-operator
+  * class next to [[Dedup.dedupComponents]]' connected components: PageRank
+  * by power iteration (Page et al., 1999, "The PageRank Citation Ranking").
+  *
+  * Determinism doctrine: ranks are BIGINT mass in units of `scale⁻¹`, every
+  * per-edge contribution is an integer floor-division `pr div outdeg`, and
+  * the damping step is `base + (85·Σ) div 100` — all order-independent
+  * integer arithmetic, so any engine (and the DuckDB oracle twin) replaying
+  * the same formula reproduces the ranks bit-for-bit. The truncation the
+  * floor divisions introduce is ≤ 1 unit per edge per round — irrelevant at
+  * scale = 10⁹ — and buys exact cross-engine replay, the same trade
+  * [[Similarity.kmeansFit]] makes with its rounded centroid updates.
+  *
+  * Scale shape: one eager `count()` for |V| (an 8-byte driver action, the
+  * documented kmeans precedent); out-degrees join the edge list once up
+  * front; each round is edges ⨝ ranks (shuffle on src) → groupBy(dst)
+  * partial-aggregated sum → left join back to vertices. The shuffle
+  * payload is one (vertex, long) pair per edge — never adjacency lists.
+  * Rounds are O(iters), each persisted and released by the consumer's
+  * [[CacheScope]]; iters is fixed (power iteration converges geometrically
+  * at rate d≈0.85, so 10–20 rounds saturate a 10⁻⁹ unit grid).
+  */
+object Graph {
+
+  /** @param edges DataFrame[src: Long, dst: Long]; deduplicated here.
+    * @return DataFrame[vertex, rank_scaled] — rank mass in scale⁻¹ units.
+    */
+  def pagerank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst")).distinct())
+    val verts = CacheScope.cached(
+      e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct())
+    val n = verts.count() // eager |V|: an 8-byte action, documented above
+    val p0 = scale / n
+    val base = (p0 * 15L) / 100L
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edgesW = CacheScope.cached(e.join(deg, "src"))
+    var ranks = verts.select(col("v"), lit(p0).as("pr"))
+    for (_ <- 1 to iters) {
+      val in = edgesW.join(ranks, edgesW("src") === ranks("v"))
+        .select(col("dst"), expr("pr div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = verts.join(in, verts("v") === in("dst"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      val persisted = CacheScope.cached(next)
+      ranks = persisted
+    }
+    ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
+  }
+
+  /** Degree-distribution profile: how many vertices have out-degree k —
+    * the standard first look at any graph's shape (and the skew check
+    * before partitioning a graph workload). Two hash aggregates, both
+    * map-side partial.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+      .groupBy(col("out_degree")).agg(count(lit(1)).as("n_vertices"))
+}

@@ -26,7 +26,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "FilterQueries" -> FilterQueries.defs,
     "TpchQueries" -> TpchQueries.defs,
     "CurationQueries" -> CurationQueries.defs,
-    "StatsQueries" -> StatsQueries.defs)
+    "StatsQueries" -> StatsQueries.defs,
+    "GraphQueries" -> GraphQueries.defs)
 
   private val oracleParts: Seq[(String, Map[String, String])] = Seq(
     "AggQueries" -> AggQueries.oracles,
@@ -44,7 +45,8 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "FilterQueries" -> FilterQueries.oracles,
     "TpchQueries" -> TpchQueries.oracles,
     "CurationQueries" -> CurationQueries.oracles,
-    "StatsQueries" -> StatsQueries.oracles)
+    "StatsQueries" -> StatsQueries.oracles,
+    "GraphQueries" -> GraphQueries.oracles)
 
   test("query keys are disjoint across files — nothing shadows in the ++ merge") {
     val dupes = parts.flatMap { case (src, m) => m.keys.map(_ -> src) }

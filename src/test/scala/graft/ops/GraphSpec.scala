@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** PageRank checked against an independent driver-side scalar replay of
+  * the same integer recurrence — a second implementation, not a copy of
+  * the operator's join pipeline — plus structural properties.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val scale = 1000000000L
+
+  /** Reference scalar PageRank: same integer formula, plain Maps. */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val e = edges.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p0 = scale / verts.size
+    val base = (p0 * 15L) / 100L
+    var pr = verts.map(_ -> p0).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / od(s) }.sum).toMap
+      pr = verts.map(v =>
+        v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  private val diamond: Seq[(Long, Long)] =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+
+  test("pagerank matches the scalar integer replay bit-for-bit") {
+    val got = Graph.pagerank(diamond.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPagerank(diamond, 4))
+  }
+
+  test("rank ordering follows link structure (hub > spokes > source)") {
+    val pr = Graph.pagerank(diamond.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // vertex 3 has three in-edges (1, 2, 4); vertex 4 has none
+    assert(pr(3L) > pr(1L) && pr(3L) > pr(2L) && pr(3L) > pr(4L))
+    assert(pr.values.min == pr(4L)) // dangling-in vertex gets base only
+    // total mass conserved up to floor-division truncation (≤ 1 unit per
+    // edge+vertex per round, and the 15% teleport rounding)
+    val total = pr.values.sum
+    assert(total > scale / 2 && total <= scale)
+  }
+
+  test("duplicate edges collapse before out-degree is computed") {
+    val dup = diamond ++ diamond
+    val got = Graph.pagerank(dup.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPagerank(diamond, 2))
+  }
+
+  test("degree histogram counts distinct out-edges") {
+    val got = Graph.degreeHistogram(
+        (diamond ++ diamond).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // out-degrees: v1→2, v2→1, v3→1, v4→1  ⇒  {1→3 vertices, 2→1}
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+}
