@@ -91,6 +91,44 @@ class JoinsSpec extends SparkTestBase {
     spark.sql("DROP TABLE bkt_b")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's small side
+    // carries a selective predicate, a bloom filter built from that
+    // side is pushed into the fact side's scan — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // only rows that can match. Thresholds are lowered so the local
+    // parquet fixtures cross the same bars a production fact table
+    // crosses (defaults: 10 GB application-side scan, 10 MB creation
+    // side); the assertion is on the MECHANISM: bloom_filter_agg on the
+    // dim side + might_contain wrapped around the fact scan.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val dir = "/root/testdata/sf0.001"
+      val li = graft.io.Tables.lineitem(spark, dir)
+      val ord = graft.io.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg")
+          && optimized.contains("might_contain"),
+        s"expected runtime bloom filter in:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("widthBucketJoin buckets match explicit range predicates") {
     val df = Seq(0.0, 10.0, 99.9, 100.0, 250.0, 399.9).toDF("v")
     val out = Joins.widthBucketJoin(df, col("v"), 0.0, 400.0, 4)
