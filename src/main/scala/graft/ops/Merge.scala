@@ -34,4 +34,80 @@ object Merge {
         when(col("__from_update").isNotNull, col(s"u.$c"))
           .otherwise(col(s"b.$c")).as(c)): _*)
   }
+
+  /** SCD type-2 merge: apply a changes batch onto a history table,
+    * CLOSING the current version of a changed key (valid_to := eff_ts)
+    * and appending the new version, instead of overwriting — the
+    * dimension-history primitive warehouses run nightly.
+    *
+    * Contract: `history` has columns (key, attrs…, valid_from,
+    * valid_to) with valid_to NULL marking the current version and at
+    * most one current row per key; `updates` has (key, attrs…, tsCol).
+    * An update whose attributes null-safe-equal the current version is
+    * a no-op (no empty versions); an unknown key is a plain insert.
+    *
+    * Scale shape: closed rows (valid_to ≠ NULL) stream through
+    * untouched — only CURRENT rows join the batch, so the shuffle is
+    * O(live keys + batch), not O(history). The joined row emits its
+    * 1–2 output versions via a map-side explode; one shuffle total.
+    */
+  def scd2(history: DataFrame, updates: DataFrame, key: String,
+           tsCol: String): DataFrame = {
+    val attrs = history.columns
+      .filterNot(Set(key, "valid_from", "valid_to")).toSeq
+    val closed = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+    val u = updates.select(
+      (Seq(col(key).as("__uk"), col(tsCol).as("__eff")) ++
+        attrs.map(c => col(c).as(s"__u_$c"))): _*)
+    val j = current.join(u, col(key) === col("__uk"), "full_outer")
+    val differs = not(
+      struct(attrs.map(c => col(s"__u_$c")): _*)
+        <=> struct(attrs.map(col): _*))
+    val out = struct(
+      coalesce(col(key), col("__uk")).as(key) +: (attrs.map(col) ++
+        Seq(col("valid_from"), col("valid_to"))): _*)
+    val closedVersion = struct(
+      col(key) +: (attrs.map(col) ++
+        Seq(col("valid_from"), col("__eff").as("valid_to"))): _*)
+    val newVersion = struct(
+      col("__uk").as(key) +: (attrs.map(c => col(s"__u_$c").as(c)) ++
+        Seq(col("__eff").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))): _*)
+    val versions =
+      when(col("__uk").isNull, array(out))                 // untouched key
+        .when(col(key).isNull, array(newVersion))          // fresh insert
+        .when(differs, array(closedVersion, newVersion))   // new version
+        .otherwise(array(out))                             // no-op update
+    closed.unionByName(
+      j.select(explode(versions).as("__v")).select(col("__v.*")))
+  }
+
+  /** Snapshot diff (batch CDC): compare two versions of a table and
+    * emit each row's change verdict — `insert` (key only in `next`),
+    * `delete` (only in `prev`), `update` (present in both, any column
+    * null-safe-different). Unchanged rows are dropped. Row payload is
+    * the AFTER image for insert/update, the BEFORE image for delete.
+    * One full-outer shuffle on the key; the diff predicate is map-side.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String)
+      : DataFrame = {
+    val attrs = prev.columns.filterNot(_ == key).toSeq
+    val n = next.select(
+      col(key).as("__nk") +: attrs.map(c => col(c).as(s"__n_$c")): _*)
+    val j = prev.join(n, col(key) === col("__nk"), "full_outer")
+    val differs = not(
+      struct(attrs.map(c => col(s"__n_$c")): _*)
+        <=> struct(attrs.map(col): _*))
+    j.select(
+      (Seq(
+        when(col(key).isNull, lit("insert"))
+          .when(col("__nk").isNull, lit("delete"))
+          .when(differs, lit("update")).as("change_type"),
+        coalesce(col("__nk"), col(key)).as(key)) ++
+        attrs.map(c =>
+          when(col("__nk").isNotNull, col(s"__n_$c"))
+            .otherwise(col(c)).as(c))): _*)
+      .filter(col("change_type").isNotNull)
+  }
 }

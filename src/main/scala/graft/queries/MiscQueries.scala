@@ -168,7 +168,54 @@ object MiscQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD type-2 merge: customer snapshot (plus a pre-closed history
+    * version for every 11th key) receives a changes batch — every 6th
+    * key's segment actually changes (→ close + new version), every
+    * 3rd-but-not-6th key arrives identical (→ no-op), every 10th key
+    * re-keyed as a fresh insert.
+    */
+  def qMergeScd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val current = cust
+      .withColumn("valid_from", lit("2024-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val closedOld = cust.filter(col("c_custkey") % 11 === 0)
+      .withColumn("c_mktsegment", lit("OLD"))
+      .withColumn("valid_from", lit("2023-01-01").cast("timestamp"))
+      .withColumn("valid_to", lit("2024-01-01").cast("timestamp"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 6 === 0, lit("SEG_V2"))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(500000L))
+        .withColumn("c_mktsegment", lit("NEW")))
+      .withColumn("eff", lit("2024-06-01").cast("timestamp"))
+    graft.ops.Merge
+      .scd2(current.unionByName(closedOld), updates, "c_custkey", "eff")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** Snapshot diff (batch CDC): orders vs a next version with every
+    * 7th key deleted, every surviving 5th key's priority mutated, and
+    * every 101st key re-keyed as an insert.
+    */
+  def qCdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val prev = Tables.orders(spark, dir)
+    val next = prev.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 5 === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(prev.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L)))
+    graft.ops.Merge.snapshotDiff(prev, next, "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_merge_scd2" -> (qMergeScd2(_, _)),
+    "q_cdc_diff" -> (qCdcDiff(_, _)),
     "q_stat_zscore" -> (qStatZscore(_, _)),
     "q_funnel_conversion" -> (qFunnelConversion(_, _)),
     "q_profile_skew" -> (qProfileSkew(_, _)),
@@ -187,6 +234,88 @@ object MiscQueries {
       s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_merge_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |closedhist AS (
+        |  SELECT c_custkey, 'OLD' AS c_mktsegment, c_acctbal,
+        |    TIMESTAMP '2023-01-01' AS valid_from,
+        |    TIMESTAMP '2024-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 6 = 0 THEN 'SEG_V2'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal, TIMESTAMP '2024-06-01' AS eff
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 500000, 'NEW', c_acctbal,
+        |    TIMESTAMP '2024-06-01'
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (
+        |  SELECT c.c_custkey AS bk, c.c_mktsegment AS bs,
+        |    c.c_acctbal AS bb, c.valid_from AS bvf,
+        |    u.c_custkey AS uk, u.c_mktsegment AS us,
+        |    u.c_acctbal AS ub, u.eff
+        |  FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey),
+        |emitted AS (
+        |  SELECT bk AS c_custkey, bs AS c_mktsegment, bb AS c_acctbal,
+        |    bvf AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM j WHERE uk IS NULL
+        |    OR (bk IS NOT NULL AND us IS NOT DISTINCT FROM bs
+        |        AND ub IS NOT DISTINCT FROM bb)
+        |  UNION ALL
+        |  SELECT bk, bs, bb, bvf, eff
+        |  FROM j WHERE bk IS NOT NULL AND uk IS NOT NULL
+        |    AND (us IS DISTINCT FROM bs OR ub IS DISTINCT FROM bb)
+        |  UNION ALL
+        |  SELECT uk, us, ub, eff, CAST(NULL AS TIMESTAMP)
+        |  FROM j WHERE uk IS NOT NULL
+        |    AND (bk IS NULL OR us IS DISTINCT FROM bs
+        |         OR ub IS DISTINCT FROM bb))
+        |SELECT * FROM emitted
+        |UNION ALL SELECT * FROM closedhist
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X-DIFF'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |j AS (
+        |  SELECT p.o_orderkey AS pk, n.o_orderkey AS nk,
+        |    p.o_custkey AS p_ck, p.o_orderstatus AS p_st,
+        |    p.o_totalprice AS p_tp, p.o_orderdate AS p_od,
+        |    p.o_orderpriority AS p_pr,
+        |    n.o_custkey AS n_ck, n.o_orderstatus AS n_st,
+        |    n.o_totalprice AS n_tp, n.o_orderdate AS n_od,
+        |    n.o_orderpriority AS n_pr
+        |  FROM orders p FULL OUTER JOIN nxt n
+        |    ON p.o_orderkey = n.o_orderkey)
+        |SELECT
+        |  CASE WHEN pk IS NULL THEN 'insert'
+        |       WHEN nk IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  COALESCE(nk, pk) AS o_orderkey,
+        |  CASE WHEN nk IS NOT NULL THEN n_ck ELSE p_ck END AS o_custkey,
+        |  CASE WHEN nk IS NOT NULL THEN n_st ELSE p_st END AS o_orderstatus,
+        |  CASE WHEN nk IS NOT NULL THEN n_tp ELSE p_tp END AS o_totalprice,
+        |  CASE WHEN nk IS NOT NULL THEN n_od ELSE p_od END AS o_orderdate,
+        |  CASE WHEN nk IS NOT NULL THEN n_pr ELSE p_pr END AS o_orderpriority
+        |FROM j
+        |WHERE pk IS NULL OR nk IS NULL
+        |  OR (n_ck IS DISTINCT FROM p_ck OR n_st IS DISTINCT FROM p_st
+        |      OR n_tp IS DISTINCT FROM p_tp OR n_od IS DISTINCT FROM p_od
+        |      OR n_pr IS DISTINCT FROM p_pr)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_stat_zscore" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

@@ -29,4 +29,64 @@ class MergeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("FullOuter") || plan.contains("full_outer"))
   }
+
+  import org.apache.spark.sql.functions._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private val history = Seq(
+    // k=1: one closed version + a current one; k=2, k=3: current only
+    (1L, "old", Some(ts("2023-01-01")), Some(ts("2024-01-01"))),
+    (1L, "a", Some(ts("2024-01-01")), None),
+    (2L, "b", Some(ts("2024-01-01")), None),
+    (3L, "c", Some(ts("2024-01-01")), None))
+    .toDF("k", "v", "valid_from", "valid_to")
+    .select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+
+  private val batch = Seq(
+    (1L, "A", ts("2024-06-01")), // changed → close + new version
+    (2L, "b", ts("2024-06-01")), // identical → no-op
+    (9L, "z", ts("2024-06-01"))) // unknown key → insert
+    .toDF("k", "v", "eff")
+
+  test("scd2: change closes the current version and appends the new one") {
+    val out = Merge.scd2(history, batch, "k", "eff")
+      .as[(Long, String, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet
+    assert(out == Set(
+      (1L, "old", Some(ts("2023-01-01")), Some(ts("2024-01-01"))),
+      (1L, "a", Some(ts("2024-01-01")), Some(ts("2024-06-01"))),
+      (1L, "A", Some(ts("2024-06-01")), None),
+      (2L, "b", Some(ts("2024-01-01")), None), // no empty version
+      (3L, "c", Some(ts("2024-01-01")), None),
+      (9L, "z", Some(ts("2024-06-01")), None)))
+  }
+
+  test("scd2 keeps the at-most-one-current-row-per-key invariant") {
+    val out = Merge.scd2(history, batch, "k", "eff")
+    val multi = out.filter(col("valid_to").isNull)
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(multi == 0)
+    // and applying an identical batch twice changes nothing
+    val again = Merge.scd2(out, batch, "k", "eff")
+    assert(again.count() == out.count())
+  }
+
+  test("snapshotDiff classifies insert/delete/update, drops unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val out = Merge.snapshotDiff(prev, next, "k")
+      .as[(String, Long, String)].collect().toSet
+    assert(out == Set(
+      ("delete", 1L, "a"), ("update", 3L, "C"), ("insert", 4L, "d")))
+  }
+
+  test("snapshotDiff treats null→value and value→null as updates") {
+    val prev = Seq((1L, Some("a")), (2L, None: Option[String]))
+      .toDF("k", "v")
+    val next = Seq((1L, None: Option[String]), (2L, Some("b")))
+      .toDF("k", "v")
+    val out = Merge.snapshotDiff(prev, next, "k")
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(out == Set(("update", 1L, None), ("update", 2L, Some("b"))))
+  }
 }
