@@ -152,4 +152,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("scd2 and cdc diff stay on full-outer equi-joins — " +
+    "version emission is map-side explode/case, never a second shuffle op") {
+    for (q <- Seq("q_merge_scd2", "q_cdc_diff")) {
+      val p = plan(q)
+      assert(p.contains("FullOuter"), s"$q must full-outer join")
+      assert(!p.contains("CartesianProduct")
+          && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("stats aggregates keep map-side partial aggregation") {
+    // the moment sums must combine before the shuffle: a partial
+    // HashAggregate under the exchange, final above it
+    for (q <- Seq("q_agg_corr", "q_agg_mode", "q_agg_histogram",
+        "q_agg_bool_bits")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial agg:\n$p")
+    }
+  }
+
+  test("pagerank rounds are equi-joins; no cartesian across iterations") {
+    val p = plan("q_graph_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -116,6 +116,26 @@ class CurationSpec extends SparkTestBase {
       (9L, "2024-01-01 05:00:00", 1L, 9.0)))
   }
 
+  test("resampleInterpolate: interior gaps get the straight line, " +
+    "observed buckets keep their value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:30:00"), 1.0), // hour 0: sv=1.0
+      (7L, ts("2024-01-01 03:15:00"), 4.0), // hours 1-2 empty
+      (7L, ts("2024-01-01 03:45:00"), 3.0)  // hour 3: sv=7.0
+    ).toDF("user_id", "ts", "value")
+    val out = graft.ops.Resample
+      .resampleInterpolate(ev, "user_id", "ts", "value", "1 hour")
+      .select($"user_id", $"bucket".cast("string"), $"sv_interp")
+      .as[(Long, String, Double)].collect().sortBy(_._2)
+    // line from (t=0h, 1.0) to (t=3h, 7.0): +2.0 per hour
+    assert(out.toSeq == Seq(
+      (7L, "2024-01-01 00:00:00", 1.0),
+      (7L, "2024-01-01 01:00:00", 3.0),
+      (7L, "2024-01-01 02:00:00", 5.0),
+      (7L, "2024-01-01 03:00:00", 7.0)))
+  }
+
   test("hashUniformSql stays in lockstep with hashUniform (spot values)") {
     // the Spark side of the pair; the SQL side is exercised by the
     // driver's DuckDB gate on q_curate_sample_stratified — here we pin
