@@ -35,9 +35,29 @@ object GraphQueries {
     Graph.degreeHistogram(shipmentEdges(spark, dir))
       .orderBy(col("out_degree"))
 
+  /** Triangle census of the CO-SUPPLY graph (suppliers linked when they
+    * supply the same part — the shipment graph itself is bipartite and
+    * trivially triangle-free). Restricted to single-unit lines: the
+    * unrestricted graph is COMPLETE at sf0.1 (every supplier pair
+    * shares some part — C(1000,2) edges, 1.66e8 triangles), which
+    * demonstrates nothing but brute force; the restriction yields a
+    * sparse graph whose census actually exercises orientation.
+    */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.triangleStats(edges)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
-    "q_graph_degree" -> (qGraphDegree(_, _))
+    "q_graph_degree" -> (qGraphDegree(_, _)),
+    "q_graph_triangles" -> (qGraphTriangles(_, _))
   )
 
   private val edgeCte =
@@ -77,6 +97,36 @@ object GraphQueries {
       s"""WITH $edgeCte,
         |d AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)
         |SELECT out_degree, COUNT(*) AS n_vertices
-        |FROM d GROUP BY out_degree ORDER BY out_degree""".stripMargin
+        |FROM d GROUP BY out_degree ORDER BY out_degree""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT x.s AS src, y.s AS dst
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |deg AS (SELECT v, COUNT(*) AS d
+        |        FROM (SELECT a AS v FROM und
+        |              UNION ALL SELECT b AS v FROM und)
+        |        GROUP BY v),
+        |ori AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS s,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS t
+        |  FROM und u JOIN deg da ON u.a = da.v
+        |    JOIN deg db ON u.b = db.v),
+        |w AS (SELECT e1.s, e1.t AS x, e2.t AS y
+        |      FROM ori e1 JOIN ori e2 ON e1.s = e2.s WHERE e1.t < e2.t),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM und),
+        |nw AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+        |         AS n_wedges FROM deg),
+        |nt AS (SELECT COUNT(*) AS n_triangles
+        |       FROM w JOIN und ON w.x = und.a AND w.y = und.b)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  3.0 * n_triangles / CAST(n_wedges AS DOUBLE)
+        |    AS global_clustering
+        |FROM ne, nw, nt""".stripMargin
   )
 }

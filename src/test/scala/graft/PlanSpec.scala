@@ -178,4 +178,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("triangle census: wedge join and closure are equi-joins " +
+    "(the only cross-join is the three 1-row count scalars)") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"))
+    // scalar-count assembly broadcasts 1-row sides; the wedge/closure
+    // path must not fall into a nested loop over real data
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2)
+  }
 }

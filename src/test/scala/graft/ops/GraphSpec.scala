@@ -57,6 +57,29 @@ class GraphSpec extends SparkTestBase {
     assert(got == refPagerank(diamond, 2))
   }
 
+  test("triangleStats: K4 — 4 triangles, 12 wedges, clustering 1.0") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val out = Graph.triangleStats(k4.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out == ((6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangleStats: path graph has wedges but zero triangles") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.triangleStats(path)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out == ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("triangleStats canonicalizes: reversed duplicates and " +
+    "self-loops don't inflate the census") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.triangleStats(messy)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out == ((3L, 3L, 1L, 1.0)))
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
