@@ -166,7 +166,39 @@ object SqlQueries {
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** Shared body of the recursive-CTE BFS (identical text runs in both
+    * engines modulo the lineitem table name): min-hop distance from
+    * supplier 1 over the sparse co-supply graph, depth-bounded to 3.
+    * UNION ALL recursion + outer MIN is the portable BFS form; the
+    * depth bound caps path enumeration on the sparse fixture graph.
+    */
+  private def recursiveBfsSql(lineitem: String): String =
+    s"""WITH RECURSIVE und AS (
+      |  SELECT DISTINCT least(x.s, y.s) AS a, greatest(x.s, y.s) AS b
+      |  FROM (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |        FROM $lineitem WHERE l_quantity = 1.0) x
+      |  JOIN (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |        FROM $lineitem WHERE l_quantity = 1.0) y
+      |    ON x.p = y.p AND x.s < y.s),
+      |sym AS (SELECT a AS u, b AS v FROM und
+      |        UNION ALL SELECT b, a FROM und),
+      |reach(v, hops) AS (
+      |  SELECT CAST(1 AS BIGINT) AS v, 0 AS hops
+      |  UNION ALL
+      |  SELECT s.v, r.hops + 1
+      |  FROM reach r JOIN sym s ON r.v = s.u
+      |  WHERE r.hops < 3)
+      |SELECT v AS supplier, MIN(hops) AS hops
+      |FROM reach GROUP BY v ORDER BY supplier""".stripMargin
+
+  /** Recursive CTE (WITH RECURSIVE, Spark 4.x): bounded BFS. */
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(recursiveBfsSql("lineitem_v"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_sql_recursive" -> (qSqlRecursive(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
     "q_sql_exists" -> (qSqlExists(_, _)),
@@ -179,6 +211,7 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_recursive" -> recursiveBfsSql("lineitem"),
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, o_totalprice,
         |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
