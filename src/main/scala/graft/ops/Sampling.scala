@@ -83,6 +83,46 @@ object Sampling {
       .drop("_dom", "_n", "_w", "_T")
   }
 
+  /** Weighted sampling without replacement (top-k), integer weights:
+    * Efraimidis–Spirakis assigns each row key u^(1/w) and keeps the k
+    * largest; u^(1/w) is distributed EXACTLY as the max of w iid
+    * uniforms (both CDFs are x^w), so for integer weights the key is
+    * expressible as `max_{i≤w} hash(id:i)` — pure integer arithmetic on
+    * the portable md5 family, no pow/log whose last-ulp behavior could
+    * differ across engines' libm.
+    *
+    * Scale shape: the priority is a map-side array expression (no row
+    * explosion — `transform` over a generated sequence); global top-k
+    * plans as TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver-side merge, never a full sort). Weights are capped by
+    * contract, not clamped: huge weights belong in the caller's score
+    * design, not a 10⁶-element array per row.
+    *
+    * @param weightCol integer weight ≥ 1 (keep small, ≤ ~100).
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: Column,
+                   k: Int): DataFrame = {
+    val priority = array_max(transform(
+      sequence(lit(1), weightCol.cast("int")),
+      i => conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":"), i.cast("string"))), 1, 8), 16, 10).cast("long")))
+    df.withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB-side twin of the integer hash inside [[weightedTopK]] —
+    * digit-sum parse of the first 8 md5 hex digits of `e` (no hex→int
+    * conv in DuckDB), as a BIGINT in [0, 2³²).
+    */
+  def hashIntSql(e: String): String = {
+    val digits = (1 to 8).map { d =>
+      val pow = math.pow(16, 8 - d).toLong
+      s"(strpos('0123456789abcdef', substring(md5($e), $d, 1)) - 1) * ${pow}"
+    }
+    s"(${digits.mkString(" + ")})"
+  }
+
   /** DuckDB-side twin of `hashUniform` over column expression `e` —
     * kept next to the Spark form so the two stay in lockstep. (Digit-sum
     * parse of the first 8 md5 hex digits; DuckDB lacks a hex→int conv.)

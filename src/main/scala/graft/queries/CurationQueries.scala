@@ -33,6 +33,18 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Weighted sample without replacement: 200 documents, probability
+    * scaled by an integer weight derived from length (1 + n_chars mod
+    * 7 — a stand-in for a quality score). Integer max-hash priorities;
+    * global top-k plans TakeOrderedAndProject.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedTopK(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), (col("n_chars") % 7 + 1).as("w")),
+        "doc_id", col("w"), k = 200)
+      .orderBy(col("priority").desc, col("doc_id"))
+
   /** Corpus minus every document sharing a word 8-gram with the
     * stand-in benchmark set (doc_id % 53 == 0 — which also catches the
     * fixture's planted near-duplicates of those docs). Benchmark grams
@@ -68,6 +80,7 @@ object CurationQueries {
       .orderBy(col("source"))
 
   val defs: Map[String, Q] = Map(
+    "q_curate_sample_weighted" -> (qSampleWeighted(_, _)),
     "q_curate_remix" -> (qRemix(_, _)),
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
@@ -78,6 +91,16 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_sample_weighted" -> {
+      val h = Sampling.hashIntSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+      s"""SELECT doc_id, w, priority FROM (
+         |  SELECT doc_id, n_chars % 7 + 1 AS w,
+         |    list_max(list_transform(generate_series(1,
+         |      CAST(n_chars % 7 + 1 AS INTEGER)), i -> $h)) AS priority
+         |  FROM documents)
+         |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin
+    },
     "q_curate_remix" ->
       s"""WITH w AS (
          |  SELECT source, COUNT(*) AS n,

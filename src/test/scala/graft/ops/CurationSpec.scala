@@ -136,6 +136,32 @@ class CurationSpec extends SparkTestBase {
       (7L, "2024-01-01 03:00:00", 7.0)))
   }
 
+  test("weightedTopK: priority is the max md5 hash over w salts " +
+    "(independent JDK MessageDigest replay)") {
+    def jdkHash(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val df = Seq((1L, 3), (2L, 1)).toDF("id", "w")
+    val out = Sampling.weightedTopK(df, "id", col("w"), 10)
+      .select("id", "priority").as[(Long, Long)].collect().toMap
+    assert(out(1L) == (1 to 3).map(i => jdkHash(s"1:$i")).max)
+    assert(out(2L) == jdkHash("2:1"))
+  }
+
+  test("weightedTopK favors heavy weights and plans a global top-k") {
+    val df = spark.range(10000).select($"id",
+      when($"id" < 5000, 10).otherwise(1).as("w"))
+    val picked = Sampling.weightedTopK(df, "id", col("w"), 1000)
+    val heavy = picked.filter($"id" < 5000).count()
+    // heavy rows have 10× selection pressure: expect ≫ 500 of 1000
+    assert(heavy > 800, s"heavy=$heavy of 1000")
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hashUniformSql stays in lockstep with hashUniform (spot values)") {
     // the Spark side of the pair; the SQL side is exercised by the
     // driver's DuckDB gate on q_curate_sample_stratified — here we pin
