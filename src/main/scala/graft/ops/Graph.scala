@@ -126,4 +126,49 @@ object Graph {
         (lit(3.0) * col("n_triangles")
           / col("n_wedges").cast("double")).as("global_clustering"))
   }
+
+  /** Per-vertex triangle counts + LOCAL clustering coefficient
+    * (Watts–Strogatz 1998): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).
+    * Same oriented-wedge enumeration as [[triangleStats]]; each closed
+    * wedge credits all three corners via a map-side explode, then one
+    * hash aggregate per vertex. Exact integer counts; the one division
+    * runs identically cross-engine. Degree-1 vertices (no wedge) get
+    * cc = 0 by convention.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = CacheScope.cached(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ori = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"),
+        "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"),
+        "b")
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("s"),
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("t"))
+    val closed = ori.select(col("s"), col("t").as("x"))
+      .join(ori.select(col("s"), col("t").as("y")), "s")
+      .filter(col("x") < col("y"))
+      .join(und, col("x") === col("a") && col("y") === col("b"))
+    val triPerV = closed
+      .select(explode(array(col("s"), col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("d") * (col("d") - 1)).cast("double"))
+          .as("local_clustering"))
+  }
 }

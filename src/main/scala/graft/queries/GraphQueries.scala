@@ -54,10 +54,23 @@ object GraphQueries {
     Graph.triangleStats(edges)
   }
 
+  /** Local clustering coefficients on the sparse co-supply graph. */
+  def qGraphLocalCc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.localClustering(edges).orderBy(col("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
-    "q_graph_triangles" -> (qGraphTriangles(_, _))
+    "q_graph_triangles" -> (qGraphTriangles(_, _)),
+    "q_graph_local_cc" -> (qGraphLocalCc(_, _))
   )
 
   private val edgeCte =
@@ -127,6 +140,39 @@ object GraphQueries {
         |SELECT n_edges, n_wedges, n_triangles,
         |  3.0 * n_triangles / CAST(n_wedges AS DOUBLE)
         |    AS global_clustering
-        |FROM ne, nw, nt""".stripMargin
+        |FROM ne, nw, nt""".stripMargin,
+    "q_graph_local_cc" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT x.s AS src, y.s AS dst
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |deg AS (SELECT v, COUNT(*) AS d
+        |        FROM (SELECT a AS v FROM und
+        |              UNION ALL SELECT b AS v FROM und)
+        |        GROUP BY v),
+        |ori AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |         THEN u.a ELSE u.b END AS s,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |         THEN u.b ELSE u.a END AS t
+        |  FROM und u JOIN deg da ON u.a = da.v
+        |    JOIN deg db ON u.b = db.v),
+        |closed AS (SELECT e1.s, e1.t AS x, e2.t AS y
+        |           FROM ori e1 JOIN ori e2 ON e1.s = e2.s
+        |           JOIN und ON e1.t = und.a AND e2.t = und.b
+        |           WHERE e1.t < e2.t),
+        |corners AS (SELECT unnest([s, x, y]) AS v FROM closed),
+        |tv AS (SELECT v, COUNT(*) AS n_triangles FROM corners GROUP BY v)
+        |SELECT deg.v AS vertex, deg.d AS degree,
+        |  COALESCE(tv.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.d < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(tv.n_triangles, 0)
+        |         / CAST(deg.d * (deg.d - 1) AS DOUBLE) END
+        |    AS local_clustering
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY vertex""".stripMargin
   )
 }

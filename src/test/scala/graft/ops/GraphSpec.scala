@@ -80,6 +80,20 @@ class GraphSpec extends SparkTestBase {
     assert(out == ((3L, 3L, 1L, 1.0)))
   }
 
+  test("localClustering: K4 vertices all cc=1.0; paper triangle+tail") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val cc4 = Graph.localClustering(k4.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(cc4 == (1L to 4L).map(v => (v, 3L, 3L, 1.0)))
+    // triangle 1-2-3 with a tail 3-4: v3 has deg 3 but only 1 closed
+    // of its 3 wedges; v4 (deg 1) gets the 0-by-convention
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val out = Graph.localClustering(tri.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0), (4L, 1L, 0L, 0.0)))
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
