@@ -186,7 +186,36 @@ object StreamQueries {
         "user_id", "ts", "value", "1 hour")
       .orderBy(col("user_id"), col("bucket"))
 
+  /** Exponential smoothing (EWMA, α = 1/2) of each user's event-value
+    * series — the recursive y_k = α·x_k + (1−α)·y_{k−1} is inherently
+    * an ORDERED FOLD, which engines' unordered SUM cannot express.
+    * Realized as sort_array(collect_list(struct…)) → `aggregate` HOF
+    * fold, seeded with the first observation — exactly DuckDB's
+    * `list_reduce(list(v ORDER BY …), …)` semantics. α = 1/2 makes
+    * every step an exact IEEE halving+add, so the fold is bit-identical
+    * cross-engine (arbitrary α would also match — same op order — but
+    * halving keeps intermediate error zero, not merely identical).
+    *
+    * Scale shape: one shuffle (groupBy user); the fold is map-side over
+    * each user's collected series — same per-key-sequential model as
+    * sessionization. A key's history must fit an executor (true of any
+    * per-entity time series op).
+    */
+  def qTimeEwma(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(expr("sort_array(collect_list(struct(ts, event_id, value)))")
+          .as("arr"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        expr("""aggregate(
+                  slice(arr, 2, greatest(size(arr) - 1, 0)),
+                  element_at(arr, 1).value,
+                  (acc, x) -> acc * 0.5 + x.value * 0.5)""").as("ewma"))
+      .orderBy(col("user_id"))
+
   val defs: Map[String, Q] = Map(
+    "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
@@ -199,6 +228,11 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_time_ewma" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (x, y) -> x * 0.5 + y * 0.5) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_time_interpolate" ->
       """WITH b AS (
         |  SELECT user_id,
