@@ -42,7 +42,10 @@ object Merge {
     *
     * Contract: `history` has columns (key, attrs…, valid_from,
     * valid_to) with valid_to NULL marking the current version and at
-    * most one current row per key; `updates` has (key, attrs…, tsCol).
+    * most one current row per key; `updates` has (key, attrs…, tsCol),
+    * at most one row per key (pre-collapse a multi-change batch to its
+    * latest state first — applying intra-batch history is upsert
+    * folding, not a join).
     * An update whose attributes null-safe-equal the current version is
     * a no-op (no empty versions); an unknown key is a plain insert.
     *

@@ -94,6 +94,49 @@ class GraphSpec extends SparkTestBase {
       (3L, 3L, 1L, 1.0 / 3.0), (4L, 1L, 0L, 0.0)))
   }
 
+  test("property: triangle census matches brute-force triple " +
+    "enumeration on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L)
+    } yield (a, b))
+    (0 until 5).foreach { i =>
+      val raw = edgeGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val und = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct.toSet
+      val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val bruteTri = (for {
+        a <- verts; b <- verts if a < b; c <- verts if b < c
+        if und((a, b)) && und((a, c)) && und((b, c))
+      } yield 1).size.toLong
+      val bruteWedges = verts.map { v =>
+        val d = und.count(e => e._1 == v || e._2 == v).toLong
+        d * (d - 1) / 2
+      }.sum
+      val got = Graph.triangleStats(raw.toDF("src", "dst"))
+        .as[(Long, Long, Long, Double)].collect().head
+      assert(got._1 == und.size.toLong && got._2 == bruteWedges
+          && got._3 == bruteTri,
+        s"seed ${7 + i}: got $got want (${und.size}, $bruteWedges, $bruteTri)")
+    }
+  }
+
+  test("property: pagerank matches the scalar replay on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(20, for {
+      a <- Gen.chooseNum(1L, 10L); b <- Gen.chooseNum(1L, 10L)
+      if a != b
+    } yield (a, b))
+    (0 until 3).foreach { i =>
+      val raw = edgeGen.pureApply(Gen.Parameters.default, Seed(99L + i))
+      val got = Graph.pagerank(raw.toDF("src", "dst"), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refPagerank(raw, 3), s"seed ${99 + i}")
+    }
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
