@@ -141,7 +141,42 @@ object SimilarityQueries {
       .orderBy(col("cent_id"))
   }
 
+  /** MaxSim late-interaction retrieval (ColBERT, SIGIR'20): documents
+    * are MULTI-vector (10 consecutive token vectors per doc here); a
+    * query's score against a doc is Σ over query tokens of the max
+    * cosine against any doc token. Query tokens broadcast (corpus
+    * never shuffles for scoring); per-(doc, token) max is
+    * order-independent; the final Σ over 8 token maxima is an ORDERED
+    * FOLD (qt_id order) so the double sum is bit-identical
+    * cross-engine; global top-10 by score.
+    */
+  def qSimMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, expr, lit}
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.select(expr("vec_id div 10").as("doc_id"),
+      col("embedding").as("cv"))
+    val qTokens = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qt_id"), col("embedding").as("qv"))
+    corpus.crossJoin(broadcast(qTokens))
+      .select(col("doc_id"), col("qt_id"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("cv"))
+          .as("cos"))
+      .groupBy(col("doc_id"), col("qt_id"))
+      .agg(org.apache.spark.sql.functions.max(col("cos")).as("mc"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(qt_id, mc)))").as("arr"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("""aggregate(
+                  slice(arr, 2, greatest(size(arr) - 1, 0)),
+                  element_at(arr, 1).mc,
+                  (acc, x) -> acc + x.mc)""").as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_sim_maxsim" -> (qSimMaxsim(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_sim_quantize" -> (qSimQuantize(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
@@ -206,6 +241,26 @@ object SimilarityQueries {
        |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sim_maxsim" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, vec_id // 10 AS doc_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qt_id, embedding, nrm FROM n
+         |      WHERE vec_id < 8),
+         |mx AS (
+         |  SELECT c.doc_id, q.qt_id,
+         |    MAX(${cosSql("q.embedding", "q.nrm", "c.embedding", "c.nrm")})
+         |      AS mc
+         |  FROM n c CROSS JOIN q GROUP BY c.doc_id, q.qt_id),
+         |sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    list_reduce(list(mc ORDER BY qt_id), (x, y) -> x + y)
+         |      AS maxsim
+         |  FROM mx GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, maxsim FROM sc
+         |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
     "q_sim_topk_lsh" ->
       s"""WITH n AS (
          |  SELECT vec_id, embedding,
