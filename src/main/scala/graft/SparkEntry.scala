@@ -23,7 +23,8 @@ object SparkEntry {
       SimilarityQueries.defs ++ TextQueries.defs ++ MiscQueries.defs ++
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
       FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs ++
-      StatsQueries.defs ++ GraphQueries.defs
+      StatsQueries.defs ++ GraphQueries.defs ++ QualityQueries.defs ++
+      MiningQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,5 @@ object SparkEntry {
       MiscQueries.oracles ++ StreamQueries.oracles ++
       CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
       TpchQueries.oracles ++ CurationQueries.oracles ++ StatsQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++ QualityQueries.oracles ++ MiningQueries.oracles
 }

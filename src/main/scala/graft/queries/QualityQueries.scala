@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Quality
+import graft.ops.Quality._
+
+/** Data-quality constraint battery over the ingest tables — the contract
+  * gate a production ETL service runs before publishing a load (the
+  * reference accepts any blob whose extension dispatches,
+  * `/root/reference/app/routes.py:115-125`; this is the missing row-level
+  * contract layer). Non-vacuous by fixture construction: the generated
+  * lineitem violates (l_orderkey, l_linenumber) uniqueness and the 5%
+  * discount cap, so the battery exercises both verdicts.
+  */
+object QualityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def qQualityConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val auditOrders = Quality.audit(orders, Seq(
+      Complete("orders_custkey_complete", "o_custkey"),
+      Unique("orders_orderkey_unique", Seq("o_orderkey")),
+      OneOf("orders_status_accepted", "o_orderstatus", Seq("O", "F", "P")),
+      Satisfies("orders_totalprice_positive", col("o_totalprice") > 0)))
+    val auditLines = Quality.audit(lineitem, Seq(
+      Unique("lineitem_line_unique", Seq("l_orderkey", "l_linenumber")),
+      InRange("lineitem_discount_le_5pct", "l_discount", 0.0, 0.05),
+      InRange("lineitem_quantity_range", "l_quantity", 1.0, 50.0),
+      Complete("lineitem_shipdate_complete", "l_shipdate")))
+    auditOrders
+      .unionByName(auditLines)
+      .unionByName(Quality.refIntegrity("ri_lineitem_orders",
+        lineitem, "l_orderkey", orders, "o_orderkey"))
+      .unionByName(Quality.refIntegrity("ri_orders_customer",
+        orders, "o_custkey", customer, "c_custkey"))
+      .orderBy(col("check_name"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_quality_constraints" -> (qQualityConstraints(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_constraints" ->
+      """WITH o AS (SELECT count(*) AS total,
+        |    count(*) - count(o_custkey) AS v_complete,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        |    count(*) FILTER (o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O','F','P')) AS v_status,
+        |    count(*) FILTER (o_totalprice IS NULL
+        |      OR NOT (o_totalprice > 0)) AS v_pos
+        |  FROM orders),
+        |l AS (SELECT count(*) AS total,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |      AS v_unique,
+        |    count(*) FILTER (l_discount IS NULL OR l_discount < 0
+        |      OR l_discount > 0.05) AS v_disc,
+        |    count(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+        |      OR l_quantity > 50) AS v_qty,
+        |    count(*) - count(l_shipdate) AS v_ship
+        |  FROM lineitem),
+        |ri1 AS (SELECT count(*) AS v,
+        |    (SELECT count(*) FROM lineitem) AS total
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |ri2 AS (SELECT count(*) AS v,
+        |    (SELECT count(*) FROM orders) AS total
+        |  FROM orders od LEFT JOIN customer c
+        |    ON od.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |rows0 AS (
+        |  SELECT 'orders_custkey_complete' AS check_name,
+        |    v_complete AS violations, total FROM o
+        |  UNION ALL SELECT 'orders_orderkey_unique', v_unique, total FROM o
+        |  UNION ALL SELECT 'orders_status_accepted', v_status, total FROM o
+        |  UNION ALL SELECT 'orders_totalprice_positive', v_pos, total FROM o
+        |  UNION ALL SELECT 'lineitem_line_unique', v_unique, total FROM l
+        |  UNION ALL SELECT 'lineitem_discount_le_5pct', v_disc, total FROM l
+        |  UNION ALL SELECT 'lineitem_quantity_range', v_qty, total FROM l
+        |  UNION ALL SELECT 'lineitem_shipdate_complete', v_ship, total FROM l
+        |  UNION ALL SELECT 'ri_lineitem_orders', v, total FROM ri1
+        |  UNION ALL SELECT 'ri_orders_customer', v, total FROM ri2)
+        |SELECT check_name, violations, total, violations = 0 AS pass
+        |FROM rows0 ORDER BY check_name""".stripMargin
+  )
+}

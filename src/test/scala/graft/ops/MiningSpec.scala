@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import scala.util.Random
+
+class MiningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("skyline2D matches brute-force dominance on random points") {
+    val rnd = new Random(42)
+    val pts = Seq.fill(300)((rnd.nextInt(50).toDouble, rnd.nextInt(50)))
+    val df = pts.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = Mining.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val want = pts.zipWithIndex.collect {
+      case ((x, y), i) if !pts.exists { case (qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) } => i.toLong
+    }.toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
+  test("skyline2D keeps tied frontier duplicates, drops null coords") {
+    val df = Seq(
+      (1L, Some(1.0), Some(5)), (2L, Some(1.0), Some(5)), // tied pair
+      (3L, Some(2.0), Some(4)),                            // dominated
+      (4L, Some(2.0), Some(9)),                            // frontier
+      (5L, None, Some(9)), (6L, Some(0.5), None)           // incomparable
+    ).toDF("id", "x", "y")
+    val got = Mining.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
+
+  test("assocPairs: exact counts + integer lift on a hand example") {
+    // baskets: {a,b,c}, {a,b}, {a,c}, {b} → n=4
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (4L, "b")) // dup collapses
+    val out = Mining.assocPairs(rows.toDF("b", "i"), "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // lift(a,b) = 2·4·10⁶ / (3·3) = 888888 (floor)
+    assert(out(("a", "b")) === ((2L, 3L, 3L, 4L, 888888L)))
+    // lift(a,c) = 2·4·10⁶ / (3·2) = 1333333
+    assert(out(("a", "c")) === ((2L, 3L, 2L, 4L, 1333333L)))
+    assert(out(("b", "c")) === ((1L, 3L, 2L, 4L, 666666L)))
+  }
+
+  test("assocPairs minItemSupport prunes infrequent items before pairing") {
+    val rows = Seq((1L, "a"), (1L, "z"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "b"))
+    val out = Mining.assocPairs(rows.toDF("b", "i"), "b", "i",
+      minItemSupport = 2L)
+    val pairs = out.select("item_a", "item_b").as[(String, String)]
+      .collect().toSet
+    assert(pairs === Set(("a", "b"))) // "z" (support 1) never pairs
+  }
+}
