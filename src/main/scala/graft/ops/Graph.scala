@@ -56,6 +56,88 @@ object Graph {
     ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, WWW'03 "Scaling Personalized
+    * Web Search"): power iteration whose teleport mass lands ONLY on the
+    * `seeds` set — rank becomes proximity-to-seeds, the standard
+    * recommendation / related-entity primitive. Same integer-arithmetic
+    * determinism doctrine as [[pagerank]]: seed base mass is
+    * `(scale div |seeds|)·15 div 100`, contributions are floor
+    * divisions, so the DuckDB twin replays rounds bit-for-bit. Dangling
+    * mass is dropped, exactly as in [[pagerank]] — at 100 TB the
+    * alternative (a per-round global dangling sum broadcast back) adds
+    * one scalar aggregate per round and is noted here for the cluster
+    * deployment; ranks remain a valid proximity ORDER either way.
+    *
+    * Shape per round: edges ⨝ ranks shuffle on src, partial-aggregated
+    * sum on dst, map-side seed base via a broadcast `isin` — the seed
+    * set is a query parameter (tens of ids), never a table.
+    */
+  def personalizedPagerank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                           scale: Long = 1000000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPagerank needs seed vertices")
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst")).distinct())
+    val verts = CacheScope.cached(
+      e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct())
+    val p0 = scale / seeds.length
+    val base = (p0 * 15L) / 100L
+    val isSeed = col("v").isin(seeds: _*)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val edgesW = CacheScope.cached(e.join(deg, "src"))
+    var ranks = verts.select(col("v"),
+      when(isSeed, lit(p0)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val in = edgesW.join(ranks, edgesW("src") === ranks("v"))
+        .select(col("dst"), expr("pr div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = verts.join(in, verts("v") === in("dst"), "left")
+        .select(col("v"),
+          (when(isSeed, lit(base)).otherwise(lit(0L))
+            + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      ranks = CacheScope.cached(next)
+    }
+    ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al., 2007, Phys. Rev. E 76): every vertex starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. The synchronous
+    * schedule plus the deterministic tie-break is what makes the result
+    * engine-independent (async LPA's result depends on visit order) —
+    * the DuckDB twin replays the rounds exactly.
+    *
+    * Shape per round: one equi-join of the symmetrized edge list against
+    * the label table (shuffle carries (vertex, label) pairs — never
+    * adjacency lists), then two hash aggregates: (v, label) counts, and
+    * the per-v argmax via `max(struct(cnt, -label))` — both map-side
+    * partial, no window. O(iters) rounds, each persisted and released by
+    * the caller's [[CacheScope]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = CacheScope.cached(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    val sym = CacheScope.cached(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
+    var labels = sym.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (_ <- 1 to iters) {
+      val nbr = sym.join(labels.withColumnRenamed("v", "n"), "n")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      val next = nbr
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("label"))
+      labels = CacheScope.cached(next)
+    }
+    labels.select(col("v").as("vertex"), col("label"))
+  }
+
   /** Degree-distribution profile: how many vertices have out-degree k —
     * the standard first look at any graph's shape (and the skew check
     * before partitioning a graph workload). Two hash aggregates, both

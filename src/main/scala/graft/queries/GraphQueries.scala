@@ -66,11 +66,34 @@ object GraphQueries {
     Graph.localClustering(edges).orderBy(col("vertex"))
   }
 
+  /** Personalized PageRank from suppliers {1, 2}: proximity of every
+    * vertex to those two suppliers' shipping neighborhoods. */
+  def qGraphPpr(spark: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPagerank(shipmentEdges(spark, dir),
+        seeds = Seq(1L, 2L), iters = 3)
+      .filter(col("rank_scaled") > 0)
+      .orderBy(desc("rank_scaled"), asc("vertex"))
+
+  /** 2-round synchronous label-propagation communities on the sparse
+    * co-supply graph (same fixture as the triangle census). */
+  def qGraphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.labelPropagation(edges, iters = 2).orderBy(col("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
     "q_graph_triangles" -> (qGraphTriangles(_, _)),
-    "q_graph_local_cc" -> (qGraphLocalCc(_, _))
+    "q_graph_local_cc" -> (qGraphLocalCc(_, _)),
+    "q_graph_ppr" -> (qGraphPpr(_, _)),
+    "q_graph_label_prop" -> (qGraphLabelProp(_, _))
   )
 
   private val edgeCte =
@@ -106,6 +129,59 @@ object GraphQueries {
         |       FROM verts LEFT JOIN c3 ON verts.v = c3.dst)
         |SELECT v AS vertex, pr AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, vertex""".stripMargin,
+    "q_graph_ppr" ->
+      s"""WITH $edgeCte,
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |r0 AS (SELECT v, CASE WHEN v IN (1, 2) THEN 500000000
+        |         ELSE 0 END AS pr FROM verts),
+        |c1 AS (SELECT e.dst, SUM(r.pr // d.od) AS s
+        |       FROM e JOIN r0 r ON e.src = r.v JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT verts.v, CAST(
+        |         CASE WHEN verts.v IN (1, 2) THEN 75000000 ELSE 0 END
+        |         + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN c1 ON verts.v = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(r.pr // d.od) AS s
+        |       FROM e JOIN r1 r ON e.src = r.v JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT verts.v, CAST(
+        |         CASE WHEN verts.v IN (1, 2) THEN 75000000 ELSE 0 END
+        |         + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN c2 ON verts.v = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(r.pr // d.od) AS s
+        |       FROM e JOIN r2 r ON e.src = r.v JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT verts.v, CAST(
+        |         CASE WHEN verts.v IN (1, 2) THEN 75000000 ELSE 0 END
+        |         + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN c3 ON verts.v = c3.dst)
+        |SELECT v AS vertex, pr AS rank_scaled FROM r3 WHERE pr > 0
+        |ORDER BY rank_scaled DESC, vertex""".stripMargin,
+    "q_graph_label_prop" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT x.s AS src, y.s AS dst
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |sym AS (SELECT a AS v, b AS n FROM und
+        |        UNION ALL SELECT b AS v, a AS n FROM und),
+        |r0 AS (SELECT DISTINCT v, v AS label FROM sym),
+        |c1 AS (SELECT s.v, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN r0 l ON s.n = l.v GROUP BY s.v, l.label),
+        |r1 AS (SELECT v, MIN(label) AS label FROM
+        |         (SELECT v, label, c, MAX(c) OVER (PARTITION BY v) AS mx
+        |          FROM c1) t
+        |       WHERE c = mx GROUP BY v),
+        |c2 AS (SELECT s.v, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN r1 l ON s.n = l.v GROUP BY s.v, l.label),
+        |r2 AS (SELECT v, MIN(label) AS label FROM
+        |         (SELECT v, label, c, MAX(c) OVER (PARTITION BY v) AS mx
+        |          FROM c2) t
+        |       WHERE c = mx GROUP BY v)
+        |SELECT v AS vertex, label FROM r2 ORDER BY vertex""".stripMargin,
     "q_graph_degree" ->
       s"""WITH $edgeCte,
         |d AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)

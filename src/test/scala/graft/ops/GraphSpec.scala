@@ -137,6 +137,81 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  /** Reference scalar personalized PageRank — same integer recurrence. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val p0 = scale / seeds.size
+    val base = (p0 * 15L) / 100L
+    var pr = verts.map(v => v -> (if (seeds(v)) p0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / od(s) }.sum).toMap
+      pr = verts.map(v =>
+        v -> ((if (seeds(v)) base else 0L)
+          + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("personalizedPagerank matches the scalar replay; mass stays near seeds") {
+    val got = Graph.personalizedPagerank(
+        diamond.toDF("src", "dst"), seeds = Seq(1L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPpr(diamond, Set(1L), 3))
+    // 4 only reaches 3; nothing reaches 4 ⇒ rank(4) = 0; the seed's
+    // direct successors hold mass
+    assert(got(4L) == 0L)
+    assert(got(2L) > 0L && got(3L) > 0L)
+    assert(got(1L) > got(2L)) // teleport keeps the seed on top here
+  }
+
+  /** Reference scalar synchronous LPA with (count desc, label asc)
+    * tie-break. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      labels = nbrs.map { case (v, ns) =>
+        val counts = ns.map(labels).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val best = counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+        v -> best
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: disjoint triangles converge to per-component labels") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = Graph.labelPropagation(tri.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("property: labelPropagation matches the scalar replay on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L)
+      if a != b
+    } yield (a, b))
+    (0 until 3).foreach { i =>
+      val raw = edgeGen.pureApply(Gen.Parameters.default, Seed(123L + i))
+      val got = Graph.labelPropagation(raw.toDF("src", "dst"), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refLpa(raw, 3), s"seed ${123 + i}")
+    }
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
