@@ -55,31 +55,46 @@ object Merge {
     * 1–2 output versions via a map-side explode; one shuffle total.
     */
   def scd2(history: DataFrame, updates: DataFrame, key: String,
+           tsCol: String): DataFrame =
+    scd2(history, updates, Seq(key), tsCol)
+
+  /** Composite-key SCD-2: the same contract keyed on a column TUPLE
+    * (e.g. (tenant_id, natural_key) in a multi-tenant dimension). Side
+    * presence is tracked with explicit markers rather than key
+    * null-tests, so nullable key columns can't masquerade as absent
+    * sides.
+    */
+  def scd2(history: DataFrame, updates: DataFrame, keys: Seq[String],
            tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
     val attrs = history.columns
-      .filterNot(Set(key, "valid_from", "valid_to")).toSeq
+      .filterNot(keys.toSet ++ Set("valid_from", "valid_to")).toSeq
     val closed = history.filter(col("valid_to").isNotNull)
     val current = history.filter(col("valid_to").isNull)
+      .withColumn("__has_b", lit(true))
     val u = updates.select(
-      (Seq(col(key).as("__uk"), col(tsCol).as("__eff")) ++
+      (keys.map(k => col(k).as(s"__uk_$k")) ++
+        Seq(col(tsCol).as("__eff"), lit(true).as("__has_u")) ++
         attrs.map(c => col(c).as(s"__u_$c"))): _*)
-    val j = current.join(u, col(key) === col("__uk"), "full_outer")
+    val cond = keys.map(k => col(k) === col(s"__uk_$k")).reduce(_ && _)
+    val j = current.join(u, cond, "full_outer")
     val differs = not(
       struct(attrs.map(c => col(s"__u_$c")): _*)
         <=> struct(attrs.map(col): _*))
     val out = struct(
-      coalesce(col(key), col("__uk")).as(key) +: (attrs.map(col) ++
-        Seq(col("valid_from"), col("valid_to"))): _*)
+      keys.map(k => coalesce(col(k), col(s"__uk_$k")).as(k)) ++
+        attrs.map(col) ++ Seq(col("valid_from"), col("valid_to")): _*)
     val closedVersion = struct(
-      col(key) +: (attrs.map(col) ++
-        Seq(col("valid_from"), col("__eff").as("valid_to"))): _*)
+      keys.map(col) ++ attrs.map(col) ++
+        Seq(col("valid_from"), col("__eff").as("valid_to")): _*)
     val newVersion = struct(
-      col("__uk").as(key) +: (attrs.map(c => col(s"__u_$c").as(c)) ++
+      keys.map(k => col(s"__uk_$k").as(k)) ++
+        attrs.map(c => col(s"__u_$c").as(c)) ++
         Seq(col("__eff").as("valid_from"),
-          lit(null).cast("timestamp").as("valid_to"))): _*)
+          lit(null).cast("timestamp").as("valid_to")): _*)
     val versions =
-      when(col("__uk").isNull, array(out))                 // untouched key
-        .when(col(key).isNull, array(newVersion))          // fresh insert
+      when(col("__has_u").isNull, array(out))              // untouched key
+        .when(col("__has_b").isNull, array(newVersion))    // fresh insert
         .when(differs, array(closedVersion, newVersion))   // new version
         .otherwise(array(out))                             // no-op update
     closed.unionByName(

@@ -223,8 +223,29 @@ object TextQueries {
     "q_text_langid" -> (qTextLangid(_, _)),
     "q_text_ngrams" -> (qTextNgrams(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
-    "q_text_token_freq" -> (qTextTokenFreq(_, _))
+    "q_text_token_freq" -> (qTextTokenFreq(_, _)),
+    "q_text_postings" -> (qTextPostings(_, _))
   )
+
+  /** Inverted-index construction: token → document frequency + sorted
+    * posting list — the retrieval-side artifact a corpus pipeline
+    * materializes next to BM25 stats. One distinct (token, doc)
+    * aggregate then one hash aggregate; the posting list is sorted
+    * INSIDE the row (`sort_array`), so no global order is needed for
+    * determinism. Top-100 by df keeps the published slice bounded; at
+    * 100 TB the full index is the same plan written partitioned by
+    * token-hash instead of limited.
+    */
+  def qTextPostings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
 
   private val stopList =
     TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -447,6 +468,14 @@ object TextQueries {
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
         |      FROM documents)
         |WHERE tok <> ''
-        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin
+        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+    "q_text_postings" ->
+      """SELECT tok, COUNT(*) AS df,
+        |  list(doc_id ORDER BY doc_id) AS postings
+        |FROM (SELECT DISTINCT doc_id,
+        |        unnest(string_split_regex(text, '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 100""".stripMargin
   )
 }

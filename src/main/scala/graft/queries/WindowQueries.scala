@@ -120,7 +120,29 @@ object WindowQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exact rolling LOWER median of a customer's trailing 7 order totals —
+    * a HOLISTIC window aggregate (needs the whole frame, unlike
+    * sum/avg's constant state). Formulated explicitly — sort the bounded
+    * frame, pick element (n+1) div 2 — so it is pure element selection
+    * with zero arithmetic: bit-exact cross-engine on doubles, and the
+    * DuckDB twin's `quantile_disc(0.5)` picks the identical element.
+    * Frame cost is O(w log w) per row with w bounded by the frame spec
+    * (7) — the scale contract for any holistic rolling statistic.
+    */
+  def qWindowMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, 0)
+    o.withColumn("__arr", sort_array(collect_list(col("o_totalprice")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        expr("element_at(__arr, int((size(__arr) + 1) div 2))")
+          .as("rolling_median"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_window_median" -> (qWindowMedian(_, _)),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls(_, _)),
     "q_window_nth" -> (qWindowNth(_, _)),
     "q_window_topk" -> (qWindowTopk(_, _)),
@@ -131,6 +153,13 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_median" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  quantile_disc(o_totalprice, 0.5) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // CAST(ts AS TIMESTAMP) truncates DuckDB's nanos to Spark's micros
     // so the window order matches; (ts, event_id) is a total order.
     "q_window_ignore_nulls" ->

@@ -71,6 +71,25 @@ class MergeSpec extends SparkTestBase {
     assert(again.count() == out.count())
   }
 
+  test("scd2 composite keys: same tuple = same key, differing tuple is a new key") {
+    val hist = Seq(
+      (1L, "eu", "a", Some(ts("2024-01-01")), None: Option[java.sql.Timestamp]),
+      (1L, "us", "b", Some(ts("2024-01-01")), None: Option[java.sql.Timestamp]))
+      .toDF("k", "region", "v", "valid_from", "valid_to")
+    val b = Seq(
+      (1L, "eu", "A", ts("2024-06-01")),  // change for (1, eu) only
+      (2L, "eu", "c", ts("2024-06-01")))  // new composite key
+      .toDF("k", "region", "v", "eff")
+    val out = Merge.scd2(hist, b, Seq("k", "region"), "eff")
+      .as[(Long, String, String, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet
+    assert(out == Set(
+      (1L, "eu", "a", Some(ts("2024-01-01")), Some(ts("2024-06-01"))),
+      (1L, "eu", "A", Some(ts("2024-06-01")), None),
+      (1L, "us", "b", Some(ts("2024-01-01")), None), // untouched sibling
+      (2L, "eu", "c", Some(ts("2024-06-01")), None)))
+  }
+
   test("snapshotDiff classifies insert/delete/update, drops unchanged") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
