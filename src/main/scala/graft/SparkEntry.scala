@@ -24,7 +24,7 @@ object SparkEntry {
       StreamQueries.defs ++ CustomQueries.defs ++ SqlQueries.defs ++
       FilterQueries.defs ++ TpchQueries.defs ++ CurationQueries.defs ++
       StatsQueries.defs ++ GraphQueries.defs ++ QualityQueries.defs ++
-      MiningQueries.defs
+      MiningQueries.defs ++ EventQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,6 @@ object SparkEntry {
       MiscQueries.oracles ++ StreamQueries.oracles ++
       CustomQueries.oracles ++ SqlQueries.oracles ++ FilterQueries.oracles ++
       TpchQueries.oracles ++ CurationQueries.oracles ++ StatsQueries.oracles ++
-      GraphQueries.oracles ++ QualityQueries.oracles ++ MiningQueries.oracles
+      GraphQueries.oracles ++ QualityQueries.oracles ++
+      MiningQueries.oracles ++ EventQueries.oracles
 }

@@ -176,7 +176,30 @@ object DedupQueries {
       .orderBy(col("lang"))
   }
 
+  /** Record-linkage fuzzy join: part-name pairs within one edit of each
+    * other, BLOCKED on brand — the classic blocking-key pattern (Fellegi
+    * & Sunter linkage; blocking surveyed in Christen 2012). The
+    * quadratic candidate space is bounded to within-block pairs, a
+    * provably-safe |len(a) − len(b)| ≤ d length filter prunes before
+    * the O(len²) distance runs, and `levenshtein` is a codegen'd
+    * builtin on both engines — the oracle is the same join verbatim.
+    */
+  def qDedupFuzzyName(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.as("x").join(p.as("y"),
+        col("x.p_brand") === col("y.p_brand")
+          && col("x.p_partkey") < col("y.p_partkey")
+          && abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 1
+          && levenshtein(col("x.p_name"), col("y.p_name")) <= 1)
+      .select(col("x.p_partkey").as("key_a"),
+        col("y.p_partkey").as("key_b"),
+        col("x.p_name").as("name_a"), col("y.p_name").as("name_b"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_dedup_fuzzy_name" -> (qDedupFuzzyName(_, _)),
     "q_pipeline_curation" -> (qPipelineCuration(_, _)),
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
@@ -252,6 +275,14 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_fuzzy_name" ->
+      """SELECT x.p_partkey AS key_a, y.p_partkey AS key_b,
+        |  x.p_name AS name_a, y.p_name AS name_b
+        |FROM part x JOIN part y
+        |  ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+        |WHERE abs(len(x.p_name) - len(y.p_name)) <= 1
+        |  AND levenshtein(x.p_name, y.p_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     "q_dedup_minhash" -> minhashOracle(8, 4, 0.5, ""),
     "q_dedup_incremental" ->
       minhashOracle(8, 4, 0.5, " AND b.doc_id >= 400"),

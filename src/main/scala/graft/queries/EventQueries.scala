@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Product-analytics battery over the event stream: retention cohorts,
+  * top event paths, and cumulative-distinct-user growth — the standard
+  * read-side queries of an event-ingesting ETL service (the reference
+  * ingests events as opaque uploads; these are the queries its users run
+  * downstream). All three reduce events FIRST (per-user min, per-user
+  * dedup, or per-day aggregate) so every shuffle carries users/days, not
+  * raw events.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weekly retention triangle: users grouped by first-seen week
+    * (cohort), counted per subsequent active week. Week arithmetic is
+    * integer days div 7 over date_trunc'd Mondays — exact cross-engine.
+    */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = e.select(col("user_id"),
+      date_trunc("week", col("ts")).as("act_week")).distinct()
+    active.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(act_week, cohort_week) div 7").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Top-10 three-step event-type paths (per-user consecutive triples
+    * by (ts, event_id) — a total order, so the lead() windows are
+    * deterministic). The per-user window partitions by user_id: state
+    * is one user's events, never global.
+    */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(w).as("step2"),
+        lead(col("event_type"), 2).over(w).as("step3"))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+        col("step3"))
+      .limit(10)
+  }
+
+  /** Monthly first-shipment counts + cumulative distinct parts shipped:
+    * running count-distinct decomposed as first-occurrence marking
+    * (per-part min) + monthly aggregate + running sum — each phase
+    * distributed; the final window runs over the ~|months| aggregated
+    * rows only, never the fact table.
+    */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val firstShip = l.groupBy(col("l_partkey"))
+      .agg(date_trunc("month", min(col("l_shipdate"))).as("month"))
+    val monthly = firstShip.groupBy(col("month"))
+      .agg(count(lit(1)).as("new_parts"))
+    val cum = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly
+      .withColumn("cum_parts", sum(col("new_parts")).over(cum))
+      .orderBy(col("month"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_retention_cohort" -> (qRetentionCohort(_, _)),
+    "q_event_paths" -> (qEventPaths(_, _)),
+    "q_running_distinct" -> (qRunningDistinct(_, _))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_retention_cohort" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts))
+        |             AS cohort_week
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        |      FROM events)
+        |SELECT cohort_week,
+        |  date_diff('day', cohort_week, act_week) // 7 AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_event_paths" ->
+      """WITH s AS (SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n_paths
+        |FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n_paths DESC, step1, step2, step3
+        |LIMIT 10""".stripMargin,
+    "q_running_distinct" ->
+      """WITH f AS (SELECT l_partkey,
+        |    date_trunc('month', min(l_shipdate)) AS month
+        |  FROM lineitem GROUP BY l_partkey),
+        |d AS (SELECT month, count(*) AS new_parts FROM f GROUP BY month)
+        |SELECT month, new_parts,
+        |  CAST(sum(new_parts) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_parts
+        |FROM d ORDER BY month""".stripMargin
+  )
+}

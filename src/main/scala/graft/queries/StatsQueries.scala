@@ -138,7 +138,38 @@ object StatsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** MAD-based robust outlier detection (Hampel's 3-MAD rule): per
+    * event type, the lower-tail-robust alternative to z-scores — median,
+    * median absolute deviation, and the count of |v − med| > 3·MAD.
+    * All arithmetic is IEEE-exact (abs / subtract / ×3 / compare) and
+    * the medians interpolate identically cross-engine, so the oracle is
+    * hard. Shape: two grouped aggregates + two broadcast joins of the
+    * 5-row per-type stats back onto events — events shuffle on
+    * event_type once per pass, never collected.
+    */
+  def qStatMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.ops.CacheScope.cached(
+      Tables.events(spark, dir).select($"event_type", $"value"))
+    val med = e.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val dev = graft.ops.CacheScope.cached(
+      e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs($"value" - $"med")))
+    val mad = dev.groupBy($"event_type")
+      .agg(min($"med").as("med"), percentile($"adev", lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+    dev.select($"event_type", $"adev")
+      .join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(min($"med").as("med"), min($"mad").as("mad"),
+        count(when($"adev" > lit(3.0) * $"mad", 1)).as("n_outliers"),
+        min($"n").as("n"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_mad" -> (qStatMad(_, _)),
     "q_agg_corr" -> (qAggCorr(_, _)),
     "q_agg_mode" -> (qAggMode(_, _)),
     "q_agg_listagg" -> (qAggListagg(_, _)),
@@ -147,6 +178,21 @@ object StatsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stat_mad" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, med.med,
+        |    abs(e.value - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, min(med) AS med,
+        |    quantile_cont(adev, 0.5) AS mad, count(*) AS n
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, m.med, m.mad,
+        |  count(*) FILTER (d.adev > 3.0 * m.mad) AS n_outliers, m.n AS n
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type, m.med, m.mad, m.n
+        |ORDER BY d.event_type""".stripMargin,
     "q_agg_corr" ->
       """WITH s AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

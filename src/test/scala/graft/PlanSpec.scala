@@ -188,4 +188,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.sliding("BroadcastNestedLoopJoin".length)
       .count(_ == "BroadcastNestedLoopJoin") <= 4)
   }
+
+  test("label propagation + personalized pagerank rounds stay on " +
+    "equi-joins") {
+    Seq("q_graph_label_prop", "q_graph_ppr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("quality battery: row checks collapse into ONE aggregate over " +
+    "each table scan; RI checks are anti-joins") {
+    val p = plan("q_quality_constraints")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("skyline is agg + bounded window — never a quadratic self-join") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("assoc pairs: basket self-join is an equi-join; the only " +
+    "cross-join is the 1-row n_baskets scalar") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"))
+    // FormattedMode double-prints nodes ⇒ the single scalar BNL shows ≤2×
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2)
+  }
 }

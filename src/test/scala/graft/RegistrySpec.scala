@@ -27,7 +27,10 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "TpchQueries" -> TpchQueries.defs,
     "CurationQueries" -> CurationQueries.defs,
     "StatsQueries" -> StatsQueries.defs,
-    "GraphQueries" -> GraphQueries.defs)
+    "GraphQueries" -> GraphQueries.defs,
+    "QualityQueries" -> QualityQueries.defs,
+    "MiningQueries" -> MiningQueries.defs,
+    "EventQueries" -> EventQueries.defs)
 
   private val oracleParts: Seq[(String, Map[String, String])] = Seq(
     "AggQueries" -> AggQueries.oracles,
@@ -46,7 +49,10 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     "TpchQueries" -> TpchQueries.oracles,
     "CurationQueries" -> CurationQueries.oracles,
     "StatsQueries" -> StatsQueries.oracles,
-    "GraphQueries" -> GraphQueries.oracles)
+    "GraphQueries" -> GraphQueries.oracles,
+    "QualityQueries" -> QualityQueries.oracles,
+    "MiningQueries" -> MiningQueries.oracles,
+    "EventQueries" -> EventQueries.oracles)
 
   test("query keys are disjoint across files — nothing shadows in the ++ merge") {
     val dupes = parts.flatMap { case (src, m) => m.keys.map(_ -> src) }
