@@ -101,6 +101,29 @@ object Merge {
       j.select(explode(versions).as("__v")).select(col("__v.*")))
   }
 
+  /** Apply an OUT-OF-ORDER CDC log: given change rows
+    * (key, seq, op ∈ {I,U,D}, attrs…), reconstruct the final table
+    * state — the latest op per key wins by sequence number (NOT by
+    * arrival order, which is meaningless after a shuffle), and a final
+    * delete erases the key. The debezium-style sink-side compaction
+    * every CDC consumer needs.
+    *
+    * Contract: `seqCol` is unique per key (a total per-key version
+    * order — the log producer's responsibility; enforceable with
+    * [[Quality.Unique]]). Shape: ONE shuffle — per-key argmax via
+    * `max_by(struct(attrs…), seq)` in a single hash aggregate with
+    * map-side partials; the delete filter is map-side after it.
+    */
+  def cdcApply(log: DataFrame, key: String, seqCol: String,
+               opCol: String): DataFrame = {
+    val attrs = log.columns.filterNot(Set(key, seqCol, opCol)).toSeq
+    val payload = struct((col(opCol) +: attrs.map(col)): _*)
+    log.groupBy(col(key))
+      .agg(max_by(payload, col(seqCol)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(col(key) +: attrs.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** Snapshot diff (batch CDC): compare two versions of a table and
     * emit each row's change verdict — `insert` (key only in `next`),
     * `delete` (only in `prev`), `update` (present in both, any column

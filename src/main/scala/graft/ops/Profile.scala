@@ -71,6 +71,32 @@ object Profile {
       .limit(k)
   }
 
+  /** Inclusion-dependency profiling (the foreign-key-discovery metric of
+    * Bauckmann et al.'s SPIDER / De Marchi's IND mining): what fraction
+    * of `child.childCol`'s DISTINCT values appear in
+    * `parent.parentCol`? containment_ppm = 10⁶ means A ⊆ B — a
+    * candidate FK edge. Exact integer ppm so the verdict is
+    * engine-independent.
+    *
+    * Shape: distinct-reduce the child column (map-side partial), then
+    * ONE semi-join against the parent column for the matched count —
+    * O(distinct A + distinct B), never row×row.
+    */
+  def inclusion(name: String, child: DataFrame, childCol: String,
+                parent: DataFrame, parentCol: String): DataFrame = {
+    val a = child.select(col(childCol).as("__a"))
+      .filter(col("__a").isNotNull).distinct()
+    val aCnt = a.agg(count(lit(1)).as("n_child_distinct"))
+    val matched = a.join(parent.select(col(parentCol).as("__b")),
+        col("__a") === col("__b"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    aCnt.crossJoin(broadcast(matched))
+      .select(lit(name).as("pair"), col("n_child_distinct"),
+        col("n_matched"),
+        expr("n_matched * 1000000L div n_child_distinct")
+          .as("containment_ppm"))
+  }
+
   /** Exact per-column null/distinct profile as a pure plan (no driver
     * loop) for oracle-checked use: unpivots the listed columns.
     */

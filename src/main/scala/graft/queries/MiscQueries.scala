@@ -213,7 +213,52 @@ object MiscQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Out-of-order CDC log compaction: a synthetic debezium-style log
+    * derived deterministically from orders (insert all, update every
+    * 3rd key at seq 2, delete every 5th at seq 3), applied by SEQUENCE
+    * — the union's arrival order is deliberately shuffled away.
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ins = o.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+        lit("U").as("op"), (col("o_totalprice") + 10.0).as("price"))
+    val del = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+        lit("D").as("op"), lit(null).cast("double").as("price"))
+    graft.ops.Merge.cdcApply(ins.unionByName(upd).unionByName(del),
+        "k", "seq", "op")
+      .orderBy(col("k"))
+  }
+
+  /** Inclusion-dependency (FK-discovery) profile over the star schema:
+    * three true FK edges plus one deliberately-partial pair
+    * (part.p_size ⊆? nation keys) whose containment is fractional.
+    */
+  def qProfileInclusion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    graft.ops.Profile.inclusion("lineitem.partkey->part.partkey",
+        li, "l_partkey", Tables.part(spark, dir), "p_partkey")
+      .unionByName(graft.ops.Profile.inclusion(
+        "lineitem.suppkey->supplier.suppkey",
+        li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(graft.ops.Profile.inclusion(
+        "orders.custkey->customer.custkey",
+        o, "o_custkey", Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(graft.ops.Profile.inclusion(
+        "part.size->nation.nationkey",
+        Tables.part(spark, dir), "p_size",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .orderBy(col("pair"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_cdc_apply" -> (qCdcApply(_, _)),
+    "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
     "q_cdc_diff" -> (qCdcDiff(_, _)),
     "q_stat_zscore" -> (qStatZscore(_, _)),
@@ -279,6 +324,54 @@ object MiscQueries {
         |SELECT * FROM emitted
         |UNION ALL SELECT * FROM closedhist
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |r AS (SELECT k, op, price,
+        |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT k, price FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin,
+    "q_profile_inclusion" ->
+      """WITH
+        |p1 AS (SELECT count(*) AS nc, count(*) FILTER (m) AS nm FROM (
+        |  SELECT a.v, EXISTS (SELECT 1 FROM part WHERE p_partkey = a.v)
+        |    AS m
+        |  FROM (SELECT DISTINCT l_partkey AS v FROM lineitem
+        |        WHERE l_partkey IS NOT NULL) a)),
+        |p2 AS (SELECT count(*) AS nc, count(*) FILTER (m) AS nm FROM (
+        |  SELECT a.v, EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = a.v)
+        |    AS m
+        |  FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem
+        |        WHERE l_suppkey IS NOT NULL) a)),
+        |p3 AS (SELECT count(*) AS nc, count(*) FILTER (m) AS nm FROM (
+        |  SELECT a.v, EXISTS (SELECT 1 FROM customer WHERE c_custkey = a.v)
+        |    AS m
+        |  FROM (SELECT DISTINCT o_custkey AS v FROM orders
+        |        WHERE o_custkey IS NOT NULL) a)),
+        |p4 AS (SELECT count(*) AS nc, count(*) FILTER (m) AS nm FROM (
+        |  SELECT a.v, EXISTS (SELECT 1 FROM nation WHERE n_nationkey = a.v)
+        |    AS m
+        |  FROM (SELECT DISTINCT p_size AS v FROM part
+        |        WHERE p_size IS NOT NULL) a))
+        |SELECT pair, n_child_distinct, n_matched,
+        |  n_matched * 1000000 // n_child_distinct AS containment_ppm
+        |FROM (
+        |  SELECT 'lineitem.partkey->part.partkey' AS pair,
+        |    nc AS n_child_distinct, nm AS n_matched FROM p1
+        |  UNION ALL SELECT 'lineitem.suppkey->supplier.suppkey', nc, nm
+        |  FROM p2
+        |  UNION ALL SELECT 'orders.custkey->customer.custkey', nc, nm
+        |  FROM p3
+        |  UNION ALL SELECT 'part.size->nation.nationkey', nc, nm FROM p4)
+        |ORDER BY pair""".stripMargin,
     "q_cdc_diff" ->
       """WITH nxt AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -168,7 +168,66 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  /** Chi-square contingency analysis of order status × priority: per
+    * cell, observed count, expected count under independence, and the
+    * cell's χ² contribution. Counts and margin products are exact
+    * BIGINTs; the two divisions and the squared difference are single
+    * IEEE operations in a fixed order — bit-identical cross-engine. The
+    * scalar χ² total is the consumer's fold over the |cells| rows (kept
+    * per-cell here: a cross-cell double sum has no canonical order).
+    */
+  def qStatChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        $"o_orderpriority".as("priority"))
+    val obs = o.groupBy($"status", $"priority")
+      .agg(count(lit(1)).as("obs"))
+    val rowT = o.groupBy($"status").agg(count(lit(1)).as("row_n"))
+    val colT = o.groupBy($"priority").agg(count(lit(1)).as("col_n"))
+    val n = o.agg(count(lit(1)).as("n"))
+    obs.join(broadcast(rowT), "status")
+      .join(broadcast(colT), "priority")
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        (($"row_n" * $"col_n").cast("double")) / $"n")
+      .select($"status", $"priority", $"obs", $"expected",
+        (($"obs" - $"expected") * ($"obs" - $"expected") / $"expected")
+          .as("chi2_contrib"))
+      .orderBy($"status", $"priority")
+  }
+
+  /** Equi-depth (decile) histogram of order totals — the SCALABLE
+    * formulation: exact interpolated decile boundaries from one
+    * aggregate, then a map-side bucket assignment (count of boundaries
+    * strictly below the value) and a hash aggregate. No global ntile
+    * sort: the only single-point step is the 9-value boundary row,
+    * broadcast back. Ties sit in the lower bucket on both engines, so
+    * bucket populations are exactly reproducible (and only approximately
+    * equal — the honest contract for equi-depth over duplicated values).
+    */
+  def qAggEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_totalprice")
+    val qs = (1 to 9).map(_ / 10.0)
+    val bounds = o.agg(
+      percentile($"o_totalprice", lit(qs.head)).as("b1"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        percentile($"o_totalprice", lit(q)).as(s"b${i + 2}") }: _*)
+    val bucket = (1 to 9).map(i =>
+      when($"o_totalprice" > col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    o.crossJoin(broadcast(bounds))
+      .select($"o_totalprice", bucket.as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      .orderBy($"bucket")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_chi2" -> (qStatChi2(_, _)),
+    "q_agg_equidepth" -> (qAggEquidepth(_, _)),
     "q_stat_mad" -> (qStatMad(_, _)),
     "q_agg_corr" -> (qAggCorr(_, _)),
     "q_agg_mode" -> (qAggMode(_, _)),
@@ -177,7 +236,39 @@ object StatsQueries {
     "q_agg_bool_bits" -> (qAggBoolBits(_, _))
   )
 
+  private val equidepthBoundsSql = (1 to 9)
+    .map(i => s"quantile_cont(o_totalprice, 0.$i) AS b$i")
+    .mkString(",\n        |    ")
+  private val equidepthBucketSql = (1 to 9)
+    .map(i => s"(CASE WHEN o_totalprice > b$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_stat_chi2" ->
+      """WITH o AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS priority FROM orders),
+        |obs AS (SELECT status, priority, count(*) AS obs
+        |  FROM o GROUP BY status, priority),
+        |rt AS (SELECT status, count(*) AS row_n FROM o GROUP BY status),
+        |ct AS (SELECT priority, count(*) AS col_n
+        |  FROM o GROUP BY priority),
+        |n AS (SELECT count(*) AS n FROM o)
+        |SELECT status, priority, obs,
+        |  CAST(row_n * col_n AS DOUBLE) / n AS expected,
+        |  (obs - CAST(row_n * col_n AS DOUBLE) / n)
+        |    * (obs - CAST(row_n * col_n AS DOUBLE) / n)
+        |    / (CAST(row_n * col_n AS DOUBLE) / n) AS chi2_contrib
+        |FROM obs JOIN rt USING (status) JOIN ct USING (priority)
+        |  CROSS JOIN n
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_equidepth" ->
+      s"""WITH b AS (SELECT
+        |    $equidepthBoundsSql
+        |  FROM orders)
+        |SELECT CAST(1 + $equidepthBucketSql AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders CROSS JOIN b
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_stat_mad" ->
       """WITH med AS (SELECT event_type,
         |    quantile_cont(value, 0.5) AS med

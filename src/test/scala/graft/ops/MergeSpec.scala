@@ -90,6 +90,22 @@ class MergeSpec extends SparkTestBase {
       (2L, "eu", "c", Some(ts("2024-06-01")), None)))
   }
 
+  test("cdcApply: latest seq wins regardless of arrival order; deletes erase") {
+    // scrambled arrival: the seq-3 delete of k=1 arrives FIRST, the
+    // seq-2 update of k=2 arrives after its seq-1 insert's shadow, and
+    // k=3 is resurrected by an insert AFTER its delete
+    val log = Seq(
+      (1L, 3L, "D", null.asInstanceOf[String]),
+      (1L, 1L, "I", "a1"), (1L, 2L, "U", "a2"),
+      (2L, 2L, "U", "b2"), (2L, 1L, "I", "b1"),
+      (3L, 2L, "D", null.asInstanceOf[String]),
+      (3L, 1L, "I", "c1"), (3L, 3L, "I", "c3"))
+      .toDF("k", "seq", "op", "v")
+    val out = Merge.cdcApply(log, "k", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "b2", 3L -> "c3")) // k=1 deleted at seq 3
+  }
+
   test("snapshotDiff classifies insert/delete/update, drops unchanged") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")

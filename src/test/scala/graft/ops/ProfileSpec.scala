@@ -31,6 +31,21 @@ class ProfileSpec extends SparkTestBase {
     assert(p("tag")._4 == 1)           // countDistinct skips nulls
   }
 
+  test("inclusion: containment ppm over distinct child values") {
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 3L, 4L).toDF("fk") // distinct {1,2,3,4}
+    val parent = Seq(1L, 2L, 9L).toDF("pk")
+    val r = Profile.inclusion("t", child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getString(0) == "t")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 500000L) // 2/4 in exact ppm
+    // full containment is exactly 10^6
+    val full = Profile.inclusion("f", parent, "pk",
+      Seq(1L, 2L, 9L, 10L).toDF("pk"), "pk").collect().head
+    assert(full.getLong(3) == 1000000L)
+  }
+
   test("observed: metrics collected during the action, no second pass") {
     val (out, obs) = Profile.observed(df, "t", "tag")
     out.write.format("noop").mode("overwrite").save()
