@@ -198,7 +198,36 @@ object DedupQueries {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** End-to-end entity resolution (Fellegi–Sunter pipeline shape):
+    * blocking-key fuzzy match ([[qDedupFuzzyName]]'s join) → transitive
+    * closure into entity clusters (pointer-doubling connected
+    * components) → one canonical record per cluster (min-key
+    * representative + cluster size). The composition every MDM /
+    * customer-360 load runs; each stage is the already-plan-audited
+    * operator, so the pipeline inherits their scale shapes.
+    */
+  def qErPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val pairs = p.as("x").join(p.as("y"),
+        col("x.p_brand") === col("y.p_brand")
+          && col("x.p_partkey") < col("y.p_partkey")
+          && abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 1
+          && levenshtein(col("x.p_name"), col("y.p_name")) <= 1)
+      .select(col("x.p_partkey").as("id_a"), col("y.p_partkey").as("id_b"))
+    val comps = Dedup.dedupComponents(pairs)
+    comps.groupBy(col("component").as("canonical_key"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .join(p.select(col("p_partkey"),
+          col("p_name").as("canonical_name")),
+        col("canonical_key") === col("p_partkey"))
+      .select(col("canonical_key"), col("cluster_size"),
+        col("canonical_name"))
+      .orderBy(col("canonical_key"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_er_pipeline" -> (qErPipeline(_, _)),
     "q_dedup_fuzzy_name" -> (qDedupFuzzyName(_, _)),
     "q_pipeline_curation" -> (qPipelineCuration(_, _)),
     "q_dedup_exact" -> (qDedupExact(_, _)),
@@ -275,6 +304,27 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_er_pipeline" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT x.p_partkey AS id_a, y.p_partkey AS id_b
+        |  FROM part x JOIN part y
+        |    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+        |  WHERE abs(len(x.p_name) - len(y.p_name)) <= 1
+        |    AND levenshtein(x.p_name, y.p_name) <= 1),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node, MIN(lab) AS component
+        |         FROM reach GROUP BY node),
+        |agg AS (SELECT component AS canonical_key, count(*)
+        |          AS cluster_size
+        |        FROM comp GROUP BY component)
+        |SELECT canonical_key, cluster_size, p.p_name AS canonical_name
+        |FROM agg JOIN part p ON p.p_partkey = canonical_key
+        |ORDER BY canonical_key""".stripMargin,
     "q_dedup_fuzzy_name" ->
       """SELECT x.p_partkey AS key_a, y.p_partkey AS key_b,
         |  x.p_name AS name_a, y.p_name AS name_b

@@ -224,8 +224,29 @@ object TextQueries {
     "q_text_ngrams" -> (qTextNgrams(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_token_freq" -> (qTextTokenFreq(_, _)),
-    "q_text_postings" -> (qTextPostings(_, _))
+    "q_text_postings" -> (qTextPostings(_, _)),
+    "q_text_bpe_pairs" -> (qTextBpePairs(_, _))
   )
+
+  /** BPE training's inner-loop statistic (Sennrich et al., ACL'16): the
+    * corpus-wide frequency of adjacent symbol pairs — here the first
+    * iteration, where symbols are characters, so the top pair is the
+    * first merge a byte-pair-encoding tokenizer would learn. Pure
+    * map-side explode (`sequence` + `substring`, no UDF) feeding one
+    * hash aggregate; successive merge rounds are the same plan over the
+    * re-segmented tokens.
+    */
+  def qTextBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1)," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
 
   /** Inverted-index construction: token → document frequency + sorted
     * posting list — the retrieval-side artifact a corpus pipeline
@@ -469,6 +490,15 @@ object TextQueries {
         |      FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+    "q_text_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+'))
+        |    AS tok FROM documents),
+        |pairs AS (SELECT unnest(list_transform(
+        |    generate_series(1, length(tok) - 1),
+        |    i -> substring(tok, i, 2))) AS pair
+        |  FROM toks WHERE length(tok) >= 2)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_text_postings" ->
       """SELECT tok, COUNT(*) AS df,
         |  list(doc_id ORDER BY doc_id) AS postings
