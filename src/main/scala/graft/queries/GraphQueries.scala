@@ -87,7 +87,21 @@ object GraphQueries {
     Graph.labelPropagation(edges, iters = 2).orderBy(col("vertex"))
   }
 
+  /** 2-round weighted PageRank: shipment edges carry total shipped
+    * quantity, so rank follows volume, not mere connectivity. */
+  def qGraphPagerankWeighted(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val edges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("src"), ($"o_custkey" + 1000000L).as("dst"),
+        $"l_quantity".cast("long").as("weight"))
+    Graph.pagerankWeighted(edges, iters = 2)
+      .orderBy(desc("rank_scaled"), asc("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
     "q_graph_triangles" -> (qGraphTriangles(_, _)),
@@ -128,6 +142,33 @@ object GraphQueries {
         |         + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr
         |       FROM verts LEFT JOIN c3 ON verts.v = c3.dst)
         |SELECT v AS vertex, pr AS rank_scaled FROM r3
+        |ORDER BY rank_scaled DESC, vertex""".stripMargin,
+    "q_graph_pagerank_weighted" ->
+      """WITH e AS (SELECT l_suppkey AS src, o_custkey + 1000000 AS dst,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS w
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       GROUP BY src, dst),
+        |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |p AS (SELECT 1000000000 // COUNT(*) AS p0,
+        |        ((1000000000 // COUNT(*)) * 15) // 100 AS base
+        |      FROM verts),
+        |sw AS (SELECT src, SUM(w) AS sw FROM e GROUP BY src),
+        |r0 AS (SELECT v, (SELECT p0 FROM p) AS pr FROM verts),
+        |c1 AS (SELECT e.dst, SUM((r.pr * e.w) // s.sw) AS s
+        |       FROM e JOIN r0 r ON e.src = r.v
+        |         JOIN sw s ON e.src = s.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT verts.v, CAST((SELECT base FROM p)
+        |         + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN c1 ON verts.v = c1.dst),
+        |c2 AS (SELECT e.dst, SUM((r.pr * e.w) // s.sw) AS s
+        |       FROM e JOIN r1 r ON e.src = r.v
+        |         JOIN sw s ON e.src = s.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT verts.v, CAST((SELECT base FROM p)
+        |         + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr
+        |       FROM verts LEFT JOIN c2 ON verts.v = c2.dst)
+        |SELECT v AS vertex, pr AS rank_scaled FROM r2
         |ORDER BY rank_scaled DESC, vertex""".stripMargin,
     "q_graph_ppr" ->
       s"""WITH $edgeCte,

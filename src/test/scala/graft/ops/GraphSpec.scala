@@ -168,6 +168,39 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) > got(2L)) // teleport keeps the seed on top here
   }
 
+  /** Reference scalar weighted PageRank — same integer recurrence over
+    * weight-summed canonical edges. */
+  private def refWeightedPr(edges: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val e = edges.groupBy(x => (x._1, x._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((s, d), w) => (s, d, w) }
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val sw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p0 = scale / verts.size
+    val base = (p0 * 15L) / 100L
+    var pr = verts.map(_ -> p0).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => (pr(s) * w) / sw(s) }.sum).toMap
+      pr = verts.map(v =>
+        v -> (base + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pagerankWeighted matches the scalar replay; weight shifts rank") {
+    val we = Seq((1L, 2L, 9L), (1L, 3L, 1L), (4L, 2L, 5L), (4L, 3L, 5L),
+      (2L, 1L, 1L), (1L, 2L, 1L)) // parallel edge (1→2) sums to 10
+    val got = Graph.pagerankWeighted(we.toDF("src", "dst", "weight"),
+        iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refWeightedPr(we, 3))
+    // 2 receives 10/11 of 1's mass and 5/10 of 4's; 3 gets the rest —
+    // the weighted rank must order 2 above 3
+    assert(got(2L) > got(3L))
+  }
+
   /** Reference scalar synchronous LPA with (count desc, label asc)
     * tie-break. */
   private def refLpa(edges: Seq[(Long, Long)], iters: Int)
