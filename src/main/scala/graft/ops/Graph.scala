@@ -38,6 +38,9 @@ object Graph {
       e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
     val n = verts.count() // eager |V|: an 8-byte action, documented above
+    if (n == 0)
+      return verts.select(col("v").as("vertex"),
+        lit(0L).as("rank_scaled"))
     val p0 = scale / n
     val base = (p0 * 15L) / 100L
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -80,6 +83,9 @@ object Graph {
     val verts = CacheScope.cached(
       e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
+    if (verts.isEmpty)
+      return verts.select(col("v").as("vertex"),
+        lit(0L).as("rank_scaled"))
     val p0 = scale / seeds.length
     val base = (p0 * 15L) / 100L
     val isSeed = col("v").isin(seeds: _*)
@@ -119,6 +125,9 @@ object Graph {
       e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct())
     val n = verts.count()
+    if (n == 0)
+      return verts.select(col("v").as("vertex"),
+        lit(0L).as("rank_scaled"))
     val p0 = scale / n
     val base = (p0 * 15L) / 100L
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))

@@ -95,6 +95,31 @@ class EdgeCaseSpec extends SparkTestBase {
       Seq("zz" -> 1.0)).count() == 0)
   }
 
+  test("round-4 ops on empty inputs return empty, not errors") {
+    val e2 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ops.Graph.labelPropagation(e2, 2).count() == 0)
+    assert(ops.Graph.pagerank(e2, 1).count() == 0)
+    assert(ops.Graph.pagerankWeighted(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"),
+      1).count() == 0)
+    val pts = Seq.empty[(Long, Double, Int)].toDF("id", "x", "y")
+    assert(ops.Mining.skyline2D(pts, "x", "y").count() == 0)
+    assert(ops.Mining.assocPairs(
+      Seq.empty[(Long, String)].toDF("b", "i"), "b", "i").count() == 0)
+    assert(ops.Merge.cdcApply(
+      Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "op", "v"),
+      "k", "seq", "op").count() == 0)
+  }
+
+  test("quality audit on an empty table: every check passes vacuously") {
+    val df = Seq.empty[(Long, Option[String])].toDF("id", "name")
+    val out = ops.Quality.audit(df, Seq(
+      ops.Quality.Complete("c", "name"),
+      ops.Quality.Unique("u", Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out == Map("c" -> true, "u" -> true))
+  }
+
   test("Graft facade: pipelines listed, plan resolves, unknown rejects") {
     assert(Graft.pipelines.contains("q1_pricing_summary"))
     assert(Graft.plan(spark, "q1_pricing_summary",
