@@ -124,16 +124,94 @@ object TpchQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q19_disc_revenue" -> (q19DiscRevenue(_, _)),
+    "q22_sales_opportunity" -> (q22SalesOpportunity(_, _)),
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_local_supplier" -> (q5LocalSupplier(_, _)),
     "q10_returned_items" -> (q10ReturnedItems(_, _)),
     "q21_suppliers_waiting" -> (q21SuppliersWaiting(_, _))
   )
 
+  /** Q19 shape — discounted revenue under an OR-of-ANDs predicate
+    * (brand × size × quantity bands). The disjunction mixes part and
+    * lineitem attributes, so only the `l_partkey IS NOT NULL`-style
+    * conjuncts push to the scans; the point of the shape is that
+    * Catalyst still broadcasts the dim and evaluates the residual
+    * map-side after the join — one fact scan, zero fact shuffles.
+    * (TPC-H Q19 adapted to the fixture's columns: it has no
+    * container/shipmode, so the bands are brand/size/quantity.)
+    */
+  def q19DiscRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+        && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+        && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 15)
+        && col("l_quantity").between(20, 30))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(bands)
+      .agg(count(lit(1)).as("n_lines"),
+        (revenueE4 / 10000.0).as("revenue"))
+  }
+
+  /** Q22 shape — sales opportunity: rich customers (balance above the
+    * positive-balance mean) who have LAPSED — no order since 2001 —
+    * grouped by nation. (Every fixture customer has some order, so the
+    * classic no-orders-ever anti-join would certify an empty set; the
+    * recency window keeps the anti-join load-bearing.) The threshold is
+    * an INTEGER floor-average of exact cents, so the boundary
+    * comparison cannot flip on a last-ulp `avg` difference between
+    * engines; balances aggregate as exact cents.
+    */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("bal_cents", e2(col("c_acctbal")))
+    val thr = c.filter(col("c_acctbal") > 0.0)
+      .agg(expr("sum(bal_cents) div count(1)").as("thr_cents"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") > col("thr_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   private val revSql =
     "CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q19_disc_revenue" ->
+      s"""SELECT count(*) AS n_lines, $revSql AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+        |    c_acctbal
+        |  FROM customer),
+        |thr AS (SELECT SUM(bal_cents) // COUNT(*) AS thr_cents
+        |        FROM c WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+        |FROM c CROSS JOIN thr
+        |WHERE bal_cents > thr_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >=
+        |                      TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q3_shipping_priority" ->
       s"""SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate,
          |  o_orderpriority AS orderpriority, $revSql AS revenue
