@@ -183,6 +183,46 @@ object Graph {
     labels.select(col("v").as("vertex"), col("label"))
   }
 
+  /** k-core peeling (Seidman 1983; distributed form follows Montresor
+    * et al.'s iterative peel): repeatedly delete vertices of degree
+    * < k; what survives `peels` rounds is the k-core once the peel
+    * reaches fixpoint. The round count is an EXPLICIT parameter — the
+    * operator's determinism contract is "the state after exactly
+    * `peels` synchronous peels", which an oracle can replay; peel
+    * depth needed for convergence is bounded by the graph's
+    * degeneracy ordering length (small for real corpora; callers can
+    * over-provision rounds — a converged peel is idempotent, so extra
+    * rounds are cheap no-ops on the shrunken subgraph).
+    *
+    * Shape per round: one degree aggregate over the (already-pruned)
+    * edge list + two semi-joins to keep edges whose BOTH endpoints
+    * survive. Work shrinks monotonically; shuffles carry (vertex,
+    * long) and edge pairs only.
+    *
+    * @return surviving vertices with their degree in the peeled
+    *         subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, peels: Int): DataFrame = {
+    var e = CacheScope.cached(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())
+    for (_ <- 1 to peels) {
+      val deg = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k)
+      e = CacheScope.cached(
+        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
+    }
+    e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .select(col("v").as("vertex"), col("degree"))
+  }
+
   /** Degree-distribution profile: how many vertices have out-degree k —
     * the standard first look at any graph's shape (and the skew check
     * before partitioning a graph workload). Two hash aggregates, both

@@ -100,7 +100,20 @@ object GraphQueries {
       .orderBy(desc("rank_scaled"), asc("vertex"))
   }
 
+  /** 3-peel 3-core of the sparse co-supply graph. */
+  def qGraphKcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.kCore(edges, k = 3, peels = 3).orderBy(col("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_kcore" -> (qGraphKcore(_, _)),
     "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
@@ -143,6 +156,38 @@ object GraphQueries {
         |       FROM verts LEFT JOIN c3 ON verts.v = c3.dst)
         |SELECT v AS vertex, pr AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, vertex""".stripMargin,
+    "q_graph_kcore" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT x.s AS src, y.s AS dst
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a,
+        |         greatest(src, dst) AS b
+        |       FROM raw WHERE src <> dst),
+        |d1 AS (SELECT v, count(*) AS d FROM
+        |         (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT v FROM k1)
+        |         AND b IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, count(*) AS d FROM
+        |         (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT v FROM k2)
+        |         AND b IN (SELECT v FROM k2)),
+        |d3 AS (SELECT v, count(*) AS d FROM
+        |         (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY v),
+        |k3 AS (SELECT v FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT v FROM k3)
+        |         AND b IN (SELECT v FROM k3))
+        |SELECT v AS vertex, count(*) AS degree FROM
+        |  (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY v ORDER BY vertex""".stripMargin,
     "q_graph_pagerank_weighted" ->
       """WITH e AS (SELECT l_suppkey AS src, o_custkey + 1000000 AS dst,
         |         SUM(CAST(l_quantity AS BIGINT)) AS w

@@ -245,6 +245,47 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  /** Reference scalar k-core peel. */
+  private def refKcore(edges: Seq[(Long, Long)], k: Int, peels: Int)
+      : Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    for (_ <- 1 to peels) {
+      val deg = (und.map(_._1) ++ und.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      und = und.filter(e => keep(e._1) && keep(e._2))
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore: K4 plus a pendant chain — chain peels away, K4 survives") {
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(g.toDF("src", "dst"), k = 3, peels = 3)
+      .as[(Long, Long)].collect().toMap
+    // after peeling, only the K4 remains, every vertex at degree 3
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got == refKcore(g, 3, 3))
+  }
+
+  test("property: kCore matches the scalar peel on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(30, for {
+      a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L)
+      if a != b
+    } yield (a, b))
+    (0 until 3).foreach { i =>
+      val raw = edgeGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val got = Graph.kCore(raw.toDF("src", "dst"), k = 2, peels = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refKcore(raw, 2, 3), s"seed ${7 + i}")
+    }
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
