@@ -225,8 +225,51 @@ object TextQueries {
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_token_freq" -> (qTextTokenFreq(_, _)),
     "q_text_postings" -> (qTextPostings(_, _)),
-    "q_text_bpe_pairs" -> (qTextBpePairs(_, _))
+    "q_text_bpe_pairs" -> (qTextBpePairs(_, _)),
+    "q_text_bpe_merge2" -> (qTextBpeMerge2(_, _))
   )
+
+  /** BPE round TWO: learn the top merge from round one, re-segment
+    * every token by a greedy left-to-right fold (the actual BPE merge
+    * procedure — an ordered `aggregate` fold, not string replace, so
+    * overlapping occurrences resolve exactly as a tokenizer would),
+    * then count adjacent SEGMENT pairs. Demonstrates the iterated
+    * training loop: each further round is this same plan over the
+    * re-segmented corpus. The learned pair arrives as a broadcast
+    * 1-row scalar; the fold is map-side.
+    */
+  def qTextBpeMerge2(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.CacheScope.cached(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) >= 2))
+    val top = toks
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1)," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .select(expr("substring(pair, 1, 1)").as("pa"),
+        expr("substring(pair, 2, 1)").as("pb"))
+    val seg = toks.crossJoin(broadcast(top))
+      .select(expr(
+        """aggregate(
+          |  slice(split(tok, ''), 2, length(tok) - 1),
+          |  cast(element_at(split(tok, ''), 1) as string),
+          |  (acc, x) -> CASE
+          |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
+          |    THEN concat(acc, x)
+          |    ELSE concat(acc, '|', x) END)""".stripMargin).as("s"))
+    seg.select(split(col("s"), "[|]").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1)," +
+          " i -> concat(element_at(l, i), '+', element_at(l, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
 
   /** BPE training's inner-loop statistic (Sennrich et al., ACL'16): the
     * corpus-wide frequency of adjacent symbol pairs — here the first
@@ -498,6 +541,29 @@ object TextQueries {
         |    i -> substring(tok, i, 2))) AS pair
         |  FROM toks WHERE length(tok) >= 2)
         |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q_text_bpe_merge2" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+'))
+        |    AS tok FROM documents),
+        |t2 AS (SELECT tok FROM toks WHERE length(tok) >= 2),
+        |p1 AS (SELECT unnest(list_transform(
+        |    generate_series(1, length(tok) - 1),
+        |    i -> substring(tok, i, 2))) AS pair FROM t2),
+        |top AS (SELECT substring(pair, 1, 1) AS pa,
+        |    substring(pair, 2, 1) AS pb
+        |  FROM (SELECT pair, count(*) AS n FROM p1
+        |        GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        |seg AS (SELECT list_reduce(string_split(tok, ''),
+        |    (acc, x) -> CASE
+        |      WHEN x = pb AND (acc = pa OR ends_with(acc, '|' || pa))
+        |      THEN acc || x ELSE acc || '|' || x END) AS s
+        |  FROM t2 CROSS JOIN top),
+        |segs AS (SELECT string_split(s, '|') AS l FROM seg),
+        |p2 AS (SELECT unnest(list_transform(
+        |    generate_series(1, len(l) - 1),
+        |    i -> l[i] || '+' || l[i+1])) AS pair
+        |  FROM segs WHERE len(l) >= 2)
+        |SELECT pair, count(*) AS n FROM p2
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_text_postings" ->
       """SELECT tok, COUNT(*) AS df,
