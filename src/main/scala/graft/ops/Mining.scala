@@ -42,6 +42,63 @@ object Mining {
       .drop("__x", "__my", "__M")
   }
 
+  /** Exact 3-D skyline by the two-phase distributed algorithm (the
+    * sort-based 2-D trick stops at two dimensions): phase 1 computes a
+    * LOCAL skyline per partition (a point only survives if no partition
+    * peer dominates it — dominance is transitive-free but local
+    * filtering is sound because a dominated point stays dominated
+    * globally), phase 2 merges the surviving candidates on one task.
+    * The skyline is a unique SET, so the result is deterministic
+    * regardless of partitioning; ties (equal vectors) all survive.
+    *
+    * Scale contract: phase-2 input is Σ local-skyline sizes — for
+    * anti-correlated worst cases where that union is itself huge, the
+    * merge generalizes to repeated halving rounds (same operator,
+    * log(p) passes); the common case (frontiers ≪ n) is one tiny task.
+    * This is the documented `mapPartitions` exception: the in-memory
+    * pairwise frontier filter has no relational equivalent that isn't
+    * the quadratic self-join the oracle runs.
+    *
+    * @param key  unique row key (survivors re-attach by semi-join)
+    * @param dims exactly three (column, minimize?) specs
+    */
+  def skyline3D(df: DataFrame, key: String,
+                dims: Seq[(String, Boolean)]): DataFrame = {
+    require(dims.size == 3, "skyline3D takes exactly three dimensions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df.select(
+      col(key).cast("long").as("__k") +:
+        dims.zipWithIndex.map { case ((c, minimize), i) =>
+          (if (minimize) col(c) else -col(c)).cast("double").as(s"__d$i")
+        }: _*)
+      .filter(col("__d0").isNotNull && col("__d1").isNotNull
+        && col("__d2").isNotNull)
+      .as[(Long, Double, Double, Double)]
+    def dominates(q: (Long, Double, Double, Double),
+                  p: (Long, Double, Double, Double)): Boolean =
+      q._2 <= p._2 && q._3 <= p._3 && q._4 <= p._4 &&
+        (q._2 < p._2 || q._3 < p._3 || q._4 < p._4)
+    def localSkyline(it: Iterator[(Long, Double, Double, Double)])
+        : Iterator[(Long, Double, Double, Double)] = {
+      val frontier =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double, Double)]
+      it.foreach { p =>
+        if (!frontier.exists(q => dominates(q, p))) {
+          val kept = frontier.filterNot(q => dominates(p, q))
+          frontier.clear(); frontier ++= kept; frontier += p
+        }
+      }
+      frontier.iterator
+    }
+    val survivors = proj.mapPartitions(localSkyline)
+      .repartition(1).mapPartitions(localSkyline)
+      .toDF("__k", "__d0", "__d1", "__d2")
+    df.join(survivors.select(col("__k")),
+      col(key).cast("long") === col("__k"), "left_semi")
+  }
+
   /** Market-basket association pairs (Agrawal & Srikant, VLDB'94 —
     * Apriori's pair stage): co-occurrence counts and exact integer lift
     * for every item pair appearing in a basket together.

@@ -24,8 +24,20 @@ object MiningQueries {
       .orderBy(desc("lift_ppm"), col("item_a"), col("item_b"))
       .limit(100)
 
+  /** 3-D frontier: (cheapest, largest, shortest-name) parts. */
+  def qSkyline3d(spark: SparkSession, dir: String): DataFrame =
+    Mining.skyline3D(
+        Tables.part(spark, dir)
+          .withColumn("name_len", length(col("p_name")).cast("int")),
+        "p_partkey",
+        Seq(("p_retailprice", true), ("p_size", false), ("name_len", true)))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        col("name_len").cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
   val defs: Map[String, Q] = Map(
     "q_skyline" -> (qSkyline(_, _)),
+    "q_skyline_3d" -> (qSkyline3d(_, _)),
     "q_assoc_rules" -> (qAssocRules(_, _))
   )
 
@@ -41,6 +53,19 @@ object MiningQueries {
         |      AND (q.p_retailprice < p.p_retailprice
         |           OR q.p_size > p.p_size))
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "q_skyline_3d" ->
+      """SELECT p_partkey, p_retailprice, p_size,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part p
+        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part q
+        |    WHERE q.p_retailprice <= p.p_retailprice
+        |      AND q.p_size >= p.p_size
+        |      AND length(q.p_name) <= length(p.p_name)
+        |      AND (q.p_retailprice < p.p_retailprice
+        |           OR q.p_size > p.p_size
+        |           OR length(q.p_name) < length(p.p_name)))
+        |ORDER BY p_partkey""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |               FROM lineitem),

@@ -34,6 +34,27 @@ class MiningSpec extends SparkTestBase {
     assert(got === Set(1L, 2L, 4L))
   }
 
+  test("skyline3D matches brute-force dominance; partitioning-invariant") {
+    val rnd = new Random(7)
+    val pts = Seq.fill(400)((rnd.nextInt(20).toDouble,
+      rnd.nextInt(20), rnd.nextInt(20).toDouble))
+    val df = pts.zipWithIndex
+      .map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+      .toDF("id", "x", "y", "z")
+    val want = pts.zipWithIndex.collect {
+      case ((x, y, z), i) if !pts.exists { case (qx, qy, qz) =>
+        qx <= x && qy >= y && qz <= z &&
+          (qx < x || qy > y || qz < z) } => i.toLong
+    }.toSet
+    Seq(1, 3, 7).foreach { np =>
+      val got = Mining.skyline3D(df.repartition(np), "id",
+          Seq(("x", true), ("y", false), ("z", true)))
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"partitions=$np")
+    }
+    assert(want.nonEmpty)
+  }
+
   test("assocPairs: exact counts + integer lift on a hand example") {
     // baskets: {a,b,c}, {a,b}, {a,c}, {b} → n=4
     val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
