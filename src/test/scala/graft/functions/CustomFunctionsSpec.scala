@@ -450,6 +450,69 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(feats("gray.png")._3 - grayWant) < 1e-9)
   }
 
+  test("multimodal: GIF LZW decode agrees with the JDK's independent encoder") {
+    import graft.ops.Multimodal
+    // ImageIO's GIF writer produces a real variable-width LZW stream —
+    // if our dictionary growth / code-size bumps / KwKwK handling is
+    // wrong anywhere, the luma of a non-trivial image won't match
+    val pal = Array.tabulate(64)(i =>
+      ((i * 4) << 16) | ((255 - i * 4) << 8) | (i * 2 + 31))
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      pal.map(c => ((c >> 16) & 0xff).toByte),
+      pal.map(c => ((c >> 8) & 0xff).toByte),
+      pal.map(c => (c & 0xff).toByte))
+    val (w, h) = (23, 13)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 11) % 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val dir = java.nio.file.Files.createTempDirectory("gif-io").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "io.gif").toPath,
+      bos.toByteArray)
+    // 2-frame animated GIF via the ImageWriter sequence API
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    Seq(0, 1).foreach { f =>
+      val fr = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        fr.getRaster.setSample(x, y, 0, (x * 3 + y * 5 + f * 17) % 64)
+      wr.writeToSequence(new javax.imageio.IIOImage(fr, null, null), null)
+    }
+    wr.endWriteSequence(); ios.close()
+    java.nio.file.Files.write(new java.io.File(dir, "anim.gif").toPath,
+      bos2.toByteArray)
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.gif")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"width", $"height", $"n_frames", $"mean_luma")
+      .as[(String, Int, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    val want = (for (y <- 0 until h; x <- 0 until w) yield {
+      val c = pal((x * 7 + y * 11) % 64)
+      0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+        0.114 * (c & 0xff)
+    }).sum / (w * h) / 255.0
+    assert(feats("io.gif")._1 == w && feats("io.gif")._2 == h)
+    assert(feats("io.gif")._3 == 1)
+    assert(math.abs(feats("io.gif")._4 - want) < 1e-9)
+    // animated: both descriptors counted; first-frame luma
+    assert(feats("anim.gif")._3 == 2)
+    val want0 = (for (y <- 0 until h; x <- 0 until w) yield {
+      val c = pal((x * 3 + y * 5) % 64)
+      0.299 * ((c >> 16) & 0xff) + 0.587 * ((c >> 8) & 0xff) +
+        0.114 * (c & 0xff)
+    }).sum / (w * h) / 255.0
+    assert(math.abs(feats("anim.gif")._4 - want0) < 1e-9)
+  }
+
   test("multimodal: palette (PLTE) PNG decode agrees with ImageIO") {
     import graft.ops.Multimodal
     // 64-entry palette forces the JDK writer to 8-bit indices (color
