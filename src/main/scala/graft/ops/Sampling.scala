@@ -111,6 +111,21 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic train/val/test assignment: split = a pure function
+    * of the row id's hash, so membership is stable across runs,
+    * engines, repartitions, and dataset growth (a grown corpus only
+    * ADDS rows to splits — existing assignments never churn, which is
+    * what keeps eval sets honest over time). Map-side, no shuffle.
+    */
+  def assignSplit(df: DataFrame, idCol: String, valFrac: Double,
+                  testFrac: Double): DataFrame = {
+    val u = hashUniform(col(idCol))
+    df.withColumn("split",
+      when(u < testFrac, lit("test"))
+        .when(u < testFrac + valFrac, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** DuckDB-side twin of the integer hash inside [[weightedTopK]] —
     * digit-sum parse of the first 8 md5 hex digits of `e` (no hex→int
     * conv in DuckDB), as a BIGINT in [0, 2³²).

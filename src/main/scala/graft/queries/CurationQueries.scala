@@ -85,8 +85,23 @@ object CurationQueries {
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
     "q_curate_decontaminate" -> (qDecontaminate(_, _)),
-    "q_curate_pack" -> (qPack(_, _))
+    "q_curate_pack" -> (qPack(_, _)),
+    "q_curate_split" -> (qSplit(_, _))
   )
+
+  /** Deterministic 80/10/10 split profile: per split, document count
+    * and exact ppm share — plus stability evidence (min/max doc id)
+    * pinned by the hash compare.
+    */
+  def qSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(Tables.documents(spark, dir), "doc_id",
+        valFrac = 0.1, testFrac = 0.1)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("share_ppm", expr(
+        "n_docs * 1000000L div sum(n_docs) over ()"))
+      .orderBy(col("split"))
 
   private val u = Sampling.hashUniformSql("doc_id")
 
@@ -160,6 +175,19 @@ object CurationQueries {
          |SELECT doc_id, bucket,
          |  CAST(CAST(cum - n_chars AS BIGINT) // 4096 AS BIGINT) AS bin,
          |  n_chars
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_curate_split" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CASE WHEN $u < 0.1 THEN 'test'
+         |         WHEN $u < 0.2 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM documents),
+         |g AS (SELECT split, count(*) AS n_docs,
+         |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |  FROM s GROUP BY split)
+         |SELECT split, n_docs, min_doc, max_doc,
+         |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM g)
+         |    AS BIGINT) AS share_ppm
+         |FROM g ORDER BY split""".stripMargin
   )
 }

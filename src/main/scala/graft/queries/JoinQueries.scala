@@ -175,7 +175,27 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the join SQL's `=` silently drops. Both sides
+    * aggregate to bucket counts first (the idiomatic pre-join reduce),
+    * with bucket 7 mapped to NULL on each side so the null↔null match
+    * is load-bearing in the output.
+    */
+  def qJoinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.orders(spark, dir)
+      .select(nullif(col("o_custkey") % 50, lit(7)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+    val r = Tables.customer(spark, dir)
+      .select(nullif(col("c_custkey") % 50, lit(7)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_customers"))
+    l.as("l").join(r.as("r"), col("l.bucket") <=> col("r.bucket"))
+      .select(col("l.bucket").as("bucket"), col("n_orders"),
+        col("n_customers"))
+      .orderBy(col("bucket").asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_join_null_safe" -> (qJoinNullSafe(_, _)),
     "q_join_region_revenue" -> (qJoinRegionRevenue(_, _)),
     "q_join_left_outer" -> (qJoinLeftOuter(_, _)),
     "q_join_right_outer" -> (qJoinRightOuter(_, _)),
@@ -190,6 +210,16 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH l AS (SELECT nullif(o_custkey % 50, 7) AS bucket,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY bucket),
+        |r AS (SELECT nullif(c_custkey % 50, 7) AS bucket,
+        |    count(*) AS n_customers
+        |  FROM customer GROUP BY bucket)
+        |SELECT l.bucket, n_orders, n_customers
+        |FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket
+        |ORDER BY l.bucket ASC NULLS FIRST""".stripMargin,
     "q_join_region_revenue" ->
       """SELECT r_name AS region_name,
         |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
