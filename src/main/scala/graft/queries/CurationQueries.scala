@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.ops.{Decontaminate, Packing, Sampling}
@@ -86,8 +86,47 @@ object CurationQueries {
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
     "q_curate_decontaminate" -> (qDecontaminate(_, _)),
     "q_curate_pack" -> (qPack(_, _)),
-    "q_curate_split" -> (qSplit(_, _))
+    "q_curate_split" -> (qSplit(_, _)),
+    "q_curate_datasheet" -> (qDatasheet(_, _))
   )
+
+  /** "Datasheet for datasets" (Gebru et al., CACM'21) summary card:
+    * one long-format artifact uniting the corpus-level facts a model
+    * team asks of a training set — volume, language mix, exact-dup
+    * rate, length profile, split shares — every value an exact BIGINT
+    * so the card is bit-reproducible. Each section is one aggregate
+    * over the (cached) documents scan; the union is O(sections) rows.
+    */
+  def qDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.CacheScope.cached(
+      Sampling.assignSplit(Tables.documents(spark, dir), "doc_id",
+        valFrac = 0.1, testFrac = 0.1))
+    def row(section: String, metric: Column, value: Column): DataFrame =
+      d.agg(value.as("value"))
+        .select(lit(section).as("section"), metric.as("metric"),
+          col("value").cast("long"))
+    val volume = row("volume", lit("n_docs"), count(lit(1)))
+      .unionByName(row("volume", lit("total_chars"),
+        sum(col("n_chars"))))
+      .unionByName(row("volume", lit("max_chars"), max(col("n_chars"))))
+    val langs = d.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("lang_mix").as("section"),
+        concat(lit("n_docs:"), col("lang")).as("metric"), col("value"))
+    val dup = row("duplication", lit("exact_dup_docs"),
+      count(lit(1)) - count_distinct(col("text")))
+    val lengths = row("length", lit("docs_lt_100_chars"),
+      count(when(col("n_chars") < 100, 1)))
+      .unionByName(row("length", lit("docs_gt_1000_chars"),
+        count(when(col("n_chars") > 1000, 1))))
+    val splits = d.groupBy(col("split"))
+      .agg(count(lit(1)).cast("long").as("value"))
+      .select(lit("splits").as("section"),
+        concat(lit("n_docs:"), col("split")).as("metric"), col("value"))
+    volume.unionByName(langs).unionByName(dup).unionByName(lengths)
+      .unionByName(splits)
+      .orderBy(col("section"), col("metric"))
+  }
 
   /** Deterministic 80/10/10 split profile: per split, document count
     * and exact ppm share — plus stability evidence (min/max doc id)
@@ -188,6 +227,30 @@ object CurationQueries {
          |SELECT split, n_docs, min_doc, max_doc,
          |  CAST(n_docs * 1000000 // (SELECT sum(n_docs) FROM g)
          |    AS BIGINT) AS share_ppm
-         |FROM g ORDER BY split""".stripMargin
+         |FROM g ORDER BY split""".stripMargin,
+    "q_curate_datasheet" ->
+      s"""WITH d AS (SELECT *,
+         |    CASE WHEN $u < 0.1 THEN 'test'
+         |         WHEN $u < 0.2 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM documents),
+         |rows0 AS (
+         |  SELECT 'volume' AS section, 'n_docs' AS metric,
+         |    count(*) AS value FROM d
+         |  UNION ALL SELECT 'volume', 'total_chars',
+         |    CAST(sum(n_chars) AS BIGINT) FROM d
+         |  UNION ALL SELECT 'volume', 'max_chars', max(n_chars) FROM d
+         |  UNION ALL SELECT 'lang_mix', 'n_docs:' || lang, count(*)
+         |  FROM d GROUP BY lang
+         |  UNION ALL SELECT 'duplication', 'exact_dup_docs',
+         |    count(*) - count(DISTINCT text) FROM d
+         |  UNION ALL SELECT 'length', 'docs_lt_100_chars',
+         |    count(*) FILTER (n_chars < 100) FROM d
+         |  UNION ALL SELECT 'length', 'docs_gt_1000_chars',
+         |    count(*) FILTER (n_chars > 1000) FROM d
+         |  UNION ALL SELECT 'splits', 'n_docs:' || split, count(*)
+         |  FROM d GROUP BY split)
+         |SELECT section, metric, value FROM rows0
+         |ORDER BY section, metric""".stripMargin
   )
 }
