@@ -492,6 +492,103 @@ object Multimodal {
     }
   }
 
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble step → (newPredictor, newIndex). Public: it is the
+    * published recurrence itself (an encoder needs it too — the spec's
+    * argmin encoder drives it from the other side).
+    */
+  def imaStep(pred: Int, index: Int, n: Int): (Int, Int) = {
+    val step = imaStepTable(index)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p1 = if ((n & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p1)),
+      math.max(0, math.min(88, index + imaIndexTable(n & 7))))
+  }
+
+  /** REAL decoder for IMA ADPCM WAV (format tag 0x11, mono) — the
+    * audio-side counterpart of the GIF/LZW work: a genuine 4-bit
+    * differential codec (IMA step-table recurrence), decoded block by
+    * block (the 4-byte block header seeds predictor + step index;
+    * nibbles low-first). RMS/peak over the reconstructed 16-bit
+    * stream, normalized like the PCM path. Returns None for stereo or
+    * malformed input (→ stub).
+    */
+  private[ops] def decodeWavAdpcm(m: MediaFile): Option[AudioFeatures] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (u16(p).toLong) | (u16(p + 2).toLong << 16)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var p = 12
+    var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, blockAlign)
+    var data = Option.empty[(Int, Int)]
+    while (p + 8 <= b.length && data.isEmpty) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = u32(p + 4)
+      if (size < 0 || p + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || u16(p + 8) != 0x11) return None // IMA only
+          fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 20)))
+        case "data" => data = Some((p + 8, size.toInt))
+        case _      => ()
+      }
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    for {
+      (channels, rate, blockAlign) <- fmt
+      (off, sz) <- data
+      if channels == 1 && rate > 0 && blockAlign >= 8
+    } yield {
+      var sumSq = 0.0
+      var peak = 0.0
+      var n = 0L
+      def sample(v: Int): Unit = {
+        val x = v.toDouble / 32768.0
+        sumSq += x * x
+        if (math.abs(x) > peak) peak = math.abs(x)
+        n += 1
+      }
+      var bp = off
+      while (bp + 4 <= off + sz) {
+        val blockEnd = math.min(bp + blockAlign, off + sz)
+        val seed = { val v = u16(bp); if (v >= 0x8000) v - 0x10000 else v }
+        var index = math.max(0, math.min(88, b(bp + 2) & 0xff))
+        var pred = seed
+        sample(seed) // the header predictor IS the block's first sample
+        var q = bp + 4
+        while (q < blockEnd) {
+          val byte0 = b(q) & 0xff
+          val (p1, i1) = imaStep(pred, index, byte0 & 0x0f)
+          pred = p1; index = i1; sample(pred)
+          val (p2, i2) = imaStep(pred, index, byte0 >> 4)
+          pred = p2; index = i2; sample(pred)
+          q += 1
+        }
+        bp += blockAlign
+      }
+      AudioFeatures(path = m.path, length = m.length, fingerprint = fnv(b),
+        sample_rate = rate, channels = 1, n_frames = n,
+        duration_s = n.toDouble / rate,
+        rms = if (n > 0) math.sqrt(sumSq / n) else 0.0,
+        peak = peak)
+    }
+  }
+
   /** ======== STUB (fallback) ======== — codec-requiring audio formats
     * (mp3/aac/flac/ogg): deterministic fingerprint-derived features,
     * same honesty contract as `fakeDecode`.
@@ -507,14 +604,16 @@ object Multimodal {
       peak = ((h >>> 43) % 1000).toDouble / 1000.0)
   }
 
-  /** Batched audio decode: REAL parse for PCM WAV, deterministic stub
-    * otherwise. Same mapPartitions discipline as `extractFeatures`.
+  /** Batched audio decode: REAL parse for PCM and IMA-ADPCM WAV,
+    * deterministic stub otherwise. Same mapPartitions discipline as
+    * `extractFeatures`.
     */
   def extractAudioFeatures(media: Dataset[MediaFile])
       : Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map(m => decodeWavPcm(m).getOrElse(fakeAudioDecode(m)))
+      it.map(m => decodeWavPcm(m).orElse(decodeWavAdpcm(m))
+        .getOrElse(fakeAudioDecode(m)))
     }
   }
 

@@ -513,6 +513,94 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(feats("anim.gif")._4 - want0) < 1e-9)
   }
 
+  test("multimodal: IMA ADPCM decode — block plumbing + published tables") {
+    import graft.ops.Multimodal
+    // pinned single-step vectors at both table ends (catch any
+    // step/index-table transcription error)
+    assert(Multimodal.imaStep(0, 0, 2) == ((3, 0)))       // step 7
+    assert(Multimodal.imaStep(0, 88, 7) == ((32767, 88))) // step 32767
+    assert(Multimodal.imaStep(0, 0, 10) == ((-3, 0)))     // sign bit
+    // encode a sine by per-nibble argmin search over the recurrence,
+    // exactly 2 full blocks (505 samples each) — no padding ambiguity
+    val rate = 8000
+    val blockAlign = 256
+    val spb = 1 + (blockAlign - 4) * 2
+    val n = 2 * spb
+    val pcm = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt)
+    val data = new java.io.ByteArrayOutputStream()
+    var index = 0
+    var i = 0
+    while (i < n) {
+      val seed = pcm(i)
+      data.write(seed & 0xff); data.write((seed >> 8) & 0xff)
+      data.write(index); data.write(0)
+      var pred = seed
+      i += 1
+      var low = -1
+      var cnt = 0
+      while (cnt < (blockAlign - 4) * 2) {
+        val target = pcm(i)
+        val best = (0 until 16).minBy(nb =>
+          math.abs(Multimodal.imaStep(pred, index, nb)._1 - target))
+        val (np, ni) = Multimodal.imaStep(pred, index, best)
+        pred = np; index = ni; i += 1
+        if (low < 0) low = best
+        else { data.write(low | (best << 4)); low = -1 }
+        cnt += 1
+      }
+    }
+    val payload = data.toByteArray
+    // RIFF/WAVE wrapper: fmt (tag 0x11, mono) + data
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    bos.write("RIFF".getBytes); w32(4 + 24 + 8 + payload.length)
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); w32(16)
+    w16(0x11); w16(1); w32(rate); w32(rate * blockAlign / spb)
+    w16(blockAlign); w16(4)
+    bos.write("data".getBytes); w32(payload.length); bos.write(payload)
+    val dir = java.nio.file.Files.createTempDirectory("adpcm").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.wav").toPath,
+      bos.toByteArray)
+
+    val f = Multimodal.extractAudioFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.wav")).toDF()
+      .select($"sample_rate", $"n_frames", $"rms", $"peak")
+      .as[(Int, Long, Double, Double)].collect().head
+    assert(f._1 == rate && f._2 == n.toLong)
+    // scalar replay of the decode over the same bytes must match the
+    // operator bit-for-bit
+    var (sumSq, peak2) = (0.0, 0.0)
+    var bp = 0
+    while (bp < payload.length) {
+      var pred = ((payload(bp) & 0xff) | ((payload(bp + 1) & 0xff) << 8))
+      if (pred >= 0x8000) pred -= 0x10000
+      var idx = payload(bp + 2) & 0xff
+      def s(v: Int): Unit = {
+        val x = v / 32768.0; sumSq += x * x
+        peak2 = math.max(peak2, math.abs(x))
+      }
+      s(pred)
+      for (q <- bp + 4 until bp + blockAlign) {
+        val by = payload(q) & 0xff
+        val a = Multimodal.imaStep(pred, idx, by & 0xf)
+        pred = a._1; idx = a._2; s(pred)
+        val c = Multimodal.imaStep(pred, idx, by >> 4)
+        pred = c._1; idx = c._2; s(pred)
+      }
+      bp += blockAlign
+    }
+    assert(f._3 == math.sqrt(sumSq / n))
+    assert(f._4 == peak2)
+    // and the codec actually tracked the signal (bitstream plumbing —
+    // wrong nibble order / block walk would wreck this)
+    val origRms = math.sqrt(pcm.map(v => {
+      val x = v / 32768.0; x * x }).sum / n)
+    assert(math.abs(f._3 - origRms) / origRms < 0.05)
+  }
+
   test("multimodal: palette (PLTE) PNG decode agrees with ImageIO") {
     import graft.ops.Multimodal
     // 64-entry palette forces the JDK writer to 8-bit indices (color
