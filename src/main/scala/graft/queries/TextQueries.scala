@@ -209,7 +209,37 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("gram"))
   }
 
+  /** GROUPED heavy hitters: per-source frequent tokens via one
+    * Misra-Gries sketch PER GROUP (the udaf's mergeable ≤k-counter
+    * state crosses the shuffle per source), then a JOIN-based exact
+    * recount — unlike the global variant there is no driver collect of
+    * candidates: the candidate set re-attaches by equi-join, so the
+    * plan is fully distributed at any group count. Output = every
+    * (source, token) with freq > n_source/(k+1) — the sketch's
+    * superset guarantee makes that an exact frequency filter, which is
+    * what the plain GROUP BY twin certifies.
+    */
+  def qTextHeavyHittersGrouped(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val k = 50
+    def toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val mg = new graft.functions.MisraGriesAgg(k).asUdaf
+    val cands = toks.groupBy(col("source"))
+      .agg(mg(col("tok")).as("cands"), count(lit(1)).as("n"))
+    val candRows = cands.select(col("source"),
+      explode(col("cands")).as("tok"), col("n"))
+    toks.join(candRows, Seq("source", "tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .orderBy(col("source"), col("cnt").desc, col("tok"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_heavy_hitters_grouped" -> (qTextHeavyHittersGrouped(_, _)),
     "q_text_heavy_hitters" -> (qTextHeavyHitters(_, _)),
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
     "q_text_chunk" -> (qTextChunk(_, _)),
@@ -361,6 +391,18 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     // The sketch pass is invisible to the oracle: the exact recount
     // makes the output equal a plain frequency filter.
+    "q_text_heavy_hitters_grouped" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM t WHERE tok <> ''),
+        |n AS (SELECT source, count(*) AS n FROM t2 GROUP BY source),
+        |c AS (SELECT source, tok, count(*) AS cnt
+        |      FROM t2 GROUP BY source, tok)
+        |SELECT c.source, tok, cnt, n.n AS n
+        |FROM c JOIN n USING (source)
+        |WHERE cnt * 51 > n.n
+        |ORDER BY c.source, cnt DESC, tok""".stripMargin,
     "q_text_heavy_hitters" ->
       """WITH g AS (
         |  SELECT substring(lower(text),

@@ -212,6 +212,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("k-core peels are semi-joins over the shrinking edge set") {
+    val p = plan("q_graph_kcore")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("grouped heavy hitters: candidates re-attach by equi-join — " +
+    "no driver collect, no cartesian") {
+    val p = plan("q_text_heavy_hitters_grouped")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("3-D skyline: local frontier + single merge, survivors " +
+    "re-attach via semi-join") {
+    val p = plan("q_skyline_3d")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("assoc pairs: basket self-join is an equi-join; the only " +
     "cross-join is the 1-row n_baskets scalar") {
     val p = plan("q_assoc_rules")
