@@ -223,6 +223,49 @@ object Graph {
       .select(col("v").as("vertex"), col("degree"))
   }
 
+  /** Bounded-hop HARMONIC centrality (Boldi & Vigna 2014, "Axioms for
+    * Centrality": the well-behaved closeness variant) over an
+    * undirected graph: score(v) = Σ_{u≠v, d(u,v) ≤ H} scale div
+    * d(u,v). The horizon H is an explicit contract (truncated
+    * centrality — the standard trade on big graphs, cf. HyperBall);
+    * `scale` divisible by 1..H makes every term an EXACT integer, so
+    * the sum is order-independent and the SQL twin replays it.
+    *
+    * Shape: H rounds of multi-source frontier expansion — each round
+    * one equi-join of the reach set against the edge list + a
+    * min-distance aggregate; the reach set is (src, v, d) pairs,
+    * bounded by |V|² worst-case and by the H-hop ball in practice.
+    * That quadratic ceiling is inherent to ALL-pairs centrality; at
+    * 100 TB one runs it on the (much smaller) entity graph, or pivots
+    * to the HyperBall sketch this operator's contract mirrors.
+    */
+  def harmonicCentrality(edges: DataFrame, maxHops: Int,
+                         scale: Long = 840L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = CacheScope.cached(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
+    var reach = CacheScope.cached(
+      sym.select(col("v").as("s"), col("v")).distinct()
+        .select(col("s"), col("v"), lit(0).as("d")))
+    for (h <- 1 to maxHops) {
+      val expanded = reach
+        .join(sym.withColumnRenamed("n", "nx"), "v")
+        .select(col("s"), col("nx").as("v"), lit(h).as("d"))
+      reach = CacheScope.cached(
+        reach.unionByName(expanded)
+          .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+    }
+    reach.filter(col("d") > 0)
+      .groupBy(col("v").as("vertex"))
+      .agg(sum(expr(s"$scale div d")).as("harmonic_scaled"),
+        count(lit(1)).as("n_reached"))
+  }
+
   /** Degree-distribution profile: how many vertices have out-degree k —
     * the standard first look at any graph's shape (and the skew check
     * before partitioning a graph workload). Two hash aggregates, both

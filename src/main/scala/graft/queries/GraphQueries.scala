@@ -112,7 +112,21 @@ object GraphQueries {
     Graph.kCore(edges, k = 3, peels = 3).orderBy(col("vertex"))
   }
 
+  /** 3-hop harmonic centrality on the sparse co-supply graph. */
+  def qGraphHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.harmonicCentrality(edges, maxHops = 3)
+      .orderBy(desc("harmonic_scaled"), asc("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
     "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
@@ -156,6 +170,37 @@ object GraphQueries {
         |       FROM verts LEFT JOIN c3 ON verts.v = c3.dst)
         |SELECT v AS vertex, pr AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, vertex""".stripMargin,
+    "q_graph_harmonic" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT x.s AS src, y.s AS dst
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM raw WHERE src <> dst),
+        |sym AS (SELECT a AS v, b AS n FROM und
+        |        UNION ALL SELECT b AS v, a AS n FROM und),
+        |r0 AS (SELECT DISTINCT v AS s, v, 0 AS d FROM sym),
+        |e1 AS (SELECT r.s, sym.n AS v, 1 AS d
+        |       FROM r0 r JOIN sym ON r.v = sym.v),
+        |r1 AS (SELECT s, v, MIN(d) AS d FROM
+        |         (SELECT * FROM r0 UNION ALL SELECT * FROM e1)
+        |       GROUP BY s, v),
+        |e2 AS (SELECT r.s, sym.n AS v, 2 AS d
+        |       FROM r1 r JOIN sym ON r.v = sym.v),
+        |r2 AS (SELECT s, v, MIN(d) AS d FROM
+        |         (SELECT * FROM r1 UNION ALL SELECT * FROM e2)
+        |       GROUP BY s, v),
+        |e3 AS (SELECT r.s, sym.n AS v, 3 AS d
+        |       FROM r2 r JOIN sym ON r.v = sym.v),
+        |r3 AS (SELECT s, v, MIN(d) AS d FROM
+        |         (SELECT * FROM r2 UNION ALL SELECT * FROM e3)
+        |       GROUP BY s, v)
+        |SELECT v AS vertex, CAST(SUM(840 // d) AS BIGINT)
+        |    AS harmonic_scaled,
+        |  count(*) AS n_reached
+        |FROM r3 WHERE d > 0 GROUP BY v
+        |ORDER BY harmonic_scaled DESC, vertex""".stripMargin,
     "q_graph_kcore" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
         |            FROM lineitem WHERE l_quantity = 1.0),

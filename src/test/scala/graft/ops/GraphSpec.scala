@@ -286,6 +286,52 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  /** Reference scalar bounded-hop harmonic centrality via BFS. */
+  private def refHarmonic(edges: Seq[(Long, Long)], h: Int,
+                          scale: Long): Map[Long, (Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val verts = nbrs.keySet
+    verts.map { v =>
+      var dist = Map(v -> 0)
+      var frontier = Set(v)
+      for (d <- 1 to h) {
+        frontier = frontier.flatMap(nbrs).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      val others = dist - v
+      v -> ((others.values.map(d => scale / d).sum.toLong,
+        others.size.toLong))
+    }.toMap
+  }
+
+  test("harmonicCentrality matches the scalar BFS replay; hub outranks leaf") {
+    // star {1..5 around 0} plus a 2-path tail 5-6-7
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (5L, 6L), (6L, 7L))
+    val got = Graph.harmonicCentrality(g.toDF("src", "dst"), maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == refHarmonic(g, 3, 840L))
+    assert(got(0L)._1 > got(7L)._1) // the hub dominates the tail leaf
+    // property: random graphs
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(22, for {
+      a <- Gen.chooseNum(1L, 11L); b <- Gen.chooseNum(1L, 11L)
+      if a != b
+    } yield (a, b))
+    (0 until 3).foreach { i =>
+      val raw = edgeGen.pureApply(Gen.Parameters.default, Seed(31L + i))
+      val g2 = Graph.harmonicCentrality(raw.toDF("src", "dst"), 3)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(g2 == refHarmonic(raw, 3, 840L), s"seed ${31 + i}")
+    }
+  }
+
   test("degree histogram counts distinct out-edges") {
     val got = Graph.degreeHistogram(
         (diamond ++ diamond).toDF("src", "dst"))
