@@ -135,7 +135,11 @@ object Graph {
     var ranks = verts.select(col("v"), lit(p0).as("pr"))
     for (_ <- 1 to iters) {
       val in = edgesW.join(ranks, edgesW("src") === ranks("v"))
-        .select(col("dst"), expr("(pr * w) div sw").as("c"))
+        // pr is scale-bounded but w/sw are caller data: widen the
+        // product to DECIMAL(38,0) so very large summed weights cannot
+        // wrap BIGINT; `div` still yields BIGINT.
+        .select(col("dst"),
+          expr("(cast(pr as decimal(38,0)) * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = verts.join(in, verts("v") === in("dst"), "left")
         .select(col("v"),

@@ -65,6 +65,12 @@ object Mining {
   def skyline3D(df: DataFrame, key: String,
                 dims: Seq[(String, Boolean)]): DataFrame = {
     require(dims.size == 3, "skyline3D takes exactly three dimensions")
+    val keyType = df.schema(key).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(keyType.toString),
+      s"skyline3D requires an integral key column (survivors re-attach " +
+        s"by an exact long join); got $keyType for '$key' — hash or " +
+        "surrogate-key non-numeric ids first")
     val spark = df.sparkSession
     import spark.implicits._
     val proj = df.select(
@@ -140,7 +146,11 @@ object Mining {
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
         col("cnt_b"), col("n_baskets"),
-        expr("cnt_ab * n_baskets * 1000000L div (cnt_a * cnt_b)")
+        // Numerator widened to DECIMAL(38,0): at 100 TB (n_baskets ~1e10,
+        // cnt_ab ~1e6) the BIGINT product would silently wrap in
+        // non-ANSI mode. `div` over decimals still yields BIGINT ppm.
+        expr("cast(cnt_ab as decimal(38,0)) * n_baskets * 1000000" +
+            " div (cast(cnt_a as decimal(38,0)) * cnt_b)")
           .as("lift_ppm"))
   }
 }

@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column handling: opaque `binary`
   * payloads + typed metadata, with decode/feature steps shaped for scale.
   *
-  * The Spark-side plumbing here is real — binaryFile ingest, schema,
+  * The Spark-side plumbing is real — binaryFile ingest, schema,
   * partition-batched decode via mapPartitions (the Scala analog of a
-  * batched Pandas UDF: one decoder instance per partition, not per row) —
-  * while the pixel/sample decode itself is a clearly-marked deterministic
-  * STUB (`fakeDecode`): no image/audio codecs exist in this environment.
-  * Swapping in a real codec changes only the body of `fakeDecode`.
+  * batched Pandas UDF: one decoder instance per partition, not per
+  * row) — and so are the decoders for every container format parseable
+  * without external codecs: PPM/PGM (`decodePnm`), BMP (`decodeBmp`),
+  * PNG with Inflater + all 5 scanline filters (`decodePng`), GIF with
+  * variable-width LZW (`decodeGif`), and WAV in both 8/16-bit PCM
+  * (`decodeWavPcm`) and IMA-ADPCM (`decodeWavAdpcm`) flavors. Only
+  * formats that require licensed/external codecs (JPEG, MP3, video)
+  * fall through to the clearly-marked deterministic STUBs
+  * (`fakeDecode`/`fakeAudioDecode`); swapping in a real codec changes
+  * only those fallback bodies.
   */
 object Multimodal {
 

@@ -93,7 +93,10 @@ object Profile {
     aCnt.crossJoin(broadcast(matched))
       .select(lit(name).as("pair"), col("n_child_distinct"),
         col("n_matched"),
-        expr("n_matched * 1000000L div n_child_distinct")
+        // Empty/all-null child column → vacuous containment (1e6), not
+        // a divide-by-zero (NULL in non-ANSI mode, error under ANSI).
+        expr("CASE WHEN n_child_distinct = 0 THEN 1000000L" +
+            " ELSE n_matched * 1000000L div n_child_distinct END")
           .as("containment_ppm"))
   }
 

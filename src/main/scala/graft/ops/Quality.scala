@@ -42,6 +42,9 @@ object Quality {
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "audit check names must be unique (they key the internal " +
+        s"aggregate aliases): ${checks.map(_.name).mkString(", ")}")
     val total = count(lit(1))
     def violations(c: Check): Column = c match {
       case Complete(_, col0) => total - count(col(col0))

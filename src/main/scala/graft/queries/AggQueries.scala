@@ -70,20 +70,37 @@ object AggQueries {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
-  /** Approximate aggregates (HLL distinct + t-digest quantiles).
-    * Engines' sketches differ → no oracle (rows-only check); exactness is
-    * covered by qAggDistinct, and a ScalaTest pins the rsd bound.
+  /** Approximate aggregates (HLL distinct + KLL-style quantile sketch)
+    * certified against exact recomputation: the sketches themselves differ
+    * across engines, so the published columns are the EXACT distinct count
+    * plus booleans asserting the approximation landed inside its published
+    * error bound — |HLL − exact| ≤ 3·rsd·exact, and each approx percentile
+    * inside the exact-quantile window [p−0.005, p+0.005] (Spark's
+    * percentile_approx rank error is 1/accuracy = 1e-4, so 50× headroom).
+    * Spark's sketches are deterministic on fixed input, so the booleans are
+    * stable; the DuckDB twin recomputes the exact side and emits TRUE —
+    * a hard oracle over the approximation contract, not the sketch bits.
     */
   def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
-          .as("median_price"),
+          .as("amed"),
         percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-          .as("p95_price"))
+          .as("ap95"),
+        percentile($"l_extendedprice", lit(0.495)).as("mlo"),
+        percentile($"l_extendedprice", lit(0.505)).as("mhi"),
+        percentile($"l_extendedprice", lit(0.945)).as("plo"),
+        percentile($"l_extendedprice", lit(0.955)).as("phi"))
+      .select($"l_returnflag", $"exact_orders",
+        (abs($"approx_orders" - $"exact_orders")
+          <= lit(0.06) * $"exact_orders").as("distinct_ok"),
+        ($"amed" >= $"mlo" && $"amed" <= $"mhi").as("median_ok"),
+        ($"ap95" >= $"plo" && $"ap95" <= $"phi").as("p95_ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -190,6 +207,12 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_approx" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS distinct_ok, TRUE AS median_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_argmax" ->
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey,

@@ -48,39 +48,111 @@ object CustomQueries {
         round(Udfs.charEntropy(col("text")), 6).as("entropy"))
       .orderBy(col("doc_id"))
 
-  /** Multimodal: binary ingest of the sf dir's files + stubbed decode.
-    * Plumbing (schema, mapPartitions batching) is real; decode is a
-    * deterministic fake (no codecs in this environment).
+  /** Multimodal feature pipeline (decode → frame-sample → resize plan)
+    * over the deterministic media fixture set. Every output — geometry,
+    * FNV fingerprint, resize plan, sampled-frame count — is a pure
+    * function of the fixed fixture bytes, so the oracle is a pinned
+    * VALUES table (same discipline as q_multimodal_decode). The
+    * binaryFile → mapPartitions plumbing is the exact path a 100 TB
+    * media lake runs; only the input set is pinned.
     */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = Multimodal.readBinary(spark, s"$dir/*.parquet")
+    val scratch = java.nio.file.Files.createTempDirectory("mm-feat")
+    mediaFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
     Multimodal.resizePlan(
         Multimodal.sampleFrames(
           Multimodal.extractFeatures(media).toDF(), stride = 30),
         maxDim = 512)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
-        col("length"), col("fingerprint"), col("width"), col("height"),
-        col("out_width"), col("out_height"),
-        col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+        col("length"), col("fingerprint"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        col("n_frames").cast("long").as("n_frames"),
+        size(col("sampled_frames")).cast("long").as("n_sampled"))
       .orderBy(col("file"))
   }
 
-  /** Multimodal audio: binary ingest + the audio feature path. The sf
-    * dir's parquet blobs are not WAV, so every row exercises the
-    * documented stub fallback (the REAL PCM path is proven on
-    * constructed WAV bytes in CustomFunctionsSpec); the point here is
-    * the end-to-end plumbing under the driver's harness. Rows-only: FNV
-    * fingerprints aren't DuckDB-expressible.
+  /** Multimodal audio feature path over deterministic WAV fixtures:
+    * REAL 16-bit PCM decode (tone.wav), REAL 8-bit stereo PCM (st.wav),
+    * REAL IMA-ADPCM block decode (ima.wav), plus one codec-format blob
+    * (x.mp3) through the documented stub fallback. All features are pure
+    * functions of the fixed bytes → pinned VALUES oracle.
     */
   def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.readBinary(spark, s"$dir/*.parquet")
+    val scratch = java.nio.file.Files.createTempDirectory("mm-audio")
+    audioFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
     Multimodal.extractAudioFeatures(media).toDF()
       .select(element_at(split(col("path"), "/"), -1).as("file"),
-        col("length"), col("fingerprint"), col("sample_rate"),
-        col("channels"), col("n_frames"),
-        round(col("duration_s"), 6).as("duration_s"))
+        col("length"), col("fingerprint"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(col("duration_s"), 6).as("duration_s"),
+        round(col("rms"), 6).as("rms_r6"),
+        round(col("peak"), 6).as("peak_r6"))
       .orderBy(col("file"))
+  }
+
+  /** Deterministic audio fixture bytes for q_multimodal_audio: a 440 Hz
+    * 16-bit mono PCM tone (with a LIST chunk before data, exercising the
+    * chunk walk), a 2-frame 8-bit stereo PCM file (128-offset path), a
+    * 1-block IMA-ADPCM file with a fixed nibble pattern, and an
+    * mp3-shaped blob that must fall through to the stub. Byte-identical
+    * every run.
+    */
+  private lazy val audioFixtures: Map[String, Array[Byte]] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 16-bit mono 8 kHz, 2000 frames of a 440 Hz sine at amplitude 0.5
+    val pcm16 = Array.tabulate(2000) { i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt
+    }.flatMap(le16)
+    val tone = {
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+        ("LIST".getBytes("US-ASCII") ++ le32(4) ++
+          "INFO".getBytes("US-ASCII")) ++
+        ("data".getBytes("US-ASCII") ++ le32(pcm16.length) ++ pcm16)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // 8-bit stereo, 2 frames: (255,0),(128,192) → peak 1.0 after the
+    // 128-offset normalization
+    val st = {
+      val pcm = Array[Byte](255.toByte, 0, 128.toByte, 192.toByte)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+          le32(4000) ++ le32(8000) ++ le16(2) ++ le16(8)) ++
+        ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // IMA-ADPCM mono 8 kHz, exactly one 256-byte block (505 frames):
+    // seed 1000, index 0, nibble byte pattern (7i+3) mod 256
+    val ima = {
+      val blockAlign = 256
+      val payload = Array[Byte](
+        (1000 & 0xff).toByte, ((1000 >> 8) & 0xff).toByte, 0, 0) ++
+        Array.tabulate(blockAlign - 4)(i => ((7 * i + 3) % 256).toByte)
+      val spb = 1 + (blockAlign - 4) * 2 // 505 samples per block
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(0x11) ++
+          le16(1) ++ le32(8000) ++ le32(8000 * blockAlign / spb) ++
+          le16(blockAlign) ++ le16(4)) ++
+        ("data".getBytes("US-ASCII") ++ le32(payload.length) ++ payload)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val mp3 = Array[Byte](-1, -5, 100, 0, 1, 2)
+    Map("tone.wav" -> tone, "st.wav" -> st, "ima.wav" -> ima,
+      "x.mp3" -> mp3)
   }
 
   /** Deterministic media fixture bytes for q_multimodal_decode — the
@@ -197,6 +269,64 @@ object CustomQueries {
         |  ('img.ppm', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)))
         |  AS t(file, width, height, n_frames, luma_r6)
+        |ORDER BY file""".stripMargin,
+    // Pinned-expectation oracle over the fixture set: geometry/resize
+    // plan/sampled-frame counts are analytic; the FNV-1a fingerprints
+    // are pure functions of the fixed bytes, captured once and pinned
+    // (decode is deterministic, so any drift is a real regression).
+    "q_multimodal_features" ->
+      """SELECT * FROM (VALUES
+        |  ('clip.mp4', CAST(3 AS BIGINT),
+        |   CAST(-3410805910829992533 AS BIGINT), CAST(1387 AS BIGINT),
+        |   CAST(574 AS BIGINT), CAST(512 AS BIGINT), CAST(211 AS BIGINT),
+        |   CAST(127 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('img.bmp', CAST(70 AS BIGINT),
+        |   CAST(-327462689767258727 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('img.pgm', CAST(13 AS BIGINT),
+        |   CAST(5276587552098029246 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('img.png', CAST(100 AS BIGINT),
+        |   CAST(1038414795502864256 AS BIGINT), CAST(3 AS BIGINT),
+        |   CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('img.ppm', CAST(23 AS BIGINT),
+        |   CAST(-9145406516417166057 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+        |  AS t(file, length, fingerprint, width, height,
+        |       out_width, out_height, n_frames, n_sampled)
+        |ORDER BY file""".stripMargin,
+    // Pinned audio oracle: header fields and durations are analytic
+    // (tone 2000/8000 s; st 2/4000 s; ima 505/8000 s; the mp3 blob's
+    // stub features derive from its FNV hash); RMS/peak are the
+    // deterministic decode outputs rounded to 6 decimals.
+    "q_multimodal_audio" ->
+      """SELECT * FROM (VALUES
+        |  ('ima.wav', CAST(300 AS BIGINT),
+        |   CAST(6451195474904177017 AS BIGINT), CAST(8000 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(505 AS BIGINT),
+        |   CAST(0.063125 AS DOUBLE), CAST(0.787718 AS DOUBLE),
+        |   CAST(1.0 AS DOUBLE)),
+        |  ('st.wav', CAST(48 AS BIGINT),
+        |   CAST(4312811095252246342 AS BIGINT), CAST(4000 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(0.0005 AS DOUBLE), CAST(0.747402 AS DOUBLE),
+        |   CAST(1.0 AS DOUBLE)),
+        |  ('tone.wav', CAST(4056 AS BIGINT),
+        |   CAST(-4649843792192410495 AS BIGINT), CAST(8000 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(2000 AS BIGINT),
+        |   CAST(0.25 AS DOUBLE), CAST(0.353526 AS DOUBLE),
+        |   CAST(0.499969 AS DOUBLE)),
+        |  ('x.mp3', CAST(6 AS BIGINT),
+        |   CAST(4343116417353483756 AS BIGINT), CAST(16000 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(91220 AS BIGINT),
+        |   CAST(5.63875 AS DOUBLE), CAST(0.1475 AS DOUBLE),
+        |   CAST(0.755 AS DOUBLE)))
+        |  AS t(file, length, fingerprint, sample_rate, channels,
+        |       n_frames, duration_s, rms_r6, peak_r6)
         |ORDER BY file""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).

@@ -144,9 +144,10 @@ object StreamQueries {
     */
   def qStreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOps.scratchDir("q_stream_dedup_ingest")
-    // capped at 1000 docs: the demo's cost is re-signaturing the
-    // accepted corpus per batch (locally recomputed; at scale the
-    // signature table persists — see dedupIngest scaladoc)
+    // capped at 1000 docs to bound the demo's micro-batch machinery
+    // cost; the corpus side is the persisted signature sidecar
+    // (`corpus._sigs`) — each batch shingles only itself, and
+    // FileStreamSpec proves batch N+1 never opens corpus documents
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
     docs.filter(col("doc_id") < 250).coalesce(1)
       .write.parquet(s"$tmp/src/a.parquet")

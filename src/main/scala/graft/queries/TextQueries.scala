@@ -238,7 +238,59 @@ object TextQueries {
       .orderBy(col("source"), col("cnt").desc, col("tok"))
   }
 
+  /** Multi-round BPE TRAINER (Sennrich et al., ACL'16): N greedy merge
+    * rounds, each = count adjacent segment pairs → take the single most
+    * frequent (ties broken lexicographically on both engines) → greedy
+    * left-to-right re-segmentation by an ordered fold. Segments are
+    * kept as a '|'-joined string per token (identical representation to
+    * the DuckDB twin, which replays every round with list_reduce), so
+    * cross-engine behavior matches fold-step for fold-step. The learned
+    * merge table (round, pair, frequency-at-learn-time) is the
+    * tokenizer-training artifact.
+    *
+    * Scale shape per round: one map-side explode + hash agg for pair
+    * counts, a 1-row broadcast of the learned merge, and a map-side
+    * fold for re-segmentation — no shuffle grows with rounds, and the
+    * corpus is never collected. Tokens containing the separator are
+    * excluded on both engines (defensive; segment strings must not
+    * contain '|').
+    */
+  def qTextBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 5
+    var segs = graft.ops.CacheScope.cached(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "" && !col("tok").contains("|"))
+        .select(concat_ws("|", split(col("tok"), "")).as("s")))
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val top = segs.select(split(col("s"), "[|]").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> struct(element_at(l, i) as pa," +
+            " element_at(l, i + 1) as pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+      merges += top.select(lit(r).as("round"),
+        concat(col("pa"), lit("+"), col("pb")).as("pair"), col("n"))
+      segs = graft.ops.CacheScope.cached(
+        segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
+          .select(expr(
+            """aggregate(
+              |  slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1),
+              |  cast(element_at(split(s, '[|]'), 1) as string),
+              |  (acc, x) -> CASE
+              |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
+              |    THEN concat(acc, x)
+              |    ELSE concat(acc, '|', x) END)""".stripMargin).as("s")))
+    }
+    merges.result().reduce(_.union(_)).orderBy(col("round"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_bpe_train" -> (qTextBpeTrain(_, _)),
     "q_text_heavy_hitters_grouped" -> (qTextHeavyHittersGrouped(_, _)),
     "q_text_heavy_hitters" -> (qTextHeavyHitters(_, _)),
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
@@ -325,7 +377,9 @@ object TextQueries {
     * posting list — the retrieval-side artifact a corpus pipeline
     * materializes next to BM25 stats. One distinct (token, doc)
     * aggregate then one hash aggregate; the posting list is sorted
-    * INSIDE the row (`sort_array`), so no global order is needed for
+    * INSIDE the row (`sort_array`, numeric order, then joined to a
+    * canonical comma-separated string — scalar output keeps the
+    * cross-engine compare hashable), so no global order is needed for
     * determinism. Top-100 by df keeps the published slice bounded; at
     * 100 TB the full index is the same plan written partitioned by
     * token-hash instead of limited.
@@ -337,7 +391,9 @@ object TextQueries {
       .distinct()
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
       .orderBy(col("df").desc, col("tok"))
       .limit(100)
 
@@ -388,7 +444,44 @@ object TextQueries {
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** DuckDB twin of qTextBpeTrain: replays every merge round with
+    * list_reduce over the same '|'-joined segment representation.
+    * Generated programmatically so the round count stays in one place.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val base =
+      """WITH t0 AS (
+        |  SELECT array_to_string(string_split(tok, ''), '|') AS s
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' AND tok NOT LIKE '%|%')""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr[1] AS pa, pr[2] AS pb, count(*) AS n
+         |  FROM (SELECT unnest(list_transform(
+         |          generate_series(1, len(l) - 1),
+         |          i -> [l[i], l[i+1]])) AS pr
+         |        FROM (SELECT string_split(s, '|') AS l FROM t${r - 1})
+         |        WHERE len(l) >= 2)
+         |  GROUP BY pa, pb),
+         |top$r AS (SELECT pa, pb, n FROM p$r
+         |  ORDER BY n DESC, pa, pb LIMIT 1),
+         |t$r AS (
+         |  SELECT list_reduce(string_split(s, '|'),
+         |    (acc, x) -> CASE
+         |      WHEN x = pb AND (acc = pa OR ends_with(acc, '|' || pa))
+         |      THEN acc || x ELSE acc || '|' || x END) AS s
+         |  FROM t${r - 1} CROSS JOIN top$r)""".stripMargin
+    }
+    val selects = (1 to rounds).map { r =>
+      s"SELECT $r AS round, pa || '+' || pb AS pair, n FROM top$r"
+    }
+    base + ",\n" + roundCtes.mkString(",\n") + "\n" +
+      selects.mkString("\nUNION ALL ") + "\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeTrainOracleSql(5),
     // The sketch pass is invisible to the oracle: the exact recount
     // makes the output equal a plain frequency filter.
     "q_text_heavy_hitters_grouped" ->
@@ -609,7 +702,7 @@ object TextQueries {
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_text_postings" ->
       """SELECT tok, COUNT(*) AS df,
-        |  list(doc_id ORDER BY doc_id) AS postings
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM (SELECT DISTINCT doc_id,
         |        unnest(string_split_regex(text, '\s+')) AS tok
         |      FROM documents)

@@ -360,4 +360,61 @@ class FileStreamSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 5L))
   }
+
+  test("dedupIngest: batch N+1 reads ONLY the signature sidecar, " +
+      "never the accepted corpus documents") {
+    val dir = Files.createTempDirectory("ingest-sc").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._sigs"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    val t3 = "yet another unique document with its own words entirely"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // ---- batch A only: ids 1, 2 accepted into corpus + sidecar ----
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    def runOnce(): Unit = StreamOps.dedupIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "doc_id", "text", corpus, s"$dir/cp", threshold = 0.9)
+    runOnce()
+    assert(new java.io.File(sidecar).exists(),
+      "batch 1 must materialize the signature sidecar")
+    // ---- DESTROY the corpus document payloads (keep file names) ----
+    // If the next batch re-signatured the accepted corpus, its parquet
+    // read would fail; the sidecar alone must carry the dedup state.
+    val corpusFiles = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(corpusFiles.nonEmpty)
+    corpusFiles.foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+    }
+    val preNames = corpusFiles.map(_.getName).toSet
+    // ---- batch B: 4 dups accepted id 2 (sidecar knowledge), 5 new ----
+    Seq((4L, t2), (5L, t3)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    runOnce() // same checkpoint: AvailableNow drains just the new file
+    // only the new-doc survivors were appended; read just those files
+    // (the garbled batch-A payloads prove they were never opened)
+    val appended = new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")
+        && !preNames.contains(f.getName))
+    assert(appended.nonEmpty, "batch B must append its survivors")
+    val newIds = spark.read
+      .parquet(appended.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(newIds == Seq(5L),
+      s"4 must be dropped via the sidecar alone; got $newIds")
+    // sidecar tracks all accepted docs for the NEXT batch
+    val sigIds = spark.read.parquet(sidecar)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(1L, 2L, 5L))
+  }
 }
