@@ -203,10 +203,33 @@ object AggQueries {
     "q_agg_distinct" -> (qAggDistinct(_, _)),
     "q_agg_rollup" -> (qAggRollup(_, _)),
     "q_agg_cube" -> (qAggCube(_, _)),
-    "q_agg_approx" -> (qAggApprox(_, _))
+    "q_agg_approx" -> (qAggApprox(_, _)),
+    "q_agg_quantile_sketch" -> (qAggQuantileSketch(_, _))
   )
 
+  /** Exact deciles of l_extendedprice by the KLL-sketch-narrowed path
+    * (ops/Quantiles.scala): sketch proposes bands, exact counts certify
+    * the ε=0.02 rank bound, exact in-band selection publishes the true
+    * decile values — only ~10% of rows are ever sorted. The oracle twin
+    * recomputes the same integer rank ⌈i·n/10⌉ with a full window sort.
+    */
+  def qAggQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.sketchDeciles(
+      Tables.lineitem(spark, dir), "l_extendedprice")
+
   val oracles: Map[String, String] = Map(
+    "q_agg_quantile_sketch" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |cnt AS (SELECT count(*) AS n FROM v),
+        |ps AS (SELECT unnest(generate_series(1, 9)) AS i),
+        |r AS (SELECT i, i / 10.0 AS p,
+        |        greatest(1, (i * n + 9) // 10) AS r, n
+        |      FROM ps CROSS JOIN cnt),
+        |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT p, s.x AS exact_value, r.n AS n, TRUE AS rank_ok
+        |FROM r JOIN s ON s.rn = r.r
+        |ORDER BY p""".stripMargin,
     "q_agg_approx" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

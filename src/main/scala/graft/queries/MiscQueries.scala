@@ -83,6 +83,45 @@ object MiscQueries {
       .orderBy(col("flag"))
   }
 
+  /** Welch's two-sample t-test between every pair of event types —
+    * the A/B-readout statistic over a metric column. All moments are
+    * integer cent power sums (Exact.scala), so the final t / degrees
+    * of freedom are one identical double expression on both engines,
+    * rounded to 6 decimals. One aggregate over events + a 5×5 self
+    * cross of the 1-row-per-type stats frame (broadcast, trivially
+    * small at any corpus scale).
+    */
+  def qStatTtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), Exact.e2(col("value")).as("c"))
+      .filter(col("c").isNotNull)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("m", col("s1").cast("double") / col("n"))
+      // unbiased sample variance from integer sums
+      .withColumn("v",
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1))
+      .select(col("event_type"), col("n"), col("m"), col("v"))
+    val a = stats.select(col("event_type").as("type_a"),
+      col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = stats.select(col("event_type").as("type_b"),
+      col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+      .select(col("type_a"), col("type_b"),
+        round((col("ma") - col("mb")) / sqrt(col("se2")), 6).as("t_stat"),
+        // Welch–Satterthwaite degrees of freedom
+        round(col("se2") * col("se2") /
+          (col("va") * col("va") / (col("na") * col("na")
+              * (col("na") - 1))
+            + col("vb") * col("vb") / (col("nb") * col("nb")
+              * (col("nb") - 1))), 6).as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Funnel conversion over the event stream: users who clicked; users
     * whose first purchase follows their first click; users with repeat
     * (≥2) post-click purchases. Three counts from two small aggregates —
@@ -262,6 +301,7 @@ object MiscQueries {
     "q_merge_scd2" -> (qMergeScd2(_, _)),
     "q_cdc_diff" -> (qCdcDiff(_, _)),
     "q_stat_zscore" -> (qStatZscore(_, _)),
+    "q_stat_ttest" -> (qStatTtest(_, _)),
     "q_funnel_conversion" -> (qFunnelConversion(_, _)),
     "q_profile_skew" -> (qProfileSkew(_, _)),
     "q_lake_zorder" -> (qLakeZorder(_, _)),
@@ -372,6 +412,26 @@ object MiscQueries {
         |  FROM p3
         |  UNION ALL SELECT 'part.size->nation.nationkey', nc, nm FROM p4)
         |ORDER BY pair""".stripMargin,
+    "q_stat_ttest" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(c) AS DOUBLE) AS s1d,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE) AS s2d
+        |  FROM (SELECT event_type,
+        |          CAST(round(value * 100, 0) AS BIGINT) AS c
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s1d / n AS m,
+        |    (s2d - s1d * s1d / n) / (n - 1) AS v
+        |  FROM s)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+        |  round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |    (a.v * a.v / (a.n * a.n * (a.n - 1))
+        |      + b.v * b.v / (b.n * b.n * (b.n - 1))), 6) AS df
+        |FROM m a JOIN m b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_cdc_diff" ->
       """WITH nxt AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -197,7 +197,38 @@ object SqlQueries {
     spark.sql(recursiveBfsSql("lineitem_v"))
   }
 
+  /** Typed COGROUP (KeyValueGroupedDataset.cogroup): per-key streams
+    * of two datasets processed together by arbitrary Scala — the typed
+    * escape hatch when a join + agg can't express per-group logic
+    * (here it can, which is what makes it oracle-checkable: customers
+    * cogrouped with their orders → order count + exact cent sum, the
+    * LEFT JOIN + GROUP BY twin). Scale shape: one co-partitioned
+    * shuffle on the key, no driver involvement; money folds in integer
+    * cents (Exact.scala discipline).
+    */
+  def qTypedCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    cust.cogroup(ords) { (k, cs, os) =>
+      val cl = cs.toSeq
+      if (cl.isEmpty) Iterator.empty // orders of unknown customers
+      else {
+        var n = 0L
+        var cents = 0L
+        os.foreach { o => n += 1; cents += math.round(o._2 * 100) }
+        Iterator((k, cl.head._2, n, cents))
+      }
+    }.toDF("c_custkey", "acctbal", "n_orders", "sum_price_cents")
+      .orderBy(col("c_custkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_typed_cogroup" -> (qTypedCogroup(_, _)),
     "q_sql_recursive" -> (qSqlRecursive(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
@@ -211,6 +242,14 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_typed_cogroup" ->
+      """SELECT c.c_custkey, c.c_acctbal AS acctbal,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(SUM(CAST(round(o.o_totalprice * 100, 0)
+        |    AS BIGINT)), 0) AS BIGINT) AS sum_price_cents
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_acctbal
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_sql_recursive" -> recursiveBfsSql("lineitem"),
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, o_totalprice,

@@ -215,7 +215,83 @@ object StreamQueries {
                   (acc, x) -> acc * 0.5 + x.value * 0.5)""").as("ewma"))
       .orderBy(col("user_id"))
 
+  /** Streaming CDC compaction end-to-end under the driver harness: the
+    * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
+    * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
+    * two micro-batches — the later changes (seq 2/3) arrive FIRST, the
+    * seq-1 inserts arrive late — through StreamOps.cdcSink into a
+    * bucketed state table with tombstones. The live view must equal the
+    * full-log batch recompute, so it shares q_cdc_apply's DuckDB twin:
+    * stream-vs-batch equivalence as a hard oracle.
+    */
+  def qStreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_cdc_apply")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ins = o.select(col("o_orderkey").as("k"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), lit(2L).as("seq"),
+        lit("U").as("op"), (col("o_totalprice") + 10.0).as("price"))
+    val del = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"), lit(3L).as("seq"),
+        lit("D").as("op"), lit(null).cast("double").as("price"))
+    upd.unionByName(del).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ins.coalesce(1).write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    StreamOps.cdcSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$tmp/src").parquet(s"$tmp/src/*"),
+      "k", "seq", "op", s"$tmp/table", s"$tmp/cp", buckets = 16)
+    StreamOps.cdcState(spark, s"$tmp/table", "seq", "op")
+      .orderBy(col("k"))
+  }
+
+  /** Incremental aggregation (streaming materialized view) end-to-end:
+    * the events table split into two micro-batches by event-id parity,
+    * each batch's per-user partial (count, integer-cent sum) MERGED
+    * into the bucketed state table by addition — never re-reading
+    * earlier batches. The final state must equal a one-shot GROUP BY
+    * over all events (integer sums are order-independent), which is
+    * exactly the DuckDB twin: incremental-vs-recompute equivalence as
+    * a hard oracle.
+    */
+  def qStreamAggUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_agg_upsert")
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100, 0).cast("bigint").as("v_cents"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    StreamOps.aggSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$tmp/src").parquet(s"$tmp/src/*")
+        .drop("event_id"),
+      Seq("user_id"), Seq("v_cents"),
+      s"$tmp/table", s"$tmp/cp", buckets = 16)
+    spark.read.parquet(s"$tmp/table")
+      .select(col("user_id"), col("cnt"), col("sum_v_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
+    "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -229,6 +305,15 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same twin as q_cdc_apply: the streamed, out-of-order, tombstoned
+    // application must equal the full-log recompute.
+    "q_stream_cdc_apply" -> MiscQueries.oracles("q_cdc_apply"),
+    "q_stream_agg_upsert" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_cents
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_time_ewma" ->
       """SELECT user_id, COUNT(*) AS n,
         |  list_reduce(list(value ORDER BY ts, event_id),

@@ -262,6 +262,21 @@ object StreamOps {
         row_number().over(Window.partitionBy(col(keyCol))
           .orderBy(col(tsCol).desc)))
       .filter(col("_rn") === 1).drop("_rn")
+    swapAffectedBuckets(latest, tablePath, affected.toIndexedSeq)
+  }
+
+  /** Write `latest` (which must carry a `bucket` column limited to the
+    * `affected` ids) partitioned by bucket, then swap each affected
+    * partition into the live table with the rename-aside discipline
+    * (see `upsertBatch` scaladoc: a crash leaves every partition
+    * complete — old or new, never absent). Shared by every
+    * partition-scoped foreachBatch sink.
+    */
+  private def swapAffectedBuckets(latest: DataFrame, tablePath: String,
+                                  affected: Seq[Int]): Unit = {
+    val spark = latest.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       tablePath.stripSuffix("/") + "._staged")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -276,16 +291,247 @@ object StreamOps {
       val hadOld = fs.exists(dPart)
       if (hadOld && !fs.rename(dPart, oPart))
         throw new java.io.IOException(
-          s"upsertBatch: rename $dPart -> $oPart failed")
-      if (!fs.rename(tPart, dPart)) {
+          s"swapAffectedBuckets: rename $dPart -> $oPart failed")
+      if (!fs.exists(tPart)) {
+        // a batch can delete every key in a bucket: swap in "empty"
+        if (hadOld) fs.delete(oPart, true)
+      } else if (!fs.rename(tPart, dPart)) {
         if (hadOld) fs.rename(oPart, dPart) // roll back
         throw new java.io.IOException(
-          s"upsertBatch: rename $tPart -> $dPart failed")
-      }
-      if (hadOld) fs.delete(oPart, true)
+          s"swapAffectedBuckets: rename $tPart -> $dPart failed")
+      } else if (hadOld) fs.delete(oPart, true)
     }
     fs.delete(tmp, true)
     ()
+  }
+
+  /** Streaming CDC-log compaction: continuously apply a
+    * debezium-style change stream (key, seq, op ∈ {I,U,D}, attrs…) to
+    * a keyed parquet state table — the incremental form of
+    * `Merge.cdcApply`, which recomputes from the full log. The state
+    * table stores each key's latest-applied (seq, op, attrs) — a
+    * winning `D` persists as a TOMBSTONE row, not an absence, so a
+    * late micro-batch carrying a lower-seq change can neither
+    * overwrite newer state nor resurrect a deleted key (exactly the
+    * full-recompute semantics). Read the live view with [[cdcState]].
+    *
+    * Partition-scoped like `upsertSink`: per batch, only the bucket
+    * partitions containing the batch's keys are read and swapped —
+    * O(affected buckets + batch) per batch, never O(table).
+    * Same-seq redelivery is deterministic: `D` outranks a tied state
+    * row, and a tied `U` is attribute-identical by the seq-uniqueness
+    * contract (`Merge.cdcApply` scaladoc). At 100 TB, tombstones are
+    * garbage: compact them away once the producer's max-lateness
+    * horizon has passed their seq (a partition-scoped rewrite, same
+    * swap discipline).
+    */
+  def cdcSink(stream: DataFrame, keyCol: String, seqCol: String,
+              opCol: String, tablePath: String, checkpoint: String,
+              buckets: Int = 16): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcBatch(batch, keyCol, seqCol, opCol, tablePath, buckets)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One incremental CDC application (the foreachBatch body of
+    * `cdcSink`, exposed for direct batch use and tests).
+    */
+  def cdcBatch(rawBatch: DataFrame, keyCol: String, seqCol: String,
+               opCol: String, tablePath: String, buckets: Int): Unit = {
+    val spark = rawBatch.sparkSession
+    val batch = rawBatch.withColumn("bucket",
+      pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int"))
+    val affected = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ `buckets` ints
+    if (affected.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDirs = affected
+      .map(b => new org.apache.hadoop.fs.Path(dest, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    // state rows (op column stored, D rows = tombstones) re-enter the
+    // contest at their stored seq; on a same-seq redelivery tie the
+    // asc op tiebreak lets a D beat a tied U deterministically
+    val state =
+      if (existingDirs.isEmpty) None
+      else Some(spark.read.option("basePath", tablePath)
+        .parquet(existingDirs.toIndexedSeq: _*))
+    val merged = state.fold(batch)(_.unionByName(batch))
+    import org.apache.spark.sql.expressions.Window
+    val winner = merged.withColumn("_rn",
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(seqCol).desc, col(opCol).asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    swapAffectedBuckets(winner, tablePath, affected.toIndexedSeq)
+  }
+
+  /** Live view of a [[cdcSink]] state table: tombstones filtered, the
+    * bookkeeping columns (seq, op, bucket) dropped — the same shape
+    * `Merge.cdcApply` returns from a full-log recompute.
+    */
+  def cdcState(spark: org.apache.spark.sql.SparkSession,
+               tablePath: String, seqCol: String, opCol: String)
+      : DataFrame =
+    spark.read.parquet(tablePath)
+      .filter(col(opCol) =!= "D")
+      .drop(seqCol, opCol, "bucket")
+
+  /** Tombstone GC for a [[cdcSink]] state table: rewrite every bucket
+    * dropping `D` rows with seq ≤ `horizon`. The horizon is the
+    * producer's max-lateness bound — once no change below it can still
+    * arrive, its tombstones carry no information. Runs under the same
+    * partition-swap discipline as the sink itself (crash ⇒ every
+    * bucket complete, old or new). A tombstone ABOVE the horizon
+    * stays: it is still fencing possible late arrivals.
+    */
+  def cdcCompact(spark: org.apache.spark.sql.SparkSession,
+                 tablePath: String, seqCol: String, opCol: String,
+                 horizon: Long): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) return
+    val buckets = fs.listStatus(dest).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).sorted
+    if (buckets.isEmpty) return
+    val kept = spark.read.parquet(tablePath)
+      .filter(col(opCol) =!= "D" || col(seqCol) > horizon)
+    swapAffectedBuckets(kept, tablePath, buckets)
+  }
+
+  /** Streaming INCREMENTAL AGGREGATION sink (materialized-view
+    * maintenance for distributive aggregates): each micro-batch's
+    * partial per-key (count, sum) merges into a keyed state table by
+    * ADDITION — the state never re-reads source data, so per-batch
+    * cost is O(batch + affected buckets) while a naive recompute is
+    * O(history). Works for any aggregate with a commutative monoid
+    * merge (count/sum/min/max follow the same shape); sums use
+    * caller-provided INTEGER columns (fixed-point-scale money first —
+    * see Exact.scala) so incremental addition is order-independent and
+    * bit-equal to a one-shot recompute.
+    *
+    * This is the streaming twin of `groupBy(key).agg(...)`: parity
+    * (streamed state == batch recompute) is spec-pinned and
+    * oracle-checked by q_stream_agg_upsert.
+    */
+  def aggSink(stream: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+              tablePath: String, checkpoint: String,
+              buckets: Int = 16): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        aggBatch(batch, keyCols, sumCols, tablePath, buckets)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One incremental aggregation merge (the foreachBatch body of
+    * `aggSink`). State schema: keys…, cnt, sum_<c>…, bucket.
+    */
+  def aggBatch(rawBatch: DataFrame, keyCols: Seq[String],
+               sumCols: Seq[String], tablePath: String,
+               buckets: Int): Unit = {
+    val spark = rawBatch.sparkSession
+    val aggs = count(lit(1)).as("cnt") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val partial = rawBatch.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket",
+        pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast("int"))
+    val affected = partial.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ `buckets` ints
+    if (affected.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDirs = affected
+      .map(b => new org.apache.hadoop.fs.Path(dest, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val merged =
+      if (existingDirs.isEmpty) partial
+      else {
+        val mergeAggs = sum(col("cnt")).as("cnt") +:
+          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+        spark.read.option("basePath", tablePath)
+          .parquet(existingDirs.toIndexedSeq: _*)
+          .unionByName(partial)
+          .groupBy((keyCols :+ "bucket").map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+      }
+    swapAffectedBuckets(merged, tablePath, affected.toIndexedSeq)
+  }
+
+  /** Streaming SCD-2 dimension maintenance: each micro-batch of
+    * dimension updates is folded into a partitioned history table with
+    * `Merge.scd2` — current versions close, fresh keys insert,
+    * no-op updates emit nothing. Batch contract matches `Merge.scd2`:
+    * at most one change per key per micro-batch reaches history (a
+    * multi-change batch is pre-collapsed to its latest state by
+    * `tsCol`); finer-grained history wants smaller trigger intervals.
+    *
+    * Partition-scoped: a batch reads and swaps only the bucket
+    * partitions holding its keys' FULL version history (closed rows
+    * pass through `Merge.scd2` untouched; they are rewritten but not
+    * joined). O(affected buckets + batch) I/O per batch.
+    */
+  def scd2Sink(stream: DataFrame, keys: Seq[String], tsCol: String,
+               tablePath: String, checkpoint: String,
+               buckets: Int = 16): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(batch, keys, tsCol, tablePath, buckets)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One incremental SCD-2 fold (the foreachBatch body of `scd2Sink`,
+    * exposed for direct batch use and tests).
+    */
+  def scd2Batch(rawBatch: DataFrame, keys: Seq[String], tsCol: String,
+                tablePath: String, buckets: Int): Unit = {
+    val spark = rawBatch.sparkSession
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(buckets))
+      .cast("int")
+    import org.apache.spark.sql.expressions.Window
+    val latest = rawBatch.withColumn("_rn",
+        row_number().over(Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(tsCol).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val batch = latest.withColumn("bucket", bucketOf)
+    val affected = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ `buckets` ints
+    if (affected.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDirs = affected
+      .map(b => new org.apache.hadoop.fs.Path(dest, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val attrs = rawBatch.columns
+      .filterNot(keys.toSet + tsCol).toSeq
+    val history =
+      if (existingDirs.nonEmpty)
+        spark.read.option("basePath", tablePath)
+          .parquet(existingDirs.toIndexedSeq: _*).drop("bucket")
+      else latest.select((keys ++ attrs).map(col): _*).limit(0)
+        .withColumn("valid_from", lit(null).cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+    val folded = graft.ops.Merge
+      .scd2(history, batch.drop("bucket"), keys, tsCol)
+      .withColumn("bucket", bucketOf)
+    swapAffectedBuckets(folded, tablePath, affected.toIndexedSeq)
   }
 
   /** Streaming corpus ingestion with cross-batch NEAR-dedup — the

@@ -417,4 +417,158 @@ class FileStreamSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted.toSeq
     assert(sigIds == Seq(1L, 2L, 5L))
   }
+
+  test("cdcSink: streamed out-of-order log == batch cdcApply recompute") {
+    val dir = Files.createTempDirectory("cdc-sink").toString
+    val keys = (1L to 20L).toSeq
+    val ins = keys.map(k => (k, 1L, "I", k * 10.0))
+    val upd = keys.filter(_ % 3 == 0).map(k => (k, 2L, "U", k * 10.0 + 1))
+    val del = keys.filter(_ % 5 == 0)
+      .map(k => (k, 3L, "D", Option.empty[Double].getOrElse(0.0)))
+    // batch 1 carries the LATER changes (seq 2/3) plus even-key inserts;
+    // batch 2 delivers the odd-key seq-1 inserts LATE — they must lose
+    // to already-applied higher-seq state, and deleted keys stay dead
+    val b1 = ins.filter(_._1 % 2 == 0) ++ upd ++ del
+    val b2 = ins.filter(_._1 % 2 == 1)
+    b1.toDF("k", "seq", "op", "price").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    b2.toDF("k", "seq", "op", "price").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    StreamOps.cdcSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*"),
+      "k", "seq", "op", s"$dir/table", s"$dir/cp", buckets = 4)
+
+    val streamed = StreamOps.cdcState(spark, s"$dir/table", "seq", "op")
+      .select("k", "price").as[(Long, Double)].collect().toSeq.sorted
+    val full = (b1 ++ b2).toDF("k", "seq", "op", "price")
+    val recomputed = graft.ops.Merge.cdcApply(full, "k", "seq", "op")
+      .select("k", "price").as[(Long, Double)].collect().toSeq.sorted
+    assert(streamed == recomputed,
+      s"streamed=$streamed\nrecomputed=$recomputed")
+    // spot semantics: %15 keys got U then D → dead; late insert of
+    // key 5 (deleted at seq 3) must not resurrect it
+    assert(!streamed.exists(_._1 == 5L))
+    assert(streamed.exists { case (k, p) => k == 3L && p == 31.0 })
+  }
+
+  test("scd2Sink: streamed micro-batches == sequential batch scd2") {
+    val dir = Files.createTempDirectory("scd2-sink").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: initial dim; batch 2: one real change (1), one no-op
+    // (2), one fresh key (4)
+    val b1 = Seq((1L, "gold", ts("2024-01-01 00:00:00")),
+      (2L, "silver", ts("2024-01-01 00:00:00")),
+      (3L, "bronze", ts("2024-01-01 00:00:00")))
+    val b2 = Seq((1L, "platinum", ts("2024-06-01 00:00:00")),
+      (2L, "silver", ts("2024-06-01 00:00:00")),
+      (4L, "gold", ts("2024-06-01 00:00:00")))
+    b1.toDF("k", "tier", "eff").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    b2.toDF("k", "tier", "eff").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    StreamOps.scd2Sink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*"),
+      Seq("k"), "eff", s"$dir/table", s"$dir/cp", buckets = 4)
+
+    type V = (Long, String, java.sql.Timestamp, Option[Long])
+    def versions(df: org.apache.spark.sql.DataFrame): Seq[V] =
+      df.select(col("k"), col("tier"), col("valid_from"),
+          col("valid_to").cast("long"))
+        .as[(Long, String, java.sql.Timestamp, Option[Long])]
+        .collect().toSeq.sortBy(v => (v._1, v._3.getTime))
+    val streamed = versions(
+      spark.read.parquet(s"$dir/table").drop("bucket"))
+    val empty = b1.toDF("k", "tier", "eff").limit(0).drop("eff")
+      .withColumn("valid_from", lit(null).cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val afterB1 = graft.ops.Merge.scd2(empty,
+      b1.toDF("k", "tier", "eff"), "k", "eff")
+    val afterB2 = graft.ops.Merge.scd2(afterB1,
+      b2.toDF("k", "tier", "eff"), "k", "eff")
+    assert(streamed == versions(afterB2),
+      s"streamed=$streamed\nbatch=${versions(afterB2)}")
+    // key 1 has a closed + a current version; key 2 exactly one row
+    assert(streamed.count(_._1 == 1L) == 2)
+    assert(streamed.count(_._1 == 2L) == 1)
+    assert(streamed.exists(v => v._1 == 4L && v._2 == "gold"))
+  }
+
+  test("cdcCompact: sub-horizon tombstones GC'd, live state untouched") {
+    val dir = Files.createTempDirectory("cdc-gc").toString
+    val log = Seq(
+      (1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (3L, 1L, "I", 30.0),
+      (2L, 2L, "D", 0.0), (3L, 5L, "D", 0.0))
+    StreamOps.cdcBatch(log.toDF("k", "seq", "op", "price"),
+      "k", "seq", "op", s"$dir/table", buckets = 4)
+    def ops() = spark.read.parquet(s"$dir/table")
+      .select("k", "op").as[(Long, String)].collect().toSeq.sorted
+    assert(ops() == Seq((1L, "I"), (2L, "D"), (3L, "D")))
+    StreamOps.cdcCompact(spark, s"$dir/table", "seq", "op", horizon = 3L)
+    // seq-2 tombstone is past the lateness horizon → gone; the seq-5
+    // one is still fencing possible late arrivals → stays
+    assert(ops() == Seq((1L, "I"), (3L, "D")))
+    val live = StreamOps.cdcState(spark, s"$dir/table", "seq", "op")
+      .select("k", "price").as[(Long, Double)].collect().toSeq.sorted
+    assert(live == Seq((1L, 10.0)))
+  }
+
+  test("aggSink: incremental merge equals one-shot groupBy recompute") {
+    val dir = Files.createTempDirectory("agg-sink").toString
+    val rows = (1L to 300L).map(i => (i, i % 7, i * 3))
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    b1.toDF("id", "k", "v").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    b2.toDF("id", "k", "v").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    StreamOps.aggSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*")
+        .drop("id"),
+      Seq("k"), Seq("v"), s"$dir/table", s"$dir/cp", buckets = 4)
+    val streamed = spark.read.parquet(s"$dir/table")
+      .select("k", "cnt", "sum_v").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    val recomputed = rows.groupBy(_._2).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq.sorted
+    assert(streamed == recomputed)
+    // second run with only a NEW batch must keep merging, not reset
+    val b3 = Seq((1000L, 0L, 5L), (1001L, 99L, 7L))
+    b3.toDF("id", "k", "v").coalesce(1)
+      .write.parquet(s"$dir/src/c.parquet")
+    dataFile(s"$dir/src/c.parquet")
+      .setLastModified(System.currentTimeMillis())
+    StreamOps.aggSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*")
+        .drop("id"),
+      Seq("k"), Seq("v"), s"$dir/table", s"$dir/cp", buckets = 4)
+    val after = spark.read.parquet(s"$dir/table")
+      .select("k", "cnt", "sum_v").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    val expected = (rows ++ b3).groupBy(_._2).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._3).sum)
+    }.toSeq.sorted
+    assert(after == expected)
+  }
 }
