@@ -27,7 +27,48 @@ object Multimodal {
 
   case class MediaFeatures(path: String, length: Long, fingerprint: Long,
                            width: Int, height: Int, n_frames: Int,
-                           mean_luma: Double)
+                           mean_luma: Double, dhash: Long)
+
+  /** 9×8 mean-luma grid accumulated DURING decode (no second pixel
+    * pass), for the 64-bit difference hash (dHash, the standard
+    * perceptual image fingerprint: bit r·8+c = "cell (r,c+1) brighter
+    * than cell (r,c)"). Comparisons are scale-invariant, so any
+    * monotone luma normalization yields the same hash — which is what
+    * makes the hash CROSS-FORMAT: the same raster decoded from PGM,
+    * BMP or PNG produces identical bits (spec-pinned). Near-duplicate
+    * rasters (re-encodes, small edits) land within a small Hamming
+    * distance; see [[imageNearDupPairs]]. Cells of images narrower
+    * than the grid stay empty and read 0.
+    */
+  private final class LumaGrid(w: Int, h: Int) {
+    private val sums = new Array[Double](72)
+    private val cnts = new Array[Long](72)
+    def add(x: Int, y: Int, luma: Double): Unit = {
+      val c = ((y.toLong * 8) / h).toInt * 9 + ((x.toLong * 9) / w).toInt
+      sums(c) += luma
+      cnts(c) += 1
+    }
+    def dhash: Long = {
+      val cell = new Array[Double](72)
+      var i = 0
+      while (i < 72) {
+        cell(i) = if (cnts(i) == 0) 0.0 else sums(i) / cnts(i)
+        i += 1
+      }
+      var hsh = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (cell(r * 9 + c + 1) > cell(r * 9 + c))
+            hsh |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hsh
+    }
+  }
 
   /** Ingest a directory of opaque media blobs. `binaryFile` gives
     * (path, modificationTime, length, content) with partitioning by file —
@@ -83,17 +124,20 @@ object Multimodal {
         var lumaSum = 0.0
         var px = 0L
         val n = w.toLong * h
+        val grid = new LumaGrid(w, h)
         while (px < n) {
-          lumaSum +=
-            (if (isColor)
+          val luma =
+            if (isColor)
               0.299 * sample(px * 3) + 0.587 * sample(px * 3 + 1) +
                 0.114 * sample(px * 3 + 2)
-            else sample(px).toDouble)
+            else sample(px).toDouble
+          lumaSum += luma
+          grid.add((px % w).toInt, (px / w).toInt, luma / maxval)
           px += 1
         }
         MediaFeatures(path = m.path, length = m.length,
           fingerprint = fnv(b), width = w, height = h, n_frames = 1,
-          mean_luma = lumaSum / n / maxval)
+          mean_luma = lumaSum / n / maxval, dhash = grid.dhash)
       }
     } catch { case _: NumberFormatException => None }
   }
@@ -126,22 +170,27 @@ object Multimodal {
       return None
     var lumaSum = 0.0
     var row = 0
+    val grid = new LumaGrid(w, h)
     while (row < h) {
       val base = dataOffset + row * rowSize
+      // stored bottom-up when height is positive: logical y flips
+      val y = if (hRaw > 0) h - 1 - row else row
       var x = 0
       while (x < w) {
         val p = (base + x.toLong * bytesPerPx).toInt
         val blue = b(p) & 0xff
         val green = b(p + 1) & 0xff
         val red = b(p + 2) & 0xff
-        lumaSum += 0.299 * red + 0.587 * green + 0.114 * blue
+        val luma = 0.299 * red + 0.587 * green + 0.114 * blue
+        lumaSum += luma
+        grid.add(x, y, luma / 255.0)
         x += 1
       }
       row += 1
     }
     Some(MediaFeatures(path = m.path, length = m.length,
       fingerprint = fnv(b), width = w, height = h, n_frames = 1,
-      mean_luma = lumaSum / (w.toLong * h) / 255.0))
+      mean_luma = lumaSum / (w.toLong * h) / 255.0, dhash = grid.dhash))
   }
 
   /** REAL decoder for PNG — pure JVM: the zlib stream is
@@ -261,9 +310,10 @@ object Multimodal {
     var lumaSum = 0.0
     var px = 0L
     val n = w * h
+    val grid = new LumaGrid(w.toInt, h.toInt)
     while (px < n) {
       val q = (px * channels).toInt
-      lumaSum += (colorType match {
+      val luma = colorType match {
         case 0 | 4 => (img(q) & 0xff).toDouble
         case 3 =>
           val e = (img(q) & 0xff) * 3
@@ -273,12 +323,14 @@ object Multimodal {
         case _ =>
           0.299 * (img(q) & 0xff) + 0.587 * (img(q + 1) & 0xff) +
             0.114 * (img(q + 2) & 0xff)
-      })
+      }
+      lumaSum += luma
+      grid.add((px % w).toInt, (px / w).toInt, luma / 255.0)
       px += 1
     }
     Some(MediaFeatures(path = m.path, length = m.length,
       fingerprint = fnv(b), width = w.toInt, height = h.toInt,
-      n_frames = 1, mean_luma = lumaSum / n / 255.0))
+      n_frames = 1, mean_luma = lumaSum / n / 255.0, dhash = grid.dhash))
   }
 
   /** GIF LZW decompression (variable-width codes starting at
@@ -372,8 +424,23 @@ object Multimodal {
       if (p + n > b.length) return None
       gct = java.util.Arrays.copyOfRange(b, p, p + n); p += n
     }
+    // GIF interlace stores rows in 4 passes (0,8,…; 4,12,…; 2,6,…;
+    // 1,3,…): map the stored-sequence row back to its logical y so the
+    // dHash grid sees true geometry (the mean is order-blind)
+    def logicalRow(seq: Int, ih: Int, interlaced: Boolean): Int =
+      if (!interlaced) seq
+      else {
+        val n1 = (ih + 7) / 8
+        val n2 = if (ih > 4) (ih - 4 + 7) / 8 else 0
+        val n3 = if (ih > 2) (ih - 2 + 3) / 4 else 0
+        if (seq < n1) seq * 8
+        else if (seq < n1 + n2) 4 + (seq - n1) * 8
+        else if (seq < n1 + n2 + n3) 2 + (seq - n1 - n2) * 4
+        else 1 + (seq - n1 - n2 - n3) * 2
+      }
     var frames = 0
     var firstLuma = -1.0
+    var firstDhash = 0L
     while (p < b.length) {
       (b(p) & 0xff) match {
         case 0x3b => p = b.length // trailer
@@ -413,16 +480,22 @@ object Multimodal {
               case Some(a) => a
               case None    => return None
             }
+            val interlaced = (iflags & 0x40) != 0
+            val grid = new LumaGrid(iw, ih)
             var s = 0.0
             var i = 0
             while (i < idx.length) {
               val e = (idx(i) & 0xff) * 3
               if (e + 2 >= ct.length) return None
-              s += 0.299 * (ct(e) & 0xff) + 0.587 * (ct(e + 1) & 0xff) +
-                0.114 * (ct(e + 2) & 0xff)
+              val luma = 0.299 * (ct(e) & 0xff) +
+                0.587 * (ct(e + 1) & 0xff) + 0.114 * (ct(e + 2) & 0xff)
+              s += luma
+              grid.add(i % iw, logicalRow(i / iw, ih, interlaced),
+                luma / 255.0)
               i += 1
             }
             firstLuma = s / (iw.toLong * ih) / 255.0
+            firstDhash = grid.dhash
           }
         case _ => return None
       }
@@ -430,7 +503,7 @@ object Multimodal {
     if (frames == 0 || firstLuma < 0) return None
     Some(MediaFeatures(path = m.path, length = m.length,
       fingerprint = fnv(b), width = sw, height = sh,
-      n_frames = frames, mean_luma = firstLuma))
+      n_frames = frames, mean_luma = firstLuma, dhash = firstDhash))
   }
 
   case class AudioFeatures(path: String, length: Long, fingerprint: Long,
@@ -647,7 +720,10 @@ object Multimodal {
       width = 320 + (((h % 1600) + 1600) % 1600).toInt,
       height = 240 + (((h >>> 11) % 900)).toInt,
       n_frames = 1 + ((h >>> 23) % 240).toInt,
-      mean_luma = ((h >>> 33) % 256).toDouble / 255.0)
+      mean_luma = ((h >>> 33) % 256).toDouble / 255.0,
+      // splitmix-style scramble: a deterministic stand-in hash, well
+      // scattered so stub blobs never collide into near-dup pairs
+      dhash = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L)
   }
 
   /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
@@ -665,6 +741,50 @@ object Multimodal {
           .orElse(decodeGif(m))
           .getOrElse(fakeDecode(m)))
     }
+  }
+
+  /** Perceptual near-duplicate image pairs by dHash Hamming distance —
+    * the image-side analog of MinHash-LSH text dedup, and the same
+    * scale shape: band the 64-bit hash into (maxHamming+1) contiguous
+    * slices; by pigeonhole, any pair within the distance budget agrees
+    * EXACTLY on at least one slice, so candidates come from an
+    * equi-join on (slice index, slice bits) — never an all-pairs
+    * comparison — and one popcount(xor) filter certifies the true
+    * distance. Shuffle carries (id, hash, slice) triples, not images.
+    *
+    * Input: the `extractFeatures` output (or any frame with `idCol`
+    * and a `dhash` column). Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(features: DataFrame, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      "maxHamming must be in [0, 16)")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val sliced = features.select(col(idCol).as("__id"), col("dhash"))
+      .select(col("__id"), col("dhash"),
+        explode(array((0 until bands).map { i =>
+          val hi = if (i == bands - 1) 64 else (i + 1) * width
+          struct(lit(i).as("slice"),
+            // slice i covers bits [i·width, hi): last takes the tail
+            shiftrightunsigned(col("dhash"), i * width)
+              .bitwiseAND(lit(if (hi - i * width >= 64) -1L
+                              else (1L << (hi - i * width)) - 1))
+              .as("bits"))
+        }: _*)).as("s"))
+      .select(col("__id"), col("dhash"),
+        col("s.slice").as("slice"), col("s.bits").as("bits"))
+    val a = sliced.select(col("__id").as("id_a"),
+      col("dhash").as("h_a"), col("slice"), col("bits"))
+    val b = sliced.select(col("__id").as("id_b"),
+      col("dhash").as("h_b"), col("slice"), col("bits"))
+    a.join(b, Seq("slice", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Frame sampling plan: every `stride`-th frame index, as a column op

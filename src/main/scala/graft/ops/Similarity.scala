@@ -342,4 +342,97 @@ object Similarity {
   private def hyperplaneTableSig(vec: org.apache.spark.sql.Column, nBits: Int,
                                  t: Int): org.apache.spark.sql.Column =
     call_function("hyperplane_sig", vec, lit(t), lit(nBits))
+
+  /** Product quantization ANN (Jégou, Douze & Schmid, TPAMI'11) — the
+    * memory-compression path that makes billion-vector corpora
+    * searchable: split each d-dim vector into `m` subspaces, quantize
+    * each slice against a k-entry per-subspace codebook (here the
+    * deterministic md5-sampled codebook, the same init discipline as
+    * kmeansFit), and search with Asymmetric Distance Computation — the
+    * query builds an m×k lookup table of exact slice distances and a
+    * corpus vector's approximate L2² is the sum of m table entries
+    * picked by its codes.
+    *
+    * Scale shape: the codebook (m·k slices) and the per-query LUT
+    * (|Q|·m·k rows) broadcast; encoding is a map-side argmin
+    * (min-of-struct partial aggregate, no window shuffle); ADC is an
+    * equi-join on (subspace, code) + a per-(query, vector) ordered
+    * fold of m doubles. The corpus crosses the shuffle as CODES
+    * (m bytes-worth per vector), never as float vectors — that is the
+    * whole point of PQ. A final exact re-rank touches only the
+    * |Q|·topK candidates.
+    *
+    * All arithmetic is order-pinned (zip_with + ordered fold; ADC sums
+    * fold in subspace order) → bit-identical cross-engine, oracle-
+    * checkable end to end.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             m: Int, k: Int, dim: Int, nQueries: Int,
+             topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val v = CacheScope.cached(
+      emb.select(col(idCol).as("pid"), col(vecCol).as("pv")))
+    val sliceExpr = (src: String) => expr(
+      s"transform(sequence(0, ${m - 1}), mi -> " +
+        s"struct(mi as mi, slice($src, mi * $sub + 1, $sub) as sv))")
+    // deterministic codebook: md5-ordered k sample vectors, sliced
+    val codebook = CacheScope.cached(
+      v.withColumn("_h", md5(col("pid").cast("string")))
+        .orderBy(col("_h"), col("pid")).limit(k)
+        .select(row_number().over(Window.orderBy(col("_h"), col("pid")))
+          .as("cent_id"), col("pv"))
+        .select(col("cent_id"), explode(sliceExpr("pv")).as("s"))
+        .select(col("s.mi").as("mi"), col("cent_id"),
+          col("s.sv").as("cent")))
+    val l2 = expr(
+      "aggregate(zip_with(sv, cent, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
+        "(acc, d) -> acc + d)")
+    // encode: per (vector, subspace) argmin over the broadcast codebook
+    // — min-of-struct is a partial-aggregable map-side reduction
+    val codes = CacheScope.cached(
+      v.select(col("pid"), explode(sliceExpr("pv")).as("s"))
+        .select(col("pid"), col("s.mi").as("mi"), col("s.sv").as("sv"))
+        .join(broadcast(codebook), "mi")
+        .select(col("pid"), col("mi"),
+          struct(l2.as("d"), col("cent_id").as("c")).as("dc"))
+        .groupBy(col("pid"), col("mi"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("pid"), col("mi"), col("best.c").as("code")))
+    // per-query ADC lookup table: exact slice distance to every
+    // codebook entry
+    val lut = v.filter(col("pid") < nQueries)
+      .select(col("pid").as("qid"), explode(sliceExpr("pv")).as("s"))
+      .select(col("qid"), col("s.mi").as("mi"), col("s.sv").as("sv"))
+      .join(broadcast(codebook), "mi")
+      .select(col("qid"), col("mi"), col("cent_id"), l2.as("d"))
+    // ADC: codes pick their LUT entries; fold in subspace order so the
+    // 4-double sum is bit-deterministic
+    val adc = codes.join(broadcast(lut),
+        codes("mi") === lut("mi") && codes("code") === lut("cent_id"))
+      .drop(lut("mi"))
+      .filter(col("qid") =!= col("pid"))
+      .groupBy(col("qid"), col("pid"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(mi, d))), " +
+        "0D, (acc, s) -> acc + s.d)").as("adc"))
+    val top = adc.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("pid"))))
+      .filter(col("rnk") <= topK)
+    // exact re-rank of the topK candidates only
+    val exact = expr(
+      "aggregate(zip_with(qv, cv, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
+        "(acc, d) -> acc + d)")
+    top
+      .join(v.select(col("pid").as("qid"), col("pv").as("qv")), "qid")
+      .join(v.select(col("pid"), col("pv").as("cv")), "pid")
+      .select(col("qid").as("query_id"), col("pid").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_r6"),
+        round(exact, 6).as("l2_r6"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

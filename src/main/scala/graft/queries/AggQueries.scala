@@ -70,37 +70,57 @@ object AggQueries {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
-  /** Approximate aggregates (HLL distinct + KLL-style quantile sketch)
-    * certified against exact recomputation: the sketches themselves differ
-    * across engines, so the published columns are the EXACT distinct count
-    * plus booleans asserting the approximation landed inside its published
-    * error bound — |HLL − exact| ≤ 3·rsd·exact, and each approx percentile
-    * inside the exact-quantile window [p−0.005, p+0.005] (Spark's
-    * percentile_approx rank error is 1/accuracy = 1e-4, so 50× headroom).
-    * Spark's sketches are deterministic on fixed input, so the booleans are
-    * stable; the DuckDB twin recomputes the exact side and emits TRUE —
-    * a hard oracle over the approximation contract, not the sketch bits.
+  /** Approximate aggregates (HLL distinct + percentile_approx)
+    * certified against exact recomputation: the sketches themselves
+    * differ across engines, so the published columns are the EXACT
+    * distinct count plus booleans asserting each approximation landed
+    * inside its error bound — |HLL − exact| ≤ 3·rsd·exact, and each
+    * approx percentile's EXACT RANK within p·n ± 0.005·n (Spark's
+    * percentile_approx rank error is 1/accuracy = 1e-4, so 50×
+    * headroom), checked in pure integer arithmetic. Spark's sketches
+    * are deterministic on fixed input, so the booleans are stable; the
+    * DuckDB twin recomputes the exact side and emits TRUE — a hard
+    * oracle over the approximation contract, not the sketch bits.
+    *
+    * Shape (the propose→certify discipline of ops/Quantiles.scala):
+    * one partial-aggregable sketch pass, one conditional-aggregation
+    * scan for the proposals' exact ranks (never a per-group sort), one
+    * shuffle for the exact distinct count. Driver state: one row per
+    * group — bounded.
     */
   def qAggApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_orderkey").as("exact_orders"),
+    val li = graft.ops.CacheScope.cached(
+      Tables.lineitem(spark, dir).select($"l_returnflag".as("flag"),
+        $"l_orderkey", $"l_extendedprice".as("x")))
+    val approx = li.groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
-          .as("amed"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-          .as("ap95"),
-        percentile($"l_extendedprice", lit(0.495)).as("mlo"),
-        percentile($"l_extendedprice", lit(0.505)).as("mhi"),
-        percentile($"l_extendedprice", lit(0.945)).as("plo"),
-        percentile($"l_extendedprice", lit(0.955)).as("phi"))
+        percentile_approx($"x", lit(0.5), lit(10000)).as("amed"),
+        percentile_approx($"x", lit(0.95), lit(10000)).as("ap95"))
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val aggs = approx.toSeq.flatMap { case (f, _, _, amed, ap95) => Seq(
+      sum(when($"flag" === f && $"x" <= amed, 1L).otherwise(0L))
+        .as(s"rm_$f"),
+      sum(when($"flag" === f && $"x" <= ap95, 1L).otherwise(0L))
+        .as(s"rp_$f")) }
+    val cert = li.agg(aggs.head, aggs.tail: _*).head()
+    val checks = approx.toSeq.map { case (f, n, ao, _, _) =>
+      val rm = cert.getAs[Long](s"rm_$f")
+      val rp = cert.getAs[Long](s"rp_$f")
+      // |rank − 0.5n| ≤ 0.005n  ⇔  100·|2·rank − n| ≤ n
+      val medianOk = 100L * math.abs(2L * rm - n) <= n
+      // |rank − 0.95n| ≤ 0.005n ⇔  10·|20·rank − 19n| ≤ n
+      val p95Ok = 10L * math.abs(20L * rp - 19L * n) <= n
+      (f, ao, medianOk, p95Ok)
+    }.toDF("l_returnflag", "approx_orders", "median_ok", "p95_ok")
+    li.groupBy($"flag".as("l_returnflag"))
+      .agg(countDistinct($"l_orderkey").as("exact_orders"))
+      .join(broadcast(checks), "l_returnflag")
       .select($"l_returnflag", $"exact_orders",
         (abs($"approx_orders" - $"exact_orders")
           <= lit(0.06) * $"exact_orders").as("distinct_ok"),
-        ($"amed" >= $"mlo" && $"amed" <= $"mhi").as("median_ok"),
-        ($"ap95" >= $"plo" && $"ap95" <= $"phi").as("p95_ok"))
+        $"median_ok", $"p95_ok")
       .orderBy($"l_returnflag")
   }
 

@@ -223,6 +223,66 @@ object CustomQueries {
       .orderBy(col("file"))
   }
 
+  /** Deterministic fixtures for the perceptual-hash near-dup query:
+    * an 18×16 horizontal gradient as PGM and as a bottom-up BMP (same
+    * logical raster → IDENTICAL dHash across formats, exercising the
+    * BMP row-flip), the gradient with one dark 2×2 corner patch (flips
+    * exactly one dHash bit → Hamming 1), a vertical gradient (all
+    * horizontal comparisons tie → hash 0), and column stripes (Hamming
+    * 32 from both extremes). All analytic — the oracle pins the pair
+    * list from pigeonhole-banded LSH + popcount.
+    */
+  private lazy val phashFixtures: Map[String, Array[Byte]] = {
+    val w = 18
+    val h = 16
+    def pgm(px: (Int, Int) => Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(w * h)(i => px(i % w, i / w).toByte)
+    def grad(x: Int, y: Int) = x * 14
+    def grad2(x: Int, y: Int) = if (x >= 16 && y <= 1) 0 else x * 14
+    def gradv(x: Int, y: Int) = y * 15
+    def stripes(x: Int, y: Int) = if ((x / 2) % 2 == 0) 30 else 220
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val raster = Array.tabulate(h * rowSize) { i =>
+      val row = i / rowSize
+      val o = i % rowSize
+      if (o >= w * 3) 0.toByte // padding
+      else grad(o / 3, h - 1 - row).toByte // bottom-up, gray BGR
+    }
+    val bmp = "BM".getBytes("US-ASCII") ++
+      le32(54 + raster.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ raster
+    Map("grad.pgm" -> pgm(grad), "grad2.pgm" -> pgm(grad2),
+      "gradv.pgm" -> pgm(gradv), "stripes.pgm" -> pgm(stripes),
+      "grad.bmp" -> bmp)
+  }
+
+  /** Perceptual near-dup pairs over the dHash fixture set: REAL decode
+    * → 9×8 luma grid → 64-bit dHash → pigeonhole-banded LSH join →
+    * exact popcount filter (Multimodal.imageNearDupPairs). Pinned
+    * VALUES oracle: the gradient PGM and its BMP re-encode collide at
+    * Hamming 0 (cross-format perceptual identity), the corner-patched
+    * variant sits at Hamming 1 from both, and the control images pair
+    * with nothing.
+    */
+  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-phash")
+    phashFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val feats = Multimodal.extractFeatures(
+        Multimodal.readBinary(spark, s"$scratch/*")).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("dhash"))
+    Multimodal.imageNearDupPairs(feats, "file", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -244,7 +304,8 @@ object CustomQueries {
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
-    "q_multimodal_decode" -> (qMultimodalDecode(_, _))
+    "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
+    "q_multimodal_phash" -> (qMultimodalPhash(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +389,15 @@ object CustomQueries {
         |  AS t(file, length, fingerprint, sample_rate, channels,
         |       n_frames, duration_s, rms_r6, peak_r6)
         |ORDER BY file""".stripMargin,
+    // Analytic pinned pairs (see phashFixtures scaladoc): the PGM/BMP
+    // gradient twins at Hamming 0, the corner-patched variant at 1.
+    "q_multimodal_phash" ->
+      """SELECT * FROM (VALUES
+        |  ('grad.bmp', 'grad.pgm', CAST(0 AS BIGINT)),
+        |  ('grad.bmp', 'grad2.pgm', CAST(1 AS BIGINT)),
+        |  ('grad.pgm', 'grad2.pgm', CAST(1 AS BIGINT)))
+        |  AS t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),

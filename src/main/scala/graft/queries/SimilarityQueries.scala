@@ -184,8 +184,20 @@ object SimilarityQueries {
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
     "q_sim_centroids" -> (qSimCentroids(_, _)),
-    "q_sim_kmeans" -> (qSimKmeans(_, _))
+    "q_sim_kmeans" -> (qSimKmeans(_, _)),
+    "q_sim_pq" -> (qSimPq(_, _))
   )
+
+  /** Product-quantization ANN: md5-sampled 16-entry codebook per each
+    * of 4×16-dim subspaces, map-side argmin encode, broadcast ADC
+    * lookup tables, exact re-rank of the top-10 — Similarity.pqTopK
+    * with the corpus crossing the shuffle as codes, never vectors.
+    * The DuckDB twin replays codebook, encode, ADC and re-rank.
+    */
+  def qSimPq(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.pqTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", m = 4, k = 16, dim = 64,
+      nQueries = 10, topK = 10)
 
   /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
     * sequential fold, bit-identical to `cosine_sim` (same op order).
@@ -241,6 +253,60 @@ object SimilarityQueries {
        |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // PQ replay: same md5 codebook sample, same slice L2² folds (zero
+    // init + sequential fold ≡ DuckDB's init-from-first list_reduce
+    // because 0+x = x exactly), ADC folded in subspace order.
+    "q_sim_pq" ->
+      """WITH v AS (SELECT vec_id AS pid, embedding AS pv
+        |           FROM embeddings),
+        |r AS (SELECT pid, pv, row_number() OVER (
+        |        ORDER BY md5(CAST(pid AS VARCHAR)), pid) AS rk
+        |      FROM v),
+        |ms AS (SELECT unnest(generate_series(0, 3)) AS mi),
+        |cb AS (
+        |  SELECT mi, rk AS cent_id,
+        |    pv[mi * 16 + 1 : (mi + 1) * 16] AS cent
+        |  FROM r CROSS JOIN ms WHERE rk <= 16),
+        |sl AS (
+        |  SELECT pid, mi, pv[mi * 16 + 1 : (mi + 1) * 16] AS sv
+        |  FROM v CROSS JOIN ms),
+        |dist AS (
+        |  SELECT pid, mi, cent_id,
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
+        |         * (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS d
+        |  FROM sl JOIN cb USING (mi)),
+        |codes AS (
+        |  SELECT pid, mi, cent_id AS code FROM (
+        |    SELECT pid, mi, cent_id, row_number() OVER (
+        |      PARTITION BY pid, mi ORDER BY d, cent_id) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |lut AS (SELECT pid AS qid, mi, cent_id, d
+        |        FROM dist WHERE pid < 10),
+        |adc AS (
+        |  SELECT l.qid, c.pid,
+        |    list_reduce(list(l.d ORDER BY c.mi), (x, y) -> x + y)
+        |      AS adc
+        |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.cent_id = c.code
+        |  WHERE l.qid <> c.pid
+        |  GROUP BY l.qid, c.pid),
+        |top AS (
+        |  SELECT qid, pid, adc, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc, pid) AS rnk
+        |  FROM adc),
+        |x AS (
+        |  SELECT t.qid, t.pid, t.adc, t.rnk,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (CAST(q.pv[i] AS DOUBLE) - CAST(c.pv[i] AS DOUBLE))
+        |         * (CAST(q.pv[i] AS DOUBLE) - CAST(c.pv[i] AS DOUBLE))),
+        |      (x, y) -> x + y) AS l2
+        |  FROM top t JOIN v q ON q.pid = t.qid JOIN v c ON c.pid = t.pid
+        |  WHERE t.rnk <= 10)
+        |SELECT qid AS query_id, pid AS neighbor_id,
+        |  round(adc, 6) AS adc_r6, round(l2, 6) AS l2_r6,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM x ORDER BY query_id, rnk""".stripMargin,
     "q_sim_maxsim" ->
       s"""WITH n AS (
          |  SELECT vec_id, vec_id // 10 AS doc_id, embedding,

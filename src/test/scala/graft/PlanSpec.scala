@@ -242,4 +242,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.sliding("BroadcastNestedLoopJoin".length)
       .count(_ == "BroadcastNestedLoopJoin") <= 2)
   }
+
+  test("quantile sketch: in-band exact selection joins on a BROADCAST " +
+    "of the 9 band rows — the data side never shuffles before the " +
+    "per-band window") {
+    val p = plan("q_agg_quantile_sketch")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "bounds frame must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("perceptual image near-dup: dHash LSH candidates come from an " +
+    "equi-join on (slice, bits) — no cartesian/BNL") {
+    val p = plan("q_multimodal_phash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("typed cogroup co-partitions both sides on the key — one " +
+    "exchange each, no join materialization") {
+    val p = plan("q_typed_cogroup")
+    assert(p.contains("CoGroup"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PQ search: codebook and LUT joins broadcast; encode is a " +
+    "partial-aggregable argmin, not a window shuffle; no cartesian") {
+    val p = plan("q_sim_pq")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    // the encode argmin must be a hash aggregate (min-of-struct with
+    // map-side partials), not a per-(vector,subspace) window sort
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
 }
