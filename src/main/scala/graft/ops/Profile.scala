@@ -117,4 +117,64 @@ object Profile {
         max(col("value")).as("max_str"))
       .orderBy(col("column"))
   }
+
+  /** Population Stability Index drift between a REFERENCE and a
+    * CURRENT snapshot of an integer-valued metric, per key — the
+    * standard ML-ops distribution-shift monitor (PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 major shift).
+    *
+    * Everything up to the final ln is integer arithmetic: bins are
+    * equal-width over the reference [lo, hi] via ((c−lo)·bins) div
+    * (hi−lo+1) (current values clamp into the edge bins), counts get
+    * +1 Laplace smoothing so empty bins stay defined, and the total
+    * folds per-bin contributions in bin order — bit-identical
+    * cross-engine.
+    *
+    * Scale shape: two grouped aggregates over (key, cents)
+    * projections + a broadcast of the per-key edges; the bin grid is
+    * |keys|·bins rows. Nothing holistic, no sort of the data.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
+               centsCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "psiDrift needs at least 2 bins")
+    val r = ref.select(col(keyCol).as("k"), col(centsCol).as("c"))
+    val u = cur.select(col(keyCol).as("k"), col(centsCol).as("c"))
+    val edges = r.groupBy(col("k"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+        count(lit(1)).as("n_ref"))
+    val nCur = u.groupBy(col("k")).agg(count(lit(1)).as("n_cur"))
+    def binOf(df: DataFrame): DataFrame =
+      df.join(broadcast(edges.select(col("k"), col("lo"), col("hi"))), "k")
+        .select(col("k"), expr(
+          s"((least(hi, greatest(lo, c)) - lo) * $bins)" +
+            " div (hi - lo + 1)").as("bin"))
+    val refCnt = binOf(r).groupBy(col("k"), col("bin"))
+      .agg(count(lit(1)).as("ref_cnt"))
+    val curCnt = binOf(u).groupBy(col("k"), col("bin"))
+      .agg(count(lit(1)).as("cur_cnt"))
+    val grid = edges.select(col("k"), col("n_ref"),
+        explode(expr(s"sequence(0, ${bins - 1})")).as("bin"))
+      .join(broadcast(nCur), "k")
+    val binRows = grid
+      .join(refCnt, Seq("k", "bin"), "left")
+      .join(curCnt, Seq("k", "bin"), "left")
+      .select(col("k"), col("bin"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"),
+        col("n_ref"), col("n_cur"))
+      .withColumn("p", (col("ref_cnt") + 1).cast("double")
+        / (col("n_ref") + bins))
+      .withColumn("q", (col("cur_cnt") + 1).cast("double")
+        / (col("n_cur") + bins))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+    val totals = binRows.groupBy(col("k"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(bin, contrib)))," +
+        " 0D, (acc, s) -> acc + s.contrib)").as("psi"))
+    binRows.join(broadcast(totals), "k")
+      .select(col("k").as(keyCol), col("bin").cast("long").as("bin"),
+        col("ref_cnt"), col("cur_cnt"),
+        round(col("contrib"), 6).as("contrib_r6"),
+        round(col("psi"), 6).as("psi_r6"))
+      .orderBy(col(keyCol), col("bin"))
+  }
 }

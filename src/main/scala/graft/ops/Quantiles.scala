@@ -101,4 +101,72 @@ object Quantiles {
         lit(n).as("n"), col("rank_ok"))
       .orderBy(col("p"))
   }
+
+  /** GROUPED exact deciles — the same propose→certify→select path as
+    * [[sketchDeciles]] but per key, with NO driver-side state at all:
+    * the per-group sketch summaries stay a DataFrame column, band
+    * derivation is a map-side UDF over the finished summaries, and
+    * every subsequent pass is a key-equi-join — so this scales to
+    * millions of groups (the global variant's bounded driver collect
+    * would not). Three shuffles total: the sketch aggregate, the
+    * certify aggregate, the per-(group, decile) selection window.
+    */
+  def sketchDecilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+                         tenths: Seq[Int] = 1 to 9, k: Int = 1024,
+                         delta: Double = 0.05): DataFrame = {
+    require(tenths.nonEmpty && tenths.forall(i => i >= 1 && i <= 9),
+      "tenths must be within 1..9")
+    val spark = df.sparkSession
+    val vals = CacheScope.cached(
+      df.select(col(keyCol).as("g"),
+        col(valueCol).cast("double").as("x"))
+        .filter(col("x").isNotNull && col("g").isNotNull))
+
+    val kll = new KllQuantileAgg(k).asUdaf
+    val sketches = vals.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), kll(col("x")).as("s"))
+    // band derivation: pure function of the finished summary — map-side
+    val ts = tenths.sorted
+    val bandsOf = udf { (summary: Seq[(Double, Long)], n: Long) =>
+      ts.map { i =>
+        val p = i / 10.0
+        (i, p,
+          KllQuantileAgg.estimate(summary, math.max(0.0, p - delta)),
+          KllQuantileAgg.estimate(summary, math.min(1.0, p + delta)),
+          KllQuantileAgg.estimate(summary, p),
+          math.max(1L, (i * n + 9L) / 10L))
+      }
+    }
+    val bands = CacheScope.cached(sketches
+      .select(col("g"), col("n"),
+        explode(bandsOf(col("s"), col("n"))).as("b"))
+      .select(col("g"), col("n"), col("b._1").as("i"),
+        col("b._2").as("p"), col("b._3").as("lo"), col("b._4").as("hi"),
+        col("b._5").as("est"), col("b._6").as("r")))
+
+    // certify + offsets: key-equi-join (×|tenths| row multiply), one agg
+    val cert = vals.join(bands.select(col("g"), col("i"), col("lo"),
+        col("est")), "g")
+      .groupBy(col("g"), col("i"))
+      .agg(sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("rank"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("off"))
+    val certified = bands.join(cert, Seq("g", "i"))
+      .select(col("g"), col("i"), col("p"), col("lo"), col("hi"),
+        col("n"), (col("r") - col("off")).as("target_rn"),
+        // ε = 0.02 in integers: 5·|10·rank − i·n| ≤ n
+        (lit(5L) * abs(lit(10L) * col("rank") - col("i") * col("n"))
+          <= col("n")).as("rank_ok"))
+
+    // exact selection inside each (group, decile) band
+    vals.join(certified,
+        vals("g") === certified("g")
+          && col("x") >= col("lo") && col("x") <= col("hi"))
+      .drop(certified("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("i")).orderBy(col("x"))))
+      .filter(col("rn") === col("target_rn"))
+      .select(col("g").as(keyCol), col("p"),
+        col("x").as("exact_value"), col("n"), col("rank_ok"))
+      .orderBy(col(keyCol), col("p"))
+  }
 }

@@ -224,8 +224,18 @@ object AggQueries {
     "q_agg_rollup" -> (qAggRollup(_, _)),
     "q_agg_cube" -> (qAggCube(_, _)),
     "q_agg_approx" -> (qAggApprox(_, _)),
-    "q_agg_quantile_sketch" -> (qAggQuantileSketch(_, _))
+    "q_agg_quantile_sketch" -> (qAggQuantileSketch(_, _)),
+    "q_agg_quantile_grouped" -> (qAggQuantileGrouped(_, _))
   )
+
+  /** GROUPED exact deciles per return flag via the driver-state-free
+    * KLL path (ops/Quantiles.sketchDecilesByKey) — sketch summaries
+    * stay in-plan, bands derive map-side, so the same code runs with
+    * millions of groups. Twin: per-group full-sort row_number.
+    */
+  def qAggQuantileGrouped(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.sketchDecilesByKey(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
 
   /** Exact deciles of l_extendedprice by the KLL-sketch-narrowed path
     * (ops/Quantiles.scala): sketch proposes bands, exact counts certify
@@ -250,6 +260,22 @@ object AggQueries {
         |SELECT p, s.x AS exact_value, r.n AS n, TRUE AS rank_ok
         |FROM r JOIN s ON s.rn = r.r
         |ORDER BY p""".stripMargin,
+    "q_agg_quantile_grouped" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS x
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL
+        |             AND l_returnflag IS NOT NULL),
+        |cnt AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        |ps AS (SELECT unnest(generate_series(1, 9)) AS i),
+        |r AS (SELECT g, i, i / 10.0 AS p,
+        |        greatest(1, (i * n + 9) // 10) AS r, n
+        |      FROM cnt CROSS JOIN ps),
+        |s AS (SELECT g, x, row_number() OVER (
+        |        PARTITION BY g ORDER BY x) AS rn FROM v)
+        |SELECT r.g AS l_returnflag, p, s.x AS exact_value, r.n,
+        |  TRUE AS rank_ok
+        |FROM r JOIN s ON s.g = r.g AND s.rn = r.r
+        |ORDER BY l_returnflag, p""".stripMargin,
     "q_agg_approx" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -122,6 +122,22 @@ object MiscQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** PSI drift monitor: value distribution per event type, first half
+    * of January (reference) vs second half (current) — the snapshot
+    * pair every production drift check compares. Integer-cent bins
+    * from the reference range; see Profile.psiDrift.
+    */
+  def qProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        Exact.e2(col("value")).as("cents"))
+    val split = lit("2024-01-16").cast("timestamp")
+    graft.ops.Profile.psiDrift(
+      ev.filter(col("ts") < split), ev.filter(col("ts") >= split),
+      "event_type", "cents")
+  }
+
   /** Funnel conversion over the event stream: users who clicked; users
     * whose first purchase follows their first click; users with repeat
     * (≥2) post-click purchases. Three counts from two small aggregates —
@@ -302,6 +318,7 @@ object MiscQueries {
     "q_cdc_diff" -> (qCdcDiff(_, _)),
     "q_stat_zscore" -> (qStatZscore(_, _)),
     "q_stat_ttest" -> (qStatTtest(_, _)),
+    "q_profile_drift" -> (qProfileDrift(_, _)),
     "q_funnel_conversion" -> (qFunnelConversion(_, _)),
     "q_profile_skew" -> (qProfileSkew(_, _)),
     "q_lake_zorder" -> (qLakeZorder(_, _)),
@@ -412,6 +429,53 @@ object MiscQueries {
         |  FROM p3
         |  UNION ALL SELECT 'part.size->nation.nationkey', nc, nm FROM p4)
         |ORDER BY pair""".stripMargin,
+    "q_profile_drift" ->
+      """WITH e AS (
+        |  SELECT event_type AS k,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c, ts
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT k, c FROM e WHERE ts < TIMESTAMP '2024-01-16'),
+        |u AS (SELECT k, c FROM e WHERE ts >= TIMESTAMP '2024-01-16'),
+        |edges AS (SELECT k, min(c) AS lo, max(c) AS hi,
+        |            count(*) AS n_ref FROM r GROUP BY k),
+        |ncur AS (SELECT k, count(*) AS n_cur FROM u GROUP BY k),
+        |rb AS (SELECT r.k,
+        |    ((least(hi, greatest(lo, c)) - lo) * 10) // (hi - lo + 1)
+        |      AS bin
+        |  FROM r JOIN edges USING (k)),
+        |ub AS (SELECT u.k,
+        |    ((least(hi, greatest(lo, c)) - lo) * 10) // (hi - lo + 1)
+        |      AS bin
+        |  FROM u JOIN edges USING (k)),
+        |rc AS (SELECT k, bin, count(*) AS ref_cnt FROM rb GROUP BY k, bin),
+        |uc AS (SELECT k, bin, count(*) AS cur_cnt FROM ub GROUP BY k, bin),
+        |grid AS (
+        |  SELECT e.k, e.n_ref, n.n_cur, b.bin
+        |  FROM edges e JOIN ncur n USING (k)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |j AS (
+        |  SELECT g.k, g.bin,
+        |    coalesce(rc.ref_cnt, 0) AS ref_cnt,
+        |    coalesce(uc.cur_cnt, 0) AS cur_cnt,
+        |    CAST(coalesce(rc.ref_cnt, 0) + 1 AS DOUBLE)
+        |      / (g.n_ref + 10) AS p,
+        |    CAST(coalesce(uc.cur_cnt, 0) + 1 AS DOUBLE)
+        |      / (g.n_cur + 10) AS q
+        |  FROM grid g
+        |  LEFT JOIN rc ON rc.k = g.k AND rc.bin = g.bin
+        |  LEFT JOIN uc ON uc.k = g.k AND uc.bin = g.bin),
+        |cb AS (SELECT k, bin, ref_cnt, cur_cnt,
+        |         (p - q) * ln(p / q) AS contrib FROM j),
+        |tot AS (SELECT k,
+        |          list_reduce(list(contrib ORDER BY bin),
+        |            (x, y) -> x + y) AS psi
+        |        FROM cb GROUP BY k)
+        |SELECT cb.k AS event_type, cb.bin,
+        |  CAST(ref_cnt AS BIGINT) AS ref_cnt,
+        |  CAST(cur_cnt AS BIGINT) AS cur_cnt,
+        |  round(contrib, 6) AS contrib_r6, round(psi, 6) AS psi_r6
+        |FROM cb JOIN tot USING (k)
+        |ORDER BY event_type, bin""".stripMargin,
     "q_stat_ttest" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,

@@ -60,6 +60,27 @@ class KllQuantileSpec extends SparkTestBase {
     assert(a(8)._2 == exact(9)) // p90
   }
 
+  test("sketchDecilesByKey: grouped == per-group global, certified, " +
+    "partition-independent") {
+    val a = (1 to 5000).map(i => ("a", (i % 97).toDouble))
+    val b = (1 to 3000).map(i => ("b", math.pow(1.001, i % 500)))
+    def run(parts: Int) =
+      Quantiles.sketchDecilesByKey(
+        spark.createDataset(a ++ b).repartition(parts).toDF("g", "v"),
+        "g", "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val r4 = run(4)
+    assert(r4 == run(7), "grouped deciles must not depend on partitioning")
+    assert(r4.size == 18 && r4.forall(_._5), s"all certified: $r4")
+    // each group's rows equal the single-group global path
+    val globalA = Quantiles.sketchDeciles(
+        spark.createDataset(a.map(_._2)).toDF("v"), "v")
+      .collect().map(r => ("a", r.getDouble(0), r.getDouble(1),
+        r.getLong(2), r.getBoolean(3))).toSeq
+    assert(r4.filter(_._1 == "a") == globalA)
+  }
+
   test("sketchDeciles: loud failure on empty input, not a wrong row") {
     val e = intercept[IllegalArgumentException] {
       Quantiles.sketchDeciles(
