@@ -170,5 +170,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // optimizer rule: textbook HOF cosine rewrites to the fused native
     // expression (see NativeCosineRule — 61× on all-pairs scoring)
     ext.injectOptimizerRule(_ => NativeCosineRule)
+    // planner strategy: AsOfJoinPlan → the custom sort-merge as-of
+    // physical operator (graft.plans.SortMergeAsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -54,4 +54,48 @@ object AsOf {
       .filter(col("_side") === 1)
       .drop("_side")
   }
+
+  /** Register the as-of planner strategy on an existing session (the
+    * `spark.sql.extensions=graft.functions.GraftExtensions` deploy
+    * path does this at session build). Idempotent.
+    */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+  /** NATIVE as-of join — the custom-physical-operator form
+    * (graft.plans.SortMergeAsOfJoinExec): one co-partitioned shuffle +
+    * sort per side and a single-pass merge with O(1) state, versus the
+    * compositional form's null-padded union carrying both sides
+    * through a window. Output: ALL left columns + ALL right columns
+    * (null right side when no earlier row — filter a right column for
+    * inner-asof). Same inclusive-tie semantics as [[asOfJoin]];
+    * parity is spec-pinned and both share the DuckDB ASOF JOIN oracle.
+    *
+    * Key and time columns must have identical types on both sides
+    * (the merge compares them with one ordering).
+    */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    require(left.schema(leftKey).dataType == right.schema(rightKey).dataType,
+      "as-of key types must match")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      "as-of time types must match")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
 }

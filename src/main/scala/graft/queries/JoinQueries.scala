@@ -206,8 +206,29 @@ object JoinQueries {
     "q_join_range" -> (qJoinRange(_, _)),
     "q_join_range_bucketed" -> (qJoinRangeBucketed(_, _)),
     "q_join_salted" -> (qJoinSalted(_, _)),
-    "q_join_asof" -> (qJoinAsof(_, _))
+    "q_join_asof" -> (qJoinAsof(_, _)),
+    "q_join_asof_native" -> (qJoinAsofNative(_, _))
   )
+
+  /** The SAME as-of query through the custom physical operator
+    * (graft.plans.SortMergeAsOfJoinExec — logical node + strategy +
+    * exec): one co-partitioned shuffle+sort per side, single-pass
+    * merge with O(1) state. Shares q_join_asof's DuckDB ASOF JOIN
+    * twin — the custom operator is held to the identical oracle.
+    */
+  def qJoinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = Tables.orders(spark, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    AsOf.asOfJoinNative(ev, right,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .filter(col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_join_null_safe" ->
@@ -283,6 +304,16 @@ object JoinQueries {
         |             (1, 150000, 300000), (2, 300000, 450000),
         |             (3, 450000, 600000)) AS b(bucket, lo, hi) USING (bucket)
         |GROUP BY lo, hi ORDER BY lo""".stripMargin,
+    // identical twin: the custom physical operator must reproduce the
+    // compositional operator's oracle bit-for-bit
+    "q_join_asof_native" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |             MAX(o_orderkey) AS asof_orderkey
+        |           FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.asof_orderkey
+        |FROM events e ASOF JOIN r
+        |  ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q_join_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,
         |             MAX(o_orderkey) AS asof_orderkey
