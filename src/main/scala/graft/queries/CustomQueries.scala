@@ -165,6 +165,12 @@ object CustomQueries {
     * same filter arithmetic CustomFunctionsSpec's encoder validates
     * against the JDK's ImageIO).
     */
+  /** Fixture bytes shared with q_lake_listing_pinned (names + sizes
+    * are part of that oracle's pinned expectations).
+    */
+  private[queries] def mediaFixtureSet: Map[String, Array[Byte]] =
+    mediaFixtures
+
   private lazy val mediaFixtures: Map[String, Array[Byte]] = {
     // P6 2x2: red, green, blue, white → Rec.601 mean luma exactly 0.5
     val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++

@@ -48,6 +48,23 @@ object MiscQueries {
       .select(col("name"), col("size"))
       .orderBy(col("name"))
 
+  /** The SAME distributed listing path over a deterministic fixture
+    * set, WITH the tenant prefix filter the reference commented out
+    * (`minio_client.py:52`) actually exercised — names and sizes are
+    * pure functions of the fixture bytes, so this variant carries a
+    * hard VALUES oracle where the live-dir q_lake_listing (driver-
+    * generated parquet, unknowable sizes) can only be rows-only.
+    */
+  def qLakeListingPinned(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("lake-pin")
+    CustomQueries.mediaFixtureSet.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    LakeIO.listing(spark, scratch.toString, prefix = "img")
+      .select(col("name"), col("size"))
+      .orderBy(col("name"))
+  }
+
   /** Per-column data-quality profile of an ingested table — the
     * admission check an ETL service runs on every upload (ops.Profile).
     */
@@ -328,7 +345,8 @@ object MiscQueries {
     "q_sort_limit" -> (qSortLimit(_, _)),
     "q_sort_nulls" -> (qSortNulls(_, _)),
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
-    "q_lake_listing" -> (qLakeListing(_, _))
+    "q_lake_listing" -> (qLakeListing(_, _)),
+    "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
   private val zExprSql = (0 until 8).map(b =>
@@ -429,6 +447,16 @@ object MiscQueries {
         |  FROM p3
         |  UNION ALL SELECT 'part.size->nation.nationkey', nc, nm FROM p4)
         |ORDER BY pair""".stripMargin,
+    // Pinned listing: the prefix filter drops clip.mp4; sizes are the
+    // fixture byte lengths (see CustomQueries.mediaFixtures scaladoc).
+    "q_lake_listing_pinned" ->
+      """SELECT * FROM (VALUES
+        |  ('img.bmp', CAST(70 AS BIGINT)),
+        |  ('img.pgm', CAST(13 AS BIGINT)),
+        |  ('img.png', CAST(100 AS BIGINT)),
+        |  ('img.ppm', CAST(23 AS BIGINT)))
+        |  AS t(name, size)
+        |ORDER BY name""".stripMargin,
     "q_profile_drift" ->
       """WITH e AS (
         |  SELECT event_type AS k,

@@ -255,8 +255,24 @@ object TextQueries {
     * excluded on both engines (defensive; segment strings must not
     * contain '|').
     */
-  def qTextBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val rounds = 5
+  def qTextBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeRounds(spark, dir, 5)._1
+
+  /** Tokenizer APPLICATION: segment the corpus with the 5 learned
+    * merges (the production tokenize step after qTextBpeTrain) and
+    * publish the resulting vocabulary head — final-segment frequencies
+    * top-30. Same per-round plan; one extra map-side explode + hash
+    * aggregate past the last merge.
+    */
+  def qTextBpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeRounds(spark, dir, 5)._2
+      .select(explode(split(col("s"), "[|]")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(30)
+
+  private def bpeRounds(spark: SparkSession, dir: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
     var segs = graft.ops.CacheScope.cached(
       Tables.documents(spark, dir)
         .select(explode(split(col("text"), "\\s+")).as("tok"))
@@ -286,11 +302,12 @@ object TextQueries {
               |    THEN concat(acc, x)
               |    ELSE concat(acc, '|', x) END)""".stripMargin).as("s")))
     }
-    merges.result().reduce(_.union(_)).orderBy(col("round"))
+    (merges.result().reduce(_.union(_)).orderBy(col("round")), segs)
   }
 
   val defs: Map[String, Q] = Map(
     "q_text_bpe_train" -> (qTextBpeTrain(_, _)),
+    "q_text_bpe_apply" -> (qTextBpeApply(_, _)),
     "q_text_heavy_hitters_grouped" -> (qTextHeavyHittersGrouped(_, _)),
     "q_text_heavy_hitters" -> (qTextHeavyHitters(_, _)),
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
@@ -480,8 +497,22 @@ object TextQueries {
       selects.mkString("\nUNION ALL ") + "\nORDER BY round"
   }
 
+  /** Twin of qTextBpeApply: replay the merge rounds, then count the
+    * final segments.
+    */
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val train = bpeTrainOracleSql(rounds)
+    val ctes = train.substring(0, train.indexOf("\nSELECT 1 AS round"))
+    ctes + s"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(s, '|')) AS token FROM t$rounds)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 30"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeTrainOracleSql(5),
+    "q_text_bpe_apply" -> bpeApplyOracleSql(5),
     // The sketch pass is invisible to the oracle: the exact recount
     // makes the output equal a plain frequency filter.
     "q_text_heavy_hitters_grouped" ->
