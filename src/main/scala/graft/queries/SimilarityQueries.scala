@@ -185,7 +185,8 @@ object SimilarityQueries {
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
     "q_sim_centroids" -> (qSimCentroids(_, _)),
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
-    "q_sim_pq" -> (qSimPq(_, _))
+    "q_sim_pq" -> (qSimPq(_, _)),
+    "q_sim_project" -> (qSimProject(_, _))
   )
 
   /** Product-quantization ANN: md5-sampled 16-entry codebook per each
@@ -198,6 +199,28 @@ object SimilarityQueries {
     graft.ops.Similarity.pqTopK(Tables.embeddings(spark, dir),
       "vec_id", "embedding", m = 4, k = 16, dim = 64,
       nQueries = 10, topK = 10)
+
+  /** Random-projection dimensionality reduction 64→16 (Achlioptas-style
+    * sparse ±/0 matrix, here the deterministic formula
+    * M[i][j] = ((7i+11j) mod 5) − 2 so both engines derive the SAME
+    * matrix from arithmetic, no stored weights): out[i] = Σⱼ M[i][j]·vⱼ
+    * folded in j order — entirely map-side, runs at scan speed, and
+    * the projected vector publishes as a comma-joined rounded string
+    * (scalar output for the cross-engine compare). The JL-lemma
+    * workhorse for shrinking embedding storage before ANN.
+    */
+  def qSimProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        """array_join(transform(sequence(0, 15), i ->
+          |  cast(cast(round(aggregate(
+          |    transform(sequence(0, 63), j ->
+          |      ((7 * i + 11 * j) % 5 - 2)
+          |        * cast(element_at(embedding, j + 1) as double)),
+          |    0D, (acc, c) -> acc + c), 6) as decimal(20, 6))
+          |    as string)), ',')"""
+          .stripMargin).as("projected"))
+      .orderBy(col("vec_id"))
 
   /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
     * sequential fold, bit-identical to `cosine_sim` (same op order).
@@ -253,6 +276,18 @@ object SimilarityQueries {
        |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same ±/0 matrix from the same arithmetic; contributions fold in
+    // j order (zero-init fold ≡ init-from-first since 0+x = x)
+    "q_sim_project" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(generate_series(0, 15), i ->
+        |    CAST(CAST(round(list_reduce(
+        |      list_transform(generate_series(0, 63), j ->
+        |        ((7 * i + 11 * j) % 5 - 2)
+        |          * CAST(embedding[j + 1] AS DOUBLE)),
+        |      (x, y) -> x + y), 6) AS DECIMAL(20, 6)) AS VARCHAR)),
+        |    ',') AS projected
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // PQ replay: same md5 codebook sample, same slice L2² folds (zero
     // init + sequential fold ≡ DuckDB's init-from-first list_reduce
     // because 0+x = x exactly), ADC folded in subspace order.

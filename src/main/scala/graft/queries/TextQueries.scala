@@ -271,38 +271,65 @@ object TextQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(30)
 
+  /** Multi-round BPE trainer core. Per round: one map-side
+    * adjacent-pair count (a string-keyed explode + hash aggregate),
+    * top-1 selection as a BOUNDED 1-row driver collect (same contract
+    * as the heavy-hitter ≤k collect — it also truncates plan lineage:
+    * an in-plan `top` nests the whole counts chain into every later
+    * round and planning alone grows exponentially with rounds), then
+    * greedy re-segmentation of ONLY the tokens containing the literal
+    * `pa|pb` substring (a mergeable occurrence is exactly segment pa
+    * followed by segment pb, so the containment guard is exact —
+    * non-matching tokens pass through the fold unchanged and skip it).
+    *
+    * Scale note: an incremental-delta trainer (full pair count once,
+    * then ±deltas from changed tokens only) was built and measured
+    * SLOWER here (10.2 s vs 9.0 s at sf0.1): early BPE merges hit a
+    * large fraction of tokens, so "changed" ≈ the corpus and the
+    * delta machinery is pure overhead. The recount-per-round form also
+    * matches the DuckDB twin structurally. At 100 TB with many rounds
+    * (merges get rare as the vocab grows), the delta form wins — flip
+    * when rounds ≫ 10.
+    */
   private def bpeRounds(spark: SparkSession, dir: String, rounds: Int)
       : (DataFrame, DataFrame) = {
+    val sep = "" // can't appear between segments: filtered below
     var segs = graft.ops.CacheScope.cached(
       Tables.documents(spark, dir)
         .select(explode(split(col("text"), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "" && !col("tok").contains("|"))
+        .filter(col("tok") =!= "" && !col("tok").contains("|")
+          && !col("tok").contains(sep))
         .select(concat_ws("|", split(col("tok"), "")).as("s")))
-    val merges = Seq.newBuilder[DataFrame]
+    val merged = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
-      val top = segs.select(split(col("s"), "[|]").as("l"))
+      val topRow = segs.select(split(col("s"), "[|]").as("l"))
         .filter(size(col("l")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(l) - 1)," +
-            " i -> struct(element_at(l, i) as pa," +
-            " element_at(l, i + 1) as pb))")).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
-      merges += top.select(lit(r).as("round"),
-        concat(col("pa"), lit("+"), col("pb")).as("pair"), col("n"))
+            " i -> concat(element_at(l, i), char(1)," +
+            " element_at(l, i + 1)))")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1)
+        .collect()(0)
+      val Array(pa, pb) = topRow.getString(0).split(sep, 2)
+      merged += ((r, s"$pa+$pb", topRow.getLong(1)))
+      val hit = col("s").contains(lit(s"$pa|$pb"))
       segs = graft.ops.CacheScope.cached(
-        segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
-          .select(expr(
-            """aggregate(
-              |  slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1),
-              |  cast(element_at(split(s, '[|]'), 1) as string),
-              |  (acc, x) -> CASE
-              |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
-              |    THEN concat(acc, x)
-              |    ELSE concat(acc, '|', x) END)""".stripMargin).as("s")))
+        segs.filter(!hit).unionByName(
+          segs.filter(hit)
+            .withColumn("pa", lit(pa)).withColumn("pb", lit(pb))
+            .select(expr(
+              """aggregate(
+                |  slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1),
+                |  cast(element_at(split(s, '[|]'), 1) as string),
+                |  (acc, x) -> CASE
+                |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
+                |    THEN concat(acc, x)
+                |    ELSE concat(acc, '|', x) END)""".stripMargin)
+              .as("s"))))
     }
-    (merges.result().reduce(_.union(_)).orderBy(col("round")), segs)
+    import spark.implicits._
+    (merged.result().toDF("round", "pair", "n"), segs)
   }
 
   val defs: Map[String, Q] = Map(
