@@ -289,7 +289,52 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream AS-OF join end-to-end: the events stream (left)
+    * temporally joined against a compacted orders stream (right)
+    * through StreamOps.streamAsOf — both sides arrive through the
+    * file-stream source, match state lives in
+    * flatMapGroupsWithState, and the watermark releases each left
+    * event only once no earlier right row can still arrive. The final
+    * output must equal the BATCH as-of join, so it shares
+    * q_join_asof's DuckDB ASOF JOIN twin: stream-vs-batch temporal
+    * equivalence as a hard oracle.
+    */
+  def qStreamAsof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = StreamOps.scratchDir("q_stream_asof")
+    Tables.orders(spark, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("v"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(0).as("side"), col("v"))
+      .write.parquet(s"$tmp/src/right.parquet")
+    Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        lit(1).as("side"), col("event_id").as("v"))
+      .write.parquet(s"$tmp/src/left.parquet")
+    val schema = spark.read.parquet(s"$tmp/src/left.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", s"$tmp/src").parquet(s"$tmp/src/*")
+    import spark.implicits._
+    val out = StreamOps.streamAsOf(
+      StreamOps.withLateness(stream, "t", "0 seconds")
+        .as[StreamOps.AsOfIn])
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .filter(col("rv").isNotNull)
+      .select(col("lv").as("event_id"), col("k").as("user_id"),
+        col("rv").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stream_asof" -> (qStreamAsof(_, _)),
     "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
@@ -308,6 +353,9 @@ object StreamQueries {
     // Same twin as q_cdc_apply: the streamed, out-of-order, tombstoned
     // application must equal the full-log recompute.
     "q_stream_cdc_apply" -> MiscQueries.oracles("q_cdc_apply"),
+    // Same twin as q_join_asof: the streamed temporal join must equal
+    // the batch as-of recompute.
+    "q_stream_asof" -> JoinQueries.oracles("q_join_asof"),
     "q_stream_agg_upsert" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

@@ -194,6 +194,82 @@ object StreamOps {
       }
   }
 
+  case class AsOfIn(k: Long, t: java.sql.Timestamp, side: Int, v: Long)
+  case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+  case class AsOfOut(k: Long, t: java.sql.Timestamp, lv: Long,
+                     rv: Option[Long])
+
+  /** STREAM-STREAM AS-OF JOIN via flatMapGroupsWithState — the
+    * streaming form of the custom batch operator
+    * (plans/SortMergeAsOfJoinExec): each left event (side=1) is
+    * matched with the latest right event (side=0) at or before its
+    * time, across micro-batch boundaries and arrival orders.
+    *
+    * Emission discipline: a left row is held in state until the
+    * WATERMARK passes its event time — only then can no
+    * within-watermark right row still arrive before it — and each
+    * invocation ingests the batch's rows BEFORE emitting, so a right
+    * row arriving in the same batch that the watermark releases a
+    * left row still matches it. Every group re-registers an
+    * event-time timeout at watermark+1, so held rows flush on the
+    * first batch after the watermark passes them even if the key
+    * receives no further data.
+    *
+    * State per key is O(out-of-orderness window), not O(stream):
+    * pending lefts ≤ watermark emit and leave; of the rights at or
+    * below the watermark only the LATEST is kept (it is the only one
+    * a future in-contract left can still match — future lefts have
+    * t > watermark).
+    *
+    * Contracts: input must be watermarked (`withLateness`) for
+    * EventTimeTimeout; right (k, t) unique for deterministic matches
+    * (ties resolve to max payload — the batch operator's
+    * last-in-sort-order under a unique-time contract); rows later
+    * than the watermark get best-effort matching (GC may already have
+    * dropped their right candidates) — the standard streaming
+    * lateness contract.
+    */
+  def streamAsOf(tagged: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import tagged.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    tagged.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfBuf, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, rows: Iterator[AsOfIn], st: GroupState[AsOfBuf]) =>
+          val prev = st.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          // ingest BEFORE emitting (same-batch rights can match
+          // same-batch-released lefts)
+          var lefts = prev.lefts
+          var rights = prev.rights
+          rows.foreach { r =>
+            if (r.side == 1) lefts ::= (toUs(r.t), r.v)
+            else rights ::= (toUs(r.t), r.v)
+          }
+          val wm = st.getCurrentWatermarkMs
+          val (emit, hold) = lefts.partition(_._1 / 1000L <= wm)
+          val out = emit.sortBy(e => (e._1, e._2)).map { case (t, lv) =>
+            val m = rights.filter(_._1 <= t)
+            AsOfOut(k, toTs(t), lv,
+              if (m.isEmpty) None else Some(m.max._2))
+          }
+          // rights GC: latest at-or-below the watermark + all above
+          val (below, above) = rights.partition(_._1 / 1000L <= wm)
+          val kept = (if (below.isEmpty) Nil else List(below.max)) ::: above
+          st.update(AsOfBuf(hold, kept))
+          // re-arm: fire on the first batch whose watermark moved past
+          // the current one, releasing held lefts without new data
+          st.setTimeoutTimestamp(wm + 1L)
+          out.iterator
+      }
+  }
+
   /** Streaming upsert into a keyed parquet table via foreachBatch: each
     * micro-batch is merged with the current table state — new keys
     * appended, existing keys replaced by the latest row (max ts wins).

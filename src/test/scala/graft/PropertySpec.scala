@@ -182,4 +182,53 @@ class PropertySpec extends SparkTestBase {
         pts.distinct.length)
     }
   }
+
+  test("KLL sketch: weight conserved and rank error bounded for ANY " +
+    "input and ANY merge split") {
+    import graft.functions.KllQuantileAgg
+    val inputs: Gen[List[Double]] = Gen.listOfN(4000,
+      Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.chooseNum(0.0, 1.0),            // dense cluster
+        Gen.chooseNum(0L, 50L).map(_.toDouble))) // heavy ties
+    val agg = new KllQuantileAgg(128)
+    def sketch(xs: Seq[Double]) =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    forAll(inputs, Gen.chooseNum(1, 3999)) { (xs, cut) =>
+      val merged = agg.merge(sketch(xs.take(cut)), sketch(xs.drop(cut)))
+      val summary = agg.finish(merged)
+      assert(summary.map(_._2).sum == xs.size.toLong,
+        "total weight must equal n under any merge split")
+      val sorted = xs.sorted
+      Seq(0.25, 0.5, 0.75).foreach { p =>
+        val est = KllQuantileAgg.estimate(summary, p)
+        // exact rank window of the estimate vs target rank, generous
+        // bound (ε ≈ 4·log2(n/k)/(2k) ≈ 0.08 for n=4000, k=128)
+        val lo = sorted.count(_ < est)
+        val hi = sorted.count(_ <= est)
+        val target = p * xs.size
+        assert(target >= lo - 0.08 * xs.size
+          && target <= hi + 0.08 * xs.size,
+          s"p=$p est=$est rank window [$lo,$hi] target $target")
+      }
+    }
+  }
+
+  test("dHash banding pigeonhole: ANY pair within the Hamming budget " +
+    "shares at least one slice") {
+    val hashes: Gen[Long] = Gen.long
+    val flips: Gen[List[Int]] =
+      Gen.listOfN(3, Gen.chooseNum(0, 63))
+    val bands = 4 // maxHamming = 3 ⇒ 4 slices of 16 bits
+    def slices(h: Long): Seq[Long] =
+      (0 until bands).map(i => (h >>> (i * 16)) & 0xffffL)
+    forAll(hashes, flips) { (h, fs) =>
+      val h2 = fs.foldLeft(h)((x, b) => x ^ (1L << b))
+      val d = java.lang.Long.bitCount(h ^ h2)
+      whenever(d <= 3) {
+        assert(slices(h).zip(slices(h2)).exists { case (a, b) => a == b },
+          s"pair at Hamming $d must collide in ≥1 of $bands slices")
+      }
+    }
+  }
 }

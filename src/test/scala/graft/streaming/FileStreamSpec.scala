@@ -418,6 +418,49 @@ class FileStreamSpec extends SparkTestBase {
     assert(sigIds == Seq(1L, 2L, 5L))
   }
 
+  test("streamAsOf: cross-batch out-of-order rights still match, " +
+    "result equals batch as-of") {
+    val dir = Files.createTempDirectory("st-asof").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // batch A: lefts at t=10s and 20s, right at 5s
+    Seq((1L, ts(10000), 1, 100L), (1L, ts(20000), 1, 101L),
+      (1L, ts(5000), 0, 500L))
+      .toDF("k", "t", "side", "v").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    // batch B: a LATER-ARRIVING right at 15s — it must still match the
+    // left at 20s, which the watermark releases only in this batch
+    // (ingest-before-emit), plus a left at 30s and a fresh key
+    Seq((1L, ts(15000), 0, 501L), (1L, ts(30000), 1, 102L),
+      (2L, ts(30000), 1, 200L))
+      .toDF("k", "t", "side", "v").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    val out = StreamOps.streamAsOf(
+      StreamOps.withLateness(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .option("basePath", s"$dir/src").parquet(s"$dir/src/*"),
+        "t", "0 seconds").as[StreamOps.AsOfIn])
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .select($"lv", $"rv").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(
+      100L -> Some(500L), // t=10s → right at 5s
+      101L -> Some(501L), // t=20s → the batch-B right at 15s
+      102L -> Some(501L), // t=30s → still 15s (latest ≤)
+      200L -> None))      // fresh key, no rights
+  }
+
   test("cdcSink: streamed out-of-order log == batch cdcApply recompute") {
     val dir = Files.createTempDirectory("cdc-sink").toString
     val keys = (1L to 20L).toSeq
