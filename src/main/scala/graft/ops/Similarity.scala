@@ -368,7 +368,7 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              m: Int, k: Int, dim: Int, nQueries: Int,
-             topK: Int): DataFrame = {
+             topK: Int, trainIters: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val v = CacheScope.cached(
@@ -376,8 +376,16 @@ object Similarity {
     val sliceExpr = (src: String) => expr(
       s"transform(sequence(0, ${m - 1}), mi -> " +
         s"struct(mi as mi, slice($src, mi * $sub + 1, $sub) as sv))")
-    // deterministic codebook: md5-ordered k sample vectors, sliced
-    val codebook = CacheScope.cached(
+    val slices = CacheScope.cached(
+      v.select(col("pid"), explode(sliceExpr("pv")).as("s"))
+        .select(col("pid"), col("s.mi").as("mi"), col("s.sv").as("sv")))
+    val l2 = expr(
+      "aggregate(zip_with(sv, cent, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
+        "(acc, d) -> acc + d)")
+    // deterministic codebook init: md5-ordered k sample vectors, sliced
+    var codebook = CacheScope.cached(
       v.withColumn("_h", md5(col("pid").cast("string")))
         .orderBy(col("_h"), col("pid")).limit(k)
         .select(row_number().over(Window.orderBy(col("_h"), col("pid")))
@@ -385,16 +393,30 @@ object Similarity {
         .select(col("cent_id"), explode(sliceExpr("pv")).as("s"))
         .select(col("s.mi").as("mi"), col("cent_id"),
           col("s.sv").as("cent")))
-    val l2 = expr(
-      "aggregate(zip_with(sv, cent, (x, y) -> " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
-        "(acc, d) -> acc + d)")
+    // optional Lloyd refinement per subspace: argmin-assign slices,
+    // recompute centroids as 6-decimal-rounded per-dim means (the
+    // kmeansFit update discipline, so the DuckDB twin replays it
+    // bit-for-bit); empty centroids drop, as in kmeansFit
+    for (_ <- 0 until trainIters) {
+      val assigned = slices.join(broadcast(codebook), "mi")
+        .select(col("pid"), col("mi"), col("sv"),
+          struct(l2.as("d"), col("cent_id").as("c")).as("dc"))
+        .groupBy(col("pid"), col("mi"))
+        .agg(min(col("dc")).as("best"), first(col("sv")).as("sv"))
+      codebook = CacheScope.cached(assigned
+        .select(col("mi"), col("best.c").as("cent_id"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("mi"), col("cent_id"), col("i"))
+        .agg(round(avg(col("x").cast("double")), 6).as("xm"))
+        .groupBy(col("mi"), col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("xm")))),
+          s => s.getField("xm").cast("float")).as("cent")))
+    }
     // encode: per (vector, subspace) argmin over the broadcast codebook
     // — min-of-struct is a partial-aggregable map-side reduction
     val codes = CacheScope.cached(
-      v.select(col("pid"), explode(sliceExpr("pv")).as("s"))
-        .select(col("pid"), col("s.mi").as("mi"), col("s.sv").as("sv"))
+      slices
         .join(broadcast(codebook), "mi")
         .select(col("pid"), col("mi"),
           struct(l2.as("d"), col("cent_id").as("c")).as("dc"))
@@ -403,9 +425,8 @@ object Similarity {
         .select(col("pid"), col("mi"), col("best.c").as("code")))
     // per-query ADC lookup table: exact slice distance to every
     // codebook entry
-    val lut = v.filter(col("pid") < nQueries)
-      .select(col("pid").as("qid"), explode(sliceExpr("pv")).as("s"))
-      .select(col("qid"), col("s.mi").as("mi"), col("s.sv").as("sv"))
+    val lut = slices.filter(col("pid") < nQueries)
+      .select(col("pid").as("qid"), col("mi"), col("sv"))
       .join(broadcast(codebook), "mi")
       .select(col("qid"), col("mi"), col("cent_id"), l2.as("d"))
     // ADC: codes pick their LUT entries; fold in subspace order so the

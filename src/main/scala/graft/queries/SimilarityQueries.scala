@@ -186,8 +186,20 @@ object SimilarityQueries {
     "q_sim_centroids" -> (qSimCentroids(_, _)),
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
     "q_sim_pq" -> (qSimPq(_, _)),
+    "q_sim_pq_trained" -> (qSimPqTrained(_, _)),
     "q_sim_project" -> (qSimProject(_, _))
   )
+
+  /** PQ with Lloyd-REFINED subspace codebooks (one deterministic
+    * iteration per subspace, the kmeansFit update discipline) — the
+    * production quantizer; the sampled-codebook q_sim_pq is the
+    * baseline. Twin replays init, per-subspace assignment + update,
+    * re-encode, ADC and re-rank.
+    */
+  def qSimPqTrained(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.pqTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", m = 4, k = 16, dim = 64,
+      nQueries = 10, topK = 10, trainIters = 1)
 
   /** Product-quantization ANN: md5-sampled 16-entry codebook per each
     * of 4×16-dim subspaces, map-side argmin encode, broadcast ADC
@@ -221,6 +233,79 @@ object SimilarityQueries {
           |    as string)), ',')"""
           .stripMargin).as("projected"))
       .orderBy(col("vec_id"))
+
+  /** Twin builder for the PQ queries: codebook init (+ optional one
+    * Lloyd refinement per subspace), encode, ADC, exact re-rank.
+    */
+  private def pqOracleSql(trained: Boolean): String = {
+    val l2 = (a: String, b: String, n: Int) =>
+      s"""list_reduce(list_transform(generate_series(1, $n),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    val trainCtes = if (!trained) "" else
+      s""",
+         |d0 AS (
+         |  SELECT pid, mi, cent_id, sv, ${l2("sv", "cent", 16)} AS d
+         |  FROM sl JOIN cb0 USING (mi)),
+         |pa AS (
+         |  SELECT pid, mi, cent_id, sv FROM (
+         |    SELECT pid, mi, cent_id, sv, row_number() OVER (
+         |      PARTITION BY pid, mi ORDER BY d, cent_id) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |cb AS (
+         |  SELECT mi, cent_id, list(CAST(xm AS FLOAT) ORDER BY i) AS cent
+         |  FROM (SELECT mi, cent_id, i, round(AVG(CAST(x AS DOUBLE)), 6)
+         |          AS xm
+         |        FROM (SELECT mi, cent_id, unnest(sv) AS x,
+         |                unnest(generate_series(1, len(sv))) AS i
+         |              FROM pa)
+         |        GROUP BY mi, cent_id, i)
+         |  GROUP BY mi, cent_id)""".stripMargin
+    val cbFinal = if (trained) "cb" else "cb0"
+    s"""WITH v AS (SELECT vec_id AS pid, embedding AS pv
+       |           FROM embeddings),
+       |r AS (SELECT pid, pv, row_number() OVER (
+       |        ORDER BY md5(CAST(pid AS VARCHAR)), pid) AS rk
+       |      FROM v),
+       |ms AS (SELECT unnest(generate_series(0, 3)) AS mi),
+       |cb0 AS (
+       |  SELECT mi, rk AS cent_id,
+       |    pv[mi * 16 + 1 : (mi + 1) * 16] AS cent
+       |  FROM r CROSS JOIN ms WHERE rk <= 16),
+       |sl AS (
+       |  SELECT pid, mi, pv[mi * 16 + 1 : (mi + 1) * 16] AS sv
+       |  FROM v CROSS JOIN ms)$trainCtes,
+       |dist AS (
+       |  SELECT pid, mi, cent_id, ${l2("sv", "cent", 16)} AS d
+       |  FROM sl JOIN $cbFinal USING (mi)),
+       |codes AS (
+       |  SELECT pid, mi, cent_id AS code FROM (
+       |    SELECT pid, mi, cent_id, row_number() OVER (
+       |      PARTITION BY pid, mi ORDER BY d, cent_id) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |lut AS (SELECT pid AS qid, mi, cent_id, d
+       |        FROM dist WHERE pid < 10),
+       |adc AS (
+       |  SELECT l.qid, c.pid,
+       |    list_reduce(list(l.d ORDER BY c.mi), (x, y) -> x + y)
+       |      AS adc
+       |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.cent_id = c.code
+       |  WHERE l.qid <> c.pid
+       |  GROUP BY l.qid, c.pid),
+       |top AS (
+       |  SELECT qid, pid, adc, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc, pid) AS rnk
+       |  FROM adc),
+       |x AS (
+       |  SELECT t.qid, t.pid, t.adc, t.rnk, ${l2("q.pv", "c.pv", 64)} AS l2
+       |  FROM top t JOIN v q ON q.pid = t.qid JOIN v c ON c.pid = t.pid
+       |  WHERE t.rnk <= 10)
+       |SELECT qid AS query_id, pid AS neighbor_id,
+       |  round(adc, 6) AS adc_r6, round(l2, 6) AS l2_r6,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM x ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
     * sequential fold, bit-identical to `cosine_sim` (same op order).
@@ -290,58 +375,11 @@ object SimilarityQueries {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // PQ replay: same md5 codebook sample, same slice L2² folds (zero
     // init + sequential fold ≡ DuckDB's init-from-first list_reduce
-    // because 0+x = x exactly), ADC folded in subspace order.
-    "q_sim_pq" ->
-      """WITH v AS (SELECT vec_id AS pid, embedding AS pv
-        |           FROM embeddings),
-        |r AS (SELECT pid, pv, row_number() OVER (
-        |        ORDER BY md5(CAST(pid AS VARCHAR)), pid) AS rk
-        |      FROM v),
-        |ms AS (SELECT unnest(generate_series(0, 3)) AS mi),
-        |cb AS (
-        |  SELECT mi, rk AS cent_id,
-        |    pv[mi * 16 + 1 : (mi + 1) * 16] AS cent
-        |  FROM r CROSS JOIN ms WHERE rk <= 16),
-        |sl AS (
-        |  SELECT pid, mi, pv[mi * 16 + 1 : (mi + 1) * 16] AS sv
-        |  FROM v CROSS JOIN ms),
-        |dist AS (
-        |  SELECT pid, mi, cent_id,
-        |    list_reduce(list_transform(generate_series(1, 16),
-        |      i -> (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))
-        |         * (CAST(sv[i] AS DOUBLE) - CAST(cent[i] AS DOUBLE))),
-        |      (x, y) -> x + y) AS d
-        |  FROM sl JOIN cb USING (mi)),
-        |codes AS (
-        |  SELECT pid, mi, cent_id AS code FROM (
-        |    SELECT pid, mi, cent_id, row_number() OVER (
-        |      PARTITION BY pid, mi ORDER BY d, cent_id) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |lut AS (SELECT pid AS qid, mi, cent_id, d
-        |        FROM dist WHERE pid < 10),
-        |adc AS (
-        |  SELECT l.qid, c.pid,
-        |    list_reduce(list(l.d ORDER BY c.mi), (x, y) -> x + y)
-        |      AS adc
-        |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.cent_id = c.code
-        |  WHERE l.qid <> c.pid
-        |  GROUP BY l.qid, c.pid),
-        |top AS (
-        |  SELECT qid, pid, adc, row_number() OVER (
-        |    PARTITION BY qid ORDER BY adc, pid) AS rnk
-        |  FROM adc),
-        |x AS (
-        |  SELECT t.qid, t.pid, t.adc, t.rnk,
-        |    list_reduce(list_transform(generate_series(1, 64),
-        |      i -> (CAST(q.pv[i] AS DOUBLE) - CAST(c.pv[i] AS DOUBLE))
-        |         * (CAST(q.pv[i] AS DOUBLE) - CAST(c.pv[i] AS DOUBLE))),
-        |      (x, y) -> x + y) AS l2
-        |  FROM top t JOIN v q ON q.pid = t.qid JOIN v c ON c.pid = t.pid
-        |  WHERE t.rnk <= 10)
-        |SELECT qid AS query_id, pid AS neighbor_id,
-        |  round(adc, 6) AS adc_r6, round(l2, 6) AS l2_r6,
-        |  CAST(rnk AS BIGINT) AS rnk
-        |FROM x ORDER BY query_id, rnk""".stripMargin,
+    // because 0+x = x exactly), ADC folded in subspace order; the
+    // trained variant adds one per-subspace Lloyd update (6-decimal
+    // rounded means, FLOAT-cast, the kmeansFit discipline).
+    "q_sim_pq" -> pqOracleSql(trained = false),
+    "q_sim_pq_trained" -> pqOracleSql(trained = true),
     "q_sim_maxsim" ->
       s"""WITH n AS (
          |  SELECT vec_id, vec_id // 10 AS doc_id, embedding,
