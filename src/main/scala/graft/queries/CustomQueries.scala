@@ -289,6 +289,33 @@ object CustomQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Image near-dup CLUSTERS: the dHash LSH pairs fed through the same
+    * pointer-doubling connected components the text dedup uses
+    * (Dedup.dedupComponents) — cross-format re-encodes and
+    * small edits collapse into one cluster keyed by its min-id
+    * representative, exactly the keep-one-per-cluster step of an
+    * image curation pipeline.
+    */
+  def qMultimodalPhashCluster(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-phc")
+    phashFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val feats = Multimodal.extractFeatures(
+        Multimodal.readBinary(spark, s"$scratch/*")).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("dhash"))
+    val pairs = Multimodal.imageNearDupPairs(feats, "file",
+      maxHamming = 3)
+    graft.ops.Dedup.dedupComponents(pairs, iters = 4)
+      .groupBy(col("component").as("label"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("members"))
+      .orderBy(col("label"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -311,7 +338,8 @@ object CustomQueries {
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
-    "q_multimodal_phash" -> (qMultimodalPhash(_, _))
+    "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
+    "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,6 +432,15 @@ object CustomQueries {
         |  ('grad.pgm', 'grad2.pgm', CAST(1 AS BIGINT)))
         |  AS t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
+    // The three gradient variants collapse into one cluster under the
+    // min-id representative; the control images pair with nothing and
+    // so form no cluster.
+    "q_multimodal_phash_cluster" ->
+      """SELECT * FROM (VALUES
+        |  ('grad.bmp', CAST(3 AS BIGINT),
+        |   'grad.bmp,grad.pgm,grad2.pgm'))
+        |  AS t(label, n_members, members)
+        |ORDER BY label""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),
