@@ -123,7 +123,105 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q4 shape — order priority checking: per-priority counts of
+    * quarter orders having at least one LATE line item. The fixture
+    * has no commit/receipt dates, so "late" is l_shipdate more than
+    * 90 days after the order date — same correlated-EXISTS shape,
+    * planned as one LeftSemi equi-join with a residual condition.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q7 shape — volume shipping between a nation pair, both
+    * directions, revenue per (supplier nation, customer nation,
+    * ship year). Fact-fact join shuffles once; all four dims
+    * broadcast.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3"
+          && col("cust_nation") === "NATION_7")
+        || (col("supp_nation") === "NATION_7"
+          && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((revenueE4 / 10000.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q14 shape — promotion effect: promo revenue share of a month, in
+    * exact integer 1e-4 units divided once at the end (both engines
+    * do the same single double division).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val rev = e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+          .as("promo_e4"),
+        sum(rev).as("total_e4"))
+      .select(
+        (lit(100.0) * col("promo_e4") / col("total_e4"))
+          .as("promo_revenue_pct"),
+        col("promo_e4"), col("total_e4"))
+  }
+
+  /** Q16 shape — parts/supplier relationship: distinct suppliers per
+    * (brand, type, size) over the observed supply pairs (the fixture
+    * has no partsupp table; DISTINCT (l_partkey, l_suppkey) from
+    * lineitem is the observed surrogate), excluding one brand, one
+    * type, a size set, and "complaint" suppliers (negative account
+    * balance stands in for the comment filter).
+    */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+        && col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(bad, ps("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q4_order_priority" -> (q4OrderPriority(_, _)),
+    "q7_volume_shipping" -> (q7VolumeShipping(_, _)),
+    "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
+    "q16_parts_supplier" -> (q16PartsSupplier(_, _)),
     "q19_disc_revenue" -> (q19DiscRevenue(_, _)),
     "q22_sales_opportunity" -> (q22SalesOpportunity(_, _)),
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
@@ -186,6 +284,60 @@ object TpchQueries {
     "CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate
+        |                  + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         |  $revSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+        |SELECT 100.0
+        |    * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |        AS BIGINT)
+        |    / CAST(SUM(rev) AS BIGINT) AS promo_revenue_pct,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS promo_e4,
+        |  CAST(SUM(rev) AS BIGINT) AS total_e4
+        |FROM r""".stripMargin,
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q19_disc_revenue" ->
       s"""SELECT count(*) AS n_lines, $revSql AS revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey
