@@ -125,7 +125,25 @@ object GraphQueries {
       .orderBy(desc("harmonic_scaled"), asc("vertex"))
   }
 
+  /** Pivot-sampled bounded-hop betweenness on the co-supply graph
+    * (same sparse graph as harmonic centrality): Brandes
+    * pair-dependencies from 32 md5-sampled sources, hop bound 3,
+    * integer shortest-path counts, (s, t)-ordered dependency folds.
+    */
+  def qGraphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.betweennessSampled(edges, maxHops = 3, pivots = 32)
+      .orderBy(desc("betweenness_r6"), asc("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
     "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
@@ -141,7 +159,71 @@ object GraphQueries {
     """e AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
       |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
 
+  /** Twin of qGraphBetweenness: same σ recurrence (grouped sums per
+    * hop, min-d row kept), same pivot sample, same (s, t)-ordered
+    * dependency folds.
+    */
+  private def betweennessOracleSql(maxHops: Int, pivots: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      s"""x$h AS (
+         |  SELECT r.s, sym.n AS v, $h AS d,
+         |    CAST(SUM(r.sigma) AS BIGINT) AS sigma
+         |  FROM r${h - 1} r JOIN sym ON r.v = sym.v
+         |  WHERE r.d = ${h - 1} GROUP BY r.s, sym.n),
+         |r$h AS (
+         |  SELECT s, v, d, sigma FROM (
+         |    SELECT s, v, d, sigma, row_number() OVER (
+         |      PARTITION BY s, v ORDER BY d) AS rn
+         |    FROM (SELECT * FROM r${h - 1} UNION ALL SELECT * FROM x$h))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |            FROM lineitem WHERE l_quantity = 1.0),
+       |und AS (SELECT DISTINCT least(x.s, y.s) AS a,
+       |          greatest(x.s, y.s) AS b
+       |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+       |sym AS (SELECT a AS v, b AS n FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |verts AS (SELECT DISTINCT v FROM sym),
+       |piv AS (SELECT v AS s FROM (
+       |    SELECT v, row_number() OVER (
+       |      ORDER BY md5(CAST(v AS VARCHAR)), v) AS rk FROM verts)
+       |  WHERE rk <= $pivots),
+       |r0 AS (SELECT v AS s, v, 0 AS d, CAST(1 AS BIGINT) AS sigma
+       |       FROM verts),
+       |$hops,
+       |sv AS (SELECT r$maxHops.s, r$maxHops.v, r$maxHops.d,
+       |         r$maxHops.sigma
+       |       FROM r$maxHops JOIN piv USING (s)
+       |       WHERE r$maxHops.s <> r$maxHops.v),
+       |pairs AS (SELECT s, v AS t, d AS dst, sigma AS sigst FROM sv),
+       |mid1 AS (SELECT s, v AS m, d AS d1, sigma AS sig1 FROM sv),
+       |mid2 AS (SELECT s AS m, v AS t, d AS d2, sigma AS sig2
+       |         FROM r$maxHops WHERE s <> v),
+       |contrib AS (
+       |  SELECT m1.m, m1.s, m2.t,
+       |    CAST(m1.sig1 * m2.sig2 AS DOUBLE) / p.sigst AS c
+       |  FROM mid1 m1 JOIN mid2 m2 USING (m)
+       |  JOIN pairs p ON p.s = m1.s AND p.t = m2.t
+       |    AND m1.d1 + m2.d2 = p.dst
+       |  WHERE m2.t <> m1.m),
+       |bp AS (SELECT m, s,
+       |    list_reduce(list(c ORDER BY t), (x, y) -> x + y) AS ps,
+       |    count(*) AS np
+       |  FROM contrib GROUP BY m, s),
+       |bet AS (SELECT m,
+       |    list_reduce(list(ps ORDER BY s), (x, y) -> x + y) AS b,
+       |    CAST(SUM(np) AS BIGINT) AS n
+       |  FROM bp GROUP BY m)
+       |SELECT verts.v AS vertex,
+       |  round(COALESCE(bet.b, 0.0), 6) AS betweenness_r6,
+       |  CAST(COALESCE(bet.n, 0) AS BIGINT) AS n_pair_paths
+       |FROM verts LEFT JOIN bet ON verts.v = bet.m
+       |ORDER BY betweenness_r6 DESC, vertex""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_betweenness" -> betweennessOracleSql(3, 32),
     "q_graph_pagerank" ->
       s"""WITH $edgeCte,
         |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
