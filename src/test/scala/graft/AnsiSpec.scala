@@ -23,7 +23,11 @@ class AnsiSpec extends SparkTestBase {
     "q_graph_betweenness")    // σ products / σ_st division
 
   test("arithmetic-heavy operators run clean under ANSI mode") {
-    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    // parameterless get: the EFFECTIVE value ("true" — ANSI is the
+    // Spark 4 session default). get(key, fallback) returns the
+    // fallback for never-explicitly-set confs and restoring that
+    // fallback turned ANSI OFF for every later suite in the JVM.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try picks.foreach { name =>
       graft.ops.CacheScope.scoped {
