@@ -187,7 +187,8 @@ object SimilarityQueries {
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
     "q_sim_pq" -> (qSimPq(_, _)),
     "q_sim_pq_trained" -> (qSimPqTrained(_, _)),
-    "q_sim_project" -> (qSimProject(_, _))
+    "q_sim_project" -> (qSimProject(_, _)),
+    "q_sim_binary" -> (qSimBinary(_, _))
   )
 
   /** PQ with Lloyd-REFINED subspace codebooks (one deterministic
@@ -211,6 +212,44 @@ object SimilarityQueries {
     graft.ops.Similarity.pqTopK(Tables.embeddings(spark, dir),
       "vec_id", "embedding", m = 4, k = 16, dim = 64,
       nQueries = 10, topK = 10)
+
+  /** BINARY (sign-bit) embedding quantization + Hamming search — the
+    * 32× compressor next to int8 (4×) and PQ: each 64-dim float vector
+    * becomes ONE long (bit i = v[i] > 0), candidate search is
+    * popcount(xor) over broadcast query codes (map-side, the corpus
+    * never shuffles), and the top-10 by Hamming re-rank with exact
+    * cosine — the standard coarse-then-exact binary retrieval
+    * pipeline. Code construction folds bits in dimension order
+    * (distinct powers of two, so + ≡ OR) — bit-identical
+    * cross-engine.
+    */
+  def qSimBinary(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val codeExpr = expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + CASE WHEN element_at(embedding, i + 1) > 0.0D
+        |             THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+    val coded = graft.ops.CacheScope.cached(
+      emb.select(col("vec_id"), col("embedding"), codeExpr.as("code")))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("code").as("qcode"))
+    val scored = coded.join(broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode")))
+          .cast("long").as("hamming"),
+        expr("cosine_sim(qv, embedding)").as("cos"))
+    scored.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("hamming"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 
   /** Random-projection dimensionality reduction 64→16 (Achlioptas-style
     * sparse ±/0 matrix, here the deterministic formula
@@ -361,6 +400,38 @@ object SimilarityQueries {
        |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sign-bit codes folded in dimension order; Hamming = popcount of
+    // xor; ranking (hamming, neighbor) is pure integer arithmetic and
+    // the exact-cosine column reuses the sequential-fold parity
+    "q_sim_binary" -> {
+      val cos = cosSql("q.embedding", "q.nrm", "c.embedding", "c.nrm")
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         |    list_reduce(list_transform(generate_series(0, 63),
+         |      i -> CASE WHEN embedding[i + 1] > 0
+         |           THEN CASE WHEN i = 63
+         |                THEN CAST(-9223372036854775808 AS BIGINT)
+         |                ELSE (CAST(1 AS BIGINT) << i) END
+         |           ELSE CAST(0 AS BIGINT) END),
+         |      (x, y) -> x + y) AS code
+         |  FROM embeddings),
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(q.code, c.code)) AS hamming,
+         |    $cos AS cos
+         |  FROM n c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, hamming, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY hamming, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+         |  CAST(hamming AS BIGINT) AS hamming, cos
+         |FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    },
     // same ±/0 matrix from the same arithmetic; contributions fold in
     // j order (zero-init fold ≡ init-from-first since 0+x = x)
     "q_sim_project" ->
