@@ -316,7 +316,8 @@ object DedupQueries {
     * each MIN((a_j·h + b_j) mod P) with the coefficients interpolated
     * from Dedup.minhashCoeffs (same driver-side derivation both sides).
     */
-  private def minhashSigCtes(numHashes: Int): String = {
+  private def minhashSigCtes(numHashes: Int,
+                             docsWhere: String = ""): String = {
     val sigCols = Dedup.minhashCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), j) =>
         s"MIN(($a * h + $b) % ${Dedup.MinhashP}) AS s$j"
@@ -325,7 +326,7 @@ object DedupQueries {
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(length(text) - 4, 1)),
        |    i -> substring(text, i, 5)))) AS s
-       |  FROM documents),
+       |  FROM documents$docsWhere),
        |hs AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 8),
        |    d -> CAST(strpos('0123456789abcdef', substring(md5(s), d, 1)) - 1
@@ -369,6 +370,45 @@ object DedupQueries {
        |SELECT id_a, id_b, est_jaccard FROM cand
        |WHERE est_jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Twin of q_stream_dedup_ingest: replay the two-micro-batch ingest
+    * exactly — batch A (doc_id < 250) near-dedups internally, its
+    * survivors become the corpus; batch B near-dedups against that
+    * corpus AND internally; a pair always drops its batch side (the
+    * larger id within a batch). Same portable signature family,
+    * band-slice-equality candidates, 0.9 threshold, NO transitive
+    * reasoning (every qualifying pair's id_b drops, matching the
+    * engine's greedy anti-join).
+    */
+  private[queries] def streamIngestOracleSql: String = {
+    val h = 32
+    val bands = 8
+    val rpb = 4
+    val cond = s"(${bandCondSql(bands, rpb)})\n    AND ${estJaccardSql(h)} >= 0.9"
+    s"""WITH ${minhashSigCtes(h, " WHERE doc_id < 1000")},
+       |p1 AS (
+       |  SELECT b.doc_id AS id_b FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND a.doc_id < 250 AND b.doc_id < 250
+       |  WHERE $cond),
+       |acc1 AS (SELECT doc_id FROM sig WHERE doc_id < 250
+       |         AND doc_id NOT IN (SELECT id_b FROM p1)),
+       |p2 AS (
+       |  SELECT b.doc_id AS id_b FROM sig a JOIN sig b
+       |    ON b.doc_id >= 250
+       |      AND a.doc_id IN (SELECT doc_id FROM acc1)
+       |  WHERE $cond
+       |  UNION
+       |  SELECT b.doc_id FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND a.doc_id >= 250
+       |  WHERE $cond),
+       |acc AS (SELECT doc_id FROM acc1
+       |        UNION ALL
+       |        SELECT doc_id FROM sig WHERE doc_id >= 250
+       |          AND doc_id NOT IN (SELECT id_b FROM p2))
+       |SELECT d.doc_id, d.lang, d.source
+       |FROM documents d JOIN acc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

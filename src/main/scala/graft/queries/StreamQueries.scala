@@ -138,9 +138,11 @@ object StreamQueries {
     * documents fixture split into two micro-batch files (ids < 250,
     * rest), streamed through StreamOps.dedupIngest — each batch
     * near-dedups against the accepted corpus before appending. Returns
-    * the accepted corpus. Rows-only: the minhash family is engine-local
-    * xxhash64 (same class as q_dedup_minhash); the e2e behavior is
-    * pinned by FileStreamSpec's two-batch test.
+    * the accepted corpus. ORACLE-checked: the portable md5 signature
+    * family lets the DuckDB twin replay both micro-batches' banding,
+    * thresholding and greedy batch-side drops exactly
+    * (DedupQueries.streamIngestOracleSql); the sidecar-only corpus
+    * behavior is additionally pinned by FileStreamSpec.
     */
   def qStreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOps.scratchDir("q_stream_dedup_ingest")
@@ -353,6 +355,9 @@ object StreamQueries {
     // Same twin as q_cdc_apply: the streamed, out-of-order, tombstoned
     // application must equal the full-log recompute.
     "q_stream_cdc_apply" -> MiscQueries.oracles("q_cdc_apply"),
+    // Full replay of the two-batch near-dedup ingest (portable md5
+    // signature family — the sidecar behavior itself is spec-proven).
+    "q_stream_dedup_ingest" -> DedupQueries.streamIngestOracleSql,
     // Same twin as q_join_asof: the streamed temporal join must equal
     // the batch as-of recompute.
     "q_stream_asof" -> JoinQueries.oracles("q_join_asof"),
