@@ -268,6 +268,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("betweenness: BFS rounds, mid and (s,t) joins are all " +
+    "equi-joins — no cartesian/BNL on any path") {
+    val p = plan("q_graph_betweenness")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("binary ANN: corpus scored against a BROADCAST query-code set " +
+    "(bounded 10-row non-equi) — never a cartesian") {
+    val p = plan("q_sim_binary")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the broadcast of the 10 query codes
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("PQ search: codebook and LUT joins broadcast; encode is a " +
     "partial-aggregable argmin, not a window shuffle; no cartesian") {
     val p = plan("q_sim_pq")
