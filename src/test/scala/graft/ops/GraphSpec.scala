@@ -339,4 +339,34 @@ class GraphSpec extends SparkTestBase {
     // out-degrees: v1→2, v2→1, v3→1, v4→1  ⇒  {1→3 vertices, 2→1}
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("betweenness: closed-form values on a path and a diamond, " +
+    "partition-independent") {
+    // path a—b—c with every vertex a pivot: only (a,c) and (c,a) route
+    // through b → betweenness(b) = 2, endpoints 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.betweennessSampled(path, maxHops = 3, pivots = 3)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((0.0, 0L)), 2L -> ((2.0, 2L)),
+      3L -> ((0.0, 0L))))
+    // 4-cycle 1–2–4–3–1: each diagonal pair has TWO shortest paths
+    // through the other diagonal's vertices (1↔4 via 2 or 3, 2↔3 via
+    // 1 or 4), so EVERY vertex carries 2·(1/2)·2-directions/2 = 1.0
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val g2 = Graph.betweennessSampled(dia, maxHops = 3, pivots = 4)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(g2 == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0), s"$g2")
+    // partition independence of the exact doubles
+    val g3 = Graph.betweennessSampled(dia.repartition(7), 3, 4)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(g3 == g2)
+  }
+
+  test("betweenness: empty edge set yields an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.betweennessSampled(empty, 3, 4).count() == 0)
+  }
 }
