@@ -72,13 +72,60 @@ object EventQueries {
       .orderBy(col("month"))
   }
 
+  /** WINDOWED (per-day) heavy-hitter users — the Misra-Gries
+    * sketch-then-exact-recount discipline applied per TIME BUCKET: for
+    * each day, users whose event share exceeds n_day/(k+1). One MG
+    * sketch per day (≤ k counters cross the shuffle per bucket),
+    * candidates re-attach by equi-join (no driver collect at any
+    * bucket count), exact recount certifies — so the output equals the
+    * plain per-day frequency filter the twin runs. The streaming-ops
+    * monitoring staple ("who dominated traffic each day").
+    */
+  def qEventHeavyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    // individual users are uniform (~0.1% of a day each — vacuous), so
+    // the monitored key is the 50-way user COHORT (~2% expected share
+    // vs the 1/31 ≈ 3.2% threshold): skewed days surface their hot
+    // cohorts, quiet days emit nothing — a discriminating filter
+    def ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        (col("user_id") % 50).cast("string").as("cohort"))
+    val mg = new graft.functions.MisraGriesAgg(k).asUdaf
+    val cands = ev.groupBy(col("day"))
+      .agg(mg(col("cohort")).as("cands"), count(lit(1)).as("n"))
+    val candRows = cands.select(col("day"),
+      explode(col("cands")).as("cohort"), col("n"))
+    ev.join(candRows, Seq("day", "cohort"))
+      .groupBy(col("day"), col("cohort"))
+      .agg(count(lit(1)).as("cnt"), min(col("n")).as("n"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("day"), col("cohort").cast("long").as("cohort"),
+        col("cnt"), col("n"))
+      .orderBy(col("day"), col("cnt").desc, col("cohort"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_heavy_users" -> (qEventHeavyUsers(_, _)),
     "q_retention_cohort" -> (qRetentionCohort(_, _)),
     "q_event_paths" -> (qEventPaths(_, _)),
     "q_running_distinct" -> (qRunningDistinct(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    // The sketch pass is invisible to the oracle: the exact recount
+    // makes the output equal a plain per-day frequency filter.
+    "q_event_heavy_users" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |             user_id % 50 AS cohort
+        |           FROM events WHERE user_id IS NOT NULL),
+        |n AS (SELECT day, count(*) AS n FROM e GROUP BY day),
+        |c AS (SELECT day, cohort, count(*) AS cnt
+        |      FROM e GROUP BY day, cohort)
+        |SELECT c.day, c.cohort, c.cnt, n.n
+        |FROM c JOIN n USING (day)
+        |WHERE c.cnt * 31 > n.n
+        |ORDER BY c.day, c.cnt DESC, c.cohort""".stripMargin,
     "q_retention_cohort" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts))
         |             AS cohort_week
