@@ -105,7 +105,62 @@ object EventQueries {
       .orderBy(col("day"), col("cnt").desc, col("cohort"))
   }
 
+  /** Ordered three-step conversion funnel (view → click → purchase):
+    * per user, the first `view`, the first `click` strictly after it,
+    * the first `purchase` strictly after that. Counts + ppm conversion
+    * vs the top of the funnel. Each phase is one key-partitioned
+    * aggregate on user_id; the step-(i+1) scan joins the step-i
+    * timestamps BEFORE aggregating, so events that can't convert are
+    * dropped map-side and no per-user event list is ever materialized
+    * — at 100 TB the shuffles carry one row per (user, step), never
+    * raw events.
+    */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2)))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3)))
+    val top = s1.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(top))
+      .select(col("step"), col("n"),
+        expr("n * 1000000 div n1").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next | current) as integer ppm of each row's outgoing mass. The
+    * lag window partitions by user (bounded state); the transition count
+    * is one hash aggregate over (from, to) — 25 cells here, |types|²
+    * generally — so the matrix itself is broadcast-sized at any corpus
+    * scale.
+    */
+  def qEventMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = e.select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val row = Window.partitionBy(col("from_type"))
+    trans.withColumn("row_total", sum(col("cnt")).over(row))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("cnt * 1000000 div row_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_funnel" -> (qEventFunnel(_, _)),
+    "q_event_markov" -> (qEventMarkov(_, _)),
     "q_event_heavy_users" -> (qEventHeavyUsers(_, _)),
     "q_retention_cohort" -> (qRetentionCohort(_, _)),
     "q_event_paths" -> (qEventPaths(_, _)),
@@ -113,6 +168,36 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id),
+        |c AS (SELECT 1 AS step, count(*) AS n FROM s1
+        |      UNION ALL SELECT 2, count(*) FROM s2
+        |      UNION ALL SELECT 3, count(*) FROM s3)
+        |SELECT step, n, CAST(n * 1000000 // (SELECT count(*) FROM s1)
+        |    AS BIGINT) AS conv_ppm
+        |FROM c ORDER BY step""".stripMargin,
+    "q_event_markov" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT from_type, to_type, count(*) AS cnt
+        |      FROM s WHERE to_type IS NOT NULL
+        |      GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt * 1000000 // (sum(cnt) OVER (PARTITION BY from_type))
+        |    AS BIGINT) AS p_ppm
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     // The sketch pass is invisible to the oracle: the exact recount
     // makes the output equal a plain per-day frequency filter.
     "q_event_heavy_users" ->
