@@ -79,7 +79,58 @@ object CurationQueries {
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score every raw
+    * document by log p_target(features) − log p_raw(features) under two
+    * hashed bag-of-words multinomials — target = the `en` subset, raw =
+    * the whole corpus. Features are tokens hashed into 64 buckets with
+    * the portable md5 family; both models use add-one smoothing.
+    * High-weight documents "look like" the target domain and are what
+    * importance resampling keeps.
+    *
+    * Scale plan: both models are 64-row tables built by one hash
+    * aggregate each over (bucket) — broadcast back as a single log-ratio
+    * row-vector; scoring is then a map-side per-doc sum over its bucket
+    * counts (one shuffle of (doc_id, bucket, cnt)). The corpus is never
+    * shuffled; model size is O(buckets), independent of corpus size.
+    * Log is the only libm call — rounded to 6 dp (see bm25).
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val b = 64
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(b.toLong)).as("bkt"))
+    // per-doc bucket counts: the only corpus-sized shuffle
+    val docBkt = graft.ops.CacheScope.cached(
+      toks.groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("lang") === "en", 1L).otherwise(0L)).as("is_en")))
+    // both unigram models reduce from docBkt — no second corpus pass
+    val rawM = docBkt.groupBy(col("bkt")).agg(sum(col("cnt")).as("c_raw"))
+    val tgtM = docBkt.filter(col("is_en") === 1L)
+      .groupBy(col("bkt")).agg(sum(col("cnt")).as("c_tgt"))
+    val totals = rawM.agg(sum(col("c_raw")).as("t_raw"))
+      .crossJoin(tgtM.agg(sum(col("c_tgt")).as("t_tgt")))
+    val ratio = rawM.join(tgtM, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_tgt") + lit(b.toLong)).cast("double")) -
+          log((col("c_raw") + lit(1L)).cast("double") /
+            (col("t_raw") + lit(b.toLong)).cast("double"))).as("lr"))
+    docBkt.join(broadcast(ratio), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("double") * col("lr")), 6).as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_dsir" -> (qDsirWeights(_, _)),
     "q_curate_sample_weighted" -> (qSampleWeighted(_, _)),
     "q_curate_remix" -> (qRemix(_, _)),
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
@@ -145,6 +196,36 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef', substring(md5(tok), d, 1))
+        |             - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % 64 AS bkt
+        |  FROM toks WHERE tok <> ''),
+        |db AS (
+        |  SELECT doc_id, bkt, count(*) AS cnt,
+        |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_en
+        |  FROM h GROUP BY doc_id, bkt),
+        |raw AS (SELECT bkt, sum(cnt) AS c_raw FROM db GROUP BY bkt),
+        |tgt AS (SELECT bkt, sum(cnt) AS c_tgt FROM db
+        |        WHERE is_en = 1 GROUP BY bkt),
+        |tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS t_raw,
+        |               (SELECT sum(c_tgt) FROM tgt) AS t_tgt),
+        |ratio AS (
+        |  SELECT raw.bkt,
+        |    ln((coalesce(tgt.c_tgt, 0) + 1) / (tot.t_tgt + 64.0)) -
+        |    ln((raw.c_raw + 1) / (tot.t_raw + 64.0)) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tot)
+        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(db.cnt * ratio.lr), 6) AS dsir_w
+        |FROM db JOIN ratio ON db.bkt = ratio.bkt
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
     "q_curate_sample_weighted" -> {
       val h = Sampling.hashIntSql(
         "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")

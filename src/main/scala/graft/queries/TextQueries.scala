@@ -332,7 +332,47 @@ object TextQueries {
     (merged.result().toDF("round", "pair", "n"), segs)
   }
 
+  /** CROSS-document duplicated n-gram coverage — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2022), at word-5-gram granularity: for
+    * each document, the fraction of its 5-gram positions whose gram
+    * also occurs in at least one OTHER document. Pipelines drop or
+    * trim documents above a threshold.
+    *
+    * Scale plan: grams are hashed to 60 bits (first 15 md5 hex digits —
+    * the portable family of Dedup.portableHash32, widened so corpus-level
+    * collision count stays ~0 at 10^10 grams) BEFORE any shuffle, so the
+    * exchanges carry (doc_id, int64), never gram strings. Corpus doc-
+    * frequency is one hash aggregate over the deduped (doc, gram) pairs;
+    * re-attachment is an equi-join on the hash. No driver state, no
+    * all-pairs anything.
+    */
+  def qTextDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w = 5
+    def grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(
+        TextAnalysis.wordNgramsFromTokens(col("t"), w)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          .as("g"))
+    val perDoc = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val dup = grams.join(shared, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup0"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("dup0"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_dup_spans" -> (qTextDupSpans(_, _)),
     "q_text_bpe_train" -> (qTextBpeTrain(_, _)),
     "q_text_bpe_apply" -> (qTextBpeApply(_, _)),
     "q_text_heavy_hitters_grouped" -> (qTextHeavyHittersGrouped(_, _)),
@@ -538,6 +578,35 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 5),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS gram
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(
+        |    generate_series(1, 15),
+        |    d -> CAST(strpos('0123456789abcdef', substring(md5(gram), d, 1))
+        |           - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - d)))))
+        |    AS BIGINT) AS g
+        |  FROM g),
+        |pd AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id),
+        |df AS (SELECT g, count(*) AS ndocs
+        |       FROM (SELECT DISTINCT doc_id, g FROM h) GROUP BY g),
+        |dup AS (SELECT h.doc_id, count(*) AS n_dup
+        |        FROM h JOIN df ON h.g = df.g
+        |        WHERE df.ndocs >= 2 GROUP BY h.doc_id)
+        |SELECT pd.doc_id, pd.n_grams,
+        |  coalesce(dup.n_dup, 0) AS n_dup,
+        |  CAST(coalesce(dup.n_dup, 0) * 1000000 // pd.n_grams AS BIGINT)
+        |    AS dup_ppm
+        |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     "q_text_bpe_train" -> bpeTrainOracleSql(5),
     "q_text_bpe_apply" -> bpeApplyOracleSql(5),
     // The sketch pass is invisible to the oracle: the exact recount

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.io.Tables
+
+/** Semantic guards for the round-5 event-analytics + curation additions
+  * (funnel, Markov matrix, cross-doc duplicated n-grams, DSIR weights).
+  * The oracle gate certifies values at sf0.01; these pin the *semantics*
+  * that a value-compare could silently lose — funnel step strictness via
+  * an independent window-based recomputation, Markov mass conservation,
+  * and constructed-fixture behavior for the two document scorers.
+  */
+class EventCurationSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel step 2 equals an independent window-based recomputation") {
+    val funnel = EventQueries.qEventFunnel(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // independent path: first view per user via a window, then a click
+    // strictly after it — EXISTS semantics instead of chained min-aggs
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val step2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .select("user_id").distinct().count()
+    assert(funnel(2) == step2)
+    assert(funnel(1) >= funnel(2) && funnel(2) >= funnel(3),
+      s"funnel not monotone: $funnel")
+  }
+
+  test("funnel top-of-funnel conversion is exactly 1000000 ppm") {
+    val rows = EventQueries.qEventFunnel(spark, dir).collect()
+    assert(rows.find(_.getInt(0) == 1).get.getLong(2) == 1000000L)
+  }
+
+  test("markov: per-row probability mass conserves (floor rounding)") {
+    val m = EventQueries.qEventMarkov(spark, dir)
+    val mass = m.groupBy("from_type")
+      .agg(sum("p_ppm").as("mass"), count(lit(1)).as("cells"))
+      .collect()
+    mass.foreach { r =>
+      val (s, cells) = (r.getLong(1), r.getLong(2))
+      // each cell floors, so total mass ∈ (1e6 − cells, 1e6]
+      assert(s <= 1000000L && s > 1000000L - cells,
+        s"${r.getString(0)}: mass $s with $cells cells")
+    }
+  }
+
+  test("markov: transition count equals events minus users (chain lengths)") {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    val got = EventQueries.qEventMarkov(spark, dir)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(got == expected)
+  }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-docs-fixture").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dup spans: shared 5-gram marks both docs, unique text marks none") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-gram
+    val d = writeDocs(Seq(
+      (1L, s"$shared zeta eta theta iota kappa", "en"),   // grams 1..6
+      (2L, s"pre1 pre2 $shared post1 post2", "en"),       // shared at pos 3
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "en")))                // all unique
+    val got = TextQueries.qTextDupSpans(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc1: 6 positions, 1 shared; doc2: 5 positions, 1 shared; doc3: 0
+    assert(got == List((1L, 6L, 1L), (2L, 5L, 1L), (3L, 3L, 0L)))
+  }
+
+  test("dup spans: within-doc repetition alone is NOT a cross-doc dup") {
+    val d = writeDocs(Seq(
+      (1L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5", "en"), // self-repeats only
+      (2L, "s1 s2 s3 s4 s5 s6", "en")))
+    val got = TextQueries.qTextDupSpans(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
+  test("dsir: target-looking docs score above off-target docs") {
+    // target (en) speaks tokens a*; the other language speaks b* — a raw
+    // doc written in a* must outweigh one written in b*
+    val d = writeDocs(Seq(
+      (1L, "a1 a2 a3 a1 a2 a3", "en"),
+      (2L, "a1 a2 a3 a1 a2 a3", "en"),
+      (3L, "b1 b2 b3 b1 b2 b3", "zh"),
+      (4L, "b1 b2 b3 b1 b2 b3", "zh"),
+      (5L, "a1 a2 a3 a1 a2 a3", "zh"), // target-looking but labeled raw
+      (6L, "b1 b2 b3 b1 b2 b3", "de")))
+    val w = CurationQueries.qDsirWeights(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(5L) > w(3L), s"target-looking raw doc should win: $w")
+    assert(w(1L) > w(6L), s"en doc should beat off-target: $w")
+    assert(w(1L) == w(5L), "same text ⇒ same weight regardless of label")
+  }
+}
