@@ -407,6 +407,22 @@ object Multimodal {
     * a mean ignores — so interlaced files decode without the
     * deinterlace pass. Returns None on anything malformed (→ stub).
     */
+  /** GIF interlace stores rows in 4 passes (0,8,…; 4,12,…; 2,6,…;
+    * 1,3,…): map the stored-sequence row back to its logical y so the
+    * dHash grid sees true geometry (the mean is order-blind).
+    */
+  private def gifLogicalRow(seq: Int, ih: Int, interlaced: Boolean): Int =
+    if (!interlaced) seq
+    else {
+      val n1 = (ih + 7) / 8
+      val n2 = if (ih > 4) (ih - 4 + 7) / 8 else 0
+      val n3 = if (ih > 2) (ih - 2 + 3) / 4 else 0
+      if (seq < n1) seq * 8
+      else if (seq < n1 + n2) 4 + (seq - n1) * 8
+      else if (seq < n1 + n2 + n3) 2 + (seq - n1 - n2) * 4
+      else 1 + (seq - n1 - n2 - n3) * 2
+    }
+
   private[ops] def decodeGif(m: MediaFile): Option[MediaFeatures] = {
     val b = m.content
     if (b.length < 14) return None
@@ -424,20 +440,6 @@ object Multimodal {
       if (p + n > b.length) return None
       gct = java.util.Arrays.copyOfRange(b, p, p + n); p += n
     }
-    // GIF interlace stores rows in 4 passes (0,8,…; 4,12,…; 2,6,…;
-    // 1,3,…): map the stored-sequence row back to its logical y so the
-    // dHash grid sees true geometry (the mean is order-blind)
-    def logicalRow(seq: Int, ih: Int, interlaced: Boolean): Int =
-      if (!interlaced) seq
-      else {
-        val n1 = (ih + 7) / 8
-        val n2 = if (ih > 4) (ih - 4 + 7) / 8 else 0
-        val n3 = if (ih > 2) (ih - 2 + 3) / 4 else 0
-        if (seq < n1) seq * 8
-        else if (seq < n1 + n2) 4 + (seq - n1) * 8
-        else if (seq < n1 + n2 + n3) 2 + (seq - n1 - n2) * 4
-        else 1 + (seq - n1 - n2 - n3) * 2
-      }
     var frames = 0
     var firstLuma = -1.0
     var firstDhash = 0L
@@ -490,7 +492,7 @@ object Multimodal {
               val luma = 0.299 * (ct(e) & 0xff) +
                 0.587 * (ct(e + 1) & 0xff) + 0.114 * (ct(e + 2) & 0xff)
               s += luma
-              grid.add(i % iw, logicalRow(i / iw, ih, interlaced),
+              grid.add(i % iw, gifLogicalRow(i / iw, ih, interlaced),
                 luma / 255.0)
               i += 1
             }
@@ -504,6 +506,117 @@ object Multimodal {
     Some(MediaFeatures(path = m.path, length = m.length,
       fingerprint = fnv(b), width = sw, height = sh,
       n_frames = frames, mean_luma = firstLuma, dhash = firstDhash))
+  }
+
+  case class GifFrame(path: String, frame_idx: Int, width: Int,
+                      height: Int, mean_luma: Double, dhash: Long)
+
+  /** Per-FRAME decode for (animated) GIFs — the video-pipeline frame
+    * path: every retained image descriptor is LZW-decoded into its own
+    * luma grid, yielding a per-frame dHash so frame-level near-dup /
+    * scene-cut analysis can run over the `imageNearDupPairs` machinery
+    * unchanged (id = file#frame). `stride` keeps every stride-th frame
+    * (frame sampling at decode time — skipped frames still have their
+    * data blocks walked, which is unavoidable in GIF's sequential
+    * container, but they are never LZW-expanded, the expensive part).
+    *
+    * Each descriptor is decoded standalone against its own (or the
+    * global) palette; GIF patch-frame compositing/disposal is out of
+    * scope — fixtures and typical ML-corpus GIFs carry full-size
+    * frames. Returns Nil for non-GIF or malformed bytes.
+    */
+  private[ops] def decodeGifFrames(m: MediaFile,
+                                   stride: Int = 1): Seq[GifFrame] = {
+    require(stride >= 1, "stride must be >= 1")
+    val b = m.content
+    if (b.length < 14) return Nil
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return Nil
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    if (u16(6) <= 0 || u16(8) <= 0) return Nil
+    val flags = b(10) & 0xff
+    var p = 13
+    var gct: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (p + n > b.length) return Nil
+      gct = java.util.Arrays.copyOfRange(b, p, p + n); p += n
+    }
+    val out = Seq.newBuilder[GifFrame]
+    var idx = 0
+    while (p < b.length) {
+      (b(p) & 0xff) match {
+        case 0x3b => p = b.length
+        case 0x21 =>
+          p += 2
+          while (p < b.length && (b(p) & 0xff) != 0)
+            p += 1 + (b(p) & 0xff)
+          p += 1
+        case 0x2c =>
+          if (p + 10 > b.length) return out.result()
+          val iw = u16(p + 5)
+          val ih = u16(p + 7)
+          val iflags = b(p + 9) & 0xff
+          p += 10
+          var ct = gct
+          if ((iflags & 0x80) != 0) {
+            val n = 3 * (1 << ((iflags & 7) + 1))
+            if (p + n > b.length) return out.result()
+            ct = java.util.Arrays.copyOfRange(b, p, p + n); p += n
+          }
+          if (p >= b.length || iw <= 0 || ih <= 0 ||
+              iw.toLong * ih > (1L << 28)) return out.result()
+          val mcs = b(p) & 0xff
+          p += 1
+          val data = new java.io.ByteArrayOutputStream()
+          while (p < b.length && (b(p) & 0xff) != 0) {
+            val n = b(p) & 0xff
+            if (p + 1 + n > b.length) return out.result()
+            data.write(b, p + 1, n); p += 1 + n
+          }
+          if (p >= b.length) return out.result()
+          p += 1
+          if (idx % stride == 0 && ct != null) {
+            lzwDecode(data.toByteArray, mcs, iw * ih).foreach { pix =>
+              val interlaced = (iflags & 0x40) != 0
+              val grid = new LumaGrid(iw, ih)
+              var s = 0.0
+              var i = 0
+              var ok = true
+              while (ok && i < pix.length) {
+                val e = (pix(i) & 0xff) * 3
+                if (e + 2 >= ct.length) ok = false
+                else {
+                  val luma = 0.299 * (ct(e) & 0xff) +
+                    0.587 * (ct(e + 1) & 0xff) + 0.114 * (ct(e + 2) & 0xff)
+                  s += luma
+                  grid.add(i % iw, gifLogicalRow(i / iw, ih, interlaced),
+                    luma / 255.0)
+                  i += 1
+                }
+              }
+              if (ok) out += GifFrame(m.path, idx, iw, ih,
+                s / (iw.toLong * ih) / 255.0, grid.dhash)
+            }
+          }
+          idx += 1
+        case _ => return out.result()
+      }
+    }
+    out.result()
+  }
+
+  /** Frame-level feature extraction over a media set: one row per
+    * retained GIF frame (see `decodeGifFrames`); non-GIF files yield no
+    * rows. mapPartitions-batched like `extractFeatures`; at scale the
+    * per-file fan-out is bounded by frame count / stride, and the rows
+    * that shuffle downstream are (path, idx, 8-byte hash) — never
+    * pixels.
+    */
+  def extractGifFrames(media: Dataset[MediaFile],
+                       stride: Int = 1): Dataset[GifFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.flatMap(m => decodeGifFrames(m, stride)))
   }
 
   case class AudioFeatures(path: String, length: Long, fingerprint: Long,

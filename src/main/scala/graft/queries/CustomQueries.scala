@@ -238,16 +238,27 @@ object CustomQueries {
     * 32 from both extremes). All analytic — the oracle pins the pair
     * list from pigeonhole-banded LSH + popcount.
     */
+  // shared 18×16 analytic rasters (phash + animated-frame fixtures):
+  // a horizontal gradient, the gradient with one dark corner patch
+  // (exactly one dHash bit away), a vertical gradient (all horizontal
+  // comparisons tie → dHash 0), and column stripes (far from all)
+  private val fxW = 18
+  private val fxH = 16
+  private def fxGrad(x: Int, y: Int) = x * 14
+  private def fxGrad2(x: Int, y: Int) = if (x >= 16 && y <= 1) 0 else x * 14
+  private def fxGradv(x: Int, y: Int) = y * 15
+  private def fxStripes(x: Int, y: Int) = if ((x / 2) % 2 == 0) 30 else 220
+
   private lazy val phashFixtures: Map[String, Array[Byte]] = {
-    val w = 18
-    val h = 16
+    val w = fxW
+    val h = fxH
     def pgm(px: (Int, Int) => Int): Array[Byte] =
       s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
         Array.tabulate(w * h)(i => px(i % w, i / w).toByte)
-    def grad(x: Int, y: Int) = x * 14
-    def grad2(x: Int, y: Int) = if (x >= 16 && y <= 1) 0 else x * 14
-    def gradv(x: Int, y: Int) = y * 15
-    def stripes(x: Int, y: Int) = if ((x / 2) % 2 == 0) 30 else 220
+    def grad(x: Int, y: Int) = fxGrad(x, y)
+    def grad2(x: Int, y: Int) = fxGrad2(x, y)
+    def gradv(x: Int, y: Int) = fxGradv(x, y)
+    def stripes(x: Int, y: Int) = fxStripes(x, y)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
@@ -316,6 +327,114 @@ object CustomQueries {
       .orderBy(col("label"))
   }
 
+  /** Minimal deterministic GIF89a encoder for the frame fixtures: a
+    * 256-entry grayscale global palette (index i = gray i, so Rec.601
+    * luma of a pixel IS its index), full-size frames, and an LZW
+    * stream of pure literal codes with a CLEAR every 200 pixels — the
+    * classic "uncompressed LZW" construction, which keeps the
+    * dictionary under 512 entries so the code width is a constant 9
+    * bits. Byte-deterministic by construction (no library, no
+    * timestamps), so the decoded per-frame features are pinnable
+    * oracle expectations.
+    */
+  private def grayGif(w: Int, h: Int,
+                      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    frames.foreach { px =>
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8) // min LZW code size → 9-bit codes, CLEAR=256, EOI=257
+      val codes = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nbits = 0
+      def emit(code: Int): Unit = {
+        acc |= (code.toLong << nbits); nbits += 9
+        while (nbits >= 8) {
+          codes.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8
+        }
+      }
+      emit(256)
+      var n = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        if (n == 200) { emit(256); n = 0 } // dictionary stays < 512
+        emit(px(x, y) & 0xff); n += 1
+      }
+      emit(257)
+      if (nbits > 0) codes.write((acc & 0xff).toInt)
+      val bytes = codes.toByteArray
+      bytes.grouped(255).foreach { blk =>
+        out.write(blk.length); out.write(blk, 0, blk.length)
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** 4-frame animated GIF from the shared analytic rasters, plus the
+    * static gradient PGM — lets the frame queries show image↔video
+    * frame dedup across containers.
+    */
+  private lazy val frameFixtures: Map[String, Array[Byte]] = {
+    def pgm(px: (Int, Int) => Int): Array[Byte] =
+      s"P5\n$fxW $fxH\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(fxW * fxH)(i => px(i % fxW, i / fxW).toByte)
+    Map("anim.gif" -> grayGif(fxW, fxH,
+        Seq(fxGrad, fxGrad2, fxGradv, fxStripes)),
+      "still.pgm" -> pgm(fxGrad))
+  }
+
+  /** Frame-level features of an animated GIF: REAL container walk +
+    * per-frame LZW decode (Multimodal.extractGifFrames) over a
+    * byte-deterministic fixture. The oracle is a literal VALUES table —
+    * each luma is the analytic mean of its known raster (gray palette ⇒
+    * luma = pixel/255), pinning the multi-frame decode end-to-end.
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-frames")
+    frameFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    Multimodal.extractGifFrames(
+        Multimodal.readBinary(spark, s"$scratch/*.gif")).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_luma"), 6).as("luma_r6"))
+      .orderBy(col("file"), col("frame_idx"))
+  }
+
+  /** Frame-level near-dup pairs ACROSS media kinds: GIF frames and
+    * still images share one dHash space (id = file#frame), so the
+    * pigeonhole-banded LSH join finds the still gradient colliding with
+    * the gradient frame at Hamming 0 and the corner-patched frame at 1
+    * — the scene-dedup / thumbnail-vs-video matching step of a
+    * multimodal curation pipeline, with no all-pairs comparison.
+    */
+  def qMultimodalFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-fdedup")
+    frameFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    val gifFrames = Multimodal.extractGifFrames(media).toDF()
+      .select(concat(element_at(split(col("path"), "/"), -1),
+          lit("#"), col("frame_idx")).as("id"), col("dhash"))
+    val stills = Multimodal.extractFeatures(
+        media.filter(!col("path").endsWith(".gif"))).toDF()
+      .select(concat(element_at(split(col("path"), "/"), -1),
+          lit("#0")).as("id"), col("dhash"))
+    Multimodal.imageNearDupPairs(gifFrames.unionByName(stills), "id",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -339,7 +458,9 @@ object CustomQueries {
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
-    "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _))
+    "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
+    "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
+    "q_multimodal_frame_dedup" -> (qMultimodalFrameDedup(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -441,6 +562,31 @@ object CustomQueries {
         |   'grad.bmp,grad.pgm,grad2.pgm'))
         |  AS t(label, n_members, members)
         |ORDER BY label""".stripMargin,
+    // Analytic per-frame expectations: gray palette ⇒ luma = mean
+    // pixel/255 of each known raster (grad 119/255, grad2 33348/73440,
+    // gradv 112.5/255, stripes (2060/18)/255).
+    "q_multimodal_frames" ->
+      """SELECT * FROM (VALUES
+        |  ('anim.gif', CAST(0 AS BIGINT), CAST(18 AS BIGINT),
+        |   CAST(16 AS BIGINT), 0.466667),
+        |  ('anim.gif', CAST(1 AS BIGINT), CAST(18 AS BIGINT),
+        |   CAST(16 AS BIGINT), 0.454085),
+        |  ('anim.gif', CAST(2 AS BIGINT), CAST(18 AS BIGINT),
+        |   CAST(16 AS BIGINT), 0.441176),
+        |  ('anim.gif', CAST(3 AS BIGINT), CAST(18 AS BIGINT),
+        |   CAST(16 AS BIGINT), 0.448802))
+        |  AS t(file, frame_idx, width, height, luma_r6)
+        |ORDER BY file, frame_idx""".stripMargin,
+    // The still gradient collides with its GIF-frame twin at Hamming 0,
+    // the corner-patched frame sits at 1 from both; the vertical
+    // gradient (dHash 0) and stripes pair with nothing.
+    "q_multimodal_frame_dedup" ->
+      """SELECT * FROM (VALUES
+        |  ('anim.gif#0', 'anim.gif#1', CAST(1 AS BIGINT)),
+        |  ('anim.gif#0', 'still.pgm#0', CAST(0 AS BIGINT)),
+        |  ('anim.gif#1', 'still.pgm#0', CAST(1 AS BIGINT)))
+        |  AS t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),
