@@ -105,6 +105,73 @@ object Mining {
       col(key).cast("long") === col("__k"), "left_semi")
   }
 
+  /** Exact N-dimensional skyline — the divide-and-conquer generalization
+    * of [[skyline3D]] (Börzsönyi et al., ICDE'01, §D&C): a local
+    * frontier per partition, then LOGARITHMIC HALVING merge rounds
+    * instead of one single-task union — each round coalesces pairs of
+    * partitions (no shuffle) and re-filters, so for anti-correlated
+    * data where Σ local-frontier sizes is itself large, no single task
+    * ever sees the full candidate union at once; the final task sees
+    * only the survivors of log₂(p) prior prunes. The skyline is a
+    * unique set, so the result is independent of partitioning and merge
+    * order; ties (equal vectors) all survive.
+    *
+    * Dominance per [[skyline3D]]: every dim ≤ with at least one strict,
+    * after minimize/maximize normalization. Null dims are excluded
+    * (incomparable). The in-memory frontier filter is the documented
+    * `mapPartitions` exception — its only relational equivalent is the
+    * quadratic self-join the oracle runs.
+    */
+  def skylineND(df: DataFrame, key: String,
+                dims: Seq[(String, Boolean)]): DataFrame = {
+    require(dims.size >= 2, "skylineND needs at least two dimensions")
+    val keyType = df.schema(key).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(keyType.toString),
+      s"skylineND requires an integral key column; got $keyType for " +
+        s"'$key' — hash or surrogate-key non-numeric ids first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df
+      .filter(dims.map { case (c, _) => col(c).isNotNull }.reduce(_ && _))
+      .select(col(key).cast("long").as("__k"),
+        array(dims.map { case (c, minimize) =>
+          (if (minimize) col(c) else -col(c)).cast("double")
+        }: _*).as("__d"))
+      .as[(Long, Seq[Double])]
+    def dominates(q: Seq[Double], p: Seq[Double]): Boolean = {
+      var allLe = true
+      var anyLt = false
+      var i = 0
+      while (allLe && i < q.length) {
+        if (q(i) > p(i)) allLe = false
+        else if (q(i) < p(i)) anyLt = true
+        i += 1
+      }
+      allLe && anyLt
+    }
+    def localSkyline(it: Iterator[(Long, Seq[Double])])
+        : Iterator[(Long, Seq[Double])] = {
+      val frontier =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      it.foreach { p =>
+        if (!frontier.exists(q => dominates(q._2, p._2))) {
+          val kept = frontier.filterNot(q => dominates(p._2, q._2))
+          frontier.clear(); frontier ++= kept; frontier += p
+        }
+      }
+      frontier.iterator
+    }
+    var cur = proj.mapPartitions(localSkyline)
+    var parts = cur.rdd.getNumPartitions
+    while (parts > 1) {
+      parts = (parts + 1) / 2
+      cur = cur.coalesce(parts).mapPartitions(localSkyline)
+    }
+    df.join(cur.toDF("__k", "__d").select(col("__k")),
+      col(key).cast("long") === col("__k"), "left_semi")
+  }
+
   /** Market-basket association pairs (Agrawal & Srikant, VLDB'94 —
     * Apriori's pair stage): co-occurrence counts and exact integer lift
     * for every item pair appearing in a basket together.

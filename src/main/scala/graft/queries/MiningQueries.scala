@@ -35,7 +35,26 @@ object MiningQueries {
         col("name_len").cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** 4-D frontier via the halving-merge D&C operator: (cheapest,
+    * largest, shortest-name, shortest-type) parts. Higher dims →
+    * larger frontiers, which is exactly the regime the log-round merge
+    * exists for.
+    */
+  def qSkyline4d(spark: SparkSession, dir: String): DataFrame =
+    Mining.skylineND(
+        Tables.part(spark, dir)
+          .withColumn("name_len", length(col("p_name")).cast("int"))
+          .withColumn("type_len", length(col("p_type")).cast("int")),
+        "p_partkey",
+        Seq(("p_retailprice", true), ("p_size", false),
+          ("name_len", true), ("type_len", true)))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        col("name_len").cast("long").as("name_len"),
+        col("type_len").cast("long").as("type_len"))
+      .orderBy(col("p_partkey"))
+
   val defs: Map[String, Q] = Map(
+    "q_skyline_4d" -> (qSkyline4d(_, _)),
     "q_skyline" -> (qSkyline(_, _)),
     "q_skyline_3d" -> (qSkyline3d(_, _)),
     "q_assoc_rules" -> (qAssocRules(_, _))
@@ -65,6 +84,22 @@ object MiningQueries {
         |      AND (q.p_retailprice < p.p_retailprice
         |           OR q.p_size > p.p_size
         |           OR length(q.p_name) < length(p.p_name)))
+        |ORDER BY p_partkey""".stripMargin,
+    "q_skyline_4d" ->
+      """SELECT p_partkey, p_retailprice, p_size,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  CAST(length(p_type) AS BIGINT) AS type_len
+        |FROM part p
+        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part q
+        |    WHERE q.p_retailprice <= p.p_retailprice
+        |      AND q.p_size >= p.p_size
+        |      AND length(q.p_name) <= length(p.p_name)
+        |      AND length(q.p_type) <= length(p.p_type)
+        |      AND (q.p_retailprice < p.p_retailprice
+        |           OR q.p_size > p.p_size
+        |           OR length(q.p_name) < length(p.p_name)
+        |           OR length(q.p_type) < length(p.p_type)))
         |ORDER BY p_partkey""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

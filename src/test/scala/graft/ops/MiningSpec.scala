@@ -55,6 +55,43 @@ class MiningSpec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("skylineND matches skyline3D on three dims for any partitioning") {
+    val pts = (0 until 120).map { i =>
+      ((i * 37) % 41, (i * 13) % 29, (i * 7) % 17)
+    }
+    val df = pts.zipWithIndex
+      .map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+      .toDF("id", "x", "y", "z")
+    val dims = Seq(("x", true), ("y", false), ("z", true))
+    val want = Mining.skyline3D(df, "id", dims)
+      .select("id").as[Long].collect().toSet
+    Seq(1, 5, 11).foreach { np =>
+      val got = Mining.skylineND(df.repartition(np), "id", dims)
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"partitions=$np")
+    }
+  }
+
+  test("skylineND 4-D: brute-force agreement and ties all survive") {
+    val pts = (0 until 90).map { i =>
+      ((i * 37) % 23, (i * 13) % 19, (i * 7) % 11, (i * 5) % 13)
+    } ++ Seq((0, 18, 0, 0), (0, 18, 0, 0)) // duplicate extreme vector
+    val df = pts.zipWithIndex
+      .map { case ((a, b, c, d), i) => (i.toLong, a, b, c, d) }
+      .toDF("id", "a", "b", "c", "d")
+    val want = pts.zipWithIndex.collect {
+      case ((a, b, c, d), i) if !pts.exists { case (qa, qb, qc, qd) =>
+        qa <= a && qb >= b && qc <= c && qd <= d &&
+          (qa < a || qb > b || qc < c || qd > d) } => i.toLong
+    }.toSet
+    val got = Mining.skylineND(df.repartition(7), "id",
+        Seq(("a", true), ("b", false), ("c", true), ("d", true)))
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+    // both copies of the tied extreme vector survive
+    assert(got.contains(90L) && got.contains(91L))
+  }
+
   test("assocPairs: exact counts + integer lift on a hand example") {
     // baskets: {a,b,c}, {a,b}, {a,c}, {b} → n=4
     val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
