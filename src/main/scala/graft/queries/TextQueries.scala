@@ -371,7 +371,76 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL-DELTA BPE trainer for the many-round regime (the
+    * measured crossover bpeRounds documents): instead of a full
+    * pair-count scan per round, maintain the pair-count table and
+    * update it with the count DELTA of only the segments containing
+    * the merged pair — subtract their old pairs, add their re-folded
+    * pairs. Early merges touch ~half the corpus (where the full rescan
+    * wins); later merges touch a sliver, which is where real
+    * tokenizer training (10k-100k merges) lives. Merges are identical
+    * to the rescan trainer by construction, so the SAME replay oracle
+    * certifies both. Both evolving tables are localCheckpoint'd each
+    * round: caching alone reuses computed BLOCKS but not PLAN size —
+    * segs_r references segs_{r-1} twice (filter + fold), so the
+    * analyzed tree doubles per round and Catalyst analysis goes
+    * exponential (measured: the 8-round plan pinned the driver for
+    * minutes); the checkpoint cuts each round's plan to a leaf.
+    */
+  private def bpeRoundsDelta(spark: SparkSession, dir: String,
+                             rounds: Int): DataFrame = {
+    def pairsOf(df: DataFrame): DataFrame =
+      df.select(split(col("s"), "[|]").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> concat(element_at(l, i), char(1)," +
+            " element_at(l, i + 1)))")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    var segs = graft.ops.CacheScope.cached(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "" && !col("tok").contains("|")
+          && !col("tok").contains(""))
+        .select(concat_ws("|", split(col("tok"), "")).as("s")))
+    var counts = graft.ops.CacheScope.cached(pairsOf(segs))
+    val merged = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val topRow = counts.orderBy(col("n").desc, col("p")).limit(1)
+        .collect()(0)
+      val Array(pa, pb) = topRow.getString(0).split("", 2)
+      merged += ((r, s"$pa+$pb", topRow.getLong(1)))
+      val hit = col("s").contains(lit(s"$pa|$pb"))
+      val affected = graft.ops.CacheScope.cached(segs.filter(hit))
+      val folded = graft.ops.CacheScope.cached(affected
+        .withColumn("pa", lit(pa)).withColumn("pb", lit(pb))
+        .select(expr(
+          """aggregate(
+            |  slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1),
+            |  cast(element_at(split(s, '[|]'), 1) as string),
+            |  (acc, x) -> CASE
+            |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
+            |    THEN concat(acc, x)
+            |    ELSE concat(acc, '|', x) END)""".stripMargin)
+          .as("s")))
+      counts = counts.unionByName(pairsOf(folded))
+        .unionByName(pairsOf(affected)
+          .select(col("p"), (-col("n")).as("n")))
+        .groupBy(col("p")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .localCheckpoint()
+      segs = segs.filter(!hit).unionByName(folded).localCheckpoint()
+    }
+    import spark.implicits._
+    merged.result().toDF("round", "pair", "n")
+  }
+
+  /** 8 merge rounds through the delta trainer (see bpeRoundsDelta). */
+  def qTextBpeTrainDelta(spark: SparkSession, dir: String): DataFrame =
+    bpeRoundsDelta(spark, dir, 8)
+
   val defs: Map[String, Q] = Map(
+    "q_text_bpe_train_delta" -> (qTextBpeTrainDelta(_, _)),
     "q_text_dup_spans" -> (qTextDupSpans(_, _)),
     "q_text_bpe_train" -> (qTextBpeTrain(_, _)),
     "q_text_bpe_apply" -> (qTextBpeApply(_, _)),
@@ -607,6 +676,8 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    // the delta trainer must land on the SAME merges as a full replay
+    "q_text_bpe_train_delta" -> bpeTrainOracleSql(8),
     "q_text_bpe_train" -> bpeTrainOracleSql(5),
     "q_text_bpe_apply" -> bpeApplyOracleSql(5),
     // The sketch pass is invisible to the oracle: the exact recount
