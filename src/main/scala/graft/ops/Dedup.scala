@@ -674,6 +674,53 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Cross-document duplicated-span REMOVAL — the transform half of the
+    * Lee et al. (2022) exact-substring discipline (detection lives in
+    * the dup-spans query): drop every token covered by a word-`n`-gram
+    * that also occurs in at least one OTHER document, and re-join the
+    * survivors in order. Returns one row per document with ≥1 token:
+    * (id, n_tokens, n_kept, trimmed).
+    *
+    * Scale plan: grams hash to 60 bits pre-shuffle (portable md5
+    * family); corpus doc-frequency is one aggregate over deduped
+    * (doc, gram) pairs; coverage expands each shared occurrence to its
+    * `n` positions as (doc, int) pairs — shuffles carry ints, never
+    * text. The trimmed string materializes once per doc in the final
+    * per-doc aggregate. Within-doc repetition alone never trims (df
+    * counts distinct documents).
+    */
+  def trimSharedNgramSpans(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "span n-gram size must be >= 2")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__tok")))
+    def gramsIdx = docs
+      .select(col(idCol).as("__id"), split(col(textCol), "\\s+").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("__id"), posexplode(
+        TextAnalysis.wordNgramsFromTokens(col("t"), n)).as(Seq("__i", "g")))
+      .select(col("__id"), col("__i"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("g"))
+    val shared = gramsIdx.select(col("__id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    val covered = gramsIdx.join(shared, "g")
+      .select(col("__id"),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__pos"))
+      .distinct()
+    toks.join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("trimmed"))
+      .join(toks.groupBy(col("__id"))
+        .agg(count(lit(1)).as("n_tokens")), Seq("__id"), "right")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("trimmed"), lit("")).as("trimmed"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed
     * by hyperplane signature prefix so the join is on bucket keys.
     */

@@ -439,7 +439,17 @@ object TextQueries {
   def qTextBpeTrainDelta(spark: SparkSession, dir: String): DataFrame =
     bpeRoundsDelta(spark, dir, 8)
 
+  /** Duplicated-span removal (Dedup.trimSharedNgramSpans): the
+    * transform half of q_text_dup_spans — documents come back with
+    * every cross-document 5-gram span cut out.
+    */
+  def qTextDupTrim(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.trimSharedNgramSpans(
+        Tables.documents(spark, dir), "doc_id", "text", 5)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
+    "q_text_dup_trim" -> (qTextDupTrim(_, _)),
     "q_text_bpe_train_delta" -> (qTextBpeTrainDelta(_, _)),
     "q_text_dup_spans" -> (qTextDupSpans(_, _)),
     "q_text_bpe_train" -> (qTextBpeTrain(_, _)),
@@ -676,6 +686,50 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_dup_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t))) AS pos
+        |  FROM t),
+        |tk AS (SELECT doc_id, pos, t[pos] AS tok FROM tok),
+        |gi AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        |  FROM t WHERE len(t) >= 5),
+        |g AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+        |  FROM gi),
+        |h AS (
+        |  SELECT doc_id, i, CAST(list_sum(list_transform(
+        |    generate_series(1, 15),
+        |    d -> CAST(strpos('0123456789abcdef', substring(md5(gram), d, 1))
+        |           - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - d)))))
+        |    AS BIGINT) AS g
+        |  FROM g),
+        |df AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM h)
+        |       GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + d AS pos
+        |  FROM (SELECT h.doc_id, h.i,
+        |          unnest(generate_series(0, 4)) AS d
+        |        FROM h JOIN df ON h.g = df.g)),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tk.doc_id AND cov.pos = tk.pos)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS trimmed
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tk
+        |        GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_tokens,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.trimmed, '') AS trimmed
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     // the delta trainer must land on the SAME merges as a full replay
     "q_text_bpe_train_delta" -> bpeTrainOracleSql(8),
     "q_text_bpe_train" -> bpeTrainOracleSql(5),

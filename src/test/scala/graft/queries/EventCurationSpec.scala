@@ -91,6 +91,38 @@ class EventCurationSpec extends SparkTestBase {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  test("dup trim: shared span cut from both docs, order preserved") {
+    val shared = "alpha beta gamma delta epsilon"
+    val d = writeDocs(Seq(
+      (1L, s"keep1 $shared keep2", "en"),
+      (2L, s"$shared tail1 tail2", "en"),
+      (3L, "u1 u2 u3 u4 u5 u6", "en")))
+    val got = graft.ops.Dedup.trimSharedNgramSpans(
+        graft.io.Tables.documents(spark, d), "doc_id", "text", 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // doc1: 7 tokens; the 5 span tokens removed, surrounding kept in order
+    assert(got(1L) == ((7L, 2L, "keep1 keep2")))
+    assert(got(2L) == ((7L, 2L, "tail1 tail2")))
+    assert(got(3L) == ((6L, 6L, "u1 u2 u3 u4 u5 u6"))) // untouched
+  }
+
+  test("dup trim: overlapping shared grams union their coverage") {
+    // doc1/doc2 share a 6-token run ⇒ two overlapping 5-grams; all six
+    // positions are covered, not just the first five
+    val run = "s1 s2 s3 s4 s5 s6"
+    val d = writeDocs(Seq(
+      (1L, s"a $run b", "en"),
+      (2L, s"$run x y", "en")))
+    val got = graft.ops.Dedup.trimSharedNgramSpans(
+        graft.io.Tables.documents(spark, d), "doc_id", "text", 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, "a b")))
+    assert(got(2L) == ((2L, "x y")))
+  }
+
   test("dsir: target-looking docs score above off-target docs") {
     // target (en) speaks tokens a*; the other language speaks b* — a raw
     // doc written in a* must outweigh one written in b*
