@@ -34,6 +34,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-similar corpus vectors whose LABEL DIFFERS — the
+    * negatives that sit closest to the decision boundary, which is what
+    * embedding-model training loops sample (e.g. Xiong et al., ANCE,
+    * 2021). Same shape and determinism contract as [[bruteForceTopK]]
+    * (broadcast anchor side, map-side cosine, per-anchor window);
+    * for corpus-scale anchor sets, feed [[lshCandidates]] output
+    * through the same label filter instead of the cross join.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("neg_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("neg_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table hyperplane LSH: a candidate is any corpus vector sharing
     * a full signature with the query in at least one of `nTables` tables
     * (different seeds). Equi-join on (table, signature).

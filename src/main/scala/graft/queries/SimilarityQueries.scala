@@ -12,6 +12,21 @@ object SimilarityQueries {
   /** Brute-force cosine top-5 for a 10-query probe set — the exact
     * baseline. Queries broadcast; corpus never shuffles.
     */
+  /** Hard negatives for the first 10 anchors: top-5 nearest vectors
+    * with a DIFFERENT label (Similarity.hardNegatives) — the
+    * contrastive-training sampling step over the embeddings table.
+    */
+  def qSimHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        "label", k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("neg_label").cast("long").as("neg_label"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def qSimTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(
@@ -179,6 +194,7 @@ object SimilarityQueries {
     "q_sim_maxsim" -> (qSimMaxsim(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_sim_quantize" -> (qSimQuantize(_, _)),
+    "q_sim_hard_negatives" -> (qSimHardNegatives(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
@@ -634,6 +650,28 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, cosine FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_sim_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS neg_label,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (q.nrm * c.nrm) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |    AND q.label <> c.label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, neg_label, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id,
+        |  CAST(neg_label AS BIGINT) AS neg_label, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk_brute" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
