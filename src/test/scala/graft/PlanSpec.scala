@@ -293,4 +293,48 @@ class PlanSpec extends SparkTestBase {
     // map-side partials), not a per-(vector,subspace) window sort
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
   }
+
+  test("dup spans + trim: gram df re-attach is an equi-join on the " +
+    "60-bit hash — no cartesian/BNL, no gram strings in the shuffle") {
+    Seq("q_text_dup_spans", "q_text_dup_trim").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("dsir: both unigram models reduce from ONE corpus-sized " +
+    "aggregate; the log-ratio vector re-attaches by broadcast") {
+    val p = plan("q_curate_dsir")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one exchange keyed by (doc, bucket) feeds docBkt; the
+    // model tables must not re-shuffle the token stream
+    assert(p.sliding("InMemoryTableScan".length)
+      .count(_ == "InMemoryTableScan") >= 2,
+      "docBkt must be cached and reused by both model branches")
+  }
+
+  test("funnel: each step is a key-partitioned aggregate; the final " +
+    "3-row ratio join broadcasts") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin")) // the 1-row n1 attach
+  }
+
+  test("hard negatives: anchors broadcast; corpus is scored map-side " +
+    "with a per-anchor window — no sort-merge join") {
+    val p = plan("q_sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // broadcast anchor side
+  }
+
+  test("frame dedup: GIF frame hashes and stills join on (slice, bits) " +
+    "— no cartesian") {
+    val p = plan("q_multimodal_frame_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
