@@ -226,6 +226,37 @@ object StreamQueries {
     * full-log batch recompute, so it shares q_cdc_apply's DuckDB twin:
     * stream-vs-batch equivalence as a hard oracle.
     */
+  /** Incremental streaming funnel end-to-end: the events table split
+    * into two CHRONOLOGICAL micro-batches (the ordered-batch contract
+    * funnelSink documents — log ingestion's natural layout), fed
+    * through the file-stream source one file per trigger, merged into
+    * the per-user summary state table, then rolled up. The oracle is
+    * the BATCH funnel's SQL — stream-vs-batch equivalence is the
+    * check.
+    */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_funnel")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("ts") >= cut).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    StreamOps.funnelSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$tmp/src").parquet(s"$tmp/src/*"),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      s"$tmp/table", s"$tmp/cp", buckets = 16)
+    StreamOps.funnelRollup(spark, s"$tmp/table")
+  }
+
   def qStreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOps.scratchDir("q_stream_cdc_apply")
     val o = Tables.orders(spark, dir)
@@ -337,6 +368,7 @@ object StreamQueries {
 
   val defs: Map[String, Q] = Map(
     "q_stream_asof" -> (qStreamAsof(_, _)),
+    "q_stream_funnel" -> (qStreamFunnel(_, _)),
     "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
@@ -354,6 +386,9 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // Same twin as q_cdc_apply: the streamed, out-of-order, tombstoned
     // application must equal the full-log recompute.
+    // streamed == batch: the incremental summary merge must equal the
+    // batch funnel's chained-min recompute
+    "q_stream_funnel" -> EventQueries.oracles("q_event_funnel"),
     "q_stream_cdc_apply" -> MiscQueries.oracles("q_cdc_apply"),
     // Full replay of the two-batch near-dedup ingest (portable md5
     // signature family — the sidecar behavior itself is spec-proven).

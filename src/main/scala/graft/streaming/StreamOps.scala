@@ -447,6 +447,117 @@ object StreamOps {
     swapAffectedBuckets(winner, tablePath, affected.toIndexedSeq)
   }
 
+  /** Streaming CONVERSION FUNNEL: maintain per-user (t1, t2, t3) — the
+    * first step-1 event, the first step-2 event strictly after t1, the
+    * first step-3 event strictly after t2 — incrementally across
+    * micro-batches in a keyed parquet state table, partition-scoped
+    * like [[upsertSink]] (a batch reads/swaps only the buckets holding
+    * its users). Funnel rollups then read the summary table
+    * (O(users), never O(events)).
+    *
+    * ORDERED-BATCH CONTRACT: batches must arrive in non-decreasing
+    * event-time order (each batch's events at or after everything
+    * already applied — the natural layout of log ingestion). Under it
+    * the chained-min summary merge equals a full recompute: a new
+    * batch can never contain an event EARLIER than an applied one, so
+    * a summary slot, once set, is final. Out-of-order feeds need the
+    * buffering form (the sessionizeWithState discipline) instead —
+    * summaries are lossy under reordering, which is why this contract
+    * is stated rather than assumed.
+    */
+  def funnelSink(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String], tablePath: String,
+                 checkpoint: String, buckets: Int = 16): Unit = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        funnelBatch(batch, userCol, tsCol, typeCol, steps, tablePath,
+          buckets)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One incremental funnel merge (the foreachBatch body of
+    * [[funnelSink]], exposed for direct batch use and tests).
+    */
+  def funnelBatch(rawBatch: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String], tablePath: String,
+                  buckets: Int): Unit = {
+    require(steps.size == 3, "funnelBatch tracks a three-step funnel")
+    val spark = rawBatch.sparkSession
+    val batch = rawBatch
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(typeCol).as("et"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("user_id")), lit(buckets)).cast("int"))
+    val affected = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: ≤ `buckets` ints
+    if (affected.isEmpty) return
+    val dest = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDirs = affected
+      .map(b => new org.apache.hadoop.fs.Path(dest, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    val state =
+      if (existingDirs.isEmpty)
+        spark.emptyDataFrame
+          .withColumn("user_id", lit(0L)).withColumn("t1",
+            lit(null).cast("timestamp"))
+          .withColumn("t2", lit(null).cast("timestamp"))
+          .withColumn("t3", lit(null).cast("timestamp"))
+          .limit(0)
+      else spark.read.option("basePath", tablePath)
+        .parquet(existingDirs.toIndexedSeq: _*)
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+    // chained seeded mins: each slot keeps its state value (final under
+    // the ordered contract) or takes the batch's earliest qualifying
+    // event given the PREVIOUS slot's merged value
+    val s1 = batch.filter(col("et") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("m1"))
+    val t1 = state.join(s1, Seq("user_id"), "full_outer")
+      .select(col("user_id"), least(col("t1"), col("m1")).as("t1"),
+        col("t2"), col("t3"))
+    val s2 = batch.filter(col("et") === steps(1))
+      .join(t1.select(col("user_id"), col("t1")), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("m2"))
+    val t2 = t1.join(s2, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"),
+        coalesce(col("t2"), col("m2")).as("t2"), col("t3"))
+    val s3 = batch.filter(col("et") === steps(2))
+      .join(t2.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("m3"))
+    val merged = t2.join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"),
+        coalesce(col("t3"), col("m3")).as("t3"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("user_id")), lit(buckets)).cast("int"))
+    swapAffectedBuckets(merged, tablePath, affected.toIndexedSeq)
+  }
+
+  /** Funnel rollup over a [[funnelSink]] state table: (step, n,
+    * conv_ppm vs step 1) — the batch funnel's output shape from
+    * O(users) summaries.
+    */
+  def funnelRollup(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String): DataFrame = {
+    val st = spark.read.parquet(tablePath)
+    val counts = st.agg(count(col("t1")).as("n")).withColumn("step", lit(1))
+      .unionByName(
+        st.agg(count(col("t2")).as("n")).withColumn("step", lit(2)))
+      .unionByName(
+        st.agg(count(col("t3")).as("n")).withColumn("step", lit(3)))
+    counts.crossJoin(broadcast(st.agg(count(col("t1")).as("n1"))))
+      .select(col("step"), col("n"),
+        expr("n * 1000000 div n1").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
   /** Live view of a [[cdcSink]] state table: tombstones filtered, the
     * bookkeeping columns (seq, op, bucket) dropped — the same shape
     * `Merge.cdcApply` returns from a full-log recompute.

@@ -569,6 +569,38 @@ class FileStreamSpec extends SparkTestBase {
     assert(live == Seq((1L, 10.0)))
   }
 
+  test("funnelBatch: cross-batch conversions complete; ordered batches " +
+    "equal a full recompute") {
+    val dir = Files.createTempDirectory("funnel-sink").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // u1 converts ACROSS batches (view@1 | click@10, buy@20);
+    // u2 has a click BEFORE its view (strict order must reject);
+    // u3 views only; u4 never appears in batch 1
+    val b1 = Seq((1L, ts(1), "view"), (2L, ts(2), "click"),
+      (2L, ts(3), "view"), (3L, ts(4), "view"))
+    val b2 = Seq((1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      (2L, ts(11), "click"), (4L, ts(12), "view"), (4L, ts(13), "click"))
+    val steps = Seq("view", "click", "purchase")
+    StreamOps.funnelBatch(b1.toDF("u", "ts", "et"), "u", "ts", "et",
+      steps, s"$dir/table", buckets = 4)
+    StreamOps.funnelBatch(b2.toDF("u", "ts", "et"), "u", "ts", "et",
+      steps, s"$dir/table", buckets = 4)
+    val st = spark.read.parquet(s"$dir/table")
+      .select("user_id", "t1", "t2", "t3")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))).toMap
+    assert(st(1L) == ((Some(ts(1)), Some(ts(10)), Some(ts(20)))))
+    assert(st(2L) == ((Some(ts(3)), Some(ts(11)), None))) // click@2 too early
+    assert(st(3L) == ((Some(ts(4)), None, None)))
+    assert(st(4L) == ((Some(ts(12)), Some(ts(13)), None)))
+    // rollup: n = (4, 3, 1); ppm floors of /4
+    val roll = StreamOps.funnelRollup(spark, s"$dir/table")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(roll == List((1, 4L, 1000000L), (2, 3L, 750000L),
+      (3, 1L, 250000L)))
+  }
+
   test("aggSink: incremental merge equals one-shot groupBy recompute") {
     val dir = Files.createTempDirectory("agg-sink").toString
     val rows = (1L to 300L).map(i => (i, i % 7, i * 3))
