@@ -129,7 +129,45 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum data ordering, domain-stratified: within each source,
+    * rank documents by a difficulty proxy (length), cut rank-based
+    * deciles, and emit the interleave keys (decile, pos_in_decile) —
+    * reading the output in (decile, pos_in_decile, source, doc_id)
+    * order yields the easy-to-hard round-robin schedule curriculum
+    * training consumes (Bengio et al., ICML'09).
+    *
+    * Scale plan: every window partitions by `source` — state is one
+    * stratum, never the corpus, so the plan is one shuffle on the
+    * stratum key regardless of corpus size (the reason the schedule is
+    * stratified rather than global: a global rank would need the
+    * KLL-boundary path instead). Deciles are exact integer rank
+    * arithmetic: (rn−1)·10 div n_src — no percentile calls to drift
+    * cross-engine.
+    */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(ws))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_src"))
+      .withColumn("pos_in_decile", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("decile"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("decile"), col("pos_in_decile").cast("long")
+          .as("pos_in_decile"))
+      .orderBy(col("decile"), col("pos_in_decile"), col("source"),
+        col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_curriculum" -> (qCurriculum(_, _)),
     "q_curate_dsir" -> (qDsirWeights(_, _)),
     "q_curate_sample_weighted" -> (qSampleWeighted(_, _)),
     "q_curate_remix" -> (qRemix(_, _)),
@@ -196,6 +234,22 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST((rn - 1) * 10 // n_src AS BIGINT) AS decile
+        |  FROM r)
+        |SELECT doc_id, source, n_chars, decile,
+        |  row_number() OVER (PARTITION BY source, decile
+        |    ORDER BY n_chars, doc_id) AS pos_in_decile
+        |FROM d
+        |ORDER BY decile, pos_in_decile, source, doc_id""".stripMargin,
     "q_curate_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

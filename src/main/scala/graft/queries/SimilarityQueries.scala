@@ -12,6 +12,34 @@ object SimilarityQueries {
   /** Brute-force cosine top-5 for a 10-query probe set — the exact
     * baseline. Queries broadcast; corpus never shuffles.
     */
+  /** Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22):
+    * recall@5 of PREFIX-dimension cosine search (8/16/32/64 dims)
+    * against the full-dimension ground truth, for the first 10
+    * anchors. The serving trade every matryoshka-embedded index makes
+    * — score with a prefix, keep most of the recall, cut the
+    * flops/bytes proportionally. Truncation is `slice` before the
+    * scoring broadcast, so each arm's shuffle carries d-dim vectors
+    * only; recall joins are semi-joins on (query, neighbor) id pairs.
+    */
+  def qSimMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < 10)
+    def topk(d: Int): DataFrame = Similarity.bruteForceTopK(
+        anchors.withColumn("embedding", slice(col("embedding"), 1, d)),
+        emb.withColumn("embedding", slice(col("embedding"), 1, d)),
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = graft.ops.CacheScope.cached(topk(64))
+    Seq(8, 16, 32, 64).map { d =>
+      topk(d).join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("dims", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("dims"), col("n_hits"),
+        expr("n_hits * 1000000 div 50").as("recall_ppm"))
+      .orderBy(col("dims"))
+  }
+
   /** Hard negatives for the first 10 anchors: top-5 nearest vectors
     * with a DIFFERENT label (Similarity.hardNegatives) — the
     * contrastive-training sampling step over the embeddings table.
@@ -194,6 +222,7 @@ object SimilarityQueries {
     "q_sim_maxsim" -> (qSimMaxsim(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_sim_quantize" -> (qSimQuantize(_, _)),
+    "q_sim_matryoshka" -> (qSimMatryoshka(_, _)),
     "q_sim_hard_negatives" -> (qSimHardNegatives(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
@@ -414,6 +443,41 @@ object SimilarityQueries {
        |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
        |  FROM embeddings,
        |    (SELECT unnest(generate_series(0, ${nTables - 1})) AS t)""".stripMargin
+
+  /** Twin of qSimMatryoshka: re-rank every prefix arm in SQL (same
+    * sliced-fold cosine as the brute twin), semi-join each against the
+    * 64-dim arm.
+    */
+  private def matryoshkaOracleSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val arms = dims.map { d =>
+      s"""n$d AS (
+         |  SELECT vec_id, embedding[1:$d] AS e,
+         |    sqrt(list_sum(list_transform(embedding[1:$d],
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |r$d AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(q.e, c.e),
+         |          s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |          / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+         |    FROM n$d q JOIN n$d c
+         |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 5)""".stripMargin
+    }
+    val hits = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims, count(*) AS n_hits
+         |FROM r$d arm JOIN r64 tru USING (query_id, neighbor_id)"""
+        .stripMargin
+    }
+    "WITH " + arms.mkString(",\n") + ",\nhits AS (" +
+      hits.mkString("\nUNION ALL ") + ")\n" +
+      """SELECT dims, n_hits,
+        |  CAST(n_hits * 1000000 // 50 AS BIGINT) AS recall_ppm
+        |FROM hits ORDER BY dims""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // sign-bit codes folded in dimension order; Hamming = popcount of
@@ -650,6 +714,7 @@ object SimilarityQueries {
          |SELECT query_id, rank, neighbor_id, cosine FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_sim_matryoshka" -> matryoshkaOracleSql,
     "q_sim_hard_negatives" ->
       """WITH n AS (
         |  SELECT vec_id, embedding, label,
