@@ -218,6 +218,11 @@ object TpchQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
+    "q8_market_share" -> (q8MarketShare(_, _)),
+    "q13_customer_distribution" -> (q13CustomerDistribution(_, _)),
+    "q15_top_supplier" -> (q15TopSupplier(_, _)),
+    "q17_small_quantity" -> (q17SmallQuantity(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
     "q7_volume_shipping" -> (q7VolumeShipping(_, _)),
     "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
@@ -280,10 +285,181 @@ object TpchQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Q6 shape — forecast revenue change: one scan, every predicate
+    * pushed to parquet; revenue = Σ price·discount in exact 1e-4
+    * integer units (the discount BETWEEN runs on exact cents).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        e2(col("l_discount")).between(5, 7) && col("l_quantity") < 24)
+      .agg((sum(e2(col("l_extendedprice")) * e2(col("l_discount")))
+        / 10000.0).as("revenue"))
+
+  /** Q8 shape — national market share: NATION_3's share of PROMO-part
+    * revenue sold into ASIA customers, by order year. Fact-to-fact
+    * join on orderkey; every dimension broadcasts; the share is one
+    * division of two exact BIGINT sums (q14's discipline).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    val vol = (e2(col("l_extendedprice")) *
+      (lit(100L) - e2(col("l_discount"))))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === n1("n_nationkey"))
+      .join(broadcast(r), n1("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n2), s("s_nationkey") === col("sn_key"))
+      .groupBy(year(o("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("sn_name") === "NATION_3", vol).otherwise(0L))
+          .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT join keeps
+    * order-less customers in the c_count=0 bucket; the priority filter
+    * stands in for the original's comment LIKE (no comment column in
+    * the fixture). Two hash aggregates, both key-partitioned.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 shape — top supplier(s): quarterly revenue per supplier, keep
+    * those achieving the maximum. The max re-attaches as a broadcast
+    * 1-row frame over exact integer revenue (no double boundary).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(revenueE4.as("rev_e4"))
+    val mx = rev.agg(max(col("rev_e4")).as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q17 shape — small-quantity-order revenue: lineitems of one brand
+    * below a fifth of their part's average quantity. The correlated
+    * average compares in EXACT integers (qty·5·cnt < Σqty — quantities
+    * are integral), so the boundary can't drift cross-engine; the
+    * per-part stats re-attach by broadcast (small after the brand
+    * filter).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#23")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("p_partkey").as("sp_key"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+    li.join(broadcast(stats), col("p_partkey") === col("sp_key"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt_q")
+        < col("sum_q"))
+      .agg((sumFixed(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+  }
+
   private val revSql =
     "CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |    * CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+        |      AS o_year,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_type = 'PROMO' AND r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |           ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)))
+        |      AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |st AS (
+        |  SELECT l_partkey AS sp_key,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |    count(*) AS cnt_q
+        |  FROM li GROUP BY l_partkey)
+        |SELECT round(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
+        |FROM li JOIN st ON l_partkey = sp_key
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q"""
+        .stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o
