@@ -257,6 +257,49 @@ object StreamQueries {
     StreamOps.funnelRollup(spark, s"$tmp/table")
   }
 
+  /** OUT-OF-ORDER streaming funnel: the events table split at
+    * mid-month and delivered LATER HALF FIRST — a feed that violates
+    * funnelSink's ordered-batch contract — through the buffering
+    * funnelRunning form (NoTimeout ⇒ no watermark ever drops the
+    * "late" first half). Update-mode memory sink; last update per user
+    * wins (n_seen strictly increases). Same batch-funnel oracle: full
+    * reorder tolerance is the check.
+    */
+  def qStreamFunnelUnordered(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_funnel_unordered")
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    // LATER half written with the OLDER mtime → arrives in batch 1
+    ev.filter(col("ts") >= cut).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src").parquet(s"$tmp/src/*")
+      .as[StreamOps.FunnelEvent]
+    val updates = StreamOps.funnelRunning(stream,
+      Seq("view", "click", "purchase"))
+    val q = updates.toDF().writeStream.format("memory")
+      .queryName("funnel_unordered_mem")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamOps.funnelRunningRollup(spark.table("funnel_unordered_mem"))
+  }
+
   def qStreamCdcApply(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOps.scratchDir("q_stream_cdc_apply")
     val o = Tables.orders(spark, dir)
@@ -369,6 +412,7 @@ object StreamQueries {
   val defs: Map[String, Q] = Map(
     "q_stream_asof" -> (qStreamAsof(_, _)),
     "q_stream_funnel" -> (qStreamFunnel(_, _)),
+    "q_stream_funnel_unordered" -> (qStreamFunnelUnordered(_, _)),
     "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
@@ -389,6 +433,9 @@ object StreamQueries {
     // streamed == batch: the incremental summary merge must equal the
     // batch funnel's chained-min recompute
     "q_stream_funnel" -> EventQueries.oracles("q_event_funnel"),
+    // full reorder tolerance: same batch oracle under a later-half-first
+    // delivery order
+    "q_stream_funnel_unordered" -> EventQueries.oracles("q_event_funnel"),
     "q_stream_cdc_apply" -> MiscQueries.oracles("q_cdc_apply"),
     // Full replay of the two-batch near-dedup ingest (portable md5
     // signature family — the sidecar behavior itself is spec-proven).

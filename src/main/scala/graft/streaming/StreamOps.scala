@@ -540,6 +540,81 @@ object StreamOps {
     swapAffectedBuckets(merged, tablePath, affected.toIndexedSeq)
   }
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String)
+  case class FunnelBuf(evs: List[(Long, String)])
+  case class FunnelSteps(user_id: Long, steps: Int, n_seen: Long)
+
+  /** OUT-OF-ORDER-tolerant streaming funnel — the buffering form for
+    * feeds that violate [[funnelSink]]'s ordered-batch contract: each
+    * user's step events accumulate in state (any batch order, any
+    * within-batch order — NoTimeout means no watermark ever drops a
+    * late event) and the strict-order chained-min funnel is recomputed
+    * over the time-sorted buffer on every update. Emits the RUNNING
+    * result (user_id, steps ∈ 0..3, n_seen); downstream takes each
+    * user's row with the largest n_seen (strictly increasing per
+    * update), so the last update wins deterministically — see
+    * [[funnelRunningRollup]].
+    *
+    * State is O(that user's step events) — the price of unbounded
+    * reorder tolerance; the summary form ([[funnelSink]]) is O(1)/user
+    * under its ordered contract, and a watermark-bounded variant of
+    * THIS form would trade tolerance horizon for state GC.
+    */
+  def funnelRunning(events: Dataset[FunnelEvent],
+                    steps: Seq[String]): Dataset[FunnelSteps] = {
+    require(steps.size == 3, "funnelRunning tracks a three-step funnel")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelBuf, FunnelSteps](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], st: GroupState[FunnelBuf]) =>
+          val prev = st.getOption.map(_.evs).getOrElse(Nil)
+          val add = rows.filter(e => steps.contains(e.event_type))
+            .map(e => (toUs(e.ts), e.event_type)).toList
+          val buf = add ::: prev
+          st.update(FunnelBuf(buf))
+          var (t1, t2, t3) = (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+          buf.sorted.foreach { case (t, et) =>
+            if (et == steps.head && t < t1) t1 = t
+            else if (et == steps(1) && t1 < Long.MaxValue && t > t1 &&
+              t2 == Long.MaxValue) t2 = t
+            else if (et == steps(2) && t2 < Long.MaxValue && t > t2 &&
+              t3 == Long.MaxValue) t3 = t
+          }
+          val n = if (t3 < Long.MaxValue) 3
+            else if (t2 < Long.MaxValue) 2
+            else if (t1 < Long.MaxValue) 1 else 0
+          FunnelSteps(uid, n, buf.size.toLong)
+      }
+  }
+
+  /** Rollup for [[funnelRunning]]'s update stream: keep each user's
+    * row with the largest n_seen (the final state), then the funnel's
+    * (step, n, conv_ppm) shape.
+    */
+  def funnelRunningRollup(updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val last = updates.withColumn("_rn",
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("n_seen").desc)))
+      .filter(col("_rn") === 1)
+    val counts = last.agg(count(when(col("steps") >= 1, 1)).as("n"))
+      .withColumn("step", lit(1))
+      .unionByName(last.agg(count(when(col("steps") >= 2, 1)).as("n"))
+        .withColumn("step", lit(2)))
+      .unionByName(last.agg(count(when(col("steps") >= 3, 1)).as("n"))
+        .withColumn("step", lit(3)))
+    counts.crossJoin(broadcast(
+        last.agg(count(when(col("steps") >= 1, 1)).as("n1"))))
+      .select(col("step"), col("n"),
+        expr("n * 1000000 div n1").as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
   /** Funnel rollup over a [[funnelSink]] state table: (step, n,
     * conv_ppm vs step 1) — the batch funnel's output shape from
     * O(users) summaries.

@@ -601,6 +601,50 @@ class FileStreamSpec extends SparkTestBase {
       (3, 1L, 250000L)))
   }
 
+  test("funnelRunning: out-of-order cross-batch events still convert " +
+    "(the case the ordered-contract summary form cannot handle)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("funnel-running").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // batch 1 delivers the LATER events (click@10, buy@20); the view@1
+    // that anchors the funnel arrives in batch 2 — funnelBatch's
+    // summary merge would leave t2/t3 unset (the click was discarded
+    // before t1 existed); the buffering form must recover steps=3
+    val b1 = Seq((1L, ts(10), "click"), (1L, ts(20), "purchase"))
+    val b2 = Seq((1L, ts(1), "view"), (2L, ts(2), "view"))
+    b1.toDF("user_id", "ts", "event_type").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    b2.toDF("user_id", "ts", "event_type").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    val updates = StreamOps.funnelRunning(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*")
+        .as[StreamOps.FunnelEvent],
+      Seq("view", "click", "purchase"))
+    val q = updates.toDF().writeStream.format("memory")
+      .queryName("funnel_running_spec")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val roll = StreamOps.funnelRunningRollup(
+        spark.table("funnel_running_spec"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    // u1 fully converts despite the reorder; u2 views only
+    assert(roll.map(_._2) == List(2L, 1L, 1L))
+    // and the interim update (before the view arrived) showed steps=0
+    val u1 = spark.table("funnel_running_spec")
+      .filter(col("user_id") === 1L)
+      .select("steps", "n_seen").as[(Int, Long)].collect().toSet
+    assert(u1 == Set((0, 2L), (3, 3L)))
+  }
+
   test("aggSink: incremental merge equals one-shot groupBy recompute") {
     val dir = Files.createTempDirectory("agg-sink").toString
     val rows = (1L to 300L).map(i => (i, i % 7, i * 3))
