@@ -166,7 +166,50 @@ object CurationQueries {
         col("doc_id"))
   }
 
+  /** DSIR with hashed BIGRAM features — the paper's actual feature
+    * space (unigrams lose word-order signal): word bigrams hash into
+    * 128 buckets; model shape, smoothing, scoring and scale plan are
+    * identical to [[qDsirWeights]]. Documents under 2 tokens have no
+    * bigrams and drop out (the paper's behavior — no features, no
+    * weight).
+    */
+  def qDsirBigram(spark: SparkSession, dir: String): DataFrame = {
+    val b = 128
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(
+        graft.ops.TextAnalysis.wordNgramsFromTokens(col("t"), 2))
+        .as("gram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(b.toLong)).as("bkt"))
+    val docBkt = graft.ops.CacheScope.cached(
+      toks.groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("lang") === "en", 1L).otherwise(0L)).as("is_en")))
+    val rawM = docBkt.groupBy(col("bkt")).agg(sum(col("cnt")).as("c_raw"))
+    val tgtM = docBkt.filter(col("is_en") === 1L)
+      .groupBy(col("bkt")).agg(sum(col("cnt")).as("c_tgt"))
+    val totals = rawM.agg(sum(col("c_raw")).as("t_raw"))
+      .crossJoin(tgtM.agg(sum(col("c_tgt")).as("t_tgt")))
+    val ratio = rawM.join(tgtM, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t_tgt") + lit(b.toLong)).cast("double")) -
+          log((col("c_raw") + lit(1L)).cast("double") /
+            (col("t_raw") + lit(b.toLong)).cast("double"))).as("lr"))
+    docBkt.join(broadcast(ratio), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum(col("cnt").cast("double") * col("lr")), 6).as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_dsir_bigram" -> (qDsirBigram(_, _)),
     "q_curate_curriculum" -> (qCurriculum(_, _)),
     "q_curate_dsir" -> (qDsirWeights(_, _)),
     "q_curate_sample_weighted" -> (qSampleWeighted(_, _)),
@@ -234,6 +277,41 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_dsir_bigram" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS gram
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef', substring(md5(gram), d, 1))
+        |             - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % 128 AS bkt
+        |  FROM g),
+        |db AS (
+        |  SELECT doc_id, bkt, count(*) AS cnt,
+        |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_en
+        |  FROM h GROUP BY doc_id, bkt),
+        |raw AS (SELECT bkt, sum(cnt) AS c_raw FROM db GROUP BY bkt),
+        |tgt AS (SELECT bkt, sum(cnt) AS c_tgt FROM db
+        |        WHERE is_en = 1 GROUP BY bkt),
+        |tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS t_raw,
+        |               (SELECT sum(c_tgt) FROM tgt) AS t_tgt),
+        |ratio AS (
+        |  SELECT raw.bkt,
+        |    ln((coalesce(tgt.c_tgt, 0) + 1) / (tot.t_tgt + 128.0)) -
+        |    ln((raw.c_raw + 1) / (tot.t_raw + 128.0)) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tot)
+        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+        |  round(sum(db.cnt * ratio.lr), 6) AS dsir_w
+        |FROM db JOIN ratio ON db.bkt = ratio.bkt
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
     "q_curate_curriculum" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,
