@@ -217,6 +217,52 @@ object StreamQueries {
                   (acc, x) -> acc * 0.5 + x.value * 0.5)""").as("ewma"))
       .orderBy(col("user_id"))
 
+  /** EWMA-band anomaly detection over per-day event-type volumes — the
+    * monitoring staple (flag days whose count departs the smoothed
+    * band): EWMA and EWMA-of-squares with α = 1/2 track level and
+    * scale; day d is anomalous when (n − ewma_prev)² > 9·var_prev
+    * (the 3σ rule without a sqrt).
+    *
+    * Determinism: α = 1/2 makes every intermediate EXACT — each term
+    * is count·2^-k (fits a double's mantissa for counts < ~2^11 per
+    * cell, the case at every tested sf; beyond that the semantics
+    * stand but bit-equality isn't guaranteed), so the engine's ordered
+    * fold and the twin's closed-form weighted sum produce identical
+    * bits, and the single-op squares/compares inherit identity. The
+    * per-type fold state is one (ew, ew2) pair — at scale this is a
+    * per-key sequential scan over ~|days| aggregated rows, after the
+    * corpus-sized shuffle reduced events to daily cells.
+    */
+  def qTimeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .select(col("event_type"), expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  named_struct(
+          |    'ew', CAST(element_at(arr, 1).n AS DOUBLE),
+          |    'ew2', CAST(element_at(arr, 1).n * element_at(arr, 1).n
+          |      AS DOUBLE),
+          |    'out', CAST(array() AS
+          |      array<struct<day:date,n:bigint,ep:double,e2p:double>>)),
+          |  (acc, x) -> named_struct(
+          |    'ew', acc.ew * 0.5d + x.n * 0.5d,
+          |    'ew2', acc.ew2 * 0.5d + x.n * x.n * 0.5d,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n, 'ep', acc.ew, 'e2p', acc.ew2)))),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.day").as("day"),
+        col("o.n").as("n"), col("o.ep").as("ewma_prev"),
+        ((col("o.n") - col("o.ep")) * (col("o.n") - col("o.ep")) >
+          lit(9.0) * (col("o.e2p") - col("o.ep") * col("o.ep")))
+          .as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Streaming CDC compaction end-to-end under the driver harness: the
     * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
     * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
@@ -416,6 +462,7 @@ object StreamQueries {
     "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
+    "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
@@ -449,6 +496,42 @@ object StreamQueries {
         |    AS sum_v_cents
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_time_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rk
+        |  FROM d)
+        |SELECT a.event_type, a.day, a.n,
+        |  (SELECT SUM(b.n * CASE WHEN b.rk = 1 THEN pow(0.5, a.rk - 2)
+        |     ELSE pow(0.5, a.rk - b.rk) END)
+        |   FROM r b WHERE b.event_type = a.event_type AND b.rk < a.rk)
+        |    AS ewma_prev,
+        |  (a.n - (SELECT SUM(b.n * CASE WHEN b.rk = 1
+        |       THEN pow(0.5, a.rk - 2) ELSE pow(0.5, a.rk - b.rk) END)
+        |     FROM r b WHERE b.event_type = a.event_type
+        |       AND b.rk < a.rk))
+        |  * (a.n - (SELECT SUM(b.n * CASE WHEN b.rk = 1
+        |       THEN pow(0.5, a.rk - 2) ELSE pow(0.5, a.rk - b.rk) END)
+        |     FROM r b WHERE b.event_type = a.event_type
+        |       AND b.rk < a.rk))
+        |  > 9.0 * ((SELECT SUM(b.n * b.n * CASE WHEN b.rk = 1
+        |       THEN pow(0.5, a.rk - 2) ELSE pow(0.5, a.rk - b.rk) END)
+        |     FROM r b WHERE b.event_type = a.event_type
+        |       AND b.rk < a.rk)
+        |    - (SELECT SUM(b.n * CASE WHEN b.rk = 1
+        |         THEN pow(0.5, a.rk - 2) ELSE pow(0.5, a.rk - b.rk) END)
+        |       FROM r b WHERE b.event_type = a.event_type
+        |         AND b.rk < a.rk)
+        |      * (SELECT SUM(b.n * CASE WHEN b.rk = 1
+        |           THEN pow(0.5, a.rk - 2) ELSE pow(0.5, a.rk - b.rk) END)
+        |         FROM r b WHERE b.event_type = a.event_type
+        |           AND b.rk < a.rk)) AS anomaly
+        |FROM r a WHERE a.rk >= 2
+        |ORDER BY a.event_type, a.day""".stripMargin,
     "q_time_ewma" ->
       """SELECT user_id, COUNT(*) AS n,
         |  list_reduce(list(value ORDER BY ts, event_id),

@@ -448,7 +448,39 @@ object TextQueries {
         Tables.documents(spark, dir), "doc_id", "text", 5)
       .orderBy(col("doc_id"))
 
+  /** PHRASE SEARCH over a positional inverted index: all documents
+    * containing the exact 3-word phrase "slow hash batch", with
+    * per-document occurrence counts — the classic IR positional-join
+    * evaluation (Manning et al., IIR §2.4): each phrase word's posting
+    * rows (doc, pos) equi-join on (doc, pos+offset).
+    *
+    * Scale plan: the token stream filters to the THREE phrase words
+    * BEFORE any shuffle — postings for non-phrase words are never
+    * materialized — so the joins carry (doc, int) rows for three terms
+    * only; the join keys are (doc, adjusted position), both exact
+    * ints. At 100 TB this is the standard "intersect shortest postings
+    * first" shape (Catalyst reorders the two equi-joins freely since
+    * all sides are filtered scans).
+    */
+  def qTextPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    val Seq(w0, w1, w2) = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("p"))
+    }
+    w0.join(w1, Seq("doc_id", "p"))
+      .join(w2, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_phrase" -> (qTextPhrase(_, _)),
     "q_text_dup_trim" -> (qTextDupTrim(_, _)),
     "q_text_bpe_train_delta" -> (qTextBpeTrainDelta(_, _)),
     "q_text_dup_spans" -> (qTextDupSpans(_, _)),
@@ -686,6 +718,21 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+        |  FROM t),
+        |tk AS (SELECT doc_id, pos, t[pos] AS tok FROM tok),
+        |w0 AS (SELECT doc_id, pos AS p FROM tk WHERE tok = 'slow'),
+        |w1 AS (SELECT doc_id, pos - 1 AS p FROM tk WHERE tok = 'hash'),
+        |w2 AS (SELECT doc_id, pos - 2 AS p FROM tk WHERE tok = 'batch')
+        |SELECT w0.doc_id, count(*) AS n_occurrences
+        |FROM w0 JOIN w1 ON w0.doc_id = w1.doc_id AND w0.p = w1.p
+        |        JOIN w2 ON w0.doc_id = w2.doc_id AND w0.p = w2.p
+        |GROUP BY w0.doc_id ORDER BY w0.doc_id""".stripMargin,
     "q_text_dup_trim" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t
