@@ -138,6 +138,47 @@ object StatsQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Winsorized statistics per event type: clamp `value` into its
+    * type's [P5, P95] band, where the bounds are RANK-SELECTED values
+    * (percentile_disc semantics — a value the data contains, picked at
+    * rank ⌈p·n⌉, never interpolated, so both engines select the
+    * identical double), then exact integer-cent sums of the clamped
+    * column. The outlier-robust mean every metrics pipeline publishes
+    * next to the raw one.
+    *
+    * Scale plan: rank selection is a per-type window over the shuffled
+    * (type, value) pairs (state = one type's values; for corpus-scale
+    * types the KLL propose-certify path computes the same two
+    * boundaries without the sort — documented trade); bounds re-attach
+    * by broadcast; the clamp + sums are one map-side pass.
+    */
+  def qStatWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.ops.CacheScope.cached(
+      Tables.events(spark, dir).select($"event_type", $"value")
+        .filter($"value".isNotNull))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value")
+    val ranked = e.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type")))
+    val bounds = ranked
+      .filter($"rk" === ceil($"n" * 0.05) || $"rk" === ceil($"n" * 0.95))
+      .groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("wv", least(greatest($"value", $"lo"), $"hi"))
+      .groupBy($"event_type")
+      .agg(min($"lo").as("lo"), min($"hi").as("hi"),
+        count(lit(1)).as("n"),
+        (round(sum(graft.queries.Exact.e2($"wv")), 0) / 100.0)
+          .as("sum_w"),
+        count(when($"value" < $"lo" || $"value" > $"hi", 1))
+          .as("n_clamped"))
+      .orderBy($"event_type")
+  }
+
   /** MAD-based robust outlier detection (Hampel's 3-MAD rule): per
     * event type, the lower-tail-robust alternative to z-scores — median,
     * median absolute deviation, and the count of |v − med| > 3·MAD.
@@ -229,6 +270,7 @@ object StatsQueries {
   val defs: Map[String, Q] = Map(
     "q_stat_chi2" -> (qStatChi2(_, _)),
     "q_agg_equidepth" -> (qAggEquidepth(_, _)),
+    "q_stat_winsorized" -> (qStatWinsorized(_, _)),
     "q_stat_mad" -> (qStatMad(_, _)),
     "q_agg_corr" -> (qAggCorr(_, _)),
     "q_agg_mode" -> (qAggMode(_, _)),
@@ -270,6 +312,27 @@ object StatsQueries {
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders CROSS JOIN b
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_stat_winsorized" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY value) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e),
+        |b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |      FROM r
+        |      WHERE rk = CAST(ceil(n * 0.05) AS BIGINT)
+        |         OR rk = CAST(ceil(n * 0.95) AS BIGINT)
+        |      GROUP BY event_type)
+        |SELECT e.event_type, b.lo, b.hi, count(*) AS n,
+        |  CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi)
+        |    * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_w,
+        |  count(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 END)
+        |    AS n_clamped
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.lo, b.hi
+        |ORDER BY e.event_type""".stripMargin,
     "q_stat_mad" ->
       """WITH med AS (SELECT event_type,
         |    quantile_cont(value, 0.5) AS med
