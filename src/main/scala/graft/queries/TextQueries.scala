@@ -479,7 +479,68 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every char k-gram, then in
+    * each window of w consecutive hashes select the minimum (ties →
+    * rightmost), and the distinct selected (hash, pos) pairs are the
+    * document's fingerprints. GUARANTEE (their Thm): any substring
+    * match of length ≥ w + k − 1 between two documents shares at least
+    * one selected fingerprint REGARDLESS of alignment — the
+    * alignment-robustness that plain stride-sampled shingles lack —
+    * at expected density 2/(w+1). The standard scalable front-end for
+    * character-level exact-substring dedup.
+    *
+    * Determinism/portability: 40-bit md5 hashes packed with the
+    * position tie-break into one BIGINT key (h·2²⁰ + (2²⁰−1−pos), so
+    * MIN(key) = min-hash-then-rightmost-pos; positions < 2²⁰ by the
+    * fixture contract; widen the pack to DECIMAL for longer docs at
+    * scale). Per-doc output: fingerprints selected, how many are
+    * SHARED with another document (df ≥ 2 over distinct (doc, hash)),
+    * and the shared fraction in ppm — k=8, w=4 ⇒ matches of length
+    * ≥ 11 chars are always caught.
+    *
+    * Scale plan: k-gram hashing and window-min are per-document
+    * (partition by doc — state is one doc's hash stream); the only
+    * corpus-wide operations are a distinct + count on (hash) and an
+    * equi-join re-attach — hashes, never text, cross the shuffle.
+    */
+  def qTextWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = 4
+    def kgrams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1})," +
+          s" i -> conv(substring(md5(substring(text, i, $k)), 1, 10)," +
+          " 16, 10))")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos"),
+        (col("h").cast("long") * lit(1048576L) +
+          (lit(1048575L) - col("pos"))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val selected = kgrams
+      .withColumn("mk", min(col("key")).over(win.rowsBetween(0, w - 1)))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("cnt") - w) // full windows only (pos 0-based)
+      .select(col("doc_id"), expr("mk div 1048576").as("fp"))
+      .distinct()
+    val shared = selected.groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2)
+    val perDoc = selected.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"))
+    val sh = selected.join(shared, "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sh0"))
+    perDoc.join(sh, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("sh0"), lit(0L)))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+        expr("n_shared * 1000000 div n_fp").as("shared_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_winnow" -> (qTextWinnow(_, _)),
     "q_text_phrase" -> (qTextPhrase(_, _)),
     "q_text_dup_trim" -> (qTextDupTrim(_, _)),
     "q_text_bpe_train_delta" -> (qTextBpeTrainDelta(_, _)),
@@ -717,6 +778,38 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |  CAST(coalesce(dup.n_dup, 0) * 1000000 // pd.n_grams AS BIGINT)
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 8),
+        |i AS (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text) - 7)) AS i
+        |      FROM d),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        CAST(list_sum(list_transform(generate_series(1, 10),
+        |          dd -> CAST(strpos('0123456789abcdef',
+        |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
+        |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
+        |          AS BIGINT) AS h
+        |      FROM i),
+        |keyed AS (SELECT doc_id, pos,
+        |            h * 1048576 + (1048575 - pos) AS key FROM g),
+        |win AS (SELECT doc_id, pos,
+        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |          count(*) OVER (PARTITION BY doc_id) AS cnt
+        |        FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+        |        FROM win WHERE pos <= cnt - 4),
+        |df AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
+        |sh AS (SELECT sel.doc_id, count(*) AS n_shared
+        |       FROM sel JOIN df ON sel.fp = df.fp GROUP BY sel.doc_id)
+        |SELECT pd.doc_id, pd.n_fp,
+        |  coalesce(sh.n_shared, 0) AS n_shared,
+        |  CAST(coalesce(sh.n_shared, 0) * 1000000 // pd.n_fp AS BIGINT)
+        |    AS shared_ppm
+        |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
     "q_text_phrase" ->
       """WITH t AS (

@@ -123,6 +123,22 @@ class EventCurationSpec extends SparkTestBase {
     assert(got(2L) == ((2L, "x y")))
   }
 
+  test("winnowing guarantee: a (w+k-1)-char match at MISALIGNED " +
+    "offsets still shares a fingerprint; disjoint text shares none") {
+    // k=8, w=4 ⇒ any ≥11-char common substring must be caught
+    // (Schleimer et al. Thm) — embed one at different offsets
+    val run = "QWERTYUIOPA" // 11 chars
+    val d = writeDocs(Seq(
+      (1L, s"abc${run}defghijklmno", "en"),
+      (2L, s"zyxwvut${run}srqpabcde", "en"),
+      (3L, "0123456789 completely disjoint material here", "en")))
+    val got = TextQueries.qTextWinnow(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) >= 1L, s"doc1 must share a fingerprint: $got")
+    assert(got(2L) >= 1L, s"doc2 must share a fingerprint: $got")
+    assert(got(3L) == 0L, s"disjoint doc shares nothing: $got")
+  }
+
   test("dsir: target-looking docs score above off-target docs") {
     // target (en) speaks tokens a*; the other language speaks b* — a raw
     // doc written in a* must outweigh one written in b*
