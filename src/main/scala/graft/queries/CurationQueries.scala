@@ -208,7 +208,35 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** GLOBAL curriculum buckets via the KLL boundary path — the
+    * corpus-rank variant [[qCurriculum]]'s scaladoc defers to: exact
+    * decile boundary VALUES come from the propose→certify sketch
+    * (Quantiles.sketchDeciles — the full column is never sorted), the
+    * 9-value boundary vector broadcasts, and bucket assignment is a
+    * map-side strict-less count. Docs equal to a boundary fall in the
+    * lower bucket (value-based semantics — deterministic under ties,
+    * unlike a rank split). Output: per-bucket population + char range,
+    * the balance report a curriculum schedule is validated against.
+    */
+  def qCurriculumGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = graft.ops.Quantiles.sketchDeciles(
+        Tables.documents(spark, dir), "n_chars")
+      .agg(sort_array(collect_list(col("exact_value"))).as("bs"))
+    Tables.documents(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        expr("size(filter(bs, b -> b < cast(n_chars as double)))")
+          .cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_curriculum_global" -> (qCurriculumGlobal(_, _)),
     "q_curate_dsir_bigram" -> (qDsirBigram(_, _)),
     "q_curate_curriculum" -> (qCurriculum(_, _)),
     "q_curate_dsir" -> (qDsirWeights(_, _)),
@@ -277,6 +305,25 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // boundaries = exact rank-selected decile values (the same
+    // (i·n+9)//10 convention q_agg_quantile_sketch pins); assignment =
+    // strict-less count against them
+    "q_curate_curriculum_global" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |cnt AS (SELECT count(*) AS n FROM v),
+        |ps AS (SELECT unnest(generate_series(1, 9)) AS i),
+        |rk AS (SELECT i, greatest(1, (i * n + 9) // 10) AS r
+        |       FROM ps CROSS JOIN cnt),
+        |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+        |b AS (SELECT s.x AS bv FROM rk JOIN s ON s.rn = rk.r),
+        |a AS (SELECT doc_id, n_chars,
+        |        (SELECT count(*) FROM b
+        |         WHERE b.bv < CAST(d.n_chars AS DOUBLE)) AS decile
+        |      FROM documents d WHERE n_chars IS NOT NULL)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM a GROUP BY decile ORDER BY decile""".stripMargin,
     "q_curate_dsir_bigram" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
