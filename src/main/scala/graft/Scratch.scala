@@ -83,7 +83,32 @@ object Scratch {
       "q_sim_binary" ->
         ("binary ANN: one-long sign codes, popcount(xor) against a " +
           "bounded broadcast query set — corpus never shuffles for " +
-          "scoring"))
+          "scoring"),
+      "q_text_dup_spans" ->
+        ("cross-doc duplicated n-grams: grams hashed to 60-bit ints " +
+          "BEFORE the shuffle; df aggregate + equi-join re-attach — " +
+          "gram strings never leave the map side"),
+      "q_curate_dsir" ->
+        ("DSIR: ONE corpus-sized (doc,bucket) aggregate feeds BOTH " +
+          "unigram models; 64-row log-ratio vector broadcasts back; " +
+          "scoring map-side"),
+      "q_event_funnel" ->
+        ("funnel: chained key-partitioned min-aggregates; step " +
+          "shuffles carry one row per (user, step); 1-row ratio " +
+          "broadcast"),
+      "q_sim_hard_negatives" ->
+        ("hard negatives: broadcast anchors, map-side cosine + label " +
+          "filter, per-anchor window over scored rows only"),
+      "q_text_winnow_pairs" ->
+        ("winnowing pairs: per-doc window-min selection; df-capped " +
+          "fingerprint equi-join — the hot-key df² blowup is bounded " +
+          "before the self-join"),
+      "q_text_phrase" ->
+        ("phrase search: token stream filtered to the phrase words " +
+          "pre-shuffle; positional equi-joins on (doc, pos±offset)"),
+      "q_skyline_4d" ->
+        ("N-D skyline: local frontiers + coalesce-halving merge " +
+          "rounds — no shuffle, no single-task full-candidate union"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
