@@ -579,7 +579,33 @@ object TextQueries {
       .distinct()
   }
 
+  /** Candidate-pair VERIFICATION: the winnowing pairs re-attached to
+    * their texts and certified with exact Levenshtein edit distance +
+    * a length-normalized similarity in ppm — the verify half of the
+    * candidate→verify dedup discipline, at character level. Edit
+    * distance is O(|a|·|b|) per pair, so it runs ONLY on the df-capped
+    * candidate pairs (never all-pairs); the two text joins are
+    * key-equi-joins that each ship one text column to the (small) pair
+    * set.
+    */
+  def qTextWinnowVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    qTextWinnowPairs(spark, dir)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared_fp"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        expr("(greatest(length(ta), length(tb)) - " +
+          "levenshtein(ta, tb)) * 1000000 div " +
+          "greatest(length(ta), length(tb))").as("sim_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_winnow_verify" -> (qTextWinnowVerify(_, _)),
     "q_text_winnow_pairs" -> (qTextWinnowPairs(_, _)),
     "q_text_winnow" -> (qTextWinnow(_, _)),
     "q_text_phrase" -> (qTextPhrase(_, _)),
@@ -790,6 +816,42 @@ WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
+  /** Shared CTE chain of the winnowing twins: fingerprint selection →
+    * df-cap → candidate pairs (see qTextWinnowPairs).
+    */
+  private val winnowPairsCtes: String =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           WHERE length(text) >= 8),
+      |i AS (SELECT doc_id, text,
+      |        unnest(generate_series(1, length(text) - 7)) AS i
+      |      FROM d),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |        CAST(list_sum(list_transform(generate_series(1, 10),
+      |          dd -> CAST(strpos('0123456789abcdef',
+      |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
+      |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
+      |          AS BIGINT) AS h
+      |      FROM i),
+      |keyed AS (SELECT doc_id, pos,
+      |            h * 1048576 + (1048575 - pos) AS key FROM g),
+      |win AS (SELECT doc_id, pos,
+      |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+      |          count(*) OVER (PARTITION BY doc_id) AS cnt
+      |        FROM keyed),
+      |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+      |        FROM win WHERE pos <= cnt - 4),
+      |rare AS (SELECT fp FROM sel GROUP BY fp
+      |         HAVING count(*) BETWEEN 2 AND 50),
+      |sr AS (SELECT sel.doc_id, sel.fp FROM sel
+      |       JOIN rare ON sel.fp = rare.fp),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            count(*) AS n_shared_fp
+      |          FROM sr a JOIN sr b
+      |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id
+      |          HAVING count(*) >= 40)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_dup_spans" ->
       """WITH t AS (
@@ -820,39 +882,22 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_winnow_verify" ->
+      (winnowPairsCtes + """
+        |SELECT p.id_a, p.id_b, p.n_shared_fp,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        |  CAST((greatest(length(da.text), length(db.text))
+        |      - levenshtein(da.text, db.text)) * 1000000
+        |    // greatest(length(da.text), length(db.text)) AS BIGINT)
+        |    AS sim_ppm
+        |FROM pairs p
+        |JOIN documents da ON p.id_a = da.doc_id
+        |JOIN documents db ON p.id_b = db.doc_id
+        |ORDER BY p.id_a, p.id_b""".stripMargin),
     "q_text_winnow_pairs" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE length(text) >= 8),
-        |i AS (SELECT doc_id, text,
-        |        unnest(generate_series(1, length(text) - 7)) AS i
-        |      FROM d),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        CAST(list_sum(list_transform(generate_series(1, 10),
-        |          dd -> CAST(strpos('0123456789abcdef',
-        |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
-        |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
-        |          AS BIGINT) AS h
-        |      FROM i),
-        |keyed AS (SELECT doc_id, pos,
-        |            h * 1048576 + (1048575 - pos) AS key FROM g),
-        |win AS (SELECT doc_id, pos,
-        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
-        |          count(*) OVER (PARTITION BY doc_id) AS cnt
-        |        FROM win0),
-        |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
-        |        FROM win WHERE pos <= cnt - 4),
-        |rare AS (SELECT fp FROM sel GROUP BY fp
-        |         HAVING count(*) BETWEEN 2 AND 50),
-        |sr AS (SELECT sel.doc_id, sel.fp FROM sel
-        |       JOIN rare ON sel.fp = rare.fp)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  count(*) AS n_shared_fp
-        |FROM sr a JOIN sr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id
-        |HAVING count(*) >= 40
-        |ORDER BY n_shared_fp DESC, id_a, id_b""".stripMargin
-        .replace("FROM win0", "FROM keyed"),
+      (winnowPairsCtes + """
+        |SELECT id_a, id_b, n_shared_fp FROM pairs
+        |ORDER BY n_shared_fp DESC, id_a, id_b""".stripMargin),
     "q_text_winnow" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           WHERE length(text) >= 8),
