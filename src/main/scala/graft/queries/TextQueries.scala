@@ -604,7 +604,22 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnow near-dup CLUSTERS: candidate pairs through the same
+    * pointer-doubling connected components as the MinHash and dHash
+    * dedups (Dedup.dedupComponents), min-id representative per cluster
+    * — the keep-one step of char-level exact-substring dedup.
+    */
+  def qTextWinnowCluster(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dedupComponents(
+        qTextWinnowPairs(spark, dir), iters = 6)
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("members"))
+      .orderBy(col("cluster"))
+
   val defs: Map[String, Q] = Map(
+    "q_text_winnow_cluster" -> (qTextWinnowCluster(_, _)),
     "q_text_winnow_verify" -> (qTextWinnowVerify(_, _)),
     "q_text_winnow_pairs" -> (qTextWinnowPairs(_, _)),
     "q_text_winnow" -> (qTextWinnow(_, _)),
@@ -882,6 +897,20 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    AS dup_ppm
         |FROM pd LEFT JOIN dup ON pd.doc_id = dup.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_winnow_cluster" ->
+      (winnowPairsCtes.replace("WITH d AS", "WITH RECURSIVE d AS") + """,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node, MIN(lab) AS component
+        |         FROM reach GROUP BY node)
+        |SELECT component AS cluster, count(*) AS n_members,
+        |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
+        |    AS members
+        |FROM comp GROUP BY component ORDER BY cluster""".stripMargin),
     "q_text_winnow_verify" ->
       (winnowPairsCtes + """
         |SELECT p.id_a, p.id_b, p.n_shared_fp,
