@@ -505,7 +505,9 @@ object TextQueries {
     * equi-join re-attach — hashes, never text, cross the shuffle.
     */
   def qTextWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val selected = winnowSelected(spark, dir)
+    // cached: the df aggregate, per-doc counts and shared re-attach all
+    // read the selected-fingerprint set
+    val selected = graft.ops.CacheScope.cached(winnowSelected(spark, dir))
     val shared = selected.groupBy(col("fp"))
       .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") >= 2)
     val perDoc = selected.groupBy(col("doc_id"))
@@ -558,25 +560,23 @@ object TextQueries {
       : DataFrame = {
     val k = 8
     val w = 4
-    val kgrams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(expr(
+    // MAP-SIDE selection: the per-doc hash array, window mins and
+    // distinct all happen inside one projection over the document row —
+    // no shuffle touches per-position rows at any scale (an earlier
+    // window-function form shuffled 1 row per char position; this is
+    // the same selection without that exchange). Each hash is computed
+    // once into `keys`; a window's min is array_min over a w-slice.
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k + w - 1) // ≥ one full window
+      .select(col("doc_id"), expr(
         s"transform(sequence(1, length(text) - ${k - 1})," +
-          s" i -> conv(substring(md5(substring(text, i, $k)), 1, 10)," +
-          " 16, 10))")).as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos"),
-        (col("h").cast("long") * lit(1048576L) +
-          (lit(1048575L) - col("pos"))).as("key"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    kgrams
-      .withColumn("mk", min(col("key")).over(win.rowsBetween(0, w - 1)))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("cnt") - w)
-      .select(col("doc_id"), expr("mk div 1048576").as("fp"))
-      .distinct()
+          s" i -> cast(conv(substring(md5(substring(text, i, $k)), 1," +
+          " 10), 16, 10) as bigint) * 1048576" +
+          " + (1048575 - (i - 1)))").as("keys"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(keys) - ${w - 1})," +
+          s" p -> array_min(slice(keys, p, $w)) div 1048576)")))
+        .as("fp"))
   }
 
   /** Candidate-pair VERIFICATION: the winnowing pairs re-attached to
@@ -610,8 +610,8 @@ object TextQueries {
     * — the keep-one step of char-level exact-substring dedup.
     */
   def qTextWinnowCluster(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.dedupComponents(
-        qTextWinnowPairs(spark, dir), iters = 6)
+    graft.ops.Dedup.dedupComponentsConverged(
+        qTextWinnowPairs(spark, dir))._1
       .groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n_members"),
         array_join(transform(sort_array(collect_list(col("doc_id"))),
