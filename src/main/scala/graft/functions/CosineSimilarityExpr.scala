@@ -146,6 +146,10 @@ object GraftFunctions {
       "hyperplane_sig",
       exprs => HyperplaneSigExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lcs_pack",
+      exprs => LcsPackExpr(exprs(0), exprs(1)),
+      "built-in")
   }
 }
 
@@ -167,6 +171,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[HyperplaneSigExpr].getName, "hyperplane_sig"),
         (exprs: Seq[Expression]) =>
           HyperplaneSigExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("lcs_pack"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[LcsPackExpr].getName, "lcs_pack"),
+        (exprs: Seq[Expression]) => LcsPackExpr(exprs(0), exprs(1))))
     // optimizer rule: textbook HOF cosine rewrites to the fused native
     // expression (see NativeCosineRule — 61× on all-pairs scoring)
     ext.injectOptimizerRule(_ => NativeCosineRule)

@@ -619,6 +619,55 @@ object Multimodal {
     media.mapPartitions(it => it.flatMap(m => decodeGifFrames(m, stride)))
   }
 
+  /** ======== STUB-backed (plumbing real) ======== video KEYFRAME
+    * sampling behind the same frame-table shape as [[extractGifFrames]]:
+    * one row per sampled frame of a video container, so frame-level
+    * near-dup / scene analysis (`imageNearDupPairs`, id = file#frame)
+    * runs identically over GIF frames, stills and video keyframes.
+    *
+    * The codec step is the clearly-marked deterministic STUB (no video
+    * codecs exist in this environment): the frame COUNT derives from
+    * the same fnv fingerprint as [[fakeDecode]] — so the file-level
+    * (`extractFeatures`) and frame-level views of one blob always agree
+    * — and each frame's luma/dhash derive from fnv(content ‖ idx_le32).
+    * Swapping in a real codec changes only this body; the Spark-side
+    * shape (mapPartitions batching, per-file fan-out bounded by
+    * n_frames/stride, downstream shuffles carrying (path, idx, 8-byte
+    * hash) — never pixels) is the real, tested contract.
+    */
+  private[ops] def fakeKeyframes(m: MediaFile, stride: Int): Seq[GifFrame] = {
+    val f = fakeDecode(m)
+    (0 until f.n_frames by stride).map { idx =>
+      val hf = fnv(m.content ++ Array[Byte](
+        (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte,
+        ((idx >> 16) & 0xff).toByte, ((idx >> 24) & 0xff).toByte))
+      GifFrame(m.path, idx, f.width, f.height,
+        mean_luma = ((hf >>> 33) % 256).toDouble / 255.0,
+        dhash = (hf ^ (hf >>> 30)) * 0xbf58476d1ce4e5b9L)
+    }
+  }
+
+  /** Keyframe table over a media set: real per-frame rows for GIFs
+    * (container walk + LZW decode), stub-derived rows for codec-
+    * requiring video blobs, nothing for stills/audio — the unified
+    * frame-level ingest of a multimodal curation pipeline.
+    */
+  def extractVideoKeyframes(media: Dataset[MediaFile],
+                            stride: Int = 1): Dataset[GifFrame] = {
+    require(stride >= 1, "stride must be >= 1")
+    import media.sparkSession.implicits._
+    val videoExts = Set("mp4", "webm", "mkv", "avi", "mov")
+    media.mapPartitions(it => it.flatMap { m =>
+      val gif = decodeGifFrames(m, stride)
+      if (gif.nonEmpty) gif
+      else {
+        val ext = m.path.substring(m.path.lastIndexOf('.') + 1)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (videoExts(ext)) fakeKeyframes(m, stride) else Nil
+      }
+    })
+  }
+
   case class AudioFeatures(path: String, length: Long, fingerprint: Long,
                            sample_rate: Int, channels: Int, n_frames: Long,
                            duration_s: Double, rms: Double, peak: Double)

@@ -200,6 +200,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MATRYOSHKA-routed IVF (Kusupati et al., NeurIPS'22 × IVF): the
+    * coarse quantizer — centroid table, corpus list assignment, query
+    * probing — runs entirely in the first `routeDims` PREFIX dimensions
+    * of the embedding, while the final candidate scoring uses the FULL
+    * vectors. This is the production serving form for matryoshka-
+    * trained embeddings: routing flops/bytes shrink by d/routeDims
+    * (the centroid table stores prefix vectors only — at 1M lists ×
+    * 1024 dims that's the difference between a broadcastable and an
+    * unbroadcastable index), and full-fidelity similarity is paid only
+    * on the probed lists' candidates.
+    *
+    * Same determinism contract as [[ivfTopK]] (md5-sampled centroids,
+    * id tiebreaks, sequential-fold cosines) → oracle-checkable; same
+    * plan shape (broadcast centroid array, map-side assignment carrying
+    * the full vector alongside, broadcast probes, one final top-k
+    * window exchange — the corpus never shuffles before scoring).
+    */
+  def ivfTopKMatryoshka(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nLists: Int, nProbe: Int,
+                        routeDims: Int): DataFrame = {
+    require(routeDims >= 1, "routeDims must be >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      slice(col(vecCol), 1, routeDims).as("rv"))
+    // centroids live in PREFIX space: md5-ordered deterministic sample,
+    // stored already-sliced (the routing index is routeDims/d the size
+    // of a full-dimension one)
+    val cents = v.withColumn("_h", md5(col("cid").cast("string")))
+      .orderBy(col("_h"), col("cid")).limit(nLists)
+      .select(col("rv").as("centv"),
+        row_number().over(Window.orderBy(col("_h"), col("cid")))
+          .as("cent_id"))
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    // map-side assignment by PREFIX cosine; the full vector rides along
+    // so scoring needs no corpus re-join
+    val assign = v.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        "array_max(transform(cents, c -> " +
+          "named_struct('sim', cosine_sim(rv, c.centv), " +
+          "'neg_id', -c.cent_id)))"))
+      .select((-col("best.neg_id")).as("cent_id"),
+        col("cid").as("neighbor_id"), col("cv"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(col(vecCol), 1, routeDims).as("qrv"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("qv"), col("qrv"),
+        explode(col("cents")).as("c"))
+      .select(col("query_id"), col("qv"), col("c.cent_id").as("cent_id"),
+        expr("cosine_sim(qrv, c.centv)").as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assign.join(broadcast(probes), "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic Lloyd's k-means over an embedding column — the
     * "trained centroids" step that upgrades `ivfTopK`'s md5-sampled
     * coarse quantizer into a real IVF index, as a pure DataFrame loop:

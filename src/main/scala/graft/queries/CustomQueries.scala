@@ -410,6 +410,35 @@ object CustomQueries {
       .orderBy(col("file"), col("frame_idx"))
   }
 
+  /** Unified KEYFRAME table across container kinds: real per-frame LZW
+    * decode for the animated GIF, deterministic stub keyframes for the
+    * codec-requiring video blob (Multimodal.extractVideoKeyframes,
+    * stride 32 — the frame-SAMPLING contract: per-file fan-out is
+    * n_frames/stride, here 127/32 → 4 video rows + the GIF's frame 0).
+    * Every number is pinned: GIF geometry/luma are analytic properties
+    * of the fixture raster; the video rows are pure functions of
+    * fnv1a64([1,2,3] ‖ idx) — file-level n_frames (127) agrees with
+    * q_multimodal_decode's by construction.
+    */
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-video")
+    frameFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    java.nio.file.Files.write(scratch.resolve("clip.mp4"),
+      Array[Byte](1, 2, 3))
+    Multimodal.extractVideoKeyframes(
+        Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"),
+        stride = 32).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_luma"), 6).as("luma_r6"),
+        col("dhash"))
+      .orderBy(col("file"), col("frame_idx"))
+  }
+
   /** Frame-level near-dup pairs ACROSS media kinds: GIF frames and
     * still images share one dHash space (id = file#frame), so the
     * pigeonhole-banded LSH join finds the still gradient colliding with
@@ -460,7 +489,8 @@ object CustomQueries {
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
     "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
     "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
-    "q_multimodal_frame_dedup" -> (qMultimodalFrameDedup(_, _))
+    "q_multimodal_frame_dedup" -> (qMultimodalFrameDedup(_, _)),
+    "q_multimodal_video" -> (qMultimodalVideo(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,6 +617,31 @@ object CustomQueries {
         |  ('anim.gif#1', 'still.pgm#0', CAST(1 AS BIGINT)))
         |  AS t(id_a, id_b, hamming)
         |ORDER BY id_a, id_b""".stripMargin,
+    // Pinned keyframe oracle: the GIF row is analytic (18×16 gradient,
+    // luma 119/255; dHash −1 because a horizontal gradient's luma rises
+    // monotonically across every cell pair → all 64 difference bits
+    // set); the clip.mp4 rows are pure functions of
+    // fnv1a64([1,2,3] ‖ idx_le32) through the documented stub formulas
+    // (stride 32 over the 127 stub frames → idx 0,32,64,96).
+    "q_multimodal_video" ->
+      """SELECT * FROM (VALUES
+        |  ('anim.gif', CAST(0 AS BIGINT), CAST(18 AS BIGINT),
+        |   CAST(16 AS BIGINT), CAST(0.466667 AS DOUBLE),
+        |   CAST(-1 AS BIGINT)),
+        |  ('clip.mp4', CAST(0 AS BIGINT), CAST(1387 AS BIGINT),
+        |   CAST(574 AS BIGINT), CAST(0.886275 AS DOUBLE),
+        |   CAST(7295880347511526764 AS BIGINT)),
+        |  ('clip.mp4', CAST(32 AS BIGINT), CAST(1387 AS BIGINT),
+        |   CAST(574 AS BIGINT), CAST(0.364706 AS DOUBLE),
+        |   CAST(8598033544978976464 AS BIGINT)),
+        |  ('clip.mp4', CAST(64 AS BIGINT), CAST(1387 AS BIGINT),
+        |   CAST(574 AS BIGINT), CAST(0.929412 AS DOUBLE),
+        |   CAST(8270250090930644038 AS BIGINT)),
+        |  ('clip.mp4', CAST(96 AS BIGINT), CAST(1387 AS BIGINT),
+        |   CAST(574 AS BIGINT), CAST(0.407843 AS DOUBLE),
+        |   CAST(-726934233687745871 AS BIGINT)))
+        |  AS t(file, frame_idx, width, height, luma_r6, dhash)
+        |ORDER BY file, frame_idx""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),

@@ -97,6 +97,24 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MATRYOSHKA-routed IVF ANN: coarse quantizer (centroid table,
+    * assignment, probing) in the first 16 PREFIX dims, candidate
+    * scoring on the full 64 — the production serving form for
+    * matryoshka-trained embeddings (routing index ¼ the size, full
+    * fidelity only on probed candidates). Fully deterministic →
+    * oracle-checked: the DuckDB twin slices embedding[1:16] for every
+    * routing cosine and keeps full vectors for scoring.
+    */
+  def qSimTopkIvfMrl(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKMatryoshka(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nLists = 16, nProbe = 4, routeDims = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** TRAINED-IVF ANN: the end-to-end composition the IVF scaladoc
     * promises — kmeansFit's trained centroids (k=8, 2 deterministic
     * Lloyd iterations, the q_sim_kmeans configuration) replace the
@@ -227,6 +245,7 @@ object SimilarityQueries {
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
+    "q_sim_topk_ivf_mrl" -> (qSimTopkIvfMrl(_, _)),
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
     "q_sim_centroids" -> (qSimCentroids(_, _)),
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
@@ -759,6 +778,65 @@ object SimilarityQueries {
     // Rebuilds the deterministic IVF index in SQL: same centroid sample
     // (md5 order), same argmax assignment, same probes, same ranking —
     // cosines are sequential folds, bit-identical across engines.
+    // Matryoshka-routed IVF: identical index replay to q_sim_topk_ivf
+    // except every ROUTING cosine (centroid assignment + probing) runs
+    // on embedding[1:16] with prefix norms; scoring stays full-dim.
+    "q_sim_topk_ivf_mrl" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    embedding[1:16] AS re,
+        |    sqrt(list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS rnrm
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, re, rnrm,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |      AS rk
+        |  FROM v),
+        |cents AS (
+        |  SELECT rk AS cent_id, re AS centv, rnrm AS cnrm
+        |  FROM r WHERE rk <= 16),
+        |asgn AS (
+        |  SELECT cent_id, vec_id AS neighbor_id, embedding AS cv,
+        |    nrm AS nnrm
+        |  FROM (
+        |    SELECT c.cent_id, v.vec_id, v.embedding, v.nrm,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.re, c.centv),
+        |          s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |          / (v.rnrm * c.cnrm) DESC,
+        |        c.cent_id) AS rn
+        |    FROM v CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, qnrm, cent_id
+        |  FROM (
+        |    SELECT v.vec_id AS query_id, v.embedding AS qv, v.nrm AS qnrm,
+        |      c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.re, c.centv),
+        |          s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |          / (v.rnrm * c.cnrm) DESC,
+        |        c.cent_id) AS rn
+        |    FROM v CROSS JOIN cents c
+        |    WHERE v.vec_id < 10)
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    list_sum(list_transform(list_zip(p.qv, a.cv),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (p.qnrm * a.nnrm) AS cosine
+        |  FROM probes p JOIN asgn a USING (cent_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,

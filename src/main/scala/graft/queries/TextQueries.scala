@@ -604,6 +604,45 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact LONGEST-COMMON-SUBSTRING refinement of the winnowing
+    * candidate pairs — the exact-match step a MOSS-style pipeline runs
+    * behind fingerprint candidates (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 §5 pair the sampled fingerprints with an exact matcher):
+    * for the top candidate pairs, the precise longest shared character
+    * span (length, 1-based start in the earlier doc, and the span
+    * itself). The DP is the native codegen'd `lcs_pack` expression —
+    * O(|a|·|b|) PER PAIR, which is why it runs strictly AFTER the
+    * candidate filter: total cost is bounded by the (df-capped, top-20
+    * deterministic) pair list, never the corpus, and the two text
+    * attachments are id-equi-joins. One packed long per pair = one DP
+    * evaluation; length/start/span unpack arithmetically.
+    *
+    * The DuckDB twin computes the same LCS relationally: char-equality
+    * matches → diagonal (i−j) islands → longest run, minimum start —
+    * feasible because pair texts are bounded; both engines resolve ties
+    * to the minimal start in the earlier document.
+    */
+  def qTextWinnowLcs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = qTextWinnowPairs(spark, dir)
+      .orderBy(col("n_shared_fp").desc, col("id_a"), col("id_b"))
+      .limit(20)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")),
+        "id_b")
+      .withColumn("pk", expr("lcs_pack(ta, tb)"))
+      .select(col("id_a"), col("id_b"), col("n_shared_fp"),
+        expr("pk div 2097152").as("lcs_len"),
+        expr("pk % 2097152").as("lcs_start"),
+        expr("substring(ta, cast(pk % 2097152 as int)," +
+          " cast(pk div 2097152 as int))").as("lcs"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Winnow near-dup CLUSTERS: candidate pairs through the same
     * pointer-doubling connected components as the MinHash and dHash
     * dedups (Dedup.dedupComponents), min-id representative per cluster
@@ -619,6 +658,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_winnow_lcs" -> (qTextWinnowLcs(_, _)),
     "q_text_winnow_cluster" -> (qTextWinnowCluster(_, _)),
     "q_text_winnow_verify" -> (qTextWinnowVerify(_, _)),
     "q_text_winnow_pairs" -> (qTextWinnowPairs(_, _)),
@@ -911,6 +951,47 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node)
         |    AS members
         |FROM comp GROUP BY component ORDER BY cluster""".stripMargin),
+    // Relational LCS: top-20 pairs → char-equality matches (equi-join
+    // on the character, never a blind position cross join) → diagonal
+    // (i−j) islands via the row_number offset trick → longest run,
+    // minimum start. Ties resolve exactly as the engine's DP does.
+    "q_text_winnow_lcs" ->
+      (winnowPairsCtes + """,
+        |top AS (SELECT id_a, id_b, n_shared_fp FROM pairs
+        |        ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20),
+        |tx AS (SELECT t.id_a, t.id_b, t.n_shared_fp,
+        |         da.text AS ta, db.text AS tb
+        |       FROM top t
+        |       JOIN documents da ON t.id_a = da.doc_id
+        |       JOIN documents db ON t.id_b = db.doc_id),
+        |ca AS (SELECT id_a, id_b, i, substring(ta, i, 1) AS ch
+        |       FROM (SELECT id_a, id_b, ta,
+        |               unnest(generate_series(1, length(ta))) AS i
+        |             FROM tx)),
+        |cb AS (SELECT id_a, id_b, j, substring(tb, j, 1) AS ch
+        |       FROM (SELECT id_a, id_b, tb,
+        |               unnest(generate_series(1, length(tb))) AS j
+        |             FROM tx)),
+        |m AS (SELECT id_a, id_b, i, j
+        |      FROM ca JOIN cb USING (id_a, id_b, ch)),
+        |isl AS (SELECT id_a, id_b, i, i - j AS d,
+        |          i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+        |            ORDER BY i) AS grp
+        |        FROM m),
+        |runs AS (SELECT id_a, id_b, count(*) AS len, min(i) AS start_a
+        |         FROM isl GROUP BY id_a, id_b, d, grp),
+        |best AS (SELECT id_a, id_b, len, start_a,
+        |           row_number() OVER (PARTITION BY id_a, id_b
+        |             ORDER BY len DESC, start_a) AS rn
+        |         FROM runs)
+        |SELECT x.id_a, x.id_b, x.n_shared_fp,
+        |  CAST(b.len AS BIGINT) AS lcs_len,
+        |  CAST(b.start_a AS BIGINT) AS lcs_start,
+        |  substring(x.ta, CAST(b.start_a AS INT), CAST(b.len AS INT))
+        |    AS lcs
+        |FROM tx x JOIN best b ON x.id_a = b.id_a AND x.id_b = b.id_b
+        |WHERE b.rn = 1
+        |ORDER BY x.id_a, x.id_b""".stripMargin),
     "q_text_winnow_verify" ->
       (winnowPairsCtes + """
         |SELECT p.id_a, p.id_b, p.n_shared_fp,

@@ -356,4 +356,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("matryoshka IVF: same corpus-never-shuffles contract as plain " +
+    "ivfTopK — prefix routing adds no exchange") {
+    val p = plan("q_sim_topk_ivf_mrl")
+    assert(!p.contains("CartesianProduct"))
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashExchanges.forall(l => !l.matches(".*\\bcid#.*")),
+      s"assignment must not shuffle on cid:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.forall(l => !l.contains("cv#")),
+      s"corpus vectors must never hash-shuffle:\n${hashExchanges.mkString("\n")}")
+  }
+
+  test("winnow LCS: the O(|a|·|b|) verify runs on the bounded pair " +
+    "list — texts re-attach by equi-join, no cartesian/BNL") {
+    val p = plan("q_text_winnow_lcs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("lcs_pack"), "native expression must be in the plan")
+  }
 }

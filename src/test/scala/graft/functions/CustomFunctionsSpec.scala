@@ -652,4 +652,65 @@ class CustomFunctionsSpec extends SparkTestBase {
         math.max(1.0 / oh, 1.0 / ow) * 2)
     }
   }
+
+  test("lcs_pack: hand-built cases including the min-start tie-break") {
+    GraftFunctions.register(spark)
+    def lcs(a: String, b: String): (Long, Long) = {
+      val pk = Seq((a, b)).toDF("a", "b")
+        .select(expr("lcs_pack(a, b)")).as[Long].collect().head
+      (pk / LcsUtil.Pack, pk % LcsUtil.Pack)
+    }
+    assert(lcs("zabcy", "xxabcde") == (3L, 2L))   // "abc" at a-pos 2
+    assert(lcs("abc", "xyz") == (0L, 0L))          // disjoint
+    assert(lcs("", "abc") == (0L, 0L))             // empty side
+    assert(lcs("same", "same") == (4L, 1L))        // identical
+    assert(lcs("aaaa", "aa") == (2L, 1L))          // repeats: first window
+    // two maximal matches ("ab" at 1 and at 4): minimum start wins
+    assert(lcs("abZab", "ab") == (2L, 1L))
+    // later-but-longer beats earlier-but-shorter
+    assert(lcs("ab123cdef", "ab@cdef") == (4L, 6L)) // "cdef" over "ab"
+  }
+
+  test("lcs_pack matches a substring-set reference on random strings") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def rndStr(): String =
+      Seq.fill(rnd.nextInt(26))("abc".charAt(rnd.nextInt(3))).mkString
+    val cases = (0 until 200).map(_ => (rndStr(), rndStr()))
+    // independent reference: longest L with a shared L-substring, and
+    // the smallest start of one in `a`
+    def ref(a: String, b: String): (Long, Long) = {
+      for (len <- math.min(a.length, b.length) to 1 by -1) {
+        val inB = (0 to b.length - len).map(j => b.substring(j, j + len)).toSet
+        (0 to a.length - len).foreach { i =>
+          if (inB(a.substring(i, i + len))) return (len.toLong, i + 1L)
+        }
+      }
+      (0L, 0L)
+    }
+    val got = cases.toDF("a", "b")
+      .select($"a", $"b", expr("lcs_pack(a, b)").as("pk"))
+      .as[(String, String, Long)].collect()
+    got.foreach { case (a, b, pk) =>
+      assert((pk / LcsUtil.Pack, pk % LcsUtil.Pack) == ref(a, b),
+        s"a=$a b=$b")
+    }
+  }
+
+  test("lcs_pack: null inputs yield null; oversized input is rejected") {
+    GraftFunctions.register(spark)
+    val out = Seq(("x", Option("x")), ("x", None))
+      .toDF("a", "b")
+      .select(expr("lcs_pack(a, b)").as("pk"))
+      .collect()
+    assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
+    val big = "a" * ((1 << 21) + 1)
+    val ex = intercept[Exception] {
+      Seq((big, "a")).toDF("a", "b")
+        .select(expr("lcs_pack(a, b)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[IllegalArgumentException]))
+  }
 }

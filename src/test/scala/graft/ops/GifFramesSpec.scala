@@ -90,4 +90,48 @@ class GifFramesSpec extends SparkTestBase {
       .as[(String, Int)].collect().toSet
     assert(got == Set(("anim.gif", 0), ("anim.gif", 3)))
   }
+
+  test("extractVideoKeyframes: stub frame table agrees with the " +
+      "file-level stub; GIFs pass through real decode; stills excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("vid-frames").toFile
+    val clip = Array[Byte](9, 9, 9, 1)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "clip.mp4").toPath, clip)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "anim.gif").toPath, animGif(3))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "still.pgm").toPath,
+      "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val media = Multimodal.readBinary(spark, s"$dir/*")
+    val stride = 50
+    val frames = Multimodal.extractVideoKeyframes(media, stride).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("f"),
+        col("frame_idx"), col("width"), col("height"),
+        col("mean_luma"), col("dhash"))
+      .as[(String, Int, Int, Int, Double, Long)].collect()
+    // frame-level view must agree with the file-level stub decode:
+    // count = ceil(n_frames/stride), geometry identical per frame
+    val fileView = Multimodal.extractFeatures(
+        media.filter(col("path").endsWith(".mp4"))).collect().head
+    val vid = frames.filter(_._1 == "clip.mp4").sortBy(_._2)
+    assert(vid.length == (fileView.n_frames + stride - 1) / stride)
+    assert(vid.map(_._2).toSeq ==
+      (0 until fileView.n_frames by stride).toSeq)
+    vid.foreach { case (_, _, w0, h0, luma, _) =>
+      assert(w0 == fileView.width && h0 == fileView.height)
+      assert(luma >= 0.0 && luma <= 1.0)
+    }
+    // sampled frames are distinct deterministic rows (hash varies by idx)
+    assert(vid.map(_._6).distinct.length == vid.length)
+    assert(Multimodal.extractVideoKeyframes(media, stride).toDF()
+      .as[(String, Int, Int, Int, Double, Long)].collect().toSet
+      .map((t: (String, Int, Int, Int, Double, Long)) => t._6) ==
+      frames.map(_._6).toSet)
+    // GIF rows come from the REAL frame decoder (stride applies there too)
+    val gif = frames.filter(_._1 == "anim.gif")
+    assert(gif.map(_._2).toSeq == Seq(0))
+    assert(gif.head._3 == w && gif.head._4 == h)
+    // stills yield nothing in the keyframe table
+    assert(!frames.exists(_._1 == "still.pgm"))
+  }
 }

@@ -98,6 +98,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(run() == once)
   }
 
+  test("ivfTopKMatryoshka: full-dim routing degenerates to ivfTopK; " +
+      "prefix routing keeps recall on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // routeDims = full dimension ⇒ the same index, probes and scores
+    // as plain ivfTopK, bit for bit
+    val plain = rows(Similarity.ivfTopK(queries, vecs, "vec_id",
+      "embedding", k = 5, nLists = 8, nProbe = 2))
+    val fullRoute = rows(Similarity.ivfTopKMatryoshka(queries, vecs,
+      "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
+      routeDims = 16))
+    assert(fullRoute == plain)
+    // 4-dim prefix routing: scores stay FULL-dim exact (any candidate
+    // the router surfaces is ranked by true cosine), recall stays high
+    // on cluster-structured vectors
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mrl = rows(Similarity.ivfTopKMatryoshka(queries, vecs, "vec_id",
+      "embedding", k = 5, nLists = 8, nProbe = 2, routeDims = 4))
+    val got = mrl.map { case (q, _, n, _) => (q, n) }
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // exact-score property: every returned cosine equals the brute
+    // cosine for that (query, neighbor) pair
+    val bruteCos = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 99)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    mrl.foreach { case (q, r, n, c) =>
+      assert(bruteCos((q, n)) == c, s"full-dim score for ($q,$n) rank $r")
+    }
+  }
+
   test("kmeansFit recovers planted clusters, deterministic across partitioning") {
     val rnd = new scala.util.Random(7)
     val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian().toFloat))
