@@ -85,7 +85,7 @@ object MiscQueries {
         Exact.e2(col("l_extendedprice")).as("c"))
     val stats = li.groupBy(col("flag"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .withColumn("mean_c", col("s1").cast("double") / col("n"))
       .withColumn("std_c", sqrt(col("s2").cast("double") / col("n") -
         col("mean_c") * col("mean_c")))
@@ -114,7 +114,7 @@ object MiscQueries {
       .filter(col("c").isNotNull)
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
-        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
       .withColumn("m", col("s1").cast("double") / col("n"))
       // unbiased sample variance from integer sums
       .withColumn("v",

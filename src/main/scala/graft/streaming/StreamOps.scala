@@ -262,10 +262,20 @@ object StreamOps {
           // rights GC: latest at-or-below the watermark + all above
           val (below, above) = rights.partition(_._1 / 1000L <= wm)
           val kept = (if (below.isEmpty) Nil else List(below.max)) ::: above
-          st.update(AsOfBuf(hold, kept))
-          // re-arm: fire on the first batch whose watermark moved past
-          // the current one, releasing held lefts without new data
-          st.setTimeoutTimestamp(wm + 1L)
+          if (hold.isEmpty && kept.isEmpty) {
+            // nothing buffered: drop the state entry entirely (new data
+            // re-creates it) so aggregate state is O(keys with buffered
+            // rows), not O(keys ever seen)
+            st.remove()
+          } else {
+            st.update(AsOfBuf(hold, kept))
+            // re-arm ONLY while lefts are held: the timer exists to
+            // release them when the watermark passes without new data.
+            // A rights-only entry needs no timer — re-arming one for
+            // every key ever seen would fire every batch forever,
+            // making per-batch cost O(all keys) instead of O(active).
+            if (hold.nonEmpty) st.setTimeoutTimestamp(wm + 1L)
+          }
           out.iterator
       }
   }
@@ -363,7 +373,17 @@ object StreamOps {
       val dPart = new org.apache.hadoop.fs.Path(dest, s"bucket=$b")
       val tPart = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
       val oPart = new org.apache.hadoop.fs.Path(dest, s".replaced_bucket=$b")
-      if (fs.exists(oPart)) fs.delete(oPart, true)
+      if (fs.exists(oPart)) {
+        // Crash recovery, not cleanup: a crash between the dPart->oPart
+        // and tPart->dPart renames leaves the aside copy as the ONLY
+        // copy of the bucket. Restore it; only discard the aside when
+        // the live partition survived (the swap completed last time).
+        if (!fs.exists(dPart)) {
+          if (!fs.rename(oPart, dPart))
+            throw new java.io.IOException(
+              s"swapAffectedBuckets: recovery rename $oPart -> $dPart failed")
+        } else fs.delete(oPart, true)
+      }
       val hadOld = fs.exists(dPart)
       if (hadOld && !fs.rename(dPart, oPart))
         throw new java.io.IOException(
