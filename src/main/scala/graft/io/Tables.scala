@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-generated fixture tables
   * (`/root/repo/TESTDATA.md`). The reference treats data files as untyped
@@ -19,18 +20,70 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — the same truncation DuckDB applies casting
-    * TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+  /** The producer has shipped `events.ts` under more than one physical
+    * parquet type (TIMESTAMP(NANOS) historically, timestamp-micros today),
+    * so the loader dispatches on the *observed* schema instead of
+    * hard-coding one encoding — the engine analog of the reference typing
+    * blobs only at read time (`/root/reference/app/routes.py:115-125`):
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]), so retry the read with
+    *     `spark.sql.legacy.parquet.nanosAsLong` (set only on this branch;
+    *     it must stay set for the scan's runtime) and truncate Long nanos
+    *     to microseconds — the same truncation DuckDB applies casting
+    *     TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    *   - timestamp-micros without timezone arrives as TIMESTAMP_NTZ: cast
+    *     to session-TZ TIMESTAMP (exact under the engine's UTC session TZ,
+    *     and DuckDB reads the same file natively).
+    *   - anything else (already TIMESTAMP, or a future encoding): pass
+    *     through untouched.
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      // integral `div`, NOT `/`: Column./ is double division and doubles
-      // can't hold epoch-nanos exactly (off-by-1µs corruption)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    eventsFrom(spark, s"$dir/events.parquet")
+
+  private[io] def eventsFrom(spark: SparkSession, path: String): DataFrame =
+    normalizeEventTs(eventsRawRead(spark, path))
+
+  /** Batch read of the events file, retrying under the nanos-as-long
+    * legacy conf when the footer carries TIMESTAMP(NANOS). The conf is
+    * touched ONLY on that retry branch and must remain set for the scan's
+    * runtime (the vectorized reader re-checks the type per row group).
+    */
+  private[io] def eventsRawRead(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception
+          if e.getMessage != null &&
+             (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+              e.getMessage.contains("Illegal Parquet type")) =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
+
+  /** Normalize `ts` to session-TZ TIMESTAMP whatever physical type the
+    * producer shipped (works on batch and streaming frames alike). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long path; integral `div`, NOT `/`: Column./ is double
+        // division and doubles can't hold epoch-nanos exactly
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** Streaming twin of [[events]]: a file-stream source over the single
+    * events fixture file, with the same observed-schema ts dispatch as the
+    * batch loader (the file-stream source monitors directories, hence the
+    * one-file glob).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRawRead(spark, s"$dir/events.parquet")
+    normalizeEventTs(
+      spark.readStream.schema(raw.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -69,16 +69,8 @@ object StreamQueries {
   def qStreamSessionState(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val tmp = StreamOps.scratchDir("q_stream_session_state")
-    // the fixture's events table is a single FILE; the file-stream
-    // source monitors directories, so point it at the sf dir with a
-    // glob selecting just that file
-    val stream = spark.readStream.schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
     val sessions = StreamOps.sessionizeWithState(
       StreamOps.withLateness(stream, "ts", "0 seconds")
@@ -106,12 +98,7 @@ object StreamQueries {
     */
   def qStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))

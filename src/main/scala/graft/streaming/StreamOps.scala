@@ -847,9 +847,19 @@ object StreamOps {
           val bSigs = graft.ops.CacheScope.cached(
             graft.ops.Dedup.minhashSignatures(batch, idCol, textCol,
               k = 5, numHashes = 32))
+          // Empty-corpus fallback is ONLY for the first batch, when the
+          // sidecar doesn't exist yet. Any other failure (corrupt footer,
+          // transient FS error) must abort the batch: treating it as
+          // "empty corpus" would silently re-admit every duplicate.
           val cSigs =
             try spark.read.parquet(sigPath)
-            catch { case _: Throwable => bSigs.limit(0) }
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage != null &&
+                     e.getMessage.contains("PATH_NOT_FOUND") =>
+                bSigs.limit(0)
+              case _: java.io.FileNotFoundException => bSigs.limit(0)
+            }
           val pairs = graft.ops.Dedup.minhashPairsFromSigs(
             cSigs, bSigs, bands = 8, rowsPerBand = 4,
             threshold = threshold)

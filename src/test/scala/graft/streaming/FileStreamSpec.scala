@@ -418,6 +418,55 @@ class FileStreamSpec extends SparkTestBase {
     assert(sigIds == Seq(1L, 2L, 5L))
   }
 
+  test("dedupIngest: a CORRUPT sidecar aborts the batch instead of " +
+      "silently re-admitting duplicates") {
+    val dir = Files.createTempDirectory("ingest-corrupt").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._sigs"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    def runOnce(): Unit = StreamOps.dedupIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "doc_id", "text", corpus, s"$dir/cp", threshold = 0.9)
+    runOnce()
+    // garble every sidecar parquet: the dedup state is now unreadable
+    val sigFiles = new java.io.File(sidecar).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sigFiles.nonEmpty)
+    sigFiles.foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+    }
+    val preCorpus = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // batch B: id 4 duplicates accepted id 2 — with a readable sidecar it
+    // would be dropped; with a corrupt one the ONLY safe outcome is abort
+    Seq((4L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    val err = intercept[Exception](runOnce())
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c => c.getMessage != null &&
+        (c.getMessage.toLowerCase.contains("parquet") ||
+         c.getMessage.contains("footer"))),
+      s"expected a parquet-read failure to surface, got $err")
+    val appended = new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")
+        && !preCorpus.contains(f.getName))
+    assert(appended.isEmpty,
+      "an aborted batch must not append potentially-duplicate survivors")
+  }
+
   test("streamAsOf: cross-batch out-of-order rights still match, " +
     "result equals batch as-of") {
     val dir = Files.createTempDirectory("st-asof").toString
@@ -459,6 +508,62 @@ class FileStreamSpec extends SparkTestBase {
       101L -> Some(501L), // t=20s → the batch-B right at 15s
       102L -> Some(501L), // t=30s → still 15s (latest ≤)
       200L -> None))      // fresh key, no rights
+  }
+
+  test("streamAsOf: rights-only key arms NO timer — never re-touched " +
+    "after its creating batch (state O(active keys), r6 GC fix)") {
+    val dir = Files.createTempDirectory("st-asof-gc").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // batch A: key 1 is RIGHTS-ONLY; key 2 has a held left + a right
+    Seq((1L, ts(5000), 0, 500L),
+      (2L, ts(10000), 1, 100L), (2L, ts(6000), 0, 600L))
+      .toDF("k", "t", "side", "v").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    // batches B and C: key 2 only, each advancing the watermark. If key 1
+    // re-armed a timer every batch (pre-r6 bug), its timeout would fire
+    // here and the state operator would report 2 updated rows per batch.
+    Seq((2L, ts(60000), 1, 101L)).toDF("k", "t", "side", "v")
+      .coalesce(1).write.parquet(s"$dir/src/b.parquet")
+    Seq((2L, ts(120000), 1, 102L)).toDF("k", "t", "side", "v")
+      .coalesce(1).write.parquet(s"$dir/src/c.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 120000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/c.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    val out = StreamOps.streamAsOf(
+      StreamOps.withLateness(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .option("basePath", s"$dir/src").parquet(s"$dir/src/*"),
+        "t", "0 seconds").as[StreamOps.AsOfIn])
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stateBatches = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .sortBy(_.batchId)
+      .map(p => p.batchId -> p.stateOperators.head)
+    assert(stateBatches.nonEmpty)
+    // batch A creates both keys' state (2 puts); afterwards ONLY the
+    // active key 2 may be touched — key 1 has no timer and no data
+    val first = stateBatches.head._2
+    assert(first.numRowsUpdated == 2L,
+      s"batch A should create 2 state rows, got ${first.numRowsUpdated}")
+    stateBatches.tail.foreach { case (bid, s) =>
+      assert(s.numRowsUpdated <= 1L,
+        s"batch $bid updated ${s.numRowsUpdated} state rows — the " +
+          "rights-only key was re-touched, so a timer re-armed for it")
+    }
+    // correctness unchanged: every left matched its latest ≤ right
+    val got = spark.read.parquet(s"$dir/out")
+      .select($"lv", $"rv").as[(Long, Option[Long])].collect().toMap
+    assert(got.get(100L).contains(Some(600L)) &&
+      got.get(101L).contains(Some(600L)))
   }
 
   test("cdcSink: streamed out-of-order log == batch cdcApply recompute") {
