@@ -47,4 +47,39 @@ object CacheScope {
       finally tracked.foreach(_.unpersist(blocking = false))
     }
   }
+
+  // ---- run-wide keyed memo -------------------------------------------
+  //
+  // Some intermediates are shared by a FAMILY of registry queries (the
+  // five winnow queries all derive from one selected-fingerprint set and
+  // one candidate-pair list). Per-query `scoped{}` releases them between
+  // queries, so a full Verify/Bench sweep recomputed them five times. A
+  // harness opens `sharedScope` around the WHOLE sweep; `memoized(key)`
+  // then builds+persists each keyed intermediate once per run and the
+  // outer scope releases everything at the end. With no shared scope
+  // active (tests, notebooks), `memoized` degrades to `cached` — the
+  // per-call semantics the operators had before.
+
+  private val shared =
+    new DynamicVariable[Option[mutable.Map[String, Dataset[_]]]](None)
+
+  /** Open a run-wide registry for [[memoized]]; unpersists every memoized
+    * Dataset on exit. Nest per-query [[scoped]] blocks inside freely. */
+  def sharedScope[T](body: => T): T = {
+    val reg = mutable.Map.empty[String, Dataset[_]]
+    shared.withValue(Some(reg)) {
+      try body
+      finally reg.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Build-once-per-run keyed persist (key must encode the inputs, e.g.
+    * the sf dir). Falls back to [[cached]] when no shared scope is open. */
+  def memoized[T](key: String)(build: => Dataset[T]): Dataset[T] =
+    shared.value match {
+      case Some(reg) =>
+        reg.getOrElseUpdate(key, { val d = build; d.persist(); d })
+          .asInstanceOf[Dataset[T]]
+      case None => cached(build)
+    }
 }

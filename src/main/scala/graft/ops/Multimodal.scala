@@ -867,6 +867,334 @@ object Multimodal {
     h
   }
 
+  /** REAL decoder for BASELINE JPEG (SOF0/SOF1 sequential Huffman,
+    * 8-bit) — the format most of a real multimodal corpus arrives in.
+    * Pure JVM, no codec library: marker walk (DQT/DHT/SOF/DRI/SOS),
+    * canonical Huffman decode of the entropy-coded segment (byte
+    * stuffing + restart markers), dequantization, and a separable
+    * floating-point 8×8 IDCT. Only the LUMA component is inverse-
+    * transformed — chroma blocks are Huffman-decoded to advance the
+    * bitstream but never IDCT'd, since every downstream feature
+    * (mean_luma, dHash) is luma-only; that skips ~2/3 of the IDCT work
+    * on 4:2:0 corpora. Cross-validated against the JDK's ImageIO
+    * decoder in JpegSpec (dims exact; luma/dHash within IDCT rounding).
+    * Returns None for progressive/arithmetic/12-bit streams (→ stub).
+    */
+  private[ops] def decodeJpeg(m: MediaFile): Option[MediaFeatures] = {
+    val b = m.content
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    try decodeJpegImpl(b, m)
+    catch { case _: Exception => None } // malformed stream → stub path
+  }
+
+  // canonical Huffman table: decode bit-serially via first-code arrays
+  private final class JHuff(counts: Array[Int], vals: Array[Int]) {
+    // minCode(l), maxCode(l) = first/last code of length l (-1 if none),
+    // valPtr(l) = index of first value of length l
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l)
+          k += counts(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(r: JBits): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | r.bit()
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      throw new IllegalArgumentException("bad huffman code")
+    }
+  }
+
+  // entropy-segment bit reader: FF00 unstuffing; restart-marker aware
+  private final class JBits(b: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length)
+          throw new IllegalArgumentException("eof in scan")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          val nx = if (pos < b.length) b(pos) & 0xff else 0xd9
+          if (nx == 0) pos += 1
+          else v = 0xff // marker reached: JPEG pads with 1-bits; the MCU
+                        // loop stops at the count, never reads past it
+        }
+        buf = v
+        cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** byte-align and consume an expected RSTn marker */
+    def restart(): Unit = {
+      cnt = 0
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+          ((b(pos + 1) & 0xf8) != 0xd0))
+        throw new IllegalArgumentException("missing restart marker")
+      pos += 2
+    }
+  }
+
+  private def jExtend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // zigzag index → natural (row-major) position
+  private val jZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // IDCT basis: jCos(u*8+x) = C(u)/2 · cos((2x+1)uπ/16)
+  private val jCos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu / 2.0 *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  private def decodeJpegImpl(b: Array[Byte], m: MediaFile)
+      : Option[MediaFeatures] = {
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val dcT = new Array[JHuff](4)
+    val acT = new Array[JHuff](4)
+    var w = 0
+    var h = 0
+    // per component: (id, hSamp, vSamp, qtId)
+    var comps: Array[(Int, Int, Int, Int)] = null
+    var restartInterval = 0
+    var p = 2
+    var scanAt = -1
+    var scanMap: Array[(Int, Int)] = null // comp idx → (dc table, ac table)
+    while (scanAt < 0 && p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) p += 2
+      else {
+        val len = u16(p + 2)
+        if (len < 2 || p + 2 + len > b.length) return None
+        val seg = p + 4
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            var q = seg
+            while (q < p + 2 + len) {
+              val pq = (b(q) & 0xff) >> 4
+              val tq = b(q) & 0x0f
+              if (pq != 0 || tq > 3) return None // 8-bit baseline only
+              var i = 0
+              while (i < 64) { qt(tq)(i) = b(q + 1 + i) & 0xff; i += 1 }
+              q += 65
+            }
+          case 0xc4 => // DHT: one or more tables
+            var q = seg
+            while (q < p + 2 + len) {
+              val tc = (b(q) & 0xff) >> 4
+              val th = b(q) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = new Array[Int](17)
+              var n = 0
+              var i = 1
+              while (i <= 16) {
+                counts(i) = b(q + i) & 0xff; n += counts(i); i += 1
+              }
+              if (q + 17 + n > p + 2 + len) return None
+              val vals = new Array[Int](n)
+              i = 0
+              while (i < n) { vals(i) = b(q + 17 + i) & 0xff; i += 1 }
+              val t = new JHuff(counts, vals)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+              q += 17 + n
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+            if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            h = u16(seg + 1)
+            w = u16(seg + 3)
+            val nc = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || nc < 1 || nc > 4 ||
+                w.toLong * h > (1L << 28)) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = seg + 6 + 3 * i
+              ((b(o) & 0xff), (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0xff)
+            }
+            if (comps.exists(c => c._2 < 1 || c._2 > 4 || c._3 < 1 ||
+                c._3 > 4 || c._4 > 3)) return None
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic → stub
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda => // SOS: interleaved baseline scan over all comps
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None // non-interleaved → stub
+            scanMap = new Array[(Int, Int)](comps.length)
+            var i = 0
+            while (i < ns) {
+              val cid = b(seg + 1 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_._1 == cid)
+              if (ci < 0) return None
+              scanMap(ci) = ((b(seg + 2 + 2 * i) & 0xff) >> 4,
+                b(seg + 2 + 2 * i) & 0x0f)
+              i += 1
+            }
+            scanAt = p + 2 + len
+          case 0xd9 => return None // EOI before any scan
+          case _ => () // APPn/COM/etc: skip
+        }
+        if (scanAt < 0) p += 2 + len
+      }
+    }
+    if (scanAt < 0) return None
+    val hmax = comps.map(_._2).max
+    val vmax = comps.map(_._3).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // luma = first component; its sample grid is cw×ch (usually w×h)
+    val (lw, lh) = ((w * comps(0)._2 + hmax - 1) / hmax,
+      (h * comps(0)._3 + vmax - 1) / vmax)
+    val grid = new LumaGrid(lw, lh)
+    var lumaSum = 0.0
+    var lumaN = 0L
+    val r = new JBits(b, scanAt)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX.toLong * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.restart()
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = (mcu % mcusX).toInt
+      val my = (mcu / mcusX).toInt
+      var ci = 0
+      while (ci < comps.length) {
+        val (_, ch2, cv, tq) = comps(ci)
+        val (dct, act) = (dcT(scanMap(ci)._1), acT(scanMap(ci)._2))
+        if (dct == null || act == null)
+          throw new IllegalArgumentException("missing huffman table")
+        val qtab = qt(tq)
+        var by = 0
+        while (by < cv) {
+          var bx = 0
+          while (bx < ch2) {
+            // ---- entropy-decode one block ----
+            java.util.Arrays.fill(coef, 0)
+            val t = dct.decode(r)
+            if (t > 11) throw new IllegalArgumentException("bad DC cat")
+            pred(ci) += jExtend(r.receive(t), t)
+            coef(0) = pred(ci) * qtab(0)
+            var k = 1
+            var eob = false
+            while (!eob && k < 64) {
+              val rs = act.decode(r)
+              val run = rs >> 4
+              val s = rs & 15
+              if (s == 0) {
+                if (run == 15) k += 16 else eob = true
+              } else {
+                k += run
+                if (k > 63)
+                  throw new IllegalArgumentException("AC overflow")
+                coef(jZigzag(k)) = jExtend(r.receive(s), s) * qtab(k)
+                k += 1
+              }
+            }
+            // ---- IDCT + accumulate: LUMA component only ----
+            if (ci == 0) {
+              // separable IDCT: columns first (over v), then rows (over u)
+              var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) {
+                  var s2 = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    s2 += jCos(v * 8 + y) * coef(v * 8 + x); v += 1
+                  }
+                  tmp(y * 8 + x) = s2
+                  y += 1
+                }
+                x += 1
+              }
+              val px0 = (mx * ch2 + bx) * 8
+              val py0 = (my * cv + by) * 8
+              var y = 0
+              while (y < 8) {
+                var x2 = 0
+                while (x2 < 8) {
+                  var s2 = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    s2 += jCos(u * 8 + x2) * tmp(y * 8 + u); u += 1
+                  }
+                  val sample = math.max(0, math.min(255,
+                    math.round(s2 + 128.0).toInt))
+                  val px = px0 + x2
+                  val py = py0 + y
+                  if (px < lw && py < lh) {
+                    val l01 = sample / 255.0
+                    grid.add(px, py, l01)
+                    lumaSum += l01
+                    lumaN += 1
+                  }
+                  x2 += 1
+                }
+                y += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    if (lumaN == 0) return None
+    Some(MediaFeatures(path = m.path, length = m.length,
+      fingerprint = fnv(b), width = w, height = h, n_frames = 1,
+      mean_luma = lumaSum / lumaN, dhash = grid.dhash))
+  }
+
   /** ======== STUB (fallback) ========
     * Deterministic fake decoder for formats that need real codec
     * libraries (absent in this environment): derives "image" properties
@@ -889,10 +1217,11 @@ object Multimodal {
   }
 
   /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
-    * uncompressed BMP, 8-bit PNG and GIF87a/89a (incl. animated frame
-    * counts), deterministic stub for codec-requiring formats
-    * (JPEG/video). One decoder context per partition; rows stream
-    * through without materializing the partition.
+    * uncompressed BMP, 8-bit PNG, GIF87a/89a (incl. animated frame
+    * counts) and baseline JPEG; deterministic stub for the remaining
+    * codec-requiring formats (video/progressive JPEG). One decoder
+    * context per partition; rows stream through without materializing
+    * the partition.
     */
   def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -900,7 +1229,7 @@ object Multimodal {
       // real codecs: initialize decoder context here, once per partition
       it.map(m =>
         decodePnm(m).orElse(decodeBmp(m)).orElse(decodePng(m))
-          .orElse(decodeGif(m))
+          .orElse(decodeGif(m)).orElse(decodeJpeg(m))
           .getOrElse(fakeDecode(m)))
     }
   }

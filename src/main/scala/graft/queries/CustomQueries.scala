@@ -156,8 +156,9 @@ object CustomQueries {
   }
 
   /** Deterministic media fixture bytes for q_multimodal_decode — the
-    * formats the REAL decoders parse (PPM/PGM/BMP/PNG) plus one
-    * codec-format blob that exercises the documented stub fallback.
+    * formats the REAL decoders parse (PPM/PGM/BMP/PNG/baseline JPEG)
+    * plus one codec-format blob that exercises the documented stub
+    * fallback.
     * Byte-identical on every run, so the decoded features are
     * pinned-expectation oracle-checkable (the expected widths/lumas are
     * analytic properties of these bytes; the PNG is a 3×5 RGB image
@@ -200,8 +201,40 @@ object CustomQueries {
       .map(Integer.parseInt(_, 16).toByte).toArray
     // not a parseable format → deterministic stub features from fnv
     val mp4 = Array[Byte](1, 2, 3)
+    // 16×11 baseline JPEG (JDK ImageIO encoder, quality 0.75, 4:2:0):
+    // R/G gradients + an 8-px blue checker — DC and AC both carry
+    // signal. Decoded by the REAL baseline decoder (Multimodal
+    // .decodeJpeg, JpegSpec cross-validates vs ImageIO); its pinned
+    // luma is the decoder's deterministic output for these bytes.
+    // Named photo.* so the prefix-filter oracle (q_lake_listing_pinned,
+    // prefix "img") is unaffected.
+    val jpg = ("ffd8ffe000104a46494600010200000100010000ffdb0043000806060706" +
+      "05080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20" +
+      "242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ff" +
+      "db0043010909090c0b0c180d0d1832211c21323232323232323232323232" +
+      "323232323232323232323232323232323232323232323232323232323232" +
+      "3232323232323232ffc0001108000b001003012200021101031101ffc400" +
+      "1f0000010501010101010100000000000000000102030405060708090a0b" +
+      "ffc400b5100002010303020403050504040000017d010203000411051221" +
+      "31410613516107227114328191a1082342b1c11552d1f02433627282090a" +
+      "161718191a25262728292a3435363738393a434445464748494a53545556" +
+      "5758595a636465666768696a737475767778797a838485868788898a9293" +
+      "9495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6" +
+      "c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7" +
+      "f8f9faffc4001f0100030101010101010101010000000000000102030405" +
+      "060708090a0bffc400b51100020102040403040705040400010277000102" +
+      "031104052131061241510761711322328108144291a1b1c109233352f015" +
+      "6272d10a162434e125f11718191a262728292a35363738393a4344454647" +
+      "48494a535455565758595a636465666768696a737475767778797a828384" +
+      "85868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7" +
+      "b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9ea" +
+      "f2f3f4f5f6f7f8f9faffda000c03010002110311003f00e534ff00097d93" +
+      "1fbbdfbbdb18c575161e12fb263f77bf77b6318aecf43b583e6fddaf6aea" +
+      "744b583e6fddaf6ae3a99cd59fb2f65eef37372f5e4b7c5bfc5cde7b7438" +
+      "387b882b2dcfffd9")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
-      "img.png" -> png, "clip.mp4" -> mp4)
+      "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg)
   }
 
   /** REAL multimodal decode as a driver-checked query: materialize the
@@ -513,7 +546,9 @@ object CustomQueries {
         |  ('img.png', CAST(3 AS BIGINT), CAST(5 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.489162 AS DOUBLE)),
         |  ('img.ppm', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
-        |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)))
+        |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
+        |  ('photo.jpg', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)))
         |  AS t(file, width, height, n_frames, luma_r6)
         |ORDER BY file""".stripMargin,
     // Pinned-expectation oracle over the fixture set: geometry/resize
@@ -541,6 +576,10 @@ object CustomQueries {
         |  ('img.ppm', CAST(23 AS BIGINT),
         |   CAST(-9145406516417166057 AS BIGINT), CAST(2 AS BIGINT),
         |   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('photo.jpg', CAST(698 AS BIGINT),
+        |   CAST(5203158787540282694 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
         |  AS t(file, length, fingerprint, width, height,
         |       out_width, out_height, n_frames, n_sampled)
