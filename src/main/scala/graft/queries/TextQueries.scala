@@ -495,10 +495,14 @@ object TextQueries {
     * character-level exact-substring dedup.
     *
     * Determinism/portability: 40-bit md5 hashes packed with the
-    * position tie-break into one BIGINT key (h·2²⁰ + (2²⁰−1−pos), so
-    * MIN(key) = min-hash-then-rightmost-pos; positions < 2²⁰ by the
-    * fixture contract; widen the pack to DECIMAL for longer docs at
-    * scale). Per-doc output: fingerprints selected, how many are
+    * position tie-break into one BIGINT key: h·2²³ + max(0, 2²³−1−pos),
+    * so MIN(key) = min-hash-then-rightmost-pos. 40+23 = 63 bits fills
+    * signed-64 exactly; the clamp keeps the hash field intact for docs
+    * past 2²³ chars (8.3M — positions beyond it share tie-rank 0, so
+    * a tie among only-far positions resolves to any of them: still
+    * deterministic, both engines evaluate the identical formula, and
+    * the selected HASH — what dedup compares — is unaffected). Per-doc
+    * output: fingerprints selected, how many are
     * SHARED with another document (df ≥ 2 over distinct (doc, hash)),
     * and the shared fraction in ppm — k=8, w=4 ⇒ matches of length
     * ≥ 11 chars are always caught.
@@ -570,26 +574,42 @@ object TextQueries {
     */
   private def winnowSelected(spark: SparkSession, dir: String)
       : DataFrame = graft.ops.CacheScope.memoized(s"winnow:selected:$dir") {
-    val k = 8
-    val w = 4
-    // MAP-SIDE selection: the per-doc hash array, window mins and
-    // distinct all happen inside one projection over the document row —
-    // no shuffle touches per-position rows at any scale (an earlier
-    // window-function form shuffled 1 row per char position; this is
-    // the same selection without that exchange). Each hash is computed
-    // once into `keys`; a window's min is array_min over a w-slice.
-    Tables.documents(spark, dir)
+    winnowFingerprints(Tables.documents(spark, dir))
+  }
+
+  /** Winnowing fingerprint selection over any (doc_id, text) frame —
+    * the reusable core of the family (also specced directly with
+    * longer-than-2²³ documents).
+    *
+    * MAP-SIDE selection: the per-doc hash array, window mins and
+    * distinct all happen inside one projection over the document row —
+    * no shuffle touches per-position rows at any scale (an earlier
+    * window-function form shuffled 1 row per char position; this is
+    * the same selection without that exchange). Each hash is computed
+    * once into `keys`; a window's min is array_min over a w-slice.
+    *
+    * The k-gram is built from a once-split char ARRAY, not
+    * `substring(text, i, k)`: UTF8String substring seeks to code point
+    * i in O(i), which makes the per-doc transform O(len²) — invisible
+    * on 2k-char fixture docs, pathological on megabyte documents. The
+    * array slice indexes in O(k), keeping the doc linear; the hashed
+    * k-char string (and so the selection and the DuckDB twin) is
+    * identical.
+    */
+  private[queries] def winnowFingerprints(docs: DataFrame,
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs
       .filter(length(col("text")) >= k + w - 1) // ≥ one full window
+      .select(col("doc_id"), split(col("text"), "").as("cs"))
       .select(col("doc_id"), expr(
-        s"transform(sequence(1, length(text) - ${k - 1})," +
-          s" i -> cast(conv(substring(md5(substring(text, i, $k)), 1," +
-          " 10), 16, 10) as bigint) * 1048576" +
-          " + (1048575 - (i - 1)))").as("keys"))
+        s"transform(sequence(1, size(cs) - ${k - 1})," +
+          s" i -> cast(conv(substring(md5(array_join(slice(cs, i, $k)," +
+          " '')), 1, 10), 16, 10) as bigint) * 8388608" +
+          " + greatest(0, 8388607 - (i - 1)))").as("keys"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(keys) - ${w - 1})," +
-          s" p -> array_min(slice(keys, p, $w)) div 1048576)")))
+          s" p -> array_min(slice(keys, p, $w)) div 8388608)")))
         .as("fp"))
-  }
 
   /** Candidate-pair VERIFICATION: the winnowing pairs re-attached to
     * their texts and certified with exact Levenshtein edit distance +
@@ -900,13 +920,13 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |          AS BIGINT) AS h
       |      FROM i),
       |keyed AS (SELECT doc_id, pos,
-      |            h * 1048576 + (1048575 - pos) AS key FROM g),
+      |            h * 8388608 + greatest(0, 8388607 - pos) AS key FROM g),
       |win AS (SELECT doc_id, pos,
       |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
       |          count(*) OVER (PARTITION BY doc_id) AS cnt
       |        FROM keyed),
-      |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+      |sel AS (SELECT DISTINCT doc_id, mk // 8388608 AS fp
       |        FROM win WHERE pos <= cnt - 4),
       |rare AS (SELECT fp FROM sel GROUP BY fp
       |         HAVING count(*) BETWEEN 2 AND 50),
@@ -1034,13 +1054,13 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |          AS BIGINT) AS h
         |      FROM i),
         |keyed AS (SELECT doc_id, pos,
-        |            h * 1048576 + (1048575 - pos) AS key FROM g),
+        |            h * 8388608 + greatest(0, 8388607 - pos) AS key FROM g),
         |win AS (SELECT doc_id, pos,
         |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
         |          count(*) OVER (PARTITION BY doc_id) AS cnt
         |        FROM keyed),
-        |sel AS (SELECT DISTINCT doc_id, mk // 1048576 AS fp
+        |sel AS (SELECT DISTINCT doc_id, mk // 8388608 AS fp
         |        FROM win WHERE pos <= cnt - 4),
         |df AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
         |pd AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
