@@ -867,18 +867,21 @@ object Multimodal {
     h
   }
 
-  /** REAL decoder for BASELINE JPEG (SOF0/SOF1 sequential Huffman,
-    * 8-bit) — the format most of a real multimodal corpus arrives in.
-    * Pure JVM, no codec library: marker walk (DQT/DHT/SOF/DRI/SOS),
-    * canonical Huffman decode of the entropy-coded segment (byte
-    * stuffing + restart markers), dequantization, and a separable
-    * floating-point 8×8 IDCT. Only the LUMA component is inverse-
-    * transformed — chroma blocks are Huffman-decoded to advance the
-    * bitstream but never IDCT'd, since every downstream feature
-    * (mean_luma, dHash) is luma-only; that skips ~2/3 of the IDCT work
-    * on 4:2:0 corpora. Cross-validated against the JDK's ImageIO
-    * decoder in JpegSpec (dims exact; luma/dHash within IDCT rounding).
-    * Returns None for progressive/arithmetic/12-bit streams (→ stub).
+  /** REAL decoder for JPEG — baseline (SOF0/SOF1 sequential Huffman)
+    * AND progressive (SOF2: spectral selection + successive
+    * approximation), the two formats a real multimodal corpus actually
+    * arrives in. Pure JVM, no codec library: marker walk
+    * (DQT/DHT/SOF/DRI/SOS), canonical Huffman decode of the
+    * entropy-coded segments (byte stuffing + restart markers),
+    * dequantization, and a separable floating-point 8×8 IDCT. Only the
+    * LUMA component is inverse-transformed — every downstream feature
+    * (mean_luma, dHash) is luma-only — so sequential chroma blocks are
+    * entropy-decoded just to advance the bitstream, and progressive
+    * chroma AC scans (always single-component) are skipped WHOLESALE
+    * without any entropy decode. Cross-validated against the JDK's
+    * ImageIO decoder in JpegSpec (dims exact; luma/dHash within IDCT
+    * rounding). Returns None for arithmetic/lossless/12-bit streams
+    * (→ stub).
     */
   private[ops] def decodeJpeg(m: MediaFile): Option[MediaFeatures] = {
     val b = m.content
@@ -924,24 +927,30 @@ object Multimodal {
     }
   }
 
-  // entropy-segment bit reader: FF00 unstuffing; restart-marker aware
+  // entropy-segment bit reader: FF00 unstuffing; restart-marker aware.
+  // On reaching a non-RST marker it pads with 1-bits WITHOUT consuming
+  // the marker (JPEG's padding rule), so `pos` lands on the marker's FF
+  // and a multi-scan (progressive) caller can find the scan boundary.
   private final class JBits(b: Array[Byte], var pos: Int) {
     private var buf = 0
     private var cnt = 0
+    private var atMarker = false
     def bit(): Int = {
       if (cnt == 0) {
-        if (pos >= b.length)
+        if (atMarker) { buf = 0xff; cnt = 8 }
+        else if (pos >= b.length)
           throw new IllegalArgumentException("eof in scan")
-        var v = b(pos) & 0xff
-        pos += 1
-        if (v == 0xff) {
-          val nx = if (pos < b.length) b(pos) & 0xff else 0xd9
-          if (nx == 0) pos += 1
-          else v = 0xff // marker reached: JPEG pads with 1-bits; the MCU
-                        // loop stops at the count, never reads past it
+        else {
+          var v = b(pos) & 0xff
+          pos += 1
+          if (v == 0xff) {
+            val nx = if (pos < b.length) b(pos) & 0xff else 0xd9
+            if (nx == 0) pos += 1
+            else { pos -= 1; atMarker = true; v = 0xff }
+          }
+          buf = v
+          cnt = 8
         }
-        buf = v
-        cnt = 8
       }
       cnt -= 1
       (buf >> cnt) & 1
@@ -955,11 +964,28 @@ object Multimodal {
     /** byte-align and consume an expected RSTn marker */
     def restart(): Unit = {
       cnt = 0
+      atMarker = false
       if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
           ((b(pos + 1) & 0xf8) != 0xd0))
         throw new IllegalArgumentException("missing restart marker")
       pos += 2
     }
+  }
+
+  /** Position of the next true marker at/after `from`: skips stuffed
+    * FF00 data bytes, restart markers and FF fill bytes. */
+  private def jNextMarker(b: Array[Byte], from: Int): Int = {
+    var q = from
+    while (q + 1 < b.length) {
+      if ((b(q) & 0xff) == 0xff) {
+        val nx = b(q + 1) & 0xff
+        if (nx == 0) q += 2
+        else if (nx >= 0xd0 && nx <= 0xd7) q += 2
+        else if (nx == 0xff) q += 1
+        else return q
+      } else q += 1
+    }
+    b.length
   }
 
   private def jExtend(v: Int, s: Int): Int =
@@ -989,6 +1015,256 @@ object Multimodal {
     t
   }
 
+  /** Separable 8×8 IDCT of natural-order dequantized coefficients;
+    * level-shifted samples clipped to [0,255] accumulate into the luma
+    * grid. Returns (luma sum, sample count) for the placed pixels. */
+  private def jIdctAccum(coef: Array[Int], tmp: Array[Double],
+      px0: Int, py0: Int, lw: Int, lh: Int, grid: LumaGrid)
+      : (Double, Long) = {
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s2 = 0.0
+        var v = 0
+        while (v < 8) { s2 += jCos(v * 8 + y) * coef(v * 8 + x); v += 1 }
+        tmp(y * 8 + x) = s2
+        y += 1
+      }
+      x += 1
+    }
+    var sum = 0.0
+    var n = 0L
+    var y = 0
+    while (y < 8) {
+      var x2 = 0
+      while (x2 < 8) {
+        var s2 = 0.0
+        var u = 0
+        while (u < 8) { s2 += jCos(u * 8 + x2) * tmp(y * 8 + u); u += 1 }
+        val sample = math.max(0, math.min(255,
+          math.round(s2 + 128.0).toInt))
+        val px = px0 + x2
+        val py = py0 + y
+        if (px < lw && py < lh) {
+          val l01 = sample / 255.0
+          grid.add(px, py, l01)
+          sum += l01
+          n += 1
+        }
+        x2 += 1
+      }
+      y += 1
+    }
+    (sum, n)
+  }
+
+  /** Progressive-JPEG per-frame state: block geometry plus the LUMA
+    * coefficient store (zigzag order per block) that successive scans
+    * refine. Chroma coefficients are never stored: interleaved DC scans
+    * decode them only to advance the bitstream, and chroma AC scans —
+    * always single-component in progressive JPEG — are skipped
+    * wholesale (a scan is marker-delimited, so a component we will
+    * never IDCT costs zero entropy-decode work).
+    */
+  private final class JProgState(val comps: Array[(Int, Int, Int, Int)],
+      val w: Int, val h: Int) {
+    val hmax: Int = comps.map(_._2).max
+    val vmax: Int = comps.map(_._3).max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val lw: Int = (w * comps(0)._2 + hmax - 1) / hmax
+    val lh: Int = (h * comps(0)._3 + vmax - 1) / vmax
+    val wBlocks: Int = (lw + 7) / 8
+    val hBlocks: Int = (lh + 7) / 8
+    val stride: Int = mcusX * comps(0)._2 // padded block-grid width
+    val padH: Int = mcusY * comps(0)._3
+    val coefs: Array[Int] = new Array[Int](stride * padH * 64)
+  }
+
+  /** Decode one progressive scan starting at `start` (first entropy
+    * byte), updating the luma coefficient store; returns the position
+    * of the next marker. Implements all four scan kinds: DC first /
+    * refinement (interleaved or single-component) and AC first /
+    * refinement (single-component, with EOB-run accounting).
+    */
+  private def jProgScan(b: Array[Byte], start: Int, st: JProgState,
+      dcT: Array[JHuff], acT: Array[JHuff],
+      sComps: Array[Int], sTabs: Array[(Int, Int)],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int): Int = {
+    // chroma-only AC scan: nothing we decode is ever used — skip it
+    if (ss > 0 && (sComps.length != 1 || sComps(0) != 0))
+      return jNextMarker(b, start)
+    val r = new JBits(b, start)
+    val pred = new Array[Int](st.comps.length)
+    var eobrun = 0
+    var unit = 0L
+    def maybeRestart(): Unit =
+      if (ri > 0 && unit > 0 && unit % ri == 0) {
+        r.restart()
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+    def decodeDcUnit(si: Int, off: Int): Unit = {
+      val ci = sComps(si)
+      if (ah == 0) {
+        val dc = dcT(sTabs(si)._1)
+        if (dc == null)
+          throw new IllegalArgumentException("missing DC table")
+        val t = dc.decode(r)
+        if (t > 11) throw new IllegalArgumentException("bad DC cat")
+        pred(ci) += jExtend(r.receive(t), t)
+        if (off >= 0) st.coefs(off) = pred(ci) << al
+      } else {
+        val bitv = r.bit()
+        if (off >= 0 && bitv == 1) st.coefs(off) |= (1 << al)
+      }
+    }
+    if (ss == 0) {
+      if (se != 0) throw new IllegalArgumentException("bad DC scan")
+      if (sComps.length > 1) {
+        // interleaved DC walk over the MCU grid
+        val nMcus = st.mcusX.toLong * st.mcusY
+        while (unit < nMcus) {
+          maybeRestart()
+          val mx = (unit % st.mcusX).toInt
+          val my = (unit / st.mcusX).toInt
+          var si = 0
+          while (si < sComps.length) {
+            val ci = sComps(si)
+            val ch2 = st.comps(ci)._2
+            val cv = st.comps(ci)._3
+            var by = 0
+            while (by < cv) {
+              var bx = 0
+              while (bx < ch2) {
+                val off =
+                  if (ci == 0)
+                    ((my * cv + by) * st.stride + (mx * ch2 + bx)) * 64
+                  else -1
+                decodeDcUnit(si, off)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          unit += 1
+        }
+      } else {
+        // single-component DC walk over that component's exact blocks
+        val ci = sComps(0)
+        val ch2 = st.comps(ci)._2
+        val cv = st.comps(ci)._3
+        val cw = (st.w * ch2 + st.hmax - 1) / st.hmax
+        val chh = (st.h * cv + st.vmax - 1) / st.vmax
+        val wB = (cw + 7) / 8
+        val n = wB.toLong * ((chh + 7) / 8)
+        while (unit < n) {
+          maybeRestart()
+          val off =
+            if (ci == 0)
+              (((unit / wB).toInt) * st.stride + (unit % wB).toInt) * 64
+            else -1
+          decodeDcUnit(0, off)
+          unit += 1
+        }
+      }
+    } else {
+      // AC scan over the luma blocks (chroma AC was skipped above)
+      val ac = acT(sTabs(0)._2)
+      if (ac == null)
+        throw new IllegalArgumentException("missing AC table")
+      def acFirst(bo: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var end = false
+          while (!end && k <= se) {
+            val rs = ac.decode(r)
+            val run = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (run == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << run) - 1 // current block counts as one
+                if (run > 0) eobrun += r.receive(run)
+                end = true
+              }
+            } else {
+              k += run
+              if (k > se)
+                throw new IllegalArgumentException("AC overflow")
+              st.coefs(bo + k) = jExtend(r.receive(s), s) << al
+              k += 1
+            }
+          }
+        }
+      def acRefine(bo: Int): Unit = {
+        val p1 = 1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var end = false
+          while (!end && k <= se) {
+            val rs = ac.decode(r)
+            var run = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (run < 15) {
+                eobrun = 1 << run
+                if (run > 0) eobrun += r.receive(run)
+                end = true // rest of this block handled by the EOB tail
+              }
+              // run == 15: advance past 16 zero-history coefficients
+            } else {
+              if (s != 1)
+                throw new IllegalArgumentException("bad refine size")
+              newVal = if (r.bit() == 1) p1 else -p1
+            }
+            if (!end) {
+              var placed = false
+              while (!placed && k <= se) {
+                val c = st.coefs(bo + k)
+                if (c != 0) {
+                  // correction bit for every nonzero-history coefficient
+                  if (r.bit() == 1 && (c & p1) == 0)
+                    st.coefs(bo + k) = c + (if (c >= 0) p1 else -p1)
+                } else {
+                  if (run == 0) {
+                    if (newVal != 0) st.coefs(bo + k) = newVal
+                    placed = true
+                  } else run -= 1
+                }
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val c = st.coefs(bo + k)
+            if (c != 0) {
+              if (r.bit() == 1 && (c & p1) == 0)
+                st.coefs(bo + k) = c + (if (c >= 0) p1 else -p1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      val n = st.wBlocks.toLong * st.hBlocks
+      while (unit < n) {
+        maybeRestart()
+        val bo = (((unit / st.wBlocks).toInt) * st.stride +
+          (unit % st.wBlocks).toInt) * 64
+        if (ah == 0) acFirst(bo) else acRefine(bo)
+        unit += 1
+      }
+    }
+    jNextMarker(b, r.pos)
+  }
+
   private def decodeJpegImpl(b: Array[Byte], m: MediaFile)
       : Option[MediaFeatures] = {
     def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -1003,14 +1279,22 @@ object Multimodal {
     var p = 2
     var scanAt = -1
     var scanMap: Array[(Int, Int)] = null // comp idx → (dc table, ac table)
-    while (scanAt < 0 && p + 4 <= b.length) {
+    var progressive = false
+    var st: JProgState = null // progressive coefficient store
+    var done = false
+    while (scanAt < 0 && !done && p + 2 <= b.length) {
       if ((b(p) & 0xff) != 0xff) return None
       val marker = b(p + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) p += 2
+      else if (marker == 0xd9) {
+        // EOI: valid end for a progressive stream with decoded scans
+        if (progressive && st != null) done = true else return None
+      }
       else {
         val len = u16(p + 2)
         if (len < 2 || p + 2 + len > b.length) return None
         val seg = p + 4
+        var pAdvanced = false
         marker match {
           case 0xdb => // DQT: one or more tables
             var q = seg
@@ -1042,7 +1326,7 @@ object Multimodal {
               if (tc == 0) dcT(th) = t else acT(th) = t
               q += 17 + n
             }
-          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+          case 0xc0 | 0xc1 | 0xc2 => // sequential Huffman / progressive
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             h = u16(seg + 1)
             w = u16(seg + 3)
@@ -1056,30 +1340,84 @@ object Multimodal {
             }
             if (comps.exists(c => c._2 < 1 || c._2 > 4 || c._3 < 1 ||
                 c._3 > 4 || c._4 > 3)) return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            if (marker == 0xc2) {
+              progressive = true
+              // the coefficient store is 4 bytes/luma sample — bound it
+              if (w.toLong * h > (1L << 24)) return None
+            }
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic → stub
+            return None // lossless/arithmetic/hierarchical → stub
           case 0xdd => restartInterval = u16(seg)
-          case 0xda => // SOS: interleaved baseline scan over all comps
+          case 0xda => // SOS
             if (comps == null) return None
             val ns = b(seg) & 0xff
-            if (ns != comps.length) return None // non-interleaved → stub
-            scanMap = new Array[(Int, Int)](comps.length)
+            if (ns < 1 || ns > comps.length) return None
+            val sComps = new Array[Int](ns)
+            val sTabs = new Array[(Int, Int)](ns)
             var i = 0
             while (i < ns) {
               val cid = b(seg + 1 + 2 * i) & 0xff
               val ci = comps.indexWhere(_._1 == cid)
               if (ci < 0) return None
-              scanMap(ci) = ((b(seg + 2 + 2 * i) & 0xff) >> 4,
+              sComps(i) = ci
+              sTabs(i) = ((b(seg + 2 + 2 * i) & 0xff) >> 4,
                 b(seg + 2 + 2 * i) & 0x0f)
               i += 1
             }
-            scanAt = p + 2 + len
-          case 0xd9 => return None // EOI before any scan
+            if (!progressive) {
+              // baseline: one interleaved scan over all components
+              if (ns != comps.length) return None // non-interleaved → stub
+              scanMap = new Array[(Int, Int)](comps.length)
+              i = 0
+              while (i < ns) { scanMap(sComps(i)) = sTabs(i); i += 1 }
+              scanAt = p + 2 + len
+            } else {
+              val ss = b(seg + 1 + 2 * ns) & 0xff
+              val se = b(seg + 2 + 2 * ns) & 0xff
+              val ahal = b(seg + 3 + 2 * ns) & 0xff
+              if (st == null) st = new JProgState(comps, w, h)
+              p = jProgScan(b, p + 2 + len, st, dcT, acT, sComps, sTabs,
+                ss, se, ahal >> 4, ahal & 0x0f, restartInterval)
+              pAdvanced = true
+            }
           case _ => () // APPn/COM/etc: skip
         }
-        if (scanAt < 0) p += 2 + len
+        if (scanAt < 0 && !pAdvanced) p += 2 + len
       }
+    }
+    if (progressive) {
+      // all scans ingested: dequantize + IDCT the luma blocks
+      if (st == null) return None
+      val qtab = qt(comps(0)._4)
+      val grid = new LumaGrid(st.lw, st.lh)
+      val nat = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var lumaSum = 0.0
+      var lumaN = 0L
+      var by = 0
+      while (by < st.hBlocks) {
+        var bx = 0
+        while (bx < st.wBlocks) {
+          val bo = (by * st.stride + bx) * 64
+          java.util.Arrays.fill(nat, 0)
+          var k2 = 0
+          while (k2 < 64) {
+            nat(jZigzag(k2)) = st.coefs(bo + k2) * qtab(k2)
+            k2 += 1
+          }
+          val (s, n2) = jIdctAccum(nat, tmp, bx * 8, by * 8,
+            st.lw, st.lh, grid)
+          lumaSum += s
+          lumaN += n2
+          bx += 1
+        }
+        by += 1
+      }
+      if (lumaN == 0) return None
+      return Some(MediaFeatures(path = m.path, length = m.length,
+        fingerprint = fnv(b), width = w, height = h, n_frames = 1,
+        mean_luma = lumaSum / lumaN, dhash = grid.dhash))
     }
     if (scanAt < 0) return None
     val hmax = comps.map(_._2).max
@@ -1140,46 +1478,10 @@ object Multimodal {
             }
             // ---- IDCT + accumulate: LUMA component only ----
             if (ci == 0) {
-              // separable IDCT: columns first (over v), then rows (over u)
-              var x = 0
-              while (x < 8) {
-                var y = 0
-                while (y < 8) {
-                  var s2 = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    s2 += jCos(v * 8 + y) * coef(v * 8 + x); v += 1
-                  }
-                  tmp(y * 8 + x) = s2
-                  y += 1
-                }
-                x += 1
-              }
-              val px0 = (mx * ch2 + bx) * 8
-              val py0 = (my * cv + by) * 8
-              var y = 0
-              while (y < 8) {
-                var x2 = 0
-                while (x2 < 8) {
-                  var s2 = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    s2 += jCos(u * 8 + x2) * tmp(y * 8 + u); u += 1
-                  }
-                  val sample = math.max(0, math.min(255,
-                    math.round(s2 + 128.0).toInt))
-                  val px = px0 + x2
-                  val py = py0 + y
-                  if (px < lw && py < lh) {
-                    val l01 = sample / 255.0
-                    grid.add(px, py, l01)
-                    lumaSum += l01
-                    lumaN += 1
-                  }
-                  x2 += 1
-                }
-                y += 1
-              }
+              val (s, n) = jIdctAccum(coef, tmp,
+                (mx * ch2 + bx) * 8, (my * cv + by) * 8, lw, lh, grid)
+              lumaSum += s
+              lumaN += n
             }
             bx += 1
           }
@@ -1218,8 +1520,8 @@ object Multimodal {
 
   /** Batched decode/feature-extract: REAL parse for PPM/PGM rasters,
     * uncompressed BMP, 8-bit PNG, GIF87a/89a (incl. animated frame
-    * counts) and baseline JPEG; deterministic stub for the remaining
-    * codec-requiring formats (video/progressive JPEG). One decoder
+    * counts) and JPEG (baseline AND progressive); deterministic stub
+    * for the remaining codec-requiring formats (video). One decoder
     * context per partition; rows stream through without materializing
     * the partition.
     */

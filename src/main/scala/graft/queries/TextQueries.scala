@@ -297,13 +297,28 @@ object TextQueries {
     */
   private def bpeRounds(spark: SparkSession, dir: String, rounds: Int)
       : (DataFrame, DataFrame) = {
+    // both outputs memoized per run: the second family member
+    // (q_text_bpe_train vs q_text_bpe_apply) runs ZERO training jobs
+    var computed: (DataFrame, DataFrame) = null
+    def compute(): (DataFrame, DataFrame) = {
+      if (computed == null) computed = bpeRoundsCompute(spark, dir, rounds)
+      computed
+    }
+    val merged = graft.ops.CacheScope
+      .memoized(s"bpe:merged:$dir:$rounds")(compute()._1)
+    val segs = graft.ops.CacheScope
+      .memoized(s"bpe:segs:$dir:$rounds")(compute()._2)
+    (merged, segs)
+  }
+
+  private def bpeRoundsCompute(spark: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     val sep = "" // can't appear between segments: filtered below
-    var segs = graft.ops.CacheScope.cached(
-      Tables.documents(spark, dir)
-        .select(explode(split(col("text"), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "" && !col("tok").contains("|")
-          && !col("tok").contains(sep))
-        .select(concat_ws("|", split(col("tok"), "")).as("s")))
+    // memoized per ROUND: merges are deterministic, so round r's
+    // segment table is a pure function of (dir, r) — q_text_bpe_train
+    // and q_text_bpe_apply (and the delta trainer's base) share every
+    // generation within one harness run instead of re-training twice
+    var segs = bpeBaseSegs(spark, dir)
     val merged = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val topRow = segs.select(split(col("s"), "[|]").as("l"))
@@ -318,9 +333,10 @@ object TextQueries {
       val Array(pa, pb) = topRow.getString(0).split(sep, 2)
       merged += ((r, s"$pa+$pb", topRow.getLong(1)))
       val hit = col("s").contains(lit(s"$pa|$pb"))
-      segs = graft.ops.CacheScope.cached(
-        segs.filter(!hit).unionByName(
-          segs.filter(hit)
+      val prev = segs
+      segs = graft.ops.CacheScope.memoized(s"bpe:segs:$dir:$r") {
+        prev.filter(!hit).unionByName(
+          prev.filter(hit)
             .withColumn("pa", lit(pa)).withColumn("pb", lit(pb))
             .select(expr(
               """aggregate(
@@ -330,11 +346,23 @@ object TextQueries {
                 |    WHEN x = pb AND (acc = pa OR endswith(acc, concat('|', pa)))
                 |    THEN concat(acc, x)
                 |    ELSE concat(acc, '|', x) END)""".stripMargin)
-              .as("s"))))
+              .as("s")))
+      }
     }
     import spark.implicits._
     (merged.result().toDF("round", "pair", "n"), segs)
   }
+
+  /** Round-0 BPE segment table (one row per token, chars '|'-joined),
+    * shared by both trainers via the run-wide memo. */
+  private def bpeBaseSegs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.CacheScope.memoized(s"bpe:segs:$dir:0") {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "" && !col("tok").contains("|")
+          && !col("tok").contains("\u0001"))
+        .select(concat_ws("|", split(col("tok"), "")).as("s"))
+    }
 
   /** CROSS-document duplicated n-gram coverage — the exact-substring
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -401,12 +429,7 @@ object TextQueries {
             " i -> concat(element_at(l, i), char(1)," +
             " element_at(l, i + 1)))")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("n"))
-    var segs = graft.ops.CacheScope.cached(
-      Tables.documents(spark, dir)
-        .select(explode(split(col("text"), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "" && !col("tok").contains("|")
-          && !col("tok").contains(""))
-        .select(concat_ws("|", split(col("tok"), "")).as("s")))
+    var segs = bpeBaseSegs(spark, dir)
     var counts = graft.ops.CacheScope.cached(pairsOf(segs))
     val merged = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {

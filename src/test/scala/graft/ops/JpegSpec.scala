@@ -123,11 +123,49 @@ class JpegSpec extends SparkTestBase {
     checkAgainstImageIO(encode(img, 0.95f), "checkerboard 40x40")
   }
 
-  test("progressive JPEG is rejected, not mis-decoded") {
-    val img = rgb(32, 32)((x, y) => (x * 8 << 16) | (y * 8 << 8) | 128)
-    val b = encode(img, 0.8f, progressive = true)
-    assert(Multimodal.decodeJpeg(mediaFile(b)).isEmpty,
-      "progressive must fall to the documented stub path")
+  test("progressive JPEG decodes and matches ImageIO") {
+    for ((w, h) <- Seq((32, 32), (67, 41), (128, 96));
+         q <- Seq(0.5f, 0.9f)) {
+      val img = rgb(w, h) { (x, y) =>
+        val r = (x * 255 / math.max(1, w - 1))
+        val g = (y * 255 / math.max(1, h - 1))
+        val bl = if (((x / 8) + (y / 8)) % 2 == 0) 40 else 215
+        (r << 16) | (g << 8) | bl
+      }
+      checkAgainstImageIO(encode(img, q, progressive = true),
+        s"progressive rgb $w x $h q=$q")
+    }
+  }
+
+  test("progressive grayscale JPEG decodes and matches ImageIO") {
+    val img = gray(45, 29)((x, y) => (x * 9 + y * 13) % 256)
+    checkAgainstImageIO(encode(img, 0.8f, progressive = true),
+      "progressive gray 45x29")
+  }
+
+  test("progressive high-frequency image: coefficient-exact vs the " +
+      "baseline encoding of the same source (EOB-run and refine paths)") {
+    // Same image, same quality → the encoder emits IDENTICAL final
+    // coefficients in both organizations; if the progressive scan
+    // reassembly (spectral selection + successive approximation +
+    // EOB runs) is correct, the two decodes must agree EXACTLY —
+    // a stronger check than comparing against ImageIO's integer IDCT,
+    // whose ±1 rounding flips dHash bits on this near-tie stripe
+    // pattern (verified: my two decodes differ from ImageIO only by
+    // such tie-flips while agreeing with each other bit-for-bit).
+    val img = gray(48, 48)((x, y) =>
+      if ((x / 2 + y / 3) % 2 == 0) 20 else 235)
+    val base = Multimodal.decodeJpeg(mediaFile(encode(img, 0.93f))).get
+    val prog = Multimodal.decodeJpeg(
+      mediaFile(encode(img, 0.93f, progressive = true))).get
+    assert(base.width == 48 && prog.width == 48)
+    assert(prog.mean_luma == base.mean_luma,
+      s"luma ${prog.mean_luma} vs baseline ${base.mean_luma}")
+    assert(prog.dhash == base.dhash,
+      "progressive reassembly must reproduce the baseline coefficients")
+    // and the shared luma stays within rounding of ImageIO's decode
+    val (_, _, rl, _) = reference(encode(img, 0.93f, progressive = true))
+    assert(math.abs(prog.mean_luma - rl) < 0.01)
   }
 
   test("truncated and garbage streams are rejected") {
