@@ -233,8 +233,34 @@ object CustomQueries {
       "744b583e6fddaf6ae3a99cd59fb2f65eef37372f5e4b7c5bfc5cde7b7438" +
       "387b882b2dcfffd9")
       .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the SAME 16×11 image as photo.jpg, PROGRESSIVE encoding (SOF2,
+    // spectral selection + successive approximation): pins the
+    // multi-scan decode path end-to-end. Same quality => the encoder
+    // emits identical final coefficients, so luma_r6 matches photo.jpg.
+    val jpgProg = ("ffd8ffe000104a46494600010200000100010000ffdb0043000806060706" +
+      "05080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20" +
+      "242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ff" +
+      "db0043010909090c0b0c180d0d1832211c21323232323232323232323232" +
+      "323232323232323232323232323232323232323232323232323232323232" +
+      "3232323232323232ffc2001108000b001003012200021101031101ffc400" +
+      "14000100000000000000000000000000000005ffc4001501010100000000" +
+      "000000000000000000000304ffda000c0301000210031000000125469419" +
+      "ff00ffc400191000020301000000000000000000000000000201030412ff" +
+      "da0008010100010502af272264e4a160a560ffc400161101010100000000" +
+      "000000000000000000050002ffda0008010301013f013d0ddfffc4001d11" +
+      "0001020700000000000000000000000011021200010421516171ffda0008" +
+      "010201013f015562a6d6d891acf4c7ffc400151001010000000000000000" +
+      "0000000000000031ffda0008010100063f028888ffc40017100003010000" +
+      "000000000000000000000000112161ffda0008010100013f21d266d32b82" +
+      "f83fffda000c03010002000300000010d7ffc40016110003000000000000" +
+      "0000000000000000000131ffda0008010301013f10529fffc4001a110000" +
+      "07000000000000000000000000000021314161a1b1ffda0008010201013f" +
+      "10d7c0b2b1187fffc4001810000203000000000000000000000000000011" +
+      "2181a1ffda0008010100013f1087892447c4922882a83fffd9")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
-      "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg)
+      "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg,
+      "photo_prog.jpg" -> jpgProg)
   }
 
   /** REAL multimodal decode as a driver-checked query: materialize the
@@ -548,6 +574,8 @@ object CustomQueries {
         |  ('img.ppm', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
         |  ('photo.jpg', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)),
+        |  ('photo_prog.jpg', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)))
         |  AS t(file, width, height, n_frames, luma_r6)
         |ORDER BY file""".stripMargin,
@@ -579,6 +607,10 @@ object CustomQueries {
         |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
         |  ('photo.jpg', CAST(698 AS BIGINT),
         |   CAST(5203158787540282694 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('photo_prog.jpg', CAST(595 AS BIGINT),
+        |   CAST(4683803815571080072 AS BIGINT), CAST(16 AS BIGINT),
         |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
         |  AS t(file, length, fingerprint, width, height,
