@@ -698,6 +698,71 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ALL maximal shared character spans (length ≥ L) for the top
+    * winnow candidate pairs — the multi-span generalization of
+    * [[qTextWinnowLcs]] and the exact artifact a Lee et al.-style
+    * ExactSubstr dedup REMOVES (the LCS is just the longest one;
+    * removal needs every duplicated region). Fully relational:
+    * both docs' L-char gram hashes (computed linearly from the
+    * once-split char array, same discipline as winnowFingerprints)
+    * equi-join on the hash, matches fall on diagonals (i−j), and a
+    * gaps-and-islands pass (row_number difference) merges consecutive
+    * diagonal matches into maximal runs: an island of c consecutive
+    * matching positions is a shared span of c+L−1 chars. Verification
+    * against hash collisions is inherent — a false gram match cannot
+    * extend a diagonal island, only add a spurious ≥L span at ~2⁻⁶⁰
+    * probability per pair position.
+    *
+    * Scale: gram hashing is map-side per doc; the only joins are the
+    * (bounded, top-20 deterministic) pair attach and the in-pair
+    * gram equi-join, whose size is bounded by matching positions —
+    * never |a|·|b|. The DuckDB twin replicates the identical
+    * gram-join + islands pipeline.
+    */
+  def qTextWinnowSpans(spark: SparkSession, dir: String): DataFrame =
+    maximalSharedSpans(
+      qTextWinnowPairs(spark, dir)
+        .orderBy(col("n_shared_fp").desc, col("id_a"), col("id_b"))
+        .limit(20),
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      L = 20)
+
+  /** The reusable core of [[qTextWinnowSpans]]: all maximal shared
+    * character runs ≥ L for a given (id_a, id_b) pair list over a
+    * (doc_id, text) frame. */
+  private[queries] def maximalSharedSpans(pairs: DataFrame,
+      docs: DataFrame, L: Int): DataFrame = {
+    def sideGrams(side: String, posName: String): DataFrame = pairs
+      .select(col("id_a"), col("id_b"))
+      .join(docs.select(col("doc_id").as(s"id_$side"),
+        col("text").as("t")), s"id_$side")
+      .withColumn("cs", split(col("t"), ""))
+      .select(col("id_a"), col("id_b"), explode(expr(
+        s"transform(sequence(1, greatest(0, size(cs) - ${L - 1}))," +
+          s" i -> struct(cast(i as bigint) as pos," +
+          s" cast(conv(substring(md5(array_join(" +
+          s"slice(cs, i, $L), '')), 1, 15), 16, 10) as bigint) as g))"))
+        .as("gr"))
+      .select(col("id_a"), col("id_b"),
+        col("gr.pos").as(posName), col("gr.g").as("g"))
+    val matches = sideGrams("a", "ia")
+      .join(sideGrams("b", "jb"), Seq("id_a", "id_b", "g"))
+      .select(col("id_a"), col("id_b"), col("ia"), col("jb"),
+        (col("ia") - col("jb")).as("diag"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("ia"))
+    matches
+      .withColumn("isl", col("ia") -
+        row_number().over(win).cast("long"))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("ia")).as("start_a"), min(col("jb")).as("start_b"),
+        (count(lit(1)) + (L - 1)).as("span_len"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+  }
+
   /** Winnow near-dup CLUSTERS: candidate pairs through the same
     * pointer-doubling connected components as the MinHash and dHash
     * dedups (Dedup.dedupComponents), min-id representative per cluster
@@ -713,6 +778,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_winnow_spans" -> (qTextWinnowSpans(_, _)),
     "q_text_winnow_lcs" -> (qTextWinnowLcs(_, _)),
     "q_text_winnow_cluster" -> (qTextWinnowCluster(_, _)),
     "q_text_winnow_verify" -> (qTextWinnowVerify(_, _)),
@@ -1047,6 +1113,48 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |FROM tx x JOIN best b ON x.id_a = b.id_a AND x.id_b = b.id_b
         |WHERE b.rn = 1
         |ORDER BY x.id_a, x.id_b""".stripMargin),
+    // gram-join + diagonal-islands maximal shared spans (≥ 20 chars),
+    // the identical relational pipeline as the Spark side
+    "q_text_winnow_spans" ->
+      (winnowPairsCtes + """,
+        |top AS (SELECT id_a, id_b FROM pairs
+        |        ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20),
+        |ta AS (SELECT t.id_a, t.id_b, da.text AS txt FROM top t
+        |       JOIN documents da ON t.id_a = da.doc_id),
+        |tb AS (SELECT t.id_a, t.id_b, db.text AS txt FROM top t
+        |       JOIN documents db ON t.id_b = db.doc_id),
+        |gau AS (SELECT id_a, id_b, txt,
+        |          unnest(generate_series(1,
+        |            greatest(0, length(txt) - 19))) AS ia
+        |        FROM ta),
+        |gah AS (SELECT id_a, id_b, ia,
+        |          CAST(list_sum(list_transform(generate_series(1, 15),
+        |            dd -> CAST(strpos('0123456789abcdef',
+        |                substring(md5(substring(txt, ia, 20)), dd, 1)) - 1
+        |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
+        |            AS BIGINT) AS g
+        |        FROM gau),
+        |gbu AS (SELECT id_a, id_b, txt,
+        |          unnest(generate_series(1,
+        |            greatest(0, length(txt) - 19))) AS jb
+        |        FROM tb),
+        |gbh AS (SELECT id_a, id_b, jb,
+        |          CAST(list_sum(list_transform(generate_series(1, 15),
+        |            dd -> CAST(strpos('0123456789abcdef',
+        |                substring(md5(substring(txt, jb, 20)), dd, 1)) - 1
+        |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
+        |            AS BIGINT) AS g
+        |        FROM gbu),
+        |m AS (SELECT a.id_a, a.id_b, a.ia, b.jb, a.ia - b.jb AS diag
+        |      FROM gah a JOIN gbh b
+        |        ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.g = b.g),
+        |isl AS (SELECT *, ia - row_number() OVER (
+        |          PARTITION BY id_a, id_b, diag ORDER BY ia) AS k
+        |        FROM m)
+        |SELECT id_a, id_b, MIN(ia) AS start_a, MIN(jb) AS start_b,
+        |  COUNT(*) + 19 AS span_len
+        |FROM isl GROUP BY id_a, id_b, diag, k
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin),
     "q_text_winnow_verify" ->
       (winnowPairsCtes + """
         |SELECT p.id_a, p.id_b, p.n_shared_fp,
