@@ -763,6 +763,64 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
   }
 
+  /** Char-level exact-duplicate SCRUB — the transform half of
+    * [[qTextWinnowSpans]] (Lee et al.'s ExactSubstr removal step): for
+    * every document that is the LATER side (id_b) of a candidate pair,
+    * cut each maximal shared run ≥ 20 chars out of its text, keeping
+    * the earlier document intact. Overlapping/adjacent cut intervals
+    * from different partners merge first (classic running-max interval
+    * merge — one window pass), then the cleaned text is rebuilt by
+    * folding the kept gap segments (`aggregate` with a finish lambda —
+    * per-cut substring cost, never per-char). Output certifies content
+    * by md5 so the cross-engine compare stays row-sized.
+    *
+    * Scale: spans are bounded by the candidate pair list; the merge and
+    * rebuild are per-doc map-side after one (doc, interval) shuffle.
+    */
+  def qTextSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubSpans(qTextWinnowSpans(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The reusable scrub core: cut every span from its id_b doc,
+    * returning (doc_id, n_cuts, chars_removed, clean). */
+  private[queries] def scrubSpans(spans: DataFrame, docs: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = spans.select(col("id_b").as("doc_id"), col("start_b").as("s"),
+      (col("start_b") + col("span_len") - 1).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("maxe", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when(col("maxe").isNull ||
+        col("s") > col("maxe") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("ng")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    merged
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+          .as("cuts"),
+        count(lit(1)).as("n_cuts"),
+        sum(col("e") - col("s") + 1).as("chars_removed"))
+      .join(docs, "doc_id")
+      .withColumn("clean", expr(
+        """aggregate(cuts,
+          |  struct(cast(1 as bigint) as p, '' as acc),
+          |  (st, c) -> struct(c.e + 1 as p,
+          |    concat(st.acc, substring(text, cast(st.p as int),
+          |      cast(c.s - st.p as int)))),
+          |  st -> concat(st.acc,
+          |    substring(text, cast(st.p as int), length(text))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+        col("clean"))
+  }
+
   /** Winnow near-dup CLUSTERS: candidate pairs through the same
     * pointer-doubling connected components as the MinHash and dHash
     * dedups (Dedup.dedupComponents), min-id representative per cluster
@@ -778,6 +836,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_span_scrub" -> (qTextSpanScrub(_, _)),
     "q_text_winnow_spans" -> (qTextWinnowSpans(_, _)),
     "q_text_winnow_lcs" -> (qTextWinnowLcs(_, _)),
     "q_text_winnow_cluster" -> (qTextWinnowCluster(_, _)),
@@ -1028,6 +1087,48 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |          GROUP BY a.doc_id, b.doc_id
       |          HAVING count(*) >= 40)""".stripMargin
 
+  /** Shared CTE chain producing `sp` — the maximal shared spans of the
+    * top winnow candidate pairs (used by the spans and scrub twins). */
+  private val winnowSpanCtes: String =
+    winnowPairsCtes + """,
+      |top AS (SELECT id_a, id_b FROM pairs
+      |        ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20),
+      |ta AS (SELECT t.id_a, t.id_b, da.text AS txt FROM top t
+      |       JOIN documents da ON t.id_a = da.doc_id),
+      |tb AS (SELECT t.id_a, t.id_b, db.text AS txt FROM top t
+      |       JOIN documents db ON t.id_b = db.doc_id),
+      |gau AS (SELECT id_a, id_b, txt,
+      |          unnest(generate_series(1,
+      |            greatest(0, length(txt) - 19))) AS ia
+      |        FROM ta),
+      |gah AS (SELECT id_a, id_b, ia,
+      |          CAST(list_sum(list_transform(generate_series(1, 15),
+      |            dd -> CAST(strpos('0123456789abcdef',
+      |                substring(md5(substring(txt, ia, 20)), dd, 1)) - 1
+      |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
+      |            AS BIGINT) AS g
+      |        FROM gau),
+      |gbu AS (SELECT id_a, id_b, txt,
+      |          unnest(generate_series(1,
+      |            greatest(0, length(txt) - 19))) AS jb
+      |        FROM tb),
+      |gbh AS (SELECT id_a, id_b, jb,
+      |          CAST(list_sum(list_transform(generate_series(1, 15),
+      |            dd -> CAST(strpos('0123456789abcdef',
+      |                substring(md5(substring(txt, jb, 20)), dd, 1)) - 1
+      |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
+      |            AS BIGINT) AS g
+      |        FROM gbu),
+      |mm AS (SELECT a.id_a, a.id_b, a.ia, b.jb, a.ia - b.jb AS diag
+      |       FROM gah a JOIN gbh b
+      |         ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.g = b.g),
+      |isl AS (SELECT *, ia - row_number() OVER (
+      |          PARTITION BY id_a, id_b, diag ORDER BY ia) AS k
+      |        FROM mm),
+      |sp AS (SELECT id_a, id_b, MIN(ia) AS start_a, MIN(jb) AS start_b,
+      |         COUNT(*) + 19 AS span_len
+      |       FROM isl GROUP BY id_a, id_b, diag, k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_dup_spans" ->
       """WITH t AS (
@@ -1116,45 +1217,50 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
     // gram-join + diagonal-islands maximal shared spans (≥ 20 chars),
     // the identical relational pipeline as the Spark side
     "q_text_winnow_spans" ->
-      (winnowPairsCtes + """,
-        |top AS (SELECT id_a, id_b FROM pairs
-        |        ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20),
-        |ta AS (SELECT t.id_a, t.id_b, da.text AS txt FROM top t
-        |       JOIN documents da ON t.id_a = da.doc_id),
-        |tb AS (SELECT t.id_a, t.id_b, db.text AS txt FROM top t
-        |       JOIN documents db ON t.id_b = db.doc_id),
-        |gau AS (SELECT id_a, id_b, txt,
-        |          unnest(generate_series(1,
-        |            greatest(0, length(txt) - 19))) AS ia
-        |        FROM ta),
-        |gah AS (SELECT id_a, id_b, ia,
-        |          CAST(list_sum(list_transform(generate_series(1, 15),
-        |            dd -> CAST(strpos('0123456789abcdef',
-        |                substring(md5(substring(txt, ia, 20)), dd, 1)) - 1
-        |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
-        |            AS BIGINT) AS g
-        |        FROM gau),
-        |gbu AS (SELECT id_a, id_b, txt,
-        |          unnest(generate_series(1,
-        |            greatest(0, length(txt) - 19))) AS jb
-        |        FROM tb),
-        |gbh AS (SELECT id_a, id_b, jb,
-        |          CAST(list_sum(list_transform(generate_series(1, 15),
-        |            dd -> CAST(strpos('0123456789abcdef',
-        |                substring(md5(substring(txt, jb, 20)), dd, 1)) - 1
-        |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
-        |            AS BIGINT) AS g
-        |        FROM gbu),
-        |m AS (SELECT a.id_a, a.id_b, a.ia, b.jb, a.ia - b.jb AS diag
-        |      FROM gah a JOIN gbh b
-        |        ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.g = b.g),
-        |isl AS (SELECT *, ia - row_number() OVER (
-        |          PARTITION BY id_a, id_b, diag ORDER BY ia) AS k
-        |        FROM m)
-        |SELECT id_a, id_b, MIN(ia) AS start_a, MIN(jb) AS start_b,
-        |  COUNT(*) + 19 AS span_len
-        |FROM isl GROUP BY id_a, id_b, diag, k
+      (winnowSpanCtes + """
+        |SELECT id_a, id_b, start_a, start_b, span_len FROM sp
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin),
+    // interval-merge + gap-segment rebuild of the LATER doc's text,
+    // certified by md5 — mirrors qTextSpanScrub step for step
+    "q_text_span_scrub" ->
+      (winnowSpanCtes + """,
+        |iv AS (SELECT id_b AS doc_id, start_b AS s,
+        |         start_b + span_len - 1 AS e FROM sp),
+        |mrk AS (SELECT doc_id, s, e,
+        |          CASE WHEN s > COALESCE(MAX(e) OVER (
+        |              PARTITION BY doc_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            CAST(-1 AS BIGINT)) + 1
+        |          THEN 1 ELSE 0 END AS ng
+        |        FROM iv),
+        |grp2 AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id
+        |           ORDER BY s, e) AS grp FROM mrk),
+        |mg AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+        |       FROM grp2 GROUP BY doc_id, grp),
+        |seg AS (SELECT doc_id,
+        |          COALESCE(LAG(e) OVER (PARTITION BY doc_id
+        |            ORDER BY s), 0) + 1 AS ks,
+        |          s - 1 AS ke
+        |        FROM mg
+        |        UNION ALL
+        |        SELECT mg.doc_id, MAX(mg.e) + 1 AS ks,
+        |          MAX(length(d2.text)) AS ke
+        |        FROM mg JOIN documents d2 ON mg.doc_id = d2.doc_id
+        |        GROUP BY mg.doc_id),
+        |cleaned AS (SELECT s.doc_id,
+        |              string_agg(substring(d3.text, CAST(s.ks AS INT),
+        |                CAST(greatest(0, s.ke - s.ks + 1) AS INT)), ''
+        |                ORDER BY s.ks) AS clean
+        |            FROM seg s JOIN documents d3 ON s.doc_id = d3.doc_id
+        |            GROUP BY s.doc_id),
+        |stats AS (SELECT doc_id, COUNT(*) AS n_cuts,
+        |            CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed
+        |          FROM mg GROUP BY doc_id)
+        |SELECT st.doc_id, st.n_cuts, st.chars_removed,
+        |  CAST(length(c.clean) AS BIGINT) AS clean_len,
+        |  md5(c.clean) AS clean_md5
+        |FROM stats st JOIN cleaned c ON st.doc_id = c.doc_id
+        |ORDER BY st.doc_id""".stripMargin),
     "q_text_winnow_verify" ->
       (winnowPairsCtes + """
         |SELECT p.id_a, p.id_b, p.n_shared_fp,

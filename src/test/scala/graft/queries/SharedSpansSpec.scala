@@ -57,6 +57,30 @@ class SharedSpansSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 31L, 1L, 200L)), s"got $got")
   }
 
+  test("scrub: spans cut from the LATER doc only, overlapping cuts " +
+      "merge, kept text is exactly the complement") {
+    val shared1 = filler(20, 60)
+    val shared2 = filler(21, 40)
+    val keepA = filler(22, 25)
+    val keepB = filler(23, 15)
+    val keepC = filler(24, 10)
+    val early = shared1 + filler(25, 30) + shared2
+    val late = keepA + shared1 + keepB + shared2 + keepC
+    val docs = Seq((1L, early), (2L, late)).toDF("doc_id", "text")
+    val spansDf = TextQueries.maximalSharedSpans(
+      Seq((1L, 2L)).toDF("id_a", "id_b"), docs, L)
+    val out = TextQueries.scrubSpans(spansDf, docs)
+      .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+        col("clean"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 1 && out.head._1 == 2L,
+      "only the later (id_b) doc is scrubbed")
+    val (_, nCuts, removed, clean) = out.head
+    assert(nCuts == 2L && removed == 100L, s"cuts=$nCuts removed=$removed")
+    assert(clean == keepA + keepB + keepC,
+      "cleaned text must be exactly the non-shared segments in order")
+  }
+
   test("only listed pairs are searched") {
     val shared = filler(15, 80)
     val docs = Seq((1L, filler(16, 20) + shared),
