@@ -648,9 +648,12 @@ object Multimodal {
   }
 
   /** Keyframe table over a media set: real per-frame rows for GIFs
-    * (container walk + LZW decode), stub-derived rows for codec-
-    * requiring video blobs, nothing for stills/audio — the unified
-    * frame-level ingest of a multimodal curation pipeline.
+    * (container walk + LZW decode); for MP4 containers the keyframe
+    * POSITIONS come from the real `stss` sync-sample table (stride
+    * subsamples that list; content stub-derived — payloads need
+    * codecs); stub-derived rows for other codec-requiring video blobs;
+    * nothing for stills/audio — the unified frame-level ingest of a
+    * multimodal curation pipeline.
     */
   def extractVideoKeyframes(media: Dataset[MediaFile],
                             stride: Int = 1): Dataset[GifFrame] = {
@@ -663,7 +666,24 @@ object Multimodal {
       else {
         val ext = m.path.substring(m.path.lastIndexOf('.') + 1)
           .toLowerCase(java.util.Locale.ROOT)
-        if (videoExts(ext)) fakeKeyframes(m, stride) else Nil
+        if (!videoExts(ext)) Nil
+        else decodeMp4Meta(m) match {
+          case Some(meta) if meta.syncSamples.nonEmpty =>
+            // real keyframe indices (stss is 1-based); stride walks
+            // the SYNC LIST — per-file fan-out ≤ |stss| / stride
+            meta.syncSamples.zipWithIndex
+              .collect { case (s, i) if i % stride == 0 => s - 1 }
+              .map { idx =>
+                val hf = fnv(m.content ++ Array[Byte](
+                  (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte,
+                  ((idx >> 16) & 0xff).toByte,
+                  ((idx >> 24) & 0xff).toByte))
+                GifFrame(m.path, idx, meta.width, meta.height,
+                  mean_luma = ((hf >>> 33) % 256).toDouble / 255.0,
+                  dhash = (hf ^ (hf >>> 30)) * 0xbf58476d1ce4e5b9L)
+              }
+          case _ => fakeKeyframes(m, stride)
+        }
       }
     })
   }
@@ -1497,6 +1517,111 @@ object Multimodal {
       mean_luma = lumaSum / lumaN, dhash = grid.dhash))
   }
 
+  /** Parsed MP4/ISO-BMFF container metadata for the first VIDEO track:
+    * geometry from the `stsd` sample entry, sample count from `stsz`,
+    * duration from `mdhd`, sync-sample (keyframe) indices from `stss`
+    * (1-based sample numbers, empty ⇒ every sample is sync). */
+  private[ops] case class Mp4Meta(width: Int, height: Int,
+      nSamples: Int, durationS: Double, syncSamples: Seq[Int])
+
+  /** REAL ISO-BMFF (MP4/MOV) CONTAINER parser — the box walk a media
+    * pipeline needs for geometry, frame counts, duration and keyframe
+    * POSITIONS, none of which require a codec: recursively descends the
+    * known container boxes (`moov/trak/mdia/minf/stbl`), reads the
+    * video track's `stsd` entry dimensions, `stsz` sample count,
+    * `mdhd` timescale/duration and the `stss` sync table. Sample
+    * CONTENT still needs a codec (→ stub luma/dhash); everything
+    * structural is real — same discipline as the GIF container walk.
+    * Returns None unless a well-formed `moov` with a video track is
+    * found.
+    */
+  private[ops] def decodeMp4Meta(m: MediaFile): Option[Mp4Meta] = {
+    val b = m.content
+    def u32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def typ(p: Int): String = new String(b, p, 4, "US-ASCII")
+    if (b.length < 16) return None
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var width = 0
+    var height = 0
+    var nSamples = -1
+    var timescale = 0L
+    var duration = -1L
+    var sync: Seq[Int] = null
+    var isVideoTrak = false
+    var found = false // first video track wins; later traks ignored
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size = u32(p.toInt)
+        val t = typ(p.toInt + 4)
+        if (size < 8 || p + size > to) return // malformed: stop cleanly
+        val body = p.toInt + 8
+        t match {
+          case "trak" if !found =>
+            // reset per-track state; commit only if it's video
+            isVideoTrak = false
+            nSamples = -1
+            sync = null
+            timescale = 0L
+            duration = -1L
+            width = 0
+            height = 0
+            walk(body, p + size, depth + 1)
+            if (isVideoTrak && width > 0 && nSamples >= 0) found = true
+          case c if containers(c) => walk(body, p + size, depth + 1)
+          case "hdlr" if size >= 20 =>
+            if (typ(body + 8) == "vide") isVideoTrak = true
+          case "mdhd" if size >= 24 =>
+            val v = b(body) & 0xff
+            if (v == 0) {
+              timescale = u32(body + 12)
+              duration = u32(body + 16)
+            } else if (v == 1 && size >= 32) {
+              timescale = u32(body + 20)
+              duration = (u32(body + 24) << 32) | u32(body + 28)
+            }
+          case "stsd" if size >= 24 =>
+            // first sample entry: [size type ... width@32 height@34]
+            val entry = body + 8
+            if (entry + 36 <= p + size) {
+              width = u16(entry + 32)
+              height = u16(entry + 34)
+            }
+          case "stsz" if size >= 20 =>
+            nSamples = u32(body + 8).toInt
+          case "stss" if size >= 16 =>
+            val n = u32(body + 4).toInt
+            if (body + 8 + 4L * n <= p + size)
+              sync = (0 until n).map(i => u32(body + 8 + 4 * i).toInt)
+          case _ => ()
+        }
+        p += size
+      }
+    }
+    walk(0, b.length.toLong, 0)
+    if (!found) None
+    else Some(Mp4Meta(width, height, nSamples,
+      if (timescale > 0 && duration >= 0) duration.toDouble / timescale
+      else 0.0,
+      if (sync == null) Seq.empty else sync))
+  }
+
+  /** MP4 blobs through the container parse: REAL geometry/frame count,
+    * stub pixel content (fingerprint-derived luma/dhash — sample
+    * payloads need codecs). */
+  private[ops] def decodeMp4(m: MediaFile): Option[MediaFeatures] =
+    decodeMp4Meta(m).map { meta =>
+      val h = fnv(m.content)
+      MediaFeatures(path = m.path, length = m.length, fingerprint = h,
+        width = meta.width, height = meta.height,
+        n_frames = math.max(1, meta.nSamples),
+        mean_luma = ((h >>> 33) % 256).toDouble / 255.0,
+        dhash = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L)
+    }
+
   /** ======== STUB (fallback) ========
     * Deterministic fake decoder for formats that need real codec
     * libraries (absent in this environment): derives "image" properties
@@ -1532,6 +1657,7 @@ object Multimodal {
       it.map(m =>
         decodePnm(m).orElse(decodeBmp(m)).orElse(decodePng(m))
           .orElse(decodeGif(m)).orElse(decodeJpeg(m))
+          .orElse(decodeMp4(m))
           .getOrElse(fakeDecode(m)))
     }
   }

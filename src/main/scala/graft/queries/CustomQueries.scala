@@ -258,9 +258,28 @@ object CustomQueries {
       "10d7c0b2b1187fffc4001810000203000000000000000000000000000011" +
       "2181a1ffda0008010100013f1087892447c4922882a83fffd9")
       .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // well-formed minimal ISO-BMFF container (ftyp + moov, one video
+    // trak: 64x48, 24 samples, 4 s, stss sync samples {1,9,17}):
+    // geometry/counts/duration/keyframes parse for REAL via the box
+    // walk (Multimodal.decodeMp4Meta); only pixel content is stub.
+    val mp4box = ("000000146674797069736f6d0000000069736f6d000001836d6f6f760000" +
+      "006c6d766864000000000000000000000000000000000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000" +
+      "000000000000000000000000000000000000000000000000000000000000" +
+      "000000000000000000000000000000000000010f7472616b000001076d64" +
+      "6961000000206d646864000000000000000000000000000003e800000fa0" +
+      "55c400000000002168646c72000000000000000076696465000000000000" +
+      "00000000000000000000be6d696e66000000b67374626c00000066737473" +
+      "640000000000000001000000566176633100000000000000010000000000" +
+      "000000000000000000000000400030004800000048000000000000000100" +
+      "000000000000000000000000000000000000000000000000000000000000" +
+      "000018ffff0000001873747473000000000000000100000018000000a600" +
+      "0000147374737a0000000000000000000000180000001c73747373000000" +
+      "0000000003000000010000000900000011")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
       "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg,
-      "photo_prog.jpg" -> jpgProg)
+      "photo_prog.jpg" -> jpgProg, "video.mp4" -> mp4box)
   }
 
   /** REAL multimodal decode as a driver-checked query: materialize the
@@ -486,6 +505,11 @@ object CustomQueries {
     }
     java.nio.file.Files.write(scratch.resolve("clip.mp4"),
       Array[Byte](1, 2, 3))
+    // the REAL-container video: keyframe positions come from its stss
+    // sync table (samples {1,9,17} → indices {0,8,16}); stride 32
+    // subsamples that list to just index 0
+    java.nio.file.Files.write(scratch.resolve("video.mp4"),
+      mediaFixtures("video.mp4"))
     Multimodal.extractVideoKeyframes(
         Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"),
         stride = 32).toDF()
@@ -576,7 +600,9 @@ object CustomQueries {
         |  ('photo.jpg', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)),
         |  ('photo_prog.jpg', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
-        |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)))
+        |   CAST(1 AS BIGINT), CAST(0.499242 AS DOUBLE)),
+        |  ('video.mp4', CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+        |   CAST(24 AS BIGINT), CAST(0.745098 AS DOUBLE)))
         |  AS t(file, width, height, n_frames, luma_r6)
         |ORDER BY file""".stripMargin,
     // Pinned-expectation oracle over the fixture set: geometry/resize
@@ -612,7 +638,11 @@ object CustomQueries {
         |  ('photo_prog.jpg', CAST(595 AS BIGINT),
         |   CAST(4683803815571080072 AS BIGINT), CAST(16 AS BIGINT),
         |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
-        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('video.mp4', CAST(407 AS BIGINT),
+        |   CAST(5230400443617160721 AS BIGINT), CAST(64 AS BIGINT),
+        |   CAST(48 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+        |   CAST(24 AS BIGINT), CAST(1 AS BIGINT)))
         |  AS t(file, length, fingerprint, width, height,
         |       out_width, out_height, n_frames, n_sampled)
         |ORDER BY file""".stripMargin,
@@ -710,7 +740,10 @@ object CustomQueries {
         |   CAST(8270250090930644038 AS BIGINT)),
         |  ('clip.mp4', CAST(96 AS BIGINT), CAST(1387 AS BIGINT),
         |   CAST(574 AS BIGINT), CAST(0.407843 AS DOUBLE),
-        |   CAST(-726934233687745871 AS BIGINT)))
+        |   CAST(-726934233687745871 AS BIGINT)),
+        |  ('video.mp4', CAST(0 AS BIGINT), CAST(64 AS BIGINT),
+        |   CAST(48 AS BIGINT), CAST(0.431373 AS DOUBLE),
+        |   CAST(-3339984164019236698 AS BIGINT)))
         |  AS t(file, frame_idx, width, height, luma_r6, dhash)
         |ORDER BY file, frame_idx""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
