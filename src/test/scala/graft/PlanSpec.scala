@@ -59,6 +59,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("maximal shared spans: gram matches come from an equi-join, " +
+    "never an all-pairs text comparison") {
+    val p = plan("q_text_winnow_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("span scrub: interval merge + rebuild joins stay equi/hash — " +
+    "no cartesian/BNL") {
+    val p = plan("q_text_span_scrub")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("trained IVF search plans without cartesian/BNL; assignment " +
     "stays map-side") {
     val p = plan("q_sim_topk_ivf_trained")
