@@ -44,21 +44,54 @@ object Tables {
   private[io] def eventsFrom(spark: SparkSession, path: String): DataFrame =
     normalizeEventTs(eventsRawRead(spark, path))
 
-  /** Batch read of the events file, retrying under the nanos-as-long
+  /** Batch read of the events file, set up under the nanos-as-long
     * legacy conf when the footer carries TIMESTAMP(NANOS). The conf is
-    * touched ONLY on that retry branch and must remain set for the scan's
-    * runtime (the vectorized reader re-checks the type per row group).
+    * touched ONLY when the footer really is nanos and must remain set for
+    * the scan's runtime (the vectorized reader re-checks the type per row
+    * group). Detection reads the parquet footer's logical type directly —
+    * no matching on exception-message text, which drifts across Spark
+    * versions and locales.
     */
-  private[io] def eventsRawRead(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: Exception
-          if e.getMessage != null &&
-             (e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
-              e.getMessage.contains("Illegal Parquet type")) =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path)
-    }
+  private[io] def eventsRawRead(spark: SparkSession, path: String): DataFrame = {
+    if (footerTsIsNanos(spark, path))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /** Driver-side footer probe: does `ts` in `path` (one parquet file, or
+    * the first data file of a directory) carry TIMESTAMP with NANOS unit?
+    * Probe failures (missing path, non-parquet bytes) return false — the
+    * actual `spark.read` that follows surfaces the genuine error with its
+    * normal shape, so nothing is swallowed.
+    */
+  private[io] def footerTsIsNanos(spark: SparkSession, path: String): Boolean =
+    try {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .find(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .getOrElse(return false)
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") && {
+          schema.getFields.get(schema.getFieldIndex("ts"))
+            .getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }
+        }
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Normalize `ts` to session-TZ TIMESTAMP whatever physical type the
     * producer shipped (works on batch and streaming frames alike). */

@@ -668,10 +668,15 @@ object Multimodal {
           .toLowerCase(java.util.Locale.ROOT)
         if (!videoExts(ext)) Nil
         else decodeMp4Meta(m) match {
-          case Some(meta) if meta.syncSamples.nonEmpty =>
+          case Some(meta) if meta.nSamples > 0 =>
             // real keyframe indices (stss is 1-based); stride walks
-            // the SYNC LIST — per-file fan-out ≤ |stss| / stride
-            meta.syncSamples.zipWithIndex
+            // the SYNC LIST — per-file fan-out ≤ |stss| / stride.
+            // Absent stss ⇒ every sample is a sync sample (all-intra
+            // video, per ISO 14496-12): the sync list is 1..nSamples.
+            val syncList =
+              if (meta.syncSamples.nonEmpty) meta.syncSamples
+              else 1 to meta.nSamples
+            syncList.zipWithIndex
               .collect { case (s, i) if i % stride == 0 => s - 1 }
               .map { idx =>
                 val hf = fnv(m.content ++ Array[Byte](
@@ -1551,26 +1556,44 @@ object Multimodal {
     var duration = -1L
     var sync: Seq[Int] = null
     var isVideoTrak = false
-    var found = false // first video track wins; later traks ignored
+    // first video track wins: committed is an immutable snapshot taken
+    // when that trak's subtree closes, so later traks (audio, subs)
+    // can never overwrite it — they are skipped without descent
+    var committed: Mp4Meta = null
     def walk(from: Long, to: Long, depth: Int): Unit = {
       var p = from
       while (p + 8 <= to) {
-        val size = u32(p.toInt)
+        val size32 = u32(p.toInt)
         val t = typ(p.toInt + 4)
-        if (size < 8 || p + size > to) return // malformed: stop cleanly
-        val body = p.toInt + 8
+        // size==0: box extends to the end of the enclosing scope;
+        // size==1: 64-bit largesize follows the type (16-byte header)
+        val (size, hdr) =
+          if (size32 == 0) (to - p, 8)
+          else if (size32 == 1) {
+            if (p + 16 > to) return
+            ((u32(p.toInt + 8) << 32) | u32(p.toInt + 12), 16)
+          } else (size32, 8)
+        if (size < hdr || p + size > to) return // malformed: stop cleanly
+        val body = p.toInt + hdr
         t match {
-          case "trak" if !found =>
-            // reset per-track state; commit only if it's video
-            isVideoTrak = false
-            nSamples = -1
-            sync = null
-            timescale = 0L
-            duration = -1L
-            width = 0
-            height = 0
-            walk(body, p + size, depth + 1)
-            if (isVideoTrak && width > 0 && nSamples >= 0) found = true
+          case "trak" =>
+            if (committed == null) {
+              // reset per-track state; commit only if it's video
+              isVideoTrak = false
+              nSamples = -1
+              sync = null
+              timescale = 0L
+              duration = -1L
+              width = 0
+              height = 0
+              walk(body, p + size, depth + 1)
+              if (isVideoTrak && width > 0 && nSamples >= 0)
+                committed = Mp4Meta(width, height, nSamples,
+                  if (timescale > 0 && duration >= 0)
+                    duration.toDouble / timescale
+                  else 0.0,
+                  if (sync == null) Seq.empty else sync)
+            }
           case c if containers(c) => walk(body, p + size, depth + 1)
           case "hdlr" if size >= 20 =>
             if (typ(body + 8) == "vide") isVideoTrak = true
@@ -1602,11 +1625,7 @@ object Multimodal {
       }
     }
     walk(0, b.length.toLong, 0)
-    if (!found) None
-    else Some(Mp4Meta(width, height, nSamples,
-      if (timescale > 0 && duration >= 0) duration.toDouble / timescale
-      else 0.0,
-      if (sync == null) Seq.empty else sync))
+    Option(committed)
   }
 
   /** MP4 blobs through the container parse: REAL geometry/frame count,

@@ -17,34 +17,65 @@ class Mp4Spec extends SparkTestBase {
   private def box(t: String, body: Array[Byte]): Array[Byte] =
     be32(body.length + 8) ++ t.getBytes("US-ASCII") ++ body
 
-  /** 64×48, 24 samples, timescale 1000 / duration 4000 (4 s),
-    * sync samples {1, 9, 17}. */
-  private def sampleMp4: Array[Byte] = {
-    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+  private def videoTrak(w: Int, h: Int, n: Int, timescale: Int,
+                        duration: Int, syncs: Seq[Int]): Array[Byte] = {
     val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
-      be32(1000) ++ be32(4000) ++ be16(0x55c4) ++ be16(0))
+      be32(timescale) ++ be32(duration) ++ be16(0x55c4) ++ be16(0))
     val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++
       new Array[Byte](12) ++ Array[Byte](0))
     val avc1 = {
       val body = new Array[Byte](6) ++ be16(1) ++ // reserved + dref idx
         new Array[Byte](16) ++                    // pre_defined/reserved
-        be16(64) ++ be16(48) ++                   // width, height
+        be16(w) ++ be16(h) ++                     // width, height
         be32(0x00480000) ++ be32(0x00480000) ++   // resolutions
         be32(0) ++ be16(1) ++ new Array[Byte](32) ++ // frame count, name
         be16(24) ++ be16(0xffff)                  // depth, pre_defined
       be32(body.length + 8) ++ "avc1".getBytes ++ body
     }
     val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
-    val stts = box("stts", be32(0) ++ be32(1) ++ be32(24) ++ be32(166))
-    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(24))
-    val stss = box("stss", be32(0) ++ be32(3) ++
-      be32(1) ++ be32(9) ++ be32(17))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(n) ++ be32(166))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n))
+    val stss =
+      if (syncs.isEmpty) Array.emptyByteArray
+      else box("stss", be32(0) ++ be32(syncs.length) ++
+        syncs.toArray.flatMap(be32))
     val stbl = box("stbl", stsd ++ stts ++ stsz ++ stss)
     val minf = box("minf", stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
-    val trak = box("trak", mdia)
+    box("trak", mdia)
+  }
+
+  /** A plausible AUDIO trak: hdlr 'soun', its own mdhd timescale/
+    * duration and stsz count, and an mp4a stsd entry whose bytes at
+    * the video width/height offsets are garbage — exactly the shape
+    * that would poison the committed video meta if later traks were
+    * descended. */
+  private def audioTrak: Array[Byte] = {
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(44100) ++ be32(882000) ++ be16(0x55c4) ++ be16(0))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "soun".getBytes ++
+      new Array[Byte](12) ++ Array[Byte](0))
+    val mp4a = {
+      val body = new Array[Byte](6) ++ be16(1) ++
+        new Array[Byte](8) ++ be16(2) ++ be16(16) ++ // channels, bits
+        be32(0) ++ be32(44100 << 16) ++ new Array[Byte](16)
+      be32(body.length + 8) ++ "mp4a".getBytes ++ body
+    }
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ mp4a)
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(999))
+    val stbl = box("stbl", stsd ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    box("trak", mdia)
+  }
+
+  /** 64×48, 24 samples, timescale 1000 / duration 4000 (4 s),
+    * sync samples {1, 9, 17}. */
+  private def sampleMp4: Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
     val mvhd = box("mvhd", new Array[Byte](100))
-    val moov = box("moov", mvhd ++ trak)
+    val moov = box("moov",
+      mvhd ++ videoTrak(64, 48, 24, 1000, 4000, Seq(1, 9, 17)))
     ftyp ++ moov
   }
 
@@ -58,6 +89,62 @@ class Mp4Spec extends SparkTestBase {
     assert(meta.nSamples == 24)
     assert(meta.durationS == 4.0)
     assert(meta.syncSamples == Seq(1, 9, 17))
+  }
+
+  test("multi-track file: first video trak wins; a later audio trak " +
+      "never overwrites the committed meta") {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](100))
+    val moov = box("moov", mvhd ++
+      videoTrak(64, 48, 24, 1000, 4000, Seq(1, 9, 17)) ++ audioTrak)
+    val meta = Multimodal.decodeMp4Meta(mf(ftyp ++ moov)).get
+    assert(meta.width == 64 && meta.height == 48)
+    assert(meta.nSamples == 24, "audio stsz (999) must not leak in")
+    assert(meta.durationS == 4.0, "audio mdhd must not leak in")
+    assert(meta.syncSamples == Seq(1, 9, 17))
+    // audio BEFORE video: the non-video trak is walked, rejected at
+    // commit, and the video trak still parses
+    val moov2 = box("moov", mvhd ++ audioTrak ++
+      videoTrak(64, 48, 24, 1000, 4000, Seq(1, 9, 17)))
+    val meta2 = Multimodal.decodeMp4Meta(mf(ftyp ++ moov2)).get
+    assert(meta2 == meta)
+  }
+
+  test("size==0 (to-end-of-file) and size==1 (64-bit largesize) boxes") {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val trak = videoTrak(64, 48, 24, 1000, 4000, Seq(1, 9, 17))
+    val mvhd = box("mvhd", new Array[Byte](100))
+    // mdat-before-moov where moov uses size==0 (extends to EOF)
+    val mdat = box("mdat", Array.fill[Byte](32)(7))
+    val moovBody = mvhd ++ trak
+    val moovSz0 = be32(0) ++ "moov".getBytes("US-ASCII") ++ moovBody
+    val meta0 = Multimodal.decodeMp4Meta(mf(ftyp ++ mdat ++ moovSz0)).get
+    assert(meta0.width == 64 && meta0.nSamples == 24)
+    // largesize: size field 1, 64-bit size after the type (header 16)
+    val large = be32(1) ++ "moov".getBytes("US-ASCII") ++
+      be32(0) ++ be32(moovBody.length + 16) ++ moovBody
+    val meta1 = Multimodal.decodeMp4Meta(mf(ftyp ++ large)).get
+    assert(meta1.width == 64 && meta1.nSamples == 24)
+  }
+
+  test("empty stss ⇒ every sample is a sync sample (all-intra video)") {
+    import spark.implicits._
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](100))
+    val moov = box("moov", mvhd ++
+      videoTrak(64, 48, 6, 1000, 1000, Seq.empty))
+    val blob = ftyp ++ moov
+    assert(Multimodal.decodeMp4Meta(mf(blob)).get.syncSamples.isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("mp4-intra").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "intra.mp4").toPath, blob)
+    val media = Multimodal.readBinary(spark, s"$dir/*")
+    val idxs = Multimodal.extractVideoKeyframes(media).toDF()
+      .select(col("frame_idx")).as[Int].collect().sorted.toSeq
+    assert(idxs == Seq(0, 1, 2, 3, 4, 5), "all 6 samples are keyframes")
+    val strided = Multimodal.extractVideoKeyframes(media, stride = 3)
+      .toDF().select(col("frame_idx")).as[Int].collect().sorted.toSeq
+    assert(strided == Seq(0, 3))
   }
 
   test("malformed blobs parse to None (stub fallback preserved)") {
