@@ -729,24 +729,36 @@ object TextQueries {
 
   /** The reusable core of [[qTextWinnowSpans]]: all maximal shared
     * character runs ≥ L for a given (id_a, id_b) pair list over a
-    * (doc_id, text) frame. */
+    * (doc_id, text) frame.
+    *
+    * Gram hashing runs ONCE per distinct doc involved in any pair
+    * (map-side transform over the once-split char array), then the
+    * pair list equi-joins to each side's grams — a doc sharing spans
+    * with many partners is hashed once, not once per partner, which
+    * is what keeps the corpus-wide form (all pairs above threshold,
+    * [[qTextScrubCorpus]]) linear in involved text rather than in
+    * Σ pair texts.
+    */
   private[queries] def maximalSharedSpans(pairs: DataFrame,
       docs: DataFrame, L: Int): DataFrame = {
-    def sideGrams(side: String, posName: String): DataFrame = pairs
-      .select(col("id_a"), col("id_b"))
-      .join(docs.select(col("doc_id").as(s"id_$side"),
-        col("text").as("t")), s"id_$side")
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val involved = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id"))).distinct()
+    val grams = involved
+      .join(docs.select(col("doc_id"), col("text").as("t")), "doc_id")
       .withColumn("cs", split(col("t"), ""))
-      .select(col("id_a"), col("id_b"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(0, size(cs) - ${L - 1}))," +
           s" i -> struct(cast(i as bigint) as pos," +
           s" cast(conv(substring(md5(array_join(" +
           s"slice(cs, i, $L), '')), 1, 15), 16, 10) as bigint) as g))"))
         .as("gr"))
-      .select(col("id_a"), col("id_b"),
-        col("gr.pos").as(posName), col("gr.g").as("g"))
-    val matches = sideGrams("a", "ia")
-      .join(sideGrams("b", "jb"), Seq("id_a", "id_b", "g"))
+      .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.g").as("g"))
+    val matches = p
+      .join(grams.select(col("doc_id").as("id_a"),
+        col("pos").as("ia"), col("g")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"),
+        col("pos").as("jb"), col("g")), Seq("id_b", "g"))
       .select(col("id_a"), col("id_b"), col("ia"), col("jb"),
         (col("ia") - col("jb")).as("diag"))
     val win = org.apache.spark.sql.expressions.Window
@@ -821,6 +833,39 @@ object TextQueries {
         col("clean"))
   }
 
+  /** CORPUS-WIDE ExactSubstr duplicated-span removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") — the
+    * whole-corpus form of [[qTextSpanScrub]]: every winnow candidate
+    * pair above the report threshold (NOT a top-k slice) contributes
+    * its maximal shared runs ≥ 20 chars, and every document that is
+    * the LATER side of any such pair has all its duplicated regions
+    * cut, keeping the earliest occurrence corpus-wide. This is the
+    * pass a real LLM-data pipeline runs over the full corpus.
+    *
+    * Scale ledger (the plan has NO pair limit anywhere):
+    *   1. fingerprint selection — map-side per doc (winnowSelected);
+    *   2. candidate pairs — fingerprint equi-join, df-capped (≤ 50)
+    *      and thresholded (≥ 40 shared fps), so |pairs| is bounded by
+    *      Σ df² over rare fingerprints, never |docs|²;
+    *   3. gram hashing — ONCE per distinct involved doc, map-side;
+    *   4. span match — (id, gram) equi-join bounded by true matching
+    *      positions; islands merge on (pair, diagonal) partitions;
+    *   5. scrub — per-doc interval merge + gap-fold rebuild after one
+    *      (doc, interval) shuffle.
+    * Every shuffle carries ids/hashes/intervals — full texts move
+    * only in the final rebuild join, once per scrubbed doc.
+    */
+  def qTextScrubCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    scrubSpans(
+      maximalSharedSpans(winnowPairs(spark, dir), docs, L = 20), docs)
+      .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnow near-dup CLUSTERS: candidate pairs through the same
     * pointer-doubling connected components as the MinHash and dHash
     * dedups (Dedup.dedupComponents), min-id representative per cluster
@@ -836,6 +881,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_scrub_corpus" -> (qTextScrubCorpus(_, _)),
     "q_text_span_scrub" -> (qTextSpanScrub(_, _)),
     "q_text_winnow_spans" -> (qTextWinnowSpans(_, _)),
     "q_text_winnow_lcs" -> (qTextWinnowLcs(_, _)),
@@ -1088,11 +1134,11 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |          HAVING count(*) >= 40)""".stripMargin
 
   /** Shared CTE chain producing `sp` — the maximal shared spans of the
-    * top winnow candidate pairs (used by the spans and scrub twins). */
-  private val winnowSpanCtes: String =
-    winnowPairsCtes + """,
-      |top AS (SELECT id_a, id_b FROM pairs
-      |        ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20),
+    * given slice of the winnow candidate pairs (used by the spans and
+    * scrub twins; the corpus twin passes ALL pairs, no limit). */
+  private def spanCtesFrom(topSql: String): String =
+    winnowPairsCtes + s""",
+      |top AS ($topSql),
       |ta AS (SELECT t.id_a, t.id_b, da.text AS txt FROM top t
       |       JOIN documents da ON t.id_a = da.doc_id),
       |tb AS (SELECT t.id_a, t.id_b, db.text AS txt FROM top t
@@ -1129,7 +1175,58 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |         COUNT(*) + 19 AS span_len
       |       FROM isl GROUP BY id_a, id_b, diag, k)""".stripMargin
 
+  private val winnowSpanCtes: String = spanCtesFrom(
+    "SELECT id_a, id_b FROM pairs ORDER BY n_shared_fp DESC, id_a, id_b LIMIT 20")
+
+  /** Corpus form: EVERY pair above the report threshold feeds the span
+    * CTEs — no limit anywhere. */
+  private val winnowSpanCorpusCtes: String =
+    spanCtesFrom("SELECT id_a, id_b FROM pairs")
+
+  /** Shared scrub tail over `sp`: interval merge → gap-segment rebuild
+    * → md5-certified per-doc rows (twin of scrubSpans). */
+  private val scrubTailSql: String =
+    """,
+      |iv AS (SELECT id_b AS doc_id, start_b AS s,
+      |         start_b + span_len - 1 AS e FROM sp),
+      |mrk AS (SELECT doc_id, s, e,
+      |          CASE WHEN s > COALESCE(MAX(e) OVER (
+      |              PARTITION BY doc_id ORDER BY s, e
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |            CAST(-1 AS BIGINT)) + 1
+      |          THEN 1 ELSE 0 END AS ng
+      |        FROM iv),
+      |grp2 AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id
+      |           ORDER BY s, e) AS grp FROM mrk),
+      |mg AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+      |       FROM grp2 GROUP BY doc_id, grp),
+      |seg AS (SELECT doc_id,
+      |          COALESCE(LAG(e) OVER (PARTITION BY doc_id
+      |            ORDER BY s), 0) + 1 AS ks,
+      |          s - 1 AS ke
+      |        FROM mg
+      |        UNION ALL
+      |        SELECT mg.doc_id, MAX(mg.e) + 1 AS ks,
+      |          MAX(length(d2.text)) AS ke
+      |        FROM mg JOIN documents d2 ON mg.doc_id = d2.doc_id
+      |        GROUP BY mg.doc_id),
+      |cleaned AS (SELECT s.doc_id,
+      |              string_agg(substring(d3.text, CAST(s.ks AS INT),
+      |                CAST(greatest(0, s.ke - s.ks + 1) AS INT)), ''
+      |                ORDER BY s.ks) AS clean
+      |            FROM seg s JOIN documents d3 ON s.doc_id = d3.doc_id
+      |            GROUP BY s.doc_id),
+      |stats AS (SELECT doc_id, COUNT(*) AS n_cuts,
+      |            CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed
+      |          FROM mg GROUP BY doc_id)
+      |SELECT st.doc_id, st.n_cuts, st.chars_removed,
+      |  CAST(length(c.clean) AS BIGINT) AS clean_len,
+      |  md5(c.clean) AS clean_md5
+      |FROM stats st JOIN cleaned c ON st.doc_id = c.doc_id
+      |ORDER BY st.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_text_scrub_corpus" -> (winnowSpanCorpusCtes + scrubTailSql),
     "q_text_dup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t
@@ -1222,45 +1319,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin),
     // interval-merge + gap-segment rebuild of the LATER doc's text,
     // certified by md5 — mirrors qTextSpanScrub step for step
-    "q_text_span_scrub" ->
-      (winnowSpanCtes + """,
-        |iv AS (SELECT id_b AS doc_id, start_b AS s,
-        |         start_b + span_len - 1 AS e FROM sp),
-        |mrk AS (SELECT doc_id, s, e,
-        |          CASE WHEN s > COALESCE(MAX(e) OVER (
-        |              PARTITION BY doc_id ORDER BY s, e
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |            CAST(-1 AS BIGINT)) + 1
-        |          THEN 1 ELSE 0 END AS ng
-        |        FROM iv),
-        |grp2 AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id
-        |           ORDER BY s, e) AS grp FROM mrk),
-        |mg AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
-        |       FROM grp2 GROUP BY doc_id, grp),
-        |seg AS (SELECT doc_id,
-        |          COALESCE(LAG(e) OVER (PARTITION BY doc_id
-        |            ORDER BY s), 0) + 1 AS ks,
-        |          s - 1 AS ke
-        |        FROM mg
-        |        UNION ALL
-        |        SELECT mg.doc_id, MAX(mg.e) + 1 AS ks,
-        |          MAX(length(d2.text)) AS ke
-        |        FROM mg JOIN documents d2 ON mg.doc_id = d2.doc_id
-        |        GROUP BY mg.doc_id),
-        |cleaned AS (SELECT s.doc_id,
-        |              string_agg(substring(d3.text, CAST(s.ks AS INT),
-        |                CAST(greatest(0, s.ke - s.ks + 1) AS INT)), ''
-        |                ORDER BY s.ks) AS clean
-        |            FROM seg s JOIN documents d3 ON s.doc_id = d3.doc_id
-        |            GROUP BY s.doc_id),
-        |stats AS (SELECT doc_id, COUNT(*) AS n_cuts,
-        |            CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed
-        |          FROM mg GROUP BY doc_id)
-        |SELECT st.doc_id, st.n_cuts, st.chars_removed,
-        |  CAST(length(c.clean) AS BIGINT) AS clean_len,
-        |  md5(c.clean) AS clean_md5
-        |FROM stats st JOIN cleaned c ON st.doc_id = c.doc_id
-        |ORDER BY st.doc_id""".stripMargin),
+    "q_text_span_scrub" -> (winnowSpanCtes + scrubTailSql),
     "q_text_winnow_verify" ->
       (winnowPairsCtes + """
         |SELECT p.id_a, p.id_b, p.n_shared_fp,

@@ -73,6 +73,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("corpus-wide ExactSubstr scrub: NO pair limit anywhere in the " +
+    "plan; gram matches stay equi-join") {
+    val p = plan("q_text_scrub_corpus")
+    assert(!p.contains("GlobalLimit") && !p.contains("LocalLimit") &&
+      !p.contains("TakeOrdered"),
+      "the corpus pass must not slice the candidate pair list")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("trained IVF search plans without cartesian/BNL; assignment " +
     "stays map-side") {
     val p = plan("q_sim_topk_ivf_trained")
