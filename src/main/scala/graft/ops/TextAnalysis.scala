@@ -281,4 +281,39 @@ object TextAnalysis {
     lit(1.0) - size(array_distinct(grams)).cast("double") /
       size(grams).cast("double")
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03) over any (doc_id, text) frame → distinct (doc_id, fp)
+    * rows — the shared core of the batch winnow query family AND the
+    * streaming winnow-ingest front door.
+    *
+    * MAP-SIDE selection: the per-doc hash array, window mins and
+    * distinct all happen inside one projection over the document row —
+    * no shuffle touches per-position rows at any scale. Each hash is
+    * computed once into `keys`; a window's min is array_min over a
+    * w-slice. Position packs into the low 23 bits (40+23 = 63 bits) so
+    * the hash field stays intact at any document length.
+    *
+    * The k-gram is built from a once-split char ARRAY, not
+    * `substring(text, i, k)`: UTF8String substring seeks to code point
+    * i in O(i), which makes the per-doc transform O(len²) — invisible
+    * on 2k-char fixture docs, pathological on megabyte documents. The
+    * array slice indexes in O(k), keeping the doc linear; the hashed
+    * k-char string (and so the selection and the DuckDB twin) is
+    * identical.
+    */
+  def winnowFingerprints(docs: DataFrame,
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .filter(length(col("text")) >= k + w - 1) // ≥ one full window
+      .select(col("doc_id"), split(col("text"), "").as("cs"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(cs) - ${k - 1})," +
+          s" i -> cast(conv(substring(md5(array_join(slice(cs, i, $k)," +
+          " '')), 1, 10), 16, 10) as bigint) * 8388608" +
+          " + greatest(0, 8388607 - (i - 1)))").as("keys"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(keys) - ${w - 1})," +
+          s" p -> array_min(slice(keys, p, $w)) div 8388608)")))
+        .as("fp"))
 }

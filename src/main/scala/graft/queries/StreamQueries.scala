@@ -159,6 +159,39 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming winnow-ingest end-to-end under the driver harness: the
+    * char-level near-dup front door ([[StreamOps.winnowIngest]]) over
+    * the same deterministic two-batch split as qStreamDedupIngest.
+    * ORACLE-checked: the md5-derived winnow fingerprint family is
+    * portable, so the DuckDB twin replays both micro-batches' selection,
+    * df-caps and greedy batch-side drops exactly
+    * (TextQueries.winnowIngestOracleSql); corrupt-sidecar abort is
+    * additionally pinned by FileStreamSpec.
+    */
+  def qStreamWinnowIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_winnow_ingest")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    StreamOps.winnowIngest(stream, "doc_id", "text",
+      s"$tmp/corpus", s"$tmp/cp")
+    spark.read.parquet(s"$tmp/corpus")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hourly resample + forward fill per user over the events table —
     * every hour in each user's span gets a row; empty hours carry the
     * last observed hourly sum forward.
@@ -453,6 +486,7 @@ object StreamQueries {
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
+    "q_stream_winnow_ingest" -> (qStreamWinnowIngest(_, _)),
     "q_time_resample" -> (qTimeResample(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
@@ -474,6 +508,9 @@ object StreamQueries {
     // Full replay of the two-batch near-dedup ingest (portable md5
     // signature family — the sidecar behavior itself is spec-proven).
     "q_stream_dedup_ingest" -> DedupQueries.streamIngestOracleSql,
+    // Full replay of the two-batch winnow-ingest (portable md5-derived
+    // winnow fingerprints — the sidecar behavior itself is spec-proven).
+    "q_stream_winnow_ingest" -> TextQueries.winnowIngestOracleSql,
     // Same twin as q_join_asof: the streamed temporal join must equal
     // the batch as-of recompute.
     "q_stream_asof" -> JoinQueries.oracles("q_join_asof"),

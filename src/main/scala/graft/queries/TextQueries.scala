@@ -601,38 +601,14 @@ object TextQueries {
   }
 
   /** Winnowing fingerprint selection over any (doc_id, text) frame —
-    * the reusable core of the family (also specced directly with
+    * the reusable core of the family, shared with the streaming ingest
+    * front door (see [[graft.ops.TextAnalysis.winnowFingerprints]] for
+    * the selection + scale discipline; also specced directly with
     * longer-than-2²³ documents).
-    *
-    * MAP-SIDE selection: the per-doc hash array, window mins and
-    * distinct all happen inside one projection over the document row —
-    * no shuffle touches per-position rows at any scale (an earlier
-    * window-function form shuffled 1 row per char position; this is
-    * the same selection without that exchange). Each hash is computed
-    * once into `keys`; a window's min is array_min over a w-slice.
-    *
-    * The k-gram is built from a once-split char ARRAY, not
-    * `substring(text, i, k)`: UTF8String substring seeks to code point
-    * i in O(i), which makes the per-doc transform O(len²) — invisible
-    * on 2k-char fixture docs, pathological on megabyte documents. The
-    * array slice indexes in O(k), keeping the doc linear; the hashed
-    * k-char string (and so the selection and the DuckDB twin) is
-    * identical.
     */
   private[queries] def winnowFingerprints(docs: DataFrame,
       k: Int = 8, w: Int = 4): DataFrame =
-    docs
-      .filter(length(col("text")) >= k + w - 1) // ≥ one full window
-      .select(col("doc_id"), split(col("text"), "").as("cs"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(1, size(cs) - ${k - 1})," +
-          s" i -> cast(conv(substring(md5(array_join(slice(cs, i, $k)," +
-          " '')), 1, 10), 16, 10) as bigint) * 8388608" +
-          " + greatest(0, 8388607 - (i - 1)))").as("keys"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(keys) - ${w - 1})," +
-          s" p -> array_min(slice(keys, p, $w)) div 8388608)")))
-        .as("fp"))
+    graft.ops.TextAnalysis.winnowFingerprints(docs, k, w)
 
   /** Candidate-pair VERIFICATION: the winnowing pairs re-attached to
     * their texts and certified with exact Levenshtein edit distance +
@@ -1097,12 +1073,13 @@ WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
-  /** Shared CTE chain of the winnowing twins: fingerprint selection →
-    * df-cap → candidate pairs (see qTextWinnowPairs).
-    */
-  private val winnowPairsCtes: String =
-    """WITH d AS (SELECT doc_id, text FROM documents
-      |           WHERE length(text) >= 8),
+  /** Winnow fingerprint-selection CTE chain (d → … → sel) over
+    * `documents`, optionally restricted — the SQL twin of
+    * `TextAnalysis.winnowFingerprints` (k=8, w=4), shared by the batch
+    * winnow twins and the streaming winnow-ingest replay twin. */
+  private[queries] def winnowSelCtes(docWhere: String): String =
+    s"""d AS (SELECT doc_id, text FROM documents
+      |           WHERE length(text) >= 8$docWhere),
       |i AS (SELECT doc_id, text,
       |        unnest(generate_series(1, length(text) - 7)) AS i
       |      FROM d),
@@ -1121,7 +1098,13 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |          count(*) OVER (PARTITION BY doc_id) AS cnt
       |        FROM keyed),
       |sel AS (SELECT DISTINCT doc_id, mk // 8388608 AS fp
-      |        FROM win WHERE pos <= cnt - 4),
+      |        FROM win WHERE pos <= cnt - 4)""".stripMargin
+
+  /** Shared CTE chain of the winnowing twins: fingerprint selection →
+    * df-cap → candidate pairs (see qTextWinnowPairs).
+    */
+  private val winnowPairsCtes: String =
+    "WITH " + winnowSelCtes("") + """,
       |rare AS (SELECT fp FROM sel GROUP BY fp
       |         HAVING count(*) BETWEEN 2 AND 50),
       |sr AS (SELECT sel.doc_id, sel.fp FROM sel
@@ -1132,6 +1115,43 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |            ON a.fp = b.fp AND a.doc_id < b.doc_id
       |          GROUP BY a.doc_id, b.doc_id
       |          HAVING count(*) >= 40)""".stripMargin
+
+  /** Full replay of the two-batch winnow-ingest (StreamOps.winnowIngest
+    * driven by qStreamWinnowIngest's deterministic 250-split): batch 1
+    * self-dedups with a df-cap over its own fingerprints; batch 2
+    * dedups against batch-1 SURVIVORS' fingerprints (the sidecar
+    * content) plus itself, df-capped over that union. Greedy smaller-id
+    * survivor, exactly as the foreachBatch anti-join resolves.
+    */
+  private[queries] def winnowIngestOracleSql: String =
+    "WITH " + winnowSelCtes(" AND doc_id < 1000") + """,
+      |s1 AS (SELECT doc_id, fp FROM sel WHERE doc_id < 250),
+      |r1 AS (SELECT fp FROM s1 GROUP BY fp
+      |       HAVING count(*) BETWEEN 2 AND 50),
+      |sr1 AS (SELECT s1.doc_id, s1.fp FROM s1 JOIN r1 USING (fp)),
+      |p1 AS (SELECT b.doc_id AS id_b FROM sr1 a JOIN sr1 b
+      |         ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 40),
+      |acc1 AS (SELECT doc_id FROM documents WHERE doc_id < 250
+      |         AND doc_id NOT IN (SELECT id_b FROM p1)),
+      |s2 AS (SELECT doc_id, fp FROM sel
+      |       WHERE doc_id >= 250
+      |          OR doc_id IN (SELECT doc_id FROM acc1)),
+      |r2 AS (SELECT fp FROM s2 GROUP BY fp
+      |       HAVING count(*) BETWEEN 2 AND 50),
+      |sr2 AS (SELECT s2.doc_id, s2.fp FROM s2 JOIN r2 USING (fp)),
+      |p2 AS (SELECT b.doc_id AS id_b FROM sr2 a JOIN sr2 b
+      |         ON a.fp = b.fp AND b.doc_id >= 250
+      |           AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 40),
+      |acc AS (SELECT doc_id FROM acc1
+      |        UNION ALL
+      |        SELECT doc_id FROM documents
+      |        WHERE doc_id >= 250 AND doc_id < 1000
+      |          AND doc_id NOT IN (SELECT id_b FROM p2))
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN acc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Shared CTE chain producing `sp` — the maximal shared spans of the
     * given slice of the winnow candidate pairs (used by the spans and

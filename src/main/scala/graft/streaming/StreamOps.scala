@@ -882,6 +882,89 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming corpus ingestion with cross-batch CHAR-LEVEL near-dedup
+    * — the winnowing twin of [[dedupIngest]]: each micro-batch's
+    * documents are fingerprinted by winnowing (Schleimer et al.,
+    * SIGMOD'03; k=8, w=4 — the batch winnow family's parameters), and
+    * a document sharing ≥ `minSharedFp` selected fingerprints with the
+    * accepted corpus or an earlier batch doc is rejected. Catches
+    * boilerplate/substring-level duplication that token-shingle MinHash
+    * under-weights.
+    *
+    * Same transaction discipline as dedupIngest: the accepted corpus's
+    * winnow fingerprints persist as an incremental sidecar
+    * (`<corpusPath>._wfps`, one (id, fp) row per selected fingerprint)
+    * appended in the same per-batch transaction — each batch hashes
+    * only ITSELF (map-side, linear per doc); the corpus side is a
+    * straight read of the sidecar, and the candidate join shuffles
+    * (fp, id) longs, never documents. The df-cap (fingerprints in
+    * > `dfCap` docs are ignored — boilerplate carries no similarity
+    * signal) bounds the join to Σ df² ≤ cap · Σ df exactly as in the
+    * batch family.
+    *
+    * A missing sidecar means FIRST batch only; any other read failure
+    * (corrupt footer, transient FS error) aborts the batch — treating
+    * it as "empty corpus" would silently re-admit every duplicate.
+    */
+  def winnowIngest(stream: DataFrame, idCol: String, textCol: String,
+                   corpusPath: String, checkpoint: String,
+                   minSharedFp: Int = 40, dfCap: Int = 50): Unit = {
+    val fpPath = corpusPath.stripSuffix("/") + "._wfps"
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.CacheScope.scoped {
+          val bFps = graft.ops.CacheScope.cached(
+            graft.ops.TextAnalysis.winnowFingerprints(
+              batch.select(col(idCol).as("doc_id"),
+                col(textCol).as("text")))
+              .select(col("doc_id").as("id"), col("fp")))
+          val cFps =
+            try spark.read.parquet(fpPath)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage != null &&
+                     e.getMessage.contains("PATH_NOT_FOUND") =>
+                bFps.limit(0)
+              case _: java.io.FileNotFoundException => bFps.limit(0)
+            }
+          // df-cap over everything visible this batch (corpus ∪ batch),
+          // mirroring the batch family's corpus-wide cap
+          val rare = cFps.unionByName(bFps)
+            .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+            .filter(col("df").between(2, dfCap)).select(col("fp"))
+          val cRare = cFps.join(rare, "fp")
+          val bRare = bFps.join(rare, "fp")
+          val corpusBatch = cRare
+            .select(col("fp"), col("id").as("id_a"))
+            .join(bRare.select(col("fp"), col("id").as("id_b")), "fp")
+          val batchBatch = bRare
+            .select(col("fp"), col("id").as("id_a"))
+            .join(bRare.select(col("fp"), col("id").as("id_b")), "fp")
+            .filter(col("id_a") < col("id_b"))
+          // id_b is always a batch doc; corpus/earlier side survives
+          val dropIds = graft.ops.CacheScope.cached(
+            corpusBatch.unionByName(batchBatch)
+              .groupBy(col("id_a"), col("id_b"))
+              .agg(count(lit(1)).as("n_shared_fp"))
+              .filter(col("n_shared_fp") >= minSharedFp)
+              .select(col("id_b").as(idCol)).distinct())
+          val survivors = batch.join(dropIds, Seq(idCol), "left_anti")
+          survivors.write.mode("append").parquet(corpusPath)
+          // the sidecar update is the same transaction's second write
+          bFps.join(dropIds.select(col(idCol).as("id")), Seq("id"),
+              "left_anti")
+            .write.mode("append").parquet(fpPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Default sink for bounded streaming runs in tests/pipelines:
     * AvailableNow trigger + append/update mode, checkpointed.
     */

@@ -467,6 +467,103 @@ class FileStreamSpec extends SparkTestBase {
       "an aborted batch must not append potentially-duplicate survivors")
   }
 
+  test("winnowIngest: batch N+1 drops char-level dups via the " +
+      "fingerprint sidecar alone; corpus documents never reopen") {
+    val dir = Files.createTempDirectory("wingest-sc").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._wfps"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    val t3 = "yet another unique document with its own words entirely"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    // short fixture texts select ~a dozen fingerprints each, so the
+    // report threshold drops from the corpus default (40) to 5
+    def runOnce(): Unit = StreamOps.winnowIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "doc_id", "text", corpus, s"$dir/cp", minSharedFp = 5)
+    runOnce()
+    assert(new java.io.File(sidecar).exists(),
+      "batch 1 must materialize the fingerprint sidecar")
+    val corpusFiles = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(corpusFiles.nonEmpty)
+    corpusFiles.foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+    }
+    val preNames = corpusFiles.map(_.getName).toSet
+    Seq((4L, t2), (5L, t3)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    runOnce()
+    val appended = new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")
+        && !preNames.contains(f.getName))
+    assert(appended.nonEmpty, "batch B must append its survivors")
+    val newIds = spark.read
+      .parquet(appended.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(newIds == Seq(5L),
+      s"4 must be dropped via the sidecar alone; got $newIds")
+    val fpIds = spark.read.parquet(sidecar)
+      .select("id").as[Long].distinct().collect().sorted.toSeq
+    assert(fpIds == Seq(1L, 2L, 5L))
+  }
+
+  test("winnowIngest: a CORRUPT sidecar aborts the batch instead of " +
+      "silently re-admitting duplicates") {
+    val dir = Files.createTempDirectory("wingest-corrupt").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._wfps"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    def runOnce(): Unit = StreamOps.winnowIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "doc_id", "text", corpus, s"$dir/cp", minSharedFp = 5)
+    runOnce()
+    val fpFiles = new java.io.File(sidecar).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(fpFiles.nonEmpty)
+    fpFiles.foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+    }
+    val preCorpus = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Seq((4L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    val err = intercept[Exception](runOnce())
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c => c.getMessage != null &&
+        (c.getMessage.toLowerCase.contains("parquet") ||
+         c.getMessage.contains("footer"))),
+      s"expected a parquet-read failure to surface, got $err")
+    val appended = new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")
+        && !preCorpus.contains(f.getName))
+    assert(appended.isEmpty,
+      "an aborted batch must not append potentially-duplicate survivors")
+  }
+
   test("streamAsOf: cross-batch out-of-order rights still match, " +
     "result equals batch as-of") {
     val dir = Files.createTempDirectory("st-asof").toString
