@@ -93,6 +93,45 @@ object Tables {
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Driver-side footer statistic: total UNCOMPRESSED byte size of one
+    * column across all row groups of `path` (single file or directory
+    * of parquet parts). No Spark job runs — this is the lazy
+    * alternative to a `count()` when a plan needs a cheap UPPER bound
+    * at construction time (e.g. `Dedup.ngramJaccardPairs`' vocabulary
+    * regime: distinct k-shingles ≤ shingle occurrences ≤ text bytes).
+    * None when the path/column can't be probed — callers fall back to
+    * their eager path.
+    */
+  def columnUncompressedBytes(spark: SparkSession, path: String,
+                              column: String): Option[Long] =
+    try {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            .toSeq
+        else Seq(p)
+      var total = 0L
+      files.foreach { f =>
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { bl =>
+          bl.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .foreach(c => total += c.getTotalUncompressedSize)
+        } finally reader.close()
+      }
+      if (total > 0) Some(total) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Normalize `ts` to session-TZ TIMESTAMP whatever physical type the
     * producer shipped (works on batch and streaming frames alike). */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =

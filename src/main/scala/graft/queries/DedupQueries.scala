@@ -32,10 +32,20 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Exact 5-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Exact 5-gram Jaccard near-dup pairs (inverted-index join).
+    *
+    * The vocabulary-regime hint comes from a driver-side parquet-footer
+    * probe (text column's uncompressed bytes — a strict upper bound on
+    * the distinct-shingle count, since every distinct shingle occupies
+    * ≥ 1 text byte), so plan CONSTRUCTION never runs a Spark job
+    * (PlanSpec asserts this). An unprobeable footer falls back to the
+    * operator's own eager count.
+    */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-        "doc_id", "text", k = 5, minJaccard = 0.8)
+        "doc_id", "text", k = 5, minJaccard = 0.8,
+        vocabHint = Tables.columnUncompressedBytes(
+          spark, s"$dir/documents.parquet", "text"))
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash-LSH candidate pairs (32 hashes, 8 bands × 4). The PORTABLE

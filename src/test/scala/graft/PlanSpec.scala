@@ -39,6 +39,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_dedup_ngram_jaccard plan CONSTRUCTION runs no eager job " +
+    "(vocab regime from footer stats, not a count) — only the same " +
+    "scan setup as a trivially-lazy query") {
+    val sc = spark.sparkContext
+    // jobs submitted during plan construction carry no job group →
+    // getJobIdsForGroup(null). The sentinel runs in its OWN group, and
+    // the listener bus is FIFO: once it is visible, every construction
+    // job is too.
+    def ids(): Set[Int] = sc.statusTracker.getJobIdsForGroup(null).toSet
+    def constructionJobs(name: String, tag: String): Int = {
+      val before = ids()
+      SparkEntry.queries(name)(spark, dir) // build only, no action
+      sc.setJobGroup(tag, "sentinel")
+      try spark.range(1).collect() finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sc.statusTracker.getJobIdsForGroup(tag).isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      (ids() -- before).size
+    }
+    // control: same single documents scan, nothing eager by design
+    val control = constructionJobs("q_dedup_exact", "planspec-s1")
+    val target = constructionJobs("q_dedup_ngram_jaccard", "planspec-s2")
+    assert(target <= control,
+      s"ngram-jaccard construction ran $target job(s) vs the lazy " +
+        s"control's $control — the eager vocabulary count is back")
+  }
+
   test("semi/anti joins plan as real semi/anti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
