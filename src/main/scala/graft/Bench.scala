@@ -53,7 +53,19 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // families that share run-wide memoized intermediates: the shared
+    // build cost lands in whichever member runs first, so per-member
+    // times are not independently comparable across rounds — the family
+    // SUM is. Emit it so round-over-round comparisons stay honest.
+    val familyDefs: Seq[(String, String => Boolean)] = Seq(
+      "winnow" -> (n => n.startsWith("q_text_winnow") ||
+        n == "q_text_span_scrub" || n == "q_text_scrub_corpus"),
+      "bpe" -> (n => n.startsWith("q_text_bpe")))
+    val families = familyDefs.map { case (f, member) =>
+      "\"" + f + "\":" +
+        results.collect { case (k, v, true) if member(k) => v }.sum
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"families":$families,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
