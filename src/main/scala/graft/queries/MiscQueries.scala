@@ -40,8 +40,13 @@ object MiscQueries {
       .orderBy(col("doc_id"))
 
   /** Lake listing (name/size over the sf dir) — A13 semantics with the
-    * tenant prefix filter applied. mtimes are generation-dependent →
-    * rows-only check.
+    * tenant prefix filter applied. NOT registered as a query: the live
+    * sf dir's file sizes are generation-dependent, so no static oracle
+    * exists (it sat permanently `no_oracle` in the gate). The operator
+    * stays covered two ways: LakeIOSpec exercises the live path (local
+    * FS + s3a mock, prefix filter), and q_lake_listing_pinned runs the
+    * SAME distributed listing over a deterministic fixture set with a
+    * hard VALUES oracle.
     */
   def qLakeListing(spark: SparkSession, dir: String): DataFrame =
     LakeIO.listing(spark, dir)
@@ -345,7 +350,6 @@ object MiscQueries {
     "q_sort_limit" -> (qSortLimit(_, _)),
     "q_sort_nulls" -> (qSortNulls(_, _)),
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
-    "q_lake_listing" -> (qLakeListing(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
