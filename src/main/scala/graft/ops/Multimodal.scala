@@ -679,13 +679,22 @@ object Multimodal {
             syncList.zipWithIndex
               .collect { case (s, i) if i % stride == 0 => s - 1 }
               .map { idx =>
-                val hf = fnv(m.content ++ Array[Byte](
-                  (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte,
-                  ((idx >> 16) & 0xff).toByte,
-                  ((idx >> 24) & 0xff).toByte))
-                GifFrame(m.path, idx, meta.width, meta.height,
-                  mean_luma = ((hf >>> 33) % 256).toDouble / 255.0,
-                  dhash = (hf ^ (hf >>> 30)) * 0xbf58476d1ce4e5b9L)
+                // intra-coded JPEG samples (Motion-JPEG) decode for
+                // REAL through the container layout + JPEG decoder;
+                // inter-frame codec payloads keep the documented stub
+                decodeMjpegSample(m, meta, idx) match {
+                  case Some(f) =>
+                    GifFrame(m.path, idx, meta.width, meta.height,
+                      mean_luma = f.mean_luma, dhash = f.dhash)
+                  case None =>
+                    val hf = fnv(m.content ++ Array[Byte](
+                      (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte,
+                      ((idx >> 16) & 0xff).toByte,
+                      ((idx >> 24) & 0xff).toByte))
+                    GifFrame(m.path, idx, meta.width, meta.height,
+                      mean_luma = ((hf >>> 33) % 256).toDouble / 255.0,
+                      dhash = (hf ^ (hf >>> 30)) * 0xbf58476d1ce4e5b9L)
+                }
               }
           case _ => fakeKeyframes(m, stride)
         }
@@ -1525,9 +1534,16 @@ object Multimodal {
   /** Parsed MP4/ISO-BMFF container metadata for the first VIDEO track:
     * geometry from the `stsd` sample entry, sample count from `stsz`,
     * duration from `mdhd`, sync-sample (keyframe) indices from `stss`
-    * (1-based sample numbers, empty ⇒ every sample is sync). */
+    * (1-based sample numbers, empty ⇒ every sample is sync), and the
+    * per-sample FILE layout resolved from `stsz`+`stsc`+`stco`
+    * (absolute byte offsets + sizes; empty when the chunk tables are
+    * absent/inconsistent) — enough to slice sample payloads out of
+    * `mdat`, which is how intra-coded-per-frame codecs (Motion-JPEG)
+    * decode without any inter-frame state. */
   private[ops] case class Mp4Meta(width: Int, height: Int,
-      nSamples: Int, durationS: Double, syncSamples: Seq[Int])
+      nSamples: Int, durationS: Double, syncSamples: Seq[Int],
+      sampleOffsets: Seq[Long] = Seq.empty,
+      sampleSizes: Seq[Long] = Seq.empty)
 
   /** REAL ISO-BMFF (MP4/MOV) CONTAINER parser — the box walk a media
     * pipeline needs for geometry, frame counts, duration and keyframe
@@ -1555,6 +1571,10 @@ object Multimodal {
     var timescale = 0L
     var duration = -1L
     var sync: Seq[Int] = null
+    var sizes: Seq[Long] = Seq.empty        // stsz per-sample sizes
+    var uniformSize = 0L                    // stsz sample_size != 0
+    var stsc: Seq[(Int, Int)] = Seq.empty   // (first_chunk, samples/chunk)
+    var stco: Seq[Long] = Seq.empty         // chunk offsets
     var isVideoTrak = false
     // first video track wins: committed is an immutable snapshot taken
     // when that trak's subtree closes, so later traks (audio, subs)
@@ -1582,17 +1602,28 @@ object Multimodal {
               isVideoTrak = false
               nSamples = -1
               sync = null
+              sizes = Seq.empty
+              uniformSize = 0L
+              stsc = Seq.empty
+              stco = Seq.empty
               timescale = 0L
               duration = -1L
               width = 0
               height = 0
               walk(body, p + size, depth + 1)
-              if (isVideoTrak && width > 0 && nSamples >= 0)
+              if (isVideoTrak && width > 0 && nSamples >= 0) {
+                val sz =
+                  if (sizes.nonEmpty) sizes
+                  else if (uniformSize > 0 && nSamples > 0)
+                    Seq.fill(nSamples)(uniformSize)
+                  else Seq.empty
                 committed = Mp4Meta(width, height, nSamples,
                   if (timescale > 0 && duration >= 0)
                     duration.toDouble / timescale
                   else 0.0,
-                  if (sync == null) Seq.empty else sync)
+                  if (sync == null) Seq.empty else sync,
+                  resolveSampleOffsets(stsc, stco, sz, nSamples), sz)
+              }
             }
           case c if containers(c) => walk(body, p + size, depth + 1)
           case "hdlr" if size >= 20 =>
@@ -1614,7 +1645,22 @@ object Multimodal {
               height = u16(entry + 34)
             }
           case "stsz" if size >= 20 =>
+            uniformSize = u32(body + 4)
             nSamples = u32(body + 8).toInt
+            if (uniformSize == 0 &&
+                body + 12 + 4L * nSamples <= p + size)
+              sizes = (0 until nSamples).map(i => u32(body + 12 + 4 * i))
+          case "stsc" if size >= 16 =>
+            val n = u32(body + 4).toInt
+            if (body + 8 + 12L * n <= p + size)
+              stsc = (0 until n).map { i =>
+                (u32(body + 8 + 12 * i).toInt,
+                  u32(body + 12 + 12 * i).toInt)
+              }
+          case "stco" if size >= 16 =>
+            val n = u32(body + 4).toInt
+            if (body + 8 + 4L * n <= p + size)
+              stco = (0 until n).map(i => u32(body + 8 + 4 * i))
           case "stss" if size >= 16 =>
             val n = u32(body + 4).toInt
             if (body + 8 + 4L * n <= p + size)
@@ -1628,17 +1674,85 @@ object Multimodal {
     Option(committed)
   }
 
-  /** MP4 blobs through the container parse: REAL geometry/frame count,
-    * stub pixel content (fingerprint-derived luma/dhash — sample
-    * payloads need codecs). */
+  /** Expand the `stsc` run-length sample→chunk map against the `stco`
+    * chunk offsets and per-sample sizes into absolute per-sample file
+    * offsets; empty when the tables are absent or inconsistent (the
+    * caller falls back to metadata-only behavior). */
+  private def resolveSampleOffsets(stsc: Seq[(Int, Int)],
+      stco: Seq[Long], sizes: Seq[Long], n: Int): Seq[Long] = {
+    if (stsc.isEmpty || stco.isEmpty || n <= 0 || sizes.length != n)
+      return Seq.empty
+    val out = new Array[Long](n)
+    var s = 0
+    var ci = 0
+    while (s < n && ci < stco.length) {
+      // stsc entries are (first_chunk, samples_per_chunk) runs; the run
+      // covering chunk ci+1 is the last entry with first_chunk ≤ ci+1
+      val spc = stsc.takeWhile(_._1 <= ci + 1).lastOption
+        .fold(1)(_._2)
+      if (spc <= 0) return Seq.empty
+      var off = stco(ci)
+      var k = 0
+      while (k < spc && s < n) {
+        out(s) = off
+        off += sizes(s)
+        s += 1
+        k += 1
+      }
+      ci += 1
+    }
+    if (s == n) out.toIndexedSeq else Seq.empty
+  }
+
+  /** Slice sample `idx0` (0-based) out of the container bytes, or None
+    * when the layout is unknown or out of bounds. */
+  private[ops] def samplePayload(b: Array[Byte], meta: Mp4Meta,
+      idx0: Int): Option[Array[Byte]] =
+    if (idx0 < 0 || idx0 >= meta.sampleOffsets.length) None
+    else {
+      val off = meta.sampleOffsets(idx0)
+      val sz = meta.sampleSizes(idx0)
+      if (off < 0 || sz <= 0 || off + sz > b.length) None
+      else Some(java.util.Arrays.copyOfRange(b, off.toInt,
+        (off + sz).toInt))
+    }
+
+  /** Decode sample `idx0` as an intra-coded JPEG frame (Motion-JPEG:
+    * every sample is a standalone JPEG bitstream) — the composition of
+    * the container walk and the real JPEG decoder that makes MJPEG-in-
+    * MP4 fully decodable here; None for any non-JPEG codec payload. */
+  private[ops] def decodeMjpegSample(m: MediaFile, meta: Mp4Meta,
+      idx0: Int): Option[MediaFeatures] =
+    samplePayload(m.content, meta, idx0)
+      .filter(p => p.length > 2 &&
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) // JPEG SOI
+      .flatMap(p => decodeJpeg(
+        MediaFile(m.path, m.modificationTime, p.length.toLong, p)))
+
+  /** MP4 blobs through the container parse: REAL geometry/frame count;
+    * pixel content is REAL when the samples are intra-coded JPEG
+    * (Motion-JPEG — the first sync sample decodes through the full
+    * JPEG path for file-level luma/dhash), and the documented
+    * fingerprint-derived stub for inter-frame codecs whose payloads
+    * need external codec libraries. */
   private[ops] def decodeMp4(m: MediaFile): Option[MediaFeatures] =
     decodeMp4Meta(m).map { meta =>
       val h = fnv(m.content)
-      MediaFeatures(path = m.path, length = m.length, fingerprint = h,
-        width = meta.width, height = meta.height,
-        n_frames = math.max(1, meta.nSamples),
-        mean_luma = ((h >>> 33) % 256).toDouble / 255.0,
-        dhash = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L)
+      val firstSync =
+        if (meta.syncSamples.nonEmpty) meta.syncSamples.head - 1 else 0
+      decodeMjpegSample(m, meta, firstSync) match {
+        case Some(f) =>
+          MediaFeatures(path = m.path, length = m.length,
+            fingerprint = h, width = meta.width, height = meta.height,
+            n_frames = math.max(1, meta.nSamples),
+            mean_luma = f.mean_luma, dhash = f.dhash)
+        case None =>
+          MediaFeatures(path = m.path, length = m.length,
+            fingerprint = h, width = meta.width, height = meta.height,
+            n_frames = math.max(1, meta.nSamples),
+            mean_luma = ((h >>> 33) % 256).toDouble / 255.0,
+            dhash = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L)
+      }
     }
 
   /** ======== STUB (fallback) ========

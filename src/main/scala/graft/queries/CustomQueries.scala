@@ -167,9 +167,10 @@ object CustomQueries {
     * against the JDK's ImageIO).
     */
   /** Fixture bytes shared with q_lake_listing_pinned (names + sizes
-    * are part of that oracle's pinned expectations).
+    * are part of that oracle's pinned expectations) and the ops-level
+    * container specs (Mp4Spec drives the MJPEG fixture directly).
     */
-  private[queries] def mediaFixtureSet: Map[String, Array[Byte]] =
+  private[graft] def mediaFixtureSet: Map[String, Array[Byte]] =
     mediaFixtures
 
   private lazy val mediaFixtures: Map[String, Array[Byte]] = {
@@ -277,10 +278,60 @@ object CustomQueries {
       "0000147374737a0000000000000000000000180000001c73747373000000" +
       "0000000003000000010000000900000011")
       .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // MJPEG-in-MP4: every sample is a standalone JPEG bitstream, so the
+    // container layout (stsz per-sample sizes + stsc/stco chunk map)
+    // and the real JPEG decoder COMPOSE into fully real video decode —
+    // no inter-frame codec needed. Samples: photo.jpg, photo_prog.jpg,
+    // photo.jpg (the same 16×11 image under two encodings → every
+    // frame's decoded luma/dhash equals photo.jpg's); syncs {1, 3}.
+    val mjpeg = {
+      def bx(t: String, body: Array[Byte]): Array[Byte] =
+        be32r(body.length + 8) ++ t.getBytes("US-ASCII") ++ body
+      val frames = Seq(jpg, jpgProg, jpg)
+      val ftyp = bx("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32r(0) ++
+          "isom".getBytes("US-ASCII"))
+      val mdat = bx("mdat", frames.toArray.flatten)
+      val off0 = ftyp.length + 8
+      val offsets = frames.scanLeft(off0)((o, f) => o + f.length).init
+      val mdhd = bx("mdhd", be32r(0) ++ be32r(0) ++ be32r(0) ++
+        be32r(1000) ++ be32r(3000) ++ be16r(0x55c4) ++ be16r(0))
+      val hdlr = bx("hdlr", be32r(0) ++ be32r(0) ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++
+        Array[Byte](0))
+      val entry = { // 'jpeg' visual sample entry, 16×11
+        val body = new Array[Byte](6) ++ be16r(1) ++
+          new Array[Byte](16) ++ be16r(16) ++ be16r(11) ++
+          be32r(0x00480000) ++ be32r(0x00480000) ++ be32r(0) ++
+          be16r(1) ++ new Array[Byte](32) ++ be16r(24) ++ be16r(0xffff)
+        be32r(body.length + 8) ++ "jpeg".getBytes("US-ASCII") ++ body
+      }
+      val stsd = bx("stsd", be32r(0) ++ be32r(1) ++ entry)
+      val stts = bx("stts", be32r(0) ++ be32r(1) ++ be32r(3) ++
+        be32r(1000))
+      val stsz = bx("stsz", be32r(0) ++ be32r(0) ++ be32r(3) ++
+        frames.toArray.flatMap(f => be32r(f.length)))
+      val stsc = bx("stsc", be32r(0) ++ be32r(1) ++
+        be32r(1) ++ be32r(1) ++ be32r(1)) // 1 sample per chunk
+      val stco = bx("stco", be32r(0) ++ be32r(3) ++
+        offsets.toArray.flatMap(be32r))
+      val stss = bx("stss", be32r(0) ++ be32r(2) ++ be32r(1) ++ be32r(3))
+      val stbl = bx("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco ++ stss)
+      val mdia = bx("mdia", mdhd ++ hdlr ++ bx("minf", stbl))
+      val moov = bx("moov",
+        bx("mvhd", new Array[Byte](100)) ++ bx("trak", mdia))
+      ftyp ++ mdat ++ moov
+    }
     Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
       "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg,
-      "photo_prog.jpg" -> jpgProg, "video.mp4" -> mp4box)
+      "photo_prog.jpg" -> jpgProg, "video.mp4" -> mp4box,
+      "clip_mjpeg.mp4" -> mjpeg)
   }
+
+  private def be32r(v: Int): Array[Byte] = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16r(v: Int): Array[Byte] =
+    Array[Byte]((v >> 8).toByte, v.toByte)
 
   /** REAL multimodal decode as a driver-checked query: materialize the
     * deterministic fixture set into a scratch dir, run the actual
@@ -489,12 +540,15 @@ object CustomQueries {
   }
 
   /** Unified KEYFRAME table across container kinds: real per-frame LZW
-    * decode for the animated GIF, deterministic stub keyframes for the
-    * codec-requiring video blob (Multimodal.extractVideoKeyframes,
-    * stride 32 — the frame-SAMPLING contract: per-file fan-out is
-    * n_frames/stride, here 127/32 → 4 video rows + the GIF's frame 0).
+    * decode for the animated GIF, REAL JPEG decode for the MJPEG-in-MP4
+    * clip (container layout + JPEG decoder compose — its keyframe row
+    * carries photo.jpg's decoded luma/dhash), and deterministic stub
+    * keyframes only for the inter-frame-codec blob
+    * (Multimodal.extractVideoKeyframes, stride 32 — the frame-SAMPLING
+    * contract: per-file fan-out is n_frames/stride, here 127/32 → 4
+    * stub video rows + the GIF's frame 0 + 1 decoded MJPEG row).
     * Every number is pinned: GIF geometry/luma are analytic properties
-    * of the fixture raster; the video rows are pure functions of
+    * of the fixture raster; the stub rows are pure functions of
     * fnv1a64([1,2,3] ‖ idx) — file-level n_frames (127) agrees with
     * q_multimodal_decode's by construction.
     */
@@ -510,6 +564,11 @@ object CustomQueries {
     // subsamples that list to just index 0
     java.nio.file.Files.write(scratch.resolve("video.mp4"),
       mediaFixtures("video.mp4"))
+    // the DECODABLE video: MJPEG samples, so its keyframe rows carry
+    // REAL decoded luma/dhash (= photo.jpg's, every frame is that
+    // image); stride 32 subsamples syncs {1,3} to just sample 1
+    java.nio.file.Files.write(scratch.resolve("clip_mjpeg.mp4"),
+      mediaFixtures("clip_mjpeg.mp4"))
     Multimodal.extractVideoKeyframes(
         Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"),
         stride = 32).toDF()
@@ -589,6 +648,8 @@ object CustomQueries {
       """SELECT * FROM (VALUES
         |  ('clip.mp4', CAST(1387 AS BIGINT), CAST(574 AS BIGINT),
         |   CAST(127 AS BIGINT), CAST(0.047059 AS DOUBLE)),
+        |  ('clip_mjpeg.mp4', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(0.499242 AS DOUBLE)),
         |  ('img.bmp', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
         |   CAST(1 AS BIGINT), CAST(0.5 AS DOUBLE)),
         |  ('img.pgm', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
@@ -615,6 +676,10 @@ object CustomQueries {
         |   CAST(-3410805910829992533 AS BIGINT), CAST(1387 AS BIGINT),
         |   CAST(574 AS BIGINT), CAST(512 AS BIGINT), CAST(211 AS BIGINT),
         |   CAST(127 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('clip_mjpeg.mp4', CAST(2470 AS BIGINT),
+        |   CAST(2296709179991697951 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
         |  ('img.bmp', CAST(70 AS BIGINT),
         |   CAST(-327462689767258727 AS BIGINT), CAST(2 AS BIGINT),
         |   CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
@@ -741,6 +806,9 @@ object CustomQueries {
         |  ('clip.mp4', CAST(96 AS BIGINT), CAST(1387 AS BIGINT),
         |   CAST(574 AS BIGINT), CAST(0.407843 AS DOUBLE),
         |   CAST(-726934233687745871 AS BIGINT)),
+        |  ('clip_mjpeg.mp4', CAST(0 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(0.499242 AS DOUBLE),
+        |   CAST(-578712562351212553 AS BIGINT)),
         |  ('video.mp4', CAST(0 AS BIGINT), CAST(64 AS BIGINT),
         |   CAST(48 AS BIGINT), CAST(0.431373 AS DOUBLE),
         |   CAST(-3339984164019236698 AS BIGINT)))

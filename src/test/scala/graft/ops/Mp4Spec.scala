@@ -147,6 +147,53 @@ class Mp4Spec extends SparkTestBase {
     assert(strided == Seq(0, 3))
   }
 
+  test("sample layout: stsz table + stsc/stco resolve per-sample file " +
+      "offsets; payloads slice out of mdat") {
+    val mjpeg = graft.queries.CustomQueries.mediaFixtureSet("clip_mjpeg.mp4")
+    val meta = Multimodal.decodeMp4Meta(mf(mjpeg, "mem://c.mp4")).get
+    assert(meta.width == 16 && meta.height == 11 && meta.nSamples == 3)
+    assert(meta.syncSamples == Seq(1, 3))
+    assert(meta.sampleOffsets.length == 3 && meta.sampleSizes.length == 3)
+    // every sample is a standalone JPEG: payloads start with SOI and
+    // offsets+sizes tile mdat contiguously (1 sample per chunk)
+    (0 until 3).foreach { i =>
+      val p = Multimodal.samplePayload(mjpeg, meta, i).get
+      assert((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
+        s"sample $i must be a JPEG bitstream")
+      assert(p.length.toLong == meta.sampleSizes(i))
+    }
+    assert(meta.sampleOffsets(1) ==
+      meta.sampleOffsets(0) + meta.sampleSizes(0))
+    assert(meta.sampleOffsets(2) ==
+      meta.sampleOffsets(1) + meta.sampleSizes(1))
+  }
+
+  test("MJPEG keyframes decode REAL pixel content through the " +
+      "container layout + JPEG decoder") {
+    import spark.implicits._
+    val mjpeg = graft.queries.CustomQueries.mediaFixtureSet("clip_mjpeg.mp4")
+    val jpg = graft.queries.CustomQueries.mediaFixtureSet("photo.jpg")
+    val want = Multimodal.decodeJpeg(mf(jpg, "mem://photo.jpg")).get
+    val dir = java.nio.file.Files.createTempDirectory("mp4-mjpeg").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "c.mp4").toPath, mjpeg)
+    val rows = Multimodal.extractVideoKeyframes(
+        Multimodal.readBinary(spark, s"$dir/*"), stride = 1).toDF()
+      .select(col("frame_idx"), col("mean_luma"), col("dhash"))
+      .as[(Int, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0, 2), "sync samples {1,3}")
+    rows.foreach { case (_, luma, dh) =>
+      assert(luma == want.mean_luma, "decoded luma must equal photo.jpg's")
+      assert(dh == want.dhash, "decoded dhash must equal photo.jpg's")
+    }
+    // file-level view agrees: first sync sample's decode is the
+    // file-level luma/dhash
+    val f = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*")).collect().head
+    assert(f.n_frames == 3 && f.mean_luma == want.mean_luma &&
+      f.dhash == want.dhash)
+  }
+
   test("malformed blobs parse to None (stub fallback preserved)") {
     assert(Multimodal.decodeMp4Meta(mf(Array[Byte](1, 2, 3))).isEmpty)
     // truncated mid-moov
