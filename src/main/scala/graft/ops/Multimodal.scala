@@ -715,8 +715,11 @@ object Multimodal {
     * deterministic across partitionings. Returns None for anything
     * non-PCM (mp3/aac/flac need codecs → `fakeAudioDecode`).
     */
-  private[ops] def decodeWavPcm(m: MediaFile): Option[AudioFeatures] = {
-    val b = m.content
+  /** RIFF/WAVE layout discovery shared by the PCM decoder and the
+    * audio energy hash: (channels, rate, bits, dataOffset, dataSize),
+    * None for non-PCM or malformed containers. */
+  private def wavPcmLayout(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] = {
     def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
     def u32(p: Int): Long = (u16(p).toLong) | (u16(p + 2).toLong << 16)
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
@@ -742,7 +745,13 @@ object Multimodal {
       (channels, rate, bits) <- fmt
       (off, sz) <- data
       if channels > 0 && rate > 0 && (bits == 8 || bits == 16)
-    } yield {
+    } yield (channels, rate, bits, off, sz)
+  }
+
+  private[ops] def decodeWavPcm(m: MediaFile): Option[AudioFeatures] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    wavPcmLayout(b).map { case (channels, rate, bits, off, sz) =>
       val bytesPerSample = bits / 8
       val nSamples = sz / bytesPerSample
       var i = 0
@@ -891,6 +900,82 @@ object Multimodal {
         .getOrElse(fakeAudioDecode(m)))
     }
   }
+
+  /** 64-bit AUDIO energy-delta hash — the time-domain analog of the
+    * image dHash: mix each PCM frame down to mono, split the frame
+    * stream into 65 equal windows, take each window's mean absolute
+    * amplitude, and set bit i iff energy(i) > energy(i+1). Like dHash,
+    * the fingerprint captures the SHAPE of the envelope, not its scale:
+    * re-encoded, resampled or gain-adjusted copies of a recording keep
+    * (almost) the same bits, while different material diverges toward
+    * Hamming ~32. None for non-PCM payloads (codec formats would slot
+    * into the same window fold once decoded) or clips shorter than one
+    * frame per window. Sequential fold — deterministic across
+    * partitionings.
+    */
+  private[ops] def audioEnergyHash(m: MediaFile): Option[Long] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    wavPcmLayout(b).flatMap { case (channels, _, bits, off, sz) =>
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = sz / frameBytes
+      val nWin = 65
+      if (nFrames < nWin) None
+      else {
+        val energy = new Array[Double](nWin)
+        val count = new Array[Long](nWin)
+        var f = 0
+        while (f < nFrames) {
+          val w = ((f.toLong * nWin) / nFrames).toInt
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val p = off + (f * channels + c) * bytesPerSample
+            acc +=
+              (if (bits == 16) {
+                val v = u16(p)
+                (if (v >= 0x8000) v - 0x10000 else v).toDouble / 32768.0
+              } else ((b(p) & 0xff) - 128).toDouble / 128.0)
+            c += 1
+          }
+          energy(w) += math.abs(acc / channels)
+          count(w) += 1
+          f += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (energy(i) / count(i) > energy(i + 1) / count(i + 1))
+            h |= 1L << i
+          i += 1
+        }
+        Some(h)
+      }
+    }
+  }
+
+  /** (path, dhash) rows for every PCM audio blob in the set — the
+    * audio fingerprint table feeding [[audioNearDupPairs]]. Non-PCM
+    * blobs yield no rows (a codec integration would add its decode
+    * here, same contract as the image decoders). */
+  def extractAudioHashes(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it =>
+        it.flatMap(m => audioEnergyHash(m).map(h => (m.path, h))))
+      .toDF("path", "dhash")
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs — the audio member of the
+    * near-dup family: the energy-delta hash drops into the SAME
+    * pigeonhole-banded LSH join as image dHash ([[imageNearDupPairs]]
+    * is hash-agnostic), so candidates come from (slice, bits)
+    * equi-joins and one popcount certifies the distance. Shuffles carry
+    * (id, hash, slice) longs, never audio samples.
+    */
+  def audioNearDupPairs(media: Dataset[MediaFile],
+                        maxHamming: Int = 3): DataFrame =
+    imageNearDupPairs(extractAudioHashes(media), "path", maxHamming)
 
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

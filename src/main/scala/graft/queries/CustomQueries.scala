@@ -155,6 +155,61 @@ object CustomQueries {
       "x.mp3" -> mp3)
   }
 
+  /** Deterministic fixtures for the audio near-dup query: 16-bit mono
+    * 8 kHz sines whose per-window amplitude ENVELOPE is the controlled
+    * variable (65 windows × 32 frames — the energy-delta hash bit i
+    * compares window i to i+1). beat_a and beat_b share the same
+    * pseudo-random envelope except one attenuated window (a dropout —
+    * the near-dup case, small Hamming); beat_c follows a different
+    * envelope (far). All analytic; the pinned oracle carries the exact
+    * pair distances.
+    */
+  private lazy val audioDedupFixtures: Map[String, Array[Byte]] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(amp: Int => Double): Array[Byte] = {
+      val pcm = Array.tabulate(65 * 32) { i =>
+        (amp(i / 32) * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767)
+          .toInt
+      }.flatMap(le16)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+        ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def envA(w: Int): Double = 0.1 + 0.8 * (((w * 37 + 11) % 64) / 63.0)
+    Map(
+      "beat_a.wav" -> wav(envA),
+      // same recording with one window attenuated to near-silence
+      "beat_b.wav" -> wav(w => if (w == 20) envA(w) * 0.05 else envA(w)),
+      "beat_c.wav" -> wav(w => 0.1 + 0.8 * (((w * 53 + 29) % 64) / 63.0)),
+      // non-PCM blob: yields no hash row (codec formats need decoders)
+      "y.mp3" -> Array[Byte](-1, -5, 100, 0, 1, 2))
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs — the audio member of the
+    * near-dup family (text MinHash/winnow, image dHash, audio
+    * energy-delta hash): the 64-bit envelope-shape fingerprint drops
+    * into the SAME pigeonhole-banded LSH join as image dHash, so the
+    * dropout copy pairs with its original at small Hamming while the
+    * different-envelope recording stays out. The non-PCM blob yields
+    * no hash row (decoders, not fingerprints, are the codec boundary).
+    */
+  def qMultimodalAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-audiodedup")
+    audioDedupFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val hashes = Multimodal.extractAudioHashes(
+        Multimodal.readBinary(spark, s"$scratch/*"))
+      .select(element_at(split(col("path"), "/"), -1).as("id"),
+        col("dhash"))
+    Multimodal.imageNearDupPairs(hashes, "id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic media fixture bytes for q_multimodal_decode — the
     * formats the REAL decoders parse (PPM/PGM/BMP/PNG/baseline JPEG)
     * plus one codec-format blob that exercises the documented stub
@@ -627,6 +682,7 @@ object CustomQueries {
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
+    "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
     "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
@@ -814,6 +870,15 @@ object CustomQueries {
         |   CAST(-3339984164019236698 AS BIGINT)))
         |  AS t(file, frame_idx, width, height, luma_r6, dhash)
         |ORDER BY file, frame_idx""".stripMargin,
+    // Pinned pair list: the dropout copy (one attenuated window flips
+    // the two adjacent energy comparisons → Hamming 2) pairs with its
+    // original; the different-envelope recording exceeds the budget;
+    // the non-PCM blob contributes no hash row at all.
+    "q_multimodal_audio_dedup" ->
+      """SELECT * FROM (VALUES
+        |  ('beat_a.wav', 'beat_b.wav', CAST(2 AS BIGINT)))
+        |  AS t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin,
     // Same oracle as q_dedup_embedding: the native expression must be
     // bit-identical to the HOF formulation (same op order).
     "q_custom_cosine_expr" -> DedupQueries.oracles("q_dedup_embedding"),
