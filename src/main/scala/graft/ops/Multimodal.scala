@@ -977,6 +977,31 @@ object Multimodal {
                         maxHamming: Int = 3): DataFrame =
     imageNearDupPairs(extractAudioHashes(media), "path", maxHamming)
 
+  /** SCENE-CUT detection over a keyframe table (any frame with `path`,
+    * `frame_idx`, `dhash` — [[extractVideoKeyframes]]' output): a cut
+    * is a consecutive-frame pair whose dHash Hamming distance exceeds
+    * `threshold` — the content-detector shape video curation pipelines
+    * run to split footage into scenes before per-scene dedup/sampling.
+    * One window pass partitioned BY FILE (state = one file's frames,
+    * never global), comparing 8-byte hashes the decode pass already
+    * produced — no second look at pixels, nothing but (path, idx,
+    * hash) in the exchange.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_dhash", lag(col("dhash"), 1).over(w))
+      .withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+      .filter(col("prev_dhash").isNotNull)
+      .withColumn("dist",
+        bit_count(col("dhash").bitwiseXOR(col("prev_dhash")))
+          .cast("long"))
+      .filter(col("dist") > threshold)
+      .select(col("path"), col("prev_idx").as("from_idx"),
+        col("frame_idx").as("cut_idx"), col("dist"))
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

@@ -661,6 +661,30 @@ object CustomQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SCENE-CUT detection across container kinds: the animated GIF's
+    * four frames cut exactly where the content changes beyond the
+    * threshold (gradient → corner-patch is Hamming 1, NO cut; patch →
+    * vertical gradient and vertical → stripes are far, cuts), while
+    * the MJPEG clip's keyframes — all decoding to the same image —
+    * produce none. One windowed pass over the unified keyframe table's
+    * 8-byte hashes; pixels are never revisited.
+    */
+  def qMultimodalSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-scenes")
+    frameFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    java.nio.file.Files.write(scratch.resolve("clip_mjpeg.mp4"),
+      mediaFixtures("clip_mjpeg.mp4"))
+    val frames = Multimodal.extractVideoKeyframes(
+      Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"), stride = 1)
+    Multimodal.sceneCuts(frames.toDF(), threshold = 16)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("from_idx").cast("long").as("from_idx"),
+        col("cut_idx").cast("long").as("cut_idx"), col("dist"))
+      .orderBy(col("file"), col("cut_idx"))
+  }
+
   /** Weighted geometric mean of price (weight = quantity) per flag —
     * the typed-Aggregator exemplar from SURVEY §2-B. Output rounded to 4
     * decimals: ln/exp differ across libms at ulp level (like q_func_math's
@@ -683,6 +707,7 @@ object CustomQueries {
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
+    "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
     "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
@@ -870,6 +895,17 @@ object CustomQueries {
         |   CAST(-3339984164019236698 AS BIGINT)))
         |  AS t(file, frame_idx, width, height, luma_r6, dhash)
         |ORDER BY file, frame_idx""".stripMargin,
+    // Pinned cuts: gradient→patch is Hamming 1 (below threshold, no
+    // cut); patch→vertical (63) and vertical→stripes (32) cut; the
+    // MJPEG clip's identical keyframes contribute nothing.
+    "q_multimodal_scene_cuts" ->
+      """SELECT * FROM (VALUES
+        |  ('anim.gif', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(63 AS BIGINT)),
+        |  ('anim.gif', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |   CAST(32 AS BIGINT)))
+        |  AS t(file, from_idx, cut_idx, dist)
+        |ORDER BY file, cut_idx""".stripMargin,
     // Pinned pair list: the dropout copy (one attenuated window flips
     // the two adjacent energy comparisons → Hamming 2) pairs with its
     // original; the different-envelope recording exceeds the budget;

@@ -134,4 +134,24 @@ class GifFramesSpec extends SparkTestBase {
     // stills yield nothing in the keyframe table
     assert(!frames.exists(_._1 == "still.pgm"))
   }
+
+  test("sceneCuts: consecutive-frame hamming over the threshold cuts; " +
+      "identical and near-identical frames don't; files are " +
+      "independent window partitions") {
+    import spark.implicits._
+    val frames = Seq(
+      // file a: identical, 1-bit, far, far
+      ("a", 0, 0x0L), ("a", 1, 0x0L), ("a", 2, 0x1L),
+      ("a", 3, 0xffffffffL), ("a", 4, -1L),
+      // file b: constant — no cuts ever
+      ("b", 0, 7L), ("b", 1, 7L), ("b", 2, 7L)
+    ).toDF("path", "frame_idx", "dhash")
+    val cuts = Multimodal.sceneCuts(frames, threshold = 16)
+      .select(col("path"), col("from_idx").cast("int"),
+        col("cut_idx").cast("int"), col("dist"))
+      .as[(String, Int, Int, Long)].collect().sortBy(c => (c._1, c._3))
+      .toSeq
+    assert(cuts == Seq(("a", 2, 3, 31L), ("a", 3, 4, 32L)),
+      s"got $cuts") // 0x1^0xffffffff = 31 bits; 0xffffffff^-1 = 32 bits
+  }
 }
