@@ -164,6 +164,51 @@ object TextQueries {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** CHUNK-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    * pass, with fixed 25-word chunks standing in for paragraphs on this
+    * fixture's flat word streams): every chunk keeps its single GLOBAL
+    * FIRST occurrence — the minimal (doc_id, idx) among all occurrences
+    * of its hash — and every later copy is dropped, corpus-wide, in ONE
+    * pass. Complements the pairwise span scrub: no candidate pairs, no
+    * thresholds; boilerplate shared by thousands of docs costs one
+    * hash-group, not Σ df² join rows.
+    *
+    * Scale: chunk hashing is map-side (60-bit md5 prefix — shuffles
+    * carry (hash, doc, idx) longs, never chunk text); the winner per
+    * hash is one hash aggregate; survivorship is an equi-join back on
+    * the hash; the rebuild groups each doc's kept chunks. Output
+    * md5-certifies the rebuilt text so the cross-engine compare stays
+    * row-sized.
+    */
+  def qTextChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = 25
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / $w.0) as int) - 1)," +
+          s" i -> array_join(slice(t, i * $w + 1, $w), ' '))"))
+        .as(Seq("idx", "chunk")))
+      .withColumn("h",
+        conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("long"))
+    val first = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = chunks.join(first, "h")
+      .filter(col("doc_id") === col("f.doc_id") &&
+        col("idx") === col("f.idx"))
+    val tot = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept0"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ")).as("md50"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept0"), lit(0L)).as("n_kept"),
+        coalesce(col("md50"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite Gopher-style quality gate: per-rule verdicts + overall
     * pass. Thresholds chosen to split the fixture non-vacuously (at
     * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
@@ -891,6 +936,7 @@ object TextQueries {
     "q_text_heavy_hitters" -> (qTextHeavyHitters(_, _)),
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
     "q_text_chunk" -> (qTextChunk(_, _)),
+    "q_text_chunk_dedup" -> (qTextChunkDedup(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
@@ -1227,6 +1273,37 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |ORDER BY st.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // chunk hashing, global-first winner (row_number over hash ordered
+    // by (doc, idx)), md5 of the space-rejoined kept chunks — the
+    // identical one-pass pipeline
+    "q_text_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |           FROM documents),
+        |c AS (SELECT doc_id, i AS idx,
+        |        array_to_string(t[i*25+1 : i*25+25], ' ') AS chunk
+        |      FROM (SELECT doc_id, t, unnest(generate_series(0,
+        |              CAST(ceil(len(t) / 25.0) AS INT) - 1)) AS i
+        |            FROM t)),
+        |h AS (SELECT doc_id, idx, chunk,
+        |        CAST(list_sum(list_transform(generate_series(1, 15),
+        |          d -> CAST(strpos('0123456789abcdef',
+        |              substring(md5(chunk), d, 1)) - 1 AS BIGINT)
+        |            * (CAST(1 AS BIGINT) << (4 * (15 - d)))))
+        |          AS BIGINT) AS h
+        |      FROM c),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY h
+        |         ORDER BY doc_id, idx) AS rn FROM h),
+        |kept AS (SELECT doc_id, idx, chunk FROM rn WHERE rn = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM h
+        |        GROUP BY doc_id),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          md5(string_agg(chunk, ' ' ORDER BY idx)) AS kept_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_chunks,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.kept_md5, md5('')) AS kept_md5
+        |FROM tot LEFT JOIN agg USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin,
     "q_text_scrub_corpus" -> (winnowSpanCorpusCtes + scrubTailSql),
     "q_text_dup_spans" ->
       """WITH t AS (
