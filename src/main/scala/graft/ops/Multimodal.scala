@@ -1771,6 +1771,11 @@ object Multimodal {
             val n = u32(body + 4).toInt
             if (body + 8 + 4L * n <= p + size)
               stco = (0 until n).map(i => u32(body + 8 + 4 * i))
+          case "co64" if size >= 16 => // 64-bit chunk offsets (>4 GB)
+            val n = u32(body + 4).toInt
+            if (body + 8 + 8L * n <= p + size)
+              stco = (0 until n).map(i =>
+                (u32(body + 8 + 8 * i) << 32) | u32(body + 12 + 8 * i))
           case "stss" if size >= 16 =>
             val n = u32(body + 4).toInt
             if (body + 8 + 4L * n <= p + size)

@@ -168,6 +168,38 @@ class Mp4Spec extends SparkTestBase {
       meta.sampleOffsets(1) + meta.sampleSizes(1))
   }
 
+  test("co64 (64-bit chunk offsets) resolves the same layout as stco") {
+    val mjpeg = graft.queries.CustomQueries.mediaFixtureSet("clip_mjpeg.mp4")
+    val want = Multimodal.decodeMp4Meta(mf(mjpeg, "mem://a.mp4")).get
+    // rewrite the stco box as co64 in place: same offsets, 64-bit wide
+    val stcoAt = mjpeg.indexOfSlice("stco".getBytes("US-ASCII")) - 4
+    val n = want.sampleOffsets.length // 1 chunk per sample here
+    val offs = (0 until n).map(i => ((mjpeg(stcoAt + 16 + 4 * i) & 0xffL) << 24) |
+      ((mjpeg(stcoAt + 17 + 4 * i) & 0xffL) << 16) |
+      ((mjpeg(stcoAt + 18 + 4 * i) & 0xffL) << 8) |
+      (mjpeg(stcoAt + 19 + 4 * i) & 0xffL))
+    val co64 = be32(8 + 8 + 8 * n) ++ "co64".getBytes("US-ASCII") ++
+      be32(0) ++ be32(n) ++ offs.toArray.flatMap(o =>
+        be32((o >> 32).toInt) ++ be32(o.toInt))
+    val old = mjpeg.slice(stcoAt, stcoAt + 8 + 8 + 4 * n)
+    assert(new String(old, 4, 4, "US-ASCII") == "stco")
+    // splice: replace the stco box bytes with the (larger) co64 box and
+    // fix every ancestor box size (+4 bytes per offset)
+    val grow = 4 * n
+    val rebuilt = mjpeg.take(stcoAt) ++ co64 ++
+      mjpeg.drop(stcoAt + 8 + 8 + 4 * n)
+    def fixSize(b: Array[Byte], boxType: String): Unit = {
+      val at = b.indexOfSlice(boxType.getBytes("US-ASCII")) - 4
+      val sz = ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+        ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+      be32(sz + grow).copyToArray(b, at)
+    }
+    Seq("moov", "trak", "mdia", "minf", "stbl").foreach(fixSize(rebuilt, _))
+    val got = Multimodal.decodeMp4Meta(mf(rebuilt, "mem://b.mp4")).get
+    assert(got.sampleOffsets == want.sampleOffsets)
+    assert(got.sampleSizes == want.sampleSizes)
+  }
+
   test("MJPEG keyframes decode REAL pixel content through the " +
       "container layout + JPEG decoder") {
     import spark.implicits._
