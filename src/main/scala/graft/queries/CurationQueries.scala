@@ -240,6 +240,7 @@ object CurationQueries {
     "q_curate_dsir_bigram" -> (qDsirBigram(_, _)),
     "q_curate_curriculum" -> (qCurriculum(_, _)),
     "q_curate_dsir" -> (qDsirWeights(_, _)),
+    "q_curate_nb_langid" -> (qCurateNbLangid(_, _)),
     "q_curate_sample_weighted" -> (qSampleWeighted(_, _)),
     "q_curate_remix" -> (qRemix(_, _)),
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
@@ -249,6 +250,83 @@ object CurationQueries {
     "q_curate_split" -> (qSplit(_, _)),
     "q_curate_datasheet" -> (qDatasheet(_, _))
   )
+
+  /** MODEL-BASED filtering: a Naive-Bayes classifier over hashed
+    * bag-of-words features (the fasttext-shaped linear scorer the
+    * GPT-3/LLaMA curation stacks run for quality/language filtering),
+    * trained and applied in ONE relational plan — NB training is
+    * closed-form counting, so no iteration or driver state exists.
+    * The label is `lang`, trained on the even-doc_id half and scored
+    * on the odd-doc_id HOLDOUT (a real split): per class,
+    * Laplace-smoothed bucket likelihoods log((c+1)/(t+B)) over B=256
+    * md5-hashed token buckets (the DSIR family), plus a smoothed
+    * doc-count prior; prediction is the argmax, ties broken by class
+    * name.
+    *
+    * HONEST fixture note: this corpus's `lang` (and `source`) labels
+    * are measured to be INDEPENDENT of the text — every language's
+    * docs draw from the same vocabulary at the same rates (zero
+    * occurrences of any real language marker; per-token rates
+    * identical across labels). On such data the Bayes-optimal
+    * classifier IS the prior, and that calibration — converging to
+    * majority-class prediction rather than hallucinating signal — is
+    * exactly what the pinned oracle certifies, token for token, in
+    * both engines. On a corpus whose labels correlate with text the
+    * same plan learns the real signal; swap `lang` for any seed label
+    * (quality votes, domain tags) unchanged.
+    *
+    * Scale: one corpus-sized shuffle (the (doc, bucket) count —
+    * shared shape with qDsirWeights); the model is a (classes × 256)
+    * grid broadcast back; scoring is map-side + one per-doc window.
+    */
+  def qCurateNbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val b = 256
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(b.toLong)).as("bkt"))
+    val docBkt = graft.ops.CacheScope.cached(
+      toks.groupBy(col("doc_id"), col("lang"), col("bkt"))
+        .agg(count(lit(1)).as("cnt")))
+    val train = docBkt.filter(col("doc_id") % 2 === 0)
+    val classTok = train.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("cnt")).as("c"))
+    val classTot = classTok.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val priors = train.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("d"))
+    val totals = priors.agg(sum(col("d")).as("dd"),
+      count(lit(1)).as("nl"))
+    // dense (class × bucket) grid: zero-count buckets still smooth
+    val grid = priors.select(col("lang").as("cls"))
+      .crossJoin(spark.range(0, b).select(col("id").as("bkt")))
+      .join(classTok.select(col("lang").as("cls"), col("bkt"), col("c")),
+        Seq("cls", "bkt"), "left")
+      .join(classTot.select(col("lang").as("cls"), col("t")), "cls")
+      .select(col("cls"), col("bkt"),
+        log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t") + lit(b.toLong)).cast("double")).as("logp"))
+    val logPrior = priors.crossJoin(broadcast(totals))
+      .select(col("lang").as("cls"),
+        log((col("d") + lit(1L)).cast("double") /
+          (col("dd") + col("nl")).cast("double")).as("logprior"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    docBkt.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(grid), "bkt")
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum(col("cnt").cast("double") * col("logp")).as("ll"))
+      .join(broadcast(logPrior), "cls")
+      .withColumn("score", col("ll") + col("logprior"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_lang"), col("lang"),
+        when(col("cls") === col("lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
 
   /** "Datasheet for datasets" (Gebru et al., CACM'21) summary card:
     * one long-format artifact uniting the corpus-level facts a model
@@ -375,6 +453,54 @@ object CurationQueries {
         |    ORDER BY n_chars, doc_id) AS pos_in_decile
         |FROM d
         |ORDER BY decile, pos_in_decile, source, doc_id""".stripMargin,
+    // full NB replay: same hashed buckets, Laplace likelihoods and
+    // smoothed prior, argmax with the identical (score DESC, cls) tie
+    "q_curate_nb_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef', substring(md5(tok), d, 1))
+        |             - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % 256 AS bkt
+        |  FROM toks WHERE tok <> ''),
+        |db AS (SELECT doc_id, lang, bkt, count(*) AS cnt
+        |       FROM h GROUP BY doc_id, lang, bkt),
+        |tr AS (SELECT * FROM db WHERE doc_id % 2 = 0),
+        |ct AS (SELECT lang, bkt, sum(cnt) AS c FROM tr GROUP BY lang, bkt),
+        |tt AS (SELECT lang, sum(c) AS t FROM ct GROUP BY lang),
+        |pr AS (SELECT lang, count(DISTINCT doc_id) AS d FROM tr
+        |       GROUP BY lang),
+        |td AS (SELECT (SELECT sum(d) FROM pr) AS dd,
+        |              (SELECT count(*) FROM pr) AS nl),
+        |grid AS (
+        |  SELECT pr.lang AS cls, g.bkt,
+        |    ln((coalesce(ct.c, 0) + 1) / (tt.t + 256.0)) AS logp
+        |  FROM pr
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bkt) g
+        |  JOIN tt ON tt.lang = pr.lang
+        |  LEFT JOIN ct ON ct.lang = pr.lang AND ct.bkt = g.bkt),
+        |lp AS (SELECT pr.lang AS cls,
+        |         ln((pr.d + 1) / (td.dd + td.nl * 1.0)) AS logprior
+        |       FROM pr CROSS JOIN td),
+        |sc AS (
+        |  SELECT ho.doc_id, ho.lang, grid.cls,
+        |    sum(ho.cnt * grid.logp) AS ll
+        |  FROM (SELECT * FROM db WHERE doc_id % 2 = 1) ho
+        |  JOIN grid ON ho.bkt = grid.bkt
+        |  GROUP BY ho.doc_id, ho.lang, grid.cls),
+        |scored AS (SELECT sc.doc_id, sc.lang, sc.cls,
+        |             sc.ll + lp.logprior AS score
+        |           FROM sc JOIN lp ON sc.cls = lp.cls),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, cls) AS rn FROM scored)
+        |SELECT doc_id, cls AS pred_lang, lang,
+        |  CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct
+        |FROM rn WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_curate_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
