@@ -847,18 +847,23 @@ object StreamOps {
           val bSigs = graft.ops.CacheScope.cached(
             graft.ops.Dedup.minhashSignatures(batch, idCol, textCol,
               k = 5, numHashes = 32))
-          // Empty-corpus fallback is ONLY for the first batch, when the
-          // sidecar doesn't exist yet. Any other failure (corrupt footer,
-          // transient FS error) must abort the batch: treating it as
-          // "empty corpus" would silently re-admit every duplicate.
+          // Empty-corpus fallback is ONLY for the true first batch: the
+          // sidecar doesn't exist AND neither does the corpus. A missing
+          // sidecar NEXT TO an existing corpus is inconsistent state (a
+          // crashed compaction, an operator delete) and must abort — as
+          // must any other failure (corrupt footer, transient FS error):
+          // treating either as "empty corpus" would silently re-admit
+          // every duplicate.
           val cSigs =
             try spark.read.parquet(sigPath)
             catch {
               case e: org.apache.spark.sql.AnalysisException
                   if e.getMessage != null &&
-                     e.getMessage.contains("PATH_NOT_FOUND") =>
+                     e.getMessage.contains("PATH_NOT_FOUND") &&
+                     !pathExists(spark, corpusPath) =>
                 bSigs.limit(0)
-              case _: java.io.FileNotFoundException => bSigs.limit(0)
+              case _: java.io.FileNotFoundException
+                  if !pathExists(spark, corpusPath) => bSigs.limit(0)
             }
           val pairs = graft.ops.Dedup.minhashPairsFromSigs(
             cSigs, bSigs, bands = 8, rowsPerBand = 4,
@@ -921,14 +926,18 @@ object StreamOps {
               batch.select(col(idCol).as("doc_id"),
                 col(textCol).as("text")))
               .select(col("doc_id").as("id"), col("fp")))
+          // same first-batch-only fallback discipline as dedupIngest: a
+          // sidecar missing NEXT TO an existing corpus aborts
           val cFps =
             try spark.read.parquet(fpPath)
             catch {
               case e: org.apache.spark.sql.AnalysisException
                   if e.getMessage != null &&
-                     e.getMessage.contains("PATH_NOT_FOUND") =>
+                     e.getMessage.contains("PATH_NOT_FOUND") &&
+                     !pathExists(spark, corpusPath) =>
                 bFps.limit(0)
-              case _: java.io.FileNotFoundException => bFps.limit(0)
+              case _: java.io.FileNotFoundException
+                  if !pathExists(spark, corpusPath) => bFps.limit(0)
             }
           // df-cap over everything visible this batch (corpus ∪ batch),
           // mirroring the batch family's corpus-wide cap
@@ -963,6 +972,51 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Compact an ingest sidecar (dedupIngest's `._sigs`, winnowIngest's
+    * `._wfps`): every micro-batch appends one (or more) small parquet
+    * files, so after N batches the sidecar is N tiny files — the
+    * classic streaming small-files problem, and at 100 TB the listing
+    * + footer overhead alone would dominate the per-batch corpus read.
+    * Compaction rewrites the sidecar as `numFiles` full-size files
+    * (size for ~128 MB each at scale) with a rename-based swap:
+    * write `<path>.compact.tmp` → rename live aside → rename tmp in →
+    * delete the old generation. Run it between batches (the ingest
+    * query owns the sidecar during a batch).
+    *
+    * Crash safety: each rename is a single metadata op on HDFS-class
+    * filesystems; if a crash lands between the two renames, the live
+    * path is MISSING while the corpus exists — a state both ingest
+    * front doors now refuse to run from (they abort rather than treat
+    * it as an empty corpus), so an interrupted compaction can never
+    * silently re-admit duplicates: the `.compact.old` / `.compact.tmp`
+    * generation is still on disk for the operator to restore.
+    */
+  def compactSidecar(spark: org.apache.spark.sql.SparkSession,
+                     sidecarPath: String, numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(sidecarPath)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(sidecarPath + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(sidecarPath + ".compact.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(sidecarPath).distinct()
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) // old generation still intact on disk
+      throw new java.io.IOException(s"compact: cannot activate $tmp")
+    fs.delete(old, true)
   }
 
   /** Default sink for bounded streaming runs in tests/pipelines:

@@ -564,6 +564,65 @@ class FileStreamSpec extends SparkTestBase {
       "an aborted batch must not append potentially-duplicate survivors")
   }
 
+  test("compactSidecar: N per-batch files collapse to one; dedup " +
+      "state survives the swap; a half-swapped (missing) sidecar " +
+      "ABORTS the next batch instead of re-admitting duplicates") {
+    val dir = Files.createTempDirectory("ingest-compact").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._sigs"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different text about spark engines and shuffles"
+    val t3 = "yet another unique document with its own words entirely"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val now = System.currentTimeMillis()
+    Seq((1L, t1)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet").setLastModified(now - 120000)
+    Seq((2L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(now - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    def runOnce(): Unit = StreamOps.dedupIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "doc_id", "text", corpus, s"$dir/cp", threshold = 0.9)
+    runOnce() // two batches → two sidecar appends
+    assert(parquetFiles(sidecar).length >= 2,
+      "per-batch appends must have produced multiple sidecar files")
+    StreamOps.compactSidecar(spark, sidecar)
+    assert(parquetFiles(sidecar).length == 1,
+      "compaction must rewrite the sidecar as one file")
+    // batch C: 4 duplicates accepted id 1 — ONLY the compacted sidecar
+    // can know that; 5 is new
+    Seq((4L, t1), (5L, t3)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/c.parquet")
+    dataFile(s"$src/c.parquet").setLastModified(now)
+    runOnce()
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L),
+      s"dedup state must survive compaction; got $ids")
+    // ---- half-swapped state: sidecar gone, corpus present → abort ----
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(sidecar))
+    val preCorpus = parquetFiles(corpus).map(_.getName).toSet
+    Seq((6L, t2)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/d.parquet")
+    dataFile(s"$src/d.parquet")
+      .setLastModified(System.currentTimeMillis() + 1000)
+    intercept[Exception](runOnce())
+    val appended = parquetFiles(corpus)
+      .filter(f => !preCorpus.contains(f.getName))
+    assert(appended.isEmpty,
+      "missing sidecar next to an existing corpus must abort the batch")
+  }
+
   test("streamAsOf: cross-batch out-of-order rights still match, " +
     "result equals batch as-of") {
     val dir = Files.createTempDirectory("st-asof").toString
