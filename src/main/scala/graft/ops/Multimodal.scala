@@ -667,7 +667,27 @@ object Multimodal {
         val ext = m.path.substring(m.path.lastIndexOf('.') + 1)
           .toLowerCase(java.util.Locale.ROOT)
         if (!videoExts(ext)) Nil
-        else decodeMp4Meta(m) match {
+        else decodeAviMeta(m) match {
+          case Some(am) if am.nFrames > 0 =>
+            // Motion-JPEG: every frame is intra-coded = every frame is
+            // a keyframe; stride walks the frame list, payloads decode
+            // through the real JPEG path (stub only for other codecs)
+            (0 until am.nFrames by stride).map { idx =>
+              decodeAviFrame(m, am, idx) match {
+                case Some(f) =>
+                  GifFrame(m.path, idx, am.width, am.height,
+                    mean_luma = f.mean_luma, dhash = f.dhash)
+                case None =>
+                  val hf = fnv(m.content ++ Array[Byte](
+                    (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte,
+                    ((idx >> 16) & 0xff).toByte,
+                    ((idx >> 24) & 0xff).toByte))
+                  GifFrame(m.path, idx, am.width, am.height,
+                    mean_luma = ((hf >>> 33) % 256).toDouble / 255.0,
+                    dhash = (hf ^ (hf >>> 30)) * 0xbf58476d1ce4e5b9L)
+              }
+            }
+          case _ => decodeMp4Meta(m) match {
           case Some(meta) if meta.nSamples > 0 =>
             // real keyframe indices (stss is 1-based); stride walks
             // the SYNC LIST — per-file fan-out ≤ |stss| / stride.
@@ -697,6 +717,7 @@ object Multimodal {
                 }
               }
           case _ => fakeKeyframes(m, stride)
+          }
         }
       }
     })
@@ -1870,6 +1891,104 @@ object Multimodal {
       }
     }
 
+  /** Parsed AVI (RIFF) container metadata for the video stream:
+    * geometry and frame timing from `avih`, one (offset, size) per
+    * `##dc`/`##db` movi chunk. Motion-JPEG AVIs carry a standalone
+    * JPEG bitstream per chunk — every frame is intra-coded, so the
+    * whole file decodes with the JPEG decoder alone. */
+  private[ops] case class AviMeta(width: Int, height: Int,
+      nFrames: Int, durationS: Double,
+      frameOffsets: Seq[Long], frameSizes: Seq[Long])
+
+  /** REAL RIFF/AVI container parser — the little-endian sibling of the
+    * ISO-BMFF walk: chunk list with word alignment (same discipline as
+    * the WAV reader), LIST descent (hdrl/strl/movi), `avih` geometry +
+    * microseconds-per-frame, video frame chunks (`..dc`/`..db`)
+    * collected with absolute offsets. Returns None unless a well-formed
+    * AVI with at least the main header is found.
+    */
+  private[ops] def decodeAviMeta(m: MediaFile): Option[AviMeta] = {
+    val b = m.content
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = u16(p).toLong | (u16(p + 2).toLong << 16)
+    def fourcc(p: Int): String = new String(b, p, 4, "US-ASCII")
+    if (b.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    var width = 0
+    var height = 0
+    var usPerFrame = 0L
+    var sawAvih = false
+    val offs = Seq.newBuilder[Long]
+    val sizes = Seq.newBuilder[Long]
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourcc(p)
+        val size = u32(p + 4)
+        if (size < 0 || p + 8 + size > to) return // malformed: stop
+        id match {
+          case "LIST" if size >= 4 => // list type, then children
+            walk(p + 12, p + 8 + size.toInt)
+          case "avih" if size >= 40 =>
+            usPerFrame = u32(p + 8)
+            width = u32(p + 8 + 32).toInt
+            height = u32(p + 8 + 36).toInt
+            sawAvih = true
+          case c if c.length == 4 &&
+              (c.endsWith("dc") || c.endsWith("db")) =>
+            offs += (p + 8).toLong
+            sizes += size
+          case _ => ()
+        }
+        p += 8 + size.toInt + (size.toInt & 1) // chunks word-aligned
+      }
+    }
+    walk(12, b.length)
+    val o = offs.result()
+    if (!sawAvih || width <= 0) None
+    else Some(AviMeta(width, height, o.length,
+      if (usPerFrame > 0) o.length * usPerFrame / 1e6 else 0.0,
+      o, sizes.result()))
+  }
+
+  /** Decode AVI frame `idx0` as an intra-coded JPEG (Motion-JPEG);
+    * None for any non-JPEG payload. */
+  private[ops] def decodeAviFrame(m: MediaFile, meta: AviMeta,
+      idx0: Int): Option[MediaFeatures] =
+    (if (idx0 < 0 || idx0 >= meta.frameOffsets.length) None
+     else {
+       val off = meta.frameOffsets(idx0)
+       val sz = meta.frameSizes(idx0)
+       if (off < 0 || sz <= 0 || off + sz > m.content.length) None
+       else Some(java.util.Arrays.copyOfRange(m.content, off.toInt,
+         (off + sz).toInt))
+     })
+      .filter(p => p.length > 2 &&
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) // JPEG SOI
+      .flatMap(p => decodeJpeg(
+        MediaFile(m.path, m.modificationTime, p.length.toLong, p)))
+
+  /** AVI blobs through the container parse: REAL geometry/frame count;
+    * Motion-JPEG frames decode for REAL (first frame supplies the
+    * file-level luma/dhash); other codec payloads keep the stub. */
+  private[ops] def decodeAvi(m: MediaFile): Option[MediaFeatures] =
+    decodeAviMeta(m).map { meta =>
+      val h = fnv(m.content)
+      decodeAviFrame(m, meta, 0) match {
+        case Some(f) =>
+          MediaFeatures(path = m.path, length = m.length,
+            fingerprint = h, width = meta.width, height = meta.height,
+            n_frames = math.max(1, meta.nFrames),
+            mean_luma = f.mean_luma, dhash = f.dhash)
+        case None =>
+          MediaFeatures(path = m.path, length = m.length,
+            fingerprint = h, width = meta.width, height = meta.height,
+            n_frames = math.max(1, meta.nFrames),
+            mean_luma = ((h >>> 33) % 256).toDouble / 255.0,
+            dhash = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L)
+      }
+    }
+
   /** ======== STUB (fallback) ========
     * Deterministic fake decoder for formats that need real codec
     * libraries (absent in this environment): derives "image" properties
@@ -1905,7 +2024,7 @@ object Multimodal {
       it.map(m =>
         decodePnm(m).orElse(decodeBmp(m)).orElse(decodePng(m))
           .orElse(decodeGif(m)).orElse(decodeJpeg(m))
-          .orElse(decodeMp4(m))
+          .orElse(decodeMp4(m)).orElse(decodeAvi(m))
           .getOrElse(fakeDecode(m)))
     }
   }

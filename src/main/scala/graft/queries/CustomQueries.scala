@@ -377,10 +377,39 @@ object CustomQueries {
         bx("mvhd", new Array[Byte](100)) ++ bx("trak", mdia))
       ftyp ++ mdat ++ moov
     }
+    // MJPEG-in-AVI: the RIFF twin of clip_mjpeg.mp4 — two frames
+    // (photo.jpg, photo_prog.jpg: the same image under two encodings)
+    // as bare JPEG bitstreams in `00dc` movi chunks; avih carries
+    // geometry + 25 fps timing. Word alignment exercised for real:
+    // photo_prog.jpg is odd-length, so its chunk takes a pad byte.
+    val mjpegAvi = {
+      def le32a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def le16a(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      def ck(id: String, body: Array[Byte]): Array[Byte] = {
+        val base = id.getBytes("US-ASCII") ++ le32a(body.length) ++ body
+        if (body.length % 2 == 1) base ++ Array[Byte](0) else base
+      }
+      def lst(typ: String, children: Array[Byte]): Array[Byte] =
+        ck("LIST", typ.getBytes("US-ASCII") ++ children)
+      val frames = Seq(jpg, jpgProg)
+      val avih = ck("avih", le32a(40000) ++ le32a(0) ++ le32a(0) ++
+        le32a(0) ++ le32a(frames.length) ++ le32a(0) ++ le32a(1) ++
+        le32a(0) ++ le32a(16) ++ le32a(11) ++ new Array[Byte](16))
+      val strh = ck("strh", "vids".getBytes("US-ASCII") ++
+        "MJPG".getBytes("US-ASCII") ++ new Array[Byte](48))
+      val strf = ck("strf", le32a(40) ++ le32a(16) ++ le32a(11) ++
+        le16a(1) ++ le16a(24) ++ "MJPG".getBytes("US-ASCII") ++
+        new Array[Byte](20))
+      val hdrl = lst("hdrl", avih ++ lst("strl", strh ++ strf))
+      val movi = lst("movi", frames.toArray.flatMap(f => ck("00dc", f)))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32a(body.length) ++ body
+    }
     Map("img.ppm" -> ppm, "img.pgm" -> pgm, "img.bmp" -> bmp,
       "img.png" -> png, "clip.mp4" -> mp4, "photo.jpg" -> jpg,
       "photo_prog.jpg" -> jpgProg, "video.mp4" -> mp4box,
-      "clip_mjpeg.mp4" -> mjpeg)
+      "clip_mjpeg.mp4" -> mjpeg, "clip_mjpeg.avi" -> mjpegAvi)
   }
 
   private def be32r(v: Int): Array[Byte] = Array[Byte](
@@ -624,8 +653,12 @@ object CustomQueries {
     // image); stride 32 subsamples syncs {1,3} to just sample 1
     java.nio.file.Files.write(scratch.resolve("clip_mjpeg.mp4"),
       mediaFixtures("clip_mjpeg.mp4"))
+    // the RIFF twin: both MJPEG frames are keyframes; stride 32 keeps
+    // frame 0 only
+    java.nio.file.Files.write(scratch.resolve("clip_mjpeg.avi"),
+      mediaFixtures("clip_mjpeg.avi"))
     Multimodal.extractVideoKeyframes(
-        Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"),
+        Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4,avi}"),
         stride = 32).toDF()
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         col("frame_idx").cast("long").as("frame_idx"),
@@ -677,7 +710,7 @@ object CustomQueries {
     java.nio.file.Files.write(scratch.resolve("clip_mjpeg.mp4"),
       mediaFixtures("clip_mjpeg.mp4"))
     val frames = Multimodal.extractVideoKeyframes(
-      Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4}"), stride = 1)
+      Multimodal.readBinary(spark, s"$scratch/*.{gif,mp4,avi}"), stride = 1)
     Multimodal.sceneCuts(frames.toDF(), threshold = 16)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         col("from_idx").cast("long").as("from_idx"),
@@ -729,6 +762,8 @@ object CustomQueries {
       """SELECT * FROM (VALUES
         |  ('clip.mp4', CAST(1387 AS BIGINT), CAST(574 AS BIGINT),
         |   CAST(127 AS BIGINT), CAST(0.047059 AS DOUBLE)),
+        |  ('clip_mjpeg.avi', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(0.499242 AS DOUBLE)),
         |  ('clip_mjpeg.mp4', CAST(16 AS BIGINT), CAST(11 AS BIGINT),
         |   CAST(3 AS BIGINT), CAST(0.499242 AS DOUBLE)),
         |  ('img.bmp', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
@@ -757,6 +792,10 @@ object CustomQueries {
         |   CAST(-3410805910829992533 AS BIGINT), CAST(1387 AS BIGINT),
         |   CAST(574 AS BIGINT), CAST(512 AS BIGINT), CAST(211 AS BIGINT),
         |   CAST(127 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('clip_mjpeg.avi', CAST(1534 AS BIGINT),
+        |   CAST(-7703832871093461287 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
         |  ('clip_mjpeg.mp4', CAST(2470 AS BIGINT),
         |   CAST(2296709179991697951 AS BIGINT), CAST(16 AS BIGINT),
         |   CAST(11 AS BIGINT), CAST(16 AS BIGINT), CAST(11 AS BIGINT),
@@ -887,6 +926,9 @@ object CustomQueries {
         |  ('clip.mp4', CAST(96 AS BIGINT), CAST(1387 AS BIGINT),
         |   CAST(574 AS BIGINT), CAST(0.407843 AS DOUBLE),
         |   CAST(-726934233687745871 AS BIGINT)),
+        |  ('clip_mjpeg.avi', CAST(0 AS BIGINT), CAST(16 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(0.499242 AS DOUBLE),
+        |   CAST(-578712562351212553 AS BIGINT)),
         |  ('clip_mjpeg.mp4', CAST(0 AS BIGINT), CAST(16 AS BIGINT),
         |   CAST(11 AS BIGINT), CAST(0.499242 AS DOUBLE),
         |   CAST(-578712562351212553 AS BIGINT)),
