@@ -781,16 +781,8 @@ object TextQueries {
     val p = pairs.select(col("id_a"), col("id_b"))
     val involved = p.select(col("id_a").as("doc_id"))
       .union(p.select(col("id_b").as("doc_id"))).distinct()
-    val grams = involved
-      .join(docs.select(col("doc_id"), col("text").as("t")), "doc_id")
-      .withColumn("cs", split(col("t"), ""))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(0, size(cs) - ${L - 1}))," +
-          s" i -> struct(cast(i as bigint) as pos," +
-          s" cast(conv(substring(md5(array_join(" +
-          s"slice(cs, i, $L), '')), 1, 15), 16, 10) as bigint) as g))"))
-        .as("gr"))
-      .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.g").as("g"))
+    val grams = charGrams(involved
+      .join(docs.select(col("doc_id"), col("text")), "doc_id"), L)
     val matches = p
       .join(grams.select(col("doc_id").as("id_a"),
         col("pos").as("ia"), col("g")), "id_a")
@@ -811,6 +803,22 @@ object TextQueries {
         col("span_len"))
       .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
   }
+
+  /** Position-indexed L-char gram hashes for a (doc_id, text) frame —
+    * one (doc_id, pos, g) row per character position, computed linearly
+    * from the once-split char array (the same 60-bit md5-prefix hash
+    * the winnow family and the DuckDB twins share). Map-side only.
+    */
+  private[queries] def charGrams(docs: DataFrame, L: Int): DataFrame =
+    docs
+      .withColumn("cs", split(col("text"), ""))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(0, size(cs) - ${L - 1}))," +
+          s" i -> struct(cast(i as bigint) as pos," +
+          s" cast(conv(substring(md5(array_join(" +
+          s"slice(cs, i, $L), '')), 1, 15), 16, 10) as bigint) as g))"))
+        .as("gr"))
+      .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.g").as("g"))
 
   /** Char-level exact-duplicate SCRUB — the transform half of
     * [[qTextWinnowSpans]] (Lee et al.'s ExactSubstr removal step): for
@@ -903,6 +911,63 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** GLOBAL pair-free ExactSubstr duplicated-span removal — the exact
+    * corpus semantics of Lee et al. 2022 §4.2 with NO candidate stage
+    * at all: a character position is duplicated iff its L-char gram
+    * occurs anywhere else in the corpus (any doc, any position,
+    * including elsewhere in the SAME doc), and of all occurrences of a
+    * gram only the globally first — min (doc_id, pos) — survives.
+    * Consecutive duplicated positions merge into maximal islands (an
+    * island of c positions covers c+L−1 chars — exactly the duplicated
+    * region, since grams straddling a region boundary are unique), and
+    * the islands are cut by the same interval-merge + gap-fold rebuild
+    * as [[qTextScrubCorpus]].
+    *
+    * vs the winnow-pair-driven corpus pass: that one only inspects
+    * pairs sharing ≥ 40 selected fingerprints (the documented
+    * recall/cost knob); THIS pass has no threshold — any ≥ L-char
+    * duplicated region is caught, however little else its docs share.
+    *
+    * Scale ledger: one map-side gram pass (charGrams — linear in
+    * corpus chars); ONE corpus-linear shuffle of (g, doc_id, pos) rows
+    * for the per-gram first-occurrence window (~24 B/char — the
+    * published cost class of the MapReduce ExactSubstr formulation;
+    * the suffix-rank alternative shuffles O(n log n)); everything
+    * after the `rn > 1` filter is sized by true duplicate positions,
+    * not the corpus. Full texts move once, in the final rebuild join.
+    * At 100 TB the 60-bit gram hash is the one knob to widen (to 128
+    * bits, or verify islands against the first occurrence) — at ~2⁻⁶⁰
+    * per position pair collisions are negligible below petabyte gram
+    * counts.
+    */
+  def qTextScrubGlobal(spark: SparkSession, dir: String): DataFrame =
+    globalScrub(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")), L = 20)
+      .select(col("doc_id"), col("n_cuts"), col("chars_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The reusable global-pass core: (doc_id, n_cuts, chars_removed,
+    * clean) for every doc with at least one globally duplicated ≥ L
+    * region. */
+  private[queries] def globalScrub(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = charGrams(docs, L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("isl", col("pos") - row_number().over(wd).cast("long"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start_b"),
+        (count(lit(1)) + (L - 1)).as("span_len"))
+      .select(col("doc_id").as("id_b"), col("start_b"), col("span_len"))
+    scrubSpans(spans, docs)
+  }
+
   /** Winnow near-dup CLUSTERS: candidate pairs through the same
     * pointer-doubling connected components as the MinHash and dHash
     * dedups (Dedup.dedupComponents), min-id representative per cluster
@@ -918,6 +983,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_scrub_global" -> (qTextScrubGlobal(_, _)),
     "q_text_scrub_corpus" -> (qTextScrubCorpus(_, _)),
     "q_text_span_scrub" -> (qTextSpanScrub(_, _)),
     "q_text_winnow_spans" -> (qTextWinnowSpans(_, _)),
@@ -1305,6 +1371,28 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |FROM tot LEFT JOIN agg USING (doc_id)
         |ORDER BY tot.doc_id""".stripMargin,
     "q_text_scrub_corpus" -> (winnowSpanCorpusCtes + scrubTailSql),
+    // pair-free global pass: per-gram global-first window, islands,
+    // same scrub tail (sp shaped as (id_b, start_b, span_len))
+    "q_text_scrub_global" ->
+      ("""WITH gu AS (SELECT doc_id, text AS txt,
+        |        unnest(generate_series(1,
+        |          greatest(0, length(text) - 19))) AS pos
+        |      FROM documents),
+        |gh AS (SELECT doc_id, pos,
+        |         CAST(list_sum(list_transform(generate_series(1, 15),
+        |           dd -> CAST(strpos('0123456789abcdef',
+        |               substring(md5(substring(txt, pos, 20)), dd, 1)) - 1
+        |             AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
+        |           AS BIGINT) AS g
+        |       FROM gu),
+        |rnk AS (SELECT doc_id, pos, row_number() OVER (
+        |          PARTITION BY g ORDER BY doc_id, pos) AS rn FROM gh),
+        |dup AS (SELECT doc_id, pos FROM rnk WHERE rn > 1),
+        |di AS (SELECT doc_id, pos, pos - row_number() OVER (
+        |         PARTITION BY doc_id ORDER BY pos) AS k FROM dup),
+        |sp AS (SELECT doc_id AS id_b, MIN(pos) AS start_b,
+        |         COUNT(*) + 19 AS span_len
+        |       FROM di GROUP BY doc_id, k)""".stripMargin + scrubTailSql),
     "q_text_dup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t
