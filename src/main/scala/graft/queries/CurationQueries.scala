@@ -58,6 +58,24 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The Bloom-prefiltered decontamination FUNNEL over the same
+    * benchmark rule as [[qDecontaminate]] (word 8-grams vs the
+    * doc_id % 53 == 0 stand-in set): benchmark grams collapse to a
+    * 32768-bit / 3-hash Bloom bitset (lazy one-row aggregate,
+    * broadcast ~4 KB), corpus grams probe it map-side, and only
+    * Bloom-positive grams reach the exact verification semi-join.
+    * Output is the one-row funnel — including the false-positive
+    * candidate counts, which the DuckDB twin replays exactly (the
+    * md5 double-hash probe is engine-portable), so the oracle
+    * certifies the filter CONSTRUCTION, not just the final kept set.
+    */
+  def qDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 53 === 0)
+    Decontaminate.bloomFunnel(docs, "doc_id", "text", bench, "text",
+      n = 8, m = 32768, k = 3)
+  }
+
   /** Pack documents into 4096-char context-window bins across 8
     * hash-bucketed parallel streams (n_chars as the length proxy —
     * swap in a token count column for a tokenizer-accurate layout).
@@ -246,6 +264,7 @@ object CurationQueries {
     "q_curate_sample_stratified" -> (qSampleStratified(_, _)),
     "q_curate_sample_quota" -> (qSampleQuota(_, _)),
     "q_curate_decontaminate" -> (qDecontaminate(_, _)),
+    "q_curate_decontam_bloom" -> (qDecontamBloom(_, _)),
     "q_curate_pack" -> (qPack(_, _)),
     "q_curate_split" -> (qSplit(_, _)),
     "q_curate_datasheet" -> (qDatasheet(_, _))
@@ -564,6 +583,56 @@ object CurationQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q_curate_decontam_bloom" -> {
+      // 60-bit md5-prefix pair: h1 = hex chars 1-15, h2 = chars 17-31
+      // forced odd — the identical double-hash probe the Spark side runs
+      def hexVal(off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 15),
+           |      dd -> CAST(strpos('0123456789abcdef',
+           |          substring(md5(g), $off + dd, 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)"""
+          .stripMargin
+      s"""WITH bt AS (
+         |  SELECT string_split_regex(text, '\\s+') AS t FROM documents
+         |  WHERE doc_id % 53 = 0
+         |    AND len(string_split_regex(text, '\\s+')) >= 8),
+         |bg AS (
+         |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+         |        FROM bt)),
+         |bh AS (SELECT g, ${hexVal(0)} AS h1,
+         |         ${hexVal(16)} | 1 AS h2 FROM bg),
+         |pos AS (
+         |  SELECT DISTINCT (h1 + i * h2) % 32768 AS p
+         |  FROM bh, (SELECT unnest(generate_series(0, 2)) AS i)),
+         |dt AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |  FROM documents
+         |  WHERE len(string_split_regex(text, '\\s+')) >= 8),
+         |dg AS (
+         |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t) - 7)) AS i FROM dt)),
+         |dh AS (SELECT doc_id, g, ${hexVal(0)} AS h1,
+         |         ${hexVal(16)} | 1 AS h2 FROM dg),
+         |cand AS (
+         |  SELECT doc_id, g FROM dh
+         |  WHERE (h1 + 0 * h2) % 32768 IN (SELECT p FROM pos)
+         |    AND (h1 + 1 * h2) % 32768 IN (SELECT p FROM pos)
+         |    AND (h1 + 2 * h2) % 32768 IN (SELECT p FROM pos)),
+         |contam AS (SELECT DISTINCT doc_id FROM cand
+         |           WHERE g IN (SELECT g FROM bg))
+         |SELECT
+         |  (SELECT count(*) FROM bg) AS n_bench_grams,
+         |  (SELECT count(*) FROM dg) AS n_corpus_grams,
+         |  (SELECT count(*) FROM pos) AS n_set_bits,
+         |  (SELECT count(*) FROM cand) AS n_candidate_grams,
+         |  (SELECT count(DISTINCT doc_id) FROM cand) AS n_candidate_docs,
+         |  (SELECT count(*) FROM contam) AS n_contaminated_docs,
+         |  (SELECT count(*) FROM documents
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |    AS n_kept_docs""".stripMargin
+    },
     "q_curate_decontaminate" ->
       """WITH bt AS (
         |  SELECT string_split_regex(text, '\s+') AS t FROM documents
