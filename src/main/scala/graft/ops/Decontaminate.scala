@@ -126,18 +126,27 @@ object Decontaminate {
     val benchGrams = grams(bench, benchTextCol, n)
       .select(col("_g")).distinct()
     val bloom = bloomOf(benchGrams, m, k)
-    val corpusGrams = grams(docs, textCol, n).select(col(idCol), col("_g"))
-    val cand = withHashPair(corpusGrams)
-      .crossJoin(broadcast(bloom))
-      .where(probePredicate(m, k))
-      .select(col(idCol), col("_g"))
+    // Bloom-positive grams: the ONE pass over the corpus gram stream —
+    // cached (candidates only, ε-small) so the three funnel branches
+    // below don't re-run the gram+probe pipeline
+    val cand = CacheScope.cached(
+      withHashPair(grams(docs, textCol, n).select(col(idCol), col("_g")))
+        .crossJoin(broadcast(bloom))
+        .where(probePredicate(m, k))
+        .select(col(idCol), col("_g")))
     val contamIds = cand
       .join(broadcast(benchGrams), "_g", "left_semi")
       .select(col(idCol)).distinct()
     val one = (df: DataFrame, c: Column, name: String) =>
       broadcast(df.groupBy().agg(c.as(name)))
+    // gram COUNT is closed-form per doc (Σ max(0, n_tok − n + 1)) — no
+    // second explode/md5 pass just to count
+    val nCorpusGrams = docs
+      .select(size(split(col(textCol), "\\s+")).as("_s"))
+      .where(col("_s") >= n)
+      .groupBy().agg(sum(col("_s") - (n - 1)).as("n_corpus_grams"))
     one(benchGrams, count(lit(1)), "n_bench_grams")
-      .crossJoin(one(corpusGrams, count(lit(1)), "n_corpus_grams"))
+      .crossJoin(broadcast(nCorpusGrams))
       .crossJoin(broadcast(bloom.select(
         expr("aggregate(_bf, cast(0 as bigint), (a, x) -> a + bit_count(x))")
           .as("n_set_bits"))))
