@@ -213,7 +213,72 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** KMV distinct sketches + pairwise set-INTERSECTION estimation over
+    * per-source token vocabularies (Beyer et al., SIGMOD'07) — the
+    * sketch family member HLL cannot be: the state is the k smallest
+    * 60-bit md5 token hashes per source (a deterministic function of
+    * the input set, mergeable exactly under Spark's partial
+    * aggregation — ≤ k longs per partition cross the shuffle), so
+    * union sketches compose by taking the k smallest of the
+    * concatenation, the fraction of the union sketch present in both
+    * sides estimates Jaccard, and J·D̂(∪) estimates the intersection.
+    * The exact pairwise intersection rides along to certify the
+    * estimates (~1/√k relative error); every number — sketch hashes,
+    * estimates, exact counts — is replayed bit-for-bit by the DuckDB
+    * twin because the hash family is the portable md5 one.
+    */
+  def qAggKmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    // word BIGRAMS, not tokens: the fixture's flat token vocabulary
+    // (~31/source) would leave a k=64 sketch unsaturated and the
+    // estimator untested; bigram vocabularies run to the hundreds, so
+    // the k-th-smallest estimate and its ~1/√k error are real here
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.ops.TextAnalysis.wordNgrams(col("text"), 2))
+          .as("tok"))
+      .where(col("tok") =!= "")
+    val hashed = toks.withColumn("h",
+      expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val kmv = new graft.functions.KmvAgg(k).asUdaf
+    val sk = hashed.groupBy(col("source")).agg(kmv(col("h")).as("sk"))
+    def est(c: String) =
+      round(when(size(col(c)) < k, size(col(c)).cast("double"))
+        .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+          element_at(col(c), k).cast("double")), 6)
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("u", expr(
+        s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k)"))
+      .withColumn("rho", expr(
+        "size(filter(u, x -> array_contains(ska, x)" +
+          " and array_contains(skb, x)))"))
+      .withColumn("d_a_est", est("ska"))
+      .withColumn("d_b_est", est("skb"))
+      .withColumn("d_union_est", est("u"))
+      .withColumn("j_est",
+        round(col("rho").cast("double") / size(col("u")).cast("double"), 6))
+      .withColumn("inter_est",
+        round(col("rho").cast("double") / size(col("u")).cast("double") *
+          est("u"), 6))
+    val dist = toks.distinct()
+    val exact = dist.as("x")
+      .join(dist.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    pairs.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("d_a_est"),
+        col("d_b_est"), col("d_union_est"), col("j_est"), col("inter_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_agg_kmv_intersect" -> (qAggKmvIntersect(_, _)),
     "q_agg_argmax" -> (qAggArgmax(_, _)),
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
     "q_agg_decimal" -> (qAggDecimal(_, _)),
@@ -248,6 +313,63 @@ object AggQueries {
       Tables.lineitem(spark, dir), "l_extendedprice")
 
   val oracles: Map[String, String] = Map(
+    // same 60-bit md5 token hashes, k smallest per source via
+    // row_number, identical union/Jaccard arithmetic
+    "q_agg_kmv_intersect" -> {
+      def est(c: String) =
+        s"""round(CASE WHEN len($c) < 64 THEN CAST(len($c) AS DOUBLE)
+           |  ELSE 63.0 * 1152921504606846976.0 / CAST($c[64] AS DOUBLE)
+           |  END, 6)""".stripMargin
+      s"""WITH tk0 AS (
+         |  SELECT source, string_split_regex(text, '\\s+') AS t
+         |  FROM documents),
+         |tk AS (
+         |  SELECT source, array_to_string(t[i:i+1], ' ') AS tok
+         |  FROM (SELECT source, t, unnest(generate_series(1,
+         |          greatest(len(t) - 1, 1))) AS i FROM tk0)),
+         |t AS (SELECT DISTINCT source, tok FROM tk WHERE tok <> ''),
+         |h AS (
+         |  SELECT DISTINCT source,
+         |    CAST(list_sum(list_transform(generate_series(1, 15),
+         |      dd -> CAST(strpos('0123456789abcdef',
+         |          substring(md5(tok), dd, 1)) - 1 AS BIGINT)
+         |        * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)
+         |      AS h
+         |  FROM t),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk
+         |       FROM r WHERE rn <= 64 GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.sk AS ska, b.sk AS skb
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |pu AS (SELECT *,
+         |         list_sort(list_distinct(list_concat(ska, skb)))[1:64]
+         |           AS u
+         |       FROM p),
+         |pr AS (SELECT *,
+         |         len(list_filter(u, x -> list_contains(ska, x)
+         |           AND list_contains(skb, x))) AS rho
+         |       FROM pu),
+         |ex AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    count(*) AS n_inter_exact
+         |  FROM t x JOIN t y
+         |    ON x.tok = y.tok AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.source_a, pr.source_b,
+         |  ${est("ska")} AS d_a_est,
+         |  ${est("skb")} AS d_b_est,
+         |  ${est("u")} AS d_union_est,
+         |  round(CAST(rho AS DOUBLE) / CAST(len(u) AS DOUBLE), 6)
+         |    AS j_est,
+         |  round(CAST(rho AS DOUBLE) / CAST(len(u) AS DOUBLE)
+         |    * ${est("u")}, 6) AS inter_est,
+         |  coalesce(ex.n_inter_exact, 0) AS n_inter_exact
+         |FROM pr LEFT JOIN ex USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin
+    },
     "q_agg_quantile_sketch" ->
       """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),
