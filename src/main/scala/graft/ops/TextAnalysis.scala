@@ -224,6 +224,71 @@ object TextAnalysis {
         round(avg(col("lp")), 6).as("mean_lp"))
   }
 
+  /** Bigram Stupid-Backoff language-model scoring (Brants et al.,
+    * EMNLP'07 "Large Language Models in Machine Translation" — the
+    * backoff score built FOR distributed counting: no discounting
+    * normalization pass, so the model is just two count tables):
+    *
+    *   S(w | v) = c(vw)/c(v)           if the bigram was seen
+    *            = α · S_uni(w)          otherwise (α = 0.4)
+    *   S_uni(w) = (c(w)+1)/(N+V)        (add-1, same smoothing as
+    *                                     [[unigramLogProb]])
+    *
+    * trained on the documents matching `trainPred` (the reference
+    * corpus — a CCNet-style quality gate trains on trusted text and
+    * scores everything), scored on ALL documents: per doc the mean
+    * log-score and the perplexity exp(−mean).
+    *
+    * Scale shape: token arrays split once per doc; bigram pairs are
+    * built MAP-SIDE from the array (no lag-window shuffle); the count
+    * tables shuffle once on their gram key and the scoring pass is
+    * three equi-joins on token/bigram keys — corpus-linear, documents
+    * never move. Corpus totals collapse to one broadcast row.
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         trainPred: Column, alpha: Double = 0.4)
+      : DataFrame = {
+    val arr = docs
+      .select(col(idCol), col(textCol),
+        expr(s"filter(split(lower(`$textCol`), '\\\\s+'), x -> x <> '')")
+          .as("_t"))
+      .where(size(col("_t")) >= 1)
+    // (pos, prev, cur) built map-side from the array — no window
+    val pairs = arr
+      .select(col(idCol), trainPred.as("_train"), explode(expr(
+        "transform(sequence(1, size(_t)), i -> struct(i as pos," +
+          " case when i = 1 then cast(null as string)" +
+          " else element_at(_t, i - 1) end as prev," +
+          " element_at(_t, i) as cur))")).as("_p"))
+      .select(col(idCol), col("_train"), col("_p.pos").as("pos"),
+        col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+    val train = pairs.where(col("_train"))
+    val uc = train.groupBy(col("cur").as("tok"))
+      .agg(count(lit(1)).as("uc"))
+    val totals = uc.agg(sum(col("uc")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val bc = train.where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bc"))
+    val sUni = (coalesce(col("uc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("n_total") + col("v_size")).cast("double")
+    pairs
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(uc.select(col("tok").as("cur"), col("uc")), Seq("cur"), "left")
+      .join(uc.select(col("tok").as("prev"), col("uc").as("uc_prev")),
+        Seq("prev"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp", log(
+        when(col("prev").isNull, sUni)
+          .when(col("bc").isNotNull,
+            col("bc").cast("double") / col("uc_prev").cast("double"))
+          .otherwise(lit(alpha) * sUni)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(col("lp")), 6).as("mean_lp"),
+        round(exp(-avg(col("lp"))), 3).as("ppl"))
+  }
+
   /** Overlapping character chunks for long-document splitting — the
     * RAG/context-window preprocessing step. Chunk i covers
     * [i·stride, i·stride + size); stride = size − overlap; the final

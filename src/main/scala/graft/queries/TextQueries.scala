@@ -102,6 +102,19 @@ object TextQueries {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Bigram Stupid-Backoff perplexity scoring (Brants et al. 2007) —
+    * the CCNet-style LM quality signal: the model is bigram+unigram
+    * count tables from the even-doc_id half (the stand-in trusted
+    * reference corpus), every document scores its mean log-score and
+    * perplexity against it. Odd docs exercise the backoff path on
+    * their unseen bigrams; the α=0.4 backoff weight and add-1 unigram
+    * floor make every token scoreable (OOV included).
+    */
+  def qTextBigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stupidBackoffScore(Tables.documents(spark, dir),
+        "doc_id", "text", trainPred = col("doc_id") % 2 === 0)
+      .orderBy(col("doc_id"))
+
   /** PII redaction over text with deterministically-injected email +
     * phone strings (the raw fixture text has neither, which would make
     * the scrub vacuous — the injection is computed identically by both
@@ -1006,6 +1019,7 @@ object TextQueries {
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
+    "q_text_bigram_lm" -> (qTextBigramLm(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
@@ -1688,6 +1702,44 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |    / CAST(t_total + v_size AS DOUBLE))), 6) AS mean_lp
         |FROM tkn JOIN vocab USING (tok), totals
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical count tables + backoff arithmetic, pairs via list ops
+    "q_text_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dn AS (SELECT doc_id, t FROM d WHERE len(t) >= 1),
+        |p AS (
+        |  SELECT doc_id, i AS pos,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+        |    t[i] AS cur
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t))) AS i FROM dn)),
+        |tr AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+        |uc AS (SELECT cur AS tok, count(*) AS uc FROM tr GROUP BY cur),
+        |tot AS (SELECT CAST(sum(uc) AS BIGINT) AS n_total,
+        |               count(*) AS v_size FROM uc),
+        |bc AS (SELECT prev, cur, count(*) AS bc FROM tr
+        |       WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    ln(CASE
+        |      WHEN p.prev IS NULL THEN
+        |        CAST(coalesce(u1.uc, 0) + 1 AS DOUBLE)
+        |          / CAST(tot.n_total + tot.v_size AS DOUBLE)
+        |      WHEN bc.bc IS NOT NULL THEN
+        |        CAST(bc.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)
+        |      ELSE 0.4 * CAST(coalesce(u1.uc, 0) + 1 AS DOUBLE)
+        |        / CAST(tot.n_total + tot.v_size AS DOUBLE)
+        |      END) AS lp
+        |  FROM p
+        |  LEFT JOIN bc ON p.prev = bc.prev AND p.cur = bc.cur
+        |  LEFT JOIN uc u1 ON p.cur = u1.tok
+        |  LEFT JOIN uc up ON p.prev = up.tok, tot)
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(avg(lp), 6) AS mean_lp,
+        |  round(exp(-avg(lp)), 3) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_redact" -> {
       // DuckDB's regular string literals pass backslashes through
       // untouched, so the Java-regex strings embed verbatim
