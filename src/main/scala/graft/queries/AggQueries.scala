@@ -277,7 +277,54 @@ object AggQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Count-Min sketch point-frequency estimation (Cormode &
+    * Muthukrishnan 2005) over the token stream — the bounded-state
+    * complement to the Misra-Gries heavy-hitters pass: d×w counters
+    * (d=4 rows, w=16 — w deliberately tiny so collisions are REAL and
+    * the min-over-rows recovery is exercised, not vacuous), each row a
+    * different md5-salted hash. Estimates can only overestimate
+    * (est ≥ exact always; E[err] ≤ 2N/w per row, min over d rows);
+    * the exact per-token counts ride along to certify. The counter
+    * grid is pure `groupBy(row, col).sum` — mergeable by addition, so
+    * partial aggregation ships ≤ d·w cells per partition at any
+    * corpus size; the probe is a broadcast-size join of the (tiny)
+    * distinct-token list against the grid. Deterministic cross-engine:
+    * the salted hash family is the portable md5 one.
+    */
+  def qAggCountMin(spark: SparkSession, dir: String): DataFrame =
+    countMinEstimates(Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= ""), d = 4, w = 16)
+      .orderBy(col("tok"))
+
+  /** The reusable CM core over a single-column `tok` frame:
+    * (tok, c_exact, c_est, overcount) for every distinct token. */
+  private[queries] def countMinEstimates(toks: DataFrame, d: Int, w: Int)
+      : DataFrame = {
+    def cell(r: Int) = expr(
+      s"cast(conv(substring(md5(concat('$r:', tok)), 1, 15), 16, 10)" +
+        s" as bigint) % $w")
+    def cellsOf(r: Int) = struct(lit(r).as("r"), cell(r).as("c"))
+    val grid = toks
+      .select(explode(array((0 until d).map(cellsOf): _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_exact"))
+    exact
+      .select(col("tok"), col("c_exact"),
+        explode(array((0 until d).map(cellsOf): _*)).as("rc"))
+      .select(col("tok"), col("c_exact"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(grid), Seq("r", "c"))
+      .groupBy(col("tok"), col("c_exact"))
+      .agg(min(col("cnt")).as("c_est"))
+      .select(col("tok"), col("c_exact"), col("c_est"),
+        (col("c_est") - col("c_exact")).as("overcount"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_agg_countmin" -> (qAggCountMin(_, _)),
     "q_agg_kmv_intersect" -> (qAggKmvIntersect(_, _)),
     "q_agg_argmax" -> (qAggArgmax(_, _)),
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
@@ -313,6 +360,36 @@ object AggQueries {
       Tables.lineitem(spark, dir), "l_extendedprice")
 
   val oracles: Map[String, String] = Map(
+    // same d=4 salted hashes into w=16 columns, same min-over-rows
+    "q_agg_countmin" -> {
+      def cell(r: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 15),
+           |  dd -> CAST(strpos('0123456789abcdef',
+           |      substring(md5('$r:' || tok), dd, 1)) - 1 AS BIGINT)
+           |    * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)
+           |  % 16""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |t AS (SELECT tok FROM tk WHERE tok <> ''),
+         |cells AS (
+         |  SELECT r, CASE r
+         |      WHEN 0 THEN ${cell(0)} WHEN 1 THEN ${cell(1)}
+         |      WHEN 2 THEN ${cell(2)} ELSE ${cell(3)} END AS c
+         |  FROM t, (SELECT unnest(generate_series(0, 3)) AS r)),
+         |grid AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+         |exact AS (SELECT tok, count(*) AS c_exact FROM t GROUP BY tok),
+         |probes AS (
+         |  SELECT tok, c_exact, r, CASE r
+         |      WHEN 0 THEN ${cell(0)} WHEN 1 THEN ${cell(1)}
+         |      WHEN 2 THEN ${cell(2)} ELSE ${cell(3)} END AS c
+         |  FROM exact, (SELECT unnest(generate_series(0, 3)) AS r))
+         |SELECT p.tok, p.c_exact, min(g.cnt) AS c_est,
+         |  min(g.cnt) - p.c_exact AS overcount
+         |FROM probes p JOIN grid g USING (r, c)
+         |GROUP BY p.tok, p.c_exact
+         |ORDER BY p.tok""".stripMargin
+    },
     // same 60-bit md5 token hashes, k smallest per source via
     // row_number, identical union/Jaccard arithmetic
     "q_agg_kmv_intersect" -> {
