@@ -110,6 +110,63 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("global pair-free scrub: no limit, no cartesian — one gram " +
+    "window feeds the islands pass") {
+    val p = plan("q_text_scrub_global")
+    assert(!p.contains("GlobalLimit") && !p.contains("TakeOrdered"),
+      "the global pass has no candidate slice to limit")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "per-gram first-occurrence window")
+  }
+
+  test("bloom decontam funnel: construction lazy (filter built as a " +
+    "relational aggregate, no driver-side build job) — same scan " +
+    "setup as a trivially-lazy control") {
+    val sc = spark.sparkContext
+    def ids(): Set[Int] = sc.statusTracker.getJobIdsForGroup(null).toSet
+    def constructionJobs(name: String, tag: String): Int = {
+      val before = ids()
+      SparkEntry.queries(name)(spark, dir) // build only, no action
+      sc.setJobGroup(tag, "sentinel")
+      try spark.range(1).collect() finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sc.statusTracker.getJobIdsForGroup(tag).isEmpty &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      (ids() -- before).size
+    }
+    val control = constructionJobs("q_dedup_exact", "planspec-bl1")
+    val target = constructionJobs("q_curate_decontam_bloom",
+      "planspec-bl2")
+    assert(target <= control,
+      s"bloom construction ran $target job(s) vs the lazy control's " +
+        s"$control — a driver-side filter build (stat.bloomFilter) " +
+        "crept in")
+  }
+
+  test("KMV sketch aggregates partially: ≤ k longs per partition " +
+    "cross the shuffle, never the token stream") {
+    val p = plan("q_agg_kmv_intersect")
+    assert(p.toLowerCase.contains("partial_kmvagg") ||
+      (p.contains("ObjectHashAggregate") && p.contains("partial")),
+      s"expected partial KMV aggregation in:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("count-min probe joins the grid by broadcast — the counter " +
+    "grid never shuffles the probe side") {
+    val p = plan("q_agg_countmin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bigram LM: pairs build map-side (no lag-window before the " +
+    "count tables), scoring joins stay equi") {
+    val p = plan("q_text_bigram_lm")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("trained IVF search plans without cartesian/BNL; assignment " +
     "stays map-side") {
     val p = plan("q_sim_topk_ivf_trained")
