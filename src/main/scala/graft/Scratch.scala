@@ -108,7 +108,27 @@ object Scratch {
           "pre-shuffle; positional equi-joins on (doc, pos±offset)"),
       "q_skyline_4d" ->
         ("N-D skyline: local frontiers + coalesce-halving merge " +
-          "rounds — no shuffle, no single-task full-candidate union"))
+          "rounds — no shuffle, no single-task full-candidate union"),
+      "q_text_scrub_global" ->
+        ("global pair-free ExactSubstr scrub: map-side gram hashing, " +
+          "ONE corpus-linear shuffle for the per-gram first-occurrence " +
+          "window; islands + scrub sized by true duplicate positions"),
+      "q_curate_decontam_bloom" ->
+        ("bloom decontamination: filter built as a LAZY one-row " +
+          "bit_or aggregate, broadcast as ~m/8 bytes; corpus grams " +
+          "probed map-side; only bloom-positives reach the exact " +
+          "verify semi-join"),
+      "q_agg_kmv_intersect" ->
+        ("KMV sketch: partial-aggregable bounded state (≤ k longs per " +
+          "partition cross the shuffle); pairwise intersection over " +
+          "the 20-row sketch table only"),
+      "q_agg_countmin" ->
+        ("count-min: additive d×w counter grid (partial agg ships " +
+          "≤ d·w cells); probe joins the grid by BROADCAST"),
+      "q_text_bigram_lm" ->
+        ("stupid-backoff LM: bigram pairs built map-side from the " +
+          "token array (no lag window); count tables shuffle once on " +
+          "gram keys; corpus totals broadcast as one row"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
