@@ -482,4 +482,41 @@ object Graph {
             / (col("d") * (col("d") - 1)).cast("double"))
           .as("local_clustering"))
   }
+
+  /** Bounded-round single-source shortest paths by distributed
+    * Bellman–Ford relaxation (Bellman 1958; the message-passing form
+    * every vertex-centric framework ships): each round relaxes EVERY
+    * edge against the tentative distance table via one equi-join on the
+    * source endpoint + one min aggregate on the destination. After R
+    * rounds the distances are exact over all paths of ≤ R edges — a
+    * truncated-horizon contract like [[harmonicCentrality]]'s, and the
+    * standard trade on shallow-diameter entity graphs (R ≥ diameter ⇒
+    * fully exact). Integer weights make min/+ order-independent, so a
+    * SQL twin enumerating ≤R-edge walks replays the result bit-for-bit.
+    *
+    * Scale shape: R rounds × (dist ⨝ edges shuffled on the vertex key →
+    * partial-aggregated min per dst). The shuffle payload is one
+    * (vertex, long) pair per relaxed edge; the state is the |V|-bounded
+    * distance table — never materialized walks (the oracle's walk
+    * enumeration is the CHECK, not the algorithm). Unreached vertices
+    * simply never enter the table.
+    *
+    * @param edges DataFrame[src: Long, dst: Long, w: integral ≥ 0];
+    *              directed — symmetrize upstream for undirected graphs.
+    */
+  def ssspBounded(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "bounded rounds 1..8")
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("v") === e("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = CacheScope.cached(
+        dist.unionByName(relaxed)
+          .groupBy(col("v")).agg(min(col("d")).as("d")))
+    }
+    dist.select(col("v").as("vertex"), col("d").as("dist"))
+  }
 }

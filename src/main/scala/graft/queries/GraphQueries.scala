@@ -142,7 +142,32 @@ object GraphQueries {
       .orderBy(desc("betweenness_r6"), asc("vertex"))
   }
 
+  /** 4-round weighted single-source shortest paths from supplier 1 over
+    * the sparse co-supply graph (symmetrized; edge weight = min over
+    * shared parts of p mod 97 + 1 — a deterministic positive integer
+    * cost). Bellman–Ford relaxation rounds, exact over ≤4-edge paths;
+    * the DuckDB twin enumerates every ≤4-edge walk and takes the min —
+    * feasible only because the oracle graph is small, which is exactly
+    * the point: the engine's relaxation form is the one that scales.
+    */
+  def qGraphSssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val und = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(min(col("x.p") % 97 + 1).as("w"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+    Graph.ssspBounded(edges, source = 1L, rounds = 4)
+      .orderBy(col("dist"), col("vertex"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_sssp" -> (qGraphSssp(_, _)),
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
@@ -223,6 +248,26 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // ≤4-edge walk enumeration + min — replays 4 Bellman–Ford rounds
+    // exactly (integer weights ⇒ order-independent min/+).
+    "q_graph_sssp" ->
+      """WITH RECURSIVE ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1.0),
+        |und AS (
+        |  SELECT x.s AS a, y.s AS b, min(x.p % 97 + 1) AS w
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+        |  GROUP BY x.s, y.s),
+        |edges AS (SELECT a AS src, b AS dst, w FROM und
+        |          UNION ALL SELECT b, a, w FROM und),
+        |walk(v, d, hops) AS (
+        |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, walk.d + e.w, walk.hops + 1
+        |  FROM walk JOIN edges e ON e.src = walk.v
+        |  WHERE walk.hops < 4)
+        |SELECT v AS vertex, min(d) AS dist FROM walk
+        |GROUP BY v ORDER BY dist, vertex""".stripMargin,
     "q_graph_betweenness" -> betweennessOracleSql(3, 32),
     "q_graph_pagerank" ->
       s"""WITH $edgeCte,

@@ -70,6 +70,25 @@ object MiscQueries {
       .orderBy(col("name"))
   }
 
+  /** ORC round-trip: documents → ORC sink → ORC scan (both through
+    * LakeIO's extension dispatch) → projection. Puts the SECOND columnar
+    * format under the hash gate end-to-end: every value — including the
+    * full text payload, certified by an md5 computed AFTER the round
+    * trip — must survive parquet → ORC → scan bit-exactly. The write is
+    * an eager bounded job at construction (a round-trip IS a job — the
+    * same construction contract as the streaming queries). Scale shape:
+    * format conversion is one map-only pass, no shuffle; the ORC scan
+    * has the same pushdown/pruning contract as the parquet scans.
+    */
+  def qSourceOrc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_source_orc")
+    LakeIO.writeAuto(Tables.documents(spark, dir), s"$tmp/docs.orc")
+    LakeIO.readAuto(spark, s"$tmp/docs.orc")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-column data-quality profile of an ingested table — the
     * admission check an ETL service runs on every upload (ops.Profile).
     */
@@ -350,6 +369,7 @@ object MiscQueries {
     "q_sort_limit" -> (qSortLimit(_, _)),
     "q_sort_nulls" -> (qSortNulls(_, _)),
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
+    "q_source_orc" -> (qSourceOrc(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
@@ -674,6 +694,11 @@ object MiscQueries {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_ingest_dispatch" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // The oracle reads the ORIGINAL parquet — equality certifies the
+    // engine's parquet→ORC→scan round trip preserved every value.
+    "q_source_orc" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

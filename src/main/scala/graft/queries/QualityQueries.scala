@@ -40,8 +40,36 @@ object QualityQueries {
       .orderBy(col("check_name"))
   }
 
+  /** C4-style word-blocklist gate (Raffel et al. 2020 drop any page
+    * containing a blocklisted word): per-token exact membership against
+    * a term list, flag/keep accounting per source plus total hit
+    * occurrences (duplicates counted — `filter`, not set intersection).
+    * The fixture list mixes a common term (`slow`), a rare one (`dup`)
+    * and an absent one (`legacy`) so all three hit regimes execute.
+    *
+    * Scale shape: the blocklist is a literal/broadcast array evaluated
+    * MAP-SIDE inside codegen — zero shuffle before the per-source
+    * aggregate. Real blocklists run to a few thousand terms: still a
+    * broadcast; only substring (not word) matching would justify an
+    * Aho–Corasick automaton instead.
+    */
+  def qTextBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val blocklist = array(Seq("slow", "dup", "legacy").map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), "\\s+"),
+          t => array_contains(blocklist, t))).as("n_hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("n_hits") > 0, 0L).otherwise(1L)).as("n_kept"),
+        sum(col("n_hits").cast("long")).as("n_hits"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
-    "q_quality_constraints" -> (qQualityConstraints(_, _))
+    "q_quality_constraints" -> (qQualityConstraints(_, _)),
+    "q_text_blocklist" -> (qTextBlocklist(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +114,20 @@ object QualityQueries {
         |  UNION ALL SELECT 'ri_lineitem_orders', v, total FROM ri1
         |  UNION ALL SELECT 'ri_orders_customer', v, total FROM ri2)
         |SELECT check_name, violations, total, violations = 0 AS pass
-        |FROM rows0 ORDER BY check_name""".stripMargin
+        |FROM rows0 ORDER BY check_name""".stripMargin,
+    "q_text_blocklist" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> list_contains(['slow', 'dup', 'legacy'], x)))
+        |      AS n_hits
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(n_hits) AS BIGINT) AS n_hits
+        |FROM t GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -283,6 +283,60 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Holt double exponential smoothing (Holt 1957) of per-day event-type
+    * volumes — level AND trend tracking, the forecasting step up from
+    * q_time_anomaly's level-only EWMA: l_k = ½·x_k + ½·(l_{k−1}+b_{k−1}),
+    * b_k = ½·(l_k − l_{k−1}) + ½·b_{k−1}, seeded l_2 = x_2,
+    * b_2 = x_2 − x_1 (the standard two-point init), emitting per day the
+    * fitted level/trend and the one-step forecast l + b.
+    *
+    * Determinism: α = β = ½ makes every step a halving+add over exact
+    * integer daily counts; the engine's ordered `aggregate` fold and the
+    * twin's recursive CTE execute the IDENTICAL expression tree in the
+    * identical order, so the doubles agree bit-for-bit (round(…, 6) is
+    * belt and braces). Scale shape: the corpus-sized shuffle reduces
+    * events to |types|×|days| cells; the fold is a per-key sequential
+    * scan over that tiny series — the same per-entity model as EWMA.
+    */
+  def qTimeHolt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("event_type"), expr(
+        """aggregate(
+          |  slice(arr, 3, greatest(size(arr) - 2, 0)),
+          |  named_struct(
+          |    'l', CAST(element_at(arr, 2).n AS DOUBLE),
+          |    'b', CAST(element_at(arr, 2).n - element_at(arr, 1).n
+          |      AS DOUBLE),
+          |    'out', array(named_struct(
+          |      'day', element_at(arr, 2).day,
+          |      'n', element_at(arr, 2).n,
+          |      'l', CAST(element_at(arr, 2).n AS DOUBLE),
+          |      'b', CAST(element_at(arr, 2).n - element_at(arr, 1).n
+          |        AS DOUBLE)))),
+          |  (acc, x) -> named_struct(
+          |    'l', (CAST(x.n AS DOUBLE) + (acc.l + acc.b)) * 0.5d,
+          |    'b', (((CAST(x.n AS DOUBLE) + (acc.l + acc.b)) * 0.5d
+          |      - acc.l) + acc.b) * 0.5d,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n,
+          |      'l', (CAST(x.n AS DOUBLE) + (acc.l + acc.b)) * 0.5d,
+          |      'b', (((CAST(x.n AS DOUBLE) + (acc.l + acc.b)) * 0.5d
+          |        - acc.l) + acc.b) * 0.5d)))),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.day").as("day"),
+        col("o.n").as("n"),
+        round(col("o.l"), 6).as("level_r6"),
+        round(col("o.b"), 6).as("trend_r6"),
+        round(col("o.l") + col("o.b"), 6).as("forecast_r6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Streaming CDC compaction end-to-end under the driver harness: the
     * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
     * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
@@ -482,6 +536,7 @@ object StreamQueries {
     "q_stream_cdc_apply" -> (qStreamCdcApply(_, _)),
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
+    "q_time_holt" -> (qTimeHolt(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -561,6 +616,31 @@ object StreamQueries {
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (x, y) -> x * 0.5 + y * 0.5) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Recursive-CTE twin of the engine's ordered fold: the IDENTICAL
+    // expression tree per step, so pre-round doubles agree bit-for-bit.
+    "q_time_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |r(event_type, rn, day, n, l, b) AS (
+        |  SELECT i2.event_type, 2, i2.day, i2.n,
+        |    CAST(i2.n AS DOUBLE),
+        |    CAST(i2.n AS DOUBLE) - CAST(i1.n AS DOUBLE)
+        |  FROM idx i2 JOIN idx i1
+        |    ON i1.event_type = i2.event_type AND i1.rn = 1
+        |  WHERE i2.rn = 2
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.n,
+        |    (CAST(i.n AS DOUBLE) + (r.l + r.b)) * 0.5,
+        |    (((CAST(i.n AS DOUBLE) + (r.l + r.b)) * 0.5 - r.l) + r.b)
+        |      * 0.5
+        |  FROM r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+        |SELECT event_type, day, n, round(l, 6) AS level_r6,
+        |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
+        |FROM r ORDER BY event_type, day""".stripMargin,
     "q_time_interpolate" ->
       """WITH b AS (
         |  SELECT user_id,
