@@ -81,6 +81,24 @@ object LakeIO {
     }
   }
 
+  /** Sink write with PIGGYBACKED accounting: the supplied metric
+    * expressions ride the write job itself via `Dataset.observe`
+    * (CollectMetrics), so admission stats — row count, null counts,
+    * min/max — cost ZERO extra passes over the data. At 100 TB the
+    * alternative is a second full-corpus scan per ingest; here the
+    * aggregation happens inside the same tasks that write the files.
+    * Returns the observed metrics row as a name → value map.
+    */
+  def writeObserved(df: DataFrame, path: String,
+                    metrics: Seq[org.apache.spark.sql.Column],
+                    mode: SaveMode = SaveMode.Overwrite)
+      : Map[String, Any] = {
+    require(metrics.nonEmpty, "at least one metric expression")
+    val obs = org.apache.spark.sql.Observation()
+    writeAuto(df.observe(obs, metrics.head, metrics.tail: _*), path, mode)
+    obs.get
+  }
+
   /** Configure a session for an S3-compatible object store (MinIO-style
     * endpoint, path-style access) — the reference's data plane
     * (/root/reference/app/utils/minio_client.py:9-15). Credentials come

@@ -309,14 +309,14 @@ object StreamQueries {
         """aggregate(
           |  slice(arr, 3, greatest(size(arr) - 2, 0)),
           |  named_struct(
-          |    'l', CAST(element_at(arr, 2).n AS DOUBLE),
-          |    'b', CAST(element_at(arr, 2).n - element_at(arr, 1).n
+          |    'l', CAST(try_element_at(arr, 2).n AS DOUBLE),
+          |    'b', CAST(try_element_at(arr, 2).n - try_element_at(arr, 1).n
           |      AS DOUBLE),
           |    'out', array(named_struct(
-          |      'day', element_at(arr, 2).day,
-          |      'n', element_at(arr, 2).n,
-          |      'l', CAST(element_at(arr, 2).n AS DOUBLE),
-          |      'b', CAST(element_at(arr, 2).n - element_at(arr, 1).n
+          |      'day', try_element_at(arr, 2).day,
+          |      'n', try_element_at(arr, 2).n,
+          |      'l', CAST(try_element_at(arr, 2).n AS DOUBLE),
+          |      'b', CAST(try_element_at(arr, 2).n - try_element_at(arr, 1).n
           |        AS DOUBLE)))),
           |  (acc, x) -> named_struct(
           |    'l', (CAST(x.n AS DOUBLE) + (acc.l + acc.b)) * 0.5d,

@@ -52,6 +52,31 @@ class LakeIOSpec extends SparkTestBase {
     assert(back == Seq((1L, "x", 1.5), (2L, "y", -2.25)))
   }
 
+  test("writeObserved: metrics ride the write job, no second scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("lakeio-obs").toFile
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("z")))
+      .toDF("id", "v")
+    // count jobs: piggybacked metrics must NOT re-read the source
+    // (observe attaches CollectMetrics inside the write plan, so the
+    // whole call is ONE job). Job-group membership is recorded by the
+    // status tracker asynchronously — poll briefly before asserting.
+    spark.sparkContext.setJobGroup("obs-test", "writeObserved spec")
+    val m =
+      try LakeIO.writeObserved(df, s"$dir/out.parquet", Seq(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_v"),
+        max(col("id")).as("max_id")))
+      finally spark.sparkContext.clearJobGroup()
+    assert(m("n_rows") == 3L && m("n_null_v") == 1L && m("max_id") == 3L)
+    def jobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("obs-test").length
+    val deadline = System.nanoTime() + 5000000000L
+    while (jobs() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(jobs() == 1, s"expected the write job only, saw ${jobs()} jobs")
+    assert(LakeIO.readAuto(spark, s"$dir/out.parquet").count() == 3)
+  }
+
   test("writeAuto partitionBy produces hive-style pruned layout") {
     val dir = Files.createTempDirectory("lakeio-p").toFile
     val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))

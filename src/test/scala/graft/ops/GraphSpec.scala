@@ -369,4 +369,42 @@ class GraphSpec extends SparkTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.betweennessSampled(empty, 3, 4).count() == 0)
   }
+
+  // chain 1→2→3→4 (weight 1 each) plus an expensive shortcut 1→3 (w=5)
+  // and a dead-end 5: exercises relaxation preference, the truncated
+  // horizon, and unreachability in one graph
+  private val wchain: Seq[(Long, Long, Long)] =
+    Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L),
+      (5L, 5L, 9L))
+
+  test("ssspBounded: relaxation beats the direct edge, horizon truncates") {
+    val e = wchain.toDF("src", "dst", "w")
+    // 2 rounds: 1→2→3 (cost 2) beats 1→3 (cost 5); 4 only reachable
+    // within 2 edges via the shortcut (5+1=6) — the 3-edge cost-3 path
+    // is beyond the horizon
+    val d2 = Graph.ssspBounded(e, source = 1L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 6L), s"$d2")
+    // 3 rounds: the full chain fits the horizon — 4 improves to 3
+    val d3 = Graph.ssspBounded(e, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"$d3")
+    // vertex 5 is unreachable: absent from the table, not infinity-rowed
+    assert(!d3.contains(5L))
+  }
+
+  test("ssspBounded: source with no outgoing edges is just itself at 0") {
+    val e = wchain.toDF("src", "dst", "w")
+    val d = Graph.ssspBounded(e, source = 4L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(4L -> 0L))
+  }
+
+  test("ssspBounded: partition-count independent") {
+    val e = wchain.toDF("src", "dst", "w")
+    val a = Graph.ssspBounded(e, 1L, 4).as[(Long, Long)].collect().toMap
+    val b = Graph.ssspBounded(e.repartition(7), 1L, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }

@@ -50,4 +50,21 @@ class QualitySpec extends SparkTestBase {
     assert(row.getLong(2) === 5L)
     assert(!row.getBoolean(3))
   }
+
+  test("blocklist gate: duplicate hits count, word-exact only, " +
+      "clean docs kept") {
+    val dir = java.nio.file.Files.createTempDirectory("blocklist")
+    Seq(
+      (1L, "slow query slow scan", "en", "sA", 20L), // 2 hits (dup token)
+      (2L, "dup slow", "en", "sA", 8L),              // 2 hits, 2 terms
+      (3L, "slowly legacyx", "en", "sA", 14L),       // substrings ≠ words
+      (4L, "fast join", "en", "sB", 9L)              // clean
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.QualityQueries
+      .qTextBlocklist(spark, dir.toString)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("sA", 3L, 2L, 1L, 4L), ("sB", 1L, 0L, 1L, 0L)),
+      s"$out")
+  }
 }
