@@ -124,6 +124,36 @@ object AggQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable-sketch rollup (Apache DataSketches HLL — the library
+    * Spark 4 ships behind hll_sketch_agg/hll_union_agg): per-DAY user
+    * sketches — the pre-aggregate a 100 TB pipeline materializes once in
+    * a rollup table — UNIONED per event type into the monthly
+    * distinct-user estimate WITHOUT re-touching raw events. That
+    * re-aggregability is what approx_count_distinct's opaque one-shot
+    * estimate (q_agg_approx) cannot give. Certify discipline is the
+    * same: a binary sketch can't cross engines, so the exact distinct
+    * count rides along and the published check is the boolean
+    * "union estimate within ±5%" (≫ the lgK=12 theoretical
+    * 1.04/√2¹² ≈ 1.6% bound).
+    */
+  def qAggHllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+    val monthly = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"))
+    ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .join(broadcast(monthly), "event_type")
+      .select($"event_type", $"n_days", $"exact_users",
+        (abs($"est" - $"exact_users") * 20.0 <= $"exact_users" * 1.0)
+          .as("union_ok"))
+      .orderBy($"event_type")
+  }
+
   /** Exact sample variance/stddev from integer power sums:
     * var = (n·Σx² − (Σx)²) / (n(n−1)). Both engines do identical integer
     * arithmetic, then one identical double division + sqrt — the
@@ -336,6 +366,7 @@ object AggQueries {
     "q_agg_rollup" -> (qAggRollup(_, _)),
     "q_agg_cube" -> (qAggCube(_, _)),
     "q_agg_approx" -> (qAggApprox(_, _)),
+    "q_agg_hll_union" -> (qAggHllUnion(_, _)),
     "q_agg_quantile_sketch" -> (qAggQuantileSketch(_, _)),
     "q_agg_quantile_grouped" -> (qAggQuantileGrouped(_, _))
   )
@@ -475,6 +506,14 @@ object AggQueries {
         |  TRUE AS rank_ok
         |FROM r JOIN s ON s.g = r.g AND s.rn = r.r
         |ORDER BY l_returnflag, p""".stripMargin,
+    // exact side + claimed-true certification booleans (the sketch
+    // bytes themselves can't cross engines — q_agg_approx discipline)
+    "q_agg_hll_union" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users, TRUE AS union_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_agg_approx" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -141,7 +141,36 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Batch sessionization by gaps-and-islands — the window-function twin
+    * of q_stream_session's `session_window` operator (two idioms, one
+    * semantics): a session starts where the gap from the user's previous
+    * event exceeds 30 minutes; session id = running count of starts.
+    * Gap compare is on exact MICROSECOND integers (unix_micros /
+    * epoch_us) — a seconds-truncated or float-epoch compare could split
+    * differently at the boundary cross-engine. One shuffle on user_id;
+    * both window passes and the final aggregate reuse that partitioning.
+    */
+  def qWindowSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull
+          || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_window_sessionize" -> (qWindowSessionize(_, _)),
     "q_window_median" -> (qWindowMedian(_, _)),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls(_, _)),
     "q_window_nth" -> (qWindowNth(_, _)),
@@ -153,6 +182,26 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS sess_id
+        |  FROM m)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, round(SUM(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "q_window_median" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  quantile_disc(o_totalprice, 0.5) OVER (
