@@ -549,4 +549,134 @@ object Similarity {
         round(exact, 6).as("l2_r6"), col("rnk").cast("long").as("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** IVFADC — the combined coarse+fine quantizer of Jégou, Douze &
+    * Schmid (TPAMI'11 §IV.A), the configuration billion-scale
+    * deployments actually run: the IVF coarse quantizer routes every
+    * vector to an inverted list, and product quantization encodes each
+    * vector's RESIDUAL (x − list centroid), so the m·k codebook budget
+    * covers only the within-list displacement instead of the global
+    * spread. Search: a query probes its nProbe closest lists and builds
+    * one residual ADC lookup table PER PROBED LIST (the query residual
+    * depends on the list centroid), then scores only those lists'
+    * codes; the topK by ADC re-rank exactly.
+    *
+    * Determinism discipline (everything the house ANN family already
+    * pins): md5-sampled coarse centroids and PQ codebook, cosine
+    * routing via the native `cosine_sim` fold, (d, id) struct-min
+    * encode tiebreaks, residuals as exact double subtractions, ADC
+    * folded in subspace order — bit-replayable in the DuckDB twin.
+    *
+    * Scale shape: coarse centroids (nLists) and codebook (m·k slices)
+    * broadcast; routing + residual are MAP-SIDE (in-row argmax over
+    * the broadcast centroid array, then a broadcast join back for the
+    * centroid vector); the corpus crosses the encode shuffle as
+    * residual slices and thereafter lives as (list_id, m codes) —
+    * bytes per vector; per-query cost is nProbe LUTs (m·k exact slice
+    * distances each, broadcast) + the probed lists' codes; the exact
+    * re-rank touches |Q|·topK float vectors only.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nLists: Int, nProbe: Int, m: Int, k: Int, dim: Int,
+                nQueries: Int, topK: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = CacheScope.cached(
+      emb.select(col(idCol).as("pid"), col(vecCol).as("pv")))
+    val cents = v.withColumn("_h", md5(col("pid").cast("string")))
+      .orderBy(col("_h"), col("pid")).limit(nLists)
+      .select(col("pv").as("centv"),
+        row_number().over(Window.orderBy(col("_h"), col("pid")))
+          .as("cent_id"))
+    // map-side routing, then the residual joins the list centroid back
+    // in (broadcast again — still no corpus exchange before encode)
+    val resid = CacheScope.cached(assignToCentroids(
+        v.select(col("pid").as("cid"), col("pv").as("cv")), cents)
+      .join(broadcast(cents), "cent_id")
+      .select(col("cent_id").as("list_id"), col("cid").as("pid"),
+        expr("zip_with(cv, centv, (x, y) -> " +
+          "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("rv")))
+    val sliceExpr = (src: String) => expr(
+      s"transform(sequence(0, ${m - 1}), mi -> " +
+        s"struct(mi as mi, slice($src, mi * $sub + 1, $sub) as sv))")
+    val slices = CacheScope.cached(
+      resid.select(col("pid"), col("list_id"),
+          explode(sliceExpr("rv")).as("s"))
+        .select(col("pid"), col("list_id"), col("s.mi").as("mi"),
+          col("s.sv").as("sv")))
+    val l2 = expr(
+      "aggregate(zip_with(sv, cent, (x, y) -> (x - y) * (x - y)), 0D, " +
+        "(acc, d) -> acc + d)")
+    // PQ codebook: the residuals of the md5-ordered k sample, sliced
+    val codebook = CacheScope.cached(
+      resid.withColumn("_h", md5(col("pid").cast("string")))
+        .orderBy(col("_h"), col("pid")).limit(k)
+        .select(row_number().over(Window.orderBy(col("_h"), col("pid")))
+          .as("cent_id"), col("rv"))
+        .select(col("cent_id"), explode(sliceExpr("rv")).as("s"))
+        .select(col("s.mi").as("mi"), col("cent_id"),
+          col("s.sv").as("cent")))
+    // encode: per (vector, subspace) argmin — map-side partial min
+    val codes = CacheScope.cached(
+      slices.join(broadcast(codebook), "mi")
+        .select(col("pid"), col("list_id"), col("mi"),
+          struct(l2.as("d"), col("cent_id").as("c")).as("dc"))
+        .groupBy(col("pid"), col("list_id"), col("mi"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("pid"), col("list_id"), col("mi"),
+          col("best.c").as("code")))
+    // probes: top-nProbe lists by cosine (house IVF tiebreaks), each
+    // probe carrying the query's residual AGAINST THAT LIST's centroid
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    val probes = v.filter(col("pid") < nQueries)
+      .select(col("pid").as("qid"), col("pv").as("qv"))
+      .crossJoin(broadcast(centArr))
+      .select(col("qid"), col("qv"), explode(col("cents")).as("c"))
+      .select(col("qid"), col("qv"), col("c.cent_id").as("list_id"),
+        col("c.centv").as("centv"),
+        expr("cosine_sim(qv, c.centv)").as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("list_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("list_id"),
+        expr("zip_with(qv, centv, (x, y) -> " +
+          "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("qrv"))
+    val lut = probes
+      .select(col("qid"), col("list_id"),
+        explode(sliceExpr("qrv")).as("s"))
+      .select(col("qid"), col("list_id"), col("s.mi").as("mi"),
+        col("s.sv").as("sv"))
+      .join(broadcast(codebook), "mi")
+      .select(col("qid"), col("list_id"), col("mi"), col("cent_id"),
+        l2.as("d"))
+    // ADC: the probed lists' codes pick their per-list LUT entries;
+    // fold in subspace order for a bit-deterministic m-double sum
+    val adc = codes.join(broadcast(lut), Seq("list_id", "mi")
+        .map(c => codes(c) === lut(c)).reduce(_ && _)
+        && codes("code") === lut("cent_id"))
+      .drop(lut("list_id")).drop(lut("mi"))
+      .filter(col("qid") =!= col("pid"))
+      .groupBy(col("qid"), col("pid"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(mi, d))), " +
+        "0D, (acc, s) -> acc + s.d)").as("adc"))
+    val top = adc.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc"), col("pid"))))
+      .filter(col("rnk") <= topK)
+    val exact = expr(
+      "aggregate(zip_with(qv, cv, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
+        "(acc, d) -> acc + d)")
+    top
+      .join(v.select(col("pid").as("qid"), col("pv").as("qv")), "qid")
+      .join(v.select(col("pid"), col("pv").as("cv")), "pid")
+      .select(col("qid").as("query_id"), col("pid").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_r6"),
+        round(exact, 6).as("l2_r6"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

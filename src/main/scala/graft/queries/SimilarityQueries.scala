@@ -251,9 +251,22 @@ object SimilarityQueries {
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
     "q_sim_pq" -> (qSimPq(_, _)),
     "q_sim_pq_trained" -> (qSimPqTrained(_, _)),
+    "q_sim_topk_ivfpq" -> (qSimTopkIvfPq(_, _)),
     "q_sim_project" -> (qSimProject(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
   )
+
+  /** IVFADC (Jégou et al. TPAMI'11 §IV.A — coarse IVF routing + PQ on
+    * RESIDUALS): 8 md5-sampled coarse lists, 4×16 residual codebook,
+    * 2-probe search with one residual ADC lookup table per probed list,
+    * exact re-rank of the top-10. The billion-scale configuration —
+    * the corpus lives as (list_id, 4 codes) after encode. Twin replays
+    * routing, residuals, codebook, encode, per-list LUTs, ADC, re-rank.
+    */
+  def qSimTopkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfPqTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", nLists = 8, nProbe = 2, m = 4, k = 16,
+      dim = 64, nQueries = 10, topK = 10)
 
   /** PQ with Lloyd-REFINED subspace codebooks (one deterministic
     * iteration per subspace, the kmeansFit update discipline) — the
@@ -410,6 +423,105 @@ object SimilarityQueries {
        |FROM x ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVFADC twin: md5 coarse sample → cosine routing → residuals →
+    * residual codebook (md5 sample of residual vectors) → encode →
+    * per-(query, probed-list) residual LUT → ADC (subspace-ordered
+    * fold) → exact re-rank. Same l2/cosine/tiebreak idioms as the
+    * PQ and IVF twins it composes.
+    */
+  private def ivfPqOracleSql: String = {
+    val l2 = (a: String, b: String, n: Int) =>
+      s"""list_reduce(list_transform(generate_series(1, $n),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH vv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |smp AS (
+       |  SELECT vec_id, embedding, nrm, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM vv),
+       |cents AS (SELECT rk AS cent_id, embedding AS centv, nrm AS cnrm
+       |          FROM smp WHERE rk <= 8),
+       |asgn AS (
+       |  SELECT cent_id AS list_id, vec_id AS pid, embedding, centv
+       |  FROM (
+       |    SELECT c.cent_id, v.vec_id, v.embedding, c.centv,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")}
+       |          DESC, c.cent_id) AS rn
+       |    FROM vv v CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |resid AS (
+       |  SELECT list_id, pid,
+       |    list_transform(list_zip(embedding, centv),
+       |      s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) AS rv
+       |  FROM asgn),
+       |rs AS (
+       |  SELECT pid, rv, row_number() OVER (
+       |    ORDER BY md5(CAST(pid AS VARCHAR)), pid) AS rk
+       |  FROM resid),
+       |ms AS (SELECT unnest(generate_series(0, 3)) AS mi),
+       |cb AS (
+       |  SELECT mi, rk AS cent_id, rv[mi * 16 + 1 : (mi + 1) * 16] AS cent
+       |  FROM rs CROSS JOIN ms WHERE rk <= 16),
+       |sl AS (
+       |  SELECT pid, list_id, mi, rv[mi * 16 + 1 : (mi + 1) * 16] AS sv
+       |  FROM resid CROSS JOIN ms),
+       |dist AS (
+       |  SELECT pid, list_id, mi, cent_id, ${l2("sv", "cent", 16)} AS d
+       |  FROM sl JOIN cb USING (mi)),
+       |codes AS (
+       |  SELECT pid, list_id, mi, cent_id AS code FROM (
+       |    SELECT pid, list_id, mi, cent_id, row_number() OVER (
+       |      PARTITION BY pid, mi ORDER BY d, cent_id) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, list_id, centv FROM (
+       |    SELECT v.vec_id AS qid, c.cent_id AS list_id, c.centv,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")}
+       |          DESC, c.cent_id) AS rn
+       |    FROM vv v CROSS JOIN cents c WHERE v.vec_id < 10)
+       |  WHERE rn <= 2),
+       |qresid AS (
+       |  SELECT p.qid, p.list_id,
+       |    list_transform(list_zip(v.embedding, p.centv),
+       |      s -> CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) AS qrv
+       |  FROM probes p JOIN vv v ON v.vec_id = p.qid),
+       |qsl AS (
+       |  SELECT qid, list_id, mi,
+       |    qrv[mi * 16 + 1 : (mi + 1) * 16] AS sv
+       |  FROM qresid CROSS JOIN ms),
+       |lut AS (
+       |  SELECT qid, list_id, mi, cent_id, ${l2("sv", "cent", 16)} AS d
+       |  FROM qsl JOIN cb USING (mi)),
+       |adc AS (
+       |  SELECT l.qid, c.pid,
+       |    list_reduce(list(l.d ORDER BY c.mi), (x, y) -> x + y) AS adc
+       |  FROM codes c JOIN lut l ON l.list_id = c.list_id
+       |    AND l.mi = c.mi AND l.cent_id = c.code
+       |  WHERE l.qid <> c.pid
+       |  GROUP BY l.qid, c.pid),
+       |top AS (
+       |  SELECT qid, pid, adc, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc, pid) AS rnk
+       |  FROM adc),
+       |x AS (
+       |  SELECT t.qid, t.pid, t.adc, t.rnk,
+       |    ${l2("q.embedding", "c.embedding", 64)} AS l2
+       |  FROM top t JOIN vv q ON q.vec_id = t.qid
+       |  JOIN vv c ON c.vec_id = t.pid
+       |  WHERE t.rnk <= 10)
+       |SELECT qid AS query_id, pid AS neighbor_id,
+       |  round(adc, 6) AS adc_r6, round(l2, 6) AS l2_r6,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM x ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
     * sequential fold, bit-identical to `cosine_sim` (same op order).
     */
@@ -550,6 +662,7 @@ object SimilarityQueries {
     // rounded means, FLOAT-cast, the kmeansFit discipline).
     "q_sim_pq" -> pqOracleSql(trained = false),
     "q_sim_pq_trained" -> pqOracleSql(trained = true),
+    "q_sim_topk_ivfpq" -> ivfPqOracleSql,
     "q_sim_maxsim" ->
       s"""WITH n AS (
          |  SELECT vec_id, vec_id // 10 AS doc_id, embedding,
