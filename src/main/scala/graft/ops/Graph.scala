@@ -508,8 +508,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 8, "bounded rounds 1..8")
     val e = CacheScope.cached(
       edges.select(col("src"), col("dst"), col("w").cast("long").as("w")))
+    // seed via range(1)'s id column (0) so `v` is NOT a foldable
+    // literal — a literal seed constant-folds the first relaxation
+    // join into a nested-loop filter instead of an equi-join
     var dist = e.sparkSession.range(1)
-      .select(lit(source).as("v"), lit(0L).as("d"))
+      .select((col("id") + source).as("v"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, dist("v") === e("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))

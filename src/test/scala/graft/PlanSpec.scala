@@ -484,4 +484,55 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("lcs_pack"), "native expression must be in the plan")
   }
+
+  test("blocklist gate: membership is map-side (no join at all) and " +
+    "only the needed columns are scanned") {
+    val p = plan("q_text_blocklist")
+    assert(!p.contains("Join"), "literal-array membership must not join")
+    assert(p.contains("ReadSchema") && !p.contains("doc_id"),
+      "unused columns must be pruned")
+  }
+
+  test("HLL rollup: the day-sketch union re-aggregates sketch columns; " +
+    "the exact-side join is broadcast") {
+    val p = plan("q_agg_hll_union")
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"),
+      "union must re-aggregate sketches, not raw rows")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sessionize: ONE exchange on user_id feeds both window passes " +
+    "and the session aggregate") {
+    val p = plan("q_window_sessionize")
+    // count operator DETAIL headers ("(n) Exchange") — FormattedMode
+    // prints each node once in the tree and once in the details, so a
+    // raw substring count double-counts
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    // one hashpartitioning(user_id) + the final orderBy's range exchange
+    assert(exchanges <= 2, s"expected <=2 exchanges, plan had $exchanges")
+  }
+
+  test("SSSP: relaxation rounds are equi-joins — no cartesian/BNL " +
+    "anywhere in the 4-round plan") {
+    val p = plan("q_graph_sssp")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVFADC: codebook/LUT joins broadcast; the only corpus " +
+    "exchanges are the encode aggregate and the ADC fold") {
+    val p = plan("q_sim_topk_ivfpq")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("ORC round-trip: the ORC scan prunes to the projected columns " +
+    "(text is read only for the md5)") {
+    val p = plan("q_source_orc")
+    assert(p.contains("Format: orc") || p.contains("orc"),
+      "must actually scan ORC")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      "map-only until the final sort")
+  }
 }
