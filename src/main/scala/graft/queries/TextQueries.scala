@@ -94,6 +94,42 @@ object TextQueries {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
 
+  /** Hybrid retrieval fusion (Cormack, Clarke & Büttcher, SIGIR'09 —
+    * Reciprocal Rank Fusion, the standard lexical+dense combiner in
+    * retrieval stacks): the BM25 top-20 for the fixed term query and
+    * the dense cosine top-20 for query vector 0 fuse as
+    * Σ 1/(60 + rank); a doc on only one list contributes only that
+    * term. RRF consumes RANKS, not scores, so the fused score is exact
+    * integer arithmetic — published 1e12-scaled via floor division,
+    * zero float drift across engines.
+    *
+    * Scale shape: each leg is its own already-scale-shaped pipeline
+    * (BM25: one token shuffle + broadcast stats; dense: broadcast
+    * 1-query scoring); the fusion itself joins two 20-row frames.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = TextAnalysis.bm25(Tables.documents(spark, dir),
+        "doc_id", "text", bm25Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("r_lex"))
+    val emb = Tables.embeddings(spark, dir)
+    val dense = graft.ops.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 20)
+      .select(col("neighbor_id").as("id"),
+        col("rank").cast("long").as("r_dense"))
+    lexTop.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("r_lex"), col("r_dense"),
+        (coalesce(expr("1000000000000 div (60 + r_lex)"), lit(0L))
+          + coalesce(expr("1000000000000 div (60 + r_dense)"), lit(0L)))
+          .as("rrf_e12"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_e12").desc, col("id"))).cast("long"))
+      .orderBy(col("fused_rank"))
+  }
+
   /** Perplexity-proxy quality score: mean token log-prob under the
     * corpus's own add-one unigram model.
     */
@@ -1018,6 +1054,7 @@ object TextQueries {
     "q_text_chunk_dedup" -> (qTextChunkDedup(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
+    "q_hybrid_rrf" -> (qHybridRrf(_, _)),
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
     "q_text_bigram_lm" -> (qTextBigramLm(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)),
@@ -1095,7 +1132,10 @@ object TextQueries {
     (best, whens)
   }
 
-  private val bm25OracleSql: String = {
+  /** Shared BM25 CTE chain ending in `bmscore(doc_id, bm25)` — used by
+    * the plain ranking oracle and the hybrid-RRF fusion oracle.
+    */
+  private val bm25CteSql: String = {
     val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
       s"SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf_$i"
     }.mkString(",\n    ")
@@ -1111,7 +1151,7 @@ object TextQueries {
         .stripMargin
     }.mkString("\n  + ")
     val anyTf = bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
        |  FROM documents),
        |tkn AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
@@ -1123,13 +1163,18 @@ object TextQueries {
        |  SELECT COUNT(*) AS n_docs,
        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
        |    $dfs
-       |  FROM perdoc)
-       |SELECT doc_id, round(
+       |  FROM perdoc),
+       |bmscore AS (
+       |  SELECT doc_id, round(
        |    $score, 6) AS bm25
-       |FROM perdoc, stats
-       |WHERE $anyTf
-       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM perdoc, stats
+       |  WHERE $anyTf)""".stripMargin
   }
+
+  private val bm25OracleSql: String =
+    s"""WITH $bm25CteSql
+       |SELECT doc_id, bm25 FROM bmscore
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** DuckDB twin of qTextBpeTrain: replays every merge round with
     * list_reduce over the same '|'-joined segment representation.
@@ -1689,6 +1734,37 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
     "q_text_bm25" -> bm25OracleSql,
+    // both legs replayed (BM25 CTEs + brute cosine), then the exact
+    // integer RRF fold — ranks fuse, scores never cross engines raw
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25CteSql,
+         |lex AS (SELECT id, r_lex FROM (
+         |    SELECT doc_id AS id, CAST(row_number() OVER (
+         |      ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+         |    FROM bmscore)
+         |  WHERE r_lex <= 20),
+         |vv AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |dns AS (SELECT id, r_dense FROM (
+         |    SELECT c.vec_id AS id, CAST(row_number() OVER (ORDER BY
+         |      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+         |        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+         |        / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS r_dense
+         |    FROM vv q JOIN vv c ON q.vec_id = 0 AND c.vec_id <> 0)
+         |  WHERE r_dense <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.id, d.id) AS id, l.r_lex, d.r_dense,
+         |    COALESCE(1000000000000 // (60 + l.r_lex), 0)
+         |      + COALESCE(1000000000000 // (60 + d.r_dense), 0)
+         |      AS rrf_e12
+         |  FROM lex l FULL OUTER JOIN dns d ON l.id = d.id)
+         |SELECT id, r_lex, r_dense, CAST(rrf_e12 AS BIGINT) AS rrf_e12,
+         |  CAST(row_number() OVER (ORDER BY rrf_e12 DESC, id) AS BIGINT)
+         |    AS fused_rank
+         |FROM fused ORDER BY fused_rank""".stripMargin,
     "q_text_unigram_lp" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
