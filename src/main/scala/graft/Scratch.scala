@@ -128,7 +128,30 @@ object Scratch {
       "q_text_bigram_lm" ->
         ("stupid-backoff LM: bigram pairs built map-side from the " +
           "token array (no lag window); count tables shuffle once on " +
-          "gram keys; corpus totals broadcast as one row"))
+          "gram keys; corpus totals broadcast as one row"),
+      "q_graph_sssp" ->
+        ("weighted SSSP: 4 Bellman–Ford rounds, each ONE equi-join of " +
+          "the |V|-bounded distance table against the edges + a min " +
+          "aggregate — no frontier blowup, no cartesian"),
+      "q_text_blocklist" ->
+        ("blocklist gate: literal/broadcast term array evaluated " +
+          "map-side in codegen — NO join, one per-source aggregate"),
+      "q_agg_hll_union" ->
+        ("HLL rollup: per-day sketch aggregate, monthly union " +
+          "re-aggregates SKETCHES (never raw rows); exact side joins " +
+          "by broadcast"),
+      "q_window_sessionize" ->
+        ("gaps-and-islands sessions: ONE hash exchange on user_id " +
+          "feeds both window passes AND the session aggregate"),
+      "q_sim_topk_ivfpq" ->
+        ("IVFADC: broadcast coarse centroids + residual codebook; " +
+          "map-side routing/residual; encode as min-of-struct partial " +
+          "agg; per-probed-list residual LUTs broadcast; corpus " +
+          "crosses the shuffle as (list_id, codes)"),
+      "q_hybrid_rrf" ->
+        ("hybrid RRF: each leg its own scale shape (BM25 one-shuffle; " +
+          "dense broadcast scoring); fusion is a 20-row full-outer " +
+          "join with exact integer rank folds"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
