@@ -330,6 +330,39 @@ object MiscQueries {
       .orderBy(col("k"))
   }
 
+  /** Time travel over the versioned-publish lake layer
+    * (LakeIO.writeVersioned — Delta-style snapshot isolation from
+    * directories + one atomic rename): v1 = the orders snapshot,
+    * v2 = the q_merge_upsert changes applied; BOTH versions then read
+    * back BY PIN and summarized. The point under the hash gate: a
+    * published version is immutable — v1's numbers survive v2's
+    * publish untouched. Publishes are eager bounded jobs at
+    * construction (a publish IS a job — the streaming-query
+    * construction contract).
+    */
+  def qLakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_lake_time_travel")
+    val table = s"$tmp/orders_t"
+    val base = Tables.orders(spark, dir)
+    LakeIO.writeVersioned(base, table)
+    val mods = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    LakeIO.writeVersioned(
+      graft.ops.Merge.upsert(base, mods.unionByName(inserts),
+        "o_orderkey"), table)
+    Seq(1, 2).map { v =>
+      LakeIO.readVersion(spark, table, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Exact.e2(col("o_totalprice"))).as("sum_price_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_price_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("version"))
+  }
+
   /** Inclusion-dependency (FK-discovery) profile over the star schema:
     * three true FK edges plus one deliberately-partial pair
     * (part.p_size ⊆? nation keys) whose containment is fractional.
@@ -370,6 +403,7 @@ object MiscQueries {
     "q_sort_nulls" -> (qSortNulls(_, _)),
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
     "q_source_orc" -> (qSourceOrc(_, _)),
+    "q_lake_time_travel" -> (qLakeTimeTravel(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
@@ -699,6 +733,29 @@ object MiscQueries {
     // engine's parquet→ORC→scan round trip preserved every value.
     "q_source_orc" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // v1 = the untouched snapshot; v2 = the q_merge_upsert result —
+    // equality certifies version immutability under the later publish.
+    "q_lake_time_travel" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |v2 AS (
+        |  SELECT CASE WHEN u.o_orderkey IS NOT NULL
+        |           THEN u.o_totalprice ELSE b.o_totalprice END AS price
+        |  FROM orders b FULL OUTER JOIN upd u
+        |    ON b.o_orderkey = u.o_orderkey)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS sum_price_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |  CAST(SUM(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin
   )
 }

@@ -77,6 +77,33 @@ class LakeIOSpec extends SparkTestBase {
     assert(LakeIO.readAuto(spark, s"$dir/out.parquet").count() == 3)
   }
 
+  test("versioned publish: immutable pins, latest pointer, loud " +
+      "missing-version, crashed staging cleared") {
+    val dir = Files.createTempDirectory("lakeio-v").toFile
+    val t = s"$dir/t"
+    assert(LakeIO.writeVersioned(Seq((1L, "a")).toDF("id", "v"), t) == 1)
+    assert(LakeIO.writeVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) == 2)
+    // pinned reads see their own snapshot; latest follows the head
+    assert(LakeIO.readVersion(spark, t, Some(1)).count() == 1)
+    assert(LakeIO.readVersion(spark, t, Some(2)).count() == 2)
+    assert(LakeIO.readVersion(spark, t).count() == 2)
+    // history carries (version, files, bytes)
+    assert(LakeIO.versions(spark, t).map(_._1) == Seq(1, 2))
+    // a leftover _staging from a crashed publish must not block or leak
+    Files.createDirectories(new java.io.File(t, "_staging").toPath)
+    assert(LakeIO.writeVersioned(
+      Seq((3L, "c")).toDF("id", "v"), t) == 3)
+    assert(LakeIO.readVersion(spark, t).count() == 1)
+    // pinning a never-published version fails loudly, not empty
+    intercept[java.util.NoSuchElementException] {
+      LakeIO.readVersion(spark, t, Some(9))
+    }
+    intercept[java.util.NoSuchElementException] {
+      LakeIO.readVersion(spark, s"$dir/nope")
+    }
+  }
+
   test("writeAuto partitionBy produces hive-style pruned layout") {
     val dir = Files.createTempDirectory("lakeio-p").toFile
     val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))
