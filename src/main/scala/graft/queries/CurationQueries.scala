@@ -253,7 +253,50 @@ object CurationQueries {
       .orderBy(col("decile"))
   }
 
+  /** Hash-proposal NEGATIVE SAMPLING — the recommender/contrastive
+    * training-data op: for every customer, 5 parts they have NEVER
+    * ordered, drawn deterministically. Candidate j of customer c is
+    * part (md5(c ':' j) mod maxPartkey) + 1 over 16 proposals
+    * (partkeys are dense 1..max, so every proposal is a real part);
+    * positives anti-join out; duplicate proposals collapse to their
+    * smallest j; the 5 smallest-j survivors publish with their rank.
+    *
+    * Scale shape: NO user×catalog cross join anywhere — proposals are
+    * a map-side sequence explode (16 rows/user), rejection is one
+    * equi anti-join on (cust, part), and the top-5 window sees ≤16
+    * rows per key. This is how production samplers scale: propose by
+    * hash, reject, never enumerate the catalog. maxPartkey rides a
+    * lazy 1-row broadcast (no construction job).
+    */
+  def qNegSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxPk = Tables.part(spark, dir)
+      .agg(max(col("p_partkey")).as("maxpk"))
+    val custs = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust")).distinct()
+    val pos = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    custs.crossJoin(broadcast(maxPk))
+      .select(col("cust"), col("maxpk"),
+        explode(expr("sequence(0, 15)")).as("j"))
+      .select(col("cust"), col("j"),
+        (pmod(conv(substring(md5(concat_ws(":", col("cust"), col("j"))),
+          1, 8), 16, 10).cast("long"), col("maxpk")) + 1).as("part"))
+      .join(pos, Seq("cust", "part"), "left_anti")
+      .groupBy(col("cust"), col("part")).agg(min(col("j")).as("j"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cust")).orderBy(col("j"), col("part"))))
+      .filter(col("rank") <= 5)
+      .select(col("cust"), col("rank").cast("long").as("rank"),
+        col("part").as("neg_part"))
+      .orderBy(col("cust"), col("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_neg_sample" -> (qNegSample(_, _)),
     "q_curate_curriculum_global" -> (qCurriculumGlobal(_, _)),
     "q_curate_dsir_bigram" -> (qDsirBigram(_, _)),
     "q_curate_curriculum" -> (qCurriculum(_, _)),
@@ -402,6 +445,33 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_neg_sample" ->
+      """WITH mx AS (SELECT max(p_partkey) AS maxpk FROM part),
+        |custs AS (SELECT DISTINCT o_custkey AS cust FROM orders),
+        |pos AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |props AS (
+        |  SELECT cust, j,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef', substring(
+        |             md5(CAST(cust AS VARCHAR) || ':'
+        |               || CAST(j AS VARCHAR)), d, 1))
+        |             - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % maxpk + 1 AS part
+        |  FROM custs CROSS JOIN mx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
+        |neg AS (
+        |  SELECT cust, part, min(j) AS j
+        |  FROM props p WHERE NOT EXISTS (
+        |    SELECT 1 FROM pos WHERE pos.cust = p.cust
+        |      AND pos.part = p.part)
+        |  GROUP BY cust, part)
+        |SELECT cust, CAST(rank AS BIGINT) AS rank, part AS neg_part
+        |FROM (
+        |  SELECT cust, part, row_number() OVER (
+        |    PARTITION BY cust ORDER BY j, part) AS rank
+        |  FROM neg)
+        |WHERE rank <= 5 ORDER BY cust, rank""".stripMargin,
     // boundaries = exact rank-selected decile values (the same
     // (i·n+9)//10 convention q_agg_quantile_sketch pins); assignment =
     // strict-less count against them
