@@ -196,10 +196,12 @@ object Multimodal {
   /** REAL decoder for PNG — pure JVM: the zlib stream is
     * `java.util.zip.Inflater` (in the JDK) and the per-row unfiltering
     * (the 5 PNG filter types: None/Sub/Up/Average/Paeth) is plain byte
-    * math, so no external codec is needed. Supports the common
-    * non-interlaced 8-bit-depth forms: grayscale (color type 0), RGB
-    * (2), palette (3, via the PLTE chunk), gray+alpha (4), RGBA (6);
-    * 16-bit, sub-byte palette depths and Adam7 interlace return None
+    * math, so no external codec is needed. Supports the 8-bit-depth
+    * forms: grayscale (color type 0), RGB (2), palette (3, via the
+    * PLTE chunk), gray+alpha (4), RGBA (6), BOTH non-interlaced and
+    * Adam7-interlaced (each of the 7 passes unfilters against its own
+    * pass-local neighborhood, then scatters to final positions — spec
+    * §8.2); 16-bit and sub-byte palette depths return None
     * (→ stub fallback). Mean luma is Rec.601 over
     * the unfiltered samples (alpha ignored), same sequential-fold
     * discipline as the other decoders. Format per the PNG spec (RFC
@@ -223,7 +225,7 @@ object Multimodal {
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
     val channels = colorType match {
       case 0 => 1
       case 2 => 3
@@ -257,7 +259,24 @@ object Multimodal {
     if (colorType == 3 &&
         (palette == null || palette.length % 3 != 0)) return None
     val stride = (w * channels).toInt
-    val raw = new Array[Byte]((stride + 1) * h.toInt)
+    // Adam7 pass grid (PNG spec §8.2): (xStart, yStart, xStep, yStep).
+    // The non-interlaced image is the degenerate single full pass —
+    // one code path decodes both forms (empty passes carry NO bytes,
+    // not even filter bytes, per spec).
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def pw(p: (Int, Int, Int, Int)): Int =
+      (((w - p._1) + p._3 - 1) / p._3).toInt max 0
+    def ph(p: (Int, Int, Int, Int)): Int =
+      (((h - p._2) + p._4 - 1) / p._4).toInt max 0
+    val rawLen = passes.map { p =>
+      if (pw(p) == 0 || ph(p) == 0) 0L
+      else (pw(p).toLong * channels + 1) * ph(p)
+    }.sum
+    if (rawLen > (1L << 30) || rawLen == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -272,40 +291,63 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // unfilter scanlines in place (each filter references the RECON
-    // bytes of the previous pixel/row, so decode order is row-major)
+    // per pass: unfilter the pass's scanlines against the PASS-LOCAL
+    // neighborhood (filters reference the pass's own recon bytes, not
+    // the final image), then scatter pixels to their final positions
     val img = new Array[Byte](stride * h.toInt)
     val bpp = channels
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      val in = y * (stride + 1) + 1
-      val out = y * stride
-      var x = 0
-      while (x < stride) {
-        val rv = raw(in + x) & 0xff
-        val left = if (x >= bpp) img(out + x - bpp) & 0xff else 0
-        val up = if (y > 0) img(out - stride + x) & 0xff else 0
-        val ul = if (x >= bpp && y > 0) img(out - stride + x - bpp) & 0xff
-                 else 0
-        val v = f match {
-          case 0 => rv
-          case 1 => rv + left
-          case 2 => rv + up
-          case 3 => rv + (left + up) / 2
-          case 4 => // Paeth predictor
-            val pr = left + up - ul
-            val pa = math.abs(pr - left)
-            val pb = math.abs(pr - up)
-            val pc = math.abs(pr - ul)
-            rv + (if (pa <= pb && pa <= pc) left
-                  else if (pb <= pc) up else ul)
-          case _ => return None
+    var rp = 0
+    passes.foreach { p =>
+      val pWidth = pw(p); val pHeight = ph(p)
+      if (pWidth > 0 && pHeight > 0) {
+        val pstride = pWidth * channels
+        val rec = new Array[Byte](pstride * pHeight)
+        var y = 0
+        while (y < pHeight) {
+          val f = raw(rp + y * (pstride + 1)) & 0xff
+          val in = rp + y * (pstride + 1) + 1
+          val out = y * pstride
+          var x = 0
+          while (x < pstride) {
+            val rv = raw(in + x) & 0xff
+            val left = if (x >= bpp) rec(out + x - bpp) & 0xff else 0
+            val up = if (y > 0) rec(out - pstride + x) & 0xff else 0
+            val ul = if (x >= bpp && y > 0)
+              rec(out - pstride + x - bpp) & 0xff else 0
+            val v = f match {
+              case 0 => rv
+              case 1 => rv + left
+              case 2 => rv + up
+              case 3 => rv + (left + up) / 2
+              case 4 => // Paeth predictor
+                val pr = left + up - ul
+                val pa = math.abs(pr - left)
+                val pb = math.abs(pr - up)
+                val pc = math.abs(pr - ul)
+                rv + (if (pa <= pb && pa <= pc) left
+                      else if (pb <= pc) up else ul)
+              case _ => return None
+            }
+            rec(out + x) = v.toByte
+            x += 1
+          }
+          y += 1
         }
-        img(out + x) = v.toByte
-        x += 1
+        rp += (pstride + 1) * pHeight
+        var j = 0
+        while (j < pHeight) {
+          var i = 0
+          while (i < pWidth) {
+            val dst = ((p._2 + j * p._4) * w.toInt
+              + (p._1 + i * p._3)) * channels
+            val src = (j * pWidth + i) * channels
+            var c = 0
+            while (c < channels) { img(dst + c) = rec(src + c); c += 1 }
+            i += 1
+          }
+          j += 1
+        }
       }
-      y += 1
     }
     var lumaSum = 0.0
     var px = 0L

@@ -450,6 +450,54 @@ class CustomFunctionsSpec extends SparkTestBase {
     assert(math.abs(feats("gray.png")._3 - grayWant) < 1e-9)
   }
 
+  test("multimodal: Adam7-interlaced PNG decodes identically to the " +
+      "sequential encoding of the same image") {
+    import graft.ops.Multimodal
+    // ImageIO's progressive PNG mode writes Adam7 — the independent
+    // encode direction for the 7-pass unfilter+scatter path. 17×11 is
+    // deliberately not a multiple of 8: every pass has ragged
+    // dimensions, and passes narrower than their step exercise the
+    // empty/short-pass arithmetic.
+    val (w, h) = (17, 11)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 53 + y * 17) % 256 << 16) |
+        ((x * 29 + y * 97) % 256 << 8) | ((x * 71 + y * 13) % 256))
+    def write(progressive: Boolean): Array[Byte] = {
+      val wr = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(
+        if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    val seq7 = write(progressive = false)
+    val adam = write(progressive = true)
+    assert((seq7(28) & 0xff) == 0 && (adam(28) & 0xff) == 1,
+      "fixture must actually be (non-)interlaced")
+    val dir = java.nio.file.Files.createTempDirectory("png-a7").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "seq.png").toPath,
+      seq7)
+    java.nio.file.Files.write(new java.io.File(dir, "adam.png").toPath,
+      adam)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readBinary(spark, s"$dir/*.png")).toDF()
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"width", $"height", $"mean_luma", $"dhash")
+      .as[(String, Int, Int, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(feats("adam.png")._1 == w && feats("adam.png")._2 == h)
+    // same pixels → bit-identical luma AND dhash across interlacings
+    assert(feats("adam.png") == feats("seq.png"))
+  }
+
   test("multimodal: GIF LZW decode agrees with the JDK's independent encoder") {
     import graft.ops.Multimodal
     // ImageIO's GIF writer produces a real variable-width LZW stream —
