@@ -311,6 +311,54 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming VERSIONED publish: every non-empty micro-batch commits
+    * the running keyed state as a NEW immutable version via
+    * LakeIO.writeVersioned (stage + atomic rename), so downstream
+    * consumers time-travel across batch boundaries — each version is a
+    * consistent snapshot, never a half-written table. The state
+    * carried forward is "latest row per key" (max ts wins), merged
+    * batch-over-batch from the previous version.
+    *
+    * Scale note: this publishes FULL snapshots — right when the keyed
+    * state is dimension-sized (the common case for published marts).
+    * For fact-sized state, compose `upsertSink`'s bucketed layout with
+    * a manifest pointer instead; the version contract is the same.
+    */
+  def versionedSink(df: DataFrame, keyCol: String, tsCol: String,
+                    tableDir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val latestInBatch = batch
+            .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col(keyCol))
+                .orderBy(col(tsCol).desc, col(keyCol))))
+            .filter(col("_rn") === 1).drop("_rn")
+          val merged =
+            try {
+              val prev = graft.io.LakeIO.readVersion(spark, tableDir)
+              prev.join(latestInBatch.select(col(keyCol)), Seq(keyCol),
+                  "left_anti")
+                .unionByName(latestInBatch)
+            } catch {
+              case _: java.util.NoSuchElementException => latestInBatch
+            }
+          // no self-race: the merge READS v=N while the publish stages
+          // into _staging and commits v=N+1 — the source version is
+          // never touched
+          graft.io.LakeIO.writeVersioned(merged, tableDir)
+          ()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One partition-scoped upsert merge (the foreachBatch body of
     * `upsertSink`, exposed for direct batch use and tests).
     *

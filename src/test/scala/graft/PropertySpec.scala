@@ -214,6 +214,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ssspBounded equals scalar Bellman–Ford truncated at R edges " +
+    "on random weighted digraphs") {
+    val graphs: Gen[List[(Long, Long, Long)]] =
+      Gen.listOfN(30, for {
+        s <- Gen.chooseNum(0L, 7L)
+        d <- Gen.chooseNum(0L, 7L)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (s, d, w))
+    def scalar(edges: Seq[(Long, Long, Long)], src: Long, rounds: Int)
+        : Map[Long, Long] = {
+      var dist = Map(src -> 0L)
+      for (_ <- 1 to rounds) {
+        val relaxed = edges.flatMap { case (s, d, w) =>
+          dist.get(s).map(ds => d -> (ds + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      dist
+    }
+    forAll(graphs, n = 4) { data =>
+      whenever(data.nonEmpty) {
+        // multi-edges collapse to min weight like the query's groupBy
+        val edges = data.groupBy(e => (e._1, e._2))
+          .map { case ((s, d), es) => (s, d, es.map(_._3).min) }.toSeq
+        val got = graft.ops.Graph
+          .ssspBounded(edges.toDF("src", "dst", "w"), source = 0L,
+            rounds = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got == scalar(edges, 0L, 3), s"edges=$edges")
+      }
+    }
+  }
+
   test("dHash banding pigeonhole: ANY pair within the Hamming budget " +
     "shares at least one slice") {
     val hashes: Gen[Long] = Gen.long

@@ -290,6 +290,35 @@ class FileStreamSpec extends SparkTestBase {
     assert(out == Map(1L -> "new", 2L -> "two", 3L -> "three"))
   }
 
+  test("versionedSink: each batch commits an immutable snapshot; " +
+      "old versions survive new publishes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val table = Files.createTempDirectory("vsink-t").toString + "/t"
+    val cp = Files.createTempDirectory("vsink-cp").toString
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val df = mem.toDF().toDF("k", "ts", "v")
+    // batch 1 includes an in-batch stale duplicate for key 1
+    mem.addData((1L, ts("2024-01-01 00:00:00"), "stale"),
+      (1L, ts("2024-01-01 00:01:00"), "one"),
+      (2L, ts("2024-01-01 00:00:00"), "two"))
+    StreamOps.versionedSink(df, "k", "ts", table, cp)
+    mem.addData((1L, ts("2024-01-01 00:05:00"), "new"),
+      (3L, ts("2024-01-01 00:06:00"), "three"))
+    StreamOps.versionedSink(df, "k", "ts", table, cp)
+
+    def snap(v: Option[Int]) =
+      graft.io.LakeIO.readVersion(spark, table, v)
+        .select("k", "v").as[(Long, String)].collect().toMap
+    // v1 is the first batch's latest-per-key — UNTOUCHED by v2
+    assert(snap(Some(1)) == Map(1L -> "one", 2L -> "two"))
+    // v2 merges: key 1 replaced, key 2 carried, key 3 appended
+    assert(snap(Some(2)) == Map(1L -> "new", 2L -> "two", 3L -> "three"))
+    assert(snap(None) == snap(Some(2)))
+    assert(graft.io.LakeIO.versions(spark, table).map(_._1) == Seq(1, 2))
+  }
+
   test("upsertBatch is partition-scoped: a 1-bucket batch rewrites 1 partition") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val table = Files.createTempDirectory("upsert-ps").toString + "/t"
