@@ -175,6 +175,52 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** POINT-IN-TIME multi-feature enrichment — the feature-store
+    * correctness pattern (no leakage: every event sees exactly the
+    * feature version valid AT its timestamp, never a later one): two
+    * slowly-changing feature histories derived deterministically from
+    * customer — segment (v2 'SEG_V2' for custkey%3==0 effective
+    * Jan 16) and balance cents (first valid Jan 5 — so the first four
+    * days of events legitimately carry NULL — +10000 for custkey%4==0
+    * effective Jan 20) — CHAINED through two as-of joins onto the
+    * event stream, then summarized per (type, segment).
+    *
+    * Scale shape: each AsOf.asOfJoin is the union-timeline form — ONE
+    * shuffle on the key + a per-partition sort, never a range join;
+    * chaining features = chaining one-shuffle passes (and at 100 TB
+    * both chains partition on the same user key, so AQE/exchange reuse
+    * keeps the second pass cheap).
+    */
+  def qJoinAsofFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"),
+        Exact.e2(col("c_acctbal")).as("bal0"))
+    def t(s: String) = lit(s).cast("timestamp")
+    val seg = cust.select(col("k"), t("2024-01-01 00:00:00").as("vt"),
+        col("c_mktsegment").as("segment"))
+      .unionByName(cust.filter(col("k") % 3 === 0)
+        .select(col("k"), t("2024-01-16 00:00:00").as("vt"),
+          lit("SEG_V2").as("segment")))
+    val bal = cust.select(col("k"), t("2024-01-05 00:00:00").as("vt"),
+        col("bal0").as("bal"))
+      .unionByName(cust.filter(col("k") % 4 === 0)
+        .select(col("k"), t("2024-01-20 00:00:00").as("vt"),
+          (col("bal0") + 10000L).as("bal")))
+    val e1 = graft.ops.AsOf.asOfJoin(ev, seg, "user_id", "k",
+      "ts", "vt", Seq("segment"))
+    val e2 = graft.ops.AsOf.asOfJoin(e1, bal, "user_id", "k",
+      "ts", "vt", Seq("bal"))
+    e2.groupBy(col("event_type"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("bal").isNotNull, 1L).otherwise(0L))
+          .as("n_with_bal"),
+        sum(col("bal")).as("bal_cents_sum"))
+      .orderBy(col("event_type"), col("segment"))
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other — the join SQL's `=` silently drops. Both sides
     * aggregate to bucket counts first (the idiomatic pre-join reduce),
@@ -207,6 +253,7 @@ object JoinQueries {
     "q_join_range_bucketed" -> (qJoinRangeBucketed(_, _)),
     "q_join_salted" -> (qJoinSalted(_, _)),
     "q_join_asof" -> (qJoinAsof(_, _)),
+    "q_join_asof_features" -> (qJoinAsofFeatures(_, _)),
     "q_join_asof_native" -> (qJoinAsofNative(_, _))
   )
 
@@ -314,6 +361,44 @@ object JoinQueries {
         |FROM events e ASOF JOIN r
         |  ON e.user_id = r.o_custkey AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // two chained DuckDB native ASOF JOINs — the leakage-free PIT twin
+    "q_join_asof_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type
+        |  FROM events),
+        |cust AS (
+        |  SELECT c_custkey AS k, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal0
+        |  FROM customer),
+        |seg AS (
+        |  SELECT k, TIMESTAMP '2024-01-01 00:00:00' AS vt,
+        |    c_mktsegment AS segment
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT k, TIMESTAMP '2024-01-16 00:00:00', 'SEG_V2'
+        |  FROM cust WHERE k % 3 = 0),
+        |bal AS (
+        |  SELECT k, TIMESTAMP '2024-01-05 00:00:00' AS vt, bal0 AS bal
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT k, TIMESTAMP '2024-01-20 00:00:00', bal0 + 10000
+        |  FROM cust WHERE k % 4 = 0),
+        |e1 AS (
+        |  SELECT ev.event_id, ev.user_id, ev.ts, ev.event_type,
+        |    seg.segment
+        |  FROM ev ASOF LEFT JOIN seg
+        |    ON ev.user_id = seg.k AND ev.ts >= seg.vt),
+        |e2 AS (
+        |  SELECT e1.*, bal.bal
+        |  FROM e1 ASOF LEFT JOIN bal
+        |    ON e1.user_id = bal.k AND e1.ts >= bal.vt)
+        |SELECT event_type, segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_bal,
+        |  CAST(SUM(bal) AS BIGINT) AS bal_cents_sum
+        |FROM e2 GROUP BY event_type, segment
+        |ORDER BY event_type, segment""".stripMargin,
     "q_join_asof" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,
         |             MAX(o_orderkey) AS asof_orderkey
