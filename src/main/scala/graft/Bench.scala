@@ -60,7 +60,10 @@ object Bench {
     val familyDefs: Seq[(String, String => Boolean)] = Seq(
       "winnow" -> (n => n.startsWith("q_text_winnow") ||
         n == "q_text_span_scrub" || n == "q_text_scrub_corpus"),
-      "bpe" -> (n => n.startsWith("q_text_bpe")))
+      "bpe" -> (n => n.startsWith("q_text_bpe")),
+      "dedup_memo" -> (n => n == "q_dedup_minhash" ||
+        n == "q_dedup_incremental" || n == "q_dedup_components" ||
+        n == "q_dedup_keep_best"))
     val families = familyDefs.map { case (f, member) =>
       "\"" + f + "\":" +
         results.collect { case (k, v, true) if member(k) => v }.sum

@@ -148,16 +148,19 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   sigsHint: Option[DataFrame] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persisted (scope-tracked): the self-join DAG traverses signatures
     // three times (banding ×2 sides + verification); without persist the
     // full shingle+hash pipeline re-runs per branch. At cluster scale this
     // is a checkpoint of the signature table — tiny (numHashes longs per
     // doc) relative to the corpus. Wrap the consuming action in
-    // CacheScope.scoped to reclaim it.
-    val sigs = CacheScope.cached(
-      minhashSignatures(docs, idCol, textCol, k, numHashes))
+    // CacheScope.scoped to reclaim it. `sigsHint` supplies an
+    // already-built [id, sig] table (a persisted index or a run-wide
+    // memo) — then no shingling happens here at all.
+    val sigs = sigsHint.getOrElse(CacheScope.cached(
+      minhashSignatures(docs, idCol, textCol, k, numHashes)))
     val banded = minhashBands(sigs, "sig", "id", bands, rowsPerBand)
     val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
