@@ -160,6 +160,50 @@ object DedupQueries {
       .orderBy(col("component"))
   }
 
+  /** Takedown propagation through near-dup clusters — the governance
+    * pass a training corpus runs on a removal request (DMCA / RTBF /
+    * opt-out): removing a document must also reconsider the duplicates
+    * that were DROPPED in its favor, or their content silently stays in
+    * the corpus attributed to nothing. Each cluster (same transitive
+    * closure as q_dedup_components, shared via the run-wide memo)
+    * re-elects its keep-best survivor among NON-removed members;
+    * a member that only now becomes the survivor is flagged `promoted`
+    * (the re-admission audit row), and a cluster whose members are all
+    * removed retires with no survivor. Removal list here: the
+    * deterministic fixture predicate doc_id % 9 = 8 (chosen to hit
+    * cluster survivors at sf0.01, exercising promotion).
+    *
+    * Scale shape: one extra aggregate + equi-join over the components
+    * table beyond keep-best — the removal list joins by id (broadcast
+    * at real scale), never touching document text.
+    */
+  def qCurateTakedown(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    val comps = memoComponents250(spark, dir)
+    val d = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("component",
+        coalesce(col("component"), col("doc_id")))
+      .withColumn("removed", col("doc_id") % 9 === 8)
+      .withColumn("qkey",
+        col("n_chars") * lit(1000L) + (lit(250L) - col("doc_id")))
+    val reps = d.groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"), col("qkey")).as("orig_rep"),
+        max_by(
+          when(col("removed"), lit(null).cast("long"))
+            .otherwise(col("doc_id")),
+          when(col("removed"), lit(null).cast("long"))
+            .otherwise(col("qkey"))).as("new_rep"))
+    d.join(reps, "component")
+      .select(col("doc_id"), col("component"),
+        when(col("removed"), lit("removed"))
+          .when(col("doc_id") === col("new_rep"), lit("kept"))
+          .otherwise(lit("dup")).as("status"),
+        (!col("removed") && col("doc_id") === col("new_rep") &&
+          col("orig_rep") =!= col("doc_id")).as("promoted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -340,6 +384,7 @@ object DedupQueries {
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
     "q_dedup_components" -> (qDedupComponents(_, _)),
     "q_dedup_keep_best" -> (qDedupKeepBest(_, _)),
+    "q_curate_takedown" -> (qCurateTakedown(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
@@ -578,6 +623,44 @@ object DedupQueries {
         |WHERE d.doc_id < 250
         |GROUP BY coalesce(c.component, d.doc_id)
         |ORDER BY component""".stripMargin,
+    "q_curate_takedown" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+        |comp AS (SELECT node AS doc_id, MIN(lab) AS component
+        |         FROM reach GROUP BY node),
+        |d AS (SELECT dd.doc_id,
+        |    coalesce(c.component, dd.doc_id) AS component,
+        |    (dd.doc_id % 9 = 8) AS removed,
+        |    dd.n_chars * 1000 + (250 - dd.doc_id) AS qkey
+        |  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id
+        |  WHERE dd.doc_id < 250),
+        |reps AS (SELECT component,
+        |    arg_max(doc_id, qkey) AS orig_rep,
+        |    arg_max(CASE WHEN removed THEN NULL ELSE doc_id END,
+        |      CASE WHEN removed THEN NULL ELSE qkey END) AS new_rep
+        |  FROM d GROUP BY component)
+        |SELECT d.doc_id, d.component,
+        |  CASE WHEN d.removed THEN 'removed'
+        |    WHEN d.doc_id = r.new_rep THEN 'kept'
+        |    ELSE 'dup' END AS status,
+        |  (NOT d.removed AND d.doc_id = r.new_rep
+        |    AND r.orig_rep <> d.doc_id) AS promoted
+        |FROM d JOIN reps r USING (component)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -267,7 +267,76 @@ object StatsQueries {
       .orderBy($"bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between every pair
+    * of event types' `value` distributions — the standard
+    * distribution-shift gate a data pipeline runs between a reference
+    * slice and a fresh batch (Massey 1951 for the statistic; the
+    * pairwise matrix is the drift dashboard form).
+    *
+    * Exactness doctrine: D = max_v |F_a(v) − F_b(v)| is computed as the
+    * INTEGER max of |cum_a·n_b − cum_b·n_a| over integer-cent cell
+    * counts — order-independent, so both engines agree bit-for-bit; the
+    * one division (d_num / (n_a·n_b)) happens once on the final
+    * integers. The argmax location reports the SMALLEST v achieving the
+    * max (strict-> fold vs min-filter in the twin — same rule).
+    *
+    * Scale shape: the corpus-sized shuffle is the (type, cents) cell
+    * reduction — map-side partial, cells bounded by the metric's
+    * 2-decimal domain (≤ ~49k cells/type here), NOT by row count. The
+    * per-pair ECDF merge then folds two domain-bounded arrays on one
+    * row each: the same per-entity-series pattern as q_time_holt. For
+    * an unbounded metric, bucketize to fixed cells first (or pivot to
+    * the KLL sketch, q_agg_quantile_sketch).
+    */
+  def qStatKs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type".as("t"), e2($"value").as("v"))
+      .groupBy($"t", $"v").agg(count(lit(1)).as("c"))
+    val byType = cells.groupBy($"t")
+      .agg(expr("sort_array(collect_list(struct(v, c)))").as("arr"),
+        sum($"c").as("n"))
+    val a = byType.select($"t".as("ta"), $"arr".as("ea"), $"n".as("na"))
+    val b = byType.select($"t".as("tb"), $"arr".as("eb"), $"n".as("nb"))
+    a.join(broadcast(b), $"ta" < $"tb")
+      .withColumn("entries", expr(
+        """sort_array(concat(
+          |  transform(ea, x -> struct(x.v AS v, x.c AS ca,
+          |    CAST(0 AS BIGINT) AS cb)),
+          |  transform(eb, x -> struct(x.v AS v, CAST(0 AS BIGINT) AS ca,
+          |    x.c AS cb))))""".stripMargin))
+      // fold: evaluate |cum_a·n_b − cum_b·n_a| at every distinct-v
+      // boundary (ECDFs are right-continuous: all cells at v must be
+      // absorbed before v is scored), then once more at the last v
+      .withColumn("r", expr(
+        """aggregate(entries,
+          |  named_struct('ca', CAST(0 AS BIGINT), 'cb', CAST(0 AS BIGINT),
+          |    'prev', CAST(NULL AS BIGINT),
+          |    'best', CAST(-1 AS BIGINT), 'at', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'ca', acc.ca + x.ca, 'cb', acc.cb + x.cb, 'prev', x.v,
+          |    'best', CASE WHEN acc.prev IS NOT NULL AND x.v <> acc.prev
+          |        AND abs(acc.ca * nb - acc.cb * na) > acc.best
+          |      THEN abs(acc.ca * nb - acc.cb * na) ELSE acc.best END,
+          |    'at', CASE WHEN acc.prev IS NOT NULL AND x.v <> acc.prev
+          |        AND abs(acc.ca * nb - acc.cb * na) > acc.best
+          |      THEN acc.prev ELSE acc.at END),
+          |  acc -> named_struct(
+          |    'best', CASE WHEN abs(acc.ca * nb - acc.cb * na) > acc.best
+          |      THEN abs(acc.ca * nb - acc.cb * na) ELSE acc.best END,
+          |    'at', CASE WHEN abs(acc.ca * nb - acc.cb * na) > acc.best
+          |      THEN acc.prev ELSE acc.at END))""".stripMargin))
+      .select($"ta".as("type_a"), $"tb".as("type_b"),
+        $"na".as("n_a"), $"nb".as("n_b"),
+        $"r.best".as("d_num"), $"r.at".as("ks_at_cents"),
+        ($"r.best".cast("double") / ($"na" * $"nb").cast("double"))
+          .as("ks_d"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_ks" -> (qStatKs(_, _)),
     "q_stat_chi2" -> (qStatChi2(_, _)),
     "q_agg_equidepth" -> (qAggEquidepth(_, _)),
     "q_stat_winsorized" -> (qStatWinsorized(_, _)),
@@ -287,6 +356,35 @@ object StatsQueries {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_ks" ->
+      """WITH ev AS (SELECT event_type AS t,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT t, COUNT(*) AS n FROM ev GROUP BY t),
+        |cells AS (SELECT t, v, COUNT(*) AS c FROM ev GROUP BY t, v),
+        |pairs AS (SELECT a.t AS ta, a.n AS na, b.t AS tb, b.n AS nb
+        |          FROM n a JOIN n b ON a.t < b.t),
+        |merged AS (
+        |  SELECT p.ta, p.na, p.tb, p.nb, c.v,
+        |    SUM(CASE WHEN c.t = p.ta THEN c.c ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN c.t = p.tb THEN c.c ELSE 0 END) AS cb
+        |  FROM pairs p JOIN cells c ON c.t IN (p.ta, p.tb)
+        |  GROUP BY p.ta, p.na, p.tb, p.nb, c.v),
+        |cum AS (SELECT ta, na, tb, nb, v,
+        |    abs(SUM(ca) OVER (PARTITION BY ta, tb ORDER BY v) * nb
+        |      - SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v) * na)
+        |      AS dn
+        |  FROM merged),
+        |mx AS (SELECT ta, na, tb, nb, MAX(dn) AS d_num
+        |       FROM cum GROUP BY ta, na, tb, nb)
+        |SELECT m.ta AS type_a, m.tb AS type_b,
+        |  m.na AS n_a, m.nb AS n_b, CAST(m.d_num AS BIGINT) AS d_num,
+        |  MIN(c.v) AS ks_at_cents,
+        |  CAST(m.d_num AS DOUBLE) / (CAST(m.na AS DOUBLE) * m.nb) AS ks_d
+        |FROM mx m JOIN cum c
+        |  ON c.ta = m.ta AND c.tb = m.tb AND c.dn = m.d_num
+        |GROUP BY m.ta, m.tb, m.na, m.nb, m.d_num
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_stat_chi2" ->
       """WITH o AS (SELECT o_orderstatus AS status,
         |    o_orderpriority AS priority FROM orders),

@@ -337,6 +337,59 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM changepoint detection (Page 1954) on per-day event-type
+    * volumes: the one-sided cumulative sums
+    * S⁺_k = max(0, S⁺_{k−1} + (x_k − μ − κ)) and
+    * S⁻_k = min(0, S⁻_{k−1} + (x_k − μ + κ)) with slack κ = 4 counts,
+    * alarming when either drifts past h = 12 — the sequential
+    * mean-shift detector a volume-monitoring pipeline runs where
+    * q_time_anomaly's EWMA band flags single spikes.
+    *
+    * Determinism: μ is the EXACT division of integer sums
+    * (Σn as BIGINT → DOUBLE / days), and each fold step applies the
+    * identical expression tree in the identical order as the twin's
+    * recursive CTE, so the doubles agree bit-for-bit (round(…, 6) is
+    * belt and braces). Scale shape: corpus reduces to |types|×|days|
+    * cells in one map-side-partial aggregate; the fold is a per-key
+    * scan of a tiny series — the same per-entity-model class as
+    * q_time_holt.
+    */
+  def qTimeCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .withColumn("mu", expr(
+        "CAST(aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x.n)" +
+          " AS DOUBLE) / size(arr)"))
+      .select(col("event_type"), expr(
+        """aggregate(arr,
+          |  named_struct('sp', CAST(0 AS DOUBLE), 'sn', CAST(0 AS DOUBLE),
+          |    'out', CAST(array() AS
+          |      array<struct<day:date,n:bigint,sp:double,sn:double>>)),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(CAST(0 AS DOUBLE),
+          |      acc.sp + (CAST(x.n AS DOUBLE) - mu - 4.0d)),
+          |    'sn', least(CAST(0 AS DOUBLE),
+          |      acc.sn + (CAST(x.n AS DOUBLE) - mu + 4.0d)),
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n,
+          |      'sp', greatest(CAST(0 AS DOUBLE),
+          |        acc.sp + (CAST(x.n AS DOUBLE) - mu - 4.0d)),
+          |      'sn', least(CAST(0 AS DOUBLE),
+          |        acc.sn + (CAST(x.n AS DOUBLE) - mu + 4.0d)))))),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.day").as("day"),
+        col("o.n").as("n"),
+        round(col("o.sp"), 6).as("cusum_pos_r6"),
+        round(col("o.sn"), 6).as("cusum_neg_r6"),
+        (col("o.sp") > lit(12.0) || col("o.sn") < lit(-12.0))
+          .as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Streaming CDC compaction end-to-end under the driver harness: the
     * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
     * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
@@ -537,6 +590,7 @@ object StreamQueries {
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_holt" -> (qTimeHolt(_, _)),
+    "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -640,6 +694,37 @@ object StreamQueries {
         |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
+        |FROM r ORDER BY event_type, day""".stripMargin,
+    // Recursive-CTE twin of the CUSUM fold — identical expression tree
+    // per step on the exact integer daily counts and exact-division μ.
+    "q_time_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |m AS (SELECT event_type,
+        |    CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM daily GROUP BY event_type),
+        |r(event_type, rn, day, n, sp, sn) AS (
+        |  SELECT i.event_type, 1, i.day, i.n,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE) + (CAST(i.n AS DOUBLE) - m.mu - 4.0)),
+        |    least(CAST(0 AS DOUBLE),
+        |      CAST(0 AS DOUBLE) + (CAST(i.n AS DOUBLE) - m.mu + 4.0))
+        |  FROM idx i JOIN m USING (event_type) WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.n,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      r.sp + (CAST(i.n AS DOUBLE) - m.mu - 4.0)),
+        |    least(CAST(0 AS DOUBLE),
+        |      r.sn + (CAST(i.n AS DOUBLE) - m.mu + 4.0))
+        |  FROM r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.rn = r.rn + 1
+        |  JOIN m ON m.event_type = i.event_type)
+        |SELECT event_type, day, n,
+        |  round(sp, 6) AS cusum_pos_r6, round(sn, 6) AS cusum_neg_r6,
+        |  (sp > 12.0 OR sn < -12.0) AS alarm
         |FROM r ORDER BY event_type, day""".stripMargin,
     "q_time_interpolate" ->
       """WITH b AS (
