@@ -258,6 +258,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTENT-DEFINED chunk dedup (the LBFS cut-point scheme,
+    * Muthitacharoen et al. SOSP'01): a chunk boundary falls after
+    * position i exactly when the hash of the 8-char window ending at i
+    * satisfies H % 32 == 0 — so boundaries move WITH the content, and
+    * an insertion near a doc's head re-synchronizes within one window
+    * instead of shifting every later chunk the way q_text_chunk_dedup's
+    * fixed-width grid does (re-sync pinned in CdcDedupSpec). Chunks are
+    * then exact-deduped keep-first on their md5, same as the fixed
+    * variant.
+    *
+    * The window hash is the portable md5-derived family; H % 32 needs
+    * only the last two of the 15 hex digits (16^k ≡ 0 mod 32 for
+    * k ≥ 2), which is how the twin replays it without conv(). No
+    * min/max chunk clamps: the pure window-mod rule keeps every
+    * boundary decision LOCAL (FastCDC's normalization adds a sequential
+    * dependence), so chunking is embarrassingly parallel — at 100 TB
+    * both cutting and hashing are map-side; the only shuffle is the
+    * chunk-hash group, carrying digests, never text.
+    */
+  def qTextCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (w, d) = (8, 32)
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      // guard: Spark's sequence(a, b) DESCENDS when a > b, so sub-window
+      // docs must short-circuit to "no interior boundary" explicitly
+      .withColumn("cuts", expr(
+        s"""array_sort(array_distinct(concat(array(0),
+           |  CASE WHEN length(text) >= $w THEN
+           |    filter(sequence($w, length(text)),
+           |      i -> CAST(conv(substring(md5(substring(
+           |        text, i - ${w - 1}, $w)), 1, 15), 16, 10) AS BIGINT)
+           |        % $d = 0)
+           |  ELSE CAST(array() AS array<int>) END,
+           |  array(length(text)))))""".stripMargin))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(cuts) < 2 THEN CAST(array() AS array<string>)
+          |ELSE transform(sequence(1, size(cuts) - 1),
+          |  j -> substring(text, element_at(cuts, j) + 1,
+          |    element_at(cuts, j + 1) - element_at(cuts, j))) END"""
+          .stripMargin)).as(Seq("idx", "chunk")))
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("idx"))
+      .withColumn("h", md5(col("chunk")))
+    val first = chunks.groupBy(col("h")).agg(min(col("k")).as("fk"))
+    chunks.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_if(col("k") === col("fk")).as("n_kept"),
+        sum(when(col("k") =!= col("fk"), length(col("chunk")))
+          .otherwise(0)).as("dup_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite Gopher-style quality gate: per-rule verdicts + overall
     * pass. Thresholds chosen to split the fixture non-vacuously (at
     * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
@@ -1052,6 +1104,7 @@ object TextQueries {
     "q_text_quality_gate" -> (qTextQualityGate(_, _)),
     "q_text_chunk" -> (qTextChunk(_, _)),
     "q_text_chunk_dedup" -> (qTextChunkDedup(_, _)),
+    "q_text_cdc_dedup" -> (qTextCdcDedup(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
@@ -1398,8 +1451,40 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |ORDER BY st.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // LBFS cut-point replay: H % 32 from the last two of the 15 md5 hex
+    // digits (16^k ≡ 0 mod 32 for k ≥ 2 — no conv() needed), identical
+    // cut array, keep-first on chunk md5 by the same packed (doc, idx)
+    // key
+    "q_text_cdc_dedup" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    list_sort(list_distinct(list_concat(list_concat(
+        |      [CAST(0 AS BIGINT)],
+        |      list_filter(generate_series(8, length(text)), i ->
+        |        ((strpos('0123456789abcdef', substring(md5(substring(
+        |            text, CAST(i AS INT) - 7, 8)), 14, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substring(md5(substring(
+        |            text, CAST(i AS INT) - 7, 8)), 15, 1)) - 1)
+        |          % 32 = 0)),
+        |      [CAST(length(text) AS BIGINT)]))) AS cuts
+        |  FROM documents),
+        |u AS (SELECT doc_id, text, cuts,
+        |    unnest(generate_series(1, len(cuts) - 1)) AS j FROM b),
+        |ch AS (SELECT doc_id, j - 1 AS idx,
+        |    substring(text, CAST(cuts[CAST(j AS INT)] + 1 AS INT),
+        |      CAST(cuts[CAST(j AS INT) + 1] - cuts[CAST(j AS INT)]
+        |        AS INT)) AS chunk
+        |  FROM u),
+        |h AS (SELECT doc_id, idx, chunk, md5(chunk) AS hh,
+        |    doc_id * 1000000 + idx AS k FROM ch),
+        |f AS (SELECT hh, MIN(k) AS fk FROM h GROUP BY hh)
+        |SELECT h.doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE h.k = f.fk) AS n_kept,
+        |  CAST(SUM(CASE WHEN h.k <> f.fk THEN length(h.chunk)
+        |    ELSE 0 END) AS BIGINT) AS dup_chars
+        |FROM h JOIN f USING (hh)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     // chunk hashing, global-first winner (row_number over hash ordered
-    // by (doc, idx)), md5 of the space-rejoined kept chunks — the
+    // by (doc, idx), md5 of the space-rejoined kept chunks — the
     // identical one-pass pipeline
     "q_text_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
