@@ -227,6 +227,69 @@ object Graph {
       .select(col("v").as("vertex"), col("degree"))
   }
 
+  /** Per-edge triangle SUPPORT of a canonicalized (a < b) edge list:
+    * support(a,b) = number of common neighbors. Triangles are
+    * enumerated once via the id-ordered form (u < v < w joined on the
+    * three canonical edges) and each triangle credits its three edges.
+    * The id-ordered join is the oracle-replayable baseline; the
+    * degree-oriented enumeration (triangleStats) bounds the wedge count
+    * tighter on skewed graphs — swap in `orientByDegree` for corpora
+    * with power-law hubs.
+    */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val x = e.select(col("a").as("u"), col("b").as("v"))
+    val y = e.select(col("a").as("u"), col("b").as("w"))
+    val tri = x.join(y, Seq("u")).filter(col("v") < col("w"))
+      .join(e, col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    tri.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(tri.select(col("u").as("a"), col("w").as("b")))
+      .unionAll(tri.select(col("v").as("a"), col("w").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** Bounded-round k-TRUSS (Cohen 2008, "Trusses: cohesive subgraphs
+    * for social network analysis"): iteratively delete every edge in
+    * fewer than k−2 triangles; the fixpoint is the maximal subgraph
+    * where each edge has ≥ k−2 triangle supports — a strictly tighter
+    * cohesion notion than the k-core (every k-truss edge's endpoints
+    * lie in the (k−1)-core, not vice versa). Like [[kCore]], the round
+    * count is an explicit bounded contract; a converged peel is a
+    * no-op, so over-provisioning is safe and convergence is observable
+    * (round N == round N+1, spec-pinned).
+    *
+    * Shape per round: one triangle enumeration (two self-equi-joins of
+    * the shrinking edge list) + a support aggregate + one semi-join.
+    * Edges-only shuffles; the wedge join is the standard distributed
+    * triangle-count cost, monotonically shrinking each round.
+    *
+    * @return surviving canonical edges with their support in the FINAL
+    *         subgraph (≥ k−2 everywhere once converged).
+    */
+  def kTruss(edges: DataFrame, k: Int, peels: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    // lazy localCheckpoint per round: each round references the edge
+    // list FOUR times (two wedge legs, the closing join, the semi-join
+    // base), so without truncation the logical plan grows 4^peels —
+    // the same OOM-by-analysis trap dedupComponentsConverged documents.
+    // Trade on a durable cluster: `checkpoint()` — local checkpoints
+    // don't survive executor loss.
+    var e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    for (_ <- 1 to peels) {
+      val keep = edgeSupport(e).filter(col("support") >= k - 2)
+      e = e.join(keep.select(col("a"), col("b")), Seq("a", "b"),
+          "left_semi")
+        .localCheckpoint(false)
+    }
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a").as("src"), col("b").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Bounded-hop HARMONIC centrality (Boldi & Vigna 2014, "Axioms for
     * Centrality": the well-behaved closeness variant) over an
     * undirected graph: score(v) = Σ_{u≠v, d(u,v) ≤ H} scale div

@@ -112,6 +112,23 @@ object GraphQueries {
     Graph.kCore(edges, k = 3, peels = 3).orderBy(col("vertex"))
   }
 
+  /** 3-peel 4-truss of the sparse co-supply graph: every surviving
+    * edge sits in ≥ 2 triangles of the surviving subgraph — the
+    * cohesive-core cut one notch tighter than q_graph_kcore. At sf0.01
+    * the peel converges in 3 rounds (344 → 77 → 55 → 55 edges;
+    * idempotence spec-pinned in GraphSpec). */
+  def qGraphKtruss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.kTruss(edges, k = 4, peels = 3)
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** 3-hop harmonic centrality on the sparse co-supply graph. */
   def qGraphHarmonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -171,6 +188,7 @@ object GraphQueries {
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
+    "q_graph_ktruss" -> (qGraphKtruss(_, _)),
     "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
@@ -247,7 +265,50 @@ object GraphQueries {
        |ORDER BY betweenness_r6 DESC, vertex""".stripMargin
   }
 
+  /** Unrolled k-truss twin: per round, id-ordered triangle enumeration
+    * (u < v < w) credits each triangle's three edges, then edges below
+    * k−2 supports are dropped; the final round's support table scores
+    * the survivors. */
+  private val ktrussSql: String = {
+    // MATERIALIZED: each round references the prior edge set four
+    // times; inlined CTEs would re-expand (and re-open the parquet)
+    // 4^rounds times — the twin of the engine-side localCheckpoint
+    val rounds = (1 to 3).map { r =>
+      s"""t$r AS MATERIALIZED (SELECT x.a AS u, x.b AS v, y.b AS w
+         |  FROM e${r - 1} x JOIN e${r - 1} y
+         |    ON y.a = x.a AND y.b > x.b
+         |  JOIN e${r - 1} z ON z.a = x.b AND z.b = y.b),
+         |s$r AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+         |    SELECT u AS a, v AS b FROM t$r
+         |    UNION ALL SELECT u, w FROM t$r
+         |    UNION ALL SELECT v, w FROM t$r) GROUP BY a, b),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN s$r s ON s.a = e.a AND s.b = e.b WHERE s.c >= 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |            FROM lineitem WHERE l_quantity = 1.0),
+       |raw AS (SELECT x.s AS src, y.s AS dst
+       |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |         greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |$rounds,
+       |t4 AS (SELECT x.a AS u, x.b AS v, y.b AS w
+       |  FROM e3 x JOIN e3 y ON y.a = x.a AND y.b > x.b
+       |  JOIN e3 z ON z.a = x.b AND z.b = y.b),
+       |s4 AS (SELECT a, b, count(*) AS c FROM (
+       |    SELECT u AS a, v AS b FROM t4
+       |    UNION ALL SELECT u, w FROM t4
+       |    UNION ALL SELECT v, w FROM t4) GROUP BY a, b)
+       |SELECT e.a AS src, e.b AS dst,
+       |  coalesce(s.c, 0) AS support
+       |FROM e3 e LEFT JOIN s4 s ON s.a = e.a AND s.b = e.b
+       |ORDER BY src, dst""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_graph_ktruss" -> ktrussSql,
     // ≤4-edge walk enumeration + min — replays 4 Bellman–Ford rounds
     // exactly (integer weights ⇒ order-independent min/+).
     "q_graph_sssp" ->

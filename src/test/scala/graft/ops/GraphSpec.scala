@@ -407,4 +407,45 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  // K4 on {1,2,3,4} + pendant triangle {4,5,6} + tail edge (6,7)
+  private val trussFixture: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+
+  test("kTruss: K4 survives at k=4, pendant triangle and tail peel off") {
+    val got = Graph.kTruss(trussFixture.toDF("src", "dst"), k = 4,
+        peels = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // every K4 edge sits in exactly 2 triangles of the K4
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("kTruss: removal cascades across rounds (bowtie empties)") {
+    // two triangles sharing edge (2,3): that edge has support 2 in
+    // round 1 and survives alone, then dies in round 2 with no
+    // triangles left — a one-peel run would keep it incorrectly
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val one = Graph.kTruss(bowtie.toDF("src", "dst"), k = 4, peels = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == Set((2L, 3L, 0L)))
+    val two = Graph.kTruss(bowtie.toDF("src", "dst"), k = 4, peels = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(two.isEmpty)
+  }
+
+  test("kTruss: converged peel is idempotent; k=3 keeps all triangles") {
+    val df = trussFixture.toDF("src", "dst")
+    val p2 = Graph.kTruss(df, 4, 2).as[(Long, Long, Long)]
+      .collect().toSet
+    val p3 = Graph.kTruss(df, 4, 3).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(p2 == p3)
+    // k=3 keeps every edge in ≥1 triangle: all but the (6,7) tail
+    val k3 = Graph.kTruss(df, 3, 2).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(k3.map(e => (e._1, e._2)) ==
+      trussFixture.toSet - ((6L, 7L)))
+  }
 }
