@@ -337,6 +337,51 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-user ONLINE EWMA exercised as a REAL two-batch stream: events
+    * split deterministically by event_id parity into two files (even
+    * ids arrive first), fed one file per trigger through
+    * [[StreamOps.ewmaWithState]] — the smoothing level carries across
+    * the micro-batch boundary in the state store and each batch appends
+    * one update row per active user. ORACLE-checked end to end: the
+    * in-batch fold order is (ts, event_id) and the split is part of the
+    * fixture contract, so the DuckDB twin replays the exact double
+    * sequence per user across both batches (update 2's level is
+    * reachable only through update 1's carried state — the cross-batch
+    * handoff IS the thing the oracle pins).
+    */
+  def qStreamEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_ewma")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val updates = StreamOps.ewmaWithState(stream.as[StreamOps.EwmaIn])
+    val q = updates.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("update_seq"), col("n_so_far"),
+        round(col("level"), 6).as("level_r6"))
+      .orderBy(col("user_id"), col("update_seq"))
+  }
+
   /** CUSUM changepoint detection (Page 1954) on per-day event-type
     * volumes: the one-sided cumulative sums
     * S⁺_k = max(0, S⁺_{k−1} + (x_k − μ − κ)) and
@@ -591,6 +636,7 @@ object StreamQueries {
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_holt" -> (qTimeHolt(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
+    "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -695,6 +741,32 @@ object StreamQueries {
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
         |FROM r ORDER BY event_type, day""".stripMargin,
+    // Recursive-CTE twin of the two-batch stateful stream: per user,
+    // rows ordered (batch = id parity, ts, event_id), level folded
+    // through the identical (l + v)·½ step, one emission at each
+    // batch's last row — update 2 only matches if the engine carried
+    // state across the micro-batch boundary.
+    "q_stream_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+        |  FROM events),
+        |i AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY b, ts, event_id) AS rn FROM ev),
+        |r(user_id, rn, lvl) AS (
+        |  SELECT user_id, rn, value FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.user_id, i.rn, (r.lvl + i.value) * 0.5
+        |  FROM r JOIN i ON i.user_id = r.user_id AND i.rn = r.rn + 1),
+        |last AS (SELECT user_id, b, MAX(rn) AS mrn FROM i
+        |         GROUP BY user_id, b),
+        |upd AS (SELECT l.user_id, l.b, l.mrn, r.lvl,
+        |    row_number() OVER (PARTITION BY l.user_id ORDER BY l.b)
+        |      AS useq
+        |  FROM last l JOIN r ON r.user_id = l.user_id AND r.rn = l.mrn)
+        |SELECT user_id, useq AS update_seq, mrn AS n_so_far,
+        |  round(lvl, 6) AS level_r6
+        |FROM upd ORDER BY user_id, update_seq""".stripMargin,
     // Recursive-CTE twin of the CUSUM fold — identical expression tree
     // per step on the exact integer daily counts and exact-division μ.
     "q_time_cusum" ->

@@ -194,6 +194,55 @@ object StreamOps {
       }
   }
 
+  case class EwmaIn(user_id: Long, ts: java.sql.Timestamp,
+                    event_id: Long, value: Double)
+  case class EwmaState(level: Double, n: Long, updates: Long)
+  case class EwmaUpdate(user_id: Long, update_seq: Long, n_so_far: Long,
+                        level: Double)
+
+  /** Per-key ONLINE EWMA (α = ½) via mapGroupsWithState semantics on
+    * flatMapGroupsWithState: the level survives micro-batch boundaries
+    * in the state store, each batch folds its own rows in deterministic
+    * (ts, event_id) order on top of the carried level, and emits ONE
+    * update row per key per batch — the smoothed-metric-at-ingest
+    * pattern (the streaming twin of q_time_ewma's batch fold).
+    *
+    * Determinism contract: the in-batch fold order is (event time,
+    * unique id) — arrival order within a batch never matters — and the
+    * batch SPLIT is part of the query's fixture contract, so a SQL twin
+    * can replay the exact double sequence (seed = first value,
+    * step = (level + v)·½). State per key is one (level, n, updates)
+    * triple: O(keys), independent of stream length. NoTimeout: the
+    * level is a running model, not a window — keys retire with the
+    * stream (add a ProcessingTimeTimeout eviction for unbounded key
+    * spaces).
+    */
+  def ewmaWithState(events: Dataset[EwmaIn]): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EwmaIn], st: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = st.getOption
+            var level = prev.map(_.level).getOrElse(0.0)
+            var n = prev.map(_.n).getOrElse(0L)
+            for (e <- sorted) {
+              level = if (n == 0L) e.value else (level + e.value) * 0.5
+              n += 1
+            }
+            val upd = prev.map(_.updates).getOrElse(0L) + 1L
+            st.update(EwmaState(level, n, upd))
+            Iterator.single(EwmaUpdate(uid, upd, n, level))
+          }
+      }
+  }
+
   case class AsOfIn(k: Long, t: java.sql.Timestamp, side: Int, v: Long)
   case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Long)])
   case class AsOfOut(k: Long, t: java.sql.Timestamp, lv: Long,

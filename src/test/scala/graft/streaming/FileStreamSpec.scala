@@ -652,6 +652,46 @@ class FileStreamSpec extends SparkTestBase {
       "missing sidecar next to an existing corpus must abort the batch")
   }
 
+  test("ewmaWithState: level carries across batches; in-batch fold " +
+    "sorts by (ts, event_id) regardless of file row order") {
+    val dir = Files.createTempDirectory("st-ewma").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // batch A, user 1: rows written OUT of time order — the fold must
+    // process v=10 (t=1s) before v=20 (t=2s): seed 10, then 15.0
+    Seq((1L, ts(2000), 4L, 20.0), (1L, ts(1000), 2L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    // batch B: user 1 gets v=40 at an EARLIER event time (online
+    // semantics: arrival batch order wins) → (15+40)/2 = 27.5;
+    // user 2 is new → seeds at 8.0
+    Seq((1L, ts(1500), 5L, 40.0), (2L, ts(9000), 7L, 8.0))
+      .toDF("user_id", "ts", "event_id", "value").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    val out = StreamOps.ewmaWithState(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*")
+        .as[StreamOps.EwmaIn])
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .as[StreamOps.EwmaUpdate].collect()
+      .sortBy(u => (u.user_id, u.update_seq)).toSeq
+    assert(got == Seq(
+      StreamOps.EwmaUpdate(1L, 1L, 2L, 15.0),
+      StreamOps.EwmaUpdate(1L, 2L, 3L, 27.5),
+      StreamOps.EwmaUpdate(2L, 1L, 1L, 8.0)))
+  }
+
   test("streamAsOf: cross-batch out-of-order rights still match, " +
     "result equals batch as-of") {
     val dir = Files.createTempDirectory("st-asof").toString
