@@ -2145,4 +2145,178 @@ object Multimodal {
           .cast("int"))
       .withColumn("resized", needs)
   }
+
+  // ---- EXIF / TIFF metadata ------------------------------------------
+
+  case class ExifMeta(path: String, fmt: String, has_exif: Boolean,
+                      byte_order: Option[String], orientation: Option[Long],
+                      make: Option[String], model: Option[String],
+                      datetime: Option[String], pixel_x: Option[Long],
+                      pixel_y: Option[Long], gps_lat_micro: Option[Long],
+                      gps_lon_micro: Option[Long])
+
+  /** One parsed TIFF IFD entry: values normalized to longs/strings/
+    * rational pairs regardless of the on-disk field type. */
+  private case class IfdEntry(tag: Int, longs: Seq[Long], ascii: String,
+                              rationals: Seq[(Long, Long)])
+
+  /** TIFF 6.0 / EXIF 2.x metadata walk (CIPA DC-008 + TIFF 6.0 §2,
+    * public specifications) — pure JVM, no imaging library. Handles
+    * both byte orders (II/MM), inline vs offset values, the Exif and
+    * GPS sub-IFDs, and returns None on any malformed structure (the
+    * caller degrades to has_exif = false). GPS coordinates are reduced
+    * to signed integer MICRO-degrees with floor division per
+    * degree/minute/second term — exact, order-fixed arithmetic, so the
+    * value is pinnable cross-engine.
+    *
+    * The same walker serves JPEG APP1 payloads and standalone .tif
+    * files (EXIF's TIFF block IS a TIFF header — one parser, two
+    * containers).
+    */
+  private[ops] def parseTiffBlock(t: Array[Byte]): Option[ExifMeta] = {
+    if (t.length < 8) return None
+    val le =
+      if (t(0) == 'I' && t(1) == 'I') true
+      else if (t(0) == 'M' && t(1) == 'M') false
+      else return None
+    def u16(p: Int): Int =
+      if (p < 0 || p + 1 >= t.length) -1
+      else if (le) (t(p) & 0xff) | ((t(p + 1) & 0xff) << 8)
+      else ((t(p) & 0xff) << 8) | (t(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (p < 0 || p + 3 >= t.length) -1L
+      else if (le) u16(p).toLong | (u16(p + 2).toLong << 16)
+      else (u16(p).toLong << 16) | u16(p + 2).toLong
+    if (u16(2) != 42) return None
+
+    def readIfd(off: Long): Seq[IfdEntry] = {
+      if (off < 0 || off + 2 > t.length) return Seq.empty
+      val n = u16(off.toInt)
+      if (n < 0) return Seq.empty
+      (0 until n).flatMap { i =>
+        val e = off.toInt + 2 + i * 12
+        if (e + 12 > t.length) None
+        else {
+          val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+          val elemSize = typ match {
+            case 1 | 2 | 7 => 1; case 3 => 2; case 4 => 4; case 5 => 8
+            case _ => 0
+          }
+          val total = elemSize.toLong * cnt
+          if (elemSize == 0 || cnt < 0 || total > (1L << 20)) None
+          else {
+            val base = if (total <= 4) e + 8 else u32(e + 8).toInt
+            if (base < 0 || base + total > t.length) None
+            else typ match {
+              case 2 =>
+                val raw = new String(t, base, cnt.toInt, "US-ASCII")
+                Some(IfdEntry(tag, Seq.empty,
+                  raw.takeWhile(_ != 0.toChar), Seq.empty))
+              case 3 => Some(IfdEntry(tag,
+                (0 until cnt.toInt).map(j => u16(base + 2 * j).toLong),
+                "", Seq.empty))
+              case 4 => Some(IfdEntry(tag,
+                (0 until cnt.toInt).map(j => u32(base + 4 * j)),
+                "", Seq.empty))
+              case 5 => Some(IfdEntry(tag, Seq.empty, "",
+                (0 until cnt.toInt).map(j =>
+                  (u32(base + 8 * j), u32(base + 8 * j + 4)))))
+              case _ => None
+            }
+          }
+        }
+      }
+    }
+
+    val ifd0 = readIfd(u32(4))
+    // TIFF requires IFD0 with ≥ 1 entry: a wild/truncated offset walks
+    // to nothing and must read as "no metadata", not an empty success
+    if (ifd0.isEmpty) return None
+    def find(es: Seq[IfdEntry], tag: Int): Option[IfdEntry] =
+      es.find(_.tag == tag)
+    def firstLong(es: Seq[IfdEntry], tag: Int): Option[Long] =
+      find(es, tag).flatMap(_.longs.headOption)
+    def str(es: Seq[IfdEntry], tag: Int): Option[String] =
+      find(es, tag).map(_.ascii).filter(_.nonEmpty)
+
+    val exifIfd = firstLong(ifd0, 0x8769).map(readIfd)
+      .getOrElse(Seq.empty)
+    val gpsIfd = firstLong(ifd0, 0x8825).map(readIfd)
+      .getOrElse(Seq.empty)
+
+    /** d°m's'' → signed micro-degrees, floor division per term. */
+    def micro(rats: Seq[(Long, Long)], ref: Option[String],
+              negRef: String): Option[Long] =
+      if (rats.size != 3 || rats.exists(_._2 == 0L)) None
+      else {
+        val Seq((dn, dd), (mn, md), (sn, sd)) = rats
+        val v = dn * 1000000L / dd + mn * 1000000L / (60L * md) +
+          sn * 1000000L / (3600L * sd)
+        Some(if (ref.contains(negRef)) -v else v)
+      }
+
+    Some(ExifMeta(
+      path = "", fmt = "", has_exif = true,
+      byte_order = Some(if (le) "II" else "MM"),
+      orientation = firstLong(ifd0, 0x0112),
+      make = str(ifd0, 0x010F),
+      model = str(ifd0, 0x0110),
+      datetime = str(ifd0, 0x0132),
+      pixel_x = firstLong(exifIfd, 0xA002)
+        .orElse(firstLong(ifd0, 0x0100)),
+      pixel_y = firstLong(exifIfd, 0xA003)
+        .orElse(firstLong(ifd0, 0x0101)),
+      gps_lat_micro = micro(
+        find(gpsIfd, 0x0002).map(_.rationals).getOrElse(Seq.empty),
+        str(gpsIfd, 0x0001), "S"),
+      gps_lon_micro = micro(
+        find(gpsIfd, 0x0004).map(_.rationals).getOrElse(Seq.empty),
+        str(gpsIfd, 0x0003), "W")))
+  }
+
+  /** EXIF of one blob: JPEG APP1 ("Exif\0\0" payload before SOS) or a
+    * standalone TIFF file; anything else → a has_exif = false row (the
+    * metadata table keeps one row per asset, parse failure included —
+    * ingest accounting must never drop files silently). */
+  private[ops] def exifOf(m: MediaFile): ExifMeta = {
+    val b = m.content
+    val none = ExifMeta(m.path, "other", has_exif = false, None, None,
+      None, None, None, None, None, None, None)
+    def isJpeg = b.length >= 2 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8
+    def isTiff = b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+    try {
+      if (isJpeg) {
+        var p = 2
+        var found = Option.empty[ExifMeta]
+        while (found.isEmpty && p + 4 <= b.length &&
+          (b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0xda) {
+          val marker = b(p + 1) & 0xff
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (marker == 0xe1 && len >= 8 && p + 2 + len <= b.length &&
+            new String(b, p + 4, 4, "US-ASCII") == "Exif" &&
+            b(p + 8) == 0 && b(p + 9) == 0) {
+            val tiff = java.util.Arrays.copyOfRange(b, p + 10, p + 2 + len)
+            found = parseTiffBlock(tiff)
+          }
+          p += 2 + len
+        }
+        found.map(_.copy(path = m.path, fmt = "jpeg"))
+          .getOrElse(none.copy(fmt = "jpeg"))
+      } else if (isTiff) {
+        parseTiffBlock(b).map(_.copy(path = m.path, fmt = "tiff"))
+          .getOrElse(none.copy(fmt = "tiff"))
+      } else none
+    } catch { case _: ArrayIndexOutOfBoundsException => none }
+  }
+
+  /** Metadata extraction over a media lake: one row per file. Same
+    * mapPartitions plumbing (and the same 100 TB contract) as
+    * extractFeatures — byte walking is the documented Catalyst
+    * exception. */
+  def extractExif(media: Dataset[MediaFile]): Dataset[ExifMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(exifOf))
+  }
 }

@@ -417,6 +417,149 @@ object CustomQueries {
   private def be16r(v: Int): Array[Byte] =
     Array[Byte]((v >> 8).toByte, v.toByte)
 
+  // ---- EXIF fixture assembler ----------------------------------------
+
+  private sealed trait Tv
+  private case class TvShort(v: Int) extends Tv
+  private case class TvLong(v: Long) extends Tv
+  private case class TvAscii(s: String) extends Tv
+  private case class TvRats(rs: Seq[(Long, Long)]) extends Tv
+  private case class TvPtr(ifd: Int) extends Tv
+
+  /** Assemble a TIFF block (either byte order) from tag lists — IFD 0
+    * first, sub-IFDs (Exif/GPS) referenced via TvPtr by index. Each
+    * IFD's out-of-line data sits directly after its entry table; the
+    * layout pass sizes everything before the emit pass patches pointer
+    * values. Independent by construction from the parser it feeds
+    * (ops/Multimodal.parseTiffBlock walks, this builds). */
+  private def tiffBlock(le: Boolean, ifds: Seq[Seq[(Int, Tv)]])
+      : Array[Byte] = {
+    def u16(v: Int): Array[Byte] =
+      if (le) Array[Byte](v.toByte, (v >> 8).toByte)
+      else Array[Byte]((v >> 8).toByte, v.toByte)
+    def u32(v: Long): Array[Byte] =
+      if (le) Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte)
+      else Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+    def asciiBytes(s: String): Array[Byte] =
+      s.getBytes("US-ASCII") ++ Array[Byte](0)
+    def payloadSize(t: Tv): Int = t match {
+      case TvAscii(s) =>
+        val n = asciiBytes(s).length; if (n > 4) n else 0
+      case TvRats(rs) => 8 * rs.size
+      case _ => 0
+    }
+    val sizes = ifds.map { tags =>
+      2 + 12 * tags.size + 4 + tags.map(t => payloadSize(t._2)).sum
+    }
+    val offsets = sizes.scanLeft(8L)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= (if (le) "II" else "MM").getBytes("US-ASCII")
+    out ++= u16(42)
+    out ++= u32(offsets(0))
+    for ((tags, i) <- ifds.zipWithIndex) {
+      var dataOff = offsets(i) + 2 + 12 * tags.size + 4
+      val data = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= u16(tags.size)
+      for ((tag, tv) <- tags) {
+        out ++= u16(tag)
+        tv match {
+          case TvShort(v) =>
+            out ++= u16(3); out ++= u32(1L); out ++= u16(v); out ++= u16(0)
+          case TvLong(v) =>
+            out ++= u16(4); out ++= u32(1L); out ++= u32(v)
+          case TvPtr(j) =>
+            out ++= u16(4); out ++= u32(1L); out ++= u32(offsets(j))
+          case TvAscii(s) =>
+            val bytes = asciiBytes(s)
+            out ++= u16(2); out ++= u32(bytes.length.toLong)
+            if (bytes.length <= 4) out ++= bytes.padTo(4, 0.toByte)
+            else {
+              out ++= u32(dataOff); data ++= bytes
+              dataOff += bytes.length
+            }
+          case TvRats(rs) =>
+            out ++= u16(5); out ++= u32(rs.size.toLong)
+            out ++= u32(dataOff)
+            rs.foreach { case (n, d) =>
+              data ++= u32(n); data ++= u32(d)
+            }
+            dataOff += 8 * rs.size
+        }
+      }
+      out ++= u32(0L) // no next IFD
+      out ++= data
+    }
+    out.toArray
+  }
+
+  private[graft] def exifFixtureSet: Map[String, Array[Byte]] =
+    exifFixtures
+
+  /** EXIF fixture set, assembled by [[tiffBlock]] (a builder, not the
+    * parser): a little-endian APP1 with Exif + GPS sub-IFDs, a
+    * big-endian APP1, a standalone TIFF, photo.jpg untouched (APP0
+    * only → no EXIF), and a non-media blob. */
+  private lazy val exifFixtures: Map[String, Array[Byte]] = {
+    def app1Jpeg(block: Array[Byte]): Array[Byte] = {
+      val payload = "Exif".getBytes("US-ASCII") ++
+        Array[Byte](0, 0) ++ block
+      val len = payload.length + 2
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+        (len >> 8).toByte, len.toByte) ++ payload ++
+        mediaFixtures("photo.jpg").drop(2)
+    }
+    // GPS 37°46'30"N 122°25'6"W → floor-per-term micro-degrees
+    // 37774999 / −122418332
+    val le = tiffBlock(le = true, Seq(
+      Seq(0x010F -> TvAscii("GraftCam"), 0x0110 -> TvAscii("GC-1"),
+        0x0112 -> TvShort(6),
+        0x0132 -> TvAscii("2026:01:02 03:04:05"),
+        0x8769 -> TvPtr(1), 0x8825 -> TvPtr(2)),
+      Seq(0xA002 -> TvLong(16), 0xA003 -> TvLong(11)),
+      Seq(0x0001 -> TvAscii("N"),
+        0x0002 -> TvRats(Seq((37L, 1L), (46L, 1L), (30L, 1L))),
+        0x0003 -> TvAscii("W"),
+        0x0004 -> TvRats(Seq((122L, 1L), (25L, 1L), (6L, 1L))))))
+    val be = tiffBlock(le = false, Seq(
+      Seq(0x010F -> TvAscii("MM-Cam"), 0x0110 -> TvAscii("X9"),
+        0x0112 -> TvShort(3),
+        0x0132 -> TvAscii("2025:12:31 23:59:58"),
+        0x8769 -> TvPtr(1)),
+      Seq(0xA002 -> TvLong(640), 0xA003 -> TvLong(480))))
+    val tif = tiffBlock(le = true, Seq(
+      Seq(0x0100 -> TvLong(800), 0x0101 -> TvLong(600),
+        0x010F -> TvAscii("TiffCam"), 0x0112 -> TvShort(1))))
+    Map("exif_le.jpg" -> app1Jpeg(le), "exif_be.jpg" -> app1Jpeg(be),
+      "meta.tif" -> tif,
+      "noexif.jpg" -> mediaFixtures("photo.jpg"),
+      "note.txt" -> "plain text, no metadata".getBytes("US-ASCII"))
+  }
+
+  /** EXIF/TIFF metadata harvest over the media lake — the camera-
+    * metadata pass an image-curation pipeline runs before any pixel
+    * decode (orientation fixing, capture-time partitioning, GPS
+    * filtering). Real APP1/TIFF IFD walking in both byte orders
+    * (ops/Multimodal.parseTiffBlock per TIFF 6.0 + CIPA DC-008);
+    * files without EXIF keep their accounting row. Pinned VALUES
+    * oracle — every field is a pure function of the fixture bytes.
+    */
+  def qMultimodalExif(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-exif")
+    exifFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    Multimodal.extractExif(media).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("fmt"), col("has_exif"), col("byte_order"),
+        col("orientation"), col("make"), col("model"), col("datetime"),
+        col("pixel_x"), col("pixel_y"),
+        col("gps_lat_micro"), col("gps_lon_micro"))
+      .orderBy(col("file"))
+  }
+
   /** REAL multimodal decode as a driver-checked query: materialize the
     * deterministic fixture set into a scratch dir, run the actual
     * binaryFile → mapPartitions decode path, emit per-file geometry +
@@ -742,6 +885,7 @@ object CustomQueries {
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
+    "q_multimodal_exif" -> (qMultimodalExif(_, _)),
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
     "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
     "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
@@ -750,6 +894,37 @@ object CustomQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // every field is an analytic property of the assembled fixture
+    // bytes (tag values placed by the builder, micro-degrees from the
+    // documented floor-per-term reduction)
+    "q_multimodal_exif" ->
+      """SELECT * FROM (VALUES
+        |  ('exif_be.jpg', 'jpeg', true, 'MM', CAST(3 AS BIGINT),
+        |   'MM-Cam', 'X9', '2025:12:31 23:59:58',
+        |   CAST(640 AS BIGINT), CAST(480 AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('exif_le.jpg', 'jpeg', true, 'II', CAST(6 AS BIGINT),
+        |   'GraftCam', 'GC-1', '2026:01:02 03:04:05',
+        |   CAST(16 AS BIGINT), CAST(11 AS BIGINT),
+        |   CAST(37774999 AS BIGINT), CAST(-122418332 AS BIGINT)),
+        |  ('meta.tif', 'tiff', true, 'II', CAST(1 AS BIGINT),
+        |   'TiffCam', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(800 AS BIGINT), CAST(600 AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('noexif.jpg', 'jpeg', false, CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('note.txt', 'other', false, CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(file, fmt, has_exif, byte_order, orientation, make,
+        |       model, datetime, pixel_x, pixel_y, gps_lat_micro,
+        |       gps_lon_micro)
+        |ORDER BY file""".stripMargin,
     // Pinned-expectation oracle: every number is an analytic property
     // of the deterministic fixture bytes (see mediaFixtures scaladoc).
     // PPM {red,green,blue,white}, PGM {black,white} and BMP
