@@ -2066,6 +2066,7 @@ object Multimodal {
       it.map(m =>
         decodePnm(m).orElse(decodeBmp(m)).orElse(decodePng(m))
           .orElse(decodeGif(m)).orElse(decodeJpeg(m))
+          .orElse(decodeTiff(m))
           .orElse(decodeMp4(m)).orElse(decodeAvi(m))
           .getOrElse(fakeDecode(m)))
     }
@@ -2173,12 +2174,12 @@ object Multimodal {
     * files (EXIF's TIFF block IS a TIFF header — one parser, two
     * containers).
     */
-  private[ops] def parseTiffBlock(t: Array[Byte]): Option[ExifMeta] = {
-    if (t.length < 8) return None
-    val le =
-      if (t(0) == 'I' && t(1) == 'I') true
-      else if (t(0) == 'M' && t(1) == 'M') false
-      else return None
+  /** Bounds-checked little/big-endian TIFF structure reader shared by
+    * the EXIF walk and the raster decoder. `valid` gates on the byte
+    * order mark + magic 42; all reads degrade to -1 out of bounds. */
+  private final class TiffReader(t: Array[Byte]) {
+    val le: Boolean = t.length >= 8 && t(0) == 'I' && t(1) == 'I'
+    private val be: Boolean = t.length >= 8 && t(0) == 'M' && t(1) == 'M'
     def u16(p: Int): Int =
       if (p < 0 || p + 1 >= t.length) -1
       else if (le) (t(p) & 0xff) | ((t(p + 1) & 0xff) << 8)
@@ -2187,7 +2188,8 @@ object Multimodal {
       if (p < 0 || p + 3 >= t.length) -1L
       else if (le) u16(p).toLong | (u16(p + 2).toLong << 16)
       else (u16(p).toLong << 16) | u16(p + 2).toLong
-    if (u16(2) != 42) return None
+    val valid: Boolean = (le || be) && u16(2) == 42
+    def ifd0: Seq[IfdEntry] = readIfd(u32(4))
 
     def readIfd(off: Long): Seq[IfdEntry] = {
       if (off < 0 || off + 2 > t.length) return Seq.empty
@@ -2228,20 +2230,26 @@ object Multimodal {
       }
     }
 
-    val ifd0 = readIfd(u32(4))
-    // TIFF requires IFD0 with ≥ 1 entry: a wild/truncated offset walks
-    // to nothing and must read as "no metadata", not an empty success
-    if (ifd0.isEmpty) return None
     def find(es: Seq[IfdEntry], tag: Int): Option[IfdEntry] =
       es.find(_.tag == tag)
     def firstLong(es: Seq[IfdEntry], tag: Int): Option[Long] =
       find(es, tag).flatMap(_.longs.headOption)
     def str(es: Seq[IfdEntry], tag: Int): Option[String] =
       find(es, tag).map(_.ascii).filter(_.nonEmpty)
+  }
 
-    val exifIfd = firstLong(ifd0, 0x8769).map(readIfd)
+  private[ops] def parseTiffBlock(t: Array[Byte]): Option[ExifMeta] = {
+    val r = new TiffReader(t)
+    if (!r.valid) return None
+    val ifd0 = r.ifd0
+    // TIFF requires IFD0 with ≥ 1 entry: a wild/truncated offset walks
+    // to nothing and must read as "no metadata", not an empty success
+    if (ifd0.isEmpty) return None
+    import r.{find, firstLong, str}
+
+    val exifIfd = firstLong(ifd0, 0x8769).map(r.readIfd)
       .getOrElse(Seq.empty)
-    val gpsIfd = firstLong(ifd0, 0x8825).map(readIfd)
+    val gpsIfd = firstLong(ifd0, 0x8825).map(r.readIfd)
       .getOrElse(Seq.empty)
 
     /** d°m's'' → signed micro-degrees, floor division per term. */
@@ -2257,7 +2265,7 @@ object Multimodal {
 
     Some(ExifMeta(
       path = "", fmt = "", has_exif = true,
-      byte_order = Some(if (le) "II" else "MM"),
+      byte_order = Some(if (r.le) "II" else "MM"),
       orientation = firstLong(ifd0, 0x0112),
       make = str(ifd0, 0x010F),
       model = str(ifd0, 0x0110),
@@ -2272,6 +2280,69 @@ object Multimodal {
       gps_lon_micro = micro(
         find(gpsIfd, 0x0004).map(_.rationals).getOrElse(Seq.empty),
         str(gpsIfd, 0x0003), "W")))
+  }
+
+  /** REAL decoder for UNCOMPRESSED baseline TIFF (TIFF 6.0 §2-8):
+    * 8-bit grayscale (PhotometricInterpretation 1) and 8-bit chunky
+    * RGB (PI 2), strip-organized via StripOffsets/RowsPerStrip — the
+    * raster layout plain scanner/archive TIFFs use. Anything needing a
+    * compression codec (LZW/PackBits/JPEG-in-TIFF), planar layout,
+    * palettes or other bit depths returns None → stub fallback, same
+    * honesty contract as the other decoders. Shares [[TiffReader]]
+    * with the EXIF walk; same sequential luma fold + dHash grid as
+    * BMP/PNG, so the cross-format dhash-equality property extends to
+    * TIFF (spec-pinned against the identical raster as BMP).
+    */
+  private[ops] def decodeTiff(m: MediaFile): Option[MediaFeatures] = {
+    val b = m.content
+    if (b.length < 8 ||
+      !((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      return None
+    val r = new TiffReader(b)
+    if (!r.valid) return None
+    val ifd0 = r.ifd0
+    if (ifd0.isEmpty) return None
+    def longs(tag: Int): Seq[Long] =
+      r.find(ifd0, tag).map(_.longs).getOrElse(Seq.empty)
+    val w = r.firstLong(ifd0, 0x0100).getOrElse(-1L).toInt
+    val h = r.firstLong(ifd0, 0x0101).getOrElse(-1L).toInt
+    val compression = r.firstLong(ifd0, 0x0103).getOrElse(1L)
+    val photometric = r.firstLong(ifd0, 0x0106).getOrElse(-1L)
+    val spp = r.firstLong(ifd0, 0x0115)
+      .getOrElse(if (photometric == 2L) 3L else 1L).toInt
+    val planar = r.firstLong(ifd0, 0x011C).getOrElse(1L)
+    val bits = longs(0x0102)
+    val offs = longs(0x0111)
+    val rps = r.firstLong(ifd0, 0x0116).getOrElse(h.toLong)
+    val supported = w > 0 && h > 0 && compression == 1L &&
+      planar == 1L && offs.nonEmpty && rps > 0 &&
+      (bits.isEmpty || bits.forall(_ == 8L)) &&
+      ((photometric == 1L && spp == 1) || (photometric == 2L && spp == 3))
+    if (!supported) return None
+    val grid = new LumaGrid(w, h)
+    var lumaSum = 0.0
+    var y = 0
+    while (y < h) {
+      val strip = (y / rps).toInt
+      if (strip >= offs.size) return None
+      val rowBase = offs(strip) + (y - strip * rps) * w.toLong * spp
+      if (rowBase < 0 || rowBase + w.toLong * spp > b.length) return None
+      var x = 0
+      while (x < w) {
+        val p = (rowBase + x.toLong * spp).toInt
+        val luma =
+          if (spp == 1) (b(p) & 0xff).toDouble
+          else 0.299 * (b(p) & 0xff) + 0.587 * (b(p + 1) & 0xff) +
+            0.114 * (b(p + 2) & 0xff)
+        lumaSum += luma
+        grid.add(x, y, luma / 255.0)
+        x += 1
+      }
+      y += 1
+    }
+    Some(MediaFeatures(path = m.path, length = m.length,
+      fingerprint = fnv(b), width = w, height = h, n_frames = 1,
+      mean_luma = lumaSum / (w.toLong * h) / 255.0, dhash = grid.dhash))
   }
 
   /** EXIF of one blob: JPEG APP1 ("Exif\0\0" payload before SOS) or a

@@ -421,7 +421,9 @@ object CustomQueries {
 
   private sealed trait Tv
   private case class TvShort(v: Int) extends Tv
+  private case class TvShorts(vs: Seq[Int]) extends Tv
   private case class TvLong(v: Long) extends Tv
+  private case class TvLongs(vs: Seq[Long]) extends Tv
   private case class TvAscii(s: String) extends Tv
   private case class TvRats(rs: Seq[(Long, Long)]) extends Tv
   private case class TvPtr(ifd: Int) extends Tv
@@ -448,6 +450,8 @@ object CustomQueries {
       case TvAscii(s) =>
         val n = asciiBytes(s).length; if (n > 4) n else 0
       case TvRats(rs) => 8 * rs.size
+      case TvShorts(vs) => if (2 * vs.size > 4) 2 * vs.size else 0
+      case TvLongs(vs) => if (4 * vs.size > 4) 4 * vs.size else 0
       case _ => 0
     }
     val sizes = ifds.map { tags =>
@@ -478,6 +482,24 @@ object CustomQueries {
             else {
               out ++= u32(dataOff); data ++= bytes
               dataOff += bytes.length
+            }
+          case TvShorts(vs) =>
+            out ++= u16(3); out ++= u32(vs.size.toLong)
+            if (2 * vs.size <= 4) {
+              vs.foreach(v => out ++= u16(v))
+              out ++= Array.fill[Byte](4 - 2 * vs.size)(0)
+            } else {
+              out ++= u32(dataOff)
+              vs.foreach(v => data ++= u16(v))
+              dataOff += 2 * vs.size
+            }
+          case TvLongs(vs) =>
+            out ++= u16(4); out ++= u32(vs.size.toLong)
+            if (4 * vs.size <= 4) vs.foreach(v => out ++= u32(v))
+            else {
+              out ++= u32(dataOff)
+              vs.foreach(v => data ++= u32(v))
+              dataOff += 4 * vs.size
             }
           case TvRats(rs) =>
             out ++= u16(5); out ++= u32(rs.size.toLong)
@@ -535,6 +557,70 @@ object CustomQueries {
       "meta.tif" -> tif,
       "noexif.jpg" -> mediaFixtures("photo.jpg"),
       "note.txt" -> "plain text, no metadata".getBytes("US-ASCII"))
+  }
+
+  private[graft] def tiffRasterFixtureSet: Map[String, Array[Byte]] =
+    tiffRasterFixtures
+
+  /** Uncompressed-TIFF raster fixtures: the SAME pixel content as
+    * img.bmp (2×2 red/green over blue/white) and img.pgm (1×2
+    * black/white), so the cross-format luma/dhash-equality contract
+    * extends to TIFF (ExifSpec pins it against the BMP/PNM decoders);
+    * the RGB file uses TWO one-row strips to exercise strip walking,
+    * and meta.tif (metadata, no raster) rides along to prove the
+    * decoder declines it into the stub path. */
+  private lazy val tiffRasterFixtures: Map[String, Array[Byte]] = {
+    def withRaster(tags: Long => Seq[(Int, Tv)], raster: Array[Byte])
+        : Array[Byte] = {
+      // two-pass: block size is independent of the offset VALUES, so
+      // build once with offset 0 to measure, then point at the raster
+      val probe = tiffBlock(le = true, Seq(tags(0L)))
+      tiffBlock(le = true, Seq(tags(probe.length.toLong))) ++ raster
+    }
+    // rows top-down: (red, green) / (blue, white), chunky RGB
+    val rgbRaster = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val rgb = withRaster(off => Seq(
+      0x0100 -> TvLong(2), 0x0101 -> TvLong(2),
+      0x0102 -> TvShorts(Seq(8, 8, 8)), 0x0103 -> TvShort(1),
+      0x0106 -> TvShort(2),
+      0x0111 -> TvLongs(Seq(off, off + 6L)),
+      0x0115 -> TvShort(3), 0x0116 -> TvLong(1),
+      0x0117 -> TvLongs(Seq(6L, 6L))), rgbRaster)
+    val grayRaster = Array[Byte](0, 255.toByte)
+    val gray = withRaster(off => Seq(
+      0x0100 -> TvLong(1), 0x0101 -> TvLong(2),
+      0x0102 -> TvShort(8), 0x0103 -> TvShort(1),
+      0x0106 -> TvShort(1), 0x0111 -> TvLong(off),
+      0x0115 -> TvShort(1), 0x0116 -> TvLong(2),
+      0x0117 -> TvLong(2)), grayRaster)
+    Map("img_rgb.tif" -> rgb, "img_gray.tif" -> gray,
+      "meta.tif" -> exifFixtures("meta.tif"))
+  }
+
+  /** Uncompressed-TIFF decode as a driver-checked query: geometry +
+    * mean luma + dhash of the strip-organized rasters through the real
+    * binaryFile → decode path; the metadata-only TIFF falls through to
+    * the deterministic stub (its row rides along, pinning the decline
+    * path). VALUES oracle — luma is analytic (the rasters are the
+    * BMP/PGM fixtures' pixels), dhash literals are the cross-format
+    * grid hashes ExifSpec equates to the BMP/PNM decoders' output.
+    */
+  def qMultimodalTiff(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-tiff")
+    tiffRasterFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    Multimodal.extractFeatures(media).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(col("mean_luma"), 6).as("luma_r6"),
+        col("dhash"))
+      .orderBy(col("file"))
   }
 
   /** EXIF/TIFF metadata harvest over the media lake — the camera-
@@ -886,6 +972,7 @@ object CustomQueries {
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
     "q_multimodal_exif" -> (qMultimodalExif(_, _)),
+    "q_multimodal_tiff" -> (qMultimodalTiff(_, _)),
     "q_multimodal_phash" -> (qMultimodalPhash(_, _)),
     "q_multimodal_phash_cluster" -> (qMultimodalPhashCluster(_, _)),
     "q_multimodal_frames" -> (qMultimodalFrames(_, _)),
@@ -894,6 +981,21 @@ object CustomQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // luma is analytic (rgb: (0.299+0.587+0.114+1)/4 = 0.5 exactly;
+    // gray: (0+1)/2); dhash literals equal the BMP/PNM decoders' output
+    // on the identical rasters (ExifSpec pins the equality); meta.tif
+    // pins the stub-decline path
+    "q_multimodal_tiff" ->
+      """SELECT * FROM (VALUES
+        |  ('img_gray.tif', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), 0.5, CAST(0 AS BIGINT)),
+        |  ('img_rgb.tif', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(1 AS BIGINT), 0.5, CAST(34359738376 AS BIGINT)),
+        |  ('meta.tif', CAST(851 AS BIGINT), CAST(426 AS BIGINT),
+        |   CAST(88 AS BIGINT), 0.560784, CAST(8147216232738344396
+        |     AS BIGINT))
+        |) AS t(file, width, height, n_frames, luma_r6, dhash)
+        |ORDER BY file""".stripMargin,
     // every field is an analytic property of the assembled fixture
     // bytes (tag values placed by the builder, micro-degrees from the
     // documented floor-per-term reduction)

@@ -46,6 +46,45 @@ class ExifSpec extends SparkTestBase {
     assert(txt.fmt == "other" && !txt.has_exif)
   }
 
+  test("decodeTiff: identical raster gives identical luma+dhash as " +
+    "BMP and PNM decoders (cross-format contract)") {
+    val tfx = graft.queries.CustomQueries.tiffRasterFixtureSet
+    val mfx = graft.queries.CustomQueries.mediaFixtureSet
+    val tiffRgb = Multimodal.decodeTiff(mf("r.tif", tfx("img_rgb.tif")))
+      .get
+    val bmp = Multimodal.decodeBmp(mf("i.bmp", mfx("img.bmp"))).get
+    assert(tiffRgb.width == bmp.width && tiffRgb.height == bmp.height)
+    assert(tiffRgb.mean_luma == bmp.mean_luma)
+    assert(tiffRgb.dhash == bmp.dhash)
+    val tiffGray = Multimodal.decodeTiff(
+      mf("g.tif", tfx("img_gray.tif"))).get
+    val pgm = Multimodal.decodePnm(mf("i.pgm", mfx("img.pgm"))).get
+    assert(tiffGray.mean_luma == pgm.mean_luma)
+    assert(tiffGray.dhash == pgm.dhash)
+  }
+
+  test("decodeTiff declines metadata-only, compressed-tag and " +
+    "truncated-strip files") {
+    val tfx = graft.queries.CustomQueries.tiffRasterFixtureSet
+    assert(Multimodal.decodeTiff(mf("m.tif", tfx("meta.tif"))).isEmpty)
+    val rgb = tfx("img_rgb.tif")
+    // strip data cut off → decoder must decline, not crash
+    assert(Multimodal.decodeTiff(
+      mf("t.tif", rgb.dropRight(7))).isEmpty)
+    // flip the Compression tag value (type SHORT, value at entry+8)
+    val lzw = rgb.clone()
+    // find the 0x0103 entry: entries start at 10 (header 8 + count 2)
+    var p = 10
+    var patched = false
+    while (!patched && p + 12 <= lzw.length) {
+      val tag = (lzw(p) & 0xff) | ((lzw(p + 1) & 0xff) << 8)
+      if (tag == 0x0103) { lzw(p + 8) = 5; patched = true }
+      p += 12
+    }
+    assert(patched)
+    assert(Multimodal.decodeTiff(mf("l.tif", lzw)).isEmpty)
+  }
+
   test("malformed inputs never throw: truncation and wild IFD offset") {
     val full = fx("exif_le.jpg")
     for (cut <- Seq(3, 6, 12, 21, 40, 64)) {
