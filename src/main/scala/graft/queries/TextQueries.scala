@@ -310,6 +310,64 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece pieces shared by the query and its twin: single-letter
+    * starts, a handful of multi-char roots, and ##-continuations
+    * (Schuster & Nakajima 2012 / Devlin et al. 2019 conventions). */
+  private[queries] val wordpieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++
+      Seq("the", "scan", "sort", "cus", "qu", "jo", "ha", "fil") ++
+      ('a' to 'z').map(c => s"##$c") ++
+      Seq("##tomer", "##ery", "##in", "##sh", "##ter")
+
+  /** WordPiece tokenization (greedy longest-match-first with ##
+    * continuation pieces) — the second tokenizer family next to the
+    * BPE battery, applied corpus-wide and reported as the global piece
+    * distribution. A word with an unmatchable position collapses to
+    * [UNK] wholesale (the standard rule — partial pieces are
+    * discarded).
+    *
+    * Scale shape — the part that matters at 100 TB: segmentation runs
+    * once per DISTINCT word over the token-count table (one corpus
+    * shuffle), never per occurrence; piece counts then weight by word
+    * frequency in a second tiny aggregate. The greedy matcher itself
+    * is a pure fold over character positions (codegen'd higher-order
+    * functions, vocab as a broadcast literal — no join, no UDF).
+    */
+  def qTextWordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val vocabSql = wordpieceVocab.map(s => s"'$s'")
+      .mkString("array(", ",", ")")
+    def best(posExpr: String) =
+      s"""array_max(filter(sequence(1, 6), l ->
+         |  $posExpr + l - 1 <= length(w) AND array_contains($vocabSql,
+         |    CASE WHEN $posExpr = 1 THEN substring(w, $posExpr, l)
+         |    ELSE concat('##', substring(w, $posExpr, l)) END)))"""
+        .stripMargin
+    val b = best("acc.pos")
+    val tokc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    tokc
+      .withColumn("pieces", expr(
+        s"""aggregate(sequence(1, length(w)),
+           |  named_struct('pos', 1, 'unk', false,
+           |    'out', CAST(array() AS array<string>)),
+           |  (acc, i) -> CASE WHEN acc.unk OR i <> acc.pos THEN acc
+           |  ELSE named_struct(
+           |    'pos', CASE WHEN $b IS NULL THEN length(w) + 1
+           |      ELSE acc.pos + $b END,
+           |    'unk', $b IS NULL,
+           |    'out', CASE WHEN $b IS NULL THEN array('[UNK]')
+           |      ELSE concat(acc.out, array(
+           |        CASE WHEN acc.pos = 1 THEN substring(w, acc.pos, $b)
+           |        ELSE concat('##', substring(w, acc.pos, $b)) END))
+           |      END) END,
+           |  acc -> acc.out)""".stripMargin))
+      .select(explode(col("pieces")).as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("n"))
+      .orderBy(col("piece"))
+  }
+
   /** Composite Gopher-style quality gate: per-rule verdicts + overall
     * pass. Thresholds chosen to split the fixture non-vacuously (at
     * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
@@ -1105,6 +1163,7 @@ object TextQueries {
     "q_text_chunk" -> (qTextChunk(_, _)),
     "q_text_chunk_dedup" -> (qTextChunkDedup(_, _)),
     "q_text_cdc_dedup" -> (qTextCdcDedup(_, _)),
+    "q_text_wordpiece" -> (qTextWordpiece(_, _)),
     "q_text_tfidf" -> (qTextTfidf(_, _)),
     "q_text_bm25" -> (qTextBm25(_, _)),
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
@@ -1450,7 +1509,58 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |FROM stats st JOIN cleaned c ON st.doc_id = c.doc_id
       |ORDER BY st.doc_id""".stripMargin
 
+  /** Greedy longest-match replay: candidate pieces per (word, pos) via
+    * a vocab membership filter, argmax length, then a recursive CTE
+    * stepping pos by the matched length; any failed position collapses
+    * the word to [UNK]. Same vocab literal as the engine
+    * ([[wordpieceVocab]]). */
+  private val wordpieceSql: String = {
+    val vocabList = wordpieceVocab.map(s => s"'$s'")
+      .mkString("[", ",", "]")
+    s"""WITH RECURSIVE u AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |tokc AS (SELECT w, count(*) AS c FROM u WHERE w <> ''
+       |         GROUP BY w),
+       |cand AS (SELECT w, p, l,
+       |    CASE WHEN p = 1 THEN substring(w, CAST(p AS INT),
+       |        CAST(l AS INT))
+       |      ELSE '##' || substring(w, CAST(p AS INT), CAST(l AS INT))
+       |      END AS piece
+       |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS p
+       |        FROM tokc),
+       |    (SELECT unnest(generate_series(1, 6)) AS l)
+       |  WHERE p + l - 1 <= length(w)),
+       |m AS (SELECT * FROM cand
+       |      WHERE list_contains($vocabList, piece)),
+       |best AS (SELECT w, p, MAX(l) AS l FROM m GROUP BY w, p),
+       |bestp AS (SELECT b.w, b.p, b.l, m.piece FROM best b
+       |  JOIN m ON m.w = b.w AND m.p = b.p AND m.l = b.l),
+       |rec(w, pos, piece, unk) AS (
+       |  SELECT w, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), false
+       |  FROM tokc
+       |  UNION ALL
+       |  SELECT r.w,
+       |    CASE WHEN b.l IS NULL THEN length(r.w) + 1
+       |      ELSE r.pos + b.l END,
+       |    CASE WHEN b.l IS NULL THEN '[UNK]' ELSE b.piece END,
+       |    b.l IS NULL
+       |  FROM rec r LEFT JOIN bestp b ON b.w = r.w AND b.p = r.pos
+       |  WHERE r.pos <= length(r.w) AND NOT r.unk),
+       |wp AS (SELECT w, piece, unk FROM rec WHERE piece IS NOT NULL),
+       |unkw AS (SELECT w, bool_or(unk) AS u FROM wp GROUP BY w),
+       |pieces AS (
+       |  SELECT wp.w, wp.piece FROM wp
+       |  JOIN unkw ON unkw.w = wp.w AND NOT unkw.u
+       |  UNION ALL
+       |  SELECT w, '[UNK]' FROM unkw WHERE u)
+       |SELECT p.piece, CAST(SUM(t.c) AS BIGINT) AS n
+       |FROM pieces p JOIN tokc t ON t.w = p.w
+       |GROUP BY p.piece ORDER BY p.piece""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_wordpiece" -> wordpieceSql,
     // LBFS cut-point replay: H % 32 from the last two of the 15 md5 hex
     // digits (16^k ≡ 0 mod 32 for k ≥ 2 — no conv() needed), identical
     // cut array, keep-first on chunk md5 by the same packed (doc, idx)
