@@ -535,4 +535,55 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
       "map-only until the final sort")
   }
+
+  test("KS drift: corpus reduces through two hash exchanges (cells, " +
+    "per-type arrays); the 5x5 pair join broadcasts the tiny side") {
+    val p = plan("q_stat_ks")
+    assert(p.contains("BroadcastExchange"),
+      "per-type array side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here should sort-merge — both join sides are tiny " +
+        "aggregates")
+  }
+
+  test("CDC dedup: the documents scan reads only (doc_id, text); " +
+    "cutting and hashing stay map-side before the chunk-hash group") {
+    val p = plan("q_text_cdc_dedup")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "chunker must not drag lang/source/n_chars through the scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("k-truss: every peeling round is equi-join only — no " +
+    "cartesian/BNL in the unrolled plan") {
+    val p = plan("q_graph_ktruss")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("CUSUM: a fold over per-type arrays, not a window — and only " +
+    "the two aggregation exchanges plus the final sort") {
+    val p = plan("q_time_cusum")
+    assert(!p.contains("(Window") && !p.contains("WindowExec"),
+      "the recurrence must be the in-row fold, not a window scan")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges")
+  }
+
+  test("WordPiece: segmentation is join-free — one token-count " +
+    "exchange, one piece-count exchange, vocab as a literal") {
+    val p = plan("q_text_wordpiece")
+    assert(!p.contains("Join"), "vocab must be a literal, not a join")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges")
+  }
+
+  test("takedown: components memo + id-keyed joins only — no " +
+    "cartesian, and document text never crosses a join") {
+    val p = plan("q_curate_takedown")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
