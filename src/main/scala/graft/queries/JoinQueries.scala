@@ -240,7 +240,63 @@ object JoinQueries {
       .orderBy(col("bucket").asc_nulls_first)
   }
 
+  /** GRID-BUCKETED SPATIAL JOIN: all point pairs within a radius, via
+    * the canonical distributed pattern — assign each point to a
+    * radius-sized grid cell, explode one side to its 3×3 neighborhood,
+    * equi-join on the cell, verify the true distance on candidates
+    * only. Never an all-pairs product: at 100 TB the work is
+    * |points| × 9 candidate rows against local cell populations, and
+    * each qualifying pair is produced exactly once (the left point's
+    * nine DISTINCT neighbor cells meet the right point's single home
+    * cell at most once; cell size = radius makes adjacency sufficient).
+    *
+    * Geometry is integer micro-degrees under an equirectangular
+    * projection: the cos(37°) ≈ 0.79 longitude shrink is folded into
+    * the projected coordinate ONCE (·79 div 100, exact integer), so
+    * the same metric drives both the grid and the verify — keeping the
+    * adjacency proof valid. Coordinates here are synthesized
+    * deterministically per customer (md5 % box) into a ~11 km city
+    * box; the oracle replays the derivation and checks the exact
+    * integer distances all-pairs.
+    */
+  def qJoinSpatial(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = 2000L // micro-degrees ≈ 222 m; cell size = r
+    def h(prefix: String) =
+      conv(substring(md5(concat(lit(prefix),
+        $"c_custkey".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100000L
+    val pts = Tables.customer(spark, dir).select(
+      $"c_custkey".as("id"),
+      (lit(37000000L) + h("lat:")).as("lat"),
+      expr("(57900000 + CAST(conv(substring(md5(concat('lon:', " +
+        "CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+        "% 100000) * 79 div 100").as("lon_s"))
+      .withColumn("cx", expr(s"lat div $r"))
+      .withColumn("cy", expr(s"lon_s div $r"))
+    val a = pts.select($"id".as("id_a"), $"lat".as("lat_a"),
+        $"lon_s".as("lon_a"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+            |  transform(sequence(-1, 1), dy ->
+            |    struct(cx + dx AS jx, cy + dy AS jy))))""".stripMargin))
+          .as("n"))
+      .select($"id_a", $"lat_a", $"lon_a",
+        $"n.jx".as("cx"), $"n.jy".as("cy"))
+    val b = pts.select($"id".as("id_b"), $"lat".as("lat_b"),
+      $"lon_s".as("lon_b"), $"cx", $"cy")
+    a.join(b, Seq("cx", "cy"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("d2",
+        ($"lat_a" - $"lat_b") * ($"lat_a" - $"lat_b") +
+          ($"lon_a" - $"lon_b") * ($"lon_a" - $"lon_b"))
+      .filter($"d2" <= lit(r * r))
+      .select($"id_a", $"id_b", $"d2")
+      .orderBy($"id_a", $"id_b")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_join_spatial" -> (qJoinSpatial(_, _)),
     "q_join_null_safe" -> (qJoinNullSafe(_, _)),
     "q_join_region_revenue" -> (qJoinRegionRevenue(_, _)),
     "q_join_left_outer" -> (qJoinLeftOuter(_, _)),
@@ -278,6 +334,31 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // all-pairs replay of the same md5-derived coordinates + exact
+    // integer distances (the engine's grid is a candidate pruning, not
+    // a semantics change — result sets must be identical)
+    "q_join_spatial" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    37000000 + CAST(list_sum(list_transform(
+        |      generate_series(1, 8), d ->
+        |        CAST(strpos('0123456789abcdef', substring(
+        |          md5('lat:' || CAST(c_custkey AS VARCHAR)), d, 1)) - 1
+        |          AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % 100000 AS lat,
+        |    (57900000 + CAST(list_sum(list_transform(
+        |      generate_series(1, 8), d ->
+        |        CAST(strpos('0123456789abcdef', substring(
+        |          md5('lon:' || CAST(c_custkey AS VARCHAR)), d, 1)) - 1
+        |          AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) % 100000) * 79 // 100 AS lon_s
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon_s - b.lon_s) * (a.lon_s - b.lon_s) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.lat - b.lat) * (a.lat - b.lat)
+        |    + (a.lon_s - b.lon_s) * (a.lon_s - b.lon_s) <= 4000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_join_null_safe" ->
       """WITH l AS (SELECT nullif(o_custkey % 50, 7) AS bucket,
         |    count(*) AS n_orders
