@@ -67,12 +67,52 @@ object QualityQueries {
       .orderBy(col("source"))
   }
 
+  /** Re-identification risk report (Sweeney 2002 k-anonymity;
+    * Machanavajjhala et al. 2007 l-diversity) over the quasi-identifier
+    * pair (nation, market segment) with the $2k account-balance bucket
+    * as the sensitive attribute: each equivalence class reports its
+    * size (k-anonymity, k = 8) and its sensitive-value diversity
+    * (distinct-l-diversity, l = 4). The release gate a dataset with
+    * joinable demographics needs before publication — classes failing
+    * either test are the suppression/generalization work-list.
+    *
+    * Scale shape: one hash aggregate over the table (count +
+    * distinct-sensitive per class — the distinct is per-class-bounded,
+    * never global); the report is |classes| rows.
+    */
+  def qQualityKanon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 2000).cast("long").as("bal_bucket"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"bal_bucket").as("n_sensitive"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size",
+        $"n_sensitive",
+        ($"class_size" >= 8).as("k_anon_ok"),
+        ($"n_sensitive" >= 4).as("l_div_ok"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_quality_kanon" -> (qQualityKanon(_, _)),
     "q_quality_constraints" -> (qQualityConstraints(_, _)),
     "q_text_blocklist" -> (qTextBlocklist(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quality_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+        |    AS n_sensitive,
+        |  COUNT(*) >= 8 AS k_anon_ok,
+        |  COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 4
+        |    AS l_div_ok
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_quality_constraints" ->
       """WITH o AS (SELECT count(*) AS total,
         |    count(*) - count(o_custkey) AS v_complete,

@@ -435,6 +435,55 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968) of per-day
+    * event-type volumes: slope = the LOWER MEDIAN of all pairwise
+    * slopes (n_j−n_i)/(x_j−x_i), intercept = the lower median of the
+    * per-point residuals n_k − m·x_k — the outlier-resistant
+    * alternative to q_agg_corr's least-squares line (breakdown point
+    * ~29% vs 0%).
+    *
+    * Determinism: x is the integer day offset from the series start
+    * and n the exact daily count, so each pairwise slope is ONE
+    * correctly-rounded double division of small integers — identical
+    * cross-engine regardless of enumeration order — and a rank-select
+    * at (p+1) div 2 over sorted VALUES is order-independent even with
+    * ties. Scale shape: the corpus reduces to |types|×|days| cells in
+    * one aggregate; the O(days²) pair set is built MAP-SIDE inside
+    * each type's array row (the same per-entity-series contract as
+    * q_time_holt — for long series, subsample pairs, the published
+    * estimator knob).
+    */
+  def qTimeTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .withColumn("xs", expr(
+        """transform(arr, p -> struct(
+          |  datediff(p.day, element_at(arr, 1).day) AS x,
+          |  p.n AS n))""".stripMargin))
+      .withColumn("slopes", expr(
+        """array_sort(flatten(transform(sequence(1, size(xs)), i ->
+          |  transform(filter(sequence(1, size(xs)), j -> j > i), j ->
+          |    CAST(element_at(xs, j).n - element_at(xs, i).n AS DOUBLE)
+          |      / (element_at(xs, j).x - element_at(xs, i).x)))))"""
+          .stripMargin))
+      .withColumn("slope", expr(
+        "element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))"))
+      .withColumn("res", expr(
+        """array_sort(transform(xs, p ->
+          |  CAST(p.n AS DOUBLE) - slope * p.x))""".stripMargin))
+      .select(col("event_type"),
+        size(col("xs")).cast("long").as("n_points"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        round(col("slope"), 6).as("slope_r6"),
+        round(expr("element_at(res, CAST((size(res) + 1) div 2 AS INT))"), 6)
+          .as("intercept_r6"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming CDC compaction end-to-end under the driver harness: the
     * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
     * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
@@ -637,6 +686,7 @@ object StreamQueries {
     "q_time_holt" -> (qTimeHolt(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
+    "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -741,6 +791,43 @@ object StreamQueries {
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
         |FROM r ORDER BY event_type, day""".stripMargin,
+    // Pairwise-slope replay via self-join + rank-select at the same
+    // lower-median position; each slope is the identical one-division
+    // double, so sorted-value rank-select matches the engine's
+    // array fold exactly.
+    "q_time_theilsen" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT event_type, n,
+        |    date_diff('day', MIN(day) OVER (PARTITION BY event_type),
+        |      day) AS x
+        |  FROM d),
+        |pairs AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / (b.x - a.x) AS s
+        |  FROM i a JOIN i b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |sl AS (SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM pairs),
+        |m AS (SELECT event_type, s AS slope, np FROM sl
+        |      WHERE rn = (np + 1) // 2),
+        |res AS (SELECT i.event_type, m.slope, m.np,
+        |    CAST(i.n AS DOUBLE) - m.slope * i.x AS rv
+        |  FROM i JOIN m USING (event_type)),
+        |rr AS (SELECT event_type, slope, np, rv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rv)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS k
+        |  FROM res)
+        |SELECT event_type, CAST(k AS BIGINT) AS n_points,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  round(slope, 6) AS slope_r6,
+        |  round(rv, 6) AS intercept_r6
+        |FROM rr WHERE rn = (k + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     // Recursive-CTE twin of the two-batch stateful stream: per user,
     // rows ordered (batch = id parity, ts, event_id), level folded
     // through the identical (l + v)·½ step, one emission at each
