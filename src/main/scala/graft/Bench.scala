@@ -63,7 +63,7 @@ object Bench {
       "bpe" -> (n => n.startsWith("q_text_bpe")),
       "dedup_memo" -> (n => n == "q_dedup_minhash" ||
         n == "q_dedup_incremental" || n == "q_dedup_components" ||
-        n == "q_dedup_keep_best"))
+        n == "q_dedup_keep_best" || n == "q_curate_takedown"))
     val families = familyDefs.map { case (f, member) =>
       "\"" + f + "\":" +
         results.collect { case (k, v, true) if member(k) => v }.sum

@@ -319,6 +319,28 @@ object TextQueries {
       ('a' to 'z').map(c => s"##$c") ++
       Seq("##tomer", "##ery", "##in", "##sh", "##ter")
 
+  /** Greedy longest-match-first WordPiece segmentation of one word —
+    * plain JVM on purpose: this runs on the DISTINCT-WORD table (tiny
+    * by construction), and the equivalent higher-order-function fold
+    * was measured to spend ~10 s per run recompiling its generated
+    * code (fresh expression ids defeat the Janino source cache), three
+    * orders of magnitude more than the actual work. */
+  private[queries] def wordpieceSegment(w: String): Seq[String] = {
+    val vocab = wordpieceVocab.toSet
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      val prefix = if (pos == 0) "" else "##"
+      var l = math.min(6, w.length - pos)
+      while (l > 0 && !vocab.contains(prefix + w.substring(pos, pos + l)))
+        l -= 1
+      if (l == 0) return Seq("[UNK]")
+      out += prefix + w.substring(pos, pos + l)
+      pos += l
+    }
+    out.toSeq
+  }
+
   /** WordPiece tokenization (greedy longest-match-first with ##
     * continuation pieces) — the second tokenizer family next to the
     * BPE battery, applied corpus-wide and reported as the global piece
@@ -329,41 +351,20 @@ object TextQueries {
     * Scale shape — the part that matters at 100 TB: segmentation runs
     * once per DISTINCT word over the token-count table (one corpus
     * shuffle), never per occurrence; piece counts then weight by word
-    * frequency in a second tiny aggregate. The greedy matcher itself
-    * is a pure fold over character positions (codegen'd higher-order
-    * functions, vocab as a broadcast literal — no join, no UDF).
+    * frequency in a second tiny aggregate. The matcher is a typed map
+    * over that distinct-word table (see [[wordpieceSegment]] for why
+    * not an expression fold); the corpus-scale stages stay fully
+    * declarative.
     */
   def qTextWordpiece(spark: SparkSession, dir: String): DataFrame = {
-    val vocabSql = wordpieceVocab.map(s => s"'$s'")
-      .mkString("array(", ",", ")")
-    def best(posExpr: String) =
-      s"""array_max(filter(sequence(1, 6), l ->
-         |  $posExpr + l - 1 <= length(w) AND array_contains($vocabSql,
-         |    CASE WHEN $posExpr = 1 THEN substring(w, $posExpr, l)
-         |    ELSE concat('##', substring(w, $posExpr, l)) END)))"""
-        .stripMargin
-    val b = best("acc.pos")
+    import spark.implicits._
     val tokc = Tables.documents(spark, dir)
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    tokc
-      .withColumn("pieces", expr(
-        s"""aggregate(sequence(1, length(w)),
-           |  named_struct('pos', 1, 'unk', false,
-           |    'out', CAST(array() AS array<string>)),
-           |  (acc, i) -> CASE WHEN acc.unk OR i <> acc.pos THEN acc
-           |  ELSE named_struct(
-           |    'pos', CASE WHEN $b IS NULL THEN length(w) + 1
-           |      ELSE acc.pos + $b END,
-           |    'unk', $b IS NULL,
-           |    'out', CASE WHEN $b IS NULL THEN array('[UNK]')
-           |      ELSE concat(acc.out, array(
-           |        CASE WHEN acc.pos = 1 THEN substring(w, acc.pos, $b)
-           |        ELSE concat('##', substring(w, acc.pos, $b)) END))
-           |      END) END,
-           |  acc -> acc.out)""".stripMargin))
-      .select(explode(col("pieces")).as("piece"), col("c"))
+    tokc.as[(String, Long)]
+      .flatMap { case (w, c) => wordpieceSegment(w).map((_, c)) }
+      .toDF("piece", "c")
       .groupBy(col("piece")).agg(sum(col("c")).as("n"))
       .orderBy(col("piece"))
   }
