@@ -151,7 +151,23 @@ object Scratch {
       "q_hybrid_rrf" ->
         ("hybrid RRF: each leg its own scale shape (BM25 one-shuffle; " +
           "dense broadcast scoring); fusion is a 20-row full-outer " +
-          "join with exact integer rank folds"))
+          "join with exact integer rank folds"),
+      "q_stat_ks" ->
+        ("KS drift: corpus → (type, cents) cells map-side-partial; " +
+          "per-pair ECDF merge folds domain-bounded arrays on one " +
+          "row; tiny side broadcast"),
+      "q_text_cdc_dedup" ->
+        ("content-defined chunking: every cut decision local (window " +
+          "hash mod), chunking+hashing map-side; the one shuffle " +
+          "groups chunk digests"),
+      "q_graph_ktruss" ->
+        ("k-truss: per round triangle enumeration + support agg + " +
+          "semi-join on a shrinking edge set; localCheckpoint " +
+          "truncates the 4-refs-per-round lineage"),
+      "q_join_spatial" ->
+        ("spatial radius join: 3x3 neighborhood explode + cell " +
+          "equi-join + exact integer verify — never an all-pairs " +
+          "product"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
