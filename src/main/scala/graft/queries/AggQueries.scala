@@ -353,7 +353,42 @@ object AggQueries {
         (col("c_est") - col("c_exact")).as("overcount"))
   }
 
+  /** EXACT mergeable distinct-count rollup via presence BITMAPS — the
+    * deterministic counterpart to the HLL rollup (q_agg_hll_union):
+    * each (type, day, cell) row carries a 63-bit slice of the user-id
+    * presence set (cell = id div 63, bit = id mod 63 — 63 not 64:
+    * 1 << 63 overflows signed arithmetic in ANSI engines), daily
+    * distincts are popcount sums, and the monthly distinct re-ORs the
+    * CELLS without re-reading raw events. bit_or is the aggregate, so
+    * partials combine map-side and the shuffle carries one long per
+    * populated cell — the roaring-bitmap pattern in plain SQL types.
+    * Dense-id domains only (cells ∝ max-id/63); sparse/wide domains →
+    * the HLL rollup.
+    */
+  def qAggBitmapRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"),
+        expr("user_id div 63").as("cell"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+          .as("bit"))
+      .groupBy($"event_type", $"day", $"cell")
+      .agg(bit_or($"bit").as("bits"))
+    val daily = cells.groupBy($"event_type", $"day")
+      .agg(sum(bit_count($"bits")).as("d"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"d").cast("long").as("sum_daily_distinct"))
+    val monthly = cells.groupBy($"event_type", $"cell")
+      .agg(bit_or($"bits").as("mbits"))
+      .groupBy($"event_type")
+      .agg(sum(bit_count($"mbits")).cast("long")
+        .as("monthly_distinct"))
+    daily.join(monthly, "event_type").orderBy($"event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_agg_bitmap_rollup" -> (qAggBitmapRollup(_, _)),
     "q_agg_countmin" -> (qAggCountMin(_, _)),
     "q_agg_kmv_intersect" -> (qAggKmvIntersect(_, _)),
     "q_agg_argmax" -> (qAggArgmax(_, _)),
@@ -391,6 +426,30 @@ object AggQueries {
       Tables.lineitem(spark, dir), "l_extendedprice")
 
   val oracles: Map[String, String] = Map(
+    "q_agg_bitmap_rollup" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    user_id // 63 AS cell,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+        |      AS bits
+        |  FROM events GROUP BY 1, 2, 3),
+        |daily AS (
+        |  SELECT event_type, day, SUM(bit_count(bits)) AS d
+        |  FROM cells GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(d) AS BIGINT) AS sum_daily_distinct
+        |  FROM daily GROUP BY 1),
+        |monthly AS (
+        |  SELECT event_type,
+        |    CAST(SUM(bit_count(mbits)) AS BIGINT) AS monthly_distinct
+        |  FROM (SELECT event_type, cell, bit_or(bits) AS mbits
+        |        FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT dd.event_type, dd.n_days, dd.sum_daily_distinct,
+        |  monthly.monthly_distinct
+        |FROM dd JOIN monthly USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // same d=4 salted hashes into w=16 columns, same min-over-rows
     "q_agg_countmin" -> {
       def cell(r: Int) =

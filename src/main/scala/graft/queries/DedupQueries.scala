@@ -204,6 +204,42 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric companion to Jaccard:
+    * C = |A∩B| / min(|A|,|B|) flags a document EMBEDDED in a larger
+    * one (quote-plus-commentary, concatenated dumps), which symmetric
+    * Jaccard dilutes below any usable threshold as the size ratio
+    * grows (Broder 1997 distinguishes resemblance vs containment; the
+    * ExactSubstr literature hits the same failure mode). Same 5-gram
+    * universe as q_dedup_ngram_jaccard, bounded to ids < 250 like the
+    * components family; at 100 TB the candidate stage is the same
+    * prefix-filtered inverted index (containment admits the analogous
+    * |A|-side prefix bound), never the raw shingle self-join.
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    val sh = docs.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5)))""".stripMargin)).as("s"))
+    val lens = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(lens.select(col("doc_id").as("id_a"), col("len").as("len_a")),
+        "id_a")
+      .join(lens.select(col("doc_id").as("id_b"), col("len").as("len_b")),
+        "id_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("len_a"), col("len_b")))
+      .filter(col("containment") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("len_a"),
+        col("len_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -385,6 +421,7 @@ object DedupQueries {
     "q_dedup_components" -> (qDedupComponents(_, _)),
     "q_dedup_keep_best" -> (qDedupKeepBest(_, _)),
     "q_curate_takedown" -> (qCurateTakedown(_, _)),
+    "q_dedup_containment" -> (qDedupContainment(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
@@ -661,6 +698,23 @@ object DedupQueries {
         |    AND r.orig_rep <> d.doc_id) AS promoted
         |FROM d JOIN reps r USING (component)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS len_a, len(b.s) AS len_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(len_a AS BIGINT) AS len_a, CAST(len_b AS BIGINT) AS len_b,
+        |  inter * 1.0 / least(len_a, len_b) AS containment
+        |FROM pairs
+        |WHERE inter * 1.0 / least(len_a, len_b) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

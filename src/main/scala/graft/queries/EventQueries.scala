@@ -158,7 +158,53 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Linear multi-touch attribution: every click a user made in the
+    * 24 h before one of their purchases shares that purchase's value
+    * equally — the credit model marketing warehouses run nightly
+    * (linear is the fully-relational member of the first/last/U-shaped
+    * family). Exactness: value splits in INTEGER CENTS with the
+    * remainder assigned to the LAST touch before the purchase — a
+    * deterministic rule both engines replay exactly (floating credit
+    * = v/n would drift in the re-aggregation order).
+    *
+    * Shape: one interval join (user equi-key + time filter — the
+    * q_stream_interval_join class) + one window over each purchase's
+    * touch list + one aggregate to the per-day credit report; at
+    * 100 TB the join carries (user, ts, cents) triples, and AQE skew
+    * handling covers hot users.
+    */
+  def qEventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"),
+        Exact.e2(col("value")).as("cents"))
+    val touched = buys.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("buy_ts") &&
+        col("click_ts") > col("buy_ts") - expr("INTERVAL 24 HOURS"))
+    val w = Window.partitionBy(col("buy_id"))
+    val ranked = touched
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("click_ts").desc, col("click_id").desc)))
+    ranked
+      .withColumn("credit",
+        expr("cents div n_touch") +
+          when(col("rk") === 1, col("cents") % col("n_touch"))
+            .otherwise(0L))
+      .groupBy(to_date(col("click_ts")).as("day"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("buy_id")).as("n_purchases"),
+        sum(col("credit")).as("credit_cents"))
+      .orderBy(col("day"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_attribution" -> (qEventAttribution(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
     "q_event_markov" -> (qEventMarkov(_, _)),
     "q_event_heavy_users" -> (qEventHeavyUsers(_, _)),
@@ -168,6 +214,29 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_attribution" ->
+      """WITH clicks AS (SELECT user_id, ts AS click_ts,
+        |    event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |buys AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touched AS (SELECT b.buy_id, b.cents, c.click_ts, c.click_id
+        |  FROM buys b JOIN clicks c ON b.user_id = c.user_id
+        |  WHERE c.click_ts <= b.buy_ts
+        |    AND c.click_ts > b.buy_ts - INTERVAL 24 HOURS),
+        |ranked AS (SELECT *,
+        |    COUNT(*) OVER (PARTITION BY buy_id) AS n_touch,
+        |    row_number() OVER (PARTITION BY buy_id
+        |      ORDER BY click_ts DESC, click_id DESC) AS rk
+        |  FROM touched)
+        |SELECT CAST(click_ts AS DATE) AS day,
+        |  COUNT(*) AS n_touches,
+        |  COUNT(DISTINCT buy_id) AS n_purchases,
+        |  CAST(SUM(cents // n_touch
+        |    + CASE WHEN rk = 1 THEN cents % n_touch ELSE 0 END)
+        |    AS BIGINT) AS credit_cents
+        |FROM ranked GROUP BY day ORDER BY day""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
