@@ -335,7 +335,59 @@ object StatsQueries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Poisson-bootstrap thresholds: the cumulative Poisson(1) CDF as
+    * string-identical double literals in both engines (IEEE parse is
+    * exact-nearest, so the CASE boundaries agree bit-for-bit). */
+  private val poissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.73575888234288467", "0.91969860292860583",
+    "0.98101184312384622", "0.99634015317265632", "0.99940581518241834",
+    "0.99991675885071201")
+
+  /** POISSON BOOTSTRAP confidence intervals (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams") for the mean
+    * event value per type: classic bootstrap resampling needs n draws
+    * WITH replacement — a shuffle per replicate at scale — but
+    * Poisson(1) weights per (row, replicate) approximate the same
+    * multinomial and are assigned MAP-SIDE from a deterministic
+    * md5-derived uniform, so B = 32 replicates cost one widened
+    * aggregate, zero extra shuffles of raw data.
+    *
+    * Determinism: u = hash/2³² is an exact dyadic rational, the CDF
+    * thresholds are string-identical literals, each replicate mean is
+    * one exact-integer-sums division, and the CI bounds are
+    * rank-selected VALUES over the 32 sorted means.
+    */
+  def qStatBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = 32
+    val weightCase = poissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+    val reps = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", e2($"value").as("cents"))
+      .select($"event_type", $"event_id", $"cents",
+        explode(expr(s"sequence(0, ${b - 1})")).as("rep"))
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(concat(CAST(event_id AS STRING),
+          |  ':', CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          |  / 4294967296.0""".stripMargin.replace("\n", " ")))
+    val means = reps
+      .withColumn("w", expr(weightCase))
+      .groupBy($"event_type", $"rep")
+      .agg(sum($"w" * $"cents").as("wc"), sum($"w").as("ws"))
+      .withColumn("m", $"wc".cast("double") / $"ws")
+    means.groupBy($"event_type")
+      .agg(expr("array_sort(collect_list(m))").as("ms"),
+        count(lit(1)).as("n_reps"))
+      .select($"event_type", $"n_reps",
+        round(expr("element_at(ms, 2)"), 6).as("boot_lo_r6"),
+        round(expr(s"element_at(ms, ${b - 1})"), 6).as("boot_hi_r6"))
+      .orderBy($"event_type")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_bootstrap" -> (qStatBootstrap(_, _)),
     "q_stat_ks" -> (qStatKs(_, _)),
     "q_stat_chi2" -> (qStatChi2(_, _)),
     "q_agg_equidepth" -> (qAggEquidepth(_, _)),
@@ -355,7 +407,42 @@ object StatsQueries {
     .map(i => s"(CASE WHEN o_totalprice > b$i THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
+  private val poissonCaseSql: String = poissonCdf.zipWithIndex
+    .map { case (c, k) => s"WHEN u < $c THEN $k" }
+    .mkString("CASE ", " ", " ELSE 7 END")
+
   val oracles: Map[String, String] = Map(
+    "q_stat_bootstrap" ->
+      s"""WITH r AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    unnest(generate_series(0, 31)) AS rep
+        |  FROM events WHERE value IS NOT NULL),
+        |uu AS (
+        |  SELECT event_type, cents, rep,
+        |    CAST(list_sum(list_transform(generate_series(1, 8), d ->
+        |      CAST(strpos('0123456789abcdef', substring(
+        |        md5(CAST(event_id AS VARCHAR) || ':'
+        |          || CAST(rep AS VARCHAR)), d, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM r),
+        |w AS (SELECT event_type, rep, cents,
+        |    $poissonCaseSql AS w
+        |  FROM uu),
+        |m AS (SELECT event_type, rep,
+        |    CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+        |      AS m
+        |  FROM w GROUP BY 1, 2),
+        |s AS (SELECT event_type, m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY m)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS k
+        |  FROM m)
+        |SELECT event_type, CAST(MAX(k) AS BIGINT) AS n_reps,
+        |  round(MAX(CASE WHEN rn = 2 THEN m END), 6) AS boot_lo_r6,
+        |  round(MAX(CASE WHEN rn = 31 THEN m END), 6) AS boot_hi_r6
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stat_ks" ->
       """WITH ev AS (SELECT event_type AS t,
         |    CAST(round(value * 100, 0) AS BIGINT) AS v
