@@ -295,7 +295,47 @@ object CurationQueries {
       .orderBy(col("cust"), col("rank"))
   }
 
+  /** Training-shard assignment by GLOBAL token cumsum — the last step
+    * of a curation pipeline: documents in deterministic doc_id order
+    * are cut into shards of ~2000 tokens (a doc never splits; shard =
+    * tokens-before div size). The cumsum is computed as a DISTRIBUTED
+    * PREFIX SUM — per-bucket window cumsums plus a broadcast
+    * bucket-offset table — because a global unpartitioned window is a
+    * single task at 100 TB; the offsets table has |buckets| rows
+    * (thousands), the only driver-free way to number shards
+    * monotonically corpus-wide.
+    */
+  def qCurateShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val shardSize = 2000L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("toks"),
+        ($"doc_id" / 100).cast("long").as("bucket"))
+    val inBucket = docs.withColumn("cum_in",
+      sum($"toks").over(Window.partitionBy($"bucket")
+        .orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("cum_in", coalesce($"cum_in", lit(0L)))
+    val offsets = docs.groupBy($"bucket")
+      .agg(sum($"toks").as("btoks"))
+      .withColumn("offset",
+        coalesce(sum($"btoks").over(
+          org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"offset")
+    inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("shard",
+        expr(s"(cum_in + offset) div $shardSize"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_shard" -> (qCurateShard(_, _)),
     "q_curate_neg_sample" -> (qNegSample(_, _)),
     "q_curate_curriculum_global" -> (qCurriculumGlobal(_, _)),
     "q_curate_dsir_bigram" -> (qDsirBigram(_, _)),
@@ -445,6 +485,21 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // the two-level prefix sum must equal the plain global cumsum
+    "q_curate_shard" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    coalesce(SUM(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM d)
+        |SELECT CAST(cum // 2000 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
     "q_curate_neg_sample" ->
       """WITH mx AS (SELECT max(p_partkey) AS maxpk FROM part),
         |custs AS (SELECT DISTINCT o_custkey AS cust FROM orders),

@@ -53,7 +53,45 @@ object MiningQueries {
         col("type_len").cast("long").as("type_len"))
       .orderBy(col("p_partkey"))
 
+  /** Item-item collaborative filtering (Sarwar et al. WWW'01 /
+    * Linden et al. 2003 item-to-item): co-purchase counts between
+    * parts, scored by binary cosine c_ij / √(n_i·n_j) — the
+    * "customers who bought X also bought Y" primitive. Co-occurrence
+    * pairs are enumerated PER USER from the distinct user-item table;
+    * the user-degree cap (≤ 50 items — drop power buyers, the
+    * standard CF practice) bounds the Σk² wedge blowup BEFORE the
+    * self-join, exactly like the winnow df-cap. √ is IEEE
+    * correctly-rounded (unlike transcendentals), so the cosine is
+    * deterministic cross-engine; support ≥ 4 bounds the report.
+    *
+    * 100 TB shape: one distinct shuffle on (user, item), one wedge
+    * shuffle on user (cap-bounded), one pair aggregate on (i, j) —
+    * never an item×item product.
+    */
+  def qRecItemCf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ui0 = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("u"), $"l_partkey".as("i")).distinct()
+    val deg = ui0.groupBy($"u").agg(count(lit(1)).as("k"))
+    val ui = ui0.join(deg.filter($"k" <= 50).select($"u"), Seq("u"),
+      "left_semi")
+    val norms = ui.groupBy($"i").agg(count(lit(1)).as("n"))
+    val co = ui.as("a").join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 4)
+    co.join(norms.select($"i", $"n".as("n_i")), "i")
+      .join(norms.select($"i".as("j"), $"n".as("n_j")), "j")
+      .select($"i", $"j", $"c", $"n_i", $"n_j",
+        round($"c" / sqrt(($"n_i" * $"n_j").cast("double")), 6)
+          .as("cosine_r6"))
+      .orderBy($"i", $"j")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_rec_item_cf" -> (qRecItemCf(_, _)),
     "q_skyline_4d" -> (qSkyline4d(_, _)),
     "q_skyline" -> (qSkyline(_, _)),
     "q_skyline_3d" -> (qSkyline3d(_, _)),
@@ -61,6 +99,23 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rec_item_cf" ->
+      """WITH ui0 AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS i
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |k AS (SELECT u, COUNT(*) AS k FROM ui0 GROUP BY u),
+        |ui AS (SELECT ui0.u, ui0.i FROM ui0
+        |       JOIN k ON k.u = ui0.u WHERE k.k <= 50),
+        |norms AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY i),
+        |co AS (SELECT a.i AS i, b.i AS j, COUNT(*) AS c
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+        |SELECT co.i, co.j, co.c, na.n AS n_i, nb.n AS n_j,
+        |  round(co.c / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6)
+        |    AS cosine_r6
+        |FROM co JOIN norms na ON na.i = co.i
+        |  JOIN norms nb ON nb.i = co.j
+        |ORDER BY co.i, co.j""".stripMargin,
     // the naive quadratic dominance formulation — deliberately different
     // from the engine's sort-based plan, so agreement is evidence
     "q_skyline" ->
