@@ -295,7 +295,46 @@ object JoinQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** CO-LOCATED BUCKETED JOIN — the zero-shuffle fact join: both
+    * tables are written `bucketBy(8, custkey)` + sorted, so the
+    * sort-merge join reads bucket i against bucket i with NO exchange
+    * on either side (PlanSpec asserts it). This is the prepared-layout
+    * pattern for a fact table joined on the same key every day at
+    * 100 TB: pay the bucketed write once, skip the join shuffle
+    * forever after; the merge hint pins SMJ so the demonstration
+    * doesn't silently degrade to broadcast at fixture scale. The
+    * bucketed tables are (re)created in a scratch path at plan
+    * construction — the registry analog of the stream queries' fixture
+    * writes.
+    */
+  def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bucketed")
+      .toString
+    spark.sql("DROP TABLE IF EXISTS g_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS g_bkt_cust")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", e2($"o_totalprice")
+        .as("cents"))
+      .write.mode("overwrite").option("path", s"$tmp/o")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g_bkt_orders")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+      .write.mode("overwrite").option("path", s"$tmp/c")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g_bkt_cust")
+    val bo = spark.table("g_bkt_orders")
+    val bc = spark.table("g_bkt_cust").hint("merge")
+    bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"cents").as("revenue_cents"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_join_bucketed" -> (qJoinBucketed(_, _)),
     "q_join_spatial" -> (qJoinSpatial(_, _)),
     "q_join_null_safe" -> (qJoinNullSafe(_, _)),
     "q_join_region_revenue" -> (qJoinRegionRevenue(_, _)),
@@ -334,6 +373,16 @@ object JoinQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the bucketed layout is an execution strategy, not semantics —
+    // the twin is the plain join+aggregate
+    "q_join_bucketed" ->
+      """SELECT c.c_nationkey, c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey, c.c_mktsegment
+        |ORDER BY c.c_nationkey, c.c_mktsegment""".stripMargin,
     // all-pairs replay of the same md5-derived coordinates + exact
     // integer distances (the engine's grid is a candidate pruning, not
     // a semantics change — result sets must be identical)

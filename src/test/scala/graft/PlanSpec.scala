@@ -580,6 +580,19 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges")
   }
 
+  test("bucketed co-located join: SMJ reads bucket-to-bucket with NO " +
+    "exchange on either join side") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    assert(p.contains("Bucketed: true"),
+      "scans must actually use the bucketed layout")
+    // the only exchanges are AFTER the join (group-by + final sort):
+    // no hashpartitioning on the join keys below the SMJ
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "bucketed sides must not re-shuffle for the join")
+  }
+
   test("takedown: components memo + id-keyed joins only — no " +
     "cartesian, and document text never crosses a join") {
     val p = plan("q_curate_takedown")
