@@ -238,6 +238,33 @@ object LakeIO {
     }
   }
 
+  /** Retention vacuum for a versioned table: delete every published
+    * version older than the newest `keep` (time-travel horizon =
+    * storage cost — the Delta/Iceberg VACUUM trade). Guard rails:
+    * `keep ≥ 1` always (the current version is never collectable),
+    * `_staging` is untouched (an in-flight publish must survive a
+    * concurrent vacuum — the rename commit decides its fate), and
+    * deletion walks OLDEST-FIRST so a crash mid-vacuum leaves a
+    * contiguous recent suffix, never a hole between surviving
+    * versions.
+    *
+    * @return the version numbers actually deleted, ascending.
+    */
+  def vacuumVersions(spark: SparkSession, tableDir: String,
+                     keep: Int): Seq[Int] = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versionDirs(fs, root).sorted
+    val victims = vs.dropRight(keep)
+    victims.foreach { v =>
+      if (!fs.delete(new Path(root, s"v=$v"), true))
+        throw new java.io.IOException(
+          s"vacuumVersions: delete of v=$v under $tableDir failed")
+    }
+    victims
+  }
+
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
                           root: Path): Seq[Int] =
     if (!fs.exists(root)) Nil

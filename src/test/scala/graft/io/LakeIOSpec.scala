@@ -104,6 +104,32 @@ class LakeIOSpec extends SparkTestBase {
     }
   }
 
+  test("vacuumVersions: retention keeps the newest N, survivors still " +
+    "readable, staging untouched, keep>=1 enforced") {
+    val dir = Files.createTempDirectory("lakeio-vac").toFile
+    val t = s"$dir/t"
+    for (i <- 1 to 4)
+      LakeIO.writeVersioned(
+        (1L to i.toLong).map(x => (x, s"r$x")).toDF("id", "v"), t)
+    // an in-flight publish must survive the vacuum
+    Files.createDirectories(new java.io.File(t, "_staging").toPath)
+    assert(LakeIO.vacuumVersions(spark, t, keep = 2) == Seq(1, 2))
+    assert(LakeIO.versions(spark, t).map(_._1) == Seq(3, 4))
+    assert(LakeIO.readVersion(spark, t, Some(3)).count() == 3)
+    assert(LakeIO.readVersion(spark, t).count() == 4)
+    assert(new java.io.File(t, "_staging").exists())
+    intercept[java.util.NoSuchElementException] {
+      LakeIO.readVersion(spark, t, Some(1))
+    }
+    // idempotent when nothing is collectable; current never deletable
+    assert(LakeIO.vacuumVersions(spark, t, keep = 2).isEmpty)
+    assert(LakeIO.vacuumVersions(spark, t, keep = 1) == Seq(3))
+    assert(LakeIO.readVersion(spark, t).count() == 4)
+    intercept[IllegalArgumentException] {
+      LakeIO.vacuumVersions(spark, t, keep = 0)
+    }
+  }
+
   test("writeAuto partitionBy produces hive-style pruned layout") {
     val dir = Files.createTempDirectory("lakeio-p").toFile
     val df = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "de", "z"))
