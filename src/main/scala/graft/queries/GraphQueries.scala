@@ -129,6 +129,50 @@ object GraphQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** LINK PREDICTION scores (Liben-Nowell & Kleinberg 2003) on the
+    * sparse co-supply graph: for every NON-adjacent pair with ≥ 2
+    * common neighbors — common-neighbor count, neighborhood Jaccard,
+    * and Adamic–Adar Σ 1/ln(deg z) (rare shared neighbors weigh more;
+    * every common neighbor has deg ≥ 2 by construction, so ln never
+    * hits zero). ln is the one libm call — rounded to 6 dp, the
+    * engine-parity convention BM25/DSIR established.
+    *
+    * Shape: candidate pairs come from the wedge join (z's adjacency
+    * list squared — the triangle-count cost class, bounded by the
+    * df-style degree distribution), then one anti-join removes
+    * existing edges; never a vertex×vertex product.
+    */
+  def qGraphLinkPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val raw = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    val sym = raw.select($"a".as("v"), $"b".as("n"))
+      .unionAll(raw.select($"b".as("v"), $"a".as("n")))
+    val deg = sym.groupBy($"v").agg(count(lit(1)).as("d"))
+    val wedges = sym.select($"v".as("z"), $"n".as("pa")).as("l")
+      .join(sym.select($"v".as("z"), $"n".as("pb")).as("r"), "z")
+      .filter($"pa" < $"pb")
+    val scored = wedges
+      .join(deg.select($"v".as("z"), $"d".as("dz")), "z")
+      .groupBy($"pa", $"pb")
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log($"dz".cast("double"))).as("aa"))
+      .filter($"cn" >= 2)
+    scored
+      .join(raw, $"pa" === $"a" && $"pb" === $"b", "left_anti")
+      .join(deg.select($"v".as("pa"), $"d".as("da")), "pa")
+      .join(deg.select($"v".as("pb"), $"d".as("db")), "pb")
+      .select($"pa".as("a"), $"pb".as("b"), $"cn",
+        round($"cn".cast("double") / ($"da" + $"db" - $"cn"), 6)
+          .as("jaccard_r6"),
+        round($"aa", 6).as("aa_r6"))
+      .orderBy($"a", $"b")
+  }
+
   /** 3-hop harmonic centrality on the sparse co-supply graph. */
   def qGraphHarmonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -189,6 +233,7 @@ object GraphQueries {
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
     "q_graph_ktruss" -> (qGraphKtruss(_, _)),
+    "q_graph_link_pred" -> (qGraphLinkPred(_, _)),
     "q_graph_pagerank_weighted" -> (qGraphPagerankWeighted(_, _)),
     "q_graph_pagerank" -> (qGraphPagerank(_, _)),
     "q_graph_degree" -> (qGraphDegree(_, _)),
@@ -309,6 +354,30 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_graph_ktruss" -> ktrussSql,
+    "q_graph_link_pred" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem WHERE l_quantity = 1.0),
+        |raw AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |        FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |sym AS (SELECT a AS v, b AS n FROM raw
+        |        UNION ALL SELECT b, a FROM raw),
+        |deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+        |w AS (SELECT l.v AS z, l.n AS pa, r.n AS pb
+        |      FROM sym l JOIN sym r ON l.v = r.v AND l.n < r.n),
+        |sc AS (SELECT w.pa, w.pb, COUNT(*) AS cn,
+        |    SUM(1.0 / ln(CAST(deg.d AS DOUBLE))) AS aa
+        |  FROM w JOIN deg ON deg.v = w.z
+        |  GROUP BY w.pa, w.pb HAVING COUNT(*) >= 2),
+        |nonedge AS (SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM raw
+        |    WHERE raw.a = sc.pa AND raw.b = sc.pb))
+        |SELECT n.pa AS a, n.pb AS b, n.cn,
+        |  round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 6)
+        |    AS jaccard_r6,
+        |  round(n.aa, 6) AS aa_r6
+        |FROM nonedge n JOIN deg da ON da.v = n.pa
+        |  JOIN deg db ON db.v = n.pb
+        |ORDER BY a, b""".stripMargin,
     // ≤4-edge walk enumeration + min — replays 4 Bellman–Ford rounds
     // exactly (integer weights ⇒ order-independent min/+).
     "q_graph_sssp" ->
