@@ -484,6 +484,45 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Classical seasonal decomposition (the moving-average form STL
+    * refines, Cleveland et al. 1990 §2): per event type,
+    * trend = centered 7-day moving average (defined only on full
+    * windows — exact integer sum / 7.0), seasonal = day-of-week mean
+    * of the detrended series, remainder = the rest. Day-of-week is
+    * computed as days-since-a-known-Monday mod 7 — engines DISAGREE on
+    * dayofweek() numbering (Sunday 0 vs 1), integer date arithmetic
+    * doesn't. The means sum a handful of doubles per cell; round(…, 6)
+    * covers the summation-order ulps per the established convention.
+    *
+    * Scale shape: corpus → |types|×|days| cells; one partitioned
+    * window + one tiny (type, dow) aggregate broadcast back.
+    */
+  def qTimeSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(col("n")).over(w) === 7,
+          sum(col("n")).over(w) / 7.0))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")),
+          lit(7)))
+      .withColumn("det", col("n") - col("trend"))
+    val seasonal = trended.filter(col("det").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(avg(col("det")).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("trend"), 6).as("trend_r6"),
+        round(col("seasonal"), 6).as("seasonal_r6"),
+        round(col("det") - col("seasonal"), 6).as("remainder_r6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Streaming CDC compaction end-to-end under the driver harness: the
     * q_cdc_apply log (insert all orders at seq 1, update every 3rd key
     * at seq 2, delete every 5th at seq 3) delivered OUT OF ORDER across
@@ -687,6 +726,7 @@ object StreamQueries {
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
+    "q_time_seasonal" -> (qTimeSeasonal(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
@@ -791,6 +831,27 @@ object StreamQueries {
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
         |FROM r ORDER BY event_type, day""".stripMargin,
+    "q_time_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, n,
+        |    CASE WHEN COUNT(n) OVER w = 7
+        |      THEN SUM(n) OVER w / 7.0 END AS trend,
+        |    date_diff('day', DATE '1970-01-05', day) % 7 AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, n - trend AS det FROM t),
+        |s AS (SELECT event_type, dow, AVG(det) AS seasonal
+        |  FROM d WHERE det IS NOT NULL GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n,
+        |  round(d.trend, 6) AS trend_r6,
+        |  round(s.seasonal, 6) AS seasonal_r6,
+        |  round(d.det - s.seasonal, 6) AS remainder_r6
+        |FROM d LEFT JOIN s
+        |  ON s.event_type = d.event_type AND s.dow = d.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
     // Pairwise-slope replay via self-join + rank-select at the same
     // lower-median position; each slope is the identical one-division
     // double, so sorted-value rank-select matches the engine's
