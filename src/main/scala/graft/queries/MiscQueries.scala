@@ -270,7 +270,7 @@ object MiscQueries {
     * 3rd-but-not-6th key arrives identical (→ no-op), every 10th key
     * re-keyed as a fresh insert.
     */
-  def qMergeScd2(spark: SparkSession, dir: String): DataFrame = {
+  private def scd2Table(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val current = cust
@@ -290,7 +290,31 @@ object MiscQueries {
       .withColumn("eff", lit("2024-06-01").cast("timestamp"))
     graft.ops.Merge
       .scd2(current.unionByName(closedOld), updates, "c_custkey", "eff")
+  }
+
+  def qMergeScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Table(spark, dir)
       .orderBy(col("c_custkey"), col("valid_from"))
+
+  /** POINT-IN-TIME read over the SCD2 dimension: state AS OF an
+    * instant t = rows with valid_from ≤ t < valid_to (open intervals
+    * count). Probed at two instants whose answers are ANALYTIC — as of
+    * 2023-06-01 only the closed 'OLD' history rows were live, and as
+    * of 2024-03-15 the dimension must reconstruct the original
+    * customer table exactly (the June updates not yet effective) — so
+    * the oracle is the clean expectation, not a pipeline replay: any
+    * interval-bookkeeping bug in the MERGE surfaces as a diff.
+    */
+  def qMergeScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val t = scd2Table(spark, dir)
+    def asOf(ts: String) = t
+      .filter(col("valid_from") <= lit(ts).cast("timestamp") &&
+        (col("valid_to").isNull ||
+          col("valid_to") > lit(ts).cast("timestamp")))
+      .select(lit(ts).as("as_of"), col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    asOf("2023-06-01").unionByName(asOf("2024-03-15"))
+      .orderBy(col("as_of"), col("c_custkey"))
   }
 
   /** Snapshot diff (batch CDC): orders vs a next version with every
@@ -389,6 +413,7 @@ object MiscQueries {
     "q_cdc_apply" -> (qCdcApply(_, _)),
     "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
+    "q_merge_scd2_asof" -> (qMergeScd2Asof(_, _)),
     "q_cdc_diff" -> (qCdcDiff(_, _)),
     "q_stat_zscore" -> (qStatZscore(_, _)),
     "q_stat_ttest" -> (qStatTtest(_, _)),
@@ -412,6 +437,16 @@ object MiscQueries {
       s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the analytic expectation, not a pipeline replay — see scaladoc
+    "q_merge_scd2_asof" ->
+      """SELECT * FROM (
+        |  SELECT '2023-06-01' AS as_of, c_custkey,
+        |    'OLD' AS c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT '2024-03-15', c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer)
+        |ORDER BY as_of, c_custkey""".stripMargin,
     "q_merge_scd2" ->
       """WITH cur AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -236,7 +236,43 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** EMBEDDING DRIFT between two corpus slices (even- vs odd-id halves
+    * as the reference/fresh stand-ins): centroid cosine and centroid
+    * L2 distance — the monitoring gate an embedding pipeline runs
+    * after a model or preprocessing change (centroid shift is the
+    * cheap first-order detector; per-dim breakdowns and MMD are the
+    * escalations). One shuffle: per-(half, dim) sums; everything after
+    * runs on 2×64 rows. Double sums are order-dependent → round(…, 6)
+    * per the established convention.
+    */
+  def qSimEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+      .withColumn("half",
+        when($"vec_id" % 2 === 0, "even").otherwise("odd"))
+    val sums = x.groupBy($"half", $"dim")
+      .agg(sum($"v".cast("double")).as("s"),
+        countDistinct($"vec_id").as("n"))
+    val a = sums.filter($"half" === "even")
+      .select($"dim", ($"s" / $"n").as("ca"), $"n".as("n_even"))
+    val b = sums.filter($"half" === "odd")
+      .select($"dim", ($"s" / $"n").as("cb"), $"n".as("n_odd"))
+    a.join(b, "dim")
+      .agg(max($"n_even").as("n_even"), max($"n_odd").as("n_odd"),
+        count(lit(1)).as("dims"),
+        sum($"ca" * $"cb").as("dot"),
+        sum($"ca" * $"ca").as("aa"),
+        sum($"cb" * $"cb").as("bb"),
+        sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("d2"))
+      .select($"n_even", $"n_odd", $"dims",
+        round($"dot" / (sqrt($"aa") * sqrt($"bb")), 6)
+          .as("centroid_cos_r6"),
+        round(sqrt($"d2"), 6).as("centroid_l2_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_sim_embedding_drift" -> (qSimEmbeddingDrift(_, _)),
     "q_sim_maxsim" -> (qSimMaxsim(_, _)),
     "q_dedup_semantic" -> (qDedupSemantic(_, _)),
     "q_sim_quantize" -> (qSimQuantize(_, _)),
@@ -611,6 +647,26 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sim_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |sums AS (SELECT half, dim, SUM(CAST(v AS DOUBLE)) AS s,
+        |    COUNT(DISTINCT vec_id) AS n
+        |  FROM x GROUP BY 1, 2),
+        |a AS (SELECT dim, s / n AS ca, n AS n_even FROM sums
+        |      WHERE half = 'even'),
+        |b AS (SELECT dim, s / n AS cb, n AS n_odd FROM sums
+        |      WHERE half = 'odd')
+        |SELECT MAX(n_even) AS n_even, MAX(n_odd) AS n_odd,
+        |  COUNT(*) AS dims,
+        |  round(SUM(ca * cb) / (sqrt(SUM(ca * ca))
+        |    * sqrt(SUM(cb * cb))), 6) AS centroid_cos_r6,
+        |  round(sqrt(SUM((ca - cb) * (ca - cb))), 6) AS centroid_l2_r6
+        |FROM a JOIN b USING (dim)""".stripMargin,
     // sign-bit codes folded in dimension order; Hamming = popcount of
     // xor; ranking (hamming, neighbor) is pure integer arithmetic and
     // the exact-cosine column reuses the sequential-fold parity
