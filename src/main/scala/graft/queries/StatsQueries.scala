@@ -386,7 +386,121 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  /** POPULATION STABILITY INDEX — the industry-standard binned drift
+    * score (credit-risk monitoring lineage): reference = the first 15
+    * days of events, fresh = the rest; buckets are the reference's
+    * rank-selected value deciles (percentile_disc semantics — values
+    * the data contains, exact cross-engine), PSI = Σ (p−q)·ln(p/q)
+    * with add-one smoothing on counts so empty cells stay finite.
+    * Rule of thumb thresholds reported inline (<0.1 stable, >0.25
+    * action). ln is rounded to 6 dp per convention; everything else is
+    * exact integer counts and exact divisions.
+    *
+    * Scale shape: one pass for the reference decile boundaries
+    * (rank-select window per type — or the KLL sketch at 100 TB), one
+    * broadcast, one counting aggregate.
+    */
+  def qStatPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", e2($"value").as("v"),
+        (datediff(to_date($"ts"),
+          min(to_date($"ts")).over(Window.partitionBy($"event_type")))
+          < 15).as("is_ref"))
+    val ref = ev.filter($"is_ref")
+    val w = Window.partitionBy($"event_type").orderBy($"v")
+    val bounds = ref
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .filter((1 to 9).map(i =>
+        $"rk" === ceil($"n" * i / 10.0).cast("long")).reduce(_ || _))
+      .groupBy($"event_type")
+      .agg(expr("sort_array(collect_set(v))").as("bs"))
+    val bucketed = ev.join(broadcast(bounds), "event_type")
+      .withColumn("bucket", expr(
+        "size(filter(bs, b -> v > b))"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count_if($"is_ref").as("cr"), count_if(!$"is_ref").as("cf"))
+    val totals = bucketed.groupBy($"event_type")
+      .agg(sum($"cr").as("tr"), sum($"cf").as("tf"),
+        count(lit(1)).as("nb"))
+    bucketed.join(broadcast(totals), "event_type")
+      .withColumn("p", ($"cr" + 1L).cast("double") / ($"tr" + $"nb"))
+      .withColumn("q", ($"cf" + 1L).cast("double") / ($"tf" + $"nb"))
+      .groupBy($"event_type")
+      .agg(max($"tr").as("n_ref"), max($"tf").as("n_fresh"),
+        round(sum(($"p" - $"q") * log($"p" / $"q")), 6).as("psi_r6"))
+      .withColumn("verdict",
+        when($"psi_r6" < 0.1, "stable")
+          .when($"psi_r6" < 0.25, "watch").otherwise("action"))
+      .orderBy($"event_type")
+  }
+
+  /** Benford first-digit conformance of order totals — the classic
+    * fabricated-data screen: observed first-significant-digit counts
+    * vs Benford's log10(1 + 1/d) expectation, with the χ² statistic
+    * per digit and in total. Digit extraction is pure string/integer
+    * arithmetic on exact cents; the nine expected probabilities are
+    * pinned literals (identical in both engines), so the only float
+    * work is the final χ² arithmetic on exact counts.
+    */
+  def qStatBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probs = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    // the D suffix keeps the literals DOUBLE — a bare decimal literal
+    // parses as DECIMAL in Spark SQL and drags the whole chi-square
+    // into decimal arithmetic
+    val probsSql = probs.map(p => s"${p}D").mkString("array(", ",", ")")
+    val digits = Tables.orders(spark, dir)
+      .select(substring(e2($"o_totalprice").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter($"digit" >= 1)
+      .groupBy($"digit").agg(count(lit(1)).as("obs"))
+    val total = digits.agg(sum($"obs").as("n"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("expected",
+        expr(s"element_at($probsSql, digit)") * $"n")
+      .select($"digit", $"obs", round($"expected", 6).as("expected_r6"),
+        round(($"obs" - $"expected") * ($"obs" - $"expected")
+          / $"expected", 6).as("chi2_contrib_r6"))
+      .orderBy($"digit")
+  }
+
+  /** GINI COEFFICIENT of revenue concentration per market segment —
+    * the inequality index (Lorenz-curve area) by the exact rank
+    * formula G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over amounts sorted
+    * ascending (ties broken by order key for a deterministic i).
+    * Numerator and denominator are exact BIGINT sums of cents; the one
+    * division happens last — bit-identical cross-engine.
+    */
+  def qStatGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", e2($"o_totalprice").as("cents"),
+        $"o_orderkey")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"cents", $"o_orderkey")
+    o.withColumn("i", row_number().over(w))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+        sum($"i" * $"cents").as("six"))
+      .select($"c_mktsegment", $"n",
+        (($"sx" / 100.0)).as("revenue_usd"),
+        ((lit(2.0) * $"six" - ($"n" + 1).cast("double") * $"sx") /
+          ($"n".cast("double") * $"sx")).as("gini"))
+      .orderBy($"c_mktsegment")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_psi" -> (qStatPsi(_, _)),
+    "q_stat_benford" -> (qStatBenford(_, _)),
+    "q_stat_gini" -> (qStatGini(_, _)),
     "q_stat_bootstrap" -> (qStatBootstrap(_, _)),
     "q_stat_ks" -> (qStatKs(_, _)),
     "q_stat_chi2" -> (qStatChi2(_, _)),
@@ -411,7 +525,92 @@ object StatsQueries {
     .map { case (c, k) => s"WHEN u < $c THEN $k" }
     .mkString("CASE ", " ", " ELSE 7 END")
 
+  private val benfordProbsSql: String = (1 to 9)
+    .map(d => s"${math.log10(1.0 + 1.0 / d)}")
+    .mkString("[", ",", "]")
+
   val oracles: Map[String, String] = Map(
+    "q_stat_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    date_diff('day',
+        |      MIN(CAST(ts AS DATE)) OVER (PARTITION BY event_type),
+        |      CAST(ts AS DATE)) < 15 AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |rr AS (SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev WHERE is_ref),
+        |bounds AS (SELECT event_type,
+        |    list_sort(list_distinct(list(v))) AS bs
+        |  FROM rr
+        |  WHERE rk = CAST(ceil(n * 1 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 2 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 3 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 4 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 5 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 6 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 7 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 8 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 9 / 10.0) AS BIGINT)
+        |  GROUP BY event_type),
+        |bk AS (SELECT ev.event_type,
+        |    len(list_filter(b.bs, x -> ev.v > x)) AS bucket,
+        |    COUNT(*) FILTER (WHERE is_ref) AS cr,
+        |    COUNT(*) FILTER (WHERE NOT is_ref) AS cf
+        |  FROM ev JOIN bounds b USING (event_type)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT event_type, SUM(cr) AS tr, SUM(cf) AS tf,
+        |    COUNT(*) AS nb
+        |  FROM bk GROUP BY 1),
+        |pq AS (SELECT bk.event_type,
+        |    CAST(bk.cr + 1 AS DOUBLE) / (tt.tr + tt.nb) AS p,
+        |    CAST(bk.cf + 1 AS DOUBLE) / (tt.tf + tt.nb) AS q,
+        |    tt.tr, tt.tf
+        |  FROM bk JOIN tt USING (event_type))
+        |SELECT event_type, CAST(MAX(tr) AS BIGINT) AS n_ref,
+        |  CAST(MAX(tf) AS BIGINT) AS n_fresh,
+        |  round(SUM((p - q) * ln(p / q)), 6) AS psi_r6,
+        |  CASE WHEN round(SUM((p - q) * ln(p / q)), 6) < 0.1
+        |    THEN 'stable'
+        |    WHEN round(SUM((p - q) * ln(p / q)), 6) < 0.25
+        |    THEN 'watch' ELSE 'action' END AS verdict
+        |FROM pq GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_stat_benford" ->
+      s"""WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |obs AS (SELECT digit, COUNT(*) AS obs FROM d
+        |        WHERE digit >= 1 GROUP BY digit),
+        |t AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM obs)
+        |SELECT digit, obs,
+        |  round($benfordProbsSql[digit] * n, 6) AS expected_r6,
+        |  round((CAST(obs AS DOUBLE) - $benfordProbsSql[digit] * n)
+        |    * (CAST(obs AS DOUBLE) - $benfordProbsSql[digit] * n)
+        |    / ($benfordProbsSql[digit] * n), 6) AS chi2_contrib_r6
+        |FROM obs CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
+    "q_stat_gini" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, o_orderkey) AS i
+        |  FROM o)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue_usd,
+        |  (2.0 * CAST(SUM(i * cents) AS BIGINT)
+        |    - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(cents) AS BIGINT))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS BIGINT))
+        |    AS gini
+        |FROM r GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_stat_bootstrap" ->
       s"""WITH r AS (
         |  SELECT event_type, event_id,

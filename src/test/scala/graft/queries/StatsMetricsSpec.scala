@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** PSI / Benford / Gini against closed-form planted cases. */
+class StatsMetricsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("PSI: identical halves are exactly 0/stable; a full shift " +
+    "matches the closed form and reads action") {
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    var id = 0L
+    def burst(et: String, day: Int, v: Double, n: Int) =
+      (0 until n).map { i =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$day%02d ${i % 24}%02d:00:00"),
+          id % 5, et, v, "{}")
+      }
+    // 'a': ref days all 1.00, fresh days all 9.00 (total shift);
+    // 'b': identical 2.00 streams with EQUAL counts per half
+    val rows =
+      (1 to 15).flatMap(d => burst("a", d, 1.00, 4)) ++
+        (16 to 30).flatMap(d => burst("a", d, 9.00, 4)) ++
+        (1 to 15).flatMap(d => burst("b", d, 2.00, 4)) ++
+        (16 to 30).flatMap(d => burst("b", d, 2.00, 4))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val got = StatsQueries.qStatPsi(spark, dir)
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // 'a': two buckets, cr=(60,0), cf=(0,60), smoothing +1 over 62:
+    // psi = (61/62 − 1/62)·ln(61) · 2
+    val psiA = r6(2.0 * (60.0 / 62.0) * math.log(61.0))
+    assert(got("a")._4 == psiA && got("a")._5 == "action")
+    assert(got("b")._4 == 0.0 && got("b")._5 == "stable")
+  }
+
+  test("Benford: planted digit counts and chi-square contributions") {
+    val dir = java.nio.file.Files.createTempDirectory("benf").toString
+    // cents first digits: 1.23→123 (1), 0.45→45 (4), 9.99→999 (9),
+    // 1.00→100 (1)
+    val vals = Seq(1.23, 0.45, 9.99, 1.00)
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, "O", v,
+        Timestamp.valueOf("2024-01-01 00:00:00"), "1-P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.qStatBenford(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1, 2L), (4, 1L), (9, 1L)))
+    val e1 = math.log10(2.0) * 4
+    assert(got.head._3 == r6(e1))
+    assert(got.head._4 == r6((2 - e1) * (2 - e1) / e1))
+  }
+
+  test("Gini: equal amounts give exactly 0; single owner gives " +
+    "(n-1)/n") {
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    val cust = (1L to 8L).map(c =>
+      (c, s"c$c", 1, 0.0, if (c <= 4) "EQ" else "ONE"))
+    cust.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    // EQ: four orders of 25.00 each; ONE: three zeros + one 100.00
+    val orders = Seq(
+      (1L, 1L, 25.0), (2L, 2L, 25.0), (3L, 3L, 25.0), (4L, 4L, 25.0),
+      (5L, 5L, 0.0), (6L, 6L, 0.0), (7L, 7L, 0.0), (8L, 8L, 100.0))
+    orders.map { case (ok, c, v) =>
+      (ok, c, "O", v, Timestamp.valueOf("2024-01-01 00:00:00"), "1-P")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = StatsQueries.qStatGini(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("EQ")._4 == 0.0 && got("EQ")._3 == 100.0)
+    assert(got("ONE")._4 == 3.0 / 4.0 && got("ONE")._3 == 100.0)
+  }
+}
