@@ -167,7 +167,13 @@ object Scratch {
       "q_join_spatial" ->
         ("spatial radius join: 3x3 neighborhood explode + cell " +
           "equi-join + exact integer verify — never an all-pairs " +
-          "product"))
+          "product"),
+      "q_join_bucketed" ->
+        ("co-located bucketed join: SMJ bucket-to-bucket, NO exchange " +
+          "on either side — the prepared-layout fact join"),
+      "q_rec_item_cf" ->
+        ("item-item CF: degree-capped per-user wedge join; " +
+          "(user,item) and (i,j) shuffles only, never item x item"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
