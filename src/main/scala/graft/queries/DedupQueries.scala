@@ -240,6 +240,38 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** TRAIN/VAL/TEST LEAKAGE AUDIT: near-duplicate pairs that STRADDLE
+    * the split boundary — the eval-hygiene check a benchmark split
+    * must pass, because a test document whose near-copy sits in train
+    * inflates every metric (the reason Lee et al. 2022 dedup before
+    * splitting). Reuses the run-wide minhash signature memo and the
+    * SAME hash-deterministic split rule as q_curate_split, so the
+    * audit sees exactly the split the pipeline would ship. Same-split
+    * pairs ride along as the base rates.
+    */
+  def qCurateSplitLeakage(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      sigsHint = Some(memoSigs(spark, dir)))
+    val split = graft.ops.Sampling.assignSplit(docs, "doc_id",
+        valFrac = 0.1, testFrac = 0.1)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("sb")), "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        (col("sa") =!= col("sb")).as("cross_split"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("id_a") * lit(1000000L) + col("id_b"))
+          .as("example_pair"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** SimHash per document. The md5-derived portable hash family makes
     * this oracle-checkable: the DuckDB twin reproduces the exact same
     * 63-bit hash from md5 hex digits (Hamming-pair behavior additionally
@@ -422,6 +454,7 @@ object DedupQueries {
     "q_dedup_keep_best" -> (qDedupKeepBest(_, _)),
     "q_curate_takedown" -> (qCurateTakedown(_, _)),
     "q_dedup_containment" -> (qDedupContainment(_, _)),
+    "q_curate_split_leakage" -> (qCurateSplitLeakage(_, _)),
     "q_dedup_simhash" -> (qDedupSimhash(_, _)),
     "q_dedup_embedding" -> (qDedupEmbedding(_, _))
   )
@@ -486,6 +519,33 @@ object DedupQueries {
        |SELECT id_a, id_b, est_jaccard FROM cand
        |WHERE est_jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Twin of q_curate_split_leakage: the q_dedup_minhash pair rule +
+    * the q_curate_split assignment rule, grouped by boundary side. */
+  private[queries] def splitLeakageOracleSql: String = {
+    val h = 32
+    val u = graft.ops.Sampling.hashUniformSql("doc_id")
+    s"""WITH ${minhashSigCtes(h)},
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${estJaccardSql(h)} AS ej
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ${bandCondSql(8, 4)}),
+       |p AS (SELECT id_a, id_b FROM cand WHERE ej >= 0.5),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN $u < 0.1 THEN 'test'
+       |         WHEN $u < 0.2 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents),
+       |j AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+       |  FROM p JOIN sp sa ON sa.doc_id = p.id_a
+       |  JOIN sp sb ON sb.doc_id = p.id_b)
+       |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       |  sa <> sb AS cross_split, COUNT(*) AS n_pairs,
+       |  MIN(id_a * 1000000 + id_b) AS example_pair
+       |FROM j GROUP BY 1, 2, 3
+       |ORDER BY split_a, split_b""".stripMargin
   }
 
   /** Twin of q_stream_dedup_ingest: replay the two-micro-batch ingest
@@ -698,6 +758,7 @@ object DedupQueries {
         |    AND r.orig_rep <> d.doc_id) AS promoted
         |FROM d JOIN reps r USING (component)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_curate_split_leakage" -> splitLeakageOracleSql,
     "q_dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

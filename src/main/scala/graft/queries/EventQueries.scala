@@ -203,7 +203,60 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** RFM SEGMENTATION (recency / frequency / monetary) of purchasing
+    * users — the classic behavioral scoring every CRM warehouse runs:
+    * each metric becomes a rank-based quintile score
+    * (1 + 5·(rank−1) div n with a unique (metric, user) ordering key —
+    * ntile() ties are engine-arbitrary, rank arithmetic is not), and
+    * score triples map to named segments. Recency ranks DESCENDING so
+    * the most recent buyer scores 5; monetary is exact integer cents.
+    *
+    * Shape: one purchase aggregate per user, three windows over the
+    * per-user table (150 rows here; at 100 TB the per-user table is
+    * the small output of the big aggregate — windows partition by
+    * nothing but run on users, not events; for billions of users,
+    * swap rank windows for KLL quantile boundaries).
+    */
+  def qEventRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        Exact.e2(col("value")).as("cents"))
+    val perUser = buys.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .withColumn("max_day",
+        max(col("last_day")).over(Window.partitionBy()))
+      .withColumn("recency_days",
+        datediff(col("max_day"), col("last_day")).cast("long"))
+    val n = Window.partitionBy()
+    perUser
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("rf", row_number().over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("rm", row_number().over(
+        Window.orderBy(col("monetary_cents"), col("user_id"))))
+      .withColumn("nu", count(lit(1)).over(n))
+      .withColumn("r_score", expr("1 + (5 * (rr - 1)) div nu"))
+      .withColumn("f_score", expr("1 + (5 * (rf - 1)) div nu"))
+      .withColumn("m_score", expr("1 + (5 * (rm - 1)) div nu"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+          .otherwise("regular"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_attribution" -> (qEventAttribution(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
     "q_event_markov" -> (qEventMarkov(_, _)),
@@ -214,6 +267,39 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_rfm" ->
+      """WITH buys AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT user_id, MAX(day) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM buys GROUP BY user_id),
+        |r AS (SELECT *,
+        |    date_diff('day', last_day, MAX(last_day) OVER ())
+        |      AS recency_days
+        |  FROM pu),
+        |rk AS (SELECT *,
+        |    row_number() OVER (ORDER BY recency_days DESC, user_id)
+        |      AS rr,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS rf,
+        |    row_number() OVER (ORDER BY monetary_cents, user_id)
+        |      AS rm,
+        |    COUNT(*) OVER () AS nu
+        |  FROM r),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |    CAST(1 + (5 * (rr - 1)) // nu AS BIGINT) AS r_score,
+        |    CAST(1 + (5 * (rf - 1)) // nu AS BIGINT) AS f_score,
+        |    CAST(1 + (5 * (rm - 1)) // nu AS BIGINT) AS m_score
+        |  FROM rk)
+        |SELECT *,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |    WHEN r_score >= 4 THEN 'recent'
+        |    WHEN f_score >= 4 THEN 'loyal'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+        |    ELSE 'regular' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
     "q_event_attribution" ->
       """WITH clicks AS (SELECT user_id, ts AS click_ts,
         |    event_id AS click_id
