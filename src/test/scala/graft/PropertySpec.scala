@@ -247,6 +247,113 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: kTruss matches the scalar fixpoint on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(25, for {
+        a <- Gen.chooseNum(1L, 9L); b <- Gen.chooseNum(1L, 9L)
+      } yield (a, b))
+    // scalar twin of the SAME bounded-round contract: `peels` filter
+    // rounds, then support within the surviving subgraph
+    def scalarTruss(edges: Seq[(Long, Long)], k: Int, peels: Int)
+        : Map[(Long, Long), Int] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct.toSet
+      def support(s: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+        def adj(v: Long) = s.collect {
+          case (a, b) if a == v => b; case (a, b) if b == v => a
+        }
+        s.map(p => p -> (adj(p._1) & adj(p._2)).size).toMap
+      }
+      for (_ <- 1 to peels) {
+        val sup = support(e)
+        e = e.filter(p => sup(p) >= k - 2)
+      }
+      support(e)
+    }
+    forAll(edgeGen, 3) { edges =>
+      val want = scalarTruss(edges, 4, 4)
+      val got = graft.ops.Graph
+        .kTruss(edges.toDF("src", "dst"), k = 4, peels = 4)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3.toInt).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("property: CDC chunking matches the scalar cut rule and " +
+    "partitions the text exactly on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val interior = (8 to text.length).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(text.substring(i - 8, i)).substring(0, 15),
+          16) % 32 == 0
+      }
+      val cuts = (Seq(0) ++ interior ++ Seq(text.length))
+        .distinct.sorted
+      cuts.sliding(2).collect { case Seq(a, b) =>
+        text.substring(a, b) }.toSeq
+    }
+    val docGen: Gen[List[String]] = Gen.listOfN(4,
+      Gen.listOfN(120, Gen.alphaLowerChar).map(_.mkString))
+    forAll(docGen, 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "web", t.length.toLong)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("pcdc").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = graft.queries.TextQueries.qTextCdcDedup(spark, dir)
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, n, k, d) => id -> ((n, k, d)) }.toMap
+      // scalar keep-first replay — and the partition property: chunks
+      // reassemble the text exactly
+      val seen = scala.collection.mutable.Set.empty[String]
+      for ((t, i) <- texts.zipWithIndex) {
+        val cs = chunksOf(t)
+        assert(cs.mkString == t, "chunks must partition the text")
+        var kept = 0L; var dup = 0L
+        cs.foreach(c =>
+          if (seen.add(md5hex(c))) kept += 1 else dup += c.length)
+        assert(got(i.toLong) == ((cs.size.toLong, kept, dup)),
+          s"doc $i")
+      }
+    }
+  }
+
+  test("property: KS equals the scalar two-sample statistic on " +
+    "random samples") {
+    val valGen: Gen[List[(String, Int)]] = Gen.listOfN(50, for {
+      t <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(1, 20)
+    } yield (t, v))
+    forAll(valGen, 3) { vs =>
+      whenever(vs.exists(_._1 == "a") && vs.exists(_._1 == "b")) {
+        val dir = java.nio.file.Files.createTempDirectory("pks").toString
+        vs.zipWithIndex.map { case ((t, v), i) =>
+          (i.toLong, new java.sql.Timestamp(0L), i.toLong % 7, t,
+            v.toDouble, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props").write.parquet(s"$dir/events.parquet")
+        val r = graft.queries.StatsQueries.qStatKs(spark, dir)
+          .as[(String, String, Long, Long, Long, Long, Double)].head()
+        val as = vs.filter(_._1 == "a").map(_._2 * 100L)
+        val bs = vs.filter(_._1 == "b").map(_._2 * 100L)
+        val pts = (as ++ bs).distinct.sorted
+        val dnums = pts.map(v =>
+          math.abs(as.count(_ <= v).toLong * bs.size -
+            bs.count(_ <= v).toLong * as.size))
+        val dmax = dnums.max
+        val at = pts(dnums.indexOf(dmax))
+        assert(r._5 == dmax && r._6 == at,
+          s"vs=$vs got=$r want=($dmax,$at)")
+        assert(r._5 >= 0 && r._5 <= as.size.toLong * bs.size)
+      }
+    }
+  }
+
   test("dHash banding pigeonhole: ANY pair within the Hamming budget " +
     "shares at least one slice") {
     val hashes: Gen[Long] = Gen.long
