@@ -120,6 +120,30 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out == Map("c" -> true, "u" -> true))
   }
 
+  test("fourth-session queries on EMPTY fixtures return empty, " +
+    "not errors") {
+    val dir = java.nio.file.Files.createTempDirectory("edge8").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    import graft.queries._
+    assert(StatsQueries.qStatKs(spark, dir).count() == 0)
+    assert(StatsQueries.qStatBootstrap(spark, dir).count() == 0)
+    assert(StatsQueries.qStatPsi(spark, dir).count() == 0)
+    assert(StreamQueries.qTimeCusum(spark, dir).count() == 0)
+    assert(StreamQueries.qTimeTheilsen(spark, dir).count() == 0)
+    assert(StreamQueries.qTimeSeasonal(spark, dir).count() == 0)
+    assert(EventQueries.qEventRfm(spark, dir).count() == 0)
+    assert(EventQueries.qEventAttribution(spark, dir).count() == 0)
+    assert(AggQueries.qAggBitmapRollup(spark, dir).count() == 0)
+    assert(TextQueries.qTextCdcDedup(spark, dir).count() == 0)
+    assert(TextQueries.qTextWordpiece(spark, dir).count() == 0)
+    assert(CurationQueries.qCurateShard(spark, dir).count() == 0)
+  }
+
   test("Graft facade: pipelines listed, plan resolves, unknown rejects") {
     assert(Graft.pipelines.contains("q1_pricing_summary"))
     assert(Graft.plan(spark, "q1_pricing_summary",
