@@ -150,6 +150,10 @@ object GraftFunctions {
       "lcs_pack",
       exprs => LcsPackExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_gram_hash",
+      exprs => RollingGramHashExpr(exprs(0), exprs(1)),
+      "built-in")
   }
 }
 
@@ -176,6 +180,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[LcsPackExpr].getName, "lcs_pack"),
         (exprs: Seq[Expression]) => LcsPackExpr(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_gram_hash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RollingGramHashExpr].getName, "rolling_gram_hash"),
+        (exprs: Seq[Expression]) => RollingGramHashExpr(exprs(0), exprs(1))))
     // optimizer rule: textbook HOF cosine rewrites to the fused native
     // expression (see NativeCosineRule — 61× on all-pairs scoring)
     ext.injectOptimizerRule(_ => NativeCosineRule)

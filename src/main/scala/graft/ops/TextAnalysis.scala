@@ -359,26 +359,29 @@ object TextAnalysis {
     * w-slice. Position packs into the low 23 bits (40+23 = 63 bits) so
     * the hash field stays intact at any document length.
     *
-    * The k-gram is built from a once-split char ARRAY, not
-    * `substring(text, i, k)`: UTF8String substring seeks to code point
-    * i in O(i), which makes the per-doc transform O(len²) — invisible
-    * on 2k-char fixture docs, pathological on megabyte documents. The
-    * array slice indexes in O(k), keeping the doc linear; the hashed
-    * k-char string (and so the selection and the DuckDB twin) is
-    * identical.
+    * The per-position hash is the native rolling k-gram family
+    * ([[graft.functions.RollingHash]]): one fused O(len) loop per doc,
+    * zero per-position allocation — replacing the earlier per-char
+    * `split(text,"")` array + per-position md5, whose ~20–30×
+    * short-lived-garbage amplification was the first thing to collapse
+    * under heap pressure (VERDICT r8 finding #3). The 62-bit rolling
+    * value reduces mod 2⁴⁰ to keep the established hash·2²³ + tie-rank
+    * packing (40+23 = 63 bits) intact; the DuckDB twins replay the
+    * identical integer recurrence.
     */
   def winnowFingerprints(docs: DataFrame,
-      k: Int = 8, w: Int = 4): DataFrame =
+      k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) >= k + w - 1) // ≥ one full window
-      .select(col("doc_id"), split(col("text"), "").as("cs"))
+      .select(col("doc_id"),
+        expr(s"rolling_gram_hash(text, $k)").as("hs"))
       .select(col("doc_id"), expr(
-        s"transform(sequence(1, size(cs) - ${k - 1})," +
-          s" i -> cast(conv(substring(md5(array_join(slice(cs, i, $k)," +
-          " '')), 1, 10), 16, 10) as bigint) * 8388608" +
-          " + greatest(0, 8388607 - (i - 1)))").as("keys"))
+        "transform(hs, (h, i) -> (h % 1099511627776) * 8388608" +
+          " + greatest(0, 8388607 - i))").as("keys"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(keys) - ${w - 1})," +
           s" p -> array_min(slice(keys, p, $w)) div 8388608)")))
         .as("fp"))
+  }
 }

@@ -167,23 +167,36 @@ object EventQueries {
     * deterministic rule both engines replay exactly (floating credit
     * = v/n would drift in the re-aggregation order).
     *
-    * Shape: one interval join (user equi-key + time filter — the
-    * q_stream_interval_join class) + one window over each purchase's
-    * touch list + one aggregate to the per-day credit report; at
-    * 100 TB the join carries (user, ts, cents) triples, and AQE skew
-    * handling covers hot users.
+    * Shape: the touch join is TIME-BUCKETED (the q_join_range_bucketed
+    * pattern): clicks key on their 24 h bucket, each purchase probes
+    * its own bucket and the one before (any click in (buy−24h, buy]
+    * lives in one of the two), so the join is a pure equi-join on
+    * (user, bucket) and the exact 24 h predicate only prunes within
+    * same-bucket matches. Without the bucket key a user with C clicks
+    * and P purchases materializes C·P rows before the filter —
+    * per-key quadratic for power users at 100 TB (VERDICT r8 finding
+    * #4); with it, each purchase meets only clicks from a ≤ 48 h
+    * window. Then one window over each purchase's touch list + one
+    * aggregate to the per-day credit report; AQE skew handling covers
+    * the remaining hot (user, bucket) cells.
     */
   def qEventAttribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucketSec = 86400L // = the 24 h attribution horizon
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
+        col("event_id").as("click_id"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("bkt"))
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("buy_ts"),
         col("event_id").as("buy_id"),
-        Exact.e2(col("value")).as("cents"))
-    val touched = buys.join(clicks, Seq("user_id"))
+        Exact.e2(col("value")).as("cents"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("bkt0"))
+      // a click has exactly ONE bucket, so the two probe rows can never
+      // both match the same click — no post-join dedup needed
+      .withColumn("bkt", explode(array(col("bkt0"), col("bkt0") - 1)))
+    val touched = buys.join(clicks, Seq("user_id", "bkt"))
       .filter(col("click_ts") <= col("buy_ts") &&
         col("click_ts") > col("buy_ts") - expr("INTERVAL 24 HOURS"))
     val w = Window.partitionBy(col("buy_id"))

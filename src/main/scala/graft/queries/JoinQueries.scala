@@ -302,28 +302,20 @@ object JoinQueries {
     * pattern for a fact table joined on the same key every day at
     * 100 TB: pay the bucketed write once, skip the join shuffle
     * forever after; the merge hint pins SMJ so the demonstration
-    * doesn't silently degrade to broadcast at fixture scale. The
-    * bucketed tables are (re)created in a scratch path at plan
-    * construction — the registry analog of the stream queries' fixture
-    * writes.
+    * doesn't silently degrade to broadcast at fixture scale.
+    *
+    * The bucketed layout is a FIXTURE, not per-query work: it
+    * materializes once per (session, source dir) via
+    * [[BucketedFixture.ensure]] — the prepared-layout analogy holds
+    * only if preparing it isn't repeated — so registry construction
+    * after the first is job-free (PlanSpec asserts it with the same
+    * sentinel as q_dedup_ngram_jaccard), runs no DROPs, and leaks no
+    * temp dirs (one JVM-lifetime scratch root, fixed per-dir paths,
+    * VERDICT r8 finding #5).
     */
   def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("bucketed")
-      .toString
-    spark.sql("DROP TABLE IF EXISTS g_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS g_bkt_cust")
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_custkey", e2($"o_totalprice")
-        .as("cents"))
-      .write.mode("overwrite").option("path", s"$tmp/o")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("g_bkt_orders")
-    Tables.customer(spark, dir)
-      .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
-      .write.mode("overwrite").option("path", s"$tmp/c")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("g_bkt_cust")
+    BucketedFixture.ensure(spark, dir)
     val bo = spark.table("g_bkt_orders")
     val bc = spark.table("g_bkt_cust").hint("merge")
     bo.join(bc, bo("o_custkey") === bc("c_custkey"))
@@ -331,6 +323,41 @@ object JoinQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum($"cents").as("revenue_cents"))
       .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  /** Once-per-(session, dir) materialization of the bucketed join
+    * fixture: both sides written `bucketBy(8, custkey)` + sorted into a
+    * single JVM-lifetime scratch root. Re-entry with the same dir is a
+    * no-op (no write jobs, no DROP/recreate, no new temp dir); a dir
+    * switch (tests at sf0.001, Verify at sf0.01) rebuilds under the
+    * dir's own path. */
+  private[queries] object BucketedFixture {
+    import scala.collection.mutable
+    private val current = mutable.Map.empty[String, String] // app → dir
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("bucketed").toString
+
+    def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+      import spark.implicits._
+      val app = spark.sparkContext.applicationId
+      if (!current.get(app).contains(dir)) {
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        spark.sql("DROP TABLE IF EXISTS g_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS g_bkt_cust")
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_custkey", e2($"o_totalprice")
+            .as("cents"))
+          .write.mode("overwrite").option("path", s"$root/o_$tag")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("g_bkt_orders")
+        Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+          .write.mode("overwrite").option("path", s"$root/c_$tag")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("g_bkt_cust")
+        current(app) = dir
+      }
+    }
   }
 
   val defs: Map[String, Q] = Map(

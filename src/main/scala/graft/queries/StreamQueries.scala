@@ -382,6 +382,49 @@ object StreamQueries {
       .orderBy(col("user_id"), col("update_seq"))
   }
 
+  /** Streaming PSI DRIFT MONITOR at ingest, end-to-end under the
+    * driver harness ([[StreamOps.psiIngest]]): events split into two
+    * deterministic micro-batches on the batch q_stat_psi's own
+    * boundary — the global first 15 days arrive first and become the
+    * persisted decile-sidecar REFERENCE; the remainder arrives second
+    * and is scored against that sidecar. Returns the drift log (one
+    * row per batch per event type). ORACLE-checked end to end: decile
+    * selection, dense-cell add-one smoothing and the ascending-cell
+    * PSI fold are all exact/order-pinned arithmetic, so the DuckDB
+    * twin replays both batches — the reference batch scoring exactly
+    * 0.0 against itself, and batch 1's score reachable only through
+    * the sidecar persisted by batch 0 (the cross-batch handoff IS what
+    * the oracle pins, as in q_stream_ewma). Corrupt/missing-sidecar
+    * abort is additionally pinned by FileStreamSpec.
+    */
+  def qStreamPsiIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_psi_ingest")
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        Exact.e2(col("value")).as("cents"), col("ts"))
+    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val isRef = datediff(to_date(col("ts")), lit(minDay)) < 15
+    ev.filter(isRef).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(!isRef).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    StreamOps.psiIngest(stream, "event_type", "cents",
+      s"$tmp/corpus", s"$tmp/cp")
+    spark.read.parquet(s"$tmp/corpus._psilog")
+      .orderBy(col("batch_id"), col("event_type"))
+  }
+
   /** CUSUM changepoint detection (Page 1954) on per-day event-type
     * volumes: the one-sided cumulative sums
     * S⁺_k = max(0, S⁺_{k−1} + (x_k − μ − κ)) and
@@ -737,7 +780,8 @@ object StreamQueries {
     "q_stream_tumbling" -> (qStreamTumbling(_, _)),
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_session" -> (qStreamSession(_, _)),
-    "q_stream_session_state" -> (qStreamSessionState(_, _))
+    "q_stream_session_state" -> (qStreamSessionState(_, _)),
+    "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,6 +803,75 @@ object StreamQueries {
     // Same twin as q_join_asof: the streamed temporal join must equal
     // the batch as-of recompute.
     "q_stream_asof" -> JoinQueries.oracles("q_join_asof"),
+    // Full replay of the two-batch PSI drift monitor: batch 0 (global
+    // first 15 days) builds the decile sidecar and scores exactly 0.0
+    // against itself; batch 1 is scored against batch 0's persisted
+    // reference. The dense-cell fold runs in ascending bucket order in
+    // both engines (list_reduce over an ORDER BY bucket list here, the
+    // aggregate() HOF there), so the doubles agree bit-for-bit.
+    "q_stream_psi_ingest" ->
+      """WITH ev AS (
+        |  SELECT event_type AS t,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    date_diff('day',
+        |      (SELECT MIN(CAST(ts AS DATE)) FROM events
+        |       WHERE value IS NOT NULL),
+        |      CAST(ts AS DATE)) < 15 AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |rr AS (SELECT t, v,
+        |    row_number() OVER (PARTITION BY t ORDER BY v) AS rk,
+        |    COUNT(*) OVER (PARTITION BY t) AS n
+        |  FROM ev WHERE is_ref),
+        |bounds AS (SELECT t, list_sort(list_distinct(list(v))) AS bs
+        |  FROM rr
+        |  WHERE rk = CAST(ceil(n * 1 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 2 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 3 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 4 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 5 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 6 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 7 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 8 / 10.0) AS BIGINT)
+        |     OR rk = CAST(ceil(n * 9 / 10.0) AS BIGINT)
+        |  GROUP BY t),
+        |cells AS (SELECT t, unnest(generate_series(0, len(bs)))
+        |    AS bucket FROM bounds),
+        |cnt AS (SELECT ev.t,
+        |    len(list_filter(b.bs, x -> ev.v > x)) AS bucket,
+        |    COUNT(*) FILTER (WHERE is_ref) AS cr,
+        |    COUNT(*) FILTER (WHERE NOT is_ref) AS cf
+        |  FROM ev JOIN bounds b USING (t) GROUP BY 1, 2),
+        |dense AS (SELECT c.t, c.bucket,
+        |    coalesce(cnt.cr, 0) AS cr, coalesce(cnt.cf, 0) AS cf
+        |  FROM cells c LEFT JOIN cnt
+        |    ON c.t = cnt.t AND c.bucket = cnt.bucket),
+        |tot AS (SELECT t, CAST(SUM(cr) AS BIGINT) AS tr,
+        |    CAST(SUM(cf) AS BIGINT) AS tf, COUNT(*) AS nb
+        |  FROM dense GROUP BY t),
+        |dj AS (SELECT d.t, d.bucket, d.cr, d.cf, tot.tr, tot.tf, tot.nb
+        |  FROM dense d JOIN tot USING (t)),
+        |psi1 AS (SELECT t, MAX(tf) AS n_rows,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(((cr + 1) / CAST(tr + nb AS DOUBLE)
+        |            - (cf + 1) / CAST(tf + nb AS DOUBLE)) *
+        |           ln(((cr + 1) / CAST(tr + nb AS DOUBLE)) /
+        |              ((cf + 1) / CAST(tf + nb AS DOUBLE)))
+        |        ORDER BY bucket)), (a, b) -> a + b), 6) AS psi_r6
+        |  FROM dj GROUP BY t),
+        |out AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, t AS event_type,
+        |    tr AS n_rows, CAST(0.0 AS DOUBLE) AS psi_r6,
+        |    'stable' AS verdict
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS batch_id, t AS event_type,
+        |    CAST(n_rows AS BIGINT) AS n_rows, psi_r6,
+        |    CASE WHEN psi_r6 < 0.1 THEN 'stable'
+        |      WHEN psi_r6 < 0.25 THEN 'watch'
+        |      ELSE 'action' END AS verdict
+        |  FROM psi1)
+        |SELECT batch_id, event_type, n_rows, psi_r6, verdict
+        |FROM out ORDER BY batch_id, event_type""".stripMargin,
     "q_stream_agg_upsert" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)

@@ -268,29 +268,32 @@ object TextQueries {
     * then exact-deduped keep-first on their md5, same as the fixed
     * variant.
     *
-    * The window hash is the portable md5-derived family; H % 32 needs
-    * only the last two of the 15 hex digits (16^k ≡ 0 mod 32 for
-    * k ≥ 2), which is how the twin replays it without conv(). No
-    * min/max chunk clamps: the pure window-mod rule keeps every
-    * boundary decision LOCAL (FastCDC's normalization adds a sequential
-    * dependence), so chunking is embarrassingly parallel — at 100 TB
-    * both cutting and hashing are map-side; the only shuffle is the
-    * chunk-hash group, carrying digests, never text.
+    * The window hash is the portable rolling family
+    * ([[graft.functions.RollingHash]]): the native expression emits all
+    * window hashes in one fused O(len) loop (previously one md5 PLUS an
+    * O(i) UTF8String substring seek per position — quadratic in doc
+    * length), and the twin replays the identical integer recurrence
+    * with a list_reduce fold. No min/max chunk clamps: the pure
+    * window-mod rule keeps every boundary decision LOCAL (FastCDC's
+    * normalization adds a sequential dependence), so chunking is
+    * embarrassingly parallel — at 100 TB both cutting and hashing are
+    * map-side; the only shuffle is the chunk-hash group, carrying
+    * digests, never text.
     */
   def qTextCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val (w, d) = (8, 32)
     val chunks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      // guard: Spark's sequence(a, b) DESCENDS when a > b, so sub-window
-      // docs must short-circuit to "no interior boundary" explicitly
+      // a boundary falls after position i (i ≥ w) iff the hash of the
+      // window at start ix = i−w+1 — 0-based array index i−w — is
+      // ≡ 0 mod d; the hash array is empty for sub-window docs, so no
+      // explicit length guard is needed
       .withColumn("cuts", expr(
         s"""array_sort(array_distinct(concat(array(0),
-           |  CASE WHEN length(text) >= $w THEN
-           |    filter(sequence($w, length(text)),
-           |      i -> CAST(conv(substring(md5(substring(
-           |        text, i - ${w - 1}, $w)), 1, 15), 16, 10) AS BIGINT)
-           |        % $d = 0)
-           |  ELSE CAST(array() AS array<int>) END,
+           |  filter(transform(rolling_gram_hash(text, $w),
+           |    (h, ix) -> CASE WHEN h % $d = 0 THEN ix + $w
+           |               ELSE -1 END), x -> x >= 0),
            |  array(length(text)))))""".stripMargin))
       .select(col("doc_id"), posexplode(expr(
         """CASE WHEN size(cuts) < 2 THEN CAST(array() AS array<string>)
@@ -965,20 +968,22 @@ object TextQueries {
   }
 
   /** Position-indexed L-char gram hashes for a (doc_id, text) frame —
-    * one (doc_id, pos, g) row per character position, computed linearly
-    * from the once-split char array (the same 60-bit md5-prefix hash
-    * the winnow family and the DuckDB twins share). Map-side only.
+    * one (doc_id, pos, g) row per character position. The hash is the
+    * native rolling 62-bit family ([[graft.functions.RollingHash]]):
+    * one fused O(len) loop per doc, zero per-position allocation
+    * (previously: per-char split array + one md5 per position — the
+    * allocation-amplified cohort of VERDICT r8 finding #3). Map-side
+    * only; the DuckDB twins replay the identical integer recurrence.
     */
-  private[queries] def charGrams(docs: DataFrame, L: Int): DataFrame =
+  private[queries] def charGrams(docs: DataFrame, L: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("cs", split(col("text"), ""))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(0, size(cs) - ${L - 1}))," +
-          s" i -> struct(cast(i as bigint) as pos," +
-          s" cast(conv(substring(md5(array_join(" +
-          s"slice(cs, i, $L), '')), 1, 15), 16, 10) as bigint) as g))"))
-        .as("gr"))
-      .select(col("doc_id"), col("gr.pos").as("pos"), col("gr.g").as("g"))
+      .select(col("doc_id"),
+        posexplode(expr(s"rolling_gram_hash(text, $L)"))
+          .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("g"))
+  }
 
   /** Char-level exact-duplicate SCRUB — the transform half of
     * [[qTextWinnowSpans]] (Lee et al.'s ExactSubstr removal step): for
@@ -1338,6 +1343,26 @@ WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
+  /** DuckDB twin of the rolling k-gram hash at 1-based code-point
+    * position `i` over a BIGINT code-point list column `cps` — the
+    * EXACT integer recurrence of [[graft.functions.RollingHash]]
+    * (B = 131; pair of 31-bit prime moduli packed h1·M2 + h2). Every
+    * intermediate fits DuckDB BIGINT: h·131 + cp < 2³⁸ + 2²¹ and
+    * h1·M2 + h2 < 2⁶³. */
+  private[queries] def rollSql(cps: String, i: String, k: Int): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$cps[$i:$i+${k - 1}]), (h,c) -> (h*131 + c) % 2147483647)" +
+      s" * 2147483629 + list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"$cps[$i:$i+${k - 1}]), (h,c) -> (h*131 + c) % 2147483629))"
+
+  /** Code-point list of a text column — the twin's once-per-doc split
+    * (DuckDB's `string_split(text,'')` yields characters, `unicode`
+    * their code points — the same position semantics as Spark's
+    * `split(text,'')`/`substring`). */
+  private[queries] def cpsSql(text: String): String =
+    s"list_transform(string_split($text, ''), " +
+      "c -> CAST(unicode(c) AS BIGINT))"
+
   /** Winnow fingerprint-selection CTE chain (d → … → sel) over
     * `documents`, optionally restricted — the SQL twin of
     * `TextAnalysis.winnowFingerprints` (k=8, w=4), shared by the batch
@@ -1345,18 +1370,16 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   private[queries] def winnowSelCtes(docWhere: String): String =
     s"""d AS (SELECT doc_id, text FROM documents
       |           WHERE length(text) >= 8$docWhere),
-      |i AS (SELECT doc_id, text,
-      |        unnest(generate_series(1, length(text) - 7)) AS i
-      |      FROM d),
+      |cpl AS (SELECT doc_id, ${cpsSql("text")} AS cps FROM d),
+      |i AS (SELECT doc_id, cps,
+      |        unnest(generate_series(1, len(cps) - 7)) AS i
+      |      FROM cpl),
       |g AS (SELECT doc_id, i - 1 AS pos,
-      |        CAST(list_sum(list_transform(generate_series(1, 10),
-      |          dd -> CAST(strpos('0123456789abcdef',
-      |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
-      |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
-      |          AS BIGINT) AS h
+      |        ${rollSql("cps", "i", 8)} AS h
       |      FROM i),
       |keyed AS (SELECT doc_id, pos,
-      |            h * 8388608 + greatest(0, 8388607 - pos) AS key FROM g),
+      |            (h % 1099511627776) * 8388608
+      |              + greatest(0, 8388607 - pos) AS key FROM g),
       |win AS (SELECT doc_id, pos,
       |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
@@ -1428,27 +1451,19 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       |       JOIN documents da ON t.id_a = da.doc_id),
       |tb AS (SELECT t.id_a, t.id_b, db.text AS txt FROM top t
       |       JOIN documents db ON t.id_b = db.doc_id),
-      |gau AS (SELECT id_a, id_b, txt,
+      |gau AS (SELECT id_a, id_b, ${cpsSql("txt")} AS cps,
       |          unnest(generate_series(1,
       |            greatest(0, length(txt) - 19))) AS ia
       |        FROM ta),
       |gah AS (SELECT id_a, id_b, ia,
-      |          CAST(list_sum(list_transform(generate_series(1, 15),
-      |            dd -> CAST(strpos('0123456789abcdef',
-      |                substring(md5(substring(txt, ia, 20)), dd, 1)) - 1
-      |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
-      |            AS BIGINT) AS g
+      |          ${rollSql("cps", "ia", 20)} AS g
       |        FROM gau),
-      |gbu AS (SELECT id_a, id_b, txt,
+      |gbu AS (SELECT id_a, id_b, ${cpsSql("txt")} AS cps,
       |          unnest(generate_series(1,
       |            greatest(0, length(txt) - 19))) AS jb
       |        FROM tb),
       |gbh AS (SELECT id_a, id_b, jb,
-      |          CAST(list_sum(list_transform(generate_series(1, 15),
-      |            dd -> CAST(strpos('0123456789abcdef',
-      |                substring(md5(substring(txt, jb, 20)), dd, 1)) - 1
-      |              AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
-      |            AS BIGINT) AS g
+      |          ${rollSql("cps", "jb", 20)} AS g
       |        FROM gbu),
       |mm AS (SELECT a.id_a, a.id_b, a.ia, b.jb, a.ia - b.jb AS diag
       |       FROM gah a JOIN gbh b
@@ -1562,22 +1577,19 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
 
   val oracles: Map[String, String] = Map(
     "q_text_wordpiece" -> wordpieceSql,
-    // LBFS cut-point replay: H % 32 from the last two of the 15 md5 hex
-    // digits (16^k ≡ 0 mod 32 for k ≥ 2 — no conv() needed), identical
-    // cut array, keep-first on chunk md5 by the same packed (doc, idx)
-    // key
+    // LBFS cut-point replay: the rolling window hash % 32 over the
+    // window ENDING at i (1-based start i−7), identical cut array,
+    // keep-first on chunk md5 by the same packed (doc, idx) key
     "q_text_cdc_dedup" ->
-      """WITH b AS (SELECT doc_id, text,
+      s"""WITH cw AS (SELECT doc_id, text, ${cpsSql("text")} AS cps
+        |  FROM documents),
+        |b AS (SELECT doc_id, text,
         |    list_sort(list_distinct(list_concat(list_concat(
         |      [CAST(0 AS BIGINT)],
-        |      list_filter(generate_series(8, length(text)), i ->
-        |        ((strpos('0123456789abcdef', substring(md5(substring(
-        |            text, CAST(i AS INT) - 7, 8)), 14, 1)) - 1) * 16
-        |          + strpos('0123456789abcdef', substring(md5(substring(
-        |            text, CAST(i AS INT) - 7, 8)), 15, 1)) - 1)
-        |          % 32 = 0)),
+        |      list_filter(generate_series(8, len(cps)), i ->
+        |        ${rollSql("cps", "(i-7)", 8)} % 32 = 0)),
         |      [CAST(length(text) AS BIGINT)]))) AS cuts
-        |  FROM documents),
+        |  FROM cw),
         |u AS (SELECT doc_id, text, cuts,
         |    unnest(generate_series(1, len(cuts) - 1)) AS j FROM b),
         |ch AS (SELECT doc_id, j - 1 AS idx,
@@ -1629,16 +1641,12 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
     // pair-free global pass: per-gram global-first window, islands,
     // same scrub tail (sp shaped as (id_b, start_b, span_len))
     "q_text_scrub_global" ->
-      ("""WITH gu AS (SELECT doc_id, text AS txt,
+      (s"""WITH gu AS (SELECT doc_id, ${cpsSql("text")} AS cps,
         |        unnest(generate_series(1,
         |          greatest(0, length(text) - 19))) AS pos
         |      FROM documents),
         |gh AS (SELECT doc_id, pos,
-        |         CAST(list_sum(list_transform(generate_series(1, 15),
-        |           dd -> CAST(strpos('0123456789abcdef',
-        |               substring(md5(substring(txt, pos, 20)), dd, 1)) - 1
-        |             AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd)))))
-        |           AS BIGINT) AS g
+        |         ${rollSql("cps", "pos", 20)} AS g
         |       FROM gu),
         |rnk AS (SELECT doc_id, pos, row_number() OVER (
         |          PARTITION BY g ORDER BY doc_id, pos) AS rn FROM gh),
@@ -1758,27 +1766,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |SELECT id_a, id_b, n_shared_fp FROM pairs
         |ORDER BY n_shared_fp DESC, id_a, id_b""".stripMargin),
     "q_text_winnow" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE length(text) >= 8),
-        |i AS (SELECT doc_id, text,
-        |        unnest(generate_series(1, length(text) - 7)) AS i
-        |      FROM d),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        CAST(list_sum(list_transform(generate_series(1, 10),
-        |          dd -> CAST(strpos('0123456789abcdef',
-        |              substring(md5(substring(text, i, 8)), dd, 1)) - 1
-        |            AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (10 - dd)))))
-        |          AS BIGINT) AS h
-        |      FROM i),
-        |keyed AS (SELECT doc_id, pos,
-        |            h * 8388608 + greatest(0, 8388607 - pos) AS key FROM g),
-        |win AS (SELECT doc_id, pos,
-        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
-        |          count(*) OVER (PARTITION BY doc_id) AS cnt
-        |        FROM keyed),
-        |sel AS (SELECT DISTINCT doc_id, mk // 8388608 AS fp
-        |        FROM win WHERE pos <= cnt - 4),
+      ("WITH " + winnowSelCtes("") + """,
         |df AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
         |pd AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
         |sh AS (SELECT sel.doc_id, count(*) AS n_shared
@@ -1788,7 +1776,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |  CAST(coalesce(sh.n_shared, 0) * 1000000 // pd.n_fp AS BIGINT)
         |    AS shared_ppm
         |FROM pd LEFT JOIN sh ON pd.doc_id = sh.doc_id
-        |ORDER BY pd.doc_id""".stripMargin,
+        |ORDER BY pd.doc_id""".stripMargin),
     "q_text_phrase" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t

@@ -1071,6 +1071,127 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming DRIFT MONITOR at ingest — the PSI front door: the first
+    * micro-batch becomes the REFERENCE distribution (per-key rank-
+    * selected value deciles + per-cell counts, persisted as a sidecar
+    * `<corpusPath>._psiref` in the batch's own transaction, exactly the
+    * [[dedupIngest]] sidecar discipline), and every batch — including
+    * the first, whose score is exactly 0 — is scored against it:
+    * Population Stability Index over the reference's decile cells with
+    * add-one smoothing across ALL size(bs)+1 cells (the streaming probe
+    * must stay finite when a batch misses cells entirely — the batch
+    * twin q_stat_psi smooths over observed cells only, which is fine
+    * when ref and fresh are aggregated together). Verdicts use the
+    * standard thresholds (<0.1 stable, <0.25 watch, else action); one
+    * (batch_id, key, n_rows, psi_r6, verdict) row appends to
+    * `<corpusPath>._psilog` per batch per key, and the batch itself
+    * appends to the corpus — monitoring, not gating.
+    *
+    * Scale shape: the sidecar is ≤ (keys · 10) longs — broadcast-sized
+    * at any corpus scale; each batch pays one bucket-count aggregate of
+    * itself. The PSI fold runs cell-by-cell in ascending bucket order
+    * (an explicit HOF fold, not a float SUM), so the DuckDB replay is
+    * bit-identical.
+    *
+    * A missing sidecar means FIRST batch only (same rule as the dedup
+    * front doors): missing NEXT TO an existing corpus — or any other
+    * read failure — aborts the batch rather than silently re-baselining
+    * the monitor on drifted data.
+    */
+  def psiIngest(stream: DataFrame, keyCol: String, valueCol: String,
+                corpusPath: String, checkpoint: String): Unit = {
+    val refPath = corpusPath.stripSuffix("/") + "._psiref"
+    val logPath = corpusPath.stripSuffix("/") + "._psilog"
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        graft.ops.CacheScope.scoped {
+          val vals = graft.ops.CacheScope.cached(
+            batch.select(col(keyCol).as("t"), col(valueCol).as("v"))
+              .filter(col("v").isNotNull))
+          def buildReference(): Unit = {
+            // FIRST batch: its deciles + cell counts become the
+            // reference, written in this batch's transaction
+            val w = Window.partitionBy(col("t")).orderBy(col("v"))
+            val bounds = vals
+              .withColumn("rk", row_number().over(w))
+              .withColumn("n", count(lit(1)).over(
+                Window.partitionBy(col("t"))))
+              .filter((1 to 9).map(i => col("rk") ===
+                ceil(col("n") * i / 10.0).cast("long"))
+                .reduce(_ || _))
+              .groupBy(col("t"))
+              .agg(expr("sort_array(collect_set(v))").as("bs"))
+            vals.join(broadcast(bounds), "t")
+              .withColumn("bucket",
+                expr("size(filter(bs, b -> v > b))"))
+              .groupBy(col("t"), col("bucket"))
+              .agg(count(lit(1)).as("cnt"))
+              .groupBy(col("t"))
+              .agg(expr("map_from_entries(collect_list(" +
+                "struct(bucket, cnt)))").as("m"))
+              .join(bounds, "t")
+              .select(col("t"), col("bs"),
+                expr("transform(sequence(0, size(bs)), " +
+                  "b -> coalesce(element_at(m, b), 0L))").as("cr"))
+              .write.mode("overwrite").parquet(refPath)
+          }
+          val ref =
+            try spark.read.parquet(refPath)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage != null &&
+                     e.getMessage.contains("PATH_NOT_FOUND") &&
+                     !pathExists(spark, corpusPath) =>
+                buildReference(); spark.read.parquet(refPath)
+              case _: java.io.FileNotFoundException
+                  if !pathExists(spark, corpusPath) =>
+                buildReference(); spark.read.parquet(refPath)
+            }
+          val scored = vals.join(broadcast(ref), "t")
+            .withColumn("bucket", expr("size(filter(bs, b -> v > b))"))
+            .groupBy(col("t"), col("bs"), col("cr"), col("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("t"), col("bs"), col("cr"))
+            .agg(expr("map_from_entries(collect_list(" +
+              "struct(bucket, cnt)))").as("m"),
+              sum(col("cnt")).as("tf"))
+            .select(col("t"), col("cr"), col("tf"),
+              expr("transform(sequence(0, size(bs)), " +
+                "b -> coalesce(element_at(m, b), 0L))").as("cf"))
+            .withColumn("tr", expr(
+              "aggregate(cr, CAST(0 AS BIGINT), (s, x) -> s + x)"))
+            // explicit ascending-cell fold — deterministic fp order
+            .withColumn("psi_r6", round(expr(
+              """aggregate(sequence(1, size(cr)), CAST(0.0 AS DOUBLE),
+                |  (acc, i) -> acc +
+                |    ((element_at(cr, i) + 1) / CAST(tr + size(cr)
+                |        AS DOUBLE)
+                |      - (element_at(cf, i) + 1) / CAST(tf + size(cr)
+                |        AS DOUBLE)) *
+                |    ln(((element_at(cr, i) + 1) / CAST(tr + size(cr)
+                |        AS DOUBLE)) /
+                |      ((element_at(cf, i) + 1) / CAST(tf + size(cr)
+                |        AS DOUBLE))))""".stripMargin), 6))
+            .select(lit(batchId).as("batch_id"), col("t").as(keyCol),
+              col("tf").as("n_rows"), col("psi_r6"),
+              when(col("psi_r6") < 0.1, "stable")
+                .when(col("psi_r6") < 0.25, "watch")
+                .otherwise("action").as("verdict"))
+          scored.write.mode("append").parquet(logPath)
+          // corpus append is the same transaction's second write
+          batch.write.mode("append").parquet(corpusPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
                          p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)

@@ -33,6 +33,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("attribution touch join equi-joins on (user, 24h bucket) — " +
+    "no per-user C·P expansion ahead of the window predicate") {
+    val p = plan("q_event_attribution")
+    assert("keys \\[2\\]: \\[user_id#\\d+L?, bkt#\\d+L?\\]".r
+      .findFirstIn(p).isDefined,
+      "touch join must carry the time bucket as an equi-key")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("set-similarity join has no cartesian product or nested loop") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
@@ -64,6 +74,23 @@ class PlanSpec extends SparkTestBase {
     assert(target <= control,
       s"ngram-jaccard construction ran $target job(s) vs the lazy " +
         s"control's $control — the eager vocabulary count is back")
+  }
+
+  test("q_join_bucketed re-construction is JOB-FREE: the bucketed " +
+    "layout memoizes per (session, dir) — no write jobs, DROPs, or " +
+    "temp dirs after the first build") {
+    val sc = spark.sparkContext
+    SparkEntry.queries("q_join_bucketed")(spark, dir) // first: fixture
+    def ids(): Set[Int] = sc.statusTracker.getJobIdsForGroup(null).toSet
+    val before = ids()
+    SparkEntry.queries("q_join_bucketed")(spark, dir) // re-entry
+    sc.setJobGroup("planspec-bkt", "sentinel")
+    try spark.range(1).collect() finally sc.clearJobGroup()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (sc.statusTracker.getJobIdsForGroup("planspec-bkt").isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert((ids() -- before).isEmpty,
+      "second construction must submit zero Spark jobs")
   }
 
   test("semi/anti joins plan as real semi/anti, not inner+distinct") {

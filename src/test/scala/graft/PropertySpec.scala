@@ -285,11 +285,19 @@ class PropertySpec extends SparkTestBase {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent direct evaluation of the rolling window-hash family
+    // (graft.functions.RollingHash) — plain per-window fold
+    def winHash(s: String): Long = {
+      var h1 = 0L; var h2 = 0L
+      s.codePoints().forEach { c =>
+        h1 = (h1 * 131 + c) % 2147483647L
+        h2 = (h2 * 131 + c) % 2147483629L
+      }
+      h1 * 2147483629L + h2
+    }
     def chunksOf(text: String): Seq[String] = {
       val interior = (8 to text.length).filter { i =>
-        java.lang.Long.parseLong(
-          md5hex(text.substring(i - 8, i)).substring(0, 15),
-          16) % 32 == 0
+        winHash(text.substring(i - 8, i)) % 32 == 0
       }
       val cuts = (Seq(0) ++ interior ++ Seq(text.length))
         .distinct.sorted

@@ -15,12 +15,24 @@ class CdcDedupSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Independent direct evaluation of the portable rolling-hash family
+    * (graft.functions.RollingHash): plain left-fold per window, no
+    * rolling update — so the engine's O(1) rolling recurrence is pinned
+    * against a straight re-computation. */
+  private def gramHash(s: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    s.codePoints().forEach { c =>
+      h1 = (h1 * 131 + c) % 2147483647L
+      h2 = (h2 * 131 + c) % 2147483629L
+    }
+    h1 * 2147483629L + h2
+  }
+
   /** Scalar replay: cut after position i (1-based) iff the 8-char
     * window ending at i hashes to 0 mod 32. */
   private def cuts(text: String): Seq[Int] = {
     val interior = (8 to text.length).filter { i =>
-      java.lang.Long.parseLong(
-        md5hex(text.substring(i - 8, i)).substring(0, 15), 16) % 32 == 0
+      gramHash(text.substring(i - 8, i)) % 32 == 0
     }
     (Seq(0) ++ interior ++ Seq(text.length)).distinct.sorted
   }

@@ -593,6 +593,79 @@ class FileStreamSpec extends SparkTestBase {
       "an aborted batch must not append potentially-duplicate survivors")
   }
 
+  test("psiIngest: batch 1 scores against batch 0's PERSISTED decile " +
+      "sidecar (ref batch scores exactly 0.0); a CORRUPT sidecar " +
+      "aborts instead of silently re-baselining the monitor") {
+    val dir = Files.createTempDirectory("psi-ingest").toString
+    val src = s"$dir/src"
+    val corpus = s"$dir/corpus"
+    val sidecar = s"$dir/corpus._psiref"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // batch A: values 1..20 → 9 distinct decile boundaries {2,4,…,18}
+    (1 to 20).map(i => ("x", i.toLong)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val schemaA = spark.read.parquet(s"$src/a.parquet").schema
+    def runOnce(): Unit = StreamOps.psiIngest(
+      spark.readStream.schema(schemaA).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*"),
+      "k", "v", corpus, s"$dir/cp")
+    runOnce()
+    assert(new java.io.File(sidecar).exists(),
+      "batch 0 must materialize the reference sidecar")
+    // batch B: values 100..119 — everything lands past the last decile
+    (100 to 119).map(i => ("x", i.toLong)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    runOnce()
+    val log = spark.read.parquet(s"$corpus._psilog")
+      .select("batch_id", "k", "n_rows", "psi_r6", "verdict")
+      .as[(Long, String, Long, Double, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(log.map(r => (r._1, r._2, r._3, r._5)) ==
+      Seq((0L, "x", 20L, "stable"), (1L, "x", 20L, "action")))
+    assert(log(0)._4 == 0.0, "the reference batch scores exactly 0.0")
+    // independent scalar replay of batch 1's PSI: bounds {2,4,…,18},
+    // cr = [2]*10 cells, cf = [0]*9 ++ [20], add-one over 10 cells
+    val cr = Seq.fill(10)(2L); val cf = Seq.fill(9)(0L) :+ 20L
+    var want = 0.0
+    (0 until 10).foreach { i =>
+      val p = (cr(i) + 1) / 30.0; val q = (cf(i) + 1) / 30.0
+      want += (p - q) * math.log(p / q)
+    }
+    assert(log(1)._4 == math.rint(want * 1e6) / 1e6 ||
+      math.abs(log(1)._4 - want) < 1e-6,
+      s"batch-1 PSI ${log(1)._4} must match the scalar replay $want")
+    // corrupt the sidecar: the next batch must ABORT, not re-baseline
+    val refFiles = new java.io.File(sidecar).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(refFiles.nonEmpty)
+    refFiles.foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "NOT A PARQUET FILE".getBytes("UTF-8"))
+    }
+    val preCorpus = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    (200 to 209).map(i => ("x", i.toLong)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/c.parquet")
+    dataFile(s"$src/c.parquet")
+      .setLastModified(System.currentTimeMillis() + 1000)
+    val err = intercept[Exception](runOnce())
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c => c.getMessage != null &&
+        (c.getMessage.toLowerCase.contains("parquet") ||
+         c.getMessage.contains("footer"))),
+      s"expected a parquet-read failure to surface, got $err")
+    val appended = new java.io.File(corpus).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")
+        && !preCorpus.contains(f.getName))
+    assert(appended.isEmpty,
+      "an aborted batch must not append rows the monitor never scored")
+  }
+
   test("compactSidecar: N per-batch files collapse to one; dedup " +
       "state survives the swap; a half-swapped (missing) sidecar " +
       "ABORTS the next batch instead of re-admitting duplicates") {
