@@ -382,6 +382,60 @@ object StreamQueries {
       .orderBy(col("user_id"), col("update_seq"))
   }
 
+  /** Session windows over an AT-LEAST-ONCE stream — the
+    * `dropDuplicatesWithinWatermark` → `session_window` chain run as a
+    * real two-batch stream: batch 0 carries the global first 15 days;
+    * batch 1 carries the rest PLUS a full re-delivery of day 14 (the
+    * at-least-once duplicate burst, landing within the 24 h dedup
+    * watermark of batch 0's max event time, where the operator's
+    * contract guarantees suppression). The deduped stream feeds
+    * gap-based per-user session windows (5 min), so the streamed
+    * result must equal the batch sessionization of the DISTINCT
+    * events — double-counted sessions on day 14 are exactly what the
+    * oracle would catch. Complete-mode memory sink as in
+    * q_stream_session; dedup state expiry itself is watermark-bounded
+    * (state is (event_id) keys held for 24 h of event time, O(recent
+    * ids) at any corpus scale).
+    */
+  def qStreamSessionDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = StreamOps.scratchDir("q_stream_session_dedup")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Exact.e2(col("value")).as("cents"))
+    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val dd = datediff(to_date(col("ts")), lit(minDay))
+    ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(dd >= 15).unionByName(ev.filter(dd === 14))
+      .coalesce(1).write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val out = stream
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val q = out.writeStream.format("memory")
+      .queryName("q_stream_session_dedup_mem")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q_stream_session_dedup_mem")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_cents"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming PSI DRIFT MONITOR at ingest, end-to-end under the
     * driver harness ([[StreamOps.psiIngest]]): events split into two
     * deterministic micro-batches on the batch q_stat_psi's own
@@ -781,7 +835,8 @@ object StreamQueries {
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_session" -> (qStreamSession(_, _)),
     "q_stream_session_state" -> (qStreamSessionState(_, _)),
-    "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _))
+    "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _)),
+    "q_stream_session_dedup" -> (qStreamSessionDedup(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1155,6 +1210,32 @@ object StreamQueries {
         |SELECT window_start, event_type, COUNT(*) AS n
         |FROM e GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    // streamed dedup+sessionize == batch sessionization of the DISTINCT
+    // events: the day-14 re-delivery must vanish at the dedup operator,
+    // so the twin is a plain gaps-and-islands over `events` (every
+    // event_id is unique there) with exact integer cents
+    "q_stream_session_dedup" ->
+      """WITH ordered AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    CAST(ts AS TIMESTAMP) AS t,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) AS prev_t
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, cents, t,
+        |    CASE WHEN prev_t IS NULL
+        |      OR t - prev_t > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT user_id, cents, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_session" ->
       """WITH ordered AS (
         |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t,

@@ -593,6 +593,49 @@ class FileStreamSpec extends SparkTestBase {
       "an aborted batch must not append potentially-duplicate survivors")
   }
 
+  test("dropDuplicatesWithinWatermark + session_window: a cross-batch " +
+      "re-delivered event counts ONCE; a genuinely new event extends " +
+      "the session") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("sess-dedup").toString
+    val src = s"$dir/src"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def ts(plusMin: Int) =
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    Seq((1L, 7L, ts(0)), (2L, 7L, ts(1)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    // batch b: event 2 RE-DELIVERED (within the 1 h watermark) + new 3
+    Seq((2L, 7L, ts(1)), (3L, 7L, ts(2)))
+      .toDF("event_id", "user_id", "ts")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    val schema = spark.read.parquet(s"$src/a.parquet").schema
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", src).parquet(s"$src/*")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = out.writeStream.format("memory")
+      .queryName("sess_dedup_spec_mem")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_dedup_spec_mem")
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq
+    // ONE session of THREE events: e2's re-delivery vanished at the
+    // dedup operator, e3 merged into the same 5-minute-gap session
+    assert(got == Seq((7L, 3L)), s"got $got")
+  }
+
   test("psiIngest: batch 1 scores against batch 0's PERSISTED decile " +
       "sidecar (ref batch scores exactly 0.0); a CORRUPT sidecar " +
       "aborts instead of silently re-baselining the monitor") {
