@@ -90,7 +90,65 @@ object MiningQueries {
       .orderBy($"i", $"j")
   }
 
+  /** ENTITY RESOLUTION (record-linkage dedupe) — multi-pass blocking +
+    * edit-distance verify, the Fellegi-Sunter-lineage pipeline every
+    * warehouse runs on dirty customer feeds. The fixture has no dirty
+    * rows, so a deterministic dirty table is built in-query (both
+    * engines derive it identically): every 7th customer is re-inserted
+    * under id+1,000,000 with ONE character of its name substituted at a
+    * doc-derived position — the single-typo duplicate class.
+    *
+    * Blocking is a DELETION NEIGHBORHOOD over the name's 9-digit
+    * region (FastSS / spell-checker lineage): each record emits 9 keys
+    * (mask position i, digits with position i removed). Two names
+    * within one substitution share the key masking the differing digit
+    * (or all 9 keys when the typo hit the constant prefix instead), so
+    * recall for single-edit pairs is COMPLETE — and unlike positional
+    * prefix/suffix blocking, every key carries 8 discriminating digits,
+    * so no block degenerates to the whole corpus when names share a
+    * long constant prefix (this fixture's "Customer#…" names put ALL
+    * entropy in the digits — a prefix-block pass would be one giant
+    * block of every record). Levenshtein ≤ 1 verifies candidates;
+    * cross-entity accidental matches (two customers one digit apart)
+    * are kept — that ambiguity is ER's real output, not an error.
+    *
+    * Scale: 9 (key, id) rows per record shuffle — linear with a small
+    * constant; the O(|a|·|b|) edit distance runs strictly on
+    * candidates, never all-pairs; names attach to the (distinct)
+    * candidate pair list by id equi-joins, the winnow-verify pattern.
+    */
+  def qErDedupe(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val dirty = cust.filter(col("id") % 7 === 0)
+      .withColumn("pos", (col("id") % 18).cast("int"))
+      .select((col("id") + 1000000L).as("id"), expr(
+        "concat(substring(name, 1, pos), 'x'," +
+          " substring(name, pos + 2, length(name)))").as("name"))
+    val all = cust.unionByName(dirty)
+    val keyed = all.select(col("id"), explode(expr(
+      """transform(sequence(1, 9), i -> concat(cast(i as string), ':',
+        |  substring(substring(name, 10, 9), 1, i - 1),
+        |  substring(substring(name, 10, 9), i + 1, 9)))"""
+        .stripMargin)).as("bk"))
+    val cands = keyed.select(col("bk"), col("id").as("id_a"))
+      .join(keyed.select(col("bk"), col("id").as("id_b")), "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(all.select(col("id").as("id_a"), col("name").as("name_a")),
+        "id_a")
+      .join(all.select(col("id").as("id_b"), col("name").as("name_b")),
+        "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("edit_dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_er_dedupe" -> (qErDedupe(_, _)),
     "q_rec_item_cf" -> (qRecItemCf(_, _)),
     "q_skyline_4d" -> (qSkyline4d(_, _)),
     "q_skyline" -> (qSkyline(_, _)),
@@ -99,6 +157,34 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical dirty-table construction + deletion-neighborhood keys
+    // over the digit region + Levenshtein verify
+    "q_er_dedupe" ->
+      """WITH cust AS (SELECT c_custkey AS id, c_name AS name
+        |  FROM customer),
+        |dirty AS (SELECT id + 1000000 AS nid,
+        |    substring(name, 1, CAST(id % 18 AS INT)) || 'x' ||
+        |      substring(name, CAST(id % 18 AS INT) + 2, length(name))
+        |      AS name
+        |  FROM cust WHERE id % 7 = 0),
+        |allr AS (SELECT id, name FROM cust
+        |  UNION ALL SELECT nid AS id, name FROM dirty),
+        |keyed AS (SELECT id,
+        |    CAST(i AS VARCHAR) || ':' ||
+        |      substring(substring(name, 10, 9), 1, CAST(i - 1 AS INT)) ||
+        |      substring(substring(name, 10, 9), CAST(i + 1 AS INT), 9)
+        |      AS bk
+        |  FROM allr, (SELECT unnest(generate_series(1, 9)) AS i)),
+        |cands AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |  FROM keyed a JOIN keyed b2
+        |    ON a.bk = b2.bk AND a.id < b2.id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(levenshtein(na.name, nb.name) AS BIGINT) AS edit_dist
+        |FROM cands c
+        |JOIN allr na ON c.id_a = na.id
+        |JOIN allr nb ON c.id_b = nb.id
+        |WHERE levenshtein(na.name, nb.name) <= 1
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
     "q_rec_item_cf" ->
       """WITH ui0 AS (SELECT DISTINCT o.o_custkey AS u,
         |    l.l_partkey AS i

@@ -387,6 +387,52 @@ object MiscQueries {
       .orderBy(col("version"))
   }
 
+  /** SNAPSHOT DIFF (change data feed) between two published versions
+    * of a versioned lake table — the "what changed between v1 and v2"
+    * query every lakehouse CDC consumer runs: v2 is an
+    * upsert+insert+delete evolution of v1 (updates = +1.00 on every
+    * 5th order, inserts = every 97th re-keyed, deletes = every 101st
+    * key), both published through [[graft.io.LakeIO.writeVersioned]]'s
+    * atomic-rename snapshots, then the diff READS THE VERSIONS BACK —
+    * the lake path, not the in-memory frames — and classifies each key
+    * via one full-outer join on exact cents. Unchanged rows emit
+    * nothing.
+    *
+    * Scale: the diff is one co-partitioned full-outer equi-join of two
+    * snapshots carrying (key, cents) — at 100 TB both sides prune to
+    * key+compared columns at the scan, and a partition-bucketed layout
+    * makes it exchange-free (q_join_bucketed's pattern).
+    */
+  def qLakeSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_lake_snapshot_diff")
+    val table = s"$tmp/orders_t"
+    val base = Tables.orders(spark, dir)
+    LakeIO.writeVersioned(base, table)
+    val mods = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    LakeIO.writeVersioned(
+      graft.ops.Merge.upsert(base, mods.unionByName(inserts),
+          "o_orderkey")
+        .filter(col("o_orderkey") % 101 =!= 0), table)
+    def snap(v: Int, kc: String, cc: String) =
+      LakeIO.readVersion(spark, table, Some(v))
+        .select(col("o_orderkey").as(kc),
+          Exact.e2(col("o_totalprice")).as(cc))
+    snap(1, "k1", "old_cents")
+      .join(snap(2, "k2", "new_cents"),
+        col("k1") === col("k2"), "full_outer")
+      .withColumn("change",
+        when(col("k2").isNull, "delete")
+          .when(col("k1").isNull, "insert")
+          .when(col("old_cents") =!= col("new_cents"), "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        col("change"), col("old_cents"), col("new_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Inclusion-dependency (FK-discovery) profile over the star schema:
     * three true FK edges plus one deliberately-partial pair
     * (part.p_size ⊆? nation keys) whose containment is fractional.
@@ -429,6 +475,7 @@ object MiscQueries {
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
     "q_source_orc" -> (qSourceOrc(_, _)),
     "q_lake_time_travel" -> (qLakeTimeTravel(_, _)),
+    "q_lake_snapshot_diff" -> (qLakeSnapshotDiff(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
@@ -791,6 +838,31 @@ object MiscQueries {
         |SELECT 2, COUNT(*),
         |  CAST(SUM(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT)
         |FROM v2
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+    // v1 = orders; v2 rebuilt by the same update/insert/delete rules;
+    // the diff classification must match the engine's read-back of the
+    // two published snapshots
+    "q_lake_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |  FROM orders),
+        |v1 AS (SELECT k, CAST(round(p * 100, 0) AS BIGINT) AS cents
+        |  FROM base),
+        |v2a AS (
+        |  SELECT k, CAST(round((CASE WHEN k % 5 = 0 THEN p + 1.0
+        |    ELSE p END) * 100, 0) AS BIGINT) AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + 10000000 AS k,
+        |    CAST(round(p * 100, 0) AS BIGINT) AS cents
+        |  FROM base WHERE k % 97 = 0),
+        |v2 AS (SELECT * FROM v2a WHERE k % 101 <> 0)
+        |SELECT coalesce(v1.k, v2.k) AS o_orderkey,
+        |  CASE WHEN v2.k IS NULL THEN 'delete'
+        |       WHEN v1.k IS NULL THEN 'insert'
+        |       ELSE 'update' END AS change,
+        |  v1.cents AS old_cents, v2.cents AS new_cents
+        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |WHERE v2.k IS NULL OR v1.k IS NULL OR v1.cents <> v2.cents
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -479,6 +479,54 @@ object StreamQueries {
       .orderBy(col("batch_id"), col("event_type"))
   }
 
+  /** AUTOCORRELATION FUNCTION of per-day event-type volumes at lags
+    * 1..7 — the seasonality/persistence diagnostic run before choosing
+    * a forecasting model (a weekly cycle shows as a lag-7 peak). The
+    * estimator is the standard sample ACF
+    * r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², but computed
+    * EXACTLY: multiplying through by n² clears the rational mean, so
+    * both numerator (n²·Σx_t·x_{t−k} − n·T·Σ(x_t+x_{t−k}) + (n−k)·T²)
+    * and denominator (n²·Σx² − n·T²) are exact BIGINTs and the single
+    * double division is bit-identical cross-engine (round 6 is belt
+    * and braces). Lags ≥ the series length are omitted.
+    *
+    * Scale shape: the corpus reduces to |types|×|days| cells in one
+    * map-side-partial aggregate; the per-type fold runs on a tiny
+    * ordered array — the q_time_holt/cusum per-entity class. (The
+    * integer products bound: counts up to ~3M/day fit n²·Σx² in
+    * signed-64 for a year of days; beyond that, scale counts down or
+    * move the fold to double.)
+    */
+  def qTimeAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, n)))," +
+        " d -> d.n)").as("xs"))
+      .withColumn("nn", expr("cast(size(xs) as bigint)"))
+      .withColumn("tt", expr(
+        "aggregate(xs, cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("qq", expr(
+        "aggregate(xs, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("event_type"), explode(expr(
+        """transform(filter(sequence(1, 7), k -> k < nn), k -> struct(
+          |  cast(k as bigint) as lag,
+          |  round(
+          |    cast(nn * nn * aggregate(sequence(k + 1, cast(nn as int)),
+          |        cast(0 as bigint),
+          |        (a, t) -> a + element_at(xs, t) * element_at(xs, t - k))
+          |      - nn * tt * aggregate(sequence(k + 1, cast(nn as int)),
+          |        cast(0 as bigint),
+          |        (a, t) -> a + element_at(xs, t) + element_at(xs, t - k))
+          |      + (nn - k) * tt * tt as double)
+          |    / cast(nn * nn * qq - nn * tt * tt as double), 6)
+          |    as acf_r6))""".stripMargin)).as("a"))
+      .select(col("event_type"), col("a.lag").as("lag"),
+        col("a.acf_r6").as("acf_r6"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** CUSUM changepoint detection (Page 1954) on per-day event-type
     * volumes: the one-sided cumulative sums
     * S⁺_k = max(0, S⁺_{k−1} + (x_k − μ − κ)) and
@@ -821,6 +869,7 @@ object StreamQueries {
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_holt" -> (qTimeHolt(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
+    "q_time_acf" -> (qTimeAcf(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_seasonal" -> (qTimeSeasonal(_, _)),
@@ -933,6 +982,32 @@ object StreamQueries {
         |    AS sum_v_cents
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical n²-cleared integer ACF; hugeint intermediates on this
+    // side, the same exact values under the final double division
+    "q_time_acf" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(n ORDER BY day) AS xs
+        |  FROM d GROUP BY 1),
+        |b AS (SELECT event_type, xs, len(xs) AS nn,
+        |    list_sum(xs) AS tt,
+        |    list_sum(list_transform(xs, x -> x * x)) AS qq
+        |  FROM s),
+        |l AS (SELECT event_type, xs, nn, tt, qq,
+        |    unnest(generate_series(1, 7)) AS k
+        |  FROM b)
+        |SELECT event_type, CAST(k AS BIGINT) AS lag,
+        |  round(CAST(nn * nn * list_sum(list_transform(
+        |        generate_series(k + 1, nn),
+        |        t -> xs[CAST(t AS INT)] * xs[CAST(t - k AS INT)]))
+        |      - nn * tt * list_sum(list_transform(
+        |        generate_series(k + 1, nn),
+        |        t -> xs[CAST(t AS INT)] + xs[CAST(t - k AS INT)]))
+        |      + (nn - k) * tt * tt AS DOUBLE)
+        |    / CAST(nn * nn * qq - nn * tt * tt AS DOUBLE), 6) AS acf_r6
+        |FROM l WHERE k < nn
+        |ORDER BY event_type, lag""".stripMargin,
     "q_time_anomaly" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

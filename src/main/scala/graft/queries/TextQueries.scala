@@ -171,6 +171,61 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CREDIT-CARD (PAN) redaction with LUHN VALIDATION — the PII scrub
+    * pass regex alone gets wrong: a 13–19 digit run is only a payment
+    * card if its Luhn checksum (ISO/IEC 7812 mod-10) holds, and
+    * redacting every long digit run destroys invoice/order numbers. The
+    * fixture text carries no card numbers, so two are injected
+    * deterministically per doc (both engines compute the same strings):
+    * one VALID — 15 doc-id-derived digits plus the COMPUTED Luhn check
+    * digit — and one INVALID (same digits, check digit +1 mod 10). The
+    * operator must redact exactly the valid one.
+    *
+    * Whitespace-token candidates (no lookarounds — portable to RE2
+    * twins), pure-digit tokens of 13–19 chars, checksum as an integer
+    * fold over the reversed digits (double every second, subtract 9
+    * past 9). Everything is map-side integer arithmetic in one
+    * projection — no shuffle at any corpus scale.
+    */
+  def qTextRedactCc(spark: SparkSession, dir: String): DataFrame = {
+    // 15 payload digits: '4' + zero-padded doc-id-derived body
+    val body = concat(lit("4"),
+      lpad((col("doc_id") * 7919 % 100000000L).cast("string"), 8, "0"),
+      lit("990001"))
+    val aug = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), body.as("payload"))
+      // check digit: payload digits double at odd positions from the
+      // right (they shift left once the check digit is appended)
+      .withColumn("chk", expr(
+        """(10 - aggregate(sequence(1, length(payload)), 0, (acc, i) ->
+          |  acc + CASE WHEN i % 2 = 1 THEN
+          |    CASE WHEN 2 * (ascii(substring(reverse(payload), i, 1)) - 48) > 9
+          |      THEN 2 * (ascii(substring(reverse(payload), i, 1)) - 48) - 9
+          |      ELSE 2 * (ascii(substring(reverse(payload), i, 1)) - 48) END
+          |    ELSE ascii(substring(reverse(payload), i, 1)) - 48 END)
+          |  % 10) % 10""".stripMargin))
+      .withColumn("aug", concat(col("text"), lit(" pay "),
+        col("payload"), col("chk").cast("string"),
+        lit(" ref "), col("payload"),
+        ((col("chk") + 1) % 10).cast("string"), lit(" now")))
+    aug
+      .select(col("doc_id"), expr(
+        """transform(split(aug, ' '), t ->
+          |  CASE WHEN t RLIKE '^[0-9]{13,19}$' AND
+          |    aggregate(sequence(1, length(t)), 0, (acc, i) -> acc +
+          |      CASE WHEN i % 2 = 0 THEN
+          |        CASE WHEN 2 * (ascii(substring(reverse(t), i, 1)) - 48) > 9
+          |          THEN 2 * (ascii(substring(reverse(t), i, 1)) - 48) - 9
+          |          ELSE 2 * (ascii(substring(reverse(t), i, 1)) - 48) END
+          |        ELSE ascii(substring(reverse(t), i, 1)) - 48 END) % 10 = 0
+          |  THEN '<CC>' ELSE t END)""".stripMargin).as("toks"))
+      .select(col("doc_id"),
+        expr("size(filter(toks, t -> t = '<CC>'))").cast("long")
+          .as("n_cards"),
+        expr("md5(array_join(toks, ' '))").as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document by
     * tf·ln(N/df), ties broken by term. Shuffle ledger: one (doc,term)
     * aggregate over the token stream, a term-level reduction of that
@@ -1176,6 +1231,7 @@ object TextQueries {
     "q_text_unigram_lp" -> (qTextUnigramLp(_, _)),
     "q_text_bigram_lm" -> (qTextBigramLm(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)),
+    "q_text_redact_cc" -> (qTextRedactCc(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -2000,6 +2056,50 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |  round(avg(lp), 6) AS mean_lp,
         |  round(exp(-avg(lp)), 3) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical injected card construction (computed Luhn check digit),
+    // identical token gate + mod-10 fold; only the VALID number redacts
+    "q_text_redact_cc" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    '4' || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR),
+        |      8, '0') || '990001' AS payload
+        |  FROM documents),
+        |chk AS (
+        |  SELECT doc_id, text, payload,
+        |    (10 - list_sum(list_transform(
+        |      generate_series(1, length(payload)), i ->
+        |      CASE WHEN i % 2 = 1 THEN
+        |        CASE WHEN 2 * (ascii(substring(reverse(payload), CAST(i AS INT), 1)) - 48) > 9
+        |          THEN 2 * (ascii(substring(reverse(payload), CAST(i AS INT), 1)) - 48) - 9
+        |          ELSE 2 * (ascii(substring(reverse(payload), CAST(i AS INT), 1)) - 48) END
+        |        ELSE ascii(substring(reverse(payload), CAST(i AS INT), 1)) - 48 END))
+        |      % 10) % 10 AS chk
+        |  FROM base),
+        |aug AS (
+        |  SELECT doc_id,
+        |    text || ' pay ' || payload || CAST(chk AS VARCHAR) ||
+        |      ' ref ' || payload || CAST((chk + 1) % 10 AS VARCHAR) ||
+        |      ' now' AS aug
+        |  FROM chk),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(aug, ' '), t ->
+        |      CASE WHEN regexp_full_match(t, '[0-9]{13,19}') AND
+        |        list_sum(list_transform(generate_series(1, length(t)),
+        |          i ->
+        |          CASE WHEN i % 2 = 0 THEN
+        |            CASE WHEN 2 * (ascii(substring(reverse(t), CAST(i AS INT), 1)) - 48) > 9
+        |              THEN 2 * (ascii(substring(reverse(t), CAST(i AS INT), 1)) - 48) - 9
+        |              ELSE 2 * (ascii(substring(reverse(t), CAST(i AS INT), 1)) - 48) END
+        |            ELSE ascii(substring(reverse(t), CAST(i AS INT), 1)) - 48 END))
+        |          % 10 = 0
+        |      THEN '<CC>' ELSE t END) AS toks
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t = '<CC>')) AS BIGINT)
+        |    AS n_cards,
+        |  md5(array_to_string(toks, ' ')) AS redacted_md5
+        |FROM toks ORDER BY doc_id""".stripMargin,
     "q_text_redact" -> {
       // DuckDB's regular string literals pass backslashes through
       // untouched, so the Java-regex strings embed verbatim
