@@ -216,6 +216,44 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** COMPLEX EVENT PROCESSING pattern match (the MATCH_RECOGNIZE /
+    * Flink-CEP class, strict-contiguity mode): each user's event
+    * history becomes an ordered one-char-per-event string (c/e/p/s/v
+    * initials are unique on this fixture), and the pattern
+    * click (view)* purchase — `cv*p` — is matched as a regex:
+    * non-overlapping match count, first match position and length.
+    * Regex-over-sequence IS the standard CEP compilation (both
+    * engines' regex teams — Java util.regex here, RE2 in the twin —
+    * agree on this pattern class: greedy star over a single literal
+    * can't backtrack into ambiguity).
+    *
+    * Scale: one per-user ordered aggregation (the q_event_markov
+    * shuffle class) then map-side regex; per-user sequences are
+    * bounded by per-user activity, never corpus size. first_pos
+    * exploits leftmost-match semantics: the first regex match's text
+    * cannot occur earlier as a substring (it would itself be a match),
+    * so instr(seq, match) is exactly the match start in both engines.
+    */
+  def qEventCep(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(ts, event_id, substring(event_type, 1, 1) AS c)))," +
+        " x -> x.c), '')").as("seq"))
+    seqs
+      .withColumn("m", regexp_extract(col("seq"), "cv*p", 0))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        regexp_count(col("seq"), lit("cv*p")).cast("long")
+          .as("n_matches"),
+        when(col("m") === "", lit(0L))
+          .otherwise(instr(col("seq"), col("m")).cast("long"))
+          .as("first_pos"),
+        length(col("m")).cast("long").as("first_len"))
+      .orderBy(col("user_id"))
+  }
+
   /** RFM SEGMENTATION (recency / frequency / monetary) of purchasing
     * users — the classic behavioral scoring every CRM warehouse runs:
     * each metric becomes a rank-based quintile score
@@ -270,6 +308,7 @@ object EventQueries {
 
   val defs: Map[String, Q] = Map(
     "q_event_rfm" -> (qEventRfm(_, _)),
+    "q_event_cep" -> (qEventCep(_, _)),
     "q_event_attribution" -> (qEventAttribution(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
     "q_event_markov" -> (qEventMarkov(_, _)),
@@ -280,6 +319,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same one-char sequence (ORDER BY ts, event_id) + RE2 regex over it
+    "q_event_cep" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(CASE WHEN regexp_extract(seq, 'cv*p') = '' THEN 0
+        |    ELSE strpos(seq, regexp_extract(seq, 'cv*p')) END AS BIGINT)
+        |    AS first_pos,
+        |  CAST(length(regexp_extract(seq, 'cv*p')) AS BIGINT)
+        |    AS first_len
+        |FROM s ORDER BY user_id""".stripMargin,
     "q_event_rfm" ->
       """WITH buys AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -427,6 +427,127 @@ object TextQueries {
       .orderBy(col("piece"))
   }
 
+  /** UNIGRAM-LM TOKENIZER (Kudo, ACL'18 — the SentencePiece unigram
+    * model), the THIRD tokenizer family next to BPE and WordPiece:
+    * Viterbi-optimal segmentation of every distinct word under a piece
+    * vocabulary scored by corpus log-frequency. Vocabulary = all
+    * single characters (coverage guarantee) plus the top-200 substrings
+    * of length 2–4 by corpus-weighted occurrence count; piece score =
+    * floor(10⁶·ln(cnt/total)) — an INTEGER, so the DP sums and argmax
+    * are exact cross-engine (the one ln per piece is the identical
+    * IEEE op on identical integers in both engines, the q_stat_psi
+    * doctrine). Viterbi: best(j) = max over last-piece lengths 1..4 of
+    * best(i) + score(w[i+1..j]), ties → longest last piece (smallest
+    * i) — pinned in both engines (strict-improvement ascending scan
+    * here, ORDER BY tot DESC, i ASC in the twin's unrolled DP CTEs).
+    *
+    * Scale: counting is corpus-wide but the DP runs on the DISTINCT
+    * word table (the q_text_wordpiece lesson — typed map, no
+    * per-occurrence work); the vocabulary collect is bounded by
+    * construction (≤ 200 + alphabet — the BPE-trainer bounded-collect
+    * class) and broadcasts as a plain map.
+    */
+  def qTextUnigramTok(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxW = 16 // explicit word-length cap, mirrored by the twin's DP depth
+    val tokc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxW)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pieceCnts = tokc.as[(String, Long)].flatMap { case (w, c) =>
+      for { i <- 0 until w.length; l <- 1 to 4 if i + l <= w.length }
+        yield (w.substring(i, i + l), c)
+    }.toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+    val vocabDf = pieceCnts.filter(length(col("p")) === 1)
+      .unionByName(pieceCnts.filter(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(200))
+    val vocab = vocabDf.as[(String, Long)].collect().toMap
+    val total = vocab.values.sum
+    val score: Map[String, Long] = vocab.map { case (p, cnt) =>
+      p -> math.floor(math.log(cnt.toDouble / total) * 1e6).toLong }
+    val bScore = spark.sparkContext.broadcast(score)
+    tokc.as[(String, Long)].map { case (w, c) =>
+      val sc = bScore.value
+      val n = w.length
+      val NEG = Long.MinValue / 4
+      val best = Array.fill(n + 1)(NEG)
+      val seg = Array.fill(n + 1)("")
+      val np = Array.fill(n + 1)(0L)
+      best(0) = 0L
+      var j = 1
+      while (j <= n) {
+        var i = math.max(0, j - 4)
+        while (i < j) { // ascending i + strict > ⇒ smallest i wins ties
+          if (best(i) != NEG) {
+            val p = w.substring(i, j)
+            sc.get(p).foreach { s =>
+              val tot = best(i) + s
+              if (tot > best(j)) {
+                best(j) = tot
+                seg(j) = if (seg(i).isEmpty) p else seg(i) + "|" + p
+                np(j) = np(i) + 1
+              }
+            }
+          }
+          i += 1
+        }
+        j += 1
+      }
+      (w, c, seg(n), np(n), best(n))
+    }.toDF("w", "c", "segmentation", "n_pieces", "score_total")
+      .orderBy(col("w"))
+  }
+
+  /** Twin of [[qTextUnigramTok]]: the Viterbi DP unrolled as one CTE
+    * pair (candidates → per-position argmax) per character position —
+    * the generated-CTE pattern of the BPE twin. */
+  private def unigramTokOracleSql: String = {
+    val maxW = 16
+    val jCtes = (1 to maxW).map { j =>
+      val prevs = (math.max(0, j - 4) until j)
+        .map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+      s"""c$j AS (SELECT b.w, b.c, $j AS j, b.tot + sc.s AS tot,
+         |    CASE WHEN b.seg = '' THEN sc.p
+         |      ELSE b.seg || '|' || sc.p END AS seg,
+         |    b.np + 1 AS np, b.j AS i
+         |  FROM ($prevs) b JOIN sc
+         |    ON length(b.w) >= $j
+         |   AND sc.p = substring(b.w, CAST(b.j + 1 AS INT), $j - b.j)),
+         |b$j AS MATERIALIZED (SELECT w, c, j, tot, seg, np FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY tot DESC, i ASC) AS rn FROM c$j)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |tokc AS MATERIALIZED (SELECT w, count(*) AS c FROM u
+       |  WHERE w <> '' AND length(w) <= $maxW GROUP BY w),
+       |cand AS (SELECT substring(w, CAST(i AS INT), CAST(l AS INT))
+       |    AS p, c
+       |  FROM tokc,
+       |    (SELECT unnest(generate_series(1, $maxW)) AS i),
+       |    (SELECT unnest(generate_series(1, 4)) AS l)
+       |  WHERE i + l - 1 <= length(w)),
+       |cnts AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM cand GROUP BY p),
+       |vocab AS (SELECT p, cnt FROM cnts WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (SELECT p, cnt FROM cnts
+       |    WHERE length(p) > 1 ORDER BY cnt DESC, p LIMIT 200)),
+       |tot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+       |sc AS MATERIALIZED (SELECT p, CAST(floor(ln(CAST(cnt AS DOUBLE)
+       |    / t) * 1000000) AS BIGINT) AS s FROM vocab, tot0),
+       |b0 AS MATERIALIZED (SELECT w, c, 0 AS j, CAST(0 AS BIGINT)
+       |    AS tot, '' AS seg, CAST(0 AS BIGINT) AS np FROM tokc),
+       |$jCtes,
+       |allb AS (${(1 to maxW).map(j => s"SELECT * FROM b$j")
+         .mkString(" UNION ALL ")})
+       |SELECT w, c, seg AS segmentation, np AS n_pieces,
+       |  tot AS score_total
+       |FROM allb WHERE j = length(w)
+       |ORDER BY w""".stripMargin
+  }
+
   /** Composite Gopher-style quality gate: per-rule verdicts + overall
     * pass. Thresholds chosen to split the fixture non-vacuously (at
     * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
@@ -1232,6 +1353,7 @@ object TextQueries {
     "q_text_bigram_lm" -> (qTextBigramLm(_, _)),
     "q_text_redact" -> (qTextRedact(_, _)),
     "q_text_redact_cc" -> (qTextRedactCc(_, _)),
+    "q_text_unigram_tok" -> (qTextUnigramTok(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -1633,6 +1755,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
 
   val oracles: Map[String, String] = Map(
     "q_text_wordpiece" -> wordpieceSql,
+    "q_text_unigram_tok" -> unigramTokOracleSql,
     // LBFS cut-point replay: the rolling window hash % 32 over the
     // window ENDING at i (1-based start i−7), identical cut array,
     // keep-first on chunk md5 by the same packed (doc, idx) key
