@@ -95,13 +95,64 @@ object QualityQueries {
       .orderBy($"c_nationkey", $"c_mktsegment")
   }
 
+  /** DIFFERENTIAL-PRIVACY noisy release of the (lang, source) document
+    * histogram — the ε-DP publication gate next to k-anonymity: each
+    * cell's count gets Laplace(1/ε) noise (ε = 1) via the inverse CDF,
+    * and only cells whose NOISY count clears the release threshold
+    * (τ = 8 — splitting this fixture non-vacuously, its largest cell
+    * being 16 docs) publish — raw counts never leave. The "randomness" is a
+    * deterministic md5-derived uniform per cell (the q_stat_bootstrap
+    * hash-uniform device), so the privacy MECHANISM — noise shape,
+    * thresholding, no-raw-output — is exercised with a replayable
+    * oracle; a production deployment swaps in a real entropy source
+    * (and that substitution is the ONLY difference).
+    *
+    * Scale: one hash aggregate; noise/threshold are map-side on the
+    * (tiny) cell table.
+    */
+  def qQualityDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("u", expr(
+        """CAST(conv(substring(md5(concat(lang, ':', source)), 1, 8),
+          |  16, 10) AS BIGINT) / 4294967296.0""".stripMargin
+          .replace("\n", " ")))
+      .withColumn("noisy", expr(
+        "cnt + (0.0 - sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))"))
+      .filter($"noisy" >= 8.0)
+      .select($"lang", $"source", round($"noisy", 6).as("noisy_r6"))
+      .orderBy($"lang", $"source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_quality_dp_release" -> (qQualityDpRelease(_, _)),
     "q_quality_kanon" -> (qQualityKanon(_, _)),
     "q_quality_constraints" -> (qQualityConstraints(_, _)),
     "q_text_blocklist" -> (qTextBlocklist(_, _))
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5-uniform, same inverse-CDF Laplace, same τ gate
+    "q_quality_dp_release" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+        |  FROM documents GROUP BY lang, source),
+        |n AS (SELECT lang, source, cnt,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef',
+        |          substring(md5(lang || ':' || source), CAST(d AS INT),
+        |          1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << CAST(4 * (8 - d) AS INT))))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM c),
+        |r AS (SELECT lang, source,
+        |    cnt + (0.0 - sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))
+        |      AS noisy
+        |  FROM n)
+        |SELECT lang, source, round(noisy, 6) AS noisy_r6
+        |FROM r WHERE noisy >= 8.0
+        |ORDER BY lang, source""".stripMargin,
     "q_quality_kanon" ->
       """SELECT c_nationkey, c_mktsegment,
         |  COUNT(*) AS class_size,

@@ -439,6 +439,49 @@ object StatsQueries {
       .orderBy($"event_type")
   }
 
+  /** ONE-WAY ANOVA of purchase values across event types — the
+    * k-group mean-difference test next to q_stat_ttest's two-group
+    * form: F = (SSB/(k−1)) / (SSW/(n−k)) with SSB = Σ T_g²/n_g − T²/n
+    * and SSW = Q − Σ T_g²/n_g, all from EXACT integer group moments
+    * (n_g, T_g = Σ cents, Q_g = Σ cents²). The only floating work is
+    * the T_g²/n_g fold, run over the groups in SORTED type order in
+    * both engines (collected k-row array here, ORDER BY-ed list there)
+    * — identical IEEE op sequence on identical integers.
+    *
+    * Scale: one hash aggregate to k moment rows; the fold is driver-
+    * sized. cents² sums bound: 10⁶ rows of ≤ $10⁴ values ≈ 10¹⁶ < 2⁶³;
+    * beyond that, widen to DECIMAL(38) sums.
+    */
+  def qStatAnova(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", e2($"value").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("ng"), sum($"v").as("tg"),
+        sum($"v" * $"v").as("qg"))
+    g.groupBy()
+      .agg(expr("sort_array(collect_list(struct(event_type, ng, tg, qg)))")
+        .as("gs"))
+      .select(
+        expr("cast(size(gs) as bigint)").as("k"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.ng)")
+          .as("n"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.tg)")
+          .as("t"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.qg)")
+          .as("q"),
+        expr("aggregate(gs, cast(0.0 as double)," +
+          " (a, x) -> a + cast(x.tg as double) * x.tg / x.ng)")
+          .as("sst"))
+      .select(col("k"), col("n"),
+        round(expr("sst - cast(t as double) * t / n"), 6).as("ssb_r6"),
+        round(expr("q - sst"), 6).as("ssw_r6"),
+        round(expr(
+          "((sst - cast(t as double) * t / n) / (k - 1)) /" +
+            " ((q - sst) / (n - k))"), 6).as("f_r6"))
+  }
+
   /** Benford first-digit conformance of order totals — the classic
     * fabricated-data screen: observed first-significant-digit counts
     * vs Benford's log10(1 + 1/d) expectation, with the χ² statistic
@@ -499,6 +542,7 @@ object StatsQueries {
 
   val defs: Map[String, Q] = Map(
     "q_stat_psi" -> (qStatPsi(_, _)),
+    "q_stat_anova" -> (qStatAnova(_, _)),
     "q_stat_benford" -> (qStatBenford(_, _)),
     "q_stat_gini" -> (qStatGini(_, _)),
     "q_stat_bootstrap" -> (qStatBootstrap(_, _)),
@@ -530,6 +574,29 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical sorted-group T²/n fold over exact integer moments
+    "q_stat_anova" ->
+      """WITH g AS (SELECT event_type,
+        |    count(*) AS ng,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS tg,
+        |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+        |      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qg
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(tg) AS BIGINT) AS t,
+        |    CAST(SUM(qg) AS BIGINT) AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(tg AS DOUBLE) * tg / ng ORDER BY event_type)),
+        |      (a, b) -> a + b) AS sst
+        |  FROM g)
+        |SELECT k, n,
+        |  round(sst - CAST(t AS DOUBLE) * t / n, 6) AS ssb_r6,
+        |  round(q - sst, 6) AS ssw_r6,
+        |  round(((sst - CAST(t AS DOUBLE) * t / n) / (k - 1))
+        |    / ((q - sst) / (n - k)), 6) AS f_r6
+        |FROM s""".stripMargin,
     "q_stat_psi" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,

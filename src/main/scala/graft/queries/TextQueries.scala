@@ -548,6 +548,48 @@ object TextQueries {
        |ORDER BY w""".stripMargin
   }
 
+  /** COLLOCATION EXTRACTION by pointwise mutual information (Church &
+    * Hanks 1990) — the classic "which word pairs belong together"
+    * statistic: PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) over adjacent
+    * token bigrams, reported for pairs seen ≥ 5 times, top-30 by
+    * (rounded) PMI. The ratio is assembled from EXACT integer counts
+    * in one pinned double expression — c_xy·N_u·N_u / (N_b·c_x·c_y) —
+    * so both engines evaluate identical IEEE ops on identical integers
+    * (products past 2⁵³ round, but identically; the overflow-free form
+    * for petabyte token counts is ln c_xy + 2 ln N_u − ln N_b −
+    * ln c_x − ln c_y, at the cost of five ln calls).
+    *
+    * Scale: bigrams build MAP-SIDE from each doc's token array (no
+    * lag-window shuffle — the q_text_bigram_lm discipline); one count
+    * aggregate per arity; the unigram re-attach joins the (already
+    * tiny) thresholded bigram table; top-30 is TakeOrdered.
+    */
+  def qTextPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), "\\s+").as("ts"))
+      .select(expr("filter(ts, t -> t <> '')").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    val bi = toks.select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(element_at(ts, i) AS x," +
+          " element_at(ts, i + 1) AS y))")).as("b"))
+      .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    val nu = uni.agg(sum(col("cx")).as("n_u"))
+    val nb = toks.agg(sum(expr("size(ts) - 1")).as("n_b"))
+    bi.join(uni, "x")
+      .join(uni.select(col("x").as("y"), col("cx").as("cy")), "y")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("cxy"),
+        round(log(col("cxy").cast("double") * col("n_u") * col("n_u") /
+          (col("n_b").cast("double") * col("cx") * col("cy"))), 6)
+          .as("pmi_r6"))
+      .orderBy(col("pmi_r6").desc, col("x"), col("y"))
+      .limit(30)
+  }
+
   /** Composite Gopher-style quality gate: per-rule verdicts + overall
     * pass. Thresholds chosen to split the fixture non-vacuously (at
     * sf0.01: 457/500 pass length, 493/500 mean-length, 388/500
@@ -1354,6 +1396,7 @@ object TextQueries {
     "q_text_redact" -> (qTextRedact(_, _)),
     "q_text_redact_cc" -> (qTextRedactCc(_, _)),
     "q_text_unigram_tok" -> (qTextUnigramTok(_, _)),
+    "q_text_pmi" -> (qTextPmi(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -1756,6 +1799,27 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   val oracles: Map[String, String] = Map(
     "q_text_wordpiece" -> wordpieceSql,
     "q_text_unigram_tok" -> unigramTokOracleSql,
+    // identical pinned double expression over exact integer counts
+    "q_text_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS ts FROM documents),
+        |uc AS (SELECT x, count(*) AS cx
+        |  FROM (SELECT unnest(ts) AS x FROM t) GROUP BY x),
+        |bi AS (SELECT ts[CAST(i AS INT)] AS x,
+        |    ts[CAST(i + 1 AS INT)] AS y
+        |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM t)),
+        |bc AS (SELECT x, y, count(*) AS cxy FROM bi GROUP BY x, y
+        |  HAVING count(*) >= 5),
+        |nu AS (SELECT CAST(SUM(cx) AS BIGINT) AS n_u FROM uc),
+        |nb AS (SELECT CAST(SUM(len(ts) - 1) AS BIGINT) AS n_b FROM t)
+        |SELECT bc.x, bc.y, bc.cxy,
+        |  round(ln((CAST(bc.cxy AS DOUBLE) * n_u * n_u)
+        |    / (CAST(n_b AS DOUBLE) * a.cx * b.cy)), 6) AS pmi_r6
+        |FROM bc JOIN uc a ON bc.x = a.x
+        |JOIN (SELECT x AS y, cx AS cy FROM uc) b ON bc.y = b.y
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi_r6 DESC, bc.x, bc.y LIMIT 30""".stripMargin,
     // LBFS cut-point replay: the rolling window hash % 32 over the
     // window ENDING at i (1-based start i−7), identical cut array,
     // keep-first on chunk md5 by the same packed (doc, idx) key
