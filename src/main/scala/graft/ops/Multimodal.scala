@@ -964,6 +964,55 @@ object Multimodal {
     }
   }
 
+  case class TonePower(path: String, probe: String, power: Long,
+                       share_ppm: Double)
+
+  /** GOERTZEL single-bin tone detection (Goertzel 1958) over 16-bit
+    * mono PCM — the per-frequency DSP probe a media pipeline runs for
+    * tone/DTMF/test-signal detection without a full FFT. Probes are
+    * fixed at the four rational bins whose 2·cos(2πf/fs) coefficient is
+    * an EXACT INTEGER — f = fs/6, fs/4, fs/3, fs/2 → coeff 1, 0, −1,
+    * −2 — so the whole recurrence (s₀ = (x + c·s₁) − s₂) runs in
+    * integer-valued doubles with no libm call anywhere: as long as the
+    * states stay under 2⁵³ (|s| ≲ n·A — a few 10⁷ for the fixtures,
+    * bound documented at the call site) the powers are EXACT integers
+    * and the DuckDB twin reproduces them bit-for-bit with a struct
+    * fold. power = (s₁² + s₂²) − c·s₁·s₂ after the full sample fold;
+    * share_ppm normalizes by the four probes' total in probe order.
+    *
+    * Scale: one sequential fold per file inside mapPartitions (the
+    * binary-codec exception class); output is 4 rows per file.
+    */
+  def goertzelProbes(media: Dataset[MediaFile]): Dataset[TonePower] = {
+    import media.sparkSession.implicits._
+    val probes = Seq(("fs_over_6", 1.0), ("fs_over_4", 0.0),
+      ("fs_over_3", -1.0), ("fs_over_2", -2.0))
+    media.flatMap { m =>
+      val b = m.content
+      def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      wavPcmLayout(b).toSeq.flatMap {
+        case (channels, _, bits, off, sz) if channels == 1 && bits == 16 =>
+          val n = sz / 2
+          val powers = probes.map { case (name, c) =>
+            var s1 = 0.0; var s2 = 0.0; var i = 0
+            while (i < n) {
+              val v = u16(off + i * 2)
+              val x = (if (v >= 0x8000) v - 0x10000 else v).toDouble
+              val s0 = (x + c * s1) - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            (name, ((s1 * s1 + s2 * s2) - c * s1 * s2))
+          }
+          val tot = powers.foldLeft(0.0)(_ + _._2) // probe order
+          powers.map { case (name, p) =>
+            TonePower(m.path, name, p.toLong, p * 1000000.0 / tot)
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
   /** 64-bit AUDIO energy-delta hash — the time-domain analog of the
     * image dHash: mix each PCM frame down to mono, split the frame
     * stream into 65 equal windows, take each window's mean absolute

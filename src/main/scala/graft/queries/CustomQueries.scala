@@ -155,6 +155,98 @@ object CustomQueries {
       "x.mp3" -> mp3)
   }
 
+  /** Integer sample-period tables for the Goertzel fixtures — literal
+    * in BOTH engines (the twin regenerates the tiled sample stream from
+    * these, so the oracle replays the DSP without reading WAV bytes). */
+  private[queries] val tonePeriod6: Seq[Int] =
+    Seq(0, 13856, 13856, 0, -13856, -13856) // fundamental at fs/6
+  private[queries] val tonePeriod4: Seq[Int] =
+    Seq(0, 15000, 0, -15000)                // fundamental at fs/4
+
+  /** 16-bit mono 8 kHz WAVs tiling the integer period tables — pure
+    * integer PCM, byte-identical every run. */
+  private lazy val goertzelFixtures: Map[String, Array[Byte]] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val pcm = samples.toArray.flatMap(le16)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+        ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    Map("tone6.wav" -> wav(Seq.fill(400)(tonePeriod6).flatten),
+      "tone4.wav" -> wav(Seq.fill(600)(tonePeriod4).flatten))
+  }
+
+  /** GOERTZEL tone probes over the real PCM decode path
+    * ([[graft.ops.Multimodal.goertzelProbes]]): two pure-integer tone
+    * fixtures (periods 6 and 4 at 8 kHz — fundamentals exactly at the
+    * fs/6 and fs/4 probe bins), four integer-coefficient probes each.
+    * Exactness bound honored: n = 2400 samples of |x| ≤ 15000 keep
+    * every Goertzel state under ~2³⁶ and every power under 2⁵³, so the
+    * powers are exact integers and the twin's struct-fold replay is
+    * bit-identical. Expected physics: tone6's power concentrates at
+    * fs_over_6, tone4's at fs_over_4 — visible in share_ppm.
+    */
+  def qMultimodalGoertzel(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-goertzel")
+    goertzelFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    Multimodal.goertzelProbes(media).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("probe"), col("power"),
+        round(col("share_ppm"), 6).as("share_ppm_r6"))
+      .orderBy(col("file"), col("probe"))
+  }
+
+  /** Twin of [[qMultimodalGoertzel]]: regenerates the tiled integer
+    * sample streams from the shared period literals and replays the
+    * recurrence as a two-element LIST fold [s₁, s₂] (acc seeds from
+    * the first element — [x₀, 0] — exactly the engine's state after
+    * its first step). A STRUCT accumulator would be the natural shape,
+    * but DuckDB 1.0's list_reduce computes struct fields in lambda
+    * results incorrectly (both fields collapse to the first — verified
+    * on a 3-element trace); list indexing folds correctly. */
+  private def goertzelOracleSql: String = {
+    def arr(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+    val files = Seq(("tone4.wav", tonePeriod4, 600),
+      ("tone6.wav", tonePeriod6, 400))
+    val fileRows = files.map { case (f, per, reps) =>
+      s"SELECT '$f' AS file, ${arr(per)} AS per, " +
+        s"${per.size * reps} AS n"
+    }.mkString(" UNION ALL ")
+    val probes = Seq(("fs_over_6", "1.0"), ("fs_over_4", "0.0"),
+      ("fs_over_3", "-1.0"), ("fs_over_2", "-2.0"))
+    val probeRows = probes.zipWithIndex.map { case ((p, c), i) =>
+      s"SELECT '$p' AS probe, CAST($c AS DOUBLE) AS c, $i AS ord"
+    }.mkString(" UNION ALL ")
+    s"""WITH f AS ($fileRows),
+       |xs AS (SELECT file, list_transform(generate_series(0, n - 1),
+       |    i -> CAST(per[CAST(i % len(per) + 1 AS INT)] AS DOUBLE))
+       |    AS x FROM f),
+       |pr AS ($probeRows),
+       |st AS (SELECT file, probe, ord, c,
+       |    list_reduce(list_transform(x,
+       |      v -> [v, CAST(0.0 AS DOUBLE)]),
+       |      (a, b) -> [(b[1] + c * a[1]) - a[2], a[1]]) AS s
+       |  FROM xs CROSS JOIN pr),
+       |pw AS (SELECT file, probe, ord,
+       |    (s[1] * s[1] + s[2] * s[2]) - c * s[1] * s[2] AS p
+       |  FROM st),
+       |tot AS (SELECT file, list_reduce(list_prepend(
+       |    CAST(0.0 AS DOUBLE), list(p ORDER BY ord)), (a, b) -> a + b)
+       |    AS t FROM pw GROUP BY file)
+       |SELECT pw.file, pw.probe, CAST(pw.p AS BIGINT) AS power,
+       |  round(pw.p * 1000000.0 / t, 6) AS share_ppm_r6
+       |FROM pw JOIN tot USING (file)
+       |ORDER BY file, probe""".stripMargin
+  }
+
   /** Deterministic fixtures for the audio near-dup query: 16-bit mono
     * 8 kHz sines whose per-window amplitude ENVELOPE is the controlled
     * variable (65 windows × 32 frames — the energy-delta hash bit i
@@ -968,6 +1060,7 @@ object CustomQueries {
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
+    "q_multimodal_goertzel" -> (qMultimodalGoertzel(_, _)),
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
@@ -1112,6 +1205,7 @@ object CustomQueries {
     // (tone 2000/8000 s; st 2/4000 s; ima 505/8000 s; the mp3 blob's
     // stub features derive from its FNV hash); RMS/peak are the
     // deterministic decode outputs rounded to 6 decimals.
+    "q_multimodal_goertzel" -> goertzelOracleSql,
     "q_multimodal_audio" ->
       """SELECT * FROM (VALUES
         |  ('ima.wav', CAST(300 AS BIGINT),
