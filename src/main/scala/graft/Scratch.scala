@@ -173,7 +173,22 @@ object Scratch {
           "on either side — the prepared-layout fact join"),
       "q_rec_item_cf" ->
         ("item-item CF: degree-capped per-user wedge join; " +
-          "(user,item) and (i,j) shuffles only, never item x item"))
+          "(user,item) and (i,j) shuffles only, never item x item"),
+      "q_event_attribution" ->
+        ("attribution touch join: equi-keys (user, 24h bucket) with a " +
+          "two-bucket probe — the exact window predicate prunes " +
+          "same-bucket matches, never a per-user C*P expansion"),
+      "q_er_dedupe" ->
+        ("entity resolution: deletion-neighborhood blocking keys " +
+          "(9 per record, each carrying 8 discriminating digits) — " +
+          "equi-join candidates, Levenshtein verify on candidates only"),
+      "q_text_pmi" ->
+        ("PMI collocations: bigrams built map-side from token arrays; " +
+          "two count aggregates; unigram re-attach joins only the " +
+          "thresholded bigram table; top-30 is TakeOrdered"),
+      "q_event_cep" ->
+        ("CEP pattern match: ONE per-user ordered aggregate builds " +
+          "the event string; regex evaluation is map-side"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
