@@ -548,6 +548,29 @@ object TextQueries {
        |ORDER BY w""".stripMargin
   }
 
+  /** MULTI-PATTERN SUBSTRING SCAN via Aho–Corasick
+    * ([[graft.ops.TextScan]]) — the substring-dictionary counterpart
+    * of the word-level blocklist gate: all four patterns match in ONE
+    * O(len) pass per document regardless of dictionary size. The
+    * pattern set (ha / sh / has / ash) nests inside the corpus-common
+    * token "hash", so one token fires all four outputs — two of them
+    * ending at the same position — through the automaton's fail-chain
+    * output links — the machinery a naive
+    * per-pattern scan only reproduces at |dictionary|× the cost.
+    *
+    * Oracle note: the twin counts per pattern with the
+    * length-difference replace trick, which equals the automaton's
+    * every-occurrence count exactly when no pattern can overlap
+    * ITSELF — true for all four (none has a border); self-overlapping
+    * patterns (e.g. "aa") are pinned against brute force in
+    * TextScanSpec instead.
+    */
+  def qTextMultiscan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextScan.multiPatternCounts(
+        Tables.documents(spark, dir), "doc_id", "text",
+        Seq("ha", "sh", "has", "ash"))
+      .orderBy(col("doc_id"), col("pattern"))
+
   /** COLLOCATION EXTRACTION by pointwise mutual information (Church &
     * Hanks 1990) — the classic "which word pairs belong together"
     * statistic: PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) over adjacent
@@ -1397,6 +1420,7 @@ object TextQueries {
     "q_text_redact_cc" -> (qTextRedactCc(_, _)),
     "q_text_unigram_tok" -> (qTextUnigramTok(_, _)),
     "q_text_pmi" -> (qTextPmi(_, _)),
+    "q_text_multiscan" -> (qTextMultiscan(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -1799,6 +1823,18 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   val oracles: Map[String, String] = Map(
     "q_text_wordpiece" -> wordpieceSql,
     "q_text_unigram_tok" -> unigramTokOracleSql,
+    // replace-trick occurrence counts — exact for patterns that cannot
+    // self-overlap (all four here); see the query scaladoc
+    "q_text_multiscan" ->
+      """WITH p AS (SELECT * FROM (VALUES ('ha'), ('sh'), ('has'),
+        |    ('ash')) AS t(pattern)),
+        |c AS (SELECT d.doc_id, p.pattern,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) AS n
+        |  FROM documents d CROSS JOIN p)
+        |SELECT doc_id, pattern, CAST(n AS BIGINT) AS n
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, pattern""".stripMargin,
     // identical pinned double expression over exact integer counts
     "q_text_pmi" ->
       """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'),
