@@ -334,7 +334,57 @@ object CurationQueries {
       .orderBy($"shard")
   }
 
+  /** NEYMAN-OPTIMAL sample allocation (Neyman 1934) — the survey-
+    * statistics answer to "how many docs per source for a fixed
+    * labeling budget": stratum h gets budget · N_h·S_h / Σ N·S, which
+    * minimizes the variance of the stratified mean (here over doc
+    * length). Complements the existing samplers: q_curate_sample_quota
+    * fixes counts, q_curate_sample_stratified fixes rates; Neyman
+    * DERIVES the counts from within-stratum dispersion.
+    *
+    * Determinism discipline: S_h comes from exact integer moments in
+    * one pinned double expression; the weight total folds over the
+    * strata in SORTED source order (the q_stat_anova device); integer
+    * seats assign by floor + largest-remainder with a (frac desc,
+    * source) tie order — identical doubles, identical seats in both
+    * engines. Single-doc strata are excluded (no variance estimate).
+    *
+    * Scale: one moment aggregate over the corpus; everything after
+    * runs on the |strata|-row table (1-row broadcasts, tiny windows).
+    */
+  def qCurateNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 200L
+    val st = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("t"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+      .filter(col("n") >= 2)
+      .withColumn("sd", expr(
+        "sqrt(cast(n * q - t * t as double) / cast(n * (n - 1) as double))"))
+      .withColumn("w", col("n") * col("sd"))
+    val wtot = st
+      .agg(expr("sort_array(collect_list(struct(source, w)))").as("ws"))
+      .select(expr(
+        "aggregate(ws, cast(0.0 as double), (a, x) -> a + x.w)")
+        .as("wtot"))
+    val based = st.crossJoin(broadcast(wtot))
+      .withColumn("exact_share", lit(budget) * col("w") / col("wtot"))
+      .withColumn("base", floor(col("exact_share")).cast("long"))
+      .withColumn("frac", col("exact_share") - col("base"))
+    val sums = based.agg(sum(col("base")).as("sumbase"))
+    based.crossJoin(broadcast(sums))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("frac").desc, col("source"))))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("sd"), 6).as("sd_r6"),
+        (col("base") + when(col("rk") <= lit(budget) - col("sumbase"),
+          1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_neyman" -> (qCurateNeyman(_, _)),
     "q_curate_shard" -> (qCurateShard(_, _)),
     "q_curate_neg_sample" -> (qNegSample(_, _)),
     "q_curate_curriculum_global" -> (qCurriculumGlobal(_, _)),
@@ -485,6 +535,33 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // identical moment arithmetic, source-ordered weight fold, and
+    // floor + largest-remainder seat assignment
+    "q_curate_neyman" ->
+      """WITH st AS (SELECT source, count(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS t,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents GROUP BY source HAVING count(*) >= 2),
+        |sd AS (SELECT source, n,
+        |    sqrt(CAST(n * q - t * t AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE)) AS sd
+        |  FROM st),
+        |w AS (SELECT source, n, sd, n * sd AS w FROM sd),
+        |wt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(w ORDER BY source)), (a, b) -> a + b) AS wtot FROM w),
+        |b AS (SELECT source, n, sd, w,
+        |    200 * w / wtot AS exact_share,
+        |    CAST(floor(200 * w / wtot) AS BIGINT) AS base
+        |  FROM w CROSS JOIN wt),
+        |s AS (SELECT *, exact_share - base AS frac,
+        |    CAST(SUM(base) OVER () AS BIGINT) AS sumbase,
+        |    row_number() OVER (ORDER BY exact_share - base DESC, source)
+        |      AS rk
+        |  FROM b)
+        |SELECT source, n AS n_docs, round(sd, 6) AS sd_r6,
+        |  base + CASE WHEN rk <= 200 - sumbase THEN 1 ELSE 0 END
+        |    AS alloc
+        |FROM s ORDER BY source""".stripMargin,
     // the two-level prefix sum must equal the plain global cumsum
     "q_curate_shard" ->
       """WITH d AS (SELECT doc_id,

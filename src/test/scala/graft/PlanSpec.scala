@@ -93,6 +93,27 @@ class PlanSpec extends SparkTestBase {
       "second construction must submit zero Spark jobs")
   }
 
+  test("round-9 candidate/verify ops: no cartesian products or " +
+    "unbounded nested loops anywhere") {
+    // ER: deletion-neighborhood equi-join candidates + id-equi verify;
+    // snapshot diff: one full-outer equi-join; CEP: one aggregate +
+    // map-side regex; PMI: only 1-row broadcasts may nest-loop
+    Seq("q_er_dedupe", "q_lake_snapshot_diff", "q_event_cep")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), q)
+        assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      }
+    assert(!plan("q_text_pmi").contains("CartesianProduct"))
+  }
+
+  test("multi-pattern AC scan is join-free: one typed pass over " +
+    "documents, the automaton arrives by broadcast") {
+    val p = plan("q_text_multiscan")
+    assert(!p.contains("Join"), "no join of any kind")
+    assert(p.contains("SerializeFromObject"), "typed map path")
+  }
+
   test("semi/anti joins plan as real semi/anti, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
