@@ -436,6 +436,57 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** STREAMING CEP end-to-end under the driver harness
+    * ([[StreamOps.cepWithState]]): the q_event_cep pattern as a
+    * cross-batch per-user state machine over the same deterministic
+    * first-15-days/rest split as the other streamed exemplars (per-key
+    * arrival is in event-time order across the boundary, the state
+    * contract). The query returns each user's LATEST update — which
+    * must equal the batch regex evaluation over the whole history, so
+    * the ORACLE IS q_event_cep's own twin: a partial-match frame that
+    * failed to carry across the batch boundary (e.g. a click on day 14
+    * completing to a purchase on day 15) breaks the hash.
+    */
+  def qStreamCep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_cep")
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val dd = datediff(to_date(col("ts")), lit(minDay))
+    ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(dd >= 15).coalesce(1).write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val updates = StreamOps.cepWithState(stream.as[StreamOps.CepIn])
+    val q = updates.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .groupBy(col("user_id"))
+      .agg(expr("max_by(struct(seq_len, n_matches, first_pos, " +
+        "first_len), update_seq)").as("f"))
+      .select(col("user_id"), col("f.seq_len").as("seq_len"),
+        col("f.n_matches").as("n_matches"),
+        col("f.first_pos").as("first_pos"),
+        col("f.first_len").as("first_len"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming PSI DRIFT MONITOR at ingest, end-to-end under the
     * driver harness ([[StreamOps.psiIngest]]): events split into two
     * deterministic micro-batches on the batch q_stat_psi's own
@@ -885,7 +936,8 @@ object StreamQueries {
     "q_stream_session" -> (qStreamSession(_, _)),
     "q_stream_session_state" -> (qStreamSessionState(_, _)),
     "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _)),
-    "q_stream_session_dedup" -> (qStreamSessionDedup(_, _))
+    "q_stream_session_dedup" -> (qStreamSessionDedup(_, _)),
+    "q_stream_cep" -> (qStreamCep(_, _))
   )
 
   val oracles: Map[String, String] = Map(
@@ -907,6 +959,9 @@ object StreamQueries {
     // Same twin as q_join_asof: the streamed temporal join must equal
     // the batch as-of recompute.
     "q_stream_asof" -> JoinQueries.oracles("q_join_asof"),
+    // streamed CEP == batch CEP: the cross-batch partial-match state
+    // must reproduce the whole-history regex evaluation exactly
+    "q_stream_cep" -> EventQueries.oracles("q_event_cep"),
     // Full replay of the two-batch PSI drift monitor: batch 0 (global
     // first 15 days) builds the decile sidecar and scores exactly 0.0
     // against itself; batch 1 is scored against batch 0's persisted

@@ -243,6 +243,72 @@ object StreamOps {
       }
   }
 
+  case class CepIn(user_id: Long, ts: java.sql.Timestamp,
+                   event_id: Long, event_type: String)
+  case class CepState(n: Long, matches: Long, firstPos: Long,
+                      firstLen: Long, cur: Int, curStart: Long,
+                      updates: Long)
+  case class CepUpdate(user_id: Long, update_seq: Long, seq_len: Long,
+                       n_matches: Long, first_pos: Long, first_len: Long)
+
+  /** STREAMING CEP — the `click (view)* purchase` pattern of
+    * q_event_cep run as a cross-batch state machine
+    * (flatMapGroupsWithState): per key the state is ONE partial-match
+    * frame (position counter, current attempt start, match/first-match
+    * bookkeeping — O(1) per key, independent of history length), each
+    * batch folds its rows in deterministic (ts, event_id) order on top
+    * of it, and one update row emits per key per batch.
+    *
+    * The transition function is exactly the regex's leftmost
+    * non-overlapping semantics for this pattern class: only 'c' can
+    * open an attempt, only 'v' extends one, 'p' closes it as a match,
+    * a 'c' mid-attempt RESTARTS at the new position (the failed
+    * attempt cannot contain a later start — everything between was
+    * views), anything else aborts. So with per-key in-order batch
+    * arrival the final update equals the batch regex evaluation — the
+    * oracle is q_event_cep's own twin.
+    */
+  def cepWithState(events: Dataset[CepIn]): Dataset[CepUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, CepUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CepIn], st: GroupState[CepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val s = st.getOption.getOrElse(
+              CepState(0L, 0L, 0L, 0L, 0, 0L, 0L))
+            var n = s.n; var matches = s.matches
+            var firstPos = s.firstPos; var firstLen = s.firstLen
+            var cur = s.cur; var curStart = s.curStart
+            for (e <- sorted) {
+              n += 1
+              val c = e.event_type.charAt(0)
+              if (cur == 1) {
+                if (c == 'v') ()
+                else if (c == 'p') {
+                  matches += 1
+                  if (firstPos == 0L) {
+                    firstPos = curStart; firstLen = n - curStart + 1
+                  }
+                  cur = 0
+                } else if (c == 'c') curStart = n
+                else cur = 0
+              } else if (c == 'c') { cur = 1; curStart = n }
+            }
+            val upd = s.updates + 1L
+            st.update(CepState(n, matches, firstPos, firstLen, cur,
+              curStart, upd))
+            Iterator.single(
+              CepUpdate(uid, upd, n, matches, firstPos, firstLen))
+          }
+      }
+  }
+
   case class AsOfIn(k: Long, t: java.sql.Timestamp, side: Int, v: Long)
   case class AsOfBuf(lefts: List[(Long, Long)], rights: List[(Long, Long)])
   case class AsOfOut(k: Long, t: java.sql.Timestamp, lv: Long,

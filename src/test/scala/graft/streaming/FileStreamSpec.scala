@@ -636,6 +636,47 @@ class FileStreamSpec extends SparkTestBase {
     assert(got == Seq((7L, 3L)), s"got $got")
   }
 
+  test("cepWithState: a partial match OPEN at the batch boundary " +
+      "(click+view in batch A, view+purchase in batch B) completes " +
+      "across it") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = Files.createTempDirectory("cep-state").toString
+    val src = s"$dir/src"
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq((9L, ts(0), 1L, "click"), (9L, ts(1), 2L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    Seq((9L, ts(2), 3L, "view"), (9L, ts(3), 4L, "purchase"),
+        (9L, ts(4), 5L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    val schema = spark.read.parquet(s"$src/a.parquet").schema
+    val updates = StreamOps.cepWithState(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*")
+        .as[StreamOps.CepIn])
+    val q = updates.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("update_seq", "seq_len", "n_matches", "first_pos",
+        "first_len")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // batch A: attempt open (c v…), nothing matched yet
+    assert(rows(0) == ((1L, 2L, 0L, 0L, 0L)), s"got ${rows(0)}")
+    // batch B: the held attempt completes — match spans positions 1..4
+    assert(rows(1) == ((2L, 5L, 1L, 1L, 4L)), s"got ${rows(1)}")
+  }
+
   test("psiIngest: batch 1 scores against batch 0's PERSISTED decile " +
       "sidecar (ref batch scores exactly 0.0); a CORRUPT sidecar " +
       "aborts instead of silently re-baselining the monitor") {
