@@ -216,6 +216,47 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** INTERVAL-UNION COVERAGE — "how long was each user actually
+    * engaged": every event opens a 10-minute exposure window
+    * [ts, ts+600 s) on exact MICROSECOND integers (unix_micros /
+    * epoch_us — the q_window_sessionize portability lesson: this
+    * fixture's timestamps are sub-second), and overlapping windows
+    * merge before summing, so
+    * burst activity doesn't double-count (the classic
+    * union-of-intervals problem; the complement of sessionization,
+    * which reports boundaries — this reports covered TIME). Running-max
+    * interval merge (the scrubSpans device on the time axis): one
+    * window pass flags gap starts, a
+    * running sum numbers the islands, one aggregate sums island
+    * extents.
+    *
+    * Scale: one hash exchange on user_id feeds both window passes and
+    * the aggregates; state per user is its own event list.
+    */
+  def qEventCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("s"),
+        (expr("unix_micros(ts)") + 600000000L).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val islands = iv
+      .withColumn("maxe", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when(col("maxe").isNull ||
+        col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("grp", sum(col("ng")).over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("s")).as("gs"), max(col("e")).as("ge"),
+        count(lit(1)).as("nev"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("nev")).as("n_events"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("ge") - col("gs")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** COMPLEX EVENT PROCESSING pattern match (the MATCH_RECOGNIZE /
     * Flink-CEP class, strict-contiguity mode): each user's event
     * history becomes an ordered one-char-per-event string (c/e/p/s/v
@@ -309,6 +350,7 @@ object EventQueries {
   val defs: Map[String, Q] = Map(
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
+    "q_event_coverage" -> (qEventCoverage(_, _)),
     "q_event_attribution" -> (qEventAttribution(_, _)),
     "q_event_funnel" -> (qEventFunnel(_, _)),
     "q_event_markov" -> (qEventMarkov(_, _)),
@@ -319,6 +361,30 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same running-max interval merge on exact epoch seconds
+    "q_event_coverage" ->
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ng
+        |  FROM m),
+        |g AS (SELECT user_id, s, e,
+        |    SUM(ng) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM f),
+        |isl AS (SELECT user_id, grp, MIN(s) AS gs, MAX(e) AS ge,
+        |    COUNT(*) AS nev
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(nev) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_intervals,
+        |  CAST(SUM(ge - gs) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same one-char sequence (ORDER BY ts, event_id) + RE2 regex over it
     "q_event_cep" ->
       """WITH s AS (

@@ -548,6 +548,40 @@ object TextQueries {
        |ORDER BY w""".stripMargin
   }
 
+  /** POSTINGS-LIST COMPRESSION SIZING — the index-storage planning
+    * pass behind every inverted index (Manning et al. IIR §5:
+    * gap + variable-byte encoding): per token, the sorted posting list
+    * becomes doc-id GAPS (first gap encodes from −1 so absolute ids
+    * need no special case) and each gap costs ⌈bits(gap)/7⌉
+    * variable-byte bytes, with bits(gap) = length of the minimal
+    * binary string — integer-exact in both engines via bin(). Reports
+    * the top-30 tokens by document frequency with varint vs raw
+    * (8 B/id) bytes and savings ppm — the "should we compress, and
+    * what does the index cost" answer.
+    *
+    * Scale: distinct (token, doc) reduction + one per-token window
+    * (state = one token's postings) + one aggregate; arithmetic is
+    * map-side.
+    */
+  def qTextPostingsSize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pl = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    pl.withColumn("gap", col("doc_id") -
+        coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+      .withColumn("vb", expr("(length(bin(gap)) + 6) div 7"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("vb")).as("varint_bytes"))
+      .withColumn("raw_bytes", col("df") * 8)
+      .withColumn("savings_ppm", expr(
+        "(raw_bytes - varint_bytes) * 1000000 div raw_bytes"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(30)
+  }
+
   /** MULTI-PATTERN SUBSTRING SCAN via Aho–Corasick
     * ([[graft.ops.TextScan]]) — the substring-dictionary counterpart
     * of the word-level blocklist gate: all four patterns match in ONE
@@ -1421,6 +1455,7 @@ object TextQueries {
     "q_text_unigram_tok" -> (qTextUnigramTok(_, _)),
     "q_text_pmi" -> (qTextPmi(_, _)),
     "q_text_multiscan" -> (qTextMultiscan(_, _)),
+    "q_text_postings_size" -> (qTextPostingsSize(_, _)),
     "q_text_repetition" -> (qTextRepetition(_, _)),
     "q_text_stats" -> (qTextStats(_, _)),
     "q_text_token_count" -> (qTextTokenCount(_, _)),
@@ -1823,6 +1858,23 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   val oracles: Map[String, String] = Map(
     "q_text_wordpiece" -> wordpieceSql,
     "q_text_unigram_tok" -> unigramTokOracleSql,
+    // same gap + ⌈bits/7⌉ varint arithmetic (bin() is minimal-width in
+    // both engines)
+    "q_text_postings_size" ->
+      """WITH pl AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text),
+        |      '\s+')) AS tok FROM documents) WHERE tok <> ''),
+        |g AS (SELECT tok, doc_id,
+        |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+        |      ORDER BY doc_id), -1) AS gap
+        |  FROM pl),
+        |v AS (SELECT tok, (length(bin(gap)) + 6) // 7 AS vb FROM g),
+        |a AS (SELECT tok, count(*) AS df,
+        |    CAST(SUM(vb) AS BIGINT) AS varint_bytes
+        |  FROM v GROUP BY tok)
+        |SELECT tok, df, varint_bytes, df * 8 AS raw_bytes,
+        |  (df * 8 - varint_bytes) * 1000000 // (df * 8) AS savings_ppm
+        |FROM a ORDER BY df DESC, tok LIMIT 30""".stripMargin,
     // replace-trick occurrence counts — exact for patterns that cannot
     // self-overlap (all four here); see the query scaladoc
     "q_text_multiscan" ->
