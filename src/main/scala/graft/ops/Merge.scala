@@ -151,4 +151,41 @@ object Merge {
             .otherwise(col(c)).as(c))): _*)
       .filter(col("change_type").isNotNull)
   }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE for distributive
+    * aggregates (count / sum — Gupta & Mumick's classic delta rules):
+    * merge a signed per-key delta aggregate into a stored aggregate
+    * without touching the base table. `baseAgg` carries (key, countCol,
+    * sumCols…); `delta` carries one signed contribution per changed row
+    * (`dCountCol` ∈ {-1, 0, +1}, signed sum deltas) — an insert is
+    * (+1, +v), a delete (-1, -v), an in-place update (0, new−old).
+    * Groups whose maintained count reaches 0 vanish (the view has no
+    * such group after a full recompute either).
+    *
+    * Shape: ONE aggregation over the DELTA ONLY (map-side partials on
+    * the small changed set) + one full-outer merge join against the
+    * stored view (full-outer cannot broadcast — new keys must surface
+    * from the delta side — so the merge shuffles both sides on the
+    * key). At 100 TB the base table is never scanned: refresh cost is
+    * O(delta) + O(view), and storing the view bucketed on the key
+    * (q_join_bucketed's layout) makes its side of the merge
+    * exchange-free.
+    */
+  def refreshAgg(baseAgg: DataFrame, delta: DataFrame, key: String,
+                 countCol: String, dCountCol: String,
+                 sumCols: Seq[(String, String)]): DataFrame = {
+    val dAgg = delta.groupBy(col(key).as("__dk"))
+      .agg(sum(col(dCountCol)).as("__dn"),
+        sumCols.map { case (_, d) => sum(col(d)).as(s"__d_$d") }: _*)
+    baseAgg.join(dAgg, col(key) === col("__dk"), "full_outer")
+      .select(
+        (Seq(coalesce(col(key), col("__dk")).as(key),
+          (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"),
+            lit(0L))).as(countCol)) ++
+          sumCols.map { case (s, d) =>
+            (coalesce(col(s), lit(0L)) + coalesce(col(s"__d_$d"),
+              lit(0L))).as(s)
+          }): _*)
+      .filter(col(countCol) > 0)
+  }
 }

@@ -433,6 +433,115 @@ object MiscQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW REFRESH ([[graft.ops.Merge.refreshAgg]]
+    * — Gupta & Mumick's delta rules for distributive aggregates): the
+    * per-customer (n_orders, sum_cents) view is STORED (written to
+    * parquet and read back — the MV is a table, not a plan), then a CDC
+    * batch (delete every 13th order, +1.00 reprice every remaining 7th,
+    * insert a +0.50 copy of every 11th) is folded in WITHOUT rescanning
+    * the base table: one aggregation over the signed delta rows + one
+    * keyed outer merge into the stored view, groups reaching count 0
+    * vanish. The oracle is the FULL RECOMPUTE over the evolved table —
+    * hash-equality here is precisely the view-maintenance correctness
+    * theorem, checked on every customer.
+    *
+    * Scale: refresh cost is O(delta) + O(view); the 100 TB base table
+    * would never be read. All arithmetic in exact integer cents, so the
+    * incremental and recomputed paths agree bit-for-bit in both engines.
+    */
+  def qCdcMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Exact.e2(col("o_totalprice")).as("cents"))
+    val tmp = graft.streaming.StreamOps.scratchDir("q_cdc_mv_refresh")
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .write.mode("overwrite").parquet(s"$tmp/mv")
+    val stored = spark.read.parquet(s"$tmp/mv")
+    val dels = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_custkey"), lit(-1L).as("dn"),
+        (-col("cents")).as("dc"))
+    val upds = o.filter(col("o_orderkey") % 13 =!= 0 &&
+        col("o_orderkey") % 7 === 0)
+      .select(col("o_custkey"), lit(0L).as("dn"), lit(100L).as("dc"))
+    val ins = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_custkey"), lit(1L).as("dn"),
+        (col("cents") + lit(50L)).as("dc"))
+    graft.ops.Merge.refreshAgg(stored,
+        dels.unionByName(upds).unionByName(ins),
+        "o_custkey", "n_orders", "dn", Seq(("sum_cents", "dc")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** DATA-SKIPPING LOOKUPS over a zone-map + Bloom indexed lake layout
+    * ([[graft.io.Skipping]]): orders clustered into `o_orderkey div 2048`
+    * bucket directories with a per-bucket sidecar of (min, max, 504-bit
+    * Bloom over o_custkey). Three probes run THROUGH the pruned read
+    * path — a key-range lookup (zone-map prune), a present point lookup
+    * on the non-clustered customer column (Bloom prune), and an ABSENT
+    * point lookup (Bloom prunes everything except deterministic false
+    * positives). Each row carries the pruning decision itself
+    * (buckets_scanned vs buckets_total) next to the exact answer, and
+    * the DuckDB twin replays the bucket stats AND the Bloom construction
+    * position-by-position — the oracle certifies that pruning is sound
+    * (answers equal the full scan's) and that the index arithmetic is
+    * engine-portable, not just that some rows came back.
+    *
+    * Scale: the sidecar is one row per bucket (KBs at any layout size),
+    * the prune is a driver-side metadata read, and the scan touches only
+    * surviving buckets — a point lookup on a 100 TB table reads one or
+    * two bucket directories instead of the table. The layout is a
+    * FIXTURE (once per session+dir, q_join_bucketed's pattern): the
+    * clustered write is paid once, every later lookup is metadata + a
+    * pruned scan.
+    */
+  def qLakeSkipping(spark: SparkSession, dir: String): DataFrame = {
+    SkipFixture.ensure(spark, dir)
+    val table = SkipFixture.path(dir)
+    def probe(name: String, t: Long, s: Long, rows: DataFrame) =
+      rows.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(Exact.e2(col("o_totalprice"))), lit(0L))
+            .as("sum_cents"))
+        .select(lit(name).as("probe"), lit(t).as("buckets_total"),
+          lit(s).as("buckets_scanned"), col("n_rows"), col("sum_cents"))
+    val (t1, s1, r1) =
+      graft.io.Skipping.lookupRange(spark, table, "o_orderkey", 3000L, 3499L)
+    val (t2, s2, r2) =
+      graft.io.Skipping.lookupPoint(spark, table, "o_custkey", 42L)
+    val (t3, s3, r3) =
+      graft.io.Skipping.lookupPoint(spark, table, "o_custkey", 10000019L)
+    probe("point_cust_42", t2, s2, r2)
+      .unionByName(probe("point_cust_absent", t3, s3, r3))
+      .unionByName(probe("range_key_3000_3499", t1, s1, r1))
+      .orderBy(col("probe"))
+  }
+
+  /** Once-per-(session, dir) skipping-index layout over orders
+    * (key/bloom/price columns only — the lookup's read schema), under a
+    * JVM-lifetime scratch root: re-entry with the same dir runs no jobs
+    * (the BucketedFixture discipline, VERDICT r8 finding #5). */
+  private[queries] object SkipFixture {
+    import scala.collection.mutable
+    private val built = mutable.Map.empty[String, Set[String]] // app → dirs
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("skipidx").toString
+
+    def path(dir: String): String =
+      s"$root/orders_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+    def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+      val app = spark.sparkContext.applicationId
+      if (!built.getOrElse(app, Set.empty).contains(dir)) {
+        graft.io.Skipping.writeIndexed(
+          Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice")),
+          path(dir), "o_orderkey", "o_custkey", 2048L)
+        built(app) = built.getOrElse(app, Set.empty) + dir
+      }
+    }
+  }
+
   /** Inclusion-dependency (FK-discovery) profile over the star schema:
     * three true FK edges plus one deliberately-partial pair
     * (part.p_size ⊆? nation keys) whose containment is fractional.
@@ -476,6 +585,8 @@ object MiscQueries {
     "q_source_orc" -> (qSourceOrc(_, _)),
     "q_lake_time_travel" -> (qLakeTimeTravel(_, _)),
     "q_lake_snapshot_diff" -> (qLakeSnapshotDiff(_, _)),
+    "q_lake_skipping" -> (qLakeSkipping(_, _)),
+    "q_cdc_mv_refresh" -> (qCdcMvRefresh(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
 
@@ -484,6 +595,84 @@ object MiscQueries {
       s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // full recompute over the evolved table == the incremental refresh
+    "q_cdc_mv_refresh" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |ev AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents + 100
+        |         ELSE cents END AS cents
+        |  FROM c WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, cents + 50 FROM c WHERE o_orderkey % 11 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ev GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q_lake_skipping" -> {
+      // 60-bit md5-prefix pair replay (h1 = hex chars 1-15, h2 = chars
+      // 17-31 forced odd) — identical arithmetic to Skipping.writeIndexed
+      // and Skipping.probePositions; positions land in a SET per bucket,
+      // which is bit-for-bit the packed bitset's membership relation.
+      def hexVal(src: String, off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 15),
+           |      dd -> CAST(strpos('0123456789abcdef',
+           |          substring(md5($src), $off + dd, 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)"""
+          .stripMargin
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    o_orderkey // 2048 AS bucket FROM orders),
+         |mm AS (
+         |  SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+         |  FROM b GROUP BY bucket),
+         |hv AS (
+         |  SELECT DISTINCT bucket, CAST(o_custkey AS VARCHAR) AS g
+         |  FROM b),
+         |hh AS (SELECT bucket, ${hexVal("g", 0)} AS h1,
+         |         ${hexVal("g", 16)} | 1 AS h2 FROM hv),
+         |pos AS (
+         |  SELECT DISTINCT bucket, (h1 + i * h2) % 16380 AS p
+         |  FROM hh, (SELECT unnest(generate_series(0, 1)) AS i)),
+         |pr AS (
+         |  SELECT v, (h1 + i * h2) % 16380 AS p, i
+         |  FROM (SELECT v, ${hexVal("v", 0)} AS h1,
+         |          ${hexVal("v", 16)} | 1 AS h2
+         |        FROM (VALUES ('42'), ('10000019')) AS t(v)),
+         |       (SELECT unnest(generate_series(0, 1)) AS i)),
+         |hitb AS (
+         |  SELECT pr.v, pos.bucket
+         |  FROM pr JOIN pos ON pos.p = pr.p
+         |  GROUP BY pr.v, pos.bucket
+         |  HAVING count(DISTINCT pr.i) = 2)
+         |SELECT 'point_cust_42' AS probe,
+         |  (SELECT count(*) FROM mm) AS buckets_total,
+         |  (SELECT count(*) FROM hitb WHERE v = '42') AS buckets_scanned,
+         |  count(*) AS n_rows,
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT) AS sum_cents
+         |FROM orders WHERE o_custkey = 42
+         |UNION ALL
+         |SELECT 'point_cust_absent',
+         |  (SELECT count(*) FROM mm),
+         |  (SELECT count(*) FROM hitb WHERE v = '10000019'),
+         |  count(*),
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT)
+         |FROM orders WHERE o_custkey = 10000019
+         |UNION ALL
+         |SELECT 'range_key_3000_3499',
+         |  (SELECT count(*) FROM mm),
+         |  (SELECT count(*) FROM mm WHERE mx >= 3000 AND mn <= 3499),
+         |  count(*),
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT)
+         |FROM orders WHERE o_orderkey BETWEEN 3000 AND 3499
+         |ORDER BY probe""".stripMargin
+    },
     // the analytic expectation, not a pipeline replay — see scaladoc
     "q_merge_scd2_asof" ->
       """SELECT * FROM (

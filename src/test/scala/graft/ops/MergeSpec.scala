@@ -124,4 +124,31 @@ class MergeSpec extends SparkTestBase {
       .as[(String, Long, Option[String])].collect().toSet
     assert(out == Set(("update", 1L, None), ("update", 2L, Some("b"))))
   }
+
+  test("refreshAgg: insert/update/delete deltas == full recompute; " +
+    "zero-count groups vanish, new groups appear") {
+    // base: k=1 {10,20}, k=2 {5}, k=3 {7}
+    val base = Seq((1L, 2L, 30L), (2L, 1L, 5L), (3L, 1L, 7L))
+      .toDF("k", "n", "s")
+    val delta = Seq(
+      (1L, 0L, 3L),   // update: one k=1 row 10→13
+      (2L, -1L, -5L), // delete k=2's only row → group vanishes
+      (4L, 1L, 9L),   // insert into brand-new group
+      (4L, 1L, 1L))   // and another
+      .toDF("k", "dn", "ds")
+    val out = Merge.refreshAgg(base, delta, "k", "n", "dn",
+        Seq(("s", "ds")))
+      .as[(Long, Long, Long)].collect().toSet
+    // recompute: k=1 {13,20}, k=3 {7}, k=4 {9,1}
+    assert(out == Set((1L, 2L, 33L), (3L, 1L, 7L), (4L, 2L, 10L)))
+  }
+
+  test("refreshAgg: untouched groups pass through bit-identically") {
+    val base = Seq((1L, 3L, 100L), (2L, 2L, 50L)).toDF("k", "n", "s")
+    val delta = Seq((2L, 1L, 25L)).toDF("k", "dn", "ds")
+    val out = Merge.refreshAgg(base, delta, "k", "n", "dn",
+        Seq(("s", "ds")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 100L), (2L, 3L, 75L)))
+  }
 }
