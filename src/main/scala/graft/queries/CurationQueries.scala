@@ -400,8 +400,43 @@ object CurationQueries {
     "q_curate_decontam_bloom" -> (qDecontamBloom(_, _)),
     "q_curate_pack" -> (qPack(_, _)),
     "q_curate_split" -> (qSplit(_, _)),
+    "q_curate_feature_hash" -> (qFeatureHash(_, _)),
     "q_curate_datasheet" -> (qDatasheet(_, _))
   )
+
+  /** HASHING-TRICK FEATURIZATION (Weinberger et al., ICML'09 — the
+    * vocabulary-free sparse encoder behind fasttext/VW-style linear
+    * models): every token maps to `md5-prefix mod 64` with a ±1 sign
+    * from the next hex nibble, per-document signed counts collapse into
+    * a sparse (doc, bucket, weight) triple table, exact-zero
+    * cancellations dropped (they carry no information and a recompute
+    * drops them identically). Sampled to every 37th document to keep
+    * the gate output bounded; the encoder itself is corpus-wide.
+    *
+    * Scale: the whole point of feature hashing at 100 TB — there is NO
+    * dictionary to build, broadcast, or keep consistent across a
+    * 1000-executor fleet; the plan is explode → map-side hash → ONE
+    * hash aggregate on (doc, bucket). Collisions are the accepted
+    * trade (Weinberger's inner-product preservation bound), and the
+    * oracle replays every hash, sign, and cancellation bit-for-bit.
+    */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 37 === 0)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+      .filter($"tok" =!= "")
+      .withColumn("bucket",
+        pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+          lit(64L)))
+      .withColumn("sgn",
+        when(conv(substring(md5($"tok"), 9, 1), 16, 10).cast("long")
+          % 2 === 0, 1L).otherwise(-1L))
+      .groupBy($"doc_id", $"bucket")
+      .agg(sum($"sgn").as("w"))
+      .filter($"w" =!= 0)
+      .orderBy($"doc_id", $"bucket")
+  }
 
   /** MODEL-BASED filtering: a Naive-Bayes classifier over hashed
     * bag-of-words features (the fasttext-shaped linear scorer the
@@ -535,6 +570,25 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef',
+        |            substring(md5(tok), d, 1)) - 1 AS BIGINT)
+        |        * (CAST(1 AS BIGINT) << (4 * (8 - d))))) AS BIGINT)
+        |      % 64 AS bucket,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substring(md5(tok), 9, 1)) - 1) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM toks WHERE tok <> '')
+        |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+        |FROM h GROUP BY doc_id, bucket
+        |HAVING SUM(sgn) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
     // identical moment arithmetic, source-ordered weight fold, and
     // floor + largest-remainder seat assignment
     "q_curate_neyman" ->

@@ -540,7 +540,59 @@ object StatsQueries {
       .orderBy($"c_mktsegment")
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * location test (Mann & Whitney 1947), on open ('O') vs fulfilled
+    * ('F') order totals, ENTIRELY in integer arithmetic. Instead of
+    * materializing per-row average ranks, U is computed from the
+    * distinct-value table: each group-A row at value v beats the B rows
+    * below v and half-ties the B rows at v, so
+    * 2·U = Σ_v a_v·(2·cumB(<v) + b_v) — exact integers throughout. The
+    * z-test verdict at α=0.05 (z=1.96=49/25) with the tie-corrected
+    * variance σ² = mn/12·((N+1) − ΣT/(N(N−1))), ΣT = Σ(t³−t), is a
+    * cross-multiplied integer comparison
+    * (2U−mn)²·7500·N·(N−1) > 9604·mn·((N+1)·N·(N−1) − ΣT)
+    * evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no float
+    * ever enters, so the reject bit cannot flip at the boundary.
+    *
+    * Shape: one hash aggregate to the distinct-value table (~|values|
+    * rows), one prefix sum over it, one 1-row reduction. At 100 TB the
+    * prefix sum range-partitions on v with a two-level carry (the
+    * q_curate_shard pattern); fixture scale runs it as one window.
+    */
+  private[queries] def mannWhitney(s: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = s.groupBy(col("v"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("isA"), 0L).otherwise(1L)).as("b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV.withColumn("cumb", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy()
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * (lit(2L) * col("cumb") + col("b"))).as("u_x2"),
+        sum((col("a") + col("b")) * (col("a") + col("b"))
+          * (col("a") + col("b")) - (col("a") + col("b")))
+          .as("tie_term"))
+      .select(col("n_a"), col("n_b"), col("u_x2"), col("tie_term"),
+        expr("""cast(u_x2 - n_a * n_b as decimal(38,0))
+               |  * (u_x2 - n_a * n_b) * 7500
+               |  * (n_a + n_b) * (n_a + n_b - 1)
+               |> cast(9604 as decimal(38,0)) * n_a * n_b
+               |  * (cast(n_a + n_b + 1 as decimal(38,0))
+               |     * (n_a + n_b) * (n_a + n_b - 1) - tie_term)"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
+  def qStatMannwhitney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mannWhitney(Tables.orders(spark, dir)
+      .filter($"o_orderstatus".isin("O", "F"))
+      .select(($"o_orderstatus" === "O").as("isA"),
+        e2($"o_totalprice").as("v")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
     "q_stat_anova" -> (qStatAnova(_, _)),
     "q_stat_benford" -> (qStatBenford(_, _)),
@@ -574,6 +626,32 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_mannwhitney" ->
+      """WITH s AS (
+        |  SELECT (o_orderstatus = 'O') AS isa,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |bv AS (
+        |  SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS b
+        |  FROM s GROUP BY v),
+        |sc AS (
+        |  SELECT a, b, COALESCE(SUM(b) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM bv),
+        |ag AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |    CAST(SUM(b) AS BIGINT) AS n_b,
+        |    CAST(SUM(a * (2 * cumb + b)) AS BIGINT) AS u_x2,
+        |    CAST(SUM((a+b)*(a+b)*(a+b) - (a+b)) AS BIGINT) AS tie_term
+        |  FROM sc)
+        |SELECT n_a, n_b, u_x2, tie_term,
+        |  (CAST(u_x2 - n_a * n_b AS HUGEINT) * (u_x2 - n_a * n_b)
+        |     * 7500 * (n_a + n_b) * (n_a + n_b - 1)
+        |   > CAST(9604 AS HUGEINT) * n_a * n_b
+        |     * (CAST(n_a + n_b + 1 AS HUGEINT)
+        |        * (n_a + n_b) * (n_a + n_b - 1) - tie_term)) AS reject
+        |FROM ag""".stripMargin,
     // identical sorted-group T²/n fold over exact integer moments
     "q_stat_anova" ->
       """WITH g AS (SELECT event_type,

@@ -80,4 +80,33 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(got("EQ")._4 == 0.0 && got("EQ")._3 == 100.0)
     assert(got("ONE")._4 == 3.0 / 4.0 && got("ONE")._3 == 100.0)
   }
+
+  test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
+    // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
+    // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
+    val s = Seq((true, 1L), (true, 2L), (false, 1L), (false, 3L))
+      .toDF("isA", "v")
+    val r = StatsQueries.mannWhitney(s)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r == ((2L, 2L, 3L, 6L, false)))
+  }
+
+  test("mannWhitney: fully separated samples reject at alpha=0.05") {
+    // A = 101..110 all above B = 1..10: U = 100 (max), z ≈ 3.78
+    val s = ((101L to 110L).map(v => (true, v)) ++
+      (1L to 10L).map(v => (false, v))).toDF("isA", "v")
+    val r = StatsQueries.mannWhitney(s)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r == ((10L, 10L, 200L, 0L, true)))
+  }
+
+  test("mannWhitney: identical samples sit at the null centre") {
+    // A == B elementwise → 2U = mn exactly, never rejected
+    val s = ((1L to 8L).map(v => (true, v)) ++
+      (1L to 8L).map(v => (false, v))).toDF("isA", "v")
+    val r = StatsQueries.mannWhitney(s)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(r._3 == r._1 * r._2) // 2U == mn
+    assert(!r._5)
+  }
 }
