@@ -967,6 +967,48 @@ object Multimodal {
   case class TonePower(path: String, probe: String, power: Long,
                        share_ppm: Double)
 
+  case class VadWindow(path: String, widx: Long, energy: Long)
+
+  /** Per-window PCM energy — the decode half of energy-threshold
+    * voice-activity detection (the classic pre-ASR segmentation gate:
+    * Rabiner & Sambur 1975's energy criterion). 16-bit mono PCM splits
+    * into fixed `windowSamples` windows; energy = Σ s² per window as an
+    * EXACT Long (a 200-sample window of |s| ≤ 32767 stays < 2³⁸ — no
+    * float, so the twin replays bit-for-bit). Trailing partial windows
+    * are dropped (deterministic at any length); non-PCM / multi-channel
+    * payloads emit nothing (codec formats would slot in after decode).
+    *
+    * The SEGMENTATION half deliberately stays relational (threshold +
+    * gaps-and-islands over (path, widx) — q_multimodal_vad): the codec
+    * fold is the only part Catalyst can't express, so it is the only
+    * part inside mapPartitions. Scale: one sequential pass per file,
+    * output one row per 25 ms window — ~40 rows/s of audio.
+    */
+  def vadWindows(media: Dataset[MediaFile],
+                 windowSamples: Int): Dataset[VadWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val b = m.content
+      def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      wavPcmLayout(b).toSeq.flatMap {
+        case (channels, _, bits, off, sz) if channels == 1 && bits == 16 =>
+          val n = sz / 2
+          (0 until n / windowSamples).map { w =>
+            var e = 0L
+            var i = 0
+            while (i < windowSamples) {
+              val v = u16(off + (w * windowSamples + i) * 2)
+              val x = (if (v >= 0x8000) v - 0x10000 else v).toLong
+              e += x * x
+              i += 1
+            }
+            VadWindow(m.path, w.toLong, e)
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
   /** GOERTZEL single-bin tone detection (Goertzel 1958) over 16-bit
     * mono PCM — the per-frequency DSP probe a media pipeline runs for
     * tone/DTMF/test-signal detection without a full FFT. Probes are

@@ -155,6 +155,81 @@ object CustomQueries {
       "x.mp3" -> mp3)
   }
 
+  /** VAD fixture window script — the single source of truth for BOTH
+    * engines: each char is one 200-sample window ('s' silence, 'v'
+    * voice = period-8 square ±8000, 'h' hum = period-8 square ±100,
+    * 25 period repeats per window). speech.wav carries two voice
+    * bursts; quiet.wav never crosses the threshold. */
+  private[queries] val vadPattern: Seq[Char] =
+    ("sss" + "vvvvv" + "ss" + "vvv" + "s" + "hhhh").toSeq
+  private[queries] val vadQuietPattern: Seq[Char] = "hhhhhhhhhh".toSeq
+  private[queries] val vadVoicePeriod: Seq[Int] =
+    Seq(8000, 8000, 8000, 8000, -8000, -8000, -8000, -8000)
+  private[queries] val vadHumPeriod: Seq[Int] =
+    Seq(100, 100, 100, 100, -100, -100, -100, -100)
+
+  /** 16-bit mono 8 kHz WAVs tiling the VAD window script, plus a codec
+    * blob that must emit no windows. Byte-identical every run. */
+  private lazy val vadFixtures: Map[String, Array[Byte]] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val pcm = samples.toArray.flatMap(le16)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+        ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def windows(pat: Seq[Char]): Seq[Int] = pat.flatMap {
+      case 'v' => Seq.fill(25)(vadVoicePeriod).flatten
+      case 'h' => Seq.fill(25)(vadHumPeriod).flatten
+      case _   => Seq.fill(200)(0)
+    }
+    Map("speech.wav" -> wav(windows(vadPattern)),
+      "quiet.wav" -> wav(windows(vadQuietPattern)),
+      "x.mp3" -> Array[Byte](-1, -5, 100, 0, 1, 2))
+  }
+
+  /** ENERGY-THRESHOLD VOICE-ACTIVITY SEGMENTATION (Rabiner & Sambur
+    * 1975's energy gate — the pre-ASR chunking step of every speech
+    * data pipeline): [[graft.ops.Multimodal.vadWindows]] folds each
+    * 16-bit PCM file into exact per-window Σs² energies inside
+    * mapPartitions (the codec exception class), and EVERYTHING after
+    * the decode is relational — threshold filter, gaps-and-islands on
+    * (file, widx), one aggregate per segment. speech.wav yields its two
+    * planted voice bursts (windows 3–7 and 10–12); the hum windows,
+    * quiet.wav, and the mp3 blob must all be absent — the oracle, which
+    * regenerates every window energy from the shared vadPattern script
+    * and replays the segmentation, certifies the exclusions by row
+    * count. Scale: decode is one pass per file; segmentation shuffles
+    * ~40 window rows per second of audio on (file) — a pipeline that
+    * VAD-chunks a 100 TB audio corpus moves KBs of metadata per hour of
+    * input, never the PCM.
+    */
+  def qMultimodalVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scratch = java.nio.file.Files.createTempDirectory("mm-vad")
+    vadFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    val win = Multimodal.vadWindows(
+      Multimodal.readBinary(spark, s"$scratch/*"), 200).toDF()
+    win.filter(col("energy") >= 1000000000L)
+      .withColumn("grp", col("widx") - row_number().over(
+        Window.partitionBy(col("path")).orderBy(col("widx"))))
+      .groupBy(col("path"), col("grp"))
+      .agg(min(col("widx")).as("seg_start"),
+        max(col("widx")).as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("energy_sum"))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("seg_start"), col("seg_end"), col("n_windows"),
+        col("energy_sum"))
+      .orderBy(col("file"), col("seg_start"))
+  }
+
   /** Integer sample-period tables for the Goertzel fixtures — literal
     * in BOTH engines (the twin regenerates the tiled sample stream from
     * these, so the oracle replays the DSP without reading WAV bytes). */
@@ -1060,6 +1135,7 @@ object CustomQueries {
     "q_custom_udf_entropy" -> (qCustomUdfEntropy(_, _)),
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
+    "q_multimodal_vad" -> (qMultimodalVad(_, _)),
     "q_multimodal_goertzel" -> (qMultimodalGoertzel(_, _)),
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
@@ -1206,6 +1282,33 @@ object CustomQueries {
     // stub features derive from its FNV hash); RMS/peak are the
     // deterministic decode outputs rounded to 6 decimals.
     "q_multimodal_goertzel" -> goertzelOracleSql,
+    "q_multimodal_vad" -> {
+      // window energies regenerated from the SAME vadPattern script and
+      // period tables the fixture builder tiles — then the identical
+      // threshold + gaps-and-islands replay
+      val pat = vadPattern.zipWithIndex
+        .map { case (k, i) => s"($i, '$k')" }.mkString(", ")
+      def sq(period: Seq[Int]) = period.mkString("[", ", ", "]")
+      s"""WITH pat(widx, kind) AS (VALUES $pat),
+         |en AS (
+         |  SELECT CAST(widx AS BIGINT) AS widx, CASE kind
+         |    WHEN 'v' THEN CAST(25 AS BIGINT) * list_sum(list_transform(
+         |      ${sq(vadVoicePeriod)}, x -> CAST(x AS BIGINT) * x))
+         |    WHEN 'h' THEN CAST(25 AS BIGINT) * list_sum(list_transform(
+         |      ${sq(vadHumPeriod)}, x -> CAST(x AS BIGINT) * x))
+         |    ELSE CAST(0 AS BIGINT) END AS energy
+         |  FROM pat),
+         |act AS (SELECT widx, energy FROM en
+         |        WHERE energy >= 1000000000),
+         |isl AS (SELECT widx, energy,
+         |          widx - row_number() OVER (ORDER BY widx) AS grp
+         |        FROM act)
+         |SELECT 'speech.wav' AS file, min(widx) AS seg_start,
+         |  max(widx) AS seg_end, count(*) AS n_windows,
+         |  CAST(sum(energy) AS BIGINT) AS energy_sum
+         |FROM isl GROUP BY grp
+         |ORDER BY file, seg_start""".stripMargin
+    },
     "q_multimodal_audio" ->
       """SELECT * FROM (VALUES
         |  ('ima.wav', CAST(300 AS BIGINT),
