@@ -347,7 +347,38 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** PEAK CONCURRENCY per day — the classic sweep-line over interval
+    * endpoints (the "max simultaneous sessions" load metric): every
+    * event opens a 30-minute presence interval; +1/−1 endpoint deltas
+    * sorted by (t, delta) — ends sort before coincident starts, so
+    * touching intervals never count as overlapping — and a running sum
+    * gives the live concurrency at every boundary; max per day of the
+    * boundary's date. Exact integers end to end; the RANGE window frame
+    * (peer rows share the cumulative value) is the default in BOTH
+    * engines, so ties resolve identically.
+    *
+    * Shape: one union of two projections, one prefix sum, one
+    * aggregate. The global-order prefix sum range-partitions on t with
+    * a two-level carry at 100 TB (the q_curate_shard pattern); fixture
+    * scale runs it as one window.
+    */
+  def qEventConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("ts"))
+    val pts = ev.select(col("ts").as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+        lit(-1L).as("d")))
+    pts.withColumn("c", sum(col("d")).over(Window.orderBy(col("t"),
+        col("d"))))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("c")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy(col("day"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
     "q_event_coverage" -> (qEventCoverage(_, _)),
@@ -361,6 +392,18 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_concurrency" ->
+      """WITH pts AS (
+        |  SELECT ts AS t, CAST(1 AS BIGINT) AS d FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE, CAST(-1 AS BIGINT) FROM events),
+        |sw AS (
+        |  SELECT t, SUM(d) OVER (ORDER BY t, d) AS c FROM pts)
+        |SELECT CAST(t AS DATE) AS day,
+        |  CAST(max(c) AS BIGINT) AS peak_concurrency,
+        |  count(*) AS n_boundaries
+        |FROM sw GROUP BY CAST(t AS DATE)
+        |ORDER BY day""".stripMargin,
     // same running-max interval merge on exact epoch seconds
     "q_event_coverage" ->
       """WITH iv AS (SELECT user_id,

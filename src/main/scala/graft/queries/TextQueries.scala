@@ -52,6 +52,49 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** LEXICAL-DIVERSITY PANEL per source — the corpus-quality battery a
+    * training-data pipeline runs before mixing sources: type-token
+    * ratio (unigram and bigram) and hapax share, the standard
+    * repetitiveness / template-content indicators (a scraped boilerplate
+    * source shows low TTR and low hapax share; natural prose runs
+    * high). All ratios are ppm FLOOR DIVISIONS of exact counts — no
+    * float anywhere, so both engines agree bit-for-bit.
+    *
+    * Shape: two explode → hash-aggregate chains (per-term counts, then
+    * per-source reductions) + one tiny join of the two per-source
+    * frames. Only (source, term) counts cross a shuffle — at 100 TB the
+    * text never leaves the scan stage.
+    */
+  def qTextDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val big = docs
+      .select(col("source"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(
+        TextAnalysis.wordNgramsFromTokens(col("t"), 2)).as("bg"))
+      .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    uni.join(big, "source")
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("n_hapax"),
+        expr("(1000000 * n_distinct) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) div n_tokens").as("hapax_ppm"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        expr("(1000000 * n_distinct_bigrams) div n_bigrams")
+          .as("bigram_ttr_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Content fingerprints: md5 (oracle-checked) per document. */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1423,6 +1466,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_diversity" -> (qTextDiversity(_, _)),
     "q_text_scrub_global" -> (qTextScrubGlobal(_, _)),
     "q_text_scrub_corpus" -> (qTextScrubCorpus(_, _)),
     "q_text_span_scrub" -> (qTextSpanScrub(_, _)),
@@ -1856,6 +1900,39 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |uni AS (
+        |  SELECT source, tok, count(*) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY source, tok),
+        |ua AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM uni GROUP BY source),
+        |bt AS (
+        |  SELECT source, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(text, '\s+')) >= 2),
+        |bg AS (
+        |  SELECT source, array_to_string(t[i:i+1], ' ') AS bg
+        |  FROM (SELECT source, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i FROM bt)),
+        |bc AS (SELECT source, bg, count(*) AS c FROM bg
+        |       GROUP BY source, bg),
+        |ba AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_distinct_bigrams
+        |  FROM bc GROUP BY source)
+        |SELECT ua.source, n_tokens, n_distinct, n_hapax,
+        |  (1000000 * n_distinct) // n_tokens AS ttr_ppm,
+        |  (1000000 * n_hapax) // n_tokens AS hapax_ppm,
+        |  n_bigrams, n_distinct_bigrams,
+        |  (1000000 * n_distinct_bigrams) // n_bigrams AS bigram_ttr_ppm
+        |FROM ua JOIN ba ON ua.source = ba.source
+        |ORDER BY ua.source""".stripMargin,
     "q_text_wordpiece" -> wordpieceSql,
     "q_text_unigram_tok" -> unigramTokOracleSql,
     // same gap + ⌈bits/7⌉ varint arithmetic (bin() is minimal-width in

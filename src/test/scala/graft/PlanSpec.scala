@@ -647,4 +647,48 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("data-skipping lookups scan ONLY pruned bucket directories — " +
+    "the range probe's file listing is one bucket, not the layout") {
+    val p = plan("q_lake_skipping")
+    // probe fixtures at sf0.001 have keys 0..1499 → one bucket (=0);
+    // the absent-point probe prunes to zero dirs and must fall back to
+    // the filter(false) footer-only read, never a full-table scan of
+    // the source parquet beyond the fixture build
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("_bucket=0"),
+      "pruned scans must list explicit bucket directories")
+  }
+
+  test("MV refresh: delta aggregates BEFORE the merge join; the merge " +
+    "is a keyed outer join, never a nested loop") {
+    val p = plan("q_cdc_mv_refresh")
+    assert(p.contains("FullOuter"), "merge must be a full-outer join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the delta side reduces through a hash aggregate under the join —
+    // the base table's rows never reach the merge unaggregated
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("Mann-Whitney: one aggregate to the distinct-value table, one " +
+    "window prefix sum, one final reduction — no joins at all") {
+    val p = plan("q_stat_mannwhitney")
+    assert(!p.contains("Join"))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("feature hashing is dictionary-free: explode → map-side hash → " +
+    "ONE aggregate exchange; no join against any vocabulary") {
+    val p = plan("q_curate_feature_hash")
+    assert(!p.contains("Join"), "hashing trick must not build a vocab")
+  }
+
+  test("VAD: codec fold stays in one typed pass; segmentation is " +
+    "window + aggregate on (file, widx) — no joins") {
+    val p = plan("q_multimodal_vad")
+    assert(!p.contains("Join"))
+    assert(p.contains("Window"))
+  }
 }

@@ -155,4 +155,33 @@ class EventCurationSpec extends SparkTestBase {
     assert(w(1L) > w(6L), s"en doc should beat off-target: $w")
     assert(w(1L) == w(5L), "same text ⇒ same weight regardless of label")
   }
+
+  private def eventsDir(times: Seq[String]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("conc").toString
+    times.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(t), i.toLong % 3, "view",
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("concurrency sweep: overlapping intervals stack, peak is exact") {
+    // 30-min presences at 10:00/10:10/10:29 overlap 3-deep at 10:29;
+    // the 11:00 presence stands alone
+    val d = eventsDir(Seq("2024-01-01 10:00:00", "2024-01-01 10:10:00",
+      "2024-01-01 10:29:00", "2024-01-01 11:00:00"))
+    val r = EventQueries.qEventConcurrency(spark, d).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 3L)
+    assert(r.head.getLong(2) == 8L) // 4 starts + 4 ends
+  }
+
+  test("concurrency sweep: touching intervals do NOT overlap (end " +
+    "sorts before the coincident start)") {
+    val d = eventsDir(Seq("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+    val r = EventQueries.qEventConcurrency(spark, d).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L,
+      "a session ending exactly when another starts must not stack")
+  }
 }
