@@ -401,8 +401,42 @@ object CurationQueries {
     "q_curate_pack" -> (qPack(_, _)),
     "q_curate_split" -> (qSplit(_, _)),
     "q_curate_feature_hash" -> (qFeatureHash(_, _)),
+    "q_curate_mix_epochs" -> (qMixEpochs(_, _)),
     "q_curate_datasheet" -> (qDatasheet(_, _))
   )
+
+  /** DATA-CONSTRAINED MIXING PLAN (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models" — repeating a source up to ~4
+    * epochs is near-free; beyond that returns decay): given a token
+    * budget of half the corpus and a uniform per-source target, compute
+    * each source's repeat factor `epochs_x1000 = min(4000,
+    * 1000·target div n_tokens)`, the tokens it actually contributes,
+    * and the unfilled deficit where the 4-epoch cap binds. Everything
+    * is integer floor arithmetic on exact token counts — the planner's
+    * output is a deterministic recipe table, the thing a 100 TB
+    * pretraining run materializes ONCE and every shard-assignment job
+    * reads. Shape: one aggregate + a broadcast 1-row totals frame.
+    */
+  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source",
+        size(split($"text", "\\s+")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(total div 2) div n_sources"))
+      .withColumn("epochs_x1000",
+        least(lit(4000L), expr("(1000 * target_tokens) div n_tokens")))
+      .withColumn("planned_tokens",
+        expr("(epochs_x1000 * n_tokens) div 1000"))
+      .select($"source", $"n_tokens", $"target_tokens", $"epochs_x1000",
+        $"planned_tokens",
+        ($"target_tokens" - $"planned_tokens").as("deficit_tokens"))
+      .orderBy($"source")
+  }
 
   /** HASHING-TRICK FEATURIZATION (Weinberger et al., ICML'09 — the
     * vocabulary-free sparse encoder behind fasttext/VW-style linear
@@ -570,6 +604,25 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    "q_curate_mix_epochs" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |               count(*) AS n_sources FROM per),
+        |pl AS (
+        |  SELECT source, n_tokens,
+        |    (total // 2) // n_sources AS target_tokens,
+        |    LEAST(4000, (1000 * ((total // 2) // n_sources))
+        |      // n_tokens) AS epochs_x1000
+        |  FROM per, tot)
+        |SELECT source, n_tokens, target_tokens, epochs_x1000,
+        |  (epochs_x1000 * n_tokens) // 1000 AS planned_tokens,
+        |  target_tokens - (epochs_x1000 * n_tokens) // 1000
+        |    AS deficit_tokens
+        |FROM pl ORDER BY source""".stripMargin,
     "q_curate_feature_hash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok

@@ -95,6 +95,36 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** PER-DOCUMENT N-GRAM NOVELTY — the "how much does each document add
+    * to the corpus" curve used to spot template/boilerplate sources and
+    * to order curriculum dedup passes: a document's distinct 8-grams
+    * are NOVEL iff their corpus-wide first occurrence (min doc_id) is
+    * this document. One shuffle on the gram (the scrub_global cost
+    * class: a per-gram min window, never a pairwise stage), then a
+    * per-doc reduction; novelty as an exact ppm floor division. Output
+    * sampled to every 23rd document AFTER the corpus-wide pass — the
+    * sample bounds the gate rows, not the computation.
+    */
+  def qTextNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(
+        TextAnalysis.wordNgramsFromTokens(col("t"), 8)).as("g"))
+      .distinct()
+    dg.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: md5 (oracle-checked) per document. */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1466,6 +1496,7 @@ object TextQueries {
       .orderBy(col("cluster"))
 
   val defs: Map[String, Q] = Map(
+    "q_text_novelty" -> (qTextNovelty(_, _)),
     "q_text_diversity" -> (qTextDiversity(_, _)),
     "q_text_scrub_global" -> (qTextScrubGlobal(_, _)),
     "q_text_scrub_corpus" -> (qTextScrubCorpus(_, _)),
@@ -1900,6 +1931,25 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_novelty" ->
+      """WITH dt AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 8),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i FROM dt)),
+        |fd AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g),
+        |per AS (
+        |  SELECT dg.doc_id, count(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN fd.first_doc = dg.doc_id
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM dg JOIN fd USING (g) GROUP BY dg.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  (1000000 * n_novel) // n_grams AS novelty_ppm
+        |FROM per WHERE doc_id % 23 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q_text_diversity" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok

@@ -177,6 +177,37 @@ class EventCurationSpec extends SparkTestBase {
     assert(r.head.getLong(2) == 8L) // 4 starts + 4 ends
   }
 
+  test("novelty: a gram is novel only for its min-doc first occurrence") {
+    val d = writeDocs(Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9", "en"),      // both grams first
+      (23L, "a1 a2 a3 a4 a5 a6 a7 a8 b9", "en"),     // 1 dup + 1 novel
+      (46L, "a1 a2 a3 a4 a5 a6 a7", "en")))          // <8 tokens: absent
+    val got = TextQueries.qTextNovelty(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(got == List((0L, 2L, 2L, 1000000L), (23L, 2L, 1L, 500000L)))
+  }
+
+  test("mix-epochs planner: the 4-epoch cap binds on a tiny source, " +
+    "surplus sources cap at their target, tokens conserve") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mix").toString
+    // big: 400 tokens, tiny: 8 → total 408, budget 204, target 102/src.
+    // big: epochs = 102000/400 div = 255 → planned 102, deficit 0.
+    // tiny: uncapped would be 12750 → capped 4000 → planned 32,
+    // deficit 70 (data-constrained).
+    Seq((1L, Seq.fill(400)("w").mkString(" "), "en", "big"),
+      (2L, Seq.fill(8)("w").mkString(" "), "en", "tiny"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = CurationQueries.qMixEpochs(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big") == (("big", 400L, 102L, 255L, 102L, 0L)))
+    assert(got("tiny") == (("tiny", 8L, 102L, 4000L, 32L, 70L)))
+  }
+
   test("concurrency sweep: touching intervals do NOT overlap (end " +
     "sorts before the coincident start)") {
     val d = eventsDir(Seq("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
