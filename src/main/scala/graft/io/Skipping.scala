@@ -46,32 +46,20 @@ object Skipping {
   final case class BucketStats(bucket: Long, minKey: Long, maxKey: Long,
                                nRows: Long, bloom: Array[Long])
 
-  private def dataDir(tableDir: String) = s"$tableDir/data"
-  private def statsDir(tableDir: String) = s"$tableDir/_skip"
+  private[graft] def dataDir(tableDir: String) = s"$tableDir/data"
+  private[graft] def statsDir(tableDir: String) = s"$tableDir/_skip"
 
-  /** Write `df` clustered into `bucket = keyCol div step` directories and
-    * build the stats sidecar FROM THE WRITTEN LAYOUT (read-back, so the
-    * sidecar certifies what is actually on disk, not what was intended).
-    * Two bounded jobs — a layout write and an O(buckets) stats
-    * aggregation — the "pay the clustered write once" trade of every
-    * prepared lake layout.
-    */
-  def writeIndexed(df: DataFrame, tableDir: String, keyCol: String,
-                   bloomCol: String, step: Long): Unit = {
-    require(step > 0, s"step must be positive, got $step")
-    df.withColumn("_bucket", expr(s"$keyCol div $step"))
-      .write.mode("overwrite").partitionBy("_bucket")
-      .parquet(dataDir(tableDir))
-    val spark = df.sparkSession
-    val data = spark.read.parquet(dataDir(tableDir))
-    val mm = data.groupBy(col("_bucket"))
+  /** Per-bucket stats of a frame that already carries `_bucket`:
+    * (bucket, min_key, max_key, n_rows, bloom array<bigint>). The ONE
+    * definition both the batch layout build and the streaming
+    * incremental maintenance derive from. */
+  private[graft] def statsFor(df: DataFrame, keyCol: String,
+                              bloomCol: String): DataFrame = {
+    val mm = df.groupBy(col("_bucket"))
       .agg(min(col(keyCol)).cast("long").as("min_key"),
         max(col(keyCol)).cast("long").as("max_key"),
         count(lit(1)).as("n_rows"))
-    // One md5 per row; positions bit-packed per (bucket, word) then
-    // densified to a fixed array<bigint> — the bloomOf recipe
-    // (ops/Decontaminate.scala) grouped per bucket.
-    val bl = data
+    val bl = df
       .select(col("_bucket"), col(bloomCol).cast("string").as("_g"))
       .withColumn("_md5", md5(col("_g")))
       .withColumn("_h1",
@@ -94,6 +82,41 @@ object Skipping {
     mm.join(bl, "_bucket")
       .select(col("_bucket").cast("long").as("bucket"), col("min_key"),
         col("max_key"), col("n_rows"), col("bloom"))
+  }
+
+  /** Merge two stats frames: min/max/count/bloom-OR are all associative
+    * and commutative, so incremental maintenance is EXACT — merged
+    * sidecar == a from-scratch build over the union (SkippingSpec /
+    * FileStreamSpec pin it). */
+  private[graft] def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"),
+        sum(col("n_rows")).as("n_rows"),
+        expr(s"""aggregate(collect_list(bloom),
+                |  transform(sequence(1, $Words), x -> cast(0 as bigint)),
+                |  (acc, x) -> zip_with(acc, x, (u, v) -> u | v))"""
+          .stripMargin.replace('\n', ' ')).as("bloom"))
+
+  /** Write `df` clustered into `bucket = keyCol div step` directories and
+    * build the stats sidecar FROM THE WRITTEN LAYOUT (read-back, so the
+    * sidecar certifies what is actually on disk, not what was intended).
+    * Two bounded jobs — a layout write and an O(buckets) stats
+    * aggregation — the "pay the clustered write once" trade of every
+    * prepared lake layout.
+    */
+  def writeIndexed(df: DataFrame, tableDir: String, keyCol: String,
+                   bloomCol: String, step: Long): Unit = {
+    require(step > 0, s"step must be positive, got $step")
+    df.withColumn("_bucket", expr(s"$keyCol div $step"))
+      .write.mode("overwrite").partitionBy("_bucket")
+      .parquet(dataDir(tableDir))
+    val spark = df.sparkSession
+    // stats from the WRITTEN layout (read-back) via the ONE shared
+    // per-bucket recipe (statsFor) — one md5 per row, positions
+    // bit-packed per (bucket, word), densified to a fixed array
+    statsFor(spark.read.parquet(dataDir(tableDir)), keyCol, bloomCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(tableDir))
   }

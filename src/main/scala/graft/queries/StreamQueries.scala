@@ -131,6 +131,56 @@ object StreamQueries {
     * (DedupQueries.streamIngestOracleSql); the sidecar-only corpus
     * behavior is additionally pinned by FileStreamSpec.
     */
+  /** Streaming skip-ingest end-to-end ([[StreamOps.skipIngest]]): the
+    * orders table arrives as two micro-batches split by key parity —
+    * every bucket receives rows in BOTH batches, so the per-bucket
+    * sidecar merge (min/max/count/bloom-OR) is exercised for real, not
+    * just appended — then the three q_lake_skipping-style probes run
+    * through the pruned read path over the streamed layout. Because the
+    * stats merge is associative-exact, the DuckDB twin is the SAME
+    * whole-table replay a batch build gets: hash-equality certifies
+    * that incremental maintenance converged to the from-scratch index.
+    */
+  def qStreamSkipIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = StreamOps.scratchDir("q_stream_skip_ingest")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    StreamOps.skipIngest(stream, "o_orderkey", "o_custkey",
+      s"$tmp/table", s"$tmp/cp", 2048L)
+    import graft.io.Skipping
+    def probe(name: String, t: Long, s: Long,
+              rows: org.apache.spark.sql.DataFrame) =
+      rows.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(Exact.e2(col("o_totalprice"))), lit(0L))
+            .as("sum_cents"))
+        .select(lit(name).as("probe"), lit(t).as("buckets_total"),
+          lit(s).as("buckets_scanned"), col("n_rows"), col("sum_cents"))
+    val (t1, s1, r1) = Skipping.lookupRange(spark, s"$tmp/table",
+      "o_orderkey", 5000L, 5999L)
+    val (t2, s2, r2) = Skipping.lookupPoint(spark, s"$tmp/table",
+      "o_custkey", 77L)
+    val (t3, s3, r3) = Skipping.lookupPoint(spark, s"$tmp/table",
+      "o_custkey", 10000019L)
+    probe("point_cust_77", t2, s2, r2)
+      .unionByName(probe("point_cust_absent", t3, s3, r3))
+      .unionByName(probe("range_key_5000_5999", t1, s1, r1))
+      .orderBy(col("probe"))
+  }
+
   def qStreamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = StreamOps.scratchDir("q_stream_dedup_ingest")
     // capped at 1000 docs to bound the demo's micro-batch machinery
@@ -928,6 +978,7 @@ object StreamQueries {
     "q_time_interpolate" -> (qTimeInterpolate(_, _)),
     "q_stream_static_join" -> (qStreamStaticJoin(_, _)),
     "q_stream_dedup_ingest" -> (qStreamDedupIngest(_, _)),
+    "q_stream_skip_ingest" -> (qStreamSkipIngest(_, _)),
     "q_stream_winnow_ingest" -> (qStreamWinnowIngest(_, _)),
     "q_time_resample" -> (qTimeResample(_, _)),
     "q_stream_interval_join" -> (qStreamIntervalJoin(_, _)),
@@ -941,6 +992,66 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_skip_ingest" -> {
+      // identical replay to q_lake_skipping's (the incremental sidecar
+      // merge is associative-exact ⇒ equals the from-scratch build),
+      // with this query's probe constants
+      def hexVal(src: String, off: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 15),
+           |      dd -> CAST(strpos('0123456789abcdef',
+           |          substring(md5($src), $off + dd, 1)) - 1 AS BIGINT)
+           |        * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)"""
+          .stripMargin
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    o_orderkey // 2048 AS bucket FROM orders),
+         |mm AS (
+         |  SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+         |  FROM b GROUP BY bucket),
+         |hv AS (
+         |  SELECT DISTINCT bucket, CAST(o_custkey AS VARCHAR) AS g
+         |  FROM b),
+         |hh AS (SELECT bucket, ${hexVal("g", 0)} AS h1,
+         |         ${hexVal("g", 16)} | 1 AS h2 FROM hv),
+         |pos AS (
+         |  SELECT DISTINCT bucket, (h1 + i * h2) % 16380 AS p
+         |  FROM hh, (SELECT unnest(generate_series(0, 1)) AS i)),
+         |pr AS (
+         |  SELECT v, (h1 + i * h2) % 16380 AS p, i
+         |  FROM (SELECT v, ${hexVal("v", 0)} AS h1,
+         |          ${hexVal("v", 16)} | 1 AS h2
+         |        FROM (VALUES ('77'), ('10000019')) AS t(v)),
+         |       (SELECT unnest(generate_series(0, 1)) AS i)),
+         |hitb AS (
+         |  SELECT pr.v, pos.bucket
+         |  FROM pr JOIN pos ON pos.p = pr.p
+         |  GROUP BY pr.v, pos.bucket
+         |  HAVING count(DISTINCT pr.i) = 2)
+         |SELECT 'point_cust_77' AS probe,
+         |  (SELECT count(*) FROM mm) AS buckets_total,
+         |  (SELECT count(*) FROM hitb WHERE v = '77') AS buckets_scanned,
+         |  count(*) AS n_rows,
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT) AS sum_cents
+         |FROM orders WHERE o_custkey = 77
+         |UNION ALL
+         |SELECT 'point_cust_absent',
+         |  (SELECT count(*) FROM mm),
+         |  (SELECT count(*) FROM hitb WHERE v = '10000019'),
+         |  count(*),
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT)
+         |FROM orders WHERE o_custkey = 10000019
+         |UNION ALL
+         |SELECT 'range_key_5000_5999',
+         |  (SELECT count(*) FROM mm),
+         |  (SELECT count(*) FROM mm WHERE mx >= 5000 AND mn <= 5999),
+         |  count(*),
+         |  CAST(COALESCE(sum(CAST(round(o_totalprice * 100, 0)
+         |    AS BIGINT)), 0) AS BIGINT)
+         |FROM orders WHERE o_orderkey BETWEEN 5000 AND 5999
+         |ORDER BY probe""".stripMargin
+    },
     // Same twin as q_cdc_apply: the streamed, out-of-order, tombstoned
     // application must equal the full-log recompute.
     // streamed == batch: the incremental summary merge must equal the

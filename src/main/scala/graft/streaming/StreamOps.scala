@@ -997,6 +997,83 @@ object StreamOps {
     * the index, and the candidate join shuffles band keys and id
     * pairs, never documents.
     */
+  /** STREAMING INGEST INTO A DATA-SKIPPING-INDEXED LAKE LAYOUT
+    * ([[graft.io.Skipping]]): each micro-batch appends its rows into
+    * the `bucket = keyCol div step` directories AND folds the batch's
+    * per-bucket stats into the sidecar in the same transaction.
+    * min / max / count / bloom-OR are associative and commutative, so
+    * the incremental sidecar is EXACTLY the from-scratch sidecar over
+    * the union — lookups after any number of batches prune identically
+    * to a batch-built layout (the q_stream_skip_ingest oracle replays
+    * the whole construction; FileStreamSpec pins the transaction
+    * semantics).
+    *
+    * Write ordering is the SOUND direction: the merged sidecar goes
+    * live (staged write + compactSidecar's atomic two-rename swap)
+    * BEFORE the data append. A crash in between leaves stats that
+    * over-approximate the layout — lookups scan an extra bucket and
+    * find nothing. The reverse order could leave appended rows the
+    * sidecar doesn't know about — pruning would silently MISS them.
+    * On restart the batch replays: data lands once (it never landed),
+    * re-merging the same batch stats is idempotent for min/max/bloom;
+    * `n_rows` is diagnostic only (pruning never reads it) and may
+    * double-count across a crash-replay — documented, not load-bearing.
+    * A missing sidecar NEXT TO an existing layout is inconsistent
+    * state and ABORTS (dedupIngest's discipline — a crashed swap or an
+    * operator delete must not degrade into unsound pruning).
+    */
+  def skipIngest(stream: DataFrame, keyCol: String, bloomCol: String,
+                 tableDir: String, checkpoint: String,
+                 step: Long): Unit = {
+    import graft.io.Skipping
+    val dataPath = Skipping.dataDir(tableDir)
+    val statsPath = Skipping.statsDir(tableDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.withColumn("_bucket", expr(s"$keyCol div $step"))
+        graft.ops.CacheScope.scoped {
+          val bStats = graft.ops.CacheScope.cached(
+            Skipping.statsFor(b, keyCol, bloomCol))
+          val old =
+            try Some(spark.read.parquet(statsPath))
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getMessage != null &&
+                     e.getMessage.contains("PATH_NOT_FOUND") &&
+                     !pathExists(spark, dataPath) => None
+              case _: java.io.FileNotFoundException
+                  if !pathExists(spark, dataPath) => None
+            }
+          val merged = old.map(Skipping.mergeStats(_, bStats))
+            .getOrElse(bStats)
+          val conf = spark.sparkContext.hadoopConfiguration
+          val live = new org.apache.hadoop.fs.Path(statsPath)
+          val fs = live.getFileSystem(conf)
+          val tmp = new org.apache.hadoop.fs.Path(statsPath + ".new.tmp")
+          val oldGen = new org.apache.hadoop.fs.Path(statsPath + ".old")
+          fs.delete(tmp, true)
+          fs.delete(oldGen, true)
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(live) && !fs.rename(live, oldGen))
+            throw new java.io.IOException(
+              s"skipIngest: cannot move $live aside")
+          if (!fs.rename(tmp, live))
+            throw new java.io.IOException(
+              s"skipIngest: cannot activate $tmp")
+          fs.delete(oldGen, true)
+          // sidecar is live and covers the batch → now land the data
+          b.write.mode("append").partitionBy("_bucket").parquet(dataPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
                   corpusPath: String, checkpoint: String,
                   threshold: Double = 0.9): Unit = {

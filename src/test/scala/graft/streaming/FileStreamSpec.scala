@@ -1177,4 +1177,75 @@ class FileStreamSpec extends SparkTestBase {
     }.toSeq.sorted
     assert(after == expected)
   }
+
+  test("skipIngest: incremental sidecar == from-scratch build across " +
+    "a checkpoint restart; missing sidecar next to data aborts") {
+    val dir = Files.createTempDirectory("st-skip").toString
+    val (src, table, cp) = (s"$dir/src", s"$dir/table", s"$dir/cp")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$src/a.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", src).parquet(s"$src/*")
+      StreamOps.skipIngest(stream, "k", "sec", table, cp, 10L)
+    }
+    val now = System.currentTimeMillis()
+    // batch A: keys 0..19 evens; batch B (separate RUN → checkpoint
+    // restart): odds — every bucket is touched by both batches
+    (0L until 20L by 2).map(k => (k, k % 7)).toDF("k", "sec")
+      .coalesce(1).write.parquet(s"$src/a.parquet")
+    dataFile(s"$src/a.parquet").setLastModified(now - 60000)
+    runOnce()
+    val afterA = graft.io.Skipping.stats(spark, table)
+      .select("bucket", "min_key", "max_key", "n_rows")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(afterA == Seq((0L, 0L, 8L, 5L), (1L, 10L, 18L, 5L)))
+    (1L until 20L by 2).map(k => (k, k % 7)).toDF("k", "sec")
+      .coalesce(1).write.parquet(s"$src/b.parquet")
+    dataFile(s"$src/b.parquet").setLastModified(now)
+    runOnce() // restart from the checkpoint: processes only batch B
+    val merged = graft.io.Skipping.stats(spark, table)
+      .select("bucket", "min_key", "max_key", "n_rows")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(merged == Seq((0L, 0L, 9L, 10L), (1L, 10L, 19L, 10L)))
+    // merged bloom == from-scratch bloom over the union
+    val scratch = Files.createTempDirectory("st-skip-ref").toString
+    graft.io.Skipping.writeIndexed(
+      (0L until 20L).map(k => (k, k % 7)).toDF("k", "sec"),
+      scratch, "k", "sec", 10L)
+    def blooms(t: String) = graft.io.Skipping.stats(spark, t)
+      .select("bucket", "bloom").as[(Long, Seq[Long])].collect()
+      .map { case (b, bl) => b -> bl }.toMap
+    assert(blooms(table) == blooms(scratch),
+      "incrementally merged bloom must equal the batch-built bloom")
+    // lookups through the streamed layout stay sound
+    val (_, _, rows) =
+      graft.io.Skipping.lookupPoint(spark, table, "sec", 3L)
+    assert(rows.select("k").as[Long].collect().sorted.toSeq ==
+      (0L until 20L).filter(_ % 7 == 3))
+    // inconsistent state: sidecar deleted, layout present → abort,
+    // no data appended
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$table/_skip"))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$table/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val pre = dataFiles()
+    Seq((100L, 1L)).toDF("k", "sec")
+      .coalesce(1).write.parquet(s"$src/c.parquet")
+    dataFile(s"$src/c.parquet")
+      .setLastModified(System.currentTimeMillis() + 1000)
+    intercept[Exception](runOnce())
+    assert(dataFiles() == pre,
+      "missing sidecar next to an existing layout must abort before " +
+        "any data lands")
+  }
 }
