@@ -361,6 +361,41 @@ object Dedup {
       .distinct()
   }
 
+  /** DELTA exact-Jaccard pairs for incremental graph maintenance:
+    * every pair with AT LEAST ONE endpoint in `delta`, scored exactly
+    * against `all` (= accepted corpus ∪ delta) — the old×old pairs are
+    * NEVER recomputed, which is the whole point of an incremental
+    * batch: cost is Σ(delta-shingle df), not the corpus pair join.
+    * Intersections come from one shingle equi-join of the delta side
+    * (small by definition) against the full side; Jaccard is exact
+    * (|A∩B| / (|A|+|B|−|A∩B|)) on distinct-shingle set sizes. At
+    * 100 TB the full side's explode is the persisted shingle sidecar
+    * (the dedupIngest pattern), and the df-capped/banded variants slot
+    * in for recall/cost trade — this exact form is the semantics
+    * anchor. New×new pairs surface from both sides and canonicalize
+    * via (least, greatest) + distinct.
+    */
+  def ngramJaccardPairsDelta(all: DataFrame, delta: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int, minJaccard: Double): DataFrame = {
+    def sh(df: DataFrame, idAs: String, nAs: String, explodeAs: String) =
+      df.select(col(idCol).as(idAs), shingles(col(textCol), k).as("_sh"))
+        .withColumn(nAs, size(col("_sh")))
+        .select(col(idAs), col(nAs), explode(col("_sh")).as(explodeAs))
+    val dn = CacheScope.cached(sh(delta, "id", "na", "s"))
+    val an = sh(all, "other", "nb", "s")
+    val inter = dn.join(an, "s")
+      .filter(col("other") =!= col("id"))
+      .groupBy(col("id"), col("na"), col("other"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= minJaccard)
+      .select(least(col("id"), col("other")).as("id_a"),
+        greatest(col("id"), col("other")).as("id_b"))
+      .distinct()
+  }
+
   /** Connected components over near-dup pairs — the step that turns a
     * pair list into dedup CLUSTERS (keep min id per component, drop the
     * rest). Near-dup similarity is not transitive, so clusters are the

@@ -117,7 +117,7 @@ object DedupQueries {
     * the identical build; one pair-join + pointer-doubling pass per
     * harness run instead of two.
     */
-  private def memoComponents250(spark: SparkSession, dir: String)
+  private[queries] def memoComponents250(spark: SparkSession, dir: String)
       : DataFrame =
     graft.ops.CacheScope.memoized(s"dedup:components250:$dir") {
       val docs = Tables.documents(spark, dir)

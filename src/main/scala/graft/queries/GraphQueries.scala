@@ -227,7 +227,58 @@ object GraphQueries {
       .orderBy(col("dist"), col("vertex"))
   }
 
+  /** INCREMENTAL CONNECTED-COMPONENTS MAINTENANCE — the arrival-batch
+    * update of the near-dup cluster table, done WITHOUT re-running CC
+    * over the corpus graph: (1) the accepted corpus's label table is
+    * the run-wide <250-doc components memo (built once, shared with
+    * q_dedup_components/keep_best/takedown); (2) the arrival batch
+    * (docs 250–349) contributes only DELTA pairs — at least one new
+    * endpoint, old×old never recomputed
+    * ([[graft.ops.Dedup.ngramJaccardPairsDelta]]); (3) delta edges
+    * CONTRACT through the old labels (edge (u,v) → (L(u), L(v))), so
+    * CC re-runs only on the reduced graph whose nodes are touched old
+    * components + new docs; (4) old nodes re-map through the reduced
+    * labels, new nodes take them directly. Min-of-min labels compose,
+    * so the result is EXACTLY the from-scratch CC over the union graph
+    * — which is what the oracle computes (the q_dedup_components
+    * recursive CTE at the 350 cutoff). Incremental cost: O(batch
+    * shingles × df + touched labels), vs O(corpus pairs) from scratch.
+    */
+  def qGraphCcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldLabels = graft.ops.CacheScope.cached(
+      DedupQueries.memoComponents250(spark, dir)
+        .select(col("doc_id").as("node"), col("component").as("lab")))
+    val deltaPairs = graft.ops.Dedup.ngramJaccardPairsDelta(
+      docs.filter(col("doc_id") < 350),
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 350),
+      "doc_id", "text", k = 5, minJaccard = 0.8)
+    def mapped(c: String) = coalesce(col(s"${c}_lab"), col(c)).as(c)
+    val contracted = deltaPairs
+      .join(oldLabels.select(col("node").as("id_a"),
+        col("lab").as("id_a_lab")), Seq("id_a"), "left")
+      .join(oldLabels.select(col("node").as("id_b"),
+        col("lab").as("id_b_lab")), Seq("id_b"), "left")
+      .select(mapped("id_a"), mapped("id_b"))
+    val reduced = graft.ops.CacheScope.cached(
+      graft.ops.Dedup.dedupComponents(contracted, iters = 2)
+        .select(col("doc_id").as("rnode"), col("component").as("rlab")))
+    val oldFinal = oldLabels
+      .join(reduced, col("lab") === col("rnode"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("rlab"), col("lab")).as("component"))
+    // reduced nodes NOT in the old label table: new docs, plus old
+    // docs whose FIRST edge ever is a delta pair (they were never in
+    // the old graph, so they carry no old label to remap)
+    val newFinal = reduced
+      .join(oldLabels.select(col("node").as("rnode")), Seq("rnode"),
+        "left_anti")
+      .select(col("rnode").as("doc_id"), col("rlab").as("component"))
+    oldFinal.unionByName(newFinal).orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
     "q_graph_sssp" -> (qGraphSssp(_, _)),
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
@@ -353,6 +404,27 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // from-scratch CC over the UNION graph (old + delta pairs) — the
+    // maintenance-correctness theorem as a hash compare
+    "q_graph_cc_incremental" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 350),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+        |SELECT node AS doc_id, MIN(lab) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q_graph_ktruss" -> ktrussSql,
     "q_graph_link_pred" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

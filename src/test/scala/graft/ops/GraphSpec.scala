@@ -448,4 +448,25 @@ class GraphSpec extends SparkTestBase {
     assert(k3.map(e => (e._1, e._2)) ==
       trussFixture.toSet - ((6L, 7L)))
   }
+
+  test("incremental CC == from-scratch: remap through old labels, " +
+    "old-doc-first-edge-in-delta, untouched clusters, new-new pairs") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("ccinc").toString
+    val (ta, tb, tu, tn) = ("aaaaabbbbbccccc", "dddddeeeeefffff",
+      "ggggghhhhhiiiii", "jjjjjkkkkklllll")
+    // old: {1,2}=ta cluster, {3,4}=tb cluster (untouched), 5=tu alone;
+    // delta: 250=ta (remaps through label 1), 251=tu (old doc 5's
+    // FIRST edge ever), 252/253=tn (purely new cluster)
+    Seq((1L, ta), (2L, ta), (3L, tb), (4L, tb), (5L, tu),
+      (250L, ta), (251L, tu), (252L, tn), (253L, tn))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = graft.queries.GraphQueries.qGraphCcIncremental(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
+      250L -> 1L, 251L -> 5L, 252L -> 252L, 253L -> 252L))
+  }
 }
