@@ -969,6 +969,69 @@ object Multimodal {
 
   case class VadWindow(path: String, widx: Long, energy: Long)
 
+  case class GrayPatch(path: String, py: Long, px: Long, n_px: Long,
+                       sum_gray: Long)
+
+  /** ViT-STYLE PATCH GRID (Dosovitskiy et al., ICLR'21 — "an image is
+    * worth 16×16 words"): split each image into non-overlapping
+    * `patch`×`patch` tiles (edge tiles smaller — deterministic
+    * ceil-grid) and emit one row per tile with its EXACT integer gray
+    * sum — the reduction a patch-embedding projection consumes, and
+    * exactly the batch shape a multimodal pipeline hands to the
+    * patch-projection UDF. Decode here is the 8-bit grayscale P5
+    * subset (the repo's real raster path); color/deeper/other formats
+    * decline to no rows (they'd slot into the same tiling after their
+    * own decode — the documented multimodal stub discipline).
+    *
+    * Scale: one pass per image in mapPartitions (codec class); output
+    * is (w/p)·(h/p) metadata rows per image — the 100 TB image corpus
+    * leaves the scan stage as patch statistics, never pixels.
+    */
+  def grayPatches(media: Dataset[MediaFile],
+                  patch: Int): Dataset[GrayPatch] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val b = m.content
+      if (b.length < 2 || b(0) != 'P' || b(1) != '5') Seq.empty
+      else {
+        var i = 2
+        def nextInt(): Option[Int] = {
+          while (i < b.length &&
+            (b(i).toChar.isWhitespace || b(i) == '#')) {
+            if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+            else i += 1
+          }
+          val start = i
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+          if (i == start) None
+          else Some(new String(b, start, i - start).toInt)
+        }
+        (for {
+          w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+          if w > 0 && h > 0 && maxval > 0 && maxval < 256 &&
+            b.length - (i + 1) >= w.toLong * h
+        } yield {
+          val off = i + 1
+          val rows = (h + patch - 1) / patch
+          val cols = (w + patch - 1) / patch
+          val sums = Array.ofDim[Long](rows * cols)
+          val counts = Array.ofDim[Long](rows * cols)
+          var p = 0
+          while (p < w * h) {
+            val cell = (p / w / patch) * cols + (p % w / patch)
+            sums(cell) += b(off + p) & 0xff
+            counts(cell) += 1
+            p += 1
+          }
+          (0 until rows * cols).map { c =>
+            GrayPatch(m.path, (c / cols).toLong, (c % cols).toLong,
+              counts(c), sums(c))
+          }
+        }).getOrElse(Seq.empty)
+      }
+    }
+  }
+
   /** Per-window PCM energy — the decode half of energy-threshold
     * voice-activity detection (the classic pre-ASR segmentation gate:
     * Rabiner & Sambur 1975's energy criterion). 16-bit mono PCM splits

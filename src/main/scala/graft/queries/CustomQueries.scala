@@ -888,6 +888,28 @@ object CustomQueries {
       "grad.bmp" -> bmp)
   }
 
+  /** ViT-style patch grid over the REAL P5 decode path
+    * ([[graft.ops.Multimodal.grayPatches]]): the four deterministic
+    * PGM fixtures tile into 6×6 patches (3×3 grid on 18×16 — bottom
+    * row patches are 6×4, pinning the ceil-grid edge rule) and emit
+    * exact integer gray sums; the BMP fixture must decline (P5-only
+    * decode subset) — certified by the oracle's row count. The twin
+    * regenerates every pixel from the SAME formulas the fixture
+    * builder tabulates (fxGrad/fxGrad2/fxGradv/fxStripes) and re-tiles
+    * them relationally.
+    */
+  def qMultimodalPatches(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-patch")
+    phashFixtures.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(scratch.resolve(name), bytes)
+    }
+    Multimodal.grayPatches(
+        Multimodal.readBinary(spark, s"$scratch/*"), patch = 6).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("py"), col("px"), col("n_px"), col("sum_gray"))
+      .orderBy(col("file"), col("py"), col("px"))
+  }
+
   /** Perceptual near-dup pairs over the dHash fixture set: REAL decode
     * → 9×8 luma grid → 64-bit dHash → pigeonhole-banded LSH join →
     * exact popcount filter (Multimodal.imageNearDupPairs). Pinned
@@ -1136,6 +1158,7 @@ object CustomQueries {
     "q_multimodal_features" -> (qMultimodalFeatures(_, _)),
     "q_multimodal_audio" -> (qMultimodalAudio(_, _)),
     "q_multimodal_vad" -> (qMultimodalVad(_, _)),
+    "q_multimodal_patches" -> (qMultimodalPatches(_, _)),
     "q_multimodal_goertzel" -> (qMultimodalGoertzel(_, _)),
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
@@ -1282,6 +1305,29 @@ object CustomQueries {
     // stub features derive from its FNV hash); RMS/peak are the
     // deterministic decode outputs rounded to 6 decimals.
     "q_multimodal_goertzel" -> goertzelOracleSql,
+    // pixel formulas in lockstep with fxGrad/fxGrad2/fxGradv/fxStripes
+    // (the same tabulate the fixture builder runs); BMP absent = the
+    // P5-only decline, certified by row count
+    "q_multimodal_patches" ->
+      s"""WITH px AS (
+         |  SELECT f.file, x.x, y.y,
+         |    CASE f.file
+         |      WHEN 'grad.pgm' THEN x.x * 14
+         |      WHEN 'grad2.pgm' THEN
+         |        CASE WHEN x.x >= 16 AND y.y <= 1 THEN 0
+         |             ELSE x.x * 14 END
+         |      WHEN 'gradv.pgm' THEN y.y * 15
+         |      ELSE CASE WHEN (x.x // 2) % 2 = 0 THEN 30 ELSE 220 END
+         |    END AS g
+         |  FROM (VALUES ('grad.pgm'), ('grad2.pgm'), ('gradv.pgm'),
+         |        ('stripes.pgm')) f(file),
+         |       (SELECT unnest(generate_series(0, ${fxW - 1})) AS x) x,
+         |       (SELECT unnest(generate_series(0, ${fxH - 1})) AS y) y)
+         |SELECT file, CAST(y // 6 AS BIGINT) AS py,
+         |  CAST(x // 6 AS BIGINT) AS px, count(*) AS n_px,
+         |  CAST(sum(g) AS BIGINT) AS sum_gray
+         |FROM px GROUP BY file, y // 6, x // 6
+         |ORDER BY file, py, px""".stripMargin,
     "q_multimodal_vad" -> {
       // window energies regenerated from the SAME vadPattern script and
       // period tables the fixture builder tiles — then the identical

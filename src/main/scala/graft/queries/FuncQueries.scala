@@ -30,6 +30,35 @@ object FuncQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** URL parsing + canonicalization battery — the normalization pass a
+    * web-scrape dedup pipeline runs before URL-level exact dedup
+    * (lowercase host, strip tracking params, keep host+path as the
+    * canonical key): deterministic URLs synthesized from order fields,
+    * then `parse_url` extraction (HOST / PATH / per-key QUERY — Spark's
+    * codegen'd built-in) and the canonical key. The DuckDB twin parses
+    * with anchored regexes — the values, not the parser, are the
+    * contract. Sampled to every 101st order; map-side only.
+    */
+  def qFuncUrl(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderkey") % 101 === 0)
+    val url = concat(lit("https://Shop.Example.COM/orders/"),
+      col("o_orderkey").cast("string"), lit("?utm_source="),
+      regexp_replace(col("o_orderpriority"), " ", ""),
+      lit("&page="), (col("o_orderkey") % 7).cast("string"))
+    o.select(col("o_orderkey"), url.as("url"))
+      .select(
+        col("o_orderkey"), col("url"),
+        lower(parse_url(col("url"), lit("HOST"))).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("utm_source"))
+          .as("utm_source"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).cast("long")
+          .as("page"),
+        concat(lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH"))).as("canonical"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def qFuncDate(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.select(
@@ -155,6 +184,7 @@ object FuncQueries {
   val defs: Map[String, Q] = Map(
     "q_func_array2" -> (qFuncArray2(_, _)),
     "q_func_string" -> (qFuncString(_, _)),
+    "q_func_url" -> (qFuncUrl(_, _)),
     "q_func_date" -> (qFuncDate(_, _)),
     "q_func_math" -> (qFuncMath(_, _)),
     "q_func_case" -> (qFuncCase(_, _)),
@@ -165,6 +195,26 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_func_url" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://Shop.Example.COM/orders/' || o_orderkey ||
+        |    '?utm_source=' || replace(o_orderpriority, ' ', '') ||
+        |    '&page=' || (o_orderkey % 7) AS url
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderkey, url,
+        |  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+        |    AS host,
+        |  regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)
+        |    AS path,
+        |  regexp_extract(url, '[?&]utm_source=([^&#]*)', 1)
+        |    AS utm_source,
+        |  CAST(regexp_extract(url, '[?&]page=([^&#]*)', 1) AS BIGINT)
+        |    AS page,
+        |  lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) ||
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)
+        |    AS canonical
+        |FROM u ORDER BY o_orderkey""".stripMargin,
     "q_func_array2" ->
       """SELECT doc_id,
         |  array_to_string(toks[1:3], '-') AS first3,

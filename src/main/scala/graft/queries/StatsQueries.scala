@@ -583,6 +583,34 @@ object StatsQueries {
           .stripMargin.replace('\n', ' ')).as("reject"))
   }
 
+  /** TUKEY IQR FENCES per return flag — the boxplot outlier rule
+    * (Tukey 1977, EDA): q1/q3 by exact linear-interpolation percentile
+    * on integer cents (interpolated values are exact quarter-cents —
+    * identical doubles in both engines), fences at ±1.5·IQR, outlier
+    * counts on either side. Complements q_stat_zscore (moment-based)
+    * and q_stat_mad (median-based) with the rank-based rule. Two
+    * passes: one percentile aggregate, stats broadcast back for the
+    * fence counts.
+    */
+  def qStatIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        e2($"l_extendedprice").as("c"))
+    val stats = li.groupBy($"flag")
+      .agg(percentile($"c", lit(0.25)).as("q1_c"),
+        percentile($"c", lit(0.75)).as("q3_c"))
+      .withColumn("lo", $"q1_c" - lit(1.5) * ($"q3_c" - $"q1_c"))
+      .withColumn("hi", $"q3_c" + lit(1.5) * ($"q3_c" - $"q1_c"))
+    li.join(broadcast(stats), "flag")
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        first($"q1_c").as("q1_c"), first($"q3_c").as("q3_c"),
+        sum(when($"c" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"c" > $"hi", 1L).otherwise(0L)).as("n_high"))
+      .orderBy($"flag")
+  }
+
   def qStatMannwhitney(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mannWhitney(Tables.orders(spark, dir)
@@ -593,6 +621,7 @@ object StatsQueries {
 
   val defs: Map[String, Q] = Map(
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
+    "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
     "q_stat_anova" -> (qStatAnova(_, _)),
     "q_stat_benford" -> (qStatBenford(_, _)),
@@ -626,6 +655,28 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_iqr" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT flag, quantile_cont(c, 0.25) AS q1_c,
+        |    quantile_cont(c, 0.75) AS q3_c
+        |  FROM li GROUP BY flag),
+        |f AS (
+        |  SELECT flag, q1_c, q3_c,
+        |    q1_c - 1.5 * (q3_c - q1_c) AS lo,
+        |    q3_c + 1.5 * (q3_c - q1_c) AS hi
+        |  FROM st)
+        |SELECT li.flag, count(*) AS n, f.q1_c, f.q3_c,
+        |  CAST(SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM li JOIN f ON li.flag = f.flag
+        |GROUP BY li.flag, f.q1_c, f.q3_c
+        |ORDER BY li.flag""".stripMargin,
     "q_stat_mannwhitney" ->
       """WITH s AS (
         |  SELECT (o_orderstatus = 'O') AS isa,

@@ -59,4 +59,26 @@ class VadSpec extends SparkTestBase {
     val m = media("tiny.wav", wav(Seq(5, 5)))
     assert(Multimodal.vadWindows(Seq(m).toDS(), 4).count() == 0)
   }
+
+  test("grayPatches: exact sums, ceil-grid edge tiles, P5-only") {
+    // 5×3 image, patch 2 → 3×2 grid; pixel value = x + 10*y
+    val raster = (for (y <- 0 until 3; x <- 0 until 5)
+      yield (x + 10 * y).toByte).toArray
+    val pgm = media("g.pgm",
+      "P5\n5 3\n255\n".getBytes("US-ASCII") ++ raster)
+    val p6 = media("c.ppm", // P6 color must decline
+      "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    val got = Multimodal.grayPatches(Seq(pgm, p6).toDS(), 2)
+      .collect().map(p => ((p.py, p.px), (p.n_px, p.sum_gray))).toMap
+    def ref(py: Int, px: Int) = {
+      val cells = for {
+        y <- (2 * py) until math.min(2 * py + 2, 3)
+        x <- (2 * px) until math.min(2 * px + 2, 5)
+      } yield x + 10 * y
+      (cells.size.toLong, cells.map(_.toLong).sum)
+    }
+    assert(got.size == 6)
+    for (py <- 0 until 2; px <- 0 until 3)
+      assert(got((py.toLong, px.toLong)) == ref(py, px), s"($py,$px)")
+  }
 }
