@@ -619,7 +619,132 @@ object StatsQueries {
         e2($"o_totalprice").as("v")))
   }
 
+  /** KRUSKAL–WALLIS H — the k-group rank ANOVA (Kruskal & Wallis 1952),
+    * completing the nonparametric battery beyond the two-sample
+    * Mann–Whitney: does any event type's DAILY VOLUME distribution
+    * differ in location from the others? Observations are the
+    * (event_type, day) daily counts — a calendar-bounded table
+    * (k·days rows, ~150 here) no matter how many raw events feed it,
+    * so the rank stage is scale-free: 100 TB of events still reduces
+    * to one map-side-combined count aggregate before any ranking.
+    *
+    * Exactness doctrine (the q_stat_mannwhitney pattern): ranks are
+    * never materialized as halves — the DOUBLED average rank at value
+    * v is the integer r2 = 2·cum(<v) + t_v + 1, so the per-group rank
+    * sums S2_g = 2·R_g are exact BIGINTs. The α=0.05 verdict
+    * H/C > χ²_{k−1} is evaluated as ONE cross-multiplied
+    * DECIMAL(38,0)/HUGEINT comparison with common denominator
+    * P = Πn_g (P/n_g is exact integral division):
+    * 3000·(N−1)·Σ_g S2_g²·(P/n_g) − 3000·(N+1)·(N³−N)·P
+    *   > crit1000_{k−1} · (N³−N−ΣT) · P,   ΣT = Σ_v (t³−t).
+    * No float touches the reject bit; h_r6/hc_r6 are the same
+    * quantities as doubles via a group-ordered fold (the q_stat_anova
+    * list-fold idiom) for human consumption.
+    */
+  def qStatKruskal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.events(spark, dir)
+      .select($"event_type".as("g"), to_date($"ts").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("v"))
+    val byV = obs.groupBy($"v").agg(count(lit(1)).as("t"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = byV
+      .withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+      .select($"v", $"t", (lit(2L) * $"cumt" + $"t" + 1L).as("r2"))
+    val ties = r2.groupBy()
+      .agg(sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+    val groups = obs.join(r2.select($"v", $"r2"), "v")
+      .groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"r2").as("s2"))
+    val folded = groups.groupBy()
+      .agg(expr("sort_array(collect_list(struct(g, ng, s2)))").as("gs"))
+      .select(
+        expr("cast(size(gs) as bigint)").as("k"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.ng)")
+          .as("n"),
+        expr("aggregate(gs, cast(1 as decimal(38,0)), (a, x) -> a * x.ng)")
+          .as("p"),
+        expr("aggregate(gs, cast(0.0 as double)," +
+          " (a, x) -> a + cast(x.s2 as double) * x.s2 / x.ng / 4.0)")
+          .as("rsum"),
+        $"gs")
+      .select($"k", $"n", $"rsum",
+        expr("aggregate(gs, cast(0 as decimal(38,0))," +
+          " (a, x) -> a + cast(x.s2 as decimal(38,0)) * x.s2" +
+          " * (p div x.ng))").as("qp"),
+        $"p")
+    folded.crossJoin(broadcast(ties))
+      .select($"k", $"n", $"tie_term",
+        round(expr("12.0 * rsum / (n * (n + 1.0)) - 3.0 * (n + 1)"), 6)
+          .as("h_r6"),
+        round(expr("(12.0 * rsum / (n * (n + 1.0)) - 3.0 * (n + 1))" +
+          " * (cast(n as double) * n * n - n)" +
+          " / (cast(n as double) * n * n - n - tie_term)"), 6)
+          .as("hc_r6"),
+        expr("""cast(3000 as decimal(38,0)) * (n - 1) * qp
+               |  - cast(3000 as decimal(38,0)) * (n + 1)
+               |    * (cast(n as decimal(38,0)) * n * n - n) * p
+               |> cast(case when k = 2 then 3841 when k = 3 then 5991
+               |       when k = 4 then 7815 when k = 5 then 9488
+               |       when k = 6 then 11070 else 12592 end
+               |       as decimal(38,0))
+               |  * (cast(n as decimal(38,0)) * n * n - n - tie_term) * p"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
+  /** KENDALL τ-b — rank correlation between daily click volume and
+    * daily purchase volume (Kendall 1938; tau-b tie handling per
+    * Kendall 1945). All pair classification is pure integer sign
+    * arithmetic over the 30-row daily table (concordant / discordant /
+    * tied-x / tied-y counted exactly), so C, D, and the tie counts are
+    * exact BIGINTs; τ_b applies the one sqrt on those exact integers,
+    * identically in both engines. The α=0.05 verdict uses the
+    * no-ties normal approximation z = 3(C−D)/√(n(n−1)(2n+5)/2)
+    * (documented approximation — ties here are rare) as the exact
+    * integer comparison 45000·(C−D)² > 9604·n(n−1)(2n+5).
+    *
+    * Scale shape: the O(days²) pair join runs on the CALENDAR-bounded
+    * daily aggregate (435 pairs for a month), never on raw events —
+    * the same boundedness argument as q_stat_kruskal; the raw-event
+    * scan is one map-side-combined conditional count.
+    */
+  def qStatKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"), $"a.d" < $"b.d")
+      .select(
+        when($"b.x" > $"a.x", 1L).when($"b.x" < $"a.x", -1L)
+          .otherwise(0L).as("sx"),
+        when($"b.y" > $"a.y", 1L).when($"b.y" < $"a.y", -1L)
+          .otherwise(0L).as("sy"))
+    pairs.groupBy()
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when($"sx" * $"sy" === 1L, 1L).otherwise(0L)).as("conc"),
+        sum(when($"sx" * $"sy" === -1L, 1L).otherwise(0L)).as("disc"),
+        sum(when($"sx" === 0L, 1L).otherwise(0L)).as("ties_x"),
+        sum(when($"sy" === 0L, 1L).otherwise(0L)).as("ties_y"))
+      .select($"n0", $"conc", $"disc", $"ties_x", $"ties_y",
+        round(($"conc" - $"disc").cast("double")
+          / sqrt((($"n0" - $"ties_x") * ($"n0" - $"ties_y"))
+            .cast("double")), 6).as("tau_r6"),
+        // n from n0 = n(n−1)/2: 1+8·n0 = (2n−1)², sqrt of a perfect
+        // square is exact, so this is integral — no second aggregate
+        expr("(1 + cast(sqrt(1.0 + 8.0 * n0) as bigint)) div 2").as("n"))
+      .select($"n", $"n0", $"conc", $"disc", $"ties_x", $"ties_y",
+        $"tau_r6",
+        (lit(45000L) * ($"conc" - $"disc") * ($"conc" - $"disc")
+          > lit(9604L) * $"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L))
+          .as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_kruskal" -> (qStatKruskal(_, _)),
+    "q_stat_kendall" -> (qStatKendall(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -655,6 +780,86 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical doubled-rank integers; HUGEINT cross-multiplied verdict
+    // with the same common denominator P = Πn_g; group-ordered double
+    // fold for the r6 views
+    "q_stat_kruskal" ->
+      """WITH obs AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bv AS (SELECT v, count(*) AS t FROM obs GROUP BY v),
+        |r2t AS (SELECT v, t,
+        |    2 * COALESCE(SUM(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM bv),
+        |ties AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tie_term
+        |  FROM r2t),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(SUM(r2) AS BIGINT) AS s2
+        |  FROM obs JOIN r2t ON obs.v = r2t.v GROUP BY g),
+        |f1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(1 AS HUGEINT),
+        |      list(CAST(ng AS HUGEINT) ORDER BY g)), (a, b) -> a * b)
+        |      AS p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(s2 AS DOUBLE) * s2 / ng / 4.0 ORDER BY g)),
+        |      (a, b) -> a + b) AS rsum
+        |  FROM grp),
+        |f2 AS (SELECT k, n, p, rsum,
+        |    (SELECT SUM(CAST(s2 AS HUGEINT) * s2 * (p // ng)) FROM grp)
+        |      AS qp
+        |  FROM f1)
+        |SELECT k, n, tie_term,
+        |  round(12.0 * rsum / (n * (n + 1.0)) - 3.0 * (n + 1), 6)
+        |    AS h_r6,
+        |  round((12.0 * rsum / (n * (n + 1.0)) - 3.0 * (n + 1))
+        |    * (CAST(n AS DOUBLE) * n * n - n)
+        |    / (CAST(n AS DOUBLE) * n * n - n - tie_term), 6) AS hc_r6,
+        |  (CAST(3000 AS HUGEINT) * (n - 1) * qp
+        |     - CAST(3000 AS HUGEINT) * (n + 1)
+        |       * (CAST(n AS HUGEINT) * n * n - n) * p
+        |   > CAST(CASE WHEN k = 2 THEN 3841 WHEN k = 3 THEN 5991
+        |          WHEN k = 4 THEN 7815 WHEN k = 5 THEN 9488
+        |          WHEN k = 6 THEN 11070 ELSE 12592 END AS HUGEINT)
+        |     * (CAST(n AS HUGEINT) * n * n - n - tie_term) * p)
+        |    AS reject
+        |FROM f2, ties""".stripMargin,
+    // identical integer sign classification over the bounded day pairs
+    "q_stat_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0
+        |      END AS sx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0
+        |      END AS sy
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS disc,
+        |    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM pr),
+        |wn AS (SELECT n0, conc, disc, ties_x, ties_y,
+        |    round(CAST(conc - disc AS DOUBLE)
+        |      / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)), 6)
+        |      AS tau_r6,
+        |    (1 + CAST(sqrt(1.0 + 8.0 * n0) AS BIGINT)) // 2 AS n
+        |  FROM ag)
+        |SELECT n, n0, conc, disc, ties_x, ties_y, tau_r6,
+        |  (45000 * (conc - disc) * (conc - disc)
+        |   > 9604 * n * (n - 1) * (2 * n + 5)) AS reject
+        |FROM wn""".stripMargin,
     "q_stat_iqr" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

@@ -81,6 +81,87 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(got("ONE")._4 == 3.0 / 4.0 && got("ONE")._3 == 100.0)
   }
 
+  test("kruskal: fully separated groups hand-compute to H=12.5, " +
+    "Hc=14.0 and reject; the exact verdict agrees with the doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("kw").toString
+    var id = 0L
+    // type a: 1 event/day, b: 10/day, c: 20/day over days 1..5 →
+    // within-group all-tied daily counts {1},{10},{20}; no overlap.
+    // Ranks: R_a=15, R_b=40, R_c=65; H = 12/240·1210 − 48 = 12.5;
+    // ΣT = 3·(5³−5) = 360, C = 1 − 360/3360 → Hc = 14.0 exactly.
+    val rows = for {
+      (et, perDay) <- Seq(("a", 1), ("b", 10), ("c", 20))
+      d <- 1 to 5
+      i <- 1 to perDay
+    } yield {
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-0$d ${i % 24}%02d:00:00"),
+        id % 5, et, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val r = StatsQueries.qStatKruskal(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().head
+    assert(r == ((3L, 15L, 360L, 12.5, 14.0, true)))
+  }
+
+  test("kruskal: identical group distributions sit exactly at H=0, " +
+    "no reject") {
+    val dir = java.nio.file.Files.createTempDirectory("kw0").toString
+    var id = 0L
+    // every type: 2 days of 1 event + 2 days of 2 events → identical
+    // distributions, H exactly 0 (6084/156 = 39 is an exact double)
+    val rows = for {
+      et <- Seq("a", "b", "c")
+      (d, perDay) <- Seq((1, 1), (2, 1), (3, 2), (4, 2))
+      i <- 1 to perDay
+    } yield {
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-0$d 0$i:00:00"),
+        id % 5, et, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val r = StatsQueries.qStatKruskal(spark, dir)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().head
+    assert(r._4 == 0.0 && r._5 == 0.0 && !r._6)
+  }
+
+  test("kendall: perfect concordance is tau=1 and rejects; planted " +
+    "y-ties count into ties_y and tau-b's denominator") {
+    val dir = java.nio.file.Files.createTempDirectory("kt").toString
+    var id = 0L
+    def day(d: Int, clicks: Int, purchases: Int) =
+      ((1 to clicks).map(_ => "click") ++
+        (1 to purchases).map(_ => "purchase")).map { et =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+          id % 5, et, 1.0, "{}")
+      }
+    // days 1..5: (i clicks, i purchases) → all 10 pairs concordant
+    (1 to 5).flatMap(d => day(d, d, d))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+    val r = StatsQueries.qStatKendall(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().head
+    assert(r == ((5L, 10L, 10L, 0L, 0L, 0L, 1.0, true)))
+
+    val dir2 = java.nio.file.Files.createTempDirectory("kt2").toString
+    // days 1..4: x = 1..4, y = 1,1,2,2 → conc 4, ties_y 2,
+    // tau = 4/√(6·4)
+    Seq((1, 1), (2, 1), (3, 2), (4, 2)).flatMap { case (d, y) =>
+      day(d, d, y)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir2/events.parquet")
+    val r2 = StatsQueries.qStatKendall(spark, dir2)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().head
+    assert(r2._1 == 4L && r2._3 == 4L && r2._4 == 0L &&
+      r2._5 == 0L && r2._6 == 2L &&
+      r2._7 == r6(4.0 / math.sqrt(24.0)))
+  }
+
   test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
     // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
     // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
