@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.{Decontaminate, Packing, Sampling}
+import graft.ops.{Decontaminate, Packing, Sampling, TextAnalysis}
 
 /** Training-data curation operators: deterministic sampling and
   * benchmark decontamination. All oracle-checked — the samplers key off
@@ -384,6 +384,9 @@ object CurationQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_curate_kappa" -> (qCurateKappa(_, _)),
+    "q_curate_quantile_norm" -> (qCurateQuantileNorm(_, _)),
+    "q_curate_wilson" -> (qCurateWilson(_, _)),
     "q_curate_neyman" -> (qCurateNeyman(_, _)),
     "q_curate_shard" -> (qCurateShard(_, _)),
     "q_curate_neg_sample" -> (qNegSample(_, _)),
@@ -601,9 +604,176 @@ object CurationQueries {
         "n_docs * 1000000L div sum(n_docs) over ()"))
       .orderBy(col("split"))
 
+  /** COHEN'S κ — inter-annotator agreement (Cohen 1960), the QA gate
+    * every labeled-data pipeline runs before trusting its raters. Two
+    * deterministic "annotators" label each document's length class on
+    * different evidence (A: raw chars; B: whitespace tokens), so they
+    * correlate without being identical — exactly the situation κ is
+    * for (chance-corrected agreement, unlike raw percent agreement).
+    * κ = (N·Σdiag − Σᵢrᵢcᵢ)/(N² − Σᵢrᵢcᵢ) is a ratio of exact BIGINTs;
+    * the Landis–Koch "substantial" verdict (κ > 0.4 here, their
+    * moderate/substantial midline) is the cross-multiplied integer
+    * comparison 5·(N·Σdiag − Σrᵢcᵢ) > 2·(N² − Σrᵢcᵢ) — no float in
+    * the bit. Shape: one scan → k×k confusion aggregate (k=3), then
+    * arithmetic on a 9-row frame; at 100 TB only the confusion counts
+    * cross the shuffle.
+    */
+  def qCurateKappa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lab = Tables.documents(spark, dir).select(
+      when(col("n_chars") < 200, "short")
+        .when(col("n_chars") < 400, "medium").otherwise("long").as("a"),
+      when(TextAnalysis.tokenCount(col("text")) < 40, "short")
+        .when(TextAnalysis.tokenCount(col("text")) < 80, "medium")
+        .otherwise("long").as("b"))
+    val conf = lab.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+    val cols = conf.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val pe = rows.join(cols, col("a") === col("b"))
+      .agg(sum(col("ra") * col("cb")).as("pe_num"))
+    val ag = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    ag.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), col("pe_num"),
+        round((col("n") * col("agree") - col("pe_num")).cast("double")
+          / (col("n") * col("n") - col("pe_num")).cast("double"), 6)
+          .as("kappa_r6"),
+        (lit(5L) * (col("n") * col("agree") - col("pe_num"))
+          > lit(2L) * (col("n") * col("n") - col("pe_num")))
+          .as("substantial"))
+  }
+
+  /** CROSS-SOURCE QUANTILE NORMALIZATION (Bolstad et al. 2003
+    * lineage, rank-mapping form): per-source quality scores are made
+    * comparable by mapping each doc's WITHIN-SOURCE rank onto the
+    * GLOBAL score distribution — source r-th of n maps to the global
+    * value at position ⌊(2r−1)·N/(2n)⌋+1 (midpoint rule, always in
+    * [1, N]). The mixing problem this solves: two classifiers score
+    * on different scales, and quota sampling on raw scores would
+    * over-draw from whichever source scores generously. All-integer
+    * rank arithmetic; ties broken by doc_id so both engines rank
+    * identically. Shape: one window per source + one global sort
+    * (range-partitioned at scale, the q_curate_shard argument) + one
+    * equi-join on position.
+    */
+  def qCurateQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("raw"))
+    val bySrc = d
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("raw"), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
+    val global = d
+      .select(col("raw").as("gval"),
+        row_number().over(Window.orderBy(col("raw"), col("doc_id")))
+          .as("gpos"))
+    val n = d.agg(count(lit(1)).as("n_all"))
+    bySrc.crossJoin(broadcast(n))
+      .withColumn("gpos",
+        expr("(2 * r - 1) * n_all div (2 * n_src) + 1"))
+      .join(global, "gpos")
+      .select(col("doc_id"), col("source"), col("raw"),
+        col("gval").as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** WILSON LOWER BOUND source ranking (Wilson 1927; the "how not to
+    * sort by average rating" rule): sources are ranked by the 95%
+    * lower confidence bound of their quality-gate pass rate, so a
+    * source with 3/3 passes ranks below one with 80/100 — small
+    * samples can't buy top rank. Inputs (passes, n) are exact
+    * integers; the one formula application is identical IEEE text in
+    * both engines (√ is correctly rounded). Shape: scan → per-source
+    * conditional count → 20-row arithmetic.
+    */
+  def qCurateWilson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= 100 && col("n_chars") <= 450, 1L)
+          .otherwise(0L)).as("passes"))
+      .withColumn("lb_r6", round(expr(
+        """(passes / cast(n as double) + 1.96 * 1.96 / (2.0 * n)
+          |  - 1.96 * sqrt((passes / cast(n as double)
+          |      * (1.0 - passes / cast(n as double))
+          |      + 1.96 * 1.96 / (4.0 * n)) / n))
+          |/ (1.0 + 1.96 * 1.96 / n)""".stripMargin.replace('\n', ' ')), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lb_r6").desc, col("source"))))
+      .select(col("rk"), col("source"), col("n"), col("passes"),
+        col("lb_r6"))
+      .orderBy(col("rk"))
+  }
+
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // identical confusion-matrix integers; cross-multiplied verdict
+    "q_curate_kappa" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |         WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS a,
+        |    CASE WHEN len(regexp_extract_all(text, '\S+')) < 40
+        |           THEN 'short'
+        |         WHEN len(regexp_extract_all(text, '\S+')) < 80
+        |           THEN 'medium' ELSE 'long' END AS b
+        |  FROM documents),
+        |conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM lab GROUP BY a, b),
+        |r AS (SELECT a, SUM(c) AS ra FROM conf GROUP BY a),
+        |cc AS (SELECT b, SUM(c) AS cb FROM conf GROUP BY b),
+        |pe AS (SELECT CAST(SUM(ra * cb) AS BIGINT) AS pe_num
+        |  FROM r JOIN cc ON r.a = cc.b),
+        |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM conf)
+        |SELECT n, agree, pe_num,
+        |  round(CAST(n * agree - pe_num AS DOUBLE)
+        |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa_r6,
+        |  (5 * (n * agree - pe_num) > 2 * (n * n - pe_num))
+        |    AS substantial
+        |FROM ag, pe""".stripMargin,
+    // identical rank arithmetic with doc_id tie-breaks; midpoint rule
+    "q_curate_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS raw
+        |  FROM documents),
+        |bysrc AS (SELECT doc_id, source, raw,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY raw, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM d),
+        |gtab AS (SELECT raw AS gval,
+        |    row_number() OVER (ORDER BY raw, doc_id) AS gpos
+        |  FROM d),
+        |nn AS (SELECT COUNT(*) AS n_all FROM d),
+        |pos AS (SELECT b.doc_id, b.source, b.raw,
+        |    (2 * b.r - 1) * nn.n_all // (2 * b.n_src) + 1 AS gpos
+        |  FROM bysrc b, nn)
+        |SELECT p.doc_id, p.source, p.raw, g.gval AS norm
+        |FROM pos p JOIN gtab g ON g.gpos = p.gpos
+        |ORDER BY p.doc_id""".stripMargin,
+    // identical IEEE formula text on exact (passes, n)
+    "q_curate_wilson" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 100 AND n_chars <= 450
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS passes
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n, passes,
+        |    round((passes / CAST(n AS DOUBLE) + 1.96 * 1.96 / (2.0 * n)
+        |      - 1.96 * sqrt((passes / CAST(n AS DOUBLE)
+        |          * (1.0 - passes / CAST(n AS DOUBLE))
+        |          + 1.96 * 1.96 / (4.0 * n)) / n))
+        |    / (1.0 + 1.96 * 1.96 / n), 6) AS lb_r6
+        |  FROM s)
+        |SELECT CAST(row_number() OVER (ORDER BY lb_r6 DESC, source)
+        |    AS INT) AS rk,
+        |  source, n, passes, lb_r6
+        |FROM w
+        |ORDER BY rk""".stripMargin,
     "q_curate_mix_epochs" ->
       """WITH per AS (
         |  SELECT source,
