@@ -277,7 +277,59 @@ object GraphQueries {
     oldFinal.unionByName(newFinal).orderBy(col("doc_id"))
   }
 
+  /** MODULARITY of a given partition (Newman & Girvan 2004): does
+    * nationality explain the co-supply graph's structure? The partition
+    * under test assigns each supplier to its nation; modularity
+    * Q = Σ_c [e_c/m − (D_c/2m)²] is computed as the exact integer pair
+    * (q_num, 4m²) with q_num = 4m·Σe_c − ΣD_c², so the score is a
+    * ratio of BIGINTs and the r6 double is one IEEE division. Per-nation
+    * rows carry the community evidence (vertices, intra-edges, degree
+    * mass); the global q_num/q_r6 columns are constant by construction
+    * (the same cross-joined 1-row frame).
+    *
+    * Scale shape: edge dedup is one distinct shuffle; degrees one
+    * aggregate over the 2|E| endpoint table; intra-edge counts a
+    * broadcast of the vertex→community map (suppliers are the SMALL
+    * dimension — at 100 TB the map is still MBs). No per-community
+    * subgraph materialization.
+    */
+  def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val nat = broadcast(Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("v"), $"s_nationkey".as("c")))
+    val deg = edges.select($"src".as("v"))
+      .unionAll(edges.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val comm = deg.join(nat, "v")
+      .groupBy($"c")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("deg_sum"))
+    val intra = edges
+      .join(nat.select($"v".as("src"), $"c".as("c_src")), "src")
+      .join(nat.select($"v".as("dst"), $"c".as("c_dst")), "dst")
+      .filter($"c_src" === $"c_dst")
+      .groupBy($"c_src".as("c")).agg(count(lit(1)).as("intra_edges"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val per = comm.join(intra, Seq("c"), "left")
+      .select($"c", $"n_nodes", $"deg_sum",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"))
+    val tot = per.agg(sum($"intra_edges").as("sum_intra"),
+      sum($"deg_sum" * $"deg_sum").as("sum_d2"))
+    per.crossJoin(broadcast(m)).crossJoin(broadcast(tot))
+      .select($"c".as("nation"), $"n_nodes", $"intra_edges", $"deg_sum",
+        (lit(4L) * $"m" * $"sum_intra" - $"sum_d2").as("q_num"),
+        round((lit(4L) * $"m" * $"sum_intra" - $"sum_d2").cast("double")
+          / (lit(4L) * $"m" * $"m").cast("double"), 6).as("q_r6"))
+      .orderBy($"nation")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_modularity" -> (qGraphModularity(_, _)),
     "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
     "q_graph_sssp" -> (qGraphSssp(_, _)),
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
@@ -404,6 +456,36 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical exact-integer modularity decomposition per nation
+    "q_graph_modularity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1.0),
+        |ed AS (SELECT DISTINCT x.s AS src, y.s AS dst
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |nat AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM ed
+        |        UNION ALL SELECT dst AS v FROM ed) GROUP BY v),
+        |comm AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) AS BIGINT) AS deg_sum
+        |  FROM deg JOIN nat ON deg.v = nat.v GROUP BY c),
+        |intra AS (SELECT ns.c AS c, CAST(count(*) AS BIGINT)
+        |      AS intra_edges
+        |  FROM ed JOIN nat ns ON ed.src = ns.v
+        |    JOIN nat nd ON ed.dst = nd.v
+        |  WHERE ns.c = nd.c GROUP BY ns.c),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+        |per AS (SELECT comm.c, n_nodes, deg_sum,
+        |    COALESCE(intra_edges, 0) AS intra_edges
+        |  FROM comm LEFT JOIN intra ON comm.c = intra.c),
+        |tot AS (SELECT CAST(SUM(intra_edges) AS BIGINT) AS sum_intra,
+        |    CAST(SUM(deg_sum * deg_sum) AS BIGINT) AS sum_d2 FROM per)
+        |SELECT per.c AS nation, n_nodes, intra_edges, deg_sum,
+        |  4 * m.m * tot.sum_intra - tot.sum_d2 AS q_num,
+        |  round(CAST(4 * m.m * tot.sum_intra - tot.sum_d2 AS DOUBLE)
+        |    / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_r6
+        |FROM per, m, tot
+        |ORDER BY nation""".stripMargin,
     // from-scratch CC over the UNION graph (old + delta pairs) — the
     // maintenance-correctness theorem as a hash compare
     "q_graph_cc_incremental" ->

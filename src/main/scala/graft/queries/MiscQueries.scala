@@ -564,7 +564,28 @@ object MiscQueries {
       .orderBy(col("pair"))
   }
 
+  /** COMPACTION PLAN over a synthetic micro-batch manifest: one
+    * "file" per (event_type, day) partition with its payload bytes —
+    * the small-file population a month of 5-type streaming ingest
+    * leaves behind — packed into 64 KiB rewrite bins by
+    * [[graft.io.Compaction.plan]] (streaming next-fit on the
+    * size-descending manifest; see that scaladoc for the overflow
+    * bound and the 100 TB manifest argument). The REAL-directory
+    * variant (`Compaction.planDirectory`, driver-side FS listing) is
+    * exercised by CompactionSpec; this query pins the planner's
+    * arithmetic against the oracle on an engine-independent manifest.
+    */
+  def qLakeCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(length(col("props")).cast("long")) + lit(64L)
+        * count(lit(1))).as("len"))
+    graft.io.Compaction.plan(manifest, Seq("event_type", "day"), "len",
+      target = 65536L)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_lake_compaction" -> (qLakeCompaction(_, _)),
     "q_cdc_apply" -> (qCdcApply(_, _)),
     "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
@@ -595,6 +616,24 @@ object MiscQueries {
       s"((y >> $b) & 1) * ${1L << (2 * b + 1)})").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // identical size-desc next-fit: bin = (inclusive running sum −
+    // own size) // target, then per-bin windows
+    "q_lake_compaction" ->
+      """WITH mf AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(length(props)) + 64 * count(*) AS BIGINT)
+        |      AS size_bytes
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, day, size_bytes,
+        |    CAST((SUM(size_bytes) OVER (ORDER BY size_bytes DESC,
+        |        event_type, day) - size_bytes) // 65536 AS BIGINT)
+        |      AS bin
+        |  FROM mf)
+        |SELECT event_type, day, size_bytes, bin,
+        |  COUNT(*) OVER (PARTITION BY bin) AS bin_files,
+        |  CAST(SUM(size_bytes) OVER (PARTITION BY bin) AS BIGINT)
+        |    AS bin_bytes
+        |FROM rt
+        |ORDER BY bin, size_bytes DESC, event_type, day""".stripMargin,
     // full recompute over the evolved table == the incremental refresh
     "q_cdc_mv_refresh" ->
       """WITH c AS (
