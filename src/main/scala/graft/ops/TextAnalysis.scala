@@ -32,6 +32,22 @@ object TextAnalysis {
   def stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "on", "for", "with")
 
+  /** Unicode NFC canonical composition (UAX #15) via
+    * `java.text.Normalizer`. Spark has no normalization builtin, so
+    * this is one of the documented scalar-UDF exceptions (the
+    * q_custom_udf_entropy class): data-parallel and map-side, but
+    * outside codegen. Canonical composition is version-stable for
+    * assigned characters, so Java's and ICU's (DuckDB's
+    * `nfc_normalize`) outputs agree — the cross-engine oracle for
+    * q_text_nfc depends on exactly that published stability
+    * guarantee.
+    */
+  val nfcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+
   /** Count of stopword tokens (lower-cased exact token match). */
   def stopwordCount(text: Column): Column = {
     val toks = split(lower(text), "\\s+")

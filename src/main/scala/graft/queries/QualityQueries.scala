@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.Quality
+import graft.ops.{Quality, TextAnalysis}
 import graft.ops.Quality._
 
 /** Data-quality constraint battery over the ingest tables — the contract
@@ -126,7 +126,44 @@ object QualityQueries {
       .orderBy($"lang", $"source")
   }
 
+  /** UNICODE NFC NORMALIZATION GATE (UAX #15) — the hygiene pass a
+    * multilingual corpus needs before dedup: the same visible text can
+    * arrive composed (é = U+00E9) or decomposed (e + U+0301), and
+    * every downstream hash (MinHash signatures, exact-dedup digests,
+    * winnow fingerprints) treats them as different documents unless
+    * ingestion canonicalizes. The ASCII fixture carries no non-NFC
+    * content, so the gate's subject is constructed IDENTICALLY in
+    * both engines: every 5th doc gets a combining acute (U+0301)
+    * inserted after its first 'e' — a decomposed pair NFC must
+    * compose back. Per-doc output pins the full normalized payload
+    * via md5, not just lengths, so the two engines' normalizers
+    * (java.text.Normalizer vs ICU) are certified to agree
+    * byte-for-byte. Composition shortens each doc by exactly 1
+    * codepoint — both length columns are asserted by the oracle.
+    *
+    * Scale shape: pure map-side (one scalar UDF — the documented
+    * non-codegen exception, see [[TextAnalysis.nfcNormalize]]);
+    * composes with scan pruning; no shuffle at all before the
+    * ORDER BY.
+    */
+  def qTextNfc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0 && instr(col("text"), "e") > 0)
+      .withColumn("p", instr(col("text"), "e"))
+      .withColumn("mutated", concat(
+        expr("substring(text, 1, p)"), lit("\u0301"),
+        expr("substring(text, p + 1, length(text))")))
+      .withColumn("normalized", TextAnalysis.nfcNormalize(col("mutated")))
+      .select(col("doc_id"), col("source"),
+        length(col("mutated")).cast("long").as("len_raw"),
+        length(col("normalized")).cast("long").as("len_nfc"),
+        (col("mutated") =!= col("normalized")).as("changed"),
+        md5(to_binary(col("normalized"), lit("utf-8"))).as("nfc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_nfc" -> (qTextNfc(_, _)),
     "q_quality_dp_release" -> (qQualityDpRelease(_, _)),
     "q_quality_kanon" -> (qQualityKanon(_, _)),
     "q_quality_constraints" -> (qQualityConstraints(_, _)),
@@ -134,6 +171,23 @@ object QualityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same deterministic mutation (chr(769) = U+0301 combining acute),
+    // ICU nfc_normalize vs java.text.Normalizer — md5 pins the payload
+    "q_text_nfc" ->
+      """WITH m AS (SELECT doc_id, source,
+        |    substring(text, 1, instr(text, 'e')) || chr(769) ||
+        |      substring(text, instr(text, 'e') + 1, length(text))
+        |      AS mutated
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND instr(text, 'e') > 0),
+        |n AS (SELECT doc_id, source, mutated,
+        |    nfc_normalize(mutated) AS normalized FROM m)
+        |SELECT doc_id, source,
+        |  CAST(length(mutated) AS BIGINT) AS len_raw,
+        |  CAST(length(normalized) AS BIGINT) AS len_nfc,
+        |  (mutated <> normalized) AS changed,
+        |  md5(normalized) AS nfc_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     // same md5-uniform, same inverse-CDF Laplace, same τ gate
     "q_quality_dp_release" ->
       """WITH c AS (SELECT lang, source, count(*) AS cnt

@@ -1495,7 +1495,59 @@ object TextQueries {
           _.cast("string")), ",").as("members"))
       .orderBy(col("cluster"))
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are the
+    * maximal stopword-free token runs (gaps-and-islands on the
+    * exploded token table — phrase key = pos − row_number), capped at
+    * 4 tokens (the standard practical cap; stopword-sparse corpora
+    * otherwise yield document-length runs that are not keywords).
+    * Word scores are deg(w)/freq(w) over the kept candidates — deg
+    * counts each phrase's full length for every member occurrence —
+    * kept exact as PPM integers (deg·10⁶ div freq); a phrase scores
+    * the sum of its members' scores, identical for every occurrence,
+    * so the report aggregates by phrase text. Top 50 by (score,
+    * phrase).
+    *
+    * Scale shape: explode is corpus-linear; islands need one
+    * per-doc window; word stats one aggregate over members; no
+    * pairwise anything. The only global step is the final top-k
+    * (TakeOrderedAndProject).
+    */
+  def qTextRake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = TextAnalysis.stopwords
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val nonstop = words.filter(!col("w").isin(stops: _*))
+      .withColumn("pk", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phraseLen = nonstop.groupBy(col("doc_id"), col("pk"))
+      .agg(count(lit(1)).as("plen"))
+      .filter(col("plen") <= 4)
+    val members = nonstop.join(phraseLen, Seq("doc_id", "pk"))
+    val wordScore = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        expr("deg * 1000000L div freq").as("score_ppm"))
+    val phrases = members.join(wordScore, "w")
+      .groupBy(col("doc_id"), col("pk"))
+      .agg(
+        concat_ws(" ", expr("transform(sort_array(" +
+          "collect_list(struct(pos, w))), x -> x.w)")).as("phrase"),
+        sum(col("score_ppm")).as("score_ppm"),
+        first(col("plen")).as("plen"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("score_ppm")).as("score_ppm"),
+        min(col("plen")).as("n_words"))
+      .orderBy(desc("score_ppm"), asc("phrase"))
+      .limit(50)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_rake" -> (qTextRake(_, _)),
     "q_text_novelty" -> (qTextNovelty(_, _)),
     "q_text_diversity" -> (qTextDiversity(_, _)),
     "q_text_scrub_global" -> (qTextScrubGlobal(_, _)),
@@ -1930,7 +1982,45 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
        |GROUP BY p.piece ORDER BY p.piece""".stripMargin
   }
 
+  /** RAKE twin: same islands (1-based positions shift pk by a
+    * per-doc constant — grouping unaffected), same PPM integer word
+    * scores, same ≤4-token cap. Stopword literal injected from
+    * [[TextAnalysis.stopwords]] so the lists cannot drift. */
+  private val rakeSql: String = {
+    val stopList = TextAnalysis.stopwords.map(s => s"'$s'")
+      .mkString("(", ", ", ")")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |w0 AS (SELECT doc_id, i AS pos, ts[i] AS w
+       |  FROM toks, (SELECT unnest(generate_series(1, 512)) AS i)
+       |  WHERE i <= len(ts) AND ts[i] <> ''),
+       |ns AS (SELECT doc_id, pos, w,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS pk
+       |  FROM w0 WHERE w NOT IN $stopList),
+       |pl AS (SELECT doc_id, pk, count(*) AS plen FROM ns
+       |  GROUP BY 1, 2 HAVING count(*) <= 4),
+       |mem AS (SELECT ns.doc_id, ns.pk, ns.pos, ns.w, pl.plen
+       |  FROM ns JOIN pl ON ns.doc_id = pl.doc_id AND ns.pk = pl.pk),
+       |ws AS (SELECT w,
+       |    CAST(SUM(plen) AS BIGINT) * 1000000 // count(*) AS score_ppm
+       |  FROM mem GROUP BY w),
+       |ph AS (SELECT mem.doc_id, mem.pk,
+       |    string_agg(mem.w, ' ' ORDER BY mem.pos) AS phrase,
+       |    CAST(SUM(ws.score_ppm) AS BIGINT) AS score_ppm,
+       |    CAST(MIN(mem.plen) AS BIGINT) AS plen
+       |  FROM mem JOIN ws ON mem.w = ws.w
+       |  GROUP BY mem.doc_id, mem.pk)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MIN(score_ppm) AS BIGINT) AS score_ppm,
+       |  CAST(MIN(plen) AS BIGINT) AS n_words
+       |FROM ph GROUP BY phrase
+       |ORDER BY score_ppm DESC, phrase
+       |LIMIT 50""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_rake" -> rakeSql,
     "q_text_novelty" ->
       """WITH dt AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t
