@@ -432,6 +432,51 @@ object StreamQueries {
       .orderBy(col("user_id"), col("update_seq"))
   }
 
+  /** STREAMING Z-SCORE ALERTS at ingest — per-type running moments
+    * carried across two micro-batches (evens then odds, the
+    * q_stream_ewma split contract), alerting on >3σ deviations from
+    * the PRIOR-events mean after an 8-event warmup. Everything —
+    * state, alert verdicts, emissions — is exact integer cents
+    * (see [[graft.streaming.StreamOps.zscoreWithState]]); update 2's
+    * counters are reachable only through update 1's carried state, so
+    * the cross-batch handoff is what the oracle pins, with zero IEEE
+    * anywhere.
+    */
+  def qStreamZscore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_zscore")
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        Exact.e2(col("value")).as("cents"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val updates = StreamOps.zscoreWithState(stream.as[StreamOps.ZIn])
+    val q = updates.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .select(col("event_type"), col("update_seq"), col("n_so_far"),
+        col("sum_cents"), col("alerts_so_far"))
+      .orderBy(col("event_type"), col("update_seq"))
+  }
+
   /** Session windows over an AT-LEAST-ONCE stream — the
     * `dropDuplicatesWithinWatermark` → `session_window` chain run as a
     * real two-batch stream: batch 0 carries the global first 15 days;
@@ -972,6 +1017,7 @@ object StreamQueries {
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
+    "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_seasonal" -> (qTimeSeasonal(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
@@ -1303,6 +1349,41 @@ object StreamQueries {
     // through the identical (l + v)·½ step, one emission at each
     // batch's last row — update 2 only matches if the engine carried
     // state across the micro-batch boundary.
+    // prior-window moment replay in the stream's (batch, ts, id)
+    // fold order; HUGEINT alert bit, integer batch snapshots
+    "q_stream_zscore" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, b, v,
+        |    COUNT(*) OVER w AS pn,
+        |    CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS ps,
+        |    CAST(COALESCE(SUM(v * v) OVER w, 0) AS BIGINT) AS pq
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY b, ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |al AS (SELECT event_type, b, v,
+        |    CASE WHEN pn >= 8 AND
+        |        CAST(v * pn - ps AS HUGEINT) * (v * pn - ps) * (pn - 1)
+        |        > CAST(9 AS HUGEINT) * pn
+        |          * (CAST(pn AS HUGEINT) * pq - CAST(ps AS HUGEINT) * ps)
+        |      THEN 1 ELSE 0 END AS alert
+        |  FROM st),
+        |pb AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(v) AS BIGINT) AS s_b,
+        |    CAST(SUM(alert) AS BIGINT) AS a_b
+        |  FROM al GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+        |    AS BIGINT) AS update_seq,
+        |  CAST(SUM(n_b) OVER wc AS BIGINT) AS n_so_far,
+        |  CAST(SUM(s_b) OVER wc AS BIGINT) AS sum_cents,
+        |  CAST(SUM(a_b) OVER wc AS BIGINT) AS alerts_so_far
+        |FROM pb
+        |WINDOW wc AS (PARTITION BY event_type ORDER BY b
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, update_seq""".stripMargin,
     "q_stream_ewma" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, ts, event_id, value,

@@ -243,6 +243,65 @@ object StreamOps {
       }
   }
 
+  case class ZIn(event_type: String, ts: java.sql.Timestamp,
+                 event_id: Long, cents: Long)
+  case class ZState(n: Long, sum: Long, sumsq: Long, alerts: Long,
+                    updates: Long)
+  case class ZUpdate(event_type: String, update_seq: Long,
+                     n_so_far: Long, sum_cents: Long,
+                     alerts_so_far: Long)
+
+  /** STREAMING Z-SCORE ANOMALY MONITOR — per-key running moments
+    * (n, Σv, Σv²) carried across micro-batches in exact integer cents;
+    * an event alerts when it sits more than 3 sample deviations from
+    * the mean of all PRIOR events (after an 8-event warmup). The
+    * alert bit is an exact integer comparison evaluated in arbitrary
+    * precision — (v·n − Σv)²·(n−1) > 9·n·(n·Σv² − (Σv)²) — so unlike
+    * the EWMA exemplar there is NO float anywhere: state, emissions,
+    * and verdicts are all integers, and the oracle replay is
+    * bit-exact by construction rather than by IEEE-ordering
+    * discipline.
+    *
+    * Determinism contract (the ewmaWithState pattern): in-batch fold
+    * order is (event time, unique id); the batch split is part of the
+    * fixture contract. State is O(keys) — five integers per key —
+    * regardless of stream length; emission is one row per key per
+    * batch. NoTimeout for the bounded key space (event types); an
+    * unbounded key space would add ProcessingTimeTimeout eviction.
+    */
+  def zscoreWithState(events: Dataset[ZIn]): Dataset[ZUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZState, ZUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ZIn], st: GroupState[ZState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = st.getOption.getOrElse(ZState(0L, 0L, 0L, 0L, 0L))
+            var (n, sum, sumsq, alerts) =
+              (prev.n, prev.sum, prev.sumsq, prev.alerts)
+            for (e <- sorted) {
+              val v = e.cents
+              if (n >= 8L) {
+                val dev = BigInt(v) * n - BigInt(sum)
+                val lhs = dev * dev * (n - 1)
+                val rhs = BigInt(9) * n *
+                  (BigInt(n) * sumsq - BigInt(sum) * sum)
+                if (lhs > rhs) alerts += 1L
+              }
+              n += 1L; sum += v; sumsq += v * v
+            }
+            val upd = prev.updates + 1L
+            st.update(ZState(n, sum, sumsq, alerts, upd))
+            Iterator.single(ZUpdate(key, upd, n, sum, alerts))
+          }
+      }
+  }
+
   case class CepIn(user_id: Long, ts: java.sql.Timestamp,
                    event_id: Long, event_type: String)
   case class CepState(n: Long, matches: Long, firstPos: Long,

@@ -849,6 +849,46 @@ class FileStreamSpec extends SparkTestBase {
       StreamOps.EwmaUpdate(2L, 1L, 1L, 8.0)))
   }
 
+  test("zscoreWithState: warmup suppresses early outliers; a post-" +
+    "warmup outlier in batch 2 alerts off batch 1's carried moments") {
+    val dir = Files.createTempDirectory("st-z").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // batch A, key 'k': 9 calm values 100±1 cents — the 9th is past
+    // warmup (8 priors) but within 3σ → 0 alerts
+    val calm = (1 to 9).map(i =>
+      ("k", ts(i * 1000L), i.toLong, 100L + (i % 2)))
+    calm.toDF("event_type", "ts", "event_id", "cents").coalesce(1)
+      .write.parquet(s"$dir/src/a.parquet")
+    // batch B: one wild value — alert requires batch A's moments in
+    // state; a fresh state would still be in warmup (n=0 < 8)
+    Seq(("k", ts(20000L), 20L, 100000L))
+      .toDF("event_type", "ts", "event_id", "cents").coalesce(1)
+      .write.parquet(s"$dir/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$dir/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$dir/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$dir/src/a.parquet").schema
+    val out = StreamOps.zscoreWithState(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$dir/src").parquet(s"$dir/src/*")
+        .as[StreamOps.ZIn])
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/out")
+      .as[StreamOps.ZUpdate].collect()
+      .sortBy(_.update_seq).toSeq
+    val sumA = calm.map(_._4).sum
+    assert(got == Seq(
+      StreamOps.ZUpdate("k", 1L, 9L, sumA, 0L),
+      StreamOps.ZUpdate("k", 2L, 10L, sumA + 100000L, 1L)))
+  }
+
   test("streamAsOf: cross-batch out-of-order rights still match, " +
     "result equals batch as-of") {
     val dir = Files.createTempDirectory("st-asof").toString
