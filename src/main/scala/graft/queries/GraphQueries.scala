@@ -328,7 +328,53 @@ object GraphQueries {
       .orderBy($"nation")
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * co-supply graph's edges — do high-degree suppliers co-supply
+    * with each other (r > 0) or with the periphery (r < 0)? Each
+    * undirected edge contributes BOTH orientations (the standard
+    * symmetrization), so the moment sums are exact BIGINTs over a
+    * 2m-row frame and r is one IEEE formula on them:
+    * r = (S·Sjk − Sj²) / (S·Sj2 − Sj²), S = 2m. Collaboration graphs
+    * measure positive, technological graphs negative (Newman's table
+    * — this one is a fixture question the number answers).
+    *
+    * Scale shape: degrees are one aggregate; attaching them to edges
+    * is two joins against the (small) degree table — broadcastable
+    * whenever vertices ≪ edges, which is the co-supply regime.
+    */
+  def qGraphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val deg = broadcast(edges.select($"src".as("v"))
+      .unionAll(edges.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d")))
+    val both = edges
+      .join(deg.select($"v".as("src"), $"d".as("dj")), "src")
+      .join(deg.select($"v".as("dst"), $"d".as("dk")), "dst")
+      .select($"dj", $"dk")
+      .unionAll(edges
+        .join(deg.select($"v".as("src"), $"d".as("dk")), "src")
+        .join(deg.select($"v".as("dst"), $"d".as("dj")), "dst")
+        .select($"dj", $"dk"))
+    both.groupBy()
+      .agg(count(lit(1)).as("s2m"),
+        sum($"dj" * $"dk").as("sjk"),
+        sum($"dj").as("sj"),
+        sum($"dj" * $"dj").as("sj2"))
+      .select($"s2m", $"sjk", $"sj", $"sj2",
+        round(($"s2m" * $"sjk" - $"sj" * $"sj").cast("double")
+          / ($"s2m" * $"sj2" - $"sj" * $"sj").cast("double"), 6)
+          .as("r_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_assortativity" -> (qGraphAssortativity(_, _)),
     "q_graph_modularity" -> (qGraphModularity(_, _)),
     "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
     "q_graph_sssp" -> (qGraphSssp(_, _)),
@@ -456,6 +502,32 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical symmetrized edge-degree moments, one IEEE formula
+    "q_graph_assortativity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1.0),
+        |ed AS (SELECT DISTINCT x.s AS src, y.s AS dst
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM ed
+        |        UNION ALL SELECT dst AS v FROM ed) GROUP BY v),
+        |bo AS (
+        |  SELECT ds.d AS dj, dd.d AS dk FROM ed
+        |    JOIN deg ds ON ed.src = ds.v JOIN deg dd ON ed.dst = dd.v
+        |  UNION ALL
+        |  SELECT dd.d AS dj, ds.d AS dk FROM ed
+        |    JOIN deg ds ON ed.src = ds.v JOIN deg dd ON ed.dst = dd.v)
+        |SELECT CAST(count(*) AS BIGINT) AS s2m,
+        |  CAST(SUM(dj * dk) AS BIGINT) AS sjk,
+        |  CAST(SUM(dj) AS BIGINT) AS sj,
+        |  CAST(SUM(dj * dj) AS BIGINT) AS sj2,
+        |  round(CAST(CAST(count(*) AS BIGINT) * CAST(SUM(dj * dk)
+        |        AS BIGINT) - CAST(SUM(dj) AS BIGINT) * CAST(SUM(dj)
+        |        AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(count(*) AS BIGINT) * CAST(SUM(dj * dj)
+        |        AS BIGINT) - CAST(SUM(dj) AS BIGINT) * CAST(SUM(dj)
+        |        AS BIGINT) AS DOUBLE), 6) AS r_r6
+        |FROM bo""".stripMargin,
     // identical exact-integer modularity decomposition per nation
     "q_graph_modularity" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -693,6 +693,95 @@ object StatsQueries {
           .stripMargin.replace('\n', ' ')).as("reject"))
   }
 
+  /** SPEARMAN ρ — rank correlation between daily click and purchase
+    * volumes (Spearman 1904), the tie-robust complement to
+    * q_stat_kendall on the same calendar-bounded table. Doubled
+    * average ranks (the q_stat_kruskal integers) feed exact BIGINT
+    * Pearson moments; scale factors cancel in ρ, so the r6 double is
+    * one IEEE formula over exact sums. The α=0.05 verdict uses the
+    * large-sample normal approximation z = ρ√(n−1) (documented, as in
+    * q_stat_kendall) as the cross-multiplied integer comparison
+    * 2500·num²·(n−1) > 9604·denx·deny with num = n·Sxy − Sx·Sy,
+    * denx/deny the centered second moments — no float in the bit.
+    */
+  def qStatSpearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    // doubled average rank of v within the daily table: 2·cum(<v)+t+1
+    def ranked(c: String): DataFrame = {
+      val byV = daily.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+        .select(col("v").as(c),
+          (lit(2L) * $"cumt" + $"t" + 1L).as(s"r_$c"))
+    }
+    daily.join(ranked("x"), "x").join(ranked("y"), "y")
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum($"r_x").as("sx"), sum($"r_y").as("sy"),
+        sum($"r_x" * $"r_y").as("sxy"),
+        sum($"r_x" * $"r_x").as("sxx"),
+        sum($"r_y" * $"r_y").as("syy"))
+      .select($"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("denx"),
+        ($"n" * $"syy" - $"sy" * $"sy").as("deny"))
+      .select($"n", $"num", $"denx", $"deny",
+        round($"num".cast("double")
+          / (sqrt($"denx".cast("double")) * sqrt($"deny".cast("double"))),
+          6).as("rho_r6"),
+        expr("""cast(2500 as decimal(38,0)) * num * num * (n - 1)
+               |> cast(9604 as decimal(38,0)) * denx * deny"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST (1940) on daily total volume around its
+    * lower median — is the series' above/below pattern random, or do
+    * regimes cluster? Signs, run count R, and the z-verdict are all
+    * exact integers: values equal to the median are dropped (the
+    * standard treatment), R counts sign changes + 1, and the α=0.05
+    * bit is 2500·(N·R − 2·n1·n2 − N)²·(N−1) > 9604·2·n1·n2·(2·n1·n2−N)
+    * — the cross-multiplied form of |R−μ| > 1.96σ. Calendar-bounded
+    * like the rest of the daily battery.
+    */
+  def qStatRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d")).agg(count(lit(1)).as("v"))
+    // lower median: value at row ⌈N/2⌉ in (v, d) order
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy($"v", $"d")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_all"))))
+      .filter($"rn" === expr("(n_all + 1) div 2"))
+      .select($"v".as("median_v"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter($"v" =!= $"median_v")
+      .select($"d", when($"v" > $"median_v", 1L).otherwise(-1L).as("s"))
+    val w = Window.orderBy($"d")
+    signs
+      .withColumn("chg",
+        when(lag($"s", 1).over(w).isNull
+          || lag($"s", 1).over(w) =!= $"s", 1L).otherwise(0L))
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(when($"s" === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"s" === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum($"chg").as("runs"))
+      .select($"n", $"n_pos", $"n_neg", $"runs",
+        expr("""cast(2500 as decimal(38,0))
+               |  * (n * runs - 2 * n_pos * n_neg - n)
+               |  * (n * runs - 2 * n_pos * n_neg - n) * (n - 1)
+               |> cast(9604 as decimal(38,0)) * 2 * n_pos * n_neg
+               |  * (2 * n_pos * n_neg - n)"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
   /** KENDALL τ-b — rank correlation between daily click volume and
     * daily purchase volume (Kendall 1938; tau-b tie handling per
     * Kendall 1945). All pair classification is pure integer sign
@@ -745,6 +834,8 @@ object StatsQueries {
   val defs: Map[String, Q] = Map(
     "q_stat_kruskal" -> (qStatKruskal(_, _)),
     "q_stat_kendall" -> (qStatKendall(_, _)),
+    "q_stat_spearman" -> (qStatSpearman(_, _)),
+    "q_stat_runs" -> (qStatRuns(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -826,6 +917,70 @@ object StatsQueries {
         |     * (CAST(n AS HUGEINT) * n * n - n - tie_term) * p)
         |    AS reject
         |FROM f2, ties""".stripMargin,
+    // identical doubled ranks → exact Pearson moments; z = ρ√(n−1)
+    // verdict as HUGEINT cross-multiplication
+    "q_stat_spearman" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |rx AS (SELECT v AS x, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r_x
+        |  FROM (SELECT x AS v, count(*) AS t FROM daily GROUP BY x)),
+        |ry AS (SELECT v AS y, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r_y
+        |  FROM (SELECT y AS v, count(*) AS t FROM daily GROUP BY y)),
+        |j AS (SELECT r_x, r_y FROM daily
+        |  JOIN rx ON daily.x = rx.x JOIN ry ON daily.y = ry.y),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(r_x) AS BIGINT) AS sx,
+        |    CAST(SUM(r_y) AS BIGINT) AS sy,
+        |    CAST(SUM(r_x * r_y) AS BIGINT) AS sxy,
+        |    CAST(SUM(r_x * r_x) AS BIGINT) AS sxx,
+        |    CAST(SUM(r_y * r_y) AS BIGINT) AS syy
+        |  FROM j),
+        |c AS (SELECT n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+        |  FROM ag)
+        |SELECT n, num, denx, deny,
+        |  round(CAST(num AS DOUBLE)
+        |    / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))),
+        |    6) AS rho_r6,
+        |  (CAST(2500 AS HUGEINT) * num * num * (n - 1)
+        |   > CAST(9604 AS HUGEINT) * denx * deny) AS reject
+        |FROM c""".stripMargin,
+    // identical lower-median signs, run count via lag, HUGEINT verdict
+    "q_stat_runs" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT v AS median_v FROM
+        |  (SELECT v, row_number() OVER (ORDER BY v, d) AS rn
+        |   FROM daily) t, (SELECT count(*) AS n_all FROM daily) nn
+        |  WHERE rn = (n_all + 1) // 2),
+        |sg AS (SELECT d, CASE WHEN v > median_v THEN 1 ELSE -1 END AS s
+        |  FROM daily, med WHERE v <> median_v),
+        |ch AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+        |      OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg,
+        |    CAST(SUM(chg) AS BIGINT) AS runs
+        |  FROM ch)
+        |SELECT n, n_pos, n_neg, runs,
+        |  (CAST(2500 AS HUGEINT)
+        |     * (n * runs - 2 * n_pos * n_neg - n)
+        |     * (n * runs - 2 * n_pos * n_neg - n) * (n - 1)
+        |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
+        |     * (2 * n_pos * n_neg - n)) AS reject
+        |FROM ag""".stripMargin,
     // identical integer sign classification over the bounded day pairs
     "q_stat_kendall" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,

@@ -42,6 +42,19 @@ class ModularitySpec extends SparkTestBase {
       Seq((0, 3L, 3L, 6L), (1, 3L, 3L, 6L)))
   }
 
+  test("assortativity: the 4-path scores exactly -0.5 (Newman's " +
+    "classic small-graph value)") {
+    val dir = java.nio.file.Files.createTempDirectory("asr").toString
+    // P4: edges (1,2),(2,3),(3,4) → degrees 1,2,2,1; symmetrized
+    // moments s2m=6, sjk=16, sj=10, sj2=18 → r = (96−100)/(108−100)
+    writeFixture(dir,
+      Seq((1L, Seq(1L, 2L)), (2L, Seq(2L, 3L)), (3L, Seq(3L, 4L))),
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0))
+    val got = GraphQueries.qGraphAssortativity(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((6L, 16L, 10L, 18L, -0.5)))
+  }
+
   test("single cross-nation edge: Q = -0.5 exactly, zero intra rows " +
     "still appear") {
     val dir = java.nio.file.Files.createTempDirectory("mod2").toString

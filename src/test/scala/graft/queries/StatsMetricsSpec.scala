@@ -162,6 +162,62 @@ class StatsMetricsSpec extends SparkTestBase {
       r2._7 == r6(4.0 / math.sqrt(24.0)))
   }
 
+  test("spearman: monotone daily series hits rho = ±1 exactly and " +
+    "rejects") {
+    def mk(ys: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("sp").toString
+      var id = 0L
+      val rows = ys.zipWithIndex.flatMap { case (y, i) =>
+        val d = i + 1
+        ((1 to d).map(_ => "click") ++ (1 to y).map(_ => "purchase"))
+          .map { et =>
+            id += 1
+            (id, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+              id % 5, et, 1.0, "{}")
+          }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val up = StatsQueries.qStatSpearman(spark, mk(Seq(2, 4, 6, 8, 10)))
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().head
+    assert(up._1 == 5L && up._5 == 1.0 && up._6)
+    val dn = StatsQueries.qStatSpearman(spark, mk(Seq(10, 8, 6, 4, 2)))
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().head
+    assert(dn._5 == -1.0 && dn._6)
+  }
+
+  test("runs test: hand-computed runs on planted daily volumes — " +
+    "mild alternation accepts, strong alternation rejects") {
+    def mk(vols: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("ru").toString
+      var id = 0L
+      val rows = vols.zipWithIndex.flatMap { case (v, i) =>
+        (1 to v).map { _ =>
+          id += 1
+          (id, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+            id % 5, "click", 1.0, "{}")
+        }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // v = 10,20,11,21,12,22: lower median 12 dropped → signs −+−++ →
+    // 4 runs of n=5 (3 pos, 2 neg): |z| < 1.96
+    val a = StatsQueries.qStatRuns(spark,
+      mk(Seq(10, 20, 11, 21, 12, 22)))
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(a == ((5L, 3L, 2L, 4L, false)))
+    // 12 alternating days, median 6 dropped → −+−+−+−+−++ → 10 runs
+    // of n=11: 2500·39²·10 > 9604·60·49 → reject
+    val b = StatsQueries.qStatRuns(spark,
+      mk(Seq(1, 101, 2, 102, 3, 103, 4, 104, 5, 105, 6, 106)))
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(b == ((11L, 6L, 5L, 10L, true)))
+  }
+
   test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
     // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
     // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
