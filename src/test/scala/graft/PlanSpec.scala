@@ -43,6 +43,51 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kappa: one confusion aggregate, broadcast pe frame, no " +
+    "sort-merge anywhere") {
+    val p = plan("q_curate_kappa")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("modularity: vertex→community map broadcasts to both edge " +
+    "endpoint joins; totals frames broadcast too") {
+    val p = plan("q_graph_modularity")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2,
+      "endpoint community attachment must be broadcast joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("assortativity: degree table broadcasts to the edge joins") {
+    val p = plan("q_graph_assortativity")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("compaction plan reads only manifest columns (event payload " +
+    "pruned to props/ts/type)") {
+    val p = plan("q_lake_compaction")
+    assert(!p.contains("user_id") && !p.contains("event_id"),
+      "planner must not read event identity columns")
+  }
+
+  test("rake: no cartesian product; the only wide ops are the " +
+    "per-doc window and the word/phrase aggregates") {
+    val p = plan("q_text_rake")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must not be a global sort")
+  }
+
+  test("nfc gate: doc_id filter reaches the scan; wholly map-side " +
+    "before the final order") {
+    val p = plan("q_text_nfc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      "no shuffle belongs in a per-doc scalar gate")
+  }
+
   test("set-similarity join has no cartesian product or nested loop") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
