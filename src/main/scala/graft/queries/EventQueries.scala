@@ -377,7 +377,57 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** KAPLAN–MEIER SURVIVAL (Kaplan & Meier 1958) of user lifetimes:
+    * lifetime = days between a user's first and last event; users
+    * whose last event falls on the corpus's final day are
+    * RIGHT-CENSORED (still active at the observation edge — the
+    * distinction that separates KM from a naive lifetime histogram).
+    * At each distinct lifetime t: n_risk = users with lifetime ≥ t,
+    * d = observed churns, c = censored exits; Ŝ(t) = Π_{s≤t}
+    * (1 − d_s/n_s). Counts and at-risk sets are exact integers; the
+    * product is ONE ordered prefix fold per row over the ≤|days|
+    * factor list (identical left fold both engines — the q_stat_anova
+    * discipline), so Ŝ is bit-identical cross-engine.
+    *
+    * Scale shape: the corpus reduces to one row per user (min/max
+    * aggregate), then one row per distinct lifetime — calendar-
+    * bounded; the factor list is a 1-row broadcast.
+    */
+  def qEventSurvival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val mx = ev.agg(max(col("d")).as("maxd"))
+    val lt = span.crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        when(col("l") < col("maxd"), 1L).otherwise(0L).as("e"))
+    val grp = lt.groupBy(col("t"))
+      .agg(sum(col("e")).as("d_churn"),
+        sum(lit(1L) - col("e")).as("c_cens"))
+      .withColumn("n_risk", sum(col("d_churn") + col("c_cens")).over(
+        Window.orderBy(col("t")).rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t"))))
+    val fct = grp
+      .select(col("t"),
+        (lit(1.0) - col("d_churn").cast("double") / col("n_risk"))
+          .as("f"))
+      .groupBy()
+      .agg(expr("transform(sort_array(collect_list(struct(t, f)))," +
+        " x -> x.f)").as("fct"))
+    grp.crossJoin(broadcast(fct))
+      .select(col("t"), col("n_risk"), col("d_churn"), col("c_cens"),
+        round(expr(
+          "aggregate(slice(fct, 1, rn), 1.0d, (a, b) -> a * b)"), 6)
+          .as("s_r6"))
+      .orderBy(col("t"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_survival" -> (qEventSurvival(_, _)),
     "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
@@ -392,6 +442,32 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical censoring rule and t-ordered prefix product
+    "q_event_survival" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |span AS (SELECT user_id, MIN(d) AS f, MAX(d) AS l
+        |  FROM ev GROUP BY user_id),
+        |mx AS (SELECT MAX(d) AS maxd FROM ev),
+        |lt AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |    CASE WHEN l < maxd THEN 1 ELSE 0 END AS e
+        |  FROM span, mx),
+        |grp AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d_churn,
+        |    CAST(SUM(1 - e) AS BIGINT) AS c_cens
+        |  FROM lt GROUP BY t),
+        |rk AS (SELECT t, d_churn, c_cens,
+        |    CAST(SUM(d_churn + c_cens) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_risk,
+        |    row_number() OVER (ORDER BY t) AS rn
+        |  FROM grp),
+        |fl AS (SELECT list(1.0 - CAST(d_churn AS DOUBLE) / n_risk
+        |    ORDER BY t) AS fct FROM rk)
+        |SELECT t, n_risk, d_churn, c_cens,
+        |  round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_slice(fct, 1, rn)), (a, b) -> a * b), 6) AS s_r6
+        |FROM rk, fl
+        |ORDER BY t""".stripMargin,
     "q_event_concurrency" ->
       """WITH pts AS (
         |  SELECT ts AS t, CAST(1 AS BIGINT) AS d FROM events

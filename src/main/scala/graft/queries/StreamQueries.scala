@@ -690,6 +690,63 @@ object StreamQueries {
     * scan of a tiny series — the same per-entity-model class as
     * q_time_holt.
     */
+  /** BINARY-SEGMENTATION CHANGEPOINT (Scott & Knott 1974 lineage; the
+    * one-split step every changepoint ladder iterates): per event
+    * type, the split k of the daily series minimizing total SSE —
+    * equivalently maximizing f(k) = T_k²/k + (T−T_k)²/(N−k) — found
+    * by EXACT RATIONAL argmax: candidates carry integer (num, den)
+    * with num = T_k²(N−k) + (T−T_k)²·k, den = k(N−k), and the winner
+    * is selected by cross-multiplied NOT-EXISTS comparison (smallest
+    * k on ties), so the chosen split cannot flip on float rounding —
+    * the q_stat_mannwhitney doctrine applied to an argmax instead of
+    * a threshold. Complements q_time_cusum (sequential alarm) with
+    * the retrospective single best split.
+    *
+    * Scale shape: the corpus reduces to |types|×|days| cells in one
+    * aggregate; prefix sums are per-type windows; the candidate
+    * argmax join is (days−1)² per type — calendar-bounded, never
+    * data-bounded.
+    */
+  def qTimeChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val pre = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("tk", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("n")).over(wAll))
+    val cand = pre.filter(col("k") < col("nn"))
+      .select(col("event_type"), col("k"), col("day"), col("tk"),
+        col("nn"), col("t"),
+        (col("tk") * col("tk") * (col("nn") - col("k"))
+          + (col("t") - col("tk")) * (col("t") - col("tk")) * col("k"))
+          .as("num"),
+        (col("k") * (col("nn") - col("k"))).as("den"))
+    val better = cand.select(col("event_type").as("bt"),
+      col("num").as("bnum"), col("den").as("bden"), col("k").as("bk"))
+    cand.join(better,
+        col("event_type") === col("bt")
+          && (col("bnum") * col("den") > col("num") * col("bden")
+            || (col("bnum") * col("den") === col("num") * col("bden")
+              && col("bk") < col("k"))),
+        "left_anti")
+      .select(col("event_type"), col("k").as("split_k"),
+        col("day").as("split_day"),
+        col("k").as("n_left"), (col("nn") - col("k")).as("n_right"),
+        round(col("tk").cast("double") / col("k"), 6).as("mean_left_r6"),
+        round((col("t") - col("tk")).cast("double")
+          / (col("nn") - col("k")), 6).as("mean_right_r6"),
+        round(col("num").cast("double") / col("den")
+          - col("t").cast("double") * col("t") / col("nn"), 6)
+          .as("gain_r6"))
+      .orderBy(col("event_type"))
+  }
+
   def qTimeCusum(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1018,6 +1075,7 @@ object StreamQueries {
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
+    "q_time_changepoint" -> (qTimeChangepoint(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_seasonal" -> (qTimeSeasonal(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
@@ -1349,6 +1407,38 @@ object StreamQueries {
     // through the identical (l + v)·½ step, one emission at each
     // batch's last row — update 2 only matches if the engine carried
     // state across the micro-batch boundary.
+    // identical rational argmax: cross-multiplied NOT EXISTS with
+    // smallest-k ties, exact integer prefix moments
+    "q_time_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, day,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS tk,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS nn,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |cand AS (SELECT event_type, k, day, tk, nn, t,
+        |    tk * tk * (nn - k) + (t - tk) * (t - tk) * k AS num,
+        |    k * (nn - k) AS den
+        |  FROM pre WHERE k < nn)
+        |SELECT a.event_type, a.k AS split_k, a.day AS split_day,
+        |  a.k AS n_left, a.nn - a.k AS n_right,
+        |  round(CAST(a.tk AS DOUBLE) / a.k, 6) AS mean_left_r6,
+        |  round(CAST(a.t - a.tk AS DOUBLE) / (a.nn - a.k), 6)
+        |    AS mean_right_r6,
+        |  round(CAST(a.num AS DOUBLE) / a.den
+        |    - CAST(a.t AS DOUBLE) * a.t / a.nn, 6) AS gain_r6
+        |FROM cand a
+        |WHERE NOT EXISTS (SELECT 1 FROM cand b
+        |  WHERE b.event_type = a.event_type
+        |    AND (b.num * a.den > a.num * b.den
+        |      OR (b.num * a.den = a.num * b.den AND b.k < a.k)))
+        |ORDER BY a.event_type""".stripMargin,
     // prior-window moment replay in the stream's (batch, ts, id)
     // fold order; HUGEINT alert bit, integer batch snapshots
     "q_stream_zscore" ->

@@ -1546,7 +1546,41 @@ object TextQueries {
       .limit(50)
   }
 
+  /** TOKEN BURSTINESS (Church & Gale 1995, Katz 1996): the
+    * variance-to-mean ratio of a token's per-document counts over the
+    * WHOLE corpus (zero docs included via the moment identity
+    * var·N = Σc² − T²/N — zeros never materialize). A Poisson word
+    * sits at VMR ≈ 1; content words burst (a doc that mentions them
+    * mentions them again), function words don't — the feature quality
+    * classifiers and keyword extractors both lean on. Exact BIGINT
+    * moments (N·Σc² − T²), one IEEE division for the r6 report; df ≥
+    * 10 floors the report, top 30 by (vmr, token). Shape: one explode
+    * + two hash aggregates, corpus-linear; the 1-row N frame is a
+    * broadcast cross join.
+    */
+  def qTextBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("sq"))
+      .filter(col("df") >= 10)
+      .crossJoin(broadcast(nAll))
+      .select(col("w"), col("df"), col("tot"),
+        round((col("n_all") * col("sq") - col("tot") * col("tot"))
+          .cast("double")
+          / (col("n_all").cast("double") * col("tot")), 6)
+          .as("vmr_r6"))
+      .orderBy(desc("vmr_r6"), asc("w"))
+      .limit(30)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_burstiness" -> (qTextBurstiness(_, _)),
     "q_text_rake" -> (qTextRake(_, _)),
     "q_text_novelty" -> (qTextNovelty(_, _)),
     "q_text_diversity" -> (qTextDiversity(_, _)),
@@ -2020,6 +2054,24 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    // identical moment identity — zeros enter through N, never as rows
+    "q_text_burstiness" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all
+        |  FROM documents),
+        |pd AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |ag AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(SUM(c * c) AS BIGINT) AS sq
+        |  FROM pd GROUP BY w HAVING count(*) >= 10)
+        |SELECT w, df, tot,
+        |  round(CAST(n_all * sq - tot * tot AS DOUBLE)
+        |    / (CAST(n_all AS DOUBLE) * tot), 6) AS vmr_r6
+        |FROM ag, nn
+        |ORDER BY vmr_r6 DESC, w
+        |LIMIT 30""".stripMargin,
     "q_text_rake" -> rakeSql,
     "q_text_novelty" ->
       """WITH dt AS (
