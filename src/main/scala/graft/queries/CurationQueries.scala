@@ -385,6 +385,7 @@ object CurationQueries {
 
   val defs: Map[String, Q] = Map(
     "q_curate_kappa" -> (qCurateKappa(_, _)),
+    "q_curate_coverage" -> (qCurateCoverage(_, _)),
     "q_curate_quantile_norm" -> (qCurateQuantileNorm(_, _)),
     "q_curate_wilson" -> (qCurateWilson(_, _)),
     "q_curate_neyman" -> (qCurateNeyman(_, _)),
@@ -708,9 +709,66 @@ object CurationQueries {
       .orderBy(col("rk"))
   }
 
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing question: what
+    * share of the corpus's token OCCURRENCES does a top-k vocabulary
+    * cover, at k ∈ {10, 100, 1000}? (Zipf makes the first points
+    * steep; the curve's knee is where vocab growth stops paying —
+    * the published basis for choosing BPE merge counts.) Rank is
+    * (freq desc, token) — deterministic under ties; coverage is an
+    * exact PPM integer. Shape: one explode + one aggregate, a global
+    * rank over the VOCABULARY (not the corpus — |V| rows), one
+    * broadcast totals frame.
+    */
+  def qCurateCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("c"), asc("w"))).cast("long"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = freq.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    val ks = spark.range(1).select(
+      explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+    ks.crossJoin(broadcast(tot))
+      .withColumn("rk", least(col("k"), col("vocab")))
+      .join(ranked.select(col("rk"), col("cum")), "rk")
+      .select(col("k"), col("rk").as("vocab_used"), col("cum").as("covered"),
+        col("total"),
+        expr("cum * 1000000L div total").as("coverage_ppm"))
+      .orderBy(col("k"))
+  }
+
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // identical (freq desc, token) rank and exact PPM coverage
+    "q_curate_coverage" ->
+      """WITH freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |ranked AS (SELECT w, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+        |      AS rk,
+        |    CAST(SUM(c) OVER (ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM freq),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM freq),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  least(ks.k, tot.vocab) AS vocab_used,
+        |  r.cum AS covered, tot.total,
+        |  r.cum * 1000000 // tot.total AS coverage_ppm
+        |FROM ks, tot
+        |JOIN ranked r ON r.rk = least(ks.k, tot.vocab)
+        |ORDER BY k""".stripMargin,
     // identical confusion-matrix integers; cross-multiplied verdict
     "q_curate_kappa" ->
       """WITH lab AS (SELECT

@@ -782,6 +782,46 @@ object StatsQueries {
           .stripMargin.replace('\n', ' ')).as("reject"))
   }
 
+  /** MANN–KENDALL TREND TEST (Mann 1945, Kendall 1975) per event
+    * type: S = Σ_{i<j} sign(v_j − v_i) over the daily series — the
+    * standard monotone-trend screen (hydrology's workhorse), pairing
+    * with q_time_theilsen exactly as published (MK decides IF there's
+    * a trend, Theil–Sen says how steep). S and the tie-corrected
+    * variance numerator n(n−1)(2n+5) − Σt(t−1)(2t+5) are exact
+    * BIGINTs; the α=0.05 verdict applies the continuity correction as
+    * the cross-multiplied comparison 2500·18·(|S|−1)² > 9604·varnum
+    * (S = 0 never rejects). Day pairs are calendar-bounded as in
+    * q_stat_kendall.
+    */
+  def qStatMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("g"),
+        when(col("b.v") > col("a.v"), 1L)
+          .when(col("b.v") < col("a.v"), -1L).otherwise(0L).as("sg"))
+      .groupBy($"g").agg(sum($"sg").as("s"))
+    val ties = daily.groupBy($"event_type".as("g"), $"v")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_distinct"), sum($"t").as("n"),
+        sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+    pairs.join(ties, "g")
+      .select($"g".as("event_type"), $"n", $"s", $"tie_term",
+        ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+          .as("var_num18"),
+        ($"s" =!= 0L &&
+          lit(45000L) * (abs($"s") - 1L) * (abs($"s") - 1L)
+            > lit(9604L)
+              * ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L)
+                - $"tie_term")).as("reject"))
+      .orderBy($"event_type")
+  }
+
   /** KENDALL τ-b — rank correlation between daily click volume and
     * daily purchase volume (Kendall 1938; tau-b tie handling per
     * Kendall 1945). All pair classification is pure integer sign
@@ -836,6 +876,7 @@ object StatsQueries {
     "q_stat_kendall" -> (qStatKendall(_, _)),
     "q_stat_spearman" -> (qStatSpearman(_, _)),
     "q_stat_runs" -> (qStatRuns(_, _)),
+    "q_stat_mannkendall" -> (qStatMannKendall(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -981,6 +1022,32 @@ object StatsQueries {
         |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
         |     * (2 * n_pos * n_neg - n)) AS reject
         |FROM ag""".stripMargin,
+    // identical pairwise signs per type; continuity-corrected verdict
+    "q_stat_mannkendall" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type AS g,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d
+        |  GROUP BY 1),
+        |ti AS (SELECT g, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type AS g, v, CAST(count(*) AS BIGINT)
+        |      AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY g)
+        |SELECT pr.g AS event_type, ti.n, pr.s, ti.tie_term,
+        |  ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie_term
+        |    AS var_num18,
+        |  (pr.s <> 0 AND
+        |   45000 * (abs(pr.s) - 1) * (abs(pr.s) - 1)
+        |   > 9604 * (ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie_term))
+        |    AS reject
+        |FROM pr JOIN ti ON pr.g = ti.g
+        |ORDER BY event_type""".stripMargin,
     // identical integer sign classification over the bounded day pairs
     "q_stat_kendall" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,

@@ -80,6 +80,21 @@ class CurateAgreementSpec extends SparkTestBase {
     assert(got.map(_._4).toSet.subsetOf(got.map(_._3).toSet))
   }
 
+  test("coverage curve: top-10 of an 11-token Zipf-ish corpus covers " +
+    "99%; k beyond the vocabulary clamps to full coverage") {
+    val d = java.nio.file.Files.createTempDirectory("cov").toString
+    // w0 ×90 in one doc; w1..w10 once each → total 100, vocab 11
+    val rows = Seq((1L, Seq.fill(90)("w0").mkString(" "), "s"),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "), "s"))
+    writeDocs(d, rows)
+    val got = CurationQueries.qCurateCoverage(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 10L, 99L, 100L, 990000L),
+      (100L, 11L, 100L, 100L, 1000000L),
+      (1000L, 11L, 100L, 100L, 1000000L)))
+  }
+
   test("wilson: 80/100 outranks 3/3 and the bound matches the " +
     "closed form") {
     val d = java.nio.file.Files.createTempDirectory("wil").toString

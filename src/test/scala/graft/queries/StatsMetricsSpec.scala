@@ -218,6 +218,30 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(b == ((11L, 6L, 5L, 10L, true)))
   }
 
+  test("mann-kendall: a strictly rising series rejects at max S; a " +
+    "flat series sits at S=0 and never rejects") {
+    def mk(vols: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("mk").toString
+      var id = 0L
+      vols.zipWithIndex.flatMap { case (v, i) =>
+        (1 to v).map { _ =>
+          id += 1
+          (id, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+            id % 5, "click", 1.0, "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val up = StatsQueries.qStatMannKendall(spark, mk((1 to 10).toSeq))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().head
+    // S = 45 (all pairs rising), no ties → var_num18 = 10·9·25
+    assert(up == (("click", 10L, 45L, 0L, 2250L, true)))
+    val flat = StatsQueries.qStatMannKendall(spark, mk(Seq.fill(10)(7)))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().head
+    assert(flat._3 == 0L && !flat._6)
+  }
+
   test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
     // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
     // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
