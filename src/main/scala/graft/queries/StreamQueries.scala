@@ -477,6 +477,52 @@ object StreamQueries {
       .orderBy(col("event_type"), col("update_seq"))
   }
 
+  /** STREAMING OBSERVABILITY — per-batch ingest metrics as a hard-
+    * oracle table: batch 0 carries days 1–15, batch 1 the rest PLUS a
+    * full re-delivery of day 1 (at-least-once upstream). The engine's
+    * own progress telemetry
+    * ([[graft.streaming.StreamOps.runWithBatchMetrics]]) must report
+    * batch 0 running under watermark 0 and batch 1 under
+    * max_event_time(batch 0) − 10 min, to the millisecond — the
+    * oracle replays that arithmetic from the split rule (epoch-ms
+    * floor of the microsecond max, minus 600 000). Watermark
+    * progression is what explains every silent late-row drop; the
+    * drop itself (re-delivered day-1 rows never reaching the windowed
+    * aggregation) is pinned by ObservedStreamSpec on the sink.
+    */
+  def qStreamObserved(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = StreamOps.scratchDir("q_stream_observed")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val dd = datediff(to_date(col("ts")), lit(minDay))
+    ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(dd >= 15).unionByName(ev.filter(dd === 0))
+      .coalesce(1).write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val writer = agg.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+    StreamOps.runWithBatchMetrics(spark, writer)
+      .toDF().orderBy(col("batch_id"))
+  }
+
   /** Session windows over an AT-LEAST-ONCE stream — the
     * `dropDuplicatesWithinWatermark` → `session_window` chain run as a
     * real two-batch stream: batch 0 carries the global first 15 days;
@@ -1076,6 +1122,7 @@ object StreamQueries {
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_changepoint" -> (qTimeChangepoint(_, _)),
+    "q_stream_observed" -> (qStreamObserved(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_seasonal" -> (qTimeSeasonal(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
@@ -1407,6 +1454,24 @@ object StreamQueries {
     // through the identical (l + v)·½ step, one emission at each
     // batch's last row — update 2 only matches if the engine carried
     // state across the micro-batch boundary.
+    // the split arithmetic replayed: batch 0 = days 1–15 under
+    // watermark 0; batch 1 = rest + day-1 redelivery under
+    // floor_ms(max ts of batch 0) − 600 000
+    "q_stream_observed" ->
+      """WITH mn AS (SELECT MIN(CAST(ts AS DATE)) AS m FROM events),
+        |ev AS (SELECT ts,
+        |    date_diff('day', mn.m, CAST(ts AS DATE)) AS dd
+        |  FROM events, mn)
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE dd < 15)
+        |    AS input_rows,
+        |  CAST(0 AS BIGINT) AS watermark_ms
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE dd >= 15)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE dd = 0),
+        |  (SELECT epoch_ms(MAX(ts)) - 600000 FROM ev WHERE dd < 15)
+        |ORDER BY batch_id""".stripMargin,
     // identical rational argmax: cross-multiplied NOT EXISTS with
     // smallest-k ties, exact integer prefix moments
     "q_time_changepoint" ->

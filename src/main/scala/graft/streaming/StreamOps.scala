@@ -243,6 +243,46 @@ object StreamOps {
       }
   }
 
+  case class BatchMetrics(batch_id: Long, input_rows: Long,
+                          watermark_ms: Long)
+
+  /** STREAMING OBSERVABILITY — the monitoring sidecar a production
+    * ingest needs: per micro-batch input-row counts and the WATERMARK
+    * each batch ran under, harvested from the engine's own
+    * `StreamingQueryProgress` after the run. Watermark progression is
+    * the telemetry that explains every silent late-row drop (a stuck
+    * watermark = unbounded state; a runaway one = data loss), and it
+    * is DETERMINISTIC given the batch split: batch N+1's watermark is
+    * max event time of batch N minus the delay — which is exactly
+    * what the q_stream_observed oracle replays. (The stateOperator
+    * `numRowsDroppedByWatermark` counters are NOT used: Spark 4
+    * filters late rows upstream of the aggregation/dedup operators,
+    * so those counters read 0 for these shapes — verified empirically;
+    * the silent-drop behavior itself is pinned by ObservedStreamSpec
+    * on the sink contents.)
+    *
+    * The metrics table is assembled DRIVER-SIDE from the progress
+    * array — O(batches) rows of telemetry, never data (the documented
+    * exception class: bounded, metadata-only). Batches that read no
+    * rows (AvailableNow finalization ticks) are excluded — they carry
+    * no ingest evidence.
+    */
+  def runWithBatchMetrics(spark: org.apache.spark.sql.SparkSession,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Dataset[BatchMetrics] = {
+    import spark.implicits._
+    val q = writer.start()
+    q.awaitTermination()
+    q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map { p =>
+        val wm = Option(p.eventTime.get("watermark"))
+          .map(s => java.time.Instant.parse(s).toEpochMilli)
+          .getOrElse(0L)
+        BatchMetrics(p.batchId, p.numInputRows, wm)
+      }.toDS()
+  }
+
   case class ZIn(event_type: String, ts: java.sql.Timestamp,
                  event_id: Long, cents: Long)
   case class ZState(n: Long, sum: Long, sumsq: Long, alerts: Long,
