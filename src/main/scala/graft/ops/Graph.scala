@@ -59,6 +59,55 @@ object Graph {
     ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) under the
+    * [[pagerank]] integer-determinism doctrine: each half-round is
+    * one equi-join + sum aggregate, then L1 renormalization back to
+    * `scale` total mass via floor division — x·scale div Σx — done in
+    * DECIMAL(38,0) so the product can't overflow before the divide
+    * (results fit BIGINT again by construction: each score ≤ scale).
+    * L1 instead of Kleinberg's L2 keeps every step integral; the
+    * normalization choice only rescales, the hub/authority ORDER
+    * converges to the same principal eigenvectors. The DuckDB twin
+    * replays rounds bit-for-bit.
+    *
+    * Shape per round: two (edges ⨝ scores → sum) shuffles plus two
+    * 1-row total frames broadcast back — the pagerank cost class.
+    */
+  def hits(edges: DataFrame, iters: Int,
+           scale: Long = 1000000000L): DataFrame = {
+    val e = CacheScope.cached(
+      edges.select(col("src"), col("dst")).distinct())
+    val hubs = CacheScope.cached(e.select(col("src").as("v")).distinct())
+    val auths = CacheScope.cached(e.select(col("dst").as("v")).distinct())
+    def renorm(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("v"), expr(
+          s"cast(cast($c as decimal(38,0)) * $scale div tot as bigint)")
+          .as(c))
+    }
+    var h = hubs.select(col("v"), lit(scale).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = e.join(h, e("src") === h("v"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("v"), col("a"))
+      a = CacheScope.cached(renorm(a0, "a"))
+      val h0 = e.join(a, e("dst") === a("v"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("v"), col("h"))
+      h = CacheScope.cached(renorm(h0, "h"))
+    }
+    hubs.select(col("v")).unionByName(auths.select(col("v"))).distinct()
+      .join(h.select(col("v"), col("h").as("hub_scaled")), Seq("v"),
+        "left")
+      .join(a.select(col("v"), col("a").as("auth_scaled")), Seq("v"),
+        "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("hub_scaled"), lit(0L)).as("hub_scaled"),
+        coalesce(col("auth_scaled"), lit(0L)).as("auth_scaled"))
+  }
+
   /** Personalized PageRank (Jeh & Widom, WWW'03 "Scaling Personalized
     * Web Search"): power iteration whose teleport mass lands ONLY on the
     * `seeds` set — rank becomes proximity-to-seeds, the standard

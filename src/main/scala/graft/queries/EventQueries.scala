@@ -377,6 +377,42 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** COHORT LTV CURVES — q_retention_cohort's revenue twin: per
+    * (first-activity week cohort, weeks-since-cohort age), purchase
+    * revenue in exact cents, the running cumulative, and cumulative
+    * LTV per cohort member (floor-divided cents — a report of exact
+    * integers end to end). The curve is sampled at ages where revenue
+    * exists (a gapless curve is a trivial calendar left-join away —
+    * same convention as the retention query). Shape: one per-user
+    * min-aggregate, one broadcastable cohort-size frame, one keyed
+    * aggregate + per-cohort window over ≤ weeks rows.
+    */
+  def qEventLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val rev = e.filter(col("event_type") === "purchase"
+        && col("value").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"),
+        Exact.e2(col("value")).as("cents"))
+    val byAge = rev.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(w, cohort_week) div 7").as("age_week"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    byAge
+      .withColumn("cum_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_cohort"),
+        col("rev_cents"), col("cum_cents"),
+        expr("cum_cents div n_cohort").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
   /** KAPLAN–MEIER SURVIVAL (Kaplan & Meier 1958) of user lifetimes:
     * lifetime = days between a user's first and last event; users
     * whose last event falls on the corpus's final day are
@@ -428,6 +464,7 @@ object EventQueries {
 
   val defs: Map[String, Q] = Map(
     "q_event_survival" -> (qEventSurvival(_, _)),
+    "q_event_ltv" -> (qEventLtv(_, _)),
     "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
@@ -442,6 +479,34 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical week truncation, exact cents, floor-div per-user LTV
+    "q_event_ltv" ->
+      """WITH e AS (SELECT user_id, ts, event_type, value FROM events
+        |  WHERE user_id IS NOT NULL),
+        |firsts AS (SELECT user_id,
+        |    date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM e GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT)
+        |    AS n_cohort
+        |  FROM firsts GROUP BY cohort_week),
+        |rev AS (SELECT user_id, date_trunc('week', ts) AS w,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM e WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |byage AS (SELECT f.cohort_week,
+        |    date_diff('day', f.cohort_week, r.w) // 7 AS age_week,
+        |    CAST(SUM(r.cents) AS BIGINT) AS rev_cents
+        |  FROM rev r JOIN firsts f ON r.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+        |      ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM byage)
+        |SELECT c.cohort_week, CAST(c.age_week AS BIGINT) AS age_week,
+        |  s.n_cohort, c.rev_cents, c.cum_cents,
+        |  c.cum_cents // s.n_cohort AS ltv_cents_per_user
+        |FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+        |ORDER BY c.cohort_week, c.age_week""".stripMargin,
     // identical censoring rule and t-ordered prefix product
     "q_event_survival" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d

@@ -373,7 +373,16 @@ object GraphQueries {
           .as("r_r6"))
   }
 
+  /** 2-round integer HITS over the shipment graph: suppliers are pure
+    * hubs, customers pure authorities (bipartite), under
+    * [[graft.ops.Graph.hits]]'s L1-renormalized floor-division
+    * doctrine — the twin replays both rounds bit-for-bit. */
+  def qGraphHits(spark: SparkSession, dir: String): DataFrame =
+    Graph.hits(shipmentEdges(spark, dir), iters = 2)
+      .orderBy(desc("auth_scaled"), desc("hub_scaled"), asc("vertex"))
+
   val defs: Map[String, Q] = Map(
+    "q_graph_hits" -> (qGraphHits(_, _)),
     "q_graph_assortativity" -> (qGraphAssortativity(_, _)),
     "q_graph_modularity" -> (qGraphModularity(_, _)),
     "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
@@ -502,6 +511,35 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // both HITS rounds unrolled with the same L1 floor-div renorm
+    "q_graph_hits" ->
+      s"""WITH $edgeCte,
+         |hubs AS (SELECT DISTINCT src AS v FROM e),
+         |auths AS (SELECT DISTINCT dst AS v FROM e),
+         |h0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS h FROM hubs),
+         |a1r AS (SELECT dst AS v, CAST(SUM(h) AS BIGINT) AS a
+         |  FROM e JOIN h0 ON e.src = h0.v GROUP BY dst),
+         |a1 AS (SELECT v, CAST(CAST(a AS HUGEINT) * 1000000000
+         |    // (SELECT SUM(a) FROM a1r) AS BIGINT) AS a FROM a1r),
+         |h1r AS (SELECT src AS v, CAST(SUM(a) AS BIGINT) AS h
+         |  FROM e JOIN a1 ON e.dst = a1.v GROUP BY src),
+         |h1 AS (SELECT v, CAST(CAST(h AS HUGEINT) * 1000000000
+         |    // (SELECT SUM(h) FROM h1r) AS BIGINT) AS h FROM h1r),
+         |a2r AS (SELECT dst AS v, CAST(SUM(h) AS BIGINT) AS a
+         |  FROM e JOIN h1 ON e.src = h1.v GROUP BY dst),
+         |a2 AS (SELECT v, CAST(CAST(a AS HUGEINT) * 1000000000
+         |    // (SELECT SUM(a) FROM a2r) AS BIGINT) AS a FROM a2r),
+         |h2r AS (SELECT src AS v, CAST(SUM(a) AS BIGINT) AS h
+         |  FROM e JOIN a2 ON e.dst = a2.v GROUP BY src),
+         |h2 AS (SELECT v, CAST(CAST(h AS HUGEINT) * 1000000000
+         |    // (SELECT SUM(h) FROM h2r) AS BIGINT) AS h FROM h2r),
+         |verts AS (SELECT v FROM hubs UNION SELECT v FROM auths)
+         |SELECT verts.v AS vertex,
+         |  COALESCE(h2.h, 0) AS hub_scaled,
+         |  COALESCE(a2.a, 0) AS auth_scaled
+         |FROM verts LEFT JOIN h2 ON verts.v = h2.v
+         |  LEFT JOIN a2 ON verts.v = a2.v
+         |ORDER BY auth_scaled DESC, hub_scaled DESC, vertex""".stripMargin,
     // identical symmetrized edge-degree moments, one IEEE formula
     "q_graph_assortativity" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -11,6 +11,22 @@ class GraphSpec extends SparkTestBase {
 
   private val scale = 1000000000L
 
+  test("hits: hand-computed 2-round L1-renormalized scores on a " +
+    "3-edge bipartite star") {
+    // edges 1→10, 1→11, 2→10; scale 1e9. Round 1: a = (2/3, 1/3),
+    // h = (0.6, 0.4) exactly under floor division. Round 2:
+    // a = (0.625, 0.375), h = (10/16.25, 6.25/16.25) floored.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 615384615L, 0L),
+      (2L, 384615384L, 0L),
+      (10L, 0L, 625000000L),
+      (11L, 0L, 375000000L)))
+  }
+
   /** Reference scalar PageRank: same integer formula, plain Maps. */
   private def refPagerank(edges: Seq[(Long, Long)], iters: Int)
       : Map[Long, Long] = {

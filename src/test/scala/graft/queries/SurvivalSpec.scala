@@ -34,6 +34,31 @@ class SurvivalSpec extends SparkTestBase {
       (8L, 1L, 0L, 1L, 0.4)))
   }
 
+  test("ltv: two cohorts accumulate independently; non-purchasers " +
+    "dilute per-user LTV via floor division") {
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    var id = 0L
+    def ev(u: Long, day: String, et: String, v: Double) = {
+      id += 1
+      (id, Timestamp.valueOf(s"$day 12:00:00"), u, et, v, "{}")
+    }
+    // 2024-01-01 and 01-08 are ISO week starts (Mondays)
+    Seq(
+      ev(1L, "2024-01-01", "purchase", 100.0), // cohort w1 age 0
+      ev(1L, "2024-01-08", "purchase", 50.0), // cohort w1 age 1
+      ev(3L, "2024-01-02", "view", 0.0), // cohort w1, never buys
+      ev(2L, "2024-01-08", "purchase", 20.0)) // cohort w2 age 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventLtv(spark, dir)
+      .as[(Timestamp, Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1.toString.take(10), r._2, r._3, r._4, r._5, r._6))
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L, 10000L, 10000L, 5000L),
+      ("2024-01-01", 1L, 2L, 5000L, 15000L, 7500L),
+      ("2024-01-08", 0L, 1L, 2000L, 2000L, 2000L)))
+  }
+
   test("burstiness: a one-doc burst scores high VMR, an evenly " +
     "spread token scores below 1") {
     val dir = java.nio.file.Files.createTempDirectory("bu").toString
