@@ -377,6 +377,43 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** TWO-PROPORTION A/B TEST — the experimentation primitive: users
+    * split by the deterministic hash parity of user_id (the assignment
+    * rule a real experiment framework persists), conversion = "has a
+    * purchase event". The pooled two-proportion z-test at α=0.05 is
+    * ONE cross-multiplied integer comparison
+    * (s₁n₂ − s₂n₁)²·N·2500 > 9604·S(N−S)·n₁n₂  (S = s₁+s₂, N = n₁+n₂)
+    * — algebraically |z| > 1.96 with the pooled variance, no float in
+    * the verdict. Rates are also reported as exact PPM integers.
+    * Shape: one per-user aggregate, one 2-row group, one 1-row
+    * verdict.
+    */
+  def qEventAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A")
+        .otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("s"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n1"), col("s").as("s1"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n2"), col("s").as("s2"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("s1"), col("n2"), col("s2"),
+        expr("s1 * 1000000L div n1").as("rate_a_ppm"),
+        expr("s2 * 1000000L div n2").as("rate_b_ppm"),
+        expr("""cast(2500 as decimal(38,0))
+               |  * (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+               |  * (n1 + n2)
+               |> cast(9604 as decimal(38,0)) * (s1 + s2)
+               |  * (n1 + n2 - s1 - s2) * n1 * n2"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
   /** COHORT LTV CURVES — q_retention_cohort's revenue twin: per
     * (first-activity week cohort, weeks-since-cohort age), purchase
     * revenue in exact cents, the running cumulative, and cumulative
@@ -465,6 +502,7 @@ object EventQueries {
   val defs: Map[String, Q] = Map(
     "q_event_survival" -> (qEventSurvival(_, _)),
     "q_event_ltv" -> (qEventLtv(_, _)),
+    "q_event_abtest" -> (qEventAbtest(_, _)),
     "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
@@ -479,6 +517,28 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical parity assignment, pooled-variance HUGEINT verdict
+    "q_event_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B'
+        |      END AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS s
+        |  FROM u GROUP BY 1),
+        |j AS (SELECT a.n AS n1, a.s AS s1, b.n AS n2, b.s AS s2
+        |  FROM (SELECT n, s FROM arms WHERE arm = 'A') a,
+        |       (SELECT n, s FROM arms WHERE arm = 'B') b)
+        |SELECT n1, s1, n2, s2,
+        |  s1 * 1000000 // n1 AS rate_a_ppm,
+        |  s2 * 1000000 // n2 AS rate_b_ppm,
+        |  (CAST(2500 AS HUGEINT)
+        |     * (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1) * (n1 + n2)
+        |   > CAST(9604 AS HUGEINT) * (s1 + s2)
+        |     * (n1 + n2 - s1 - s2) * n1 * n2) AS reject
+        |FROM j""".stripMargin,
     // identical week truncation, exact cents, floor-div per-user LTV
     "q_event_ltv" ->
       """WITH e AS (SELECT user_id, ts, event_type, value FROM events

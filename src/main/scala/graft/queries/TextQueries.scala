@@ -1579,7 +1579,39 @@ object TextQueries {
       .limit(30)
   }
 
+  /** SOURCE VOCABULARY OVERLAP MATRIX — the corpus-level redundancy
+    * diagnostic run before mixing sources: pairwise Jaccard of the
+    * per-source vocabularies (which feeds the "is source B just
+    * source A re-crawled?" decision that doc-level near-dedup can't
+    * answer cheaply at corpus granularity). The pair join runs on the
+    * (word, source) DISTINCT table grouped per word — |sources|² is
+    * dimension-bounded (20² here), never corpus-bounded; intersection
+    * counts come from the per-word source lists, unions by
+    * inclusion–exclusion on exact integers; jaccard as PPM.
+    */
+  def qTextSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = ws.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = ws.as("a").join(ws.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("v").as("v_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("v").as("v_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        col("n_common"),
+        expr("n_common * 1000000L div (v_a + v_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_source_overlap" -> (qTextSourceOverlap(_, _)),
     "q_text_burstiness" -> (qTextBurstiness(_, _)),
     "q_text_rake" -> (qTextRake(_, _)),
     "q_text_novelty" -> (qTextNovelty(_, _)),
@@ -2054,6 +2086,26 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    // identical distinct (word, source) pairs, inclusion–exclusion
+    "q_text_source_overlap" ->
+      """WITH ws AS (SELECT DISTINCT source, w
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+        |  FROM ws GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM ws a JOIN ws b
+        |    ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+        |  i.n_common * 1000000 // (sa.v + sb.v - i.n_common)
+        |    AS jaccard_ppm
+        |FROM inter i
+        |JOIN sz sa ON i.src_a = sa.source
+        |JOIN sz sb ON i.src_b = sb.source
+        |ORDER BY i.src_a, i.src_b""".stripMargin,
     // identical moment identity — zeros enter through N, never as rows
     "q_text_burstiness" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all

@@ -45,6 +45,20 @@ class RakeNfcSpec extends SparkTestBase {
     assert(got.forall(r => r._3 == 4000000L && r._4 == 2L))
   }
 
+  test("source overlap: half-shared vocabularies score 1/3; fully " +
+    "disjoint pairs emit no row (zero-overlap convention)") {
+    val d = java.nio.file.Files.createTempDirectory("ovl").toString
+    Seq((1L, "a b c d", "A"), (2L, "c d e f", "B"), (3L, "x y", "C"))
+      .map { case (i, t, s) => (i, t, "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextQueries.qTextSourceOverlap(spark, d)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // only the (A, B) pair shares words: |∩| = 2, |∪| = 6
+    assert(got == Seq(("A", "B", 4L, 4L, 2L, 333333L)))
+  }
+
   test("nfc: combining acute composes after the first e, exactly one " +
     "codepoint shorter, md5 matches the Java-normalized payload") {
     val d = java.nio.file.Files.createTempDirectory("nfc").toString
