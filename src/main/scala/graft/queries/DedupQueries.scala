@@ -41,6 +41,34 @@ object DedupQueries {
     * (PlanSpec asserts this). An unprobeable footer falls back to the
     * operator's own eager count.
     */
+  /** THRESHOLD CALIBRATION CURVE — the tuning table every near-dedup
+    * deployment builds before picking its cutoff: pair counts per
+    * exact-Jaccard decile (bucket = ⌊10·inter/union⌋, an INTEGER so
+    * no double ever decides a bucket) and the would-be-removed count
+    * at each candidate threshold (descending cumulative). One PPJoin
+    * pass at the curve's FLOOR (0.3) feeds every bucket above it.
+    * Low thresholds inflate PPJoin prefixes (length n(1−t)+1), so the
+    * calibration runs on a fixed doc slice (ids < 250 — the
+    * q_dedup_jaccard_banded sampling precedent): calibration needs a
+    * representative sample, not the corpus — that's what makes it
+    * affordable at 100 TB, where the chosen threshold then drives the
+    * full banded pass.
+    */
+  def qDedupThresholdCurve(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") < 250),
+      "doc_id", "text", k = 5, minJaccard = 0.3)
+    pairs
+      .groupBy(expr("inter * 10 div union_n").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+        Window.orderBy(desc("bucket")).rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
         "doc_id", "text", k = 5, minJaccard = 0.8,
@@ -447,6 +475,7 @@ object DedupQueries {
     "q_dedup_exact" -> (qDedupExact(_, _)),
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
+    "q_dedup_threshold_curve" -> (qDedupThresholdCurve(_, _)),
     "q_dedup_jaccard_banded" -> (qDedupJaccardBanded(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
@@ -776,6 +805,28 @@ object DedupQueries {
         |FROM pairs
         |WHERE inter * 1.0 / least(len_a, len_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical integer decile buckets over the brute-force slice
+    "q_dedup_threshold_curve" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(length(text) - 4, 1)),
+        |    i -> substring(text, i, 5))) AS s
+        |  FROM documents WHERE doc_id < 250),
+        |pairs AS (
+        |  SELECT len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |      AS union_n
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |bk AS (SELECT CAST(inter * 10 // union_n AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs WHERE inter * 1.0 / union_n >= 0.3
+        |  GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_at_or_above
+        |FROM bk
+        |ORDER BY bucket""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

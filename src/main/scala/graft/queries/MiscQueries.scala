@@ -89,6 +89,31 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SCHEMA EVOLUTION round trip — the lake's additive-column reality:
+    * batch 1 lands (key, price), batch 2 lands (key, price, status);
+    * a `mergeSchema` read must surface the union schema with NULLs
+    * where history predates the column (the Parquet schema-merge
+    * contract every table format builds on). The oracle replays the
+    * batch rule from the source table. Same run-time-write discipline
+    * as q_source_orc (the write IS the operator under test).
+    */
+  def qLakeSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_lake_schevo")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("append").parquet(s"$tmp/t")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("append").parquet(s"$tmp/t")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .select(col("o_orderkey"),
+        graft.queries.Exact.e2(col("o_totalprice")).as("cents"),
+        col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-column data-quality profile of an ingested table — the
     * admission check an ETL service runs on every upload (ops.Profile).
     */
@@ -586,6 +611,7 @@ object MiscQueries {
 
   val defs: Map[String, Q] = Map(
     "q_lake_compaction" -> (qLakeCompaction(_, _)),
+    "q_lake_schema_merge" -> (qLakeSchemaMerge(_, _)),
     "q_cdc_apply" -> (qCdcApply(_, _)),
     "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
@@ -634,6 +660,14 @@ object MiscQueries {
         |    AS bin_bytes
         |FROM rt
         |ORDER BY bin, size_bytes DESC, event_type, day""".stripMargin,
+    // the batch rule replayed: odd keys carry status, even keys NULL
+    "q_lake_schema_merge" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus
+        |       ELSE NULL END AS o_orderstatus
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // full recompute over the evolved table == the incremental refresh
     "q_cdc_mv_refresh" ->
       """WITH c AS (

@@ -693,6 +693,52 @@ object StatsQueries {
           .stripMargin.replace('\n', ' ')).as("reject"))
   }
 
+  /** SKEWNESS & EXCESS KURTOSIS per return flag from exact raw moment
+    * sums (Σx..Σx⁴ of the small-integer quantity column are exact
+    * BIGINTs at any scale that fits — ≤50⁴·|rows|), with the
+    * population-moment formulas applied ONCE on the exact sums. The
+    * only non-arithmetic call is sqrt (correctly rounded), so σ³ is
+    * written v·√v, never pow(v, 1.5) — libm pow is NOT
+    * correctly-rounded and would fork the engines. Completes the
+    * moment battery beyond q_agg_corr/q_agg_stddev.
+    */
+  def qAggMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast("long")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", x.as("x"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"),
+        sum($"x" * $"x" * $"x").as("s3"),
+        sum($"x" * $"x" * $"x" * $"x").as("s4"))
+      .withColumn("g1_r6", round(expr(
+        """((cast(s3 as double) / n)
+          |  - 3.0 * (cast(s1 as double) / n) * (cast(s2 as double) / n)
+          |  + 2.0 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+          |    * (cast(s1 as double) / n))
+          |/ ((cast(s2 as double) / n
+          |    - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+          |  * sqrt(cast(s2 as double) / n
+          |    - (cast(s1 as double) / n) * (cast(s1 as double) / n)))"""
+          .stripMargin.replace('\n', ' ')), 6))
+      .withColumn("kurt_r6", round(expr(
+        """((cast(s4 as double) / n)
+          |  - 4.0 * (cast(s1 as double) / n) * (cast(s3 as double) / n)
+          |  + 6.0 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+          |    * (cast(s2 as double) / n)
+          |  - 3.0 * (cast(s1 as double) / n) * (cast(s1 as double) / n)
+          |    * (cast(s1 as double) / n) * (cast(s1 as double) / n))
+          |/ ((cast(s2 as double) / n
+          |    - (cast(s1 as double) / n) * (cast(s1 as double) / n))
+          |  * (cast(s2 as double) / n
+          |    - (cast(s1 as double) / n) * (cast(s1 as double) / n)))
+          |- 3.0""".stripMargin.replace('\n', ' ')), 6))
+      .select($"l_returnflag", $"n", $"s1", $"s2", $"s3", $"s4",
+        $"g1_r6", $"kurt_r6")
+      .orderBy($"l_returnflag")
+  }
+
   /** SPEARMAN ρ — rank correlation between daily click and purchase
     * volumes (Spearman 1904), the tie-robust complement to
     * q_stat_kendall on the same calendar-bounded table. Doubled
@@ -877,6 +923,7 @@ object StatsQueries {
     "q_stat_spearman" -> (qStatSpearman(_, _)),
     "q_stat_runs" -> (qStatRuns(_, _)),
     "q_stat_mannkendall" -> (qStatMannKendall(_, _)),
+    "q_agg_moments" -> (qAggMoments(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -1022,6 +1069,44 @@ object StatsQueries {
         |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
         |     * (2 * n_pos * n_neg - n)) AS reject
         |FROM ag""".stripMargin,
+    // identical raw-moment sums; σ³ written v·√v (pow is not
+    // correctly rounded), same formula text
+    "q_agg_moments" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, s1, s2, s3, s4,
+        |  round(((CAST(s3 AS DOUBLE) / n)
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |    + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n))
+        |  / ((CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    * sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+        |    6) AS g1_r6,
+        |  round(((CAST(s4 AS DOUBLE) / n)
+        |    - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+        |    + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s2 AS DOUBLE) / n)
+        |    - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |  / ((CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |    * (CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |  - 3.0, 6) AS kurt_r6
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     // identical pairwise signs per type; continuity-corrected verdict
     "q_stat_mannkendall" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,

@@ -242,6 +242,30 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(flat._3 == 0L && !flat._6)
   }
 
+  test("moments: symmetric data has skew exactly 0; a balanced " +
+    "two-point mass has excess kurtosis exactly -2") {
+    def mk(qs: Seq[Long]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("mo").toString
+      qs.zipWithIndex.map { case (q, i) =>
+        (i.toLong, 1L, i.toLong, i + 1, q.toDouble, 10.0, 0.0, 0.0,
+          "A", "O", Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val sym = StatsQueries.qAggMoments(spark, mk(Seq(1L, 2L, 3L)))
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(sym._7 == 0.0) // skew of {1,2,3}
+    val twoPt = StatsQueries.qAggMoments(spark,
+      mk(Seq(1L, 1L, 3L, 3L)))
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(twoPt._7 == 0.0 && twoPt._8 == -2.0)
+  }
+
   test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
     // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
     // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
