@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 
 /** Deduplication battery over `documents` (north-star operators).
   * The fixture plants near-duplicate pairs at 5-gram Jaccard ≈ 0.99 and no
@@ -41,6 +41,33 @@ object DedupQueries {
     * (PlanSpec asserts this). An unprobeable footer falls back to the
     * operator's own eager count.
     */
+  /** DEDUP IMPACT ACCOUNTING — the pipeline-economics table next to
+    * the dedup operators themselves: per source, how many documents
+    * and how many TOKENS does exact dedup remove (keep = smallest
+    * doc_id per content digest — the q_dedup_exact keep rule)?
+    * Token savings in exact PPM is the number a 100 TB curation run
+    * budgets compute by — dedup decisions are priced in tokens, not
+    * documents. Shape: one digest aggregate (map-side md5), one
+    * keep-set broadcastable join back, one per-source rollup.
+    */
+  def qDedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(keep, "h")
+      .withColumn("removed", (col("doc_id") =!= col("keep_id"))
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("removed")).as("docs_removed"),
+        sum(col("toks")).as("tokens_total"),
+        sum(col("toks") * col("removed")).as("tokens_removed"))
+      .withColumn("saved_ppm",
+        expr("tokens_removed * 1000000L div tokens_total"))
+      .orderBy(col("source"))
+  }
+
   /** THRESHOLD CALIBRATION CURVE — the tuning table every near-dedup
     * deployment builds before picking its cutoff: pair counts per
     * exact-Jaccard decile (bucket = ⌊10·inter/union⌋, an INTEGER so
@@ -476,6 +503,7 @@ object DedupQueries {
     "q_dedup_fingerprint" -> (qDedupFingerprint(_, _)),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve(_, _)),
+    "q_dedup_impact" -> (qDedupImpact(_, _)),
     "q_dedup_jaccard_banded" -> (qDedupJaccardBanded(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
@@ -805,6 +833,25 @@ object DedupQueries {
         |FROM pairs
         |WHERE inter * 1.0 / least(len_a, len_b) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical keep-min rule, whitespace token counts, PPM savings
+    "q_dedup_impact" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS toks
+        |  FROM documents),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+        |m AS (SELECT d.source, d.toks,
+        |    CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END AS rm
+        |  FROM d JOIN keep k ON d.h = k.h),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(rm) AS BIGINT) AS docs_removed,
+        |    CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |    CAST(SUM(toks * rm) AS BIGINT) AS tokens_removed
+        |  FROM m GROUP BY source)
+        |SELECT source, n_docs, docs_removed, tokens_total,
+        |  tokens_removed,
+        |  tokens_removed * 1000000 // tokens_total AS saved_ppm
+        |FROM g ORDER BY source""".stripMargin,
     // identical integer decile buckets over the brute-force slice
     "q_dedup_threshold_curve" ->
       """WITH sh AS (

@@ -181,7 +181,32 @@ object FuncQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** ANSI error-safe `try_*` battery — the ingestion-hardening
+    * surface: arithmetic overflow, division by zero, malformed casts
+    * and out-of-bounds array access all degrade to NULL instead of
+    * failing the job (the PERMISSIVE-mode contract for expressions,
+    * complementing q_ingest_quarantine's row-level one). Each column
+    * exercises a distinct failure lane; the twin replays the NULL
+    * semantics with guards since DuckDB errors eagerly on overflow
+    * and division by zero.
+    */
+  def qFuncTry(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(col("p_partkey"),
+        expr("try_divide(100, p_partkey % 3)").as("div3"),
+        expr("try_add(9223372036854775807L, p_partkey % 2)")
+          .as("ovf"),
+        expr("try_cast(concat('1', case when p_partkey % 5 = 0 " +
+          "then 'x' else '2' end) as int)").as("parsed"),
+        // index cycles 2,3,4,1 — 3/4 exercise the OOB→NULL lane
+        // (index 0 is an argument error even for try_element_at)
+        expr("try_element_at(array('a', 'b'), " +
+          "cast(p_partkey % 4 as int) + 1)").as("elem"))
+      .orderBy(col("p_partkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_func_try" -> (qFuncTry(_, _)),
     "q_func_array2" -> (qFuncArray2(_, _)),
     "q_func_string" -> (qFuncString(_, _)),
     "q_func_url" -> (qFuncUrl(_, _)),
@@ -195,6 +220,21 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // NULL-on-error semantics replayed with guards (DuckDB raises on
+    // overflow and x/0; try_cast it has natively)
+    "q_func_try" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL
+        |       ELSE 100.0 / (p_partkey % 3) END AS div3,
+        |  CASE WHEN p_partkey % 2 = 0
+        |       THEN CAST(9223372036854775807 AS BIGINT)
+        |       ELSE NULL END AS ovf,
+        |  try_cast('1' || CASE WHEN p_partkey % 5 = 0 THEN 'x'
+        |       ELSE '2' END AS INT) AS parsed,
+        |  CASE CAST(p_partkey % 4 AS INT) + 1 WHEN 1 THEN 'a'
+        |       WHEN 2 THEN 'b' ELSE NULL END AS elem
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "q_func_url" ->
       """WITH u AS (
         |  SELECT o_orderkey,

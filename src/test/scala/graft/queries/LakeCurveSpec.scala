@@ -24,6 +24,46 @@ class LakeCurveSpec extends SparkTestBase {
     assert(got.filter(_._1 % 2 == 1).forall(_._3.contains("O")))
   }
 
+  test("dedup impact: removed copies charge their tokens to their " +
+    "own source; the keeper's source pays nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("di").toString
+    // doc 1 (src A, 4 tokens) is the keeper; docs 2,3 are copies in
+    // sources B and A; doc 4 unique in B (2 tokens)
+    Seq((1L, "one two three four", "A"),
+      (2L, "one two three four", "B"),
+      (3L, "one two three four", "A"),
+      (4L, "five six", "B"))
+      .map { case (i, t, s) => (i, t, "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.qDedupImpact(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 1L, 8L, 4L, 500000L),
+      ("B", 2L, 1L, 6L, 4L, 666666L)))
+  }
+
+  test("try battery: each lane degrades to NULL exactly where its " +
+    "failure occurs") {
+    val dir = java.nio.file.Files.createTempDirectory("try").toString
+    (0L to 5L).map(k => (k, s"p$k", "m", "b", s"type$k", 1, "c",
+      1.0, "x")).toDF("p_partkey", "p_name", "p_mfgr", "p_brand",
+      "p_type", "p_size", "p_container", "p_retailprice", "p_comment")
+      .write.parquet(s"$dir/part.parquet")
+    val got = FuncQueries.qFuncTry(spark, dir)
+      .as[(Long, Option[Double], Option[Long], Option[Int],
+        Option[String])].collect().toSeq
+    val mx = Long.MaxValue
+    assert(got == Seq(
+      (0L, None, Some(mx), None, Some("a")),
+      (1L, Some(100.0), None, Some(12), Some("b")),
+      (2L, Some(50.0), Some(mx), Some(12), None),
+      (3L, None, None, Some(12), None),
+      (4L, Some(100.0), Some(mx), Some(12), Some("a")),
+      (5L, Some(50.0), None, None, Some("b"))))
+  }
+
   test("threshold curve: identical docs land in bucket 10, a 1/3 " +
     "overlap in bucket 3; cumulative counts stack from the top") {
     val dir = java.nio.file.Files.createTempDirectory("tc").toString
