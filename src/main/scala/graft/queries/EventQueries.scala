@@ -377,6 +377,32 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** DAU/WAU STICKINESS per week — the engagement ratio product
+    * analytics tracks (how much of the weekly audience shows up on an
+    * average day): Σ(daily distinct users)·10⁶ div (days·WAU), exact
+    * PPM integers. Two distinct-aggregates joined on the week — both
+    * are map-side-combinable distincts at scale (partial
+    * HyperLogLog-style exactness is NOT needed: the distinct keys are
+    * (day, user) and (week, user) — bounded by activity, shuffled
+    * once).
+    */
+  def qEventStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(date_trunc("week", col("ts")).as("week"),
+        to_date(col("ts")).as("d"), col("user_id"))
+    val daily = e.groupBy(col("week"), col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val weekly = e.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.join(weekly, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("sum_dau * 1000000L div (n_days * wau)")
+          .as("stickiness_ppm"))
+      .orderBy(col("week"))
+  }
+
   /** TWO-PROPORTION A/B TEST — the experimentation primitive: users
     * split by the deterministic hash parity of user_id (the assignment
     * rule a real experiment framework persists), conversion = "has a
@@ -503,6 +529,7 @@ object EventQueries {
     "q_event_survival" -> (qEventSurvival(_, _)),
     "q_event_ltv" -> (qEventLtv(_, _)),
     "q_event_abtest" -> (qEventAbtest(_, _)),
+    "q_event_stickiness" -> (qEventStickiness(_, _)),
     "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
@@ -517,6 +544,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical week/day truncation, exact distinct counts, PPM ratio
+    "q_event_stickiness" ->
+      """WITH e AS (SELECT date_trunc('week', ts) AS week,
+        |    CAST(ts AS DATE) AS d, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |daily AS (SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(dau) AS BIGINT) AS sum_dau
+        |  FROM (SELECT week, d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |      AS dau FROM e GROUP BY week, d)
+        |  GROUP BY week),
+        |weekly AS (SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS wau FROM e GROUP BY week)
+        |SELECT daily.week, n_days, sum_dau, wau,
+        |  sum_dau * 1000000 // (n_days * wau) AS stickiness_ppm
+        |FROM daily JOIN weekly ON daily.week = weekly.week
+        |ORDER BY daily.week""".stripMargin,
     // identical parity assignment, pooled-variance HUGEINT verdict
     "q_event_abtest" ->
       """WITH u AS (SELECT user_id,

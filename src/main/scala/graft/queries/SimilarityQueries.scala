@@ -202,6 +202,45 @@ object SimilarityQueries {
       .orderBy(col("cent_id"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per cluster (the centroid-based silhouette
+    * of Hruschka et al. 2004 — O(n·k) instead of the O(n²) pairwise
+    * original): for each point, a = cosine distance to its OWN
+    * centroid, b = the nearest OTHER centroid; s = (b−a)/max(a,b).
+    * The clustering-quality gate for SemDeDup-style pipelines —
+    * "are these clusters tight enough to trust intra-cluster-only
+    * dedup?". Same deterministic k-means as q_sim_kmeans (seeded
+    * md5 order, r6 centroid updates); each point's s is rounded to
+    * e6 and aggregated as INTEGERS, so cluster means are floor-exact
+    * and order-independent. Shape: centroids broadcast once, all
+    * distances map-side, one rollup.
+    */
+  def qSimSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    emb.select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("sims", expr(
+        "transform(cents, c -> named_struct('sim'," +
+          " cosine_sim(cv, c.centv), 'neg_id', -c.cent_id))"))
+      .withColumn("own", expr("array_max(sims)"))
+      .withColumn("b_sim", expr(
+        "array_max(filter(sims, s -> s.neg_id != own.neg_id)).sim"))
+      .select((-col("own.neg_id")).cast("long").as("cent_id"),
+        expr("""cast(round(((1.0 - b_sim) - (1.0 - own.sim))
+               |  / greatest(1.0 - own.sim, 1.0 - b_sim) * 1000000, 0)
+               |  as bigint)""".stripMargin.replace('\n', ' '))
+          .as("s_e6"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_e6) div count(1)").as("mean_sil_e6"),
+        min(col("s_e6")).as("min_sil_e6"),
+        max(col("s_e6")).as("max_sil_e6"))
+      .orderBy(col("cent_id"))
+  }
+
   /** MaxSim late-interaction retrieval (ColBERT, SIGIR'20): documents
     * are MULTI-vector (10 consecutive token vectors per doc here); a
     * query's score against a doc is Σ over query tokens of the max
@@ -285,6 +324,7 @@ object SimilarityQueries {
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
     "q_sim_centroids" -> (qSimCentroids(_, _)),
     "q_sim_kmeans" -> (qSimKmeans(_, _)),
+    "q_sim_silhouette" -> (qSimSilhouette(_, _)),
     "q_sim_pq" -> (qSimPq(_, _)),
     "q_sim_pq_trained" -> (qSimPqTrained(_, _)),
     "q_sim_topk_ivfpq" -> (qSimTopkIvfPq(_, _)),
@@ -818,6 +858,50 @@ object SimilarityQueries {
         |            * coalesce(nullif(scale, 0.0), 1.0))))
         |    / len(embedding)) AS rmse
         |FROM q2 ORDER BY vec_id""".stripMargin,
+    // same two Lloyd iterations, then own = rank-1 / best-other =
+    // rank-2 under the SAME (sim desc, cent_id) order; e6 integers
+    "q_sim_silhouette" -> {
+      val (m1, c1f) = updateSql("a1")
+      val (m2, c2f) = updateSql("a2")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+         |      vec_id) AS rk
+         |  FROM v),
+         |c0 AS (SELECT rk AS cent_id, embedding AS centv, nrm AS cnrm
+         |       FROM r WHERE rk <= 8),
+         |a1 AS (${asgnSql("c0")}),
+         |m1 AS ($m1),
+         |c1 AS (${c1f("m1")}),
+         |a2 AS (${asgnSql("c1")}),
+         |m2 AS ($m2),
+         |c2 AS (${c2f("m2")}),
+         |sims AS (SELECT v.vec_id, c.cent_id,
+         |    ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")}
+         |      AS sim,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${cosSql("v.embedding", "v.nrm", "c.centv", "c.cnrm")}
+         |      DESC, c.cent_id) AS rn
+         |  FROM v CROSS JOIN c2 c),
+         |se AS (SELECT o.vec_id, o.cent_id,
+         |    CAST(round(((1.0 - b.sim) - (1.0 - o.sim))
+         |      / greatest(1.0 - o.sim, 1.0 - b.sim) * 1000000, 0)
+         |      AS BIGINT) AS s_e6
+         |  FROM (SELECT * FROM sims WHERE rn = 1) o
+         |  JOIN (SELECT * FROM sims WHERE rn = 2) b
+         |    ON o.vec_id = b.vec_id)
+         |SELECT CAST(cent_id AS BIGINT) AS cent_id,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(s_e6) // count(*) AS BIGINT) AS mean_sil_e6,
+         |  MIN(s_e6) AS min_sil_e6, MAX(s_e6) AS max_sil_e6
+         |FROM se GROUP BY cent_id
+         |ORDER BY cent_id""".stripMargin
+    },
     "q_sim_kmeans" -> {
       val (m1, c1f) = updateSql("a1")
       val (m2, c2f) = updateSql("a2")

@@ -238,6 +238,49 @@ object StatsQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** CRAMÉR'S V — the effect size q_stat_chi2's per-cell report feeds
+    * (Cramér 1946): V = √(χ²/(N·(min(r,c)−1))), the [0,1]-normalized
+    * association strength a raw χ² (which grows with N) can't give.
+    * The scalar χ² is a CELL-ORDERED fold over the exact-integer
+    * contingency contributions (the q_stat_anova list-fold idiom — a
+    * cross-cell double sum has no canonical order otherwise), and V
+    * is one sqrt on it. Shape: one contingency aggregate, broadcast
+    * margins, a |cells|-row fold.
+    */
+  def qStatCramers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderstatus".as("status"),
+        $"o_orderpriority".as("priority"))
+    val obs = o.groupBy($"status", $"priority")
+      .agg(count(lit(1)).as("obs"))
+    val rowT = o.groupBy($"status").agg(count(lit(1)).as("row_n"))
+    val colT = o.groupBy($"priority").agg(count(lit(1)).as("col_n"))
+    val n = o.agg(count(lit(1)).as("n"))
+    // the FULL r×c grid — zero cells still contribute E to χ²
+    // (q_stat_chi2's per-cell report enumerates observed cells only;
+    // an effect size cannot)
+    val cells = rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("status", "priority"), "left")
+      .withColumn("obs", coalesce($"obs", lit(0L)))
+      .crossJoin(broadcast(n))
+      .select($"status", $"priority", $"n",
+        (($"obs" - ($"row_n" * $"col_n").cast("double") / $"n")
+          * ($"obs" - ($"row_n" * $"col_n").cast("double") / $"n")
+          / (($"row_n" * $"col_n").cast("double") / $"n"))
+          .as("contrib"))
+    cells.groupBy()
+      .agg(first($"n").as("n"),
+        countDistinct($"status").as("r"),
+        countDistinct($"priority").as("c"),
+        expr("aggregate(sort_array(collect_list(struct(" +
+          "status, priority, contrib))), cast(0.0 as double)," +
+          " (a, x) -> a + x.contrib)").as("chi2"))
+      .select($"n", $"r", $"c", round($"chi2", 6).as("chi2_r6"),
+        round(sqrt($"chi2" / ($"n" * (least($"r", $"c") - lit(1L))
+          .cast("double"))), 6).as("v_r6"))
+  }
+
   /** Equi-depth (decile) histogram of order totals — the SCALABLE
     * formulation: exact interpolated decile boundaries from one
     * aggregate, then a map-side bucket assignment (count of boundaries
@@ -924,6 +967,7 @@ object StatsQueries {
     "q_stat_runs" -> (qStatRuns(_, _)),
     "q_stat_mannkendall" -> (qStatMannKendall(_, _)),
     "q_agg_moments" -> (qAggMoments(_, _)),
+    "q_stat_cramers" -> (qStatCramers(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -1069,6 +1113,38 @@ object StatsQueries {
         |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
         |     * (2 * n_pos * n_neg - n)) AS reject
         |FROM ag""".stripMargin,
+    // identical cell contributions, cell-ordered fold, one sqrt
+    "q_stat_cramers" ->
+      """WITH o AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS priority FROM orders),
+        |obs AS (SELECT status, priority, CAST(count(*) AS BIGINT)
+        |    AS obs FROM o GROUP BY 1, 2),
+        |rt AS (SELECT status, CAST(count(*) AS BIGINT) AS row_n
+        |  FROM o GROUP BY 1),
+        |ct AS (SELECT priority, CAST(count(*) AS BIGINT) AS col_n
+        |  FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |grid AS (SELECT rt.status, ct.priority, rt.row_n, ct.col_n,
+        |    COALESCE(obs.obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs ON obs.status = rt.status
+        |    AND obs.priority = ct.priority),
+        |cells AS (SELECT grid.status, grid.priority, nn.n,
+        |    (obs - CAST(row_n * col_n AS DOUBLE) / n)
+        |      * (obs - CAST(row_n * col_n AS DOUBLE) / n)
+        |      / (CAST(row_n * col_n AS DOUBLE) / n) AS contrib
+        |  FROM grid, nn),
+        |f AS (SELECT MIN(n) AS n,
+        |    CAST(COUNT(DISTINCT status) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT priority) AS BIGINT) AS c,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(contrib ORDER BY status, priority)),
+        |      (a, b) -> a + b) AS chi2
+        |  FROM cells)
+        |SELECT n, r, c, round(chi2, 6) AS chi2_r6,
+        |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
+        |    AS v_r6
+        |FROM f""".stripMargin,
     // identical raw-moment sums; σ³ written v·√v (pow is not
     // correctly rounded), same formula text
     "q_agg_moments" ->

@@ -31,6 +31,26 @@ class AbTestSpec extends SparkTestBase {
     dir
   }
 
+  test("stickiness: partial-overlap days score 4/6; everyone-daily " +
+    "scores exactly 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("st").toString
+    var id = 0L
+    def ev(u: Long, day: Int) = {
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"), u,
+        "view", 1.0, "{}")
+    }
+    // week of Jan 1: day 1 users {1,2}, day 2 users {2,3} →
+    // sum_dau 4, wau 3, 2 days → 4e6 div 6
+    Seq(ev(1, 1), ev(2, 1), ev(2, 2), ev(3, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventStickiness(spark, dir)
+      .as[(Timestamp, Long, Long, Long, Long)].collect().head
+    assert(got._2 == 2L && got._3 == 4L && got._4 == 3L &&
+      got._5 == 666666L)
+  }
+
   test("8/10 vs 1/10 rejects; 5/10 vs 5/10 sits at zero difference") {
     val hot = EventQueries.qEventAbtest(spark, mk(8, 1, 10))
       .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head

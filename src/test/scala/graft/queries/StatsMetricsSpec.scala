@@ -266,6 +266,29 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(twoPt._7 == 0.0 && twoPt._8 == -2.0)
   }
 
+  test("cramers V: perfect association is exactly 1; independence " +
+    "is exactly 0") {
+    def mk(rows: Seq[(String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cv").toString
+      rows.zipWithIndex.map { case ((st, pr), i) =>
+        (i.toLong, i.toLong, st, 1.0,
+          Timestamp.valueOf("2024-01-01 00:00:00"), pr)
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val perfect = StatsQueries.qStatCramers(spark,
+      mk(Seq.fill(5)(("O", "1-P")) ++ Seq.fill(5)(("F", "2-H"))))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(perfect == ((10L, 2L, 2L, 10.0, 1.0)))
+    val indep = StatsQueries.qStatCramers(spark,
+      mk(for { s <- Seq("O", "F"); p <- Seq("1-P", "2-H");
+               _ <- 1 to 3 } yield (s, p)))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(indep._4 == 0.0 && indep._5 == 0.0)
+  }
+
   test("mannWhitney: hand-computed 2U and tie term on a tied sample") {
     // A = {1,2}, B = {1,3}: avg ranks 1.5,1.5,3,4 → R_A = 4.5,
     // U_A = 4.5 - 3 = 1.5 → 2U = 3; one tie group of size 2 → ΣT = 6
