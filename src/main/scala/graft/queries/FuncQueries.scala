@@ -205,7 +205,29 @@ object FuncQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Higher-order-function battery — the lambda surface as a direct
+    * subject (exists / forall / zip_with / aggregate-with-finish),
+    * complementing the array/map batteries that use HOFs incidentally.
+    * All integer arithmetic; the fold is left-assoc in both engines.
+    */
+  def qFuncHof(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(col("p_partkey"),
+        expr("array(cast(p_size as bigint), " +
+          "cast(length(p_name) as bigint), " +
+          "cast(length(p_type) as bigint))").as("arr"))
+      .select(col("p_partkey"),
+        expr("exists(arr, x -> x > 20)").as("has_big"),
+        expr("forall(arr, x -> x > 0)").as("all_pos"),
+        expr("aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b)," +
+          " cast(0 as bigint), (a, x) -> a + x)").as("rev_dot"),
+        expr("aggregate(arr, cast(0 as bigint), (a, x) -> a + x," +
+          " a -> a * 2)").as("doubled_sum"))
+      .orderBy(col("p_partkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_func_hof" -> (qFuncHof(_, _)),
     "q_func_try" -> (qFuncTry(_, _)),
     "q_func_array2" -> (qFuncArray2(_, _)),
     "q_func_string" -> (qFuncString(_, _)),
@@ -220,6 +242,24 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exists/forall via list_filter; zip_with via list_zip; the fold
+    // via list_reduce with a prepended identity
+    "q_func_hof" ->
+      """WITH a AS (SELECT p_partkey,
+        |    [CAST(p_size AS BIGINT), CAST(length(p_name) AS BIGINT),
+        |     CAST(length(p_type) AS BIGINT)] AS arr
+        |  FROM part)
+        |SELECT p_partkey,
+        |  len(list_filter(arr, x -> x > 20)) > 0 AS has_big,
+        |  len(list_filter(arr, x -> NOT (x > 0))) = 0 AS all_pos,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_zip(arr, list_reverse(arr)),
+        |      s -> s[1] * s[2])), (a, x) -> a + x) AS BIGINT)
+        |    AS rev_dot,
+        |  CAST(2 * list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+        |    (a, x) -> a + x) AS BIGINT) AS doubled_sum
+        |FROM a
+        |ORDER BY p_partkey""".stripMargin,
     // NULL-on-error semantics replayed with guards (DuckDB raises on
     // overflow and x/0; try_cast it has natively)
     "q_func_try" ->

@@ -83,6 +83,28 @@ object WindowQueries {
       .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
   }
 
+  /** TIME-INTERVAL RANGE frame — the rolling-window shape numeric
+    * rangeBetween (q_window_range_frame) can't express: each event
+    * sees its user's trailing CLOSED 1-hour window [t−1h, t] of
+    * activity (count + exact cents). The real-time-analytics
+    * primitive (rate limiting, velocity features) as one window —
+    * no self-join, no explode; per-user partitions keep frame state
+    * local at scale.
+    */
+  def qWindowTimeRange(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Exact.e2(col("value")).as("cents"))
+      .selectExpr("user_id", "event_id",
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts" +
+          " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)" +
+          " AS n_1h",
+        "sum(cents) OVER (PARTITION BY user_id ORDER BY ts" +
+          " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)" +
+          " AS cents_1h")
+      .orderBy(col("user_id"), col("event_id"))
+
   /** nth_value over a full frame + lag with an explicit default — the
     * analytic accessors q_window_lag_lead doesn't cover.
     */
@@ -170,6 +192,7 @@ object WindowQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_window_time_range" -> (qWindowTimeRange(_, _)),
     "q_window_sessionize" -> (qWindowSessionize(_, _)),
     "q_window_median" -> (qWindowMedian(_, _)),
     "q_window_ignore_nulls" -> (qWindowIgnoreNulls(_, _)),
@@ -182,6 +205,19 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical closed [t−1h, t] RANGE frame semantics
+    "q_window_time_range" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_window_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,

@@ -88,6 +88,27 @@ class PlanSpec extends SparkTestBase {
       "no shuffle belongs in a per-doc scalar gate")
   }
 
+  test("silhouette: centroid array broadcasts — corpus never " +
+    "shuffles before the rollup") {
+    val p = plan("q_sim_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "centroids must reach the corpus as a broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("time-range window: one per-user window, no join anywhere") {
+    val p = plan("q_window_time_range")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+    assert(!p.contains("Join"), "rolling 1h must not self-join")
+  }
+
+  test("stickiness: distinct aggregates only — no cartesian, the " +
+    "week join is a broadcast") {
+    val p = plan("q_event_stickiness")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("set-similarity join has no cartesian product or nested loop") {
     val p = plan("q_dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
