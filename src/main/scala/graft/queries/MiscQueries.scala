@@ -89,6 +89,36 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CSV QUOTING FIDELITY round trip — the ingest trap every CSV
+    * pipeline hits once: payloads carrying the delimiter, the quote
+    * character, AND embedded newlines must survive write→read intact
+    * (RFC 4180 quoting + multiLine read). The tricky payload is
+    * constructed deterministically from customer names; the oracle
+    * reconstructs it directly — the CSV round trip itself is the
+    * operator under test, and md5 pins byte fidelity. Note multiLine
+    * reads are NOT splittable (a file parses as one unit) — the lake
+    * convention is quoted-newline CSVs stay small or become parquet
+    * at the front door; documented here because at 100 TB that
+    * difference is the whole game.
+    */
+  def qSourceCsvQuotes(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_csv_quotes")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(", \"quoted\"\nline2: ;|\t end"))
+          .as("payload"))
+      .write.option("quoteAll", "true").option("header", "true")
+      .csv(s"$tmp/t")
+    spark.read
+      .schema("c_custkey LONG, payload STRING")
+      .option("header", "true").option("multiLine", "true")
+      .csv(s"$tmp/t")
+      .select(col("c_custkey"),
+        length(col("payload")).cast("long").as("len"),
+        md5(col("payload")).as("payload_md5"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** SCHEMA EVOLUTION round trip — the lake's additive-column reality:
     * batch 1 lands (key, price), batch 2 lands (key, price, status);
     * a `mergeSchema` read must surface the union schema with NULLs
@@ -612,6 +642,7 @@ object MiscQueries {
   val defs: Map[String, Q] = Map(
     "q_lake_compaction" -> (qLakeCompaction(_, _)),
     "q_lake_schema_merge" -> (qLakeSchemaMerge(_, _)),
+    "q_source_csv_quotes" -> (qSourceCsvQuotes(_, _)),
     "q_cdc_apply" -> (qCdcApply(_, _)),
     "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
@@ -660,6 +691,16 @@ object MiscQueries {
         |    AS bin_bytes
         |FROM rt
         |ORDER BY bin, size_bytes DESC, event_type, day""".stripMargin,
+    // the payload reconstructed directly — the CSV round trip is the
+    // operator under test; md5 pins byte fidelity through quoting
+    "q_source_csv_quotes" ->
+      """SELECT c_custkey,
+        |  CAST(length(c_name || ', "quoted"' || chr(10)
+        |    || 'line2: ;|' || chr(9) || ' end') AS BIGINT) AS len,
+        |  md5(c_name || ', "quoted"' || chr(10)
+        |    || 'line2: ;|' || chr(9) || ' end') AS payload_md5
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     // the batch rule replayed: odd keys carry status, even keys NULL
     "q_lake_schema_merge" ->
       """SELECT o_orderkey,
