@@ -238,6 +238,57 @@ object StatsQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** JARQUE–BERA normality test (Jarque & Bera 1980) of daily volumes
+    * per event type — the assumption check the moment battery feeds:
+    * JB = n/6·(g₁² + g₂'²/4). Both terms are RATIONAL in the n-scaled
+    * central moments (no sqrt survives the squaring):
+    * M2 = nΣx²−(Σx)², M3 = n²Σx³−3nΣxΣx²+2(Σx)³,
+    * M4 = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ — the n-powers cancel in
+    * g₁² = M3²/M2³ and g₂' = (M4−3M2²)/M2², so the α=0.05 verdict
+    * JB > χ²₂ = 5.991 is the exact cross-multiplication
+    * 1000·n·(4·M3²·M2 + (M4−3M2²)²) > 143784·M2⁴, evaluated in
+    * DECIMAL(38,0)/HUGEINT. Calendar-bounded inputs keep every
+    * product under 10³². jb_r6 is the same quantity as one double
+    * formula on the exact Ms.
+    */
+  def qStatJarque(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+        sum($"x" * $"x").as("s2"), sum($"x" * $"x" * $"x").as("s3"),
+        sum($"x" * $"x" * $"x" * $"x").as("s4"))
+      .withColumn("m2", expr(
+        "cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1"))
+      .withColumn("m3", expr(
+        """cast(n as decimal(38,0)) * n * s3
+          |- 3 * cast(n as decimal(38,0)) * s1 * s2
+          |+ 2 * cast(s1 as decimal(38,0)) * s1 * s1"""
+          .stripMargin.replace('\n', ' ')))
+      .withColumn("m4", expr(
+        """cast(n as decimal(38,0)) * n * n * s4
+          |- 4 * cast(n as decimal(38,0)) * n * s1 * s3
+          |+ 6 * cast(n as decimal(38,0)) * s1 * s1 * s2
+          |- 3 * cast(s1 as decimal(38,0)) * s1 * s1 * s1"""
+          .stripMargin.replace('\n', ' ')))
+      .select($"event_type", $"n",
+        round(expr(
+          """cast(n as double)
+            |* (4.0 * cast(m3 as double) * m3 * m2
+            |   + (cast(m4 as double) - 3.0 * cast(m2 as double) * m2)
+            |     * (cast(m4 as double) - 3.0 * cast(m2 as double) * m2))
+            |/ (24.0 * cast(m2 as double) * m2 * m2 * m2)"""
+            .stripMargin.replace('\n', ' ')), 6).as("jb_r6"),
+        expr("""cast(1000 as decimal(38,0)) * n
+               |  * (4 * m3 * m3 * m2 + (m4 - 3 * m2 * m2)
+               |     * (m4 - 3 * m2 * m2))
+               |> cast(143784 as decimal(38,0)) * m2 * m2 * m2 * m2"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+      .orderBy($"event_type")
+  }
+
   /** CRAMÉR'S V — the effect size q_stat_chi2's per-cell report feeds
     * (Cramér 1946): V = √(χ²/(N·(min(r,c)−1))), the [0,1]-normalized
     * association strength a raw χ² (which grows with N) can't give.
@@ -968,6 +1019,7 @@ object StatsQueries {
     "q_stat_mannkendall" -> (qStatMannKendall(_, _)),
     "q_agg_moments" -> (qAggMoments(_, _)),
     "q_stat_cramers" -> (qStatCramers(_, _)),
+    "q_stat_jarque" -> (qStatJarque(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -1113,6 +1165,39 @@ object StatsQueries {
         |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
         |     * (2 * n_pos * n_neg - n)) AS reject
         |FROM ag""".stripMargin,
+    // identical n-scaled central moments; HUGEINT verdict, one
+    // double formula for the r6 view
+    "q_stat_jarque" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1,
+        |    CAST(SUM(x * x) AS BIGINT) AS s2,
+        |    CAST(SUM(x * x * x) AS BIGINT) AS s3,
+        |    CAST(SUM(x * x * x * x) AS BIGINT) AS s4
+        |  FROM daily GROUP BY event_type),
+        |m AS (SELECT event_type, n,
+        |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |      + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |      - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4
+        |  FROM g)
+        |SELECT event_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    * (4.0 * CAST(m3 AS DOUBLE) * m3 * m2
+        |       + (CAST(m4 AS DOUBLE) - 3.0 * CAST(m2 AS DOUBLE) * m2)
+        |         * (CAST(m4 AS DOUBLE) - 3.0 * CAST(m2 AS DOUBLE) * m2))
+        |    / (24.0 * CAST(m2 AS DOUBLE) * m2 * m2 * m2), 6) AS jb_r6,
+        |  (CAST(1000 AS HUGEINT) * n
+        |     * (4 * m3 * m3 * m2 + (m4 - 3 * m2 * m2)
+        |        * (m4 - 3 * m2 * m2))
+        |   > CAST(143784 AS HUGEINT) * m2 * m2 * m2 * m2) AS reject
+        |FROM m ORDER BY event_type""".stripMargin,
     // identical cell contributions, cell-ordered fold, one sqrt
     "q_stat_cramers" ->
       """WITH o AS (SELECT o_orderstatus AS status,

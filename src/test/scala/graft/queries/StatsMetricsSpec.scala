@@ -266,6 +266,31 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(twoPt._7 == 0.0 && twoPt._8 == -2.0)
   }
 
+  test("jarque-bera: a symmetric light-tailed series accepts; one " +
+    "wild spike rejects normality") {
+    def mk(vols: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("jb").toString
+      var id = 0L
+      vols.zipWithIndex.flatMap { case (v, i) =>
+        (1 to v).map { _ =>
+          id += 1
+          (id, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+            id % 5, "click", 1.0, "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val calm = StatsQueries.qStatJarque(spark,
+      mk(Seq(9, 10, 11, 10, 9, 11, 10, 10, 9, 11, 10, 10)))
+      .as[(String, Long, Double, Boolean)].collect().head
+    assert(!calm._4 && calm._3 < 5.991)
+    val spike = StatsQueries.qStatJarque(spark,
+      mk(Seq(10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 90)))
+      .as[(String, Long, Double, Boolean)].collect().head
+    assert(spike._4 && spike._3 > 5.991)
+  }
+
   test("cramers V: perfect association is exactly 1; independence " +
     "is exactly 0") {
     def mk(rows: Seq[(String, String)]): String = {
