@@ -89,6 +89,68 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FOOTER-ONLY ROW COUNTING — the metadata-path proof: row counts
+    * come from parquet footers alone (ParquetFileReader over the
+    * file listing — the same driver-side metadata class as
+    * Skipping's sidecar and Compaction's manifest; zero data pages
+    * read), and the oracle certifies they equal the actual scan
+    * count. At 100 TB this is the difference between a catalog
+    * stats refresh that takes seconds and one that re-reads the
+    * lake. Footers are read sequentially here (file count bounded);
+    * a million-file table distributes the listing exactly as
+    * LakeIO.listing does.
+    */
+  def qLakeFooterCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val counts = files.map { s =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+      try (r.getRowGroups.size.toLong, r.getRecordCount)
+      finally r.close()
+    }
+    import spark.implicits._
+    Seq((files.size.toLong, counts.map(_._1).sum, counts.map(_._2).sum))
+      .toDF("n_files", "n_row_groups", "n_rows_footer")
+      .crossJoin(Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("n_rows_scan")))
+      .select(col("n_files"), col("n_row_groups"),
+        col("n_rows_footer"), col("n_rows_scan"),
+        (col("n_rows_footer") === col("n_rows_scan")).as("consistent"))
+  }
+
+  /** DYNAMIC PARTITION PRUNING demo — the scale feature that makes
+    * star joins against partitioned facts affordable: the fact is
+    * written partitioned by event_type (run-time write, the
+    * q_source_orc discipline), the dim side arrives as a FILE-backed
+    * table (a literal IN-list would constant-fold — no DPP), and the
+    * selective dim filter prunes fact partitions AT RUNTIME through
+    * the join. PlanSpec asserts the `dynamicpruning` subquery on the
+    * fact scan; the oracle certifies the join result.
+    */
+  def qJoinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_join_dpp")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").parquet(s"$tmp/fact")
+    import spark.implicits._
+    Seq(("click", 1), ("purchase", 1), ("view", 0), ("error", 0),
+      ("signup", 0)).toDF("event_type", "keep")
+      .coalesce(1).write.parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("keep") === 1)
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.e2(col("value"))).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** CSV QUOTING FIDELITY round trip — the ingest trap every CSV
     * pipeline hits once: payloads carrying the delimiter, the quote
     * character, AND embedded newlines must survive write→read intact
@@ -643,6 +705,8 @@ object MiscQueries {
     "q_lake_compaction" -> (qLakeCompaction(_, _)),
     "q_lake_schema_merge" -> (qLakeSchemaMerge(_, _)),
     "q_source_csv_quotes" -> (qSourceCsvQuotes(_, _)),
+    "q_lake_footer_count" -> (qLakeFooterCount(_, _)),
+    "q_join_dpp" -> (qJoinDpp(_, _)),
     "q_cdc_apply" -> (qCdcApply(_, _)),
     "q_profile_inclusion" -> (qProfileInclusion(_, _)),
     "q_merge_scd2" -> (qMergeScd2(_, _)),
@@ -691,6 +755,23 @@ object MiscQueries {
         |    AS bin_bytes
         |FROM rt
         |ORDER BY bin, size_bytes DESC, event_type, day""".stripMargin,
+    // footer metadata must agree with the actual scan
+    "q_lake_footer_count" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_row_groups,
+        |  CAST(count(*) AS BIGINT) AS n_rows_footer,
+        |  CAST(count(*) AS BIGINT) AS n_rows_scan,
+        |  TRUE AS consistent
+        |FROM documents""".stripMargin,
+    // the dim filter replayed as a literal predicate
+    "q_join_dpp" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the payload reconstructed directly — the CSV round trip is the
     // operator under test; md5 pins byte fidelity through quoting
     "q_source_csv_quotes" ->

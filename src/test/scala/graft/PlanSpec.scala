@@ -88,6 +88,14 @@ class PlanSpec extends SparkTestBase {
       "no shuffle belongs in a per-doc scalar gate")
   }
 
+  test("dpp: the fact scan carries a dynamicpruning subquery on the " +
+    "partition column — dim selectivity prunes partitions at runtime") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      "dynamic partition pruning must reach the fact scan")
+    assert(p.contains("PartitionFilters"))
+  }
+
   test("silhouette: centroid array broadcasts — corpus never " +
     "shuffles before the rollup") {
     val p = plan("q_sim_silhouette")
