@@ -381,7 +381,41 @@ object GraphQueries {
     Graph.hits(shipmentEdges(spark, dir), iters = 2)
       .orderBy(desc("auth_scaled"), desc("hub_scaled"), asc("vertex"))
 
+  /** POWER-LAW FIT of the co-supply degree distribution (Clauset,
+    * Shalizi & Newman 2009, SIAM Rev — the MLE, not the discredited
+    * log-log regression): α̂ = 1 + n/Σln(dᵢ/dmin) over degrees ≥ dmin
+    * (dmin = 2 — degree-1 vertices are boundary noise). The ln fold
+    * is (degree, vertex)-ORDERED so the double sum is bit-identical
+    * cross-engine (the q_stat_anova discipline); n, dmin and the
+    * degree histogram inputs are exact integers. One aggregate to
+    * degrees, one bounded fold.
+    */
+  def qGraphPowerlaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val deg = edges.select($"src".as("v"))
+      .unionAll(edges.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+      .filter($"d" >= 2)
+    deg.groupBy()
+      .agg(count(lit(1)).as("n"),
+        min($"d").as("d_min_observed"),
+        expr("aggregate(sort_array(collect_list(struct(d, v)))," +
+          " cast(0.0 as double), (a, x) -> a + ln(x.d / 2.0))")
+          .as("lnsum"))
+      .select($"n", $"d_min_observed",
+        round(lit(1.0) + $"n".cast("double") / $"lnsum", 6)
+          .as("alpha_r6"),
+        round($"lnsum", 6).as("lnsum_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_powerlaw" -> (qGraphPowerlaw(_, _)),
     "q_graph_hits" -> (qGraphHits(_, _)),
     "q_graph_assortativity" -> (qGraphAssortativity(_, _)),
     "q_graph_modularity" -> (qGraphModularity(_, _)),
@@ -511,6 +545,26 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same (degree, vertex)-ordered ln fold, exact integer inputs
+    "q_graph_powerlaw" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1.0),
+        |ed AS (SELECT DISTINCT x.s AS src, y.s AS dst
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM ed
+        |        UNION ALL SELECT dst AS v FROM ed) GROUP BY v
+        |  HAVING count(*) >= 2),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    MIN(d) AS d_min_observed,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(ln(d / 2.0) ORDER BY d, v)), (a, b) -> a + b)
+        |      AS lnsum
+        |  FROM deg)
+        |SELECT n, d_min_observed,
+        |  round(1.0 + CAST(n AS DOUBLE) / lnsum, 6) AS alpha_r6,
+        |  round(lnsum, 6) AS lnsum_r6
+        |FROM f""".stripMargin,
     // both HITS rounds unrolled with the same L1 floor-div renorm
     "q_graph_hits" ->
       s"""WITH $edgeCte,

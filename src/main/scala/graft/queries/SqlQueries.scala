@@ -132,6 +132,37 @@ object SqlQueries {
       .orderBy(col("flag"))
   }
 
+  case class CustT(c_custkey: Long, c_name: String)
+  case class OrdT(o_custkey: Long, o_orderkey: Long, cents: Long)
+
+  /** Typed joinWith → reduceGroups — the two Dataset combinators
+    * q_typed_dataset/q_typed_cogroup leave uncovered: joinWith keeps
+    * BOTH sides as typed objects (no column flattening/ambiguity),
+    * and reduceGroups folds each customer's orders to the
+    * (cents, orderkey)-max without materializing groups. Exact cents
+    * keep the reduction order-free.
+    */
+  def qTypedJoinwith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name")).as[CustT]
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Exact.e2(col("o_totalprice")).as("cents")).as[OrdT]
+    c.joinWith(o, c("c_custkey") === o("o_custkey"), "inner")
+      .groupByKey(_._1.c_custkey)
+      .reduceGroups { (a, b) =>
+        if (a._2.cents > b._2.cents ||
+          (a._2.cents == b._2.cents &&
+            a._2.o_orderkey >= b._2.o_orderkey)) a else b
+      }
+      .map { case (k, (cu, best)) =>
+        (k, cu.c_name, best.o_orderkey, best.cents)
+      }
+      .toDF("c_custkey", "c_name", "best_orderkey", "best_cents")
+      .orderBy(col("c_custkey"))
+  }
+
   /** Correlated EXISTS + NOT EXISTS — planned as LeftSemi/LeftAnti
     * joins by Catalyst (no per-row subquery execution).
     */
@@ -229,6 +260,7 @@ object SqlQueries {
 
   val defs: Map[String, Q] = Map(
     "q_typed_cogroup" -> (qTypedCogroup(_, _)),
+    "q_typed_joinwith" -> (qTypedJoinwith(_, _)),
     "q_sql_recursive" -> (qSqlRecursive(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
@@ -242,6 +274,18 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // max-by (cents, orderkey) replayed as a rank-1 window
+    "q_typed_joinwith" ->
+      """WITH j AS (SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY c.c_custkey
+        |      ORDER BY CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+        |        DESC, o.o_orderkey DESC) AS rn
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey)
+        |SELECT c_custkey, c_name, o_orderkey AS best_orderkey,
+        |  cents AS best_cents
+        |FROM j WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
     "q_typed_cogroup" ->
       """SELECT c.c_custkey, c.c_acctbal AS acctbal,
         |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
