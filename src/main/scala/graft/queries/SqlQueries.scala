@@ -163,6 +163,32 @@ object SqlQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * that silently empties real queries: a single NULL in the NOT IN
+    * subquery makes every row's predicate UNKNOWN (null-aware anti
+    * join), while NOT EXISTS keeps its rows. The subquery's NULL is
+    * constructed (nullif on a real value) so both engines see the
+    * same poisoned list; the query reports both counts side by side
+    * plus the per-segment survivors of each idiom.
+    */
+  def qSqlNotInNull(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("cust_nin")
+    Tables.orders(spark, dir).createOrReplaceTempView("ord_nin")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  SUM(CASE WHEN c_custkey NOT IN
+        |    (SELECT nullif(o_custkey, 7) FROM ord_nin)
+        |    THEN 1 ELSE 0 END) AS not_in_survivors,
+        |  SUM(CASE WHEN NOT EXISTS
+        |    (SELECT 1 FROM ord_nin o
+        |     WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+        |    THEN 1 ELSE 0 END) AS not_exists_survivors,
+        |  COUNT(*) AS n
+        |FROM cust_nin c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Correlated EXISTS + NOT EXISTS — planned as LeftSemi/LeftAnti
     * joins by Catalyst (no per-row subquery execution).
     */
@@ -261,6 +287,7 @@ object SqlQueries {
   val defs: Map[String, Q] = Map(
     "q_typed_cogroup" -> (qTypedCogroup(_, _)),
     "q_typed_joinwith" -> (qTypedJoinwith(_, _)),
+    "q_sql_not_in_null" -> (qSqlNotInNull(_, _)),
     "q_sql_recursive" -> (qSqlRecursive(_, _)),
     "q18_large_orders" -> (q18LargeOrders(_, _)),
     "q_sql_unpivot" -> (qSqlUnpivot(_, _)),
@@ -274,6 +301,20 @@ object SqlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical three-valued logic — both engines are ANSI here
+    "q_sql_not_in_null" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN c_custkey NOT IN
+        |    (SELECT nullif(o_custkey, 7) FROM orders)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS not_in_survivors,
+        |  CAST(SUM(CASE WHEN NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |     WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS not_exists_survivors,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer c
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // max-by (cents, orderkey) replayed as a rank-1 window
     "q_typed_joinwith" ->
       """WITH j AS (SELECT c.c_custkey, c.c_name, o.o_orderkey,
