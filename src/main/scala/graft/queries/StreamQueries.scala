@@ -54,6 +54,45 @@ object StreamQueries {
       .orderBy(col("click_id"), col("buy_id"))
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join as a REAL stream — the
+    * semantic the inner q_stream_interval_join can't show: clicks
+    * with NO purchase in their 10-minute window emit null-padded
+    * EXACTLY when the watermark proves no future match can arrive
+    * (state eviction). One data batch carries everything; the
+    * AvailableNow finalization batch advances the watermark to
+    * min(max click ts, max buy ts) (lateness 0, min across inputs)
+    * and flushes evictable state: a click emits null-padded iff
+    * click_ts + 10 min < that final watermark — clicks whose window
+    * is still open at stream end stay IN STATE, unemitted, and the
+    * oracle replays precisely that cutoff (epoch-ms floor).
+    */
+  def qStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = StreamOps.scratchDir("q_stream_outer_join")
+    def side(et: String, tsName: String, idName: String) =
+      Tables.eventsStream(spark, dir)
+        .filter(col("event_type") === et)
+        .select(col("user_id"), col("ts").as(tsName),
+          col("event_id").as(idName))
+        .withWatermark(tsName, "0 seconds")
+    val clicks = side("click", "click_ts", "click_id")
+    val buys = side("purchase", "buy_ts", "buy_id")
+    val joined = clicks.as("l").join(buys.as("r"),
+      expr("l.user_id = r.user_id AND " +
+        "r.buy_ts >= l.click_ts AND " +
+        "r.buy_ts <= l.click_ts + interval 10 minutes"), "leftOuter")
+    val q = joined
+      .select(col("l.click_id"), col("r.buy_id"))
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .orderBy(col("click_id"), col("buy_id"))
+  }
+
   /** flatMapGroupsWithState sessionization exercised as a REAL stream:
     * file source over the events table → stateful operator → parquet
     * sink under Trigger.AvailableNow, then the sink's contents returned.
@@ -1123,6 +1162,7 @@ object StreamQueries {
     "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_changepoint" -> (qTimeChangepoint(_, _)),
     "q_stream_observed" -> (qStreamObserved(_, _)),
+    "q_stream_outer_join" -> (qStreamOuterJoin(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
     "q_time_seasonal" -> (qTimeSeasonal(_, _)),
     "q_time_anomaly" -> (qTimeAnomaly(_, _)),
@@ -1454,6 +1494,31 @@ object StreamQueries {
     // through the identical (l + v)·½ step, one emission at each
     // batch's last row — update 2 only matches if the engine carried
     // state across the micro-batch boundary.
+    // inner pairs unconditionally; null rows only for clicks whose
+    // window closed under the final min-across-inputs watermark
+    "q_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts,
+        |    event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT epoch_ms(MAX(click_ts)) FROM c),
+        |    (SELECT epoch_ms(MAX(buy_ts)) FROM b)) AS w),
+        |inner_p AS (SELECT c.click_id, b.buy_id
+        |  FROM c JOIN b ON c.user_id = b.user_id
+        |    AND b.buy_ts >= c.click_ts
+        |    AND b.buy_ts <= c.click_ts + INTERVAL 10 MINUTE),
+        |unmatched AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS buy_id
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM b
+        |      WHERE b.user_id = c.user_id
+        |        AND b.buy_ts >= c.click_ts
+        |        AND b.buy_ts <= c.click_ts + INTERVAL 10 MINUTE)
+        |    AND epoch_ms(c.click_ts + INTERVAL 10 MINUTE) < wm.w)
+        |SELECT click_id, buy_id FROM inner_p
+        |UNION ALL
+        |SELECT click_id, buy_id FROM unmatched
+        |ORDER BY click_id, buy_id""".stripMargin,
     // the split arithmetic replayed: batch 0 = days 1–15 under
     // watermark 0; batch 1 = rest + day-1 redelivery under
     // floor_ms(max ts of batch 0) − 600 000

@@ -14,6 +14,29 @@ import graft.SparkTestBase
 class ObservedStreamSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("stream-stream left outer: closed windows emit null-padded, " +
+    "still-open windows stay in state unemitted") {
+    val dir = Files.createTempDirectory("soj").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: click 10:00 + purchase 10:05 → inner pair.
+    // user 2: click 10:00, no purchase, window closes well before the
+    //   final watermark → null-padded row.
+    // user 3: click 11:58 — its window is OPEN at the final watermark
+    //   (min(max click 11:58, max buy 12:00) = 11:58) → NOT emitted.
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 11:58:00"), 3L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 9L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.StreamQueries.qStreamOuterJoin(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 2L), (3L, -1L)))
+  }
+
   test("watermark telemetry matches max(prior batches) - delay; a " +
     "redelivery TWO batches later is silently dropped (dual-watermark " +
     "late filter uses the previous batch's mark)") {
