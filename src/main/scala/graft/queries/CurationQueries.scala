@@ -386,6 +386,7 @@ object CurationQueries {
   val defs: Map[String, Q] = Map(
     "q_curate_kappa" -> (qCurateKappa(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
+    "q_curate_fertility" -> (qCurateFertility(_, _)),
     "q_curate_quantile_norm" -> (qCurateQuantileNorm(_, _)),
     "q_curate_wilson" -> (qCurateWilson(_, _)),
     "q_curate_neyman" -> (qCurateNeyman(_, _)),
@@ -743,9 +744,44 @@ object CurationQueries {
       .orderBy(col("k"))
   }
 
+  /** TOKENIZER FERTILITY per source — BPE-ish segments per whitespace
+    * word (the tokenizer-fit diagnostic: high fertility = the
+    * tokenizer fragments this source's vocabulary, its documents cost
+    * more context window per word). Exact PPM ratio of two corpus
+    * token sums; the GPT-2-family pre-tokenizer regex is the same one
+    * q_text_token_count pins. One map-side count pair + one rollup.
+    */
+  def qCurateFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("bp")).as("bpeish_tokens"))
+      .withColumn("fertility_ppm",
+        expr("bpeish_tokens * 1000000L div ws_tokens"))
+      .orderBy(col("source"))
+
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // same GPT-2-family pre-tokenizer regex as q_text_token_count
+    "q_curate_fertility" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |      AS BIGINT) AS bp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bp) AS BIGINT) AS bpeish_tokens,
+        |  CAST(SUM(bp) AS BIGINT) * 1000000 // CAST(SUM(ws) AS BIGINT)
+        |    AS fertility_ppm
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin,
     // identical (freq desc, token) rank and exact PPM coverage
     "q_curate_coverage" ->
       """WITH freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c

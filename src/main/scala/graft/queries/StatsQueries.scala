@@ -238,6 +238,73 @@ object StatsQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** BROWN–FORSYTHE (Levene-with-medians, 1974) variance-homogeneity
+    * test across event types — the assumption gate q_stat_anova's F
+    * test rests on, run on the same calendar-bounded daily table:
+    * one-way ANOVA on zᵢ = |vᵢ − median_g| with the LOWER median
+    * (integer — the q_stat_runs convention), so every deviation is an
+    * exact integer. The α=0.05 verdict (F crit by df₁ = k−1 at
+    * df₂→∞, CASE-selected — 3.841 … 2.099 for k = 2…7+)
+    * is a cross-multiplied DECIMAL(38)/HUGEINT comparison
+    * with common denominator P = Πn_g (the q_stat_kruskal device):
+    * (Q·N − T²·P)·(N−k)·1000 > 2372·(S2·P − Q)·N·(k−1),
+    * Q = Σ T_g²·(P/n_g). Robustness to non-normality is the whole
+    * point of the median variant — the daily-count fixture is
+    * Poisson-ish, exactly where plain Levene misleads.
+    */
+  def qStatLevene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select($"event_type".as("g"), to_date($"ts").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("v"))
+    val med = daily
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"d")))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"rn" === expr("(nn + 1) div 2"))
+      .select($"g", $"v".as("m"))
+    val z = daily.join(broadcast(med), "g")
+      .select($"g", abs($"v" - $"m").as("z"))
+    val grp = z.groupBy($"g")
+      .agg(count(lit(1)).as("ng"), sum($"z").as("tg"),
+        sum($"z" * $"z").as("qg"))
+    grp.groupBy()
+      .agg(expr("sort_array(collect_list(struct(g, ng, tg, qg)))")
+        .as("gs"))
+      .select(
+        expr("cast(size(gs) as bigint)").as("k"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.ng)")
+          .as("n"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.tg)")
+          .as("t"),
+        expr("aggregate(gs, cast(0 as bigint), (a, x) -> a + x.qg)")
+          .as("s2"),
+        expr("aggregate(gs, cast(1 as decimal(38,0)), (a, x) -> a * x.ng)")
+          .as("p"),
+        expr("aggregate(gs, cast(0.0 as double)," +
+          " (a, x) -> a + cast(x.tg as double) * x.tg / x.ng)")
+          .as("qd"),
+        $"gs")
+      .select($"k", $"n", $"t", $"s2", $"qd",
+        expr("aggregate(gs, cast(0 as decimal(38,0))," +
+          " (a, x) -> a + cast(x.tg as decimal(38,0)) * x.tg" +
+          " * (p div x.ng))").as("q"), $"p")
+      .select($"k", $"n",
+        round(expr(
+          """((qd - cast(t as double) * t / n) / (k - 1))
+            |/ ((s2 - qd) / (n - k))"""
+            .stripMargin.replace('\n', ' ')), 6).as("f_r6"),
+        expr("""(cast(q as decimal(38,0)) * n
+               |  - cast(t as decimal(38,0)) * t * p) * (n - k) * 1000
+               |> cast(case when k = 2 then 3841 when k = 3 then 2996
+               |       when k = 4 then 2605 when k = 5 then 2372
+               |       when k = 6 then 2214 else 2099 end
+               |       as decimal(38,0))
+               |  * (cast(s2 as decimal(38,0)) * p - q) * n * (k - 1)"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
   /** JARQUE–BERA normality test (Jarque & Bera 1980) of daily volumes
     * per event type — the assumption check the moment battery feeds:
     * JB = n/6·(g₁² + g₂'²/4). Both terms are RATIONAL in the n-scaled
@@ -1020,6 +1087,7 @@ object StatsQueries {
     "q_agg_moments" -> (qAggMoments(_, _)),
     "q_stat_cramers" -> (qStatCramers(_, _)),
     "q_stat_jarque" -> (qStatJarque(_, _)),
+    "q_stat_levene" -> (qStatLevene(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
@@ -1165,6 +1233,49 @@ object StatsQueries {
         |   > CAST(9604 AS HUGEINT) * 2 * n_pos * n_neg
         |     * (2 * n_pos * n_neg - n)) AS reject
         |FROM ag""".stripMargin,
+    // identical lower medians, exact |z| integers, common-denominator
+    // HUGEINT verdict, group-ordered double fold for f_r6
+    "q_stat_levene" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT g, v AS m FROM
+        |  (SELECT g, v,
+        |     row_number() OVER (PARTITION BY g ORDER BY v, d) AS rn,
+        |     COUNT(*) OVER (PARTITION BY g) AS nn
+        |   FROM daily) t
+        |  WHERE rn = (nn + 1) // 2),
+        |z AS (SELECT daily.g, abs(v - m) AS z
+        |  FROM daily JOIN med ON daily.g = med.g),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(SUM(z) AS BIGINT) AS tg,
+        |    CAST(SUM(z * z) AS BIGINT) AS qg
+        |  FROM z GROUP BY g),
+        |f1 AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(tg) AS BIGINT) AS t,
+        |    CAST(SUM(qg) AS BIGINT) AS s2,
+        |    list_reduce(list_prepend(CAST(1 AS HUGEINT),
+        |      list(CAST(ng AS HUGEINT) ORDER BY g)), (a, b) -> a * b)
+        |      AS p,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(tg AS DOUBLE) * tg / ng ORDER BY g)),
+        |      (a, b) -> a + b) AS qd
+        |  FROM grp),
+        |f2 AS (SELECT k, n, t, s2, p, qd,
+        |    (SELECT SUM(CAST(tg AS HUGEINT) * tg * (p // ng)) FROM grp)
+        |      AS q
+        |  FROM f1)
+        |SELECT k, n,
+        |  round(((qd - CAST(t AS DOUBLE) * t / n) / (k - 1))
+        |    / ((s2 - qd) / (n - k)), 6) AS f_r6,
+        |  ((CAST(q AS HUGEINT) * n - CAST(t AS HUGEINT) * t * p)
+        |     * (n - k) * 1000
+        |   > CAST(CASE WHEN k = 2 THEN 3841 WHEN k = 3 THEN 2996
+        |          WHEN k = 4 THEN 2605 WHEN k = 5 THEN 2372
+        |          WHEN k = 6 THEN 2214 ELSE 2099 END AS HUGEINT)
+        |     * (CAST(s2 AS HUGEINT) * p - q) * n * (k - 1)) AS reject
+        |FROM f2""".stripMargin,
     // identical n-scaled central moments; HUGEINT verdict, one
     // double formula for the r6 view
     "q_stat_jarque" ->

@@ -80,6 +80,22 @@ class CurateAgreementSpec extends SparkTestBase {
     assert(got.map(_._4).toSet.subsetOf(got.map(_._3).toSet))
   }
 
+  test("fertility: punctuation and contractions fragment into more " +
+    "BPE-ish segments than whitespace words") {
+    val d = java.nio.file.Files.createTempDirectory("fert").toString
+    // "don't stop!" = 2 ws tokens but 4 BPE-ish segments
+    // (don + 't + " stop" + "!"); plain text stays 1:1
+    writeDocs(d, Seq(
+      (1L, "don't stop!", "frag"),
+      (2L, "plain words here", "clean")))
+    val got = CurationQueries.qCurateFertility(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("clean") == (("clean", 1L, 3L, 3L, 1000000L)))
+    assert(got("frag")._3 == 2L && got("frag")._4 == 4L &&
+      got("frag")._5 == 2000000L)
+  }
+
   test("coverage curve: top-10 of an 11-token Zipf-ish corpus covers " +
     "99%; k beyond the vocabulary clamps to full coverage") {
     val d = java.nio.file.Files.createTempDirectory("cov").toString

@@ -291,6 +291,36 @@ class StatsMetricsSpec extends SparkTestBase {
     assert(spike._4 && spike._3 > 5.991)
   }
 
+  test("levene (brown-forsythe): equal spreads accept; one wildly " +
+    "dispersed group rejects homogeneity") {
+    def mk(rows: Seq[(String, Seq[Int])]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("lv").toString
+      var id = 0L
+      rows.flatMap { case (et, vols) =>
+        vols.zipWithIndex.flatMap { case (v, i) =>
+          (1 to v).map { _ =>
+            id += 1
+            (id, Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+              id % 5, et, 1.0, "{}")
+          }
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props").write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val same = StatsQueries.qStatLevene(spark, mk(Seq(
+      ("a", Seq(10, 12, 10, 12, 10, 12)),
+      ("b", Seq(20, 22, 20, 22, 20, 22)))))
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(same._1 == 2L && !same._4) // same |z| spread → F = 0
+    assert(same._3 == 0.0)
+    val het = StatsQueries.qStatLevene(spark, mk(Seq(
+      ("a", Seq(11, 11, 11, 11, 11, 11)),
+      ("b", Seq(1, 40, 1, 40, 1, 40)))))
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(het._4) // zero spread vs wild spread
+  }
+
   test("cramers V: perfect association is exactly 1; independence " +
     "is exactly 0") {
     def mk(rows: Seq[(String, String)]): String = {
