@@ -34,6 +34,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** MIPS top-k — maximum INNER PRODUCT retrieval, the unnormalized
+    * cousin of [[bruteForceTopK]] (recommendation scores, reward
+    * models, any embedding whose norm carries signal). Exact ranking
+    * here orders by the raw dot product (index-ordered fold — the
+    * cosSql determinism contract without the norm division). The
+    * 100 TB path is the norm-augmentation reduction (Bachrach et al.,
+    * RecSys 2014): append √(M²−|x|²) to corpus vectors and 0 to
+    * queries and ANY cosine ANN index (lshTopK / ivfTopK) serves
+    * MIPS — noted rather than defaulted because the float
+    * augmentation can flip near-tied ranks vs the exact product.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qv, cv," +
+          " (a, b) -> cast(a as double) * b), cast(0.0 as double)," +
+          " (acc, x) -> acc + x)").as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor,
     * the top-k most-similar corpus vectors whose LABEL DIFFERS — the
     * negatives that sit closest to the decision boundary, which is what

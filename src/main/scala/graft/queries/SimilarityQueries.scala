@@ -55,6 +55,17 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MIPS top-5 per query — see [[graft.ops.Similarity.mipsTopK]]. */
+  def qSimTopkMips(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.mipsTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("ip"), 6).as("ip_r6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def qSimTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(
@@ -318,6 +329,7 @@ object SimilarityQueries {
     "q_sim_matryoshka" -> (qSimMatryoshka(_, _)),
     "q_sim_hard_negatives" -> (qSimHardNegatives(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
+    "q_sim_topk_mips" -> (qSimTopkMips(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
     "q_sim_topk_ivf_mrl" -> (qSimTopkIvfMrl(_, _)),
@@ -1009,6 +1021,24 @@ object SimilarityQueries {
         |SELECT query_id, rank, neighbor_id,
         |  CAST(neg_label AS BIGINT) AS neg_label, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // same index-ordered dot-product fold, no norm division
+    "q_sim_topk_mips" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      AS ip
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, ip,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ip DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(ip, 6) AS ip_r6
+        |FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk_brute" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
