@@ -414,7 +414,50 @@ object GraphQueries {
         round($"lnsum", 6).as("lnsum_r6"))
   }
 
+  /** COMMUNITY CONDUCTANCE (Kannan, Vempala & Vetta 2004; the
+    * Leskovec NCP-plot metric) for the nation partition of the
+    * co-supply graph — the per-community companion to
+    * q_graph_modularity's global score: φ(C) = cut(C) / min(vol(C),
+    * vol(V∖C)), reported as exact PPM (cut and volumes are BIGINTs).
+    * Low conductance = a real community (few escaping edges); the
+    * metric survives 100 TB because it needs only degree sums and a
+    * cut count per community — same broadcast-map shapes as
+    * modularity, no subgraphs.
+    */
+  def qGraphConductance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val nat = broadcast(Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("v"), $"s_nationkey".as("c")))
+    val deg = edges.select($"src".as("v"))
+      .unionAll(edges.select($"dst".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val vol = deg.join(nat, "v").groupBy($"c")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("vol"))
+    val labeled = edges
+      .join(nat.select($"v".as("src"), $"c".as("c_src")), "src")
+      .join(nat.select($"v".as("dst"), $"c".as("c_dst")), "dst")
+    val cut = labeled.filter($"c_src" =!= $"c_dst")
+      .select($"c_src".as("c")).unionAll(
+        labeled.filter($"c_src" =!= $"c_dst").select($"c_dst".as("c")))
+      .groupBy($"c").agg(count(lit(1)).as("cut"))
+    val m2 = edges.agg((count(lit(1)) * 2L).as("vol_all"))
+    vol.join(cut, Seq("c"), "left")
+      .withColumn("cut", coalesce($"cut", lit(0L)))
+      .crossJoin(broadcast(m2))
+      .select($"c".as("nation"), $"n_nodes", $"vol", $"cut",
+        expr("cut * 1000000L div " +
+          "nullif(least(vol, vol_all - vol), 0L)").as("conductance_ppm"))
+      .orderBy($"nation")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_conductance" -> (qGraphConductance(_, _)),
     "q_graph_powerlaw" -> (qGraphPowerlaw(_, _)),
     "q_graph_hits" -> (qGraphHits(_, _)),
     "q_graph_assortativity" -> (qGraphAssortativity(_, _)),
@@ -545,6 +588,33 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical cut double-counting per incident community, PPM exact
+    "q_graph_conductance" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1.0),
+        |ed AS (SELECT DISTINCT x.s AS src, y.s AS dst
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |nat AS (SELECT s_suppkey AS v, s_nationkey AS c FROM supplier),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM ed
+        |        UNION ALL SELECT dst AS v FROM ed) GROUP BY v),
+        |vol AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) AS BIGINT) AS vol
+        |  FROM deg JOIN nat ON deg.v = nat.v GROUP BY c),
+        |lab AS (SELECT ns.c AS c_src, nd.c AS c_dst FROM ed
+        |  JOIN nat ns ON ed.src = ns.v JOIN nat nd ON ed.dst = nd.v),
+        |cut AS (SELECT c, CAST(count(*) AS BIGINT) AS cut FROM
+        |  (SELECT c_src AS c FROM lab WHERE c_src <> c_dst
+        |   UNION ALL SELECT c_dst AS c FROM lab WHERE c_src <> c_dst)
+        |  GROUP BY c),
+        |m2 AS (SELECT CAST(count(*) * 2 AS BIGINT) AS vol_all FROM ed)
+        |SELECT vol.c AS nation, n_nodes, vol.vol,
+        |  COALESCE(cut.cut, 0) AS cut,
+        |  COALESCE(cut.cut, 0) * 1000000
+        |    // nullif(least(vol.vol, m2.vol_all - vol.vol), 0)
+        |    AS conductance_ppm
+        |FROM vol LEFT JOIN cut ON vol.c = cut.c, m2
+        |ORDER BY nation""".stripMargin,
     // same (degree, vertex)-ordered ln fold, exact integer inputs
     "q_graph_powerlaw" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -42,6 +42,21 @@ class ModularitySpec extends SparkTestBase {
       Seq((0, 3L, 3L, 6L), (1, 3L, 3L, 6L)))
   }
 
+  test("conductance: two bridged triangles score 1/7 per side, " +
+    "exact PPM") {
+    val dir = java.nio.file.Files.createTempDirectory("cond").toString
+    // cliques {1,2,3} (nation 0) and {4,5,6} (nation 1) + one bridge
+    // (3,4): vol = 7 each side, cut = 1 → φ = 1e6 div 7 = 142857
+    writeFixture(dir,
+      Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(4L, 5L, 6L)),
+        (3L, Seq(3L, 4L))),
+      Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1))
+    val got = GraphQueries.qGraphConductance(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 7L, 1L, 142857L),
+      (1, 3L, 7L, 1L, 142857L)))
+  }
+
   test("assortativity: the 4-path scores exactly -0.5 (Newman's " +
     "classic small-graph value)") {
     val dir = java.nio.file.Files.createTempDirectory("asr").toString
