@@ -377,6 +377,44 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** MARKOV STATIONARY DISTRIBUTION — q_event_markov's transition
+    * matrix taken to its fixed point by THREE integer power-iteration
+    * rounds under the pagerank floor-division doctrine: each round is
+    * π'_j = Σ_i (π_i · n_ij) div n_i on the |states|² transition
+    * frame (25 rows — the iteration is dimension-bounded; only the
+    * one pass that builds n_ij sees the corpus). The long-run
+    * state mix is what capacity planning reads off a session model.
+    * Twin replays all three rounds bit-for-bit.
+    */
+  def qEventStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = 1000000000L
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = e
+      .select(col("event_type").as("i"),
+        lead(col("event_type"), 1).over(w).as("j"))
+      .filter(col("j").isNotNull)
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
+    val rowTot = pairs.groupBy(col("i")).agg(sum(col("n_ij")).as("n_i"))
+    val trans = pairs.join(rowTot, "i")
+    val states = graft.ops.CacheScope.cached(
+      trans.select(col("i").as("s"))
+        .unionAll(trans.select(col("j").as("s"))).distinct())
+    val k = states.count() // eager |S|: tiny, the pagerank precedent
+    var pi = states.select(col("s"), lit(scale / k).as("pi"))
+    for (_ <- 1 to 3) {
+      val in = trans.join(pi, trans("i") === pi("s"))
+        .select(col("j"), expr("(pi * n_ij) div n_i").as("c"))
+        .groupBy(col("j")).agg(sum(col("c")).as("pin"))
+      pi = states.join(in, states("s") === in("j"), "left")
+        .select(col("s"), coalesce(col("pin"), lit(0L)).as("pi"))
+    }
+    pi.select(col("s").as("event_type"), col("pi").as("pi_scaled"))
+      .orderBy(col("event_type"))
+  }
+
   /** DAU/WAU STICKINESS per week — the engagement ratio product
     * analytics tracks (how much of the weekly audience shows up on an
     * average day): Σ(daily distinct users)·10⁶ div (days·WAU), exact
@@ -530,6 +568,7 @@ object EventQueries {
     "q_event_ltv" -> (qEventLtv(_, _)),
     "q_event_abtest" -> (qEventAbtest(_, _)),
     "q_event_stickiness" -> (qEventStickiness(_, _)),
+    "q_event_stationary" -> (qEventStationary(_, _)),
     "q_event_concurrency" -> (qEventConcurrency(_, _)),
     "q_event_rfm" -> (qEventRfm(_, _)),
     "q_event_cep" -> (qEventCep(_, _)),
@@ -544,6 +583,42 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // three unrolled integer power rounds, same floor divisions
+    "q_event_stationary" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |pr AS (SELECT event_type AS i,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS j
+        |  FROM e),
+        |pairs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij
+        |  FROM pr WHERE j IS NOT NULL GROUP BY i, j),
+        |rt AS (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS n_i
+        |  FROM pairs GROUP BY i),
+        |tr AS (SELECT pairs.i, pairs.j, n_ij, n_i
+        |  FROM pairs JOIN rt ON pairs.i = rt.i),
+        |st AS (SELECT DISTINCT s FROM
+        |  (SELECT i AS s FROM tr UNION ALL SELECT j AS s FROM tr)),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+        |p0 AS (SELECT s, CAST(1000000000 // k.k AS BIGINT) AS pi
+        |  FROM st, k),
+        |p1 AS (SELECT st.s, CAST(COALESCE(SUM((pi * n_ij) // n_i), 0)
+        |    AS BIGINT) AS pi
+        |  FROM st LEFT JOIN (SELECT tr.j, p0.pi, tr.n_ij, tr.n_i
+        |    FROM tr JOIN p0 ON tr.i = p0.s) x ON st.s = x.j
+        |  GROUP BY st.s),
+        |p2 AS (SELECT st.s, CAST(COALESCE(SUM((pi * n_ij) // n_i), 0)
+        |    AS BIGINT) AS pi
+        |  FROM st LEFT JOIN (SELECT tr.j, p1.pi, tr.n_ij, tr.n_i
+        |    FROM tr JOIN p1 ON tr.i = p1.s) x ON st.s = x.j
+        |  GROUP BY st.s),
+        |p3 AS (SELECT st.s, CAST(COALESCE(SUM((pi * n_ij) // n_i), 0)
+        |    AS BIGINT) AS pi
+        |  FROM st LEFT JOIN (SELECT tr.j, p2.pi, tr.n_ij, tr.n_i
+        |    FROM tr JOIN p2 ON tr.i = p2.s) x ON st.s = x.j
+        |  GROUP BY st.s)
+        |SELECT s AS event_type, pi AS pi_scaled
+        |FROM p3 ORDER BY event_type""".stripMargin,
     // identical week/day truncation, exact distinct counts, PPM ratio
     "q_event_stickiness" ->
       """WITH e AS (SELECT date_trunc('week', ts) AS week,

@@ -31,6 +31,25 @@ class AbTestSpec extends SparkTestBase {
     dir
   }
 
+  test("stationary: hand-computed three integer power rounds on a " +
+    "planted 2-state chain") {
+    val dir = java.nio.file.Files.createTempDirectory("mst").toString
+    var id = 0L
+    // one user, sequence a a a a b b a → n(aa)=3, n(ab)=1, n(bb)=1,
+    // n(ba)=1; from uniform 5e8 the three floor-division rounds give
+    // exactly (664062500, 335937500)
+    val seqTypes = Seq("a", "a", "a", "a", "b", "b", "a")
+    seqTypes.zipWithIndex.map { case (et, i) =>
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), 1L, et,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.parquet(s"$dir/events.parquet")
+    val got = EventQueries.qEventStationary(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 664062500L), ("b", 335937500L)))
+  }
+
   test("stickiness: partial-overlap days score 4/6; everyone-daily " +
     "scores exactly 1.0") {
     val dir = java.nio.file.Files.createTempDirectory("st").toString
