@@ -68,6 +68,34 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** MINHASH PRECISION/RECALL EVALUATION — the banded estimator
+    * audited against exact PPJoin ground truth at the same threshold
+    * (0.5), on the q_dedup_threshold_curve sample slice: TP/FP/FN as
+    * exact set-intersection integers, precision/recall as PPM. This
+    * is the table that justifies (or vetoes) replacing the exact pass
+    * with the ~2× banded one at 100 TB — the estimator's misses and
+    * false alarms priced on a representative sample before the corpus
+    * commits to it.
+    */
+  def qDedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, minJaccard = 0.5).select(col("id_a"), col("id_b"))
+    val approx = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val na = approx.agg(count(lit(1)).as("n_approx"))
+    val ntp = approx.intersect(exact).agg(count(lit(1)).as("tp"))
+    ne.crossJoin(broadcast(na)).crossJoin(broadcast(ntp))
+      .select(col("n_exact"), col("n_approx"), col("tp"),
+        (col("n_approx") - col("tp")).as("fp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        expr("tp * 1000000L div nullif(n_approx, 0L)")
+          .as("precision_ppm"),
+        expr("tp * 1000000L div nullif(n_exact, 0L)").as("recall_ppm"))
+  }
+
   /** THRESHOLD CALIBRATION CURVE — the tuning table every near-dedup
     * deployment builds before picking its cutoff: pair counts per
     * exact-Jaccard decile (bucket = ⌊10·inter/union⌋, an INTEGER so
@@ -504,6 +532,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard(_, _)),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve(_, _)),
     "q_dedup_impact" -> (qDedupImpact(_, _)),
+    "q_dedup_minhash_eval" -> (qDedupMinhashEval(_, _)),
     "q_dedup_jaccard_banded" -> (qDedupJaccardBanded(_, _)),
     "q_dedup_minhash" -> (qDedupMinhash(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)),
@@ -564,6 +593,40 @@ object DedupQueries {
     * with band-slice-equality candidates (fine at oracle scale; the
     * engine's banded equi-join is the scale path). `extraPred`
     * restricts the pair set (incremental: id_b ≥ 400). */
+  /** Twin of q_dedup_minhash_eval: the banded-estimate pair rule and
+    * the exact brute-force rule on the same ids<250 slice, joined as
+    * sets for TP/FP/FN. */
+  private def minhashEvalOracle: String = {
+    val h = 32
+    s"""WITH ${minhashSigCtes(h, " WHERE doc_id < 250")},
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${estJaccardSql(h)} AS ej
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE ${bandCondSql(8, 4)}),
+       |ap AS (SELECT id_a, id_b FROM cand WHERE ej >= 0.5),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(text) - 4, 1)),
+       |    i -> substring(text, i, 5))) AS s
+       |  FROM documents WHERE doc_id < 250),
+       |ex AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |    >= 0.5),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n_approx FROM ap),
+       |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp
+       |  FROM ap JOIN ex ON ap.id_a = ex.id_a AND ap.id_b = ex.id_b)
+       |SELECT n_exact, n_approx, tp.tp,
+       |  n_approx - tp.tp AS fp, n_exact - tp.tp AS fn,
+       |  tp.tp * 1000000 // nullif(n_approx, 0) AS precision_ppm,
+       |  tp.tp * 1000000 // nullif(n_exact, 0) AS recall_ppm
+       |FROM ne, na, tp""".stripMargin
+  }
+
   private def minhashOracle(bands: Int, rowsPerBand: Int,
                             threshold: Double, extraPred: String): String = {
     val h = bands * rowsPerBand
@@ -675,6 +738,7 @@ object DedupQueries {
         |  AND levenshtein(x.p_name, y.p_name) <= 1
         |ORDER BY key_a, key_b""".stripMargin,
     "q_dedup_minhash" -> minhashOracle(8, 4, 0.5, ""),
+    "q_dedup_minhash_eval" -> minhashEvalOracle,
     "q_dedup_incremental" ->
       minhashOracle(8, 4, 0.5, " AND b.doc_id >= 400"),
     // Banded candidates (8×4 over the same portable family) + EXACT

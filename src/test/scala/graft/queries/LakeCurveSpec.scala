@@ -24,6 +24,24 @@ class LakeCurveSpec extends SparkTestBase {
     assert(got.filter(_._1 % 2 == 1).forall(_._3.contains("O")))
   }
 
+  test("minhash eval: identical pair is a TP in both rules; " +
+    "accounting identities hold") {
+    val dir = java.nio.file.Files.createTempDirectory("mhe").toString
+    Seq((1L, "identical body of shared text"),
+      (2L, "identical body of shared text"),
+      (3L, "completely different words"),
+      (4L, "another unrelated document"))
+      .map { case (i, t) => (i, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = DedupQueries.qDedupMinhashEval(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._1 == 1L && r._3 == 1L && r._4 == 0L && r._5 == 0L)
+    assert(r._6 == 1000000L && r._7 == 1000000L)
+    assert(r._3 + r._4 == r._2 && r._3 + r._5 == r._1)
+  }
+
   test("dedup impact: removed copies charge their tokens to their " +
     "own source; the keeper's source pays nothing") {
     val dir = java.nio.file.Files.createTempDirectory("di").toString
