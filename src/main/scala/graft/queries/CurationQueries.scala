@@ -387,6 +387,7 @@ object CurationQueries {
     "q_curate_kappa" -> (qCurateKappa(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
     "q_curate_fertility" -> (qCurateFertility(_, _)),
+    "q_curate_mix_kl" -> (qCurateMixKl(_, _)),
     "q_curate_quantile_norm" -> (qCurateQuantileNorm(_, _)),
     "q_curate_wilson" -> (qCurateWilson(_, _)),
     "q_curate_neyman" -> (qCurateNeyman(_, _)),
@@ -764,9 +765,68 @@ object CurationQueries {
         expr("bpeish_tokens * 1000000L div ws_tokens"))
       .orderBy(col("source"))
 
+  /** MIXTURE DIVERGENCE — KL(target ‖ actual) of the source token
+    * mix against the uniform target the remix/quota planners aim at:
+    * the single drift number a recurring curation job alarms on
+    * before re-planning (q_curate_remix fixes what this detects).
+    * Token shares come from exact integer sums; the ln fold is
+    * source-ordered (the q_stat_anova discipline); the worst
+    * (most-underrepresented) source and its exact PPM deficit ride
+    * along so the alarm names its culprit.
+    */
+  def qCurateMixKl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("toks"))
+    val tot = tok.agg(sum(col("toks")).as("total"),
+      count(lit(1)).as("k"))
+    val shared = tok.crossJoin(broadcast(tot))
+    val worst = shared
+      .withColumn("deficit_ppm",
+        expr("1000000L div k - toks * 1000000L div total"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("deficit_ppm"), asc("source"))))
+      .filter(col("rn") === 1)
+      .select(col("source").as("worst_source"), col("deficit_ppm"))
+    shared
+      .groupBy()
+      .agg(first(col("k")).as("k"), first(col("total")).as("total"),
+        expr("aggregate(sort_array(collect_list(struct(source, toks," +
+          " total, k))), cast(0.0 as double), (a, x) ->" +
+          " a + (1.0 / x.k) * ln((cast(x.total as double) / x.k)" +
+          " / x.toks))").as("kl"))
+      .crossJoin(broadcast(worst))
+      .select(col("k"), col("total"), round(col("kl"), 6).as("kl_r6"),
+        col("worst_source"), col("deficit_ppm"))
+  }
+
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // same exact token shares, source-ordered ln fold, PPM deficit
+    "q_curate_mix_kl" ->
+      """WITH tok AS (SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS k FROM tok),
+        |w AS (SELECT source AS worst_source,
+        |    1000000 // k - toks * 1000000 // total AS deficit_ppm,
+        |    row_number() OVER (ORDER BY
+        |      (1000000 // k - toks * 1000000 // total) DESC, source)
+        |      AS rn
+        |  FROM tok, tot),
+        |f AS (SELECT MIN(k) AS k, MIN(total) AS total,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((1.0 / k) * ln((CAST(total AS DOUBLE) / k) / toks)
+        |        ORDER BY source)), (a, b) -> a + b) AS kl
+        |  FROM tok, tot)
+        |SELECT f.k, f.total, round(f.kl, 6) AS kl_r6,
+        |  w.worst_source, CAST(w.deficit_ppm AS BIGINT) AS deficit_ppm
+        |FROM f, w WHERE w.rn = 1""".stripMargin,
     // same GPT-2-family pre-tokenizer regex as q_text_token_count
     "q_curate_fertility" ->
       """WITH d AS (SELECT source,
