@@ -46,7 +46,12 @@ object Bench {
     // materialize once for the run. The first family member's timing pays
     // the build; the rest measure their own work — same accounting as any
     // shared scan cache, and the TOTAL is what the harness grades.
-    val results = graft.ops.CacheScope.sharedScope {
+    // scratch root: memoizedDisk sidecars (dedup signatures/components)
+    // persist through write-once parquet, so a memory/CPU-contended run
+    // re-reads a flat scan instead of replaying the build (r9 #2)
+    val scratchDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-memo").toString
+    val results = graft.ops.CacheScope.sharedScopeWithScratch(scratchDir) {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only(name) }
         .map { case (name, fn) =>
@@ -107,7 +112,43 @@ object Bench {
         s""""gcCount":$gcCountEnd,"gcTimeMs":$gcMsEnd,""" +
         s""""heapUsedMbAtEnd":$heapUsedMb}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"families":$families,"jvm":$jvm,"sf":"$sfDir"}""")
+    // Artifact shape (VERDICT r9 finding #1): the official capture keeps
+    // only a ~2000-char window of stdout, and r9's single 12 KB line put
+    // the total-bearing suffix and most per-query numbers outside it.
+    // Truncation-proofing, in three layers:
+    //   1. a SHORT summary line (total/failed/families/jvm — well under
+    //      any capture window) printed FIRST and repeated LAST, so both
+    //      head- and tail-anchored captures contain it intact;
+    //   2. the full 354-entry per-query map on its OWN line between them,
+    //      keyed "detail" (not "metric") so a metric-line grep can never
+    //      select the long line;
+    //   3. the complete JSON additionally written to bench_detail.json in
+    //      the repo, so every per-query number survives regardless of
+    //      what any capture window does.
+    val slowest = results.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val nOk = results.count(_._3)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,""" +
+        s""""failed":$failed,"families":$families,"slowest":$slowest,""" +
+        s""""jvm":$jvm,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"families":$families,"jvm":$jvm,"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"detail":{"queries":$qs}}""")
+    println(summary)
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+      java.nio.file.Files.write(p,
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full detail written to ${p.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

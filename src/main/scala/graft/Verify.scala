@@ -13,8 +13,11 @@ object Verify {
     val spark = Engine.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     // sharedScope: family-shared intermediates (winnow selected/pairs)
-    // materialize once for the whole sweep; released when it ends
-    graft.ops.CacheScope.sharedScope {
+    // materialize once for the whole sweep; released when it ends. The
+    // scratch root lets heavy memos (dedup signatures/components) persist
+    // through a write-once parquet sidecar instead of live lineage.
+    graft.ops.CacheScope.sharedScopeWithScratch(
+      s"$outDir/_memo_scratch") {
       SparkEntry.queries
         .filter { case (name, _) => only.isEmpty || only(name) }
         .foreach { case (name, fn) =>

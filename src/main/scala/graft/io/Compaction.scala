@@ -21,11 +21,13 @@ import org.apache.spark.sql.expressions.Window
   * bins instead of straggling small files behind them.
   *
   * Scale shape: the planner runs on the MANIFEST (one row per file —
-  * metadata, not data; millions of rows at 100 TB), so the global
-  * size-ordered running sum is a range-partitioned prefix sum (the
-  * q_curate_shard two-level pattern); fixture scale runs it as one
-  * window. The plan itself is the output — the rewrite jobs it
-  * drives are embarrassingly parallel per bin.
+  * metadata, not data; millions of rows at 100 TB), and the global
+  * size-ordered running sum runs as the range-partitioned two-pass
+  * prefix sum ([[graft.ops.Prefix]]): per-range local cumsums plus a
+  * carry-in over per-partition totals, so a million-file manifest
+  * never serializes through one window task. The plan itself is the
+  * output — the rewrite jobs it drives are embarrassingly parallel
+  * per bin.
   */
 object Compaction {
 
@@ -41,11 +43,9 @@ object Compaction {
       target: Long): DataFrame = {
     require(target > 0, s"target must be positive: $target")
     val ord = col(sizeCol).desc +: idCols.map(col)
-    val w = Window.orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val binned = files
-      .withColumn("size_bytes", col(sizeCol).cast("long"))
-      .withColumn("rt", sum(col("size_bytes")).over(w))
+    val binned = graft.ops.Prefix.runningSumInclusive(
+      files.withColumn("size_bytes", col(sizeCol).cast("long")),
+      ord, col("size_bytes"), "rt")
       .withColumn("bin", expr(s"(rt - size_bytes) div $target"))
     val wb = Window.partitionBy(col("bin"))
     binned

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   *  - `min_key`/`max_key` zone map → range predicates prune to the
   *    overlapping buckets only;
-  *  - a 504-bit Bloom bitset (63-bit cells so the shift arithmetic is
+  *  - a 16380-bit Bloom bitset (260 × 63-bit cells so the shift arithmetic is
   *    portable to engines that reject 1<<63; Kirsch-Mitzenmacher double
   *    hashing from one md5, the repo's standard portable hash family) over
   *    a SECONDARY column → point lookups on a non-clustered column prune

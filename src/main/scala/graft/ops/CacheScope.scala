@@ -82,4 +82,52 @@ object CacheScope {
           .asInstanceOf[Dataset[T]]
       case None => cached(build)
     }
+
+  // ---- disk-persisted run-wide memo ----------------------------------
+  //
+  // A persist()-backed memo is still LIVE LINEAGE: under memory pressure
+  // blocks evict and downstream consumers recompute the full build — on
+  // a contended host the dedup family's shingle+md5 signature pass can
+  // replay several times (VERDICT r9 finding #2: 104.5 s booked for a
+  // family an uncontended run does in 8.9 s). `memoizedDisk` instead
+  // writes the built table ONCE to a write-once parquet sidecar under
+  // the harness's scratch root and hands consumers a plain parquet scan
+  // of it: re-reads cost a flat columnar scan, never a recompute, no
+  // matter what the block manager evicts. Falls back to [[memoized]]
+  // when no scratch root is configured (tests, notebooks — semantics
+  // unchanged there).
+
+  private val scratch = new DynamicVariable[Option[String]](None)
+
+  /** [[sharedScope]] plus a scratch directory for [[memoizedDisk]]
+    * sidecars; the directory is deleted recursively on exit. */
+  def sharedScopeWithScratch[T](scratchDir: String)(body: => T): T =
+    scratch.withValue(Some(scratchDir)) {
+      try sharedScope(body)
+      finally deleteRecursively(new java.io.File(scratchDir))
+    }
+
+  /** Build-once-per-run keyed memo persisted THROUGH DISK: with a
+    * scratch root active, the first call writes `build`'s result to a
+    * parquet sidecar and every consumer (including the first) reads the
+    * sidecar back — the memo entry is a flat scan, not live lineage. */
+  def memoizedDisk(key: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    (shared.value, scratch.value) match {
+      case (Some(reg), Some(root)) =>
+        reg.getOrElseUpdate(key, {
+          val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+          val path = s"$root/$safe"
+          val built = build
+          built.write.mode("overwrite").parquet(path)
+          built.sparkSession.read.parquet(path)
+        }).asInstanceOf[org.apache.spark.sql.DataFrame]
+      case _ => memoized(key)(build)
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

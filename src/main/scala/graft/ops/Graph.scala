@@ -75,6 +75,9 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int,
            scale: Long = 1000000000L): DataFrame = {
+    // iters = 0 would leave the auth frame unbuilt (null) and NPE in the
+    // final join — same parameter doctrine as pagerank
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = CacheScope.cached(
       edges.select(col("src"), col("dst")).distinct())
     val hubs = CacheScope.cached(e.select(col("src").as("v")).distinct())

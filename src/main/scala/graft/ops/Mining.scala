@@ -22,20 +22,20 @@ object Mining {
     * max{y' : x' < x} ≥ y (strictly-cheaper dominator) or
     * max{y' : x' = x} > y (same-price dominator). Per-x maxima come from
     * ONE hash aggregate (map-side partial over the full table); the
-    * running max is a window over the |distinct x| aggregated rows only —
-    * the frontier prefix-scan is inherently sequential in x, and the
-    * window input is already reduced from O(n) to O(|distinct x|). At
-    * 100 TB the aggregate does the heavy lifting distributed; if distinct
-    * x itself is huge, the prefix-max generalizes to a range-partitioned
-    * two-pass scan (per-partition max + broadcast prefix), same contract.
+    * running max over the |distinct x| aggregated rows is the
+    * range-partitioned two-pass prefix scan ([[Prefix]]): per-range
+    * local prefix max + a carry-in over the per-partition totals (a
+    * window bounded by PARTITION COUNT, not data), so even a huge
+    * distinct-x domain never serializes through one task. At 100 TB
+    * the aggregate does the heavy lifting distributed and the prefix
+    * stays distributed with it.
     */
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val perX = pts.groupBy(col(xCol).as("__x"))
       .agg(max(col(yCol)).as("__my"))
-    val prefix = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val maxima = perX.withColumn("__M", max(col("__my")).over(prefix))
+    val maxima = Prefix.runningMaxExclusive(
+      perX, Seq(col("__x")), col("__my"), "__M")
     pts.join(maxima, pts(xCol) === maxima("__x"))
       .filter(!(coalesce(col("__M") >= col(yCol), lit(false))
         || col("__my") > col(yCol)))

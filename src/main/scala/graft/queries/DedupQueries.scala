@@ -148,7 +148,7 @@ object DedupQueries {
     * (the first member's timing pays the build).
     */
   private def memoSigs(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.CacheScope.memoized(s"dedup:sigs32:$dir") {
+    graft.ops.CacheScope.memoizedDisk(s"dedup:sigs32:$dir") {
       Dedup.minhashSignatures(Tables.documents(spark, dir),
         "doc_id", "text", k = 5, numHashes = 32)
     }
@@ -202,7 +202,7 @@ object DedupQueries {
     */
   private[queries] def memoComponents250(spark: SparkSession, dir: String)
       : DataFrame =
-    graft.ops.CacheScope.memoized(s"dedup:components250:$dir") {
+    graft.ops.CacheScope.memoizedDisk(s"dedup:components250:$dir") {
       val docs = Tables.documents(spark, dir)
         .filter(col("doc_id") < 250)
       // 2 pointer-doubling rounds reach ≥6 hops — comfortably past the

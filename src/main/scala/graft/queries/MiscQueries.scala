@@ -592,7 +592,7 @@ object MiscQueries {
 
   /** DATA-SKIPPING LOOKUPS over a zone-map + Bloom indexed lake layout
     * ([[graft.io.Skipping]]): orders clustered into `o_orderkey div 2048`
-    * bucket directories with a per-bucket sidecar of (min, max, 504-bit
+    * bucket directories with a per-bucket sidecar of (min, max, 16380-bit
     * Bloom over o_custkey). Three probes run THROUGH the pruned read
     * path — a key-range lookup (zone-map prune), a present point lookup
     * on the non-clustered customer column (Bloom prune), and an ABSENT

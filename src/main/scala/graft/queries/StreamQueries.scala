@@ -11,6 +11,18 @@ import graft.streaming.StreamOps
   * streaming-only → unit tests, no oracle.
   */
 object StreamQueries {
+
+  /** Run-wide memo of the events fixture's first calendar day — the
+    * four streaming replay fixture builders each split the events table
+    * on day offsets from this scalar, and each previously ran its own
+    * full-scan `min(to_date(ts))` aggregate at plan construction
+    * (VERDICT r9 finding #3). Memoizing the 1-row aggregate frame makes
+    * the scan happen once per (dir) per harness sweep; the collect of a
+    * persisted 1-row frame is a cache hit thereafter. */
+  private def eventsMinDay(spark: SparkSession, dir: String): java.sql.Date =
+    graft.ops.CacheScope.memoized(s"events:minday:$dir") {
+      Tables.events(spark, dir).agg(min(to_date(col("ts"))).as("min_day"))
+    }.collect()(0).getDate(0)
   type Q = (SparkSession, String) => DataFrame
 
   /** Tumbling 1-hour windows per event type. */
@@ -535,7 +547,7 @@ object StreamQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"))
-    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val minDay = eventsMinDay(spark, dir)
     val dd = datediff(to_date(col("ts")), lit(minDay))
     ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
     ev.filter(dd >= 15).unionByName(ev.filter(dd === 0))
@@ -583,7 +595,7 @@ object StreamQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
         Exact.e2(col("value")).as("cents"))
-    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val minDay = eventsMinDay(spark, dir)
     val dd = datediff(to_date(col("ts")), lit(minDay))
     ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
     ev.filter(dd >= 15).unionByName(ev.filter(dd === 14))
@@ -635,7 +647,7 @@ object StreamQueries {
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
-    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val minDay = eventsMinDay(spark, dir)
     val dd = datediff(to_date(col("ts")), lit(minDay))
     ev.filter(dd < 15).coalesce(1).write.parquet(s"$tmp/src/a.parquet")
     ev.filter(dd >= 15).coalesce(1).write.parquet(s"$tmp/src/b.parquet")
@@ -688,7 +700,7 @@ object StreamQueries {
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"),
         Exact.e2(col("value")).as("cents"), col("ts"))
-    val minDay = ev.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val minDay = eventsMinDay(spark, dir)
     val isRef = datediff(to_date(col("ts")), lit(minDay)) < 15
     ev.filter(isRef).coalesce(1)
       .write.parquet(s"$tmp/src/a.parquet")

@@ -261,26 +261,61 @@ object StreamOps {
     * the silent-drop behavior itself is pinned by ObservedStreamSpec
     * on the sink contents.)
     *
-    * The metrics table is assembled DRIVER-SIDE from the progress
-    * array — O(batches) rows of telemetry, never data (the documented
-    * exception class: bounded, metadata-only). Batches that read no
-    * rows (AvailableNow finalization ticks) are excluded — they carry
-    * no ingest evidence.
+    * The metrics table is assembled DRIVER-SIDE from per-progress
+    * events delivered to a [[StreamingQueryListener]] registered for
+    * the duration of the run — NOT from `query.recentProgress`, whose
+    * ring buffer retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` entries (default
+    * 100) and would silently drop the earliest batches of a longer
+    * ingest (ADVICE r9). The listener accumulates O(batches) rows of
+    * telemetry, never data (the documented exception class: bounded,
+    * metadata-only); completion is synchronized on the query's own
+    * terminated event so the async listener bus is fully drained
+    * before the table is built. Batches that read no rows
+    * (AvailableNow finalization ticks) are excluded — they carry no
+    * ingest evidence.
     */
   def runWithBatchMetrics(spark: org.apache.spark.sql.SparkSession,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): Dataset[BatchMetrics] = {
     import spark.implicits._
-    val q = writer.start()
-    q.awaitTermination()
-    q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .map { p =>
-        val wm = Option(p.eventTime.get("watermark"))
-          .map(s => java.time.Instant.parse(s).toEpochMilli)
-          .getOrElse(0L)
-        BatchMetrics(p.batchId, p.numInputRows, wm)
-      }.toDS()
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.util.UUID, BatchMetrics)]()
+    val done = new java.util.concurrent.atomic.AtomicReference[
+      java.util.UUID](null)
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val wm = Option(p.eventTime.get("watermark"))
+            .map(s => java.time.Instant.parse(s).toEpochMilli)
+            .getOrElse(0L)
+          seen.add((p.id, BatchMetrics(p.batchId, p.numInputRows, wm)))
+        }
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == done.get()) terminated.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = writer.start()
+      done.set(q.id)
+      q.awaitTermination()
+      // the listener bus is async: wait for THIS query's terminated
+      // event, which the bus posts after all its progress events
+      terminated.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      val qid = q.id
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toSeq
+        .collect { case (id, m) if id == qid => m }
+        .sortBy(_.batch_id).toDS()
+    } finally spark.streams.removeListener(listener)
   }
 
   case class ZIn(event_type: String, ts: java.sql.Timestamp,
@@ -1113,10 +1148,15 @@ object StreamOps {
     * over-approximate the layout — lookups scan an extra bucket and
     * find nothing. The reverse order could leave appended rows the
     * sidecar doesn't know about — pruning would silently MISS them.
-    * On restart the batch replays: data lands once (it never landed),
-    * re-merging the same batch stats is idempotent for min/max/bloom;
-    * `n_rows` is diagnostic only (pruning never reads it) and may
-    * double-count across a crash-replay — documented, not load-bearing.
+    * On restart the batch replays: re-merging the same batch stats is
+    * idempotent for min/max/bloom, and the data append runs through
+    * [[appendExactlyOnce]]'s stage-and-tag-rename protocol — a crash
+    * after the append job but before the checkpoint commit (the
+    * at-least-once window of a naive foreachBatch append) replays by
+    * clearing this batch's tagged files and re-landing them, so the
+    * layout holds each batch's rows exactly once. `n_rows` is
+    * diagnostic only (pruning never reads it) and may double-count
+    * across a crash-replay — documented, not load-bearing.
     * A missing sidecar NEXT TO an existing layout is inconsistent
     * state and ABORTS (dedupIngest's discipline — a crashed swap or an
     * operator delete must not degrade into unsound pruning).
@@ -1130,7 +1170,7 @@ object StreamOps {
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.withColumn("_bucket", expr(s"$keyCol div $step"))
         graft.ops.CacheScope.scoped {
@@ -1163,8 +1203,9 @@ object StreamOps {
             throw new java.io.IOException(
               s"skipIngest: cannot activate $tmp")
           fs.delete(oldGen, true)
-          // sidecar is live and covers the batch → now land the data
-          b.write.mode("append").partitionBy("_bucket").parquet(dataPath)
+          // sidecar is live and covers the batch → now land the data,
+          // exactly once even across a crash-replay
+          appendExactlyOnce(b, dataPath, batchId, Some("_bucket"))
         }
         ()
       }
@@ -1423,9 +1464,12 @@ object StreamOps {
               when(col("psi_r6") < 0.1, "stable")
                 .when(col("psi_r6") < 0.25, "watch")
                 .otherwise("action").as("verdict"))
-          scored.write.mode("append").parquet(logPath)
+          // both appends land exactly once across crash-replays (the
+          // scored rows are deterministic given the batch, so the
+          // staged redo is byte-identical)
+          appendExactlyOnce(scored, logPath, batchId)
           // corpus append is the same transaction's second write
-          batch.write.mode("append").parquet(corpusPath)
+          appendExactlyOnce(batch, corpusPath, batchId)
         }
         ()
       }
@@ -1438,6 +1482,68 @@ object StreamOps {
                          p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** EXACTLY-ONCE per-batch data append for foreachBatch sinks.
+    *
+    * A plain `mode("append")` inside foreachBatch is only
+    * at-least-once: a crash after the append job commits but before
+    * the streaming checkpoint records the batch makes the replay
+    * append the batch's rows a SECOND time (ADVICE r9, medium). This
+    * helper closes that window with a stage-then-tag-rename protocol:
+    *
+    *  1. the batch writes to a batch-id-named staging dir with
+    *     `mode("overwrite")` — re-execution overwrites, never doubles;
+    *  2. any live files carrying this batch's tag (`b<batchId>-…`) are
+    *     deleted — they are a partial prior attempt, and the replayed
+    *     batch is byte-deterministic (checkpointed source offsets), so
+    *     re-landing them is a pure redo;
+    *  3. staged files rename into the live layout under the tag.
+    *
+    * At any post-completion point the live layout holds each batch's
+    * rows exactly once: replays redo steps 1–3 idempotently, and a
+    * crash inside step 3 is cleaned by the next attempt's step 2.
+    * Renames are single metadata ops on HDFS-class filesystems; on an
+    * S3-class store step 3 is a bounded copy of this batch's files
+    * only. `partitionCol` mirrors the writer's `partitionBy` — staged
+    * partition dirs land into the matching live partition dirs.
+    */
+  private[graft] def appendExactlyOnce(b: DataFrame, dataPath: String,
+      batchId: Long, partitionCol: Option[String] = None): Unit = {
+    val conf = b.sparkSession.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = dest.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(
+      dataPath.stripSuffix("/") + s"._staging/batch=$batchId")
+    val w = b.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    val tag = s"b$batchId-"
+    // (stagingLeafDir, liveLeafDir) pairs: either the staging root
+    // itself (unpartitioned) or its <col>=<value> partition subdirs
+    val leaves: Seq[(org.apache.hadoop.fs.Path,
+        org.apache.hadoop.fs.Path)] = {
+      // partition dirs are `<col>=<value>` — match on the `=` rather
+      // than excluding `_`-prefixed names, because the partition column
+      // itself may be `_`-prefixed (skipIngest's `_bucket=N`)
+      val subdirs = fs.listStatus(staging).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.contains("="))
+      if (subdirs.isEmpty) Seq((staging, dest))
+      else subdirs.toSeq.map(d =>
+        (d, new org.apache.hadoop.fs.Path(dest, d.getName)))
+    }
+    for ((_, live) <- leaves if fs.exists(live);
+         f <- fs.listStatus(live) if f.getPath.getName.startsWith(tag))
+      fs.delete(f.getPath, false)
+    for ((staged, live) <- leaves) {
+      fs.mkdirs(live)
+      for (f <- fs.listStatus(staged)
+           if f.getPath.getName.endsWith(".parquet"))
+        if (!fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(live, tag + f.getPath.getName)))
+          throw new java.io.IOException(
+            s"appendExactlyOnce: cannot land ${f.getPath} into $live")
+    }
+    fs.delete(staging.getParent, true)
   }
 
   /** Compact an ingest sidecar (dedupIngest's `._sigs`, winnowIngest's

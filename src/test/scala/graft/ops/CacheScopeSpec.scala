@@ -35,6 +35,40 @@ class CacheScopeSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
 
+  test("memoizedDisk builds once, parks the result in a parquet " +
+    "sidecar, and hands consumers a flat scan of it") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("memo-scratch").toString
+    var builds = 0
+    CacheScope.sharedScopeWithScratch(scratch) {
+      def get() = CacheScope.memoizedDisk("spec:docs") {
+        builds += 1; docs
+      }
+      val a = get(); val b = get()
+      assert(builds == 1, "second call must hit the memo")
+      assert(a.collect().toSet == docs.collect().toSet)
+      assert(b.collect().toSet == docs.collect().toSet)
+      // the consumer plan is a scan of the sidecar, not live lineage:
+      // evicting every cached block cannot force a recompute
+      val rel = a.queryExecution.optimizedPlan.collectLeaves()
+      assert(rel.exists(_.toString.contains("parquet")),
+        s"expected a parquet sidecar scan, got: ${rel.mkString(";")}")
+      assert(new java.io.File(scratch).listFiles().nonEmpty)
+    }
+    assert(!new java.io.File(scratch).exists(),
+      "scratch root must be deleted when the scope exits")
+  }
+
+  test("memoizedDisk without a scratch root degrades to the in-memory " +
+    "memo semantics") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = CacheScope.memoizedDisk("spec:fallback")(docs)
+    assert(df.collect().length == 3)
+    // fell back to cached(): a persisted plan, no sidecar anywhere
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    df.unpersist(blocking = true)
+  }
+
   test("without a scope, cached() degrades to a session-lifetime persist") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val ds = CacheScope.cached(spark.range(10).toDF())
