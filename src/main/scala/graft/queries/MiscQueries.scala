@@ -659,6 +659,72 @@ object MiscQueries {
     }
   }
 
+  /** Z-ORDER BOX LOOKUPS over a Morton-clustered lake layout
+    * ([[graft.io.ZOrder]]): orders clustered on the interleaved bits of
+    * (price cents, order-day index) into 16 rectangle buckets, each with
+    * a TWO-dimension zone-map sidecar. Three probes run THROUGH the
+    * pruned read path — a genuine 2-D box (price band × calendar year),
+    * a thin price slice over all days, and a thin day slice over all
+    * prices: the last two are exactly the probes a single-key clustered
+    * layout can only half-serve, and BOTH prune here because every
+    * bucket is a rectangle. Each row carries the pruning decision
+    * (buckets_scanned vs buckets_total) next to the exact answer; the
+    * DuckDB twin replays the quantization, the closed-form interleaved
+    * bucket id, the per-bucket stats, and the survivor arithmetic — the
+    * oracle certifies the pruning is sound AND the Morton layout math is
+    * engine-portable.
+    *
+    * Scale: sidecar is one row per rectangle (driver-side metadata
+    * read); a selective box on a 100 TB table reads the overlapping
+    * rectangles' directories only. Layout is a once-per-(session, dir)
+    * fixture (the SkipFixture discipline).
+    */
+  def qLakeZbox(spark: SparkSession, dir: String): DataFrame = {
+    ZFixture.ensure(spark, dir)
+    val table = ZFixture.path(dir)
+    def probe(name: String, t: Long, s: Long, rows: DataFrame) =
+      rows.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_cents")), lit(0L)).as("sum_cents"))
+        .select(lit(name).as("probe"), lit(t).as("buckets_total"),
+          lit(s).as("buckets_scanned"), col("n_rows"), col("sum_cents"))
+    val (t1, s1, r1) = graft.io.ZIndex.boxLookup(spark, table,
+      "o_cents", "o_day", 10000000L, 19999999L, 365L, 729L)
+    val (t2, s2, r2) = graft.io.ZIndex.boxLookup(spark, table,
+      "o_cents", "o_day", 45000000L, 49999999L, 0L, 100000L)
+    val (t3, s3, r3) = graft.io.ZIndex.boxLookup(spark, table,
+      "o_cents", "o_day", 0L, 1000000000L, 1200L, 1229L)
+    probe("box_price_day", t1, s1, r1)
+      .unionByName(probe("slice_day_thin", t3, s3, r3))
+      .unionByName(probe("slice_price_thin", t2, s2, r2))
+      .orderBy(col("probe"))
+  }
+
+  /** Once-per-(session, dir) Z-order layout over orders (key, exact
+    * price cents, day index), SkipFixture's discipline. */
+  private[queries] object ZFixture {
+    import scala.collection.mutable
+    private val built = mutable.Map.empty[String, Set[String]] // app → dirs
+    private lazy val root =
+      java.nio.file.Files.createTempDirectory("zorderidx").toString
+
+    def path(dir: String): String =
+      s"$root/orders_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+    def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+      val app = spark.sparkContext.applicationId
+      if (!built.getOrElse(app, Set.empty).contains(dir)) {
+        graft.io.ZIndex.writeZOrdered(
+          Tables.orders(spark, dir)
+            .select(col("o_orderkey"),
+              Exact.e2(col("o_totalprice")).as("o_cents"),
+              datediff(to_date(col("o_orderdate")),
+                lit("1995-01-01").cast("date")).cast("long").as("o_day")),
+          path(dir), "o_cents", "o_day", 50000000L, 2500L)
+        built(app) = built.getOrElse(app, Set.empty) + dir
+      }
+    }
+  }
+
   /** Inclusion-dependency (FK-discovery) profile over the star schema:
     * three true FK edges plus one deliberately-partial pair
     * (part.p_size ⊆? nation keys) whose containment is fractional.
@@ -728,6 +794,7 @@ object MiscQueries {
     "q_lake_time_travel" -> (qLakeTimeTravel(_, _)),
     "q_lake_snapshot_diff" -> (qLakeSnapshotDiff(_, _)),
     "q_lake_skipping" -> (qLakeSkipping(_, _)),
+    "q_lake_zbox" -> (qLakeZbox(_, _)),
     "q_cdc_mv_refresh" -> (qCdcMvRefresh(_, _)),
     "q_lake_listing_pinned" -> (qLakeListingPinned(_, _))
   )
@@ -755,6 +822,49 @@ object MiscQueries {
         |    AS bin_bytes
         |FROM rt
         |ORDER BY bin, size_bytes DESC, event_type, day""".stripMargin,
+    // replay quantization → closed-form interleaved bucket → per-bucket
+    // 2-D zone maps → survivor count per probe; answers from the exact
+    // predicate (pruning soundness: pruned scan == full filter)
+    "q_lake_zbox" ->
+      """WITH base AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      AS d
+        |  FROM orders),
+        |q AS (
+        |  SELECT c, d,
+        |    least(c * 4096 // 50000000, 4095) AS xq,
+        |    least(d * 4096 // 2500, 4095) AS yq
+        |  FROM base),
+        |b AS (
+        |  SELECT c, d,
+        |    8 * ((yq >> 11) & 1) + 4 * ((xq >> 11) & 1)
+        |      + 2 * ((yq >> 10) & 1) + ((xq >> 10) & 1) AS bk
+        |  FROM q),
+        |st AS (
+        |  SELECT bk, min(c) AS x_min, max(c) AS x_max,
+        |    min(d) AS y_min, max(d) AS y_max
+        |  FROM b GROUP BY bk),
+        |probes(probe, xlo, xhi, ylo, yhi) AS (VALUES
+        |  ('box_price_day', 10000000, 19999999, 365, 729),
+        |  ('slice_price_thin', 45000000, 49999999, 0, 100000),
+        |  ('slice_day_thin', 0, 1000000000, 1200, 1229)),
+        |pruned AS (
+        |  SELECT p.probe,
+        |    (SELECT count(*) FROM st) AS buckets_total,
+        |    (SELECT count(*) FROM st
+        |     WHERE st.x_max >= p.xlo AND st.x_min <= p.xhi
+        |       AND st.y_max >= p.ylo AND st.y_min <= p.yhi)
+        |      AS buckets_scanned,
+        |    (SELECT count(*) FROM b
+        |     WHERE b.c >= p.xlo AND b.c <= p.xhi
+        |       AND b.d >= p.ylo AND b.d <= p.yhi) AS n_rows,
+        |    (SELECT COALESCE(CAST(sum(b.c) AS BIGINT), 0) FROM b
+        |     WHERE b.c >= p.xlo AND b.c <= p.xhi
+        |       AND b.d >= p.ylo AND b.d <= p.yhi) AS sum_cents
+        |  FROM probes p)
+        |SELECT probe, buckets_total, buckets_scanned, n_rows, sum_cents
+        |FROM pruned ORDER BY probe""".stripMargin,
     // footer metadata must agree with the actual scan
     "q_lake_footer_count" ->
       """SELECT CAST(1 AS BIGINT) AS n_files,

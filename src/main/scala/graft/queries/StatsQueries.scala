@@ -1078,7 +1078,156 @@ object StatsQueries {
           .as("reject"))
   }
 
+  /** McNEMAR's test (McNemar 1947) for PAIRED binary outcomes — did the
+    * same population's behavior change between two periods? Pairs are
+    * customers; outcome A = placed an order in 1995, B = in 1996. Only
+    * the DISCORDANT cells matter: b = active-then-quiet, c =
+    * quiet-then-active; χ² = (b−c)²/(b+c) (df=1), plus the Edwards
+    * continuity-corrected (|b−c|−1)²/(b+c). The reject verdict is a
+    * cross-multiplied BIGINT comparison against χ²₀.₀₅,₁ = 3.841459 —
+    * no float in the decision bit.
+    *
+    * Scale shape: one scan of orders → per-customer flag pair (hash
+    * agg), one left join from the customer universe (quiet customers
+    * are (0,0) concordant — counted in n_pairs, irrelevant to the
+    * verdict), one global aggregate. The shuffle carries flag pairs.
+    */
+  def qStatMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("a"),
+        max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("b"))
+    val paired = Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(flags, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("a"), lit(0)).as("a"),
+        coalesce(col("b"), lit(0)).as("b"))
+    paired.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        .as("b_disc"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+        .as("c_disc"))
+      .select(col("n_pairs"), col("n_both"), col("b_disc"), col("c_disc"),
+        round((col("b_disc") - col("c_disc")).cast("double")
+          * (col("b_disc") - col("c_disc"))
+          / (col("b_disc") + col("c_disc")), 6).as("chi2_r6"),
+        round((abs(col("b_disc") - col("c_disc")) - 1).cast("double")
+          * (abs(col("b_disc") - col("c_disc")) - 1)
+          / (col("b_disc") + col("c_disc")), 6).as("chi2_cc_r6"),
+        (lit(1000000L) * (abs(col("b_disc") - col("c_disc")) - 1)
+          * (abs(col("b_disc") - col("c_disc")) - 1)
+          > lit(3841459L) * (col("b_disc") + col("c_disc")))
+          .as("reject"))
+  }
+
+  /** Lagged CROSS-CORRELATION between two daily event series (does one
+    * series lead the other?): x = daily click count, y = daily purchase
+    * count, Pearson r at every lag in −7..+7 computed over the days
+    * where both x_d and y_{d+lag} exist. Day alignment is an INTEGER
+    * equi-join on (day-index + lag) — no window, no self-cross — and
+    * each lag's five moment sums are exact BIGINTs, with the float
+    * formula applied once on the already-exact sums (the [[Exact]]
+    * doctrine; engine-native corr() would stream doubles in engine
+    * order).
+    *
+    * Scale shape: the corpus-sized shuffle is the daily-count
+    * aggregate; the lag battery runs over |days|×|lags| tiny rows.
+    */
+  def qTimeXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("di",
+        datediff(col("day"), lit("2024-01-01").cast("date")))
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("di"), col("n").as("x"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("di").as("ydi"), col("n").as("y"))
+    val lagged = x
+      .withColumn("lag", explode(expr("sequence(-7L, 7L)")))
+      .withColumn("ydi", col("di") + col("lag"))
+      .join(y, "ydi")
+    val s = lagged.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    s.select(col("lag"), col("n"),
+      round((nd * col("sxy") - col("sx").cast("double") * col("sy"))
+        / (sqrt(nd * col("sxx") - col("sx").cast("double") * col("sx"))
+          * sqrt(nd * col("syy") - col("sy").cast("double") * col("sy"))),
+        6).as("r_r6"))
+      .orderBy(col("lag"))
+  }
+
+  /** TWO-REGRESSOR OLS by exact normal equations (multiple regression,
+    * the step past q_agg_corr's simple slope): daily order revenue in
+    * cents regressed on x1 = day index and x2 = weekend flag. The 3×3
+    * system X'Xβ = X'y is solved in closed form by CRAMER's rule over
+    * ten moment sums, each aggregated exactly (BIGINT, DECIMAL(38) for
+    * the squared-cents moment) and cast to double ONCE — both engines
+    * then evaluate the IDENTICAL determinant expression tree, so every
+    * coefficient is bit-identical. Weekend is pure integer calendar
+    * arithmetic (days since Monday 1995-01-02, mod 7 ∈ {5,6}) — no
+    * locale-dependent day-of-week function in either engine.
+    *
+    * Scale shape: scan → per-day hash agg → one global 10-sum
+    * aggregate; only moment scalars cross the final shuffle.
+    */
+  def qStatOls2(spark: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("o_orderdate"))
+    val daily = Tables.orders(spark, dir)
+      .groupBy(day.as("day"))
+      .agg(sum(e2(col("o_totalprice"))).as("y"))
+      .select(
+        datediff(col("day"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x1"),
+        ((datediff(col("day"), lit("1995-01-02").cast("date")) % 7 + 7) % 7
+          >= 5).cast("long").as("x2"),
+        col("y"))
+    val s = daily.agg(
+      count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+      sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+    val (n, s1, s2, sy) = (col("n").cast("double"),
+      col("s1").cast("double"), col("s2").cast("double"),
+      col("sy").cast("double"))
+    val (s11, s12, s22) = (col("s11").cast("double"),
+      col("s12").cast("double"), col("s22").cast("double"))
+    val (s1y, s2y, syy) = (col("s1y").cast("double"),
+      col("s2y").cast("double"), col("syy").cast("double"))
+    val det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2))
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2)) / det
+    val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    val sst = syy - sy * sy / n
+    s.select(col("n").as("n_days"),
+      round(b0, 6).as("beta0_r6"), round(b1, 6).as("beta1_r6"),
+      round(b2, 6).as("beta2_r6"),
+      round(lit(1.0) - sse / sst, 6).as("r2_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_mcnemar" -> (qStatMcnemar(_, _)),
+    "q_time_xcorr" -> (qTimeXcorr(_, _)),
+    "q_stat_ols2" -> (qStatOls2(_, _)),
     "q_stat_kruskal" -> (qStatKruskal(_, _)),
     "q_stat_kendall" -> (qStatKendall(_, _)),
     "q_stat_spearman" -> (qStatSpearman(_, _)),
@@ -1123,6 +1272,102 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_mcnemar" ->
+      """WITH f AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS b
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey),
+        |p AS (
+        |  SELECT COALESCE(f.a, 0) AS a, COALESCE(f.b, 0) AS b
+        |  FROM customer c LEFT JOIN f ON c.c_custkey = f.o_custkey),
+        |s AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_both,
+        |    SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS b_disc,
+        |    SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS c_disc
+        |  FROM p)
+        |SELECT n_pairs, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(b_disc AS BIGINT) AS b_disc, CAST(c_disc AS BIGINT) AS c_disc,
+        |  round(CAST(b_disc - c_disc AS DOUBLE) * (b_disc - c_disc)
+        |    / (b_disc + c_disc), 6) AS chi2_r6,
+        |  round(CAST(abs(b_disc - c_disc) - 1 AS DOUBLE)
+        |    * (abs(b_disc - c_disc) - 1)
+        |    / (b_disc + c_disc), 6) AS chi2_cc_r6,
+        |  1000000 * (abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1)
+        |    > 3841459 * (b_disc + c_disc) AS reject
+        |FROM s""".stripMargin,
+    "q_time_xcorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+        |  FROM events GROUP BY 1, 2, 4),
+        |x AS (SELECT di, n AS x FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT di AS ydi, n AS y FROM daily
+        |      WHERE event_type = 'purchase'),
+        |lagged AS (
+        |  SELECT l.lag, x.x, y.y
+        |  FROM x, (SELECT unnest(generate_series(-7, 7)) AS lag) l, y
+        |  WHERE y.ydi = x.di + l.lag),
+        |s AS (
+        |  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM lagged GROUP BY lag)
+        |SELECT lag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        |    6) AS r_r6
+        |FROM s ORDER BY lag""".stripMargin,
+    "q_stat_ols2" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+        |      AS x1,
+        |    CAST(((date_diff('day', DATE '1995-01-02', day) % 7 + 7) % 7)
+        |      >= 5 AS BIGINT) AS x2,
+        |    y
+        |  FROM daily),
+        |s AS (
+        |  SELECT COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+        |    SUM(y) AS sy, SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+        |    SUM(x2 * x2) AS s22, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM d),
+        |dd AS (
+        |  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(s2 AS DOUBLE) AS s2, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+        |    CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+        |    CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+        |    CAST(n AS BIGINT) AS n_days
+        |  FROM s),
+        |b AS (
+        |  SELECT n_days, sy, s1y, s2y, syy, n,
+        |    (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |        + s2 * (s1 * s12 - s11 * s2)) AS b0,
+        |    (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |        + s2 * (s1 * s12 - s11 * s2)) AS b1,
+        |    (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2))
+        |      / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |        + s2 * (s1 * s12 - s11 * s2)) AS b2
+        |  FROM dd)
+        |SELECT n_days, round(b0, 6) AS beta0_r6, round(b1, 6) AS beta1_r6,
+        |  round(b2, 6) AS beta2_r6,
+        |  round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+        |    / (syy - sy * sy / n), 6) AS r2_r6
+        |FROM b""".stripMargin,
     // identical doubled-rank integers; HUGEINT cross-multiplied verdict
     // with the same common denominator P = Πn_g; group-ordered double
     // fold for the r6 views
