@@ -342,6 +342,40 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
+  /** All-pairs LONGEST path lengths on a DAG by max-plus path
+    * doubling: R₁ = edges (length 1); each round composes
+    * R ∪ {(u,v, len(u,w)+len(w,v))} and keeps the per-pair max, so
+    * after r rounds every path of length ≤ 2^r is covered — ceil(log₂
+    * diameter) rounds suffice, NOT diameter rounds (the reason this
+    * beats per-round relaxation on long chains: 7 rounds cover depth
+    * 128). Caller guarantees acyclicity (a cycle would diverge — as in
+    * any longest-path formulation; the query-layer DAGs here are
+    * ordered-calendar graphs, acyclic by construction).
+    *
+    * Shape per round: one self-equi-join on the midpoint + a max
+    * aggregate; lazy localCheckpoint truncates the doubling lineage
+    * (the [[kTruss]] doctrine). State is the reachability pair set —
+    * for calendar/taxonomy DAGs a bounded table regardless of corpus
+    * size.
+    */
+  def longestPaths(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"longestPaths needs rounds >= 1, got $rounds")
+    var r = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
+      .withColumn("len", lit(1L))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val comp = r.select(col("u"), col("v").as("w"), col("len").as("la"))
+        .join(r.select(col("u").as("w"), col("v"), col("len").as("lb")),
+          "w")
+        .select(col("u"), col("v"), (col("la") + col("lb")).as("len"))
+      r = r.unionByName(comp)
+        .groupBy(col("u"), col("v")).agg(max(col("len")).as("len"))
+        .localCheckpoint(false)
+    }
+    r
+  }
+
   /** Bounded-hop HARMONIC centrality (Boldi & Vigna 2014, "Axioms for
     * Centrality": the well-behaved closeness variant) over an
     * undirected graph: score(v) = Σ_{u≠v, d(u,v) ≤ H} scale div

@@ -456,7 +456,45 @@ object GraphQueries {
       .orderBy($"nation")
   }
 
+  /** CRITICAL-PATH profile of the customer order-cadence DAG: nodes
+    * are order MONTHS (index (year−1995)·12 + month−1), an edge m→m′
+    * when some customer's consecutive distinct order months are
+    * (m, m′) — strictly increasing, so the graph is acyclic BY
+    * CONSTRUCTION. For every month the length of the longest chain
+    * ENDING there ([[Graph.longestPaths]] max-plus doubling, 7 rounds
+    * ≥ depth 128 ≥ the 80-month calendar), i.e. the deepest
+    * "customer kept coming back" cadence chain the month terminates.
+    *
+    * Scale shape: the corpus-sized work is the per-customer distinct
+    * month extraction + lead() window (one shuffle on custkey); the
+    * DAG itself is CALENDAR-bounded (≤ 80 nodes, ≤ 6.4k pairs) no
+    * matter the table size, so the doubling rounds are metadata-cheap.
+    * The twin replays reachability with a recursive CTE (UNION dedups
+    * the (u,v,len) working set — bounded by nodes²·depth).
+    */
+  def qGraphCritpath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mi = (year(col("o_orderdate")) - 1995) * 12 +
+      (month(col("o_orderdate")) - 1)
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"), mi.cast("long").as("mi"))
+      .distinct()
+    val nxt = lead(col("mi"), 1).over(
+      Window.partitionBy(col("cust")).orderBy(col("mi")))
+    val edges = months.withColumn("nmi", nxt)
+      .filter(col("nmi").isNotNull)
+      .select(col("mi").as("src"), col("nmi").as("dst"))
+    val longest = Graph.longestPaths(edges, rounds = 7)
+      .groupBy(col("v")).agg(max(col("len")).as("longest_in"))
+    months.select(col("mi")).distinct()
+      .join(longest, col("mi") === col("v"), "left")
+      .select(col("mi"),
+        coalesce(col("longest_in"), lit(0L)).as("longest_in"))
+      .orderBy(col("mi"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_critpath" -> (qGraphCritpath(_, _)),
     "q_graph_conductance" -> (qGraphConductance(_, _)),
     "q_graph_powerlaw" -> (qGraphPowerlaw(_, _)),
     "q_graph_hits" -> (qGraphHits(_, _)),
@@ -588,6 +626,30 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // reachable-chain enumeration with UNION-deduped (u,v,len) working
+    // set; longest_in(v) = max len over chains ending at v
+    "q_graph_critpath" ->
+      """WITH RECURSIVE months AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |    CAST((year(o_orderdate) - 1995) * 12
+        |      + (month(o_orderdate) - 1) AS BIGINT) AS mi
+        |  FROM orders),
+        |e AS (
+        |  SELECT DISTINCT mi AS src, nmi AS dst FROM (
+        |    SELECT mi, lead(mi) OVER (
+        |      PARTITION BY cust ORDER BY mi) AS nmi
+        |    FROM months)
+        |  WHERE nmi IS NOT NULL),
+        |r(u, v, len) AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+        |  UNION
+        |  SELECT r.u, e.dst, r.len + 1
+        |  FROM r JOIN e ON e.src = r.v)
+        |SELECT m.mi, COALESCE(l.longest_in, 0) AS longest_in
+        |FROM (SELECT DISTINCT mi FROM months) m
+        |LEFT JOIN (SELECT v, MAX(len) AS longest_in FROM r GROUP BY v) l
+        |  ON l.v = m.mi
+        |ORDER BY m.mi""".stripMargin,
     // identical cut double-counting per incident community, PPM exact
     "q_graph_conductance" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s

@@ -1224,7 +1224,117 @@ object StatsQueries {
       round(lit(1.0) - sse / sst, 6).as("r2_r6"))
   }
 
+  /** DYNAMIC TIME WARPING distance (Sakoe & Chiba 1978) between every
+    * pair of daily event-type series — the alignment-tolerant series
+    * similarity xcorr's fixed-lag shift cannot express (DTW lets the
+    * alignment stretch locally). Classic O(n·m) DP run ENTIRELY in
+    * integer arithmetic (|Δcount| costs, min over the three moves), so
+    * the distance is exact in both engines: the Spark side folds the
+    * DP row-by-row with a nested `aggregate` HOF (outer over x, inner
+    * building each row left-to-right), the twin replays the SAME cell
+    * order as a flattened recursive CTE over (i, j) carrying the
+    * previous/current rows as LISTs. Boundary cells are a 10^12
+    * sentinel (far above any real path sum, exact in BIGINT).
+    *
+    * Scale shape: the corpus-sized work is the daily-count aggregate;
+    * the DP runs per TYPE-PAIR over |days|² cells — series length is a
+    * calendar property, not a data-volume property, so the fold's cost
+    * is fixed no matter the table size; pairs parallelize across the
+    * cluster.
+    */
+  def qTimeDtw(spark: SparkSession, dir: String): DataFrame = {
+    val inf = "1000000000000"
+    // one DP row: cur[1] is the j=0 boundary; cell j appends
+    // |x - y_j| + min(above, diag, left)
+    val rowFold =
+      s"""(prev, x) -> aggregate(
+         |  sequence(1, size(ys)), array(cast($inf as bigint)),
+         |  (cur, j) -> concat(cur, array(
+         |    abs(x - element_at(ys, j)) + least(
+         |      element_at(prev, j + 1), element_at(prev, j),
+         |      element_at(cur, j)))),
+         |  c -> c)""".stripMargin
+    val dp =
+      s"""aggregate(
+         |  xs,
+         |  concat(array(cast(0 as bigint)),
+         |    transform(sequence(1, size(ys)),
+         |      j -> cast($inf as bigint))),
+         |  $rowFold,
+         |  prev -> element_at(prev, size(ys) + 1))""".stripMargin
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, n)))," +
+        " e -> e.n)").as("s"))
+    val a = series.select(col("event_type").as("type_a"),
+      col("s").as("xs"))
+    val b = series.select(col("event_type").as("type_b"),
+      col("s").as("ys"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        size(col("xs")).cast("long").as("n_a"),
+        size(col("ys")).cast("long").as("n_b"),
+        expr(dp).as("dtw"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** FISHER's EXACT test (Fisher 1935) on a 2×2 contingency table —
+    * the small-sample independence test where χ² approximations break:
+    * a fixed 50-supplier panel (s_suppkey ≤ 50, a bounded cohort at
+    * any scale factor), rows = low/high nation key, cols = account
+    * balance sign. The one-sided p-value is the EXACT hypergeometric
+    * upper tail Σ_{k≥a} C(r1,k)·C(r2,c1−k) / C(n,c1), computed with no
+    * floating point anywhere in the tail: each binomial is the
+    * integer-exact multiplicative fold Π(m−j+i) div i (every prefix is
+    * itself a binomial, so the division is exact at every step), the
+    * tail sum accumulates in DECIMAL(38,0) (HUGEINT in the twin), and
+    * the reject verdict is the cross-multiplied integer comparison
+    * 20·num < den. Only the REPORTED p is a double — one division of
+    * two exact integers.
+    *
+    * Scale shape: one scan filtered to the panel → a single 4-cell
+    * aggregate; the combinatorial fold runs on one row of scalars
+    * (n = 50 keeps every binomial < 2^63 and the tail sum < 10^38).
+    */
+  def qStatFisher(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") <= 50)
+      .agg(
+        sum(when(col("s_nationkey") < 12 && col("s_acctbal") >= 0, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("s_nationkey") < 12 && col("s_acctbal") < 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("s_nationkey") >= 12 && col("s_acctbal") >= 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("s_nationkey") >= 12 && col("s_acctbal") < 0, 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("d"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("n", col("r1") + col("r2"))
+    def binom(m: String, j: String) =
+      s"aggregate(sequence(cast(1 as bigint), $j)," +
+        s" cast(1 as bigint), (p, i) -> p * ($m - $j + i) div i)"
+    val num = "aggregate(sequence(a, least(r1, c1))," +
+      " cast(0 as decimal(38,0)), (acc, k) -> acc" +
+      s" + cast(${binom("r1", "k")} as decimal(38,0))" +
+      s" * ${binom("r2", "(c1 - k)")})"
+    val den = binom("n", "c1")
+    cells
+      .withColumn("num", expr(num))
+      .withColumn("den", expr(den))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("p_r6"),
+        (col("num") * 20 < col("den").cast("decimal(38,0)"))
+          .as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_fisher" -> (qStatFisher(_, _)),
+    "q_time_dtw" -> (qTimeDtw(_, _)),
     "q_stat_mcnemar" -> (qStatMcnemar(_, _)),
     "q_time_xcorr" -> (qTimeXcorr(_, _)),
     "q_stat_ols2" -> (qStatOls2(_, _)),
@@ -1272,6 +1382,82 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // exact multiplicative binomial folds; HUGEINT tail sum; integer
+    // cross-multiplied verdict — same zero-float tail as the engine
+    "q_stat_fisher" -> {
+      def binom(m: String, j: String) =
+        s"list_reduce(list_concat([CAST(1 AS BIGINT)]," +
+          s" generate_series(CAST(1 AS BIGINT), $j))," +
+          s" (p, i) -> p * ($m - $j + i) // i)"
+      // the HUGEINT accumulator seed promotes the concat list (and so
+      // the lambda's k) to HUGEINT — normalize k back to BIGINT at its
+      // uses so the binomial folds stay in 64-bit integers
+      val num = "list_reduce(list_concat([CAST(0 AS HUGEINT)]," +
+        " generate_series(a, least(r1, c1))), (acc, k) -> acc" +
+        s" + CAST(${binom("r1", "CAST(k AS BIGINT)")} AS HUGEINT)" +
+        s" * ${binom("r2", "(c1 - CAST(k AS BIGINT))")})"
+      val den = binom("n", "c1")
+      s"""WITH cells AS (
+         |  SELECT
+         |    SUM(CASE WHEN s_nationkey < 12 AND s_acctbal >= 0
+         |      THEN 1 ELSE 0 END) AS a,
+         |    SUM(CASE WHEN s_nationkey < 12 AND s_acctbal < 0
+         |      THEN 1 ELSE 0 END) AS b,
+         |    SUM(CASE WHEN s_nationkey >= 12 AND s_acctbal >= 0
+         |      THEN 1 ELSE 0 END) AS c,
+         |    SUM(CASE WHEN s_nationkey >= 12 AND s_acctbal < 0
+         |      THEN 1 ELSE 0 END) AS d
+         |  FROM supplier WHERE s_suppkey <= 50),
+         |m AS (
+         |  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |    CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         |    CAST(a + b AS BIGINT) AS r1, CAST(c + d AS BIGINT) AS r2,
+         |    CAST(a + c AS BIGINT) AS c1,
+         |    CAST(a + b + c + d AS BIGINT) AS n
+         |  FROM cells),
+         |t AS (SELECT a, b, c, d, $num AS num, $den AS den FROM m)
+         |SELECT a, b, c, d,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_r6,
+         |  num * 20 < CAST(den AS HUGEINT) AS reject
+         |FROM t""".stripMargin
+    },
+    // flattened (i, j) recursion over the DP grid; prev/cur rows as
+    // LISTs; cell order identical to the engine's nested fold
+    "q_time_dtw" -> {
+      val v = "abs(xs[(t // len(ys)) + 1] - ys[(t % len(ys)) + 1])" +
+        " + least(prev[(t % len(ys)) + 2], prev[(t % len(ys)) + 1]," +
+        " cur[(t % len(ys)) + 1])"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |series AS (
+         |  SELECT event_type, list(n ORDER BY day) AS s
+         |  FROM daily GROUP BY event_type),
+         |pairs AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |    a.s AS xs, b.s AS ys
+         |  FROM series a JOIN series b ON a.event_type < b.event_type),
+         |r(ta, tb, xs, ys, t, prev, cur) AS (
+         |  SELECT ta, tb, xs, ys, 0,
+         |    list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(generate_series(1, len(ys)),
+         |        j -> CAST(1000000000000 AS BIGINT))),
+         |    [CAST(1000000000000 AS BIGINT)]
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT ta, tb, xs, ys, t + 1,
+         |    CASE WHEN (t % len(ys)) + 1 = len(ys)
+         |      THEN list_append(cur, $v) ELSE prev END,
+         |    CASE WHEN (t % len(ys)) + 1 = len(ys)
+         |      THEN [CAST(1000000000000 AS BIGINT)]
+         |      ELSE list_append(cur, $v) END
+         |  FROM r WHERE t < len(xs) * len(ys))
+         |SELECT ta AS type_a, tb AS type_b,
+         |  CAST(len(xs) AS BIGINT) AS n_a, CAST(len(ys) AS BIGINT) AS n_b,
+         |  prev[len(ys) + 1] AS dtw
+         |FROM r WHERE t = len(xs) * len(ys)
+         |ORDER BY type_a, type_b""".stripMargin
+    },
     "q_stat_mcnemar" ->
       """WITH f AS (
         |  SELECT o_custkey,

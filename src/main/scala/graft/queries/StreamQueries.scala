@@ -438,6 +438,75 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** HOLT-WINTERS additive triple exponential smoothing (Winters 1960)
+    * of per-day event-type volumes — level + trend + WEEKLY seasonality
+    * (m = 7), the forecasting step past q_time_holt's level+trend:
+    * l_t = ½(x_t − s_{t−7}) + ½(l_{t−1} + b_{t−1}),
+    * b_t = ½(l_t − l_{t−1}) + ½b_{t−1},
+    * s_t = ½(x_t − l_t) + ½s_{t−7}, with the standard two-season init
+    * (l₇ = mean of week 1, b₇ = (mean week 2 − mean week 1)/7,
+    * s_i = x_i − l₇ for the first week) and the one-step-ahead forecast
+    * ŷ_t = l_{t−1} + b_{t−1} + s_{t−7} emitted BEFORE the update (the
+    * honest out-of-sample fit).
+    *
+    * Determinism: α = β = γ = ½ over exact integer daily counts; the
+    * engine's ordered `aggregate` fold (seasonal state as a 7-slot
+    * rotating array) and the twin's recursive CTE (seasonal state as a
+    * LIST carried through the recursion) evaluate the IDENTICAL double
+    * expression tree in the identical order — the q_time_holt doctrine
+    * extended with list state. Scale shape: the corpus-sized shuffle is
+    * the daily-count aggregate; the fold runs per type over |days|
+    * cells.
+    */
+  def qTimeHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val l0 = "(cast(element_at(arr, 1).n as double)" +
+      " + element_at(arr, 2).n + element_at(arr, 3).n" +
+      " + element_at(arr, 4).n + element_at(arr, 5).n" +
+      " + element_at(arr, 6).n + element_at(arr, 7).n) / 7.0d"
+    val b0 = "((cast(element_at(arr, 8).n as double)" +
+      " + element_at(arr, 9).n + element_at(arr, 10).n" +
+      " + element_at(arr, 11).n + element_at(arr, 12).n" +
+      " + element_at(arr, 13).n + element_at(arr, 14).n) / 7.0d" +
+      s" - $l0) / 7.0d"
+    val lNew = "(cast(x.n as double) - element_at(acc.s, 1)) * 0.5d" +
+      " + (acc.l + acc.b) * 0.5d"
+    val bNew = s"(($lNew) - acc.l) * 0.5d + acc.b * 0.5d"
+    val sNew = s"(cast(x.n as double) - ($lNew)) * 0.5d" +
+      " + element_at(acc.s, 1) * 0.5d"
+    val fold =
+      s"""aggregate(
+         |  slice(arr, 8, greatest(size(arr) - 7, 0)),
+         |  named_struct(
+         |    'l', $l0, 'b', $b0,
+         |    's', transform(sequence(1, 7),
+         |      i -> cast(element_at(arr, i).n as double) - ($l0)),
+         |    'out', cast(array() as array<struct<day:date,n:bigint,
+         |      l:double,b:double,s:double,f:double>>)),
+         |  (acc, x) -> named_struct(
+         |    'l', $lNew,
+         |    'b', $bNew,
+         |    's', concat(slice(acc.s, 2, 6), array($sNew)),
+         |    'out', concat(acc.out, array(named_struct(
+         |      'day', x.day, 'n', x.n, 'l', $lNew, 'b', $bNew,
+         |      's', $sNew,
+         |      'f', acc.l + acc.b + element_at(acc.s, 1))))),
+         |  acc -> acc.out)""".stripMargin
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .filter(size(col("arr")) >= 15)
+      .select(col("event_type"), explode(expr(fold)).as("o"))
+      .select(col("event_type"), col("o.day").as("day"),
+        col("o.n").as("n"),
+        round(col("o.l"), 6).as("level_r6"),
+        round(col("o.b"), 6).as("trend_r6"),
+        round(col("o.s"), 6).as("season_r6"),
+        round(col("o.f"), 6).as("forecast_r6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Per-user ONLINE EWMA exercised as a REAL two-batch stream: events
     * split deterministically by event_id parity into two files (even
     * ids arrive first), fed one file per trigger through
@@ -1168,6 +1237,7 @@ object StreamQueries {
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_holt" -> (qTimeHolt(_, _)),
+    "q_time_holtwinters" -> (qTimeHoltWinters(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
@@ -1443,6 +1513,47 @@ object StreamQueries {
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
         |FROM r ORDER BY event_type, day""".stripMargin,
+    // recursive CTE carries the 7-slot seasonal state as a LIST; the
+    // update expressions are textually the engine fold's trees
+    "q_time_holtwinters" -> {
+      val l0 = "(CAST(a.arr[1].n AS DOUBLE) + a.arr[2].n + a.arr[3].n" +
+        " + a.arr[4].n + a.arr[5].n + a.arr[6].n + a.arr[7].n) / 7.0"
+      val b0 = "((CAST(a.arr[8].n AS DOUBLE) + a.arr[9].n" +
+        " + a.arr[10].n + a.arr[11].n + a.arr[12].n + a.arr[13].n" +
+        s" + a.arr[14].n) / 7.0 - $l0) / 7.0"
+      val lNew = "(CAST(i.n AS DOUBLE) - r.s[1]) * 0.5" +
+        " + (r.l + r.b) * 0.5"
+      val bNew = s"(($lNew) - r.l) * 0.5 + r.b * 0.5"
+      val sNew = s"(CAST(i.n AS DOUBLE) - ($lNew)) * 0.5 + r.s[1] * 0.5"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT *, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+         |arrs AS (
+         |  SELECT event_type,
+         |    list(struct_pack(day := day, n := n) ORDER BY day) AS arr
+         |  FROM daily GROUP BY event_type HAVING count(*) >= 15),
+         |r(event_type, rn, day, n, l, b, s, f) AS (
+         |  SELECT a.event_type, 7, NULL::DATE, NULL::BIGINT,
+         |    $l0, $b0,
+         |    list_transform(generate_series(1, 7),
+         |      i -> CAST(a.arr[i].n AS DOUBLE) - ($l0)),
+         |    NULL::DOUBLE
+         |  FROM arrs a
+         |  UNION ALL
+         |  SELECT r.event_type, r.rn + 1, i.day, i.n,
+         |    $lNew,
+         |    $bNew,
+         |    list_concat(r.s[2:], [$sNew]),
+         |    r.l + r.b + r.s[1]
+         |  FROM r JOIN idx i
+         |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         |SELECT event_type, day, n, round(l, 6) AS level_r6,
+         |  round(b, 6) AS trend_r6, round(s[7], 6) AS season_r6,
+         |  round(f, 6) AS forecast_r6
+         |FROM r WHERE rn >= 8 ORDER BY event_type, day""".stripMargin
+    },
     "q_time_seasonal" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
