@@ -46,6 +46,38 @@ object Prefix {
       value: Column, out: String): DataFrame =
     running(df, order, value, out, isSum = true, inclusive = true)
 
+  /** Distributed GLOBAL dense rank by `order` (1-based), appended as
+    * `out` — the same two-pass shape as the running aggregates: a
+    * range exchange keeps equal keys in one partition (partition ids
+    * ascend with the order), a PARTITIONED dense_rank window ranks
+    * locally, per-partition DISTINCT-KEY counts (P rows) get the
+    * exclusive prefix sum, and the carry-in broadcasts back. Output is
+    * identical to `dense_rank().over(Window.orderBy(order))` with no
+    * single-partition window anywhere. Rank VALUES depend only on the
+    * key's position in the global key order, so they are
+    * partitioning-invariant. */
+  def denseRank(df: DataFrame, order: Seq[Column], out: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = CacheScope.cached(
+      df.repartitionByRange(p, order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = ranged.withColumn("__local",
+      dense_rank().over(lw).cast("long"))
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(countDistinct(order.head, order.tail: _*).as("__pt"))
+    val cw = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = totals
+      .withColumn("__carry", sum(col("__pt")).over(cw))
+      .select(col("__pid"), col("__carry"))
+    local.join(broadcast(carry), Seq("__pid"))
+      .withColumn(out, col("__local") + coalesce(col("__carry"), lit(0L)))
+      .drop("__pid", "__local", "__carry")
+  }
+
   private def running(df: DataFrame, order: Seq[Column], value: Column,
       out: String, isSum: Boolean, inclusive: Boolean): DataFrame = {
     val spark = df.sparkSession

@@ -383,7 +383,83 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** MODEL-BASED QUALITY SCORER — the fastText-classifier pattern of
+    * the modern curation stacks (CCNet/LLaMA: train a cheap linear
+    * model on seed labels, then score the whole corpus map-side), as
+    * an INTEGER PERCEPTRON (Rosenblatt 1958; the mistake-driven
+    * update keeps every weight an exact BIGINT, so training and
+    * scoring replay bit-identically in any engine — no sigmoid, no
+    * log, no float anywhere):
+    *
+    *   - labels: the rule-based Gopher-style gate's `pass` verdict
+    *     (the distillation target — a model that reproduces the gate
+    *     from bag-of-words alone scores docs the gate's regexes never
+    *     see at a fraction of the cost), y ∈ {+1, −1};
+    *   - features: 32 md5-hashed token-count buckets + bias (the
+    *     portable first-8-hex-digits hash the minhash family uses);
+    *   - training: 2 epochs over the doc_id % 4 == 0 slice in doc_id
+    *     order — a BOUNDED labeled sample (the BPE-vocab collect
+    *     class), folded through one ordered `aggregate` whose state
+    *     is the 33-long weight vector; update w += y·x iff
+    *     y·(w·x) ≤ 0;
+    *   - scoring: the final w rides a one-row broadcast cross join;
+    *     each doc's score is a 32-term integer dot product, map-side.
+    *
+    * The twin replays the SAME fold as a recursive CTE over the
+    * ordered training rows (state = the weight LIST) and the same
+    * dot-product scoring — every score matches exactly, not to 6dp.
+    *
+    * Scale: the corpus-sized work is one feature-extraction map pass
+    * (tokens → 32-slot count vector); training state is 33 integers
+    * over a bounded sample; no shuffle anywhere but the final sort.
+    */
+  def qCurateQualityModel(spark: SparkSession, dir: String): DataFrame =
+    perceptronScore(TextAnalysis.qualityGate(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "text")
+      .withColumn("y", when(col("pass"), 1L).otherwise(-1L)))
+
+  /** The reusable perceptron core: input (doc_id, text, y ∈ {+1,−1}),
+    * output per-doc (doc_id, is_train, label_pass, score, pred,
+    * correct). Training slice = doc_id % 4 == 0, 2 epochs, 32 hashed
+    * buckets + bias; every number BIGINT-exact. */
+  private[graft] def perceptronScore(docs: DataFrame): DataFrame = {
+    val B = 32
+    val bucket = "cast(conv(substring(md5(t), 1, 8), 16, 10)" +
+      s" as bigint) % $B"
+    val feats = docs.select(col("doc_id"), col("y"),
+      expr("transform(sequence(0, 31), b -> cast(size(filter(" +
+        s"transform(filter(split(text, ' '), t -> t <> ''), t -> $bucket)," +
+        " v -> v = b)) as bigint))").as("x"))
+    val dot = s"aggregate(sequence(1, $B), cast(0 as bigint)," +
+      " (s, b) -> s + element_at(w, b + 1) * element_at(e.x, b))"
+    val train = feats.filter(col("doc_id") % 4 === 0)
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("y"), col("x")))).as("exs"))
+      .select(expr(
+        s"""aggregate(
+           |  concat(exs, exs),
+           |  transform(sequence(1, ${B + 1}), i -> cast(0 as bigint)),
+           |  (w, e) -> case when e.y * (element_at(w, 1) + $dot) <= 0
+           |    then transform(sequence(1, ${B + 1}),
+           |      i -> element_at(w, i) + e.y *
+           |        (case when i = 1 then cast(1 as bigint)
+           |              else element_at(e.x, i - 1) end))
+           |    else w end)""".stripMargin).as("w"))
+    val score = s"element_at(w, 1) + aggregate(sequence(1, $B)," +
+      " cast(0 as bigint)," +
+      " (s, b) -> s + element_at(w, b + 1) * element_at(x, b))"
+    feats.crossJoin(broadcast(train))
+      .withColumn("score", expr(score))
+      .select(col("doc_id"), (col("doc_id") % 4 === 0).as("is_train"),
+        (col("y") === 1L).as("label_pass"),
+        col("score"), (col("score") > 0).as("pred"),
+        ((col("score") > 0) === (col("y") === 1L)).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_quality_model" -> (qCurateQualityModel(_, _)),
     "q_curate_kappa" -> (qCurateKappa(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
     "q_curate_fertility" -> (qCurateFertility(_, _)),
@@ -805,6 +881,69 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // perceptron fold replayed as a recursive CTE: state = the 33-long
+    // weight LIST, one step per (epoch, example) in doc_id order; the
+    // bucket hash is the portable first-8-md5-hex digit-sum; every
+    // score is the identical integer dot product — exact, not 6dp
+    "q_curate_quality_model" -> {
+      val stopList =
+        TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val bucket = "CAST(list_sum(list_transform(generate_series(1, 8)," +
+        " d -> CAST(strpos('0123456789abcdef', substring(md5(t), d, 1))" +
+        " - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))" +
+        " AS BIGINT) % 32"
+      val dotW = "CAST(list_sum(list_transform(generate_series(1, 32)," +
+        " b -> w[b + 1] * e.x[b])) AS BIGINT)"
+      val dotS = "CAST(w[1] + CAST(list_sum(list_transform(" +
+        "generate_series(1, 32), b -> w[b + 1] * x[b])) AS BIGINT)" +
+        " AS BIGINT)"
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN
+         |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         |        BETWEEN 20 AND 2000
+         |      AND 3 * CAST(len(regexp_extract_all(text, '\\S+'))
+         |        AS BIGINT)
+         |        <= CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |          AS BIGINT)
+         |      AND CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+         |          AS BIGINT)
+         |        <= 5 * CAST(len(regexp_extract_all(text, '\\S+'))
+         |          AS BIGINT)
+         |      AND CAST(len(list_filter(
+         |          string_split_regex(lower(text), '\\s+'),
+         |          t -> list_contains($stopList, t))) AS BIGINT) >= 2
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+         |    list_transform(generate_series(0, 31),
+         |      b -> CAST(len(list_filter(
+         |        list_transform(
+         |          list_filter(string_split(text, ' '), t -> t <> ''),
+         |          t -> $bucket),
+         |        v -> v = b)) AS BIGINT)) AS x
+         |  FROM documents),
+         |exs AS (
+         |  SELECT y, x, row_number() OVER (ORDER BY doc_id) AS rn
+         |  FROM f WHERE doc_id % 4 = 0),
+         |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM exs),
+         |step(t, w) AS (
+         |  SELECT CAST(0 AS BIGINT),
+         |    list_transform(generate_series(1, 33),
+         |      i -> CAST(0 AS BIGINT))
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    CASE WHEN e.y * (w[1] + $dotW) <= 0
+         |      THEN list_transform(generate_series(1, 33),
+         |        i -> w[i] + e.y * (CASE WHEN i = 1
+         |          THEN CAST(1 AS BIGINT) ELSE e.x[i - 1] END))
+         |      ELSE w END
+         |  FROM step, nn, exs e
+         |  WHERE e.rn = (t % nn.n) + 1 AND t < 2 * nn.n),
+         |wf AS (SELECT w FROM step, nn WHERE t = 2 * nn.n)
+         |SELECT doc_id, doc_id % 4 = 0 AS is_train, y = 1 AS label_pass,
+         |  $dotS AS score, $dotS > 0 AS pred,
+         |  ($dotS > 0) = (y = 1) AS correct
+         |FROM f, wf ORDER BY doc_id""".stripMargin
+    },
     // same exact token shares, source-ordered ln fold, PPM deficit
     "q_curate_mix_kl" ->
       """WITH tok AS (SELECT source,

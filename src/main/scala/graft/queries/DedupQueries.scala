@@ -523,7 +523,31 @@ object DedupQueries {
       .orderBy(col("canonical_key"))
   }
 
+  /** ExactSubstr duplicated spans by distributed SUFFIX RANK
+    * ([[graft.ops.SuffixRank]] — Manber-Myers prefix doubling; the
+    * suffix-array path of Lee et al. 2022 §4.2): every maximal ≥
+    * 20-char region whose content occurs anywhere else in the corpus,
+    * with EXACT boundaries and the keep-first rule (the globally
+    * first occurrence of each window survives), reported as one
+    * (doc_id, start, span_len) row per span. Semantically identical
+    * to q_text_scrub_global's hashed-gram islands, but collision-FREE:
+    * rank ties are exact string equality, so there is no 60-bit hash
+    * width to widen at 100 TB (SuffixRankSpec pins the two paths
+    * equal on the fixture and on planted overlaps vs brute force).
+    *
+    * Scale: O(n log L) — two doubling rounds over corpus positions,
+    * each one equi-join + one range-partitioned two-pass dense rank
+    * ([[graft.ops.Prefix.denseRank]]; no single-partition window).
+    * The twin replays the same doubling with dense_rank() windows.
+    */
+  def qDedupExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SuffixRank.duplicatedSpans(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      l0 = 5, doublings = 2)
+      .orderBy(col("doc_id"), col("start"))
+
   val defs: Map[String, Q] = Map(
+    "q_dedup_exact_substr" -> (qDedupExactSubstr(_, _)),
     "q_er_pipeline" -> (qErPipeline(_, _)),
     "q_dedup_fuzzy_name" -> (qDedupFuzzyName(_, _)),
     "q_pipeline_curation" -> (qPipelineCuration(_, _)),
@@ -791,6 +815,48 @@ object DedupQueries {
     "q_dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // prefix doubling replayed with dense_rank() windows: rank5 over
+    // exact 5-char substrings, rank10 = (rank5, rank5@+5), rank20 =
+    // (rank10, rank10@+10); final rank groups = exact 20-char-window
+    // equality, first (doc_id, pos) of each group survives, the rest
+    // merge into islands of c positions = c+19-char spans
+    "q_dedup_exact_substr" ->
+      """WITH p AS (
+        |  SELECT doc_id, pos, length(text) - pos + 1 AS rem,
+        |    substr(text, CAST(pos AS INT), 5) AS g0
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text))) AS pos
+        |        FROM documents)),
+        |r0 AS (
+        |  SELECT doc_id, pos, rem,
+        |    CAST(dense_rank() OVER (ORDER BY g0) AS BIGINT) AS rank
+        |  FROM p),
+        |r1 AS (
+        |  SELECT a.doc_id, a.pos, a.rem,
+        |    CAST(dense_rank() OVER (
+        |      ORDER BY a.rank, COALESCE(b.rank, 0)) AS BIGINT) AS rank
+        |  FROM r0 a LEFT JOIN r0 b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 5),
+        |r2 AS (
+        |  SELECT a.doc_id, a.pos, a.rem,
+        |    CAST(dense_rank() OVER (
+        |      ORDER BY a.rank, COALESCE(b.rank, 0)) AS BIGINT) AS rank
+        |  FROM r1 a LEFT JOIN r1 b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 10),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (
+        |      PARTITION BY rank ORDER BY doc_id, pos) AS rn
+        |    FROM r2 WHERE rem >= 20)
+        |  WHERE rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos, pos - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM dup)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start,
+        |  CAST(COUNT(*) + 19 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, start""".stripMargin,
     "q_dedup_fingerprint" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

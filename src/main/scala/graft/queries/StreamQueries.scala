@@ -139,6 +139,38 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** [[qStreamSessionState]]'s sessionization ported to Spark 4's
+    * transformWithState ([[StreamOps.SessionProcessor]]) — identical
+    * session semantics through the successor arbitrary-state API
+    * (named ValueState + first-class timers, RocksDB-backed), so it
+    * shares the fMGWS query's gaps-and-islands oracle verbatim.
+    * TwsParitySpec additionally pins tws == fMGWS == batch on a
+    * boundary-stressing synthetic stream.
+    */
+  def qStreamSessionTws(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_session_tws")
+    StreamOps.withRocksDb(spark) {
+      val stream = Tables.eventsStream(spark, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val sessions = StreamOps.sessionizeTws(
+        StreamOps.withLateness(stream, "ts", "0 seconds")
+          .as[StreamOps.UserEvent],
+        gapMs = 5L * 60 * 1000)
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Stream-static dimension join exercised as a REAL stream: events
     * arrive through the file-stream source, each micro-batch broadcast-
     * joins the static customer dimension (stateless — no watermark
@@ -1259,6 +1291,7 @@ object StreamQueries {
     "q_stream_sliding" -> (qStreamSliding(_, _)),
     "q_stream_session" -> (qStreamSession(_, _)),
     "q_stream_session_state" -> (qStreamSessionState(_, _)),
+    "q_stream_session_tws" -> (qStreamSessionTws(_, _)),
     "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _)),
     "q_stream_session_dedup" -> (qStreamSessionDedup(_, _)),
     "q_stream_cep" -> (qStreamCep(_, _))
@@ -1920,6 +1953,37 @@ object StreamQueries {
         |SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
         |  round(SUM(value), 2) AS sum_value
         |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // same oracle as q_stream_session_state: the tws port must emit
+    // the identical closed-session set under the identical boundary
+    "q_stream_session_tws" ->
+      """WITH ordered AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) AS prev_t
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN prev_t IS NULL
+        |      OR t - prev_t > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |sessions AS (
+        |  SELECT user_id, t,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM sessions GROUP BY user_id, sid),
+        |wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_t FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM (SELECT a.*, MAX(session_end)
+        |        OVER (PARTITION BY user_id) AS last_end FROM agg a)
+        |CROSS JOIN wm
+        |WHERE session_end < last_end
+        |   OR (epoch_us(session_end) + 300000000) // 1000
+        |      < epoch_us(max_t) // 1000
         |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_session_state" ->
       """WITH ordered AS (

@@ -1464,7 +1464,7 @@ object TextQueries {
   /** The reusable global-pass core: (doc_id, n_cuts, chars_removed,
     * clean) for every doc with at least one globally duplicated ≥ L
     * region. */
-  private[queries] def globalScrub(docs: DataFrame, L: Int): DataFrame = {
+  private[graft] def globalScrub(docs: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dup = charGrams(docs, L)
       .withColumn("rn", row_number().over(

@@ -194,6 +194,124 @@ object StreamOps {
       }
   }
 
+  /** [[sessionizeWithState]] ported to Spark 4's transformWithState —
+    * the successor arbitrary-state API (SPARK-46815): state lives in
+    * named, individually-evolvable stores on a StatefulProcessorHandle
+    * (here one ValueState[OpenSession]) instead of a single opaque
+    * GroupState blob, and timeouts become first-class TIMERS that can
+    * coexist with same-batch input (fMGWS gives a batch EITHER rows OR
+    * a timeout, never both). Session semantics are bit-identical to
+    * the fMGWS form — same micros arithmetic, same ms-floor timer at
+    * end + gap clamped past the watermark, and timers fire strictly
+    * after the watermark passes them, so the same boundary rule holds
+    * (TwsParitySpec pins streamed tws == streamed fMGWS == batch
+    * gaps-and-islands on the same input; q_stream_session_tws shares
+    * q_stream_session_state's oracle).
+    *
+    * Extension handling uses LAZY timer deletion: each update
+    * registers the new deadline and leaves stale timers in place; an
+    * expiring timer only closes the session when it is not earlier
+    * than the state's current deadline (a stale timer from before an
+    * extension fires below the refreshed deadline and is ignored).
+    * State per key stays one OpenSession + O(extensions) pending
+    * timer entries, all watermark-bounded.
+    *
+    * Requires the RocksDB state-store provider (transformWithState
+    * needs multi-column-family state); run it under [[withRocksDb]].
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+    private val gapUs = gapMs * 1000L
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    private def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    private def finish(uid: Long, s: OpenSession) =
+      UserSession(uid, toTs(s.start), toTs(s.end), s.n)
+    // tws timers fire INCLUSIVELY (expiry ≤ watermark) where fMGWS
+    // event-time timeouts fire STRICTLY (timeout < watermark); an
+    // inclusive timer at t+1 ≡ a strict timeout at t, so register the
+    // fMGWS value + 1 ms and both forms close sessions on identical
+    // watermarks (TwsParitySpec "timeout boundary")
+    private def deadlineMs(s: OpenSession, watermarkMs: Long): Long =
+      math.max((s.end + gapUs) / 1000L, watermarkMs + 1L) + 1L
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => toUs(e.ts))
+      val closed = scala.collection.mutable.Buffer.empty[UserSession]
+      var cur = if (open.exists) Some(open.get()) else None
+      for (e <- sorted) {
+        val t = toUs(e.ts)
+        cur = cur match {
+          case Some(s) if t - s.end <= gapUs =>
+            Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
+          case Some(s) =>
+            closed += finish(uid, s)
+            Some(OpenSession(t, t, 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(
+          deadlineMs(s, timers.getCurrentWatermarkInMs))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] =
+      if (open.exists) {
+        val s = open.get()
+        // stale timer from before an extension: a fresher one is
+        // pending at the current deadline — ignore this firing
+        // (fresh timers sit at end+gap floor + 1, hence the strict >)
+        if (expired.getExpiryTimeInMs > (s.end + gapUs) / 1000L) {
+          open.clear()
+          Iterator.single(finish(uid, s))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Sessionize via [[SessionProcessor]] (transformWithState). Input
+    * must be watermarked, as with the fMGWS form. */
+  def sessionizeTws(events: Dataset[UserEvent],
+                    gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Run `body` with the RocksDB state-store provider set (required
+    * by transformWithState), restoring the prior provider after. */
+  def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   case class EwmaIn(user_id: Long, ts: java.sql.Timestamp,
                     event_id: Long, value: Double)
   case class EwmaState(level: Double, n: Long, updates: Long)
