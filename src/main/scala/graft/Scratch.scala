@@ -113,6 +113,18 @@ object Scratch {
         ("global pair-free ExactSubstr scrub: map-side gram hashing, " +
           "ONE corpus-linear shuffle for the per-gram first-occurrence " +
           "window; islands + scrub sized by true duplicate positions"),
+      "q_dedup_exact_substr" ->
+        ("suffix-rank ExactSubstr: 2 prefix-doubling rounds, each one " +
+          "(doc,pos+k) equi-join + a range-partitioned two-pass dense " +
+          "rank — collision-free, no single-partition window"),
+      "q_text_heaps" ->
+        ("Heaps curve: corpus-linear explode → two aggregates; BOTH " +
+          "doc-axis running sums as range-partitioned two-pass prefix " +
+          "scans"),
+      "q_curate_quality_model" ->
+        ("perceptron scorer: one feature map pass; bounded training " +
+          "slice folds 33 integers; weights broadcast back, scoring " +
+          "map-side"),
       "q_curate_decontam_bloom" ->
         ("bloom decontamination: filter built as a LAZY one-row " +
           "bit_or aggregate, broadcast as ~m/8 bytes; corpus grams " +

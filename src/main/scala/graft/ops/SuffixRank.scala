@@ -60,9 +60,18 @@ object SuffixRank {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         (length(col("text")) - col("pos") + 1).cast("long").as("rem"),
         col("text").substr(col("pos"), lit(l0)).as("g0"))
-    var r = Prefix.denseRank(pos, Seq(col("g0")), "rank")
-      .select(col("doc_id"), col("pos"), col("rem"), col("rank"))
-      .localCheckpoint(false)
+    // rank the KEY SPACE, not the rows: Prefix.denseRank runs on the
+    // DISTINCT keys of each round (5-grams, then rank pairs) and the
+    // ranked key table joins back — broadcast when small. Range-
+    // exchanging the full position table through a sorting window
+    // every round measured ~3× slower at sf0.1; the distinct table is
+    // never larger than the position table and usually far smaller
+    // (early rounds are bounded by the gram space). Each round's
+    // output is cached — the next round reads it twice (left + the
+    // pos+k shift).
+    var r = CacheScope.cached(
+      withDenseRank(pos, Seq("g0"), "rank")
+        .select(col("doc_id"), col("pos"), col("rem"), col("rank")))
     var k = l0.toLong
     for (_ <- 1 to doublings) {
       val right = r.select(col("doc_id"), (col("pos") - k).as("pos"),
@@ -70,12 +79,27 @@ object SuffixRank {
       val paired = r.join(right, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rem"),
           col("rank").as("r1"), coalesce(col("r2"), lit(0L)).as("r2"))
-      r = Prefix.denseRank(paired, Seq(col("r1"), col("r2")), "rank")
-        .select(col("doc_id"), col("pos"), col("rem"), col("rank"))
-        .localCheckpoint(false)
+      r = CacheScope.cached(
+        withDenseRank(paired, Seq("r1", "r2"), "rank")
+          .select(col("doc_id"), col("pos"), col("rem"), col("rank")))
       k *= 2
     }
     r
+  }
+
+  /** Dense-rank `df` by `keys` via the distinct-key table: hash-agg
+    * distinct → [[Prefix.denseRank]] over the (smaller) key table →
+    * equi-join the ranks back (auto-broadcast when the key table is
+    * small). Same result as ranking the rows directly; the expensive
+    * range-partitioned sort only ever sees distinct keys. */
+  private def withDenseRank(df: DataFrame, keys: Seq[String],
+                            out: String): DataFrame = {
+    // cached: read once for the distinct key table, once for the
+    // join-back — df is an exchange-bearing join in the doubling
+    // rounds, and replaying it doubled the round cost
+    val dfc = CacheScope.cached(df)
+    val dk = dfc.select(keys.map(col): _*).distinct()
+    dfc.join(Prefix.denseRank(dk, keys.map(col), out), keys)
   }
 
   /** Maximal duplicated spans ≥ L = l0·2^doublings chars with EXACT
@@ -90,11 +114,26 @@ object SuffixRank {
     * span: (doc_id, start, span_len), start 1-based. */
   def duplicatedSpans(docs: DataFrame, l0: Int, doublings: Int)
       : DataFrame = {
+    require(doublings >= 1,
+      s"duplicatedSpans needs doublings >= 1, got $doublings")
     val L = l0.toLong << doublings
-    val full = ranks(docs, l0, doublings).filter(col("rem") >= L)
+    // the LAST doubling never materializes a rank number: duplicate
+    // detection only needs the equality GROUPS of the final level,
+    // so the window partitions by the (rank_k, rank_k@pos+k) PAIR
+    // directly — one whole dense-rank pass (distinct + rank + join
+    // back over corpus-sized keys, the most expensive round by far)
+    // deleted with identical semantics
+    val k = l0.toLong << (doublings - 1)
+    val half = ranks(docs, l0, doublings - 1)
+    val right = half.select(col("doc_id"), (col("pos") - k).as("pos"),
+      col("rank").as("r2"))
+    val full = half.join(right, Seq("doc_id", "pos"), "left")
+      .filter(col("rem") >= L)
+      .select(col("doc_id"), col("pos"), col("rank").as("r1"),
+        coalesce(col("r2"), lit(0L)).as("r2"))
     val dup = full
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("rank"))
+        Window.partitionBy(col("r1"), col("r2"))
           .orderBy(col("doc_id"), col("pos"))))
       .where(col("rn") > 1)
       .select(col("doc_id"), col("pos"))

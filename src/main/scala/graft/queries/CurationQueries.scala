@@ -427,10 +427,27 @@ object CurationQueries {
     val B = 32
     val bucket = "cast(conv(substring(md5(t), 1, 8), 16, 10)" +
       s" as bigint) % $B"
-    val feats = docs.select(col("doc_id"), col("y"),
-      expr("transform(sequence(0, 31), b -> cast(size(filter(" +
-        s"transform(filter(split(text, ' '), t -> t <> ''), t -> $bucket)," +
-        " v -> v = b)) as bigint))").as("x"))
+    // feature extraction is RELATIONAL (explode → codegen'd hash
+    // aggregate on (doc, bucket) — the qDsirWeights shape), not a
+    // per-doc HOF lambda: hashing inside transform/filter lambdas
+    // runs interpreted per (token, bucket) and measured 16+ s at
+    // sf0.1; this form runs the md5 once per token inside codegen and
+    // rebuilds the dense 32-slot array from a per-doc count map.
+    // Cached: the train fold and the corpus scoring both read it.
+    val toks = docs.select(col("doc_id"), col("y"),
+      explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+    val counts = toks
+      .groupBy(col("doc_id"), expr(bucket).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(expr("map_from_entries(collect_list(struct(b, cnt)))").as("m"))
+    val feats = graft.ops.CacheScope.cached(
+      docs.select(col("doc_id"), col("y"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("y"),
+          expr(s"transform(sequence(0, ${B - 1})," +
+            " b -> coalesce(element_at(m, cast(b as bigint))," +
+            " cast(0 as bigint)))").as("x")))
     val dot = s"aggregate(sequence(1, $B), cast(0 as bigint)," +
       " (s, b) -> s + element_at(w, b + 1) * element_at(e.x, b))"
     val train = feats.filter(col("doc_id") % 4 === 0)
@@ -458,7 +475,52 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TEMPERATURE-SAMPLED source mixture at τ = 1/2 (the multilingual
+    * rebalancing rule of mBERT/XLM-R: sample ∝ n^τ so head sources
+    * shrink and tail sources grow vs proportional sampling): per
+    * source, weight = isqrt(n_tokens) — the INTEGER square root,
+    * certified exactly (seed from double sqrt, then the ±1 fix-up
+    * r² ≤ n < (r+1)², so Spark's truncating double→long cast and
+    * DuckDB's rounding one land on the SAME integer) — and a 100k
+    * budget split by the largest-remainder rule with INTEGER
+    * remainders (the qCurateNeyman pattern without its double frac:
+    * rem = B·s − base·S).
+    *
+    * Scale: one map-side token count + per-source aggregate; totals
+    * ride one-row broadcasts; the rank window orders |sources| rows
+    * (dimension-bounded).
+    */
+  def qCurateTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100000L
+    val st = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(regexp_count(col("text"), lit("\\S+")).cast("long"))
+        .as("n"))
+      .withColumn("r0", expr("cast(sqrt(cast(n as double)) as bigint)"))
+      .withColumn("s", expr(
+        """case when (r0 + 1) * (r0 + 1) <= n then r0 + 1
+          |     when r0 * r0 > n then r0 - 1
+          |     else r0 end""".stripMargin))
+    val tot = st.agg(sum(col("s")).as("stot"))
+    val based = st.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * s) div stot"))
+      .withColumn("rem", expr(s"${budget}L * s - base * stot"))
+    val sums = based.agg(sum(col("base")).as("sumbase"))
+    based.crossJoin(broadcast(sums))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n").as("n_tokens"),
+        col("s").as("sqrt_tokens"),
+        expr("s * 1000000L div stot").as("share_ppm"),
+        (col("base") + when(
+          col("rk") <= lit(budget) - col("sumbase"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_temperature" -> (qCurateTemperature(_, _)),
     "q_curate_quality_model" -> (qCurateQualityModel(_, _)),
     "q_curate_kappa" -> (qCurateKappa(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
@@ -881,6 +943,38 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // certified isqrt (rounding-direction-proof), integer remainders,
+    // largest-remainder step identical to the engine
+    "q_curate_temperature" ->
+      """WITH st AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS n
+        |  FROM documents GROUP BY source),
+        |sq AS (
+        |  SELECT source, n,
+        |    CAST(sqrt(CAST(n AS DOUBLE)) AS BIGINT) AS r0
+        |  FROM st),
+        |w AS (
+        |  SELECT source, n,
+        |    CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+        |         WHEN r0 * r0 > n THEN r0 - 1
+        |         ELSE r0 END AS s
+        |  FROM sq),
+        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot FROM w),
+        |based AS (
+        |  SELECT source, n, s, stot,
+        |    (100000 * s) // stot AS base,
+        |    100000 * s - ((100000 * s) // stot) * stot AS rem
+        |  FROM w, tot),
+        |sums AS (SELECT CAST(SUM(base) AS BIGINT) AS sumbase FROM based),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY rem DESC, source) AS rk FROM based)
+        |SELECT source, n AS n_tokens, s AS sqrt_tokens,
+        |  CAST(s * 1000000 // stot AS BIGINT) AS share_ppm,
+        |  CAST(base + CASE WHEN rk <= 100000 - sumbase
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, sums ORDER BY source""".stripMargin,
     // perceptron fold replayed as a recursive CTE: state = the 33-long
     // weight LIST, one step per (epoch, example) in doc_id order; the
     // bucket hash is the portable first-8-md5-hex digit-sum; every

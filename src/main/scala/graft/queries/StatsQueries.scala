@@ -1314,9 +1314,12 @@ object StatsQueries {
       .withColumn("r2", col("c") + col("d"))
       .withColumn("c1", col("a") + col("c"))
       .withColumn("n", col("r1") + col("r2"))
+    // the j <= 0 guard matters: Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) and the fold would divide by zero; C(m, 0) = 1
     def binom(m: String, j: String) =
-      s"aggregate(sequence(cast(1 as bigint), $j)," +
-        s" cast(1 as bigint), (p, i) -> p * ($m - $j + i) div i)"
+      s"case when ($j) <= 0 then cast(1 as bigint) else" +
+        s" aggregate(sequence(cast(1 as bigint), $j)," +
+        s" cast(1 as bigint), (p, i) -> p * ($m - $j + i) div i) end"
     val num = "aggregate(sequence(a, least(r1, c1))," +
       " cast(0 as decimal(38,0)), (acc, k) -> acc" +
       s" + cast(${binom("r1", "k")} as decimal(38,0))" +
@@ -1332,7 +1335,118 @@ object StatsQueries {
           .as("reject"))
   }
 
+  /** THEIL–SEN robust trend slope (Theil 1950 / Sen 1968) per
+    * event-type daily series — the median of all pairwise slopes,
+    * insensitive to up to ~29% outlier days where OLS is wrecked by
+    * one. Slopes are PPM-quantized toward zero ((Δn·10⁶) div Δd —
+    * Spark `div` and DuckDB `//` both truncate, so the quantization
+    * is engine-identical even for negative slopes) and the median is
+    * the LOWER median (the ⌈m/2⌉-th order statistic — the Levene
+    * doctrine), keeping the whole verdict in exact integers.
+    *
+    * Scale shape: the corpus-sized shuffle is the daily-count
+    * aggregate; the pairwise self-join runs over |days|² CALENDAR
+    * pairs per type (a calendar property, not a data-volume
+    * property), and the median is a per-type window over those
+    * bounded pairs.
+    */
+  def qStatTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("d").as("di"),
+      col("n").as("ni"))
+    val b = daily.select(col("event_type"), col("d").as("dj"),
+      col("n").as("nj"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"),
+        expr("((nj - ni) * 1000000L) div (dj - di)").as("s_ppm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s_ppm"))
+    slopes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        col("s_ppm").as("slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995) over
+    * a FAMILY of exact Fisher tests — the multiple-comparisons layer
+    * every per-segment testing sweep needs (25 per-nation tests at
+    * α=0.05 expect ~1 false positive; BH bounds the FALSE DISCOVERY
+    * RATE instead of Bonferroni's family-wise error). Per nation, a
+    * bounded 24-supplier panel (lowest suppkeys — fixed cohort at any
+    * scale factor) gives a 2×2 of balance sign × suppkey parity; the
+    * one-sided hypergeometric p is the same integer-exact
+    * multiplicative-binomial tail as [[qStatFisher]] — n=24 keeps
+    * every binomial < 2.8M, so the whole tail lives in BIGINT. The
+    * step-up rule is exact: sort by the collision-free HUGEINT key
+    * num·10¹⁴ div den (distinct rationals with den ≤ C(24,12) differ
+    * by > 10⁻¹³), then reject ranks 1..k* where k* = max{k :
+    * 500·num ≤ k·den} (the cross-multiplied form of p ≤ 0.05·k/25).
+    *
+    * Scale: one scan filtered to 25 bounded panels → 25 rows of
+    * scalars; windows run over those 25 rows (bounded by the nation
+    * dimension, documented single-partition class).
+    */
+  def qStatFdr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val panel = Tables.supplier(spark, dir)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))))
+      .filter(col("prk") <= 24)
+    val cells = panel.groupBy(col("s_nationkey").as("nation"))
+      .agg(
+        sum(when(col("s_acctbal") >= 0 && col("s_suppkey") % 2 === 0, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("s_acctbal") >= 0 && col("s_suppkey") % 2 =!= 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("s_acctbal") < 0 && col("s_suppkey") % 2 === 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("s_acctbal") < 0 && col("s_suppkey") % 2 =!= 0, 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("d"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("n", col("r1") + col("r2"))
+    // same j <= 0 guard as qStatFisher (sequence(1, 0) descends)
+    def binom(m: String, j: String) =
+      s"case when ($j) <= 0 then cast(1 as bigint) else" +
+        s" aggregate(sequence(cast(1 as bigint), $j)," +
+        s" cast(1 as bigint), (p, i) -> p * ($m - $j + i) div i) end"
+    val num = "aggregate(sequence(a, least(r1, c1))," +
+      " cast(0 as bigint), (acc, k) -> acc" +
+      s" + ${binom("r1", "k")} * ${binom("r2", "(c1 - k)")})"
+    val den = binom("n", "c1")
+    val ps = cells
+      .withColumn("num", expr(num))
+      .withColumn("den", expr(den))
+      .withColumn("skey", expr(
+        "(cast(num as decimal(38,0)) * 100000000000000)" +
+          " div cast(den as decimal(38,0))"))
+    val m = 25
+    val ranked = ps.withColumn("rk", row_number().over(
+      Window.orderBy(col("skey"), col("nation"))))
+    val kstar = ranked
+      .agg(max(when(col("num") * (20 * m) <= col("rk") * col("den"),
+        col("rk"))).as("k_star"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("nation"), col("a"), col("b"), col("c"), col("d"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("p_r6"),
+        col("rk").cast("long").as("rk"),
+        (col("rk") <= coalesce(col("k_star"), lit(0L))).as("reject"))
+      .orderBy(col("nation"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_theilsen" -> (qStatTheilSen(_, _)),
+    "q_stat_fdr" -> (qStatFdr(_, _)),
     "q_stat_fisher" -> (qStatFisher(_, _)),
     "q_time_dtw" -> (qTimeDtw(_, _)),
     "q_stat_mcnemar" -> (qStatMcnemar(_, _)),
@@ -1382,6 +1496,78 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // pairwise PPM slopes via // (truncating, same as Spark div even
+    // for negatives); lower median by row_number boundary
+    "q_stat_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    ((b.n - a.n) * 1000000) // (b.d - a.d) AS s_ppm
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (
+        |  SELECT event_type, s_ppm,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY s_ppm) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS m
+        |  FROM slopes)
+        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+        |  CAST(s_ppm AS BIGINT) AS slope_ppm
+        |FROM r WHERE rk = (m + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    // exact BIGINT hypergeometric tails per nation panel; step-up by
+    // the cross-multiplied 500·num ≤ k·den rule; collision-free
+    // HUGEINT sort key num·10^14 // den
+    "q_stat_fdr" -> {
+      def binom(m: String, j: String) =
+        s"CASE WHEN ($j) <= 0 THEN CAST(1 AS BIGINT) ELSE" +
+          s" list_reduce(list_concat([CAST(1 AS BIGINT)]," +
+          s" generate_series(CAST(1 AS BIGINT), $j))," +
+          s" (p, i) -> p * ($m - $j + i) // i) END"
+      val num = "list_reduce(list_concat([CAST(0 AS BIGINT)]," +
+        " generate_series(a, least(r1, c1))), (acc, k) -> acc" +
+        s" + ${binom("r1", "k")} * ${binom("r2", "(c1 - k)")})"
+      val den = binom("n", "c1")
+      s"""WITH panel AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY s_nationkey ORDER BY s_suppkey) AS prk
+         |  FROM supplier),
+         |cells AS (
+         |  SELECT s_nationkey AS nation,
+         |    SUM(CASE WHEN s_acctbal >= 0 AND s_suppkey % 2 = 0
+         |      THEN 1 ELSE 0 END) AS a,
+         |    SUM(CASE WHEN s_acctbal >= 0 AND s_suppkey % 2 <> 0
+         |      THEN 1 ELSE 0 END) AS b,
+         |    SUM(CASE WHEN s_acctbal < 0 AND s_suppkey % 2 = 0
+         |      THEN 1 ELSE 0 END) AS c,
+         |    SUM(CASE WHEN s_acctbal < 0 AND s_suppkey % 2 <> 0
+         |      THEN 1 ELSE 0 END) AS d
+         |  FROM panel WHERE prk <= 24 GROUP BY 1),
+         |mm AS (
+         |  SELECT nation, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |    CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         |    CAST(a + b AS BIGINT) AS r1, CAST(c + d AS BIGINT) AS r2,
+         |    CAST(a + c AS BIGINT) AS c1,
+         |    CAST(a + b + c + d AS BIGINT) AS n
+         |  FROM cells),
+         |t AS (SELECT *, $num AS num, $den AS den FROM mm),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY
+         |    (CAST(num AS HUGEINT) * 100000000000000)
+         |      // CAST(den AS HUGEINT), nation) AS rk
+         |  FROM t),
+         |ks AS (SELECT max(CASE WHEN num * 500 <= rk * den
+         |    THEN rk END) AS k_star FROM rk)
+         |SELECT nation, a, b, c, d,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS p_r6,
+         |  CAST(rk AS BIGINT) AS rk,
+         |  rk <= COALESCE(k_star, 0) AS reject
+         |FROM rk, ks ORDER BY nation""".stripMargin
+    },
     // exact multiplicative binomial folds; HUGEINT tail sum; integer
     // cross-multiplied verdict — same zero-float tail as the engine
     "q_stat_fisher" -> {

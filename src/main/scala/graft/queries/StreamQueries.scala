@@ -841,6 +841,59 @@ object StreamQueries {
     * signed-64 for a year of days; beyond that, scale counts down or
     * move the fold to double.)
     */
+  /** DOMINANT-PERIOD detection: argmax of the autocorrelation over
+    * candidate lags 2..14 per event-type daily series — the
+    * seasonality-DISCOVERY step in front of q_time_seasonal /
+    * q_time_holtwinters's assumed weekly m. EXACT argmax: under the
+    * n-scaled (biased) ACF convention all lags share the denominator
+    * n²·Σx² − n·T², so ranking lags only compares the integer-exact
+    * numerators n²·Σx_t x_{t+k} − n·T·Σ(x_t + x_{t+k}) + (n−k)·T² —
+    * no division, no float, ties to the smaller lag. Only the
+    * REPORTED acf is a rounded double of two exact integers.
+    *
+    * Scale shape: corpus reduces to |types|×|days| daily cells; the
+    * per-type lag scan is a fold over a calendar-bounded array.
+    */
+  def qTimePeriod(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lags = daily.groupBy(col("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, n)))," +
+        " d -> d.n)").as("xs"))
+      .withColumn("nn", expr("cast(size(xs) as bigint)"))
+      .withColumn("tt", expr(
+        "aggregate(xs, cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("qq", expr(
+        "aggregate(xs, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("event_type"), col("nn"), col("tt"), col("qq"),
+        explode(expr(
+          """transform(filter(sequence(2, 14), k -> k < nn),
+            |  k -> struct(
+            |    cast(k as bigint) as lag,
+            |    nn * nn * aggregate(sequence(k + 1, cast(nn as int)),
+            |        cast(0 as bigint),
+            |        (a, t) -> a + element_at(xs, t) * element_at(xs, t - k))
+            |      - nn * tt * aggregate(sequence(k + 1, cast(nn as int)),
+            |        cast(0 as bigint),
+            |        (a, t) -> a + element_at(xs, t) + element_at(xs, t - k))
+            |      + (nn - k) * tt * tt as num))""".stripMargin)).as("a"))
+      .select(col("event_type"), col("nn"), col("tt"), col("qq"),
+        col("a.lag").as("lag"), col("a.num").as("num"))
+    lags
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("num").desc, col("lag"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("lag").as("best_period"),
+        round(col("num").cast("double") /
+          (col("nn") * col("nn") * col("qq") -
+            col("nn") * col("tt") * col("tt")).cast("double"), 6)
+          .as("acf_r6"))
+      .orderBy(col("event_type"))
+  }
+
   def qTimeAcf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1272,6 +1325,7 @@ object StreamQueries {
     "q_time_holtwinters" -> (qTimeHoltWinters(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
+    "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_changepoint" -> (qTimeChangepoint(_, _)),
@@ -1456,6 +1510,37 @@ object StreamQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical n²-cleared integer ACF; hugeint intermediates on this
     // side, the same exact values under the final double division
+    // same n-scaled numerators as q_time_acf; exact integer argmax
+    // (shared denominator), ties to the smaller lag
+    "q_time_period" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(n ORDER BY day) AS xs
+        |  FROM d GROUP BY 1),
+        |b AS (SELECT event_type, xs, len(xs) AS nn,
+        |    list_sum(xs) AS tt,
+        |    list_sum(list_transform(xs, x -> x * x)) AS qq
+        |  FROM s),
+        |l AS (SELECT event_type, xs, nn, tt, qq,
+        |    unnest(generate_series(2, 14)) AS k
+        |  FROM b),
+        |nums AS (SELECT event_type, nn, tt, qq, CAST(k AS BIGINT) AS lag,
+        |    CAST(nn * nn * list_sum(list_transform(
+        |        generate_series(k + 1, nn),
+        |        t -> xs[CAST(t AS INT)] * xs[CAST(t - k AS INT)]))
+        |      - nn * tt * list_sum(list_transform(
+        |        generate_series(k + 1, nn),
+        |        t -> xs[CAST(t AS INT)] + xs[CAST(t - k AS INT)]))
+        |      + (nn - k) * tt * tt AS BIGINT) AS num
+        |  FROM l WHERE k < nn),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY num DESC, lag) AS rk FROM nums)
+        |SELECT event_type, lag AS best_period,
+        |  round(CAST(num AS DOUBLE)
+        |    / CAST(nn * nn * qq - nn * tt * tt AS DOUBLE), 6) AS acf_r6
+        |FROM rk WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
     "q_time_acf" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS n

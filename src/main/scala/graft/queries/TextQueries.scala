@@ -1610,7 +1610,44 @@ object TextQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** HEAPS-LAW vocabulary growth curve (Heaps 1978): V(n) — distinct
+    * vocabulary after the first n tokens in doc_id ingestion order —
+    * the sub-linear V ≈ K·n^β growth every tokenizer-budget and
+    * dedup-impact estimate leans on. Per doc: cumulative token count,
+    * cumulative vocabulary (a token joins at its FIRST doc — min
+    * doc_id per token), and the exact PPM type/token ratio.
+    *
+    * Scale shape: one corpus-linear explode feeding two aggregates
+    * (per-doc counts, per-token first-doc); the doc-axis curve is
+    * corpus-sized too, so BOTH running sums go through
+    * [[graft.ops.Prefix.runningSumInclusive]] — the range-partitioned
+    * two-pass prefix scan, no single-partition window even at 10⁹
+    * docs. The twin replays with plain window sums.
+    */
+  def qTextHeaps(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(text, ' '), t -> t <> '')")).as("tok"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+    val newVocab = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("nv"))
+    val joined = perDoc
+      .join(newVocab, col("doc_id") === col("fd"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+    val c = graft.ops.Prefix.runningSumInclusive(
+      graft.ops.Prefix.runningSumInclusive(
+        joined, Seq(col("doc_id")), col("n_toks"), "cum_tokens"),
+      Seq(col("doc_id")), col("nv"), "vocab")
+    c.select(col("doc_id"), col("cum_tokens"), col("vocab"),
+        expr("vocab * 1000000L div cum_tokens").as("vocab_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_text_heaps" -> (qTextHeaps(_, _)),
     "q_text_source_overlap" -> (qTextSourceOverlap(_, _)),
     "q_text_burstiness" -> (qTextBurstiness(_, _)),
     "q_text_rake" -> (qTextRake(_, _)),
@@ -2086,6 +2123,27 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
   }
 
   val oracles: Map[String, String] = Map(
+    // first-doc vocab joins + plain window prefix sums (the engine's
+    // two-pass Prefix scans are semantically these windows)
+    "q_text_heaps" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_toks FROM tk GROUP BY 1),
+        |fv AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1),
+        |nv AS (SELECT fd, count(*) AS nv FROM fv GROUP BY 1),
+        |j AS (SELECT pd.doc_id, pd.n_toks, COALESCE(nv.nv, 0) AS nv
+        |      FROM pd LEFT JOIN nv ON nv.fd = pd.doc_id)
+        |SELECT doc_id,
+        |  CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(nv) OVER w AS BIGINT) AS vocab,
+        |  CAST((SUM(nv) OVER w * 1000000) // (SUM(n_toks) OVER w)
+        |    AS BIGINT) AS vocab_ppm
+        |FROM j
+        |WINDOW w AS (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     // identical distinct (word, source) pairs, inclusion–exclusion
     "q_text_source_overlap" ->
       """WITH ws AS (SELECT DISTINCT source, w
