@@ -1335,46 +1335,6 @@ object StatsQueries {
           .as("reject"))
   }
 
-  /** THEIL–SEN robust trend slope (Theil 1950 / Sen 1968) per
-    * event-type daily series — the median of all pairwise slopes,
-    * insensitive to up to ~29% outlier days where OLS is wrecked by
-    * one. Slopes are PPM-quantized toward zero ((Δn·10⁶) div Δd —
-    * Spark `div` and DuckDB `//` both truncate, so the quantization
-    * is engine-identical even for negative slopes) and the median is
-    * the LOWER median (the ⌈m/2⌉-th order statistic — the Levene
-    * doctrine), keeping the whole verdict in exact integers.
-    *
-    * Scale shape: the corpus-sized shuffle is the daily-count
-    * aggregate; the pairwise self-join runs over |days|² CALENDAR
-    * pairs per type (a calendar property, not a data-volume
-    * property), and the median is a per-type window over those
-    * bounded pairs.
-    */
-  def qStatTheilSen(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
-      .agg(count(lit(1)).as("n"))
-    val a = daily.select(col("event_type"), col("d").as("di"),
-      col("n").as("ni"))
-    val b = daily.select(col("event_type"), col("d").as("dj"),
-      col("n").as("nj"))
-    val slopes = a.join(b, Seq("event_type"))
-      .filter(col("di") < col("dj"))
-      .select(col("event_type"),
-        expr("((nj - ni) * 1000000L) div (dj - di)").as("s_ppm"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("s_ppm"))
-    slopes
-      .withColumn("rk", row_number().over(w))
-      .withColumn("m", count(lit(1)).over(
-        Window.partitionBy(col("event_type"))))
-      .filter(col("rk") === expr("(m + 1) div 2"))
-      .select(col("event_type"), col("m").as("n_pairs"),
-        col("s_ppm").as("slope_ppm"))
-      .orderBy(col("event_type"))
-  }
-
   /** BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995) over
     * a FAMILY of exact Fisher tests — the multiple-comparisons layer
     * every per-segment testing sweep needs (25 per-nation tests at
@@ -1445,7 +1405,6 @@ object StatsQueries {
   }
 
   val defs: Map[String, Q] = Map(
-    "q_stat_theilsen" -> (qStatTheilSen(_, _)),
     "q_stat_fdr" -> (qStatFdr(_, _)),
     "q_stat_fisher" -> (qStatFisher(_, _)),
     "q_time_dtw" -> (qTimeDtw(_, _)),
@@ -1496,29 +1455,6 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
-    // pairwise PPM slopes via // (truncating, same as Spark div even
-    // for negatives); lower median by row_number boundary
-    "q_stat_theilsen" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |slopes AS (
-        |  SELECT a.event_type,
-        |    ((b.n - a.n) * 1000000) // (b.d - a.d) AS s_ppm
-        |  FROM daily a JOIN daily b
-        |    ON a.event_type = b.event_type AND a.d < b.d),
-        |r AS (
-        |  SELECT event_type, s_ppm,
-        |    row_number() OVER (
-        |      PARTITION BY event_type ORDER BY s_ppm) AS rk,
-        |    count(*) OVER (PARTITION BY event_type) AS m
-        |  FROM slopes)
-        |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
-        |  CAST(s_ppm AS BIGINT) AS slope_ppm
-        |FROM r WHERE rk = (m + 1) // 2
-        |ORDER BY event_type""".stripMargin,
     // exact BIGINT hypergeometric tails per nation panel; step-up by
     // the cross-multiplied 500·num ≤ k·den rule; collision-free
     // HUGEINT sort key num·10^14 // den
