@@ -1335,6 +1335,110 @@ object StatsQueries {
           .as("reject"))
   }
 
+  /** 2-VARIABLE PCA per return flag — eigendecomposition of the
+    * (quantity, discount%) covariance matrix in closed form: the
+    * n²-scaled second moments Sxx = n·Σx²−(Σx)², Sxy, Syy are EXACT
+    * BIGINTs; the discriminant D = (Sxx−Syy)² + 4Sxy² is exact
+    * DECIMAL(38)/HUGEINT; and the only irrational steps — sqrt(D) and
+    * the divisions — run on those identical exact inputs, so IEEE
+    * correctly-rounded sqrt gives bit-equal doubles in both engines
+    * (the Jarque–Bera doctrine: exactness up to the last transcendental
+    * step). Reports λ₁ ≥ λ₂, the explained-variance ratio λ₁/(λ₁+λ₂)
+    * with its EXACT integer denominator tr = Sxx+Syy, and the leading
+    * eigenvector slope (λ₁−Sxx)/Sxy (null when Sxy = 0 — axes already
+    * principal).
+    *
+    * Scale: one map-side projection + one 6-sum aggregate per flag;
+    * eigen math runs on |flags| rows of scalars.
+    */
+  def qStatPca2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_discount * 100) as bigint)").as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("y") * col("y")).as("syy0"),
+        sum(col("x") * col("y")).as("sxy0"))
+      .withColumn("sxx", expr("n * sxx0 - sx * sx"))
+      .withColumn("syy", expr("n * syy0 - sy * sy"))
+      .withColumn("sxy", expr("n * sxy0 - sx * sy"))
+      .withColumn("sqd", expr(
+        "sqrt(cast(cast(sxx - syy as decimal(38,0)) * (sxx - syy)" +
+          " + 4 * cast(sxy as decimal(38,0)) * sxy as double))"))
+      .withColumn("lam1", expr(
+        "(cast(sxx + syy as double) + sqd) / 2.0d"))
+      .withColumn("lam2", expr(
+        "(cast(sxx + syy as double) - sqd) / 2.0d"))
+      // λ reported RAW: the doubles are bit-identical by construction
+      // (exact integer inputs + IEEE sqrt/arithmetic), while round(λ, 6)
+      // at 1e10 magnitude asks for a 17th significant digit and the two
+      // engines' decimal-rounding of the same binary value can differ by
+      // one ulp. The O(1)-magnitude ratios round safely.
+      .select(col("flag"), col("n"), col("sxx"), col("syy"), col("sxy"),
+        col("lam1"), col("lam2"),
+        round(expr("lam1 / cast(sxx + syy as double)"), 6)
+          .as("evr_r6"),
+        when(col("sxy") =!= 0,
+          round(expr("(lam1 - cast(sxx as double))" +
+            " / cast(sxy as double)"), 6)).as("dir_r6"))
+      .orderBy(col("flag"))
+  }
+
+  /** PAIRWISE PEARSON CORRELATION MATRIX over the four lineitem
+    * measures (quantity, discount%, tax%, price cents) — the
+    * multivariate profiling sweep in front of any feature selection.
+    * Per-row products stay in BIGINT (each ≤ 10¹⁴), per-row casts to
+    * DECIMAL(38)/HUGEINT make the SUMS exact past 2⁶³ (Σp² at sf0.1
+    * is ~10²⁰), the n-scaled cross moments S_ab = n·Σab − Σa·Σb are
+    * exact decimals, and r = S_ab / √(S_aa·S_bb) is the one
+    * double-step on identical exact inputs (√ of a product of two
+    * doubles — both engines IEEE). Emits the 6 upper-triangle pairs.
+    *
+    * Scale: one projection + ONE 15-sum aggregate over the corpus —
+    * a single map-side-partial reduce; the matrix math is one row.
+    */
+  def qStatCorrmat(spark: SparkSession, dir: String): DataFrame = {
+    def dsum(e: String) =
+      sum(expr(s"cast($e as decimal(38,0))"))
+    val agg = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        expr("cast(round(l_discount * 100) as bigint)").as("d"),
+        expr("cast(round(l_tax * 100) as bigint)").as("t"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("p"))
+      .agg(count(lit(1)).as("n"),
+        dsum("q").as("sq"), dsum("d").as("sd"),
+        dsum("t").as("st"), dsum("p").as("sp"),
+        dsum("q * q").as("sqq"), dsum("d * d").as("sdd"),
+        dsum("t * t").as("stt"), dsum("p * p").as("spp"),
+        dsum("q * d").as("sqd"), dsum("q * t").as("sqt"),
+        dsum("q * p").as("sqp"), dsum("d * t").as("sdt"),
+        dsum("d * p").as("sdp"), dsum("t * p").as("stp"))
+    def s2(saa: String, sa: String) =
+      s"(n * $saa - $sa * $sa)"
+    def s11(sab: String, sa: String, sb: String) =
+      s"(n * $sab - $sa * $sb)"
+    def r(sab: String, sa: String, sb: String,
+          saa: String, sbb: String) =
+      s"round(cast(${s11(sab, sa, sb)} as double) / sqrt(" +
+        s"cast(${s2(saa, sa)} as double) *" +
+        s" cast(${s2(sbb, sb)} as double)), 6)"
+    agg.select(col("n"), explode(expr(
+        "array(" +
+          s"struct('qty' as var_a, 'disc' as var_b, ${r("sqd", "sq", "sd", "sqq", "sdd")} as r_r6)," +
+          s"struct('qty' as var_a, 'tax' as var_b, ${r("sqt", "sq", "st", "sqq", "stt")} as r_r6)," +
+          s"struct('qty' as var_a, 'price' as var_b, ${r("sqp", "sq", "sp", "sqq", "spp")} as r_r6)," +
+          s"struct('disc' as var_a, 'tax' as var_b, ${r("sdt", "sd", "st", "sdd", "stt")} as r_r6)," +
+          s"struct('disc' as var_a, 'price' as var_b, ${r("sdp", "sd", "sp", "sdd", "spp")} as r_r6)," +
+          s"struct('tax' as var_a, 'price' as var_b, ${r("stp", "st", "sp", "stt", "spp")} as r_r6))"))
+        .as("pair"))
+      .select(col("pair.var_a").as("var_a"), col("pair.var_b").as("var_b"),
+        col("n"), col("pair.r_r6").as("r_r6"))
+      .orderBy(col("var_a"), col("var_b"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR control (Benjamini & Hochberg 1995) over
     * a FAMILY of exact Fisher tests — the multiple-comparisons layer
     * every per-segment testing sweep needs (25 per-nation tests at
@@ -1406,6 +1510,8 @@ object StatsQueries {
 
   val defs: Map[String, Q] = Map(
     "q_stat_fdr" -> (qStatFdr(_, _)),
+    "q_stat_pca2" -> (qStatPca2(_, _)),
+    "q_stat_corrmat" -> (qStatCorrmat(_, _)),
     "q_stat_fisher" -> (qStatFisher(_, _)),
     "q_time_dtw" -> (qTimeDtw(_, _)),
     "q_stat_mcnemar" -> (qStatMcnemar(_, _)),
@@ -1455,6 +1561,94 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // exact BIGINT moments, HUGEINT discriminant, IEEE sqrt on the
+    // identical exact inputs — bit-equal eigen doubles
+    "q_stat_pca2" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT flag, count(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx0,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy0,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy0
+        |  FROM m GROUP BY flag),
+        |s AS (
+        |  SELECT flag, n,
+        |    n * sxx0 - sx * sx AS sxx,
+        |    n * syy0 - sy * sy AS syy,
+        |    n * sxy0 - sx * sy AS sxy
+        |  FROM a),
+        |e AS (
+        |  SELECT *, sqrt(CAST(
+        |      CAST(sxx - syy AS HUGEINT) * (sxx - syy)
+        |        + 4 * CAST(sxy AS HUGEINT) * sxy AS DOUBLE)) AS sqd
+        |  FROM s),
+        |l AS (
+        |  SELECT *,
+        |    (CAST(sxx + syy AS DOUBLE) + sqd) / 2.0 AS lam1,
+        |    (CAST(sxx + syy AS DOUBLE) - sqd) / 2.0 AS lam2
+        |  FROM e)
+        |SELECT flag, n, sxx, syy, sxy,
+        |  lam1, lam2,
+        |  round(lam1 / CAST(sxx + syy AS DOUBLE), 6) AS evr_r6,
+        |  CASE WHEN sxy <> 0 THEN
+        |    round((lam1 - CAST(sxx AS DOUBLE)) / CAST(sxy AS DOUBLE), 6)
+        |  END AS dir_r6
+        |FROM l ORDER BY flag""".stripMargin,
+    // per-row BIGINT products, HUGEINT sums, one double sqrt step
+    "q_stat_corrmat" -> {
+      def s2(saa: String, sa: String) = s"(n * $saa - $sa * $sa)"
+      def s11(sab: String, sa: String, sb: String) =
+        s"(n * $sab - $sa * $sb)"
+      def r(sab: String, sa: String, sb: String,
+            saa: String, sbb: String) =
+        s"round(CAST(${s11(sab, sa, sb)} AS DOUBLE) / sqrt(" +
+          s"CAST(${s2(saa, sa)} AS DOUBLE) *" +
+          s" CAST(${s2(sbb, sb)} AS DOUBLE)), 6)"
+      s"""WITH m AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+         |    CAST(round(l_tax * 100) AS BIGINT) AS t,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(d AS HUGEINT)) AS sd,
+         |    SUM(CAST(t AS HUGEINT)) AS st, SUM(CAST(p AS HUGEINT)) AS sp,
+         |    SUM(CAST(q * q AS HUGEINT)) AS sqq,
+         |    SUM(CAST(d * d AS HUGEINT)) AS sdd,
+         |    SUM(CAST(t * t AS HUGEINT)) AS stt,
+         |    SUM(CAST(p * p AS HUGEINT)) AS spp,
+         |    SUM(CAST(q * d AS HUGEINT)) AS sqd,
+         |    SUM(CAST(q * t AS HUGEINT)) AS sqt,
+         |    SUM(CAST(q * p AS HUGEINT)) AS sqp,
+         |    SUM(CAST(d * t AS HUGEINT)) AS sdt,
+         |    SUM(CAST(d * p AS HUGEINT)) AS sdp,
+         |    SUM(CAST(t * p AS HUGEINT)) AS stp
+         |  FROM m),
+         |pairs AS (
+         |  SELECT CAST(n AS BIGINT) AS n, unnest([
+         |    struct_pack(var_a := 'qty', var_b := 'disc',
+         |      r_r6 := ${r("sqd", "sq", "sd", "sqq", "sdd")}),
+         |    struct_pack(var_a := 'qty', var_b := 'tax',
+         |      r_r6 := ${r("sqt", "sq", "st", "sqq", "stt")}),
+         |    struct_pack(var_a := 'qty', var_b := 'price',
+         |      r_r6 := ${r("sqp", "sq", "sp", "sqq", "spp")}),
+         |    struct_pack(var_a := 'disc', var_b := 'tax',
+         |      r_r6 := ${r("sdt", "sd", "st", "sdd", "stt")}),
+         |    struct_pack(var_a := 'disc', var_b := 'price',
+         |      r_r6 := ${r("sdp", "sd", "sp", "sdd", "spp")}),
+         |    struct_pack(var_a := 'tax', var_b := 'price',
+         |      r_r6 := ${r("stp", "st", "sp", "stt", "spp")})]) AS pair
+         |  FROM a)
+         |SELECT pair.var_a AS var_a, pair.var_b AS var_b, n,
+         |  pair.r_r6 AS r_r6
+         |FROM pairs ORDER BY var_a, var_b""".stripMargin
+    },
     // exact BIGINT hypergeometric tails per nation panel; step-up by
     // the cross-multiplied 500·num ≤ k·den rule; collision-free
     // HUGEINT sort key num·10^14 // den
