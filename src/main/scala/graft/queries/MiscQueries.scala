@@ -481,6 +481,42 @@ object MiscQueries {
     * construction (a publish IS a job — the streaming-query
     * construction contract).
     */
+  /** PARQUET CODEC roundtrip fidelity — the codec-selection check an
+    * ETL service runs before flipping a table's compression default:
+    * the same projection written under gzip / none / snappy / zstd
+    * (all bundled with Spark) and read back, each certified against
+    * the direct scan by exact integer content fingerprints (row
+    * count, total cents, and an order-independent SUM of the portable
+    * 32-bit key hash — n·2³² bounded, BIGINT-exact). Four identical
+    * output rows = four lossless roundtrips; the oracle computes the
+    * expected fingerprint once from the source table and fans it
+    * across the codec labels, so any codec-induced corruption or row
+    * loss hash-fails.
+    *
+    * Scale: each write/read is one map-side pass over a 2-column
+    * projection; fingerprints are single aggregates. Codec choice at
+    * 100 TB is a scan-speed/size tradeoff — this query is the
+    * correctness gate in front of that tuning, not the tuning itself.
+    */
+  def qLakeCodecs(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.streaming.StreamOps.scratchDir("q_lake_codecs")
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val frames = Seq("gzip", "none", "snappy", "zstd").map { c =>
+      val path = s"$tmp/$c"
+      src.write.mode("overwrite").option("compression", c).parquet(path)
+      spark.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          sum(expr("cast(conv(substring(" +
+            "md5(cast(o_orderkey as string)), 1, 8), 16, 10)" +
+            " as bigint)")).as("key_hashsum"))
+        .select(lit(c).as("codec"), col("n_rows"), col("sum_cents"),
+          col("key_hashsum"))
+    }
+    frames.reduce(_ unionByName _).orderBy(col("codec"))
+  }
+
   def qLakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.streaming.StreamOps.scratchDir("q_lake_time_travel")
     val table = s"$tmp/orders_t"
@@ -792,6 +828,7 @@ object MiscQueries {
     "q_ingest_dispatch" -> (qIngestDispatch(_, _)),
     "q_source_orc" -> (qSourceOrc(_, _)),
     "q_lake_time_travel" -> (qLakeTimeTravel(_, _)),
+    "q_lake_codecs" -> (qLakeCodecs(_, _)),
     "q_lake_snapshot_diff" -> (qLakeSnapshotDiff(_, _)),
     "q_lake_skipping" -> (qLakeSkipping(_, _)),
     "q_lake_zbox" -> (qLakeZbox(_, _)),
@@ -1310,6 +1347,23 @@ object MiscQueries {
     "q_source_orc" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // expected fingerprint computed ONCE from the source table, fanned
+    // across codec labels — a lossy roundtrip hash-fails
+    "q_lake_codecs" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS sum_cents,
+        |    CAST(SUM(CAST(list_sum(list_transform(generate_series(1, 8),
+        |      d -> CAST(strpos('0123456789abcdef', substring(
+        |             md5(CAST(o_orderkey AS VARCHAR)), d, 1)) - 1
+        |           AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))
+        |      AS BIGINT)) AS BIGINT) AS key_hashsum
+        |  FROM orders)
+        |SELECT codec, n_rows, sum_cents, key_hashsum
+        |FROM (SELECT unnest(['gzip', 'none', 'snappy', 'zstd'])
+        |        AS codec), agg
+        |ORDER BY codec""".stripMargin,
     // v1 = the untouched snapshot; v2 = the q_merge_upsert result —
     // equality certifies version immutability under the later publish.
     "q_lake_time_travel" ->
