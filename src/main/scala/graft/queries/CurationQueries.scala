@@ -519,7 +519,44 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** CCNet-STYLE PERPLEXITY TIERING (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document against the reference bigram LM
+    * (the shared Stupid-Backoff model of q_text_bigram_lm), rank the
+    * corpus by perplexity, and cut it into the head / middle / tail
+    * terciles CCNet feeds to training with different sampling rates.
+    * The rank is a GLOBAL order over the corpus, so it runs through
+    * [[graft.ops.Prefix.runningSumInclusive]] (range-partitioned
+    * two-pass — no single-partition window over documents); ties in
+    * the round-3 perplexity break by doc_id, making tier boundaries
+    * deterministic in both engines.
+    *
+    * Scale: LM scoring is the bigram join (one corpus shuffle, model
+    * tables broadcast-sized); ranking is the two-pass prefix scan;
+    * the report is a 3-row aggregate.
+    */
+  def qCurateCcnetTiers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.stupidBackoffScore(
+      Tables.documents(spark, dir), "doc_id", "text",
+      trainPred = col("doc_id") % 2 === 0)
+    val ranked = graft.ops.Prefix.runningSumInclusive(
+      scored, Seq(col("ppl"), col("doc_id")), lit(1L), "rk")
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("tier", expr("((rk - 1) * 3) div n_docs"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"),
+        sum(col("n_scored")).as("n_tokens"))
+      .select(col("tier"),
+        expr("element_at(array('head', 'middle', 'tail')," +
+          " cast(tier + 1 as int))").as("tier_name"),
+        col("n"), col("min_ppl"), col("max_ppl"), col("n_tokens"))
+      .orderBy(col("tier"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_curate_ccnet_tiers" -> (qCurateCcnetTiers(_, _)),
     "q_curate_temperature" -> (qCurateTemperature(_, _)),
     "q_curate_quality_model" -> (qCurateQualityModel(_, _)),
     "q_curate_kappa" -> (qCurateKappa(_, _)),
@@ -943,6 +980,24 @@ object CurationQueries {
   private val u = Sampling.hashUniformSql("doc_id")
 
   val oracles: Map[String, String] = Map(
+    // the shared bigram-LM twin nests as a CTE; rank by (round-3 ppl,
+    // doc_id) and cut terciles with the same integer boundary rule
+    "q_curate_ccnet_tiers" -> {
+      val lm = TextQueries.oracles("q_text_bigram_lm")
+      s"""WITH lm AS (
+         |$lm
+         |),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY ppl, doc_id) AS rk,
+         |    count(*) OVER () AS n_docs
+         |  FROM lm),
+         |t AS (SELECT *, ((rk - 1) * 3) // n_docs AS tier FROM rk)
+         |SELECT CAST(tier AS BIGINT) AS tier,
+         |  ['head', 'middle', 'tail'][CAST(tier + 1 AS INT)] AS tier_name,
+         |  count(*) AS n, min(ppl) AS min_ppl, max(ppl) AS max_ppl,
+         |  CAST(sum(n_scored) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY tier ORDER BY tier""".stripMargin
+    },
     // certified isqrt (rounding-direction-proof), integer remainders,
     // largest-remainder step identical to the engine
     "q_curate_temperature" ->
