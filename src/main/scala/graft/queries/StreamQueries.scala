@@ -584,6 +584,54 @@ object StreamQueries {
       .orderBy(col("user_id"), col("update_seq"))
   }
 
+  /** STREAMING TOP-3 LEADERBOARD per event type through
+    * transformWithState's MAPSTATE ([[StreamOps.LeaderboardProcessor]]
+    * — point-updated user→cents entries + a ValueState batch counter,
+    * TimeMode.None), replayed as a REAL two-batch file stream (the
+    * q_stream_ewma even/odd split contract). Every emission is exact
+    * integer cents, so the oracle replays both prefix states: batch 1
+    * ranks the even-id totals, batch 2 ranks the full totals (for
+    * types that have odd-id events — a type absent from a batch emits
+    * nothing that trigger).
+    */
+  def qStreamTwsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_tws_topk")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    StreamOps.withRocksDb(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$tmp/src")
+        .parquet(s"$tmp/src/*")
+        .select(col("event_type"), col("user_id"), col("cents"))
+        .as[StreamOps.LbEvent]
+      val q = StreamOps.leaderboardTws(stream, k = 3)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$tmp/out")
+      .select(col("event_type"), col("batch_seq"), col("rank"),
+        col("user_id"), col("total_cents"))
+      .orderBy(col("event_type"), col("batch_seq"), col("rank"))
+  }
+
   /** STREAMING Z-SCORE ALERTS at ingest — per-type running moments
     * carried across two micro-batches (evens then odds, the
     * q_stream_ewma split contract), alerting on >3σ deviations from
@@ -1346,6 +1394,7 @@ object StreamQueries {
     "q_stream_session" -> (qStreamSession(_, _)),
     "q_stream_session_state" -> (qStreamSessionState(_, _)),
     "q_stream_session_tws" -> (qStreamSessionTws(_, _)),
+    "q_stream_tws_topk" -> (qStreamTwsTopk(_, _)),
     "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _)),
     "q_stream_session_dedup" -> (qStreamSessionDedup(_, _)),
     "q_stream_cep" -> (qStreamCep(_, _))
@@ -2039,6 +2088,41 @@ object StreamQueries {
         |  round(SUM(value), 2) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // prefix-state replay: batch 1 = even-id totals, batch 2 = full
+    // totals for types with odd-id events; exact integer cents
+    "q_stream_tws_topk" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b1 AS (
+        |  SELECT event_type, user_id, CAST(SUM(cents) AS BIGINT) AS total
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT event_type, user_id, CAST(SUM(cents) AS BIGINT) AS total
+        |  FROM ev GROUP BY 1, 2),
+        |evens AS (SELECT DISTINCT event_type FROM ev
+        |          WHERE event_id % 2 = 0),
+        |odds AS (SELECT DISTINCT event_type FROM ev
+        |         WHERE event_id % 2 = 1),
+        |r1 AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS batch_seq, user_id,
+        |    total, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY total DESC, user_id) AS rank
+        |  FROM b1),
+        |r2 AS (
+        |  SELECT b2.event_type,
+        |    CASE WHEN b2.event_type IN (SELECT event_type FROM evens)
+        |      THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END
+        |      AS batch_seq,
+        |    user_id, total, row_number() OVER (PARTITION BY b2.event_type
+        |      ORDER BY total DESC, user_id) AS rank
+        |  FROM b2 WHERE b2.event_type IN (SELECT event_type FROM odds))
+        |SELECT event_type, batch_seq, CAST(rank AS BIGINT) AS rank,
+        |  user_id, total AS total_cents
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |WHERE rank <= 3
+        |ORDER BY event_type, batch_seq, rank""".stripMargin,
     // same oracle as q_stream_session_state: the tws port must emit
     // the identical closed-session set under the identical boundary
     "q_stream_session_tws" ->

@@ -297,6 +297,69 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class LbEvent(event_type: String, user_id: Long, cents: Long)
+  case class LbTop(event_type: String, batch_seq: Long, rank: Long,
+                   user_id: Long, total_cents: Long)
+
+  /** Streaming TOP-K LEADERBOARD — the second transformWithState
+    * exemplar, exercising the parts [[SessionProcessor]] doesn't:
+    * MAPSTATE (user → running cents, point-updated per event — the
+    * state shape fMGWS forces into one opaque blob that rewrites
+    * wholesale every batch, and the reason the successor API exists)
+    * alongside a ValueState batch counter, under TimeMode.None (no
+    * timers). Each batch point-updates only the arriving users'
+    * entries, then emits the key's current top-k by (total desc,
+    * user asc) — all-integer cents, so emissions replay exactly.
+    *
+    * Scale: state per key is one map entry per active user —
+    * point-read/point-write per event under RocksDB, NOT a
+    * deserialize-the-world per batch; the emission scan is
+    * O(users-per-key) (inherent to exact top-k — an unseen user may
+    * hold rank k), keys partition across executors.
+    */
+  class LeaderboardProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, LbEvent, LbTop] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      TTLConfig, ValueState, MapState}
+    import org.apache.spark.sql.Encoders
+    @transient private var totals: MapState[Long, Long] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getMapState[Long, Long]("totals",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[LbEvent],
+        timers: TimerValues): Iterator[LbTop] = {
+      for (e <- rows) {
+        val prev = if (totals.containsKey(e.user_id))
+          totals.getValue(e.user_id) else 0L
+        totals.updateValue(e.user_id, prev + e.cents)
+      }
+      val b = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(b)
+      totals.iterator().toSeq
+        .sortBy { case (u, t) => (-t, u) }
+        .take(k).zipWithIndex.map { case ((u, t), i) =>
+          LbTop(key, b, i + 1L, u, t)
+        }.iterator
+    }
+  }
+
+  /** Top-k leaderboard via [[LeaderboardProcessor]]; run under
+    * [[withRocksDb]]. */
+  def leaderboardTws(events: Dataset[LbEvent], k: Int): Dataset[LbTop] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.event_type)
+      .transformWithState(new LeaderboardProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run `body` with the RocksDB state-store provider set (required
     * by transformWithState), restoring the prior provider after. */
   def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)

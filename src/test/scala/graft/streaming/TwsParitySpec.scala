@@ -120,6 +120,37 @@ class TwsParitySpec extends SparkTestBase {
     assert(emittedA() == 1, "watermark one ms past end+gap must close")
   }
 
+  test("MapState leaderboard: per-batch top-k equals prefix-state ranking") {
+    val mem = MemoryStream[StreamOps.LbEvent](spark)
+    val out = Files.createTempDirectory("tws-lb-out").toString
+    val cp = Files.createTempDirectory("tws-lb-cp").toString
+    val top = StreamOps.leaderboardTws(mem.toDS(), k = 2)
+    def drain(): Unit = StreamOps.withRocksDb(spark) {
+      val q = top.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: u1=30, u2=20 on type "a"; type "b" untouched
+    mem.addData(
+      StreamOps.LbEvent("a", 1L, 10L), StreamOps.LbEvent("a", 1L, 20L),
+      StreamOps.LbEvent("a", 2L, 20L))
+    drain()
+    // batch 2: u3 overtakes u2 on "a" (25 > 20); "b" gets its first
+    // batch (batch_seq 1 for "b" — per-KEY counter, not global)
+    mem.addData(
+      StreamOps.LbEvent("a", 3L, 25L), StreamOps.LbEvent("b", 9L, 5L))
+    drain()
+    val rows = spark.read.parquet(out)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("a", 1L, 1L, 1L, 30L), ("a", 1L, 2L, 2L, 20L),
+      ("a", 2L, 1L, 1L, 30L), ("a", 2L, 2L, 3L, 25L),
+      ("b", 1L, 1L, 9L, 5L)))
+  }
+
   test("session extension is honored across batches (stale timers ignored)") {
     val mem = MemoryStream[StreamOps.UserEvent](spark)
     val sessions = StreamOps.sessionizeTws(
