@@ -632,6 +632,52 @@ object StreamQueries {
       .orderBy(col("event_type"), col("batch_seq"), col("rank"))
   }
 
+  /** LAST-5 SLIDING-WINDOW STATS per user via transformWithState's
+    * LISTSTATE ([[StreamOps.SlidingNProcessor]]) over the even/odd
+    * two-batch replay — batch 1 emits stats over the last 5 even-id
+    * events; batch 2 over the last 5 in ARRIVAL order (every even-id
+    * event preceded every odd-id one — the stream's order, not global
+    * event_id order), every number exact integer cents. The oracle
+    * replays both prefixes with arrival-ordered list slices.
+    */
+  def qStreamTwsLastn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_tws_lastn")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    StreamOps.withRocksDb(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$tmp/src")
+        .parquet(s"$tmp/src/*")
+        .as[StreamOps.WinEvent]
+      val q = StreamOps.slidingNTws(stream, n = 5)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("batch_seq"), col("n_seen"),
+        col("n_in_window"), col("win_min"), col("win_med"),
+        col("win_max"), col("win_sum"))
+      .orderBy(col("user_id"), col("batch_seq"))
+  }
+
   /** STREAMING Z-SCORE ALERTS at ingest — per-type running moments
     * carried across two micro-batches (evens then odds, the
     * q_stream_ewma split contract), alerting on >3σ deviations from
@@ -1395,6 +1441,7 @@ object StreamQueries {
     "q_stream_session_state" -> (qStreamSessionState(_, _)),
     "q_stream_session_tws" -> (qStreamSessionTws(_, _)),
     "q_stream_tws_topk" -> (qStreamTwsTopk(_, _)),
+    "q_stream_tws_lastn" -> (qStreamTwsLastn(_, _)),
     "q_stream_psi_ingest" -> (qStreamPsiIngest(_, _)),
     "q_stream_session_dedup" -> (qStreamSessionDedup(_, _)),
     "q_stream_cep" -> (qStreamCep(_, _))
@@ -2088,6 +2135,48 @@ object StreamQueries {
         |  round(SUM(value), 2) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // prefix replays with ordered list slices: last-5 of the even-id
+    // prefix, then last-5 of everything; lower median on ≤5 ints
+    "q_stream_tws_lastn" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |p1 AS (
+        |  SELECT user_id, list(cents ORDER BY event_id) AS l,
+        |    count(*) AS n_seen
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY user_id),
+        |p2 AS (
+        |  -- ARRIVAL order, not global event_id order: the state saw
+        |  -- every even-id event (batch 1) before any odd-id event
+        |  SELECT user_id,
+        |    list(cents ORDER BY event_id % 2, event_id) AS l,
+        |    count(*) AS n_seen
+        |  FROM ev GROUP BY user_id),
+        |evens AS (SELECT DISTINCT user_id FROM ev
+        |          WHERE event_id % 2 = 0),
+        |odds AS (SELECT DISTINCT user_id FROM ev
+        |         WHERE event_id % 2 = 1),
+        |stats AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS batch_seq,
+        |    CAST(n_seen AS BIGINT) AS n_seen,
+        |    list_sort(l[greatest(len(l) - 4, 1):]) AS w
+        |  FROM p1
+        |  UNION ALL
+        |  SELECT p2.user_id,
+        |    CASE WHEN p2.user_id IN (SELECT user_id FROM evens)
+        |      THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+        |    CAST(p2.n_seen AS BIGINT),
+        |    list_sort(l[greatest(len(l) - 4, 1):])
+        |  FROM p2 WHERE p2.user_id IN (SELECT user_id FROM odds))
+        |SELECT user_id, batch_seq, n_seen,
+        |  CAST(len(w) AS BIGINT) AS n_in_window,
+        |  w[1] AS win_min,
+        |  w[CAST((len(w) + 1) // 2 AS INT)] AS win_med,
+        |  w[CAST(len(w) AS INT)] AS win_max,
+        |  CAST(list_sum(w) AS BIGINT) AS win_sum
+        |FROM stats
+        |ORDER BY user_id, batch_seq""".stripMargin,
     // prefix-state replay: batch 1 = even-id totals, batch 2 = full
     // totals for types with odd-id events; exact integer cents
     "q_stream_tws_topk" ->

@@ -350,6 +350,71 @@ object StreamOps {
     }
   }
 
+  case class WinEvent(user_id: Long, event_id: Long, cents: Long)
+  case class WinStat(user_id: Long, batch_seq: Long, n_seen: Long,
+                     n_in_window: Long, win_min: Long, win_med: Long,
+                     win_max: Long, win_sum: Long)
+
+  /** LAST-N SLIDING WINDOW per user — the LISTSTATE exemplar,
+    * completing transformWithState's state-type coverage (ValueState:
+    * [[SessionProcessor]]; MapState: [[LeaderboardProcessor]]): the
+    * window is an ordered ListState of the user's most recent n cents
+    * values (events sort by event_id within each batch — iterator
+    * order is partition-dependent, the sort is the determinism
+    * contract), trimmed on write; two ValueStates carry the per-key
+    * batch counter and lifetime event count. Each batch emits the
+    * window's exact integer stats (min / lower-median / max / sum).
+    *
+    * Scale: state per key is n longs + two counters; the emission is
+    * O(n log n) on n ≤ 5 — constant. The published failure mode this
+    * replaces is an unbounded event buffer in fMGWS state.
+    */
+  class SlidingNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, WinEvent, WinStat] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      TTLConfig, ValueState, ListState}
+    import org.apache.spark.sql.Encoders
+    @transient private var window: ListState[Long] = _
+    @transient private var seq: ValueState[Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      window = getHandle.getListState[Long]("window",
+        Encoders.scalaLong, TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[WinEvent],
+        timers: TimerValues): Iterator[WinStat] = {
+      val sorted = rows.toSeq.sortBy(_.event_id)
+      var win = if (window.exists()) window.get().toVector
+        else Vector.empty[Long]
+      for (e <- sorted) win = (win :+ e.cents).takeRight(n)
+      window.put(win.toArray)
+      val b = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(b)
+      val s = (if (seen.exists()) seen.get() else 0L) + sorted.size
+      seen.update(s)
+      val so = win.sorted
+      Iterator.single(WinStat(uid, b, s, win.size.toLong, so.head,
+        so((so.size + 1) / 2 - 1), so.last, win.sum))
+    }
+  }
+
+  /** Last-n window stats via [[SlidingNProcessor]]; run under
+    * [[withRocksDb]]. */
+  def slidingNTws(events: Dataset[WinEvent], n: Int): Dataset[WinStat] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SlidingNProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Top-k leaderboard via [[LeaderboardProcessor]]; run under
     * [[withRocksDb]]. */
   def leaderboardTws(events: Dataset[LbEvent], k: Int): Dataset[LbTop] = {
