@@ -66,65 +66,6 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (Cormack, Clarke &
-    * Buettcher SIGIR'09) — the standard way modern search stacks
-    * combine a lexical ranker with a vector ranker without score
-    * calibration: fused(d) = Σ_lists 1/(60 + rank_list(d)) over each
-    * list's top-20, missing → 0. Lists here: dense = brute cosine
-    * over the embeddings table; lexical = distinct-token overlap
-    * between the query doc and the corpus (doc_id aligns with vec_id
-    * by fixture construction). Each 1/(60+r) term is PPM-quantized
-    * (10⁶ div (60+r)) so the fusion sum, ordering, and ties are exact
-    * integers in both engines; only ranks cross lists, never scores —
-    * the property that makes RRF calibration-free.
-    *
-    * Scale: the dense list is the ANN family's cost (swap brute for
-    * IVF/LSH unchanged); the lexical join fans out only the BOUNDED
-    * query token set (broadcast); fusion is a full-outer join of two
-    * top-k lists — k·|queries| rows, trivially partitioned by query.
-    */
-  def qSimRrf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kList = 20
-    val emb = Tables.embeddings(spark, dir)
-    val vec = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        kList)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("long").as("vrank"))
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(filter(split(text, ' '), t -> t <> ''))"))
-        .as("tok"))
-    val qt = toks.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("tok"))
-    val lex = broadcast(qt)
-      .join(toks.select(col("doc_id").as("neighbor_id"), col("tok")),
-        "tok")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(count(lit(1)).as("ov"))
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("ov").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("lrank") <= kList)
-      .select(col("query_id"), col("neighbor_id"), col("lrank"))
-    vec.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
-      .select(col("query_id"), col("neighbor_id"),
-        (coalesce(expr("1000000L div (60 + vrank)"), lit(0L)) +
-          coalesce(expr("1000000L div (60 + lrank)"), lit(0L)))
-          .as("rrf_ppm"),
-        col("vrank"), col("lrank"))
-      .withColumn("frank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf_ppm").desc, col("neighbor_id")))
-        .cast("long"))
-      .filter(col("frank") <= 10)
-      .select(col("query_id"), col("frank"), col("neighbor_id"),
-        col("rrf_ppm"), col("vrank"), col("lrank"))
-      .orderBy(col("query_id"), col("frank"))
-  }
-
   def qSimTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(
@@ -387,7 +328,6 @@ object SimilarityQueries {
     "q_sim_quantize" -> (qSimQuantize(_, _)),
     "q_sim_matryoshka" -> (qSimMatryoshka(_, _)),
     "q_sim_hard_negatives" -> (qSimHardNegatives(_, _)),
-    "q_sim_rrf" -> (qSimRrf(_, _)),
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_mips" -> (qSimTopkMips(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
@@ -1099,58 +1039,6 @@ object SimilarityQueries {
         |  round(ip, 6) AS ip_r6
         |FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // dense list = the brute-cosine replay (same fold, rank <= 20);
-    // lexical list = distinct-token overlap; PPM-quantized RRF terms
-    // make the fusion integer-exact
-    "q_sim_rrf" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-        |      / (q.nrm * c.nrm) AS cosine
-        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        |vec AS (
-        |  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS vrank
-        |  FROM (SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM scored)
-        |  WHERE rank <= 20),
-        |tk AS (
-        |  SELECT doc_id, unnest(list_distinct(list_filter(
-        |    string_split(text, ' '), t -> t <> ''))) AS tok
-        |  FROM documents),
-        |ov AS (
-        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-        |    count(*) AS ov
-        |  FROM tk q JOIN tk c
-        |    ON q.tok = c.tok AND q.doc_id < 10 AND q.doc_id <> c.doc_id
-        |  GROUP BY 1, 2),
-        |lex AS (
-        |  SELECT query_id, neighbor_id, CAST(lrank AS BIGINT) AS lrank
-        |  FROM (SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY ov DESC, neighbor_id) AS lrank
-        |    FROM ov)
-        |  WHERE lrank <= 20),
-        |fused AS (
-        |  SELECT query_id, neighbor_id,
-        |    COALESCE(1000000 // (60 + vrank), 0)
-        |      + COALESCE(1000000 // (60 + lrank), 0) AS rrf_ppm,
-        |    vrank, lrank
-        |  FROM vec FULL JOIN lex USING (query_id, neighbor_id))
-        |SELECT query_id, CAST(frank AS BIGINT) AS frank, neighbor_id,
-        |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm, vrank, lrank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_ppm DESC, neighbor_id) AS frank
-        |  FROM fused)
-        |WHERE frank <= 10
-        |ORDER BY query_id, frank""".stripMargin,
     "q_sim_topk_brute" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

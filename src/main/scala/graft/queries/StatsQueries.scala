@@ -1389,7 +1389,11 @@ object StatsQueries {
 
   /** PAIRWISE PEARSON CORRELATION MATRIX over the four lineitem
     * measures (quantity, discount%, tax%, price cents) — the
-    * multivariate profiling sweep in front of any feature selection.
+    * multivariate profiling sweep in front of any feature selection
+    * ([[qAggCorr]] is the single-pair, per-flag exemplar with an OLS
+    * slope; THIS query's additions are the full matrix in one
+    * aggregate and the DECIMAL(38) sums the price² moments need past
+    * 2⁶³).
     * Per-row products stay in BIGINT (each ≤ 10¹⁴), per-row casts to
     * DECIMAL(38)/HUGEINT make the SUMS exact past 2⁶³ (Σp² at sf0.1
     * is ~10²⁰), the n-scaled cross moments S_ab = n·Σab − Σa·Σb are

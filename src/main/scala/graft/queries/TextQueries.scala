@@ -1615,7 +1615,12 @@ object TextQueries {
     * the sub-linear V ≈ K·n^β growth every tokenizer-budget and
     * dedup-impact estimate leans on. Per doc: cumulative token count,
     * cumulative vocabulary (a token joins at its FIRST doc — min
-    * doc_id per token), and the exact PPM type/token ratio.
+    * doc_id per token), and the exact PPM type/token ratio. Same
+    * first-occurrence + running-sum decomposition as
+    * q_running_distinct, on a DIFFERENT axis class: that query's
+    * month axis is calendar-bounded (a plain window suffices); the
+    * doc axis here is corpus-sized, which is what forces the
+    * distributed prefix scan.
     *
     * Scale shape: one corpus-linear explode feeding two aggregates
     * (per-doc counts, per-token first-doc); the doc-axis curve is
