@@ -1335,6 +1335,52 @@ object StatsQueries {
           .as("reject"))
   }
 
+  /** POWER ANALYSIS / SAMPLE-SIZE REQUIREMENT for the two-proportion
+    * A/B test — the experiment-DESIGN step in front of every decide-
+    * side test in this battery (q_event_abtest, q_stat_fisher decide
+    * significance AFTER the fact; this query answers "how many users
+    * per arm would detecting the observed effect need"): the standard
+    *   n = (z_{α/2} + z_β)² · (p₁(1−p₁) + p₂(1−p₂)) / (p₁ − p₂)²
+    * at α = 0.05 two-sided, power 0.80. Arms and conversions come
+    * from exact integer counts (the q_event_abtest cohorts); the
+    * z-quantiles are published constants; every double step is the
+    * IDENTICAL expression tree on identical exact inputs, so the
+    * ceiling is the same integer in both engines. The zero-effect
+    * guard is the exact integer test s₁·n₂ = s₂·n₁ (null — no finite
+    * sample detects a null effect).
+    *
+    * Scale: one user-level aggregate + a 2-row arm reduce; the design
+    * math runs on one row of scalars.
+    */
+  def qStatPower(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm", when(col("user_id") % 2 === 0, "A")
+        .otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("s"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n1"), col("s").as("s1"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n2"), col("s").as("s2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p1", expr("cast(s1 as double) / cast(n1 as double)"))
+      .withColumn("p2", expr("cast(s2 as double) / cast(n2 as double)"))
+      .select(col("n1"), col("s1"), col("n2"), col("s2"),
+        round(col("p1"), 6).as("p1_r6"),
+        round(col("p2"), 6).as("p2_r6"),
+        expr("""case when s1 * n2 = s2 * n1 then null else
+               |cast(ceil(
+               |  (1.959963985D + 0.8416212336D)
+               |    * (1.959963985D + 0.8416212336D)
+               |    * (p1 * (1.0D - p1) + p2 * (1.0D - p2))
+               |    / ((p1 - p2) * (p1 - p2))) as bigint) end"""
+          .stripMargin.replace('\n', ' ')).as("n_per_arm"))
+  }
+
   /** 2-VARIABLE PCA per return flag — eigendecomposition of the
     * (quantity, discount%) covariance matrix in closed form: the
     * n²-scaled second moments Sxx = n·Σx²−(Σx)², Sxy, Syy are EXACT
@@ -1515,6 +1561,7 @@ object StatsQueries {
   val defs: Map[String, Q] = Map(
     "q_stat_fdr" -> (qStatFdr(_, _)),
     "q_stat_pca2" -> (qStatPca2(_, _)),
+    "q_stat_power" -> (qStatPower(_, _)),
     "q_stat_corrmat" -> (qStatCorrmat(_, _)),
     "q_stat_fisher" -> (qStatFisher(_, _)),
     "q_time_dtw" -> (qTimeDtw(_, _)),
@@ -1565,6 +1612,34 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical expression tree on the exact arm counts; the
+    // zero-effect guard is the exact integer cross-product test
+    "q_stat_power" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS s
+        |  FROM u GROUP BY arm),
+        |ab AS (
+        |  SELECT a.n AS n1, a.s AS s1, b.n AS n2, b.s AS s2,
+        |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS p1,
+        |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS p2
+        |  FROM arms a, arms b WHERE a.arm = 'A' AND b.arm = 'B')
+        |SELECT n1, s1, n2, s2,
+        |  round(p1, 6) AS p1_r6, round(p2, 6) AS p2_r6,
+        |  CASE WHEN s1 * n2 = s2 * n1 THEN NULL ELSE
+        |    CAST(ceil(
+        |      (1.959963985 + 0.8416212336)
+        |        * (1.959963985 + 0.8416212336)
+        |        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |        / ((p1 - p2) * (p1 - p2))) AS BIGINT) END AS n_per_arm
+        |FROM ab""".stripMargin,
     // exact BIGINT moments, HUGEINT discriminant, IEEE sqrt on the
     // identical exact inputs — bit-equal eigen doubles
     "q_stat_pca2" ->
