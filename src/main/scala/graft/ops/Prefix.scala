@@ -66,8 +66,14 @@ object Prefix {
     val lw = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = ranged.withColumn("__local",
       dense_rank().over(lw).cast("long"))
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(countDistinct(order.head, order.tail: _*).as("__pt"))
+    // per-partition distinct KEY count — via distinct-then-count, NOT
+    // countDistinct: COUNT(DISTINCT ...) drops rows with any NULL order
+    // key while dense_rank ranks the NULL group, so the countDistinct
+    // carry would undercount by one and shift every rank after the first
+    // partition containing nulls (ADVICE r10, medium). DISTINCT treats
+    // NULLs null-safely (one group), matching dense_rank exactly.
+    val totals = ranged.select(col("__pid") +: order: _*).distinct()
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__pt"))
     val cw = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = totals

@@ -397,9 +397,10 @@ object CurationQueries {
     *     see at a fraction of the cost), y ∈ {+1, −1};
     *   - features: 32 md5-hashed token-count buckets + bias (the
     *     portable first-8-hex-digits hash the minhash family uses);
-    *   - training: 2 epochs over the doc_id % 4 == 0 slice in doc_id
-    *     order — a BOUNDED labeled sample (the BPE-vocab collect
-    *     class), folded through one ordered `aggregate` whose state
+    *   - training: 2 epochs over the doc_id % 4 == 0 AND doc_id < 2000
+    *     slice in doc_id order — an ABSOLUTELY bounded labeled sample
+    *     (≤ 500 rows at any corpus size; the BPE-vocab collect class),
+    *     folded through one ordered `aggregate` whose state
     *     is the 33-long weight vector; update w += y·x iff
     *     y·(w·x) ≤ 0;
     *   - scoring: the final w rides a one-row broadcast cross join;
@@ -421,10 +422,14 @@ object CurationQueries {
 
   /** The reusable perceptron core: input (doc_id, text, y ∈ {+1,−1}),
     * output per-doc (doc_id, is_train, label_pass, score, pred,
-    * correct). Training slice = doc_id % 4 == 0, 2 epochs, 32 hashed
-    * buckets + bias; every number BIGINT-exact. */
+    * correct). Training slice = doc_id % 4 == 0 AND doc_id < 2000 —
+    * the cap makes the labeled cohort ABSOLUTELY bounded (≤ 500 rows
+    * at any corpus size; ADVICE r10), so the ordered collect_list the
+    * fold runs over is a fixture-sized row, not a corpus fraction.
+    * 2 epochs, 32 hashed buckets + bias; every number BIGINT-exact. */
   private[graft] def perceptronScore(docs: DataFrame): DataFrame = {
     val B = 32
+    val trainCap = 2000L
     val bucket = "cast(conv(substring(md5(t), 1, 8), 16, 10)" +
       s" as bigint) % $B"
     // feature extraction is RELATIONAL (explode → codegen'd hash
@@ -450,7 +455,8 @@ object CurationQueries {
             " cast(0 as bigint)))").as("x")))
     val dot = s"aggregate(sequence(1, $B), cast(0 as bigint)," +
       " (s, b) -> s + element_at(w, b + 1) * element_at(e.x, b))"
-    val train = feats.filter(col("doc_id") % 4 === 0)
+    val train = feats.filter(col("doc_id") % 4 === 0 &&
+        col("doc_id") < trainCap)
       .agg(sort_array(collect_list(struct(
         col("doc_id"), col("y"), col("x")))).as("exs"))
       .select(expr(
@@ -468,7 +474,9 @@ object CurationQueries {
       " (s, b) -> s + element_at(w, b + 1) * element_at(x, b))"
     feats.crossJoin(broadcast(train))
       .withColumn("score", expr(score))
-      .select(col("doc_id"), (col("doc_id") % 4 === 0).as("is_train"),
+      .select(col("doc_id"),
+        (col("doc_id") % 4 === 0 && col("doc_id") < trainCap)
+          .as("is_train"),
         (col("y") === 1L).as("label_pass"),
         col("score"), (col("score") > 0).as("pred"),
         ((col("score") > 0) === (col("y") === 1L)).as("correct"))
@@ -1072,7 +1080,7 @@ object CurationQueries {
          |  FROM documents),
          |exs AS (
          |  SELECT y, x, row_number() OVER (ORDER BY doc_id) AS rn
-         |  FROM f WHERE doc_id % 4 = 0),
+         |  FROM f WHERE doc_id % 4 = 0 AND doc_id < 2000),
          |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM exs),
          |step(t, w) AS (
          |  SELECT CAST(0 AS BIGINT),
@@ -1088,7 +1096,8 @@ object CurationQueries {
          |  FROM step, nn, exs e
          |  WHERE e.rn = (t % nn.n) + 1 AND t < 2 * nn.n),
          |wf AS (SELECT w FROM step, nn WHERE t = 2 * nn.n)
-         |SELECT doc_id, doc_id % 4 = 0 AS is_train, y = 1 AS label_pass,
+         |SELECT doc_id, doc_id % 4 = 0 AND doc_id < 2000 AS is_train,
+         |  y = 1 AS label_pass,
          |  $dotS AS score, $dotS > 0 AS pred,
          |  ($dotS > 0) = (y = 1) AS correct
          |FROM f, wf ORDER BY doc_id""".stripMargin

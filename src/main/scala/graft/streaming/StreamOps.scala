@@ -224,6 +224,16 @@ object StreamOps {
         Long, UserEvent, UserSession] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
       ExpiredTimerInfo, TTLConfig, ValueState}
+    // the lazy-deletion staleness guard in handleExpiredTimer compares
+    // an expired timer against the (end + gap) ms-floor; for gapMs < 2
+    // a watermark-clamped stale timer (registered at wm + 2) can exceed
+    // that floor for a just-extended session and close it early
+    // (ADVICE r10). Sub-2ms session gaps are not meaningful at ms timer
+    // resolution anyway, so make the precondition explicit.
+    require(gapMs >= 2L,
+      s"SessionProcessor requires gapMs >= 2 (got $gapMs): the stale-" +
+        "timer guard is only sound when a fresh deadline strictly " +
+        "exceeds every earlier-registered timer")
     private val gapUs = gapMs * 1000L
     @transient private var open: ValueState[OpenSession] = _
 
@@ -528,9 +538,15 @@ object StreamOps {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[
       (java.util.UUID, BatchMetrics)]()
-    val done = new java.util.concurrent.atomic.AtomicReference[
-      java.util.UUID](null)
-    val terminated = new java.util.concurrent.CountDownLatch(1)
+    // record EVERY terminated id and check membership afterwards — a
+    // latch armed with q.id after start() races a fast query's
+    // terminated event (delivered while the reference is still null,
+    // the latch never counts down, every such run eats the full
+    // timeout); recording unconditionally is race-free and the id
+    // filter happens at read time, same as the progress rows
+    // (ADVICE r10)
+    val terminatedIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -545,17 +561,26 @@ object StreamOps {
         }
       }
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == done.get()) terminated.countDown()
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminatedIds.add(e.id); ()
+      }
     }
     spark.streams.addListener(listener)
     try {
       val q = writer.start()
-      done.set(q.id)
       q.awaitTermination()
       // the listener bus is async: wait for THIS query's terminated
-      // event, which the bus posts after all its progress events
-      terminated.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      // event, which the bus posts after all its progress events. A
+      // timeout means the bus never drained — building the table anyway
+      // would silently drop batches (the exact failure this helper
+      // exists to prevent), so fail loud instead.
+      val deadlineNs = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!terminatedIds.contains(q.id) &&
+          System.nanoTime() < deadlineNs) Thread.sleep(10)
+      if (!terminatedIds.contains(q.id))
+        throw new IllegalStateException(
+          s"listener bus did not deliver terminated event for ${q.id} " +
+            "within 60s; batch metrics would be incomplete")
       val qid = q.id
       import scala.jdk.CollectionConverters._
       seen.iterator().asScala.toSeq
@@ -1777,7 +1802,17 @@ object StreamOps {
       else subdirs.toSeq.map(d =>
         (d, new org.apache.hadoop.fs.Path(dest, d.getName)))
     }
-    for ((_, live) <- leaves if fs.exists(live);
+    // step 2 sweeps this batch's tag across ALL live leaf dirs (root +
+    // every partition subdir), not just the partitions the current
+    // replay staged: if a crashed attempt landed tagged files in a
+    // partition this replay doesn't produce, restricting the sweep to
+    // the staged set would leave those orphans behind as duplicate rows
+    // (ADVICE r10). One extra bounded listing of dest's children.
+    val liveLeaves: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(dest)) Seq.empty
+      else dest +: fs.listStatus(dest).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.contains("=")).toSeq
+    for (live <- liveLeaves;
          f <- fs.listStatus(live) if f.getPath.getName.startsWith(tag))
       fs.delete(f.getPath, false)
     for ((staged, live) <- leaves) {

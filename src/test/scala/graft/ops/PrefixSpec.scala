@@ -50,6 +50,41 @@ class PrefixSpec extends SparkTestBase {
     assert(got(0L) == -1L, "row with no predecessor must carry null")
   }
 
+  test("denseRank == global-window dense_rank, including a NULL key " +
+    "group (the carry must count the NULL group the local window ranks)") {
+    // nulls land in the FIRST range partition (asc nulls-first), so a
+    // carry that drops them shifts every rank in later partitions — the
+    // exact silent-wrong-answer mode flagged in ADVICE r10
+    val df = spark.range(400)
+      .select(col("id"),
+        when(pmod(col("id"), lit(17)) === 0, lit(null))
+          .otherwise(pmod(col("id") * 31, lit(60))).as("k"))
+    val expect = df.withColumn("r",
+        dense_rank().over(Window.orderBy(col("k"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val got = CacheScope.scoped {
+      Prefix.denseRank(df, Seq(col("k")), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    assert(got == expect)
+  }
+
+  test("denseRank composite order with nulls in the secondary key") {
+    val df = spark.range(300)
+      .select(col("id"),
+        pmod(col("id"), lit(7)).as("a"),
+        when(pmod(col("id"), lit(11)) === 0, lit(null))
+          .otherwise(pmod(col("id"), lit(13))).as("b"))
+    val expect = df.withColumn("r",
+        dense_rank().over(Window.orderBy(col("a"), col("b"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val got = CacheScope.scoped {
+      Prefix.denseRank(df, Seq(col("a"), col("b")), "r")
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    }
+    assert(got == expect)
+  }
+
   test("empty and single-row inputs") {
     CacheScope.scoped {
       val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))

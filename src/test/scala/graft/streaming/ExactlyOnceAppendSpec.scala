@@ -69,6 +69,31 @@ class ExactlyOnceAppendSpec extends SparkTestBase {
     assert(even == Seq(2L, 4L))
   }
 
+  test("orphan tagged files in a partition the replay does NOT " +
+    "produce are swept (ADVICE r10)") {
+    val root = Files.createTempDirectory("eoa5").toString
+    val dir = s"$root/data"
+    def b(ids: Long*) = ids.map(i => (i, i % 2)).toDF("id", "_bucket")
+    // batch 0 creates both partition dirs
+    StreamOps.appendExactlyOnce(b(1, 2), dir, 0, Some("_bucket"))
+    // simulate a crashed attempt of batch 1 that landed a tagged file
+    // in _bucket=0 — then the replayed batch 1 stages ONLY _bucket=1
+    // rows. A staged-set-scoped sweep would leave the orphan behind as
+    // duplicate data.
+    rows(99).coalesce(1).write.parquet(s"$root/partial")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val part = fs.listStatus(new Path(s"$root/partial"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(fs.rename(part,
+      new Path(s"$dir/_bucket=0", "b1-" + part.getName)))
+    StreamOps.appendExactlyOnce(b(5), dir, 1, Some("_bucket"))
+    val got = spark.read.parquet(dir).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 5L), "crashed attempt's orphan in the " +
+      "unstaged partition must be swept by the replay")
+  }
+
   test("no staging residue is left next to the live layout") {
     val root = Files.createTempDirectory("eoa4").toString
     val dir = s"$root/data"
