@@ -435,6 +435,30 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to a small
+    * constant, restoring the prior value after. For BOUNDED replay
+    * fixtures (the q_stream_* family): a streaming query's state-store
+    * count is fixed from this conf at its first checkpoint, so under a
+    * wide local session every micro-batch pays per-partition store
+    * open/commit/close on mostly-empty partitions — measured ~2.4× on
+    * q_stream_tws_topk at local[32] vs local[4] (VERDICT r10 #4). On a
+    * real cluster state stores distribute and the wide count is right;
+    * for a fixture-sized replay the overhead is pure waste. Per-key
+    * results are partition-count-invariant (the 4-vs-7-CPU determinism
+    * sweep pins this), so oracle rows are unchanged by construction.
+    */
+  def withReplayPartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run `body` with the RocksDB state-store provider set (required
     * by transformWithState), restoring the prior provider after. */
   def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)
