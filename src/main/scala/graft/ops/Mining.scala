@@ -47,14 +47,14 @@ object Mining {
     * LOCAL skyline per partition (a point only survives if no partition
     * peer dominates it — dominance is transitive-free but local
     * filtering is sound because a dominated point stays dominated
-    * globally), phase 2 merges the surviving candidates on one task.
-    * The skyline is a unique SET, so the result is deterministic
-    * regardless of partitioning; ties (equal vectors) all survive.
+    * globally), phase 2 merges the surviving candidates by LOGARITHMIC
+    * HALVING (the [[skylineND]] loop): each round coalesces pairs of
+    * partitions and re-filters, so every task is bounded by two
+    * frontiers even in anti-correlated worst cases where Σ local
+    * frontier sizes is itself huge. The skyline is a unique SET, so
+    * the result is deterministic regardless of partitioning and merge
+    * order; ties (equal vectors) all survive.
     *
-    * Scale contract: phase-2 input is Σ local-skyline sizes — for
-    * anti-correlated worst cases where that union is itself huge, the
-    * merge generalizes to repeated halving rounds (same operator,
-    * log(p) passes); the common case (frontiers ≪ n) is one tiny task.
     * This is the documented `mapPartitions` exception: the in-memory
     * pairwise frontier filter has no relational equivalent that isn't
     * the quadratic self-join the oracle runs.
@@ -98,9 +98,17 @@ object Mining {
       }
       frontier.iterator
     }
-    val survivors = proj.mapPartitions(localSkyline)
-      .repartition(1).mapPartitions(localSkyline)
-      .toDF("__k", "__d0", "__d1", "__d2")
+    // merge by logarithmic halving (the skylineND loop): each round
+    // coalesces pairs of partitions — no shuffle — and re-filters, so
+    // no task ever holds more than two frontiers' worth of candidates
+    // even when Σ local-frontier sizes is large (anti-correlated data).
+    var cur = proj.mapPartitions(localSkyline)
+    var parts = cur.rdd.getNumPartitions
+    while (parts > 1) {
+      parts = (parts + 1) / 2
+      cur = cur.coalesce(parts).mapPartitions(localSkyline)
+    }
+    val survivors = cur.toDF("__k", "__d0", "__d1", "__d2")
     df.join(survivors.select(col("__k")),
       col(key).cast("long") === col("__k"), "left_semi")
   }

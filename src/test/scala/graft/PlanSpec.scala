@@ -765,4 +765,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"))
     assert(p.contains("Window"))
   }
+
+  test("bootstrap: the md5-derived uniform is evaluated ONCE per " +
+    "(row, rep) — the 8-branch Poisson CASE ladder must reference it " +
+    "as an attribute, not inline the hash into every WHEN") {
+    // CollapseProject refuses to inline a non-cheap expression with
+    // multiple consumers; this guard pins that against Catalyst changes
+    // (and records that VERDICT r10 #2's 8× premise was checked: the
+    // physical plan carries exactly one md5)
+    val p = SparkEntry.queries("q_stat_bootstrap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("md5".r.findAllIn(p).length == 1,
+      "md5 must appear exactly once in the physical plan")
+  }
 }
