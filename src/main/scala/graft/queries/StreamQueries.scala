@@ -1128,6 +1128,112 @@ object StreamQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** KLEINBERG BURST DETECTION (Kleinberg, KDD 2002, "Bursty and
+    * hierarchical structure in streams") over per-type daily volumes —
+    * the state-machine cousin of [[qTimeChangepoint]] (one retro
+    * split) and [[qTimeCusum]] (sequential alarm): a two-state
+    * automaton (q0 = base rate, q1 = elevated rate) with an up-
+    * transition cost, decoded by VITERBI to the min-cost state path;
+    * maximal runs of q1 are the reported bursts.
+    *
+    * Integer quantization (the exactness doctrine — a one-ulp cost
+    * difference would flip an argmin and change the whole path, so no
+    * transcendentals anywhere): the day grid is zero-filled over each
+    * type's [min, max] span; base rate r0 = max(1, total div days),
+    * burst rate r1 = r0 + max(1, isqrt(r0)) — one Poisson deviation
+    * (√λ) above base, the integer sqrt certified by the double-seed
+    * ±1 fixup — emission cost in state k = (n − r_k)² (the
+    * Gaussian-surrogate quantization of the Poisson NLL around each
+    * state's rate), up-cost γ = (r1 − r0)². Every Viterbi comparison
+    * is then a BIGINT comparison; ties prefer the base state on entry
+    * and the burst state on stay, pinned identically in the CTE twin.
+    *
+    * Scale shape: the corpus reduces to |types|×|days| cells in one
+    * aggregate; the forward fold and backtrack run over per-type
+    * CALENDAR-BOUNDED arrays (the q_time_cusum per-series contract);
+    * the island numbering is a partitioned window over the same cells.
+    */
+  def qTimeBursts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"),
+        sum(col("n")).as("tot"))
+    val grid = span.select(col("event_type"), col("tot"),
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val filled = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("tot"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val decoded = filled.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"),
+        first(col("tot")).as("tot"))
+      .withColumn("nd", size(col("arr")).cast("long"))
+      .withColumn("r0", greatest(lit(1L), expr("tot div nd")))
+      // elevated rate = one Poisson deviation (√λ) above base, via the
+      // CERTIFIED integer sqrt (double-sqrt seed + ±1 fixup, the
+      // qCurateTemperature pattern) so both engines land on the same
+      // integer; max(1, ·) keeps r1 > r0 at tiny rates
+      .withColumn("sq0", expr("cast(sqrt(cast(r0 as double)) as bigint)"))
+      .withColumn("sq", expr(
+        """case when (sq0 + 1) * (sq0 + 1) <= r0 then sq0 + 1
+          |     when sq0 * sq0 > r0 then sq0 - 1
+          |     else sq0 end""".stripMargin))
+      .withColumn("r1", col("r0") + greatest(lit(1L), col("sq")))
+      .withColumn("gam",
+        (col("r1") - col("r0")) * (col("r1") - col("r0")))
+      // forward pass: D0/D1 plus per-step incoming-state choices
+      .withColumn("fwd", expr(
+        """aggregate(arr,
+          |  named_struct('d0', CAST(0 AS BIGINT), 'd1', gam,
+          |    'ch0', CAST(array() AS array<int>),
+          |    'ch1', CAST(array() AS array<int>)),
+          |  (a, x) -> named_struct(
+          |    'd0', least(a.d0, a.d1) + (x.n - r0) * (x.n - r0),
+          |    'd1', least(a.d0 + gam, a.d1) + (x.n - r1) * (x.n - r1),
+          |    'ch0', concat(a.ch0,
+          |      array(CASE WHEN a.d0 <= a.d1 THEN 0 ELSE 1 END)),
+          |    'ch1', concat(a.ch1,
+          |      array(CASE WHEN a.d0 + gam < a.d1 THEN 0 ELSE 1 END))))
+          |""".stripMargin))
+      .withColumn("s0", expr(
+        "CASE WHEN fwd.d0 <= fwd.d1 THEN 0 ELSE 1 END"))
+      // backtrack from the argmin final state through the choice arrays
+      .withColumn("st", expr(
+        """CASE WHEN nd >= 2 THEN
+          |  aggregate(sequence(nd, CAST(2 AS BIGINT), CAST(-1 AS BIGINT)),
+          |    named_struct('s', s0, 'out', array(s0)),
+          |    (a, t) -> named_struct(
+          |      's', CASE WHEN a.s = 0
+          |        THEN element_at(fwd.ch0, CAST(t AS INT))
+          |        ELSE element_at(fwd.ch1, CAST(t AS INT)) END,
+          |      'out', concat(array(CASE WHEN a.s = 0
+          |        THEN element_at(fwd.ch0, CAST(t AS INT))
+          |        ELSE element_at(fwd.ch1, CAST(t AS INT)) END), a.out)),
+          |    a -> a.out)
+          |ELSE array(s0) END""".stripMargin))
+    val perDay = decoded
+      .select(col("event_type"), col("r0"), col("r1"),
+        explode(expr("sequence(1, CAST(nd AS INT))")).as("t"),
+        col("arr"), col("st"))
+      .select(col("event_type"), col("r0"), col("r1"),
+        expr("element_at(arr, t).day").as("day"),
+        expr("element_at(arr, t).n").as("n"),
+        (expr("element_at(st, t)") === 1).as("burst"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    perDay
+      .withColumn("starts", when(col("burst") &&
+          !coalesce(lag(col("burst"), 1).over(w), lit(false)), 1L)
+        .otherwise(0L))
+      .withColumn("burst_id", when(col("burst"), sum(col("starts")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("event_type"), col("day"), col("n"),
+        col("r0").as("base_rate"), col("r1").as("burst_rate"),
+        col("burst"), col("burst_id"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968) of per-day
     * event-type volumes: slope = the LOWER MEDIAN of all pairwise
     * slopes (n_j−n_i)/(x_j−x_i), intercept = the lower median of the
@@ -1432,6 +1538,7 @@ object StreamQueries {
     "q_time_holt" -> (qTimeHolt(_, _)),
     "q_time_holtwinters" -> (qTimeHoltWinters(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
+    "q_time_bursts" -> (qTimeBursts(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
@@ -1978,6 +2085,89 @@ object StreamQueries {
         |FROM upd ORDER BY user_id, update_seq""".stripMargin,
     // Recursive-CTE twin of the CUSUM fold — identical expression tree
     // per step on the exact integer daily counts and exact-division μ.
+    "q_time_bursts" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi,
+        |    CAST(SUM(n) AS BIGINT) AS tot FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, tot,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |  FROM span),
+        |filled AS (
+        |  SELECT g.event_type, g.tot, g.day,
+        |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.day = d.day),
+        |idx AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn
+        |  FROM filled),
+        |par0 AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    greatest(CAST(1 AS BIGINT), MAX(tot) // count(*)) AS r0
+        |  FROM idx GROUP BY event_type),
+        |par1 AS (SELECT *,
+        |    CAST(sqrt(CAST(r0 AS DOUBLE)) AS BIGINT) AS q0 FROM par0),
+        |par2 AS (SELECT event_type, nd, r0,
+        |    CASE WHEN (q0 + 1) * (q0 + 1) <= r0 THEN q0 + 1
+        |         WHEN q0 * q0 > r0 THEN q0 - 1 ELSE q0 END AS q
+        |  FROM par1),
+        |par AS (SELECT event_type, nd, r0,
+        |    r0 + greatest(CAST(1 AS BIGINT), q) AS r1,
+        |    greatest(CAST(1 AS BIGINT), q)
+        |      * greatest(CAST(1 AS BIGINT), q) AS gam
+        |  FROM par2),
+        |f(event_type, t, d0, d1, ch0, ch1) AS (
+        |  SELECT i.event_type, CAST(1 AS BIGINT),
+        |    least(CAST(0 AS BIGINT), p.gam)
+        |      + (i.n - p.r0) * (i.n - p.r0),
+        |    least(CAST(0 AS BIGINT) + p.gam, p.gam)
+        |      + (i.n - p.r1) * (i.n - p.r1),
+        |    [CASE WHEN CAST(0 AS BIGINT) <= p.gam THEN 0 ELSE 1 END],
+        |    [CASE WHEN CAST(0 AS BIGINT) + p.gam < p.gam
+        |      THEN 0 ELSE 1 END]
+        |  FROM idx i JOIN par p USING (event_type) WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT f.event_type, f.t + 1,
+        |    least(f.d0, f.d1) + (i.n - p.r0) * (i.n - p.r0),
+        |    least(f.d0 + p.gam, f.d1) + (i.n - p.r1) * (i.n - p.r1),
+        |    list_append(f.ch0,
+        |      CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END),
+        |    list_append(f.ch1,
+        |      CASE WHEN f.d0 + p.gam < f.d1 THEN 0 ELSE 1 END)
+        |  FROM f
+        |  JOIN par p ON p.event_type = f.event_type
+        |  JOIN idx i ON i.event_type = f.event_type AND i.rn = f.t + 1),
+        |ff AS (SELECT f.* FROM f JOIN par p USING (event_type)
+        |  WHERE f.t = p.nd),
+        |b(event_type, t, s) AS (
+        |  SELECT event_type, t,
+        |    CASE WHEN d0 <= d1 THEN 0 ELSE 1 END
+        |  FROM ff
+        |  UNION ALL
+        |  SELECT b.event_type, b.t - 1,
+        |    CASE WHEN b.s = 0 THEN ff.ch0[CAST(b.t AS INT)]
+        |         ELSE ff.ch1[CAST(b.t AS INT)] END
+        |  FROM b JOIN ff USING (event_type) WHERE b.t >= 2),
+        |perday AS (
+        |  SELECT i.event_type, i.day, i.n, p.r0, p.r1, b.s = 1 AS burst
+        |  FROM idx i JOIN b ON b.event_type = i.event_type
+        |    AND b.t = i.rn
+        |  JOIN par p ON p.event_type = i.event_type),
+        |isl AS (
+        |  SELECT *, CASE WHEN burst AND NOT COALESCE(lag(burst) OVER (
+        |      PARTITION BY event_type ORDER BY day), false)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS starts
+        |  FROM perday)
+        |SELECT event_type, day, n, r0 AS base_rate, r1 AS burst_rate,
+        |  burst,
+        |  CASE WHEN burst THEN CAST(SUM(starts) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) END AS burst_id
+        |FROM isl ORDER BY event_type, day""".stripMargin,
     "q_time_cusum" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
