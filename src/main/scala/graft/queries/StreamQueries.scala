@@ -1153,8 +1153,12 @@ object StreamQueries {
     * CALENDAR-BOUNDED arrays (the q_time_cusum per-series contract);
     * the island numbering is a partitioned window over the same cells.
     */
-  def qTimeBursts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-type daily volumes ZERO-FILLED over each type's [min, max]
+    * calendar span — the shared front end of the series operators
+    * (bursts, motif): a silent day is a real observation of 0, not a
+    * missing row. Columns (event_type, tot, day, n). */
+  private def dailyGridFilled(spark: SparkSession, dir: String)
+      : DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -1163,9 +1167,14 @@ object StreamQueries {
         sum(col("n")).as("tot"))
     val grid = span.select(col("event_type"), col("tot"),
       explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-    val filled = grid.join(daily, Seq("event_type", "day"), "left")
+    grid.join(daily, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("tot"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def qTimeBursts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filled = dailyGridFilled(spark, dir)
     val decoded = filled.groupBy(col("event_type"))
       .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"),
         first(col("tot")).as("tot"))
@@ -1232,6 +1241,61 @@ object StreamQueries {
         col("r0").as("base_rate"), col("r1").as("burst_rate"),
         col("burst"), col("burst_id"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** MOTIF DISCOVERY (matrix-profile-lite; Yeh et al., ICDM 2016
+    * introduced the all-pairs window-distance profile this simplifies):
+    * per event type, the closest pair of NON-OVERLAPPING length-5
+    * windows over the zero-filled daily series — the repeated-shape
+    * detector, complement of [[qTimeBursts]] (which finds elevated
+    * rate, not recurring shape).
+    *
+    * Integer quantization (house doctrine): window distance is the SAD
+    * Σ|a_k − b_k| of exact daily counts — z-normalized Euclidean (the
+    * matrix-profile default) needs per-window mean/σ floats whose
+    * rounding could flip the argmin; SAD keeps every comparison BIGINT
+    * and the winning pair bit-stable. Ties break on (sad, i, j) via
+    * row_number, pinned identically in the twin.
+    *
+    * Scale: corpus → |types|×|days| cells; the O(w²) window-pair join
+    * is calendar-bounded per type (w = days − 4), never data-bounded —
+    * the q_time_theilsen per-series pair contract. For long series the
+    * published scale path is STOMP's O(n²)→O(n·w) streaming dot
+    * products; at daily granularity w² stays trivial for decades.
+    */
+  def qTimeMotif(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = 5
+    val arr = dailyGridFilled(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .withColumn("nd", size(col("arr")))
+      .filter(col("nd") >= 2 * m)
+    val wins = arr
+      .select(col("event_type"), col("arr"),
+        explode(expr(s"sequence(1, nd - ${m - 1})")).as("i"))
+      .select(col("event_type"), col("i"),
+        expr("element_at(arr, i).day").as("d"),
+        expr(s"transform(sequence(0, ${m - 1})," +
+          " k -> element_at(arr, i + k).n)").as("w"))
+    val a = wins.select(col("event_type"), col("i"), col("d").as("da"),
+      col("w").as("wa"))
+    val b = wins.select(col("event_type"), col("i").as("j"),
+      col("d").as("db"), col("w").as("wb"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("j") >= col("i") + m)
+      .withColumn("sad", expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> abs(x - y))," +
+          " CAST(0 AS BIGINT), (s, v) -> s + v)"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("sad"), col("i"), col("j"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), lit(m).as("m"),
+        col("da").as("motif_a_start"), col("db").as("motif_b_start"),
+        col("sad"))
+      .orderBy(col("event_type"))
   }
 
   /** Theil–Sen robust trend (Theil 1950 / Sen 1968) of per-day
@@ -1539,6 +1603,7 @@ object StreamQueries {
     "q_time_holtwinters" -> (qTimeHoltWinters(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_bursts" -> (qTimeBursts(_, _)),
+    "q_time_motif" -> (qTimeMotif(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
@@ -2168,6 +2233,41 @@ object StreamQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) END AS burst_id
         |FROM isl ORDER BY event_type, day""".stripMargin,
+    "q_time_motif" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |  FROM span),
+        |filled AS (
+        |  SELECT g.event_type, g.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.day = d.day),
+        |arr AS (SELECT event_type, list(n ORDER BY day) AS ns,
+        |    list(day ORDER BY day) AS ds, CAST(count(*) AS INT) AS nd
+        |  FROM filled GROUP BY event_type),
+        |wins AS (
+        |  SELECT a.event_type, CAST(u.i AS INT) AS i, a.ds[u.i] AS d,
+        |    list_transform(generate_series(0, 4),
+        |      k -> a.ns[u.i + k]) AS w
+        |  FROM arr a, unnest(generate_series(1, a.nd - 4)) AS u(i)
+        |  WHERE a.nd >= 10),
+        |pairs AS (
+        |  SELECT a.event_type, a.i, b.i AS j, a.d AS da, b.d AS db,
+        |    CAST(list_sum(list_transform(generate_series(1, 5),
+        |      k -> abs(a.w[k] - b.w[k]))) AS BIGINT) AS sad
+        |  FROM wins a JOIN wins b
+        |    ON a.event_type = b.event_type AND b.i >= a.i + 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY sad, i, j) AS r FROM pairs)
+        |SELECT event_type, CAST(5 AS INT) AS m,
+        |  da AS motif_a_start, db AS motif_b_start, sad
+        |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin,
     "q_time_cusum" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -133,6 +133,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   /** Token-frequency head: top-30 tokens with doc frequency. */
+  /** GOOD–TURING frequency smoothing (Good 1953; the foundation of
+    * Katz-smoothed LMs) over the corpus unigram counts: the
+    * count-of-counts table N_r (how many distinct tokens occur exactly
+    * r times), the smoothed count r* = (r+1)·N_{r+1}/N_r, and the
+    * unseen-mass estimate p₀ = N₁/N. Simple GT (no Gale
+    * log-regression fill — absent N_{r+1} reports NULL, the honest
+    * raw-estimator gap the regression variant would interpolate).
+    *
+    * Exactness: r* rides as the exact integer pair (num, den) =
+    * ((r+1)·N_{r+1}, N_r) with ONE correctly-rounded double division —
+    * bit-identical cross-engine; p₀ likewise (N₁, N).
+    *
+    * Scale: the corpus reduces through the token-count aggregate; the
+    * count-of-counts table is O(√N) rows (Σ r·N_r = N bounds distinct
+    * r values), so the r+1 self-join and the one-row total broadcast
+    * are dimension-bounded.
+    */
+  def qTextGoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val coc = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val nxt = coc.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    val tot = coc.agg(sum(col("r") * col("n_r")).as("n_total"),
+      sum(when(col("r") === 1, col("n_r"))).as("n1"))
+    coc.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        ((col("r") + 1) * col("n_next")).as("r_star_num"),
+        col("n_r").as("r_star_den"),
+        (((col("r") + 1) * col("n_next")).cast("double")
+          / col("n_r")).as("r_star"),
+        col("n1").as("p0_num"), col("n_total").as("p0_den"),
+        (col("n1").cast("double") / col("n_total")).as("p0"))
+      .orderBy(col("r"))
+  }
+
   def qTextTokenFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
@@ -1698,6 +1736,7 @@ object TextQueries {
     "q_text_ngrams" -> (qTextNgrams(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_token_freq" -> (qTextTokenFreq(_, _)),
+    "q_text_good_turing" -> (qTextGoodTuring(_, _)),
     "q_text_postings" -> (qTextPostings(_, _)),
     "q_text_bpe_pairs" -> (qTextBpePairs(_, _)),
     "q_text_bpe_merge2" -> (qTextBpeMerge2(_, _))
@@ -2854,6 +2893,26 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |      FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+    "q_text_good_turing" ->
+      """WITH counts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |        FROM counts GROUP BY r),
+        |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+        |  FROM coc)
+        |SELECT c.r, c.n_r,
+        |  (c.r + 1) * nx.n_r AS r_star_num,
+        |  c.n_r AS r_star_den,
+        |  CAST((c.r + 1) * nx.n_r AS DOUBLE) / c.n_r AS r_star,
+        |  t.n1 AS p0_num, t.n_total AS p0_den,
+        |  CAST(t.n1 AS DOUBLE) / t.n_total AS p0
+        |FROM coc c LEFT JOIN coc nx ON nx.r = c.r + 1
+        |CROSS JOIN tot t
+        |ORDER BY c.r""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+'))
         |    AS tok FROM documents),
