@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact grid-blocked DBSCAN (Ester et al., KDD 1996) in a 2-D feature
+  * space — density clustering without the O(N²) ε-neighbor self-join.
+  *
+  * Blocking: each point lands in the ⌊coord/ε⌋ grid cell; any two
+  * points within ε of each other differ by at most ε per coordinate,
+  * so every ε-pair co-occurs in a 3×3 cell neighborhood — the probe
+  * side emits 9 cell keys per point and the build side one, making
+  * candidate generation an EQUI-join on (cx, cy) with zero false
+  * negatives. Candidates verify the exact ε² predicate; the full
+  * distance never leaves map-side arithmetic.
+  *
+  * Definitions are the paper's: |N_ε(p)| counts p itself; core points
+  * have |N_ε| ≥ minPts; clusters are connected components of the
+  * core–core ε-graph (via [[Dedup.dedupComponents]] — min-label
+  * pointer doubling, O(log diameter) rounds); border points (non-core
+  * within ε of a core) attach to the SMALLEST core component label —
+  * the classic scan-order ambiguity for multi-reachable borders pinned
+  * to a deterministic rule; everything else is noise (NULL cluster).
+  *
+  * Scale: cells shrink with ε, so per-cell occupancy is the data's
+  * local density, not its size; the 9× probe fan-out is constant; the
+  * only corpus-sized shuffles are the cell equi-join and the neighbor-
+  * count aggregate. For d > 2 feature spaces, project first (any
+  * single coordinate is 1-Lipschitz in L2, so 2-D grid blocking over
+  * projections stays exact for the PROJECTED-space clustering; see
+  * q_sim_dbscan) or block on more coordinates (3^d fan-out).
+  *
+  * @param points  input frame
+  * @param id      integral id column (survives as output key)
+  * @param x       first coordinate (cast to double)
+  * @param y       second coordinate
+  * @return (id, n_eps, is_core, cluster) — cluster is the min member
+  *         id of the component, NULL for noise
+  */
+object Dbscan {
+  def dbscan2D(points: DataFrame, id: String, x: String, y: String,
+      eps: Double, minPts: Int, componentIters: Int = 8): DataFrame = {
+    require(eps > 0 && minPts >= 1, "eps > 0 and minPts >= 1 required")
+    val e2 = eps * eps
+    val pts = CacheScope.cached(points
+      .select(col(id).cast("long").as("__id"),
+        col(x).cast("double").as("__x"),
+        col(y).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__cx", floor(col("__x") / eps).cast("long"))
+      .withColumn("__cy", floor(col("__y") / eps).cast("long")))
+    val probes = pts
+      .select(col("__id").as("ia"), col("__x").as("xa"),
+        col("__y").as("ya"), col("__cx"), col("__cy"))
+      .withColumn("d", explode(expr(
+        "flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "named_struct('dx', dx, 'dy', dy))))")))
+      .select(col("ia"), col("xa"), col("ya"),
+        (col("__cx") + col("d.dx")).as("jcx"),
+        (col("__cy") + col("d.dy")).as("jcy"))
+    val build = pts.select(col("__id").as("ib"), col("__x").as("xb"),
+      col("__y").as("yb"), col("__cx").as("jcx"), col("__cy").as("jcy"))
+    // each ordered (ia, ib) pair matches in exactly one build cell, so
+    // neighbor counts need no dedup
+    val nbr = CacheScope.cached(probes.join(build, Seq("jcx", "jcy"))
+      .filter(col("ia") =!= col("ib"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
+        + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= e2)
+      .select(col("ia"), col("ib")))
+    val counts = CacheScope.cached(pts.select(col("__id").as("ia"))
+      .join(nbr.groupBy(col("ia")).agg(count(lit(1)).as("nn")),
+        Seq("ia"), "left")
+      .select(col("ia"),
+        (coalesce(col("nn"), lit(0L)) + 1L).as("n_eps")))
+    val core = CacheScope.cached(
+      counts.filter(col("n_eps") >= minPts).select(col("ia")))
+    // self-pairs register isolated cores (minPts met purely by border
+    // neighbors) as their own singleton component
+    val coreEdges = nbr
+      .join(core, Seq("ia"))
+      .join(core.select(col("ia").as("ib")), Seq("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      .unionByName(core.select(col("ia").as("id_a"),
+        col("ia").as("id_b")))
+    val comp = Dedup.dedupComponents(coreEdges, componentIters)
+    val borderAssign = nbr
+      .join(core, Seq("ia"), "left_anti")
+      .join(comp.select(col("doc_id").as("ib"), col("component")),
+        Seq("ib"))
+      .groupBy(col("ia")).agg(min(col("component")).as("cluster"))
+    val clusters = comp
+      .select(col("doc_id").as("ia"), col("component").as("cluster"))
+      .unionByName(borderAssign)
+    counts.join(clusters, Seq("ia"), "left")
+      .select(col("ia").as(id), col("n_eps"),
+        (col("n_eps") >= minPts).as("is_core"), col("cluster"))
+  }
+}

@@ -341,8 +341,35 @@ object SimilarityQueries {
     "q_sim_pq_trained" -> (qSimPqTrained(_, _)),
     "q_sim_topk_ivfpq" -> (qSimTopkIvfPq(_, _)),
     "q_sim_project" -> (qSimProject(_, _)),
+    "q_sim_dbscan" -> (qSimDbscan(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
   )
+
+  /** DBSCAN density clustering (Ester et al., KDD'96) of the corpus in
+    * the 2-D projection space ([[qSimProject]]'s first two axes, raw
+    * doubles): ε = 0.2, minPts = 6 resolve the fixture into ~12 dense
+    * clusters + border shells + noise. The operator
+    * ([[graft.ops.Dbscan.dbscan2D]]) grid-blocks candidate pairs into
+    * 3×3 ε-cell neighborhoods — an equi-join with zero false negatives
+    * (each coordinate is 1-Lipschitz in L2) — so no O(N²) self-join
+    * anywhere; components via min-label pointer doubling. The twin
+    * replays the same projection folds, the brute-force ε-graph (the
+    * blocking is provably pair-set-preserving), the recursive-CTE
+    * closure, and the min-label border rule.
+    */
+  def qSimDbscan(spark: SparkSession, dir: String): DataFrame = {
+    def axis(i: Int): String =
+      s"""aggregate(transform(sequence(0, 63), j ->
+         |  ((${7 * i} + 11 * j) % 5 - 2)
+         |    * cast(element_at(embedding, j + 1) as double)),
+         |  0D, (acc, c) -> acc + c)""".stripMargin
+    val projected = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(axis(0)).as("px"),
+        expr(axis(1)).as("py"))
+    graft.ops.Dbscan.dbscan2D(projected, "vec_id", "px", "py",
+      eps = 0.2, minPts = 6)
+      .orderBy(col("vec_id"))
+  }
 
   /** IVFADC (Jégou et al. TPAMI'11 §IV.A — coarse IVF routing + PQ on
     * RESIDUALS): 8 md5-sampled coarse lists, 4×16 residual codebook,
@@ -750,6 +777,55 @@ object SimilarityQueries {
          |  CAST(hamming AS BIGINT) AS hamming, cos
          |FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
+    },
+    // brute-force ε-graph twin: the engine's 3×3 grid blocking is
+    // pair-set-preserving (each coordinate is 1-Lipschitz in L2), so
+    // the all-pairs join reproduces the same neighbor set; projection
+    // folds share q_sim_project's 0-init ≡ init-from-first identity
+    "q_sim_dbscan" -> {
+      def axis(i: Int): String =
+        s"""list_reduce(list_transform(generate_series(0, 63), j ->
+           |      ((${7 * i} + 11 * j) % 5 - 2)
+           |        * CAST(embedding[j + 1] AS DOUBLE)),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH RECURSIVE p AS (
+         |  SELECT vec_id,
+         |    ${axis(0)} AS px,
+         |    ${axis(1)} AS py
+         |  FROM embeddings),
+         |nbr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px)
+         |      + (a.py - b.py) * (a.py - b.py) <= 0.2 * 0.2),
+         |cnt AS (
+         |  SELECT p.vec_id AS ia,
+         |    CAST(1 + COALESCE(n.c, 0) AS BIGINT) AS n_eps
+         |  FROM p LEFT JOIN (SELECT ia, count(*) AS c FROM nbr
+         |                    GROUP BY ia) n ON n.ia = p.vec_id),
+         |core AS (SELECT ia FROM cnt WHERE n_eps >= 6),
+         |ce AS (
+         |  SELECT n.ia AS a, n.ib AS b FROM nbr n
+         |  JOIN core c1 ON c1.ia = n.ia JOIN core c2 ON c2.ia = n.ib
+         |  UNION ALL SELECT ia, ia FROM core),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM ce
+         |  UNION
+         |  SELECT e.a, r.lab FROM ce e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, MIN(lab) AS component
+         |         FROM reach GROUP BY node),
+         |border AS (
+         |  SELECT n.ia, MIN(c.component) AS cluster
+         |  FROM nbr n JOIN comp c ON c.node = n.ib
+         |  WHERE n.ia NOT IN (SELECT ia FROM core)
+         |  GROUP BY n.ia),
+         |clusters AS (
+         |  SELECT node AS ia, component AS cluster FROM comp
+         |  UNION ALL SELECT ia, cluster FROM border)
+         |SELECT cnt.ia AS vec_id, cnt.n_eps,
+         |  cnt.n_eps >= 6 AS is_core, cl.cluster
+         |FROM cnt LEFT JOIN clusters cl ON cl.ia = cnt.ia
+         |ORDER BY vec_id""".stripMargin
     },
     // same ±/0 matrix from the same arithmetic; contributions fold in
     // j order (zero-init fold ≡ init-from-first since 0+x = x)

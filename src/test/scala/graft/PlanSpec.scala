@@ -766,6 +766,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"))
   }
 
+  test("dbscan: candidate generation is the (cx, cy) grid equi-join — " +
+    "no cartesian/BNL pair enumeration anywhere") {
+    val p = plan("q_sim_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the epsilon-neighbor join must block on grid cells")
+    assert("keys \\[2\\]: \\[jcx#\\d+L, jcy#\\d+L\\]".r
+      .findFirstIn(p).isDefined,
+      "candidate join must carry both cell coordinates as equi-keys")
+  }
+
   test("bootstrap: the md5-derived uniform is evaluated ONCE per " +
     "(row, rep) — the 8-branch Poisson CASE ladder must reference it " +
     "as an attribute, not inline the hash into every WHEN") {

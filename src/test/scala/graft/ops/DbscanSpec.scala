@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+/** Grid-blocked DBSCAN ([[Dbscan.dbscan2D]]) against a hand-computed
+  * layout in exact dyadic coordinates (ε = 0.25, every coordinate a
+  * multiple of 0.125, so all distances and the ε² boundary are
+  * float-exact — boundary-equality pairs are included deliberately).
+  *
+  * Layout (minPts = 4, |N_ε| counts self):
+  *  - cluster A = ids 1–5 (a 0.125-square + right-edge point at
+  *    (0.25, 0)) — all core, component label 1;
+  *  - cluster B = ids 11–15 (mirror block starting at x = 0.75) —
+  *    all core, component label 11;
+  *  - id 50 at (0.5, 0): exactly ε from A's edge core (5) AND B's
+  *    edge core (15), |N_ε| = 3 < 4 → BORDER, multi-reachable →
+  *    min-label rule must assign cluster 1, not 11;
+  *  - id 99 far away: |N_ε| = 1 → noise, NULL cluster.
+  */
+class DbscanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pts = Seq(
+    (1L, 0.0, 0.0), (2L, 0.125, 0.0), (3L, 0.0, 0.125),
+    (4L, 0.125, 0.125), (5L, 0.25, 0.0),
+    (11L, 0.875, 0.0), (12L, 1.0, 0.0), (13L, 0.875, 0.125),
+    (14L, 1.0, 0.125), (15L, 0.75, 0.0),
+    (50L, 0.5, 0.0), (99L, 5.0, 5.0))
+
+  private val expect = Seq(
+    (1L, 5L, true, Some(1L)), (2L, 5L, true, Some(1L)),
+    (3L, 4L, true, Some(1L)), (4L, 5L, true, Some(1L)),
+    (5L, 5L, true, Some(1L)),
+    (11L, 5L, true, Some(11L)), (12L, 5L, true, Some(11L)),
+    (13L, 5L, true, Some(11L)), (14L, 4L, true, Some(11L)),
+    (15L, 5L, true, Some(11L)),
+    (50L, 3L, false, Some(1L)), (99L, 1L, false, None))
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    CacheScope.scoped {
+      Dbscan.dbscan2D(df, "id", "x", "y", eps = 0.25, minPts = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq.sortBy(_._1)
+    }
+
+  test("core/border/noise and the min-label multi-reach border rule " +
+    "match the hand-computed layout") {
+    assert(run(pts.toDF("id", "x", "y")) == expect)
+  }
+
+  test("partitioning-invariant: a 7-way repartition decodes the same " +
+    "clusters (grid blocking loses no ε-pair)") {
+    assert(run(pts.toDF("id", "x", "y").repartition(7)) == expect)
+  }
+
+  test("isolated core (minPts met purely by borders) keeps its own " +
+    "singleton cluster") {
+    // hub at origin with 3 spokes at ε: hub |N| = 4 → core; spokes
+    // |N| = 2 (hub + nothing: spokes are 2ε·sin60 ≈ 0.43 apart...
+    // use axis-aligned spokes: (±0.25, 0), (0, 0.25) pairwise > ε) →
+    // border, attached to the hub's singleton component
+    val df = Seq((7L, 0.0, 0.0), (20L, 0.25, 0.0), (21L, -0.25, 0.0),
+      (22L, 0.0, 0.25)).toDF("id", "x", "y")
+    val got = run(df)
+    assert(got == Seq((7L, 4L, true, Some(7L)),
+      (20L, 2L, false, Some(7L)), (21L, 2L, false, Some(7L)),
+      (22L, 2L, false, Some(7L))))
+  }
+}
