@@ -147,7 +147,152 @@ object MiningQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shared fixture for the Fellegi–Sunter pair: the customer table
+    * plus injected duplicates (every 7th record re-inserted under
+    * id + 1,000,000 — the [[qErDedupe]] dirty-table device) with
+    * per-field noise at KNOWN rates: the name gets the one-char 'x'
+    * substitution for id % 21 == 0 (a third of dupes), the balance
+    * +1.00 for id % 35 == 0 (a fifth); segment and nation survive.
+    */
+  private def erFields(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"))
+    val dirty = cust.filter(col("id") % 7 === 0)
+      .withColumn("pos", (col("id") % 18).cast("int"))
+      .select((col("id") + 1000000L).as("id"),
+        when(col("id") % 21 === 0, expr(
+          "concat(substring(name, 1, pos), 'x'," +
+            " substring(name, pos + 2, length(name)))"))
+          .otherwise(col("name")).as("name"),
+        col("nat"), col("seg"),
+        when(col("id") % 35 === 0, col("bal") + 1.0)
+          .otherwise(col("bal")).as("bal"))
+    cust.unionByName(dirty)
+  }
+
+  /** Nation-blocked candidate pairs with per-field agreement flags and
+    * the ground-truth label (id_b = id_a + 1,000,000 identifies the
+    * injected duplicate — unambiguous: original keys stay far below
+    * the offset). Blocking bounds the pair set at |block|² per nation,
+    * the standard FS scale knob. */
+  private def erPairs(spark: SparkSession, dir: String): DataFrame = {
+    val all = erFields(spark, dir)
+    val a = all.select(col("nat"), col("id").as("id_a"),
+      col("name").as("name_a"), col("seg").as("seg_a"),
+      col("bal").as("bal_a"))
+    val b = all.select(col("nat"), col("id").as("id_b"),
+      col("name").as("name_b"), col("seg").as("seg_b"),
+      col("bal").as("bal_b"))
+    a.join(b, Seq("nat")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("name_a") === col("name_b")).as("ag_name"),
+        (col("seg_a") === col("seg_b")).as("ag_seg"),
+        (col("bal_a") === col("bal_b")).as("ag_bal"),
+        (col("id_b") === col("id_a") + 1000000L).as("lbl"))
+  }
+
+  /** One-row agreement statistics: match/non-match pair counts and
+    * per-field agreement counts within each class. */
+  private def erStats(pairs: DataFrame): DataFrame = pairs.agg(
+    sum(when(col("lbl"), 1L).otherwise(0L)).as("nm"),
+    sum(when(!col("lbl"), 1L).otherwise(0L)).as("nu"),
+    sum(when(col("lbl") && col("ag_name"), 1L).otherwise(0L))
+      .as("ma_name"),
+    sum(when(!col("lbl") && col("ag_name"), 1L).otherwise(0L))
+      .as("ua_name"),
+    sum(when(col("lbl") && col("ag_seg"), 1L).otherwise(0L))
+      .as("ma_seg"),
+    sum(when(!col("lbl") && col("ag_seg"), 1L).otherwise(0L))
+      .as("ua_seg"),
+    sum(when(col("lbl") && col("ag_bal"), 1L).otherwise(0L))
+      .as("ma_bal"),
+    sum(when(!col("lbl") && col("ag_bal"), 1L).otherwise(0L))
+      .as("ua_bal"))
+
+  /** FELLEGI–SUNTER per-field agreement weights (Fellegi & Sunter,
+    * JASA 1969) estimated SUPERVISED from the labeled duplicate
+    * injections (the unsupervised path is EM over the agreement-vector
+    * mixture — Winkler 1988 — not exactly replayable cross-engine):
+    * m = P(agree | match) and u = P(agree | non-match) per field with
+    * add-one smoothing (zero-agreement fields stay finite), published
+    * as EXACT integer fractions plus single correctly-rounded
+    * divisions — the agreement/disagreement weight ratios m/u and
+    * (1−m)/(1−u) ride as cross-products of BIGINTs.
+    *
+    * The fixture's field character mirrors real linkage: name is
+    * high-information (u ≈ 0 — agreement is near-conclusive), segment
+    * is low-information (u = 1/5), the exact balance is discriminative
+    * but noisy at a known rate.
+    */
+  def qErWeights(spark: SparkSession, dir: String): DataFrame = {
+    erStats(erPairs(spark, dir)).select(explode(expr(
+      """array(
+        |  named_struct('field', 'bal', 'ma', ma_bal, 'ua', ua_bal,
+        |    'nm', nm, 'nu', nu),
+        |  named_struct('field', 'name', 'ma', ma_name, 'ua', ua_name,
+        |    'nm', nm, 'nu', nu),
+        |  named_struct('field', 'seg', 'ma', ma_seg, 'ua', ua_seg,
+        |    'nm', nm, 'nu', nu))""".stripMargin)).as("f"))
+      .select(col("f.field").as("field"),
+        (col("f.ma") + 1).as("m_num"), (col("f.nm") + 2).as("m_den"),
+        (col("f.ua") + 1).as("u_num"), (col("f.nu") + 2).as("u_den"))
+      .withColumn("m_r6",
+        round(col("m_num").cast("double") / col("m_den"), 6))
+      .withColumn("u_r6",
+        round(col("u_num").cast("double") / col("u_den"), 6))
+      .withColumn("w_agree_r6", round(
+        (col("m_num") * col("u_den")).cast("double")
+          / (col("m_den") * col("u_num")), 6))
+      .withColumn("w_disagree_r6", round(
+        ((col("m_den") - col("m_num")) * col("u_den")).cast("double")
+          / (col("m_den") * (col("u_den") - col("u_num"))), 6))
+      .orderBy(col("field"))
+  }
+
+  /** FELLEGI–SUNTER pair classification: each candidate pair's match
+    * score is the product of its per-field weight ratios, carried as
+    * EXACT integer products (DECIMAL(38) — three factors of ≤ ~10¹⁰
+    * stay well inside) and classified by CROSS-MULTIPLIED threshold
+    * comparison (score ≥ 100 → match, ≥ 1 → possible) — no float
+    * enters any decision, so the emitted pair set is bit-stable.
+    * Non-matches are suppressed from the output (they are the
+    * |block|²-sized bulk); at fixture rates the output is the true
+    * duplicates minus the doubly-perturbed few (both name AND balance
+    * noised — no agreeing discriminative field remains, the honest FS
+    * false-negative class) plus any chance balance-collision false
+    * positives.
+    */
+  def qErScore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = erPairs(spark, dir)
+    val st = erStats(pairs)
+    def factor(ag: String, ma: String): String =
+      s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
+        s" ELSE (nm + 2) - ($ma + 1) END) AS DECIMAL(38,0))"
+    def dfactor(ag: String, ua: String): String =
+      s"CAST((nm + 2) * (CASE WHEN $ag THEN $ua + 1" +
+        s" ELSE (nu + 2) - ($ua + 1) END) AS DECIMAL(38,0))"
+    pairs.crossJoin(broadcast(st))
+      .withColumn("num", expr(
+        s"${factor("ag_name", "ma_name")} * ${factor("ag_seg", "ma_seg")}" +
+          s" * ${factor("ag_bal", "ma_bal")}"))
+      .withColumn("den", expr(
+        s"${dfactor("ag_name", "ua_name")} * ${dfactor("ag_seg", "ua_seg")}" +
+          s" * ${dfactor("ag_bal", "ua_bal")}"))
+      .withColumn("decision",
+        when(col("num") >= col("den") * 100, "match")
+          .when(col("num") >= col("den"), "possible")
+          .otherwise("nonmatch"))
+      .filter(col("decision") =!= "nonmatch")
+      .select(col("id_a"), col("id_b"), col("ag_name"), col("ag_seg"),
+        col("ag_bal"), col("lbl").as("label_match"), col("decision"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_er_weights" -> (qErWeights(_, _)),
+    "q_er_score" -> (qErScore(_, _)),
     "q_er_dedupe" -> (qErDedupe(_, _)),
     "q_rec_item_cf" -> (qRecItemCf(_, _)),
     "q_skyline_4d" -> (qSkyline4d(_, _)),
@@ -156,7 +301,87 @@ object MiningQueries {
     "q_assoc_rules" -> (qAssocRules(_, _))
   )
 
+  /** Shared FS twin prefix: dirty table, nation-blocked pairs with
+    * agreement flags + label, one-row agreement stats. */
+  private val fsCtes: String =
+    """cust AS (SELECT c_custkey AS id, c_name AS name,
+      |    c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal
+      |  FROM customer),
+      |dirty AS (SELECT id + 1000000 AS id,
+      |    CASE WHEN id % 21 = 0 THEN
+      |      substring(name, 1, CAST(id % 18 AS INT)) || 'x' ||
+      |        substring(name, CAST(id % 18 AS INT) + 2, length(name))
+      |      ELSE name END AS name,
+      |    nat, seg,
+      |    CASE WHEN id % 35 = 0 THEN bal + 1.0 ELSE bal END AS bal
+      |  FROM cust WHERE id % 7 = 0),
+      |allr AS (SELECT * FROM cust UNION ALL SELECT * FROM dirty),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    a.name = b.name AS ag_name,
+      |    a.seg = b.seg AS ag_seg,
+      |    a.bal = b.bal AS ag_bal,
+      |    b.id = a.id + 1000000 AS lbl
+      |  FROM allr a JOIN allr b ON a.nat = b.nat AND a.id < b.id),
+      |stats AS (SELECT
+      |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+      |    CAST(SUM(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nu,
+      |    CAST(SUM(CASE WHEN lbl AND ag_name THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_name,
+      |    CAST(SUM(CASE WHEN NOT lbl AND ag_name THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_name,
+      |    CAST(SUM(CASE WHEN lbl AND ag_seg THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_seg,
+      |    CAST(SUM(CASE WHEN NOT lbl AND ag_seg THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_seg,
+      |    CAST(SUM(CASE WHEN lbl AND ag_bal THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_bal,
+      |    CAST(SUM(CASE WHEN NOT lbl AND ag_bal THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ua_bal
+      |  FROM pairs)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_er_weights" ->
+      s"""WITH $fsCtes,
+         |f AS (
+         |  SELECT 'bal' AS field, ma_bal AS ma, ua_bal AS ua, nm, nu
+         |    FROM stats
+         |  UNION ALL SELECT 'name', ma_name, ua_name, nm, nu FROM stats
+         |  UNION ALL SELECT 'seg', ma_seg, ua_seg, nm, nu FROM stats)
+         |SELECT field, ma + 1 AS m_num, nm + 2 AS m_den,
+         |  ua + 1 AS u_num, nu + 2 AS u_den,
+         |  round(CAST(ma + 1 AS DOUBLE) / (nm + 2), 6) AS m_r6,
+         |  round(CAST(ua + 1 AS DOUBLE) / (nu + 2), 6) AS u_r6,
+         |  round(CAST((ma + 1) * (nu + 2) AS DOUBLE)
+         |    / ((nm + 2) * (ua + 1)), 6) AS w_agree_r6,
+         |  round(CAST(((nm + 2) - (ma + 1)) * (nu + 2) AS DOUBLE)
+         |    / ((nm + 2) * ((nu + 2) - (ua + 1))), 6) AS w_disagree_r6
+         |FROM f ORDER BY field""".stripMargin,
+    "q_er_score" -> {
+      def factor(ag: String, ma: String): String =
+        s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
+          s" ELSE (nm + 2) - ($ma + 1) END) AS HUGEINT)"
+      def dfactor(ag: String, ua: String): String =
+        s"CAST((nm + 2) * (CASE WHEN $ag THEN $ua + 1" +
+          s" ELSE (nu + 2) - ($ua + 1) END) AS HUGEINT)"
+      s"""WITH $fsCtes,
+         |scored AS (
+         |  SELECT p.*,
+         |    ${factor("ag_name", "ma_name")}
+         |      * ${factor("ag_seg", "ma_seg")}
+         |      * ${factor("ag_bal", "ma_bal")} AS num,
+         |    ${dfactor("ag_name", "ua_name")}
+         |      * ${dfactor("ag_seg", "ua_seg")}
+         |      * ${dfactor("ag_bal", "ua_bal")} AS den
+         |  FROM pairs p CROSS JOIN stats)
+         |SELECT id_a, id_b, ag_name, ag_seg, ag_bal,
+         |  lbl AS label_match,
+         |  CASE WHEN num >= den * 100 THEN 'match'
+         |       ELSE 'possible' END AS decision
+         |FROM scored WHERE num >= den
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // identical dirty-table construction + deletion-neighborhood keys
     // over the digit region + Levenshtein verify
     "q_er_dedupe" ->
