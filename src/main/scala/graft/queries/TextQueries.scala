@@ -262,6 +262,58 @@ object TextQueries {
         "doc_id", "text", trainPred = col("doc_id") % 2 === 0)
       .orderBy(col("doc_id"))
 
+  /** INTERPOLATED KNESER–NEY bigram smoothing (Kneser & Ney, ICASSP
+    * 1995; the Chen–Goodman 1999 interpolated form) — the LM-smoothing
+    * complement of [[qTextGoodTuring]] (count-of-counts) and the
+    * Stupid-Backoff scorer (which skips discounting entirely for
+    * scale):
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    *
+    * with continuation counts N1+ (distinct-neighbor counts — the
+    * insight that "Francisco" is frequent but only ever follows "San")
+    * and B = distinct bigram types. D = 3/4 — Chen–Goodman's fitted
+    * discounts land near 0.75, and the exact DYADIC value keeps every
+    * probability a ratio of integers: with ×4 clearing, p =
+    * ((4c₁₂−3)·B + 3·N1f·N1p) / (4·c₁·B), published as exact (num,
+    * den) plus ONE correctly-rounded division. Seen bigrams have
+    * c₁₂ ≥ 1 > D, so the max(·,0) clamp never binds on the reported
+    * rows. Top-30 by (c₁₂ desc, w1, w2) — a total order, so the cut is
+    * deterministic.
+    *
+    * Scale: three count aggregates and two dimension-bounded joins on
+    * w1/w2; the one-row B total broadcasts. The per-doc bigram window
+    * is partitioned by doc — no global window anywhere.
+    */
+  def qTextKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        expr("filter(split(text, '\\\\s+'), t -> t <> '')"))
+        .as(Seq("pos", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks.withColumn("w2", lead(col("w"), 1).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1f = c12.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1p = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val btot = c12.agg(count(lit(1)).as("btypes"))
+    c12.join(c1, "w1").join(n1f, "w1").join(n1p, "w2")
+      .crossJoin(broadcast(btot))
+      .withColumn("p_num",
+        (lit(4L) * col("c12") - 3L) * col("btypes")
+          + lit(3L) * col("n1f") * col("n1p"))
+      .withColumn("p_den", lit(4L) * col("c1") * col("btypes"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1f"), col("n1p"), col("p_num"), col("p_den"),
+        (col("p_num").cast("double") / col("p_den")).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(30)
+  }
+
   /** PII redaction over text with deterministically-injected email +
     * phone strings (the raw fixture text has neither, which would make
     * the scrub vacuous — the injection is computed identically by both
@@ -1737,6 +1789,7 @@ object TextQueries {
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_token_freq" -> (qTextTokenFreq(_, _)),
     "q_text_good_turing" -> (qTextGoodTuring(_, _)),
+    "q_text_kneser_ney" -> (qTextKneserNey(_, _)),
     "q_text_postings" -> (qTextPostings(_, _)),
     "q_text_bpe_pairs" -> (qTextBpePairs(_, _)),
     "q_text_bpe_merge2" -> (qTextBpeMerge2(_, _))
@@ -2893,6 +2946,35 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
         |      FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+    "q_text_kneser_ney" ->
+      """WITH lists AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+        |      AS l
+        |  FROM documents),
+        |big AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(
+        |      generate_series(1, len(l) - 1),
+        |      i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS b
+        |    FROM lists WHERE len(l) >= 2)),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM big GROUP BY w1),
+        |n1f AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f
+        |        FROM c12 GROUP BY w1),
+        |n1p AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+        |        FROM c12 GROUP BY w2),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1, n1f.n1f, n1p.n1p,
+        |  (4 * c12.c12 - 3) * btypes + 3 * n1f.n1f * n1p.n1p AS p_num,
+        |  4 * c1.c1 * btypes AS p_den,
+        |  CAST((4 * c12.c12 - 3) * btypes + 3 * n1f.n1f * n1p.n1p
+        |    AS DOUBLE) / (4 * c1.c1 * btypes) AS p_kn
+        |FROM c12 JOIN c1 USING (w1) JOIN n1f USING (w1)
+        |  JOIN n1p USING (w2) CROSS JOIN btot
+        |ORDER BY c12.c12 DESC, w1, w2 LIMIT 30""".stripMargin,
     "q_text_good_turing" ->
       """WITH counts AS (
         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
