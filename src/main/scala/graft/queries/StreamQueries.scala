@@ -1052,11 +1052,18 @@ object StreamQueries {
     * argmax join is (days−1)² per type — calendar-bounded, never
     * data-bounded.
     */
-  def qTimeChangepoint(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
+  /** Per-type daily counts (observed days). */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** The exact-rational best-split row per type (the qTimeChangepoint
+    * argmax, shared with [[qTimeSegmented]]): columns (event_type, k,
+    * day, tk, nn, t, num, den), winner by cross-multiplied NOT-EXISTS
+    * with smallest-k ties. */
+  private def changepointWinner(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val wAll = Window.partitionBy(col("event_type"))
     val pre = daily
@@ -1075,11 +1082,15 @@ object StreamQueries {
     val better = cand.select(col("event_type").as("bt"),
       col("num").as("bnum"), col("den").as("bden"), col("k").as("bk"))
     cand.join(better,
-        col("event_type") === col("bt")
-          && (col("bnum") * col("den") > col("num") * col("bden")
-            || (col("bnum") * col("den") === col("num") * col("bden")
-              && col("bk") < col("k"))),
-        "left_anti")
+      col("event_type") === col("bt")
+        && (col("bnum") * col("den") > col("num") * col("bden")
+          || (col("bnum") * col("den") === col("num") * col("bden")
+            && col("bk") < col("k"))),
+      "left_anti")
+  }
+
+  def qTimeChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    changepointWinner(dailyCounts(spark, dir))
       .select(col("event_type"), col("k").as("split_k"),
         col("day").as("split_day"),
         col("k").as("n_left"), (col("nn") - col("k")).as("n_right"),
@@ -1090,6 +1101,55 @@ object StreamQueries {
           - col("t").cast("double") * col("t") / col("nn"), 6)
           .as("gain_r6"))
       .orderBy(col("event_type"))
+  }
+
+  /** SEGMENTED (piecewise-linear) REGRESSION — the composition of two
+    * exact operators: [[changepointWinner]] picks each type's best
+    * split by exact rational argmax, then an ordinary least-squares
+    * line fits EACH side on the global day index by exact integer
+    * moment sums (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    * (ΣyΣx²−ΣxΣxy)/den — the qStatOls2 discipline), published as
+    * exact (num, den) plus one correctly-rounded division each. A
+    * one-point segment has den = 0 → NULL slope/intercept (honest
+    * degeneracy, not a sentinel). Two rows per type ('left'/'right').
+    *
+    * Scale: corpus → |types|×|days| cells; the argmax join is
+    * (days−1)² per type (calendar-bounded); the per-segment fit is one
+    * aggregate over the same cells.
+    */
+  def qTimeSegmented(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyCounts(spark, dir)
+    val win = changepointWinner(daily)
+      .select(col("event_type"), col("k").as("split_k"),
+        col("day").as("split_day"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+    idx.join(win, "event_type")
+      .withColumn("segment",
+        when(col("x") <= col("split_k"), "left").otherwise("right"))
+      .groupBy(col("event_type"), col("segment"), col("split_k"),
+        col("split_day"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("n")).as("sy"), sum(col("x") * col("n")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num",
+        col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den",
+        col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("icept_num",
+        col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .select(col("event_type"), col("segment"), col("split_k"),
+        col("split_day"), col("n_days"),
+        col("slope_num"), col("den").as("slope_den"),
+        when(col("den") =!= 0,
+          round(col("slope_num").cast("double") / col("den"), 6))
+          .as("slope_r6"),
+        when(col("den") =!= 0,
+          round(col("icept_num").cast("double") / col("den"), 6))
+          .as("icept_r6"))
+      .orderBy(col("event_type"), col("segment"))
   }
 
   def qTimeCusum(spark: SparkSession, dir: String): DataFrame = {
@@ -1609,6 +1669,7 @@ object StreamQueries {
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_changepoint" -> (qTimeChangepoint(_, _)),
+    "q_time_segmented" -> (qTimeSegmented(_, _)),
     "q_stream_observed" -> (qStreamObserved(_, _)),
     "q_stream_outer_join" -> (qStreamOuterJoin(_, _)),
     "q_time_theilsen" -> (qTimeTheilsen(_, _)),
@@ -2092,6 +2153,53 @@ object StreamQueries {
         |    AND (b.num * a.den > a.num * b.den
         |      OR (b.num * a.den = a.num * b.den AND b.k < a.k)))
         |ORDER BY a.event_type""".stripMargin,
+    // same argmax CTE as q_time_changepoint, then per-segment integer
+    // OLS moment sums on the global day index
+    "q_time_segmented" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, day, n,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS tk,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS nn,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |cand AS (SELECT event_type, k, day,
+        |    tk * tk * (nn - k) + (t - tk) * (t - tk) * k AS num,
+        |    k * (nn - k) AS den
+        |  FROM pre WHERE k < nn),
+        |win AS (SELECT a.event_type, a.k AS split_k,
+        |    a.day AS split_day
+        |  FROM cand a
+        |  WHERE NOT EXISTS (SELECT 1 FROM cand b
+        |    WHERE b.event_type = a.event_type
+        |      AND (b.num * a.den > a.num * b.den
+        |        OR (b.num * a.den = a.num * b.den AND b.k < a.k)))),
+        |seg AS (SELECT p.event_type,
+        |    CASE WHEN p.k <= w.split_k THEN 'left' ELSE 'right' END
+        |      AS segment,
+        |    w.split_k, w.split_day, p.k AS x, p.n
+        |  FROM pre p JOIN win w ON w.event_type = p.event_type),
+        |fits AS (SELECT event_type, segment, split_k, split_day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+        |    CAST(SUM(x * n) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM seg GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, segment, split_k, split_day, n_days,
+        |  n_days * sxy - sx * sy AS slope_num,
+        |  n_days * sxx - sx * sx AS slope_den,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (n_days * sxx - sx * sx), 6) END AS slope_r6,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / (n_days * sxx - sx * sx), 6) END AS icept_r6
+        |FROM fits ORDER BY event_type, segment""".stripMargin,
     // prior-window moment replay in the stream's (batch, ts, id)
     // fold order; HUGEINT alert bit, integer batch snapshots
     "q_stream_zscore" ->
