@@ -483,6 +483,22 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT TIE-AWARE AUC of the quality model (Mann–Whitney identity:
+    * AUC = U/(n₁n₀), Hanley & McNeil 1982) — the ranking-quality
+    * metric the accuracy column of [[qCurateQualityModel]] can't see.
+    * Scores group to distinct values, average ranks DOUBLE to stay
+    * integer (tie group at prefix c with t members: 2·r̄ = 2c + t + 1),
+    * so U₂ = 2U = Σ_pos 2r̄ − n₁(n₁+1) is exact BIGINT and the single
+    * division lands identically cross-engine.
+    *
+    * Scale: the model's map-side scoring reduces to a distinct-score
+    * table; the global prefix sum runs through [[Prefix]]'s two-pass
+    * range-partitioned scan — no single-partition window.
+    */
+  def qCurateQualityAuc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ranking.aucExact(
+      qCurateQualityModel(spark, dir), "score", "label_pass")
+
   /** TEMPERATURE-SAMPLED source mixture at τ = 1/2 (the multilingual
     * rebalancing rule of mBERT/XLM-R: sample ∝ n^τ so head sources
     * shrink and tail sources grow vs proportional sampling): per
@@ -567,6 +583,7 @@ object CurationQueries {
     "q_curate_ccnet_tiers" -> (qCurateCcnetTiers(_, _)),
     "q_curate_temperature" -> (qCurateTemperature(_, _)),
     "q_curate_quality_model" -> (qCurateQualityModel(_, _)),
+    "q_curate_quality_auc" -> (qCurateQualityAuc(_, _)),
     "q_curate_kappa" -> (qCurateKappa(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
     "q_curate_fertility" -> (qCurateFertility(_, _)),
@@ -987,6 +1004,70 @@ object CurationQueries {
 
   private val u = Sampling.hashUniformSql("doc_id")
 
+  /** The full quality-model twin (perceptron fold as a recursive CTE),
+    * shared verbatim by q_curate_quality_model and nested as a
+    * subquery by q_curate_quality_auc. */
+  private lazy val qualityModelOracleSql: String = {
+    val stopList =
+      TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val bucket = "CAST(list_sum(list_transform(generate_series(1, 8)," +
+      " d -> CAST(strpos('0123456789abcdef', substring(md5(t), d, 1))" +
+      " - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))" +
+      " AS BIGINT) % 32"
+    val dotW = "CAST(list_sum(list_transform(generate_series(1, 32)," +
+      " b -> w[b + 1] * e.x[b])) AS BIGINT)"
+    val dotS = "CAST(w[1] + CAST(list_sum(list_transform(" +
+      "generate_series(1, 32), b -> w[b + 1] * x[b])) AS BIGINT)" +
+      " AS BIGINT)"
+    s"""WITH RECURSIVE f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN
+       |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |        BETWEEN 20 AND 2000
+       |      AND 3 * CAST(len(regexp_extract_all(text, '\\S+'))
+       |        AS BIGINT)
+       |        <= CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+       |          AS BIGINT)
+       |      AND CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+       |          AS BIGINT)
+       |        <= 5 * CAST(len(regexp_extract_all(text, '\\S+'))
+       |          AS BIGINT)
+       |      AND CAST(len(list_filter(
+       |          string_split_regex(lower(text), '\\s+'),
+       |          t -> list_contains($stopList, t))) AS BIGINT) >= 2
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+       |    list_transform(generate_series(0, 31),
+       |      b -> CAST(len(list_filter(
+       |        list_transform(
+       |          list_filter(string_split(text, ' '), t -> t <> ''),
+       |          t -> $bucket),
+       |        v -> v = b)) AS BIGINT)) AS x
+       |  FROM documents),
+       |exs AS (
+       |  SELECT y, x, row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM f WHERE doc_id % 4 = 0 AND doc_id < 2000),
+       |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM exs),
+       |step(t, w) AS (
+       |  SELECT CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, 33),
+       |      i -> CAST(0 AS BIGINT))
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    CASE WHEN e.y * (w[1] + $dotW) <= 0
+       |      THEN list_transform(generate_series(1, 33),
+       |        i -> w[i] + e.y * (CASE WHEN i = 1
+       |          THEN CAST(1 AS BIGINT) ELSE e.x[i - 1] END))
+       |      ELSE w END
+       |  FROM step, nn, exs e
+       |  WHERE e.rn = (t % nn.n) + 1 AND t < 2 * nn.n),
+       |wf AS (SELECT w FROM step, nn WHERE t = 2 * nn.n)
+       |SELECT doc_id, doc_id % 4 = 0 AND doc_id < 2000 AS is_train,
+       |  y = 1 AS label_pass,
+       |  $dotS AS score, $dotS > 0 AS pred,
+       |  ($dotS > 0) = (y = 1) AS correct
+       |FROM f, wf ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the shared bigram-LM twin nests as a CTE; rank by (round-3 ppl,
     // doc_id) and cut terciles with the same integer boundary rule
@@ -1042,66 +1123,31 @@ object CurationQueries {
     // weight LIST, one step per (epoch, example) in doc_id order; the
     // bucket hash is the portable first-8-md5-hex digit-sum; every
     // score is the identical integer dot product — exact, not 6dp
-    "q_curate_quality_model" -> {
-      val stopList =
-        TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-      val bucket = "CAST(list_sum(list_transform(generate_series(1, 8)," +
-        " d -> CAST(strpos('0123456789abcdef', substring(md5(t), d, 1))" +
-        " - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (8 - d)))))" +
-        " AS BIGINT) % 32"
-      val dotW = "CAST(list_sum(list_transform(generate_series(1, 32)," +
-        " b -> w[b + 1] * e.x[b])) AS BIGINT)"
-      val dotS = "CAST(w[1] + CAST(list_sum(list_transform(" +
-        "generate_series(1, 32), b -> w[b + 1] * x[b])) AS BIGINT)" +
-        " AS BIGINT)"
-      s"""WITH RECURSIVE f AS (
-         |  SELECT doc_id,
-         |    CASE WHEN
-         |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
-         |        BETWEEN 20 AND 2000
-         |      AND 3 * CAST(len(regexp_extract_all(text, '\\S+'))
-         |        AS BIGINT)
-         |        <= CAST(length(regexp_replace(text, '\\s+', '', 'g'))
-         |          AS BIGINT)
-         |      AND CAST(length(regexp_replace(text, '\\s+', '', 'g'))
-         |          AS BIGINT)
-         |        <= 5 * CAST(len(regexp_extract_all(text, '\\S+'))
-         |          AS BIGINT)
-         |      AND CAST(len(list_filter(
-         |          string_split_regex(lower(text), '\\s+'),
-         |          t -> list_contains($stopList, t))) AS BIGINT) >= 2
-         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
-         |    list_transform(generate_series(0, 31),
-         |      b -> CAST(len(list_filter(
-         |        list_transform(
-         |          list_filter(string_split(text, ' '), t -> t <> ''),
-         |          t -> $bucket),
-         |        v -> v = b)) AS BIGINT)) AS x
-         |  FROM documents),
-         |exs AS (
-         |  SELECT y, x, row_number() OVER (ORDER BY doc_id) AS rn
-         |  FROM f WHERE doc_id % 4 = 0 AND doc_id < 2000),
-         |nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM exs),
-         |step(t, w) AS (
-         |  SELECT CAST(0 AS BIGINT),
-         |    list_transform(generate_series(1, 33),
-         |      i -> CAST(0 AS BIGINT))
-         |  UNION ALL
-         |  SELECT t + 1,
-         |    CASE WHEN e.y * (w[1] + $dotW) <= 0
-         |      THEN list_transform(generate_series(1, 33),
-         |        i -> w[i] + e.y * (CASE WHEN i = 1
-         |          THEN CAST(1 AS BIGINT) ELSE e.x[i - 1] END))
-         |      ELSE w END
-         |  FROM step, nn, exs e
-         |  WHERE e.rn = (t % nn.n) + 1 AND t < 2 * nn.n),
-         |wf AS (SELECT w FROM step, nn WHERE t = 2 * nn.n)
-         |SELECT doc_id, doc_id % 4 = 0 AND doc_id < 2000 AS is_train,
-         |  y = 1 AS label_pass,
-         |  $dotS AS score, $dotS > 0 AS pred,
-         |  ($dotS > 0) = (y = 1) AS correct
-         |FROM f, wf ORDER BY doc_id""".stripMargin
-    },
+    "q_curate_quality_model" -> qualityModelOracleSql,
+    // tie-aware rank AUC over the nested model twin: grouped scores,
+    // doubled average ranks stay integer, one final division
+    "q_curate_quality_auc" ->
+      s"""WITH s AS (SELECT score, label_pass FROM (
+         |$qualityModelOracleSql
+         |) m),
+         |g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN label_pass THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cp
+         |  FROM s GROUP BY score),
+         |p AS (SELECT *, CAST(SUM(ct) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM g),
+         |t AS (SELECT
+         |    CAST(SUM(cp * (2 * (cum - ct) + ct + 1)) AS BIGINT)
+         |      AS two_rank_sum,
+         |    CAST(SUM(cp) AS BIGINT) AS n_pos,
+         |    CAST(SUM(ct - cp) AS BIGINT) AS n_neg
+         |  FROM p)
+         |SELECT n_pos, n_neg,
+         |  two_rank_sum - n_pos * (n_pos + 1) AS u2,
+         |  round(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / (2 * n_pos * n_neg), 6) AS auc_r6
+         |FROM t""".stripMargin,
     // same exact token shares, source-ordered ln fold, PPM deficit
     "q_curate_mix_kl" ->
       """WITH tok AS (SELECT source,
