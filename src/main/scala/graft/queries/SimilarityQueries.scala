@@ -342,8 +342,73 @@ object SimilarityQueries {
     "q_sim_topk_ivfpq" -> (qSimTopkIvfPq(_, _)),
     "q_sim_project" -> (qSimProject(_, _)),
     "q_sim_dbscan" -> (qSimDbscan(_, _)),
+    "q_curate_kcenter" -> (qCurateKcenter(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
   )
+
+  /** K-CENTER CORESET SELECTION by farthest-point traversal (Gonzalez
+    * 1985 — the greedy 2-approximation; the diversity-sampling
+    * workhorse of active learning and training-data subset selection,
+    * cf. Sener & Savarese ICLR'18 core-set): seed at the min vec_id,
+    * then 7 rounds of "pick the point farthest from its nearest chosen
+    * center", ties to the smallest id. Every point then assigns to its
+    * nearest center (ties likewise).
+    *
+    * Determinism: distances are the ordered L2² folds of
+    * [[qSimTopkBrute]]'s family (identical expression trees, exact
+    * IEEE); argmax/argmin ride struct extrema over (dist, ∓id) — no
+    * float ever compares against a differently-derived float.
+    *
+    * Scale: each round is one broadcast of ONE new center + a map-side
+    * running-min update + a one-row struct-max aggregate — O(k·N)
+    * total with per-round persiste/lineage-cut (the Graph.pagerank
+    * round discipline); nothing driver-side but the loop counter. The
+    * final assignment is a broadcast of k rows.
+    */
+  def qCurateKcenter(spark: SparkSession, dir: String): DataFrame =
+    kcenterSelect(Tables.embeddings(spark, dir), 8)
+
+  private[queries] def kcenterSelect(emb0: DataFrame, k: Int)
+      : DataFrame = {
+    val dist =
+      """aggregate(zip_with(embedding, cemb, (a, b) ->
+        |  (cast(a as double) - cast(b as double))
+        |    * (cast(a as double) - cast(b as double))),
+        |  0D, (s, v) -> s + v)""".stripMargin
+    val emb = graft.ops.CacheScope.cached(
+      emb0.select(col("vec_id"), col("embedding")))
+    val seedId = emb.agg(min(col("vec_id")).as("cid"))
+    var centers = emb.join(broadcast(seedId),
+        col("vec_id") === col("cid"))
+      .select(lit(1).as("rank"), col("cid"),
+        col("embedding").as("cemb"))
+    var pts = graft.ops.CacheScope.cached(
+      emb.crossJoin(broadcast(centers.select(col("cemb"))))
+        .select(col("vec_id"), col("embedding"),
+          expr(dist).as("mind")))
+    for (r <- 2 to k) {
+      val next = pts
+        .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"),
+          col("embedding"))).as("m"))
+        .select(lit(r).as("rank"), (-col("m.nid")).as("cid"),
+          col("m.embedding").as("cemb"))
+      centers = centers.unionByName(next)
+      if (r < k)
+        pts = graft.ops.CacheScope.cached(
+          pts.crossJoin(broadcast(next.select(col("cemb"))))
+            .select(col("vec_id"), col("embedding"),
+              least(col("mind"), expr(dist)).as("mind")))
+    }
+    emb.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("rank"), col("cid"),
+        expr(dist).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"), col("rank"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("center_id"),
+        col("m.rank").as("center_rank"),
+        round(col("m.d"), 6).as("dist2_r6"))
+      .orderBy(col("vec_id"))
+  }
 
   /** DBSCAN density clustering (Ester et al., KDD'96) of the corpus in
     * the 2-D projection space ([[qSimProject]]'s first two axes, raw
@@ -777,6 +842,52 @@ object SimilarityQueries {
          |  CAST(hamming AS BIGINT) AS hamming, cos
          |FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
+    },
+    // unrolled farthest-point rounds (generated): each c_r is the
+    // (mind DESC, vec_id) LIMIT 1 argmax, each d_r the running min;
+    // L2² folds are the same ordered list_reduce family as the topk
+    // twins
+    "q_curate_kcenter" -> {
+      def l2(a: String, b: String): String =
+        s"""list_reduce(list_transform(generate_series(1, 64),
+           |        i -> (CAST($a.embedding[i] AS DOUBLE)
+           |              - CAST($b.embedding[i] AS DOUBLE))
+           |             * (CAST($a.embedding[i] AS DOUBLE)
+           |              - CAST($b.embedding[i] AS DOUBLE))),
+           |        (x, y) -> x + y)""".stripMargin
+      val rounds = (2 to 8).map { r =>
+        val dPrev = s"d${r - 1}"
+        val cSel =
+          s"""c$r AS (SELECT $r AS rank, vec_id AS cid FROM $dPrev
+             |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+        val dSel = if (r == 8) "" else
+          s""",
+             |d$r AS (SELECT p.vec_id,
+             |    least(d.mind, ${l2("p", "c")}) AS mind
+             |  FROM e p JOIN $dPrev d ON d.vec_id = p.vec_id,
+             |    e c, c$r WHERE c.vec_id = c$r.cid)""".stripMargin
+        cSel + dSel
+      }.mkString(",\n")
+      val cent = (1 to 8).map(r => s"SELECT rank, cid FROM c$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT 1 AS rank, CAST(MIN(vec_id) AS BIGINT) AS cid
+         |       FROM e),
+         |d1 AS (SELECT p.vec_id, ${l2("p", "c")} AS mind
+         |  FROM e p, e c, c1 WHERE c.vec_id = c1.cid),
+         |$rounds,
+         |cent AS (
+         |  $cent),
+         |asg AS (SELECT p.vec_id, ct.rank, ct.cid,
+         |    ${l2("p", "c")} AS d
+         |  FROM e p CROSS JOIN cent ct
+         |  JOIN e c ON c.vec_id = ct.cid),
+         |pick AS (SELECT vec_id, cid, rank, d, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cid, rank) AS rn
+         |  FROM asg)
+         |SELECT vec_id, cid AS center_id, rank AS center_rank,
+         |  round(d, 6) AS dist2_r6
+         |FROM pick WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
     // brute-force ε-graph twin: the engine's 3×3 grid blocking is
     // pair-set-preserving (each coordinate is 1-Lipschitz in L2), so
