@@ -1558,7 +1558,193 @@ object StatsQueries {
       .orderBy(col("nation"))
   }
 
+  /** KENDALL τ-b OVER THE FULL FACT TABLE via the joint-histogram
+    * identity — the scale twin of [[qStatKendall]] (which pair-joins a
+    * calendar-bounded daily cohort). For two LOW-CARDINALITY columns
+    * (x = l_quantity ∈ 1..50, y = discount cents ∈ 0..10) every
+    * pairwise comparison statistic is a function of the Dx×Dy joint
+    * histogram alone: with cell counts c(x,y),
+    *   C  = Σ_{x<x', y<y'} c(x,y)·c(x',y'),  D likewise for y>y',
+    *   T_x = Σ_x m_x(m_x−1)/2 over the x-marginal (T_y symmetric),
+    * so O(N²) pair enumeration collapses to one map-side-combined
+    * count aggregate (the ONLY thing that scans the data) plus a
+    * broadcast self-join of ≤550 histogram rows — at 100 TB the
+    * shuffle carries Dx·Dy BIGINTs. Outputs the full concordance
+    * family: τ-b (tie-corrected), Goodman–Kruskal γ (ties dropped),
+    * and Somers' D(y|x) = (C−D)/(n0−T_x).
+    *
+    * Exactness: C, D, n0, T_x, T_y are exact BIGINTs (n0 ≈ 1.8e11 at
+    * sf0.1 — fits); the τ-b denominator product (n0−T_x)(n0−T_y)
+    * would overflow Int64 beyond sf0.01, so it is formed in DOUBLE on
+    * the exact integers (identical IEEE multiply+sqrt both engines).
+    */
+  def qStatKendallFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kendallHistogram(Tables.lineitem(spark, dir)
+      .select($"l_quantity".cast("long").as("x"), e2($"l_discount").as("y")))
+  }
+
+  /** Concordance family from a (x, y) observation frame — see
+    * [[qStatKendallFull]]. */
+  private[queries] def kendallHistogram(xy: DataFrame): DataFrame = {
+    import xy.sparkSession.implicits._
+    val cells = xy.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+    val h = graft.ops.CacheScope.cached(cells)
+    val pairs = h.as("a").join(broadcast(h.as("b")), $"a.x" < $"b.x")
+      .agg(
+        sum(when($"a.y" < $"b.y", $"a.c" * $"b.c").otherwise(0L)).as("conc"),
+        sum(when($"a.y" > $"b.y", $"a.c" * $"b.c").otherwise(0L)).as("disc"))
+    val margs = h.groupBy().agg(sum($"c").as("n"))
+    val tx = h.groupBy($"x").agg(sum($"c").as("m"))
+      .agg(sum(expr("m * (m - 1) div 2")).as("tx"))
+    val ty = h.groupBy($"y").agg(sum($"c").as("m"))
+      .agg(sum(expr("m * (m - 1) div 2")).as("ty"))
+    pairs.crossJoin(broadcast(margs)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select($"n", expr("n * (n - 1) div 2").as("n0"), $"conc", $"disc",
+        $"tx", $"ty")
+      .select($"n", $"n0", $"conc", $"disc", $"tx", $"ty",
+        round(($"conc" - $"disc").cast("double") /
+          sqrt(($"n0" - $"tx").cast("double") *
+            ($"n0" - $"ty").cast("double")), 6).as("tau_b_r6"),
+        round(($"conc" - $"disc").cast("double") /
+          ($"conc" + $"disc").cast("double"), 6).as("gamma_r6"),
+        round(($"conc" - $"disc").cast("double") /
+          ($"n0" - $"tx").cast("double"), 6).as("somers_yx_r6"))
+  }
+
+  /** WILCOXON SIGNED-RANK (Wilcoxon 1945) — the PAIRED location test
+    * completing the nonparametric battery (Mann–Whitney = unpaired
+    * two-sample, Kruskal–Wallis = k-sample): per customer, does the
+    * open-order ('O') spend differ from the fulfilled ('F') spend?
+    * Pairs are customers with both arms; d = cents(O) − cents(F);
+    * zero differences are EXCLUDED (classic Wilcoxon, not Pratt —
+    * documented contract).
+    *
+    * Scale + exactness (the [[qStatMannwhitney]] histogram doctrine):
+    * ranks of |d| are never materialized per row — the |d|-value
+    * histogram (t_v at value v, cum(<v) below it) gives the DOUBLED
+    * average rank r2_v = 2·cum + t_v + 1 as an exact BIGINT, so
+    * W2⁺ = Σ_{d>0} r2(|d|) = Σ_v a_v·r2_v from per-value positive
+    * counts a_v. The α=0.05 normal-approximation verdict is one
+    * cross-multiplied DECIMAL(38,0) comparison on exact integers
+    * (7500·(2·W2⁺ − n(n+1))² > 9604·(2n(n+1)(2n+1) − ΣT),
+    * ΣT = Σ_v t³−t the tie correction): no float touches the bit.
+    */
+  def qStatWilcoxon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.orders(spark, dir)
+      .filter($"o_orderstatus".isin("O", "F"))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when($"o_orderstatus" === "O", e2($"o_totalprice"))
+          .otherwise(0L)).as("co"),
+        sum(when($"o_orderstatus" === "F", e2($"o_totalprice"))
+          .otherwise(0L)).as("cf"),
+        count(when($"o_orderstatus" === "O", 1)).as("no"),
+        count(when($"o_orderstatus" === "F", 1)).as("nf"))
+      .filter($"no" > 0 && $"nf" > 0)
+      .select(($"co" - $"cf").as("d"))
+    wilcoxonFromDiffs(d)
+  }
+
+  /** Signed-rank machinery from a single `d` (paired difference)
+    * column — see [[qStatWilcoxon]]. */
+  private[queries] def wilcoxonFromDiffs(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val nz = d.filter($"d" =!= 0L)
+      .select(abs($"d").as("v"), ($"d" > 0L).as("pos"))
+    val byV = nz.groupBy($"v")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"pos", 1L).otherwise(0L)).as("a"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    byV
+      .withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+      .agg(sum($"t").as("n"),
+        sum($"a" * (lit(2L) * $"cumt" + $"t" + 1L)).as("w2_pos"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .select($"n", $"w2_pos", $"tie_term",
+        expr("""cast(7500 as decimal(38,0))
+               |  * (2 * w2_pos - n * (n + 1)) * (2 * w2_pos - n * (n + 1))
+               |> cast(9604 as decimal(38,0))
+               |  * (cast(2 as decimal(38,0)) * n * (n + 1) * (2 * n + 1)
+               |     - tie_term)"""
+          .stripMargin.replace('\n', ' ')).as("reject"))
+  }
+
+  /** FRIEDMAN RANK TEST (Friedman 1937) — the k-treatment BLOCKED
+    * rank test (the nonparametric two-way ANOVA): do event types
+    * differ in daily volume when each DAY is its own block (removing
+    * the day effect Kruskal–Wallis ignores)? Blocks are the day×type
+    * count grid COMPLETED WITH ZEROS (a day with no 'refund' events
+    * is a 0-count observation, not a missing cell), so every block
+    * has exactly k treatments.
+    *
+    * Within-block ranks ride the doubled-rank trick per (block,
+    * value) group — r2 = 2·cnt(<v within block) + t + 1, exact
+    * BIGINT — over k-row partitions (bounded by the type count, not
+    * the data). The tie-corrected statistic is the ratio form
+    * (Conover 1999): Q = (k−1)·Σ_j(R2_j − n(k+1))² /
+    * (Σ_{b,j} r2² − n·k·(k+1)²) — numerator and denominator both
+    * exact BIGINTs (the 2×-unit factors of 4 cancel), one identical
+    * division for q_r6, and the α=0.05 verdict is the cross-multiplied
+    * integer comparison against χ²_{k−1} (×1000).
+    *
+    * Scale: the raw scan reduces map-side to the day×type grid
+    * (calendar-bounded); everything after is O(days·k).
+    */
+  def qStatFriedman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"event_type".as("g"))
+    val counts = ev.groupBy($"d", $"g").agg(count(lit(1)).as("v"))
+    val grid = ev.select($"d").distinct()
+      .crossJoin(broadcast(ev.select($"g").distinct()))
+      .join(counts, Seq("d", "g"), "left")
+      .select($"d", $"g", coalesce($"v", lit(0L)).as("v"))
+    friedmanFromGrid(grid)
+  }
+
+  /** Blocked rank test from a complete (d = block, g = treatment, v)
+    * grid — see [[qStatFriedman]]. */
+  private[queries] def friedmanFromGrid(grid: DataFrame): DataFrame = {
+    import grid.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // doubled average rank within the k-row block via the per-(block,
+    // value) histogram (no tie-order ambiguity): r2 = 2·cnt(<v) + t + 1
+    val bv = grid.groupBy($"d", $"v").agg(count(lit(1)).as("t"))
+    val wb = Window.partitionBy($"d").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2v = bv
+      .withColumn("cumt", coalesce(sum($"t").over(wb), lit(0L)))
+      .select($"d", $"v", (lit(2L) * $"cumt" + $"t" + 1L).as("r2"))
+    val ranked = grid.join(r2v, Seq("d", "v"))
+      .select($"d", $"g", $"r2")
+    val perT = ranked.groupBy($"g").agg(sum($"r2").as("s2"))
+    val sq = ranked.agg(sum($"r2" * $"r2").as("sr2"),
+      countDistinct($"d").as("n"), countDistinct($"g").as("k"))
+    perT.crossJoin(broadcast(sq))
+      .groupBy($"n", $"k", $"sr2")
+      .agg(sum(($"s2" - $"n" * ($"k" + 1)) *
+        ($"s2" - $"n" * ($"k" + 1))).as("num"))
+      .select($"k", $"n",
+        (($"k" - 1) * $"num").as("num"),
+        ($"sr2" - $"n" * $"k" * ($"k" + 1) * ($"k" + 1)).as("den"))
+      .select($"k", $"n", $"num", $"den",
+        round($"num".cast("double") / $"den".cast("double"), 6)
+          .as("q_r6"),
+        (lit(1000L) * $"num" >
+          when($"k" === 2, 3841L).when($"k" === 3, 5991L)
+            .when($"k" === 4, 7815L).when($"k" === 5, 9488L)
+            .when($"k" === 6, 11070L).otherwise(12592L)
+          * $"den").as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_kendall_full" -> (qStatKendallFull(_, _)),
+    "q_stat_wilcoxon" -> (qStatWilcoxon(_, _)),
+    "q_stat_friedman" -> (qStatFriedman(_, _)),
     "q_stat_fdr" -> (qStatFdr(_, _)),
     "q_stat_pca2" -> (qStatPca2(_, _)),
     "q_stat_power" -> (qStatPower(_, _)),
@@ -1612,6 +1798,111 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // joint-histogram identity: the only data-sized scan is the
+    // GROUP BY (x, y); all pair statistics come from the ≤550-row
+    // histogram self-join (a.x < b.x)
+    "q_stat_kendall_full" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT
+        |    CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+        |      AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+        |      AS BIGINT) AS disc
+        |  FROM h a JOIN h b ON a.x < b.x),
+        |m AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+        |txc AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS tx
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM h GROUP BY x)),
+        |tyc AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS ty
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM h GROUP BY y)),
+        |w AS (SELECT n, n * (n - 1) // 2 AS n0, conc, disc, tx, ty
+        |  FROM p CROSS JOIN m CROSS JOIN txc CROSS JOIN tyc)
+        |SELECT n, n0, conc, disc, tx, ty,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+        |    6) AS tau_b_r6,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / CAST(conc + disc AS DOUBLE), 6) AS gamma_r6,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / CAST(n0 - tx AS DOUBLE), 6) AS somers_yx_r6
+        |FROM w""".stripMargin,
+    // doubled-rank histogram over |d| (the mannwhitney doctrine);
+    // zero differences excluded (classic Wilcoxon, not Pratt)
+    "q_stat_wilcoxon" ->
+      """WITH arms AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS co,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS cf,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS no,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nf
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+        |nz AS (SELECT abs(co - cf) AS v, (co - cf > 0) AS pos
+        |  FROM arms WHERE no > 0 AND nf > 0 AND co - cf <> 0),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a
+        |  FROM nz GROUP BY v),
+        |sc AS (SELECT t, a, COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumt
+        |  FROM bv),
+        |ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(a * (2 * cumt + t + 1)) AS BIGINT) AS w2_pos,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM sc)
+        |SELECT n, w2_pos, tie_term,
+        |  (CAST(7500 AS HUGEINT)
+        |     * (2 * w2_pos - n * (n + 1)) * (2 * w2_pos - n * (n + 1))
+        |   > CAST(9604 AS HUGEINT)
+        |     * (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)
+        |        - tie_term)) AS reject
+        |FROM ag""".stripMargin,
+    // day×type grid completed with zeros; within-block doubled ranks
+    // from the per-(block, value) histogram; tie-corrected ratio form
+    "q_stat_friedman" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type AS g
+        |  FROM events),
+        |counts AS (SELECT d, g, CAST(count(*) AS BIGINT) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT dd.d, gg.g, COALESCE(c.v, 0) AS v
+        |  FROM (SELECT DISTINCT d FROM ev) dd
+        |  CROSS JOIN (SELECT DISTINCT g FROM ev) gg
+        |  LEFT JOIN counts c ON c.d = dd.d AND c.g = gg.g),
+        |bv AS (SELECT d, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM grid GROUP BY 1, 2),
+        |r2v AS (SELECT d, v,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY d ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM bv),
+        |ranked AS (SELECT grid.d, grid.g, r2
+        |  FROM grid JOIN r2v ON grid.d = r2v.d AND grid.v = r2v.v),
+        |perT AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS s2
+        |  FROM ranked GROUP BY g),
+        |sq AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS sr2,
+        |    CAST(COUNT(DISTINCT d) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS k
+        |  FROM ranked),
+        |ag AS (SELECT n, k, sr2,
+        |    CAST(SUM((s2 - n * (k + 1)) * (s2 - n * (k + 1)))
+        |      AS BIGINT) AS num
+        |  FROM perT CROSS JOIN sq GROUP BY 1, 2, 3),
+        |f AS (SELECT k, n, (k - 1) * num AS num,
+        |    sr2 - n * k * (k + 1) * (k + 1) AS den
+        |  FROM ag)
+        |SELECT k, n, num, den,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS q_r6,
+        |  (1000 * num > (CASE WHEN k = 2 THEN 3841
+        |     WHEN k = 3 THEN 5991 WHEN k = 4 THEN 7815
+        |     WHEN k = 5 THEN 9488 WHEN k = 6 THEN 11070
+        |     ELSE 12592 END) * den) AS reject
+        |FROM f""".stripMargin,
     // identical expression tree on the exact arm counts; the
     // zero-effect guard is the exact integer cross-product test
     "q_stat_power" ->
