@@ -1741,7 +1741,60 @@ object StatsQueries {
           * $"den").as("reject"))
   }
 
+  /** DURBIN–WATSON STATISTIC (Durbin & Watson 1950) — the
+    * serial-correlation diagnostic on the residuals of the daily
+    * revenue trend regression: DW = Σ(e_t − e_{t−1})² / Σe_t² over the
+    * time-ordered OLS residuals (DW→0 positive autocorrelation, →2
+    * none, →4 negative). The missing diagnostic next to
+    * [[qStatOls2]]: a pipeline that fits trends should also test
+    * whether the iid-error assumption holds.
+    *
+    * Exactness: regression moments (n, Σx, Σy, Σx², Σxy) are exact
+    * order-independent BIGINT sums; slope/intercept are formed ONCE in
+    * double on those exact integers (identical IEEE ops both engines;
+    * Σxy at SF100 would need the decimal route — documented, not hit
+    * at bench scales); residuals and both quadratic sums ride ordered
+    * left folds over the day-sorted array, mirrored expression-for-
+    * expression by the twin's list_reduce — every double is
+    * bit-identical by construction, and DW ∈ [0,4] so round(·,6) is
+    * safely inside the cross-engine decimal-rounding envelope.
+    *
+    * Scale shape: the corpus reduces map-side to one row per calendar
+    * day (2.4k cells regardless of fact-table size); the fold is a
+    * single bounded array — the q_time_acf class.
+    */
+  def qStatDw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(e2($"o_totalprice")).as("y"))
+    val d0 = daily.agg(min($"day").as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(datediff($"day", $"d0").cast("long").as("x"), $"y")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+        expr("sort_array(collect_list(struct(x, y)))").as("xs"))
+      .withColumn("b1",
+        ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+          ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+      .withColumn("b0", ($"sy".cast("double") - $"b1" * $"sx") / $"n")
+      .withColumn("es", expr(
+        "transform(xs, p -> cast(p.y as double) - b0" +
+          " - b1 * cast(p.x as double))"))
+      .withColumn("den", expr(
+        "aggregate(es, cast(0.0 as double), (a, e) -> a + e * e)"))
+      .withColumn("num", expr(
+        """aggregate(sequence(2, cast(n as int)), cast(0.0 as double),
+          |  (a, i) -> a + (element_at(es, i) - element_at(es, i - 1))
+          |    * (element_at(es, i) - element_at(es, i - 1)))"""
+          .stripMargin.replace('\n', ' ')))
+      .select($"n",
+        round($"num" / $"den", 6).as("dw_r6"),
+        round(lit(1.0) - ($"num" / $"den") / 2.0, 6).as("rho_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_dw" -> (qStatDw(_, _)),
     "q_stat_kendall_full" -> (qStatKendallFull(_, _)),
     "q_stat_wilcoxon" -> (qStatWilcoxon(_, _)),
     "q_stat_friedman" -> (qStatFriedman(_, _)),
@@ -1798,6 +1851,48 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // exact BIGINT moments -> one double slope/intercept -> ordered
+    // residual folds mirrored expression-for-expression
+    "q_stat_dw" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |pts AS (SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+        |    y
+        |  FROM daily CROSS JOIN d0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    list(x ORDER BY x) AS lx, list(y ORDER BY x) AS ly
+        |  FROM pts),
+        |b AS (SELECT n, lx, ly,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      AS b1, sx, sy
+        |  FROM s),
+        |c AS (SELECT n, lx, ly, b1,
+        |    (CAST(sy AS DOUBLE) - b1 * sx) / n AS b0
+        |  FROM b),
+        |e AS (SELECT n,
+        |    list_transform(generate_series(1, CAST(n AS INT)),
+        |      i -> CAST(ly[CAST(i AS INT)] AS DOUBLE) - b0
+        |        - b1 * CAST(lx[CAST(i AS INT)] AS DOUBLE)) AS es
+        |  FROM c),
+        |f AS (SELECT n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(es, x -> x * x)), (a, v) -> a + v) AS den,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(2, CAST(n AS INT)),
+        |        i -> (es[CAST(i AS INT)] - es[CAST(i - 1 AS INT)])
+        |          * (es[CAST(i AS INT)] - es[CAST(i - 1 AS INT)]))),
+        |      (a, v) -> a + v) AS num
+        |  FROM e)
+        |SELECT n, round(num / den, 6) AS dw_r6,
+        |  round(1.0 - (num / den) / 2.0, 6) AS rho_r6
+        |FROM f""".stripMargin,
     // joint-histogram identity: the only data-sized scan is the
     // GROUP BY (x, y); all pair statistics come from the ≤550-row
     // histogram self-join (a.x < b.x)

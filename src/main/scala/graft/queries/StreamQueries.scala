@@ -1652,7 +1652,72 @@ object StreamQueries {
       else name -> fn
     }
 
+  /** SAX SYMBOLIZATION (Lin, Keogh, Lonardi & Chiu, DMKD'03 —
+    * Symbolic Aggregate approXimation) of each event type's daily
+    * series: z-normalize, PAA-average non-overlapping 7-day segments,
+    * map each segment mean to {a,b,c,d} at the equiprobable Gaussian
+    * breakpoints (±0.6744897501960817, 0), and emit the 4-symbol WORD
+    * per complete 28-day window with its occurrence count — the
+    * discretized-motif table that makes series searchable by
+    * equi-joins (the symbolic cousin of q_time_motif's numeric SAD
+    * scan; SAX words join/bucket where raw doubles cannot).
+    *
+    * Determinism: μ, σ come from exact BIGINT moments via one
+    * identical double expression; the PAA z-scores and breakpoint
+    * CASEs are the same IEEE ops on the same operands in both engines,
+    * so every symbol matches bit-for-bit. Windows are indexed by
+    * per-type day rank (missing calendar days don't shift segment
+    * boundaries differently across engines), and only complete 28-day
+    * windows emit words.
+    *
+    * Scale: corpus → calendar-bounded daily cells map-side; the rank
+    * is per-type over ≤|days| rows; words aggregate by (type, word) —
+    * nothing is ever all-pairs.
+    */
+  def qTimeSax(spark: SparkSession, dir: String): DataFrame =
+    saxWords(dailyCounts(spark, dir))
+
+  /** SAX machinery over an (event_type, day, n) daily frame — see
+    * [[qTimeSax]]. */
+  private[queries] def saxWords(daily: DataFrame): DataFrame = {
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nn"), sum(col("n")).as("tt"),
+        sum(col("n") * col("n")).as("qq"))
+      .select(col("event_type"),
+        (col("tt").cast("double") / col("nn")).as("mu"),
+        sqrt((col("nn").cast("double") * col("qq") -
+          col("tt").cast("double") * col("tt")) /
+          (col("nn").cast("double") * col("nn"))).as("sd"))
+    import org.apache.spark.sql.expressions.Window
+    val idx = row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("day")))
+    val segs = daily.withColumn("idx", idx.cast("long"))
+      .withColumn("win", expr("(idx - 1) div 28"))
+      .withColumn("seg", expr("((idx - 1) % 28) div 7"))
+      .groupBy(col("event_type"), col("win"), col("seg"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("c"))
+    val winOk = segs.groupBy(col("event_type"), col("win"))
+      .agg(sum(col("c")).as("cc")).filter(col("cc") === 28L)
+      .select(col("event_type"), col("win"))
+    val sym = segs.join(winOk, Seq("event_type", "win"))
+      .join(broadcast(st), "event_type")
+      .withColumn("z",
+        (col("s").cast("double") / 7.0 - col("mu")) / col("sd"))
+      .withColumn("sym",
+        when(col("z") < -0.6744897501960817, "a")
+          .when(col("z") < 0.0, "b")
+          .when(col("z") < 0.6744897501960817, "c").otherwise("d"))
+    sym.groupBy(col("event_type"), col("win"))
+      .agg(concat_ws("", expr(
+        "transform(sort_array(collect_list(struct(seg, sym)))," +
+          " p -> p.sym)")).as("word"))
+      .groupBy(col("event_type"), col("word"))
+      .agg(count(lit(1)).as("cnt"), min(col("win")).as("first_win"))
+      .orderBy(col("event_type"), col("word"))
+  }
+
   val defs: Map[String, Q] = pinned(Map(
+    "q_time_sax" -> (qTimeSax(_, _)),
     "q_stream_asof" -> (qStreamAsof(_, _)),
     "q_stream_funnel" -> (qStreamFunnel(_, _)),
     "q_stream_funnel_unordered" -> (qStreamFunnelUnordered(_, _)),
@@ -2256,6 +2321,41 @@ object StreamQueries {
         |SELECT user_id, useq AS update_seq, mrn AS n_so_far,
         |  round(lvl, 6) AS level_r6
         |FROM upd ORDER BY user_id, update_seq""".stripMargin,
+    // identical double z-scores from exact BIGINT moments; breakpoint
+    // CASEs on bit-identical operands — symbols can't diverge
+    "q_time_sax" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |    CAST(SUM(n) AS DOUBLE) / count(*) AS mu,
+        |    sqrt((CAST(count(*) AS DOUBLE) * SUM(n * n)
+        |        - CAST(SUM(n) AS DOUBLE) * SUM(n))
+        |      / (CAST(count(*) AS DOUBLE) * count(*))) AS sd
+        |  FROM d GROUP BY 1),
+        |i AS (SELECT event_type, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS idx FROM d),
+        |segs AS (SELECT event_type, (idx - 1) // 28 AS win,
+        |    ((idx - 1) % 28) // 7 AS seg,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        |  FROM i GROUP BY 1, 2, 3),
+        |wok AS (SELECT event_type, win FROM segs GROUP BY 1, 2
+        |  HAVING SUM(c) = 28),
+        |sym AS (SELECT event_type, win, seg,
+        |    CASE WHEN z < -0.6744897501960817 THEN 'a'
+        |      WHEN z < 0.0 THEN 'b'
+        |      WHEN z < 0.6744897501960817 THEN 'c' ELSE 'd' END AS sym
+        |  FROM (SELECT segs.event_type, segs.win, segs.seg,
+        |      (CAST(s AS DOUBLE) / 7.0 - mu) / sd AS z
+        |    FROM segs JOIN wok USING (event_type, win)
+        |    JOIN st USING (event_type)) g),
+        |words AS (SELECT event_type, win,
+        |    string_agg(sym, '' ORDER BY seg) AS word
+        |  FROM sym GROUP BY 1, 2)
+        |SELECT event_type, word, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(MIN(win) AS BIGINT) AS first_win
+        |FROM words GROUP BY 1, 2
+        |ORDER BY event_type, word""".stripMargin,
     // Recursive-CTE twin of the CUSUM fold — identical expression tree
     // per step on the exact integer daily counts and exact-division μ.
     "q_time_bursts" ->
