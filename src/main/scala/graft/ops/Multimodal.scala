@@ -1118,6 +1118,55 @@ object Multimodal {
     }
   }
 
+  case class FramePower(path: String, frame: Long, probe: String,
+    power: Long)
+
+  /** GOERTZEL SPECTROGRAM — the short-time extension of
+    * [[goertzelProbes]]: the PCM stream is split into complete
+    * non-overlapping frames of `frameSamples` samples and the four
+    * integer-coefficient probe bins (2·cos(2πf/fs) ∈ {1, 0, −1, −2}
+    * at f = fs/6, fs/4, fs/3, fs/2) run PER FRAME, yielding the
+    * time×frequency power grid a media pipeline uses for tone-change /
+    * cue detection. Same exactness contract as the whole-file probes:
+    * with |x| ≤ 2¹⁵ and frameSamples small the states stay far below
+    * 2⁵³, every power is an exact integer-valued double, and the
+    * DuckDB twin replays the recurrence bit-for-bit per frame.
+    *
+    * Scale: one sequential fold per file inside the flatMap (the
+    * binary-codec exception class); output is 4·⌊n/frameSamples⌋ rows
+    * per file — the frame grid, never the samples, crosses any
+    * shuffle.
+    */
+  def goertzelSpectrogram(media: Dataset[MediaFile], frameSamples: Int)
+      : Dataset[FramePower] = {
+    import media.sparkSession.implicits._
+    val probes = Seq(("fs_over_6", 1.0), ("fs_over_4", 0.0),
+      ("fs_over_3", -1.0), ("fs_over_2", -2.0))
+    media.flatMap { m =>
+      val b = m.content
+      def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      wavPcmLayout(b).toSeq.flatMap {
+        case (channels, _, bits, off, sz) if channels == 1 && bits == 16 =>
+          val n = sz / 2
+          (0 until n / frameSamples).flatMap { f =>
+            probes.map { case (name, c) =>
+              var s1 = 0.0; var s2 = 0.0; var i = 0
+              while (i < frameSamples) {
+                val v = u16(off + (f * frameSamples + i) * 2)
+                val x = (if (v >= 0x8000) v - 0x10000 else v).toDouble
+                val s0 = (x + c * s1) - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              FramePower(m.path, f.toLong, name,
+                ((s1 * s1 + s2 * s2) - c * s1 * s2).toLong)
+            }
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
   /** 64-bit AUDIO energy-delta hash — the time-domain analog of the
     * image dHash: mix each PCM frame down to mono, split the frame
     * stream into 65 equal windows, take each window's mean absolute

@@ -238,23 +238,24 @@ object CustomQueries {
   private[queries] val tonePeriod4: Seq[Int] =
     Seq(0, 15000, 0, -15000)                // fundamental at fs/4
 
-  /** 16-bit mono 8 kHz WAVs tiling the integer period tables — pure
-    * integer PCM, byte-identical every run. */
-  private lazy val goertzelFixtures: Map[String, Array[Byte]] = {
+  /** 16-bit mono 8 kHz WAV from integer samples — pure integer PCM,
+    * byte-identical every run (shared by the Goertzel fixtures). */
+  private def monoWav8k(samples: Seq[Int]): Array[Byte] = {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
-    def wav(samples: Seq[Int]): Array[Byte] = {
-      val pcm = samples.toArray.flatMap(le16)
-      val body = "WAVE".getBytes("US-ASCII") ++
-        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
-          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
-        ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
-      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
-    }
-    Map("tone6.wav" -> wav(Seq.fill(400)(tonePeriod6).flatten),
-      "tone4.wav" -> wav(Seq.fill(600)(tonePeriod4).flatten))
+    val pcm = samples.toArray.flatMap(le16)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+      ("data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** WAVs tiling the integer period tables. */
+  private lazy val goertzelFixtures: Map[String, Array[Byte]] =
+    Map("tone6.wav" -> monoWav8k(Seq.fill(400)(tonePeriod6).flatten),
+      "tone4.wav" -> monoWav8k(Seq.fill(600)(tonePeriod4).flatten))
 
   /** GOERTZEL tone probes over the real PCM decode path
     * ([[graft.ops.Multimodal.goertzelProbes]]): two pure-integer tone
@@ -277,6 +278,64 @@ object CustomQueries {
         col("probe"), col("power"),
         round(col("share_ppm"), 6).as("share_ppm_r6"))
       .orderBy(col("file"), col("probe"))
+  }
+
+  /** GOERTZEL SPECTROGRAM over the real PCM decode path
+    * ([[graft.ops.Multimodal.goertzelSpectrogram]]): a 2400-sample
+    * sweep fixture whose tone CHANGES halfway (period-6 fundamental
+    * for samples 0–1199, period-4 for 1200–2399), framed at 240
+    * samples (a whole number of both periods) — the time×frequency
+    * grid must show the power concentration migrating from the
+    * fs_over_6 bin (frames 0–4) to fs_over_4 (frames 5–9). Same
+    * integer-exactness bound as [[qMultimodalGoertzel]]: 240-sample
+    * frames of |x| ≤ 15000 keep every state far under 2⁵³.
+    */
+  def qMultimodalSpectrogram(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("mm-spect")
+    java.nio.file.Files.write(scratch.resolve("sweep.wav"), monoWav8k(
+      Seq.fill(200)(tonePeriod6).flatten ++
+        Seq.fill(300)(tonePeriod4).flatten))
+    val media = Multimodal.readBinary(spark, s"$scratch/*")
+    Multimodal.goertzelSpectrogram(media, 240).toDF()
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("frame"), col("probe"), col("power"))
+      .orderBy(col("file"), col("frame"), col("probe"))
+  }
+
+  /** Twin of [[qMultimodalSpectrogram]]: regenerates the sweep sample
+    * stream from the shared period literals and replays the per-frame
+    * recurrence with the [[goertzelOracleSql]] list-fold (see its
+    * scaladoc for why the accumulator is a 2-list, not a struct). */
+  private def spectrogramOracleSql: String = {
+    def arr(xs: Seq[Int]) = xs.mkString("[", ",", "]")
+    val probes = Seq(("fs_over_6", "1.0"), ("fs_over_4", "0.0"),
+      ("fs_over_3", "-1.0"), ("fs_over_2", "-2.0"))
+    val probeRows = probes.map { case (p, c) =>
+      s"SELECT '$p' AS probe, CAST($c AS DOUBLE) AS c"
+    }.mkString(" UNION ALL ")
+    s"""WITH per AS (SELECT ${arr(tonePeriod6)} AS p6,
+       |    ${arr(tonePeriod4)} AS p4),
+       |xs AS (SELECT list_transform(generate_series(0, 2399),
+       |    i -> CAST(CASE WHEN i < 1200
+       |      THEN p6[CAST(i % 6 + 1 AS INT)]
+       |      ELSE p4[CAST((i - 1200) % 4 + 1 AS INT)] END AS DOUBLE))
+       |    AS x FROM per),
+       |fr AS (SELECT unnest(generate_series(0, 9)) AS frame),
+       |pr AS ($probeRows),
+       |sl AS (SELECT frame, list_transform(generate_series(1, 240),
+       |    j -> x[CAST(frame * 240 + j AS INT)]) AS xf
+       |  FROM xs CROSS JOIN fr),
+       |st AS (SELECT frame, probe, c,
+       |    list_reduce(list_transform(xf,
+       |      v -> [v, CAST(0.0 AS DOUBLE)]),
+       |      (a, b) -> [(b[1] + c * a[1]) - a[2], a[1]]) AS s
+       |  FROM sl CROSS JOIN pr)
+       |SELECT 'sweep.wav' AS file, CAST(frame AS BIGINT) AS frame,
+       |  probe,
+       |  CAST((s[1] * s[1] + s[2] * s[2]) - c * s[1] * s[2] AS BIGINT)
+       |    AS power
+       |FROM st ORDER BY file, frame, probe""".stripMargin
   }
 
   /** Twin of [[qMultimodalGoertzel]]: regenerates the tiled integer
@@ -1160,6 +1219,7 @@ object CustomQueries {
     "q_multimodal_vad" -> (qMultimodalVad(_, _)),
     "q_multimodal_patches" -> (qMultimodalPatches(_, _)),
     "q_multimodal_goertzel" -> (qMultimodalGoertzel(_, _)),
+    "q_multimodal_spectrogram" -> (qMultimodalSpectrogram(_, _)),
     "q_multimodal_audio_dedup" -> (qMultimodalAudioDedup(_, _)),
     "q_multimodal_scene_cuts" -> (qMultimodalSceneCuts(_, _)),
     "q_multimodal_decode" -> (qMultimodalDecode(_, _)),
@@ -1305,6 +1365,7 @@ object CustomQueries {
     // stub features derive from its FNV hash); RMS/peak are the
     // deterministic decode outputs rounded to 6 decimals.
     "q_multimodal_goertzel" -> goertzelOracleSql,
+    "q_multimodal_spectrogram" -> spectrogramOracleSql,
     // pixel formulas in lockstep with fxGrad/fxGrad2/fxGradv/fxStripes
     // (the same tabulate the fixture builder runs); BMP absent = the
     // P5-only decline, certified by row count

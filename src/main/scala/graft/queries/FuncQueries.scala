@@ -226,7 +226,30 @@ object FuncQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Bitwise scalar battery — popcount, AND/OR/XOR/NOT, shifts, and
+    * the lowest-set-bit trick (k & −k, the Fenwick-tree step) over the
+    * integer key columns. Everything stays in whole-stage codegen;
+    * BIGINT in both engines (DuckDB's `^` is POWER — its xor is the
+    * xor() function, Spark's is `^`; DuckDB bit_count returns TINYINT
+    * — both pinned to BIGINT).
+    */
+  def qFuncBits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("cast(bit_count(l_orderkey) as bigint)").as("popcnt"),
+        expr("l_orderkey & l_partkey").as("band"),
+        expr("l_orderkey | l_partkey").as("bor"),
+        expr("l_orderkey ^ l_partkey").as("bxor"),
+        expr("~l_orderkey").as("bnot"),
+        expr("shiftleft(cast(l_linenumber as bigint), 3)").as("shl"),
+        expr("shiftright(l_orderkey, 2)").as("shr"),
+        expr("l_orderkey & -l_orderkey").as("lowbit"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_func_bits" -> (qFuncBits(_, _)),
     "q_func_hof" -> (qFuncHof(_, _)),
     "q_func_try" -> (qFuncTry(_, _)),
     "q_func_array2" -> (qFuncArray2(_, _)),
@@ -242,6 +265,18 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_func_bits" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt,
+        |  l_orderkey & l_partkey AS band,
+        |  l_orderkey | l_partkey AS bor,
+        |  xor(l_orderkey, l_partkey) AS bxor,
+        |  ~l_orderkey AS bnot,
+        |  CAST(l_linenumber AS BIGINT) << 3 AS shl,
+        |  l_orderkey >> 2 AS shr,
+        |  l_orderkey & -l_orderkey AS lowbit
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // exists/forall via list_filter; zip_with via list_zip; the fold
     // via list_reduce with a prepended identity
     "q_func_hof" ->
