@@ -803,7 +803,57 @@ object MiscQueries {
       target = 65536L)
   }
 
+  /** CLUSTERING-DEPTH METRIC (the Delta-Lake OPTIMIZE / Iceberg
+    * table-maintenance statistic): how many file zone-map intervals
+    * overlap any point of the probe column — the number that predicts
+    * data-skipping effectiveness BEFORE running a query. Two simulated
+    * 2000-row-file layouts of the same orders rows: `ingest` (files
+    * cut by arrival key — each file spans nearly the whole price
+    * range, so a point lookup must open ~every file) vs `clustered`
+    * (files cut by price rank — near-disjoint ranges, depth ~1). Per
+    * layout: per-file min/max of price cents, then the interval sweep
+    * — starts (+1) and ends (−1) ordered by (value, kind) with depth
+    * read at start events — max and mean depth over files.
+    *
+    * Scale: row→file assignment rides [[graft.ops.Prefix.denseRank]]
+    * (distributed two-pass rank — no corpus-sized window), and the
+    * sweep rides [[graft.ops.Prefix.runningSumInclusive]] over the
+    * FILE-count-sized event list (metadata-sized at any data scale,
+    * 2·F rows); nothing is ever all-pairs, unlike the naive
+    * files×boundaries depth join.
+    */
+  def qLakeClusterDepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        Exact.e2(col("o_totalprice")).as("c"))
+    def depthOf(name: String, order: Seq[org.apache.spark.sql.Column])
+        : DataFrame = {
+      val files = graft.ops.Prefix.denseRank(o, order, "rn")
+        .withColumn("fid", expr("(rn - 1) div 2000"))
+        .groupBy(col("fid"))
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      val ev = files.select(col("fid"), col("lo").as("v"),
+          lit(0L).as("kind"), lit(1L).as("delta"))
+        .unionByName(files.select(col("fid"), col("hi").as("v"),
+          lit(1L).as("kind"), lit(-1L).as("delta")))
+      graft.ops.Prefix.runningSumInclusive(ev,
+          Seq(col("v"), col("kind"), col("fid")), col("delta"), "depth")
+        .filter(col("kind") === 0L)
+        .agg(count(lit(1)).as("n_files"),
+          max(col("depth")).as("max_depth"),
+          sum(col("depth")).as("sum_depth"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("max_depth"), col("sum_depth"),
+          round(col("sum_depth").cast("double") / col("n_files"), 6)
+            .as("avg_depth_r6"))
+    }
+    depthOf("ingest", Seq(col("o_orderkey")))
+      .unionByName(depthOf("clustered", Seq(col("c"), col("o_orderkey"))))
+      .orderBy(col("layout"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_lake_cluster_depth" -> (qLakeClusterDepth(_, _)),
     "q_lake_compaction" -> (qLakeCompaction(_, _)),
     "q_lake_schema_merge" -> (qLakeSchemaMerge(_, _)),
     "q_source_csv_quotes" -> (qSourceCsvQuotes(_, _)),
@@ -843,6 +893,40 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     // identical size-desc next-fit: bin = (inclusive running sum −
     // own size) // target, then per-bin windows
+    // layouts replayed as rank windows; the sweep as one running sum
+    "q_lake_cluster_depth" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |  FROM orders),
+        |l AS (
+        |  SELECT 'ingest' AS layout,
+        |    (row_number() OVER (ORDER BY o_orderkey) - 1) // 2000
+        |      AS fid, c
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'clustered',
+        |    (row_number() OVER (ORDER BY c, o_orderkey) - 1) // 2000, c
+        |  FROM o),
+        |f AS (SELECT layout, fid, CAST(MIN(c) AS BIGINT) AS lo,
+        |    CAST(MAX(c) AS BIGINT) AS hi
+        |  FROM l GROUP BY 1, 2),
+        |ev AS (SELECT layout, fid, lo AS v, 0 AS kind, 1 AS delta
+        |  FROM f
+        |  UNION ALL
+        |  SELECT layout, fid, hi, 1, -1 FROM f),
+        |d AS (SELECT layout, kind,
+        |    CAST(SUM(delta) OVER (PARTITION BY layout
+        |      ORDER BY v, kind, fid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS depth
+        |  FROM ev)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+        |  CAST(SUM(depth) AS BIGINT) AS sum_depth,
+        |  round(CAST(SUM(depth) AS DOUBLE) / count(*), 6)
+        |    AS avg_depth_r6
+        |FROM d WHERE kind = 0 GROUP BY layout
+        |ORDER BY layout""".stripMargin,
     "q_lake_compaction" ->
       """WITH mf AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(SUM(length(props)) + 64 * count(*) AS BIGINT)
