@@ -217,7 +217,36 @@ object TpchQueries {
         col("p_size"))
   }
 
+  /** TPC-H Q18 (large-volume customer) at the standard 300-quantity
+    * parameter — the only classic shape that was still missing and
+    * fixture-feasible (Q2/Q9/Q11/Q12/Q20 need partsupp/shipmode/
+    * commit-date columns the fixture lacks). The HAVING subquery runs
+    * as a pre-aggregated fact (one map-side-combined sum per orderkey)
+    * joined back to orders, so lineitem is scanned once and the
+    * qualifying-order set (≈0.3% of orders at any scale) is the only
+    * thing that reaches the customer join — which broadcasts.
+    * o_orderkey is appended to the spec's sort as a deterministic
+    * tie-break (value-preserving: totalprice ties are measure-zero,
+    * but the engines must not disagree on truncation order).
+    */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q18_large_volume" -> (q18LargeVolume(_, _)),
     "q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q13_customer_distribution" -> (q13CustomerDistribution(_, _)),
@@ -391,6 +420,20 @@ object TpchQueries {
     "CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
 
   val oracles: Map[String, String] = Map(
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
         |    * CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT)
