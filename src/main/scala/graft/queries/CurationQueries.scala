@@ -585,6 +585,7 @@ object CurationQueries {
     "q_curate_quality_model" -> (qCurateQualityModel(_, _)),
     "q_curate_quality_auc" -> (qCurateQualityAuc(_, _)),
     "q_curate_kappa" -> (qCurateKappa(_, _)),
+    "q_curate_fleiss" -> (qCurateFleiss(_, _)),
     "q_curate_coverage" -> (qCurateCoverage(_, _)),
     "q_curate_fertility" -> (qCurateFertility(_, _)),
     "q_curate_mix_kl" -> (qCurateMixKl(_, _)),
@@ -821,6 +822,51 @@ object CurationQueries {
     * arithmetic on a 9-row frame; at 100 TB only the confusion counts
     * cross the shuffle.
     */
+  /** FLEISS' KAPPA (Fleiss 1971) — multi-rater agreement beyond
+    * [[qCurateKappa]]'s two-rater Cohen form: four deterministic
+    * quality gates (length ≥ 400, ≥ 60 spaces, contains '.', contains
+    * ',') act as n = 4 binary raters per document; κ measures their
+    * agreement beyond the chance implied by the marginal pass rate —
+    * the sanity check a curation pipeline runs before treating gate
+    * consensus as a label.
+    *
+    * Exact rational form: with p_i = pass votes on doc i, f_i = 4−p_i,
+    * A = Σ(p_i²+f_i²−4), S = Σp_i, F = 4N−S, D = 12N, M = 16N²:
+    * P̄ = A/D, P̄_e = (S²+F²)/M, and
+    * κ = (A·M − D·(S²+F²)) / (D·(M − (S²+F²))) — every term an exact
+    * integer (DECIMAL(38,0) headroom: A·M ~ 10²⁰ at web-corpus N), one
+    * identical division for κ_r6, and the "moderate agreement"
+    * verdict κ > 0.4 is the integer cross-multiplication 5·num >
+    * 2·den. Scale: one map-side scan to (p, f) per doc, one 3-sum
+    * reduce.
+    */
+  def qCurateFleiss(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val votes = Tables.documents(spark, dir).select(
+      ((length(col("text")) >= 400).cast("long") +
+        ((length(col("text")) -
+          length(expr("replace(text, ' ', '')"))) >= 60).cast("long") +
+        (instr(col("text"), ".") > 0).cast("long") +
+        (instr(col("text"), ",") > 0).cast("long")).as("p"))
+    votes
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).as("s"),
+        sum(col("p") * col("p") + (lit(4L) - col("p")) * (lit(4L) - col("p")) - 4L)
+          .as("a"))
+      .select(col("n"), col("s"), col("a"),
+        expr("""cast(a as decimal(38,0)) * (16 * n * n)
+               |  - cast(12 as decimal(38,0)) * n
+               |    * (s * s + (4 * n - s) * (4 * n - s))"""
+          .stripMargin.replace('\n', ' ')).as("num"),
+        expr("""cast(12 as decimal(38,0)) * n
+               |  * (16 * n * n - s * s - (4 * n - s) * (4 * n - s))"""
+          .stripMargin.replace('\n', ' ')).as("den"))
+      .select(col("n"), col("s"), col("a"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("kappa_r6"),
+        (col("num") * 5 > col("den") * 2).as("moderate"))
+  }
+
   def qCurateKappa(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val lab = Tables.documents(spark, dir).select(
@@ -1209,6 +1255,31 @@ object CurationQueries {
         |JOIN ranked r ON r.rk = least(ks.k, tot.vocab)
         |ORDER BY k""".stripMargin,
     // identical confusion-matrix integers; cross-multiplied verdict
+    "q_curate_fleiss" ->
+      """WITH v AS (SELECT
+        |    (CASE WHEN length(text) >= 400 THEN 1 ELSE 0 END
+        |     + CASE WHEN length(text) - length(replace(text, ' ', ''))
+        |         >= 60 THEN 1 ELSE 0 END
+        |     + CASE WHEN position('.' IN text) > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN position(',' IN text) > 0 THEN 1 ELSE 0 END)
+        |      AS p
+        |  FROM documents),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS s,
+        |    CAST(SUM(p * p + (4 - p) * (4 - p) - 4) AS BIGINT) AS a
+        |  FROM v),
+        |f AS (SELECT n, s, a,
+        |    CAST(a AS HUGEINT) * (16 * n * n)
+        |      - CAST(12 AS HUGEINT) * n
+        |        * (s * s + (4 * n - s) * (4 * n - s)) AS num,
+        |    CAST(12 AS HUGEINT) * n
+        |      * (16 * n * n - s * s - (4 * n - s) * (4 * n - s)) AS den
+        |  FROM ag)
+        |SELECT n, s, a,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |    AS kappa_r6,
+        |  (num * 5 > den * 2) AS moderate
+        |FROM f""".stripMargin,
     "q_curate_kappa" ->
       """WITH lab AS (SELECT
         |    CASE WHEN n_chars < 200 THEN 'short'

@@ -1793,7 +1793,48 @@ object StatsQueries {
         round(lit(1.0) - ($"num" / $"den") / 2.0, 6).as("rho_r6"))
   }
 
+  /** COCHRAN'S Q (Cochran 1950) — the k-treatment generalization of
+    * McNemar for BINARY repeated measures: did the same customers'
+    * year-over-year activity (ordered in 1996 / 1997 / 1998) change
+    * across years? Q = (k−1)·(k·ΣG_j² − T²)/(k·T − ΣL_i²) with G_j =
+    * per-year active counts, L_i = per-customer active-year count,
+    * T = ΣL — ALL exact BIGINTs, so the statistic is one identical
+    * division and the α=0.05 verdict one integer cross-multiplication
+    * against χ²₂.
+    *
+    * Cohort note: Q is algebraically INVARIANT to all-0 and all-k
+    * subjects (adding an all-1 row shifts kΣG² and T² identically),
+    * so never-active customers need no membership decision — the
+    * orders table alone suffices. Scale: one map-side-combined
+    * groupBy(custkey) then a 6-sum reduce; nothing after the first
+    * aggregate exceeds one row.
+    */
+  def qStatCochranq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.orders(spark, dir)
+      .select($"o_custkey", year($"o_orderdate").as("yr"))
+      .filter($"yr".isin(1996, 1997, 1998))
+      .groupBy($"o_custkey")
+      .agg(max(when($"yr" === 1996, 1L).otherwise(0L)).as("t1"),
+        max(when($"yr" === 1997, 1L).otherwise(0L)).as("t2"),
+        max(when($"yr" === 1998, 1L).otherwise(0L)).as("t3"))
+    rows
+      .agg(count(lit(1)).as("n"),
+        sum($"t1").as("g1"), sum($"t2").as("g2"), sum($"t3").as("g3"),
+        sum($"t1" + $"t2" + $"t3").as("t"),
+        sum(($"t1" + $"t2" + $"t3") * ($"t1" + $"t2" + $"t3")).as("l2"))
+      .select($"n", $"g1", $"g2", $"g3",
+        (lit(2L) * (lit(3L) * ($"g1" * $"g1" + $"g2" * $"g2" +
+          $"g3" * $"g3") - $"t" * $"t")).as("num"),
+        (lit(3L) * $"t" - $"l2").as("den"))
+      .select($"n", $"g1", $"g2", $"g3", $"num", $"den",
+        round($"num".cast("double") / $"den".cast("double"), 6)
+          .as("q_r6"),
+        (lit(1000L) * $"num" > lit(5991L) * $"den").as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_cochranq" -> (qStatCochranq(_, _)),
     "q_stat_dw" -> (qStatDw(_, _)),
     "q_stat_kendall_full" -> (qStatKendallFull(_, _)),
     "q_stat_wilcoxon" -> (qStatWilcoxon(_, _)),
@@ -1851,6 +1892,32 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_cochranq" ->
+      """WITH rows_ AS (SELECT o_custkey,
+        |    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t3
+        |  FROM orders
+        |  WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997, 1998)
+        |  GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(t1) AS BIGINT) AS g1,
+        |    CAST(SUM(t2) AS BIGINT) AS g2,
+        |    CAST(SUM(t3) AS BIGINT) AS g3,
+        |    CAST(SUM(t1 + t2 + t3) AS BIGINT) AS t,
+        |    CAST(SUM((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS l2
+        |  FROM rows_),
+        |f AS (SELECT n, g1, g2, g3,
+        |    2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - t * t) AS num,
+        |    3 * t - l2 AS den
+        |  FROM ag)
+        |SELECT n, g1, g2, g3, num, den,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS q_r6,
+        |  (1000 * num > 5991 * den) AS reject
+        |FROM f""".stripMargin,
     // exact BIGINT moments -> one double slope/intercept -> ordered
     // residual folds mirrored expression-for-expression
     "q_stat_dw" ->
