@@ -343,8 +343,44 @@ object SimilarityQueries {
     "q_sim_project" -> (qSimProject(_, _)),
     "q_sim_dbscan" -> (qSimDbscan(_, _)),
     "q_curate_kcenter" -> (qCurateKcenter(_, _)),
+    "q_sim_recall" -> (qSimRecall(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
   )
+
+  /** ANN RECALL@5 EVALUATION — the eval member of the similarity
+    * family (the [[qSimTopkBrute]] exact result is ground truth; the
+    * LSH and IVF approximate variants are graded against it per
+    * query), mirroring the dedup family's `_eval` discipline: an
+    * index is not "done" until its recall is a FIRST-CLASS, oracle-
+    * checked output rather than a one-off spec assertion. The twin
+    * reuses the three retrieval oracle texts verbatim as derived
+    * tables, so engine and oracle grade exactly the retrievals they
+    * ship. Queries with zero approximate hits still appear (grid
+    * left-join) — silent-miss-proof.
+    *
+    * Scale: the eval joins are (variants × queries × k)-sized — eval
+    * cost is bounded by the query workload, never the corpus.
+    */
+  def qSimRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = qSimTopkBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val vv = qSimTopkIvf(spark, dir)
+      .select(lit("ivf").as("variant"), col("query_id"),
+        col("neighbor_id"))
+      .unionByName(qSimTopkLsh(spark, dir)
+        .select(lit("lsh").as("variant"), col("query_id"),
+          col("neighbor_id")))
+    val grid = b.select(col("query_id")).distinct()
+      .crossJoin(vv.select(col("variant")).distinct())
+    val hits = vv.join(b, Seq("query_id", "neighbor_id"))
+      .groupBy(col("variant"), col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+    grid.join(hits, Seq("variant", "query_id"), "left")
+      .select(col("variant"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 6).as("recall_r6"))
+      .orderBy(col("variant"), col("query_id"))
+  }
 
   /** K-CENTER CORESET SELECTION by farthest-point traversal (Gonzalez
     * 1985 — the greedy 2-approximation; the diversity-sampling
@@ -790,7 +826,7 @@ object SimilarityQueries {
         |FROM hits ORDER BY dims""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "q_sim_embedding_drift" ->
       """WITH x AS (
         |  SELECT vec_id,
@@ -1377,4 +1413,29 @@ object SimilarityQueries {
         |  MAX(n) AS n_vecs
         |FROM per_dim GROUP BY label ORDER BY label""".stripMargin
   )
+
+  /** The recall oracle REUSES the brute/ivf/lsh oracle texts verbatim
+    * as derived tables, so the eval twin can never drift from the
+    * retrieval twins it grades. */
+  val oracles: Map[String, String] = oracles0 +
+    ("q_sim_recall" ->
+      s"""WITH b AS (${oracles0("q_sim_topk_brute")}),
+         |vv AS (
+         |  SELECT 'ivf' AS variant, query_id, neighbor_id
+         |  FROM (${oracles0("q_sim_topk_ivf")})
+         |  UNION ALL
+         |  SELECT 'lsh' AS variant, query_id, neighbor_id
+         |  FROM (${oracles0("q_sim_topk_lsh")})),
+         |qs AS (SELECT DISTINCT query_id FROM b),
+         |grid AS (SELECT v.variant, q.query_id
+         |  FROM qs q CROSS JOIN (SELECT DISTINCT variant FROM vv) v),
+         |hits AS (SELECT vv.variant, vv.query_id,
+         |    CAST(count(*) AS BIGINT) AS hits
+         |  FROM vv JOIN b ON b.query_id = vv.query_id
+         |    AND b.neighbor_id = vv.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT g.variant, g.query_id, COALESCE(h.hits, 0) AS hits,
+         |  round(COALESCE(h.hits, 0) / 5.0, 6) AS recall_r6
+         |FROM grid g LEFT JOIN hits h USING (variant, query_id)
+         |ORDER BY variant, query_id""".stripMargin)
 }

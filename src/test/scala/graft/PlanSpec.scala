@@ -777,6 +777,43 @@ class PlanSpec extends SparkTestBase {
       "candidate join must carry both cell coordinates as equi-keys")
   }
 
+  test("q18: qualifying orders reach customer via broadcast; global " +
+    "top-100 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q18_large_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kendall-full: ONE fact scan; pair statistics ride the " +
+    "broadcast histogram self-join (range condition → BNL over " +
+    "≤550 rows is the intended shape)") {
+    val p = plan("q_stat_kendall_full")
+    // formatted mode re-prints the cached relation's inner scan once
+    // per reference; the real property is that every consumer reads
+    // the CACHED histogram, not the fact table
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 5,
+      "all five histogram consumers must read the cache")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("k-center: every per-round join broadcasts (one new center / " +
+    "k final rows) — no sort-merge join, no shuffle of the corpus " +
+    "beyond the cache") {
+    val p = plan("q_curate_kcenter")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cluster-depth: file assignment rides the range-partitioned " +
+    "two-pass rank — no corpus-sized single-partition window") {
+    val p = plan("q_lake_cluster_depth")
+    assert(p.contains("rangepartitioning"),
+      "Prefix.denseRank's range exchange must be present")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bootstrap: the md5-derived uniform is evaluated ONCE per " +
     "(row, rep) — the 8-branch Poisson CASE ladder must reference it " +
     "as an attribute, not inline the hash into every WHEN") {
