@@ -200,7 +200,23 @@ object Scratch {
           "thresholded bigram table; top-30 is TakeOrdered"),
       "q_event_cep" ->
         ("CEP pattern match: ONE per-user ordered aggregate builds " +
-          "the event string; regex evaluation is map-side"))
+          "the event string; regex evaluation is map-side"),
+      "q18_large_volume" ->
+        ("TPC-H Q18: per-order HAVING pre-aggregate (map-side " +
+          "combine), qualifying set into a broadcast customer join, " +
+          "TakeOrderedAndProject top-100"),
+      "q_stat_kendall_full" ->
+        ("full-table Kendall: ONE fact scan to the cached joint " +
+          "histogram; all pair statistics on the broadcast <=550-row " +
+          "self-join (intended BNL)"),
+      "q_curate_kcenter" ->
+        ("k-center coreset: per round one broadcast center + " +
+          "map-side running-min + one-row argmax; corpus never " +
+          "shuffles"),
+      "q_lake_cluster_depth" ->
+        ("clustering depth: range-partitioned two-pass rank for " +
+          "file assignment; interval sweep as a distributed running " +
+          "sum over the metadata-sized event list"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")
