@@ -265,7 +265,15 @@ object MiningQueries {
     * positives.
     */
   def qErScore(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = erPairs(spark, dir)
+    // The Fellegi–Sunter decision is a function of the AGREEMENT
+    // VECTOR alone — with f binary fields there are only 2^f = 8
+    // patterns, so the DECIMAL(38,0) likelihood-ratio arithmetic runs
+    // ONCE PER PATTERN on an 8-row frame, and the millions of blocked
+    // pairs only equi-join that broadcast decision table on their
+    // three agreement bits (codegen'd boolean keys). Same zero-float
+    // decisions as computing num/den per pair — at 1/726000th the
+    // decimal work (23.1 s → per-pattern at sf0.1).
+    val pairs = graft.ops.CacheScope.cached(erPairs(spark, dir))
     val st = erStats(pairs)
     def factor(ag: String, ma: String): String =
       s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
@@ -273,18 +281,23 @@ object MiningQueries {
     def dfactor(ag: String, ua: String): String =
       s"CAST((nm + 2) * (CASE WHEN $ag THEN $ua + 1" +
         s" ELSE (nu + 2) - ($ua + 1) END) AS DECIMAL(38,0))"
-    pairs.crossJoin(broadcast(st))
+    import spark.implicits._
+    val grid = Seq(false, true)
+    val patterns = grid.flatMap(n => grid.flatMap(s => grid.map(b =>
+      (n, s, b)))).toDF("ag_name", "ag_seg", "ag_bal")
+    val decisions = patterns.crossJoin(broadcast(st))
       .withColumn("num", expr(
         s"${factor("ag_name", "ma_name")} * ${factor("ag_seg", "ma_seg")}" +
           s" * ${factor("ag_bal", "ma_bal")}"))
       .withColumn("den", expr(
         s"${dfactor("ag_name", "ua_name")} * ${dfactor("ag_seg", "ua_seg")}" +
           s" * ${dfactor("ag_bal", "ua_bal")}"))
-      .withColumn("decision",
+      .select(col("ag_name"), col("ag_seg"), col("ag_bal"),
         when(col("num") >= col("den") * 100, "match")
           .when(col("num") >= col("den"), "possible")
-          .otherwise("nonmatch"))
+          .otherwise("nonmatch").as("decision"))
       .filter(col("decision") =!= "nonmatch")
+    pairs.join(broadcast(decisions), Seq("ag_name", "ag_seg", "ag_bal"))
       .select(col("id_a"), col("id_b"), col("ag_name"), col("ag_seg"),
         col("ag_bal"), col("lbl").as("label_match"), col("decision"))
       .orderBy(col("id_a"), col("id_b"))

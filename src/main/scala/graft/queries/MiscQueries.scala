@@ -832,24 +832,32 @@ object MiscQueries {
         .withColumn("fid", expr("(rn - 1) div 2000"))
         .groupBy(col("fid"))
         .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
-      val ev = files.select(col("fid"), col("lo").as("v"),
-          lit(0L).as("kind"), lit(1L).as("delta"))
-        .unionByName(files.select(col("fid"), col("hi").as("v"),
-          lit(1L).as("kind"), lit(-1L).as("delta")))
-      graft.ops.Prefix.runningSumInclusive(ev,
-          Seq(col("v"), col("kind"), col("fid")), col("delta"), "depth")
-        .filter(col("kind") === 0L)
-        .agg(count(lit(1)).as("n_files"),
-          max(col("depth")).as("max_depth"),
-          sum(col("depth")).as("sum_depth"))
-        .select(lit(name).as("layout"), col("n_files"),
-          col("max_depth"), col("sum_depth"),
-          round(col("sum_depth").cast("double") / col("n_files"), 6)
-            .as("avg_depth_r6"))
+      depthSweep(files).select(lit(name).as("layout"), col("n_files"),
+        col("max_depth"), col("sum_depth"), col("avg_depth_r6"))
     }
     depthOf("ingest", Seq(col("o_orderkey")))
       .unionByName(depthOf("clustered", Seq(col("c"), col("o_orderkey"))))
       .orderBy(col("layout"))
+  }
+
+  /** Interval-overlap depth sweep over a (fid, lo, hi) zone-map frame
+    * — see [[qLakeClusterDepth]]. Depth is read at start events, so a
+    * file whose lo equals another's hi overlaps it (closed
+    * intervals). */
+  private[queries] def depthSweep(files: DataFrame): DataFrame = {
+    val ev = files.select(col("fid"), col("lo").as("v"),
+        lit(0L).as("kind"), lit(1L).as("delta"))
+      .unionByName(files.select(col("fid"), col("hi").as("v"),
+        lit(1L).as("kind"), lit(-1L).as("delta")))
+    graft.ops.Prefix.runningSumInclusive(ev,
+        Seq(col("v"), col("kind"), col("fid")), col("delta"), "depth")
+      .filter(col("kind") === 0L)
+      .agg(count(lit(1)).as("n_files"),
+        max(col("depth")).as("max_depth"),
+        sum(col("depth")).as("sum_depth"))
+      .select(col("n_files"), col("max_depth"), col("sum_depth"),
+        round(col("sum_depth").cast("double") / col("n_files"), 6)
+          .as("avg_depth_r6"))
   }
 
   val defs: Map[String, Q] = Map(

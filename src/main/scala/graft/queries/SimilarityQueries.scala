@@ -397,15 +397,18 @@ object SimilarityQueries {
     *
     * Scale: each round is one broadcast of ONE new center + a map-side
     * running-min update + a one-row struct-max aggregate — O(k·N)
-    * total with per-round persiste/lineage-cut (the Graph.pagerank
-    * round discipline); nothing driver-side but the loop counter. The
-    * final assignment is a broadcast of k rows.
+    * total with per-round persist/lineage-cut (the Graph.pagerank
+    * round discipline). The only driver-side state is the k collected
+    * winner rows (one per round — the documented BPE-round exception
+    * class), re-broadcast as literals so each round costs exactly one
+    * job. The final assignment is a broadcast of k rows.
     */
   def qCurateKcenter(spark: SparkSession, dir: String): DataFrame =
     kcenterSelect(Tables.embeddings(spark, dir), 8)
 
   private[queries] def kcenterSelect(emb0: DataFrame, k: Int)
       : DataFrame = {
+    val spark = emb0.sparkSession
     val dist =
       """aggregate(zip_with(embedding, cemb, (a, b) ->
         |  (cast(a as double) - cast(b as double))
@@ -413,29 +416,41 @@ object SimilarityQueries {
         |  0D, (s, v) -> s + v)""".stripMargin
     val emb = graft.ops.CacheScope.cached(
       emb0.select(col("vec_id"), col("embedding")))
-    val seedId = emb.agg(min(col("vec_id")).as("cid"))
-    var centers = emb.join(broadcast(seedId),
-        col("vec_id") === col("cid"))
-      .select(lit(1).as("rank"), col("cid"),
-        col("embedding").as("cemb"))
+    // each round's winner is ONE row — collected to the driver and
+    // re-broadcast as a literal (the documented BPE-round exception
+    // class: k rows total, one per round), so the round costs a
+    // single argmax job instead of re-running it for every consumer
+    val seed = emb.orderBy(col("vec_id")).limit(1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).head
+    var centers = Vector((1, seed._1, seed._2))
+    def centerDf(c: (Int, Long, Seq[Float])) = {
+      import spark.implicits._
+      Seq((c._1, c._2, c._3)).toDF("rank", "cid", "cemb")
+    }
     var pts = graft.ops.CacheScope.cached(
-      emb.crossJoin(broadcast(centers.select(col("cemb"))))
+      emb.crossJoin(broadcast(centerDf(centers.head)
+          .select(col("cemb"))))
         .select(col("vec_id"), col("embedding"),
           expr(dist).as("mind")))
     for (r <- 2 to k) {
-      val next = pts
+      val m = pts
         .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"),
           col("embedding"))).as("m"))
-        .select(lit(r).as("rank"), (-col("m.nid")).as("cid"),
-          col("m.embedding").as("cemb"))
-      centers = centers.unionByName(next)
+        .select((-col("m.nid")).as("cid"), col("m.embedding"))
+        .collect().head
+      val c = (r, m.getLong(0), m.getSeq[Float](1))
+      centers = centers :+ c
       if (r < k)
         pts = graft.ops.CacheScope.cached(
-          pts.crossJoin(broadcast(next.select(col("cemb"))))
+          pts.crossJoin(broadcast(centerDf(c).select(col("cemb"))))
             .select(col("vec_id"), col("embedding"),
               least(col("mind"), expr(dist)).as("mind")))
     }
-    emb.crossJoin(broadcast(centers))
+    val centersDf = {
+      import spark.implicits._
+      centers.toDF("rank", "cid", "cemb")
+    }
+    emb.crossJoin(broadcast(centersDf))
       .select(col("vec_id"), col("rank"), col("cid"),
         expr(dist).as("d"))
       .groupBy(col("vec_id"))
