@@ -1833,7 +1833,53 @@ object StatsQueries {
         (lit(1000L) * $"num" > lit(5991L) * $"den").as("reject"))
   }
 
+  /** MAX STUDENTIZED DEVIATION — the Grubbs-statistic outlier screen
+    * (Grubbs 1950) on order totals: which single row deviates most
+    * from the mean in standard-deviation units, and does it cross the
+    * asymptotic 3σ screening bar? (The exact Grubbs critical value is
+    * a t-quantile in n — not expressible as a fixed integer
+    * comparison across scale factors; the 3σ rule is the documented
+    * contract, the same bar as q_stat_zscore's gate.) Complements the
+    * moment (zscore), median (MAD) and rank (IQR) outlier rules with
+    * the single-most-extreme-point decision.
+    *
+    * Exactness: the argmax is selected on the INTEGER deviation
+    * |n·x − T| via struct extrema (ties → smallest orderkey), so the
+    * chosen row can never flip on float rounding; G² = (n−1)·dev² /
+    * (n·(n·Q − T²)) rides DECIMAL(38,0) (Q needs decimal even at
+    * sf0.1) with one identical double division at the end; the
+    * verdict G² > 9 is the integer comparison num > 9·den.
+    *
+    * Scale: one scan for the moments (3-sum reduce), one scan for the
+    * argmax with the one-row stats broadcast back. Nothing after the
+    * aggregates exceeds one row.
+    */
+  def qStatGrubbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.orders(spark, dir)
+      .select($"o_orderkey", e2($"o_totalprice").as("c"))
+    val st = x.agg(count(lit(1)).as("n"), sum($"c").as("t"),
+      sum($"c".cast("decimal(38,0)") * $"c").as("q"))
+    x.crossJoin(broadcast(st))
+      .select($"o_orderkey", $"c", $"n", $"t", $"q",
+        abs($"n".cast("decimal(38,0)") * $"c" - $"t").as("dev"))
+      .agg(max(struct($"dev", (-$"o_orderkey").as("nid"), $"c",
+        $"n", $"t", $"q")).as("m"))
+      .select((-$"m.nid").as("outlier_key"), $"m.c".as("outlier_cents"),
+        $"m.n".as("n"),
+        (($"m.n" - 1).cast("decimal(38,0)") * $"m.dev" * $"m.dev")
+          .as("num"),
+        ($"m.n".cast("decimal(38,0)") *
+          ($"m.n" * $"m.q" - $"m.t".cast("decimal(38,0)") * $"m.t"))
+          .as("den"))
+      .select($"n", $"outlier_key", $"outlier_cents",
+        round($"num".cast("double") / $"den".cast("double"), 6)
+          .as("g2_r6"),
+        ($"num" > lit(9) * $"den").as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_grubbs" -> (qStatGrubbs(_, _)),
     "q_stat_cochranq" -> (qStatCochranq(_, _)),
     "q_stat_dw" -> (qStatDw(_, _)),
     "q_stat_kendall_full" -> (qStatKendallFull(_, _)),
@@ -1892,6 +1938,29 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_stat_grubbs" ->
+      """WITH x AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |  FROM orders),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS t,
+        |    SUM(CAST(c AS HUGEINT) * c) AS q
+        |  FROM x),
+        |d AS (SELECT o_orderkey, c, n, t, q,
+        |    abs(CAST(n AS HUGEINT) * c - t) AS dev
+        |  FROM x CROSS JOIN st),
+        |m AS (SELECT * FROM d ORDER BY dev DESC, o_orderkey LIMIT 1),
+        |f AS (SELECT n, o_orderkey AS outlier_key,
+        |    c AS outlier_cents,
+        |    CAST(n - 1 AS HUGEINT) * dev * dev AS num,
+        |    CAST(n AS HUGEINT) * (n * q - CAST(t AS HUGEINT) * t)
+        |      AS den
+        |  FROM m)
+        |SELECT n, outlier_key, outlier_cents,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |    AS g2_r6,
+        |  (num > 9 * den) AS reject
+        |FROM f""".stripMargin,
     "q_stat_cochranq" ->
       """WITH rows_ AS (SELECT o_custkey,
         |    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996

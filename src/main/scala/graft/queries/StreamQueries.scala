@@ -1716,8 +1716,48 @@ object StreamQueries {
       .orderBy(col("event_type"), col("word"))
   }
 
+  /** TURNING-POINT RANDOMNESS TEST (Kendall's classic) per event
+    * type: count strict local extrema in the daily series (x_{i−1} <
+    * x_i > x_{i+1} or the mirror) and compare against the
+    * iid-expectation E[T] = 2(n−2)/3, Var[T] = (16n−29)/90 — too FEW
+    * turning points means trend/autocorrelation, too many means
+    * oscillation; the 5-second sanity check before fitting any of the
+    * trend/seasonal operators. Complements q_stat_runs (sign-level
+    * randomness) at the shape level.
+    *
+    * Exactness: T and n are integers; the two-sided α=0.05 verdict is
+    * ONE integer cross-multiplication — with D = 3T − 2(n−2) (3× the
+    * deviation), reject iff 225000·D² > 86436·(16n−29) (i.e.
+    * (T−E)² > 1.96²·Var with all denominators cleared). Ties produce
+    * no turning point by the strict-inequality contract.
+    *
+    * Scale: corpus → calendar-bounded daily cells map-side; lag/lead
+    * windows run inside per-type partitions.
+    */
+  def qTimeTurning(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("p", lag(col("n"), 1).over(w))
+      .withColumn("f", lead(col("n"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p").isNotNull && col("f").isNotNull &&
+          ((col("n") > col("p") && col("n") > col("f")) ||
+            (col("n") < col("p") && col("n") < col("f"))), 1L)
+          .otherwise(0L)).as("t"))
+      .select(col("event_type"), col("n"), col("t"),
+        (lit(225000L) *
+          (lit(3L) * col("t") - lit(2L) * (col("n") - 2)) *
+          (lit(3L) * col("t") - lit(2L) * (col("n") - 2)) >
+          lit(86436L) * (lit(16L) * col("n") - 29L)).as("reject"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, Q] = pinned(Map(
     "q_time_sax" -> (qTimeSax(_, _)),
+    "q_time_turning" -> (qTimeTurning(_, _)),
     "q_stream_asof" -> (qStreamAsof(_, _)),
     "q_stream_funnel" -> (qStreamFunnel(_, _)),
     "q_stream_funnel_unordered" -> (qStreamFunnelUnordered(_, _)),
@@ -2321,6 +2361,24 @@ object StreamQueries {
         |SELECT user_id, useq AS update_seq, mrn AS n_so_far,
         |  round(lvl, 6) AS level_r6
         |FROM upd ORDER BY user_id, update_seq""".stripMargin,
+    // strict-extrema count + one cleared-denominator integer verdict
+    "q_time_turning" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        |    lead(n) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM d),
+        |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+        |      AND ((l.n > p AND l.n > f) OR (l.n < p AND l.n < f))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, len AS n, t,
+        |  (225000 * (3 * t - 2 * (len - 2)) * (3 * t - 2 * (len - 2))
+        |   > 86436 * (16 * len - 29)) AS reject
+        |FROM ag ORDER BY event_type""".stripMargin,
     // identical double z-scores from exact BIGINT moments; breakpoint
     // CASEs on bit-identical operands — symbols can't diverge
     "q_time_sax" ->

@@ -180,6 +180,33 @@ object TextQueries {
       .orderBy(col("tf").desc, col("tok"))
       .limit(30)
 
+  /** YULE'S CHARACTERISTIC K (Yule 1944) — the length-invariant
+    * lexical-repetitiveness constant: K = 10⁴·(Σf² − N)/N² over the
+    * corpus token-frequency spectrum (equivalently Σm²V_m with V_m =
+    * types of frequency m). Complements Heaps (vocabulary growth) and
+    * TTR/burstiness (per-doc) with the corpus-level constant quality
+    * pipelines use because, unlike TTR, K does not drift with corpus
+    * size. Exact integer num/den (Σf² ≤ ~10¹² at sf0.1; decimal route
+    * documented for web scale) + one identical division.
+    *
+    * Scale: token explode → one map-side-combined frequency aggregate
+    * → a 3-sum reduce. Same whitespace tokenization as
+    * [[qTextTokenFreq]].
+    */
+  def qTextYuleK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("n"), count(lit(1)).as("v"),
+        sum(col("f") * col("f")).as("s2"))
+      .select(col("n"), col("v"),
+        (lit(10000L) * (col("s2") - col("n"))).as("num"),
+        (col("n") * col("n")).as("den"))
+      .select(col("n"), col("v"), col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("k_r6"))
+
   /** Duplicate-n-gram repetition ratios (2- and 3-grams) — the Gopher-
     * style boilerplate/degenerate-text gate. Ratios are divisions of two
     * exact integers, so no rounding is needed for the oracle.
@@ -1788,6 +1815,7 @@ object TextQueries {
     "q_text_ngrams" -> (qTextNgrams(_, _)),
     "q_text_fingerprint" -> (qTextFingerprint(_, _)),
     "q_text_token_freq" -> (qTextTokenFreq(_, _)),
+    "q_text_yule_k" -> (qTextYuleK(_, _)),
     "q_text_good_turing" -> (qTextGoodTuring(_, _)),
     "q_text_kneser_ney" -> (qTextKneserNey(_, _)),
     "q_text_postings" -> (qTextPostings(_, _)),
@@ -2940,6 +2968,20 @@ GROUP BY token ORDER BY n DESC, token LIMIT 30"""
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_yule_k" ->
+      """WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |ag AS (SELECT CAST(SUM(f) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(SUM(f * f) AS BIGINT) AS s2
+        |  FROM f),
+        |w AS (SELECT n, v, 10000 * (s2 - n) AS num, n * n AS den
+        |  FROM ag)
+        |SELECT n, v, num, den,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS k_r6
+        |FROM w""".stripMargin,
     "q_text_token_freq" ->
       """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
