@@ -55,11 +55,21 @@ object Prefix {
     * identical to `dense_rank().over(Window.orderBy(order))` with no
     * single-partition window anywhere. Rank VALUES depend only on the
     * key's position in the global key order, so they are
-    * partitioning-invariant. */
-  def denseRank(df: DataFrame, order: Seq[Column], out: String)
-      : DataFrame = {
+    * partitioning-invariant.
+    *
+    * `partitions` sizes the range exchange (0 = the session's shuffle
+    * partitions). AQE cannot coalesce an explicit repartitionByRange,
+    * so a caller that KNOWS its input is small (e.g. a cached cell
+    * table it just counted) should pass ⌈rows/64k⌉-ish to avoid paying
+    * 32-task dispatch overhead per stage on a 100k-row frame — the
+    * r11 q_stat_kendall_grid local[32] wall doubling was exactly this
+    * constant, not the algorithm. Rank values are partition-count
+    * invariant, so the choice affects only cost. */
+  def denseRank(df: DataFrame, order: Seq[Column], out: String,
+      partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val p = spark.sessionState.conf.numShufflePartitions
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
     val ranged = CacheScope.cached(
       df.repartitionByRange(p, order: _*)
         .withColumn("__pid", spark_partition_id()))

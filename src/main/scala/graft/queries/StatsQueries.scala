@@ -1670,10 +1670,19 @@ object StatsQueries {
     // table (equal values share a rank, so a value's every occurrence
     // shares a bucket and lower bucket implies strictly smaller
     // value); stride = ceil(D/B) guarantees ≤ ⌈D/B⌉ distinct values
-    // per strip regardless of value skew
+    // per strip regardless of value skew.
+    // The rank exchanges are sized to the CELL COUNT (one cheap count
+    // on the cached cell table; rank values are partition-count
+    // invariant): at fixture scale the cell table is ~150k rows and a
+    // 32-partition range exchange pays 32-task dispatch per stage for
+    // nothing — the r11 local[32] wall doubling. At 100 TB the ratio
+    // drives p back to the session parallelism.
+    val rankP = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (cells.count() + 65535L) / 65536L)).toInt
     val ranked = graft.ops.Prefix.denseRank(
-      graft.ops.Prefix.denseRank(cells, Seq($"x"), "rx"),
-      Seq($"y"), "ry")
+      graft.ops.Prefix.denseRank(cells, Seq($"x"), "rx", rankP),
+      Seq($"y"), "ry", rankP)
     val withB = graft.ops.CacheScope.cached(ranked
       .crossJoin(broadcast(mx.select($"dx")))
       .crossJoin(broadcast(my.select($"dy")))
