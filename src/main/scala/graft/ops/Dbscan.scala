@@ -43,9 +43,13 @@ import org.apache.spark.sql.functions._
   *         id of the component, NULL for noise
   */
 object Dbscan {
-  def dbscan2D(points: DataFrame, id: String, x: String, y: String,
-      eps: Double, minPts: Int, componentIters: Int = 16): DataFrame = {
-    require(eps > 0 && minPts >= 1, "eps > 0 and minPts >= 1 required")
+
+  /** Exact ε-neighbor pairs (ia, ib, d2) via the 3×3 grid equi-join —
+    * the shared candidate generator for [[dbscan2D]] and
+    * [[coreDistance2D]]. Each ordered (ia, ib) pair matches in exactly
+    * one build cell, so downstream counts need no dedup. */
+  private def epsNeighbors(points: DataFrame, id: String, x: String,
+      y: String, eps: Double): DataFrame = {
     val e2 = eps * eps
     val pts = CacheScope.cached(points
       .select(col(id).cast("long").as("__id"),
@@ -66,14 +70,30 @@ object Dbscan {
         (col("__cy") + col("d.dy")).as("jcy"))
     val build = pts.select(col("__id").as("ib"), col("__x").as("xb"),
       col("__y").as("yb"), col("__cx").as("jcx"), col("__cy").as("jcy"))
-    // each ordered (ia, ib) pair matches in exactly one build cell, so
-    // neighbor counts need no dedup
-    val nbr = CacheScope.cached(probes.join(build, Seq("jcx", "jcy"))
+    probes.join(build, Seq("jcx", "jcy"))
       .filter(col("ia") =!= col("ib"))
-      .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
-        + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= e2)
-      .select(col("ia"), col("ib")))
-    val counts = CacheScope.cached(pts.select(col("__id").as("ia"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= e2)
+      .select(col("ia"), col("ib"), col("d2"))
+  }
+
+  /** All input ids (post null-filter) — for left joins back. */
+  private def allIds(points: DataFrame, id: String, x: String,
+      y: String): DataFrame = points
+    .select(col(id).cast("long").as("ia"), col(x).cast("double").as("__x"),
+      col(y).cast("double").as("__y"))
+    .filter(col("__x").isNotNull && col("__y").isNotNull)
+    .select(col("ia"))
+
+  def dbscan2D(points: DataFrame, id: String, x: String, y: String,
+      eps: Double, minPts: Int, componentIters: Int = 16): DataFrame = {
+    require(eps > 0 && minPts >= 1, "eps > 0 and minPts >= 1 required")
+    val nbr = CacheScope.cached(
+      epsNeighbors(points, id, x, y, eps).select(col("ia"), col("ib")))
+    val pts = allIds(points, id, x, y)
+    val counts = CacheScope.cached(pts
       .join(nbr.groupBy(col("ia")).agg(count(lit(1)).as("nn")),
         Seq("ia"), "left")
       .select(col("ia"),
@@ -103,5 +123,44 @@ object Dbscan {
     counts.join(clusters, Seq("ia"), "left")
       .select(col("ia").as(id), col("n_eps"),
         (col("n_eps") >= minPts).as("is_core"), col("cluster"))
+  }
+
+  /** ε-CAPPED CORE DISTANCE — the HDBSCAN d_core(p) (Campello,
+    * Moulavi & Sander 2013, §3) under a DBSCAN ε bound: the squared
+    * distance from p to its (minPts−1)-th nearest OTHER point, using
+    * only neighbors within ε (|N_ε(p)| counts p itself, matching
+    * [[dbscan2D]], so the core distance is defined exactly for
+    * dbscan2D's core points: n_eps ≥ minPts ⟺ core_d2 non-NULL).
+    * This is both the k-distance diagnostic used to choose ε (sort
+    * the values, read the elbow) and the mutual-reachability input
+    * for an ε-bounded HDBSCAN
+    * (d_mreach(a,b) = max(d_core(a), d_core(b), d(a,b))).
+    *
+    * Exactness + scale: candidates come from the same 3×3 grid
+    * equi-join (zero false negatives within ε, so the k-th-NN rank is
+    * exact for the capped definition — the cap is what keeps the
+    * operator out of the O(N²) uncapped-kNN regime); the per-point
+    * selection is one rank window over each point's ≤|cell
+    * neighborhood| candidate rows, keyed (d2, ib) so distance ties
+    * break deterministically.
+    *
+    * @return (id, n_eps, core_d2) — core_d2 NULL for non-core points
+    */
+  def coreDistance2D(points: DataFrame, id: String, x: String,
+      y: String, eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 2, "eps > 0 and minPts >= 2 required")
+    import org.apache.spark.sql.expressions.Window
+    val nbr = CacheScope.cached(epsNeighbors(points, id, x, y, eps))
+    val kth = nbr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ia")).orderBy(col("d2"), col("ib"))))
+      .filter(col("rn") === minPts - 1)
+      .select(col("ia"), col("d2").as("core_d2"))
+    allIds(points, id, x, y)
+      .join(nbr.groupBy(col("ia")).agg(count(lit(1)).as("nn")),
+        Seq("ia"), "left")
+      .join(kth, Seq("ia"), "left")
+      .select(col("ia").as(id),
+        (coalesce(col("nn"), lit(0L)) + 1L).as("n_eps"), col("core_d2"))
   }
 }

@@ -342,6 +342,7 @@ object SimilarityQueries {
     "q_sim_topk_ivfpq" -> (qSimTopkIvfPq(_, _)),
     "q_sim_project" -> (qSimProject(_, _)),
     "q_sim_dbscan" -> (qSimDbscan(_, _)),
+    "q_sim_kdist" -> (qSimKdist(_, _)),
     "q_curate_kcenter" -> (qCurateKcenter(_, _)),
     "q_sim_recall" -> (qSimRecall(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
@@ -473,19 +474,42 @@ object SimilarityQueries {
     * blocking is provably pair-set-preserving), the recursive-CTE
     * closure, and the min-label border rule.
     */
-  def qSimDbscan(spark: SparkSession, dir: String): DataFrame = {
+  /** The q_sim_dbscan 2-D projection (qSimProject's first two axes,
+    * raw doubles) — shared with [[qSimKdist]]. */
+  private def dbscanProjection(spark: SparkSession, dir: String)
+      : DataFrame = {
     def axis(i: Int): String =
       s"""aggregate(transform(sequence(0, 63), j ->
          |  ((${7 * i} + 11 * j) % 5 - 2)
          |    * cast(element_at(embedding, j + 1) as double)),
          |  0D, (acc, c) -> acc + c)""".stripMargin
-    val projected = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(axis(0)).as("px"),
         expr(axis(1)).as("py"))
-    graft.ops.Dbscan.dbscan2D(projected, "vec_id", "px", "py",
-      eps = 0.2, minPts = 6)
-      .orderBy(col("vec_id"))
   }
+
+  def qSimDbscan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dbscan.dbscan2D(dbscanProjection(spark, dir), "vec_id",
+      "px", "py", eps = 0.2, minPts = 6)
+      .orderBy(col("vec_id"))
+
+  /** ε-CAPPED HDBSCAN CORE DISTANCE
+    * ([[graft.ops.Dbscan.coreDistance2D]]) at the q_sim_dbscan
+    * parameters (ε = 0.2, minPts = 6): per vector, the squared
+    * distance to its 5th-nearest other point within ε — NULL exactly
+    * for q_sim_dbscan's non-core points. The sorted non-NULL column
+    * is the k-distance elbow diagnostic for choosing ε, and the values
+    * are HDBSCAN's d_core inputs for mutual reachability. The twin
+    * brute-forces the ε-graph and replays the (d2, ib)-keyed rank, so
+    * the grid join's zero-false-negative claim is certified against
+    * pair enumeration.
+    */
+  def qSimKdist(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dbscan.coreDistance2D(dbscanProjection(spark, dir),
+      "vec_id", "px", "py", eps = 0.2, minPts = 6)
+      .select(col("vec_id"), col("n_eps"),
+        round(col("core_d2"), 6).as("core_d2_r6"))
+      .orderBy(col("vec_id"))
 
   /** IVFADC (Jégou et al. TPAMI'11 §IV.A — coarse IVF routing + PQ on
     * RESIDUALS): 8 md5-sampled coarse lists, 4×16 residual codebook,
@@ -944,6 +968,42 @@ object SimilarityQueries {
     // pair-set-preserving (each coordinate is 1-Lipschitz in L2), so
     // the all-pairs join reproduces the same neighbor set; projection
     // folds share q_sim_project's 0-init ≡ init-from-first identity
+    // brute-force ε-graph + the same (d2, ib)-keyed rank; n_eps and
+    // NULL-ness must agree row-for-row with q_sim_dbscan's core set
+    "q_sim_kdist" -> {
+      def axis(i: Int): String =
+        s"""list_reduce(list_transform(generate_series(0, 63), j ->
+           |      ((${7 * i} + 11 * j) % 5 - 2)
+           |        * CAST(embedding[j + 1] AS DOUBLE)),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |    ${axis(0)} AS px,
+         |    ${axis(1)} AS py
+         |  FROM embeddings),
+         |nbr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    (a.px - b.px) * (a.px - b.px)
+         |      + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px)
+         |      + (a.py - b.py) * (a.py - b.py) <= 0.2 * 0.2),
+         |kth AS (
+         |  SELECT ia, d2 FROM (
+         |    SELECT ia, d2,
+         |      row_number() OVER (PARTITION BY ia ORDER BY d2, ib)
+         |        AS rn
+         |    FROM nbr) r WHERE rn = 5),
+         |cnt AS (
+         |  SELECT p.vec_id AS ia,
+         |    CAST(1 + COALESCE(n.c, 0) AS BIGINT) AS n_eps
+         |  FROM p LEFT JOIN (SELECT ia, count(*) AS c FROM nbr
+         |                    GROUP BY ia) n ON n.ia = p.vec_id)
+         |SELECT cnt.ia AS vec_id, cnt.n_eps,
+         |  round(kth.d2, 6) AS core_d2_r6
+         |FROM cnt LEFT JOIN kth ON kth.ia = cnt.ia
+         |ORDER BY vec_id""".stripMargin
+    },
     "q_sim_dbscan" -> {
       def axis(i: Int): String =
         s"""list_reduce(list_transform(generate_series(0, 63), j ->

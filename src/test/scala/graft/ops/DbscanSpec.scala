@@ -55,6 +55,32 @@ class DbscanSpec extends SparkTestBase {
     assert(run(pts.toDF("id", "x", "y").repartition(7)) == expect)
   }
 
+  test("coreDistance2D: hand-computed (minPts−1)-th neighbor " +
+    "distances; NULL exactly off the dbscan core set") {
+    val got = CacheScope.scoped {
+      Dbscan.coreDistance2D(pts.toDF("id", "x", "y"), "id", "x", "y",
+        eps = 0.25, minPts = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSeq.sortBy(_._1)
+    }
+    // id 1 at (0,0): other neighbors within ε sorted by d² =
+    // 0.125² (→2), 0.125² (→3), 0.125²·2 (→4), 0.25² (→5); 3rd = 2·0.125²
+    val d1 = 0.125 * 0.125
+    assert(got.find(_._1 == 1L).get == (1L, 5L, Some(2 * d1)))
+    // id 3 at (0, 0.125): neighbors 1 (0.125²), 4 (0.125²), 2 (2·0.125²)
+    // — exactly minPts−1 = 3 of them → core distance = 2·0.125²
+    assert(got.find(_._1 == 3L).get == (3L, 4L, Some(2 * d1)))
+    // border (50) and noise (99) points have no 3rd neighbor within ε
+    assert(got.find(_._1 == 50L).get == (50L, 3L, None))
+    assert(got.find(_._1 == 99L).get == (99L, 1L, None))
+    // the contract with dbscan2D: core ⟺ non-NULL core distance
+    val core = run(pts.toDF("id", "x", "y"))
+      .map(t => t._1 -> t._3).toMap
+    assert(got.forall { case (id, _, cd) => cd.isDefined == core(id) })
+  }
+
   test("isolated core (minPts met purely by borders) keeps its own " +
     "singleton cluster") {
     // hub at origin with 3 spokes at ε: hub |N| = 4 → core; spokes
