@@ -671,4 +671,89 @@ object Graph {
     }
     dist.select(col("v").as("vertex"), col("d").as("dist"))
   }
+
+  /** MINIMUM SPANNING FOREST by distributed BORŮVKA (Borůvka 1926;
+    * the textbook distributed MST — each round every component selects
+    * its minimum outgoing edge, selected edges join the forest,
+    * components contract, so the component count at least HALVES per
+    * round and ⌈log₂V⌉ rounds suffice). Under the deterministic total
+    * edge order (w, a, b) the minimum outgoing edge is unique per
+    * component, which makes the selected set acyclic every round and
+    * the resulting forest the UNIQUE canonical MSF — both engines (and
+    * any fixed-round replay) must produce the identical edge set, so
+    * the operator is hash-oracle-checkable even though MST is
+    * otherwise tie-ambiguous.
+    *
+    * Scale shape: a round is (edge ⨝ label) × 2 on the endpoint keys
+    * + one min-struct aggregate per component + contraction run on the
+    * COMPONENT graph — the selected (comp, comp) edges, a set that
+    * HALVES every round — via [[Dedup.dedupComponentsConverged]]
+    * (pointer doubling), after which node labels compose through the
+    * component relabel with one broadcast-sized join. The full forest
+    * is never re-closed; nothing materializes beyond |E| candidate
+    * rows and the |V| label table. The loop stops on the first round
+    * that selects NO outgoing edge (one driver-side count per round —
+    * the bounded-iteration exception class, ≤ ⌈log₂V⌉ + 1 actions).
+    * Label composition preserves min-node-id labels because component
+    * ids ARE min node ids and min composes through merges.
+    *
+    * @param edges DataFrame[a: Long, b: Long, w: integral] —
+    *              undirected, one row per unordered pair (a < b)
+    * @return (a, b, w, tree) — forest edges, tree = the min node id of
+    *         the containing tree
+    */
+  def boruvkaForest(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val e = CacheScope.cached(edges.select(
+      col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+      col("w").cast("long").as("w")))
+    val dir2 = e.select(col("a").as("s"), col("b").as("t"), col("w"))
+      .unionByName(e.select(col("b").as("s"), col("a").as("t"), col("w")))
+    val nodes = CacheScope.cached(
+      dir2.select(col("s").as("node")).distinct())
+    var labels = CacheScope.cached(
+      nodes.select(col("node"), col("node").as("comp")))
+    var forest = e.sparkSession.emptyDataFrame
+    var haveForest = false
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      // each directed copy carries its CANONICAL identity (w, a, b) so
+      // the per-component min is the same edge from either side; the
+      // partner component rides along after the unique (w, a, b) key
+      val cand = dir2
+        .join(labels.select(col("node").as("s"), col("comp").as("cs")), "s")
+        .join(labels.select(col("node").as("t"), col("comp").as("ct")), "t")
+        .filter(col("cs") =!= col("ct"))
+        .select(col("cs"),
+          struct(col("w"), least(col("s"), col("t")).as("a"),
+            greatest(col("s"), col("t")).as("b"), col("ct")).as("k"))
+      val sel = CacheScope.cached(
+        cand.groupBy(col("cs")).agg(min(col("k")).as("k"))
+          .select(col("cs"), col("k.a").as("a"), col("k.b").as("b"),
+            col("k.w").as("w"), col("k.ct").as("ct")))
+      if (sel.isEmpty) done = true
+      else {
+        val selEdges = sel.select(col("a"), col("b"), col("w")).distinct()
+        forest =
+          if (haveForest) CacheScope.cached(forest.unionByName(selEdges))
+          else { haveForest = true; CacheScope.cached(selEdges) }
+        // contract on the COMPONENT graph (halves every round), then
+        // compose node labels through the component relabel
+        val rel = Dedup.dedupComponentsConverged(
+          sel.select(col("cs").as("id_a"), col("ct").as("id_b")))._1
+        labels = CacheScope.cached(labels
+          .join(rel.select(col("doc_id").as("comp"),
+            col("component").as("nc")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp")))
+        rounds += 1
+      }
+    }
+    if (!haveForest)
+      return e.limit(0).withColumn("tree", lit(0L))
+        .select(col("a"), col("b"), col("w"), col("tree"))
+    forest
+      .join(labels.select(col("node").as("a"), col("comp").as("tree")),
+        "a")
+      .select(col("a"), col("b"), col("w"), col("tree"))
+  }
 }

@@ -212,20 +212,44 @@ object GraphQueries {
     * the point: the engine's relaxation form is the one that scales.
     */
   def qGraphSssp(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val und = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(min(col("x.p") % 97 + 1).as("w"))
+    val und = supplierGraph(spark, dir)
     val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"),
         col("w")))
     Graph.ssspBounded(edges, source = 1L, rounds = 4)
       .orderBy(col("dist"), col("vertex"))
   }
+
+  /** The weighted undirected supplier co-part graph shared by
+    * [[qGraphSssp]] and [[qGraphMst]]: suppliers of the same
+    * quantity-1 part are adjacent, w = min(partkey % 97 + 1). */
+  private def supplierGraph(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(min(col("x.p") % 97 + 1).as("w"))
+  }
+
+  /** MINIMUM SPANNING FOREST of the supplier co-part graph by
+    * distributed Borůvka ([[graft.ops.Graph.boruvkaForest]]) — the
+    * maintenance query behind cheapest-backbone problems (replication
+    * topology, dedup-cluster spanning structure, HDBSCAN's
+    * mutual-reachability MST). Under the (w, a, b) total edge order
+    * the forest is UNIQUE, so the twin — the same Borůvka recursion
+    * unrolled as fixed-round SQL with a recursive-CTE closure per
+    * round — must reproduce the edge set row-for-row. The engine stops
+    * at the first round selecting no outgoing edge; the unrolled twin
+    * over-runs to a fixed 12 rounds, which is identical by idempotence
+    * (an empty selection leaves forest and labels unchanged) and
+    * covers V ≤ 4096 components by the halving guarantee. */
+  def qGraphMst(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.boruvkaForest(supplierGraph(spark, dir))
+      .orderBy(col("a"), col("b"))
 
   /** INCREMENTAL CONNECTED-COMPONENTS MAINTENANCE — the arrival-batch
     * update of the near-dup cluster table, done WITHOUT re-running CC
@@ -502,6 +526,7 @@ object GraphQueries {
     "q_graph_modularity" -> (qGraphModularity(_, _)),
     "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
     "q_graph_sssp" -> (qGraphSssp(_, _)),
+    "q_graph_mst" -> (qGraphMst(_, _)),
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
@@ -625,7 +650,72 @@ object GraphQueries {
        |ORDER BY src, dst""".stripMargin
   }
 
+  /** One unrolled Borůvka round as twin SQL (lab{k−1}/f{k−1} →
+    * sel{k}/f{k}/lab{k}): the per-component minimum outgoing edge under
+    * the (w, a, b) total order via row_number, the grown forest, a
+    * recursive-CTE closure over it, and the relabel. Idempotent once
+    * converged (empty selection leaves f and lab unchanged), so a
+    * fixed over-unroll equals the engine's convergence stop. */
+  private def mstRoundSql(k: Int): String = {
+    val pl = s"lab${k - 1}"
+    val pf = s"f${k - 1}"
+    s"""sel$k AS MATERIALIZED (
+       |  SELECT DISTINCT a, b, w FROM (
+       |    SELECT l1.comp AS cs, d.w,
+       |      LEAST(d.s, d.t) AS a, GREATEST(d.s, d.t) AS b,
+       |      row_number() OVER (PARTITION BY l1.comp
+       |        ORDER BY d.w, LEAST(d.s, d.t), GREATEST(d.s, d.t))
+       |        AS rn
+       |    FROM dir2 d
+       |    JOIN $pl l1 ON l1.node = d.s
+       |    JOIN $pl l2 ON l2.node = d.t
+       |    WHERE l1.comp <> l2.comp) z
+       |  WHERE rn = 1),
+       |f$k AS MATERIALIZED (
+       |  SELECT * FROM $pf UNION SELECT * FROM sel$k),
+       |fe$k AS MATERIALIZED (SELECT a AS s, b AS t FROM f$k
+       |         UNION ALL SELECT b, a FROM f$k
+       |         UNION ALL SELECT a, a FROM f$k),
+       |reach$k(node, lab) AS (
+       |  SELECT DISTINCT s, s FROM fe$k
+       |  UNION
+       |  SELECT e.s, r.lab FROM fe$k e JOIN reach$k r ON r.node = e.t),
+       |comp$k AS MATERIALIZED (SELECT node, MIN(lab) AS component
+       |           FROM reach$k GROUP BY node),
+       |lab$k AS MATERIALIZED (
+       |  SELECT n.node, COALESCE(c.component, n.node) AS comp
+       |  FROM nodes n LEFT JOIN comp$k c ON c.node = n.node)"""
+      .stripMargin
+  }
+
+  private val mstRounds = 12
+
   val oracles: Map[String, String] = Map(
+    // same graph as q_graph_sssp; Borůvka unrolled to 12 rounds
+    // (halving guarantee covers V ≤ 4096 components; sf0.01 has ~100)
+    "q_graph_mst" ->
+      // every non-recursive CTE is MATERIALIZED: the round chain
+      // references f_{k-1}/lab_{k-1} several times each, and DuckDB's
+      // default inlining re-expands the whole chain per reference —
+      // exponential plan growth (and one parquet open per leaf) by
+      // round 12. Materialization makes the unroll linear.
+      s"""WITH RECURSIVE ps AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+         |  FROM lineitem WHERE l_quantity = 1.0),
+         |und AS MATERIALIZED (
+         |  SELECT x.s AS a, y.s AS b, min(x.p % 97 + 1) AS w
+         |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+         |  GROUP BY x.s, y.s),
+         |dir2 AS MATERIALIZED (SELECT a AS s, b AS t, w FROM und
+         |         UNION ALL SELECT b, a, w FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM dir2),
+         |lab0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes),
+         |f0 AS MATERIALIZED (SELECT a, b, w FROM und WHERE FALSE),
+         |${(1 to mstRounds).map(mstRoundSql).mkString(",\n")},
+         |final_lab AS (SELECT * FROM lab$mstRounds)
+         |SELECT f.a, f.b, f.w, l.comp AS tree
+         |FROM f$mstRounds f JOIN final_lab l ON l.node = f.a
+         |ORDER BY f.a, f.b""".stripMargin,
     // reachable-chain enumeration with UNION-deduped (u,v,len) working
     // set; longest_in(v) = max len over chains ending at v
     "q_graph_critpath" ->
