@@ -675,85 +675,243 @@ object Graph {
   /** MINIMUM SPANNING FOREST by distributed BORŮVKA (Borůvka 1926;
     * the textbook distributed MST — each round every component selects
     * its minimum outgoing edge, selected edges join the forest,
-    * components contract, so the component count at least HALVES per
-    * round and ⌈log₂V⌉ rounds suffice). Under the deterministic total
-    * edge order (w, a, b) the minimum outgoing edge is unique per
-    * component, which makes the selected set acyclic every round and
-    * the resulting forest the UNIQUE canonical MSF — both engines (and
-    * any fixed-round replay) must produce the identical edge set, so
-    * the operator is hash-oracle-checkable even though MST is
-    * otherwise tie-ambiguous.
+    * components contract, so the ACTIVE component count at least
+    * HALVES per round and ⌈log₂V⌉ rounds suffice). Under the
+    * deterministic total edge order (w, a, b) the minimum outgoing
+    * edge is unique per component, which makes the selected set
+    * acyclic every round and the resulting forest the UNIQUE
+    * canonical MSF — both engines (and any fixed-round replay) must
+    * produce the identical edge set, so the operator is
+    * hash-oracle-checkable even though MST is otherwise
+    * tie-ambiguous. Weights pass through UNCAST, so any totally
+    * ordered numeric weight works (integer part costs, HDBSCAN's
+    * double mutual-reachability d²) — determinism then rests on the
+    * weight column itself being cross-engine reproducible.
     *
-    * Scale shape: a round is (edge ⨝ label) × 2 on the endpoint keys
-    * + one min-struct aggregate per component + contraction run on the
-    * COMPONENT graph — the selected (comp, comp) edges, a set that
-    * HALVES every round — via [[Dedup.dedupComponentsConverged]]
-    * (pointer doubling), after which node labels compose through the
-    * component relabel with one broadcast-sized join. The full forest
-    * is never re-closed; nothing materializes beyond |E| candidate
-    * rows and the |V| label table. The loop stops on the first round
-    * that selects NO outgoing edge (one driver-side count per round —
-    * the bounded-iteration exception class, ≤ ⌈log₂V⌉ + 1 actions).
-    * Label composition preserves min-node-id labels because component
-    * ids ARE min node ids and min composes through merges.
+    * Scale shape, and the r12 constant-factor fix (45 s → seconds on
+    * a 3,491-edge graph): the EDGE-side work — (edge ⨝ label) × 2 on
+    * the endpoint keys + one min-struct aggregate per component — is
+    * always distributed; that is the 100 TB part. The LABEL table is
+    * |V|-sized and contracts along one of two paths:
     *
-    * @param edges DataFrame[a: Long, b: Long, w: integral] —
+    *  - |V| ≤ `smallLabelLimit` (default 2²⁰ ≈ 16 MB of pairs): the
+    *    label table is a driver map broadcast into the candidate
+    *    joins (the standard broadcast-dimension shape — entity graphs
+    *    whose edge set is huge but whose vertex set is catalog-sized
+    *    are exactly this), the per-component min selection is
+    *    COLLECTED (≤ one row per active component, so ≤ |V| rows,
+    *    halving every round), and the contraction is a driver
+    *    union-find — one action and zero label shuffles per round.
+    *
+    *  - |V| above the limit: labels stay distributed. The round costs
+    *    ONE driver action (the empty-selection stop test, which
+    *    doubles as the cache materialization point); the contraction
+    *    needs NO action and NO convergence probe, because under a
+    *    total edge order the selected (cs → ct) pointer graph is a
+    *    FUNCTIONAL graph whose only cycles are 2-cycles (follow a
+    *    pointer cycle c₁→c₂→…→cₖ→c₁: eᵢ is outgoing of both cᵢ and
+    *    cᵢ₊₁, so e₁ ≥ e₂ ≥ … ≥ e₁ in the total order forces one
+    *    shared edge, i.e. k = 2). Rooting each 2-cycle at its smaller
+    *    component id turns the selection into a forest of parent
+    *    pointers, and pointer doubling reaches every root in
+    *    ⌈log₂ c⌉ STATICALLY BUDGETED self-joins (tree depth < c, the
+    *    active-component count, bounded a priori by the halving
+    *    guarantee n/2^(r−1) — unlike the general-graph
+    *    [[Dedup.dedupComponentsConverged]], no per-step checksum is
+    *    needed). Each step is localCheckpoint(false)-cut: the
+    *    self-join references its input twice, so an uncut logical
+    *    plan would double per step.
+    *
+    * Internal labels are contraction representatives (consistent, not
+    * min); the output `tree` ids are restored to min-node-id at the
+    * end. The loop budget is ⌈log₂ n⌉ + 2 rounds, sufficient by the
+    * halving guarantee; exhausting it without an empty selection is
+    * impossible for consistent labels, so the guard `require`s
+    * convergence rather than returning a silently incomplete forest
+    * (ADVICE r12: a blind fixed budget must fail loudly, never
+    * truncate).
+    *
+    * @param edges DataFrame[a: Long, b: Long, w: numeric] —
     *              undirected, one row per unordered pair (a < b)
+    * @param maxRounds optional override of the ⌈log₂ n⌉ + 2 round
+    *                  budget (tests only; 0 = derive from n)
+    * @param smallLabelLimit max |V| for the driver/broadcast label
+    *                        path (tests pass 0 to force the
+    *                        distributed path on toy graphs)
     * @return (a, b, w, tree) — forest edges, tree = the min node id of
     *         the containing tree
     */
-  def boruvkaForest(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def boruvkaForest(edges: DataFrame, maxRounds: Int = 0,
+      smallLabelLimit: Long = 1L << 20): DataFrame = {
+    // 2^k ≥ m−1 (the max tree depth on m nodes) ⇔ k = ⌈log₂(m−1)⌉
+    def log2ceil(m: Long): Int =
+      math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, m - 1))).toInt
     val e = CacheScope.cached(edges.select(
       col("a").cast("long").as("a"), col("b").cast("long").as("b"),
-      col("w").cast("long").as("w")))
-    val dir2 = e.select(col("a").as("s"), col("b").as("t"), col("w"))
-      .unionByName(e.select(col("b").as("s"), col("a").as("t"), col("w")))
-    val nodes = CacheScope.cached(
-      dir2.select(col("s").as("node")).distinct())
-    var labels = CacheScope.cached(
-      nodes.select(col("node"), col("node").as("comp")))
-    var forest = e.sparkSession.emptyDataFrame
-    var haveForest = false
-    var done = false
-    var rounds = 0
-    while (!done && rounds < maxRounds) {
-      // each directed copy carries its CANONICAL identity (w, a, b) so
-      // the per-component min is the same edge from either side; the
-      // partner component rides along after the unique (w, a, b) key
-      val cand = dir2
-        .join(labels.select(col("node").as("s"), col("comp").as("cs")), "s")
-        .join(labels.select(col("node").as("t"), col("comp").as("ct")), "t")
-        .filter(col("cs") =!= col("ct"))
-        .select(col("cs"),
-          struct(col("w"), least(col("s"), col("t")).as("a"),
-            greatest(col("s"), col("t")).as("b"), col("ct")).as("k"))
-      val sel = CacheScope.cached(
-        cand.groupBy(col("cs")).agg(min(col("k")).as("k"))
-          .select(col("cs"), col("k.a").as("a"), col("k.b").as("b"),
-            col("k.w").as("w"), col("k.ct").as("ct")))
-      if (sel.isEmpty) done = true
-      else {
-        val selEdges = sel.select(col("a"), col("b"), col("w")).distinct()
-        forest =
-          if (haveForest) CacheScope.cached(forest.unionByName(selEdges))
-          else { haveForest = true; CacheScope.cached(selEdges) }
-        // contract on the COMPONENT graph (halves every round), then
-        // compose node labels through the component relabel
-        val rel = Dedup.dedupComponentsConverged(
-          sel.select(col("cs").as("id_a"), col("ct").as("id_b")))._1
-        labels = CacheScope.cached(labels
-          .join(rel.select(col("doc_id").as("comp"),
-            col("component").as("nc")), Seq("comp"), "left")
-          .select(col("node"), coalesce(col("nc"), col("comp")).as("comp")))
-        rounds += 1
-      }
-    }
-    if (!haveForest)
-      return e.limit(0).withColumn("tree", lit(0L))
-        .select(col("a"), col("b"), col("w"), col("tree"))
-    forest
-      .join(labels.select(col("node").as("a"), col("comp").as("tree")),
-        "a")
+      col("w")))
+    val dir2 = CacheScope.cached(
+      e.select(col("a").as("s"), col("b").as("t"), col("w"))
+        .unionByName(
+          e.select(col("b").as("s"), col("a").as("t"), col("w"))))
+    val nodes = dir2.select(col("s").as("node")).distinct()
+    val spark = e.sparkSession
+    val emptyForest = e.limit(0).withColumn("tree", lit(0L))
       .select(col("a"), col("b"), col("w"), col("tree"))
+
+    // per-round candidate minimum outgoing edges: each directed copy
+    // carries its CANONICAL identity (w, a, b) so the per-component
+    // min is the same edge from either side; the partner component
+    // rides along after the unique (w, a, b) key
+    def selectMin(labels: DataFrame): DataFrame = dir2
+      .join(labels.select(col("node").as("s"), col("comp").as("cs")), "s")
+      .join(labels.select(col("node").as("t"), col("comp").as("ct")), "t")
+      .filter(col("cs") =!= col("ct"))
+      .select(col("cs"),
+        struct(col("w"), least(col("s"), col("t")).as("a"),
+          greatest(col("s"), col("t")).as("b"), col("ct")).as("k"))
+      .groupBy(col("cs")).agg(min(col("k")).as("k"))
+      .select(col("cs"), col("k.a").as("a"), col("k.b").as("b"),
+        col("k.w").as("w"), col("k.ct").as("ct"))
+
+    // ---- small-|V| path: driver labels, broadcast joins ------------
+    def smallPath(nodeIds: Array[Long]): DataFrame = {
+      val n = nodeIds.length.toLong
+      val budget = if (maxRounds > 0) maxRounds else log2ceil(n) + 2
+      val labelOf = scala.collection.mutable.LongMap.empty[Long]
+      nodeIds.foreach(v => labelOf(v) = v)
+      val forestRows = scala.collection.mutable.LinkedHashMap
+        .empty[(Long, Long), org.apache.spark.sql.Row]
+      var done = false
+      var rounds = 0
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      while (!done && rounds < budget) {
+        val labelRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        labelOf.foreach { case (v, c) => labelRows.add(
+          org.apache.spark.sql.Row(v, c)) }
+        val labels = broadcast(spark.createDataFrame(labelRows, labelSchema))
+        val sel = selectMin(labels).collect() // the round's ONE action
+        if (sel.isEmpty) done = true
+        else {
+          // driver union-find contraction, min-id representative
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nx = parent(c); parent(c) = r; c = nx
+            }
+            r
+          }
+          sel.foreach { row =>
+            forestRows.getOrElseUpdate(
+              (row.getLong(1), row.getLong(2)),
+              org.apache.spark.sql.Row(row.get(1), row.get(2), row.get(3)))
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(4)))
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          labelOf.keys.foreach(v => labelOf(v) = find(labelOf(v)))
+          rounds += 1
+        }
+      }
+      require(done,
+        s"boruvkaForest: selection not empty after $rounds rounds " +
+          s"(budget $budget, n=$n) — inconsistent labels, refusing to " +
+          "return a truncated forest")
+      if (forestRows.isEmpty) return emptyForest
+      // tree = min node id of the final component
+      val minOfComp = scala.collection.mutable.LongMap.empty[Long]
+      labelOf.foreach { case (v, c) =>
+        minOfComp(c) = math.min(minOfComp.getOrElse(c, v), v) }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      forestRows.valuesIterator.foreach { r =>
+        rows.add(org.apache.spark.sql.Row(
+          r.get(0), r.get(1), r.get(2), minOfComp(labelOf(r.getLong(0)))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        e.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "tree", org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(rows, schema)
+    }
+
+    // ---- large-|V| path: distributed labels + pointer doubling -----
+    def largePath(n: Long): DataFrame = {
+      val budget = if (maxRounds > 0) maxRounds else log2ceil(n) + 2
+      var labels = CacheScope.cached(
+        nodes.select(col("node"), col("node").as("comp")))
+      var forest = spark.emptyDataFrame
+      var haveForest = false
+      var done = n == 0
+      var rounds = 0
+      var compUB = math.max(n, 1L) // active comps in round r ≤ n/2^(r−1)
+      while (!done && rounds < budget) {
+        val sel = CacheScope.cached(selectMin(labels))
+        if (sel.isEmpty) done = true // the round's ONE action
+        else {
+          val selEdges =
+            sel.select(col("a"), col("b"), col("w")).distinct()
+          forest =
+            if (haveForest) CacheScope.cached(forest.unionByName(selEdges))
+            else { haveForest = true; CacheScope.cached(selEdges) }
+          // contract: parent = chosen partner, except the smaller side
+          // of a mutual pair roots itself (the only cycles are
+          // 2-cycles — see the scaladoc lemma — so this is a forest)
+          var pt = sel.as("s1")
+            .join(sel.select(col("cs").as("pc"), col("ct").as("back"))
+              .as("s2"), col("s1.ct") === col("pc"), "left")
+            .select(col("s1.cs").as("node"),
+              when(col("back") === col("s1.cs") &&
+                col("s1.cs") < col("s1.ct"), col("s1.cs"))
+                .otherwise(col("s1.ct")).as("p"))
+          // pointer doubling to the root: depth < active comps ≤
+          // compUB, so ⌈log₂ compUB⌉ self-joins PROVABLY saturate —
+          // zero actions; localCheckpoint(false) per step because the
+          // self-join references pt twice (uncut, the plan would
+          // double per step)
+          for (_ <- 1 to log2ceil(compUB))
+            pt = pt.join(
+              pt.select(col("node").as("__j"), col("p").as("__pp")),
+              col("p") === col("__j"))
+              .select(col("node"), col("__pp").as("p"))
+              .localCheckpoint(false)
+          labels = CacheScope.cached(labels
+            .join(pt.select(col("node").as("comp"), col("p").as("nc")),
+              Seq("comp"), "left")
+            .select(col("node"),
+              coalesce(col("nc"), col("comp")).as("comp")))
+          compUB = (compUB + 1) / 2
+          rounds += 1
+        }
+      }
+      require(done,
+        s"boruvkaForest: selection not empty after $rounds rounds " +
+          s"(budget $budget, n=$n) — inconsistent labels, refusing to " +
+          "return a truncated forest")
+      if (!haveForest) return emptyForest
+      // restore min-node-id tree labels (internal labels are roots)
+      val treeIds = labels.groupBy(col("comp"))
+        .agg(min(col("node")).as("tree"))
+      forest
+        .join(labels.select(col("node").as("a"), col("comp")), "a")
+        .join(treeIds, "comp")
+        .select(col("a"), col("b"), col("w"), col("tree"))
+    }
+
+    if (smallLabelLimit <= 0) largePath(nodes.count())
+    else {
+      // one bounded probe decides the path: take limit+1 node ids —
+      // fits the driver iff the graph is small enough for the map path
+      val probe = nodes.limit((smallLabelLimit + 1).toInt)
+        .collect().map(_.getLong(0))
+      if (probe.length <= smallLabelLimit) smallPath(probe)
+      else largePath(nodes.count())
+    }
   }
 }

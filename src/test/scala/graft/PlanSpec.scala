@@ -856,4 +856,22 @@ class PlanSpec extends SparkTestBase {
     assert("md5".r.findAllIn(p).length == 1,
       "md5 must appear exactly once in the physical plan")
   }
+  test("boruvka msf (distributed-label path): every join in the round " +
+    "lineage is an equi-join — no cartesian, no nested loop") {
+    import spark.implicits._
+    // the q_graph_mst registry entry takes the driver-label path on
+    // fixture-sized graphs (its result is a local relation with no
+    // plan to guard), so the guard drives the large-|V| path directly
+    val edges = (1L to 40L).map(i => (i, i % 37 + 41L, i % 7 + 1L))
+      .toDF("a", "b", "w")
+    val got = graft.ops.Graph.boruvkaForest(edges, smallLabelLimit = 0)
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the final tree relabel joins stay keyed
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
+
 }

@@ -485,4 +485,111 @@ class GraphSpec extends SparkTestBase {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L,
       250L -> 1L, 251L -> 5L, 252L -> 252L, 253L -> 252L))
   }
+  // ---- boruvkaForest -------------------------------------------------
+
+  /** Kruskal over the (w, a, b) total order — an independent scalar
+    * replay of the canonical MSF, not a copy of the operator. */
+  private def refMsf(edges: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy { case (a, b, w) => (w, a, b) }.flatMap {
+      case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None
+        else { parent(math.max(ra, rb)) = math.min(ra, rb); Some((a, b, w)) }
+    }.toSet
+  }
+
+  private val mstFixture: Seq[(Long, Long, Long)] = Seq(
+    (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 3L, 4L),
+    (4L, 5L, 10L), (6L, 7L, 5L))
+
+  test("boruvkaForest: hand-traced two-tree forest, min-id tree labels") {
+    val got = Graph.boruvkaForest(mstFixture.toDF("a", "b", "w"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cycle edge (1,3,4) is the max of cycle 1-2-3; everything else in
+    val want = Set((1L, 2L, 1L, 1L), (2L, 3L, 2L, 1L), (3L, 4L, 3L, 1L),
+      (4L, 5L, 10L, 1L), (6L, 7L, 5L, 6L))
+    assert(got == want)
+    assert(got.map(e => (e._1, e._2, e._3)) == refMsf(mstFixture))
+  }
+
+  test("boruvkaForest: equal weights resolve by the (w, a, b) total " +
+    "order — the canonical tie case") {
+    // triangle with all weights 5: the perturbed order is
+    // (5,1,2) < (5,1,3) < (5,2,3), so the unique MSF is {(1,2),(1,3)}
+    val tri = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))
+    val got = Graph.boruvkaForest(tri.toDF("a", "b", "w"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L, 1L), (1L, 3L, 5L, 1L)))
+    assert(got.map(e => (e._1, e._2, e._3)) == refMsf(tri))
+  }
+
+  test("boruvkaForest: distributed-label path (smallLabelLimit=0) " +
+    "equals the driver path on a contraction-chain graph") {
+    // path 1-2-…-8 with increasing weights: round 1 selects every edge
+    // and the contraction must collapse a pointer CHAIN, exercising
+    // the 2-cycle rooting + pointer-doubling budget
+    val chain = (1L to 7L).map(i => (i, i + 1, i))
+    val viaDriver = Graph.boruvkaForest(chain.toDF("a", "b", "w"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaCluster = Graph
+      .boruvkaForest(chain.toDF("a", "b", "w"), smallLabelLimit = 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaDriver == chain.map(e => (e._1, e._2, e._3, 1L)).toSet)
+    assert(viaCluster == viaDriver)
+  }
+
+  test("boruvkaForest: random graphs match the Kruskal replay on " +
+    "both label paths") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 7
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.2
+      } yield (a, b, rnd.nextInt(9).toLong + 1)).toSeq
+      val want = refMsf(edges).map(e => e._1 -> e)
+      val got = Graph.boruvkaForest(edges.toDF("a", "b", "w"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.map(e => (e._1, e._2, e._3)).toSet == refMsf(edges),
+        s"trial $trial: edge set diverged from Kruskal")
+      val got0 = Graph
+        .boruvkaForest(edges.toDF("a", "b", "w"), smallLabelLimit = 0)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got0.toSet == got.toSet, s"trial $trial: paths diverged")
+      assert(want.nonEmpty || got.isEmpty)
+    }
+  }
+
+  test("boruvkaForest: double weights (the HDBSCAN mutual-reachability " +
+    "input) keep the weight column uncast") {
+    val e = Seq((1L, 2L, 0.25), (2L, 3L, 0.5), (1L, 3L, 0.125))
+      .toDF("a", "b", "w")
+    val got = Graph.boruvkaForest(e)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // cycle max (2,3,0.5) drops
+    assert(got == Set((1L, 3L, 0.125, 1L), (1L, 2L, 0.25, 1L)))
+  }
+
+  test("boruvkaForest: an insufficient round budget fails loudly " +
+    "instead of returning a truncated forest (ADVICE r12)") {
+    // needs 2 selection rounds + 1 empty confirmation round
+    val twoRounds = Seq((1L, 2L, 1L), (2L, 3L, 3L), (3L, 4L, 2L))
+    val df = twoRounds.toDF("a", "b", "w")
+    intercept[IllegalArgumentException] {
+      Graph.boruvkaForest(df, maxRounds = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.boruvkaForest(df, maxRounds = 2, smallLabelLimit = 0)
+    }
+    val ok = Graph.boruvkaForest(df, maxRounds = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ok == twoRounds.map(e => (e._1, e._2, e._3, 1L)).toSet)
+  }
+
 }
