@@ -156,8 +156,14 @@ object Bench {
       "dedup_memo" -> (n => n == "q_dedup_minhash" ||
         n == "q_dedup_incremental" || n == "q_dedup_components" ||
         n == "q_dedup_keep_best" || n == "q_curate_takedown"))
+    // retryAttempted is tracked separately from retry success (ADVICE
+    // r12): a suspect query whose immediate retry FAILS must still
+    // surface in the `retried` artifact map (retry:null) and still get
+    // the end-of-run post pass — otherwise the outlier flag and all
+    // burst evidence vanish and it reads like a never-suspect query
     case class QRes(name: String, wall: Double, cpu: Double, gcMs: Long,
-      ok: Boolean, retry: Option[(Double, Double)], buildPayer: Boolean)
+      ok: Boolean, retryAttempted: Boolean,
+      retry: Option[(Double, Double)], buildPayer: Boolean)
     val seenFamilies = scala.collection.mutable.Set.empty[String]
     val (results, postRetry) =
       graft.ops.CacheScope.sharedScopeWithScratch(scratchDir) {
@@ -183,10 +189,11 @@ object Bench {
               f"(first ${wall}%.2fs was >${retryFactor}%.0fx history " +
               f"${history(name)}%.2fs; retryCpu/histCpu=" +
               cpuVsHist.map(r => f"$r%.2f").getOrElse("n/a") +
-              (if (buildPayer) "; family build-payer" else "") + ")")
+              (if (buildPayer) "; family build-payer" else "") +
+              (if (ok2) ")" else "; RETRY FAILED)"))
           if (ok2) Some((w2, c2)) else None
         } else None
-        QRes(name, wall, cpu, gcMs, ok, retry, buildPayer)
+        QRes(name, wall, cpu, gcMs, ok, suspect, retry, buildPayer)
       }
       // end-of-run second pass over every flagged outlier (r11 VERDICT
       // #1b): the fleet tail is the best in-artifact proxy for a
@@ -194,7 +201,7 @@ object Bench {
       // slot has usually ended by the time 400 queries have drained,
       // so a fast post-run is attributable evidence even when the
       // immediate retry was itself swept up in the burst
-      val post = base.collect { case r if r.retry.isDefined =>
+      val post = base.collect { case r if r.retryAttempted =>
         val (w3, c3, _, ok3) =
           timeOnce(spark, sfDir, SparkEntry.queries(r.name), r.name)
         System.err.println(
@@ -224,17 +231,20 @@ object Bench {
     //     run-wide memo and proves nothing);
     //   retryCpu ≈ histCpu, wall ≫ cpu → host descheduling;
     //   retryCpu ≫ histCpu on BOTH passes → suspect the plan.
-    val retried = results.collect { case r if r.retry.isDefined =>
-      val (w2, c2) = r.retry.get
+    val retried = results.collect { case r if r.retryAttempted =>
+      val rp = r.retry
+        .map { case (w2, c2) => f""""retry":$w2%.2f,"retryCpu":$c2%.2f""" }
+        .getOrElse(""""retry":null,"retryCpu":null""")
       val hw = history.get(r.name).map(h => f"$h%.2f").getOrElse("null")
       val hc = cpuHistory.get(r.name).map(h => f"$h%.2f").getOrElse("null")
-      val ratio = cpuHistory.get(r.name).filter(_ > 0)
-        .map(h => f"${c2 / h}%.2f").getOrElse("null")
+      val ratio = r.retry.flatMap { case (_, c2) =>
+        cpuHistory.get(r.name).filter(_ > 0).map(h => f"${c2 / h}%.2f") }
+        .getOrElse("null")
       val post = postRetry.getOrElse(r.name, None)
         .map { case (w3, c3) => f""""post":$w3%.2f,"postCpu":$c3%.2f""" }
         .getOrElse(""""post":null,"postCpu":null""")
       "\"" + r.name + "\":" + f"""{"first":${r.wall}%.2f,""" +
-        f""""firstCpu":${r.cpu}%.2f,"retry":$w2%.2f,"retryCpu":$c2%.2f,""" +
+        f""""firstCpu":${r.cpu}%.2f,""" + rp + "," +
         s""""histWall":$hw,"histCpu":$hc,"retryCpuVsHist":$ratio,""" +
         post + s""","familyBuildPayer":${r.buildPayer}}"""
     }.mkString("{", ",", "}")
@@ -293,8 +303,16 @@ object Bench {
     println(s"""{"detail":{"queries":$qs}}""")
     println(summary)
     try {
+      // a TARGETED dev run (query-name args) must never clobber the
+      // committed full-fleet history — bench_detail.json arms the
+      // retry/self-exoneration machinery via loadHistory, and r12's
+      // 3-query partial overwrite disarmed it for 402/405 queries in
+      // the official round run (VERDICT r12 #2). Partial runs land in
+      // bench_detail_partial.json unless the env var overrides.
+      val defaultDetail =
+        if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
       val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
       java.nio.file.Files.write(p,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full detail written to ${p.toAbsolutePath}")
