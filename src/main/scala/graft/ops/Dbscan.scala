@@ -108,10 +108,11 @@ object Dbscan {
       .select(col("ia").as("id_a"), col("ib").as("id_b"))
       .unionByName(core.select(col("ia").as("id_a"),
         col("ia").as("id_b")))
-    // convergence-checked: pointer doubling stops at the checksum-
-    // verified fixpoint (ADVICE r11 — a blind fixed-round budget would
-    // silently split a long density-connected chain at scale)
-    val comp = Dedup.dedupComponentsConverged(coreEdges, componentIters)._1
+    // auto CC: bounded-probe driver union-find when the core graph is
+    // small; otherwise the checksum-verified convergence loop (ADVICE
+    // r11 — a blind fixed-round budget would silently split a long
+    // density-connected chain at scale)
+    val comp = Dedup.dedupComponentsAuto(coreEdges, maxIters = componentIters)
     val borderAssign = nbr
       .join(core, Seq("ia"), "left_anti")
       .join(comp.select(col("doc_id").as("ib"), col("component")),
@@ -146,6 +147,61 @@ object Dbscan {
     *
     * @return (id, n_eps, core_d2) — core_d2 NULL for non-core points
     */
+  /** ε-BOUNDED HDBSCAN BUILD (Campello, Moulavi & Sander 2013 §3–4,
+    * under the same ε cap as [[coreDistance2D]]): returns the
+    * per-point core table AND the minimum spanning tree of the
+    * MUTUAL-REACHABILITY graph — d_mreach(a,b) = max(d_core(a),
+    * d_core(b), d(a,b)), here all as SQUARED distances (max is
+    * monotone under squaring, so the squared-space MST is the
+    * distance-space MST). The MST is HDBSCAN's whole dendrogram: a
+    * horizontal cut at λ = 1/t is "drop MST edges with w > t²", and
+    * by the single-linkage minimax property the resulting components
+    * equal the connected components of the t-thresholded
+    * mutual-reachability graph — which is what lets a SQL oracle
+    * check any cut without replaying the MST.
+    *
+    * Scale shape: one 3×3 grid equi-join for the ε-pairs (zero false
+    * negatives within ε), one rank window for d_core, two equi-joins
+    * to attach core distances to edges, then
+    * [[Graph.boruvkaForest]] (log-round, one action per round) over
+    * the |core-pairs|-bounded edge set. The ε bound is what keeps the
+    * mutual-reachability graph out of the O(N²) complete-graph regime
+    * the unbounded HDBSCAN needs; the trade is the standard DBSCAN*
+    * one — points farther than ε apart can never share a cluster.
+    *
+    * @return (cores, mst): cores = (id, n_eps, core_d2) for ALL
+    *         points (core_d2 NULL ⟺ non-core, as [[coreDistance2D]]);
+    *         mst = (a, b, w, tree) over core points with w =
+    *         squared mutual-reachability distance
+    */
+  def hdbscanMst2D(points: DataFrame, id: String, x: String,
+      y: String, eps: Double, minPts: Int): (DataFrame, DataFrame) = {
+    require(eps > 0 && minPts >= 2, "eps > 0 and minPts >= 2 required")
+    import org.apache.spark.sql.expressions.Window
+    val nbr = CacheScope.cached(epsNeighbors(points, id, x, y, eps))
+    val kth = CacheScope.cached(nbr
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ia")).orderBy(col("d2"), col("ib"))))
+      .filter(col("rn") === minPts - 1)
+      .select(col("ia"), col("d2").as("core_d2")))
+    val cores = allIds(points, id, x, y)
+      .join(nbr.groupBy(col("ia")).agg(count(lit(1)).as("nn")),
+        Seq("ia"), "left")
+      .join(kth, Seq("ia"), "left")
+      .select(col("ia").as(id),
+        (coalesce(col("nn"), lit(0L)) + 1L).as("n_eps"), col("core_d2"))
+    // core–core ε-edges, one row per unordered pair, weighted by the
+    // squared mutual-reachability distance (inner joins to kth = the
+    // core filter: d_core is defined exactly for core points)
+    val mrEdges = nbr.filter(col("ia") < col("ib"))
+      .join(kth.select(col("ia"), col("core_d2").as("ca")), Seq("ia"))
+      .join(kth.select(col("ia").as("ib"), col("core_d2").as("cb")),
+        Seq("ib"))
+      .select(col("ia").as("a"), col("ib").as("b"),
+        greatest(col("d2"), col("ca"), col("cb")).as("w"))
+    (cores, Graph.boruvkaForest(mrEdges))
+  }
+
   def coreDistance2D(points: DataFrame, id: String, x: String,
       y: String, eps: Double, minPts: Int): DataFrame = {
     require(eps > 0 && minPts >= 2, "eps > 0 and minPts >= 2 required")

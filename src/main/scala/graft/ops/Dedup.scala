@@ -584,6 +584,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components with an automatic SMALL-GRAPH fast path —
+    * the [[graft.ops.Graph.boruvkaForest]] hybrid applied to CC: one
+    * bounded probe collects up to `smallLimit`+1 edge pairs; if the
+    * whole pair list fits, the components are a driver union-find
+    * (min-id representative — the same (doc_id, component) contract)
+    * returned as a local frame with ZERO label shuffles and zero
+    * per-round checksum actions. Pair lists above the limit fall
+    * through to [[dedupComponentsConverged]], the
+    * checksum-to-fixpoint distributed path. The probe bounds driver
+    * memory by construction (≤ smallLimit 16-byte pairs ≈ 16 MB at
+    * the default), so the fast path can never be tripped into an
+    * unbounded collect by a misestimated input.
+    *
+    * When to use: iterative operators whose per-round component
+    * graphs are KNOWN to be vertex-bounded (MST dendrogram cuts,
+    * contracted component graphs) — the driver path turns an
+    * O(log diameter)-action convergence loop into one action. Corpus-
+    * scale pair graphs (near-dup candidates over 10⁹ docs) blow the
+    * probe and take the distributed path unchanged.
+    */
+  def dedupComponentsAuto(pairs: DataFrame,
+      smallLimit: Long = 1L << 20, maxIters: Int = 16): DataFrame = {
+    val probe = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit((smallLimit + 1).toInt).collect()
+    if (probe.length > smallLimit)
+      return dedupComponentsConverged(pairs, maxIters)._1
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Long]
+    probe.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      nodes(a) = a; nodes(b) = b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    nodes.keys.foreach { v =>
+      rows.add(org.apache.spark.sql.Row(v, find(v))) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    pairs.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Convergence-detecting variant of `dedupComponents` — the
     * production driver when the pair graph's diameter is unknown: after
     * each pointer-doubling round, an 8-byte checksum action

@@ -694,6 +694,13 @@ object Graph {
     * always distributed; that is the 100 TB part. The LABEL table is
     * |V|-sized and contracts along one of two paths:
     *
+    *  - |E| ≤ `smallEdgeLimit` (default 2²¹): the whole edge set
+    *    probe-fits the driver, so the MSF is one Spark-side sort by
+    *    the (w, a, b) total order collected into a driver Kruskal —
+    *    ONE action, the "collapse tiny contracted graphs in one job"
+    *    degenerate case (a 3,491-edge entity graph has no business
+    *    paying log-round orchestration).
+    *
     *  - |V| ≤ `smallLabelLimit` (default 2²⁰ ≈ 16 MB of pairs): the
     *    label table is a driver map broadcast into the candidate
     *    joins (the standard broadcast-dimension shape — entity graphs
@@ -738,11 +745,15 @@ object Graph {
     * @param smallLabelLimit max |V| for the driver/broadcast label
     *                        path (tests pass 0 to force the
     *                        distributed path on toy graphs)
+    * @param smallEdgeLimit max |E| for the driver Kruskal tier
+    *                       (tests pass 0 to force the broadcast-label
+    *                       Borůvka path)
     * @return (a, b, w, tree) — forest edges, tree = the min node id of
     *         the containing tree
     */
   def boruvkaForest(edges: DataFrame, maxRounds: Int = 0,
-      smallLabelLimit: Long = 1L << 20): DataFrame = {
+      smallLabelLimit: Long = 1L << 20,
+      smallEdgeLimit: Long = 1L << 21): DataFrame = {
     // 2^k ≥ m−1 (the max tree depth on m nodes) ⇔ k = ⌈log₂(m−1)⌉
     def log2ceil(m: Long): Int =
       math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
@@ -904,14 +915,61 @@ object Graph {
         .select(col("a"), col("b"), col("w"), col("tree"))
     }
 
+    // ---- tiny-|E| path: the whole edge set fits the driver --------
+    // the sort (Kruskal's only superlinear step) stays in Spark; the
+    // driver walks the sorted edges once with a union-find. Under the
+    // same (w, a, b) total order this is the identical canonical MSF
+    // (GraphSpec asserts Kruskal-replay equality for all paths).
+    def kruskalPath(nodeIds: Array[Long]): DataFrame = {
+      val sorted = e.orderBy(col("w"), col("a"), col("b")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      sorted.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          kept += r
+        }
+      }
+      if (kept.isEmpty) return emptyForest
+      val minOfComp = scala.collection.mutable.LongMap.empty[Long]
+      nodeIds.foreach { v =>
+        val c = find(v)
+        minOfComp(c) = math.min(minOfComp.getOrElse(c, v), v)
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      kept.foreach { r =>
+        rows.add(org.apache.spark.sql.Row(
+          r.get(0), r.get(1), r.get(2), minOfComp(find(r.getLong(0)))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        e.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "tree", org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(rows, schema)
+    }
+
     if (smallLabelLimit <= 0) largePath(nodes.count())
     else {
-      // one bounded probe decides the path: take limit+1 node ids —
-      // fits the driver iff the graph is small enough for the map path
+      // bounded probes decide the tier: limit+1 collects fit the
+      // driver iff the vertex (then edge) set is under its limit, so
+      // a misestimated input can never trip an unbounded collect
       val probe = nodes.limit((smallLabelLimit + 1).toInt)
         .collect().map(_.getLong(0))
-      if (probe.length <= smallLabelLimit) smallPath(probe)
-      else largePath(nodes.count())
+      if (probe.length > smallLabelLimit) largePath(nodes.count())
+      else if (smallEdgeLimit > 0 &&
+          e.limit((smallEdgeLimit + 1).toInt).count() <= smallEdgeLimit)
+        kruskalPath(probe)
+      else smallPath(probe)
     }
   }
 }

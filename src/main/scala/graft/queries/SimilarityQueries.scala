@@ -343,6 +343,7 @@ object SimilarityQueries {
     "q_sim_project" -> (qSimProject(_, _)),
     "q_sim_dbscan" -> (qSimDbscan(_, _)),
     "q_sim_kdist" -> (qSimKdist(_, _)),
+    "q_sim_hdbscan" -> (qSimHdbscan(_, _)),
     "q_curate_kcenter" -> (qCurateKcenter(_, _)),
     "q_sim_recall" -> (qSimRecall(_, _)),
     "q_sim_binary" -> (qSimBinary(_, _))
@@ -510,6 +511,46 @@ object SimilarityQueries {
       .select(col("vec_id"), col("n_eps"),
         round(col("core_d2"), 6).as("core_d2_r6"))
       .orderBy(col("vec_id"))
+
+  /** ε-BOUNDED HDBSCAN ([[graft.ops.Dbscan.hdbscanMst2D]]) at the
+    * q_sim_dbscan parameters (ε = 0.2, minPts = 6) with TWO
+    * horizontal dendrogram cuts from the ONE mutual-reachability MST
+    * — the hierarchy is the point of HDBSCAN vs plain DBSCAN: cutting
+    * at squared thresholds 0.02 (tight) and 0.03 (loose) yields
+    * nested clusterings (every tight cluster is inside one loose
+    * cluster) at no extra MST cost. Cluster label = min core vec_id
+    * of the cut component; non-core points are noise (NULL) at every
+    * level, the DBSCAN* convention. The twin never replays the MST:
+    * by the single-linkage minimax property a cut's components equal
+    * the connected components of the t-thresholded
+    * mutual-reachability graph, which a recursive CTE closes over the
+    * brute-forced ε-graph — so a wrong engine MST (a dropped or extra
+    * edge changes some path's bottleneck) breaks the component match.
+    */
+  def qSimHdbscan(spark: SparkSession, dir: String): DataFrame = {
+    val (cores0, mst0) = graft.ops.Dbscan.hdbscanMst2D(
+      dbscanProjection(spark, dir), "vec_id", "px", "py",
+      eps = 0.2, minPts = 6)
+    val cores = graft.ops.CacheScope.cached(cores0)
+    val mst = graft.ops.CacheScope.cached(mst0)
+    // self-pairs: an isolated core (no core neighbor within ε) is its
+    // own singleton cluster at every cut
+    val coreSelf = cores.filter(col("core_d2").isNotNull)
+      .select(col("vec_id").as("id_a"), col("vec_id").as("id_b"))
+    // cut graphs are forests on the core set (≤ |cores| − 1 edges +
+    // |cores| self-pairs), so the auto CC's driver path applies: one
+    // action per cut instead of a checksum-per-step convergence loop
+    def cut(t2: Double, out: String): DataFrame =
+      graft.ops.Dedup.dedupComponentsAuto(
+        mst.filter(col("w") <= t2)
+          .select(col("a").as("id_a"), col("b").as("id_b"))
+          .unionByName(coreSelf))
+        .select(col("doc_id").as("vec_id"), col("component").as(out))
+    cores.select(col("vec_id"), col("n_eps"))
+      .join(cut(0.02, "cluster_tight"), Seq("vec_id"), "left")
+      .join(cut(0.03, "cluster_loose"), Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
+  }
 
   /** IVFADC (Jégou et al. TPAMI'11 §IV.A — coarse IVF routing + PQ on
     * RESIDUALS): 8 md5-sampled coarse lists, 4×16 residual codebook,
@@ -1002,6 +1043,69 @@ object SimilarityQueries {
          |SELECT cnt.ia AS vec_id, cnt.n_eps,
          |  round(kth.d2, 6) AS core_d2_r6
          |FROM cnt LEFT JOIN kth ON kth.ia = cnt.ia
+         |ORDER BY vec_id""".stripMargin
+    },
+    // ε-bounded HDBSCAN twin: the engine's MST cut at t equals the
+    // connected components of the t-thresholded mutual-reachability
+    // graph (single-linkage minimax), so the twin closes the
+    // brute-forced thresholded graph with a recursive CTE per cut —
+    // no MST replay needed, and an engine-MST defect surfaces as a
+    // component mismatch
+    "q_sim_hdbscan" -> {
+      def axis(i: Int): String =
+        s"""list_reduce(list_transform(generate_series(0, 63), j ->
+           |      ((${7 * i} + 11 * j) % 5 - 2)
+           |        * CAST(embedding[j + 1] AS DOUBLE)),
+           |      (x, y) -> x + y)""".stripMargin
+      def cut(tag: String, t2: String): String =
+        s"""cut$tag AS (SELECT a, b FROM mr WHERE w <= $t2),
+           |e$tag AS (SELECT a, b FROM cut$tag
+           |  UNION ALL SELECT b, a FROM cut$tag
+           |  UNION ALL SELECT ia, ia FROM kth),
+           |reach$tag(node, lab) AS (
+           |  SELECT DISTINCT a, a FROM e$tag
+           |  UNION
+           |  SELECT e.a, r.lab FROM e$tag e
+           |  JOIN reach$tag r ON r.node = e.b),
+           |comp$tag AS (SELECT node, MIN(lab) AS c
+           |  FROM reach$tag GROUP BY node)""".stripMargin
+      s"""WITH RECURSIVE p AS (
+         |  SELECT vec_id,
+         |    ${axis(0)} AS px,
+         |    ${axis(1)} AS py
+         |  FROM embeddings),
+         |nbr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    (a.px - b.px) * (a.px - b.px)
+         |      + (a.py - b.py) * (a.py - b.py) AS d2
+         |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+         |  WHERE (a.px - b.px) * (a.px - b.px)
+         |      + (a.py - b.py) * (a.py - b.py) <= 0.2 * 0.2),
+         |kth AS (
+         |  SELECT ia, d2 FROM (
+         |    SELECT ia, d2,
+         |      row_number() OVER (PARTITION BY ia ORDER BY d2, ib)
+         |        AS rn
+         |    FROM nbr) r WHERE rn = 5),
+         |cnt AS (
+         |  SELECT p.vec_id AS ia,
+         |    CAST(1 + COALESCE(n.c, 0) AS BIGINT) AS n_eps
+         |  FROM p LEFT JOIN (SELECT ia, count(*) AS c FROM nbr
+         |                    GROUP BY ia) n ON n.ia = p.vec_id),
+         |mr AS (
+         |  SELECT n.ia AS a, n.ib AS b,
+         |    greatest(n.d2, ka.d2, kb.d2) AS w
+         |  FROM nbr n
+         |  JOIN kth ka ON ka.ia = n.ia
+         |  JOIN kth kb ON kb.ia = n.ib
+         |  WHERE n.ia < n.ib),
+         |${cut("A", "0.02")},
+         |${cut("B", "0.03")}
+         |SELECT cnt.ia AS vec_id, cnt.n_eps,
+         |  ca.c AS cluster_tight, cb.c AS cluster_loose
+         |FROM cnt
+         |LEFT JOIN compA ca ON ca.node = cnt.ia
+         |LEFT JOIN compB cb ON cb.node = cnt.ia
          |ORDER BY vec_id""".stripMargin
     },
     "q_sim_dbscan" -> {

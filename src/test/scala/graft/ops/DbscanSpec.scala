@@ -94,4 +94,52 @@ class DbscanSpec extends SparkTestBase {
       (20L, 2L, false, Some(7L)), (21L, 2L, false, Some(7L)),
       (22L, 2L, false, Some(7L))))
   }
+  /** [[Dbscan.hdbscanMst2D]] against a fully hand-traced line layout
+    * in exact dyadic coordinates (ε = 1.0, minPts = 3): two triples
+    * A = {1,2,3} at x ∈ {0, 0.125, 0.25} and B = {4,5,6} at
+    * x ∈ {0.75, 0.875, 1.0}, plus far non-core 7. Every distance²,
+    * core distance² and mutual-reachability weight is a dyadic
+    * rational, so the trace is bit-exact. Within each triple all
+    * three mreach² weights tie at 0.0625 — the MST must pick the
+    * (w, a, b)-canonical pair — and the unique A–B bottleneck is
+    * (3,4) at 0.25.
+    */
+  test("hdbscanMst2D: hand-traced cores, canonical tie MST, " +
+    "nested dendrogram cuts") {
+    val line = Seq((1L, 0.0), (2L, 0.125), (3L, 0.25), (4L, 0.75),
+      (5L, 0.875), (6L, 1.0), (7L, 5.0))
+      .toDF("id", "x")
+      .withColumn("y", org.apache.spark.sql.functions.lit(0.0))
+    val (cores, mst) =
+      Dbscan.hdbscanMst2D(line, "id", "x", "y", eps = 1.0, minPts = 3)
+    val c = cores.as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // n_eps counts self; 1–6 are mutually within ε (1→6 exactly ε,
+    // inclusive boundary), 7 is alone
+    assert((1L to 6L).forall(c(_)._1 == 6L) && c(7L)._1 == 1L)
+    // core_d2 = squared distance to the 2nd-nearest other point
+    assert(c(1L)._2.contains(0.0625) && c(2L)._2.contains(0.015625)
+      && c(3L)._2.contains(0.0625) && c(4L)._2.contains(0.0625)
+      && c(5L)._2.contains(0.015625) && c(6L)._2.contains(0.0625))
+    assert(c(7L)._2.isEmpty, "non-core has no core distance")
+    val edges = mst.as[(Long, Long, Double, Long)].collect().toSet
+    // intra-triple mreach² all tie at 0.0625 → canonical (w,a,b)
+    // order keeps (1,2),(1,3) and (4,5),(4,6); bottleneck (3,4)=0.25
+    assert(edges == Set((1L, 2L, 0.0625, 1L), (1L, 3L, 0.0625, 1L),
+      (4L, 5L, 0.0625, 1L), (4L, 6L, 0.0625, 1L), (3L, 4L, 0.25, 1L)))
+    // dendrogram cuts: t² = 0.1 splits A|B, t² = 0.3 merges them —
+    // the same cut the registry query takes
+    def cut(t2: Double): Map[Long, Long] = {
+      val kept = mst
+        .filter(org.apache.spark.sql.functions.col("w") <= t2)
+        .selectExpr("a as id_a", "b as id_b")
+        .unionByName((1L to 6L).map(i => (i, i)).toDF("id_a", "id_b"))
+      Dedup.dedupComponentsConverged(kept)._1
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(cut(0.1) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(cut(0.3) == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
 }

@@ -562,6 +562,12 @@ class GraphSpec extends SparkTestBase {
         .boruvkaForest(edges.toDF("a", "b", "w"), smallLabelLimit = 0)
         .as[(Long, Long, Long, Long)].collect()
       assert(got0.toSet == got.toSet, s"trial $trial: paths diverged")
+      // third tier: broadcast-label Borůvka (driver Kruskal disabled)
+      val got1 = Graph
+        .boruvkaForest(edges.toDF("a", "b", "w"), smallEdgeLimit = 0)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got1.toSet == got.toSet,
+        s"trial $trial: broadcast-label path diverged")
       assert(want.nonEmpty || got.isEmpty)
     }
   }
@@ -581,13 +587,16 @@ class GraphSpec extends SparkTestBase {
     // needs 2 selection rounds + 1 empty confirmation round
     val twoRounds = Seq((1L, 2L, 1L), (2L, 3L, 3L), (3L, 4L, 2L))
     val df = twoRounds.toDF("a", "b", "w")
+    // the budget governs the two round-loop paths (the driver Kruskal
+    // tier is single-pass and has no rounds to exhaust)
     intercept[IllegalArgumentException] {
-      Graph.boruvkaForest(df, maxRounds = 2)
+      Graph.boruvkaForest(df, maxRounds = 2, smallEdgeLimit = 0)
     }
     intercept[IllegalArgumentException] {
       Graph.boruvkaForest(df, maxRounds = 2, smallLabelLimit = 0)
     }
-    val ok = Graph.boruvkaForest(df, maxRounds = 3)
+    val ok = Graph
+      .boruvkaForest(df, maxRounds = 3, smallEdgeLimit = 0)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(ok == twoRounds.map(e => (e._1, e._2, e._3, 1L)).toSet)
   }
