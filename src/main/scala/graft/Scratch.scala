@@ -216,7 +216,27 @@ object Scratch {
       "q_lake_cluster_depth" ->
         ("clustering depth: range-partitioned two-pass rank for " +
           "file assignment; interval sweep as a distributed running " +
-          "sum over the metadata-sized event list"))
+          "sum over the metadata-sized event list"),
+      "q_er_em" ->
+        ("unsupervised FS via EM: corpus reduces map-side to the " +
+          "8-row agreement-pattern histogram; 3 Winkler rounds are " +
+          "arithmetic on that broadcast frame — zero pair shuffles"),
+      "q_sim_kdist" ->
+        ("HDBSCAN core distance: 3x3 grid cell equi-join for the " +
+          "eps-pairs, (d2, ib)-keyed rank window per point — never " +
+          "an all-pairs kNN"),
+      "q_sim_hdbscan" ->
+        ("eps-bounded HDBSCAN: grid equi-join + rank window feed " +
+          "mutual-reachability edges into the Boruvka MSF; at " +
+          "fixture scale the MST+cuts resolve on the probe-bounded " +
+          "driver tiers, so the final frame is a local relation — " +
+          "the distributed round lineage is guarded in PlanSpec"),
+      "q_graph_mst" ->
+        ("Boruvka MSF: edge-side work is always the (edge x label) " +
+          "equi-joins + min-struct aggregate; this fixture-sized " +
+          "graph takes the driver-Kruskal tier (local-relation " +
+          "result) — the distributed path's plan shape is the " +
+          "PlanSpec boruvka guard"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")

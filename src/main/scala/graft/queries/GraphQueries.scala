@@ -251,6 +251,34 @@ object GraphQueries {
     graft.ops.Graph.boruvkaForest(supplierGraph(spark, dir))
       .orderBy(col("a"), col("b"))
 
+  /** INCREMENTAL MSF MAINTENANCE — fold an ARRIVAL BATCH of edges
+    * into an already-built forest without touching the full edge set:
+    * MSF(MSF(old) ∪ delta) = MSF(old ∪ delta), the standard
+    * sparsification identity (Eppstein et al., J. ACM 1997 §3 —
+    * under the distinct-weight total order (w, a, b), any edge of
+    * MSF(old ∪ delta) lying in `old` is non-maximal on every cycle of
+    * the smaller graph too, so it survives into MSF(old); the second
+    * pass therefore sees a superset of the answer). Incremental cost:
+    * O(|V| + |batch|) edges through one Borůvka run, vs |E| from
+    * scratch — the q_graph_cc_incremental / q_dedup_incremental
+    * arrival-batch discipline applied to spanning structure.
+    *
+    * The batch here is the deterministic (a + b) % 7 = 0 slice of the
+    * supplier co-part graph; the oracle is the SAME full-graph MST
+    * twin as q_graph_mst — equality with the from-scratch answer IS
+    * the correctness claim.
+    */
+  def qGraphMstIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val und = graft.ops.CacheScope.cached(supplierGraph(spark, dir))
+    val isDelta = (col("a") + col("b")) % 7 === 0
+    val oldMsf = graft.ops.Graph.boruvkaForest(und.filter(!isDelta))
+      .select(col("a"), col("b"), col("w"))
+    graft.ops.Graph.boruvkaForest(
+      oldMsf.unionByName(und.filter(isDelta)))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** INCREMENTAL CONNECTED-COMPONENTS MAINTENANCE — the arrival-batch
     * update of the near-dup cluster table, done WITHOUT re-running CC
     * over the corpus graph: (1) the accepted corpus's label table is
@@ -527,6 +555,7 @@ object GraphQueries {
     "q_graph_cc_incremental" -> (qGraphCcIncremental(_, _)),
     "q_graph_sssp" -> (qGraphSssp(_, _)),
     "q_graph_mst" -> (qGraphMst(_, _)),
+    "q_graph_mst_incremental" -> (qGraphMstIncremental(_, _)),
     "q_graph_betweenness" -> (qGraphBetweenness(_, _)),
     "q_graph_harmonic" -> (qGraphHarmonic(_, _)),
     "q_graph_kcore" -> (qGraphKcore(_, _)),
@@ -690,15 +719,12 @@ object GraphQueries {
 
   private val mstRounds = 12
 
-  val oracles: Map[String, String] = Map(
-    // same graph as q_graph_sssp; Borůvka unrolled to 12 rounds
-    // (halving guarantee covers V ≤ 4096 components; sf0.01 has ~100)
-    "q_graph_mst" ->
-      // every non-recursive CTE is MATERIALIZED: the round chain
-      // references f_{k-1}/lab_{k-1} several times each, and DuckDB's
-      // default inlining re-expands the whole chain per reference —
-      // exponential plan growth (and one parquet open per leaf) by
-      // round 12. Materialization makes the unroll linear.
+  // every non-recursive CTE is MATERIALIZED: the round chain
+  // references f_{k-1}/lab_{k-1} several times each, and DuckDB's
+  // default inlining re-expands the whole chain per reference —
+  // exponential plan growth (and one parquet open per leaf) by
+  // round 12. Materialization makes the unroll linear.
+  private lazy val mstSql: String =
       s"""WITH RECURSIVE ps AS MATERIALIZED (
          |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
          |  FROM lineitem WHERE l_quantity = 1.0),
@@ -715,7 +741,15 @@ object GraphQueries {
          |final_lab AS (SELECT * FROM lab$mstRounds)
          |SELECT f.a, f.b, f.w, l.comp AS tree
          |FROM f$mstRounds f JOIN final_lab l ON l.node = f.a
-         |ORDER BY f.a, f.b""".stripMargin,
+         |ORDER BY f.a, f.b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // same graph as q_graph_sssp; Borůvka unrolled to 12 rounds
+    // (halving guarantee covers V ≤ 4096 components; sf0.01 has ~100)
+    "q_graph_mst" -> mstSql,
+    // the incremental path must equal the from-scratch MSF by the
+    // sparsification identity — same twin, verbatim
+    "q_graph_mst_incremental" -> mstSql,
     // reachable-chain enumeration with UNION-deduped (u,v,len) working
     // set; longest_in(v) = max len over chains ending at v
     "q_graph_critpath" ->

@@ -410,17 +410,39 @@ object MiningQueries {
     * noised — no agreeing discriminative field remains, the honest FS
     * false-negative class) plus any chance balance-collision false
     * positives.
+    *
+    * Blocking caveat (ADVICE r12): deletion-neighborhood blocking
+    * confines the CANDIDATE universe to single-substitution name
+    * neighbors, so the possible/false-positive classes can only
+    * surface inside that neighborhood — same-nation pairs whose names
+    * differ at ≥ 2 positions are excluded even if bal/seg agree by
+    * chance. The by-construction recall guarantee covers LABELED true
+    * duplicates (one substituted character by the fixture's
+    * perturbation model); the measured match-set equivalence with
+    * exhaustive nation blocking (2,143 pairs, bit-identical at sf0.1)
+    * is a fixture property — re-validate it if the perturbation model
+    * ever changes.
     */
   def qErScore(spark: SparkSession, dir: String): DataFrame = {
-    // The Fellegi–Sunter decision is a function of the AGREEMENT
-    // VECTOR alone — with f binary fields there are only 2^f = 8
-    // patterns, so the DECIMAL(38,0) likelihood-ratio arithmetic runs
-    // ONCE PER PATTERN on an 8-row frame, and the blocked candidate
-    // pairs only equi-join that broadcast decision table on their
-    // three agreement bits (codegen'd boolean keys). Same zero-float
-    // decisions as computing num/den per pair — at 1/726000th the
-    // decimal work (23.1 s → per-pattern at sf0.1).
     val pairs = graft.ops.CacheScope.cached(erPairs(spark, dir))
+    pairs.join(broadcast(fsDecisions(spark, dir)),
+        Seq("ag_name", "ag_seg", "ag_bal"))
+      .select(col("id_a"), col("id_b"), col("ag_name"), col("ag_seg"),
+        col("ag_bal"), col("lbl").as("label_match"), col("decision"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The Fellegi–Sunter decision TABLE: the decision is a function of
+    * the AGREEMENT VECTOR alone — with f binary fields there are only
+    * 2^f = 8 patterns, so the DECIMAL(38,0) likelihood-ratio
+    * arithmetic runs ONCE PER PATTERN on an 8-row frame, and blocked
+    * candidate pairs only equi-join this broadcast table on their
+    * three agreement bits (codegen'd boolean keys). Same zero-float
+    * decisions as computing num/den per pair — at 1/726000th the
+    * decimal work (23.1 s → per-pattern at sf0.1). Nonmatch rows are
+    * dropped, so the join doubles as the suppression filter.
+    */
+  private def fsDecisions(spark: SparkSession, dir: String): DataFrame = {
     val st = erStats(spark, dir)
     def factor(ag: String, ma: String): String =
       s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
@@ -432,7 +454,7 @@ object MiningQueries {
     val grid = Seq(false, true)
     val patterns = grid.flatMap(n => grid.flatMap(s => grid.map(b =>
       (n, s, b)))).toDF("ag_name", "ag_seg", "ag_bal")
-    val decisions = patterns.crossJoin(broadcast(st))
+    patterns.crossJoin(broadcast(st))
       .withColumn("num", expr(
         s"${factor("ag_name", "ma_name")} * ${factor("ag_seg", "ma_seg")}" +
           s" * ${factor("ag_bal", "ma_bal")}"))
@@ -444,9 +466,56 @@ object MiningQueries {
           .when(col("num") >= col("den"), "possible")
           .otherwise("nonmatch").as("decision"))
       .filter(col("decision") =!= "nonmatch")
-    pairs.join(broadcast(decisions), Seq("ag_name", "ag_seg", "ag_bal"))
+  }
+
+  /** INCREMENTAL ER — the arrival-batch discipline
+    * (q_graph_cc_incremental / q_dedup_incremental) applied to
+    * Fellegi–Sunter linkage: the batch (here the re-inserted records,
+    * id ≥ 10⁶) is matched against the standing corpus by joining the
+    * BATCH's 19 deletion-neighborhood keys against the full keyed
+    * table — so candidates are only new×old and new×new pairs
+    * (old×old is never re-scored), O(|batch| × neighborhood
+    * occupancy) work per batch. Decisions come from the same
+    * broadcast 8-pattern table as [[qErScore]] (a maintenance job
+    * refreshes the frequency-moment stats on its own cadence; here
+    * they are the full-table estimates, so incremental decisions
+    * equal the from-scratch ones by construction). The oracle is the
+    * q_er_score twin restricted to batch-touching pairs (id_b ≥ 10⁶
+    * suffices: ids are assigned so every arrival sorts above every
+    * standing record) — equality with the from-scratch run IS the
+    * correctness claim.
+    */
+  def qErIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = erFields(spark, dir)
+      .withColumn("i", explode(expr("sequence(0, 18)")))
+      .withColumn("bkey", when(col("i") === 0, col("name"))
+        .otherwise(expr(
+          "concat(substring(name, 1, i - 1), '_'," +
+            " substring(name, i + 1, length(name)))")))
+    val batch = keyed.filter(col("id") >= 1000000L)
+      .select(col("nat"), col("i"), col("bkey"), col("id").as("id_n"),
+        col("name").as("name_n"), col("seg").as("seg_n"),
+        col("bal").as("bal_n"))
+    val corpus = keyed.select(col("nat"), col("i"), col("bkey"),
+      col("id").as("id_o"), col("name").as("name_o"),
+      col("seg").as("seg_o"), col("bal").as("bal_o"))
+    // canonicalize to unordered pairs (agreement flags are symmetric);
+    // new×new pairs arrive in both orientations — DISTINCT restores
+    // one row per pair, as in erPairs
+    val pairs = batch.join(corpus, Seq("nat", "i", "bkey"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        (col("name_n") === col("name_o")).as("ag_name"),
+        (col("seg_n") === col("seg_o")).as("ag_seg"),
+        (col("bal_n") === col("bal_o")).as("ag_bal"))
+      .distinct()
+    pairs.join(broadcast(fsDecisions(spark, dir)),
+        Seq("ag_name", "ag_seg", "ag_bal"))
       .select(col("id_a"), col("id_b"), col("ag_name"), col("ag_seg"),
-        col("ag_bal"), col("lbl").as("label_match"), col("decision"))
+        col("ag_bal"),
+        (col("id_b") === col("id_a") + 1000000L).as("label_match"),
+        col("decision"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -454,6 +523,7 @@ object MiningQueries {
     "q_er_weights" -> (qErWeights(_, _)),
     "q_er_em" -> (qErEm(_, _)),
     "q_er_score" -> (qErScore(_, _)),
+    "q_er_incremental" -> (qErIncremental(_, _)),
     "q_er_dedupe" -> (qErDedupe(_, _)),
     "q_rec_item_cf" -> (qRecItemCf(_, _)),
     "q_skyline_4d" -> (qSkyline4d(_, _)),
@@ -617,6 +687,34 @@ object MiningQueries {
          |  CASE WHEN num >= den * 100 THEN 'match'
          |       ELSE 'possible' END AS decision
          |FROM scored WHERE num >= den
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the incremental path must equal the from-scratch scoring on
+    // every batch-touching pair (arrivals all carry id ≥ 10⁶ and sort
+    // above standing records, so id_b ≥ 10⁶ ⟺ the pair touches the
+    // batch) — same twin with that restriction
+    "q_er_incremental" -> {
+      def factor(ag: String, ma: String): String =
+        s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
+          s" ELSE (nm + 2) - ($ma + 1) END) AS HUGEINT)"
+      def dfactor(ag: String, ua: String): String =
+        s"CAST((nm + 2) * (CASE WHEN $ag THEN $ua + 1" +
+          s" ELSE (nu + 2) - ($ua + 1) END) AS HUGEINT)"
+      s"""WITH $fsCtes,
+         |scored AS (
+         |  SELECT p.*,
+         |    ${factor("ag_name", "ma_name")}
+         |      * ${factor("ag_seg", "ma_seg")}
+         |      * ${factor("ag_bal", "ma_bal")} AS num,
+         |    ${dfactor("ag_name", "ua_name")}
+         |      * ${dfactor("ag_seg", "ua_seg")}
+         |      * ${dfactor("ag_bal", "ua_bal")} AS den
+         |  FROM pairs p CROSS JOIN stats)
+         |SELECT id_a, id_b, ag_name, ag_seg, ag_bal,
+         |  lbl AS label_match,
+         |  CASE WHEN num >= den * 100 THEN 'match'
+         |       ELSE 'possible' END AS decision
+         |FROM scored WHERE num >= den AND id_b >= 1000000
          |ORDER BY id_a, id_b""".stripMargin
     },
     // identical dirty-table construction + deletion-neighborhood keys

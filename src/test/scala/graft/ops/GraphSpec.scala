@@ -601,4 +601,42 @@ class GraphSpec extends SparkTestBase {
     assert(ok == twoRounds.map(e => (e._1, e._2, e._3, 1L)).toSet)
   }
 
+  test("incremental MSF: a delta edge DISPLACES an old forest edge " +
+    "(sparsification identity, not append)") {
+    // old MSF keeps (2,3,6); the arriving (1,3,1) closes a cycle on
+    // which (2,3,6) is now maximal — the second pass must evict it
+    val old = Seq((1L, 2L, 5L), (2L, 3L, 6L)).toDF("a", "b", "w")
+    val delta = Seq((1L, 3L, 1L)).toDF("a", "b", "w")
+    val oldMsf = Graph.boruvkaForest(old)
+      .select(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"),
+        org.apache.spark.sql.functions.col("w"))
+    val inc = Graph.boruvkaForest(oldMsf.unionByName(delta))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(inc == Set((1L, 3L, 1L, 1L), (1L, 2L, 5L, 1L)))
+  }
+
+  test("incremental MSF equals from-scratch MSF on random graphs " +
+    "for random edge-batch splits") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 15 + trial * 5
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (a, b, rnd.nextInt(9).toLong + 1)).toSeq
+      val (oldE, deltaE) = edges.partition(_ => rnd.nextDouble() < 0.7)
+      val full = Graph.boruvkaForest(edges.toDF("a", "b", "w"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val oldMsf = Graph.boruvkaForest(oldE.toDF("a", "b", "w"))
+        .select(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"),
+          org.apache.spark.sql.functions.col("w"))
+      val inc = Graph
+        .boruvkaForest(oldMsf.unionByName(deltaE.toDF("a", "b", "w")))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(inc == full, s"trial $trial: incremental != from-scratch")
+    }
+  }
+
 }

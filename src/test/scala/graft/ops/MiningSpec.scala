@@ -116,4 +116,20 @@ class MiningSpec extends SparkTestBase {
       .collect().toSet
     assert(pairs === Set(("a", "b"))) // "z" (support 1) never pairs
   }
+  test("incremental ER equals from-scratch scoring on every " +
+    "batch-touching pair (sf0.001 fixture)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val full = graft.queries.MiningQueries.qErScore(spark, dir)
+      .filter(col("id_b") >= 1000000L)
+      .collect().map(_.toSeq).toSeq
+    val inc = graft.queries.MiningQueries.qErIncremental(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty, "fixture must produce batch-touching pairs")
+    assert(inc == full)
+    // and the batch filter is the ONLY difference: no old×old pair
+    // can appear in the incremental output
+    assert(inc.forall(r => r(1).asInstanceOf[Long] >= 1000000L))
+  }
+
 }
