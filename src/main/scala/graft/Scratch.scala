@@ -236,7 +236,19 @@ object Scratch {
           "equi-joins + min-struct aggregate; this fixture-sized " +
           "graph takes the driver-Kruskal tier (local-relation " +
           "result) — the distributed path's plan shape is the " +
-          "PlanSpec boruvka guard"))
+          "PlanSpec boruvka guard"),
+      "q_stat_mood" ->
+        ("Brown-Mood median test: one scan to the cached (group, " +
+          "cents) projection, exact-percentile median broadcast " +
+          "back, map-side above/not-above counts, five-literal " +
+          "pivot to ONE row — the k-sample screen with zero " +
+          "rank shuffles"),
+      "q_stat_hodges" ->
+        ("Hodges-Lehmann by counting selection: the registered " +
+          "frame is the driver-assembled result (local relation); " +
+          "the per-probe plan — histogram x broadcast threshold, " +
+          "ONE running-sum window, no pair enumeration — is the " +
+          "PlanSpec pairwise-selection guard"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed ORDER-STATISTIC SELECTION over IMPLICIT pairwise multisets.
+  *
+  * Robust estimators are defined as order statistics of all-pairs derived
+  * values — the Hodges–Lehmann pseudomedian is the median of the n(n+1)/2
+  * Walsh sums x_i + x_j (i ≤ j) (Hodges & Lehmann 1963), and the
+  * Rousseeuw–Croux Qn scale estimator is the C(h,2)-th smallest pairwise
+  * distance |x_i − x_j| (i < j), h = ⌊n/2⌋ + 1 (Rousseeuw & Croux, JASA
+  * 1993). Materializing the pairs is O(N²) and dies long before 100 TB;
+  * this operator never enumerates a pair. It follows the classic
+  * counting-selection scheme (the same search used by Johnson & Mishra
+  * 1978 for X+Y selection): binary-search the integer VALUE range, and at
+  * each probe t count the pairs with derived value ≤ t from the VALUE
+  * HISTOGRAM alone via the prefix-count identity
+  *
+  *   ordered pairs:  Σ_v c_v · F(ub(v,t)),   F(u) = #{x ≤ u}
+  *
+  * with ub = t − v (Walsh sums) or the [v−t, v+t] band (distances), then
+  * correct for the diagonal and unordered double count. Each probe is ONE
+  * job: histogram ⨝ broadcast(per-group threshold) → a union of provider
+  * rows (v, c) and query rows (key = ub) → one per-group running sum
+  * (providers sort before queries at equal key, so F is inclusive) → one
+  * aggregate. The search needs ⌈log₂ range⌉ probes — a function of the
+  * VALUE DOMAIN, never of N.
+  *
+  * Scale shape (100 TB): the raw scan collapses to the (group, value)
+  * histogram once (map-side combine; for fixed-point currency the domain
+  * bounds the histogram regardless of row count); every probe shuffles
+  * only histogram rows. Driver work per probe: one count per active
+  * group (bounded-collect class, `maxGroups`-guarded). The driver-round
+  * loop is the BPE-round exception class: O(log range) actions total,
+  * each justified by an adaptive lo/hi update that must observe the
+  * previous count.
+  */
+object Selection {
+
+  /** Which implicit pairwise multiset to select from. */
+  sealed trait PairMode
+  /** {x_i + x_j : i ≤ j} — Walsh sums (pseudomedian = median/2). */
+  case object WalshSums extends PairMode
+  /** {|x_i − x_j| : i < j} — pairwise distances (Qn, Sn family). */
+  case object AbsDiffs extends PairMode
+
+  /** Result of one per-group selection. */
+  private case class Sel(g: String, n: Long, m: Long, k: Long, value: Long)
+
+  /** k-th smallest (1-based) of the implicit pairwise multiset, per group.
+    *
+    * @param values frame with columns `g` (string group) and `v` (long)
+    * @param mode   [[WalshSums]] or [[AbsDiffs]]
+    * @param kOf    (n, m) ⇒ k: rank to select given the group's row count
+    *               n and pair count m; must return 1 ≤ k ≤ m. Groups with
+    *               m = 0 (singletons under [[AbsDiffs]]) are dropped.
+    * @return (g, n, m, k, value) — `value` is the exact k-th pairwise
+    *         sum/distance (an achieved value by construction)
+    */
+  def kthPairwise(
+      values: DataFrame,
+      mode: PairMode,
+      kOf: (Long, Long) => Long,
+      maxGroups: Int = 1000,
+      maxRounds: Int = 72): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+
+    val hist = CacheScope.cached(
+      values.groupBy($"g", $"v").agg(count(lit(1)).as("c")))
+
+    // One row per group: bounded by construction (grouping column of a
+    // profiled dimension), maxGroups-guarded against misuse.
+    val stats = hist.groupBy($"g")
+      .agg(sum($"c").as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .collect()
+    require(stats.length <= maxGroups,
+      s"kthPairwise: ${stats.length} groups exceed maxGroups=$maxGroups")
+
+    final case class St(n: Long, var lo: Long, var hi: Long, k: Long)
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, St]
+    for (r <- stats.sortBy(_.getString(0))) {
+      val (g, n) = (r.getString(0), r.getLong(1))
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
+      val m = mode match {
+        case WalshSums => n * (n + 1) / 2
+        case AbsDiffs  => n * (n - 1) / 2
+      }
+      if (m > 0) {
+        val k = kOf(n, m)
+        require(k >= 1 && k <= m, s"kthPairwise: k=$k outside 1..$m for $g")
+        val (lo, hi) = mode match {
+          case WalshSums => (2 * mn, 2 * mx)
+          case AbsDiffs  => (0L, mx - mn)
+        }
+        state += g -> St(n, lo, hi, k)
+      }
+    }
+
+    var rounds = 0
+    while (state.valuesIterator.exists(s => s.lo < s.hi)) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kthPairwise: no convergence in $maxRounds probes " +
+          s"(range ${state.valuesIterator.map(s => s.hi - s.lo).max})")
+      val active = state.filter { case (_, s) => s.lo < s.hi }
+      val mids = active.map { case (g, s) =>
+        g -> (s.lo + (s.hi - s.lo) / 2)
+      }.toMap
+      val counts = countPairsLE(hist, mids, mode, active.map {
+        case (g, s) => g -> s.n
+      }.toMap).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((g, s) <- active) {
+        // Invariant: count(lo − 1) < k ≤ count(hi); converge to the
+        // smallest t with count(t) ≥ k = the k-th pairwise value.
+        if (counts.getOrElse(g, 0L) >= s.k) s.hi = mids(g)
+        else s.lo = mids(g) + 1
+      }
+    }
+
+    val out = state.iterator.map { case (g, s) =>
+      val m = mode match {
+        case WalshSums => s.n * (s.n + 1) / 2
+        case AbsDiffs  => s.n * (s.n - 1) / 2
+      }
+      Sel(g, s.n, m, s.k, s.lo)
+    }.toSeq
+    spark.createDataFrame(out).select("g", "n", "m", "k", "value")
+  }
+
+  /** #pairs with derived value ≤ t(g), per group, in ONE job.
+    * Package-private so PlanSpec can pin the plan shape (broadcast
+    * threshold join, single window, no cartesian). */
+  private[graft] def countPairsLE(
+      hist: DataFrame,
+      tByG: Map[String, Long],
+      mode: PairMode,
+      nByG: Map[String, Long]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val tdf = tByG.toSeq.toDF("g", "t")
+    val h = hist.join(broadcast(tdf), Seq("g"))
+    // Providers carry the histogram mass; queries ask for the inclusive
+    // prefix count F at their key. Provider tag 0 sorts BEFORE query tag
+    // 1 at an equal key, making F(u) = #{x ≤ u} inclusive.
+    val providers = h.select($"g", $"v".as("key"), $"c".as("add"),
+      lit(0).as("tag"), lit(0L).as("qc"))
+    val queries = mode match {
+      case WalshSums =>
+        h.select($"g", ($"t" - $"v").as("key"), lit(0L).as("add"),
+          lit(1).as("tag"), $"c".as("qc"))
+      case AbsDiffs =>
+        h.select($"g", ($"v" + $"t").as("key"), lit(0L).as("add"),
+            lit(1).as("tag"), $"c".as("qc"))
+          .unionAll(h.select($"g", ($"v" - $"t" - 1).as("key"),
+            lit(0L).as("add"), lit(1).as("tag"), (-$"c").as("qc")))
+    }
+    val w = Window.partitionBy($"g").orderBy($"key", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = providers.unionAll(queries)
+      .withColumn("f", sum($"add").over(w))
+    val ordered = scanned.filter($"tag" === 1)
+      .groupBy($"g").agg(sum($"qc" * $"f").as("s"))
+    // Diagonal / self-pair corrections turn the ordered count into the
+    // unordered multiset count (see scaladoc identities).
+    val diag = mode match {
+      case WalshSums =>
+        h.groupBy($"g")
+          .agg(sum(when($"v" * 2 <= $"t", $"c").otherwise(0L)).as("d"))
+      case AbsDiffs =>
+        val ndf = nByG.toSeq.toDF("g", "d")
+        broadcast(ndf)
+    }
+    ordered.join(broadcast(diag), Seq("g"))
+      .select($"g", (mode match {
+        case WalshSums => expr("(s + d) div 2")
+        case AbsDiffs  => expr("(s - d) div 2")
+      }).as("cnt"))
+  }
+}

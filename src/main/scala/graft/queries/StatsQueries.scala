@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
+import graft.ops.Selection
 import Exact._
 
 /** Statistical-profiling aggregate battery (SURVEY.md §2-B "Aggregations",
@@ -1824,21 +1825,28 @@ object StatsQueries {
     friedmanFromGrid(grid)
   }
 
-  /** Blocked rank test from a complete (d = block, g = treatment, v)
-    * grid — see [[qStatFriedman]]. */
-  private[queries] def friedmanFromGrid(grid: DataFrame): DataFrame = {
+  /** Doubled average ranks within each block of a complete (d = block,
+    * g = treatment, v) grid, via the per-(block, value) histogram (no
+    * tie-order ambiguity): r2 = 2·cnt(<v) + t + 1. Shared by
+    * [[qStatFriedman]] and [[qStatPage]]. */
+  private[queries] def rankedGrid(grid: DataFrame): DataFrame = {
     import grid.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    // doubled average rank within the k-row block via the per-(block,
-    // value) histogram (no tie-order ambiguity): r2 = 2·cnt(<v) + t + 1
     val bv = grid.groupBy($"d", $"v").agg(count(lit(1)).as("t"))
     val wb = Window.partitionBy($"d").orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val r2v = bv
       .withColumn("cumt", coalesce(sum($"t").over(wb), lit(0L)))
       .select($"d", $"v", (lit(2L) * $"cumt" + $"t" + 1L).as("r2"))
-    val ranked = grid.join(r2v, Seq("d", "v"))
+    grid.join(r2v, Seq("d", "v"))
       .select($"d", $"g", $"r2")
+  }
+
+  /** Blocked rank test from a complete (d = block, g = treatment, v)
+    * grid — see [[qStatFriedman]]. */
+  private[queries] def friedmanFromGrid(grid: DataFrame): DataFrame = {
+    import grid.sparkSession.implicits._
+    val ranked = rankedGrid(grid)
     val perT = ranked.groupBy($"g").agg(sum($"r2").as("s2"))
     val sq = ranked.agg(sum($"r2" * $"r2").as("sr2"),
       countDistinct($"d").as("n"), countDistinct($"g").as("k"))
@@ -1996,7 +2004,166 @@ object StatsQueries {
         ($"num" > lit(9) * $"den").as("reject"))
   }
 
+  /** HODGES–LEHMANN pseudomedian (Hodges & Lehmann 1963) of 1995 order
+    * totals per priority: the median of all n(n+1)/2 Walsh averages
+    * (x_i + x_j)/2, i ≤ j — the location estimator dual to the Wilcoxon
+    * signed-rank test (~95% Gaussian efficiency, 29% breakdown), the
+    * robust mean a profiling surface should publish next to q_stat_mad.
+    *
+    * Never enumerates a pair: [[graft.ops.Selection.kthPairwise]]
+    * binary-searches the integer SUM range and counts pairs ≤ t per
+    * probe from the value histogram (see the Selection scaladoc for the
+    * identity and the 100 TB shape). The selected sum is an achieved
+    * Walsh sum by construction, so `hl_cents2` is an exact integer and
+    * `hl` the one identical IEEE division. The DuckDB twin enumerates
+    * the ~10⁵ pairs per group explicitly — feasible only because the
+    * oracle slice is small, which is exactly the point: the engine's
+    * counting search is the form that scales.
+    */
+  def qStatHodges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("v"))
+    Selection.kthPairwise(vals, Selection.WalshSums,
+        (_, m) => (m + 1) / 2)
+      .select($"g".as("o_orderpriority"), $"n", $"m".as("n_pairs"), $"k",
+        $"value".as("hl_cents2"), ($"value" / lit(200.0)).as("hl"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** ROUSSEEUW–CROUX Qn scale estimator (JASA 1993) of 1995 order totals
+    * per priority: the C(h,2)-th smallest pairwise distance
+    * |x_i − x_j| (i < j), h = ⌊n/2⌋ + 1 — a 50%-breakdown scale measure
+    * that, unlike MAD, needs no location estimate and keeps 82%
+    * Gaussian efficiency. `qn_scaled_r6` applies the published
+    * consistency constant 2.2219. Same [[graft.ops.Selection]] counting
+    * search as q_stat_hodges ([[Selection.AbsDiffs]] band count); same
+    * explicit-enumeration DuckDB twin.
+    */
+  def qStatQn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("v"))
+    Selection.kthPairwise(vals, Selection.AbsDiffs,
+        (n, _) => { val h = n / 2 + 1; h * (h - 1) / 2 })
+      .select($"g".as("o_orderpriority"), $"n", $"k",
+        $"value".as("qn_cents"), ($"value" / lit(100.0)).as("qn"),
+        round(lit(2.2219) * ($"value" / lit(100.0)), 6)
+          .as("qn_scaled_r6"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** BROWN–MOOD MEDIAN TEST (Brown & Mood 1951) — are the five order
+    * priorities' totalprice distributions shifted? Dichotomize every
+    * order at the GRAND exact median and chi-square the 2×5 above /
+    * not-above table. The k-sample location screen that, unlike
+    * q_stat_kruskal, needs no within-group ranking — one scan, one
+    * broadcast threshold, map-side counts: the cheapest possible
+    * k-sample test at 100 TB.
+    *
+    * Exactness: counts are exact BIGINTs; the grand median is exact
+    * percentile interpolation ((a+b)/2 of exact integers — identical
+    * IEEE in both engines); the χ² fold is pivoted into ONE row over
+    * the five KNOWN priority literals so the five-term double sum has
+    * one fixed order in both engines (the cross-row-fold caveat
+    * documented at [[qStatChi2]], solved here by pivoting). Reject at
+    * χ²₀.₀₅,₄ = 9.487729036781154 on identical doubles.
+    */
+  def qStatMood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = graft.ops.CacheScope.cached(
+      Tables.orders(spark, dir)
+        .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("x")))
+    val med = v.agg(percentile($"x", lit(0.5)).as("med"))
+    val byG = v.crossJoin(broadcast(med))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(when($"x" > $"med", 1L).otherwise(0L)).as("a_g"),
+        min($"med").as("med"))
+    val slugs = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec",
+      "5-LOW" -> "low")
+    val pivots = slugs.flatMap { case (lit0, s) =>
+      Seq(sum(when($"g" === lit0, $"a_g")).as(s"a_$s"),
+        sum(when($"g" === lit0, $"n_g")).as(s"n_$s"))
+    }
+    val wide = byG.groupBy()
+      .agg(min($"med").as("med"),
+        (Seq(sum($"n_g").as("n"), sum($"a_g").as("n_above"))
+          ++ pivots): _*)
+    def term(s: String): Column = {
+      val e = col(s"n_$s") * col("n_above") / col("n")
+      (col(s"a_$s") - e) * (col(s"a_$s") - e) *
+        (lit(1.0) / e + lit(1.0) / (col(s"n_$s") - e))
+    }
+    val chi2 = slugs.map(p => term(p._2)).reduce(_ + _)
+    wide.select((Seq($"med", $"n", $"n_above")
+      ++ slugs.flatMap(p => Seq(col(s"a_${p._2}"), col(s"n_${p._2}")))
+      ++ Seq(round(chi2, 6).as("chi2_r6"),
+        (chi2 > lit(9.487729036781154)).as("reject"))): _*)
+  }
+
+  /** PAGE'S L TREND TEST (Page, JASA 1963) for ordered alternatives:
+    * does daily event volume INCREASE along the hypothesized treatment
+    * order? Blocks = days, treatments = the five event types in
+    * alphabetical order (the fixture-chosen exemplar ordering —
+    * production callers supply their dose/severity order), L = Σ_j j·R_j
+    * over within-block average ranks. The sharper companion to
+    * q_stat_friedman: when the alternative is MONOTONE, Page's L beats
+    * Friedman's omnibus χ² exactly as Jonckheere beats Kruskal–Wallis.
+    *
+    * Doubled ranks keep ties integer-exact ([[rankedGrid]], shared with
+    * Friedman); the one-sided α=0.05 normal-approximation verdict
+    * (no-tie variance — documented approximation, as in
+    * q_stat_mannkendall) is the exact integer cross-multiplication
+    * 9·10⁶·(2L₂−bk(k+1)²)² > 2705543·b·k²(k+1)²(k−1) with the sign
+    * guard, z²₀.₀₅ = 1.6448536…² ≈ 2.705543.
+    */
+  def qStatPage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"event_type".as("g"))
+    val counts = ev.groupBy($"d", $"g").agg(count(lit(1)).as("v"))
+    val grid = ev.select($"d").distinct()
+      .crossJoin(broadcast(ev.select($"g").distinct()))
+      .join(counts, Seq("d", "g"), "left")
+      .select($"d", $"g", coalesce($"v", lit(0L)).as("v"))
+    val ranked = rankedGrid(grid)
+    // hypothesized-order weight: alphabetical position (k rows — the
+    // bounded single-partition window class, as q_stat_runs)
+    val wj = ranked.select($"g").distinct()
+      .withColumn("wj", row_number().over(Window.orderBy($"g"))
+        .cast("long"))
+    val perT = ranked.join(broadcast(wj), Seq("g"))
+      .groupBy($"g", $"wj").agg(sum($"r2").as("s2"))
+    perT.groupBy()
+      .agg(sum($"wj" * $"s2").as("l2"), count(lit(1)).as("k"))
+      .crossJoin(broadcast(
+        ranked.agg(countDistinct($"d").as("b"))))
+      .select($"k", $"b", $"l2",
+        ($"b" * $"k" * ($"k" + 1) * ($"k" + 1)).as("e_l4"),
+        round(($"l2" * 2 - $"b" * $"k" * ($"k" + 1) * ($"k" + 1))
+          .cast("double")
+          / (lit(4.0) * sqrt(($"b" * $"k" * $"k" * ($"k" + 1)
+            * ($"k" + 1) * ($"k" - 1)).cast("double") / lit(144.0))), 6)
+          .as("z_r6"),
+        ($"l2" * 2 > $"b" * $"k" * ($"k" + 1) * ($"k" + 1) &&
+          lit(9000000L) * ($"l2" * 2 - $"b" * $"k" * ($"k" + 1) * ($"k" + 1))
+            * ($"l2" * 2 - $"b" * $"k" * ($"k" + 1) * ($"k" + 1))
+          > lit(2705543L) * $"b" * $"k" * $"k" * ($"k" + 1) * ($"k" + 1)
+            * ($"k" - 1)).as("reject"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_mood" -> (qStatMood(_, _)),
+    "q_stat_page" -> (qStatPage(_, _)),
+    "q_stat_hodges" -> (qStatHodges(_, _)),
+    "q_stat_qn" -> (qStatQn(_, _)),
     "q_stat_grubbs" -> (qStatGrubbs(_, _)),
     "q_stat_cochranq" -> (qStatCochranq(_, _)),
     "q_stat_dw" -> (qStatDw(_, _)),
@@ -2057,6 +2224,140 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // same pivoted fixed-order five-term χ² fold on exact counts
+    "q_stat_mood" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+        |  FROM orders),
+        |m AS (SELECT quantile_cont(x, 0.5) AS med FROM v),
+        |byg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CASE WHEN x > m.med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_g,
+        |    MIN(m.med) AS med
+        |  FROM v CROSS JOIN m GROUP BY g),
+        |w AS (SELECT MIN(med) AS med, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(a_g) AS BIGINT) AS n_above,
+        |    MAX(CASE WHEN g = '1-URGENT' THEN a_g END) AS a_urgent,
+        |    MAX(CASE WHEN g = '1-URGENT' THEN n_g END) AS n_urgent,
+        |    MAX(CASE WHEN g = '2-HIGH' THEN a_g END) AS a_high,
+        |    MAX(CASE WHEN g = '2-HIGH' THEN n_g END) AS n_high,
+        |    MAX(CASE WHEN g = '3-MEDIUM' THEN a_g END) AS a_medium,
+        |    MAX(CASE WHEN g = '3-MEDIUM' THEN n_g END) AS n_medium,
+        |    MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN a_g END)
+        |      AS a_notspec,
+        |    MAX(CASE WHEN g = '4-NOT SPECIFIED' THEN n_g END)
+        |      AS n_notspec,
+        |    MAX(CASE WHEN g = '5-LOW' THEN a_g END) AS a_low,
+        |    MAX(CASE WHEN g = '5-LOW' THEN n_g END) AS n_low
+        |  FROM byg),
+        |c AS (SELECT *,
+        |    (a_urgent - n_urgent * n_above / n)
+        |      * (a_urgent - n_urgent * n_above / n)
+        |      * (1.0 / (n_urgent * n_above / n)
+        |        + 1.0 / (n_urgent - n_urgent * n_above / n))
+        |    + (a_high - n_high * n_above / n)
+        |      * (a_high - n_high * n_above / n)
+        |      * (1.0 / (n_high * n_above / n)
+        |        + 1.0 / (n_high - n_high * n_above / n))
+        |    + (a_medium - n_medium * n_above / n)
+        |      * (a_medium - n_medium * n_above / n)
+        |      * (1.0 / (n_medium * n_above / n)
+        |        + 1.0 / (n_medium - n_medium * n_above / n))
+        |    + (a_notspec - n_notspec * n_above / n)
+        |      * (a_notspec - n_notspec * n_above / n)
+        |      * (1.0 / (n_notspec * n_above / n)
+        |        + 1.0 / (n_notspec - n_notspec * n_above / n))
+        |    + (a_low - n_low * n_above / n)
+        |      * (a_low - n_low * n_above / n)
+        |      * (1.0 / (n_low * n_above / n)
+        |        + 1.0 / (n_low - n_low * n_above / n)) AS chi2
+        |  FROM w)
+        |SELECT med, n, n_above, a_urgent, n_urgent, a_high, n_high,
+        |  a_medium, n_medium, a_notspec, n_notspec, a_low, n_low,
+        |  round(chi2, 6) AS chi2_r6,
+        |  chi2 > 9.487729036781154 AS reject
+        |FROM c""".stripMargin,
+    // identical doubled-rank grid as q_stat_friedman + the Page weights
+    "q_stat_page" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type AS g
+        |  FROM events),
+        |counts AS (SELECT d, g, CAST(count(*) AS BIGINT) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT dd.d, gg.g, COALESCE(c.v, 0) AS v
+        |  FROM (SELECT DISTINCT d FROM ev) dd
+        |  CROSS JOIN (SELECT DISTINCT g FROM ev) gg
+        |  LEFT JOIN counts c ON c.d = dd.d AND c.g = gg.g),
+        |bv AS (SELECT d, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM grid GROUP BY 1, 2),
+        |r2v AS (SELECT d, v,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY d ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM bv),
+        |ranked AS (SELECT grid.d, grid.g, r2
+        |  FROM grid JOIN r2v ON grid.d = r2v.d AND grid.v = r2v.v),
+        |wj AS (SELECT g, CAST(row_number() OVER (ORDER BY g) AS BIGINT)
+        |    AS wj
+        |  FROM (SELECT DISTINCT g FROM ranked)),
+        |perT AS (SELECT r.g, wj.wj, CAST(SUM(r2) AS BIGINT) AS s2
+        |  FROM ranked r JOIN wj ON r.g = wj.g GROUP BY 1, 2),
+        |l AS (SELECT CAST(SUM(wj * s2) AS BIGINT) AS l2,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM perT),
+        |bb AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS b
+        |  FROM ranked)
+        |SELECT k, b, l2, b * k * (k + 1) * (k + 1) AS e_l4,
+        |  round(CAST(l2 * 2 - b * k * (k + 1) * (k + 1) AS DOUBLE)
+        |    / (4.0 * sqrt(CAST(b * k * k * (k + 1) * (k + 1) * (k - 1)
+        |        AS DOUBLE) / 144.0)), 6) AS z_r6,
+        |  (l2 * 2 > b * k * (k + 1) * (k + 1) AND
+        |   9000000 * (l2 * 2 - b * k * (k + 1) * (k + 1))
+        |     * (l2 * 2 - b * k * (k + 1) * (k + 1))
+        |   > 2705543 * b * k * k * (k + 1) * (k + 1) * (k - 1))
+        |    AS reject
+        |FROM l CROSS JOIN bb""".stripMargin,
+    // explicit Walsh-pair enumeration; engine counts, never enumerates
+    "q_stat_hodges" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+        |p AS (SELECT a.g, a.x + b.x AS s FROM v a
+        |  JOIN v b ON a.g = b.g AND a.rn <= b.rn),
+        |r AS (SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY s) AS r FROM p)
+        |SELECT n.g AS o_orderpriority, n.n,
+        |  n.n * (n.n + 1) // 2 AS n_pairs,
+        |  (n.n * (n.n + 1) // 2 + 1) // 2 AS k,
+        |  r.s AS hl_cents2, r.s / 200.0 AS hl
+        |FROM n JOIN r ON n.g = r.g
+        |  AND r.r = (n.n * (n.n + 1) // 2 + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
+    // explicit |x_i − x_j| enumeration at the published rank C(h,2)
+    "q_stat_qn" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+        |kk AS (SELECT g, n,
+        |    (n // 2 + 1) * (n // 2) // 2 AS k FROM n),
+        |p AS (SELECT a.g, abs(a.x - b.x) AS dd FROM v a
+        |  JOIN v b ON a.g = b.g AND a.rn < b.rn),
+        |r AS (SELECT g, dd,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd) AS r FROM p)
+        |SELECT kk.g AS o_orderpriority, kk.n, kk.k,
+        |  r.dd AS qn_cents, r.dd / 100.0 AS qn,
+        |  round(2.2219 * (r.dd / 100.0), 6) AS qn_scaled_r6
+        |FROM kk JOIN r ON kk.g = r.g AND r.r = kk.k
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_stat_grubbs" ->
       """WITH x AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c

@@ -874,4 +874,25 @@ class PlanSpec extends SparkTestBase {
       || p.contains("ShuffledHashJoin"))
   }
 
+  test("pairwise selection probe: histogram meets the per-group " +
+    "threshold by BROADCAST equi-join, prefix counts in one window — " +
+    "no cartesian, no pair enumeration anywhere in the plan") {
+    import spark.implicits._
+    val hist = Seq(("a", 1L, 3L), ("a", 5L, 2L), ("b", 2L, 4L))
+      .toDF("g", "v", "c")
+    for (mode <- Seq(graft.ops.Selection.WalshSums,
+        graft.ops.Selection.AbsDiffs)) {
+      val probe = graft.ops.Selection.countPairsLE(
+        hist, Map("a" -> 6L, "b" -> 4L), mode,
+        Map("a" -> 5L, "b" -> 4L))
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), mode.toString)
+      assert(p.contains("BroadcastHashJoin"), mode.toString)
+      assert("\\(\\d+\\) Window\\b".r.findAllIn(p).size == 1,
+        s"$mode: exactly one running-sum window")
+    }
+  }
+
 }

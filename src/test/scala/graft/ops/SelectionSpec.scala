@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkTestBase
+import Selection.{AbsDiffs, WalshSums}
+
+/** [[Selection.kthPairwise]] must equal explicit enumeration of the
+  * pairwise multiset on any input — the counting search never sees a
+  * pair, so parity with brute force is the whole correctness argument.
+  */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df(rows: (String, Long)*) = rows.toDF("g", "v")
+
+  private def bruteWalsh(xs: Seq[Long]): Seq[Long] =
+    (for {
+      i <- xs.indices; j <- i until xs.length
+    } yield xs(i) + xs(j)).sorted
+
+  private def bruteAbsDiff(xs: Seq[Long]): Seq[Long] =
+    (for {
+      i <- xs.indices; j <- (i + 1) until xs.length
+    } yield math.abs(xs(i) - xs(j))).sorted
+
+  test("hand-traced Walsh median: {1,2,6} -> sums {2,3,7,4,8,12}, " +
+    "lower median 4") {
+    val out = CacheScope.scoped {
+      Selection.kthPairwise(df("a" -> 1L, "a" -> 2L, "a" -> 6L),
+          WalshSums, (_, m) => (m + 1) / 2)
+        .as[(String, Long, Long, Long, Long)].collect()
+    }
+    assert(out.toSeq == Seq(("a", 3L, 6L, 3L, 4L)))
+  }
+
+  test("hand-traced Qn rank on {0,3,3,10}: diffs {3,3,10,0,7,7}, " +
+    "k=C(3,2)=3 -> 3") {
+    val out = CacheScope.scoped {
+      Selection.kthPairwise(
+          df("a" -> 0L, "a" -> 3L, "a" -> 3L, "a" -> 10L),
+          AbsDiffs, (n, _) => { val h = n / 2 + 1; h * (h - 1) / 2 })
+        .as[(String, Long, Long, Long, Long)].collect()
+    }
+    // sorted diffs: 0,3,3,7,7,10 -> 3rd = 3
+    assert(out.toSeq == Seq(("a", 4L, 6L, 3L, 3L)))
+  }
+
+  test("brute parity, every rank, heavy ties and negatives (both modes)") {
+    val xs = Seq(-5L, -5L, 0L, 0L, 0L, 3L, 7L, 7L, 11L, 20L)
+    val in = df(xs.map("a" -> _): _*)
+    val walsh = bruteWalsh(xs)
+    for (k <- Seq(1, 2, walsh.length / 2, walsh.length - 1, walsh.length)) {
+      val got = CacheScope.scoped {
+        Selection.kthPairwise(in, WalshSums, (_, _) => k.toLong)
+          .select("value").as[Long].head()
+      }
+      assert(got == walsh(k - 1), s"walsh k=$k")
+    }
+    val diffs = bruteAbsDiff(xs)
+    for (k <- Seq(1, 2, diffs.length / 2, diffs.length - 1, diffs.length)) {
+      val got = CacheScope.scoped {
+        Selection.kthPairwise(in, AbsDiffs, (_, _) => k.toLong)
+          .select("value").as[Long].head()
+      }
+      assert(got == diffs(k - 1), s"absdiff k=$k")
+    }
+  }
+
+  test("multi-group isolation + singleton drop under AbsDiffs") {
+    val in = df("a" -> 1L, "a" -> 9L, "b" -> 4L, "b" -> 4L, "b" -> 40L,
+      "lone" -> 5L)
+    val walsh = CacheScope.scoped {
+      Selection.kthPairwise(in, WalshSums, (_, m) => (m + 1) / 2)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    // lone: single Walsh pair 5+5=10; a: {2,10,18} -> 10; b: {8,8,44,80,
+    // 44,8}sorted {8,8,8,44,44,80} -> k=(6+1)/2=3 -> 8
+    assert(walsh == Seq(("a", 2L, 3L, 2L, 10L), ("b", 3L, 6L, 3L, 8L),
+      ("lone", 1L, 1L, 1L, 10L)))
+    val qn = CacheScope.scoped {
+      Selection.kthPairwise(in, AbsDiffs, (_, _) => 1L)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    // singleton group has no pair and is dropped
+    assert(qn.map(_._1) == Seq("a", "b"))
+    assert(qn == Seq(("a", 2L, 1L, 1L, 8L), ("b", 3L, 3L, 1L, 0L)))
+  }
+
+  test("randomized brute parity across 6 seeded draws (both modes, " +
+    "pseudomedian and Qn ranks)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 6) {
+      val n = 3 + rnd.nextInt(40)
+      val xs = Seq.fill(n)(rnd.nextInt(2000).toLong - 1000L)
+      val in = df(xs.map("t" -> _): _*)
+      val hlGot = CacheScope.scoped {
+        Selection.kthPairwise(in, WalshSums, (_, m) => (m + 1) / 2)
+          .select("value").as[Long].head()
+      }
+      val w = bruteWalsh(xs)
+      assert(hlGot == w((w.length + 1) / 2 - 1), s"trial $trial walsh")
+      if (n >= 2) {
+        val k = { val h = n / 2 + 1; h.toLong * (h - 1) / 2 }
+        val qnGot = CacheScope.scoped {
+          Selection.kthPairwise(in, AbsDiffs, (_, _) => k)
+            .select("value").as[Long].head()
+        }
+        val d = bruteAbsDiff(xs)
+        assert(qnGot == d(k.toInt - 1), s"trial $trial qn")
+      }
+    }
+  }
+
+  test("kOf out of range fails loudly") {
+    intercept[IllegalArgumentException] {
+      Selection.kthPairwise(df("a" -> 1L, "a" -> 2L), WalshSums,
+        (_, m) => m + 1)
+    }
+  }
+}
