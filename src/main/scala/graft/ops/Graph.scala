@@ -419,6 +419,48 @@ object Graph {
         count(lit(1)).as("n_reached"))
   }
 
+  /** Bounded-hop MULTI-SOURCE BFS: exact hop distances from each seed
+    * vertex, all seeds in ONE frontier frame (landmark technique —
+    * Magnien, Latapy & Habib 2009: BFS from a few landmarks brackets
+    * eccentricities and the diameter without the all-pairs cost that
+    * [[harmonicCentrality]] pays). Undirected: edges are symmetrized
+    * and deduplicated here.
+    *
+    * Scale shape: the frontier (s, v, d) is |seeds| × ball-size — the
+    * landmark count is the fan-out cap the all-sources variant lacks.
+    * Per hop: one adjacency equi-join + one (s, v) min-aggregate,
+    * lineage cut by the per-round cache; zero driver actions. Seeds
+    * arrive as a DataFrame so landmark choice stays declarative
+    * (pushed into the plan, no collect).
+    *
+    * @param seeds one column `v` — the landmark vertices
+    * @return (source, vertex, dist) for every vertex within `maxHops`
+    *         of a seed (dist 0 = the seed itself)
+    */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
+                     maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = CacheScope.cached(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
+    var reach = CacheScope.cached(
+      seeds.select(col("v").as("s"), col("v"), lit(0).as("d")))
+    for (h <- 1 to maxHops) {
+      val expanded = reach
+        .join(sym.withColumnRenamed("n", "nx"), "v")
+        .select(col("s"), col("nx").as("v"), lit(h).as("d"))
+      reach = CacheScope.cached(
+        reach.unionByName(expanded)
+          .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+    }
+    reach.select(col("s").as("source"), col("v").as("vertex"),
+      col("d").cast("long").as("dist"))
+  }
+
   /** Pivot-sampled bounded-hop BETWEENNESS centrality (Brandes' pair-
     * dependency form with source sampling, Brandes & Pich, 2007 — the
     * standard scalable estimator): centrality of m = Σ over sampled

@@ -563,7 +563,39 @@ object EventQueries {
       .orderBy(col("t"))
   }
 
+  /** SEQUENTIAL PATTERN SUPPORT, GSP level 2 (Srikant & Agrawal, EDBT
+    * 1996): for every ordered event-type pair ⟨a → b⟩, how many users'
+    * histories CONTAIN the subsequence — some a strictly before some b
+    * (any gap; the sequence-contains semantics that distinguishes
+    * pattern mining from q_event_markov's adjacent transitions and
+    * q_event_paths' contiguous n-grams). Existential containment
+    * reduces exactly to span arithmetic: a user contains ⟨a → b⟩ iff
+    * min_ts(a) < max_ts(b), so the raw scan collapses to ONE (user,
+    * type) min/max aggregate and candidate pairs join k² bounded rows
+    * per user — never the event list squared. `supp_r6` = containing
+    * users / all users with events.
+    */
+  def qEventSeqpat(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val spans = e.groupBy(col("user_id"), col("event_type").as("t"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val users = e.select(countDistinct(col("user_id")).as("u"))
+    val pairs = spans.as("a").join(spans.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.t") =!= col("b.t"))
+      .select(col("a.t").as("a"), col("b.t").as("b"),
+        (col("a.mn") < col("b.mx")).as("seq"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("seq"), 1L).otherwise(0L)).as("n_seq"))
+      .crossJoin(broadcast(users))
+      .select(col("a"), col("b"), col("n_both"), col("n_seq"),
+        round(col("n_seq") / col("u"), 6).as("supp_r6"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_event_seqpat" -> (qEventSeqpat(_, _)),
     "q_event_survival" -> (qEventSurvival(_, _)),
     "q_event_ltv" -> (qEventLtv(_, _)),
     "q_event_abtest" -> (qEventAbtest(_, _)),
@@ -583,6 +615,24 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same span-arithmetic containment on the (user, type) min/max
+    "q_event_seqpat" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |spans AS (SELECT user_id, event_type AS t,
+        |    MIN(ts) AS mn, MAX(ts) AS mx
+        |  FROM e GROUP BY 1, 2),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+        |  FROM e),
+        |p AS (SELECT a.t AS a, b.t AS b,
+        |    CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END AS seq
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id = b.user_id AND a.t <> b.t)
+        |SELECT a, b, CAST(count(*) AS BIGINT) AS n_both,
+        |  CAST(SUM(seq) AS BIGINT) AS n_seq,
+        |  round(CAST(SUM(seq) AS BIGINT) / u.u, 6) AS supp_r6
+        |FROM p CROSS JOIN u GROUP BY a, b, u.u
+        |ORDER BY a, b""".stripMargin,
     // three unrolled integer power rounds, same floor divisions
     "q_event_stationary" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type

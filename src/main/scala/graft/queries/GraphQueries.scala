@@ -545,7 +545,36 @@ object GraphQueries {
       .orderBy(col("mi"))
   }
 
+  /** LANDMARK ECCENTRICITY / diameter bracketing (Magnien, Latapy &
+    * Habib 2009): hop-exact BFS from the four smallest-id vertices of
+    * the sparse co-supply graph, all landmarks in ONE frontier frame
+    * ([[graft.ops.Graph.multiSourceBfs]]). Per landmark: bounded
+    * eccentricity (max distance within the 6-hop horizon) and ball
+    * size. max(ecc) lower-bounds the graph diameter — the standard
+    * scalable bracket when the all-pairs BFS behind q_graph_harmonic
+    * is unaffordable. Landmark choice is declarative (sorted LIMIT 4
+    * inside the plan, no collect); the DuckDB twin replays the BFS as
+    * a UNION-deduped recursive CTE.
+    */
+  def qGraphEcc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val seeds = edges.select($"src".as("v"))
+      .unionAll(edges.select($"dst".as("v")))
+      .distinct().orderBy($"v").limit(4)
+    Graph.multiSourceBfs(edges, seeds, maxHops = 6)
+      .groupBy($"source")
+      .agg(max($"dist").as("ecc"), count(lit(1)).as("reached"))
+      .orderBy($"source")
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_ecc" -> (qGraphEcc(_, _)),
     "q_graph_critpath" -> (qGraphCritpath(_, _)),
     "q_graph_conductance" -> (qGraphConductance(_, _)),
     "q_graph_powerlaw" -> (qGraphPowerlaw(_, _)),
@@ -744,6 +773,25 @@ object GraphQueries {
          |ORDER BY f.a, f.b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // UNION-deduped recursive BFS from the same sorted-LIMIT landmarks
+    "q_graph_ecc" ->
+      """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p,
+        |    l_suppkey AS s
+        |  FROM lineitem WHERE l_quantity = 1),
+        |e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |seeds AS (SELECT DISTINCT src AS v FROM e ORDER BY v LIMIT 4),
+        |bfs(s, v, d) AS (
+        |  SELECT v, v, 0 FROM seeds
+        |  UNION
+        |  SELECT b.s, e.dst, b.d + 1 FROM bfs b
+        |  JOIN e ON b.v = e.src WHERE b.d < 6),
+        |md AS (SELECT s, v, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+        |SELECT s AS source, CAST(MAX(d) AS BIGINT) AS ecc,
+        |  CAST(count(*) AS BIGINT) AS reached
+        |FROM md GROUP BY s ORDER BY source""".stripMargin,
     // same graph as q_graph_sssp; Borůvka unrolled to 12 rounds
     // (halving guarantee covers V ≤ 4096 components; sf0.01 has ~100)
     "q_graph_mst" -> mstSql,

@@ -639,4 +639,34 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("multiSourceBfs: hand-traced path-graph distances, per-seed " +
+    "isolation across components, self at dist 0") {
+    // path 1-2-3-4-5 plus the island edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 3L, 8L).toDF("v")
+    val got = CacheScope.scoped {
+      Graph.multiSourceBfs(edges, seeds, maxHops = 6)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val want = Set(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (1L, 5L, 4L),
+      (3L, 3L, 0L), (3L, 2L, 1L), (3L, 4L, 1L), (3L, 1L, 2L),
+      (3L, 5L, 2L),
+      (8L, 8L, 0L), (8L, 9L, 1L))
+    assert(got == want)
+  }
+
+  test("multiSourceBfs: the hop horizon truncates the ball; distances " +
+    "inside it stay exact (not horizon-clamped)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = CacheScope.scoped {
+      Graph.multiSourceBfs(edges, Seq(1L).toDF("v"), maxHops = 2)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(got == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L)))
+  }
+
 }
