@@ -579,7 +579,13 @@ object EventQueries {
     val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
     val spans = e.groupBy(col("user_id"), col("event_type").as("t"))
       .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-    val users = e.select(countDistinct(col("user_id")).as("u"))
+    seqpatFromSpans(spans)
+  }
+
+  /** Pattern supports from a (user_id, t, mn, mx) span table — see
+    * [[qEventSeqpat]]; shared with the incremental path. */
+  private[queries] def seqpatFromSpans(spans: DataFrame): DataFrame = {
+    val users = spans.select(countDistinct(col("user_id")).as("u"))
     val pairs = spans.as("a").join(spans.as("b"),
         col("a.user_id") === col("b.user_id")
           && col("a.t") =!= col("b.t"))
@@ -594,8 +600,38 @@ object EventQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** INCREMENTAL sequential-pattern maintenance: the span table behind
+    * [[qEventSeqpat]] is a DECOMPOSABLE (min, max) aggregate, so an
+    * arrival batch folds into the standing spans by one
+    * (user, type)-keyed merge — the historical event log is never
+    * re-read (the q_dedup_incremental / q_graph_mst_incremental
+    * arrival-batch discipline). Here the log splits at a fixed date
+    * (< / ≥ 2024-01-25); the oracle is the FROM-SCRATCH twin verbatim —
+    * equality with it IS the correctness claim.
+    *
+    * Scale shape: per batch, cost is one min/max aggregate over the
+    * batch + an equi-join merge against the |users|×|types|-bounded
+    * standing span table; supports recompute on the merged spans
+    * (metadata-sized), with the raw corpus untouched.
+    */
+  def qEventSeqpatIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val cut = lit("2024-01-25").cast("timestamp")
+    def spansOf(part: DataFrame): DataFrame = part
+      .groupBy(col("user_id"), col("event_type").as("t"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val standing = spansOf(e.filter(col("ts") < cut))
+    val batch = spansOf(e.filter(col("ts") >= cut))
+    val merged = standing.unionByName(batch)
+      .groupBy(col("user_id"), col("t"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    seqpatFromSpans(merged)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_event_seqpat" -> (qEventSeqpat(_, _)),
+    "q_event_seqpat_incremental" -> (qEventSeqpatIncremental(_, _)),
     "q_event_survival" -> (qEventSurvival(_, _)),
     "q_event_ltv" -> (qEventLtv(_, _)),
     "q_event_abtest" -> (qEventAbtest(_, _)),
@@ -614,25 +650,30 @@ object EventQueries {
     "q_running_distinct" -> (qRunningDistinct(_, _))
   )
 
+  private val seqpatSql: String =
+    """WITH e AS (SELECT user_id, event_type, ts FROM events
+      |  WHERE user_id IS NOT NULL),
+      |spans AS (SELECT user_id, event_type AS t,
+      |    MIN(ts) AS mn, MAX(ts) AS mx
+      |  FROM e GROUP BY 1, 2),
+      |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      |  FROM e),
+      |p AS (SELECT a.t AS a, b.t AS b,
+      |    CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END AS seq
+      |  FROM spans a JOIN spans b
+      |    ON a.user_id = b.user_id AND a.t <> b.t)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS n_both,
+      |  CAST(SUM(seq) AS BIGINT) AS n_seq,
+      |  round(CAST(SUM(seq) AS BIGINT) / u.u, 6) AS supp_r6
+      |FROM p CROSS JOIN u GROUP BY a, b, u.u
+      |ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same span-arithmetic containment on the (user, type) min/max
-    "q_event_seqpat" ->
-      """WITH e AS (SELECT user_id, event_type, ts FROM events
-        |  WHERE user_id IS NOT NULL),
-        |spans AS (SELECT user_id, event_type AS t,
-        |    MIN(ts) AS mn, MAX(ts) AS mx
-        |  FROM e GROUP BY 1, 2),
-        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
-        |  FROM e),
-        |p AS (SELECT a.t AS a, b.t AS b,
-        |    CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END AS seq
-        |  FROM spans a JOIN spans b
-        |    ON a.user_id = b.user_id AND a.t <> b.t)
-        |SELECT a, b, CAST(count(*) AS BIGINT) AS n_both,
-        |  CAST(SUM(seq) AS BIGINT) AS n_seq,
-        |  round(CAST(SUM(seq) AS BIGINT) / u.u, 6) AS supp_r6
-        |FROM p CROSS JOIN u GROUP BY a, b, u.u
-        |ORDER BY a, b""".stripMargin,
+    "q_event_seqpat" -> seqpatSql,
+    // the incremental merge must equal the from-scratch supports —
+    // same twin verbatim (the q_graph_mst_incremental convention)
+    "q_event_seqpat_incremental" -> seqpatSql,
     // three unrolled integer power rounds, same floor divisions
     "q_event_stationary" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type

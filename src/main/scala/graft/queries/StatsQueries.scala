@@ -2159,7 +2159,73 @@ object StatsQueries {
             * ($"k" - 1)).as("reject"))
   }
 
+  /** HOEFFDING'S D TEST OF INDEPENDENCE (Hoeffding, AMS 1948) between
+    * daily click and purchase volume — the dependence measure that
+    * catches NON-MONOTONE association (U-shapes, bands) which Kendall,
+    * Spearman and Pearson all score ~0. Completes the dependence
+    * battery: Pearson (linear) → Spearman/Kendall (monotone) →
+    * Hoeffding (any measurable dependence).
+    *
+    * Exactness with ties (the SAS convention: ½ for single-coordinate
+    * ties, ¼ for double): average ranks R, S are doubled and the
+    * bivariate rank Q is quadrupled, so every per-point quantity is an
+    * exact BIGINT; D1, D2, D3 are published ×16 and D applies the one
+    * IEEE division on exact integers, identically in both engines.
+    * Pair classification runs on the CALENDAR-bounded daily aggregate
+    * (the q_stat_kendall boundedness argument; the full-table scale
+    * path is the q_stat_kendall_grid dominance machinery).
+    */
+  def qStatHoeffding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+    hoeffdingFromSeries(daily)
+  }
+
+  /** Hoeffding's D from a (d = point id, x, y) frame — see
+    * [[qStatHoeffding]]. Exposed for spec brute-force parity. */
+  private[queries] def hoeffdingFromSeries(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    val per = daily.as("a").join(daily.as("b"), $"a.d" =!= $"b.d")
+      .groupBy($"a.d".as("d"))
+      .agg(
+        sum(when($"b.x" < $"a.x", 1L).otherwise(0L)).as("cx_lt"),
+        sum(when($"b.x" === $"a.x", 1L).otherwise(0L)).as("cx_eq"),
+        sum(when($"b.y" < $"a.y", 1L).otherwise(0L)).as("cy_lt"),
+        sum(when($"b.y" === $"a.y", 1L).otherwise(0L)).as("cy_eq"),
+        sum(when($"b.x" < $"a.x" && $"b.y" < $"a.y", 1L).otherwise(0L))
+          .as("q_ll"),
+        sum(when($"b.x" === $"a.x" && $"b.y" < $"a.y", 1L).otherwise(0L))
+          .as("q_el"),
+        sum(when($"b.x" < $"a.x" && $"b.y" === $"a.y", 1L).otherwise(0L))
+          .as("q_le"),
+        sum(when($"b.x" === $"a.x" && $"b.y" === $"a.y", 1L)
+          .otherwise(0L)).as("q_ee"))
+      .select(
+        (lit(2L) + lit(2L) * $"cx_lt" + $"cx_eq").as("r2"),
+        (lit(2L) + lit(2L) * $"cy_lt" + $"cy_eq").as("s2"),
+        (lit(4L) + lit(4L) * $"q_ll" + lit(2L) * $"q_el"
+          + lit(2L) * $"q_le" + $"q_ee").as("q4"))
+    per.agg(
+        count(lit(1)).as("n"),
+        sum(($"q4" - 4L) * ($"q4" - 8L)).as("d1_16"),
+        sum(($"r2" - 2L) * ($"r2" - 4L) * ($"s2" - 2L) * ($"s2" - 4L))
+          .as("d2_16"),
+        sum(($"r2" - 4L) * ($"s2" - 4L) * ($"q4" - 4L)).as("d3_16"))
+      .select($"n", $"d1_16", $"d2_16", $"d3_16",
+        (($"n" - 2L) * ($"n" - 3L) * $"d1_16" + $"d2_16"
+          - lit(2L) * ($"n" - 2L) * $"d3_16").as("num16"),
+        ($"n" * ($"n" - 1L) * ($"n" - 2L) * ($"n" - 3L) * ($"n" - 4L))
+          .as("den"))
+      .select($"n", $"d1_16", $"d2_16", $"d3_16", $"num16", $"den",
+        round((lit(30L) * $"num16").cast("double")
+          / (lit(16L) * $"den").cast("double"), 6).as("d_r6"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_stat_hoeffding" -> (qStatHoeffding(_, _)),
     "q_stat_mood" -> (qStatMood(_, _)),
     "q_stat_page" -> (qStatPage(_, _)),
     "q_stat_hodges" -> (qStatHodges(_, _)),
@@ -2224,6 +2290,44 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical doubled/quadrupled integer ranks over the day pairs
+    "q_stat_hoeffding" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT a.d,
+        |    2 + 2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS r2,
+        |    2 + 2 * SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS s2,
+        |    4 + 4 * SUM(CASE WHEN b.x < a.x AND b.y < a.y THEN 1
+        |        ELSE 0 END)
+        |      + 2 * SUM(CASE WHEN b.x = a.x AND b.y < a.y THEN 1
+        |        ELSE 0 END)
+        |      + 2 * SUM(CASE WHEN b.x < a.x AND b.y = a.y THEN 1
+        |        ELSE 0 END)
+        |      + SUM(CASE WHEN b.x = a.x AND b.y = a.y THEN 1
+        |        ELSE 0 END) AS q4
+        |  FROM daily a JOIN daily b ON a.d <> b.d GROUP BY a.d),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM((q4 - 4) * (q4 - 8)) AS BIGINT) AS d1_16,
+        |    CAST(SUM((r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4))
+        |      AS BIGINT) AS d2_16,
+        |    CAST(SUM((r2 - 4) * (s2 - 4) * (q4 - 4)) AS BIGINT)
+        |      AS d3_16
+        |  FROM per),
+        |nm AS (SELECT n, d1_16, d2_16, d3_16,
+        |    (n - 2) * (n - 3) * d1_16 + d2_16 - 2 * (n - 2) * d3_16
+        |      AS num16,
+        |    n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
+        |  FROM ag)
+        |SELECT n, d1_16, d2_16, d3_16, num16, den,
+        |  round(CAST(30 * num16 AS DOUBLE)
+        |    / CAST(16 * den AS DOUBLE), 6) AS d_r6
+        |FROM nm""".stripMargin,
     // same pivoted fixed-order five-term χ² fold on exact counts
     "q_stat_mood" ->
       """WITH v AS (SELECT o_orderpriority AS g,
