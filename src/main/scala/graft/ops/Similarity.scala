@@ -151,6 +151,105 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Raw random projection for tree level `j`: Σᵢ sign(0,j,i)·v[i] as
+    * an index-ordered left fold (the cross-engine determinism contract
+    * every cosine here rides). Signs are the same md5-parity family as
+    * [[hyperplaneSign]] table 0 — the DuckDB twin embeds them as array
+    * literals. */
+  private[graft] def rpProj(vec: org.apache.spark.sql.Column, j: Int,
+      dims: Int): org.apache.spark.sql.Column = {
+    val signs = array((0 until dims).map(i =>
+      lit(hyperplaneSign(0, j, i))): _*)
+    aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
+      lit(0.0), (a, b) => a + b)
+  }
+
+  /** RANDOM-PROJECTION TREE routing (Dasgupta & Freund, STOC 2008):
+    * a depth-d tree that splits each node at the LOWER-MEDIAN element
+    * of its members' projection onto the level's hyperplane (one
+    * shared direction per level; per-node data-adaptive threshold —
+    * the property that lets RP trees adapt to low intrinsic dimension,
+    * which origin-split hyperplane LSH cannot). Leaves are
+    * balanced-by-construction buckets of ~|N|/2^d vectors.
+    *
+    * Determinism/exactness: projections are index-ordered folds
+    * (identical doubles cross-engine); each threshold is a rank-picked
+    * ELEMENT — ((n+1) div 2)-th in (proj, id) order — never an
+    * interpolated midpoint, because (a+b)/2 vs a+(b−a)/2 differ in the
+    * last ulp between engines. Routing compares identical doubles.
+    *
+    * Scale shape: per-node ranks run through [[Prefix.denseRank]]
+    * (range-partitioned two-pass — the root's rank is NOT a
+    * single-partition window over the corpus), looped over the ≤ 2^d−1
+    * internal nodes — tree fan-out bounds the pass count, each pass
+    * distributed. Thresholds are ≤ 2^d one-row frames broadcast back;
+    * the candidate join is a leaf-key equi-join.
+    *
+    * @return (routed corpus with `node` = leaf id, per-level
+    *         (node, thr) threshold frames for routing queries)
+    */
+  private[graft] def rpTreeRoute(corpus: DataFrame, idCol: String,
+      vecCol: String, depth: Int, dims: Int)
+      : (DataFrame, Seq[DataFrame]) = {
+    require(depth >= 1 && depth <= 4, "bounded tree depth 1..4")
+    require(dims >= 1 && dims <= HyperplaneMaxDim)
+    val projCols = (0 until depth).map(j =>
+      rpProj(col(vecCol), j, dims).as(s"p$j"))
+    var cur = CacheScope.cached(corpus.select(
+        (col(idCol).as("id") +: col(vecCol).as("v") +: projCols): _*)
+      .withColumn("node", lit(0)))
+    val thrs = Seq.newBuilder[DataFrame]
+    for (j <- 0 until depth) {
+      val thr = (0 until (1 << j)).map { nd =>
+        val part = cur.filter(col("node") === nd)
+        val cnt = part.agg(count(lit(1)).as("n"))
+        Prefix.denseRank(part, Seq(col(s"p$j"), col("id")), "rk")
+          .crossJoin(broadcast(cnt))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(lit(nd).as("node"), col(s"p$j").as("thr"))
+      }.reduce(_.unionByName(_))
+      thrs += thr
+      cur = CacheScope.cached(cur.join(broadcast(thr), Seq("node"))
+        .withColumn("node", col("node") * 2
+          + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
+        .drop("thr"))
+    }
+    (cur, thrs.result())
+  }
+
+  /** RP-tree ANN, same output shape as the brute/LSH/IVF variants:
+    * queries route through the corpus-derived thresholds to one leaf
+    * and score only its members. Fully deterministic → oracle-checked
+    * (the DuckDB twin replays projections, rank-picked medians and
+    * routing). Recall floor vs brute force pinned in SimilaritySpec.
+    */
+  def rpTreeTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 depth: Int = 3, dims: Int = 64): DataFrame = {
+    val (routed, thrs) = rpTreeRoute(corpus, idCol, vecCol, depth, dims)
+    val projCols = (0 until depth).map(j =>
+      rpProj(col(vecCol), j, dims).as(s"p$j"))
+    var q = queries.select(
+        (col(idCol).as("query_id") +: col(vecCol).as("qv")
+          +: projCols): _*)
+      .withColumn("node", lit(0))
+    for (j <- 0 until depth) {
+      q = q.join(broadcast(thrs(j)), Seq("node"))
+        .withColumn("node", col("node") * 2
+          + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
+        .drop("thr")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    routed.join(broadcast(
+        q.select(col("query_id"), col("qv"), col("node"))), Seq("node"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN: a coarse quantizer with no trained model. Centroids =
     * the `nLists` corpus vectors sorting first by md5(id) — a
     * deterministic, engine-portable pseudo-random sample; every corpus

@@ -94,6 +94,23 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RP-TREE ANN (Dasgupta & Freund 2008): depth-3 median-split
+    * random-projection tree — per-node DATA-ADAPTIVE thresholds (the
+    * adaptation to low intrinsic dimension that origin-split LSH
+    * lacks), balanced ~n/8 leaves, leaf-key equi-join candidates. See
+    * [[graft.ops.Similarity.rpTreeRoute]] for the rank-picked-median
+    * determinism contract and the Prefix-ranked scale shape.
+    */
+  def qSimTopkRptree(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.rpTreeTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, depth = 3, dims = 64)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-path ANN, same output shape as the brute/LSH variants. Fully
     * deterministic (md5-sampled centroids, id tiebreaks) → oracle-checked:
     * DuckDB rebuilds the same inverted lists and probes the same way.
@@ -331,6 +348,7 @@ object SimilarityQueries {
     "q_sim_topk_brute" -> (qSimTopkBrute(_, _)),
     "q_sim_topk_mips" -> (qSimTopkMips(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
+    "q_sim_topk_rptree" -> (qSimTopkRptree(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
     "q_sim_topk_ivf_mrl" -> (qSimTopkIvfMrl(_, _)),
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
@@ -821,6 +839,14 @@ object SimilarityQueries {
   /** DuckDB cosine between a FLOAT[] and a precomputed-norm pair —
     * sequential fold, bit-identical to `cosine_sim` (same op order).
     */
+  /** md5-parity hyperplane sign row for tree level `j` as a DuckDB
+    * array literal — the same [[graft.ops.Similarity.hyperplaneSign]]
+    * values the engine's rpProj folds against. */
+  private def rpSignsSql(j: Int): String =
+    (0 until 64).map(i =>
+      if (graft.ops.Similarity.hyperplaneSign(0, j, i) > 0) "1.0"
+      else "-1.0").mkString("[", ",", "]")
+
   private def cosSql(av: String, an: String, bv: String, bn: String) =
     s"list_sum(list_transform(list_zip($av, $bv), " +
       s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) / ($an * $bn)"
@@ -1440,6 +1466,53 @@ object SimilarityQueries {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  round(ip, 6) AS ip_r6
         |FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // full RP-tree replay: same index-ordered projections (embedded
+    // md5-parity sign literals), same rank-picked per-node medians,
+    // same <= routing, brute cosine within the leaf
+    "q_sim_topk_rptree" ->
+      s"""WITH pr AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(list_zip(embedding, ${rpSignsSql(0)}),
+        |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS p0,
+        |    list_sum(list_transform(list_zip(embedding, ${rpSignsSql(1)}),
+        |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS p1,
+        |    list_sum(list_transform(list_zip(embedding, ${rpSignsSql(2)}),
+        |      s -> CAST(s[1] AS DOUBLE) * s[2])) AS p2,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |l0 AS (SELECT vec_id, p0,
+        |    row_number() OVER (ORDER BY p0, vec_id) AS r,
+        |    count(*) OVER () AS n FROM pr),
+        |t0 AS (SELECT p0 AS thr FROM l0 WHERE r = (n + 1) // 2),
+        |a0 AS (SELECT pr.*, CASE WHEN pr.p0 <= t0.thr THEN 0 ELSE 1 END
+        |    AS nd FROM pr CROSS JOIN t0),
+        |l1 AS (SELECT nd, vec_id, p1,
+        |    row_number() OVER (PARTITION BY nd ORDER BY p1, vec_id) AS r,
+        |    count(*) OVER (PARTITION BY nd) AS n FROM a0),
+        |t1 AS (SELECT nd, p1 AS thr FROM l1 WHERE r = (n + 1) // 2),
+        |a1 AS (SELECT a0.*, a0.nd * 2 +
+        |    CASE WHEN a0.p1 <= t1.thr THEN 0 ELSE 1 END AS nd2
+        |  FROM a0 JOIN t1 ON a0.nd = t1.nd),
+        |l2 AS (SELECT nd2, vec_id, p2,
+        |    row_number() OVER (PARTITION BY nd2 ORDER BY p2, vec_id)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY nd2) AS n FROM a1),
+        |t2 AS (SELECT nd2, p2 AS thr FROM l2 WHERE r = (n + 1) // 2),
+        |a2 AS (SELECT a1.*, a1.nd2 * 2 +
+        |    CASE WHEN a1.p2 <= t2.thr THEN 0 ELSE 1 END AS leaf
+        |  FROM a1 JOIN t2 ON a1.nd2 = t2.nd2),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |      / (q.nrm * c.nrm) AS cosine
+        |  FROM a2 q JOIN a2 c ON q.leaf = c.leaf
+        |    AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_sim_topk_brute" ->
       """WITH n AS (

@@ -293,4 +293,72 @@ class SimilaritySpec extends SparkTestBase {
     assert(sigs(0L) == sigs(1L))       // identical vectors, identical sig
     assert(sigs(0L) != sigs(2L))       // distant vectors split
   }
+
+  test("rpTreeRoute: leaf assignment equals a local reimplementation " +
+    "(same folds, rank-picked medians); leaves balanced and partition " +
+    "the corpus") {
+    val rnd = new scala.util.Random(17)
+    val n = 97
+    val dims = 8
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val depth = 3
+    val got = CacheScope.scoped {
+      val (routed, _) = Similarity.rpTreeRoute(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        depth, dims)
+      routed.select($"id", $"node").as[(Long, Int)].collect().toMap
+    }
+    // local replay: identical left fold, identical median rule
+    val want = rpLocal(vecs, depth, dims)
+    assert(got == want)
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.sum == n)
+    assert(sizes.size == (1 << depth))
+    // lower-median splits keep every leaf within ceil(n / 2^depth) + 1
+    assert(sizes.values.max <= n / (1 << depth) + 2,
+      s"unbalanced: $sizes")
+  }
+
+  /** Local RP-tree replay used by the parity test. */
+  private def rpLocal(vecs: Seq[(Long, Array[Float])], depth: Int,
+      dims: Int): Map[Long, Int] = {
+    def proj(v: Array[Float], j: Int): Double =
+      (0 until dims).foldLeft(0.0)((acc, i) =>
+        acc + v(i).toDouble * Similarity.hyperplaneSign(0, j, i))
+    var assign = vecs.map { case (id, v) => (id, v, 0) }
+    for (j <- 0 until depth) {
+      assign = assign.groupBy(_._3).toSeq.flatMap { case (nd, vs) =>
+        val ranked = vs.map(t => (t._1, t._2, proj(t._2, j)))
+          .sortBy(t => (t._3, t._1))
+        val thr = ranked((ranked.length + 1) / 2 - 1)._3
+        vs.map { case (id, v, _) =>
+          val p = proj(v, j)
+          (id, v, nd * 2 + (if (p <= thr) 0 else 1))
+        }
+      }
+    }
+    assign.map(t => t._1 -> t._3).toMap
+  }
+
+  test("rpTreeTopK recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rp = CacheScope.scoped {
+      Similarity.rpTreeTopK(queries, vecs, "vec_id", "embedding", 5,
+          depth = 2, dims = 16)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val recall = brute.intersect(rp).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }
