@@ -519,9 +519,39 @@ object MiningQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ENTITY FORMATION — the step after pair classification that makes
+    * record linkage USABLE: match-decision pairs close transitively
+    * into entities (connected components; matching is an equivalence
+    * only after closure — A≈B, B≈C must land A and C in one entity),
+    * each published with its canonical id (= min member id, the
+    * deterministic survivor rule exact dedup uses), member count and
+    * the sorted member list. Completes the FS pipeline: blocking →
+    * weights/EM → scoring → incremental → ENTITIES.
+    *
+    * Scale shape: components run through the probe-bounded
+    * [[graft.ops.Dedup.dedupComponentsAuto]] — match graphs are
+    * duplicate-cluster-sized (fixture: 2–3 records/entity, diameter
+    * ≤ 2), so the driver union-find tier is the honest plan; corpus-
+    * scale match graphs fall through to the checksum-converged
+    * distributed CC unchanged. The DuckDB twin closes the same match
+    * set with a recursive min-label CTE.
+    */
+  def qErEntities(spark: SparkSession, dir: String): DataFrame = {
+    val matches = qErScore(spark, dir)
+      .filter(col("decision") === "match")
+      .select(col("id_a"), col("id_b"))
+    graft.ops.Dedup.dedupComponentsAuto(matches)
+      .groupBy(col("component").as("entity"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("members"))
+      .orderBy(col("entity"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_er_weights" -> (qErWeights(_, _)),
     "q_er_em" -> (qErEm(_, _)),
+    "q_er_entities" -> (qErEntities(_, _)),
     "q_er_score" -> (qErScore(_, _)),
     "q_er_incremental" -> (qErIncremental(_, _)),
     "q_er_dedupe" -> (qErDedupe(_, _)),
@@ -688,6 +718,38 @@ object MiningQueries {
          |       ELSE 'possible' END AS decision
          |FROM scored WHERE num >= den
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // same match set as q_er_score, closed transitively by a
+    // recursive min-label CTE; canonical id = min member id
+    "q_er_entities" -> {
+      def factor(ag: String, ma: String): String =
+        s"CAST((nu + 2) * (CASE WHEN $ag THEN $ma + 1" +
+          s" ELSE (nm + 2) - ($ma + 1) END) AS HUGEINT)"
+      def dfactor(ag: String, ua: String): String =
+        s"CAST((nm + 2) * (CASE WHEN $ag THEN $ua + 1" +
+          s" ELSE (nu + 2) - ($ua + 1) END) AS HUGEINT)"
+      s"""WITH RECURSIVE $fsCtes,
+         |scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |    ${factor("ag_name", "ma_name")}
+         |      * ${factor("ag_seg", "ma_seg")}
+         |      * ${factor("ag_bal", "ma_bal")} AS num,
+         |    ${dfactor("ag_name", "ua_name")}
+         |      * ${dfactor("ag_seg", "ua_seg")}
+         |      * ${dfactor("ag_bal", "ua_bal")} AS den
+         |  FROM pairs p CROSS JOIN stats),
+         |m AS (SELECT id_a, id_b FROM scored WHERE num >= den * 100),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM m
+         |  UNION ALL SELECT id_b, id_a FROM m),
+         |r(v, lab) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT sym.a, r.lab FROM r JOIN sym ON r.v = sym.b),
+         |comp AS (SELECT v, MIN(lab) AS entity FROM r GROUP BY v)
+         |SELECT CAST(entity AS BIGINT) AS entity,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) AS members
+         |FROM comp GROUP BY entity ORDER BY entity""".stripMargin
     },
     // the incremental path must equal the from-scratch scoring on
     // every batch-touching pair (arrivals all carry id ≥ 10⁶ and sort

@@ -145,6 +145,27 @@ class DedupSpec extends SparkTestBase {
     assert(comp.size == 9)
   }
 
+  test("dedupComponentsAuto: driver union-find tier equals the " +
+    "distributed path on random pair graphs; probe bound forces the " +
+    "fallthrough") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(60)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val (fast, slow) = CacheScope.scoped {
+        (Dedup.dedupComponentsAuto(pairs)
+          .as[(Long, Long)].collect().toMap,
+          Dedup.dedupComponentsAuto(pairs, smallLimit = 0L)
+            .as[(Long, Long)].collect().toMap)
+      }
+      assert(fast == slow, s"trial $trial")
+      // canonical label = min member id (both tiers)
+      val byComp = fast.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+      assert(byComp.forall { case (c, mn) => c == mn }, s"trial $trial")
+    }
+  }
+
   test("dedupComponents: pointer doubling covers a 20-node chain in " +
     "4 rounds (linear propagation would need 19)") {
     val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
