@@ -64,12 +64,26 @@ object Selection {
       mode: PairMode,
       kOf: (Long, Long) => Long,
       maxGroups: Int = 1000,
-      maxRounds: Int = 72): DataFrame = {
+      maxRounds: Int = 72,
+      smallHistLimit: Long = 1L << 20): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
 
     val hist = CacheScope.cached(
       values.groupBy($"g", $"v").agg(count(lit(1)).as("c")))
+
+    // Probe-bounded driver tier (the boruvkaForest / dedupComponentsAuto
+    // discipline): when the HISTOGRAM fits the driver — and for
+    // fixed-point currency domains it usually does, regardless of row
+    // count — the whole binary search runs locally against the sorted
+    // cumulative counts: ONE distributed aggregate, one bounded
+    // collect, zero per-probe jobs. The distributed probe loop below
+    // remains the path for domains that blow the probe.
+    val histProbe = hist.select($"g", $"v", $"c")
+      .limit((smallHistLimit + 1).toInt).collect()
+    if (histProbe.length <= smallHistLimit)
+      return kthPairwiseLocal(spark, histProbe.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))), mode, kOf)
 
     // One row per group: bounded by construction (grouping column of a
     // profiled dimension), maxGroups-guarded against misuse.
@@ -109,9 +123,17 @@ object Selection {
       val mids = active.map { case (g, s) =>
         g -> (s.lo + (s.hi - s.lo) / 2)
       }.toMap
-      val counts = countPairsLE(hist, mids, mode, active.map {
-        case (g, s) => g -> s.n
-      }.toMap).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // one job per probe: (Σ qc·F, Σ diag) per group; the mode's
+      // unordered-count arithmetic happens driver-side on the two sums
+      val raw = countPairsLE(hist, mids, mode)
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val counts = raw.map { case (g, (s, d)) =>
+        g -> (mode match {
+          case WalshSums => (s + d) / 2
+          case AbsDiffs  => (s - state(g).n) / 2
+        })
+      }
       for ((g, s) <- active) {
         // Invariant: count(lo − 1) < k ≤ count(hi); converge to the
         // smallest t with count(t) ≥ k = the k-th pairwise value.
@@ -130,53 +152,105 @@ object Selection {
     spark.createDataFrame(out).select("g", "n", "m", "k", "value")
   }
 
-  /** #pairs with derived value ≤ t(g), per group, in ONE job.
-    * Package-private so PlanSpec can pin the plan shape (broadcast
-    * threshold join, single window, no cartesian). */
+  /** Driver tier: the same counting binary search against local sorted
+    * cumulative counts — semantics identical to the distributed loop
+    * by construction (same identities, same lo/hi updates), parity
+    * pinned in SelectionSpec. */
+  private def kthPairwiseLocal(
+      spark: SparkSession,
+      rows: Array[(String, Long, Long)],
+      mode: PairMode,
+      kOf: (Long, Long) => Long): DataFrame = {
+    val out = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val vals = sorted.map(_._1)
+        val cum = sorted.scanLeft(0L)(_ + _._2).tail
+        val n = cum.last
+        val m = mode match {
+          case WalshSums => n * (n + 1) / 2
+          case AbsDiffs  => n * (n - 1) / 2
+        }
+        if (m == 0) None
+        else {
+          val k = kOf(n, m)
+          require(k >= 1 && k <= m,
+            s"kthPairwise: k=$k outside 1..$m for $g")
+          def fle(u: Long): Long = { // #values ≤ u
+            var lo = 0; var hi = vals.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (vals(mid) <= u) lo = mid + 1 else hi = mid
+            }
+            if (lo == 0) 0L else cum(lo - 1)
+          }
+          def countLE(t: Long): Long = mode match {
+            case WalshSums =>
+              val a = sorted.iterator.map { case (v, c) =>
+                c * fle(t - v) }.sum
+              val d = sorted.iterator.filter(_._1 * 2 <= t)
+                .map(_._2).sum
+              (a + d) / 2
+            case AbsDiffs =>
+              val s = sorted.iterator.map { case (v, c) =>
+                c * (fle(v + t) - fle(v - t - 1)) }.sum
+              (s - n) / 2
+          }
+          var (lo, hi) = mode match {
+            case WalshSums => (2 * vals.head, 2 * vals.last)
+            case AbsDiffs  => (0L, vals.last - vals.head)
+          }
+          while (lo < hi) {
+            val mid = lo + (hi - lo) / 2
+            if (countLE(mid) >= k) hi = mid else lo = mid + 1
+          }
+          Some(Sel(g, n, m, k, lo))
+        }
+    }
+    spark.createDataFrame(out).select("g", "n", "m", "k", "value")
+  }
+
+  /** Per-group (Σ qc·F, Σ diag) for thresholds t(g), in ONE job of
+    * exactly two shuffles (the union window, the final aggregate) —
+    * the caller applies the mode's unordered-count identity on the two
+    * sums. Provider rows double as the diagonal carriers (2v ≤ t), so
+    * no separate diagonal pass exists. Package-private so PlanSpec can
+    * pin the plan shape (broadcast threshold join, single window, no
+    * cartesian). */
   private[graft] def countPairsLE(
       hist: DataFrame,
       tByG: Map[String, Long],
-      mode: PairMode,
-      nByG: Map[String, Long]): DataFrame = {
+      mode: PairMode): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
     val tdf = tByG.toSeq.toDF("g", "t")
     val h = hist.join(broadcast(tdf), Seq("g"))
-    // Providers carry the histogram mass; queries ask for the inclusive
-    // prefix count F at their key. Provider tag 0 sorts BEFORE query tag
-    // 1 at an equal key, making F(u) = #{x ≤ u} inclusive.
+    // Providers carry the histogram mass (and, for Walsh sums, the
+    // 2v ≤ t diagonal flag); queries ask for the inclusive prefix
+    // count F at their key. Provider tag 0 sorts BEFORE query tag 1 at
+    // an equal key, making F(u) = #{x ≤ u} inclusive.
     val providers = h.select($"g", $"v".as("key"), $"c".as("add"),
-      lit(0).as("tag"), lit(0L).as("qc"))
+      lit(0).as("tag"), lit(0L).as("qc"),
+      (mode match {
+        case WalshSums => when($"v" * 2 <= $"t", $"c").otherwise(0L)
+        case AbsDiffs  => lit(0L)
+      }).as("dg"))
     val queries = mode match {
       case WalshSums =>
         h.select($"g", ($"t" - $"v").as("key"), lit(0L).as("add"),
-          lit(1).as("tag"), $"c".as("qc"))
+          lit(1).as("tag"), $"c".as("qc"), lit(0L).as("dg"))
       case AbsDiffs =>
         h.select($"g", ($"v" + $"t").as("key"), lit(0L).as("add"),
-            lit(1).as("tag"), $"c".as("qc"))
+            lit(1).as("tag"), $"c".as("qc"), lit(0L).as("dg"))
           .unionAll(h.select($"g", ($"v" - $"t" - 1).as("key"),
-            lit(0L).as("add"), lit(1).as("tag"), (-$"c").as("qc")))
+            lit(0L).as("add"), lit(1).as("tag"), (-$"c").as("qc"),
+            lit(0L).as("dg")))
     }
     val w = Window.partitionBy($"g").orderBy($"key", $"tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scanned = providers.unionAll(queries)
+    providers.unionAll(queries)
       .withColumn("f", sum($"add").over(w))
-    val ordered = scanned.filter($"tag" === 1)
-      .groupBy($"g").agg(sum($"qc" * $"f").as("s"))
-    // Diagonal / self-pair corrections turn the ordered count into the
-    // unordered multiset count (see scaladoc identities).
-    val diag = mode match {
-      case WalshSums =>
-        h.groupBy($"g")
-          .agg(sum(when($"v" * 2 <= $"t", $"c").otherwise(0L)).as("d"))
-      case AbsDiffs =>
-        val ndf = nByG.toSeq.toDF("g", "d")
-        broadcast(ndf)
-    }
-    ordered.join(broadcast(diag), Seq("g"))
-      .select($"g", (mode match {
-        case WalshSums => expr("(s + d) div 2")
-        case AbsDiffs  => expr("(s - d) div 2")
-      }).as("cnt"))
+      .groupBy($"g")
+      .agg(sum($"qc" * $"f").as("s"), sum($"dg").as("d"))
   }
 }

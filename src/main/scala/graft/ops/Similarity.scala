@@ -189,25 +189,65 @@ object Similarity {
     *         (node, thr) threshold frames for routing queries)
     */
   private[graft] def rpTreeRoute(corpus: DataFrame, idCol: String,
-      vecCol: String, depth: Int, dims: Int)
-      : (DataFrame, Seq[DataFrame]) = {
+      vecCol: String, depth: Int, dims: Int,
+      rankPartitions: Int = 0,
+      smallProjLimit: Long = 1L << 20): (DataFrame, Seq[DataFrame]) = {
     require(depth >= 1 && depth <= 4, "bounded tree depth 1..4")
     require(dims >= 1 && dims <= HyperplaneMaxDim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val projCols = (0 until depth).map(j =>
       rpProj(col(vecCol), j, dims).as(s"p$j"))
     var cur = CacheScope.cached(corpus.select(
         (col(idCol).as("id") +: col(vecCol).as("v") +: projCols): _*)
       .withColumn("node", lit(0)))
+    // Probe-bounded driver tier (the boruvkaForest discipline): when
+    // the (id, depth × projection) table fits the driver, thresholds
+    // come from one local sort per node — same (p, id) rank rule,
+    // parity pinned in SimilaritySpec — and ship back as ≤ 2^j-row
+    // literal frames; ROUTING stays distributed (broadcast joins over
+    // the cached corpus). The per-node Prefix path below remains for
+    // corpora that blow the probe.
+    val probe = cur.select(
+        (col("id") +: (0 until depth).map(j => col(s"p$j"))): _*)
+      .limit((smallProjLimit + 1).toInt).collect()
+    if (probe.length <= smallProjLimit) {
+      var local = probe.map(r => (r.getLong(0),
+        Array.tabulate(depth)(i => r.getDouble(1 + i)), 0))
+      val thrFrames = (0 until depth).map { j =>
+        val thr = local.groupBy(_._3).toSeq.map { case (nd, rs) =>
+          val sorted = rs.sortBy(t => (t._2(j), t._1))
+          (nd, sorted((sorted.length + 1) / 2 - 1)._2(j))
+        }
+        val thrMap = thr.toMap
+        local = local.map { case (id, ps, nd) =>
+          (id, ps, nd * 2 + (if (ps(j) <= thrMap(nd)) 0 else 1))
+        }
+        thr.sortBy(_._1).toDF("node", "thr")
+      }
+      var routed = cur
+      for (j <- 0 until depth) {
+        routed = routed.join(broadcast(thrFrames(j)), Seq("node"))
+          .withColumn("node", col("node") * 2
+            + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
+          .drop("thr")
+      }
+      return (routed, thrFrames)
+    }
     val thrs = Seq.newBuilder[DataFrame]
     for (j <- 0 until depth) {
-      val thr = (0 until (1 << j)).map { nd =>
+      // threshold frames are ≤ 2^j rows but close over per-node rank
+      // DAGs — cached so corpus routing and query routing don't each
+      // re-execute them (they are consumed by 2 broadcasts per level)
+      val thr = CacheScope.cached((0 until (1 << j)).map { nd =>
         val part = cur.filter(col("node") === nd)
         val cnt = part.agg(count(lit(1)).as("n"))
-        Prefix.denseRank(part, Seq(col(s"p$j"), col("id")), "rk")
+        Prefix.denseRank(part, Seq(col(s"p$j"), col("id")), "rk",
+            partitions = rankPartitions)
           .crossJoin(broadcast(cnt))
           .filter(col("rk") === expr("(n + 1) div 2"))
           .select(lit(nd).as("node"), col(s"p$j").as("thr"))
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_)))
       thrs += thr
       cur = CacheScope.cached(cur.join(broadcast(thr), Seq("node"))
         .withColumn("node", col("node") * 2
@@ -225,8 +265,11 @@ object Similarity {
     */
   def rpTreeTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int,
-                 depth: Int = 3, dims: Int = 64): DataFrame = {
-    val (routed, thrs) = rpTreeRoute(corpus, idCol, vecCol, depth, dims)
+                 depth: Int = 3, dims: Int = 64,
+                 rankPartitions: Int = 0,
+                 smallProjLimit: Long = 1L << 20): DataFrame = {
+    val (routed, thrs) = rpTreeRoute(corpus, idCol, vecCol, depth,
+      dims, rankPartitions, smallProjLimit)
     val projCols = (0 until depth).map(j =>
       rpProj(col(vecCol), j, dims).as(s"p$j"))
     var q = queries.select(

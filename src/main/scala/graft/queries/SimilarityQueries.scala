@@ -105,7 +105,11 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     Similarity.rpTreeTopK(
         emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, depth = 3, dims = 64)
+        // rank exchanges sized to the node frames (the kendall_grid
+        // discipline): embeddings fixtures are ≤ 5e3 rows, so 32-way
+        // range exchanges per node would be pure task overhead; a
+        // corpus-scale caller leaves 0 = session shuffle partitions
+        k = 5, depth = 3, dims = 64, rankPartitions = 4)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))

@@ -116,4 +116,24 @@ class SelectionSpec extends SparkTestBase {
         (_, m) => m + 1)
     }
   }
+
+  test("driver tier equals the distributed probe loop (smallHistLimit " +
+    "= 0 forces the fallthrough) on random multi-group draws") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 60).map(_ =>
+        (s"g${rnd.nextInt(3)}", rnd.nextInt(500).toLong - 250L))
+      val in = df(rows: _*)
+      for (mode <- Seq(WalshSums, AbsDiffs)) {
+        val kOf: (Long, Long) => Long = (_, m) => (m + 1) / 2
+        val (fast, slow) = CacheScope.scoped {
+          (Selection.kthPairwise(in, mode, kOf)
+            .as[(String, Long, Long, Long, Long)].collect().toSet,
+            Selection.kthPairwise(in, mode, kOf, smallHistLimit = 0L)
+              .as[(String, Long, Long, Long, Long)].collect().toSet)
+        }
+        assert(fast == slow, s"trial $trial $mode")
+      }
+    }
+  }
 }

@@ -309,6 +309,14 @@ class SimilaritySpec extends SparkTestBase {
         depth, dims)
       routed.select($"id", $"node").as[(Long, Int)].collect().toMap
     }
+    // distributed tier (probe forced to fall through) must agree
+    val gotDist = CacheScope.scoped {
+      val (routed, _) = Similarity.rpTreeRoute(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        depth, dims, smallProjLimit = 0L)
+      routed.select($"id", $"node").as[(Long, Int)].collect().toMap
+    }
+    assert(got == gotDist, "driver vs distributed tier")
     // local replay: identical left fold, identical median rule
     val want = rpLocal(vecs, depth, dims)
     assert(got == want)
