@@ -2057,6 +2057,78 @@ object StatsQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** JONCKHEERE–TERPSTRA TEST (Jonckheere 1954, Terpstra 1952) for
+    * ordered alternatives across the five order priorities: J =
+    * Σ_{g<h} U_gh, the sum of between-group Mann–Whitney counts in the
+    * hypothesized group order — the independent-samples companion to
+    * q_stat_page exactly as Kruskal–Wallis companions Friedman. When
+    * the alternative is monotone in the group order, J dominates the
+    * omnibus H.
+    *
+    * Exactness (the q_stat_mannwhitney distinct-value doctrine): the
+    * scan collapses to the per-value pivoted group-count table
+    * (bounded by the CURRENCY DOMAIN, not N); doubled counts
+    * U2 = 2·#{x<y} + #{x=y} come from exclusive per-group cumulants
+    * in one value-ordered window, so J2 = 2J and every moment (group
+    * sums G_a/G_b/G_c, tie sums T_a/T_b/T_c) is an exact BIGINT. The
+    * tie-corrected three-term variance (Kendall's form) and z are the
+    * ONE identical double expression on those exact sums (the
+    * q_agg_corr doctrine); one-sided α=0.05.
+    */
+  def qStatJonckheere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jonckheereFromValues(Tables.orders(spark, dir)
+      .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("x")))
+  }
+
+  /** J-T from a (g, x) frame, groups = the five priority literals in
+    * hypothesized order — see [[qStatJonckheere]]. Exposed for spec
+    * brute-force parity. */
+  private[queries] def jonckheereFromValues(v: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slugs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val hvAggs = slugs.zipWithIndex.map { case (s, i) =>
+      sum(when($"g" === s, 1L).otherwise(0L)).as(s"c${i + 1}")
+    } :+ count(lit(1)).as("t")
+    val hv = v.groupBy($"x").agg(hvAggs.head, hvAggs.tail: _*)
+    val w = Window.orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hv.select(($"x" +: $"t" +:
+      (1 to 5).map(i => col(s"c$i")) ++:
+      (1 to 5).map(i =>
+        coalesce(sum(col(s"c$i")).over(w), lit(0L)).as(s"f$i"))): _*)
+    // per-value J2 contribution: Σ_h c_h · Σ_{g<h} (2·F_g + c_g)
+    def below(h: Int): Column = (1 until h).map(g =>
+      lit(2L) * col(s"f$g") + col(s"c$g")).reduce(_ + _)
+    val perV = cum.select(
+      (2 to 5).map(h => (col(s"c$h") * below(h)).as(s"j$h")) :+
+        ($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("ta_v") :+
+        ($"t" * ($"t" - 1L) * ($"t" - 2L)).as("tb_v") :+
+        ($"t" * ($"t" - 1L)).as("tc_v"): _*)
+    val sums = perV.agg(
+      ((2 to 5).map(h => sum(col(s"j$h"))).reduce(_ + _)).as("j2"),
+      sum($"ta_v").as("ta"), sum($"tb_v").as("tb"), sum($"tc_v").as("tc"))
+    val grp = v.groupBy($"g").agg(count(lit(1)).as("ng"))
+      .agg(sum($"ng").as("n"), sum($"ng" * $"ng").as("sn2"),
+        sum($"ng" * ($"ng" - 1L) * (lit(2L) * $"ng" + 5L)).as("ga"),
+        sum($"ng" * ($"ng" - 1L) * ($"ng" - 2L)).as("gb"),
+        sum($"ng" * ($"ng" - 1L)).as("gc"))
+    val j = sums.crossJoin(broadcast(grp))
+    val varD = (($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"ga"
+      - $"ta").cast("double") / lit(72.0)) +
+      (($"gb" * $"tb").cast("double")
+        / (lit(36.0) * ($"n" * ($"n" - 1L) * ($"n" - 2L)).cast("double"))) +
+      (($"gc" * $"tc").cast("double")
+        / (lit(8.0) * ($"n" * ($"n" - 1L)).cast("double")))
+    val num = (lit(2L) * $"j2" - ($"n" * $"n" - $"sn2")).cast("double")
+    j.select($"n", $"j2", ($"n" * $"n" - $"sn2").as("e4"),
+      $"ga", $"gb", $"gc", $"ta", $"tb", $"tc",
+      round(num / (lit(4.0) * sqrt(varD)), 6).as("z_r6"),
+      (num / (lit(4.0) * sqrt(varD)) > lit(1.644853626951472)).as("reject"))
+  }
+
   /** BROWN–MOOD MEDIAN TEST (Brown & Mood 1951) — are the five order
     * priorities' totalprice distributions shifted? Dichotomize every
     * order at the GRAND exact median and chi-square the 2×5 above /
@@ -2225,6 +2297,7 @@ object StatsQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "q_stat_jonckheere" -> (qStatJonckheere(_, _)),
     "q_stat_hoeffding" -> (qStatHoeffding(_, _)),
     "q_stat_mood" -> (qStatMood(_, _)),
     "q_stat_page" -> (qStatPage(_, _)),
@@ -2290,6 +2363,78 @@ object StatsQueries {
     .mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    // identical pivoted cumulants + the same three-term tie-corrected
+    // variance as one fixed-shape double expression
+    "q_stat_jonckheere" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+        |  FROM orders),
+        |hv AS (SELECT x,
+        |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c5,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM v GROUP BY x),
+        |cum AS (SELECT x, t, c1, c2, c3, c4, c5,
+        |    COALESCE(CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS f1,
+        |    COALESCE(CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS f2,
+        |    COALESCE(CAST(SUM(c3) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS f3,
+        |    COALESCE(CAST(SUM(c4) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS f4,
+        |    COALESCE(CAST(SUM(c5) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS f5
+        |  FROM hv),
+        |perv AS (SELECT
+        |    c2 * (2 * f1 + c1) AS j2_,
+        |    c3 * ((2 * f1 + c1) + (2 * f2 + c2)) AS j3_,
+        |    c4 * ((2 * f1 + c1) + (2 * f2 + c2) + (2 * f3 + c3))
+        |      AS j4_,
+        |    c5 * ((2 * f1 + c1) + (2 * f2 + c2) + (2 * f3 + c3)
+        |      + (2 * f4 + c4)) AS j5_,
+        |    t * (t - 1) * (2 * t + 5) AS ta_v,
+        |    t * (t - 1) * (t - 2) AS tb_v,
+        |    t * (t - 1) AS tc_v
+        |  FROM cum),
+        |s AS (SELECT CAST(SUM(j2_ + j3_ + j4_ + j5_) AS BIGINT) AS j2,
+        |    CAST(SUM(ta_v) AS BIGINT) AS ta,
+        |    CAST(SUM(tb_v) AS BIGINT) AS tb,
+        |    CAST(SUM(tc_v) AS BIGINT) AS tc
+        |  FROM perv),
+        |gg AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+        |    CAST(SUM(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS ga,
+        |    CAST(SUM(ng * (ng - 1) * (ng - 2)) AS BIGINT) AS gb,
+        |    CAST(SUM(ng * (ng - 1)) AS BIGINT) AS gc
+        |  FROM (SELECT g, CAST(count(*) AS BIGINT) AS ng
+        |    FROM v GROUP BY g)),
+        |f AS (SELECT * FROM s CROSS JOIN gg)
+        |SELECT n, j2, n * n - sn2 AS e4, ga, gb, gc, ta, tb, tc,
+        |  round(CAST(2 * j2 - (n * n - sn2) AS DOUBLE)
+        |    / (4.0 * sqrt(
+        |      CAST(n * (n - 1) * (2 * n + 5) - ga - ta AS DOUBLE) / 72.0
+        |      + CAST(gb * tb AS DOUBLE)
+        |        / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+        |      + CAST(gc * tc AS DOUBLE)
+        |        / (8.0 * CAST(n * (n - 1) AS DOUBLE)))), 6) AS z_r6,
+        |  (CAST(2 * j2 - (n * n - sn2) AS DOUBLE)
+        |    / (4.0 * sqrt(
+        |      CAST(n * (n - 1) * (2 * n + 5) - ga - ta AS DOUBLE) / 72.0
+        |      + CAST(gb * tb AS DOUBLE)
+        |        / (36.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+        |      + CAST(gc * tc AS DOUBLE)
+        |        / (8.0 * CAST(n * (n - 1) AS DOUBLE))))
+        |    > 1.644853626951472) AS reject
+        |FROM f""".stripMargin,
     // identical doubled/quadrupled integer ranks over the day pairs
     "q_stat_hoeffding" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
