@@ -327,19 +327,31 @@ object AggQueries {
       .where(col("tok") =!= ""), d = 4, w = 16)
       .orderBy(col("tok"))
 
+  private def cmCellsOf(r: Int, w: Int) = {
+    val cell = expr(
+      s"cast(conv(substring(md5(concat('$r:', tok)), 1, 15), 16, 10)" +
+        s" as bigint) % $w")
+    struct(lit(r).as("r"), cell.as("c"))
+  }
+
+  /** The d×w CM counter grid of a single-column `tok` frame — one
+    * `groupBy(row, col).sum` (mergeable by addition, so partials ship
+    * ≤ d·w cells per partition at any corpus size). */
+  private[queries] def cmGrid(toks: DataFrame, d: Int, w: Int)
+      : DataFrame =
+    toks
+      .select(explode(array((0 until d).map(cmCellsOf(_, w)): _*))
+        .as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** The reusable CM core over a single-column `tok` frame:
     * (tok, c_exact, c_est, overcount) for every distinct token. */
   private[queries] def countMinEstimates(toks: DataFrame, d: Int, w: Int)
       : DataFrame = {
-    def cell(r: Int) = expr(
-      s"cast(conv(substring(md5(concat('$r:', tok)), 1, 15), 16, 10)" +
-        s" as bigint) % $w")
-    def cellsOf(r: Int) = struct(lit(r).as("r"), cell(r).as("c"))
-    val grid = toks
-      .select(explode(array((0 until d).map(cellsOf): _*)).as("rc"))
-      .select(col("rc.r").as("r"), col("rc.c").as("c"))
-      .groupBy(col("r"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
+    def cellsOf(r: Int) = cmCellsOf(r, w)
+    val grid = cmGrid(toks, d, w)
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_exact"))
     exact
       .select(col("tok"), col("c_exact"),
@@ -351,6 +363,43 @@ object AggQueries {
       .agg(min(col("cnt")).as("c_est"))
       .select(col("tok"), col("c_exact"), col("c_est"),
         (col("c_est") - col("c_exact")).as("overcount"))
+  }
+
+  /** COUNT-MIN JOIN-CARDINALITY ESTIMATE (Cormode & Muthukrishnan
+    * 2005 §4.2: the CM inner product): |clicks ⋈ purchases| on user_id
+    * — the pre-join size estimate an optimizer wants before committing
+    * to a join strategy — from two d×w sketches alone:
+    * est_r = Σ_c A[r][c]·B[r][c], est = min_r est_r ≥ exact always
+    * (collisions only ADD mass). The exact Σ_u a_u·b_u rides along to
+    * certify, with the per-row estimates published so the min-over-
+    * rows recovery is visible (w = 16 keeps collisions REAL, the
+    * q_agg_countmin discipline). Sketch build is one mergeable
+    * groupBy(row, col) count per side — at 100 TB two d·w-cell frames
+    * meet in a broadcast join while the raw sides never co-shuffle.
+    */
+  def qAggCmJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).filter($"user_id".isNotNull)
+    def side(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id".cast("string").as("tok"))
+    val (d, w) = (4, 16)
+    val ga = cmGrid(side("click"), d, w)
+    val gb = cmGrid(side("purchase"), d, w)
+    val perRow = ga.join(gb.withColumnRenamed("cnt", "cntb"),
+        Seq("r", "c"))
+      .groupBy($"r").agg(sum($"cnt" * $"cntb").as("est_r"))
+    val est = perRow.groupBy()
+      .agg(min($"est_r").as("cm_est"),
+        (0 until d).map(r =>
+          sum(when($"r" === r, $"est_r")).as(s"est_r$r")): _*)
+    val exact = side("click").groupBy($"tok").agg(count(lit(1)).as("a"))
+      .join(side("purchase").groupBy($"tok")
+        .agg(count(lit(1)).as("b")), "tok")
+      .agg(sum($"a" * $"b").as("exact_card"))
+    est.crossJoin(broadcast(exact))
+      .select($"exact_card", $"cm_est",
+        ($"cm_est" - $"exact_card").as("overcount"),
+        $"est_r0", $"est_r1", $"est_r2", $"est_r3")
   }
 
   /** EXACT mergeable distinct-count rollup via presence BITMAPS — the
@@ -390,6 +439,7 @@ object AggQueries {
   val defs: Map[String, Q] = Map(
     "q_agg_bitmap_rollup" -> (qAggBitmapRollup(_, _)),
     "q_agg_countmin" -> (qAggCountMin(_, _)),
+    "q_agg_cm_join_card" -> (qAggCmJoinCard(_, _)),
     "q_agg_kmv_intersect" -> (qAggKmvIntersect(_, _)),
     "q_agg_argmax" -> (qAggArgmax(_, _)),
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
@@ -479,6 +529,47 @@ object AggQueries {
          |FROM probes p JOIN grid g USING (r, c)
          |GROUP BY p.tok, p.c_exact
          |ORDER BY p.tok""".stripMargin
+    },
+    // same salted md5 grid per side; inner product per row, min over
+    // rows; exact Σ a_u·b_u certifier
+    "q_agg_cm_join_card" -> {
+      def cell(r: Int) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 15),
+           |  dd -> CAST(strpos('0123456789abcdef',
+           |      substring(md5('$r:' || tok), dd, 1)) - 1 AS BIGINT)
+           |    * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT)
+           |  % 16""".stripMargin
+      def gridOf(src: String) =
+        s"""(SELECT r, CASE r
+           |      WHEN 0 THEN ${cell(0)} WHEN 1 THEN ${cell(1)}
+           |      WHEN 2 THEN ${cell(2)} ELSE ${cell(3)} END AS c,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM $src, (SELECT unnest(generate_series(0, 3)) AS r)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS tok,
+         |    event_type FROM events WHERE user_id IS NOT NULL),
+         |a AS (SELECT tok FROM ev WHERE event_type = 'click'),
+         |b AS (SELECT tok FROM ev WHERE event_type = 'purchase'),
+         |ga AS ${gridOf("a")},
+         |gb AS ${gridOf("b")},
+         |pr AS (SELECT ga.r,
+         |    CAST(SUM(ga.cnt * gb.cnt) AS BIGINT) AS est_r
+         |  FROM ga JOIN gb USING (r, c) GROUP BY ga.r),
+         |e AS (SELECT CAST(MIN(est_r) AS BIGINT) AS cm_est,
+         |    MAX(CASE WHEN r = 0 THEN est_r END) AS est_r0,
+         |    MAX(CASE WHEN r = 1 THEN est_r END) AS est_r1,
+         |    MAX(CASE WHEN r = 2 THEN est_r END) AS est_r2,
+         |    MAX(CASE WHEN r = 3 THEN est_r END) AS est_r3
+         |  FROM pr),
+         |ex AS (SELECT CAST(SUM(ac.cnt * bc.cnt) AS BIGINT)
+         |      AS exact_card
+         |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM a GROUP BY tok) ac
+         |  JOIN (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY tok) bc USING (tok))
+         |SELECT exact_card, cm_est, cm_est - exact_card AS overcount,
+         |  est_r0, est_r1, est_r2, est_r3
+         |FROM e CROSS JOIN ex""".stripMargin
     },
     // same 60-bit md5 token hashes, k smallest per source via
     // row_number, identical union/Jaccard arithmetic

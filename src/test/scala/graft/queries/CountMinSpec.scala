@@ -38,4 +38,24 @@ class CountMinSpec extends SparkTestBase {
   test("grid is additive: partitioning does not change estimates") {
     assert(run(w = 8, parts = 1) == run(w = 8, parts = 13))
   }
+
+  test("CM inner product never underestimates the join cardinality " +
+    "and recovers it exactly without collisions") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(300)(s"k${rnd.nextInt(25)}")
+    val b = Seq.fill(200)(s"k${rnd.nextInt(25)}")
+    val exact = (0 until 25).map(i =>
+      a.count(_ == s"k$i").toLong * b.count(_ == s"k$i")).sum
+    def inner(w: Int): Long = {
+      val ga = AggQueries.cmGrid(a.toDF("tok"), d = 4, w = w)
+      val gb = AggQueries.cmGrid(b.toDF("tok"), d = 4, w = w)
+        .withColumnRenamed("cnt", "cntb")
+      ga.join(gb, Seq("r", "c"))
+        .groupBy(col("r")).agg(sum(col("cnt") * col("cntb")).as("e"))
+        .agg(min(col("e"))).as[Long].head()
+    }
+    val tight = inner(w = 8)
+    assert(tight >= exact, s"tight=$tight exact=$exact")
+    assert(inner(w = 1 << 16) == exact)
+  }
 }
