@@ -394,6 +394,9 @@ object SimilarityQueries {
       .unionByName(qSimTopkLsh(spark, dir)
         .select(lit("lsh").as("variant"), col("query_id"),
           col("neighbor_id")))
+      .unionByName(qSimTopkRptree(spark, dir)
+        .select(lit("rptree").as("variant"), col("query_id"),
+          col("neighbor_id")))
     val grid = b.select(col("query_id")).distinct()
       .crossJoin(vv.select(col("variant")).distinct())
     val hits = vv.join(b, Seq("query_id", "neighbor_id"))
@@ -1681,7 +1684,10 @@ object SimilarityQueries {
          |  FROM (${oracles0("q_sim_topk_ivf")})
          |  UNION ALL
          |  SELECT 'lsh' AS variant, query_id, neighbor_id
-         |  FROM (${oracles0("q_sim_topk_lsh")})),
+         |  FROM (${oracles0("q_sim_topk_lsh")})
+         |  UNION ALL
+         |  SELECT 'rptree' AS variant, query_id, neighbor_id
+         |  FROM (${oracles0("q_sim_topk_rptree")})),
          |qs AS (SELECT DISTINCT query_id FROM b),
          |grid AS (SELECT v.variant, q.query_id
          |  FROM qs q CROSS JOIN (SELECT DISTINCT variant FROM vv) v),
