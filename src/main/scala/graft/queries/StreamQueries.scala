@@ -988,6 +988,66 @@ object StreamQueries {
       .orderBy(col("event_type"))
   }
 
+  /** GRANGER-CAUSALITY SCREEN (Granger 1969), lag 1: does click
+    * volume help predict NEXT-day purchase volume beyond purchase's
+    * own history? Restricted AR(1) (y_t ~ y_{t−1}) vs augmented
+    * (y_t ~ y_{t−1} + x_{t−1}); F = (RSS₀−RSS₁)(n−3)/RSS₁ — the
+    * lead–lag causal screen an event pipeline runs after q_time_xcorr
+    * says the series co-move (correlation is symmetric; Granger's
+    * question is directional).
+    *
+    * Exactness: the ten raw moment sums are exact BIGINTs from one
+    * aggregate over the calendar-bounded lagged daily frame; the
+    * n-scaled centered moments are still exact integers, and the OLS
+    * algebra (including the 2-regressor normal-equation solve) is ONE
+    * identical double expression on them in both engines (the
+    * q_agg_corr doctrine — floats enter once, in a fixed shape). The
+    * α=0.05 verdict compares the identical F doubles against
+    * F₀.₀₅(1, 26) = 4.2252 (the fixture's 30-day January ⇒ n = 29;
+    * recalibrate the literal if the fixture calendar ever changes).
+    */
+  def qTimeGranger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    grangerFromDaily(Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("y")))
+  }
+
+  /** Lag-1 Granger F from a (d, x, y) daily frame — see
+    * [[qTimeGranger]]. Exposed for spec brute-force parity. */
+  private[queries] def grangerFromDaily(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"d")
+    val rows = daily
+      .withColumn("y1", lag($"y", 1).over(w))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .filter($"y1".isNotNull)
+    val m = rows.agg(
+      count(lit(1)).as("n"), sum($"y").as("sy"), sum($"y1").as("sy1"),
+      sum($"x1").as("sx1"), sum($"y1" * $"y1").as("sy1y1"),
+      sum($"x1" * $"x1").as("sx1x1"), sum($"y1" * $"x1").as("sy1x1"),
+      sum($"y1" * $"y").as("sy1y"), sum($"x1" * $"y").as("sx1y"),
+      sum($"y" * $"y").as("syy"))
+    val s11 = ($"n" * $"sy1y1" - $"sy1" * $"sy1").cast("double")
+    val s22 = ($"n" * $"sx1x1" - $"sx1" * $"sx1").cast("double")
+    val s12 = ($"n" * $"sy1x1" - $"sy1" * $"sx1").cast("double")
+    val s1y = ($"n" * $"sy1y" - $"sy1" * $"sy").cast("double")
+    val s2y = ($"n" * $"sx1y" - $"sx1" * $"sy").cast("double")
+    val syy = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    val rss0 = (syy - s1y * s1y / s11) / $"n".cast("double")
+    val det = s11 * s22 - s12 * s12
+    val rss1 = (syy - (s1y * (s22 * s1y - s12 * s2y)
+      + s2y * (s11 * s2y - s12 * s1y)) / det) / $"n".cast("double")
+    val f = (rss0 - rss1) * ($"n" - 3L).cast("double") / rss1
+    m.select($"n", $"sy", $"sy1", $"sx1", $"syy",
+      round(rss0, 6).as("rss0_r6"), round(rss1, 6).as("rss1_r6"),
+      round(f, 6).as("f_r6"), (f > lit(4.2252)).as("reject"))
+  }
+
   def qTimeAcf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1778,6 +1838,7 @@ object StreamQueries {
     "q_time_bursts" -> (qTimeBursts(_, _)),
     "q_time_motif" -> (qTimeMotif(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
+    "q_time_granger" -> (qTimeGranger(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
@@ -1997,6 +2058,51 @@ object StreamQueries {
         |    / CAST(nn * nn * qq - nn * tt * tt AS DOUBLE), 6) AS acf_r6
         |FROM rk WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
+    // identical ten-moment aggregate + the same fixed-shape OLS algebra
+    "q_time_granger" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lagged AS (SELECT y,
+        |    lag(y, 1) OVER (ORDER BY d) AS y1,
+        |    lag(x, 1) OVER (ORDER BY d) AS x1
+        |  FROM daily),
+        |r AS (SELECT * FROM lagged WHERE y1 IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y1) AS BIGINT) AS sy1,
+        |    CAST(SUM(x1) AS BIGINT) AS sx1,
+        |    CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+        |    CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1,
+        |    CAST(SUM(y1 * y) AS BIGINT) AS sy1y,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM r),
+        |c AS (SELECT n, sy, sy1, sx1, syy,
+        |    CAST(n * sy1y1 - sy1 * sy1 AS DOUBLE) AS s11,
+        |    CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS s22,
+        |    CAST(n * sy1x1 - sy1 * sx1 AS DOUBLE) AS s12,
+        |    CAST(n * sy1y - sy1 * sy AS DOUBLE) AS s1y,
+        |    CAST(n * sx1y - sx1 * sy AS DOUBLE) AS s2y,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS syc
+        |  FROM m),
+        |f AS (SELECT n, sy, sy1, sx1, syy,
+        |    (syc - s1y * s1y / s11) / CAST(n AS DOUBLE) AS rss0,
+        |    (syc - (s1y * (s22 * s1y - s12 * s2y)
+        |      + s2y * (s11 * s2y - s12 * s1y))
+        |      / (s11 * s22 - s12 * s12)) / CAST(n AS DOUBLE) AS rss1
+        |  FROM c)
+        |SELECT n, sy, sy1, sx1, syy,
+        |  round(rss0, 6) AS rss0_r6, round(rss1, 6) AS rss1_r6,
+        |  round((rss0 - rss1) * CAST(n - 3 AS DOUBLE) / rss1, 6)
+        |    AS f_r6,
+        |  ((rss0 - rss1) * CAST(n - 3 AS DOUBLE) / rss1 > 4.2252)
+        |    AS reject
+        |FROM f""".stripMargin,
     "q_time_acf" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS n

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** [[StreamQueries.grangerFromDaily]] vs an independent local OLS:
+  * RSS of the restricted and augmented models computed by explicit
+  * residual sums must match the moment-algebra form to float
+  * tolerance, and the F verdict must behave on planted lead-lag
+  * structure.
+  */
+class GrangerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** (rss0, rss1, f) by direct OLS on the lagged rows. */
+  private def brute(xs: Seq[Long], ys: Seq[Long])
+      : (Double, Double, Double) = {
+    val rows = (1 until ys.length).map(t =>
+      (ys(t).toDouble, ys(t - 1).toDouble, xs(t - 1).toDouble))
+    val n = rows.length
+    def ols(feat: ((Double, Double, Double)) => Seq[Double]): Double = {
+      // normal equations via tiny Gaussian elimination
+      val fs = rows.map(r => 1.0 +: feat(r))
+      val k = fs.head.length
+      val a = Array.ofDim[Double](k, k + 1)
+      for (r <- rows.indices; i <- 0 until k) {
+        for (j <- 0 until k) a(i)(j) += fs(r)(i) * fs(r)(j)
+        a(i)(k) += fs(r)(i) * rows(r)._1
+      }
+      for (p <- 0 until k) {
+        val pivot = (p until k).maxBy(i => math.abs(a(i)(p)))
+        val tmp = a(p); a(p) = a(pivot); a(pivot) = tmp
+        for (i <- 0 until k if i != p) {
+          val f = a(i)(p) / a(p)(p)
+          for (j <- p to k) a(i)(j) -= f * a(p)(j)
+        }
+      }
+      val beta = (0 until k).map(i => a(i)(k) / a(i)(i))
+      rows.indices.map { r =>
+        val e = rows(r)._1 - fs(r).zip(beta).map(p => p._1 * p._2).sum
+        e * e
+      }.sum
+    }
+    val rss0 = ols(r => Seq(r._2))
+    val rss1 = ols(r => Seq(r._2, r._3))
+    (rss0, rss1, (rss0 - rss1) * (n - 3) / rss1)
+  }
+
+  private def engine(xs: Seq[Long], ys: Seq[Long]) = {
+    val df = xs.indices.map(i => (i, xs(i), ys(i))).toDF("d", "x", "y")
+    StreamQueries.grangerFromDaily(df)
+      .select("rss0_r6", "rss1_r6", "f_r6")
+      .as[(Double, Double, Double)].head()
+  }
+
+  test("moment algebra matches explicit-residual OLS on random series") {
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(30)(rnd.nextInt(200).toLong + 50)
+    val ys = Seq.fill(30)(rnd.nextInt(200).toLong + 50)
+    val (r0, r1, f) = brute(xs, ys)
+    val (e0, e1, ef) = engine(xs, ys)
+    assert(math.abs(e0 - r0) < 1e-4 * (1 + r0.abs), (e0, r0))
+    assert(math.abs(e1 - r1) < 1e-4 * (1 + r1.abs), (e1, r1))
+    assert(math.abs(ef - f) < 1e-3 * (1 + f.abs), (ef, f))
+  }
+
+  test("planted lead: y follows lagged x -> large F; independent " +
+    "noise -> F small") {
+    val rnd = new scala.util.Random(9)
+    val xs = Seq.fill(31)(rnd.nextInt(400).toLong + 100)
+    val ysLed = (0 until 31).map(t =>
+      if (t == 0) 300L else xs(t - 1) / 2 + rnd.nextInt(8))
+    val (_, _, fLed) = brute(xs, ysLed)
+    val (_, _, efLed) = engine(xs, ysLed)
+    assert(efLed > 10.0 && math.abs(efLed - fLed) < 1e-3 * fLed)
+    val ysNoise = Seq.fill(31)(rnd.nextInt(400).toLong + 100)
+    val (_, _, efN) = engine(xs, ysNoise)
+    assert(efN < efLed / 5, (efN, efLed))
+  }
+}
