@@ -385,9 +385,11 @@ object Graph {
     * the sum is order-independent and the SQL twin replays it.
     *
     * Shape: H rounds of multi-source frontier expansion — each round
-    * one equi-join of the reach set against the edge list + a
-    * min-distance aggregate; the reach set is (src, v, d) pairs,
-    * bounded by |V|² worst-case and by the H-hop ball in practice.
+    * one equi-join of ONLY the previous hop's frontier (d == h-1)
+    * against the edge list + a min-distance fold over the reach set;
+    * the reach set is (src, v, d) pairs, bounded by |V|² worst-case
+    * and by the H-hop ball in practice, and settled vertices are
+    * never re-expanded.
     * That quadratic ceiling is inherent to ALL-pairs centrality; at
     * 100 TB one runs it on the (much smaller) entity graph, or pivots
     * to the HyperBall sketch this operator's contract mirrors.
@@ -406,7 +408,12 @@ object Graph {
       sym.select(col("v").as("s"), col("v")).distinct()
         .select(col("s"), col("v"), lit(0).as("d")))
     for (h <- 1 to maxHops) {
-      val expanded = reach
+      // level-synchronous: after round h-1's min-fold, rows with
+      // d == h-1 carry EXACT distances (induction), and every
+      // distance-h vertex is adjacent to one of them — so only the
+      // frontier joins the adjacency; per-hop join cost is
+      // frontier-sized, not reach-sized
+      val expanded = reach.filter(col("d") === h - 1)
         .join(sym.withColumnRenamed("n", "nx"), "v")
         .select(col("s"), col("nx").as("v"), lit(h).as("d"))
       reach = CacheScope.cached(
@@ -450,7 +457,10 @@ object Graph {
     var reach = CacheScope.cached(
       seeds.select(col("v").as("s"), col("v"), lit(0).as("d")))
     for (h <- 1 to maxHops) {
-      val expanded = reach
+      // frontier-only expansion (see harmonicCentrality): d == h-1
+      // rows are exact after the previous min-fold and suffice to
+      // discover every distance-h vertex
+      val expanded = reach.filter(col("d") === h - 1)
         .join(sym.withColumnRenamed("n", "nx"), "v")
         .select(col("s"), col("nx").as("v"), lit(h).as("d"))
       reach = CacheScope.cached(

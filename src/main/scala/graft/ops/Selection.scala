@@ -49,6 +49,24 @@ object Selection {
   /** Result of one per-group selection. */
   private case class Sel(g: String, n: Long, m: Long, k: Long, value: Long)
 
+  /** Exact-arithmetic ceiling: probe sums Σ qc·F are bounded by n² and
+    * the pair count by n(n+1)/2, both held in Longs — so a group may
+    * hold at most ⌊√Long.Max⌋ rows before either silently wraps. At
+    * 3.04e9 rows/group this is a documentation of the Long envelope,
+    * not a practical limit (a 100 TB run groups by a profiled
+    * dimension); past it, fail loudly rather than corrupt k. */
+  private val maxGroupRows = 3037000499L
+
+  private def pairCount(n: Long, mode: PairMode): Long = {
+    require(n <= maxGroupRows,
+      s"kthPairwise: group of $n rows exceeds the exact-Long envelope " +
+        s"($maxGroupRows); pair counts/probe sums would overflow")
+    mode match {
+      case WalshSums => n * (n + 1) / 2
+      case AbsDiffs  => n * (n - 1) / 2
+    }
+  }
+
   /** k-th smallest (1-based) of the implicit pairwise multiset, per group.
     *
     * @param values frame with columns `g` (string group) and `v` (long)
@@ -83,7 +101,8 @@ object Selection {
       .limit((smallHistLimit + 1).toInt).collect()
     if (histProbe.length <= smallHistLimit)
       return kthPairwiseLocal(spark, histProbe.map(r =>
-        (r.getString(0), r.getLong(1), r.getLong(2))), mode, kOf)
+        (r.getString(0), r.getLong(1), r.getLong(2))), mode, kOf,
+        maxGroups)
 
     // One row per group: bounded by construction (grouping column of a
     // profiled dimension), maxGroups-guarded against misuse.
@@ -98,10 +117,7 @@ object Selection {
     for (r <- stats.sortBy(_.getString(0))) {
       val (g, n) = (r.getString(0), r.getLong(1))
       val (mn, mx) = (r.getLong(2), r.getLong(3))
-      val m = mode match {
-        case WalshSums => n * (n + 1) / 2
-        case AbsDiffs  => n * (n - 1) / 2
-      }
+      val m = pairCount(n, mode)
       if (m > 0) {
         val k = kOf(n, m)
         require(k >= 1 && k <= m, s"kthPairwise: k=$k outside 1..$m for $g")
@@ -143,11 +159,7 @@ object Selection {
     }
 
     val out = state.iterator.map { case (g, s) =>
-      val m = mode match {
-        case WalshSums => s.n * (s.n + 1) / 2
-        case AbsDiffs  => s.n * (s.n - 1) / 2
-      }
-      Sel(g, s.n, m, s.k, s.lo)
+      Sel(g, s.n, pairCount(s.n, mode), s.k, s.lo)
     }.toSeq
     spark.createDataFrame(out).select("g", "n", "m", "k", "value")
   }
@@ -160,17 +172,18 @@ object Selection {
       spark: SparkSession,
       rows: Array[(String, Long, Long)],
       mode: PairMode,
-      kOf: (Long, Long) => Long): DataFrame = {
-    val out = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      kOf: (Long, Long) => Long,
+      maxGroups: Int): DataFrame = {
+    val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    require(grouped.length <= maxGroups,
+      s"kthPairwise: ${grouped.length} groups exceed maxGroups=$maxGroups")
+    val out = grouped.flatMap {
       case (g, rs) =>
         val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
         val vals = sorted.map(_._1)
         val cum = sorted.scanLeft(0L)(_ + _._2).tail
         val n = cum.last
-        val m = mode match {
-          case WalshSums => n * (n + 1) / 2
-          case AbsDiffs  => n * (n - 1) / 2
-        }
+        val m = pairCount(n, mode)
         if (m == 0) None
         else {
           val k = kOf(n, m)

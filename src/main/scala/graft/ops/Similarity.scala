@@ -157,9 +157,9 @@ object Similarity {
     * [[hyperplaneSign]] table 0 — the DuckDB twin embeds them as array
     * literals. */
   private[graft] def rpProj(vec: org.apache.spark.sql.Column, j: Int,
-      dims: Int): org.apache.spark.sql.Column = {
+      dims: Int, tree: Int = 0): org.apache.spark.sql.Column = {
     val signs = array((0 until dims).map(i =>
-      lit(hyperplaneSign(0, j, i))): _*)
+      lit(hyperplaneSign(tree, j, i))): _*)
     aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
       lit(0.0), (a, b) => a + b)
   }
@@ -185,19 +185,33 @@ object Similarity {
     * distributed. Thresholds are ≤ 2^d one-row frames broadcast back;
     * the candidate join is a leaf-key equi-join.
     *
+    * Spill bands (`spillPct` > 0): alongside the median threshold,
+    * each node also exposes the rank-picked elements at ranks
+    * rm ± ⌊n·spillPct/100⌋ (clamped to [1, n]) as `lo`/`hi` — the
+    * overlap buffer of a hybrid spill tree (Liu, Moore, Gray & Yang,
+    * NIPS 2004), except the CORPUS is never duplicated: only QUERIES
+    * spill to both children when their projection falls inside
+    * (lo, hi] (defeatist-search mitigation). All three thresholds are
+    * achieved elements, never interpolated.
+    *
+    * @param tree sign-family index — tree t projects with
+    *             hyperplaneSign(t, j, i), so a forest's trees split on
+    *             independent direction families
     * @return (routed corpus with `node` = leaf id, per-level
-    *         (node, thr) threshold frames for routing queries)
+    *         (node, thr, lo, hi) threshold frames for routing queries)
     */
   private[graft] def rpTreeRoute(corpus: DataFrame, idCol: String,
       vecCol: String, depth: Int, dims: Int,
       rankPartitions: Int = 0,
-      smallProjLimit: Long = 1L << 20): (DataFrame, Seq[DataFrame]) = {
+      smallProjLimit: Long = 1L << 20,
+      tree: Int = 0, spillPct: Int = 0): (DataFrame, Seq[DataFrame]) = {
     require(depth >= 1 && depth <= 4, "bounded tree depth 1..4")
     require(dims >= 1 && dims <= HyperplaneMaxDim)
+    require(spillPct >= 0 && spillPct <= 25, "spill band 0..25%")
     val spark = corpus.sparkSession
     import spark.implicits._
     val projCols = (0 until depth).map(j =>
-      rpProj(col(vecCol), j, dims).as(s"p$j"))
+      rpProj(col(vecCol), j, dims, tree).as(s"p$j"))
     var cur = CacheScope.cached(corpus.select(
         (col(idCol).as("id") +: col(vecCol).as("v") +: projCols): _*)
       .withColumn("node", lit(0)))
@@ -217,17 +231,24 @@ object Similarity {
       val thrFrames = (0 until depth).map { j =>
         val thr = local.groupBy(_._3).toSeq.map { case (nd, rs) =>
           val sorted = rs.sortBy(t => (t._2(j), t._1))
-          (nd, sorted((sorted.length + 1) / 2 - 1)._2(j))
+          val n = sorted.length.toLong
+          val rm = (n + 1) / 2
+          val d = n * spillPct / 100
+          (nd, sorted(rm.toInt - 1)._2(j),
+            sorted(math.max(1L, rm - d).toInt - 1)._2(j),
+            sorted(math.min(n, rm + d).toInt - 1)._2(j))
         }
-        val thrMap = thr.toMap
+        val thrMap = thr.map(t => t._1 -> t._2).toMap
         local = local.map { case (id, ps, nd) =>
           (id, ps, nd * 2 + (if (ps(j) <= thrMap(nd)) 0 else 1))
         }
-        thr.sortBy(_._1).toDF("node", "thr")
+        thr.sortBy(_._1).toDF("node", "thr", "lo", "hi")
       }
       var routed = cur
       for (j <- 0 until depth) {
-        routed = routed.join(broadcast(thrFrames(j)), Seq("node"))
+        routed = routed
+          .join(broadcast(thrFrames(j).select("node", "thr")),
+            Seq("node"))
           .withColumn("node", col("node") * 2
             + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
           .drop("thr")
@@ -239,17 +260,29 @@ object Similarity {
       // threshold frames are ≤ 2^j rows but close over per-node rank
       // DAGs — cached so corpus routing and query routing don't each
       // re-execute them (they are consumed by 2 broadcasts per level)
+      val rmE = expr("(n + 1) div 2")
+      val rloE = expr(
+        s"greatest(1, (n + 1) div 2 - n * $spillPct div 100)")
+      val rhiE = expr(
+        s"least(n, (n + 1) div 2 + n * $spillPct div 100)")
       val thr = CacheScope.cached((0 until (1 << j)).map { nd =>
         val part = cur.filter(col("node") === nd)
         val cnt = part.agg(count(lit(1)).as("n"))
         Prefix.denseRank(part, Seq(col(s"p$j"), col("id")), "rk",
             partitions = rankPartitions)
           .crossJoin(broadcast(cnt))
-          .filter(col("rk") === expr("(n + 1) div 2"))
-          .select(lit(nd).as("node"), col(s"p$j").as("thr"))
+          .filter(col("rk") === rmE || col("rk") === rloE
+            || col("rk") === rhiE)
+          .agg(max(when(col("rk") === rmE, col(s"p$j"))).as("thr"),
+            max(when(col("rk") === rloE, col(s"p$j"))).as("lo"),
+            max(when(col("rk") === rhiE, col(s"p$j"))).as("hi"))
+          .select(lit(nd).as("node"), col("thr"), col("lo"),
+            col("hi"))
+          .filter(col("thr").isNotNull) // empty node: no threshold row
       }.reduce(_.unionByName(_)))
       thrs += thr
-      cur = CacheScope.cached(cur.join(broadcast(thr), Seq("node"))
+      cur = CacheScope.cached(cur
+        .join(broadcast(thr.select("node", "thr")), Seq("node"))
         .withColumn("node", col("node") * 2
           + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
         .drop("thr"))
@@ -277,7 +310,12 @@ object Similarity {
           +: projCols): _*)
       .withColumn("node", lit(0))
     for (j <- 0 until depth) {
-      q = q.join(broadcast(thrs(j)), Seq("node"))
+      // LEFT join: a query landing in a corpus-empty subtree keeps
+      // routing (null thr ⇒ otherwise ⇒ right child) instead of being
+      // silently dropped — it still yields zero candidates, but the
+      // routing function is total for external query sets
+      q = q.join(broadcast(thrs(j).select("node", "thr")),
+          Seq("node"), "left")
         .withColumn("node", col("node") * 2
           + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
         .drop("thr")
@@ -289,6 +327,73 @@ object Similarity {
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** RP-FOREST ANN with spill multiprobe: `nTrees` independent RP
+    * trees (tree t splits on the hyperplaneSign(t, ·, ·) direction
+    * family) and, within each tree, queries SPILL to both children
+    * whenever their projection falls inside the node's rank-picked
+    * (lo, hi] band (see [[rpTreeRoute]]) — the two standard recall
+    * levers for defeatist tree search (Liu et al. 2004 spill trees;
+    * Dasgupta & Sinha 2013 on why independent random trees compound).
+    * Candidates = DISTINCT union of every probed leaf's members across
+    * all trees; exact cosine re-rank picks the top k.
+    *
+    * Determinism: every threshold is an achieved element; spill
+    * membership compares identical doubles; candidate dedup is exact —
+    * so the whole forest is oracle-replayable. Scale shape: corpus is
+    * routed once per tree (never duplicated — only query probe rows
+    * fan out, ≤ 2^depth per tree worst-case), candidates flow through
+    * one leaf-key equi-join per tree, and the re-rank touches only
+    * candidate pairs.
+    */
+  def rpForestTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nTrees: Int = 2, depth: Int = 3, dims: Int = 64,
+                   spillPct: Int = 10,
+                   rankPartitions: Int = 0,
+                   smallProjLimit: Long = 1L << 20): DataFrame = {
+    require(nTrees >= 1 && nTrees <= 8, "bounded forest 1..8 trees")
+    val cand = (0 until nTrees).map { t =>
+      val (routed, thrs) = rpTreeRoute(corpus, idCol, vecCol, depth,
+        dims, rankPartitions, smallProjLimit, tree = t,
+        spillPct = spillPct)
+      val projCols = (0 until depth).map(j =>
+        rpProj(col(vecCol), j, dims, t).as(s"p$j"))
+      var q = queries.select(
+          (col(idCol).as("query_id") +: projCols): _*)
+        .withColumn("node", lit(0))
+      for (j <- 0 until depth) {
+        // spill probe: left child while p ≤ hi, right child while
+        // p > lo — both when p lands inside the (lo, hi] band. LEFT
+        // join so corpus-empty subtrees prune the probe (null band ⇒
+        // both whens null ⇒ zero children) instead of erroring.
+        q = q.join(broadcast(thrs(j).select("node", "lo", "hi")),
+            Seq("node"), "left")
+          .select(col("query_id") +: (0 until depth).map(i =>
+            col(s"p$i")) :+ explode(filter(array(
+              when(col(s"p$j") <= col("hi"), col("node") * 2),
+              when(col(s"p$j") > col("lo"), col("node") * 2 + 1)),
+            c => c.isNotNull)).as("node"): _*)
+      }
+      routed.join(
+          broadcast(q.select(col("query_id"), col("node")).distinct()),
+          Seq("node"))
+        .filter(col("query_id") =!= col("id"))
+        .select(col("query_id"), col("id").as("neighbor_id"))
+    }.reduce(_.unionByName(_)).distinct()
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -115,6 +115,25 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RP-FOREST ANN (spill multiprobe): [[RpForestTrees]] independent
+    * RP trees, queries spilling to both children inside each node's
+    * rank-picked ±[[RpForestSpill]]% band — the two recall levers
+    * (independent trees + overlap buffers, Liu et al. 2004) that lift
+    * single-tree defeatist search toward the IVF tier; graded
+    * alongside the other variants in [[qSimRecall]]. Corpus is never
+    * duplicated — only query probe rows fan out.
+    */
+  def qSimTopkRpforest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.rpForestTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nTrees = RpForestTrees, depth = 3, dims = 64,
+        spillPct = RpForestSpill, rankPartitions = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-path ANN, same output shape as the brute/LSH variants. Fully
     * deterministic (md5-sampled centroids, id tiebreaks) → oracle-checked:
     * DuckDB rebuilds the same inverted lists and probes the same way.
@@ -353,6 +372,7 @@ object SimilarityQueries {
     "q_sim_topk_mips" -> (qSimTopkMips(_, _)),
     "q_sim_topk_lsh" -> (qSimTopkLsh(_, _)),
     "q_sim_topk_rptree" -> (qSimTopkRptree(_, _)),
+    "q_sim_topk_rpforest" -> (qSimTopkRpforest(_, _)),
     "q_sim_topk_ivf" -> (qSimTopkIvf(_, _)),
     "q_sim_topk_ivf_mrl" -> (qSimTopkIvfMrl(_, _)),
     "q_sim_topk_ivf_trained" -> (qSimTopkIvfTrained(_, _)),
@@ -396,6 +416,9 @@ object SimilarityQueries {
           col("neighbor_id")))
       .unionByName(qSimTopkRptree(spark, dir)
         .select(lit("rptree").as("variant"), col("query_id"),
+          col("neighbor_id")))
+      .unionByName(qSimTopkRpforest(spark, dir)
+        .select(lit("rpforest").as("variant"), col("query_id"),
           col("neighbor_id")))
     val grid = b.select(col("query_id")).distinct()
       .crossJoin(vv.select(col("variant")).distinct())
@@ -849,10 +872,105 @@ object SimilarityQueries {
   /** md5-parity hyperplane sign row for tree level `j` as a DuckDB
     * array literal — the same [[graft.ops.Similarity.hyperplaneSign]]
     * values the engine's rpProj folds against. */
-  private def rpSignsSql(j: Int): String =
+  private def rpSignsSql(j: Int, tree: Int = 0): String =
     (0 until 64).map(i =>
-      if (graft.ops.Similarity.hyperplaneSign(0, j, i) > 0) "1.0"
+      if (graft.ops.Similarity.hyperplaneSign(tree, j, i) > 0) "1.0"
       else "-1.0").mkString("[", ",", "]")
+
+  /** Forest knobs shared by [[qSimTopkRpforest]] and its oracle twin —
+    * one place to tune so engine and DuckDB can never diverge. */
+  private val RpForestTrees = 2
+  private val RpForestSpill = 10
+
+  /** Per-tree CTE block of the RP-forest oracle: projections on tree
+    * `t`'s sign family, rank-picked (thr, lo, hi) per node (the same
+    * (n+1)//2 ± n·spill//100 clamped ranks as
+    * [[graft.ops.Similarity.rpTreeRoute]]), corpus routed by thr,
+    * queries spilled to both children inside the (lo, hi] band. */
+  private def rpForestTreeCtes(t: Int, spill: Int): String = {
+    def proj(j: Int) =
+      s"list_sum(list_transform(list_zip(embedding, " +
+        s"${rpSignsSql(j, t)}), s -> CAST(s[1] AS DOUBLE) * s[2]))"
+    def thrSel(pcol: String) =
+      s"max(CASE WHEN r = (n+1)//2 THEN $pcol END) AS thr,\n" +
+        s"    max(CASE WHEN r = greatest(1, (n+1)//2 - n*$spill//100)" +
+        s" THEN $pcol END) AS lo,\n" +
+        s"    max(CASE WHEN r = least(n, (n+1)//2 + n*$spill//100)" +
+        s" THEN $pcol END) AS hi"
+    s"""pr_$t AS (SELECT vec_id, ${proj(0)} AS p0,
+       |    ${proj(1)} AS p1, ${proj(2)} AS p2 FROM embeddings),
+       |l0_$t AS (SELECT vec_id, p0,
+       |    row_number() OVER (ORDER BY p0, vec_id) AS r,
+       |    count(*) OVER () AS n FROM pr_$t),
+       |t0_$t AS (SELECT 0 AS nd, ${thrSel("p0")} FROM l0_$t),
+       |a0_$t AS (SELECT pr.*, CASE WHEN pr.p0 <= t.thr THEN 0 ELSE 1
+       |    END AS nd FROM pr_$t pr CROSS JOIN t0_$t t),
+       |l1_$t AS (SELECT nd, vec_id, p1,
+       |    row_number() OVER (PARTITION BY nd ORDER BY p1, vec_id)
+       |      AS r,
+       |    count(*) OVER (PARTITION BY nd) AS n FROM a0_$t),
+       |t1_$t AS (SELECT nd, ${thrSel("p1")} FROM l1_$t GROUP BY nd),
+       |a1_$t AS (SELECT a.*, a.nd * 2 + CASE WHEN a.p1 <= t.thr
+       |    THEN 0 ELSE 1 END AS nd2
+       |  FROM a0_$t a JOIN t1_$t t ON a.nd = t.nd),
+       |l2_$t AS (SELECT nd2, vec_id, p2,
+       |    row_number() OVER (PARTITION BY nd2 ORDER BY p2, vec_id)
+       |      AS r,
+       |    count(*) OVER (PARTITION BY nd2) AS n FROM a1_$t),
+       |t2_$t AS (SELECT nd2 AS nd, ${thrSel("p2")} FROM l2_$t
+       |  GROUP BY nd2),
+       |a2_$t AS (SELECT a.*, a.nd2 * 2 + CASE WHEN a.p2 <= t.thr
+       |    THEN 0 ELSE 1 END AS leaf
+       |  FROM a1_$t a JOIN t2_$t t ON a.nd2 = t.nd),
+       |q0_$t AS (SELECT vec_id, p0, p1, p2, 0 AS nd FROM pr_$t
+       |  WHERE vec_id < 10),
+       |q1_$t AS (
+       |  SELECT q.vec_id, q.p1, q.p2, q.nd * 2 AS nd FROM q0_$t q
+       |    JOIN t0_$t t ON q.nd = t.nd WHERE q.p0 <= t.hi
+       |  UNION ALL
+       |  SELECT q.vec_id, q.p1, q.p2, q.nd * 2 + 1 FROM q0_$t q
+       |    JOIN t0_$t t ON q.nd = t.nd WHERE q.p0 > t.lo),
+       |q2_$t AS (
+       |  SELECT q.vec_id, q.p2, q.nd * 2 AS nd FROM q1_$t q
+       |    JOIN t1_$t t ON q.nd = t.nd WHERE q.p1 <= t.hi
+       |  UNION ALL
+       |  SELECT q.vec_id, q.p2, q.nd * 2 + 1 FROM q1_$t q
+       |    JOIN t1_$t t ON q.nd = t.nd WHERE q.p1 > t.lo),
+       |q3_$t AS (
+       |  SELECT q.vec_id, q.nd * 2 AS leaf FROM q2_$t q
+       |    JOIN t2_$t t ON q.nd = t.nd WHERE q.p2 <= t.hi
+       |  UNION ALL
+       |  SELECT q.vec_id, q.nd * 2 + 1 FROM q2_$t q
+       |    JOIN t2_$t t ON q.nd = t.nd WHERE q.p2 > t.lo),
+       |cand_$t AS (SELECT DISTINCT q.vec_id AS query_id,
+       |    c.vec_id AS neighbor_id
+       |  FROM q3_$t q JOIN a2_$t c ON q.leaf = c.leaf
+       |    AND q.vec_id <> c.vec_id)""".stripMargin
+  }
+
+  private def rpForestOracleSql: String = {
+    val trees = 0 until RpForestTrees
+    s"""WITH ${trees.map(rpForestTreeCtes(_, RpForestSpill))
+        .mkString(",\n")},
+       |cand AS (${trees.map(t =>
+          s"SELECT query_id, neighbor_id FROM cand_$t")
+        .mkString(" UNION ")}),
+       |nr AS (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosSql("q.embedding", "q.nrm", "c.embedding", "c.nrm")}
+       |      AS cosine
+       |  FROM cand JOIN nr q ON q.vec_id = cand.query_id
+       |    JOIN nr c ON c.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private def cosSql(av: String, an: String, bv: String, bn: String) =
     s"list_sum(list_transform(list_zip($av, $bv), " +
@@ -1521,6 +1639,7 @@ object SimilarityQueries {
         |  FROM cand)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_topk_rpforest" -> rpForestOracleSql,
     "q_sim_topk_brute" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
@@ -1687,7 +1806,10 @@ object SimilarityQueries {
          |  FROM (${oracles0("q_sim_topk_lsh")})
          |  UNION ALL
          |  SELECT 'rptree' AS variant, query_id, neighbor_id
-         |  FROM (${oracles0("q_sim_topk_rptree")})),
+         |  FROM (${oracles0("q_sim_topk_rptree")})
+         |  UNION ALL
+         |  SELECT 'rpforest' AS variant, query_id, neighbor_id
+         |  FROM (${oracles0("q_sim_topk_rpforest")})),
          |qs AS (SELECT DISTINCT query_id FROM b),
          |grid AS (SELECT v.variant, q.query_id
          |  FROM qs q CROSS JOIN (SELECT DISTINCT variant FROM vv) v),

@@ -369,4 +369,57 @@ class SimilaritySpec extends SparkTestBase {
     val recall = brute.intersect(rp).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("rpForestTopK: driver and forced-distributed tiers agree " +
+    "bit-for-bit; spill forest recall ≥ the single tree's") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    def run(projLimit: Long) = CacheScope.scoped {
+      Similarity.rpForestTopK(queries, vecs, "vec_id", "embedding", 5,
+          nTrees = 2, depth = 2, dims = 16, spillPct = 10,
+          smallProjLimit = projLimit)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    val local = run(1L << 20)
+    val dist = run(0L) // probe forced to fall through → Prefix path
+    assert(local == dist, "driver vs distributed tier")
+    val brute = Similarity.bruteForceTopK(queries, vecs,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val single = CacheScope.scoped {
+      Similarity.rpTreeTopK(queries, vecs, "vec_id", "embedding", 5,
+          depth = 2, dims = 16)
+        .select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    }
+    val fr = local.map(t => (t._1, t._3))
+    assert(brute.intersect(fr).size >= brute.intersect(single).size,
+      s"forest ${brute.intersect(fr).size} < tree " +
+        s"${brute.intersect(single).size} hits")
+  }
+
+  test("rpTreeRoute spill bands: lo ≤ thr ≤ hi, all achieved " +
+    "projection values; spillPct=0 degenerates to lo = thr = hi") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    for (spill <- Seq(0, 10)) CacheScope.scoped {
+      val (_, thrs) = Similarity.rpTreeRoute(vecs, "vec_id",
+        "embedding", depth = 2, dims = 8, spillPct = spill)
+      for (f <- thrs; r <- f.select("thr", "lo", "hi").collect()) {
+        val (thr, lo, hi) =
+          (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        assert(lo <= thr && thr <= hi)
+        if (spill == 0) assert(lo == thr && thr == hi)
+      }
+    }
+  }
 }
