@@ -537,16 +537,21 @@ object MiningQueries {
     * set with a recursive min-label CTE.
     */
   def qErEntities(spark: SparkSession, dir: String): DataFrame = {
-    val matches = qErScore(spark, dir)
+    entitiesFromMatches(qErScore(spark, dir)
       .filter(col("decision") === "match")
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")))
+  }
+
+  /** Entity formation core on an (id_a, id_b) match-pair frame — see
+    * [[qErEntities]]. Exposed for ErEntitiesSpec's hand-traced
+    * closures (3-chain merge, pair, absent singleton). */
+  private[queries] def entitiesFromMatches(matches: DataFrame): DataFrame =
     graft.ops.Dedup.dedupComponentsAuto(matches)
       .groupBy(col("component").as("entity"))
       .agg(count(lit(1)).as("n_members"),
         array_join(transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("members"))
       .orderBy(col("entity"))
-  }
 
   val defs: Map[String, Q] = Map(
     "q_er_weights" -> (qErWeights(_, _)),

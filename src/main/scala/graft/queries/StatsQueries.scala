@@ -2147,9 +2147,17 @@ object StatsQueries {
     */
   def qStatMood(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = graft.ops.CacheScope.cached(
+    moodFromValues(graft.ops.CacheScope.cached(
       Tables.orders(spark, dir)
-        .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("x")))
+        .select($"o_orderpriority".as("g"), e2($"o_totalprice").as("x"))))
+  }
+
+  /** Brown–Mood core on a (g = priority slug, x = long value) frame —
+    * see [[qStatMood]]. Exposed for MoodSpec's hand-computed 2×5
+    * tables (incl. the tie-on-the-median case: x == med counts as
+    * NOT-above — the strict `>` dichotomy both engines replay). */
+  private[queries] def moodFromValues(v: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
     val med = v.agg(percentile($"x", lit(0.5)).as("med"))
     val byG = v.crossJoin(broadcast(med))
       .groupBy($"g")
@@ -2197,9 +2205,16 @@ object StatsQueries {
     */
   def qStatPage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    pageFromEvents(Tables.events(spark, dir)
+      .select(to_date($"ts").as("d"), $"event_type".as("g")))
+  }
+
+  /** Page's L core on a (d = block id, g = treatment) event frame —
+    * see [[qStatPage]]. Exposed for PageSpec's brute-force L parity
+    * (both verdict directions + a within-block tie). */
+  private[queries] def pageFromEvents(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
-      .select(to_date($"ts").as("d"), $"event_type".as("g"))
     val counts = ev.groupBy($"d", $"g").agg(count(lit(1)).as("v"))
     val grid = ev.select($"d").distinct()
       .crossJoin(broadcast(ev.select($"g").distinct()))
