@@ -21,12 +21,18 @@ import org.apache.spark.sql.functions._
   *   ordered pairs:  Σ_v c_v · F(ub(v,t)),   F(u) = #{x ≤ u}
   *
   * with ub = t − v (Walsh sums) or the [v−t, v+t] band (distances), then
-  * correct for the diagonal and unordered double count. Each probe is ONE
-  * job: histogram ⨝ broadcast(per-group threshold) → a union of provider
-  * rows (v, c) and query rows (key = ub) → one per-group running sum
-  * (providers sort before queries at equal key, so F is inclusive) → one
-  * aggregate. The search needs ⌈log₂ range⌉ probes — a function of the
-  * VALUE DOMAIN, never of N.
+  * correct for the diagonal and unordered double count. Each ROUND is ONE
+  * job evaluating a K-ARY probe grid — up to `probesPerRound` equally
+  * spaced thresholds per active group at once: histogram ⨝
+  * broadcast(per-group probe grid) → a union of provider rows (v, c) and
+  * per-probe query rows (key = ub) → one per-group running sum (providers
+  * sort before queries at equal key, so F is inclusive) → one (g, t)
+  * aggregate. The interval shrinks ≥ (P+1)× per round, so the search
+  * needs ⌈log_{P+1} range⌉ driver-synchronized rounds (~7 at P = 15 over
+  * a 10⁸ cents domain) — a function of the VALUE DOMAIN, never of N, and
+  * P trades per-round histogram traffic (P query rows per histogram row)
+  * against barrier count: on a 1000-executor cluster the barriers are
+  * what hurt, so multi-probe is the right default shape.
   *
   * Scale shape (100 TB): the raw scan collapses to the (group, value)
   * histogram once (map-side combine; for fixed-point currency the domain
@@ -83,7 +89,10 @@ object Selection {
       kOf: (Long, Long) => Long,
       maxGroups: Int = 1000,
       maxRounds: Int = 72,
-      smallHistLimit: Long = 1L << 20): DataFrame = {
+      smallHistLimit: Long = 1L << 20,
+      probesPerRound: Int = 15): DataFrame = {
+    require(probesPerRound >= 1 && probesPerRound <= 255,
+      "probesPerRound 1..255")
     val spark = values.sparkSession
     import spark.implicits._
 
@@ -133,19 +142,30 @@ object Selection {
     while (state.valuesIterator.exists(s => s.lo < s.hi)) {
       rounds += 1
       require(rounds <= maxRounds,
-        s"kthPairwise: no convergence in $maxRounds probes " +
+        s"kthPairwise: no convergence in $maxRounds rounds " +
           s"(range ${state.valuesIterator.map(s => s.hi - s.lo).max})")
       val active = state.filter { case (_, s) => s.lo < s.hi }
-      val mids = active.map { case (g, s) =>
-        g -> (s.lo + (s.hi - s.lo) / 2)
+      // k-ary probe grid: ≤ probesPerRound equally spaced thresholds
+      // inside [lo, hi); when the interval is narrower than the grid
+      // the probes cover it exhaustively and the round is final for
+      // that group. BigInt driver-side so i·width never wraps.
+      val probes: Map[String, Seq[Long]] = active.iterator.map {
+        case (g, s) =>
+          val width = BigInt(s.hi) - BigInt(s.lo)
+          val p = width.min(BigInt(probesPerRound)).toLong
+          g -> (1L to p).map(i =>
+            (BigInt(s.lo) + BigInt(i) * width / (p + 1)).toLong)
+            .distinct
       }.toMap
-      // one job per probe: (Σ qc·F, Σ diag) per group; the mode's
-      // unordered-count arithmetic happens driver-side on the two sums
-      val raw = countPairsLE(hist, mids, mode)
+      // ONE job per round: (Σ qc·F, Σ diag·F) per (group, probe) —
+      // collect is Σ|probes| rows, ≤ maxGroups·probesPerRound; the
+      // mode's unordered-count arithmetic happens driver-side
+      val raw = countPairsLE(hist, probes, mode)
         .collect().map(r =>
-          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val counts = raw.map { case (g, (s, d)) =>
-        g -> (mode match {
+          (r.getString(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+      val counts = raw.map { case ((g, t), (s, d)) =>
+        (g, t) -> (mode match {
           case WalshSums => (s + d) / 2
           case AbsDiffs  => (s - state(g).n) / 2
         })
@@ -153,8 +173,13 @@ object Selection {
       for ((g, s) <- active) {
         // Invariant: count(lo − 1) < k ≤ count(hi); converge to the
         // smallest t with count(t) ≥ k = the k-th pairwise value.
-        if (counts.getOrElse(g, 0L) >= s.k) s.hi = mids(g)
-        else s.lo = mids(g) + 1
+        // Bracket k between adjacent probes: the smallest probe with
+        // count ≥ k caps hi, the largest with count < k lifts lo.
+        val ts = probes(g)
+        val geK = ts.filter(t => counts((g, t)) >= s.k)
+        val ltK = ts.filter(t => counts((g, t)) < s.k)
+        if (geK.nonEmpty) s.hi = geK.min
+        if (ltK.nonEmpty) s.lo = ltK.max + 1
       }
     }
 
@@ -223,47 +248,52 @@ object Selection {
     spark.createDataFrame(out).select("g", "n", "m", "k", "value")
   }
 
-  /** Per-group (Σ qc·F, Σ diag) for thresholds t(g), in ONE job of
-    * exactly two shuffles (the union window, the final aggregate) —
-    * the caller applies the mode's unordered-count identity on the two
-    * sums. Provider rows double as the diagonal carriers (2v ≤ t), so
-    * no separate diagonal pass exists. Package-private so PlanSpec can
-    * pin the plan shape (broadcast threshold join, single window, no
-    * cartesian). */
+  /** Per-(group, probe) (Σ qc·F, Σ diag·F) for a probe grid
+    * t ∈ ts(g), in ONE job of exactly two shuffles (the union window,
+    * the final aggregate) — the caller applies the mode's
+    * unordered-count identity on the two sums per probe. Package-
+    * private so PlanSpec can pin the plan shape (broadcast probe join,
+    * single window, no cartesian). */
   private[graft] def countPairsLE(
       hist: DataFrame,
-      tByG: Map[String, Long],
+      tByG: Map[String, Seq[Long]],
       mode: PairMode): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
-    val tdf = tByG.toSeq.toDF("g", "t")
+    val tdf = tByG.toSeq.flatMap { case (g, ts) =>
+      ts.map(t => (g, t, Math.floorDiv(t, 2L))) }.toDF("g", "t", "th")
     val h = hist.join(broadcast(tdf), Seq("g"))
-    // Providers carry the histogram mass (and, for Walsh sums, the
-    // 2v ≤ t diagonal flag); queries ask for the inclusive prefix
-    // count F at their key. Provider tag 0 sorts BEFORE query tag 1 at
-    // an equal key, making F(u) = #{x ≤ u} inclusive.
-    val providers = h.select($"g", $"v".as("key"), $"c".as("add"),
-      lit(0).as("tag"), lit(0L).as("qc"),
-      (mode match {
-        case WalshSums => when($"v" * 2 <= $"t", $"c").otherwise(0L)
-        case AbsDiffs  => lit(0L)
-      }).as("dg"))
+    // Providers carry the histogram mass ONCE (never replicated per
+    // probe); queries ask for the inclusive prefix count F at their
+    // probe-specific key. Provider tag 0 sorts BEFORE query tag 1 at
+    // an equal key, making F(u) = #{x ≤ u} inclusive; equal-key query
+    // rows all read the same F because their own adds are zero. The
+    // Walsh diagonal is ONE query row per (g, t) reading
+    // F(⌊t/2⌋) = #{x : 2x ≤ t} (floorDiv driver-side keeps negative
+    // thresholds exact).
+    val providers = hist.select($"g", $"v".as("key"), $"c".as("add"),
+      lit(0).as("tag"), lit(0L).as("t"), lit(0L).as("qc"),
+      lit(0L).as("dq"))
     val queries = mode match {
       case WalshSums =>
         h.select($"g", ($"t" - $"v").as("key"), lit(0L).as("add"),
-          lit(1).as("tag"), $"c".as("qc"), lit(0L).as("dg"))
+            lit(1).as("tag"), $"t", $"c".as("qc"), lit(0L).as("dq"))
+          .unionAll(tdf.select($"g", $"th".as("key"),
+            lit(0L).as("add"), lit(1).as("tag"), $"t",
+            lit(0L).as("qc"), lit(1L).as("dq")))
       case AbsDiffs =>
         h.select($"g", ($"v" + $"t").as("key"), lit(0L).as("add"),
-            lit(1).as("tag"), $"c".as("qc"), lit(0L).as("dg"))
+            lit(1).as("tag"), $"t", $"c".as("qc"), lit(0L).as("dq"))
           .unionAll(h.select($"g", ($"v" - $"t" - 1).as("key"),
-            lit(0L).as("add"), lit(1).as("tag"), (-$"c").as("qc"),
-            lit(0L).as("dg")))
+            lit(0L).as("add"), lit(1).as("tag"), $"t",
+            (-$"c").as("qc"), lit(0L).as("dq")))
     }
     val w = Window.partitionBy($"g").orderBy($"key", $"tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     providers.unionAll(queries)
       .withColumn("f", sum($"add").over(w))
-      .groupBy($"g")
-      .agg(sum($"qc" * $"f").as("s"), sum($"dg").as("d"))
+      .filter($"tag" === 1)
+      .groupBy($"g", $"t")
+      .agg(sum($"qc" * $"f").as("s"), sum($"dq" * $"f").as("d"))
   }
 }

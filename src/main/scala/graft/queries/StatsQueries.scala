@@ -2033,6 +2033,37 @@ object StatsQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** GROUPED Hodges–Lehmann at HIGH group cardinality — the HL
+    * pseudomedian of order totalprice per (nation, order month):
+    * ~2,000 concurrent binary searches, one shared probe job per
+    * round (the broadcast threshold frame carries every active
+    * group's mid). Exists to run [[graft.ops.Selection.kthPairwise]]'s
+    * DISTRIBUTED probe loop as a first-class benched query: the
+    * full-table (g, v) histogram deliberately blows the driver tier
+    * (`smallHistLimit` 2¹³ — the fixture histogram is ≥ 15k distinct
+    * rows at sf0.01, ~150k at sf0.1), so every probe is the
+    * two-shuffle union-window job the 100 TB path pays, not the
+    * local sort the driver tier absorbs in [[qStatHodges]]. Probe
+    * count stays ⌈log₂ range⌉ ≈ 27 — a function of the cents domain,
+    * independent of rows AND of group count.
+    */
+  def qStatHodgesGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val vals = Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select(concat($"c_nationkey".cast("string"), lit("|"),
+          date_format($"o_orderdate", "yyyy-MM")).as("g"),
+        e2($"o_totalprice").as("v"))
+    Selection.kthPairwise(vals, Selection.WalshSums,
+        (_, m) => (m + 1) / 2,
+        maxGroups = 4096, smallHistLimit = 1L << 13)
+      .select($"g".as("nation_month"), $"n", $"m".as("n_pairs"), $"k",
+        $"value".as("hl_cents2"), ($"value" / lit(200.0)).as("hl"))
+      .orderBy($"nation_month")
+  }
+
   /** ROUSSEEUW–CROUX Qn scale estimator (JASA 1993) of 1995 order totals
     * per priority: the C(h,2)-th smallest pairwise distance
     * |x_i − x_j| (i < j), h = ⌊n/2⌋ + 1 — a 50%-breakdown scale measure
@@ -2317,6 +2348,7 @@ object StatsQueries {
     "q_stat_mood" -> (qStatMood(_, _)),
     "q_stat_page" -> (qStatPage(_, _)),
     "q_stat_hodges" -> (qStatHodges(_, _)),
+    "q_stat_hodges_grouped" -> (qStatHodgesGrouped(_, _)),
     "q_stat_qn" -> (qStatQn(_, _)),
     "q_stat_grubbs" -> (qStatGrubbs(_, _)),
     "q_stat_cochranq" -> (qStatCochranq(_, _)),
@@ -2601,6 +2633,29 @@ object StatsQueries {
         |FROM n JOIN r ON n.g = r.g
         |  AND r.r = (n.n * (n.n + 1) // 2 + 1) // 2
         |ORDER BY o_orderpriority""".stripMargin,
+    // same Walsh-sum enumeration, per (nation, month) — ~2k groups of
+    // bounded size, so the quadratic twin stays feasible at oracle sf
+    "q_stat_hodges_grouped" ->
+      """WITH v AS (SELECT
+        |    CAST(c.c_nationkey AS VARCHAR) || '|' ||
+        |      strftime(o.o_orderdate, '%Y-%m') AS g,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY c.c_nationkey,
+        |      strftime(o.o_orderdate, '%Y-%m')
+        |      ORDER BY o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+        |p AS (SELECT a.g, a.x + b.x AS s FROM v a
+        |  JOIN v b ON a.g = b.g AND a.rn <= b.rn),
+        |r AS (SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY s) AS r FROM p)
+        |SELECT n.g AS nation_month, n.n,
+        |  n.n * (n.n + 1) // 2 AS n_pairs,
+        |  (n.n * (n.n + 1) // 2 + 1) // 2 AS k,
+        |  r.s AS hl_cents2, r.s / 200.0 AS hl
+        |FROM n JOIN r ON n.g = r.g
+        |  AND r.r = (n.n * (n.n + 1) // 2 + 1) // 2
+        |ORDER BY nation_month""".stripMargin,
     // explicit |x_i − x_j| enumeration at the published rank C(h,2)
     "q_stat_qn" ->
       """WITH v AS (SELECT o_orderpriority AS g,

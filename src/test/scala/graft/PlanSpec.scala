@@ -883,7 +883,7 @@ class PlanSpec extends SparkTestBase {
     for (mode <- Seq(graft.ops.Selection.WalshSums,
         graft.ops.Selection.AbsDiffs)) {
       val probe = graft.ops.Selection.countPairsLE(
-        hist, Map("a" -> 6L, "b" -> 4L), mode)
+        hist, Map("a" -> Seq(3L, 6L), "b" -> Seq(4L)), mode)
       val p = probe.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       assert(!p.contains("CartesianProduct") &&
