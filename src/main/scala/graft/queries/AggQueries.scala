@@ -385,9 +385,14 @@ object AggQueries {
     val (d, w) = (4, 16)
     val ga = cmGrid(side("click"), d, w)
     val gb = cmGrid(side("purchase"), d, w)
+    // LEFT join so a row whose cells never overlap publishes the CM
+    // inner product's true 0 (min_r est_r then reports it) instead of
+    // vanishing from the min — every row index survives because each
+    // non-empty sketch occupies ≥ 1 cell per row
     val perRow = ga.join(gb.withColumnRenamed("cnt", "cntb"),
-        Seq("r", "c"))
-      .groupBy($"r").agg(sum($"cnt" * $"cntb").as("est_r"))
+        Seq("r", "c"), "left")
+      .groupBy($"r")
+      .agg(sum($"cnt" * coalesce($"cntb", lit(0L))).as("est_r"))
     val est = perRow.groupBy()
       .agg(min($"est_r").as("cm_est"),
         (0 until d).map(r =>
@@ -553,8 +558,8 @@ object AggQueries {
          |ga AS ${gridOf("a")},
          |gb AS ${gridOf("b")},
          |pr AS (SELECT ga.r,
-         |    CAST(SUM(ga.cnt * gb.cnt) AS BIGINT) AS est_r
-         |  FROM ga JOIN gb USING (r, c) GROUP BY ga.r),
+         |    CAST(SUM(ga.cnt * COALESCE(gb.cnt, 0)) AS BIGINT) AS est_r
+         |  FROM ga LEFT JOIN gb USING (r, c) GROUP BY ga.r),
          |e AS (SELECT CAST(MIN(est_r) AS BIGINT) AS cm_est,
          |    MAX(CASE WHEN r = 0 THEN est_r END) AS est_r0,
          |    MAX(CASE WHEN r = 1 THEN est_r END) AS est_r1,

@@ -1048,6 +1048,92 @@ object StreamQueries {
       round(f, 6).as("f_r6"), (f > lit(4.2252)).as("reject"))
   }
 
+  /** CONDITIONAL (partial) GRANGER SCREEN, lag 1: does click volume
+    * (x) predict next-day purchase volume (y) beyond purchase's own
+    * history AND view volume (z)? Restricted y_t ~ y₁ + z₁ vs
+    * augmented y_t ~ y₁ + z₁ + x₁; F = (RSS₀−RSS₁)(n−4)/RSS₁ on one
+    * numerator df. The partial screen that kills the common-driver
+    * false positive [[qTimeGranger]] is exposed to: a traffic burst
+    * lifting views and purchases together makes the 2-series screen
+    * flag click→purchase, while conditioning on views absorbs it
+    * (Granger 1969's "spurious causality" caveat; the 3-variable
+    * screen is the standard remedy).
+    *
+    * Same exactness doctrine as [[qTimeGranger]], one regressor up:
+    * FIFTEEN exact BIGINT moment sums in one aggregate over the
+    * calendar-bounded lagged daily frame; the 3×3 normal-equation
+    * solve is Cramer's rule (cofactor quadratic form) on the n-scaled
+    * centered moments, ONE identical double expression in both
+    * engines. α=0.05 verdict vs F₀.₀₅(1, 25) = 4.2417 (fixture's
+    * 30-day January ⇒ n = 29; recalibrate if the calendar changes).
+    */
+  def qTimeGrangerCond(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    grangerCondFromDaily(Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("y"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .as("z")))
+  }
+
+  /** Conditional lag-1 Granger F from a (d, x, y, z) daily frame —
+    * see [[qTimeGrangerCond]]. Exposed for spec brute-force parity. */
+  private[queries] def grangerCondFromDaily(daily: DataFrame)
+      : DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"d")
+    val rows = daily
+      .withColumn("y1", lag($"y", 1).over(w))
+      .withColumn("z1", lag($"z", 1).over(w))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .filter($"y1".isNotNull)
+    val m = rows.agg(
+      count(lit(1)).as("n"), sum($"y").as("sy"),
+      sum($"y1").as("sr1"), sum($"z1").as("sr2"), sum($"x1").as("sr3"),
+      sum($"y1" * $"y1").as("s11r"), sum($"z1" * $"z1").as("s22r"),
+      sum($"x1" * $"x1").as("s33r"), sum($"y1" * $"z1").as("s12r"),
+      sum($"y1" * $"x1").as("s13r"), sum($"z1" * $"x1").as("s23r"),
+      sum($"y1" * $"y").as("s1yr"), sum($"z1" * $"y").as("s2yr"),
+      sum($"x1" * $"y").as("s3yr"), sum($"y" * $"y").as("syyr"))
+    // n-scaled centered moments — still exact integers before the one
+    // double cast (the q_agg_corr doctrine)
+    val s11 = ($"n" * $"s11r" - $"sr1" * $"sr1").cast("double")
+    val s22 = ($"n" * $"s22r" - $"sr2" * $"sr2").cast("double")
+    val s33 = ($"n" * $"s33r" - $"sr3" * $"sr3").cast("double")
+    val s12 = ($"n" * $"s12r" - $"sr1" * $"sr2").cast("double")
+    val s13 = ($"n" * $"s13r" - $"sr1" * $"sr3").cast("double")
+    val s23 = ($"n" * $"s23r" - $"sr2" * $"sr3").cast("double")
+    val s1y = ($"n" * $"s1yr" - $"sr1" * $"sy").cast("double")
+    val s2y = ($"n" * $"s2yr" - $"sr2" * $"sy").cast("double")
+    val s3y = ($"n" * $"s3yr" - $"sr3" * $"sy").cast("double")
+    val syc = ($"n" * $"syyr" - $"sy" * $"sy").cast("double")
+    // restricted (y1, z1): 2×2 adjugate quadratic form
+    val det2 = s11 * s22 - s12 * s12
+    val rss0 = (syc - (s1y * (s22 * s1y - s12 * s2y)
+      + s2y * (s11 * s2y - s12 * s1y)) / det2) / $"n".cast("double")
+    // augmented (y1, z1, x1): 3×3 Cramer via symmetric cofactors
+    val a11 = s22 * s33 - s23 * s23
+    val a22 = s11 * s33 - s13 * s13
+    val a33 = s11 * s22 - s12 * s12
+    val a12 = s13 * s23 - s12 * s33
+    val a13 = s12 * s23 - s13 * s22
+    val a23 = s12 * s13 - s11 * s23
+    val det3 = s11 * a11 + s12 * a12 + s13 * a13
+    val q3 = (s1y * s1y * a11 + s2y * s2y * a22 + s3y * s3y * a33) +
+      lit(2.0) * ((s1y * s2y * a12 + s1y * s3y * a13) +
+        s2y * s3y * a23)
+    val rss1 = (syc - q3 / det3) / $"n".cast("double")
+    val f = (rss0 - rss1) * ($"n" - 4L).cast("double") / rss1
+    m.select($"n", $"sy", $"sr1".as("sy1"), $"sr2".as("sz1"),
+      $"sr3".as("sx1"), $"syyr".as("syy"),
+      round(rss0, 6).as("rss0_r6"), round(rss1, 6).as("rss1_r6"),
+      round(f, 6).as("f_r6"), (f > lit(4.2417)).as("reject"))
+  }
+
   def qTimeAcf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1839,6 +1925,7 @@ object StreamQueries {
     "q_time_motif" -> (qTimeMotif(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_time_granger" -> (qTimeGranger(_, _)),
+    "q_time_granger_cond" -> (qTimeGrangerCond(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
@@ -2101,6 +2188,78 @@ object StreamQueries {
         |  round((rss0 - rss1) * CAST(n - 3 AS DOUBLE) / rss1, 6)
         |    AS f_r6,
         |  ((rss0 - rss1) * CAST(n - 3 AS DOUBLE) / rss1 > 4.2252)
+        |    AS reject
+        |FROM f""".stripMargin,
+    // same moment algebra one regressor up: restricted (y1, z1) 2×2
+    // adjugate, augmented (y1, z1, x1) 3×3 cofactor quadratic form —
+    // every sub-expression in the engine's exact order
+    "q_time_granger_cond" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z
+        |  FROM events GROUP BY 1),
+        |lagged AS (SELECT y,
+        |    lag(y, 1) OVER (ORDER BY d) AS y1,
+        |    lag(z, 1) OVER (ORDER BY d) AS z1,
+        |    lag(x, 1) OVER (ORDER BY d) AS x1
+        |  FROM daily),
+        |r AS (SELECT * FROM lagged WHERE y1 IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y1) AS BIGINT) AS sr1,
+        |    CAST(SUM(z1) AS BIGINT) AS sr2,
+        |    CAST(SUM(x1) AS BIGINT) AS sr3,
+        |    CAST(SUM(y1 * y1) AS BIGINT) AS s11r,
+        |    CAST(SUM(z1 * z1) AS BIGINT) AS s22r,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS s33r,
+        |    CAST(SUM(y1 * z1) AS BIGINT) AS s12r,
+        |    CAST(SUM(y1 * x1) AS BIGINT) AS s13r,
+        |    CAST(SUM(z1 * x1) AS BIGINT) AS s23r,
+        |    CAST(SUM(y1 * y) AS BIGINT) AS s1yr,
+        |    CAST(SUM(z1 * y) AS BIGINT) AS s2yr,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS s3yr,
+        |    CAST(SUM(y * y) AS BIGINT) AS syyr
+        |  FROM r),
+        |c AS (SELECT n, sy, sr1, sr2, sr3, syyr,
+        |    CAST(n * s11r - sr1 * sr1 AS DOUBLE) AS s11,
+        |    CAST(n * s22r - sr2 * sr2 AS DOUBLE) AS s22,
+        |    CAST(n * s33r - sr3 * sr3 AS DOUBLE) AS s33,
+        |    CAST(n * s12r - sr1 * sr2 AS DOUBLE) AS s12,
+        |    CAST(n * s13r - sr1 * sr3 AS DOUBLE) AS s13,
+        |    CAST(n * s23r - sr2 * sr3 AS DOUBLE) AS s23,
+        |    CAST(n * s1yr - sr1 * sy AS DOUBLE) AS s1y,
+        |    CAST(n * s2yr - sr2 * sy AS DOUBLE) AS s2y,
+        |    CAST(n * s3yr - sr3 * sy AS DOUBLE) AS s3y,
+        |    CAST(n * syyr - sy * sy AS DOUBLE) AS syc
+        |  FROM m),
+        |a AS (SELECT *,
+        |    s22 * s33 - s23 * s23 AS a11,
+        |    s11 * s33 - s13 * s13 AS a22,
+        |    s11 * s22 - s12 * s12 AS a33,
+        |    s13 * s23 - s12 * s33 AS a12,
+        |    s12 * s23 - s13 * s22 AS a13,
+        |    s12 * s13 - s11 * s23 AS a23
+        |  FROM c),
+        |f AS (SELECT n, sy, sr1, sr2, sr3, syyr,
+        |    (syc - (s1y * (s22 * s1y - s12 * s2y)
+        |      + s2y * (s11 * s2y - s12 * s1y))
+        |      / (s11 * s22 - s12 * s12)) / CAST(n AS DOUBLE) AS rss0,
+        |    (syc - (s1y * s1y * a11 + s2y * s2y * a22
+        |      + s3y * s3y * a33 + 2.0 * (s1y * s2y * a12
+        |        + s1y * s3y * a13 + s2y * s3y * a23))
+        |      / (s11 * a11 + s12 * a12 + s13 * a13))
+        |      / CAST(n AS DOUBLE) AS rss1
+        |  FROM a)
+        |SELECT n, sy, sr1 AS sy1, sr2 AS sz1, sr3 AS sx1,
+        |  syyr AS syy,
+        |  round(rss0, 6) AS rss0_r6, round(rss1, 6) AS rss1_r6,
+        |  round((rss0 - rss1) * CAST(n - 4 AS DOUBLE) / rss1, 6)
+        |    AS f_r6,
+        |  ((rss0 - rss1) * CAST(n - 4 AS DOUBLE) / rss1 > 4.2417)
         |    AS reject
         |FROM f""".stripMargin,
     "q_time_acf" ->
