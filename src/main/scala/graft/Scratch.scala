@@ -248,7 +248,52 @@ object Scratch {
           "frame is the driver-assembled result (local relation); " +
           "the per-probe plan — histogram x broadcast threshold, " +
           "ONE running-sum window, no pair enumeration — is the " +
-          "PlanSpec pairwise-selection guard"))
+          "PlanSpec pairwise-selection guard"),
+      "q_stat_hodges_grouped" ->
+        ("grouped HL at ~2k (nation, month) groups: the histogram " +
+          "blows the driver tier by design, so the k-ary " +
+          "distributed probe loop runs — the final frame is the " +
+          "driver-assembled selection; each round's probe plan is " +
+          "the PlanSpec pairwise-selection guard (broadcast probe " +
+          "grid, one window, no cartesian)"),
+      "q_sim_topk_rptree" ->
+        ("RP-tree ANN: projections are map-side folds; fixture " +
+          "corpus fits the driver tier so thresholds arrive as " +
+          "broadcast literal frames and routing + leaf-key " +
+          "candidate equi-join stay distributed — no " +
+          "BroadcastNestedLoopJoin anywhere"),
+      "q_sim_topk_rpforest" ->
+        ("RP-forest spill multiprobe: per tree, corpus routed once " +
+          "(broadcast thresholds), query probe rows fan out " +
+          "through explode over the spill band, candidates union " +
+          "through leaf-key equi-joins, DISTINCT, then one exact " +
+          "re-rank window — corpus never duplicated"),
+      "q_graph_ecc" ->
+        ("landmark BFS: per hop ONE adjacency equi-join fed by the " +
+          "d == h-1 FRONTIER filter over the cached reach frame + " +
+          "a (s, v) min-aggregate — settled vertices never " +
+          "re-expanded; seeds are a sorted LIMIT inside the plan, " +
+          "zero driver actions"),
+      "q_er_entities" ->
+        ("ER entity formation: match pairs from the broadcast " +
+          "8-pattern decision table close via the probe-bounded CC " +
+          "tier (cluster-sized graphs -> driver union-find, local " +
+          "relation); members aggregate by component key"),
+      "q_event_seqpat" ->
+        ("GSP level-2 support: the event scan collapses to ONE " +
+          "(user, type) min/max hash aggregate (map-side partial), " +
+          "then k^2-bounded per-user span pairs — the event list " +
+          "is never squared"),
+      "q_agg_cm_join_card" ->
+        ("CM join-cardinality: two d x w sketch grids built by " +
+          "independent hash aggregates meet in a LEFT broadcast " +
+          "join on (r, c); raw event sides never co-shuffle — the " +
+          "exact certifier join is the only key-level shuffle"),
+      "q_time_granger_cond" ->
+        ("conditional Granger: one lag window over the " +
+          "calendar-bounded daily frame, fifteen moment sums in " +
+          "ONE aggregate row, all OLS algebra scalar on the " +
+          "driver-bound single row"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")

@@ -73,6 +73,16 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(dupes.isEmpty, s"duplicated oracle keys: ${dupes.mkString(", ")}")
   }
 
+  test("every registry query appears LITERALLY in COVERAGE.md — the " +
+    "doc-sync claim that drifted in r12/r13, now mechanical") {
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val covNames = "q[a-z0-9_]+".r.findAllIn(cov).toSet
+    val absent = SparkEntry.queries.keySet.diff(covNames)
+    assert(absent.isEmpty,
+      s"registry queries missing a COVERAGE.md row: ${absent.toSeq.sorted}")
+  }
+
   test("oracle SQL strings are nonempty and reference no Spark-only syntax") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"$k: empty oracle")
