@@ -1024,4 +1024,66 @@ object Graph {
       else smallPath(probe)
     }
   }
+  /** DETERMINISTIC RANDOM-WALK CORPUS (DeepWalk — Perozzi, Al-Rfou &
+    * Skiena, KDD 2014; the sequence-generation front end of
+    * DeepWalk/node2vec graph embeddings): `walksPerSeed` walks of
+    * `walkLen` steps from every seed vertex over the symmetrized
+    * graph. Step s of walk (seed, w) moves from the current vertex to
+    * its neighbor at index conv(md5("seed:w:s")[0..14], 16) mod
+    * degree — the md5 determinism family (the kmeans-init /
+    * hyperplane discipline), so the "random" walks are
+    * bit-reproducible, partition-invariant, and ORACLE-replayable.
+    *
+    * Scale shape: the neighbor table is ranked ONCE (per-vertex
+    * row-number window — one shuffle, partition key = vertex); each
+    * step is one equi-join of the walk frame against (vertex, rank) +
+    * one against the degree table — `walkLen` bounded joins total,
+    * and the walk frame stays |seeds|·walksPerSeed rows, so corpus
+    * cost is workload-sized, never O(V·E). No neighborhood is ever
+    * collected: the md5 index SELECTS a neighbor relationally. Dead
+    * ends cannot occur (symmetrized graph ⇒ every reached vertex has
+    * degree ≥ 1); seeds absent from the graph drop at the first
+    * degree join (documented inner-join semantics).
+    *
+    * @param seeds one column `v` — walk start vertices (declarative)
+    * @return (seed, walk, last_vertex, path) — path is ">"-joined
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame,
+                  walksPerSeed: Int, walkLen: Int): DataFrame = {
+    require(walkLen >= 1 && walkLen <= 8, "bounded walk length 1..8")
+    require(walksPerSeed >= 1 && walksPerSeed <= 16,
+      "bounded walks per seed 1..16")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = CacheScope.cached(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
+    val deg = CacheScope.cached(
+      sym.groupBy($"v").agg(count(lit(1)).as("deg")))
+    val nbr = CacheScope.cached(sym.withColumn("rk",
+      (row_number().over(Window.partitionBy($"v").orderBy($"n")) - 1)
+        .cast("long")))
+    var cur = seeds.select($"v".as("seed"))
+      .crossJoin(broadcast((0 until walksPerSeed).toDF("w")))
+      .select($"seed", $"w", $"seed".as("cur"),
+        $"seed".cast("string").as("path"))
+    for (s <- 1 to walkLen) {
+      cur = cur
+        .join(deg.select($"v".as("cur"), $"deg"), Seq("cur"))
+        .withColumn("idx", expr(
+          s"cast(conv(substring(md5(concat(seed, ':', w, ':', $s))," +
+            s" 1, 15), 16, 10) as bigint) % deg"))
+        .join(nbr.select($"v".as("cur"), $"rk".as("idx"), $"n"),
+          Seq("cur", "idx"))
+        .select($"seed", $"w", $"n".as("cur"),
+          concat($"path", lit(">"), $"n".cast("string")).as("path"))
+    }
+    cur.select($"seed", $"w".cast("long").as("walk"),
+      $"cur".as("last_vertex"), $"path")
+  }
 }

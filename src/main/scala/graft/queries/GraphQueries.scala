@@ -596,8 +596,23 @@ object GraphQueries {
     "q_graph_triangles" -> (qGraphTriangles(_, _)),
     "q_graph_local_cc" -> (qGraphLocalCc(_, _)),
     "q_graph_ppr" -> (qGraphPpr(_, _)),
-    "q_graph_label_prop" -> (qGraphLabelProp(_, _))
+    "q_graph_label_prop" -> (qGraphLabelProp(_, _)),
+    "q_graph_walks" -> (qGraphWalks(_, _))
   )
+
+  /** DeepWalk-style DETERMINISTIC random-walk corpus over the shipment
+    * graph: 2 walks of 4 steps from suppliers 1..6 (declarative seed
+    * range). See [[graft.ops.Graph.randomWalks]] for the md5 neighbor
+    * selection and the workload-sized scale shape — this is the
+    * sequence-generation front end a graph-embedding trainer consumes.
+    */
+  def qGraphWalks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Graph.randomWalks(shipmentEdges(spark, dir),
+        spark.range(1L, 7L).select($"id".as("v")),
+        walksPerSeed = 2, walkLen = 4)
+      .orderBy($"seed", $"walk")
+  }
 
   private val edgeCte =
     """e AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
@@ -772,7 +787,48 @@ object GraphQueries {
          |FROM f$mstRounds f JOIN final_lab l ON l.node = f.a
          |ORDER BY f.a, f.b""".stripMargin
 
+  // same md5 neighbor-index arithmetic as the engine (15 hex digits ->
+  // BIGINT via the strpos parse, the cmGrid convention), same sorted
+  // neighbor ranks, 4 unrolled step joins
+  private val walksOracleSql: String =
+    s"""WITH $edgeCte,
+      |und AS (SELECT DISTINCT least(src, dst) AS a,
+      |    greatest(src, dst) AS b FROM e WHERE src <> dst),
+      |sym AS (SELECT a AS v, b AS n FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM sym
+      |  GROUP BY v),
+      |nb AS (SELECT v, n, CAST(row_number() OVER (PARTITION BY v
+      |    ORDER BY n) - 1 AS BIGINT) AS rk FROM sym),
+      |w0 AS (SELECT s.seed, w.w, s.seed AS cur,
+      |    CAST(s.seed AS VARCHAR) AS path
+      |  FROM (SELECT unnest(generate_series(1, 6)) AS seed) s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS w) w),
+      |w1 AS (SELECT c.seed, c.w, nb.n AS cur,
+      |    c.path || '>' || CAST(nb.n AS VARCHAR) AS path
+      |  FROM w0 c JOIN dg ON dg.v = c.cur
+      |  JOIN nb ON nb.v = c.cur
+      |    AND nb.rk = CAST(list_sum(list_transform(generate_series(1, 15), dd -> CAST(strpos('0123456789abcdef', substring(md5(CAST(c.seed AS VARCHAR) || ':' || CAST(c.w AS VARCHAR) || ':1'), dd, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT) % dg.deg),
+      |w2 AS (SELECT c.seed, c.w, nb.n AS cur,
+      |    c.path || '>' || CAST(nb.n AS VARCHAR) AS path
+      |  FROM w1 c JOIN dg ON dg.v = c.cur
+      |  JOIN nb ON nb.v = c.cur
+      |    AND nb.rk = CAST(list_sum(list_transform(generate_series(1, 15), dd -> CAST(strpos('0123456789abcdef', substring(md5(CAST(c.seed AS VARCHAR) || ':' || CAST(c.w AS VARCHAR) || ':2'), dd, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT) % dg.deg),
+      |w3 AS (SELECT c.seed, c.w, nb.n AS cur,
+      |    c.path || '>' || CAST(nb.n AS VARCHAR) AS path
+      |  FROM w2 c JOIN dg ON dg.v = c.cur
+      |  JOIN nb ON nb.v = c.cur
+      |    AND nb.rk = CAST(list_sum(list_transform(generate_series(1, 15), dd -> CAST(strpos('0123456789abcdef', substring(md5(CAST(c.seed AS VARCHAR) || ':' || CAST(c.w AS VARCHAR) || ':3'), dd, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT) % dg.deg),
+      |w4 AS (SELECT c.seed, c.w, nb.n AS cur,
+      |    c.path || '>' || CAST(nb.n AS VARCHAR) AS path
+      |  FROM w3 c JOIN dg ON dg.v = c.cur
+      |  JOIN nb ON nb.v = c.cur
+      |    AND nb.rk = CAST(list_sum(list_transform(generate_series(1, 15), dd -> CAST(strpos('0123456789abcdef', substring(md5(CAST(c.seed AS VARCHAR) || ':' || CAST(c.w AS VARCHAR) || ':4'), dd, 1)) - 1 AS BIGINT) * (CAST(1 AS BIGINT) << (4 * (15 - dd))))) AS BIGINT) % dg.deg)
+      |SELECT seed, CAST(w AS BIGINT) AS walk, cur AS last_vertex, path
+      |FROM w4 ORDER BY seed, walk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_walks" -> walksOracleSql,
     // UNION-deduped recursive BFS from the same sorted-LIMIT landmarks
     "q_graph_ecc" ->
       """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p,

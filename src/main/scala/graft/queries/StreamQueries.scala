@@ -1134,6 +1134,63 @@ object StreamQueries {
       round(f, 6).as("f_r6"), (f > lit(4.2417)).as("reject"))
   }
 
+  /** LOCAL-LEVEL KALMAN FILTER (the structural time-series workhorse —
+    * Harvey 1989; the "random walk plus noise" model) over each event
+    * type's daily volume: state recursion
+    * P⁻ = P + q;  K = P⁻/(P⁻ + r);  l ← l + K·(x − l);  P ← (1−K)·P⁻
+    * with q = 2 (process variance) and r = 8 (observation variance) —
+    * a principled alternative to the fixed-α EWMA (q_time_ewma): the
+    * gain ADAPTS, starting high while the level is uncertain and
+    * converging to the steady state K* = (√(q² + 4qr) − q)/(2r)… the
+    * filter q_time_holt approximates with constants.
+    *
+    * Determinism: the fold is inherently ordered — realized as the
+    * sort_array + `aggregate` HOF (the q_time_holt discipline), every
+    * step the IDENTICAL expression tree the DuckDB recursive CTE
+    * applies, so the doubles agree bit-for-bit (round(…, 6) belt and
+    * braces). Scale shape: corpus reduces to |types|×|days| cells in
+    * one map-side-partial aggregate; the fold is a per-key scan of a
+    * calendar-bounded series — the per-entity-model class.
+    */
+  def qTimeKalman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(expr("sort_array(collect_list(struct(day, n)))").as("arr"))
+      .select(col("event_type"), expr(
+        """aggregate(
+          |  slice(arr, 2, greatest(size(arr) - 1, 0)),
+          |  named_struct(
+          |    'l', CAST(try_element_at(arr, 1).n AS DOUBLE),
+          |    'p', 8.0d,
+          |    'out', array(named_struct(
+          |      'day', try_element_at(arr, 1).day,
+          |      'n', try_element_at(arr, 1).n,
+          |      'l', CAST(try_element_at(arr, 1).n AS DOUBLE),
+          |      'p', 8.0d, 'k', 0.0d))),
+          |  (acc, x) -> named_struct(
+          |    'l', acc.l + ((acc.p + 2.0d) / ((acc.p + 2.0d) + 8.0d))
+          |      * (CAST(x.n AS DOUBLE) - acc.l),
+          |    'p', (1.0d - ((acc.p + 2.0d) / ((acc.p + 2.0d) + 8.0d)))
+          |      * (acc.p + 2.0d),
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'n', x.n,
+          |      'l', acc.l + ((acc.p + 2.0d) / ((acc.p + 2.0d) + 8.0d))
+          |        * (CAST(x.n AS DOUBLE) - acc.l),
+          |      'p', (1.0d - ((acc.p + 2.0d)
+          |        / ((acc.p + 2.0d) + 8.0d))) * (acc.p + 2.0d),
+          |      'k', (acc.p + 2.0d) / ((acc.p + 2.0d) + 8.0d))))),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.day").as("day"),
+        col("o.n").as("n"),
+        round(col("o.l"), 6).as("level_r6"),
+        round(col("o.p"), 6).as("p_r6"),
+        round(col("o.k"), 6).as("gain_r6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def qTimeAcf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1919,6 +1976,7 @@ object StreamQueries {
     "q_stream_agg_upsert" -> (qStreamAggUpsert(_, _)),
     "q_time_ewma" -> (qTimeEwma(_, _)),
     "q_time_holt" -> (qTimeHolt(_, _)),
+    "q_time_kalman" -> (qTimeKalman(_, _)),
     "q_time_holtwinters" -> (qTimeHoltWinters(_, _)),
     "q_time_cusum" -> (qTimeCusum(_, _)),
     "q_time_bursts" -> (qTimeBursts(_, _)),
@@ -2351,6 +2409,29 @@ object StreamQueries {
         |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
         |SELECT event_type, day, n, round(l, 6) AS level_r6,
         |  round(b, 6) AS trend_r6, round(l + b, 6) AS forecast_r6
+        |FROM r ORDER BY event_type, day""".stripMargin,
+    // identical expression trees per recursion step (the holt twin
+    // discipline): P- = p + 2, K = P-/(P- + 8), one init row at rn 1
+    "q_time_kalman" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |r(event_type, rn, day, n, l, p, k) AS (
+        |  SELECT event_type, 1, day, n, CAST(n AS DOUBLE),
+        |    CAST(8.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.n,
+        |    r.l + ((r.p + 2.0) / ((r.p + 2.0) + 8.0))
+        |      * (CAST(i.n AS DOUBLE) - r.l),
+        |    (1.0 - ((r.p + 2.0) / ((r.p + 2.0) + 8.0))) * (r.p + 2.0),
+        |    (r.p + 2.0) / ((r.p + 2.0) + 8.0)
+        |  FROM r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+        |SELECT event_type, day, n, round(l, 6) AS level_r6,
+        |  round(p, 6) AS p_r6, round(k, 6) AS gain_r6
         |FROM r ORDER BY event_type, day""".stripMargin,
     // recursive CTE carries the 7-slot seasonal state as a LIST; the
     // update expressions are textually the engine fold's trees

@@ -669,4 +669,38 @@ class GraphSpec extends SparkTestBase {
     assert(got == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L)))
   }
 
+  test("randomWalks: engine walks equal an independent local replay " +
+    "(md5 index, sorted neighbor ranks); deterministic across runs; " +
+    "graph-absent seeds drop") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 6L)).toDF("src", "dst")
+    def run() = CacheScope.scoped {
+      Graph.randomWalks(edges,
+          Seq(1L, 5L, 99L).toDF("v"), walksPerSeed = 2, walkLen = 3)
+        .select("seed", "walk", "path")
+        .as[(Long, Long, String)].collect().toSet
+    }
+    val got = run()
+    assert(got == run()) // bit-deterministic
+    assert(!got.exists(_._1 == 99L)) // absent seed drops at deg join
+    // independent local replay
+    val adj = Map(
+      1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L),
+      4L -> Seq(1L, 3L), 5L -> Seq(6L), 6L -> Seq(5L))
+    def md5idx(seed: Long, w: Int, s: Int, deg: Int): Int = {
+      val hex = graft.ops.Dedup.md5Hex(s"$seed:$w:$s").take(15)
+      (BigInt(hex, 16) % deg).toInt
+    }
+    val want = (for (seed <- Seq(1L, 5L); w <- 0 until 2) yield {
+      var cur = seed
+      val sb = new StringBuilder(seed.toString)
+      for (st <- 1 to 3) {
+        val ns = adj(cur)
+        cur = ns(md5idx(seed, w, st, ns.length))
+        sb.append(">").append(cur)
+      }
+      (seed, w.toLong, sb.toString)
+    }).toSet
+    assert(got == want)
+  }
 }
