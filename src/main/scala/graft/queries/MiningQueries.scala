@@ -553,7 +553,61 @@ object MiningQueries {
           x => x.cast("string")), ",").as("members"))
       .orderBy(col("entity"))
 
+  /** SORTED-NEIGHBORHOOD ER BLOCKING (Hernández & Stolfo, SIGMOD 1995
+    * merge/purge): rank records by (name, id) within nation; candidate
+    * pairs = records within window w = 3 sort positions. The classic
+    * alternative to deletion-neighborhood blocking — O(N·w) candidates
+    * BY CONSTRUCTION regardless of key-collision skew, at the price of
+    * missing dupes whose sort keys diverge early (here: the 'x'
+    * substitution landing in the name's leading characters). Published
+    * as a blocking-quality report against the fixture's known labels
+    * (caught/missed/recall-ppm) — the measurement that picks a blocker
+    * at 100 TB, where candidate count is the whole cost model.
+    *
+    * Scale shape: ONE nation-partitioned rank window (the merge/purge
+    * sort), then w − 1 = 2 SHIFTED EQUI-joins on (nat, rn + d) — the
+    * window predicate never plans a range join; candidates are exactly
+    * Σ_nat (n_nat − d) per shift. Recall is an exact integer ppm.
+    */
+  def qErBlockSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = sortedNeighborCandidates(erFields(spark, dir))
+    val truth = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 7 === 0)
+      .agg(count(lit(1)).as("n_true_total"))
+    cand.agg(count(lit(1)).as("n_cand"),
+        sum(when($"id_b" === $"id_a" + 1000000L, 1L).otherwise(0L))
+          .as("n_true_caught"))
+      .crossJoin(broadcast(truth))
+      .select($"n_cand", $"n_true_caught", $"n_true_total",
+        expr("n_true_caught * 1000000 div n_true_total")
+          .as("recall_ppm"))
+  }
+
+  /** Window-3 sorted-neighborhood candidates from an (id, name, nat)
+    * frame — see [[qErBlockSorted]]. Exposed for ErBlockSortedSpec's
+    * hand-traced windows. */
+  private[queries] def sortedNeighborCandidates(recs: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = graft.ops.CacheScope.cached(recs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nat")).orderBy(col("name"), col("id")))))
+    val left = r.select(col("nat"), col("rn"), col("id").as("id_l"),
+      col("name").as("name_l"))
+    (1 to 2).map { d =>
+      left.join(r.select(col("nat"), (col("rn") - d).as("rn"),
+          col("id").as("id_r"), col("name").as("name_r")),
+        Seq("nat", "rn"))
+    }.reduce(_.unionByName(_))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (col("name_l") === col("name_r")).as("ag_name"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_er_block_sorted" -> (qErBlockSorted(_, _)),
     "q_er_weights" -> (qErWeights(_, _)),
     "q_er_em" -> (qErEm(_, _)),
     "q_er_entities" -> (qErEntities(_, _)),
@@ -657,6 +711,27 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same nation-partitioned (name, id) rank, same two shifted joins
+    "q_er_block_sorted" ->
+      s"""WITH $fsCtes,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY nat
+         |    ORDER BY name, id) AS rn FROM allr),
+         |cand AS (
+         |  SELECT least(a.id, b.id) AS id_a,
+         |      greatest(a.id, b.id) AS id_b
+         |  FROM r a JOIN r b ON a.nat = b.nat AND b.rn = a.rn + 1
+         |  UNION ALL
+         |  SELECT least(a.id, b.id), greatest(a.id, b.id)
+         |  FROM r a JOIN r b ON a.nat = b.nat AND b.rn = a.rn + 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true_total
+         |  FROM cust WHERE id % 7 = 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(SUM(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_true_caught,
+         |  tot.n_true_total,
+         |  CAST(SUM(CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // tot.n_true_total AS recall_ppm
+         |FROM cand, tot GROUP BY tot.n_true_total""".stripMargin,
     "q_er_em" ->
       s"""WITH $fsCtes,
          |g AS (SELECT ag_name, ag_seg, ag_bal,
