@@ -435,10 +435,13 @@ object Graph {
     *
     * Scale shape: the frontier (s, v, d) is |seeds| × ball-size — the
     * landmark count is the fan-out cap the all-sources variant lacks.
-    * Per hop: one adjacency equi-join + one (s, v) min-aggregate,
-    * lineage cut by the per-round cache; zero driver actions. Seeds
-    * arrive as a DataFrame so landmark choice stays declarative
-    * (pushed into the plan, no collect).
+    * Per hop: one adjacency equi-join (frontier-only input) + one
+    * (s, v) min-aggregate, lineage cut by the per-round cache; zero
+    * driver actions (a per-round empty-frontier early-exit probe was
+    * MEASURED SLOWER on the fixture — it serializes rounds for a ball
+    * that never saturates inside maxHops; revisit only for
+    * maxHops ≫ diameter workloads). Seeds arrive as a DataFrame so
+    * landmark choice stays declarative (pushed into the plan).
     *
     * @param seeds one column `v` — the landmark vertices
     * @return (source, vertex, dist) for every vertex within `maxHops`

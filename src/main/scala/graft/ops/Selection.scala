@@ -121,6 +121,17 @@ object Selection {
     require(stats.length <= maxGroups,
       s"kthPairwise: ${stats.length} groups exceed maxGroups=$maxGroups")
 
+    // Dense INT surrogate for the group key: every probe round
+    // exchanges + sorts histogram rows keyed by group, and an int key
+    // cuts that per-row cost vs an arbitrary string (the mapping is
+    // maxGroups-bounded, built from the stats we already collected,
+    // and joined back to the histogram ONCE).
+    val giOf: Map[String, Int] = stats.map(_.getString(0)).sorted
+      .zipWithIndex.toMap
+    val histI = CacheScope.cached(
+      hist.join(broadcast(giOf.toSeq.toDF("g", "gi")), Seq("g"))
+        .select($"gi", $"v", $"c"))
+
     final case class St(n: Long, var lo: Long, var hi: Long, k: Long)
     val state = scala.collection.mutable.LinkedHashMap.empty[String, St]
     for (r <- stats.sortBy(_.getString(0))) {
@@ -149,25 +160,26 @@ object Selection {
       // inside [lo, hi); when the interval is narrower than the grid
       // the probes cover it exhaustively and the round is final for
       // that group. BigInt driver-side so i·width never wraps.
-      val probes: Map[String, Seq[Long]] = active.iterator.map {
+      val probes: Map[Int, Seq[Long]] = active.iterator.map {
         case (g, s) =>
           val width = BigInt(s.hi) - BigInt(s.lo)
           val p = width.min(BigInt(probesPerRound)).toLong
-          g -> (1L to p).map(i =>
+          giOf(g) -> (1L to p).map(i =>
             (BigInt(s.lo) + BigInt(i) * width / (p + 1)).toLong)
             .distinct
       }.toMap
       // ONE job per round: (Σ qc·F, Σ diag·F) per (group, probe) —
       // collect is Σ|probes| rows, ≤ maxGroups·probesPerRound; the
       // mode's unordered-count arithmetic happens driver-side
-      val raw = countPairsLE(hist, probes, mode)
+      val gOf = giOf.map(_.swap)
+      val raw = countPairsLE(histI, probes, mode)
         .collect().map(r =>
-          (r.getString(0), r.getLong(1)) ->
+          (r.getInt(0), r.getLong(1)) ->
             (r.getLong(2), r.getLong(3))).toMap
-      val counts = raw.map { case ((g, t), (s, d)) =>
-        (g, t) -> (mode match {
+      val counts = raw.map { case ((gi, t), (s, d)) =>
+        (gi, t) -> (mode match {
           case WalshSums => (s + d) / 2
-          case AbsDiffs  => (s - state(g).n) / 2
+          case AbsDiffs  => (s - state(gOf(gi)).n) / 2
         })
       }
       for ((g, s) <- active) {
@@ -175,9 +187,9 @@ object Selection {
         // smallest t with count(t) ≥ k = the k-th pairwise value.
         // Bracket k between adjacent probes: the smallest probe with
         // count ≥ k caps hi, the largest with count < k lifts lo.
-        val ts = probes(g)
-        val geK = ts.filter(t => counts((g, t)) >= s.k)
-        val ltK = ts.filter(t => counts((g, t)) < s.k)
+        val ts = probes(giOf(g))
+        val geK = ts.filter(t => counts((giOf(g), t)) >= s.k)
+        val ltK = ts.filter(t => counts((giOf(g), t)) < s.k)
         if (geK.nonEmpty) s.hi = geK.min
         if (ltK.nonEmpty) s.lo = ltK.max + 1
       }
@@ -256,13 +268,13 @@ object Selection {
     * single window, no cartesian). */
   private[graft] def countPairsLE(
       hist: DataFrame,
-      tByG: Map[String, Seq[Long]],
+      tByG: Map[Int, Seq[Long]],
       mode: PairMode): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
-    val tdf = tByG.toSeq.flatMap { case (g, ts) =>
-      ts.map(t => (g, t, Math.floorDiv(t, 2L))) }.toDF("g", "t", "th")
-    val h = hist.join(broadcast(tdf), Seq("g"))
+    val tdf = tByG.toSeq.flatMap { case (gi, ts) =>
+      ts.map(t => (gi, t, Math.floorDiv(t, 2L))) }.toDF("gi", "t", "th")
+    val h = hist.join(broadcast(tdf), Seq("gi"))
     // Providers carry the histogram mass ONCE (never replicated per
     // probe); queries ask for the inclusive prefix count F at their
     // probe-specific key. Provider tag 0 sorts BEFORE query tag 1 at
@@ -271,29 +283,29 @@ object Selection {
     // Walsh diagonal is ONE query row per (g, t) reading
     // F(⌊t/2⌋) = #{x : 2x ≤ t} (floorDiv driver-side keeps negative
     // thresholds exact).
-    val providers = hist.select($"g", $"v".as("key"), $"c".as("add"),
+    val providers = hist.select($"gi", $"v".as("key"), $"c".as("add"),
       lit(0).as("tag"), lit(0L).as("t"), lit(0L).as("qc"),
       lit(0L).as("dq"))
     val queries = mode match {
       case WalshSums =>
-        h.select($"g", ($"t" - $"v").as("key"), lit(0L).as("add"),
+        h.select($"gi", ($"t" - $"v").as("key"), lit(0L).as("add"),
             lit(1).as("tag"), $"t", $"c".as("qc"), lit(0L).as("dq"))
-          .unionAll(tdf.select($"g", $"th".as("key"),
+          .unionAll(tdf.select($"gi", $"th".as("key"),
             lit(0L).as("add"), lit(1).as("tag"), $"t",
             lit(0L).as("qc"), lit(1L).as("dq")))
       case AbsDiffs =>
-        h.select($"g", ($"v" + $"t").as("key"), lit(0L).as("add"),
+        h.select($"gi", ($"v" + $"t").as("key"), lit(0L).as("add"),
             lit(1).as("tag"), $"t", $"c".as("qc"), lit(0L).as("dq"))
-          .unionAll(h.select($"g", ($"v" - $"t" - 1).as("key"),
+          .unionAll(h.select($"gi", ($"v" - $"t" - 1).as("key"),
             lit(0L).as("add"), lit(1).as("tag"), $"t",
             (-$"c").as("qc"), lit(0L).as("dq")))
     }
-    val w = Window.partitionBy($"g").orderBy($"key", $"tag")
+    val w = Window.partitionBy($"gi").orderBy($"key", $"tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     providers.unionAll(queries)
       .withColumn("f", sum($"add").over(w))
       .filter($"tag" === 1)
-      .groupBy($"g", $"t")
+      .groupBy($"gi", $"t")
       .agg(sum($"qc" * $"f").as("s"), sum($"dq" * $"f").as("d"))
   }
 }

@@ -584,6 +584,53 @@ object StreamQueries {
       .orderBy(col("user_id"), col("update_seq"))
   }
 
+  /** Per-type ONLINE KALMAN FILTER exercised as a REAL two-batch
+    * stream (the q_stream_ewma even/odd split contract): event values
+    * fold through [[StreamOps.kalmanWithState]]'s q = 2, r = 8
+    * local-level recursion, (level, P) carried across the micro-batch
+    * boundary in the state store, one update row per type per batch.
+    * ORACLE-checked end to end: the global per-type fold order is
+    * (parity, ts, event_id) — batch 2's state is reachable only
+    * through batch 1's carried (level, P), which IS what the twin
+    * pins. Fixture contract: every type has even-id events, so
+    * update_seq equals the batch index (a type first seen in batch 2
+    * would emit update_seq 1 — documented, unreachable here).
+    */
+  def qStreamKalman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    val tmp = StreamOps.scratchDir("q_stream_kalman")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/src/a.parquet")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/src/b.parquet")
+    def dataFile(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val now = System.currentTimeMillis()
+    dataFile(s"$tmp/src/a.parquet").setLastModified(now - 60000)
+    dataFile(s"$tmp/src/b.parquet").setLastModified(now)
+    val schema = spark.read.parquet(s"$tmp/src/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$tmp/src")
+      .parquet(s"$tmp/src/*")
+    val updates = StreamOps.kalmanWithState(stream.as[StreamOps.KalmanIn])
+    val q = updates.writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+      .select(col("event_type"), col("update_seq"), col("n_so_far"),
+        round(col("level"), 6).as("level_r6"),
+        round(col("p"), 6).as("p_r6"))
+      .orderBy(col("event_type"), col("update_seq"))
+  }
+
   /** STREAMING TOP-3 LEADERBOARD per event type through
     * transformWithState's MAPSTATE ([[StreamOps.LeaderboardProcessor]]
     * — point-updated user→cents entries + a ValueState batch counter,
@@ -1986,6 +2033,7 @@ object StreamQueries {
     "q_time_granger_cond" -> (qTimeGrangerCond(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
+    "q_stream_kalman" -> (qStreamKalman(_, _)),
     "q_stream_zscore" -> (qStreamZscore(_, _)),
     "q_time_changepoint" -> (qTimeChangepoint(_, _)),
     "q_time_segmented" -> (qTimeSegmented(_, _)),
@@ -2717,6 +2765,35 @@ object StreamQueries {
         |SELECT user_id, useq AS update_seq, mrn AS n_so_far,
         |  round(lvl, 6) AS level_r6
         |FROM upd ORDER BY user_id, update_seq""".stripMargin,
+    // the ewma twin's two-batch replay with the Kalman recursion:
+    // identical expression trees per step, init (value, P = 8)
+    "q_stream_kalman" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+        |  FROM events),
+        |i AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY b, ts, event_id) AS rn FROM ev),
+        |r(event_type, rn, l, p) AS (
+        |  SELECT event_type, rn, value, CAST(8.0 AS DOUBLE)
+        |  FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn,
+        |    r.l + ((r.p + 2.0) / ((r.p + 2.0) + 8.0))
+        |      * (i.value - r.l),
+        |    (1.0 - ((r.p + 2.0) / ((r.p + 2.0) + 8.0))) * (r.p + 2.0)
+        |  FROM r JOIN i ON i.event_type = r.event_type
+        |    AND i.rn = r.rn + 1),
+        |last AS (SELECT event_type, b, MAX(rn) AS mrn FROM i
+        |         GROUP BY event_type, b),
+        |upd AS (SELECT lt.event_type, lt.b, lt.mrn, r.l, r.p,
+        |    row_number() OVER (PARTITION BY lt.event_type
+        |      ORDER BY lt.b) AS useq
+        |  FROM last lt JOIN r ON r.event_type = lt.event_type
+        |    AND r.rn = lt.mrn)
+        |SELECT event_type, useq AS update_seq, mrn AS n_so_far,
+        |  round(l, 6) AS level_r6, round(p, 6) AS p_r6
+        |FROM upd ORDER BY event_type, update_seq""".stripMargin,
     // strict-extrema count + one cleared-denominator integer verdict
     "q_time_turning" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

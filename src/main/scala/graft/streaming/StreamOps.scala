@@ -480,6 +480,61 @@ object StreamOps {
   case class EwmaUpdate(user_id: Long, update_seq: Long, n_so_far: Long,
                         level: Double)
 
+  case class KalmanIn(event_type: String, ts: java.sql.Timestamp,
+                      event_id: Long, value: Double)
+  case class KalmanState(level: Double, p: Double, n: Long,
+                         updates: Long)
+  case class KalmanUpdate(event_type: String, update_seq: Long,
+                          n_so_far: Long, level: Double, p: Double)
+
+  /** Per-key ONLINE LOCAL-LEVEL KALMAN FILTER (q = 2, r = 8 — the
+    * q_time_kalman model) via flatMapGroupsWithState: (level, P)
+    * survive micro-batch boundaries in the state store, each batch
+    * folds its rows in deterministic (ts, event_id) order on top of
+    * the carried state, and emits ONE update row per key per batch.
+    * The adaptive-gain sibling of [[ewmaWithState]]: the gain starts
+    * at P/(P+r) while the level is uncertain and converges to the
+    * steady state — exactly what a fixed-α ingest smoother cannot do
+    * after a state-store restore, where uncertainty should reset high.
+    *
+    * Same determinism contract as [[ewmaWithState]]: in-batch order is
+    * (event time, unique id); the batch split is part of the fixture
+    * contract, so a SQL twin replays the exact double sequence. State
+    * per key is one (level, P, n, updates) quad: O(keys). */
+  def kalmanWithState(events: Dataset[KalmanIn]): Dataset[KalmanUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[KalmanState, KalmanUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[KalmanIn],
+         st: GroupState[KalmanState]) =>
+          val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = st.getOption
+            var l = prev.map(_.level).getOrElse(0.0)
+            var p = prev.map(_.p).getOrElse(0.0)
+            var n = prev.map(_.n).getOrElse(0L)
+            for (e <- sorted) {
+              if (n == 0L) { l = e.value; p = 8.0 }
+              else {
+                val pp = p + 2.0
+                val k = pp / (pp + 8.0)
+                l = l + k * (e.value - l)
+                p = (1.0 - k) * pp
+              }
+              n += 1
+            }
+            val upd = prev.map(_.updates).getOrElse(0L) + 1L
+            st.update(KalmanState(l, p, n, upd))
+            Iterator.single(KalmanUpdate(et, upd, n, l, p))
+          }
+      }
+  }
+
   /** Per-key ONLINE EWMA (α = ½) via mapGroupsWithState semantics on
     * flatMapGroupsWithState: the level survives micro-batch boundaries
     * in the state store, each batch folds its own rows in deterministic

@@ -878,12 +878,12 @@ class PlanSpec extends SparkTestBase {
     "threshold by BROADCAST equi-join, prefix counts in one window — " +
     "no cartesian, no pair enumeration anywhere in the plan") {
     import spark.implicits._
-    val hist = Seq(("a", 1L, 3L), ("a", 5L, 2L), ("b", 2L, 4L))
-      .toDF("g", "v", "c")
+    val hist = Seq((0, 1L, 3L), (0, 5L, 2L), (1, 2L, 4L))
+      .toDF("gi", "v", "c")
     for (mode <- Seq(graft.ops.Selection.WalshSums,
         graft.ops.Selection.AbsDiffs)) {
       val probe = graft.ops.Selection.countPairsLE(
-        hist, Map("a" -> Seq(3L, 6L), "b" -> Seq(4L)), mode)
+        hist, Map(0 -> Seq(3L, 6L), 1 -> Seq(4L)), mode)
       val p = probe.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       assert(!p.contains("CartesianProduct") &&

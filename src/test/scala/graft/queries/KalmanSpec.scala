@@ -65,6 +65,40 @@ class KalmanSpec extends SparkTestBase {
     assert(gains.last > kStar && gains.last < 0.45)
   }
 
+  test("streaming two-batch handoff: update 2 continues from update " +
+    "1's carried (level, P) — scalar replay of evens-then-odds") {
+    val dir = java.nio.file.Files.createTempDirectory("kstream").toString
+    // explicit values so the filter actually moves; ids 1..6 ⇒ evens
+    // {2, 4, 6} arrive in batch 1, odds {1, 3, 5} in batch 2
+    val rows = (1 to 6).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-0$i 00:00:00"), 1L,
+        "a", i * 3.0 % 7.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = StreamQueries.qStreamKalman(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // scalar replay: evens in ts order, then odds in ts order
+    var l = 0.0; var p = 0.0; var n = 0L
+    def fold(xs: Seq[Double]): Unit = xs.foreach { x =>
+      if (n == 0L) { l = x; p = 8.0 }
+      else {
+        val pp = p + 2.0
+        val k = pp / (pp + 8.0)
+        l = l + k * (x - l)
+        p = (1.0 - k) * pp
+      }
+      n += 1
+    }
+    val vals = (1 to 6).map(i => i * 3.0 % 7.0)
+    fold(Seq(vals(1), vals(3), vals(5))) // ids 2, 4, 6
+    val u1 = ("a", 1L, 3L, r6(l), r6(p))
+    fold(Seq(vals(0), vals(2), vals(4))) // ids 1, 3, 5
+    val u2 = ("a", 2L, 6L, r6(l), r6(p))
+    assert(got == Seq(u1, u2), s"$got")
+  }
+
   test("single-day series emits exactly the init row") {
     val dir = java.nio.file.Files.createTempDirectory("kalman1").toString
     writeEvents(dir, Seq(("z", 7, 2)))
