@@ -293,7 +293,23 @@ object Scratch {
         ("conditional Granger: one lag window over the " +
           "calendar-bounded daily frame, fifteen moment sums in " +
           "ONE aggregate row, all OLS algebra scalar on the " +
-          "driver-bound single row"))
+          "driver-bound single row"),
+      "q_graph_walks" ->
+        ("random-walk corpus: ONE per-vertex rank window over the " +
+          "symmetrized edges, then walkLen bounded equi-joins of " +
+          "the |seeds|x|walks| frame against (vertex, rank) + " +
+          "degree — md5 selects neighbors relationally, no " +
+          "neighborhood ever collected"),
+      "q_time_kalman" ->
+        ("local-level Kalman: |types|x|days| cells from one " +
+          "map-side-partial aggregate, then the adaptive-gain fold " +
+          "as an ordered HOF inside the row — per-entity-model " +
+          "class, no extra exchange"),
+      "q_er_block_sorted" ->
+        ("sorted-neighborhood blocking: one nation-partitioned " +
+          "rank window + two SHIFTED equi-joins on (nat, rn + d) — " +
+          "the window predicate never plans a range join; linear " +
+          "candidates by construction"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")

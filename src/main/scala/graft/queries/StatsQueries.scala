@@ -253,6 +253,82 @@ object StatsQueries {
     * point of the median variant — the daily-count fixture is
     * Poisson-ish, exactly where plain Levene misleads.
     */
+  /** ANSARI–BRADLEY SCALE TEST (Ansari & Bradley, AMS 1960): do daily
+    * click and view volumes differ in DISPERSION? Scores run from both
+    * ends of the combined order (a(p) = min(p, N+1−p)); T = Σ scores
+    * of sample A; two-sided normal verdict via the exact permutation
+    * variance of a linear rank statistic. Completes the scale battery:
+    * q_stat_levene needs a location estimate (moments on deviations),
+    * q_stat_qn is an absolute estimator — Ansari–Bradley tests scale
+    * with NO location estimate, robust to monotone contamination.
+    *
+    * Exactness with ties: per distinct value the block integers
+    * (S2 = Σ doubled end-scores over the block's positions, t, cA)
+    * are exact BIGINTs from a running-count window + position
+    * explode; each tied average S2/t is ONE double division and the
+    * block terms fold in VALUE order (sort_array + aggregate HOF ≡
+    * the twin's list_sum over an ORDER BY v list — identical IEEE
+    * sequence, the q_time_holt fold discipline). |z| > 1.96 on
+    * identical doubles.
+    *
+    * Scale shape: the raw scan collapses to the value histogram
+    * (calendar-bounded here, domain-bounded in general — the
+    * q_stat_kendall boundedness argument); everything after is
+    * metadata-sized.
+    */
+  def qStatAnsari(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+    ansariFromSamples(
+      daily.select(lit("a").as("g"), $"x".as("v"))
+        .unionByName(daily.select(lit("b").as("g"), $"y".as("v"))))
+  }
+
+  /** Ansari–Bradley core on a (g ∈ {a, b}, v: long) frame — see
+    * [[qStatAnsari]]. Exposed for AnsariSpec brute parity. */
+  private[queries] def ansariFromSamples(s: DataFrame): DataFrame = {
+    import s.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = s.groupBy($"v").agg(count(lit(1)).as("t"),
+      sum(when($"g" === "a", 1L).otherwise(0L)).as("ca"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+    val tot = blocks.agg(sum($"t").as("nn"), sum($"ca").as("m"))
+    val s2b = blocks.crossJoin(broadcast(tot))
+      .select($"v", $"t", $"ca", $"cumt", $"nn", $"m",
+        explode(expr("sequence(1L, t)")).as("i"))
+      .select($"v", $"t", $"ca", $"nn", $"m",
+        (lit(2L) * least($"cumt" + $"i",
+          $"nn" + 1L - ($"cumt" + $"i"))).as("a2"))
+      .groupBy($"v", $"t", $"ca", $"nn", $"m")
+      .agg(sum($"a2").as("s2"))
+    s2b.groupBy($"nn", $"m")
+      .agg(expr("sort_array(collect_list(struct(v, t, ca, s2)))")
+        .as("arr"), sum($"s2").as("sum2"))
+      .select($"nn", $"m", ($"nn" - $"m").as("n_b"), $"sum2",
+        expr("aggregate(arr, 0D, (acc, x) -> acc + " +
+          "CAST(x.ca AS DOUBLE) * (CAST(x.s2 AS DOUBLE) " +
+          "/ CAST(x.t AS DOUBLE)))").as("t2"),
+        expr("aggregate(arr, 0D, (acc, x) -> acc + " +
+          "CAST(x.s2 AS DOUBLE) * (CAST(x.s2 AS DOUBLE) " +
+          "/ CAST(x.t AS DOUBLE)))").as("q2"))
+      .select($"nn", $"m", $"n_b", $"sum2", round($"t2", 6).as("t2_r6"),
+        expr("round((t2 - CAST(m * sum2 AS DOUBLE) / CAST(nn AS " +
+          "DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) / CAST(nn * " +
+          "(nn - 1) AS DOUBLE) * (q2 - CAST(sum2 AS DOUBLE) * sum2 " +
+          "/ nn)), 6)").as("z_r6"),
+        expr("abs((t2 - CAST(m * sum2 AS DOUBLE) / CAST(nn AS " +
+          "DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) / CAST(nn * " +
+          "(nn - 1) AS DOUBLE) * (q2 - CAST(sum2 AS DOUBLE) * sum2 " +
+          "/ nn))) > 1.959963984540054").as("reject"))
+  }
+
   def qStatLevene(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2374,6 +2450,7 @@ object StatsQueries {
     "q_agg_moments" -> (qAggMoments(_, _)),
     "q_stat_cramers" -> (qStatCramers(_, _)),
     "q_stat_jarque" -> (qStatJarque(_, _)),
+    "q_stat_ansari" -> (qStatAnsari(_, _)),
     "q_stat_levene" -> (qStatLevene(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
@@ -3352,6 +3429,55 @@ object StatsQueries {
         |FROM ag""".stripMargin,
     // identical lower medians, exact |z| integers, common-denominator
     // HUGEINT verdict, group-ordered double fold for f_r6
+    // same block integers (running-count window + per-position
+    // explode), same ordered list_sum folds, same one-expression z
+    "q_stat_ansari" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT 'a' AS g, x AS v FROM daily
+        |  UNION ALL SELECT 'b', y FROM daily),
+        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca
+        |  FROM s GROUP BY v),
+        |b AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumt FROM hist),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+        |    CAST(SUM(ca) AS BIGINT) AS m FROM b),
+        |pos AS (SELECT v, t, ca, nn, m,
+        |    cumt + unnest(generate_series(1, t)) AS p
+        |  FROM b CROSS JOIN tot),
+        |s2b AS (SELECT v, t, ca, nn, m,
+        |    CAST(SUM(2 * LEAST(p, nn + 1 - p)) AS BIGINT) AS s2
+        |  FROM pos GROUP BY v, t, ca, nn, m),
+        |l AS (SELECT nn, m,
+        |    list(struct_pack(t := t, ca := ca, s2 := s2)
+        |      ORDER BY v) AS arr,
+        |    CAST(SUM(s2) AS BIGINT) AS sum2
+        |  FROM s2b GROUP BY nn, m),
+        |f AS (SELECT nn, m, nn - m AS n_b, sum2,
+        |    list_sum(list_transform(arr, x ->
+        |      CAST(x.ca AS DOUBLE) * (CAST(x.s2 AS DOUBLE)
+        |        / CAST(x.t AS DOUBLE)))) AS t2,
+        |    list_sum(list_transform(arr, x ->
+        |      CAST(x.s2 AS DOUBLE) * (CAST(x.s2 AS DOUBLE)
+        |        / CAST(x.t AS DOUBLE)))) AS q2
+        |  FROM l)
+        |SELECT nn, m, n_b, sum2, round(t2, 6) AS t2_r6,
+        |  round((t2 - CAST(m * sum2 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(m * (nn - m) AS DOUBLE) / CAST(nn * (nn - 1)
+        |    AS DOUBLE) * (q2 - CAST(sum2 AS DOUBLE) * sum2 / nn)), 6)
+        |    AS z_r6,
+        |  abs((t2 - CAST(m * sum2 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / sqrt(CAST(m * (nn - m) AS DOUBLE) / CAST(nn * (nn - 1)
+        |    AS DOUBLE) * (q2 - CAST(sum2 AS DOUBLE) * sum2 / nn)))
+        |    > 1.959963984540054 AS reject
+        |FROM f""".stripMargin,
     "q_stat_levene" ->
       """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS v
