@@ -1089,4 +1089,75 @@ object Graph {
     cur.select($"seed", $"w".cast("long").as("walk"),
       $"cur".as("last_vertex"), $"path")
   }
+  /** DENSEST SUBGRAPH by (1+ε)-batched greedy peeling (Bahmani, Kumar
+    * & Vassilvitskii, VLDB 2012 — THE MapReduce-era graph algorithm:
+    * Charikar's 2-approx greedy peel needs |V| sequential rounds;
+    * batching every vertex below 2(1+ε)·density into one removal
+    * keeps the 2(1+ε) guarantee in ⌈log_{1+ε} |V|⌉ rounds). ε = ½
+    * here: remove every v with deg(v)·|V| ≤ 3·|E| (the exact integer
+    * cross-multiplication of deg ≤ 3·ρ), so each round removes ≥ ⅓ of
+    * the remaining vertices and the density of the best VISITED state
+    * is ≥ ρ* / 3.
+    *
+    * Round discipline: ONE degree aggregate per round (|V| = its row
+    * count, |E| = Σd/2 — no separate distinct/count passes), its
+    * one-row stats collected to drive the loop and the keep rule as
+    * MAP-SIDE literals (O(log n) bounded driver actions total — the
+    * selection-probe exception class); each round's survivor edge
+    * list is localCheckpoint-ed (the dedupComponents lineage-cut
+    * precedent — a 26-deep lazy unroll sends Catalyst analysis
+    * superlinear). `rounds` is the unroll CEILING the oracle mirrors;
+    * the loop exits at the first empty graph. Output: one row per
+    * non-empty round (vertex/edge counts, exact floor-ppm density)
+    * with `is_best` marking the densest visited state (floor-ppm,
+    * earliest round on ties — deterministic, twin-replayable).
+    *
+    * Scale shape per round: one degree aggregate over the edge list +
+    * two semi-join filters keyed by vertex; edges only ever shrink.
+    * At 100 TB: O(log n) rounds of linear work — exactly the paper's
+    * point.
+    */
+  def densestSubgraph(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 40, "bounded peel rounds 1..40")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var cur = und.localCheckpoint()
+    val trace = Seq.newBuilder[(Int, Long, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val deg = CacheScope.cached(cur.select(col("a").as("v"))
+        .unionAll(cur.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d")))
+      val row = deg
+        .agg(count(lit(1)).as("nv"), sum(col("d")).as("sd"))
+        .collect()(0)
+      val nv = row.getLong(0)
+      if (nv == 0) done = true
+      else {
+        val ne = row.getLong(1) / 2
+        trace += ((r, nv, ne))
+        val keep = deg
+          .filter(col("d") * lit(nv) > lit(3L) * lit(ne))
+          .select(col("v"))
+        cur = cur
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("density_ppm").desc, col("round").asc)
+    trace.result().toDF("round", "nv", "ne")
+      .select(col("round"), col("nv"), col("ne"),
+        expr("ne * 1000000 div nv").as("density_ppm"))
+      .withColumn("is_best", row_number().over(w) === 1)
+      .orderBy(col("round"))
+  }
 }

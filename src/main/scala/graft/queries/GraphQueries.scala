@@ -597,8 +597,27 @@ object GraphQueries {
     "q_graph_local_cc" -> (qGraphLocalCc(_, _)),
     "q_graph_ppr" -> (qGraphPpr(_, _)),
     "q_graph_label_prop" -> (qGraphLabelProp(_, _)),
-    "q_graph_walks" -> (qGraphWalks(_, _))
+    "q_graph_walks" -> (qGraphWalks(_, _)),
+    "q_graph_densest" -> (qGraphDensest(_, _))
   )
+
+  /** Densest-subgraph peel over the sparse CO-SUPPLY graph (the
+    * triangle-census fixture — the bipartite shipment graph
+    * degenerates: one peel removes every customer and the trace is a
+    * single round) — see [[graft.ops.Graph.densestSubgraph]]
+    * (Bahmani et al. VLDB 2012, ε = ½). `rounds` = 26 is the
+    * log_1.5 |V| ceiling; the loop exits at the first empty graph.
+    */
+  def qGraphDensest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    Graph.densestSubgraph(edges, rounds = 26)
+  }
 
   /** DeepWalk-style DETERMINISTIC random-walk corpus over the shipment
     * graph: 2 walks of 4 steps from suppliers 1..6 (declarative seed
@@ -827,7 +846,360 @@ object GraphQueries {
       |SELECT seed, CAST(w AS BIGINT) AS walk, cur AS last_vertex, path
       |FROM w4 ORDER BY seed, walk""".stripMargin
 
+  // 26 unrolled peel rounds, verbatim engine replay (the Boruvka
+  // unroll precedent): per round degree table, integer
+  // cross-multiplied keep rule, two semi-join edge filters
+  // 26 unrolled peel rounds, verbatim engine replay (the Boruvka
+  // unroll precedent); every chain CTE is MATERIALIZED — DuckDB
+  // inlines plain CTEs, and a 26-deep chain referenced 4x per level
+  // inlines exponentially
+  private val densestOracleSql: String =
+    """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+      |    l_suppkey AS s FROM lineitem WHERE l_quantity = 1),
+      |g0 AS MATERIALIZED (SELECT DISTINCT least(x.s, y.s) AS a,
+      |    greatest(x.s, y.s) AS b
+      |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+      |  WHERE x.s <> y.s),
+      |v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g0 UNION SELECT b FROM g0)),
+      |n0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g0),
+      |st0 AS (SELECT 0 AS round, nv, ne FROM v0, n0),
+      |k0 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g0 UNION ALL SELECT b FROM g0)
+      |   GROUP BY v) d, v0, n0
+      |  WHERE d.d * nv > 3 * ne),
+      |g1 AS MATERIALIZED (SELECT g.a, g.b FROM g0 g
+      |  JOIN k0 ka ON g.a = ka.v JOIN k0 kb ON g.b = kb.v),
+      |v1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g1 UNION SELECT b FROM g1)),
+      |n1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g1),
+      |st1 AS (SELECT 1 AS round, nv, ne FROM v1, n1),
+      |k1 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g1 UNION ALL SELECT b FROM g1)
+      |   GROUP BY v) d, v1, n1
+      |  WHERE d.d * nv > 3 * ne),
+      |g2 AS MATERIALIZED (SELECT g.a, g.b FROM g1 g
+      |  JOIN k1 ka ON g.a = ka.v JOIN k1 kb ON g.b = kb.v),
+      |v2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g2 UNION SELECT b FROM g2)),
+      |n2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g2),
+      |st2 AS (SELECT 2 AS round, nv, ne FROM v2, n2),
+      |k2 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g2 UNION ALL SELECT b FROM g2)
+      |   GROUP BY v) d, v2, n2
+      |  WHERE d.d * nv > 3 * ne),
+      |g3 AS MATERIALIZED (SELECT g.a, g.b FROM g2 g
+      |  JOIN k2 ka ON g.a = ka.v JOIN k2 kb ON g.b = kb.v),
+      |v3 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g3 UNION SELECT b FROM g3)),
+      |n3 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g3),
+      |st3 AS (SELECT 3 AS round, nv, ne FROM v3, n3),
+      |k3 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g3 UNION ALL SELECT b FROM g3)
+      |   GROUP BY v) d, v3, n3
+      |  WHERE d.d * nv > 3 * ne),
+      |g4 AS MATERIALIZED (SELECT g.a, g.b FROM g3 g
+      |  JOIN k3 ka ON g.a = ka.v JOIN k3 kb ON g.b = kb.v),
+      |v4 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g4 UNION SELECT b FROM g4)),
+      |n4 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g4),
+      |st4 AS (SELECT 4 AS round, nv, ne FROM v4, n4),
+      |k4 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g4 UNION ALL SELECT b FROM g4)
+      |   GROUP BY v) d, v4, n4
+      |  WHERE d.d * nv > 3 * ne),
+      |g5 AS MATERIALIZED (SELECT g.a, g.b FROM g4 g
+      |  JOIN k4 ka ON g.a = ka.v JOIN k4 kb ON g.b = kb.v),
+      |v5 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g5 UNION SELECT b FROM g5)),
+      |n5 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g5),
+      |st5 AS (SELECT 5 AS round, nv, ne FROM v5, n5),
+      |k5 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g5 UNION ALL SELECT b FROM g5)
+      |   GROUP BY v) d, v5, n5
+      |  WHERE d.d * nv > 3 * ne),
+      |g6 AS MATERIALIZED (SELECT g.a, g.b FROM g5 g
+      |  JOIN k5 ka ON g.a = ka.v JOIN k5 kb ON g.b = kb.v),
+      |v6 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g6 UNION SELECT b FROM g6)),
+      |n6 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g6),
+      |st6 AS (SELECT 6 AS round, nv, ne FROM v6, n6),
+      |k6 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g6 UNION ALL SELECT b FROM g6)
+      |   GROUP BY v) d, v6, n6
+      |  WHERE d.d * nv > 3 * ne),
+      |g7 AS MATERIALIZED (SELECT g.a, g.b FROM g6 g
+      |  JOIN k6 ka ON g.a = ka.v JOIN k6 kb ON g.b = kb.v),
+      |v7 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g7 UNION SELECT b FROM g7)),
+      |n7 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g7),
+      |st7 AS (SELECT 7 AS round, nv, ne FROM v7, n7),
+      |k7 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g7 UNION ALL SELECT b FROM g7)
+      |   GROUP BY v) d, v7, n7
+      |  WHERE d.d * nv > 3 * ne),
+      |g8 AS MATERIALIZED (SELECT g.a, g.b FROM g7 g
+      |  JOIN k7 ka ON g.a = ka.v JOIN k7 kb ON g.b = kb.v),
+      |v8 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g8 UNION SELECT b FROM g8)),
+      |n8 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g8),
+      |st8 AS (SELECT 8 AS round, nv, ne FROM v8, n8),
+      |k8 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g8 UNION ALL SELECT b FROM g8)
+      |   GROUP BY v) d, v8, n8
+      |  WHERE d.d * nv > 3 * ne),
+      |g9 AS MATERIALIZED (SELECT g.a, g.b FROM g8 g
+      |  JOIN k8 ka ON g.a = ka.v JOIN k8 kb ON g.b = kb.v),
+      |v9 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g9 UNION SELECT b FROM g9)),
+      |n9 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g9),
+      |st9 AS (SELECT 9 AS round, nv, ne FROM v9, n9),
+      |k9 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g9 UNION ALL SELECT b FROM g9)
+      |   GROUP BY v) d, v9, n9
+      |  WHERE d.d * nv > 3 * ne),
+      |g10 AS MATERIALIZED (SELECT g.a, g.b FROM g9 g
+      |  JOIN k9 ka ON g.a = ka.v JOIN k9 kb ON g.b = kb.v),
+      |v10 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g10 UNION SELECT b FROM g10)),
+      |n10 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g10),
+      |st10 AS (SELECT 10 AS round, nv, ne FROM v10, n10),
+      |k10 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g10 UNION ALL SELECT b FROM g10)
+      |   GROUP BY v) d, v10, n10
+      |  WHERE d.d * nv > 3 * ne),
+      |g11 AS MATERIALIZED (SELECT g.a, g.b FROM g10 g
+      |  JOIN k10 ka ON g.a = ka.v JOIN k10 kb ON g.b = kb.v),
+      |v11 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g11 UNION SELECT b FROM g11)),
+      |n11 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g11),
+      |st11 AS (SELECT 11 AS round, nv, ne FROM v11, n11),
+      |k11 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g11 UNION ALL SELECT b FROM g11)
+      |   GROUP BY v) d, v11, n11
+      |  WHERE d.d * nv > 3 * ne),
+      |g12 AS MATERIALIZED (SELECT g.a, g.b FROM g11 g
+      |  JOIN k11 ka ON g.a = ka.v JOIN k11 kb ON g.b = kb.v),
+      |v12 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g12 UNION SELECT b FROM g12)),
+      |n12 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g12),
+      |st12 AS (SELECT 12 AS round, nv, ne FROM v12, n12),
+      |k12 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g12 UNION ALL SELECT b FROM g12)
+      |   GROUP BY v) d, v12, n12
+      |  WHERE d.d * nv > 3 * ne),
+      |g13 AS MATERIALIZED (SELECT g.a, g.b FROM g12 g
+      |  JOIN k12 ka ON g.a = ka.v JOIN k12 kb ON g.b = kb.v),
+      |v13 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g13 UNION SELECT b FROM g13)),
+      |n13 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g13),
+      |st13 AS (SELECT 13 AS round, nv, ne FROM v13, n13),
+      |k13 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g13 UNION ALL SELECT b FROM g13)
+      |   GROUP BY v) d, v13, n13
+      |  WHERE d.d * nv > 3 * ne),
+      |g14 AS MATERIALIZED (SELECT g.a, g.b FROM g13 g
+      |  JOIN k13 ka ON g.a = ka.v JOIN k13 kb ON g.b = kb.v),
+      |v14 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g14 UNION SELECT b FROM g14)),
+      |n14 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g14),
+      |st14 AS (SELECT 14 AS round, nv, ne FROM v14, n14),
+      |k14 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g14 UNION ALL SELECT b FROM g14)
+      |   GROUP BY v) d, v14, n14
+      |  WHERE d.d * nv > 3 * ne),
+      |g15 AS MATERIALIZED (SELECT g.a, g.b FROM g14 g
+      |  JOIN k14 ka ON g.a = ka.v JOIN k14 kb ON g.b = kb.v),
+      |v15 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g15 UNION SELECT b FROM g15)),
+      |n15 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g15),
+      |st15 AS (SELECT 15 AS round, nv, ne FROM v15, n15),
+      |k15 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g15 UNION ALL SELECT b FROM g15)
+      |   GROUP BY v) d, v15, n15
+      |  WHERE d.d * nv > 3 * ne),
+      |g16 AS MATERIALIZED (SELECT g.a, g.b FROM g15 g
+      |  JOIN k15 ka ON g.a = ka.v JOIN k15 kb ON g.b = kb.v),
+      |v16 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g16 UNION SELECT b FROM g16)),
+      |n16 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g16),
+      |st16 AS (SELECT 16 AS round, nv, ne FROM v16, n16),
+      |k16 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g16 UNION ALL SELECT b FROM g16)
+      |   GROUP BY v) d, v16, n16
+      |  WHERE d.d * nv > 3 * ne),
+      |g17 AS MATERIALIZED (SELECT g.a, g.b FROM g16 g
+      |  JOIN k16 ka ON g.a = ka.v JOIN k16 kb ON g.b = kb.v),
+      |v17 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g17 UNION SELECT b FROM g17)),
+      |n17 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g17),
+      |st17 AS (SELECT 17 AS round, nv, ne FROM v17, n17),
+      |k17 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g17 UNION ALL SELECT b FROM g17)
+      |   GROUP BY v) d, v17, n17
+      |  WHERE d.d * nv > 3 * ne),
+      |g18 AS MATERIALIZED (SELECT g.a, g.b FROM g17 g
+      |  JOIN k17 ka ON g.a = ka.v JOIN k17 kb ON g.b = kb.v),
+      |v18 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g18 UNION SELECT b FROM g18)),
+      |n18 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g18),
+      |st18 AS (SELECT 18 AS round, nv, ne FROM v18, n18),
+      |k18 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g18 UNION ALL SELECT b FROM g18)
+      |   GROUP BY v) d, v18, n18
+      |  WHERE d.d * nv > 3 * ne),
+      |g19 AS MATERIALIZED (SELECT g.a, g.b FROM g18 g
+      |  JOIN k18 ka ON g.a = ka.v JOIN k18 kb ON g.b = kb.v),
+      |v19 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g19 UNION SELECT b FROM g19)),
+      |n19 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g19),
+      |st19 AS (SELECT 19 AS round, nv, ne FROM v19, n19),
+      |k19 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g19 UNION ALL SELECT b FROM g19)
+      |   GROUP BY v) d, v19, n19
+      |  WHERE d.d * nv > 3 * ne),
+      |g20 AS MATERIALIZED (SELECT g.a, g.b FROM g19 g
+      |  JOIN k19 ka ON g.a = ka.v JOIN k19 kb ON g.b = kb.v),
+      |v20 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g20 UNION SELECT b FROM g20)),
+      |n20 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g20),
+      |st20 AS (SELECT 20 AS round, nv, ne FROM v20, n20),
+      |k20 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g20 UNION ALL SELECT b FROM g20)
+      |   GROUP BY v) d, v20, n20
+      |  WHERE d.d * nv > 3 * ne),
+      |g21 AS MATERIALIZED (SELECT g.a, g.b FROM g20 g
+      |  JOIN k20 ka ON g.a = ka.v JOIN k20 kb ON g.b = kb.v),
+      |v21 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g21 UNION SELECT b FROM g21)),
+      |n21 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g21),
+      |st21 AS (SELECT 21 AS round, nv, ne FROM v21, n21),
+      |k21 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g21 UNION ALL SELECT b FROM g21)
+      |   GROUP BY v) d, v21, n21
+      |  WHERE d.d * nv > 3 * ne),
+      |g22 AS MATERIALIZED (SELECT g.a, g.b FROM g21 g
+      |  JOIN k21 ka ON g.a = ka.v JOIN k21 kb ON g.b = kb.v),
+      |v22 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g22 UNION SELECT b FROM g22)),
+      |n22 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g22),
+      |st22 AS (SELECT 22 AS round, nv, ne FROM v22, n22),
+      |k22 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g22 UNION ALL SELECT b FROM g22)
+      |   GROUP BY v) d, v22, n22
+      |  WHERE d.d * nv > 3 * ne),
+      |g23 AS MATERIALIZED (SELECT g.a, g.b FROM g22 g
+      |  JOIN k22 ka ON g.a = ka.v JOIN k22 kb ON g.b = kb.v),
+      |v23 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g23 UNION SELECT b FROM g23)),
+      |n23 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g23),
+      |st23 AS (SELECT 23 AS round, nv, ne FROM v23, n23),
+      |k23 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g23 UNION ALL SELECT b FROM g23)
+      |   GROUP BY v) d, v23, n23
+      |  WHERE d.d * nv > 3 * ne),
+      |g24 AS MATERIALIZED (SELECT g.a, g.b FROM g23 g
+      |  JOIN k23 ka ON g.a = ka.v JOIN k23 kb ON g.b = kb.v),
+      |v24 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g24 UNION SELECT b FROM g24)),
+      |n24 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g24),
+      |st24 AS (SELECT 24 AS round, nv, ne FROM v24, n24),
+      |k24 AS MATERIALIZED (SELECT d.v FROM
+      |  (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+      |    (SELECT a AS v FROM g24 UNION ALL SELECT b FROM g24)
+      |   GROUP BY v) d, v24, n24
+      |  WHERE d.d * nv > 3 * ne),
+      |g25 AS MATERIALIZED (SELECT g.a, g.b FROM g24 g
+      |  JOIN k24 ka ON g.a = ka.v JOIN k24 kb ON g.b = kb.v),
+      |v25 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nv
+      |  FROM (SELECT a AS x FROM g25 UNION SELECT b FROM g25)),
+      |n25 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS ne
+      |  FROM g25),
+      |st25 AS (SELECT 25 AS round, nv, ne FROM v25, n25),
+      |allst AS (SELECT * FROM st0
+      |  UNION ALL SELECT * FROM st1
+      |  UNION ALL SELECT * FROM st2
+      |  UNION ALL SELECT * FROM st3
+      |  UNION ALL SELECT * FROM st4
+      |  UNION ALL SELECT * FROM st5
+      |  UNION ALL SELECT * FROM st6
+      |  UNION ALL SELECT * FROM st7
+      |  UNION ALL SELECT * FROM st8
+      |  UNION ALL SELECT * FROM st9
+      |  UNION ALL SELECT * FROM st10
+      |  UNION ALL SELECT * FROM st11
+      |  UNION ALL SELECT * FROM st12
+      |  UNION ALL SELECT * FROM st13
+      |  UNION ALL SELECT * FROM st14
+      |  UNION ALL SELECT * FROM st15
+      |  UNION ALL SELECT * FROM st16
+      |  UNION ALL SELECT * FROM st17
+      |  UNION ALL SELECT * FROM st18
+      |  UNION ALL SELECT * FROM st19
+      |  UNION ALL SELECT * FROM st20
+      |  UNION ALL SELECT * FROM st21
+      |  UNION ALL SELECT * FROM st22
+      |  UNION ALL SELECT * FROM st23
+      |  UNION ALL SELECT * FROM st24
+      |  UNION ALL SELECT * FROM st25),
+      |allr AS (SELECT round, nv, ne, ne * 1000000 // nv
+      |    AS density_ppm FROM allst WHERE nv > 0)
+      |SELECT round, nv, ne, density_ppm,
+      |  (row_number() OVER (ORDER BY density_ppm DESC, round) = 1)
+      |    AS is_best
+      |FROM allr ORDER BY round""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_graph_densest" -> densestOracleSql,
     "q_graph_walks" -> walksOracleSql,
     // UNION-deduped recursive BFS from the same sorted-LIMIT landmarks
     "q_graph_ecc" ->

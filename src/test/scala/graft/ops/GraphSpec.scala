@@ -703,4 +703,25 @@ class GraphSpec extends SparkTestBase {
     }).toSet
     assert(got == want)
   }
+  test("densestSubgraph: hand-traced peel finds the planted dense " +
+    "core; trace rows, densities and is_best exact; deterministic") {
+    // K6 core {1..6} (15 edges, in-core degree 5) + one pendant per
+    // core vertex (6 edges): round 0 state (12, 21), threshold
+    // d <= 3*21/12 = 5.25 removes exactly the pendants (d = 1, core
+    // d = 6); round 1 state (6, 15), threshold 7.5 clears the core.
+    val core = for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)
+    val pendants = (1L to 6L).map(i => (i, i + 10L))
+    val edges = (core ++ pendants).toDF("src", "dst")
+    def run() = CacheScope.scoped {
+      Graph.densestSubgraph(edges, rounds = 10)
+        .as[(Int, Long, Long, Long, Boolean)].collect().toSeq
+    }
+    val got = run()
+    assert(got == Seq(
+      (0, 12L, 21L, 1750000L, false),
+      (1, 6L, 15L, 2500000L, true)), s"$got")
+    assert(got == run()) // deterministic
+    // the guarantee: best visited density >= rho* / 3 (rho* >= K6's 2.5)
+    assert(got.filter(_._5).head._4 >= 2500000L / 3)
+  }
 }
