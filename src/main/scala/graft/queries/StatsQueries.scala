@@ -329,6 +329,68 @@ object StatsQueries {
           "/ nn))) > 1.959963984540054").as("reject"))
   }
 
+  /** MOOD'S SCALE TEST (Mood, AMS 1954) — the squared-rank-deviation
+    * companion to [[qStatAnsari]]: T = Σ over sample A of
+    * (r − (N+1)/2)², large when A holds the EXTREME ranks. With
+    * midranks a tie block occupying positions [lo, hi] gives every
+    * member the SAME doubled midrank lo + hi, so the ×4 score
+    * (2·cumt + t − N)² is one exact BIGINT per block and every sum in
+    * the statistic is a plain order-independent integer SUM — no
+    * ordered fold, no per-block division; the permutation-variance z
+    * applies ONE double division at the end. Strictly tighter
+    * exactness than Ansari–Bradley (whose tied averages are
+    * rationals); the two tests weight tails differently (quadratic vs
+    * triangular), so both belong in the battery.
+    *
+    * Long envelope: q4 sums Σ t·score4² reach 16·N⁵ — carried in
+    * DECIMAL(38,0) (HUGEINT in the twin) so the statistic is exact to
+    * N ~ 10⁷ sample points; the histogram collapse (kendall
+    * boundedness) keeps block counts domain-bounded regardless.
+    */
+  def qStatMoodScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+    moodScaleFromSamples(
+      daily.select(lit("a").as("g"), $"x".as("v"))
+        .unionByName(daily.select(lit("b").as("g"), $"y".as("v"))))
+  }
+
+  /** Mood scale core on a (g ∈ {a, b}, v: long) frame — see
+    * [[qStatMoodScale]]. Exposed for MoodScaleSpec brute parity. */
+  private[queries] def moodScaleFromSamples(s: DataFrame): DataFrame = {
+    import s.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = s.groupBy($"v").agg(count(lit(1)).as("t"),
+      sum(when($"g" === "a", 1L).otherwise(0L)).as("ca"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+    val tot = blocks.agg(sum($"t").as("nn"), sum($"ca").as("m"))
+    blocks.crossJoin(broadcast(tot))
+      .select($"t", $"ca", $"nn", $"m",
+        ((lit(2L) * $"cumt" + $"t" - $"nn")
+          * (lit(2L) * $"cumt" + $"t" - $"nn")).as("s4"))
+      .groupBy($"nn", $"m")
+      .agg(sum($"ca" * $"s4").as("t4"),
+        sum($"t" * $"s4").as("sum4"),
+        sum(($"t" * $"s4").cast("decimal(38,0)") * $"s4").as("q4"))
+      .select($"nn", $"m", ($"nn" - $"m").as("n_b"), $"t4", $"sum4",
+        expr("round((CAST(t4 AS DOUBLE) - CAST(m * sum4 AS DOUBLE) " +
+          "/ CAST(nn AS DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) " +
+          "/ CAST(nn * (nn - 1) AS DOUBLE) * (CAST(q4 AS DOUBLE) " +
+          "- CAST(sum4 AS DOUBLE) * sum4 / nn)), 6)").as("z_r6"),
+        expr("abs((CAST(t4 AS DOUBLE) - CAST(m * sum4 AS DOUBLE) " +
+          "/ CAST(nn AS DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) " +
+          "/ CAST(nn * (nn - 1) AS DOUBLE) * (CAST(q4 AS DOUBLE) " +
+          "- CAST(sum4 AS DOUBLE) * sum4 / nn))) " +
+          "> 1.959963984540054").as("reject"))
+  }
+
   def qStatLevene(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2451,6 +2513,7 @@ object StatsQueries {
     "q_stat_cramers" -> (qStatCramers(_, _)),
     "q_stat_jarque" -> (qStatJarque(_, _)),
     "q_stat_ansari" -> (qStatAnsari(_, _)),
+    "q_stat_moodscale" -> (qStatMoodScale(_, _)),
     "q_stat_levene" -> (qStatLevene(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
@@ -3429,6 +3492,46 @@ object StatsQueries {
         |FROM ag""".stripMargin,
     // identical lower medians, exact |z| integers, common-denominator
     // HUGEINT verdict, group-ordered double fold for f_r6
+    // same histogram/cum-window machinery as ansari; every sum a plain
+    // exact-integer SUM (q4 in HUGEINT ≡ the engine's DECIMAL(38,0)),
+    // ONE double division in the z
+    "q_stat_moodscale" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT 'a' AS g, x AS v FROM daily
+        |  UNION ALL SELECT 'b', y FROM daily),
+        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca
+        |  FROM s GROUP BY v),
+        |b AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumt FROM hist),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+        |    CAST(SUM(ca) AS BIGINT) AS m FROM b),
+        |s4b AS (SELECT t, ca, nn, m,
+        |    (2 * cumt + t - nn) * (2 * cumt + t - nn) AS s4
+        |  FROM b CROSS JOIN tot),
+        |f AS (SELECT nn, m,
+        |    CAST(SUM(ca * s4) AS BIGINT) AS t4,
+        |    CAST(SUM(t * s4) AS BIGINT) AS sum4,
+        |    SUM(CAST(t * s4 AS HUGEINT) * s4) AS q4
+        |  FROM s4b GROUP BY nn, m)
+        |SELECT nn, m, nn - m AS n_b, t4, sum4,
+        |  round((CAST(t4 AS DOUBLE) - CAST(m * sum4 AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE)
+        |    / CAST(nn * (nn - 1) AS DOUBLE) * (CAST(q4 AS DOUBLE)
+        |    - CAST(sum4 AS DOUBLE) * sum4 / nn)), 6) AS z_r6,
+        |  abs((CAST(t4 AS DOUBLE) - CAST(m * sum4 AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE)
+        |    / CAST(nn * (nn - 1) AS DOUBLE) * (CAST(q4 AS DOUBLE)
+        |    - CAST(sum4 AS DOUBLE) * sum4 / nn)))
+        |    > 1.959963984540054 AS reject
+        |FROM f""".stripMargin,
     // same block integers (running-count window + per-position
     // explode), same ordered list_sum folds, same one-expression z
     "q_stat_ansari" ->
