@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-round lineage cut for iterative loops: EAGER localCheckpoint.
+    *
+    * A lazy persist() chain keeps the whole round history in the plan
+    * tree — every downstream materialization re-analyzes and
+    * re-AQE-plans the nested InMemoryRelation stack, which goes
+    * superlinear in the round count (measured on q_graph_ecc, see
+    * [[bfsReach]]: 21.6 s wall / 97 s CPU lazy vs 4.2 s / 17 s eager
+    * on a 4k-row reach set — ALL overhead, no data). Rounds of a
+    * synchronous iteration are inherently serial, so eager
+    * materialization costs no pipelining. Cluster note: localCheckpoint
+    * blocks die with their executor — swap in `checkpoint()` against a
+    * reliable store for long-running cluster jobs.
+    */
+  private def roundCut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** @param edges DataFrame[src: Long, dst: Long]; deduplicated here.
     * @return DataFrame[vertex, rank_scaled] — rank mass in scale⁻¹ units.
     */
@@ -53,8 +68,7 @@ object Graph {
       val next = verts.join(in, verts("v") === in("dst"), "left")
         .select(col("v"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-      val persisted = CacheScope.cached(next)
-      ranks = persisted
+      ranks = roundCut(next)
     }
     ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
   }
@@ -95,11 +109,11 @@ object Graph {
       val a0 = e.join(h, e("src") === h("v"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("v"), col("a"))
-      a = CacheScope.cached(renorm(a0, "a"))
+      a = roundCut(renorm(a0, "a"))
       val h0 = e.join(a, e("dst") === a("v"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("v"), col("h"))
-      h = CacheScope.cached(renorm(h0, "h"))
+      h = roundCut(renorm(h0, "h"))
     }
     hubs.select(col("v")).unionByName(auths.select(col("v"))).distinct()
       .join(h.select(col("v"), col("h").as("hub_scaled")), Seq("v"),
@@ -153,7 +167,7 @@ object Graph {
         .select(col("v"),
           (when(isSeed, lit(base)).otherwise(lit(0L))
             + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-      ranks = CacheScope.cached(next)
+      ranks = roundCut(next)
     }
     ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
   }
@@ -196,7 +210,7 @@ object Graph {
       val next = verts.join(in, verts("v") === in("dst"), "left")
         .select(col("v"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-      ranks = CacheScope.cached(next)
+      ranks = roundCut(next)
     }
     ranks.select(col("v").as("vertex"), col("pr").as("rank_scaled"))
   }
@@ -234,7 +248,7 @@ object Graph {
         .groupBy(col("v"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("label"))
-      labels = CacheScope.cached(next)
+      labels = roundCut(next)
     }
     labels.select(col("v").as("vertex"), col("label"))
   }
@@ -269,7 +283,7 @@ object Graph {
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k)
-      e = CacheScope.cached(
+      e = roundCut(
         e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
     }
@@ -384,12 +398,11 @@ object Graph {
     * `scale` divisible by 1..H makes every term an EXACT integer, so
     * the sum is order-independent and the SQL twin replays it.
     *
-    * Shape: H rounds of multi-source frontier expansion — each round
-    * one equi-join of ONLY the previous hop's frontier (d == h-1)
-    * against the edge list + a min-distance fold over the reach set;
-    * the reach set is (src, v, d) pairs, bounded by |V|² worst-case
-    * and by the H-hop ball in practice, and settled vertices are
-    * never re-expanded.
+    * Shape: H rounds of multi-source frontier expansion over an
+    * APPEND-ONLY reach set (see [[bfsReach]]); the reach set is
+    * (src, v, d) pairs, bounded by |V|² worst-case and by the H-hop
+    * ball in practice, and settled vertices are never re-expanded or
+    * re-shuffled.
     * That quadratic ceiling is inherent to ALL-pairs centrality; at
     * 100 TB one runs it on the (much smaller) entity graph, or pivots
     * to the HyperBall sketch this operator's contract mirrors.
@@ -397,29 +410,9 @@ object Graph {
   def harmonicCentrality(edges: DataFrame, maxHops: Int,
                          scale: Long = 840L): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
-    val und = edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val sym = CacheScope.cached(
-      und.select(col("a").as("v"), col("b").as("n"))
-        .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
-    var reach = CacheScope.cached(
-      sym.select(col("v").as("s"), col("v")).distinct()
-        .select(col("s"), col("v"), lit(0).as("d")))
-    for (h <- 1 to maxHops) {
-      // level-synchronous: after round h-1's min-fold, rows with
-      // d == h-1 carry EXACT distances (induction), and every
-      // distance-h vertex is adjacent to one of them — so only the
-      // frontier joins the adjacency; per-hop join cost is
-      // frontier-sized, not reach-sized
-      val expanded = reach.filter(col("d") === h - 1)
-        .join(sym.withColumnRenamed("n", "nx"), "v")
-        .select(col("s"), col("nx").as("v"), lit(h).as("d"))
-      reach = CacheScope.cached(
-        reach.unionByName(expanded)
-          .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
-    }
+    val sym = symmetrized(edges)
+    val reach = bfsReach(sym,
+      sym.select(col("v").as("s"), col("v")).distinct(), maxHops)
     reach.filter(col("d") > 0)
       .groupBy(col("v").as("vertex"))
       .agg(sum(expr(s"$scale div d")).as("harmonic_scaled"),
@@ -435,13 +428,14 @@ object Graph {
     *
     * Scale shape: the frontier (s, v, d) is |seeds| × ball-size — the
     * landmark count is the fan-out cap the all-sources variant lacks.
-    * Per hop: one adjacency equi-join (frontier-only input) + one
-    * (s, v) min-aggregate, lineage cut by the per-round cache; zero
-    * driver actions (a per-round empty-frontier early-exit probe was
-    * MEASURED SLOWER on the fixture — it serializes rounds for a ball
-    * that never saturates inside maxHops; revisit only for
-    * maxHops ≫ diameter workloads). Seeds arrive as a DataFrame so
-    * landmark choice stays declarative (pushed into the plan).
+    * Per hop ([[bfsReach]]): one adjacency equi-join (frontier-only
+    * input) + one frontier-sized dedup + one anti-join against the
+    * append-only reach; zero driver actions (a per-round
+    * empty-frontier early-exit probe was MEASURED SLOWER on the
+    * fixture — it serializes rounds for a ball that never saturates
+    * inside maxHops; revisit only for maxHops ≫ diameter workloads).
+    * Seeds arrive as a DataFrame so landmark choice stays declarative
+    * (pushed into the plan).
     *
     * @param seeds one column `v` — the landmark vertices
     * @return (source, vertex, dist) for every vertex within `maxHops`
@@ -450,28 +444,77 @@ object Graph {
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
                      maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
+    val sym = symmetrized(edges)
+    bfsReach(sym, seeds.select(col("v").as("s"), col("v")), maxHops)
+      .select(col("s").as("source"), col("v").as("vertex"),
+        col("d").cast("long").as("dist"))
+  }
+
+  /** Symmetrize + dedup an undirected edge list into adjacency
+    * (v, n) rows, cached (two branches consume it per BFS hop). */
+  private def symmetrized(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val sym = CacheScope.cached(
+    CacheScope.cached(
       und.select(col("a").as("v"), col("b").as("n"))
         .unionAll(und.select(col("b").as("v"), col("a").as("n"))))
-    var reach = CacheScope.cached(
-      seeds.select(col("v").as("s"), col("v"), lit(0).as("d")))
+  }
+
+  /** Level-synchronous BFS core with an APPEND-ONLY reach set — the
+    * shared engine of [[multiSourceBfs]] and [[harmonicCentrality]].
+    *
+    * Invariant (induction on h): `frontier` holds EXACTLY the (s, v)
+    * pairs at distance h-1 — every distance-h vertex is adjacent to
+    * one of them, and anything expanded that is already in `reach`
+    * has distance < h. So per hop the work is: equi-join the
+    * frontier (not the reach) against the adjacency, dedup the
+    * frontier-sized expansion, LEFT ANTI against the reach on (s, v),
+    * materialize the result as the next frontier, and append it.
+    * Settled rows are never re-aggregated or re-written: the reach is
+    * a lazy union of per-hop checkpointed frontiers, so the per-hop
+    * WRITE is frontier-sized (the anti-join re-reads the reach scan —
+    * the unavoidable membership probe).
+    *
+    * Why an EAGER localCheckpoint per hop instead of lazy persist():
+    * measured on q_graph_ecc (sf0.1, warm JVM, local[4]) the three
+    * forms cost — lazy-cache re-group (the r14 shape) 21.6 s wall /
+    * 97 s CPU; lazy-cache anti-join 39.0 s / 123 s; CHECKPOINTED
+    * anti-join 4.2 s / 17 s. The data is tiny (≤4k reach rows) — the
+    * lazy forms burn all their CPU re-planning the nested
+    * AQE-over-InMemoryRelation chain at every materialization, the
+    * same superlinear-analysis pathology the densest-subgraph peel
+    * hit at 26 rounds. Eager per-hop actions serialize rounds, but a
+    * level-synchronous BFS is inherently round-serial anyway. On a
+    * real cluster localCheckpoint trades fault-tolerance for speed
+    * (blocks die with an executor); swap in `checkpoint()` against a
+    * reliable store for long jobs — the shape is otherwise
+    * cluster-ready: per-hop shuffle is frontier-sized, the min-fold
+    * re-group form survives only in [[betweennessSampled]] where an
+    * on-operator measurement showed it wins (σ must be re-summed).
+    *
+    * @param sym   cached symmetric adjacency (v, n)
+    * @param seeds (s, v) distance-0 rows (duplicates tolerated)
+    * @return (s, v, d) — exact hop distance ≤ maxHops per source
+    */
+  private def bfsReach(sym: DataFrame, seeds: DataFrame,
+                       maxHops: Int): DataFrame = {
+    var frontier = seeds.select(col("s"), col("v")).distinct()
+      .select(col("s"), col("v"), lit(0).as("d"))
+      .localCheckpoint(true)
+    var reach = frontier
     for (h <- 1 to maxHops) {
-      // frontier-only expansion (see harmonicCentrality): d == h-1
-      // rows are exact after the previous min-fold and suffice to
-      // discover every distance-h vertex
-      val expanded = reach.filter(col("d") === h - 1)
+      val expanded = frontier
         .join(sym.withColumnRenamed("n", "nx"), "v")
-        .select(col("s"), col("nx").as("v"), lit(h).as("d"))
-      reach = CacheScope.cached(
-        reach.unionByName(expanded)
-          .groupBy(col("s"), col("v")).agg(min(col("d")).as("d")))
+        .select(col("s"), col("nx").as("v"))
+      frontier = expanded.distinct()
+        .join(reach, Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(h).as("d"))
+        .localCheckpoint(true)
+      reach = reach.unionByName(frontier)
     }
-    reach.select(col("s").as("source"), col("v").as("vertex"),
-      col("d").cast("long").as("dist"))
+    reach
   }
 
   /** Pivot-sampled bounded-hop BETWEENNESS centrality (Brandes' pair-
@@ -530,7 +573,7 @@ object Graph {
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("s"), col("nx").as("v"), lit(h).as("d"),
           col("sigma"))
-      reach = CacheScope.cached(
+      reach = roundCut(
         reach.unionByName(expanded)
           .groupBy(col("s"), col("v"))
           .agg(min(struct(col("d"), col("sigma"))).as("ds"))
@@ -720,7 +763,7 @@ object Graph {
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, dist("v") === e("src"))
         .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
-      dist = CacheScope.cached(
+      dist = roundCut(
         dist.unionByName(relaxed)
           .groupBy(col("v")).agg(min(col("d")).as("d")))
     }
@@ -1106,7 +1149,11 @@ object Graph {
     * selection-probe exception class); each round's survivor edge
     * list is localCheckpoint-ed (the dedupComponents lineage-cut
     * precedent — a 26-deep lazy unroll sends Catalyst analysis
-    * superlinear). `rounds` is the unroll CEILING the oracle mirrors;
+    * superlinear). localCheckpoint is the LOCAL-MODE choice: its
+    * blocks die with an executor, so a long-running cluster job
+    * should swap in `checkpoint()` against a reliable store (lineage
+    * is already cut, so recovery cost is the checkpoint re-read, not
+    * a replay). `rounds` is the unroll CEILING the oracle mirrors;
     * the loop exits at the first empty graph. Output: one row per
     * non-empty round (vertex/edge counts, exact floor-ppm density)
     * with `is_best` marking the densest visited state (floor-ppm,
