@@ -269,11 +269,12 @@ object Scratch {
           "through leaf-key equi-joins, DISTINCT, then one exact " +
           "re-rank window — corpus never duplicated"),
       "q_graph_ecc" ->
-        ("landmark BFS: per hop ONE adjacency equi-join fed by the " +
-          "d == h-1 FRONTIER filter over the cached reach frame + " +
-          "a (s, v) min-aggregate — settled vertices never " +
-          "re-expanded; seeds are a sorted LIMIT inside the plan, " +
-          "zero driver actions"),
+        ("landmark BFS, APPEND-ONLY reach: per hop ONE adjacency " +
+          "equi-join of the checkpointed frontier + frontier-sized " +
+          "dedup + LEFT ANTI membership probe against the reach " +
+          "union — settled rows never re-shuffled or re-written; " +
+          "eager per-hop localCheckpoint cuts the AQE replanning " +
+          "chain (the captured plan reads checkpointed scans)"),
       "q_er_entities" ->
         ("ER entity formation: match pairs from the broadcast " +
           "8-pattern decision table close via the probe-bounded CC " +
@@ -309,7 +310,35 @@ object Scratch {
         ("sorted-neighborhood blocking: one nation-partitioned " +
           "rank window + two SHIFTED equi-joins on (nat, rn + d) — " +
           "the window predicate never plans a range join; linear " +
-          "candidates by construction"))
+          "candidates by construction"),
+      "q_graph_densest" ->
+        ("batched densest peel: ONE degree aggregate per round, " +
+          "one-row round stats collected into map-side literal " +
+          "keep rules, two semi-join survivor filters, per-round " +
+          "localCheckpoint lineage cut — O(log n) rounds; the " +
+          "registered frame is the driver-assembled round trace " +
+          "(local relation)"),
+      "q_stat_ansari" ->
+        ("Ansari-Bradley: the event scan collapses to the " +
+          "calendar-bounded value histogram (one hash aggregate); " +
+          "after that everything is metadata-sized — one " +
+          "single-partition running-count window (domain-bounded " +
+          "by contract), a block-bounded position explode, one " +
+          "one-row ordered tie fold"),
+      "q_stat_moodscale" ->
+        ("Mood squared-rank: histogram collapse + one " +
+          "domain-bounded running-count window; every block score " +
+          "is ONE exact BIGINT, the statistic is plain integer " +
+          "SUMs into a one-row aggregate (q4 widened to " +
+          "decimal(38,0) BEFORE the first multiply) — no ordered " +
+          "fold at all"),
+      "q_stream_kalman" ->
+        ("state-store Kalman: the real work is the streaming " +
+          "transformWithState pipeline ((level, P) carried across " +
+          "micro-batches, one update row per type per batch); the " +
+          "captured plan is the registered REPLAY READ of the " +
+          "streamed output — scan + sort only, evidence the sink " +
+          "side adds no extra exchange"))
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (generated by graft.Scratch at sf0.001)\n\n")
     sb.append("Each plan shows the scale-relevant properties asserted in PlanSpec.\n")

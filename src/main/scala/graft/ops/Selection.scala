@@ -274,6 +274,14 @@ object Selection {
     import spark.implicits._
     val tdf = tByG.toSeq.flatMap { case (gi, ts) =>
       ts.map(t => (gi, t, Math.floorDiv(t, 2L))) }.toDF("gi", "t", "th")
+    // Only the round's ACTIVE groups (those with probes this round)
+    // contribute histogram mass: converged groups drop out of tByG as
+    // rounds proceed, and without this semi-join their (inert)
+    // histogram rows would still ride every remaining round's window
+    // sort only to be filtered after the running sum. The probe set
+    // is driver-built and small, so the semi-join is a broadcast.
+    val activeHist = hist.join(
+      broadcast(tdf.select($"gi").distinct()), Seq("gi"), "left_semi")
     val h = hist.join(broadcast(tdf), Seq("gi"))
     // Providers carry the histogram mass ONCE (never replicated per
     // probe); queries ask for the inclusive prefix count F at their
@@ -283,7 +291,7 @@ object Selection {
     // Walsh diagonal is ONE query row per (g, t) reading
     // F(⌊t/2⌋) = #{x : 2x ≤ t} (floorDiv driver-side keeps negative
     // thresholds exact).
-    val providers = hist.select($"gi", $"v".as("key"), $"c".as("add"),
+    val providers = activeHist.select($"gi", $"v".as("key"), $"c".as("add"),
       lit(0).as("tag"), lit(0L).as("t"), lit(0L).as("qc"),
       lit(0L).as("dq"))
     val queries = mode match {

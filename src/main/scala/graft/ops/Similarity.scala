@@ -205,9 +205,32 @@ object Similarity {
       rankPartitions: Int = 0,
       smallProjLimit: Long = 1L << 20,
       tree: Int = 0, spillPct: Int = 0): (DataFrame, Seq[DataFrame]) = {
+    val (routed, bySpill) = rpTreeRouteMulti(corpus, idCol, vecCol,
+      depth, dims, rankPartitions, smallProjLimit, tree,
+      Seq(spillPct))
+    (routed, bySpill(spillPct))
+  }
+
+  /** [[rpTreeRoute]] for a SWEEP of spill settings: the corpus is
+    * projected, ranked and routed ONCE (projections, per-node rank
+    * passes and the routing joins depend only on the median), and
+    * each requested spill gets its own per-level (node, thr, lo, hi)
+    * threshold frames read off the same ranks. This is what makes a
+    * knob grid affordable: at 100 TB the index build (corpus routing)
+    * dominates and is paid once; sweeping the spill band re-prices
+    * only the query-side probe fanout.
+    */
+  private[graft] def rpTreeRouteMulti(corpus: DataFrame, idCol: String,
+      vecCol: String, depth: Int, dims: Int,
+      rankPartitions: Int = 0,
+      smallProjLimit: Long = 1L << 20,
+      tree: Int = 0, spillPcts: Seq[Int] = Seq(0))
+      : (DataFrame, Map[Int, Seq[DataFrame]]) = {
     require(depth >= 1 && depth <= 4, "bounded tree depth 1..4")
     require(dims >= 1 && dims <= HyperplaneMaxDim)
-    require(spillPct >= 0 && spillPct <= 25, "spill band 0..25%")
+    require(spillPcts.nonEmpty, "need at least one spill setting")
+    spillPcts.foreach(s =>
+      require(s >= 0 && s <= 25, "spill band 0..25%"))
     val spark = corpus.sparkSession
     import spark.implicits._
     val projCols = (0 until depth).map(j =>
@@ -228,66 +251,89 @@ object Similarity {
     if (probe.length <= smallProjLimit) {
       var local = probe.map(r => (r.getLong(0),
         Array.tabulate(depth)(i => r.getDouble(1 + i)), 0))
-      val thrFrames = (0 until depth).map { j =>
-        val thr = local.groupBy(_._3).toSeq.map { case (nd, rs) =>
-          val sorted = rs.sortBy(t => (t._2(j), t._1))
-          val n = sorted.length.toLong
-          val rm = (n + 1) / 2
-          val d = n * spillPct / 100
-          (nd, sorted(rm.toInt - 1)._2(j),
-            sorted(math.max(1L, rm - d).toInt - 1)._2(j),
-            sorted(math.min(n, rm + d).toInt - 1)._2(j))
+      val framesBySpill = scala.collection.mutable.Map.empty[Int,
+        Vector[DataFrame]].withDefaultValue(Vector.empty)
+      (0 until depth).foreach { j =>
+        val sortedByNode = local.groupBy(_._3).toSeq.map {
+          case (nd, rs) => nd -> rs.sortBy(t => (t._2(j), t._1))
         }
-        val thrMap = thr.map(t => t._1 -> t._2).toMap
+        for (s <- spillPcts) {
+          val thr = sortedByNode.map { case (nd, sorted) =>
+            val n = sorted.length.toLong
+            val rm = (n + 1) / 2
+            val d = n * s / 100
+            (nd, sorted(rm.toInt - 1)._2(j),
+              sorted(math.max(1L, rm - d).toInt - 1)._2(j),
+              sorted(math.min(n, rm + d).toInt - 1)._2(j))
+          }
+          framesBySpill(s) = framesBySpill(s) :+
+            thr.sortBy(_._1).toDF("node", "thr", "lo", "hi")
+        }
+        val thrMap = sortedByNode.map { case (nd, sorted) =>
+          nd -> sorted(((sorted.length + 1) / 2) - 1)._2(j)
+        }.toMap
         local = local.map { case (id, ps, nd) =>
           (id, ps, nd * 2 + (if (ps(j) <= thrMap(nd)) 0 else 1))
         }
-        thr.sortBy(_._1).toDF("node", "thr", "lo", "hi")
       }
       var routed = cur
+      val medianFrames = framesBySpill(spillPcts.head)
       for (j <- 0 until depth) {
         routed = routed
-          .join(broadcast(thrFrames(j).select("node", "thr")),
+          .join(broadcast(medianFrames(j).select("node", "thr")),
             Seq("node"))
           .withColumn("node", col("node") * 2
             + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
           .drop("thr")
       }
-      return (routed, thrFrames)
+      return (routed, spillPcts.map(s =>
+        s -> framesBySpill(s).toSeq).toMap)
     }
-    val thrs = Seq.newBuilder[DataFrame]
+    val thrsBySpill = scala.collection.mutable.Map.empty[Int,
+      Vector[DataFrame]].withDefaultValue(Vector.empty)
     for (j <- 0 until depth) {
       // threshold frames are ≤ 2^j rows but close over per-node rank
       // DAGs — cached so corpus routing and query routing don't each
-      // re-execute them (they are consumed by 2 broadcasts per level)
+      // re-execute them (they are consumed by 2 broadcasts per level);
+      // ONE rank pass per node serves every requested spill (the lo/hi
+      // aggregate just reads more rank marks off the same ranked rows)
       val rmE = expr("(n + 1) div 2")
-      val rloE = expr(
-        s"greatest(1, (n + 1) div 2 - n * $spillPct div 100)")
-      val rhiE = expr(
-        s"least(n, (n + 1) div 2 + n * $spillPct div 100)")
-      val thr = CacheScope.cached((0 until (1 << j)).map { nd =>
+      def rloE(s: Int) = expr(
+        s"greatest(1, (n + 1) div 2 - n * $s div 100)")
+      def rhiE(s: Int) = expr(
+        s"least(n, (n + 1) div 2 + n * $s div 100)")
+      val markCond = spillPcts
+        .map(s => col("rk") === rloE(s) || col("rk") === rhiE(s))
+        .reduce(_ || _) || col("rk") === rmE
+      val wide = CacheScope.cached((0 until (1 << j)).map { nd =>
         val part = cur.filter(col("node") === nd)
         val cnt = part.agg(count(lit(1)).as("n"))
         Prefix.denseRank(part, Seq(col(s"p$j"), col("id")), "rk",
             partitions = rankPartitions)
           .crossJoin(broadcast(cnt))
-          .filter(col("rk") === rmE || col("rk") === rloE
-            || col("rk") === rhiE)
+          .filter(markCond)
           .agg(max(when(col("rk") === rmE, col(s"p$j"))).as("thr"),
-            max(when(col("rk") === rloE, col(s"p$j"))).as("lo"),
-            max(when(col("rk") === rhiE, col(s"p$j"))).as("hi"))
-          .select(lit(nd).as("node"), col("thr"), col("lo"),
-            col("hi"))
+            spillPcts.flatMap(s => Seq(
+              max(when(col("rk") === rloE(s), col(s"p$j")))
+                .as(s"lo_$s"),
+              max(when(col("rk") === rhiE(s), col(s"p$j")))
+                .as(s"hi_$s"))): _*)
+          .select((lit(nd).as("node") +: col("thr") +:
+            spillPcts.flatMap(s =>
+              Seq(col(s"lo_$s"), col(s"hi_$s")))): _*)
           .filter(col("thr").isNotNull) // empty node: no threshold row
       }.reduce(_.unionByName(_)))
-      thrs += thr
+      for (s <- spillPcts)
+        thrsBySpill(s) = thrsBySpill(s) :+ wide.select(col("node"),
+          col("thr"), col(s"lo_$s").as("lo"), col(s"hi_$s").as("hi"))
+      val thr = wide
       cur = CacheScope.cached(cur
         .join(broadcast(thr.select("node", "thr")), Seq("node"))
         .withColumn("node", col("node") * 2
           + when(col(s"p$j") <= col("thr"), 0).otherwise(1))
         .drop("thr"))
     }
-    (cur, thrs.result())
+    (cur, spillPcts.map(s => s -> thrsBySpill(s).toSeq).toMap)
   }
 
   /** RP-tree ANN, same output shape as the brute/LSH/IVF variants:
@@ -360,26 +406,9 @@ object Similarity {
       val (routed, thrs) = rpTreeRoute(corpus, idCol, vecCol, depth,
         dims, rankPartitions, smallProjLimit, tree = t,
         spillPct = spillPct)
-      val projCols = (0 until depth).map(j =>
-        rpProj(col(vecCol), j, dims, t).as(s"p$j"))
-      var q = queries.select(
-          (col(idCol).as("query_id") +: projCols): _*)
-        .withColumn("node", lit(0))
-      for (j <- 0 until depth) {
-        // spill probe: left child while p ≤ hi, right child while
-        // p > lo — both when p lands inside the (lo, hi] band. LEFT
-        // join so corpus-empty subtrees prune the probe (null band ⇒
-        // both whens null ⇒ zero children) instead of erroring.
-        q = q.join(broadcast(thrs(j).select("node", "lo", "hi")),
-            Seq("node"), "left")
-          .select(col("query_id") +: (0 until depth).map(i =>
-            col(s"p$i")) :+ explode(filter(array(
-              when(col(s"p$j") <= col("hi"), col("node") * 2),
-              when(col(s"p$j") > col("lo"), col("node") * 2 + 1)),
-            c => c.isNotNull)).as("node"): _*)
-      }
       routed.join(
-          broadcast(q.select(col("query_id"), col("node")).distinct()),
+          broadcast(spillProbe(queries, idCol, vecCol, depth, dims, t,
+            thrs).distinct()),
           Seq("node"))
         .filter(col("query_id") =!= col("id"))
         .select(col("query_id"), col("id").as("neighbor_id"))
@@ -394,6 +423,92 @@ object Similarity {
       .join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Query-side spill probe of tree `tree`: every (query_id, node)
+    * leaf a query reaches when it descends left while p ≤ hi and
+    * right while p > lo — BOTH children when p lands inside the
+    * (lo, hi] band. LEFT join so corpus-empty subtrees prune the
+    * probe (null band ⇒ both whens null ⇒ zero children) instead of
+    * erroring. */
+  private def spillProbe(queries: DataFrame, idCol: String,
+      vecCol: String, depth: Int, dims: Int, tree: Int,
+      thrs: Seq[DataFrame]): DataFrame = {
+    val projCols = (0 until depth).map(j =>
+      rpProj(col(vecCol), j, dims, tree).as(s"p$j"))
+    var q = queries.select(
+        (col(idCol).as("query_id") +: projCols): _*)
+      .withColumn("node", lit(0))
+    for (j <- 0 until depth) {
+      q = q.join(broadcast(thrs(j).select("node", "lo", "hi")),
+          Seq("node"), "left")
+        .select(col("query_id") +: (0 until depth).map(i =>
+          col(s"p$i")) :+ explode(filter(array(
+            when(col(s"p$j") <= col("hi"), col("node") * 2),
+            when(col(s"p$j") > col("lo"), col("node") * 2 + 1)),
+          c => c.isNotNull)).as("node"): _*)
+    }
+    q.select(col("query_id"), col("node"))
+  }
+
+  /** KNOB-GRID RP-forest sweep: every (nTrees, spillPct) point of
+    * `grid` evaluated against ONE shared index — each tree's corpus
+    * routing and rank passes are built once ([[rpTreeRouteMulti]])
+    * and reused by every spill setting and every forest size; only
+    * the query probes (tiny vs the corpus) differ per point.
+    * Point-for-point identical to calling [[rpForestTopK]] with the
+    * same knobs (same routing, same candidate union-distinct, same
+    * re-rank) — pinned in SimilaritySpec — at roughly the cost of the
+    * single largest forest. The 100 TB story of a knob sweep: index
+    * once, sweep the query-side knob for free.
+    *
+    * @param grid (nTrees, spillPct) points; trees ≤ 8, spill 0..25
+    * @return (trees, spill, query_id, rank, neighbor_id, cosine)
+    */
+  def rpForestTopKGrid(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      grid: Seq[(Int, Int)], depth: Int = 3, dims: Int = 64,
+      rankPartitions: Int = 0,
+      smallProjLimit: Long = 1L << 20): DataFrame = {
+    require(grid.nonEmpty, "empty knob grid")
+    grid.foreach { case (t, _) =>
+      require(t >= 1 && t <= 8, "bounded forest 1..8 trees") }
+    val maxTrees = grid.map(_._1).max
+    val spills = grid.map(_._2).distinct
+    val candTS: Map[(Int, Int), DataFrame] =
+      (0 until maxTrees).flatMap { t =>
+        val (routed0, bySpill) = rpTreeRouteMulti(corpus, idCol,
+          vecCol, depth, dims, rankPartitions, smallProjLimit, t,
+          spills)
+        val routed = CacheScope.cached(routed0)
+        spills.map { s =>
+          (t, s) -> CacheScope.cached(routed.join(
+              broadcast(spillProbe(queries, idCol, vecCol, depth,
+                dims, t, bySpill(s)).distinct()),
+              Seq("node"))
+            .filter(col("query_id") =!= col("id"))
+            .select(col("query_id"), col("id").as("neighbor_id")))
+        }
+      }.toMap
+    val arms = grid.map { case (tt, s) =>
+      (0 until tt).map(t => candTS((t, s)))
+        .reduce(_.unionByName(_)).distinct()
+        .select(lit(tt).as("trees"), lit(s).as("spill"),
+          col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("trees"), col("spill"),
+        col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    arms.join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .select(col("trees"), col("spill"), col("query_id"),
+        col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -69,9 +69,18 @@ object SuffixRank {
     // (early rounds are bounded by the gram space). Each round's
     // output is cached — the next round reads it twice (left + the
     // pos+k shift).
-    var r = CacheScope.cached(
-      withDenseRank(pos, Seq("g0"), "rank")
-        .select(col("doc_id"), col("pos"), col("rem"), col("rank")))
+    // EAGER localCheckpoint per round (the Graph.roundCut finding,
+    // r15): a lazy persist chain nests one InMemoryRelation per round
+    // inside the next round's plan and the AQE re-planning of that
+    // stack goes superlinear in round count — measured on
+    // q_dedup_exact_substr at sf0.1 (see SCALING.md). Rounds are
+    // inherently serial (round h+1 reads round h's ranks), so eager
+    // materialization costs no pipelining; blocks die with the
+    // Dataset reference (ContextCleaner), and a cluster deployment
+    // swaps in reliable checkpoint() for fault tolerance.
+    var r = withDenseRank(pos, Seq("g0"), "rank")
+      .select(col("doc_id"), col("pos"), col("rem"), col("rank"))
+      .localCheckpoint(true)
     var k = l0.toLong
     for (_ <- 1 to doublings) {
       val right = r.select(col("doc_id"), (col("pos") - k).as("pos"),
@@ -79,9 +88,9 @@ object SuffixRank {
       val paired = r.join(right, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rem"),
           col("rank").as("r1"), coalesce(col("r2"), lit(0L)).as("r2"))
-      r = CacheScope.cached(
-        withDenseRank(paired, Seq("r1", "r2"), "rank")
-          .select(col("doc_id"), col("pos"), col("rem"), col("rank")))
+      r = withDenseRank(paired, Seq("r1", "r2"), "rank")
+        .select(col("doc_id"), col("pos"), col("rem"), col("rank"))
+        .localCheckpoint(true)
       k *= 2
     }
     r

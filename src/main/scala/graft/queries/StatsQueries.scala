@@ -289,7 +289,16 @@ object StatsQueries {
   }
 
   /** Ansari–Bradley core on a (g ∈ {a, b}, v: long) frame — see
-    * [[qStatAnsari]]. Exposed for AnsariSpec brute parity. */
+    * [[qStatAnsari]]. Exposed for AnsariSpec brute parity.
+    *
+    * CONTRACT (caller-enforced): the VALUE DOMAIN of `v` must be
+    * bounded — the core collapses the scan to a per-distinct-value
+    * histogram and then runs a single-partition running-count window
+    * plus (here) a one-row collect_list over that histogram. Feed it
+    * domain-bounded samples (calendar-day counts, bucketed measures);
+    * an unbounded/continuous `v` makes the histogram row count equal
+    * the sample count and the single-partition fold a scale killer.
+    * The registered callers are calendar-bounded (≤ #days rows). */
   private[queries] def ansariFromSamples(s: DataFrame): DataFrame = {
     import s.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -360,7 +369,13 @@ object StatsQueries {
   }
 
   /** Mood scale core on a (g ∈ {a, b}, v: long) frame — see
-    * [[qStatMoodScale]]. Exposed for MoodScaleSpec brute parity. */
+    * [[qStatMoodScale]]. Exposed for MoodScaleSpec brute parity.
+    *
+    * CONTRACT (caller-enforced, same as [[ansariFromSamples]]): the
+    * value domain of `v` must be bounded — after the histogram
+    * collapse a single-partition running-count window orders the
+    * distinct values. Domain-bounded inputs (calendar-day counts)
+    * keep that fold metadata-sized; do not feed a continuous `v`. */
   private[queries] def moodScaleFromSamples(s: DataFrame): DataFrame = {
     import s.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -378,7 +393,11 @@ object StatsQueries {
       .groupBy($"nn", $"m")
       .agg(sum($"ca" * $"s4").as("t4"),
         sum($"t" * $"s4").as("sum4"),
-        sum(($"t" * $"s4").cast("decimal(38,0)") * $"s4").as("q4"))
+        // widen BEFORE the first multiply: t*s4 alone reaches 4N³/27
+        // and would wrap BIGINT silently (non-ANSI) near N ~ 2·10⁶,
+        // inside the documented exactness envelope; in decimal(38,0)
+        // the full t·s4² product is exact to N ~ 10⁷
+        sum($"t".cast("decimal(38,0)") * $"s4" * $"s4").as("q4"))
       .select($"nn", $"m", ($"nn" - $"m").as("n_b"), $"t4", $"sum4",
         expr("round((CAST(t4 AS DOUBLE) - CAST(m * sum4 AS DOUBLE) " +
           "/ CAST(nn AS DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) " +

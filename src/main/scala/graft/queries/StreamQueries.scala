@@ -1181,6 +1181,110 @@ object StreamQueries {
       round(f, 6).as("f_r6"), (f > lit(4.2417)).as("reject"))
   }
 
+  /** k-LAG GRANGER SCREEN at k = 2 (Granger 1969, the general form:
+    * restricted y_t ~ y_{t−1} + y_{t−2} vs augmented
+    * y_t ~ y_{t−1} + y_{t−2} + x_{t−1} + x_{t−2}; F with k numerator
+    * df = (RSS₀−RSS₁)/k · (n−2k−1)/RSS₁). Lag-1 screens miss
+    * delayed transfer (a click wave that converts on day 2); the
+    * 2-lag screen is the standard next rung.
+    *
+    * Same exactness doctrine as [[qTimeGranger]]: TWENTY-ONE exact
+    * BIGINT moment sums in one aggregate over the calendar-bounded
+    * twice-lagged daily frame; n-scaled centered moments cast to
+    * double once; the 4-regressor normal-equation solve is BLOCKWISE
+    * Cramer — the own-lag 2×2 solved exactly as [[grangerFromDaily]],
+    * the cross block eliminated through the 2×2 SCHUR complement
+    * S = R − QᵀA⁻¹Q — one fixed scalar expression tree, identical in
+    * both engines. HONESTY CEILING: 4 regressors is where closed-form
+    * cofactor/Schur algebra stops being auditable — beyond that
+    * (k ≥ 3, or conditional at k = 2) a driver-side linear solve on
+    * the one collected moment row is the honest implementation (the
+    * moments stay exact BIGINTs and distributed; only the ~dozen-
+    * double algebra moves to the driver). α=0.05 verdict vs
+    * F₀.₀₅(2, 23) = 3.4221 (fixture's 30-day January ⇒ n = 28;
+    * recalibrate the literal if the calendar changes).
+    */
+  def qTimeGranger2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    granger2FromDaily(Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("y")))
+  }
+
+  /** 2-lag Granger F from a (d, x, y) daily frame — see
+    * [[qTimeGranger2]]. Exposed for spec brute-force parity. */
+  private[queries] def granger2FromDaily(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"d")
+    val rows = daily
+      .withColumn("y1", lag($"y", 1).over(w))
+      .withColumn("y2", lag($"y", 2).over(w))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .withColumn("x2", lag($"x", 2).over(w))
+      .filter($"y2".isNotNull)
+    val m = rows.agg(
+      count(lit(1)).as("n"), sum($"y").as("sy"),
+      sum($"y1").as("sa1"), sum($"y2").as("sa2"),
+      sum($"x1").as("sb1"), sum($"x2").as("sb2"),
+      sum($"y1" * $"y1").as("p11r"), sum($"y1" * $"y2").as("p12r"),
+      sum($"y2" * $"y2").as("p22r"),
+      sum($"y1" * $"x1").as("q11r"), sum($"y1" * $"x2").as("q12r"),
+      sum($"y2" * $"x1").as("q21r"), sum($"y2" * $"x2").as("q22r"),
+      sum($"x1" * $"x1").as("r11r"), sum($"x1" * $"x2").as("r12r"),
+      sum($"x2" * $"x2").as("r22r"),
+      sum($"y1" * $"y").as("c1r"), sum($"y2" * $"y").as("c2r"),
+      sum($"x1" * $"y").as("d1r"), sum($"x2" * $"y").as("d2r"),
+      sum($"y" * $"y").as("syyr"))
+    // n-scaled centered moments — exact integers until the one cast
+    val p11 = ($"n" * $"p11r" - $"sa1" * $"sa1").cast("double")
+    val p12 = ($"n" * $"p12r" - $"sa1" * $"sa2").cast("double")
+    val p22 = ($"n" * $"p22r" - $"sa2" * $"sa2").cast("double")
+    val q11 = ($"n" * $"q11r" - $"sa1" * $"sb1").cast("double")
+    val q12 = ($"n" * $"q12r" - $"sa1" * $"sb2").cast("double")
+    val q21 = ($"n" * $"q21r" - $"sa2" * $"sb1").cast("double")
+    val q22 = ($"n" * $"q22r" - $"sa2" * $"sb2").cast("double")
+    val r11 = ($"n" * $"r11r" - $"sb1" * $"sb1").cast("double")
+    val r12 = ($"n" * $"r12r" - $"sb1" * $"sb2").cast("double")
+    val r22 = ($"n" * $"r22r" - $"sb2" * $"sb2").cast("double")
+    val c1 = ($"n" * $"c1r" - $"sa1" * $"sy").cast("double")
+    val c2 = ($"n" * $"c2r" - $"sa2" * $"sy").cast("double")
+    val d1 = ($"n" * $"d1r" - $"sb1" * $"sy").cast("double")
+    val d2 = ($"n" * $"d2r" - $"sb2" * $"sy").cast("double")
+    val syc = ($"n" * $"syyr" - $"sy" * $"sy").cast("double")
+    // restricted (y1, y2): the grangerFromDaily 2×2 adjugate form
+    val detA = p11 * p22 - p12 * p12
+    val q0 = (c1 * (p22 * c1 - p12 * c2)
+      + c2 * (p11 * c2 - p12 * c1)) / detA
+    val rss0 = (syc - q0) / $"n".cast("double")
+    // augmented: eliminate the own-lag block, Schur complement on the
+    // cross block — w = A⁻¹c, G = A⁻¹Q, u = d − Qᵀw, S = R − QᵀG
+    val w1 = (p22 * c1 - p12 * c2) / detA
+    val w2 = (p11 * c2 - p12 * c1) / detA
+    val u1 = d1 - (q11 * w1 + q21 * w2)
+    val u2 = d2 - (q12 * w1 + q22 * w2)
+    val g11 = (p22 * q11 - p12 * q21) / detA
+    val g21 = (p11 * q21 - p12 * q11) / detA
+    val g12 = (p22 * q12 - p12 * q22) / detA
+    val g22 = (p11 * q22 - p12 * q12) / detA
+    val t11 = r11 - (q11 * g11 + q21 * g21)
+    val t12 = r12 - (q11 * g12 + q21 * g22)
+    val t22 = r22 - (q12 * g12 + q22 * g22)
+    val detS = t11 * t22 - t12 * t12
+    val q1 = q0 + (u1 * (t22 * u1 - t12 * u2)
+      + u2 * (t11 * u2 - t12 * u1)) / detS
+    val rss1 = (syc - q1) / $"n".cast("double")
+    val f = (rss0 - rss1) / lit(2.0) *
+      ($"n" - 5L).cast("double") / rss1
+    m.select($"n", $"sy", $"sa1".as("sy1"), $"sa2".as("sy2"),
+      $"sb1".as("sx1"), $"sb2".as("sx2"), $"syyr".as("syy"),
+      round(rss0, 6).as("rss0_r6"), round(rss1, 6).as("rss1_r6"),
+      round(f, 6).as("f_r6"), (f > lit(3.4221)).as("reject"))
+  }
+
   /** LOCAL-LEVEL KALMAN FILTER (the structural time-series workhorse —
     * Harvey 1989; the "random walk plus noise" model) over each event
     * type's daily volume: state recursion
@@ -2030,6 +2134,7 @@ object StreamQueries {
     "q_time_motif" -> (qTimeMotif(_, _)),
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_time_granger" -> (qTimeGranger(_, _)),
+    "q_time_granger2" -> (qTimeGranger2(_, _)),
     "q_time_granger_cond" -> (qTimeGrangerCond(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
@@ -2299,6 +2404,93 @@ object StreamQueries {
     // same moment algebra one regressor up: restricted (y1, z1) 2×2
     // adjugate, augmented (y1, z1, x1) 3×3 cofactor quadratic form —
     // every sub-expression in the engine's exact order
+    "q_time_granger2" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |lagged AS (SELECT y,
+        |    lag(y, 1) OVER (ORDER BY d) AS y1,
+        |    lag(y, 2) OVER (ORDER BY d) AS y2,
+        |    lag(x, 1) OVER (ORDER BY d) AS x1,
+        |    lag(x, 2) OVER (ORDER BY d) AS x2
+        |  FROM daily),
+        |r AS (SELECT * FROM lagged WHERE y2 IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y1) AS BIGINT) AS sa1,
+        |    CAST(SUM(y2) AS BIGINT) AS sa2,
+        |    CAST(SUM(x1) AS BIGINT) AS sb1,
+        |    CAST(SUM(x2) AS BIGINT) AS sb2,
+        |    CAST(SUM(y1 * y1) AS BIGINT) AS p11r,
+        |    CAST(SUM(y1 * y2) AS BIGINT) AS p12r,
+        |    CAST(SUM(y2 * y2) AS BIGINT) AS p22r,
+        |    CAST(SUM(y1 * x1) AS BIGINT) AS q11r,
+        |    CAST(SUM(y1 * x2) AS BIGINT) AS q12r,
+        |    CAST(SUM(y2 * x1) AS BIGINT) AS q21r,
+        |    CAST(SUM(y2 * x2) AS BIGINT) AS q22r,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS r11r,
+        |    CAST(SUM(x1 * x2) AS BIGINT) AS r12r,
+        |    CAST(SUM(x2 * x2) AS BIGINT) AS r22r,
+        |    CAST(SUM(y1 * y) AS BIGINT) AS c1r,
+        |    CAST(SUM(y2 * y) AS BIGINT) AS c2r,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS d1r,
+        |    CAST(SUM(x2 * y) AS BIGINT) AS d2r,
+        |    CAST(SUM(y * y) AS BIGINT) AS syyr
+        |  FROM r),
+        |c AS (SELECT n, sy, sa1, sa2, sb1, sb2, syyr,
+        |    CAST(n * p11r - sa1 * sa1 AS DOUBLE) AS p11,
+        |    CAST(n * p12r - sa1 * sa2 AS DOUBLE) AS p12,
+        |    CAST(n * p22r - sa2 * sa2 AS DOUBLE) AS p22,
+        |    CAST(n * q11r - sa1 * sb1 AS DOUBLE) AS q11,
+        |    CAST(n * q12r - sa1 * sb2 AS DOUBLE) AS q12,
+        |    CAST(n * q21r - sa2 * sb1 AS DOUBLE) AS q21,
+        |    CAST(n * q22r - sa2 * sb2 AS DOUBLE) AS q22,
+        |    CAST(n * r11r - sb1 * sb1 AS DOUBLE) AS r11,
+        |    CAST(n * r12r - sb1 * sb2 AS DOUBLE) AS r12,
+        |    CAST(n * r22r - sb2 * sb2 AS DOUBLE) AS r22,
+        |    CAST(n * c1r - sa1 * sy AS DOUBLE) AS c1,
+        |    CAST(n * c2r - sa2 * sy AS DOUBLE) AS c2,
+        |    CAST(n * d1r - sb1 * sy AS DOUBLE) AS d1,
+        |    CAST(n * d2r - sb2 * sy AS DOUBLE) AS d2,
+        |    CAST(n * syyr - sy * sy AS DOUBLE) AS syc
+        |  FROM m),
+        |s1 AS (SELECT *,
+        |    p11 * p22 - p12 * p12 AS detA
+        |  FROM c),
+        |s2 AS (SELECT *,
+        |    (c1 * (p22 * c1 - p12 * c2)
+        |      + c2 * (p11 * c2 - p12 * c1)) / detA AS q0,
+        |    (p22 * c1 - p12 * c2) / detA AS w1,
+        |    (p11 * c2 - p12 * c1) / detA AS w2,
+        |    (p22 * q11 - p12 * q21) / detA AS g11,
+        |    (p11 * q21 - p12 * q11) / detA AS g21,
+        |    (p22 * q12 - p12 * q22) / detA AS g12,
+        |    (p11 * q22 - p12 * q12) / detA AS g22
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |    d1 - (q11 * w1 + q21 * w2) AS u1,
+        |    d2 - (q12 * w1 + q22 * w2) AS u2,
+        |    r11 - (q11 * g11 + q21 * g21) AS t11,
+        |    r12 - (q11 * g12 + q21 * g22) AS t12,
+        |    r22 - (q12 * g12 + q22 * g22) AS t22
+        |  FROM s2),
+        |f AS (SELECT n, sy, sa1, sa2, sb1, sb2, syyr,
+        |    (syc - q0) / CAST(n AS DOUBLE) AS rss0,
+        |    (syc - (q0 + (u1 * (t22 * u1 - t12 * u2)
+        |      + u2 * (t11 * u2 - t12 * u1))
+        |      / (t11 * t22 - t12 * t12))) / CAST(n AS DOUBLE) AS rss1
+        |  FROM s3)
+        |SELECT n, sy, sa1 AS sy1, sa2 AS sy2, sb1 AS sx1,
+        |  sb2 AS sx2, syyr AS syy,
+        |  round(rss0, 6) AS rss0_r6, round(rss1, 6) AS rss1_r6,
+        |  round((rss0 - rss1) / 2.0 * CAST(n - 5 AS DOUBLE) / rss1, 6)
+        |    AS f_r6,
+        |  ((rss0 - rss1) / 2.0 * CAST(n - 5 AS DOUBLE) / rss1
+        |    > 3.4221) AS reject
+        |FROM f""".stripMargin,
     "q_time_granger_cond" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -83,6 +83,31 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
       s"registry queries missing a COVERAGE.md row: ${absent.toSeq.sorted}")
   }
 
+  test("every registry query has a PLANS.md plan capture OR an explicit " +
+    "exemption line — the same drift class as COVERAGE.md, mechanized " +
+    "after r14 shipped four pick-less queries") {
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val sections = "(?m)^## (q[a-z0-9_]+)".r
+      .findAllMatchIn(plans).map(_.group(1)).toSet
+    val exempt = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/plans_exempt.txt"), "UTF-8")
+      .getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    val absent = SparkEntry.queries.keySet -- sections -- exempt
+    assert(absent.isEmpty,
+      "registry queries with neither a PLANS.md capture nor a " +
+        s"plans_exempt.txt line: ${absent.toSeq.sorted}")
+    // keep both lists from rotting: an exempt line must name a live
+    // query and must not ALSO have a capture (then the line is noise)
+    val dead = exempt -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"plans_exempt.txt lines naming no registry " +
+      s"query: ${dead.toSeq.sorted}")
+    val both = exempt.intersect(sections)
+    assert(both.isEmpty, s"plans_exempt.txt lines that already have a " +
+      s"PLANS.md capture: ${both.toSeq.sorted}")
+  }
+
   test("oracle SQL strings are nonempty and reference no Spark-only syntax") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.trim.nonEmpty, s"$k: empty oracle")

@@ -405,6 +405,39 @@ class SimilaritySpec extends SparkTestBase {
         s"${brute.intersect(single).size} hits")
   }
 
+  test("rpForestTopKGrid: every grid point equals the standalone " +
+    "rpForestTopK with the same knobs, on BOTH tiers") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val grid = Seq((1, 5), (2, 5), (2, 15))
+    for (projLimit <- Seq(1L << 20, 0L)) {
+      val swept = CacheScope.scoped {
+        Similarity.rpForestTopKGrid(queries, vecs, "vec_id",
+            "embedding", 5, grid, depth = 2, dims = 16,
+            smallProjLimit = projLimit)
+          .select("trees", "spill", "query_id", "rank", "neighbor_id")
+          .as[(Int, Int, Long, Int, Long)].collect().toSet
+      }
+      for ((t, s) <- grid) {
+        val solo = CacheScope.scoped {
+          Similarity.rpForestTopK(queries, vecs, "vec_id",
+              "embedding", 5, nTrees = t, depth = 2, dims = 16,
+              spillPct = s, smallProjLimit = projLimit)
+            .select("query_id", "rank", "neighbor_id")
+            .as[(Long, Int, Long)].collect()
+            .map(r => (t, s, r._1, r._2, r._3)).toSet
+        }
+        assert(swept.filter(r => r._1 == t && r._2 == s) == solo,
+          s"grid point ($t, $s) diverges at projLimit=$projLimit")
+      }
+    }
+  }
+
   test("rpTreeRoute spill bands: lo ≤ thr ≤ hi, all achieved " +
     "projection values; spillPct=0 degenerates to lo = thr = hi") {
     val rnd = new scala.util.Random(23)
