@@ -249,6 +249,13 @@ object Scratch {
           "the per-probe plan — histogram x broadcast threshold, " +
           "ONE running-sum window, no pair enumeration — is the " +
           "PlanSpec pairwise-selection guard"),
+      "q_stat_hodges_grouped_exec" ->
+        ("grouped HL through the EXECUTOR-LOCAL group tier: one " +
+          "exchange on the group key feeds MapGroups running the " +
+          "shared local counting solver per group - zero barrier " +
+          "rounds, no driver state; the registered frame is the " +
+          "solved selection (the sibling _grouped query prices the " +
+          "probe-loop tier on the same data)"),
       "q_stat_hodges_grouped" ->
         ("grouped HL at ~2k (nation, month) groups: the histogram " +
           "blows the driver tier by design, so the k-ary " +

@@ -75,11 +75,28 @@ object Selection {
 
   /** k-th smallest (1-based) of the implicit pairwise multiset, per group.
     *
+    * Three tiers, cheapest applicable wins:
+    *  1. DRIVER tier — the whole histogram fits `smallHistLimit`: one
+    *     bounded collect, the search runs locally, zero per-probe jobs.
+    *  2. EXECUTOR-LOCAL GROUP tier — every single group's histogram
+    *     fits `perGroupHistLimit` even though the total doesn't: ONE
+    *     shuffle on the group key and each task runs the exact local
+    *     counting search over its groups' histograms (the common
+    *     100 TB shape: thousands-to-millions of medium groups; no
+    *     barrier rounds, no driver state, group count unbounded).
+    *  3. DISTRIBUTED PROBE LOOP — some single group's histogram is
+    *     itself too big for one task: k-ary counting search, one
+    *     shared probe job per round (⌈log_{P+1} range⌉ barriers).
+    *
     * @param values frame with columns `g` (string group) and `v` (long)
     * @param mode   [[WalshSums]] or [[AbsDiffs]]
     * @param kOf    (n, m) ⇒ k: rank to select given the group's row count
     *               n and pair count m; must return 1 ≤ k ≤ m. Groups with
     *               m = 0 (singletons under [[AbsDiffs]]) are dropped.
+    * @param perGroupHistLimit executor-tier gate: max distinct values
+    *               per group solvable inside one task (bounds per-task
+    *               memory at ~16 B per histogram row); 0 forces the
+    *               probe loop (the benched q_stat_hodges_grouped path)
     * @return (g, n, m, k, value) — `value` is the exact k-th pairwise
     *         sum/distance (an achieved value by construction)
     */
@@ -90,7 +107,8 @@ object Selection {
       maxGroups: Int = 1000,
       maxRounds: Int = 72,
       smallHistLimit: Long = 1L << 20,
-      probesPerRound: Int = 15): DataFrame = {
+      probesPerRound: Int = 15,
+      perGroupHistLimit: Long = 1L << 16): DataFrame = {
     require(probesPerRound >= 1 && probesPerRound <= 255,
       "probesPerRound 1..255")
     val spark = values.sparkSession
@@ -112,6 +130,28 @@ object Selection {
       return kthPairwiseLocal(spark, histProbe.map(r =>
         (r.getString(0), r.getLong(1), r.getLong(2))), mode, kOf,
         maxGroups)
+
+    // Executor-local group tier: the tier decision is ONE one-row
+    // aggregate (max per-group histogram width); inside it, the same
+    // solver as the driver tier runs per group in flatMapGroups —
+    // one exchange + sort on g, each group's work O(H log H + H log
+    // range), per-task memory bounded by perGroupHistLimit rows. No
+    // maxGroups guard needed: no driver-side per-group state exists.
+    if (perGroupHistLimit > 0) {
+      val maxHr = hist.groupBy($"g").agg(count(lit(1)).as("hr"))
+        .agg(max($"hr")).head().getLong(0)
+      if (maxHr <= perGroupHistLimit) {
+        val solved = hist.select($"g", $"v", $"c")
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (g, it) =>
+            solveGroup(g, it.map(r => (r._2, r._3)).toArray, mode,
+              kOf).iterator
+          }
+        return solved.toDF()
+          .select($"g", $"n", $"m", $"k", $"value")
+      }
+    }
 
     // One row per group: bounded by construction (grouping column of a
     // profiled dimension), maxGroups-guarded against misuse.
@@ -214,50 +254,60 @@ object Selection {
     val grouped = rows.groupBy(_._1).toSeq.sortBy(_._1)
     require(grouped.length <= maxGroups,
       s"kthPairwise: ${grouped.length} groups exceed maxGroups=$maxGroups")
-    val out = grouped.flatMap {
-      case (g, rs) =>
-        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
-        val vals = sorted.map(_._1)
-        val cum = sorted.scanLeft(0L)(_ + _._2).tail
-        val n = cum.last
-        val m = pairCount(n, mode)
-        if (m == 0) None
-        else {
-          val k = kOf(n, m)
-          require(k >= 1 && k <= m,
-            s"kthPairwise: k=$k outside 1..$m for $g")
-          def fle(u: Long): Long = { // #values ≤ u
-            var lo = 0; var hi = vals.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (vals(mid) <= u) lo = mid + 1 else hi = mid
-            }
-            if (lo == 0) 0L else cum(lo - 1)
-          }
-          def countLE(t: Long): Long = mode match {
-            case WalshSums =>
-              val a = sorted.iterator.map { case (v, c) =>
-                c * fle(t - v) }.sum
-              val d = sorted.iterator.filter(_._1 * 2 <= t)
-                .map(_._2).sum
-              (a + d) / 2
-            case AbsDiffs =>
-              val s = sorted.iterator.map { case (v, c) =>
-                c * (fle(v + t) - fle(v - t - 1)) }.sum
-              (s - n) / 2
-          }
-          var (lo, hi) = mode match {
-            case WalshSums => (2 * vals.head, 2 * vals.last)
-            case AbsDiffs  => (0L, vals.last - vals.head)
-          }
-          while (lo < hi) {
-            val mid = lo + (hi - lo) / 2
-            if (countLE(mid) >= k) hi = mid else lo = mid + 1
-          }
-          Some(Sel(g, n, m, k, lo))
-        }
+    val out = grouped.flatMap { case (g, rs) =>
+      solveGroup(g, rs.map(r => (r._2, r._3)).toArray, mode, kOf)
     }
     spark.createDataFrame(out).select("g", "n", "m", "k", "value")
+  }
+
+  /** ONE group's exact counting selection over its (value, count)
+    * histogram — the solver shared verbatim by the driver tier and
+    * the executor-local group tier, so their parity holds by
+    * construction (pinned in SelectionSpec regardless). O(H log H)
+    * sort + O(H) per probe × O(log range) probes, H = histogram
+    * rows. */
+  private def solveGroup(g: String, rs: Array[(Long, Long)],
+      mode: PairMode, kOf: (Long, Long) => Long): Option[Sel] = {
+    val sorted = rs.sortBy(_._1)
+    val vals = sorted.map(_._1)
+    val cum = sorted.scanLeft(0L)(_ + _._2).tail
+    val n = cum.last
+    val m = pairCount(n, mode)
+    if (m == 0) None
+    else {
+      val k = kOf(n, m)
+      require(k >= 1 && k <= m,
+        s"kthPairwise: k=$k outside 1..$m for $g")
+      def fle(u: Long): Long = { // #values ≤ u
+        var lo = 0; var hi = vals.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (vals(mid) <= u) lo = mid + 1 else hi = mid
+        }
+        if (lo == 0) 0L else cum(lo - 1)
+      }
+      def countLE(t: Long): Long = mode match {
+        case WalshSums =>
+          val a = sorted.iterator.map { case (v, c) =>
+            c * fle(t - v) }.sum
+          val d = sorted.iterator.filter(_._1 * 2 <= t)
+            .map(_._2).sum
+          (a + d) / 2
+        case AbsDiffs =>
+          val s = sorted.iterator.map { case (v, c) =>
+            c * (fle(v + t) - fle(v - t - 1)) }.sum
+          (s - n) / 2
+      }
+      var (lo, hi) = mode match {
+        case WalshSums => (2 * vals.head, 2 * vals.last)
+        case AbsDiffs  => (0L, vals.last - vals.head)
+      }
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (countLE(mid) >= k) hi = mid else lo = mid + 1
+      }
+      Some(Sel(g, n, m, k, lo))
+    }
   }
 
   /** Per-(group, probe) (Σ qc·F, Σ diag·F) for a probe grid

@@ -2215,7 +2215,39 @@ object StatsQueries {
         e2($"o_totalprice").as("v"))
     Selection.kthPairwise(vals, Selection.WalshSums,
         (_, m) => (m + 1) / 2,
-        maxGroups = 4096, smallHistLimit = 1L << 13)
+        maxGroups = 4096, smallHistLimit = 1L << 13,
+        perGroupHistLimit = 0L) // force tier 3: this query BENCHES it
+      .select($"g".as("nation_month"), $"n", $"m".as("n_pairs"), $"k",
+        $"value".as("hl_cents2"), ($"value" / lit(200.0)).as("hl"))
+      .orderBy($"nation_month")
+  }
+
+  /** The SAME grouped Hodges–Lehmann selection through
+    * [[graft.ops.Selection.kthPairwise]]'s EXECUTOR-LOCAL GROUP tier
+    * (r15): the full histogram still blows the driver probe
+    * (`smallHistLimit` 0 here makes that explicit), but every single
+    * group's histogram is task-sized, so the whole selection is ONE
+    * exchange on the group key + a per-task run of the exact local
+    * counting search — zero barrier rounds, zero per-round driver
+    * actions, group count unbounded. This is the tier a 100 TB run
+    * with thousands-to-millions of MEDIUM groups takes by default;
+    * [[qStatHodgesGrouped]] keeps pricing the probe-loop shape the
+    * rare jumbo-group workload needs. Identical output (same oracle
+    * SQL), deliberately different plan — the pair is the cost story.
+    */
+  def qStatHodgesGroupedExec(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val vals = Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select(concat($"c_nationkey".cast("string"), lit("|"),
+          date_format($"o_orderdate", "yyyy-MM")).as("g"),
+        e2($"o_totalprice").as("v"))
+    Selection.kthPairwise(vals, Selection.WalshSums,
+        (_, m) => (m + 1) / 2,
+        maxGroups = 4096, smallHistLimit = 0L)
       .select($"g".as("nation_month"), $"n", $"m".as("n_pairs"), $"k",
         $"value".as("hl_cents2"), ($"value" / lit(200.0)).as("hl"))
       .orderBy($"nation_month")
@@ -2506,6 +2538,7 @@ object StatsQueries {
     "q_stat_page" -> (qStatPage(_, _)),
     "q_stat_hodges" -> (qStatHodges(_, _)),
     "q_stat_hodges_grouped" -> (qStatHodgesGrouped(_, _)),
+    "q_stat_hodges_grouped_exec" -> (qStatHodgesGroupedExec(_, _)),
     "q_stat_qn" -> (qStatQn(_, _)),
     "q_stat_grubbs" -> (qStatGrubbs(_, _)),
     "q_stat_cochranq" -> (qStatCochranq(_, _)),
@@ -2795,6 +2828,30 @@ object StatsQueries {
     // same Walsh-sum enumeration, per (nation, month) — ~2k groups of
     // bounded size, so the quadratic twin stays feasible at oracle sf
     "q_stat_hodges_grouped" ->
+      """WITH v AS (SELECT
+        |    CAST(c.c_nationkey AS VARCHAR) || '|' ||
+        |      strftime(o.o_orderdate, '%Y-%m') AS g,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY c.c_nationkey,
+        |      strftime(o.o_orderdate, '%Y-%m')
+        |      ORDER BY o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+        |p AS (SELECT a.g, a.x + b.x AS s FROM v a
+        |  JOIN v b ON a.g = b.g AND a.rn <= b.rn),
+        |r AS (SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY s) AS r FROM p)
+        |SELECT n.g AS nation_month, n.n,
+        |  n.n * (n.n + 1) // 2 AS n_pairs,
+        |  (n.n * (n.n + 1) // 2 + 1) // 2 AS k,
+        |  r.s AS hl_cents2, r.s / 200.0 AS hl
+        |FROM n JOIN r ON n.g = r.g
+        |  AND r.r = (n.n * (n.n + 1) // 2 + 1) // 2
+        |ORDER BY nation_month""".stripMargin,
+    // identical answer to q_stat_hodges_grouped — the engine pair
+    // differs only in TIER (probe loop vs executor-local); one twin
+    // text keeps the oracle honest about that
+    "q_stat_hodges_grouped_exec" ->
       """WITH v AS (SELECT
         |    CAST(c.c_nationkey AS VARCHAR) || '|' ||
         |      strftime(o.o_orderdate, '%Y-%m') AS g,

@@ -117,8 +117,9 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
-  test("driver tier equals the distributed probe loop (smallHistLimit " +
-    "= 0 forces the fallthrough) on random multi-group draws") {
+  test("all THREE tiers agree (driver; executor-local groups via " +
+    "smallHistLimit = 0; probe loop via perGroupHistLimit = 0 too) " +
+    "on random multi-group draws") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 3) {
       val rows = (1 to 60).map(_ =>
@@ -126,14 +127,37 @@ class SelectionSpec extends SparkTestBase {
       val in = df(rows: _*)
       for (mode <- Seq(WalshSums, AbsDiffs)) {
         val kOf: (Long, Long) => Long = (_, m) => (m + 1) / 2
-        val (fast, slow) = CacheScope.scoped {
+        val (driver, exec, probe) = CacheScope.scoped {
           (Selection.kthPairwise(in, mode, kOf)
             .as[(String, Long, Long, Long, Long)].collect().toSet,
             Selection.kthPairwise(in, mode, kOf, smallHistLimit = 0L)
+              .as[(String, Long, Long, Long, Long)].collect().toSet,
+            Selection.kthPairwise(in, mode, kOf, smallHistLimit = 0L,
+                perGroupHistLimit = 0L)
               .as[(String, Long, Long, Long, Long)].collect().toSet)
         }
-        assert(fast == slow, s"trial $trial $mode")
+        assert(driver == exec, s"trial $trial $mode driver vs exec")
+        assert(driver == probe, s"trial $trial $mode driver vs probe")
       }
     }
+  }
+
+  test("executor-local group tier: a group whose histogram exceeds " +
+    "perGroupHistLimit falls through to the probe loop, same answer") {
+    val rnd = new scala.util.Random(43)
+    // g0 has 40 distinct values (> limit 16), g1 has 5
+    val rows = (1 to 40).map(i => ("g0", (i * 7).toLong)) ++
+      (1 to 20).map(_ => ("g1", rnd.nextInt(5).toLong))
+    val in = df(rows: _*)
+    val kOf: (Long, Long) => Long = (_, m) => (m + 1) / 2
+    val (viaExec, viaProbe) = CacheScope.scoped {
+      (Selection.kthPairwise(in, WalshSums, kOf, smallHistLimit = 0L,
+          perGroupHistLimit = 16L)
+        .as[(String, Long, Long, Long, Long)].collect().toSet,
+        Selection.kthPairwise(in, WalshSums, kOf, smallHistLimit = 0L,
+            perGroupHistLimit = 0L)
+          .as[(String, Long, Long, Long, Long)].collect().toSet)
+    }
+    assert(viaExec == viaProbe)
   }
 }
