@@ -249,6 +249,12 @@ object Scratch {
           "the per-probe plan — histogram x broadcast threshold, " +
           "ONE running-sum window, no pair enumeration — is the " +
           "PlanSpec pairwise-selection guard"),
+      "q_graph_hyperball" ->
+        ("HyperBall: sparse (v, j, r) HLL registers; per hop ONE " +
+          "adjacency equi-join + (v, j) max-aggregate (union = " +
+          "element-wise max) on checkpointed rounds; estimates are " +
+          "one grouped BIGINT sum per vertex + a vertex-ordered " +
+          "fold per hop - never an all-pairs join"),
       "q_stat_hodges_grouped_exec" ->
         ("grouped HL through the EXECUTOR-LOCAL group tier: one " +
           "exchange on the group key feeds MapGroups running the " +

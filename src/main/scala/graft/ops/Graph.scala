@@ -1207,4 +1207,110 @@ object Graph {
       .withColumn("is_best", row_number().over(w) === 1)
       .orderBy(col("round"))
   }
+
+  /** HYPERBALL (Boldi, Rosa & Vigna, 2011 — "HyperANF: approximating
+    * the neighbourhood function of very large graphs"): the
+    * NEIGHBOURHOOD FUNCTION N(t) = Σ_v |ball(v, t)| estimated with one
+    * m = 16-register HyperLogLog counter per vertex — THE published
+    * way to get distance distributions / effective diameter on graphs
+    * where the all-pairs BFS behind [[harmonicCentrality]] is
+    * unaffordable (and exactly the sketch that method's scaladoc
+    * points to as its 100 TB fallback). Per hop, counter(v) absorbs
+    * its neighbours' counters; HLL union is ELEMENT-WISE MAX, so the
+    * whole update is relational: registers live as SPARSE (v, j, r)
+    * rows (absent register = 0) and one hop is
+    * union ∪ (adjacency ⨝ registers) → groupBy(v, j).max(r) —
+    * the pagerank cost class ×m, eager roundCut per hop.
+    *
+    * Determinism (no RNG anywhere): register index and rank derive
+    * from md5(vertex) STRING ops shared verbatim with the DuckDB twin
+    * (the q_graph_walks convention) — j = hex digit 31, and
+    * ρ = 4·(leading '0' hex chars of digits 1..10) + nibble-internal
+    * zeros of the first non-zero digit + 1, capped at 41 by width.
+    * The HLL sum Σ 2^{−r_j} is carried as the exact BIGINT
+    * S = Σ 2^{41−r_j} (empty registers contribute 2^41; max 16·2^41 —
+    * no overflow), so the raw estimate α₁₆·m²·2^41 / S is ONE double
+    * division; the standard small-range branch (raw ≤ 2.5m with empty
+    * registers → linear counting m·ln(m/zeros)) uses the same ln in
+    * both engines. Per-hop totals N̂(t) fold the per-vertex estimates
+    * in vertex order (sort_array + aggregate — the q_time_holt
+    * discipline), so the final doubles are bit-replayable; that fold
+    * collects |V| estimates into one row per hop — fine for the
+    * profiled graphs this query class targets, and at 100 TB the
+    * total becomes a two-level ordered fold (the betweenness
+    * pattern) without touching the sketch itself.
+    *
+    * @return one row per hop 0..maxHops: (hop, nf_est_r6 — the
+    *         estimated #pairs within the hop, avg_ball_r6, and
+    *         reach_ratio_r6 = N̂(t)/N̂(maxHops) whose first crossing
+    *         of 0.9 is the effective-diameter read-off)
+    */
+  def hyperBall(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
+    val sym = symmetrized(edges)
+    val verts = sym.select(col("v")).distinct()
+      .withColumn("hex", md5(col("v").cast("string")))
+    // ρ from hex digits 1..10 (40 bits), j from digit 31 — string ops
+    // only, so the twin replays them without any numeric hex parse
+    val z = length(regexp_extract(substring(col("hex"), 1, 10),
+      "^0*", 0))
+    // the first non-zero digit sits at position z+1 within the window;
+    // its value d (1..15) contributes 3/2/1/0 extra zero bits for
+    // d = 1 / {2,3} / {4..7} / {8..15}
+    val firstNz = expr(
+      "instr('0123456789abcdef', substring(substring(hex, 1, 10), " +
+        "cast(length(regexp_extract(substring(hex, 1, 10), '^0*', 0)) " +
+        "as int) + 1, 1)) - 1")
+    val rho = when(z === 10, lit(41))
+      .otherwise(z * 4 + when(firstNz >= 8, 0).when(firstNz >= 4, 1)
+        .when(firstNz >= 2, 2).otherwise(3) + 1)
+    var regs = verts.select(col("v"),
+        expr("instr('0123456789abcdef', substring(hex, 31, 1)) - 1")
+          .cast("int").as("j"),
+        rho.cast("int").as("r"))
+      .localCheckpoint(true)
+    def estimates(r: DataFrame): DataFrame =
+      r.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(1 as bigint) << (41 - r)")).as("sp"))
+        .select(col("v"), (col("sp")
+            + (lit(16L) - col("cnt")) * expr("cast(1 as bigint) << 41"))
+          .as("s"), (lit(16L) - col("cnt")).as("zeros"))
+        .select(col("v"),
+          // α₁₆·m²·2^41 / S; small-range: m·ln(m/zeros)
+          when(lit(0.673 * 256.0 * 2199023255552.0).cast("double")
+              / col("s").cast("double") <= lit(40.0)
+              && col("zeros") > 0,
+            lit(16.0) * log(lit(16.0)
+              / col("zeros").cast("double")))
+            .otherwise(lit(0.673 * 256.0 * 2199023255552.0)
+              .cast("double") / col("s").cast("double")).as("est"))
+    def nfRow(hop: Int, r: DataFrame): DataFrame =
+      estimates(r).agg(
+        expr("sort_array(collect_list(struct(v, est)))").as("arr"))
+        .select(lit(hop).as("hop"),
+          expr("aggregate(arr, 0D, (a, x) -> a + x.est)").as("nf"),
+          expr("cast(size(arr) as bigint)").as("n_verts"))
+    val rows = Seq.newBuilder[DataFrame]
+    rows += nfRow(0, regs)
+    for (h <- 1 to maxHops) {
+      val absorbed = sym.withColumnRenamed("n", "nv")
+        .join(regs.withColumnRenamed("v", "nv"), "nv")
+        .select(col("v"), col("j"), col("r"))
+      regs = regs.unionByName(absorbed)
+        .groupBy(col("v"), col("j")).agg(max(col("r")).as("r"))
+        .localCheckpoint(true)
+      rows += nfRow(h, regs)
+    }
+    val all = rows.result().reduce(_.unionByName(_))
+    val tot = all.filter(col("hop") === maxHops)
+      .select(col("nf").as("nf_max"))
+    all.crossJoin(broadcast(tot))
+      .select(col("hop").cast("long").as("hop"),
+        round(col("nf"), 6).as("nf_est_r6"),
+        round(col("nf") / col("n_verts").cast("double"), 6)
+          .as("avg_ball_r6"),
+        round(col("nf") / col("nf_max"), 6).as("reach_ratio_r6"))
+      .orderBy(col("hop"))
+  }
 }

@@ -573,7 +573,31 @@ object GraphQueries {
       .orderBy($"source")
   }
 
+  /** HYPERBALL NEIGHBOURHOOD FUNCTION of the co-supply graph
+    * ([[graft.ops.Graph.hyperBall]]): N̂(t) for t = 0..6 from one
+    * 16-register HLL counter per supplier — the Boldi–Rosa–Vigna
+    * sketch that answers "how connected is this graph" (distance
+    * distribution, average ball growth, effective diameter via the
+    * 0.9 reach-ratio crossing) without q_graph_harmonic's all-pairs
+    * BFS. The estimates are deterministic (md5 registers, exact
+    * BIGINT register sums, ordered folds), so the DuckDB twin replays
+    * every double bit-for-bit; HyperBallSpec certifies the estimates
+    * against the EXACT ball sizes from multiSourceBfs on the same
+    * fixture graph.
+    */
+  def qGraphHyperball(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    Graph.hyperBall(edges, maxHops = 6)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_graph_hyperball" -> (qGraphHyperball(_, _)),
     "q_graph_ecc" -> (qGraphEcc(_, _)),
     "q_graph_critpath" -> (qGraphCritpath(_, _)),
     "q_graph_conductance" -> (qGraphConductance(_, _)),
@@ -778,6 +802,79 @@ object GraphQueries {
        |  SELECT n.node, COALESCE(c.component, n.node) AS comp
        |  FROM nodes n LEFT JOIN comp$k c ON c.node = n.node)"""
       .stripMargin
+  }
+
+  /** HyperBall twin: same md5 register derivation via string ops
+    * (strpos/instr are both 1-based), sparse (v, j, r) max-union per
+    * hop unrolled as MATERIALIZED CTEs (the mstSql inlining lesson),
+    * exact BIGINT register sums, and the per-hop estimate total as
+    * list_sum over an ORDER BY v list — the q_time_holt fold twin. */
+  private lazy val hyperballSql: String = {
+    def hop(k: Int) =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v, j, CAST(max(r) AS INT) AS r FROM (
+         |    SELECT v, j, r FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT s.v, r.j, r.r FROM sym s
+         |      JOIN r${k - 1} r ON r.v = s.n)
+         |  GROUP BY v, j)""".stripMargin
+    def est(k: Int) =
+      s"""e$k AS MATERIALIZED (SELECT $k AS hop, nf, n_verts FROM (
+         |  SELECT list_sum(list(est ORDER BY v)) AS nf,
+         |      CAST(count(*) AS BIGINT) AS n_verts FROM (
+         |    SELECT v,
+         |      CASE WHEN (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE) * CAST(2199023255552.0 AS DOUBLE))
+         |            / CAST(s AS DOUBLE) <= 40.0 AND zeros > 0
+         |        THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE))
+         |        ELSE (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE) * CAST(2199023255552.0 AS DOUBLE))
+         |          / CAST(s AS DOUBLE) END AS est
+         |    FROM (
+         |      SELECT v,
+         |        CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT)
+         |          + (16 - CAST(count(*) AS BIGINT))
+         |            * (CAST(1 AS BIGINT) << 41) AS s,
+         |        16 - CAST(count(*) AS BIGINT) AS zeros
+         |      FROM r$k GROUP BY v))))""".stripMargin
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+       |    l_suppkey AS s
+       |  FROM lineitem WHERE l_quantity = 1),
+       |e0_ AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+       |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+       |sym AS MATERIALIZED (SELECT a AS v, b AS n FROM e0_
+       |  UNION ALL SELECT b, a FROM e0_),
+       |verts AS MATERIALIZED (SELECT DISTINCT v,
+       |    md5(CAST(v AS VARCHAR)) AS hex FROM sym),
+       |r0 AS MATERIALIZED (SELECT v,
+       |    CAST(strpos('0123456789abcdef', substring(hex, 31, 1)) - 1
+       |      AS INT) AS j,
+       |    CAST(CASE WHEN length(regexp_extract(
+       |        substring(hex, 1, 10), '^0*')) = 10 THEN 41
+       |      ELSE length(regexp_extract(substring(hex, 1, 10), '^0*'))
+       |          * 4
+       |        + CASE WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 8 THEN 0
+       |          WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 4 THEN 1
+       |          WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 2 THEN 2
+       |          ELSE 3 END + 1 END AS INT) AS r
+       |  FROM verts),
+       |${(1 to 6).map(hop).mkString(",\n")},
+       |${(0 to 6).map(est).mkString(",\n")},
+       |all_ AS (${(0 to 6).map(k => s"SELECT * FROM e$k")
+          .mkString(" UNION ALL ")}),
+       |mx AS (SELECT nf AS nf_max FROM all_ WHERE hop = 6)
+       |SELECT CAST(hop AS BIGINT) AS hop,
+       |  round(nf, 6) AS nf_est_r6,
+       |  round(nf / CAST(n_verts AS DOUBLE), 6) AS avg_ball_r6,
+       |  round(nf / nf_max, 6) AS reach_ratio_r6
+       |FROM all_ CROSS JOIN mx ORDER BY hop""".stripMargin
   }
 
   private val mstRounds = 12
@@ -1201,6 +1298,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_graph_densest" -> densestOracleSql,
     "q_graph_walks" -> walksOracleSql,
+    "q_graph_hyperball" -> hyperballSql,
     // UNION-deduped recursive BFS from the same sorted-LIMIT landmarks
     "q_graph_ecc" ->
       """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p,

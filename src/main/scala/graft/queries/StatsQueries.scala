@@ -938,6 +938,64 @@ object StatsQueries {
         e2($"o_totalprice").as("v")))
   }
 
+  /** CLIFF'S DELTA effect size (Cliff 1993) between click-day and
+    * view-day volumes: δ = (#{a > b} − #{a < b}) / (n_a·n_b), the
+    * ordinal dominance measure that reports HOW SEPARATED two samples
+    * are after q_stat_mannwhitney has said THAT they differ —
+    * significance without effect size is the classic reporting trap,
+    * and δ is the standard nonparametric companion (linearly related
+    * to the U statistic but bounded in [−1, 1]). Magnitude bands at
+    * |δ| = 0.147 / 0.33 / 0.474 (Romano, Kromrey, Coraggio & Skowronek
+    * 2006) label the verdict.
+    *
+    * Exactness (the q_stat_mannwhitney value-histogram doctrine): the
+    * scan collapses to the per-distinct-value (count_a, count_b)
+    * histogram — calendar-bounded here, domain-bounded in general —
+    * one exclusive running count gives #{a < v} per value, and both
+    * dominance counts are exact BIGINT sums; δ is ONE double division
+    * at the end, the bands compare that one double. */
+  def qStatCliffs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("v"))
+    cliffsDelta(daily.select(($"event_type" === "click").as("isA"),
+      $"v"))
+  }
+
+  /** Cliff's delta core on a (isA: boolean, v: long) frame — see
+    * [[qStatCliffs]]. Exposed for CliffsSpec brute parity. Same
+    * bounded-value-domain contract as [[ansariFromSamples]]: the
+    * histogram collapse plus one single-partition running count. */
+  private[queries] def cliffsDelta(s: DataFrame): DataFrame = {
+    import s.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = s.groupBy($"v").agg(
+      sum(when($"isA", 1L).otherwise(0L)).as("ca"),
+      sum(when(!$"isA", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cuma", coalesce(sum($"ca").over(w), lit(0L)))
+    val tot = cum.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select($"na", $"nb",
+        ($"cb" * ($"na" - $"cuma" - $"ca")).as("gt_v"),
+        ($"cb" * $"cuma").as("lt_v"))
+      .groupBy($"na", $"nb")
+      .agg(sum($"gt_v").as("gt"), sum($"lt_v").as("lt"))
+      .select($"na".as("n_a"), $"nb".as("n_b"), $"gt", $"lt",
+        (($"gt" - $"lt").cast("double")
+          / ($"na" * $"nb").cast("double")).as("delta"))
+      .select($"n_a", $"n_b", $"gt", $"lt",
+        round($"delta", 6).as("delta_r6"),
+        when(abs($"delta") < 0.147, "negligible")
+          .when(abs($"delta") < 0.33, "small")
+          .when(abs($"delta") < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
   /** KRUSKAL–WALLIS H — the k-group rank ANOVA (Kruskal & Wallis 1952),
     * completing the nonparametric battery beyond the two-sample
     * Mann–Whitney: does any event type's DAILY VOLUME distribution
@@ -2568,6 +2626,7 @@ object StatsQueries {
     "q_stat_moodscale" -> (qStatMoodScale(_, _)),
     "q_stat_levene" -> (qStatLevene(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
+    "q_stat_cliffs" -> (qStatCliffs(_, _)),
     "q_stat_iqr" -> (qStatIqr(_, _)),
     "q_stat_psi" -> (qStatPsi(_, _)),
     "q_stat_anova" -> (qStatAnova(_, _)),
@@ -3883,6 +3942,38 @@ object StatsQueries {
         |FROM li JOIN f ON li.flag = f.flag
         |GROUP BY li.flag, f.q1_c, f.q3_c
         |ORDER BY li.flag""".stripMargin,
+    // exact dominance counts off the shared value histogram; one
+    // double division; Romano et al. 2006 magnitude bands
+    "q_stat_cliffs" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |h AS (SELECT v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM daily GROUP BY v),
+        |c AS (SELECT v, ca, cb,
+        |    COALESCE(SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) AS cuma,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM h),
+        |t AS (SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(cb * (na - cuma - ca)) AS BIGINT) AS gt,
+        |    CAST(SUM(cb * cuma) AS BIGINT) AS lt
+        |  FROM c),
+        |d AS (SELECT *, CAST(gt - lt AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE) AS delta FROM t)
+        |SELECT n_a, n_b, gt, lt, round(delta, 6) AS delta_r6,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(delta) < 0.33 THEN 'small'
+        |    WHEN abs(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
     "q_stat_mannwhitney" ->
       """WITH s AS (
         |  SELECT (o_orderstatus = 'O') AS isa,

@@ -1204,6 +1204,103 @@ object StreamQueries {
     * F₀.₀₅(2, 23) = 3.4221 (fixture's 30-day January ⇒ n = 28;
     * recalibrate the literal if the calendar changes).
     */
+  /** ONE-STEP-AHEAD FORECAST SCOREBOARD (the Hyndman & Koehler 2006
+    * accuracy framework): per event type, the four standing forecast
+    * models — naive (ŷ_t = x_{t−1}), seasonal naive (ŷ_t = x_{t−7}),
+    * EWMA α = ½ (the q_time_anomaly tracker), Holt α = β = ½ (the
+    * q_time_holt recursion, forecast l + b) — scored OUT-OF-SAMPLE on
+    * the common window t ≥ 8, with MAE, RMSE and MASE (MAE relative
+    * to the naive walk — the scale-free comparison the paper
+    * recommends; naive's own MASE is 1 by construction). A model zoo
+    * without a scoreboard invites silent regressions; this is the
+    * model-selection query a monitoring pipeline runs before wiring
+    * any forecast into an alert.
+    *
+    * Exactness: naive and seasonal-naive errors are INTEGER
+    * differences, so their error sums are exact BIGINTs from plain
+    * order-independent aggregates; EWMA/Holt forecasts are doubles
+    * from the ordered fold (identical recursion literals as the
+    * registered queries) with their |e| and e² accumulated INSIDE the
+    * same fold — fixed order, so the double sums are bit-replayable
+    * by the twin's recursive CTE (MATERIALIZED, the q_graph_densest
+    * lesson). Scale shape: corpus → |types|×|days| cells in one
+    * map-side-partial aggregate; lags come from one per-type window;
+    * the fold is the per-entity-series class.
+    */
+  def qTimeForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("x1", lag($"x", 1).over(w))
+      .withColumn("x7", lag($"x", 7).over(w))
+    val d = graft.ops.CacheScope.cached(daily)
+    // exact-integer scoreboard halves: plain aggregates, no fold
+    val intErr = d.filter($"rn" >= 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(abs($"x" - $"x1")).as("sae_n"),
+        sum(($"x" - $"x1") * ($"x" - $"x1")).as("sse_n"),
+        sum(abs($"x" - $"x7")).as("sae_s"),
+        sum(($"x" - $"x7") * ($"x" - $"x7")).as("sse_s"))
+    // double-model halves: one ordered fold carrying (ew, l, b) and
+    // the four error accumulators; forecasts read state BEFORE update
+    val dblErr = d.groupBy($"event_type")
+      .agg(expr("sort_array(collect_list(struct(rn, x)))").as("arr"))
+      .filter(size($"arr") >= 8)
+      .select($"event_type", expr(
+        """aggregate(
+          |  slice(arr, 3, size(arr) - 2),
+          |  named_struct(
+          |    'ew', CAST(element_at(arr, 1).x AS DOUBLE) * 0.5d
+          |      + CAST(element_at(arr, 2).x AS DOUBLE) * 0.5d,
+          |    'l', CAST(element_at(arr, 2).x AS DOUBLE),
+          |    'b', CAST(element_at(arr, 2).x
+          |      - element_at(arr, 1).x AS DOUBLE),
+          |    'sae_e', 0.0d, 'sse_e', 0.0d,
+          |    'sae_h', 0.0d, 'sse_h', 0.0d),
+          |  (acc, e) -> named_struct(
+          |    'ew', acc.ew * 0.5d + CAST(e.x AS DOUBLE) * 0.5d,
+          |    'l', (CAST(e.x AS DOUBLE) + (acc.l + acc.b)) * 0.5d,
+          |    'b', (((CAST(e.x AS DOUBLE) + (acc.l + acc.b)) * 0.5d
+          |      - acc.l) + acc.b) * 0.5d,
+          |    'sae_e', acc.sae_e + CASE WHEN e.rn >= 8
+          |      THEN abs(CAST(e.x AS DOUBLE) - acc.ew) ELSE 0.0d END,
+          |    'sse_e', acc.sse_e + CASE WHEN e.rn >= 8
+          |      THEN (CAST(e.x AS DOUBLE) - acc.ew)
+          |        * (CAST(e.x AS DOUBLE) - acc.ew) ELSE 0.0d END,
+          |    'sae_h', acc.sae_h + CASE WHEN e.rn >= 8
+          |      THEN abs(CAST(e.x AS DOUBLE) - (acc.l + acc.b))
+          |      ELSE 0.0d END,
+          |    'sse_h', acc.sse_h + CASE WHEN e.rn >= 8
+          |      THEN (CAST(e.x AS DOUBLE) - (acc.l + acc.b))
+          |        * (CAST(e.x AS DOUBLE) - (acc.l + acc.b))
+          |      ELSE 0.0d END),
+          |  acc -> acc)""".stripMargin).as("f"))
+    intErr.join(dblErr, "event_type")
+      .select($"event_type", explode(array(
+        struct(lit("naive").as("model"),
+          $"sae_n".cast("double").as("sae"),
+          $"sse_n".cast("double").as("sse")),
+        struct(lit("snaive").as("model"),
+          $"sae_s".cast("double").as("sae"),
+          $"sse_s".cast("double").as("sse")),
+        struct(lit("ewma").as("model"),
+          $"f.sae_e".as("sae"), $"f.sse_e".as("sse")),
+        struct(lit("holt").as("model"),
+          $"f.sae_h".as("sae"), $"f.sse_h".as("sse"))))
+        .as("m"), $"cnt", $"sae_n")
+      .select($"event_type", $"m.model".as("model"),
+        $"cnt".as("n_eval"),
+        round($"m.sae" / $"cnt", 6).as("mae_r6"),
+        round(sqrt($"m.sse" / $"cnt"), 6).as("rmse_r6"),
+        round($"m.sae" / $"sae_n".cast("double"), 6).as("mase_r6"))
+      .orderBy($"event_type", $"model")
+  }
+
   def qTimeGranger2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     granger2FromDaily(Tables.events(spark, dir)
@@ -2135,6 +2232,7 @@ object StreamQueries {
     "q_time_acf" -> (qTimeAcf(_, _)),
     "q_time_granger" -> (qTimeGranger(_, _)),
     "q_time_granger2" -> (qTimeGranger2(_, _)),
+    "q_time_forecast_eval" -> (qTimeForecastEval(_, _)),
     "q_time_granger_cond" -> (qTimeGrangerCond(_, _)),
     "q_time_period" -> (qTimePeriod(_, _)),
     "q_stream_ewma" -> (qStreamEwma(_, _)),
@@ -2404,6 +2502,77 @@ object StreamQueries {
     // same moment algebra one regressor up: restricted (y1, z1) 2×2
     // adjugate, augmented (y1, z1, x1) 3×3 cofactor quadratic form —
     // every sub-expression in the engine's exact order
+    // MATERIALIZED + sequential recursion: the double accumulators
+    // replay the engine fold's exact op order (q_graph_densest lesson
+    // for the CTE hygiene; q_time_kalman for the recursion pattern)
+    "q_time_forecast_eval" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (SELECT event_type, day, x,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    lag(x, 1) OVER w AS x1, lag(x, 7) OVER w AS x7
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |      CAST(count(*) AS BIGINT) AS x
+        |    FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |ie AS MATERIALIZED (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(abs(x - x1)) AS BIGINT) AS sae_n,
+        |    CAST(SUM((x - x1) * (x - x1)) AS BIGINT) AS sse_n,
+        |    CAST(SUM(abs(x - x7)) AS BIGINT) AS sae_s,
+        |    CAST(SUM((x - x7) * (x - x7)) AS BIGINT) AS sse_s
+        |  FROM daily WHERE rn >= 8 GROUP BY 1),
+        |nmax AS MATERIALIZED (SELECT event_type,
+        |    CAST(max(rn) AS BIGINT) AS nm
+        |  FROM daily GROUP BY 1),
+        |rec AS (
+        |  SELECT a.event_type, CAST(2 AS BIGINT) AS rn,
+        |      CAST(a.x AS DOUBLE) * 0.5 + CAST(b.x AS DOUBLE) * 0.5
+        |        AS ew,
+        |      CAST(b.x AS DOUBLE) AS l,
+        |      CAST(b.x - a.x AS DOUBLE) AS b,
+        |      CAST(0.0 AS DOUBLE) AS sae_e, CAST(0.0 AS DOUBLE) AS sse_e,
+        |      CAST(0.0 AS DOUBLE) AS sae_h, CAST(0.0 AS DOUBLE) AS sse_h
+        |    FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |      AND a.rn = 1 AND b.rn = 2
+        |  UNION ALL
+        |  SELECT q.event_type, q.rn,
+        |      r.ew * 0.5 + CAST(q.x AS DOUBLE) * 0.5,
+        |      (CAST(q.x AS DOUBLE) + (r.l + r.b)) * 0.5,
+        |      (((CAST(q.x AS DOUBLE) + (r.l + r.b)) * 0.5 - r.l)
+        |        + r.b) * 0.5,
+        |      r.sae_e + CASE WHEN q.rn >= 8
+        |        THEN abs(CAST(q.x AS DOUBLE) - r.ew) ELSE 0.0 END,
+        |      r.sse_e + CASE WHEN q.rn >= 8
+        |        THEN (CAST(q.x AS DOUBLE) - r.ew)
+        |          * (CAST(q.x AS DOUBLE) - r.ew) ELSE 0.0 END,
+        |      r.sae_h + CASE WHEN q.rn >= 8
+        |        THEN abs(CAST(q.x AS DOUBLE) - (r.l + r.b))
+        |        ELSE 0.0 END,
+        |      r.sse_h + CASE WHEN q.rn >= 8
+        |        THEN (CAST(q.x AS DOUBLE) - (r.l + r.b))
+        |          * (CAST(q.x AS DOUBLE) - (r.l + r.b)) ELSE 0.0 END
+        |    FROM daily q JOIN rec r ON q.event_type = r.event_type
+        |      AND q.rn = r.rn + 1),
+        |fin AS MATERIALIZED (SELECT r.* FROM rec r
+        |  JOIN nmax n ON r.event_type = n.event_type AND r.rn = n.nm),
+        |rows_ AS (
+        |  SELECT ie.event_type, 'ewma' AS model, ie.cnt, ie.sae_n,
+        |      f.sae_e AS sae, f.sse_e AS sse
+        |    FROM ie JOIN fin f ON ie.event_type = f.event_type
+        |  UNION ALL
+        |  SELECT ie.event_type, 'holt', ie.cnt, ie.sae_n,
+        |      f.sae_h, f.sse_h
+        |    FROM ie JOIN fin f ON ie.event_type = f.event_type
+        |  UNION ALL
+        |  SELECT event_type, 'naive', cnt, sae_n,
+        |      CAST(sae_n AS DOUBLE), CAST(sse_n AS DOUBLE) FROM ie
+        |  UNION ALL
+        |  SELECT event_type, 'snaive', cnt, sae_n,
+        |      CAST(sae_s AS DOUBLE), CAST(sse_s AS DOUBLE) FROM ie)
+        |SELECT event_type, model, cnt AS n_eval,
+        |  round(sae / cnt, 6) AS mae_r6,
+        |  round(sqrt(sse / cnt), 6) AS rmse_r6,
+        |  round(sae / CAST(sae_n AS DOUBLE), 6) AS mase_r6
+        |FROM rows_ ORDER BY event_type, model""".stripMargin,
     "q_time_granger2" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
