@@ -1313,4 +1313,85 @@ object Graph {
         round(col("nf") / col("nf_max"), 6).as("reach_ratio_r6"))
       .orderBy(col("hop"))
   }
+
+  /** HYPERANF HARMONIC-CENTRALITY ESTIMATES (Boldi, Rosa & Vigna
+    * 2011, §5): from the same per-vertex HyperBall counters as
+    * [[hyperBall]], the harmonic score of v is estimated as
+    * ĥ(v) = Σ_{t=1..H} (|b̂all(v,t)| − |b̂all(v,t−1)|)/t — the ball
+    * DELTAS are the estimated count of vertices first reached at
+    * distance t. This is the sketch twin of [[harmonicCentrality]]:
+    * the exact operator pays an all-pairs BFS (|V|·ball reach rows);
+    * this one pays m = 16 registers per vertex per hop and reads the
+    * centrality off six subtractions — the form that survives 100 TB.
+    *
+    * Registers grow monotonically, so ball estimates are monotone in
+    * t within an estimator branch; the raw↔linear-counting branch
+    * switch can dip slightly, so each delta floors at 0 — the SAME
+    * greatest(0, ·) in both engines keeps the twin bit-exact. The
+    * per-vertex sum is a FIXED six-term left-associated double
+    * expression (no data-dependent fold), deterministic by shape.
+    *
+    * @return (vertex, ball0..ballH implicit) as
+    *         (vertex, reached_est_r6 = b̂all(H) − 1 self-excluded,
+    *         harmonic_est_r6)
+    */
+  def hyperHarmonic(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "bounded horizon 1..8")
+    val sym = symmetrized(edges)
+    val verts = sym.select(col("v")).distinct()
+      .withColumn("hex", md5(col("v").cast("string")))
+    val z = length(regexp_extract(substring(col("hex"), 1, 10),
+      "^0*", 0))
+    val firstNz = expr(
+      "instr('0123456789abcdef', substring(substring(hex, 1, 10), " +
+        "cast(length(regexp_extract(substring(hex, 1, 10), '^0*', 0)) " +
+        "as int) + 1, 1)) - 1")
+    val rho = when(z === 10, lit(41))
+      .otherwise(z * 4 + when(firstNz >= 8, 0).when(firstNz >= 4, 1)
+        .when(firstNz >= 2, 2).otherwise(3) + 1)
+    var regs = verts.select(col("v"),
+        expr("instr('0123456789abcdef', substring(hex, 31, 1)) - 1")
+          .cast("int").as("j"),
+        rho.cast("int").as("r"))
+      .localCheckpoint(true)
+    def estimates(hop: Int, r: DataFrame): DataFrame =
+      r.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(1 as bigint) << (41 - r)")).as("sp"))
+        .select(col("v"), (col("sp")
+            + (lit(16L) - col("cnt")) * expr("cast(1 as bigint) << 41"))
+          .as("s"), (lit(16L) - col("cnt")).as("zeros"))
+        .select(lit(hop).as("hop"), col("v"),
+          when(lit(0.673 * 256.0 * 2199023255552.0).cast("double")
+              / col("s").cast("double") <= lit(40.0)
+              && col("zeros") > 0,
+            lit(16.0) * log(lit(16.0)
+              / col("zeros").cast("double")))
+            .otherwise(lit(0.673 * 256.0 * 2199023255552.0)
+              .cast("double") / col("s").cast("double")).as("est"))
+    val perHop = Seq.newBuilder[DataFrame]
+    perHop += estimates(0, regs)
+    for (h <- 1 to maxHops) {
+      val absorbed = sym.withColumnRenamed("n", "nv")
+        .join(regs.withColumnRenamed("v", "nv"), "nv")
+        .select(col("v"), col("j"), col("r"))
+      regs = regs.unionByName(absorbed)
+        .groupBy(col("v"), col("j")).agg(max(col("r")).as("r"))
+        .localCheckpoint(true)
+      perHop += estimates(h, regs)
+    }
+    val pivotCols = (0 to maxHops).map(t =>
+      max(when(col("hop") === t, col("est"))).as(s"b$t"))
+    val wide = perHop.result().reduce(_.unionByName(_))
+      .groupBy(col("v"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val harmonic = (1 to maxHops).map(t =>
+        greatest(lit(0.0), col(s"b$t") - col(s"b${t - 1}"))
+          / lit(t.toDouble))
+      .reduce(_ + _)
+    wide.select(col("v").as("vertex"),
+        round(col(s"b$maxHops") - lit(1.0), 6).as("reached_est_r6"),
+        round(harmonic, 6).as("harmonic_est_r6"))
+      .orderBy(col("vertex"))
+  }
 }

@@ -596,8 +596,28 @@ object GraphQueries {
     Graph.hyperBall(edges, maxHops = 6)
   }
 
+  /** HyperANF per-vertex HARMONIC ESTIMATES on the same co-supply
+    * graph ([[graft.ops.Graph.hyperHarmonic]]): ĥ(v) from the ball
+    * deltas of v's own HyperBall counter — the sketch twin of
+    * q_graph_harmonic whose cost is m = 16 registers per vertex per
+    * hop instead of an all-pairs BFS. HyperBallSpec certifies the
+    * estimates against the exact operator (rank agreement + sum
+    * envelope); the DuckDB twin replays every double bit-for-bit.
+    */
+  def qGraphHyperHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" === 1.0)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+    val edges = ps.as("x").join(ps.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    Graph.hyperHarmonic(edges, maxHops = 6)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_graph_hyperball" -> (qGraphHyperball(_, _)),
+    "q_graph_hyperharmonic" -> (qGraphHyperHarmonic(_, _)),
     "q_graph_ecc" -> (qGraphEcc(_, _)),
     "q_graph_critpath" -> (qGraphCritpath(_, _)),
     "q_graph_conductance" -> (qGraphConductance(_, _)),
@@ -875,6 +895,81 @@ object GraphQueries {
        |  round(nf / CAST(n_verts AS DOUBLE), 6) AS avg_ball_r6,
        |  round(nf / nf_max, 6) AS reach_ratio_r6
        |FROM all_ CROSS JOIN mx ORDER BY hop""".stripMargin
+  }
+
+  /** HyperANF harmonic twin: same register/hop CTEs as
+    * [[hyperballSql]], then a per-vertex pivot of the per-hop
+    * estimates and the FIXED six-term delta sum (greatest(0, ·)
+    * floors the raw↔linear branch-switch dip, same as the engine). */
+  private lazy val hyperharmonicSql: String = {
+    def hop(k: Int) =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v, j, CAST(max(r) AS INT) AS r FROM (
+         |    SELECT v, j, r FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT s.v, r.j, r.r FROM sym s
+         |      JOIN r${k - 1} r ON r.v = s.n)
+         |  GROUP BY v, j)""".stripMargin
+    def est(k: Int) =
+      s"""e$k AS MATERIALIZED (
+         |  SELECT v,
+         |    CASE WHEN (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+         |          * CAST(2199023255552.0 AS DOUBLE))
+         |          / CAST(s AS DOUBLE) <= 40.0 AND zeros > 0
+         |      THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE))
+         |      ELSE (CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+         |          * CAST(2199023255552.0 AS DOUBLE))
+         |        / CAST(s AS DOUBLE) END AS est
+         |  FROM (
+         |    SELECT v,
+         |      CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT)
+         |        + (16 - CAST(count(*) AS BIGINT))
+         |          * (CAST(1 AS BIGINT) << 41) AS s,
+         |      16 - CAST(count(*) AS BIGINT) AS zeros
+         |    FROM r$k GROUP BY v))""".stripMargin
+    val deltas = (1 to 6).map(t =>
+      s"greatest(CAST(0.0 AS DOUBLE), e$t.est - e${t - 1}.est) " +
+        s"/ CAST($t.0 AS DOUBLE)").mkString("\n       |  + ")
+    s"""WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+       |    l_suppkey AS s
+       |  FROM lineitem WHERE l_quantity = 1),
+       |e0_ AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+       |  FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+       |sym AS MATERIALIZED (SELECT a AS v, b AS n FROM e0_
+       |  UNION ALL SELECT b, a FROM e0_),
+       |verts AS MATERIALIZED (SELECT DISTINCT v,
+       |    md5(CAST(v AS VARCHAR)) AS hex FROM sym),
+       |r0 AS MATERIALIZED (SELECT v,
+       |    CAST(strpos('0123456789abcdef', substring(hex, 31, 1)) - 1
+       |      AS INT) AS j,
+       |    CAST(CASE WHEN length(regexp_extract(
+       |        substring(hex, 1, 10), '^0*')) = 10 THEN 41
+       |      ELSE length(regexp_extract(substring(hex, 1, 10), '^0*'))
+       |          * 4
+       |        + CASE WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 8 THEN 0
+       |          WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 4 THEN 1
+       |          WHEN strpos('0123456789abcdef',
+       |            substring(substring(hex, 1, 10),
+       |              CAST(length(regexp_extract(substring(hex, 1, 10),
+       |                '^0*')) AS INT) + 1, 1)) - 1 >= 2 THEN 2
+       |          ELSE 3 END + 1 END AS INT) AS r
+       |  FROM verts),
+       |${(1 to 6).map(hop).mkString(",\n")},
+       |${(0 to 6).map(est).mkString(",\n")}
+       |SELECT e0.v AS vertex,
+       |  round(e6.est - 1.0, 6) AS reached_est_r6,
+       |  round($deltas, 6) AS harmonic_est_r6
+       |FROM e0
+       |  JOIN e1 ON e1.v = e0.v JOIN e2 ON e2.v = e0.v
+       |  JOIN e3 ON e3.v = e0.v JOIN e4 ON e4.v = e0.v
+       |  JOIN e5 ON e5.v = e0.v JOIN e6 ON e6.v = e0.v
+       |ORDER BY vertex""".stripMargin
   }
 
   private val mstRounds = 12
@@ -1299,6 +1394,7 @@ object GraphQueries {
     "q_graph_densest" -> densestOracleSql,
     "q_graph_walks" -> walksOracleSql,
     "q_graph_hyperball" -> hyperballSql,
+    "q_graph_hyperharmonic" -> hyperharmonicSql,
     // UNION-deduped recursive BFS from the same sorted-LIMIT landmarks
     "q_graph_ecc" ->
       """WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey AS p,

@@ -472,9 +472,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
   }
 
-  test("k-core peels are semi-joins over the shrinking edge set") {
+  test("k-core peels run eagerly per round (roundCut); the final plan " +
+    "reads the checkpointed survivor set — no cartesian anywhere") {
+    // r15: each peel round (two LeftSemi joins) executes at
+    // construction under Graph.roundCut's eager localCheckpoint, so
+    // the FINAL plan is the degree aggregate over a checkpointed scan
+    // — the per-round semi-join shape is pinned by the kCore scaladoc
+    // and SCALING.md, its correctness by GraphSpec's peel traces
     val p = plan("q_graph_kcore")
-    assert(p.contains("LeftSemi"))
+    assert(p.contains("Scan ExistingRDD"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }

@@ -65,6 +65,37 @@ class HyperBallSpec extends SparkTestBase {
     }
   }
 
+  test("hyperHarmonic estimates track the EXACT harmonic centrality: " +
+    "population sum within the m=16 envelope and positive rank " +
+    "agreement on a hub-vs-leaf star-chain graph") {
+    // star (hub 0) + a chain tail: strong centrality spread
+    val star = (1 to 20).map(i => (0L, i.toLong))
+    val chain = (20 until 30).map(i => (i.toLong, i.toLong + 1))
+    val edges = (star ++ chain).toDF("src", "dst")
+    val (est, exact) = CacheScope.scoped {
+      val e = Graph.hyperHarmonic(edges, maxHops = 6)
+        .select("vertex", "harmonic_est_r6").as[(Long, Double)]
+        .collect().toMap
+      val x = Graph.harmonicCentrality(edges, maxHops = 6,
+          scale = 60L)
+        .select("vertex", "harmonic_scaled").as[(Long, Long)]
+        .collect().map(kv => kv._1 -> kv._2 / 60.0).toMap
+      (e, x)
+    }
+    assert(est.keySet == exact.keySet)
+    val sumE = est.values.sum; val sumX = exact.values.sum
+    assert(sumE > sumX * 0.6 && sumE < sumX * 1.4, (sumE, sumX))
+    // the hub must rank far above every chain-tail vertex
+    assert(est(0L) > est(25L) * 2, (est(0L), est(25L)))
+    // Spearman-ish check: top-5 exact vertices average estimate rank
+    // must beat the bottom-5's
+    val byEst = est.toSeq.sortBy(-_._2).map(_._1).zipWithIndex.toMap
+    val byExact = exact.toSeq.sortBy(-_._2).map(_._1)
+    val topAvg = byExact.take(5).map(byEst).sum / 5.0
+    val botAvg = byExact.takeRight(5).map(byEst).sum / 5.0
+    assert(topAvg < botAvg, (topAvg, botAvg))
+  }
+
   test("register derivation is total: every vertex lands in 0..15 " +
     "with rank 1..41 (sparse rows, one per vertex at hop 0)") {
     val rows = CacheScope.scoped {
