@@ -212,7 +212,8 @@ object Selection {
       // collect is Σ|probes| rows, ≤ maxGroups·probesPerRound; the
       // mode's unordered-count arithmetic happens driver-side
       val gOf = giOf.map(_.swap)
-      val raw = countPairsLE(histI, probes, mode)
+      val raw = countPairsLE(histI, probes, mode,
+          restrictProviders = active.size * 2 < state.size)
         .collect().map(r =>
           (r.getInt(0), r.getLong(1)) ->
             (r.getLong(2), r.getLong(3))).toMap
@@ -319,19 +320,24 @@ object Selection {
   private[graft] def countPairsLE(
       hist: DataFrame,
       tByG: Map[Int, Seq[Long]],
-      mode: PairMode): DataFrame = {
+      mode: PairMode,
+      restrictProviders: Boolean = false): DataFrame = {
     val spark = hist.sparkSession
     import spark.implicits._
     val tdf = tByG.toSeq.flatMap { case (gi, ts) =>
       ts.map(t => (gi, t, Math.floorDiv(t, 2L))) }.toDF("gi", "t", "th")
-    // Only the round's ACTIVE groups (those with probes this round)
-    // contribute histogram mass: converged groups drop out of tByG as
-    // rounds proceed, and without this semi-join their (inert)
-    // histogram rows would still ride every remaining round's window
-    // sort only to be filtered after the running sum. The probe set
-    // is driver-built and small, so the semi-join is a broadcast.
-    val activeHist = hist.join(
-      broadcast(tdf.select($"gi").distinct()), Seq("gi"), "left_semi")
+    // When MOST groups have converged, only the round's ACTIVE groups
+    // should contribute histogram mass — without the semi-join their
+    // inert rows ride the window sort only to be filtered after the
+    // running sum. The semi-join itself costs a broadcast probe pass
+    // over the cached histogram, which LOSES while most groups are
+    // still active (early rounds — measured at sf0.1/32 threads), so
+    // the caller flips it on once active < half the groups.
+    val activeHist =
+      if (restrictProviders)
+        hist.join(broadcast(tdf.select($"gi").distinct()), Seq("gi"),
+          "left_semi")
+      else hist
     val h = hist.join(broadcast(tdf), Seq("gi"))
     // Providers carry the histogram mass ONCE (never replicated per
     // probe); queries ask for the inclusive prefix count F at their
