@@ -288,6 +288,96 @@ object StatsQueries {
         .unionByName(daily.select(lit("b").as("g"), $"y".as("v"))))
   }
 
+  /** LEPAGE TEST (Lepage, Biometrika 1971): the combined
+    * LOCATION-AND-SCALE two-sample screen D = z_W² + z_AB² — the
+    * standardized Wilcoxon rank-sum (location) plus the standardized
+    * Ansari–Bradley (scale), χ²(2) under H₀. The battery's location
+    * tests miss a pure scale shift and vice versa; Lepage is the
+    * standard single-gate alternative when either change matters
+    * (the two components are asymptotically independent, Lepage's own
+    * result). Verdict vs χ²₀.₀₅(2) = 5.991465.
+    *
+    * Exactness: both components read the SAME value histogram.
+    * z_W² is computed entirely from exact integers — doubled tied
+    * ranks r2 = 2·cumt + t + 1 (the kruskal doctrine) give
+    * W2 = Σ ca·r2 = 2W exactly; the tie-corrected variance folds into
+    * the single rational z_W² = 3·N·(N−1)·(W2 − m(N+1))² /
+    * (m·n_b·(N³−N−ΣT)) carried in DECIMAL(38,0) until ONE double
+    * division. z_AB is [[ansariFromSamples]]'s statistic verbatim
+    * (exact BIGINT block scores, tied averages folded in value order,
+    * exact permutation variance). D adds the two doubles once —
+    * deterministic by shape, twin-replayable.
+    */
+  def qStatLepage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+    lepageFromSamples(
+      daily.select(lit("a").as("g"), $"x".as("v"))
+        .unionByName(daily.select(lit("b").as("g"), $"y".as("v"))))
+  }
+
+  /** Lepage core on a (g ∈ {a, b}, v: long) frame — see
+    * [[qStatLepage]]. Exposed for LepageSpec brute parity. Same
+    * caller-enforced bounded-value-domain contract as
+    * [[ansariFromSamples]]. */
+  private[queries] def lepageFromSamples(s: DataFrame): DataFrame = {
+    import s.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = s.groupBy($"v").agg(count(lit(1)).as("t"),
+      sum(when($"g" === "a", 1L).otherwise(0L)).as("ca"))
+    val w = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("cumt", coalesce(sum($"t").over(w), lit(0L)))
+    val tot = blocks.agg(sum($"t").as("nn"), sum($"ca").as("m"))
+    // Wilcoxon half: exact integers off the same blocks
+    val wilcox = blocks.crossJoin(broadcast(tot))
+      .groupBy($"nn", $"m")
+      .agg(sum($"ca" * (lit(2L) * $"cumt" + $"t" + 1L)).as("w2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tsum"))
+    // Ansari half: tied-average scores, ordered fold — the
+    // ansariFromSamples pipeline verbatim up to (t2, q2, sum2)
+    val s2b = blocks.crossJoin(broadcast(tot))
+      .select($"v", $"t", $"ca", $"cumt", $"nn", $"m",
+        explode(expr("sequence(1L, t)")).as("i"))
+      .select($"v", $"t", $"ca", $"nn", $"m",
+        (lit(2L) * least($"cumt" + $"i",
+          $"nn" + 1L - ($"cumt" + $"i"))).as("a2"))
+      .groupBy($"v", $"t", $"ca", $"nn", $"m")
+      .agg(sum($"a2").as("s2"))
+    val ans = s2b.groupBy($"nn", $"m")
+      .agg(expr("sort_array(collect_list(struct(v, t, ca, s2)))")
+        .as("arr"), sum($"s2").as("sum2"))
+      .select($"nn", $"m", $"sum2",
+        expr("aggregate(arr, 0D, (acc, x) -> acc + " +
+          "CAST(x.ca AS DOUBLE) * (CAST(x.s2 AS DOUBLE) " +
+          "/ CAST(x.t AS DOUBLE)))").as("t2"),
+        expr("aggregate(arr, 0D, (acc, x) -> acc + " +
+          "CAST(x.s2 AS DOUBLE) * (CAST(x.s2 AS DOUBLE) " +
+          "/ CAST(x.t AS DOUBLE)))").as("q2"))
+    val zab = expr("(t2 - CAST(m * sum2 AS DOUBLE) / CAST(nn AS " +
+      "DOUBLE)) / sqrt(CAST(m * (nn - m) AS DOUBLE) / CAST(nn * " +
+      "(nn - 1) AS DOUBLE) * (q2 - CAST(sum2 AS DOUBLE) * sum2 " +
+      "/ nn))")
+    val zw2 = expr("CAST(CAST(3 AS DECIMAL(38,0)) * nn * (nn - 1) " +
+      "* (w2 - m * (nn + 1)) * (w2 - m * (nn + 1)) AS DOUBLE) " +
+      "/ CAST(CAST(m AS DECIMAL(38,0)) * (nn - m) " +
+      "* (nn * nn * nn - nn - tsum) AS DOUBLE)")
+    wilcox.join(ans, Seq("nn", "m"))
+      .select($"nn", $"m", ($"nn" - $"m").as("n_b"), $"w2", $"tsum",
+        $"sum2", round($"t2", 6).as("t2_r6"),
+        zw2.as("zw2"), zab.as("zab"))
+      .select($"nn", $"m", $"n_b", $"w2", $"tsum", $"sum2", $"t2_r6",
+        round($"zw2", 6).as("zw2_r6"),
+        round($"zab" * $"zab", 6).as("zab2_r6"),
+        round($"zw2" + $"zab" * $"zab", 6).as("d_r6"),
+        ($"zw2" + $"zab" * $"zab" > lit(5.991465)).as("reject"))
+  }
+
   /** Ansari–Bradley core on a (g ∈ {a, b}, v: long) frame — see
     * [[qStatAnsari]]. Exposed for AnsariSpec brute parity.
     *
@@ -2623,6 +2713,7 @@ object StatsQueries {
     "q_stat_cramers" -> (qStatCramers(_, _)),
     "q_stat_jarque" -> (qStatJarque(_, _)),
     "q_stat_ansari" -> (qStatAnsari(_, _)),
+    "q_stat_lepage" -> (qStatLepage(_, _)),
     "q_stat_moodscale" -> (qStatMoodScale(_, _)),
     "q_stat_levene" -> (qStatLevene(_, _)),
     "q_stat_mannwhitney" -> (qStatMannwhitney(_, _)),
@@ -3669,6 +3760,70 @@ object StatsQueries {
         |FROM f""".stripMargin,
     // same block integers (running-count window + per-position
     // explode), same ordered list_sum folds, same one-expression z
+    // same histogram as q_stat_ansari; Wilcoxon half fully integer
+    // (HUGEINT = the engine's DECIMAL(38,0)); chi2(2) gate
+    "q_stat_lepage" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT 'a' AS g, x AS v FROM daily
+        |  UNION ALL SELECT 'b', y FROM daily),
+        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca
+        |  FROM s GROUP BY v),
+        |b AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumt FROM hist),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+        |    CAST(SUM(ca) AS BIGINT) AS m FROM b),
+        |wilcox AS (SELECT nn, m,
+        |    CAST(SUM(ca * (2 * cumt + t + 1)) AS BIGINT) AS w2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        |  FROM b CROSS JOIN tot GROUP BY nn, m),
+        |pos AS (SELECT v, t, ca, nn, m,
+        |    cumt + unnest(generate_series(1, t)) AS p
+        |  FROM b CROSS JOIN tot),
+        |s2b AS (SELECT v, t, ca, nn, m,
+        |    CAST(SUM(2 * LEAST(p, nn + 1 - p)) AS BIGINT) AS s2
+        |  FROM pos GROUP BY v, t, ca, nn, m),
+        |l AS (SELECT nn, m,
+        |    list(struct_pack(t := t, ca := ca, s2 := s2)
+        |      ORDER BY v) AS arr,
+        |    CAST(SUM(s2) AS BIGINT) AS sum2
+        |  FROM s2b GROUP BY nn, m),
+        |f AS (SELECT nn, m, sum2,
+        |    list_sum(list_transform(arr, x ->
+        |      CAST(x.ca AS DOUBLE) * (CAST(x.s2 AS DOUBLE)
+        |        / CAST(x.t AS DOUBLE)))) AS t2,
+        |    list_sum(list_transform(arr, x ->
+        |      CAST(x.s2 AS DOUBLE) * (CAST(x.s2 AS DOUBLE)
+        |        / CAST(x.t AS DOUBLE)))) AS q2
+        |  FROM l),
+        |zz AS (SELECT w.nn, w.m, w.nn - w.m AS n_b, w.w2, w.tsum,
+        |    f.sum2, round(f.t2, 6) AS t2_r6,
+        |    CAST(CAST(3 AS HUGEINT) * w.nn * (w.nn - 1)
+        |        * (w.w2 - w.m * (w.nn + 1))
+        |        * (w.w2 - w.m * (w.nn + 1)) AS DOUBLE)
+        |      / CAST(CAST(w.m AS HUGEINT) * (w.nn - w.m)
+        |        * (w.nn * w.nn * w.nn - w.nn - w.tsum) AS DOUBLE)
+        |      AS zw2,
+        |    (f.t2 - CAST(f.m * f.sum2 AS DOUBLE)
+        |        / CAST(f.nn AS DOUBLE))
+        |      / sqrt(CAST(f.m * (f.nn - f.m) AS DOUBLE)
+        |        / CAST(f.nn * (f.nn - 1) AS DOUBLE)
+        |        * (f.q2 - CAST(f.sum2 AS DOUBLE) * f.sum2 / f.nn))
+        |      AS zab
+        |  FROM wilcox w JOIN f ON w.nn = f.nn AND w.m = f.m)
+        |SELECT nn, m, n_b, w2, tsum, sum2, t2_r6,
+        |  round(zw2, 6) AS zw2_r6,
+        |  round(zab * zab, 6) AS zab2_r6,
+        |  round(zw2 + zab * zab, 6) AS d_r6,
+        |  (zw2 + zab * zab) > 5.991465 AS reject
+        |FROM zz""".stripMargin,
     "q_stat_ansari" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
