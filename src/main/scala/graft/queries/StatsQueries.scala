@@ -2425,6 +2425,36 @@ object StatsQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** GROUPED Qn SCALE at high group cardinality, through
+    * [[graft.ops.Selection.kthPairwise]]'s EXECUTOR-LOCAL GROUP tier
+    * (the q_stat_hodges_grouped_exec pattern, AbsDiffs mode): the
+    * Rousseeuw–Croux Qn of order totals per (nation, order month) —
+    * ~2k robust scale estimates in ONE exchange + a per-task run of
+    * the shared counting solver; no barrier rounds, no driver state.
+    * Monitoring dispersion per segment is exactly the workload shape
+    * this tier exists for: many medium groups, none big enough to
+    * need the probe loop. Singleton groups have no pairs and drop
+    * (the kthPairwise contract).
+    */
+  def qStatQnGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val vals = Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select(concat($"c_nationkey".cast("string"), lit("|"),
+          date_format($"o_orderdate", "yyyy-MM")).as("g"),
+        e2($"o_totalprice").as("v"))
+    Selection.kthPairwise(vals, Selection.AbsDiffs,
+        (n, _) => { val h = n / 2 + 1; h * (h - 1) / 2 },
+        maxGroups = 4096, smallHistLimit = 0L)
+      .select($"g".as("nation_month"), $"n", $"k",
+        $"value".as("qn_cents"), ($"value" / lit(100.0)).as("qn"),
+        round(lit(2.2219) * ($"value" / lit(100.0)), 6)
+          .as("qn_scaled_r6"))
+      .orderBy($"nation_month")
+  }
+
   /** JONCKHEERE–TERPSTRA TEST (Jonckheere 1954, Terpstra 1952) for
     * ordered alternatives across the five order priorities: J =
     * Σ_{g<h} U_gh, the sum of between-group Mann–Whitney counts in the
@@ -2688,6 +2718,7 @@ object StatsQueries {
     "q_stat_hodges_grouped" -> (qStatHodgesGrouped(_, _)),
     "q_stat_hodges_grouped_exec" -> (qStatHodgesGroupedExec(_, _)),
     "q_stat_qn" -> (qStatQn(_, _)),
+    "q_stat_qn_grouped" -> (qStatQnGrouped(_, _)),
     "q_stat_grubbs" -> (qStatGrubbs(_, _)),
     "q_stat_cochranq" -> (qStatCochranq(_, _)),
     "q_stat_dw" -> (qStatDw(_, _)),
@@ -3043,6 +3074,29 @@ object StatsQueries {
         |  round(2.2219 * (r.dd / 100.0), 6) AS qn_scaled_r6
         |FROM kk JOIN r ON kk.g = r.g AND r.r = kk.k
         |ORDER BY o_orderpriority""".stripMargin,
+    // grouped Qn: per-group |xi - xj| enumeration (bounded groups at
+    // oracle sf); singleton groups yield no pairs and drop
+    "q_stat_qn_grouped" ->
+      """WITH v AS (SELECT
+        |    CAST(c.c_nationkey AS VARCHAR) || '|' ||
+        |      strftime(o.o_orderdate, '%Y-%m') AS g,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY c.c_nationkey,
+        |      strftime(o.o_orderdate, '%Y-%m')
+        |      ORDER BY o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g),
+        |kk AS (SELECT g, n,
+        |    (n // 2 + 1) * (n // 2) // 2 AS k FROM n),
+        |p AS (SELECT a.g, abs(a.x - b.x) AS dd FROM v a
+        |  JOIN v b ON a.g = b.g AND a.rn < b.rn),
+        |r AS (SELECT g, dd,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd) AS r FROM p)
+        |SELECT kk.g AS nation_month, kk.n, kk.k,
+        |  r.dd AS qn_cents, r.dd / 100.0 AS qn,
+        |  round(2.2219 * (r.dd / 100.0), 6) AS qn_scaled_r6
+        |FROM kk JOIN r ON kk.g = r.g AND r.r = kk.k
+        |ORDER BY nation_month""".stripMargin,
     "q_stat_grubbs" ->
       """WITH x AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
