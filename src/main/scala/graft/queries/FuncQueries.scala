@@ -90,7 +90,17 @@ object FuncQueries {
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),
         least(col("l_tax"), col("l_discount")).as("min_rate"),
         round(log(col("l_extendedprice")), 6).as("price_ln"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in this fixture
+      // (sf0.01: 60000 rows / 45832 distinct pairs), so the ordering
+      // must be made TOTAL: without the value tiebreakers the
+      // within-tie row order is whatever the scan happened to feed the
+      // sort — it matched DuckDB only while both engines read the file
+      // in one task. The extra keys pin ties so any remaining tie is a
+      // row identical in every output column (same row SET, now
+      // deterministically ordered; the twin orders identically).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_dev"),
+        col("price_ceil"), col("price_floor"), col("price_hundreds"),
+        col("price_ln"), col("qty_sqrt"), col("max_rate"), col("min_rate"))
   }
 
   def qFuncCase(spark: SparkSession, dir: String): DataFrame = {
@@ -245,7 +255,11 @@ object FuncQueries {
         expr("shiftleft(cast(l_linenumber as bigint), 3)").as("shl"),
         expr("shiftright(l_orderkey, 2)").as("shr"),
         expr("l_orderkey & -l_orderkey").as("lowbit"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // non-unique (l_orderkey, l_linenumber) in this fixture — bxor
+      // (= l_orderkey ^ l_partkey) pins l_partkey given l_orderkey, so
+      // the ordering is total up to fully-identical rows (see
+      // qFuncMath); the twin orders identically
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("bxor"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -276,7 +290,7 @@ object FuncQueries {
         |  l_orderkey >> 2 AS shr,
         |  l_orderkey & -l_orderkey AS lowbit
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, bxor""".stripMargin,
     // exists/forall via list_filter; zip_with via list_zip; the fold
     // via list_reduce with a prepended identity
     "q_func_hof" ->
@@ -379,7 +393,9 @@ object FuncQueries {
         |  greatest(l_tax, l_discount) AS max_rate,
         |  least(l_tax, l_discount) AS min_rate,
         |  round(ln(l_extendedprice), 6) AS price_ln
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_dev,
+        |  price_ceil, price_floor, price_hundreds, price_ln, qty_sqrt,
+        |  max_rate, min_rate""".stripMargin,
     "q_func_case" ->
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
         |  WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS bucket,

@@ -900,4 +900,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scale-adaptive scan repartition: filters and column pruning " +
+    "still reach the parquet scan through the Repartition node") {
+    // Tables.parallelized inserts repartition(defaultParallelism) above
+    // small single-row-group scans (r16). The whole design rests on
+    // Catalyst pushing predicates and pruning columns THROUGH
+    // Repartition (PushPredicateThroughNonJoin / ColumnPruning) — pin
+    // that here on the exact shape the loader produces.
+    import org.apache.spark.sql.functions.col
+    val p = spark.read.parquet(s"$dir/lineitem.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .select(col("l_quantity"), col("l_shipdate"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must push below the repartition to the scan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      "unused columns must stay pruned through the repartition")
+  }
+
 }

@@ -92,6 +92,24 @@ class SuffixRankSpec extends SparkTestBase {
     assert(viaRank == viaHash)
   }
 
+  test("direct window path == doubling rank path (both tiers exact)") {
+    // the dispatcher picks direct grouping at L=20; this pins the two
+    // physical plans to identical duplicated-position sets on planted
+    // overlaps (incl. intra-doc repeat + empty doc) and random text
+    val shared = randText(26)
+    val docs = ((0L until 30L).map(i => (i, randText(50 + rng.nextInt(40))))
+      ++ Seq((90L, randText(10) + shared + randText(15)),
+        (91L, shared + randText(30)),
+        (92L, shared.take(20) + randText(5) + shared.take(20)),
+        (93L, ""))).toDF("doc_id", "text")
+    val direct = SuffixRank.dupPositionsDirect(docs, 20L)
+      .as[(Long, Long)].collect().toSet
+    val doubling = SuffixRank.dupPositionsDoubling(docs, 5, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(direct == doubling)
+    assert(direct.exists(_._1 == 92L)) // intra-doc repeat caught by both
+  }
+
   test("denseRank is partitioning-invariant and matches a global sort") {
     val df = (1 to 500).map(i => (i.toLong, (i * 37 % 97).toLong))
       .toDF("id", "k")
