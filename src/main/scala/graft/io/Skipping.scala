@@ -109,7 +109,14 @@ object Skipping {
   def writeIndexed(df: DataFrame, tableDir: String, keyCol: String,
                    bloomCol: String, step: Long): Unit = {
     require(step > 0, s"step must be positive, got $step")
+    // repartition BY THE LAYOUT KEY before the partitioned write
+    // (guide §8 step 4): each bucket directory then receives exactly
+    // one file from exactly one task. Without it every input partition
+    // writes its own file into every bucket it touches — with a
+    // parallelized scan feeding this, that's inputPartitions × buckets
+    // small files, and the read-back/stats pass pays for all of them.
     df.withColumn("_bucket", expr(s"$keyCol div $step"))
+      .repartition(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket")
       .parquet(dataDir(tableDir))
     val spark = df.sparkSession

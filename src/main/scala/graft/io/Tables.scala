@@ -18,35 +18,46 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else parallelized(spark, spark.read.parquet(s"$dir/$name.parquet"),
-      s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Scale-adaptive scan parallelization (optimization guide §2.2/§6).
+  /** OPT-IN scale-adaptive scan parallelization (optimization guide
+    * §2.2/§6) — the `…Par` loaders below.
     *
     * The fixture parquet files are single-row-group and far below
     * `spark.sql.files.maxPartitionBytes`, so every scan plans as ONE
     * task — and with it the whole map-side pipeline above the first
-    * exchange (explode / shingle / hash / partial-aggregate, where
-    * most of this fleet's per-query CPU lives) serializes onto one of
-    * the 32 cores: measured wall ≈ total CPU on the map-heavy queries
-    * (q_text_heavy_hitters 5.5 s wall / 5.8 s CPU before; 0.9 s
-    * after). A round-robin repartition of the few-MB base table costs
-    * one tiny exchange and unlocks full-core map parallelism.
+    * exchange serializes onto one of the 32 cores. For queries whose
+    * cost is dominated by per-row map compute with LOW-cardinality
+    * downstream aggregation (md5 replicate weights, shingle/signature
+    * builds, fact-side join prep), a round-robin repartition of the
+    * few-MB base table costs one tiny exchange and unlocks full-core
+    * parallelism — measured e.g. q_stat_bootstrap 6.1→1.3 s,
+    * q_text_heavy_hitters 5.3→2.6 s, q_agg_kmv_intersect 5.7→2.5 s
+    * (vs BOTH the same-session baseline and the committed r15
+    * history).
     *
-    * The rule is derived from the data, not a constant tuned to
-    * local[32]: it fires only when the PLANNED scan parallelism
-    * (which already reflects file count, row-group splits and
-    * maxPartitionBytes) is under half the cluster's default
-    * parallelism AND the table's on-disk size is below a small-table
-    * ceiling (default 1 GiB compressed, `SPARK_GRAFT_REPART_MAX_MB`).
-    * At 100 TB both guards fail — big tables split natively into
-    * thousands of scan tasks and never reach the repartition — so the
-    * production plan is byte-identical to the unhooked read; tiny
-    * dimension tables (region/nation/…) stay untouched too (they
-    * broadcast; an exchange would be pure overhead). Filters and
-    * column pruning push through Repartition (PushPredicateThroughNonJoin
-    * /ColumnPruning), so PushedFilters/ReadSchema at the scan are
-    * unchanged — asserted in PlanSpec.
+    * It is NOT applied fleet-wide, and that is a measured decision,
+    * not an oversight: an r16 experiment hooking every `Tables.load`
+    * produced 17 robust winners but 41 losers — for HIGH-cardinality
+    * aggregations (vocabulary-sized groupBys: tfidf, n-gram LMs,
+    * source-overlap) splitting 1 input partition into 32 multiplies
+    * the map-side partial-aggregate output by the partition count
+    * (every partition emits most of the vocabulary), and for the ~300
+    * sub-second queries the extra exchange is pure overhead
+    * (micro-probe: +0.8 s wall / +1.9 s CPU per lineitem pass). Each
+    * opt-in site below is a query where the A/B won robustly.
+    *
+    * The guards keep the opt-in a NO-OP at scale: it fires only when
+    * the PLANNED scan parallelism (which already reflects file count,
+    * row-group splits and maxPartitionBytes) is under half the default
+    * parallelism AND the on-disk size is within
+    * [`SPARK_GRAFT_REPART_MIN_KB` (256 KB), `SPARK_GRAFT_REPART_MAX_MB`
+    * (1 GiB)]. At 100 TB big tables split natively into thousands of
+    * scan tasks and never repartition — the production plan is
+    * byte-identical to the plain read. Filters and column pruning push
+    * through Repartition (PushPredicateThroughNonJoin/ColumnPruning),
+    * so PushedFilters/ReadSchema at the scan are unchanged — asserted
+    * in PlanSpec.
     */
   private val repartMaxBytes: Long =
     sys.env.getOrElse("SPARK_GRAFT_REPART_MAX_MB", "1024").toLong << 20
@@ -92,8 +103,7 @@ object Tables {
     *     through untouched.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
-    parallelized(spark, eventsFrom(spark, s"$dir/events.parquet"),
-      s"$dir/events.parquet")
+    eventsFrom(spark, s"$dir/events.parquet")
 
   private[io] def eventsFrom(spark: SparkSession, path: String): DataFrame =
     normalizeEventTs(eventsRawRead(spark, path))
@@ -211,6 +221,19 @@ object Tables {
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}"))
   }
+
+  /** Opt-in parallelized loaders — see [[parallelized]] for the
+    * measured rationale and the at-scale no-op guards. */
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    parallelized(s, documents(s, d), s"$d/documents.parquet")
+  def eventsPar(s: SparkSession, d: String): DataFrame =
+    parallelized(s, events(s, d), s"$d/events.parquet")
+  def lineitemPar(s: SparkSession, d: String): DataFrame =
+    parallelized(s, lineitem(s, d), s"$d/lineitem.parquet")
+  def ordersPar(s: SparkSession, d: String): DataFrame =
+    parallelized(s, orders(s, d), s"$d/orders.parquet")
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    parallelized(s, embeddings(s, d), s"$d/embeddings.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -181,7 +181,7 @@ object AggQueries {
     */
   def qAggMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
+    Tables.lineitemPar(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         percentile($"l_extendedprice", lit(0.5)).as("median_price"),
@@ -263,7 +263,7 @@ object AggQueries {
     // (~31/source) would leave a k=64 sketch unsaturated and the
     // estimator untested; bigram vocabularies run to the hundreds, so
     // the k-th-smallest estimate and its ~1/√k error are real here
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.documentsPar(spark, dir)
       .select(col("source"),
         explode(graft.ops.TextAnalysis.wordNgrams(col("text"), 2))
           .as("tok"))
@@ -322,7 +322,7 @@ object AggQueries {
     * the salted hash family is the portable md5 one.
     */
   def qAggCountMin(spark: SparkSession, dir: String): DataFrame =
-    countMinEstimates(Tables.documents(spark, dir)
+    countMinEstimates(Tables.documentsPar(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= ""), d = 4, w = 16)
       .orderBy(col("tok"))

@@ -125,7 +125,7 @@ object DedupQueries {
   }
 
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+    Dedup.ngramJaccardPairs(Tables.documentsPar(spark, dir),
         "doc_id", "text", k = 5, minJaccard = 0.8,
         vocabHint = Tables.columnUncompressedBytes(
           spark, s"$dir/documents.parquet", "text"))
@@ -149,7 +149,9 @@ object DedupQueries {
     */
   private def memoSigs(spark: SparkSession, dir: String): DataFrame =
     graft.ops.CacheScope.memoizedDisk(s"dedup:sigs32:$dir") {
-      Dedup.minhashSignatures(Tables.documents(spark, dir),
+      // documentsPar: the shingle+md5 signature build is the family's
+      // dominant map cost and lands on whichever member runs first
+      Dedup.minhashSignatures(Tables.documentsPar(spark, dir),
         "doc_id", "text", k = 5, numHashes = 32)
     }
 
@@ -186,7 +188,7 @@ object DedupQueries {
     * the 8×4 banding and the exact intersection.
     */
   def qDedupJaccardBanded(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsBanded(Tables.documents(spark, dir),
+    Dedup.ngramJaccardPairsBanded(Tables.documentsPar(spark, dir),
         "doc_id", "text", k = 5, minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -334,7 +336,7 @@ object DedupQueries {
     */
   def qCurateSplitLeakage(spark: SparkSession, dir: String)
       : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsPar(spark, dir)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       k = 5, bands = 8, rowsPerBand = 4, threshold = 0.5,
       sigsHint = Some(memoSigs(spark, dir)))
@@ -361,7 +363,7 @@ object DedupQueries {
     * pinned in DedupSpec).
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.simhash(Tables.documentsPar(spark, dir), "doc_id", "text")
       .orderBy(col("id"))
 
   /** Embedding cosine near-dup pairs, EXACT, via the blocked all-pairs
@@ -542,7 +544,7 @@ object DedupQueries {
     */
   def qDedupExactSubstr(spark: SparkSession, dir: String): DataFrame =
     graft.ops.SuffixRank.duplicatedSpans(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Tables.documentsPar(spark, dir).select(col("doc_id"), col("text")),
       l0 = 5, doublings = 2)
       .orderBy(col("doc_id"), col("start"))
 

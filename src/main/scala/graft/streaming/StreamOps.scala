@@ -448,7 +448,7 @@ object StreamOps {
     * sweep pins this), so oracle rows are unchanged by construction.
     */
   def withReplayPartitions[T](spark: org.apache.spark.sql.SparkSession,
-      n: Int = 4)(body: => T): T = {
+      n: Int = ReplayPartitions)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, n.toString)
@@ -458,6 +458,18 @@ object StreamOps {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Replay-fixture state-store width (see [[withReplayPartitions]]);
+    * env-tunable so the pin can be A/B'd without a rebuild. Results
+    * are partition-count-invariant (determinism sweep); production
+    * sizes this to expected state cardinality/throughput, not to a
+    * fixture constant. Default 8 from the r16 measured frontier over
+    * the 10 heaviest q_stream_* at sf0.1/local[32]:
+    * 1→60.6 s, 2→57.3, 4→53.1, 8→48.2 (two runs: 48.5/48.0), 16→50.3
+    * — per-batch real work (dedup joins, winnow selection) gains
+    * parallelism up to 8, store open/commit overhead wins past it. */
+  private[graft] val ReplayPartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
 
   /** Run `body` with the RocksDB state-store provider set (required
     * by transformWithState), restoring the prior provider after. */
@@ -1013,7 +1025,10 @@ object StreamOps {
     val tmp = new org.apache.hadoop.fs.Path(
       tablePath.stripSuffix("/") + "._staged")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    latest.write.partitionBy("bucket").mode("overwrite")
+    // one file per bucket directory: repartition by the layout key
+    // before the partitioned write (guide §8 step 4)
+    latest.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(tmp.toString)
     fs.mkdirs(dest)
     for (b <- affected) {
