@@ -1027,6 +1027,10 @@ object TextQueries {
       merged += ((r, s"$pa+$pb", topRow.getLong(1)))
       val hit = col("s").contains(lit(s"$pa|$pb"))
       val prev = segs
+      // (r16 note: a one-pass CASE projection replacing this
+      // filter ∪ fold shape was measured and REVERTED — interleaved
+      // A/B showed the union no slower, and the fold already runs
+      // only on hit rows in both shapes.)
       segs = graft.ops.CacheScope.memoized(s"bpe:segs:$dir:$r") {
         prev.filter(!hit).unionByName(
           prev.filter(hit)
