@@ -178,7 +178,11 @@ object Bench {
       "bpe" -> (n => n.startsWith("q_text_bpe")),
       "dedup_memo" -> (n => n == "q_dedup_minhash" ||
         n == "q_dedup_incremental" || n == "q_dedup_components" ||
-        n == "q_dedup_keep_best" || n == "q_curate_takedown"))
+        n == "q_dedup_keep_best" || n == "q_curate_takedown"),
+      // r16: the co-supply wedge and shipment edge tables memoize
+      // run-wide (GraphQueries.coSupplyWedge/shipmentBase) — the first
+      // graph query in run order pays those builds
+      "graph_edges" -> (n => n.startsWith("q_graph_")))
     // retryAttempted is tracked separately from retry success (ADVICE
     // r12): a suspect query whose immediate retry FAILS must still
     // surface in the `retried` artifact map (retry:null) and still get

@@ -18,12 +18,52 @@ import graft.ops.Graph
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def shipmentEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Run-wide memo of the supplier→customer shipment edge list WITH
+    * the per-line quantity (r16, guide §2.4 "do fewer passes"): six
+    * graph queries built this same lineitem ⋈ orders projection
+    * independently, each paying the 600k-row join again. Under the
+    * harness's scratch root the build writes ONCE to a parquet sidecar
+    * and every consumer reads a flat 3-column scan — the identical
+    * accounting as the dedup-signature memo (the first graph query in
+    * run order pays the build; Bench emits the graph family sum).
+    * Deterministic pure function of the fixture dir.
+    */
+  private def shipmentBase(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"l_suppkey".as("src"), ($"o_custkey" + 1000000L).as("dst"))
+    graft.ops.CacheScope.memoizedDisk(s"graph:shipbase:$dir") {
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("src"),
+          ($"o_custkey" + 1000000L).as("dst"),
+          $"l_quantity".cast("long").as("weight"))
+    }
   }
+
+  private def shipmentEdges(spark: SparkSession, dir: String): DataFrame =
+    shipmentBase(spark, dir).select(col("src"), col("dst"))
+
+  /** Run-wide memo of the sparse co-supply WEDGE table (supplier pairs
+    * sharing a single-unit part, shared part retained): FIFTEEN graph
+    * queries inlined this same scan→filter→distinct→self-join chain.
+    * Same memo discipline as [[shipmentBase]]. Consumers project
+    * (src, dst); the link-prediction and weighted variants derive
+    * their shapes from the same wedge rows.
+    */
+  private def coSupplyWedge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ops.CacheScope.memoizedDisk(s"graph:cosupply:$dir") {
+      val ps = Tables.lineitem(spark, dir)
+        .filter($"l_quantity" === 1.0)
+        .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
+      ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+        .select(col("x.s").as("src"), col("y.s").as("dst"),
+          col("x.p").as("p"))
+    }
+  }
+
+  private def coSupplyEdges(spark: SparkSession, dir: String): DataFrame =
+    coSupplyWedge(spark, dir).select(col("src"), col("dst"))
 
   /** 3-round integer PageRank over the shipment graph, full ranking. */
   def qGraphPagerank(spark: SparkSession, dir: String): DataFrame =
@@ -45,24 +85,14 @@ object GraphQueries {
     */
   def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.triangleStats(edges)
   }
 
   /** Local clustering coefficients on the sparse co-supply graph. */
   def qGraphLocalCc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.localClustering(edges).orderBy(col("vertex"))
   }
 
@@ -78,12 +108,7 @@ object GraphQueries {
     * co-supply graph (same fixture as the triangle census). */
   def qGraphLabelProp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.labelPropagation(edges, iters = 2).orderBy(col("vertex"))
   }
 
@@ -92,10 +117,7 @@ object GraphQueries {
   def qGraphPagerankWeighted(spark: SparkSession, dir: String)
       : DataFrame = {
     import spark.implicits._
-    val edges = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"l_suppkey".as("src"), ($"o_custkey" + 1000000L).as("dst"),
-        $"l_quantity".cast("long").as("weight"))
+    val edges = shipmentBase(spark, dir)
     Graph.pagerankWeighted(edges, iters = 2)
       .orderBy(desc("rank_scaled"), asc("vertex"))
   }
@@ -103,12 +125,7 @@ object GraphQueries {
   /** 3-peel 3-core of the sparse co-supply graph. */
   def qGraphKcore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.kCore(edges, k = 3, peels = 3).orderBy(col("vertex"))
   }
 
@@ -119,12 +136,7 @@ object GraphQueries {
     * idempotence spec-pinned in GraphSpec). */
   def qGraphKtruss(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.kTruss(edges, k = 4, peels = 3)
       .orderBy(col("src"), col("dst"))
   }
@@ -144,12 +156,8 @@ object GraphQueries {
     */
   def qGraphLinkPred(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val raw = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+    val raw = coSupplyWedge(spark, dir)
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
     val sym = raw.select($"a".as("v"), $"b".as("n"))
       .unionAll(raw.select($"b".as("v"), $"a".as("n")))
     val deg = sym.groupBy($"v").agg(count(lit(1)).as("d"))
@@ -176,12 +184,7 @@ object GraphQueries {
   /** 3-hop harmonic centrality on the sparse co-supply graph. */
   def qGraphHarmonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.harmonicCentrality(edges, maxHops = 3)
       .orderBy(desc("harmonic_scaled"), asc("vertex"))
   }
@@ -193,12 +196,7 @@ object GraphQueries {
     */
   def qGraphBetweenness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.betweennessSampled(edges, maxHops = 3, pivots = 32)
       .orderBy(desc("betweenness_r6"), asc("vertex"))
   }
@@ -224,16 +222,10 @@ object GraphQueries {
     * [[qGraphSssp]] and [[qGraphMst]]: suppliers of the same
     * quantity-1 part are adjacent, w = min(partkey % 97 + 1). */
   private def supplierGraph(spark: SparkSession, dir: String)
-      : DataFrame = {
-    import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
-      .agg(min(col("x.p") % 97 + 1).as("w"))
-  }
+      : DataFrame =
+    coSupplyWedge(spark, dir)
+      .groupBy(col("src").as("a"), col("dst").as("b"))
+      .agg(min(col("p") % 97 + 1).as("w"))
 
   /** MINIMUM SPANNING FOREST of the supplier co-part graph by
     * distributed Borůvka ([[graft.ops.Graph.boruvkaForest]]) — the
@@ -347,12 +339,7 @@ object GraphQueries {
     */
   def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     val nat = broadcast(Tables.supplier(spark, dir)
       .select($"s_suppkey".as("v"), $"s_nationkey".as("c")))
     val deg = edges.select($"src".as("v"))
@@ -397,12 +384,7 @@ object GraphQueries {
     */
   def qGraphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     val deg = broadcast(edges.select($"src".as("v"))
       .unionAll(edges.select($"dst".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d")))
@@ -444,12 +426,7 @@ object GraphQueries {
     */
   def qGraphPowerlaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     val deg = edges.select($"src".as("v"))
       .unionAll(edges.select($"dst".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
@@ -478,12 +455,7 @@ object GraphQueries {
     */
   def qGraphConductance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     val nat = broadcast(Tables.supplier(spark, dir)
       .select($"s_suppkey".as("v"), $"s_nationkey".as("c")))
     val deg = edges.select($"src".as("v"))
@@ -558,12 +530,7 @@ object GraphQueries {
     */
   def qGraphEcc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     val seeds = edges.select($"src".as("v"))
       .unionAll(edges.select($"dst".as("v")))
       .distinct().orderBy($"v").limit(4)
@@ -587,12 +554,7 @@ object GraphQueries {
     */
   def qGraphHyperball(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     Graph.hyperBall(edges, maxHops = 6)
   }
 
@@ -606,12 +568,7 @@ object GraphQueries {
     */
   def qGraphHyperHarmonic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst")).distinct()
+    val edges = coSupplyEdges(spark, dir).distinct()
     Graph.hyperHarmonic(edges, maxHops = 6)
   }
 
@@ -654,12 +611,7 @@ object GraphQueries {
     */
   def qGraphDensest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = Tables.lineitem(spark, dir)
-      .filter($"l_quantity" === 1.0)
-      .select($"l_partkey".as("p"), $"l_suppkey".as("s")).distinct()
-    val edges = ps.as("x").join(ps.as("y"),
-        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("src"), col("y.s").as("dst"))
+    val edges = coSupplyEdges(spark, dir)
     Graph.densestSubgraph(edges, rounds = 26)
   }
 
